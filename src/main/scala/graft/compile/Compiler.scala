@@ -1,0 +1,530 @@
+package graft.compile
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ir._
+import graft.ir.Expr._
+import graft.model.Model
+
+/** Lowers the graft IR to DataFrame transformations. Catalyst does the real
+  * optimization (predicate pushdown, column pruning, join selection, AQE) —
+  * this layer only reproduces the reference's *semantic* rewrites: lazy join
+  * emission (reference join_one.py:58-66), now()/constant materialization,
+  * private-column stripping (post_process.py:8-17).
+  */
+object Compiler {
+
+  /** Internal namespaced column name for join/relation columns. Starts with
+    * `__` so it is stripped from results like reference private columns
+    * (utils/private_column.py:5-20). */
+  def nsCol(ns: String, c: String): String = s"__ns_${ns}__$c"
+
+  /** A lazily-emitted join (reference deferred join handlers,
+    * query_layer.py:102-110). `build` produces the right side with all
+    * columns renamed through [[nsCol]]; `cond` is evaluated at attach time. */
+  final case class PendingJoin(
+      ns: String,
+      build: () => DataFrame,
+      cond: Frame => Column,
+      joinType: String)
+
+  /** Mutable compilation state for one query layer: the running DataFrame
+    * plus this layer's pending (unattached) joins. */
+  final class Frame(
+      var df: DataFrame,
+      val pending: mutable.Map[String, PendingJoin] = mutable.Map.empty,
+      val attached: mutable.Set[String] = mutable.Set.empty) {
+
+    def hasCol(name: String): Boolean = df.columns.contains(name)
+
+    /** Attach the named pending join if not yet attached. Re-entrancy guard:
+      * mark attached before compiling the condition, since the condition's
+      * namespace refs resolve to not-yet-joined (name-based) columns. */
+    def attach(ns: String): Unit = {
+      if (attached.contains(ns)) return
+      pending.get(ns) match {
+        case None => // not a join namespace (e.g. matchsteps-materialized)
+        case Some(pj) =>
+          attached += ns
+          val right = pj.build()
+          df = df.join(right, pj.cond(this), pj.joinType)
+      }
+    }
+  }
+
+  // =================== expression lowering ===================
+
+  /** Literal → Column (reference py_value compiler py_value.py:19-37). */
+  def litCol(v: Any): Column = v match {
+    case null                   => lit(null)
+    case i: TimeInterval        => expr(i.sqlLiteral)
+    case t: java.time.Instant   => lit(java.sql.Timestamp.from(t))
+    case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
+    case s: Seq[_]              => array(s.map(litCol): _*)
+    case other                  => lit(other)
+  }
+
+  private def isNullLit(e: Expr): Boolean = e match {
+    case Lit(null) => true
+    case _         => false
+  }
+
+  /** Expr → Column against `f`, attaching referenced lazy joins on demand.
+    * `prefix` qualifies bare column refs to a namespace (used when compiling
+    * a joined model's expressions — reference `.disambiguated`). */
+  def compileExpr(e: Expr, f: Frame, prefix: Option[String] = None): Column = {
+    def go(e: Expr): Column = compileExpr(e, f, prefix)
+    e match {
+      case ColRef(n, nsOpt) =>
+        (nsOpt orElse prefix) match {
+          case None => col(n)
+          case Some(ns) =>
+            val full = nsCol(ns, n)
+            if (!f.hasCol(full)) f.attach(ns)
+            col(full)
+        }
+      case Lit(v)          => litCol(v)
+      case Named(b, n)     => go(b).as(n)
+      case Disambiguated(b, ns) => compileExpr(b, f, Some(ns))
+
+      case Bin(op, l, r) =>
+        import Op._
+        (op, isNullLit(l), isNullLit(r)) match {
+          // x == NULL → IS NULL; NULL == NULL → TRUE (binary_op.py:57-78)
+          case (Eq, true, true)   => lit(true)
+          case (Eq, _, true)      => go(l).isNull
+          case (Eq, true, _)      => go(r).isNull
+          case (Neq, true, true)  => lit(false)
+          case (Neq, _, true)     => go(l).isNotNull
+          case (Neq, true, _)     => go(r).isNotNull
+          case _ =>
+            val (lc, rc) = (go(l), go(r))
+            op match {
+              case Eq => lc === rc;  case Neq => lc =!= rc
+              case Lt => lc < rc;    case Lte => lc <= rc
+              case Gt => lc > rc;    case Gte => lc >= rc
+              case Add => lc + rc;   case Sub => lc - rc
+              case Mul => lc * rc;   case Div => lc / rc
+              case FloorDiv => floor(lc / rc)
+              case And => lc && rc;  case Or => lc || rc
+            }
+        }
+      case Not(b) => !go(b)
+
+      case Cases(branches, other) =>
+        val first = when(go(branches.head._1), go(branches.head._2))
+        val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(go(c), go(v))
+        }
+        other.fold(chained)(o => chained.otherwise(go(o)))
+
+      case Call(fn, args, dist) =>
+        fn match {
+          case "count" if args.isEmpty => count(lit(1))
+          case "count" =>
+            args.head match {
+              // count(distinct(x)) (reference _sql_functions.py:33-38)
+              case Call("distinct", Seq(inner), _) => countDistinct(go(inner))
+              case a if dist                       => countDistinct(go(a))
+              case a                               => count(go(a))
+            }
+          case "sum"      => sum(go(args.head))
+          case "min"      => min(go(args.head))
+          case "max"      => max(go(args.head))
+          case "avg"      => avg(go(args.head))
+          case "floor"    => floor(go(args.head))
+          case "ceiling"  => ceil(go(args.head))
+          // reference Databricks recipe (compilers/sql_function.py:90-91)
+          case "diffSeconds" =>
+            unix_timestamp(go(args.head)) - unix_timestamp(go(args(1)))
+          case c if c.startsWith("cast:") =>
+            go(args.head).cast(c.stripPrefix("cast:"))
+          case "distinct" =>
+            throw new IllegalArgumentException(
+              "distinct(x) is only valid inside count(...) or pick context")
+          case other =>
+            throw new IllegalArgumentException(s"unknown function: $other")
+        }
+
+      case Granularity(b, unit) =>
+        val c = go(b).cast("timestamp")
+        unit match {
+          // Sunday-based weeks like the reference default
+          // (settings.py:5-10; Databricks recipe granularity.py:231-240);
+          // Spark date_trunc('week') is Monday-based, so shift ±1 day.
+          case "week" =>
+            date_trunc("week", c + expr("INTERVAL 1 DAY")) - expr("INTERVAL 1 DAY")
+          case u => date_trunc(u, c)
+        }
+
+      case FormatTs(b, fmt) => compileFormatTs(go(b), fmt)
+
+      case RawSql(s) => expr(s)
+
+      case InValues(t, values) =>
+        // NULL-aware IN (reference column_expression.py:550-568)
+        val tc = go(t)
+        val nonNull = values.filter(_ != null)
+        val hasNull = values.exists(_ == null)
+        (nonNull.nonEmpty, hasNull) match {
+          case (false, false) => lit(false)
+          case (false, true)  => tc.isNull
+          case (true, false)  => tc.isin(nonNull: _*) && tc.isNotNull
+          case (true, true)   => tc.isin(nonNull: _*) || tc.isNull
+        }
+
+      case InModel(t, sub, column) =>
+        // IN (SELECT DISTINCT col FROM sub) + NULL-membership existence
+        // (reference column_expression.py:513-544). Values side is a
+        // broadcast join (top-N bucket lists are small by construction).
+        val tc = go(t)
+        val subFrame = compileSource(sub.source, f.df.sparkSession)
+        val subCol = compileExpr(column, subFrame)
+        val ns = freshNs("inmodel")
+        val flagName = nsCol(ns, "flag")
+        val valName = nsCol(ns, "v")
+        val vals = subFrame.df.select(subCol.as(valName)).where(col(valName).isNotNull)
+          .distinct().withColumn(flagName, lit(true))
+        f.df = f.df.join(broadcast(vals), tc === col(valName), "left_outer")
+        val nullName = nsCol(ns, "hasnull")
+        val nullFlag = subFrame.df.agg(
+          max(when(subCol.isNull, lit(true)).otherwise(lit(false))).as(nullName))
+        f.df = f.df.crossJoin(broadcast(nullFlag))
+        coalesce(col(flagName), lit(false)) ||
+          (tc.isNull && coalesce(col(nullName), lit(false)))
+
+      case ArrContains(a, v) => array_contains(go(a), go(v))
+
+      case LikeE(t, p, ci) => if (ci) go(t).ilike(p) else go(t).like(p)
+      case ContainsStr(t, v, cs) =>
+        if (cs) go(t).contains(v) else lower(go(t)).contains(v.toLowerCase)
+
+      case ScalarSubquery(sub) =>
+        val subDf = run(sub, f.df.sparkSession)
+        val ns = freshNs("scalar")
+        val c0 = subDf.columns.head
+        val renamed = subDf.limit(1).select(col(c0).as(nsCol(ns, c0)))
+        f.df = f.df.crossJoin(broadcast(renamed))
+        col(nsCol(ns, c0))
+
+      case ExistsE(sub) =>
+        val subDf = run(sub, f.df.sparkSession)
+        val ns = freshNs("exists")
+        val flagName = nsCol(ns, "exists")
+        val flag = subDf.agg((count(lit(1)) > 0).as(flagName))
+        f.df = f.df.crossJoin(broadcast(flag))
+        col(flagName)
+
+      case AddInterval(t, iv, negate) =>
+        val ivc = expr(iv.sqlLiteral)
+        if (negate) go(t).cast("timestamp") - ivc else go(t).cast("timestamp") + ivc
+    }
+  }
+
+  private val nsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshNs(kind: String): String = s"${kind}_${nsCounter.incrementAndGet()}"
+
+  /** Python-strftime → Spark date_format pattern pieces, translating the
+    * token map exactly as the reference's Databricks branch
+    * (format_timestamp.py:540-583, :614-633); `%Q` spliced via quarter()
+    * like :81-111 documents. */
+  private val pyTokenMap: Map[Char, String] = Map(
+    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+    'd' -> "dd", 'H' -> "HH", 'I' -> "hh", 'j' -> "DDD",
+    'm' -> "MM", 'M' -> "mm", 'p' -> "a", 'S' -> "ss",
+    'y' -> "yy", 'Y' -> "yyyy", 'f' -> "SSSSSS", 'Z' -> "zzz",
+  )
+
+  def compileFormatTs(c: Column, fmt: String): Column = {
+    // split into (pattern-chunk | splice) pieces, then concat
+    val pieces = mutable.Buffer.empty[Either[String, Column]]
+    val chunk = new StringBuilder
+    def quoteLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val tok = fmt.charAt(i + 1)
+        tok match {
+          case '%' => chunk.append(quoteLiteral("%"))
+          case 'Q' => // non-standard quarter token
+            if (chunk.nonEmpty) { pieces += Left(chunk.toString); chunk.clear() }
+            pieces += Right(quarter(c).cast("string"))
+          case t if pyTokenMap.contains(t) => chunk.append(pyTokenMap(t))
+          case other => chunk.append(quoteLiteral(s"%$other"))
+        }
+        i += 2
+      } else {
+        chunk.append(quoteLiteral(ch.toString))
+        i += 1
+      }
+    }
+    if (chunk.nonEmpty) pieces += Left(chunk.toString)
+    val cols = pieces.map {
+      case Left(pattern) => date_format(c, pattern)
+      case Right(spliced) => spliced
+    }
+    if (cols.size == 1) cols.head else concat(cols.toSeq: _*)
+  }
+
+  // =================== source lowering ===================
+
+  def compileSource(s: Source, spark: SparkSession): Frame = s match {
+    case Source.Table(name) =>
+      val df =
+        if (name.contains("/") || name.endsWith(".parquet")) spark.read.parquet(name)
+        else spark.table(name)
+      new Frame(df)
+
+    case Source.SqlQuery(q) => new Frame(spark.sql(q))
+    case Source.FromDF(df)  => new Frame(df)
+
+    case Source.Filter(base, cond) =>
+      val f = compileSource(base, spark)
+      val c = compileExpr(cond, f)
+      f.df = f.df.filter(c)
+      f
+
+    case Source.Pick(base, cols, star) =>
+      val f = compileSource(base, spark)
+      if (!star) {
+        val compiled = cols.map(c => compileExpr(c, f).as(c.identifier))
+        f.df = f.df.select(compiled: _*)
+      }
+      // projection closes the layer: relations are dropped (model.py:881-887)
+      new Frame(f.df)
+
+    case Source.Aggregate(base, groups, measures) =>
+      val f = compileSource(base, spark)
+      val groupCols = groups.map(g => compileExpr(g, f).as(g.identifier))
+      val measureCols = measures.map(m => compileExpr(m, f).as(m.identifier))
+      val out =
+        if (measures.isEmpty) f.df.select(groupCols: _*).distinct()
+        else if (groups.isEmpty) f.df.agg(measureCols.head, measureCols.tail: _*)
+        else f.df.groupBy(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+      new Frame(out)
+
+    case Source.Sort(base, keys) =>
+      val f = compileSource(base, spark)
+      val sortCols = keys.map { k =>
+        val c = compileExpr(k.e, f)
+        (k.asc, k.nulls) match {
+          case (true, "auto") | (true, "first") => c.asc_nulls_first
+          case (true, "last")                   => c.asc_nulls_last
+          case (false, "auto") | (false, "last") => c.desc_nulls_last
+          case (false, "first")                  => c.desc_nulls_first
+          case (_, other) => throw new IllegalArgumentException(s"bad nulls: $other")
+        }
+      }
+      f.df = f.df.orderBy(sortCols: _*)
+      f
+
+    case Source.Limit(base, n, off) =>
+      val f = compileSource(base, spark)
+      f.df = if (off > 0) f.df.offset(off.toInt).limit(n.toInt) else f.df.limit(n.toInt)
+      f
+
+    case Source.Union(base, other) =>
+      // positional UNION ALL; a new layer — joins flattened (union.py:6-35)
+      val lf = compileSource(base, spark)
+      val rf = compileSource(other, spark)
+      new Frame(lf.df.unionAll(rf.df))
+
+    case Source.JoinOne(base, name, joined, fkOpt, condOpt, dropUnmatched) =>
+      val f = compileSource(base, spark)
+      val pkName = nsCol(name, "__pk__")
+      val build = () => {
+        val jf = compileSource(joined.source, spark)
+        val pkCol = joined.primaryKey.map(pk => compileExpr(pk, jf))
+        val renamed = jf.df.columns.map(c => jf.df(c).as(nsCol(name, c))).toSeq
+        val extra = pkCol.map(_.as(pkName)).toSeq
+        jf.df.select(renamed ++ extra: _*)
+      }
+      val cond = (fr: Frame) => {
+        val fkCond = fkOpt.map { fk =>
+          require(joined.primaryKey.isDefined,
+            s"relation '$name': foreignKey requires the joined model to have a primary key")
+          compileExpr(fk, fr) === col(pkName)
+        }
+        val exCond = condOpt.map(c => compileExpr(c, fr))
+        (fkCond, exCond) match {
+          case (Some(a), Some(b)) => a && b
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case (None, None) => throw new IllegalArgumentException("join without predicate")
+        }
+      }
+      val jt = if (dropUnmatched) "inner" else "left_outer"
+      f.pending(name) = PendingJoin(name, build, cond, jt)
+      f
+
+    case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
+  }
+
+  // =================== match_steps (Spark-first redesign) ===================
+
+  /** Step chars, ASCII-ordered per index like the reference
+    * (compilers/match_steps.py:496-506; 62-step cap). */
+  private val StepChars =
+    ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString
+
+  /** Greedy first-after sequential matching, re-expressed Spark-first.
+    *
+    * The reference builds per-group "journey hash" strings via
+    * filter+UNION-per-step, row_number, STRING_AGG, then one CTE per step
+    * doing regex index math, then N+1 LEFT JOINs back
+    * (compilers/match_steps.py:83-330). On Spark we get identical semantics
+    * with ONE shuffle: tag each event with the steps it matches
+    * (explode_outer — no N-fold union), row_number + collect_list(struct)
+    * under the same group partitioning, array_sort by (ts, stepIdx DESC)
+    * (the reference's duplicate tie-break, match_steps.py:513-518), build
+    * the journey string, then per-step `locate` instead of regex-length
+    * math. Matched per-step timestamps come straight out of the sorted
+    * array (`element_at`), so funnels need NO join back; full per-step
+    * event rows remain available as lazy joins keyed by (group, event id).
+    * time_limit is evaluated after greedy assembly, matching the
+    * reference's documented pessimism (match_steps.py:177-178).
+    */
+  private def compileMatchSteps(ms: Source.MatchSteps, spark: SparkSession): Frame = {
+    import ms._
+    require(steps.size <= StepChars.length,
+      "Too many unique step types to match against.")
+    val bf = compileSource(base, spark)
+
+    val gIdent = schema.group.identifier
+    val tsIdent = schema.timestamp.identifier
+    val gCol = compileExpr(schema.group, bf)
+    val tCol = compileExpr(schema.timestamp, bf)
+    val condCols = steps.map(s => compileExpr(s.condition, bf))
+    val partIdents = partitionStartEvents.map(_.identifier)
+    val partCols = partitionStartEvents.map(p => compileExpr(p, bf))
+
+    // one row per (event, matching step); rows matching no step keep a null
+    // step so every group still appears in the aggregate (vs the
+    // reference's extra distinct-groups CTE + join, match_steps.py:232-246)
+    val stepArr = array_compact(array(
+      condCols.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*))
+    val taggedBase = bf.df
+      .withColumn("__g__", gCol)
+      .withColumn("__t__", tCol)
+    val taggedParts = partIdents.zip(partCols).foldLeft(taggedBase) {
+      case (d, (id, c)) => d.withColumn(nsCol("part", id), c)
+    }
+    val tagged = taggedParts
+      .withColumn("__step__", explode_outer(stepArr))
+      .withColumn("__ei__",
+        row_number().over(Window.partitionBy(col("__g__")).orderBy(col("__t__"))))
+
+    // journey per group: sorted (ts asc, stepIdx desc) via struct(t, n=-step)
+    val entry = when(col("__step__").isNotNull,
+      struct(col("__t__").as("t"), (-col("__step__")).as("n"), col("__ei__").as("ei")))
+    val journeys0 = tagged
+      .groupBy(col("__g__"))
+      .agg(array_sort(collect_list(entry)).as("__arr__"))
+      .withColumn("__journey__",
+        expr(s"concat_ws('', transform(__arr__, x -> substring('$StepChars', 1 - x.n, 1)))"))
+
+    // partition_start_events: one journey per (group, partition values of
+    // the first step-0 event in that partition) (match_steps.py:387-447)
+    val journeys =
+      if (partitionStartEvents.isEmpty) journeys0
+      else {
+        val pcols = partIdents.map(id => col(nsCol("part", id)))
+        val w = Window.partitionBy(col("__g__") +: pcols: _*).orderBy(col("__t__"))
+        val first0 = tagged
+          .where(col("__step__") === 0)
+          .withColumn("__prn__", row_number().over(w))
+          .where(col("__prn__") === 1)
+          .select(col("__g__") +: col("__ei__").as("__pei__") +: pcols: _*)
+        // inner join: when partitioning, entities that never entered a
+        // journey are dropped (match_steps.py:271-283)
+        journeys0.join(first0, "__g__")
+      }
+
+    // greedy chain: idx_0 = first step-0 char; idx_k = first step-k char
+    // strictly after idx_{k-1} (reference regex-length math,
+    // match_steps.py:587-608 — locate() is the codegen-friendly equivalent)
+    var out = journeys
+    steps.indices.foreach { k =>
+      val ch = StepChars.charAt(k)
+      val idxName = s"__sidx_${k}__"
+      val idxCol =
+        if (k == 0 && partitionStartEvents.nonEmpty)
+          // step-0 index anchored at the partition's first event
+          expr("array_position(transform(__arr__, x -> x.ei), __pei__)")
+        else if (k == 0)
+          nullif(expr(s"locate('$ch', __journey__)"), lit(0))
+        else
+          when(col(s"__sidx_${k - 1}__").isNotNull,
+            nullif(expr(s"locate('$ch', __journey__, __sidx_${k - 1}__ + 1)"), lit(0)))
+      out = out.withColumn(idxName, idxCol)
+    }
+    // per-step matched timestamp + event id, straight from the array
+    steps.zipWithIndex.foreach { case (st, k) =>
+      val el = element_at(col("__arr__"), col(s"__sidx_${k}__").cast("int"))
+      val rawTs = el.getField("t")
+      val ts =
+        if (k == 0) rawTs
+        else timeLimit match {
+          case None => rawTs
+          case Some(limit) =>
+            // evaluated after greedy assembly (match_steps.py:177-178);
+            // sub-second exact via fractional-seconds cast
+            val base0 = element_at(col("__arr__"), col("__sidx_0__").cast("int")).getField("t")
+            when(rawTs.cast("double") - base0.cast("double") < lit(limit.approxSeconds.toDouble), rawTs)
+        }
+      out = out
+        .withColumn(nsCol(st.name, tsIdent), ts)
+        .withColumn(s"__sei_${k}__",
+          when(ts.isNotNull, el.getField("ei")))
+        .withColumn(s"step_${k}_event_index", col(s"__sidx_${k}__").cast("long"))
+    }
+    out = out.withColumn(gIdent, col("__g__"))
+    val partOut = partIdents.foldLeft(out) { case (d, id) =>
+      d.withColumn(id, col(nsCol("part", id)))
+    }
+    val frame = new Frame(partOut.drop("__arr__"))
+
+    // lazy per-step joins for full event rows (reference final-layer joins,
+    // match_steps.py:288-320), keyed by (group, event id)
+    val baseCols = bf.df.columns.toSeq
+    steps.zipWithIndex.foreach { case (st, k) =>
+      val ns = st.name
+      val build = () => {
+        val keep = baseCols.filterNot(c => nsCol(ns, c) == nsCol(ns, tsIdent))
+        tagged.select(
+          col("__g__").as(nsCol(ns, "__g__")) +:
+            col("__ei__").as(nsCol(ns, "__ei__")) +:
+            keep.map(c => col(c).as(nsCol(ns, c))): _*)
+      }
+      val cond = (fr: Frame) =>
+        col(gIdent) === col(nsCol(ns, "__g__")) &&
+          col(s"__sei_${k}__") === col(nsCol(ns, "__ei__"))
+      frame.pending(ns) = PendingJoin(ns, build, cond, "left_outer")
+    }
+    frame
+  }
+
+  // =================== runner ===================
+
+  /** Compile a model and post-process the output like the reference
+    * (post_process.py:8-48): duplicate-column rename + `__private__`
+    * column stripping. */
+  def run(m: Model, spark: SparkSession): DataFrame = {
+    val f = compileSource(m.source, spark)
+    val names = f.df.columns
+    val seen = mutable.Map.empty[String, Int]
+    val deduped = names.map { n =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) n else s"${n}_${k + 1}"
+    }
+    val renamed = if (deduped.sameElements(names)) f.df else f.df.toDF(deduped.toIndexedSeq: _*)
+    val visible = deduped.filterNot(_.startsWith("__"))
+    renamed.select(visible.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ir
+
+import org.apache.spark.sql.DataFrame
+
+/** (group, timestamp, event_key) triple enabling event analytics
+  * (reference src/model/activity_schema.py:7-22). */
+final case class ActivitySchema(group: Expr, timestamp: Expr, eventKey: Expr)
+
+/** A normalized match_steps step: identifier + boolean predicate
+  * (reference src/utils/activity_schema.py:9-38). */
+final case class Step(name: String, condition: Expr)
+
+/** Relational-op IR — the analogue of the reference's `Source` tree
+  * (/root/reference/src/model/source/source.py:7; subclass registry
+  * :18-27). Each node wraps a `base`, forming a linked list/tree that
+  * [[graft.compile.Compiler]] lowers to DataFrame transformations; Catalyst
+  * does the actual optimization (SURVEY.md §4).
+  */
+sealed trait Source
+
+object Source {
+  /** Physical table scan (reference table_name.py:6-38). `name` is either a
+    * registered temp view/table or a parquet path when it ends in
+    * `.parquet`. */
+  final case class Table(name: String) extends Source
+
+  /** Raw-SQL scan → `spark.sql(query)` (reference sql_text.py:6-29). */
+  final case class SqlQuery(sql: String) extends Source
+
+  /** Pre-built DataFrame (parity with the reference's DuckDB connection
+    * registering pandas frames, duckdb_connection.py:96-117). Used by tests
+    * for literal fixtures. */
+  final case class FromDF(df: DataFrame) extends Source
+
+  /** σ — WHERE (or post-aggregation HAVING; in Spark both are `.filter`)
+    * (reference filter.py:7-33). */
+  final case class Filter(base: Source, cond: Expr) extends Source
+
+  /** π — SELECT only the listed labeled expressions (reference
+    * pick.py:7-37). A `Star` entry expands to all current columns. */
+  final case class Pick(base: Source, cols: Seq[Expr], star: Boolean = false)
+      extends Source
+
+  /** γ — GROUP BY groups, compute measures (reference aggregate.py:7-48).
+    * Zero groups → global aggregate; zero measures → DISTINCT of groups. */
+  final case class Aggregate(base: Source, groups: Seq[Expr], measures: Seq[Expr])
+      extends Source
+
+  /** ORDER BY; keys accumulate across chained `.sort` calls on the same
+    * layer (reference sort.py:40 appends to the running SELECT), so one
+    * node carries the whole key list and Model.sort merges into it. */
+  final case class Sort(base: Source, keys: Seq[SortKey]) extends Source
+
+  /** LIMIT n OFFSET m (reference limit.py:6-37). */
+  final case class Limit(base: Source, n: Long, offset: Long = 0L) extends Source
+
+  /** UNION ALL, positional column alignment (reference union.py:6-35). */
+  final case class Union(base: Source, other: Source) extends Source
+
+  /** Named lazy many-to-one LEFT (or INNER when dropUnmatched) join
+    * (reference join_one.py:8-47). The join is emitted only if the
+    * namespace is referenced (join_one.py:58-66). `fk == joined.primaryKey`
+    * and/or arbitrary `condition`. */
+  final case class JoinOne(
+      base: Source,
+      name: String,
+      joined: graft.model.Model,
+      foreignKey: Option[Expr],
+      condition: Option[Expr],
+      dropUnmatched: Boolean,
+  ) extends Source
+
+  /** Sequential temporal join / funnel engine (reference
+    * match_steps.py:10-69 + compilers/match_steps.py — algorithm réimagined
+    * Spark-first as a single journey aggregation; see Compiler). */
+  final case class MatchSteps(
+      base: Source,
+      schema: ActivitySchema,
+      steps: Seq[Step],
+      partitionStartEvents: Seq[Expr],
+      timeLimit: Option[TimeInterval],
+  ) extends Source
+}

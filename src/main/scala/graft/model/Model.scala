@@ -1,0 +1,370 @@
+package graft.model
+
+import scala.collection.immutable.VectorMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ir._
+import graft.ir.Expr._
+import graft.compile.Compiler
+
+/** A named lazy many-to-one join relation
+  * (reference src/model/namespace.py:10 + model.py:282-350). */
+final case class Relation(
+    name: String,
+    model: Model,
+    foreignKey: Option[Expr],
+    condition: Option[Expr],
+    dropUnmatched: Boolean,
+)
+
+/** Accessor for a relation's attributes: returns them `.disambiguated(rel)`
+  * (reference namespace.py:26-37). */
+final class RelAccessor(val relation: Relation) {
+  def attr(name: String): Expr = relation.model.attr(name).disambiguated(relation.name)
+  def apply(name: String): Expr = attr(name)
+}
+
+/** Step spec for match_steps / funnel: a bare event-key string, a
+  * (key, outputName) pair, or an arbitrary named boolean expression
+  * (reference src/utils/activity_schema.py:9-38). */
+sealed trait StepSpec
+object StepSpec {
+  final case class Key(key: String) extends StepSpec
+  final case class KeyNamed(key: String, name: String) extends StepSpec
+  final case class Pred(name: String, cond: Expr) extends StepSpec
+  import scala.language.implicitConversions
+  implicit def fromString(s: String): StepSpec = Key(s)
+  implicit def fromPair(p: (String, String)): StepSpec = KeyNamed(p._1, p._2)
+}
+
+/** The central immutable unit — a source + named attributes + named measure
+  * definitions + named join relations (+ primary key + activity schema),
+  * mirroring the reference `Model` (/root/reference/src/model/model.py:45,
+  * fields :77-87). Builder methods return copies; measures are definitions
+  * only — no aggregation happens until `.aggregate()` references them
+  * (model.py:271-275).
+  */
+final case class Model(
+    source: Source,
+    attributes: VectorMap[String, Expr] = VectorMap.empty,
+    measures: VectorMap[String, Expr] = VectorMap.empty,
+    relations: VectorMap[String, Relation] = VectorMap.empty,
+    primaryKey: Option[Expr] = None,
+    activitySchema: Option[ActivitySchema] = None,
+) {
+
+  // --- accessors (reference accessors.py:36-38; KeyPath sugar not needed
+  //     in Scala — plain methods) ---
+  def attr(name: String): Expr =
+    attributes.getOrElse(name, ColRef(name))
+  def msr(name: String): Expr =
+    measures.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown measure '$name'; known: ${measures.keys.mkString(", ")}"))
+  def rel(name: String): RelAccessor =
+    new RelAccessor(relations.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown relation '$name'; known: ${relations.keys.mkString(", ")}")))
+
+  // --- definition builders (model.py:235-279, :282-350, :354-384) ---
+  def withAttributes(attrs: Expr*): Model =
+    copy(attributes = attrs.foldLeft(attributes)((m, e) => m.updated(e.identifier, e)))
+  def withMeasures(ms: Expr*): Model =
+    copy(measures = ms.foldLeft(measures)((m, e) => m.updated(e.identifier, e)))
+  def withPrimaryKey(pk: Expr): Model = copy(primaryKey = Some(pk))
+  def withActivitySchema(group: Expr, timestamp: Expr, eventKey: Expr): Model =
+    copy(activitySchema = Some(ActivitySchema(group, timestamp, eventKey)))
+
+  /** Named lazy LEFT (INNER when dropUnmatched) many-to-one join
+    * (model.py:282-350). Predicate = foreignKey == joined.primaryKey and/or
+    * arbitrary `condition`. Join is emitted at compile time only if the
+    * namespace is referenced (join_one.py:58-66). */
+  def withJoinOne(
+      joined: Model,
+      named: String,
+      foreignKey: Expr = null,
+      condition: Expr = null,
+      dropUnmatched: Boolean = false,
+  ): Model = {
+    require(foreignKey != null || condition != null,
+      "withJoinOne requires foreignKey and/or condition")
+    val r = Relation(named, joined, Option(foreignKey), Option(condition), dropUnmatched)
+    copy(
+      source = Source.JoinOne(source, named, joined, Option(foreignKey),
+        Option(condition), dropUnmatched),
+      relations = relations.updated(named, r),
+    )
+  }
+
+  // --- relational transforms (model.py:876-936, :390-407) ---
+  def filter(condition: Expr): Model =
+    copy(source = Source.Filter(source, condition))
+
+  /** SELECT only the listed expressions; resets attributes to the picked
+    * names, drops measures and relations (model.py:876-887). */
+  def pick(columns: Expr*): Model = copy(
+    source = Source.Pick(source, columns),
+    attributes = VectorMap.from(columns.map(c => c.identifier -> (ColRef(c.identifier): Expr))),
+    measures = VectorMap.empty,
+    relations = VectorMap.empty,
+  )
+
+  /** SELECT * — a fresh layer in the reference so ORDER BY can use output
+    * names (model.py:711-721); a no-op projection for Spark. */
+  def pickStar(): Model = copy(
+    source = Source.Pick(source, Seq.empty, star = true),
+    measures = VectorMap.empty,
+    relations = VectorMap.empty,
+  )
+
+  /** GROUP BY groups, compute measures; afterwards groups+measures all
+    * become plain attributes, measures/relations cleared (model.py:390-407). */
+  def aggregate(measures: Seq[Expr] = Seq.empty, groups: Seq[Expr] = Seq.empty): Model =
+    copy(
+      source = Source.Aggregate(source, groups, measures),
+      attributes = VectorMap.from(
+        (groups ++ measures).map(e => e.identifier -> (ColRef(e.identifier): Expr))),
+      measures = VectorMap.empty,
+      relations = VectorMap.empty,
+    )
+
+  /** ORDER BY; chained `.sort` calls accumulate keys on the same layer like
+    * the reference (sort.py:40; SURVEY.md §7.4 sort-stability note) —
+    * merging through adjacent Filter/Sort nodes so `.sort(a).sort(b)` emits
+    * ORDER BY a, b in one Spark orderBy. */
+  def sort(e: Expr, dir: String = "asc", nulls: String = "auto"): Model = {
+    val key = SortKey(e, dir == "asc", nulls)
+    def merge(s: Source): Option[Source] = s match {
+      case Source.Sort(b, keys) => Some(Source.Sort(b, keys :+ key))
+      case Source.Filter(b, c)  => merge(b).map(Source.Filter(_, c))
+      case _ => None
+    }
+    copy(source = merge(source).getOrElse(Source.Sort(source, Seq(key))))
+  }
+
+  def limit(n: Long, offset: Long = 0L): Model =
+    copy(source = Source.Limit(source, n, offset))
+
+  /** UNION ALL (positional); relations are lost (model.py:923-936). */
+  def unionAll(other: Model): Model = copy(
+    source = Source.Union(source, other.source),
+    relations = VectorMap.empty,
+  )
+
+  /** Unpivot/melt: N value columns → (key, value) long format — one pick
+    * per value column + UNION ALL chain, exactly the reference composition
+    * (model.py:939-995). Multiplies rows by values.length. */
+  def fold(
+      ids: Seq[Expr],
+      values: Seq[Expr],
+      keyName: String = "key",
+      valueName: String = "value",
+  ): Model = {
+    def pickPair(v: Expr): Model =
+      pick(ids ++ Seq(Lit(v.identifier).named(keyName), v.named(valueName)): _*)
+    values.tail.foldLeft(pickPair(values.head))((acc, v) => acc.unionAll(pickPair(v)))
+  }
+
+  // --- event analytics (model.py:411-870) ---
+
+  private def normalizedSchema(
+      group: Expr, timestamp: Expr, eventKey: Expr): ActivitySchema = {
+    val base = activitySchema
+    val g = Option(group).orElse(base.map(_.group)).getOrElse(
+      throw new IllegalArgumentException("no `group`: pass one or withActivitySchema"))
+    val t = Option(timestamp).orElse(base.map(_.timestamp)).getOrElse(
+      throw new IllegalArgumentException("no `timestamp`"))
+    val k = Option(eventKey).orElse(base.map(_.eventKey)).orNull
+    ActivitySchema(g, t, k)
+  }
+
+  private def normalizeSteps(steps: Seq[StepSpec], schema: ActivitySchema): Seq[Step] = {
+    val normalized = steps.map {
+      case StepSpec.Key(k)          => Step(Model.pyIdentifier(k), schema.eventKey === Lit(k))
+      case StepSpec.KeyNamed(k, n)  => Step(n, schema.eventKey === Lit(k))
+      case StepSpec.Pred(n, c)      => Step(n, c)
+    }
+    val dupes = normalized.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"Found non-unique steps: ${dupes.mkString(", ")}")
+    normalized
+  }
+
+  /** Per `group`, greedily match an ordered list of step predicates over
+    * time-ordered events (reference model.py:411-537 + the 696-LoC
+    * compilers/match_steps.py). Output grain: one row per group (× start
+    * partition); per-step event columns reachable via the step's relation
+    * namespace; adds attrs last_matched_step_name/index and measures
+    * entities / <step>_count. */
+  def matchSteps(
+      steps: Seq[StepSpec],
+      group: Expr = null,
+      timestamp: Expr = null,
+      eventKey: Expr = null,
+      partitionStartEvents: Seq[Expr] = Seq.empty,
+      timeLimit: TimeInterval = null,
+  ): Model = {
+    require(steps.nonEmpty, "`matchSteps` requires at least one step to match.")
+    val schema = normalizedSchema(group, timestamp, eventKey)
+    val normalized = normalizeSteps(steps, schema)
+    val eventsModel = this // pre-transformation snapshot = the events table
+    val src = Source.MatchSteps(source, schema, normalized, partitionStartEvents,
+      Option(timeLimit))
+
+    val ts = schema.timestamp
+    def stepTs(s: Step): Expr = ts.disambiguated(s.name)
+    val lastName = Cases(
+      normalized.reverse.map(s => (stepTs(s) =!= Lit(null)) -> (Lit(s.name): Expr)), None)
+      .named("last_matched_step_name")
+    val lastIndex = Cases(
+      normalized.reverse.zipWithIndex.map { case (s, i) =>
+        (stepTs(s) =!= Lit(null)) -> (Lit((normalized.size - 1 - i).toLong): Expr)
+      }, None).named("last_matched_step_index")
+
+    val newAttrs =
+      Seq[Expr](ColRef(schema.group.identifier), lastName, lastIndex) ++
+        partitionStartEvents.map(p => ColRef(p.identifier): Expr)
+    val newMeasures =
+      Seq[Expr](graft.funcs.count().named(Model.FunnelCountColumn)) ++
+        normalized.map(s => graft.funcs.countIf(stepTs(s) =!= Lit(null)).named(s"${s.name}_count"))
+
+    copy(
+      source = src,
+      attributes = VectorMap.from(newAttrs.map(e => e.identifier -> e)),
+      measures = VectorMap.from(newMeasures.map(e => e.identifier -> e)),
+      relations = VectorMap.from(normalized.map(s =>
+        s.name -> Relation(s.name, eventsModel, None, None, dropUnmatched = false))),
+      primaryKey = Some(schema.group),
+      activitySchema = None,
+    )
+  }
+
+  /** Funnel analysis — match_steps → aggregate → fold → sort, exactly the
+    * reference composition (model.py:539-733). Worked example encoded in
+    * FunnelSpec (model.py:578-628: 7 users → 7/5/4/2). */
+  def funnel(
+      steps: Seq[StepSpec],
+      group: Expr = null,
+      timestamp: Expr = null,
+      eventKey: Expr = null,
+      timeLimit: TimeInterval = null,
+      partitionStartEvents: Seq[Expr] = Seq.empty,
+      partitionMatches: Seq[Expr] = Seq.empty,
+      topOfFunnel: Any = 0,
+  ): Model = {
+    val schema = normalizedSchema(group, timestamp, eventKey)
+    val (startIndex, topName) = topOfFunnel match {
+      case i: Int => (Some(i), "entities")
+      case s: String => (None, s)
+      case x => throw new IllegalArgumentException(s"bad topOfFunnel: $x")
+    }
+    startIndex.foreach { i =>
+      require(i >= 0 && (steps.isEmpty || i < steps.size), "Invalid `topOfFunnel` index.")
+    }
+    require(startIndex.isDefined || partitionStartEvents.isEmpty,
+      "`topOfFunnel` cannot be a string when partitioning with `partitionStartEvents`.")
+
+    if (steps.isEmpty) {
+      // top of the funnel only = a simple aggregate (model.py:664-675)
+      return aggregate(measures = Seq(
+        Lit(topName).named("step"),
+        graft.funcs.countDistinct(schema.group).named(Model.FunnelCountColumn)))
+    }
+
+    val stepNames = normalizeSteps(steps, schema).map(_.name)
+    val matched = matchSteps(steps, group, timestamp, eventKey,
+      partitionStartEvents, timeLimit)
+    val partitionOut = partitionStartEvents.map(p => ColRef(p.identifier): Expr)
+    val allPartitions = partitionOut ++ partitionMatches
+    val aggregated = matched.aggregate(
+      groups = allPartitions, measures = matched.measures.values.toSeq)
+    val allValueCols =
+      (ColRef(Model.FunnelCountColumn).named(topName) +:
+        stepNames.map(s => ColRef(s"${s}_count").named(s))): Seq[Expr]
+    val valueCols = startIndex match {
+      case Some(i) => allValueCols.drop(i + 1)
+      case None    => allValueCols
+    }
+    val folded = aggregated.fold(
+      ids = allPartitions.map(p => ColRef(p.identifier): Expr),
+      values = valueCols, keyName = "step", valueName = Model.FunnelCountColumn)
+    var sorted = folded.pickStar()
+    allPartitions.foreach(p => sorted = sorted.sort(ColRef(p.identifier)))
+    sorted.sort(Cases(
+      (topName +: stepNames).zipWithIndex.map { case (n, i) =>
+        (ColRef("step") === Lit(n)) -> (Lit(i.toLong): Expr)
+      },
+      Some(Lit((stepNames.size + 1).toLong))).named("step_index"))
+  }
+
+  /** Funnel conversion rate (reference model.py:735-870): rate, started /
+    * converted counts, avg seconds to convert; grouped by partitions. */
+  def funnelConversionRate(
+      steps: Seq[StepSpec],
+      group: Expr = null,
+      timestamp: Expr = null,
+      eventKey: Expr = null,
+      timeLimit: TimeInterval = null,
+      partitionStartEvents: Seq[Expr] = Seq.empty,
+      partitionMatches: Seq[Expr] = Seq.empty,
+  ): Model = {
+    val schema = normalizedSchema(group, timestamp, eventKey)
+    import graft.funcs._
+    if (steps.isEmpty) {
+      val cdg = countDistinct(schema.group)
+      var res = aggregate(
+        groups = partitionStartEvents,
+        measures = Seq(
+          cdg.named("startedCount"), cdg.named("convertedCount"),
+          Lit(0L).named("avgSecondsToConvert"), Lit(1L).named("rate")))
+      partitionStartEvents.foreach(p => res = res.sort(ColRef(p.identifier)))
+      return res
+    }
+    val normalized = normalizeSteps(steps, schema)
+    val matched = matchSteps(steps, group, timestamp, eventKey,
+      partitionStartEvents, timeLimit)
+    val firstTs = schema.timestamp.disambiguated(normalized.head.name)
+    val lastTs = schema.timestamp.disambiguated(normalized.last.name)
+    val rate = (countIf(lastTs =!= Lit(null)) / countIf(firstTs =!= Lit(null))).named("rate")
+    val started = countIf(firstTs =!= Lit(null)).named("startedCount")
+    val converted = countIf(lastTs =!= Lit(null)).named("convertedCount")
+    val avgSecs = avg(diffSeconds(lastTs, firstTs)).named("avgSecondsToConvert")
+    val partitionOut = partitionStartEvents.map(p => ColRef(p.identifier): Expr)
+    val allPartitions = partitionOut ++ partitionMatches
+    // only entities that entered the funnel count toward the rate
+    var res = matched.filter(firstTs =!= Lit(null)).aggregate(
+      groups = allPartitions, measures = Seq(rate, started, converted, avgSecs))
+    allPartitions.foreach(p => res = res.sort(ColRef(p.identifier)))
+    res
+  }
+
+  // --- execution (model.py:999-1016; post_process.py:8-48) ---
+
+  /** Lower to a DataFrame. Catalyst handles analysis/optimization; private
+    * `__…` columns are stripped and duplicate names deduped like the
+    * reference post-process (post_process.py:8-17). */
+  def run(spark: SparkSession): DataFrame = Compiler.run(this, spark)
+
+  /** Compile-only parity with `model.sql()` (model.py:1036-1056):
+    * the optimized logical plan rendered as text. */
+  def explain(spark: SparkSession): String =
+    run(spark).queryExecution.optimizedPlan.toString
+}
+
+object Model {
+  /** FUNNEL_COUNT_COLUMN_NAME (reference model.py:42). */
+  val FunnelCountColumn = "entities"
+
+  def table(name: String): Model = Model(Source.Table(name))
+  def sqlQuery(q: String): Model = Model(Source.SqlQuery(q))
+  def fromDF(df: DataFrame): Model = Model(Source.FromDF(df))
+  /** Convenience: parquet table inside an sf dir. */
+  def parquet(dir: String, name: String): Model =
+    Model(Source.Table(s"$dir/$name.parquet"))
+
+  /** to_python_identifier (reference src/utils/identifier.py). */
+  def pyIdentifier(s: String): String = {
+    val cleaned = s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (cleaned.isEmpty || cleaned.head.isDigit) "_" + cleaned else cleaned
+  }
+}
