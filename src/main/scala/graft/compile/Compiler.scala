@@ -276,7 +276,8 @@ object Compiler {
   def compileSource(s: Source, spark: SparkSession): Frame = s match {
     case Source.Table(name) =>
       val df =
-        if (name.contains("/") || name.endsWith(".parquet")) spark.read.parquet(name)
+        if (name.contains("/") || name.endsWith(".parquet"))
+          graft.sources.ParquetIO.read(spark, name)
         else spark.table(name)
       new Frame(df)
 

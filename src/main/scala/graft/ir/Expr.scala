@@ -8,7 +8,13 @@ import java.time.{Instant, LocalDate}
   */
 final case class TimeInterval(num: Long, unit: String) {
   require(TimeInterval.Units.contains(unit), s"bad interval unit: $unit")
-  def sqlLiteral: String = s"INTERVAL '$num' ${unit.toUpperCase}"
+  /** Spark-safe interval literal: Spark's ANSI interval units lack
+    * WEEK/QUARTER, so normalize to DAY/MONTH. */
+  def sqlLiteral: String = unit match {
+    case "week"    => s"INTERVAL '${num * 7}' DAY"
+    case "quarter" => s"INTERVAL '${num * 3}' MONTH"
+    case u         => s"INTERVAL '$num' ${u.toUpperCase}"
+  }
   /** Approximate length in seconds (exact for week/day/hour/minute/second). */
   def approxSeconds: Long = unit match {
     case "year"    => num * 365L * 86400

@@ -1,0 +1,67 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet scan that tolerates TIMESTAMP(NANOS) columns, which Spark 4
+  * cannot read natively ([PARQUET_TYPE_ILLEGAL]). Strategy: flip the
+  * session to `spark.sql.legacy.parquet.nanosAsLong`, find the
+  * nanosecond-timestamp columns from the parquet footer, and rebuild them
+  * as proper TimestampType via exact integer division (`DIV 1000` — no
+  * double rounding at 1e18-nanos magnitudes).
+  *
+  * This keeps filter pushdown and column pruning intact: the conversion is
+  * a projection on top of the scan, and pruning still reaches the parquet
+  * reader for untouched columns.
+  */
+object ParquetIO {
+
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val nanoCols = nanoTimestampCols(spark, path)
+    if (nanoCols.isEmpty) spark.read.parquet(path)
+    else {
+      spark.conf.set(NanosConf, "true")
+      val df = spark.read.parquet(path)
+      nanoCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+      }
+    }
+  }
+
+  /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
+  private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .getOrElse(return Seq.empty)
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFileMetaData.getSchema.getFields.asScala.collect {
+          case f if f.isPrimitive &&
+            (f.asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }) => f.getName
+        }.toSeq
+      } finally reader.close()
+    } catch {
+      case _: Exception => Seq.empty // fall back to plain read
+    }
+  }
+}
