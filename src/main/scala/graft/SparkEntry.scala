@@ -15,6 +15,20 @@ object SparkEntry {
 
   private def m(dir: String, table: String): Model = Model.parquet(dir, table)
 
+  /** Money-sum de-flaker: sum double amounts as exact decimal, then one
+    * rounding back to double. Plain sum(double) is summation-order dependent
+    * (Spark partial aggregates vs the DuckDB oracle diverge in the last few
+    * ulps — the round-1 `q_join_one` hash failure); decimal summation is
+    * associative so both sides agree bit-for-bit. Oracles mirror with
+    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  private def moneySum(e: graft.ir.Expr): graft.ir.Expr =
+    cast(sum(cast(e, "decimal(18,2)")), "double")
+
+  /** Order-independent mean: exact decimal sum divided by count, identical
+    * on the oracle side as CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/count(*). */
+  private def exactAvg(e: graft.ir.Expr): graft.ir.Expr =
+    cast(sum(cast(e, "decimal(18,9)")), "double") / count()
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Sales-by-year-equivalent from the reference README (README.md:47-66):
     * events aggregated by year with a count measure. */
@@ -49,9 +63,9 @@ object SparkEntry {
         .aggregate(
           groups = Seq(col("l_returnflag"), col("l_linestatus")),
           measures = Seq(
-            sum(col("l_quantity")).named("sum_qty"),
-            sum(col("l_extendedprice")).named("sum_base_price"),
-            avg(col("l_discount")).named("avg_disc"),
+            moneySum(col("l_quantity")).named("sum_qty"),
+            moneySum(col("l_extendedprice")).named("sum_base_price"),
+            exactAvg(col("l_discount")).named("avg_disc"),
             count().named("count_order")))
         .sort(col("l_returnflag")).sort(col("l_linestatus"))
         .run(s)),
@@ -61,7 +75,7 @@ object SparkEntry {
       m(dir, "orders")
         .aggregate(measures = Seq(
           count().named("n"),
-          sum(col("o_totalprice")).named("total"),
+          moneySum(col("o_totalprice")).named("total"),
           max(col("o_orderdate")).named("last_order")))
         .run(s)),
 
@@ -104,7 +118,7 @@ object SparkEntry {
           groups = Seq(orders.rel("customer").attr("c_mktsegment").named("segment")),
           measures = Seq(
             count().named("n_orders"),
-            sum(col("o_totalprice")).named("revenue")))
+            moneySum(col("o_totalprice")).named("revenue")))
         .sort(col("segment"))
         .run(s)
     }),
@@ -137,7 +151,7 @@ object SparkEntry {
         "SELECT s_nationkey, s_acctbal FROM supplier_v WHERE s_acctbal > 5000")
         .aggregate(
           groups = Seq(col("s_nationkey")),
-          measures = Seq(count().named("n"), sum(col("s_acctbal")).named("bal")))
+          measures = Seq(count().named("n"), moneySum(col("s_acctbal")).named("bal")))
         .sort(col("s_nationkey"))
         .run(s)
     }),
@@ -216,7 +230,7 @@ object SparkEntry {
             bucketOther(col("p_brand"), Seq("Brand#11", "Brand#22", "Brand#33"))
               .named("brand_group")),
           measures = Seq(count().named("n"),
-            sum(col("p_retailprice")).named("price_sum")))
+            moneySum(col("p_retailprice")).named("price_sum")))
         .sort(col("brand_group"))
         .run(s)),
 
@@ -398,13 +412,14 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(l_quantity) AS sum_qty,
-                sum(l_extendedprice) AS sum_base_price,
-                avg(l_discount) AS avg_disc,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_agg_global" ->
-      """SELECT count(*) AS n, sum(o_totalprice) AS total,
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                 max(o_orderdate) AS last_order
          FROM orders""",
     "q_sort_limit" ->
@@ -424,7 +439,7 @@ object SparkEntry {
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_join_one" ->
       """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
-                sum(o.o_totalprice) AS revenue
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_chain" ->
@@ -435,7 +450,8 @@ object SparkEntry {
          WHERE c.c_acctbal > 9990.0
          GROUP BY 1 ORDER BY 1""",
     "q_sql_text" ->
-      """SELECT s_nationkey, count(*) AS n, sum(s_acctbal) AS bal
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
          FROM supplier WHERE s_acctbal > 5000
          GROUP BY 1 ORDER BY 1""",
     "q_cases" ->
@@ -473,7 +489,8 @@ object SparkEntry {
     "q_bucket_other" ->
       """SELECT CASE WHEN p_brand IN ('Brand#11','Brand#22','Brand#33')
                      THEN p_brand ELSE 'Other' END AS brand_group,
-                count(*) AS n, sum(p_retailprice) AS price_sum
+                count(*) AS n,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
          FROM part GROUP BY 1 ORDER BY 1""",
     "q_scalar_subquery" ->
       """SELECT count(*) AS n, min(o_totalprice) AS min_price

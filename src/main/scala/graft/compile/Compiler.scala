@@ -116,11 +116,16 @@ object Compiler {
       case Not(b) => !go(b)
 
       case Cases(branches, other) =>
-        val first = when(go(branches.head._1), go(branches.head._2))
-        val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
-          acc.when(go(c), go(v))
+        // zero branches degrade to the otherwise expression (or NULL) with a
+        // clear path instead of a NoSuchElementException deep in compilation
+        if (branches.isEmpty) other.map(go).getOrElse(lit(null))
+        else {
+          val first = when(go(branches.head._1), go(branches.head._2))
+          val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+            acc.when(go(c), go(v))
+          }
+          other.fold(chained)(o => chained.otherwise(go(o)))
         }
-        other.fold(chained)(o => chained.otherwise(go(o)))
 
       case Call(fn, args, dist) =>
         fn match {
@@ -179,8 +184,9 @@ object Compiler {
 
       case InModel(t, sub, column) =>
         // IN (SELECT DISTINCT col FROM sub) + NULL-membership existence
-        // (reference column_expression.py:513-544). Values side is a
-        // broadcast join (top-N bucket lists are small by construction).
+        // (reference column_expression.py:513-544). No broadcast hint: a
+        // high-cardinality subquery at 100× would OOM the driver — let AQE
+        // pick broadcast vs shuffle join from the actual distinct-side size.
         val tc = go(t)
         val subFrame = compileSource(sub.source, f.df.sparkSession)
         val subCol = compileExpr(column, subFrame)
@@ -189,7 +195,7 @@ object Compiler {
         val valName = nsCol(ns, "v")
         val vals = subFrame.df.select(subCol.as(valName)).where(col(valName).isNotNull)
           .distinct().withColumn(flagName, lit(true))
-        f.df = f.df.join(broadcast(vals), tc === col(valName), "left_outer")
+        f.df = f.df.join(vals, tc === col(valName), "left_outer")
         val nullName = nsCol(ns, "hasnull")
         val nullFlag = subFrame.df.agg(
           max(when(subCol.isNull, lit(true)).otherwise(lit(false))).as(nullName))
@@ -204,11 +210,14 @@ object Compiler {
         if (cs) go(t).contains(v) else lower(go(t)).contains(v.toLowerCase)
 
       case ScalarSubquery(sub) =>
+        // LEFT join on TRUE (not a cross join): SQL scalar-subquery semantics
+        // yield NULL when the subquery is empty instead of dropping every
+        // outer row (reference SubqueryColumnExpression behavior).
         val subDf = run(sub, f.df.sparkSession)
         val ns = freshNs("scalar")
         val c0 = subDf.columns.head
         val renamed = subDf.limit(1).select(col(c0).as(nsCol(ns, c0)))
-        f.df = f.df.crossJoin(broadcast(renamed))
+        f.df = f.df.join(broadcast(renamed), lit(true), "left_outer")
         col(nsCol(ns, c0))
 
       case ExistsE(sub) =>
@@ -228,42 +237,80 @@ object Compiler {
   private val nsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def freshNs(kind: String): String = s"${kind}_${nsCounter.incrementAndGet()}"
 
-  /** Python-strftime → Spark date_format pattern pieces, translating the
-    * token map exactly as the reference's Databricks branch
-    * (format_timestamp.py:540-583, :614-633); `%Q` spliced via quarter()
-    * like :81-111 documents. */
-  private val pyTokenMap: Map[Char, String] = Map(
-    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
-    'd' -> "dd", 'H' -> "HH", 'I' -> "hh", 'j' -> "DDD",
-    'm' -> "MM", 'M' -> "mm", 'p' -> "a", 'S' -> "ss",
-    'y' -> "yy", 'Y' -> "yyyy", 'f' -> "SSSSSS", 'Z' -> "zzz",
+  /** Python-strftime → Spark date_format pattern pieces, covering the
+    * reference's FULL token whitelist (format_timestamp.py:81-111) with the
+    * Databricks/Joda translations (:540-583) adapted to Spark's own pattern
+    * dialect. Tokens Spark's `date_format` cannot express (week-based `%U`/
+    * `%W` — Spark 3+ rejects week-based pattern letters — plus `%w` and the
+    * nonstandard `%Q`) are spliced as computed sub-expressions, like the
+    * reference splices `%Q`. */
+  private val pyTokenMap: Map[String, String] = Map(
+    "a" -> "EEE", "A" -> "EEEE", "b" -> "MMM", "B" -> "MMMM",
+    "d" -> "dd", "-d" -> "d", "m" -> "MM", "-m" -> "M",
+    "y" -> "yy", "Y" -> "yyyy",
+    "H" -> "HH", "-H" -> "H", "I" -> "hh", "-I" -> "h", "p" -> "a",
+    "M" -> "mm", "-M" -> "m", "S" -> "ss", "-S" -> "s",
+    "f" -> "SSSSSS", "z" -> "xx", "Z" -> "zzz",
+    "j" -> "DDD", "-j" -> "D",
   )
+
+  /** Computed splices for tokens with no Spark pattern letter:
+    * `%w` weekday (0=Sunday), `%U`/`%W` week-of-year (Sunday-/Monday-first,
+    * days before the first week are week 0 — the C strftime formula
+    * U=(yday+6-wday)/7), `%Q` quarter. */
+  private def spliceToken(tok: String, c: Column): Option[Column] = {
+    // dayofweek: 1=Sunday..7=Saturday; weekday: 0=Monday..6=Sunday
+    def weekNum(firstDaySundayBased: Boolean): Column = {
+      val w = if (firstDaySundayBased) dayofweek(c) - 1 else weekday(c)
+      floor((dayofyear(c) + lit(6) - w) / 7).cast("int")
+    }
+    tok match {
+      case "Q"  => Some(quarter(c).cast("string"))
+      case "w"  => Some((dayofweek(c) - 1).cast("string"))
+      case "U"  => Some(lpad(weekNum(true).cast("string"), 2, "0"))
+      case "-U" => Some(weekNum(true).cast("string"))
+      case "W"  => Some(lpad(weekNum(false).cast("string"), 2, "0"))
+      case "-W" => Some(weekNum(false).cast("string"))
+      case _    => None
+    }
+  }
 
   def compileFormatTs(c: Column, fmt: String): Column = {
     // split into (pattern-chunk | splice) pieces, then concat
     val pieces = mutable.Buffer.empty[Either[String, Column]]
     val chunk = new StringBuilder
     def quoteLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+    def flush(): Unit =
+      if (chunk.nonEmpty) { pieces += Left(chunk.toString); chunk.clear() }
     var i = 0
     while (i < fmt.length) {
       val ch = fmt.charAt(i)
       if (ch == '%' && i + 1 < fmt.length) {
-        val tok = fmt.charAt(i + 1)
+        // token is one char, or two for the no-pad '-X' variants
+        val tok =
+          if (fmt.charAt(i + 1) == '-' && i + 2 < fmt.length) fmt.substring(i + 1, i + 3)
+          else fmt.charAt(i + 1).toString
         tok match {
-          case '%' => chunk.append(quoteLiteral("%"))
-          case 'Q' => // non-standard quarter token
-            if (chunk.nonEmpty) { pieces += Left(chunk.toString); chunk.clear() }
-            pieces += Right(quarter(c).cast("string"))
+          case "%" => chunk.append(quoteLiteral("%"))
           case t if pyTokenMap.contains(t) => chunk.append(pyTokenMap(t))
-          case other => chunk.append(quoteLiteral(s"%$other"))
+          case t =>
+            spliceToken(t, c) match {
+              case Some(spliced) => flush(); pieces += Right(spliced)
+              case None =>
+                // closed whitelist like the reference (sql_function.py:73-74
+                // pattern): silent literal passthrough is a wrong-answer
+                // generator
+                throw new IllegalArgumentException(
+                  s"unsupported strftime token %$t in format '$fmt'")
+            }
         }
-        i += 2
+        i += 1 + tok.length
       } else {
         chunk.append(quoteLiteral(ch.toString))
         i += 1
       }
     }
-    if (chunk.nonEmpty) pieces += Left(chunk.toString)
+    flush()
     val cols = pieces.map {
       case Left(pattern) => date_format(c, pattern)
       case Right(spliced) => spliced
@@ -335,6 +382,19 @@ object Compiler {
       val rf = compileSource(other, spark)
       new Frame(lf.df.unionAll(rf.df))
 
+    case Source.Fold(base, ids, values, keyName, valueName) =>
+      // single-scan unpivot (vs the reference's one-aggregate-scan-per-value
+      // -column UNION ALL chain, model.py:939-995); NULL values retained,
+      // matching the reference composition's semantics
+      val f = compileSource(base, spark)
+      val idCols = ids.map(c => compileExpr(c, f).as(c.identifier))
+      val valCols = values.map(c => compileExpr(c, f).as(c.identifier))
+      val prepared = f.df.select(idCols ++ valCols: _*)
+      new Frame(prepared.unpivot(
+        ids.map(c => col(c.identifier)).toArray,
+        values.map(c => col(c.identifier)).toArray,
+        keyName, valueName))
+
     case Source.JoinOne(base, name, joined, fkOpt, condOpt, dropUnmatched) =>
       val f = compileSource(base, spark)
       val pkName = nsCol(name, "__pk__")
@@ -368,32 +428,46 @@ object Compiler {
 
   // =================== match_steps (Spark-first redesign) ===================
 
-  /** Step chars, ASCII-ordered per index like the reference
-    * (compilers/match_steps.py:496-506; 62-step cap). */
-  private val StepChars =
-    ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString
-
   /** Greedy first-after sequential matching, re-expressed Spark-first.
     *
     * The reference builds per-group "journey hash" strings via
     * filter+UNION-per-step, row_number, STRING_AGG, then one CTE per step
     * doing regex index math, then N+1 LEFT JOINs back
-    * (compilers/match_steps.py:83-330). On Spark we get identical semantics
-    * with ONE shuffle: tag each event with the steps it matches
-    * (explode_outer — no N-fold union), row_number + collect_list(struct)
-    * under the same group partitioning, array_sort by (ts, stepIdx DESC)
-    * (the reference's duplicate tie-break, match_steps.py:513-518), build
-    * the journey string, then per-step `locate` instead of regex-length
-    * math. Matched per-step timestamps come straight out of the sorted
-    * array (`element_at`), so funnels need NO join back; full per-step
-    * event rows remain available as lazy joins keyed by (group, event id).
+    * (compilers/match_steps.py:83-330); its Redshift LISTAGG 64KB failure
+    * (:682-693) shows the journey-string's unbounded per-group state is a
+    * real scale wall. Round-1 used `collect_list(struct)` per group — same
+    * wall (one bot group with 50M events = one non-spillable aggregation
+    * buffer).
+    *
+    * v2 removes the journey entirely: a chain of windowed min-struct
+    * aggregates under the SAME group partitioning —
+    *   m0 = min(struct(t, ei)) over group where step-0 matches
+    *   mk = min(struct(t, ei)) over group where step-k matches and
+    *        t > m(k-1).t          (greedy "first strictly after")
+    * then one groupBy(group) to collapse to the output grain. Window min
+    * state is O(1) per partition and Spark's window buffer spills to disk,
+    * so per-group memory is bounded. Equal-timestamp semantics match the
+    * reference's journey tie-break (ts asc, step-char DESC: a later step
+    * sharing the previous step's timestamp sorts BEFORE it in the journey
+    * and is therefore not matched — exactly what strict `t >` produces).
+    *
+    * Non-partitioned plan: ONE shuffle (row_number, every window, and the
+    * final groupBy all share hash(group) partitioning). With
+    * partition_start_events the grain is (group × partition of first step-0
+    * event) (match_steps.py:387-447): anchors = first step-0 event per
+    * (group, partition), inner-joined back on group (entities that never
+    * entered a journey are dropped, :271-283), windows then run per
+    * (group, partition).
+    *
     * time_limit is evaluated after greedy assembly, matching the
-    * reference's documented pessimism (match_steps.py:177-178).
+    * reference's documented pessimism (match_steps.py:177-178), and is
+    * CALENDAR-aware: the cutoff is `step0_ts + INTERVAL`, like the
+    * reference's timedelta comparison (match_steps.py:611-660) — not an
+    * approximate seconds count.
     */
   private def compileMatchSteps(ms: Source.MatchSteps, spark: SparkSession): Frame = {
     import ms._
-    require(steps.size <= StepChars.length,
-      "Too many unique step types to match against.")
+    require(steps.size <= 62, "Too many unique step types to match against.")
     val bf = compileSource(base, spark)
 
     val gIdent = schema.group.identifier
@@ -403,101 +477,78 @@ object Compiler {
     val condCols = steps.map(s => compileExpr(s.condition, bf))
     val partIdents = partitionStartEvents.map(_.identifier)
     val partCols = partitionStartEvents.map(p => compileExpr(p, bf))
+    val pNames = partIdents.map(id => nsCol("part", id))
 
-    // one row per (event, matching step); rows matching no step keep a null
-    // step so every group still appears in the aggregate (vs the
-    // reference's extra distinct-groups CTE + join, match_steps.py:232-246)
-    val stepArr = array_compact(array(
-      condCols.zipWithIndex.map { case (c, i) => when(c, lit(i)) }: _*))
-    val taggedBase = bf.df
-      .withColumn("__g__", gCol)
-      .withColumn("__t__", tCol)
-    val taggedParts = partIdents.zip(partCols).foldLeft(taggedBase) {
-      case (d, (id, c)) => d.withColumn(nsCol("part", id), c)
-    }
-    val tagged = taggedParts
-      .withColumn("__step__", explode_outer(stepArr))
-      .withColumn("__ei__",
-        row_number().over(Window.partitionBy(col("__g__")).orderBy(col("__t__"))))
+    // event stream: group, ts, per-step match flags, partition values,
+    // per-group event index (stable key for the per-step event-row joins)
+    var ev = bf.df.withColumn("__g__", gCol).withColumn("__t__", tCol)
+    pNames.zip(partCols).foreach { case (n, c) => ev = ev.withColumn(n, c) }
+    condCols.zipWithIndex.foreach { case (c, k) => ev = ev.withColumn(s"__c${k}__", c) }
+    ev = ev.withColumn("__ei__",
+      row_number().over(Window.partitionBy(col("__g__")).orderBy(col("__t__"))))
 
-    // journey per group: sorted (ts asc, stepIdx desc) via struct(t, n=-step)
-    val entry = when(col("__step__").isNotNull,
-      struct(col("__t__").as("t"), (-col("__step__")).as("n"), col("__ei__").as("ei")))
-    val journeys0 = tagged
-      .groupBy(col("__g__"))
-      .agg(array_sort(collect_list(entry)).as("__arr__"))
-      .withColumn("__journey__",
-        expr(s"concat_ws('', transform(__arr__, x -> substring('$StepChars', 1 - x.n, 1)))"))
-
-    // partition_start_events: one journey per (group, partition values of
-    // the first step-0 event in that partition) (match_steps.py:387-447)
-    val journeys =
-      if (partitionStartEvents.isEmpty) journeys0
-      else {
-        val pcols = partIdents.map(id => col(nsCol("part", id)))
-        val w = Window.partitionBy(col("__g__") +: pcols: _*).orderBy(col("__t__"))
-        val first0 = tagged
-          .where(col("__step__") === 0)
-          .withColumn("__prn__", row_number().over(w))
-          .where(col("__prn__") === 1)
-          .select(col("__g__") +: col("__ei__").as("__pei__") +: pcols: _*)
-        // inner join: when partitioning, entities that never entered a
-        // journey are dropped (match_steps.py:271-283)
-        journeys0.join(first0, "__g__")
+    // (work, key): rows the window chain runs over and its partitioning
+    val (work, keyNames) =
+      if (partitionStartEvents.isEmpty) {
+        val w = Window.partitionBy(col("__g__"))
+        (ev.withColumn("__m0__",
+          min(when(col("__c0__"), struct(col("__t__").as("t"), col("__ei__").as("ei"))))
+            .over(w)),
+          Seq("__g__"))
+      } else {
+        // anchor = first step-0 event per (group, partition); inner join
+        // replicates each group's events once per entered partition
+        val anchors = ev.where(col("__c0__"))
+          .groupBy((col("__g__") +: pNames.map(col)): _*)
+          .agg(min(struct(col("__t__").as("t"), col("__ei__").as("ei"))).as("__m0__"))
+        (ev.drop(pNames: _*).join(anchors, "__g__"), "__g__" +: pNames)
       }
+    val wKey = Window.partitionBy(keyNames.map(col): _*)
 
-    // greedy chain: idx_0 = first step-0 char; idx_k = first step-k char
-    // strictly after idx_{k-1} (reference regex-length math,
-    // match_steps.py:587-608 — locate() is the codegen-friendly equivalent)
-    var out = journeys
-    steps.indices.foreach { k =>
-      val ch = StepChars.charAt(k)
-      val idxName = s"__sidx_${k}__"
-      val idxCol =
-        if (k == 0 && partitionStartEvents.nonEmpty)
-          // step-0 index anchored at the partition's first event
-          expr("array_position(transform(__arr__, x -> x.ei), __pei__)")
-        else if (k == 0)
-          nullif(expr(s"locate('$ch', __journey__)"), lit(0))
-        else
-          when(col(s"__sidx_${k - 1}__").isNotNull,
-            nullif(expr(s"locate('$ch', __journey__, __sidx_${k - 1}__ + 1)"), lit(0)))
-      out = out.withColumn(idxName, idxCol)
+    // greedy chain: mk = first step-k event strictly after m(k-1)
+    var chained = work
+    (1 until steps.size).foreach { k =>
+      val prev = col(s"__m${k - 1}__")
+      chained = chained.withColumn(s"__m${k}__",
+        min(when(col(s"__c${k}__") && prev.isNotNull && col("__t__") > prev.getField("t"),
+          struct(col("__t__").as("t"), col("__ei__").as("ei")))).over(wKey))
     }
-    // per-step matched timestamp + event id, straight from the array
+
+    // collapse to the output grain: one row per (group[, partitions]);
+    // window columns are constant per key so first() is deterministic
+    val aggs = steps.indices.map(k => first(col(s"__m${k}__")).as(s"__m${k}__"))
+    var out = chained.groupBy(keyNames.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    // per-step matched timestamp + event id, with calendar-aware time_limit
+    // (cutoff = step0_ts + INTERVAL) applied after greedy assembly
+    val base0t = col("__m0__").getField("t")
     steps.zipWithIndex.foreach { case (st, k) =>
-      val el = element_at(col("__arr__"), col(s"__sidx_${k}__").cast("int"))
-      val rawTs = el.getField("t")
+      val mk = col(s"__m${k}__")
+      val rawTs = mk.getField("t")
       val ts =
         if (k == 0) rawTs
         else timeLimit match {
-          case None => rawTs
-          case Some(limit) =>
-            // evaluated after greedy assembly (match_steps.py:177-178);
-            // sub-second exact via fractional-seconds cast
-            val base0 = element_at(col("__arr__"), col("__sidx_0__").cast("int")).getField("t")
-            when(rawTs.cast("double") - base0.cast("double") < lit(limit.approxSeconds.toDouble), rawTs)
+          case None        => rawTs
+          case Some(limit) => when(rawTs < base0t + expr(limit.sqlLiteral), rawTs)
         }
       out = out
         .withColumn(nsCol(st.name, tsIdent), ts)
-        .withColumn(s"__sei_${k}__",
-          when(ts.isNotNull, el.getField("ei")))
-        .withColumn(s"step_${k}_event_index", col(s"__sidx_${k}__").cast("long"))
+        .withColumn(s"__sei_${k}__", when(ts.isNotNull, mk.getField("ei")))
+        .withColumn(s"step_${k}_event_index", mk.getField("ei").cast("long"))
     }
     out = out.withColumn(gIdent, col("__g__"))
-    val partOut = partIdents.foldLeft(out) { case (d, id) =>
-      d.withColumn(id, col(nsCol("part", id)))
-    }
-    val frame = new Frame(partOut.drop("__arr__"))
+    partIdents.zip(pNames).foreach { case (id, n) => out = out.withColumn(id, col(n)) }
+    val frame = new Frame(out.drop(steps.indices.map(k => s"__m${k}__"): _*))
 
     // lazy per-step joins for full event rows (reference final-layer joins,
-    // match_steps.py:288-320), keyed by (group, event id)
+    // match_steps.py:288-320), keyed by (group, event index)
     val baseCols = bf.df.columns.toSeq
     steps.zipWithIndex.foreach { case (st, k) =>
       val ns = st.name
       val build = () => {
         val keep = baseCols.filterNot(c => nsCol(ns, c) == nsCol(ns, tsIdent))
-        tagged.select(
+        ev.select(
           col("__g__").as(nsCol(ns, "__g__")) +:
             col("__ei__").as(nsCol(ns, "__ei__")) +:
             keep.map(c => col(c).as(nsCol(ns, c))): _*)

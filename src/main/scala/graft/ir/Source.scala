@@ -57,6 +57,19 @@ object Source {
   /** UNION ALL, positional column alignment (reference union.py:6-35). */
   final case class Union(base: Source, other: Source) extends Source
 
+  /** Unpivot/melt: N value columns → (key, value) long format (reference
+    * model.py:939-995 composes one pick per value column + UNION ALL — N
+    * redundant scans of the base; Spark has native single-scan unpivot, so
+    * we make fold a first-class node and lower it to `Dataset.unpivot`,
+    * which like the reference's composition retains NULL values). */
+  final case class Fold(
+      base: Source,
+      ids: Seq[Expr],
+      values: Seq[Expr],
+      keyName: String,
+      valueName: String,
+  ) extends Source
+
   /** Named lazy many-to-one LEFT (or INNER when dropUnmatched) join
     * (reference join_one.py:8-47). The join is emitted only if the
     * namespace is referenced (join_one.py:58-66). `fk == joined.primaryKey`

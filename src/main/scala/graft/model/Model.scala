@@ -56,8 +56,15 @@ final case class Model(
 
   // --- accessors (reference accessors.py:36-38; KeyPath sugar not needed
   //     in Scala — plain methods) ---
+  /** Declared attribute lookup. When the model has declared attributes an
+    * unknown name throws (like the reference accessors) instead of silently
+    * falling back to a bare column ref that masks typos; models without
+    * declarations (plain table scans) resolve to the named column. */
   def attr(name: String): Expr =
-    attributes.getOrElse(name, ColRef(name))
+    if (attributes.isEmpty) ColRef(name)
+    else attributes.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown attribute '$name'; known: ${attributes.keys.mkString(", ")}"))
   def msr(name: String): Expr =
     measures.getOrElse(name,
       throw new NoSuchElementException(
@@ -152,18 +159,26 @@ final case class Model(
     relations = VectorMap.empty,
   )
 
-  /** Unpivot/melt: N value columns → (key, value) long format — one pick
-    * per value column + UNION ALL chain, exactly the reference composition
-    * (model.py:939-995). Multiplies rows by values.length. */
+  /** Unpivot/melt: N value columns → (key, value) long format (reference
+    * model.py:939-995). The reference composes one pick per value column +
+    * UNION ALL — N redundant scans; we lower to Spark's native single-scan
+    * unpivot with identical row multiplication and NULL retention. Resets
+    * attributes like pick does (model.py:881-887). */
   def fold(
       ids: Seq[Expr],
       values: Seq[Expr],
       keyName: String = "key",
       valueName: String = "value",
   ): Model = {
-    def pickPair(v: Expr): Model =
-      pick(ids ++ Seq(Lit(v.identifier).named(keyName), v.named(valueName)): _*)
-    values.tail.foldLeft(pickPair(values.head))((acc, v) => acc.unionAll(pickPair(v)))
+    require(values.nonEmpty, "fold requires at least one value column")
+    copy(
+      source = Source.Fold(source, ids, values, keyName, valueName),
+      attributes = VectorMap.from(
+        (ids.map(_.identifier) ++ Seq(keyName, valueName))
+          .map(n => n -> (ColRef(n): Expr))),
+      measures = VectorMap.empty,
+      relations = VectorMap.empty,
+    )
   }
 
   // --- event analytics (model.py:411-870) ---
