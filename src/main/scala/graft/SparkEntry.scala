@@ -399,6 +399,147 @@ object SparkEntry {
         .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
         .funnelConversionRate(Seq[graft.model.StepSpec]("view", "click", "purchase"))
         .run(s)),
+
+    // --- funnel with calendar-unit time limit (cutoff = step0 + INTERVAL
+    //     1 MONTH, calendar-aware — not 30-day seconds) ---
+    "q_funnel_time_limit_month" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+        .funnel(Seq[graft.model.StepSpec]("view", "click", "purchase"),
+          timeLimit = interval(1, "month"), topOfFunnel = "users")
+        .run(s)),
+
+    // =============== LLM-data-pipeline operators (graft.llm) ===============
+
+    // --- exact dedup stats: docs vs distinct normalized-text hashes ---
+    "q_dedup_exact" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.exactStats(df, "source", "text"))
+        .sort(col("source"))
+        .run(s)),
+
+    // --- MinHash + LSH near-dup pairs (banded bucket join, never all-pairs) ---
+    "q_dedup_minhash" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.minhashPairs(df, "doc_id", "text"))
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
+    // --- SimHash near-dup pairs (byte-band blocking, exact for hamming<=3) ---
+    "q_dedup_simhash" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.simhashPairs(df, "doc_id", "text"))
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
+    // --- char n-gram Jaccard near-dups with winnowing-fingerprint blocking ---
+    "q_dedup_ngram" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.charNgramPairs(df, "doc_id", "text"))
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
+    // --- embedding-cosine near-dup pairs within sign-LSH buckets ---
+    "q_dedup_embed" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.nearDupPairs(df, "vec_id", "embedding",
+          bits = 4, threshold = 0.3))
+        .sort(col("vec_a")).sort(col("vec_b"))
+        .run(s)),
+
+    // --- brute-force cosine top-k (correctness baseline for ANN) ---
+    "q_ann_brute" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.bruteTopK(df, "vec_id", "embedding",
+          queryId = 0L, k = 10))
+        .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
+        .run(s)),
+
+    // --- bucketed ANN: per-query top-k via sign-LSH bucket equi-join ---
+    "q_ann_lsh" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.lshTopK(df, "vec_id", "embedding",
+          queryPred = org.apache.spark.sql.functions.col("vec_id") < 5,
+          bits = 4, k = 3))
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- per-source token statistics (whitespace + BPE-ish regex counts) ---
+    "q_text_stats" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .withColumn("__nre__", graft.llm.TextOps.regexTokenCount("text"))
+            .groupBy(F.col("source"))
+            .agg(
+              F.count(F.lit(1)).as("n_docs"),
+              F.sum(F.size(F.col("__toks__"))).as("n_tokens"),
+              F.sum(F.col("__nre__")).as("n_re_tokens"),
+              F.round(F.sum(F.size(F.col("__toks__"))).cast("double") /
+                F.count(F.lit(1)), 6).as("avg_tokens"))
+        }
+        .sort(col("source"))
+        .run(s)),
+
+    // --- language-ID heuristic vs labeled lang (confusion counts) ---
+    "q_text_langid" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .groupBy(F.col("lang"),
+              graft.llm.TextOps.langId("__toks__").as("predicted"))
+            .agg(F.count(F.lit(1)).as("n"))
+        }
+        .sort(col("lang")).sort(col("predicted"))
+        .run(s)),
+
+    // --- per-document quality scoring (length/diversity/stopword trio) ---
+    "q_text_quality" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          import graft.llm.TextOps
+          df.where(F.col("doc_id") < 100)
+            .withColumn("__toks__", TextOps.tokens(F.col("text")))
+            .select(
+              F.col("doc_id"),
+              F.size(F.col("__toks__")).cast("long").as("n_tokens"),
+              F.round(F.size(F.array_distinct(F.col("__toks__"))).cast("double") /
+                F.size(F.col("__toks__")), 6).as("ttr"),
+              F.round(TextOps.meanTokenLength("__toks__"), 6).as("mean_len"),
+              TextOps.qualityScore("__toks__").as("quality"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- rolling-hash winnowing fingerprint per document ---
+    "q_text_fingerprint" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("doc_id") < 50)
+            .select(F.col("doc_id"),
+              graft.llm.TextOps.charNgramFingerprint("text", 8).as("fp"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- multimodal: binary payload column + batched stub decode ---
+    "q_multimodal_meta" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val withPayload = df
+            .where(F.col("lang") === "en" && F.col("doc_id") < 100)
+            .withColumn("payload", F.col("text").cast("binary"))
+          graft.llm.Multimodal.decode(withPayload, "payload")
+            .select(F.col("doc_id"), F.col("meta.byte_len"), F.col("meta.width"),
+              F.col("meta.height"), F.col("meta.n_frames"), F.col("meta.sha"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -613,7 +754,208 @@ object SparkEntry {
                 count(t2) AS convertedCount,
                 avg(floor(epoch(t2)) - floor(epoch(t0))) AS avgSecondsToConvert
          FROM j"""),
+    "q_funnel_time_limit_month" -> (FunnelCtes +
+      """, j AS (
+           SELECT s0.user_id, s0.t0,
+                  CASE WHEN s1.t1 < s0.t0 + INTERVAL 1 MONTH THEN s1.t1 END AS t1,
+                  CASE WHEN s2.t2 < s0.t0 + INTERVAL 1 MONTH THEN s2.t2 END AS t2
+           FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id))
+         SELECT step, entities FROM (
+           SELECT 'users' AS step, count(DISTINCT user_id) AS entities, 0 AS si FROM events
+           UNION ALL SELECT 'view', (SELECT count(t0) FROM j), 1
+           UNION ALL SELECT 'click', (SELECT count(t1) FROM j), 2
+           UNION ALL SELECT 'purchase', (SELECT count(t2) FROM j), 3
+         ) t ORDER BY si"""),
+
+    // =============== LLM-data-pipeline oracles ===============
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+                count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q_dedup_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+           FROM toks WHERE len(w) >= 3
+         ), sig AS (
+           SELECT doc_id, sh, list_transform(range(1, 9),
+                    h -> list_min(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))))) AS sig
+           FROM sh
+         ), band AS (
+           SELECT doc_id, b, md5(array_to_string(sig[(b-1)*2+1:(b-1)*2+2], '|')) AS bh
+           FROM sig, range(1, 5) AS r(b)
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+           FROM band a JOIN band c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+         )
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) t
+         WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+         ), big AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+                    i -> concat(t[i], ' ', t[i+1]))) AS w
+           FROM toks WHERE len(t) >= 2
+         ), th AS (
+           SELECT doc_id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS h
+           FROM big
+         ), bits AS (
+           SELECT doc_id, b,
+                  CASE WHEN len(list_filter(h, v -> ((v >> b) & 1) = 1)) * 2 > len(h)
+                       THEN (1::BIGINT << b) ELSE 0 END AS bv
+           FROM th, range(0, 32) AS r(b)
+         ), fp AS (
+           SELECT doc_id, sum(bv)::BIGINT AS fp FROM bits GROUP BY doc_id
+         ), band AS (
+           SELECT doc_id, fp, j, (fp >> (8*j)) & 255 AS byte FROM fp, range(0, 4) AS r(j)
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.fp AS fa, c.fp AS fb
+           FROM band a JOIN band c ON a.j = c.j AND a.byte = c.byte AND a.doc_id < c.doc_id
+         )
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming FROM cand) t
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_ngram" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN length(text) >= 16
+                  THEN list_min(list_transform(range(1, length(text) - 14), i -> md5(substr(text, i, 16))))
+                  ELSE md5(text) END AS fp,
+             CASE WHEN length(text) >= 3
+                  THEN list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))
+                  ELSE [text] END AS sh
+           FROM documents
+         )
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+           FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_embed" ->
+      (s"""WITH bkt AS (
+           SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
+         )
+         SELECT vec_a, vec_b, cosine FROM (
+           SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                  round(${cosSql("a.embedding", "c.embedding")}, 6) AS cosine
+           FROM bkt a JOIN bkt c ON a.bkt = c.bkt AND a.vec_id < c.vec_id) t
+         WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""),
+
+    "q_ann_brute" ->
+      (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, cosine FROM (
+           SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cosine
+           FROM embeddings, q WHERE vec_id <> 0) t
+         ORDER BY cosine DESC, vec_id LIMIT 10"""),
+
+    "q_ann_lsh" ->
+      (s"""WITH bkt AS (
+           SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
+         ), scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+           FROM bkt q JOIN bkt c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    "q_text_stats" ->
+      """WITH toks AS (
+           SELECT source, regexp_split_to_array(trim(text), '\s+') AS w,
+                  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_re
+           FROM documents
+         )
+         SELECT source, count(*) AS n_docs,
+                sum(len(w))::BIGINT AS n_tokens,
+                sum(n_re)::BIGINT AS n_re_tokens,
+                round(CAST(sum(len(w)) AS DOUBLE) / count(*), 6) AS avg_tokens
+         FROM toks GROUP BY 1 ORDER BY 1""",
+
+    "q_text_langid" ->
+      (s"""WITH toks AS (
+           SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         )
+         SELECT lang, $LangPredictSql AS predicted, count(*) AS n
+         FROM toks GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "q_text_quality" ->
+      (s"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+           WHERE doc_id < 100
+         )
+         SELECT doc_id,
+           len(w)::BIGINT AS n_tokens,
+           round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS ttr,
+           round(CAST(list_reduce(list_transform(w, t -> length(t)), (x, y) -> x + y) AS DOUBLE) / len(w), 6) AS mean_len,
+           round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+               + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
+         FROM toks ORDER BY doc_id"""),
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) >= 8
+                THEN list_min(list_transform(range(1, length(text) - 6), i -> md5(substr(text, i, 8))))
+                ELSE md5(text) END AS fp
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+           CAST(64 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+           CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames,
+           sha256(text) AS sha
+         FROM documents WHERE lang = 'en' AND doc_id < 100 ORDER BY doc_id""",
   )
+
+  /** DuckDB inline expression builders for the embedding oracles: an
+    * explicit left-fold dot product in double precision (bit-identical to
+    * the Spark side's aggregate(zip_with(...)) fold over the same element
+    * order — 0.0+p1 = p1 exactly, so list_reduce's first-element seed
+    * matches) and the 4-bit sign-LSH bucket. Dim 64 per TESTDATA. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private val BktSql: String =
+    "list_reduce(list_transform(range(1, 5), d -> CASE WHEN CAST(embedding[d] AS DOUBLE) >= 0 THEN (1 << (d - 1)) ELSE 0 END), (x, y) -> x + y)"
+
+  /** Per-language stopword-count SQL over token list `w` (mirrors
+    * TextOps.LangProfiles — keep in sync). */
+  private def stopCountSql(lang: String): String = {
+    val words = graft.llm.TextOps.LangProfiles.toMap.apply(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, t -> t IN ($words)))"
+  }
+
+  /** Argmax-language CASE expression (ties → first profile, all-zero →
+    * 'und'), mirroring TextOps.langId. */
+  private val LangPredictSql: String = {
+    val langs = graft.llm.TextOps.LangProfiles.map(_._1)
+    val best = langs.map(stopCountSql).mkString("greatest(", ", ", ")")
+    val arms = langs.init.map(l => s"WHEN ${stopCountSql(l)} = $best THEN '$l'")
+      .mkString(" ")
+    s"CASE WHEN $best = 0 THEN 'und' $arms ELSE '${langs.last}' END"
+  }
 
   /** Shared greedy first-after step CTEs for the events funnel oracles:
     * step k = first matching event strictly after step k-1's match

@@ -143,6 +143,13 @@ object Compiler {
           case "avg"      => avg(go(args.head))
           case "floor"    => floor(go(args.head))
           case "ceiling"  => ceil(go(args.head))
+          // scalar string helpers (beyond-reference; used by the LLM text
+          // operators — all codegen'd built-ins)
+          case "lower"    => lower(go(args.head))
+          case "upper"    => upper(go(args.head))
+          case "trim"     => trim(go(args.head))
+          case "length"   => length(go(args.head))
+          case "md5"      => md5(go(args.head).cast("binary"))
           // reference Databricks recipe (compilers/sql_function.py:90-91)
           case "diffSeconds" =>
             unix_timestamp(go(args.head)) - unix_timestamp(go(args(1)))
@@ -422,6 +429,11 @@ object Compiler {
       val jt = if (dropUnmatched) "inner" else "left_outer"
       f.pending(name) = PendingJoin(name, build, cond, jt)
       f
+
+    case Source.NativeOp(base, op) =>
+      // native DataFrame transformation — a fresh layer (schema may change)
+      val f = compileSource(base, spark)
+      new Frame(op(f.df))
 
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
   }

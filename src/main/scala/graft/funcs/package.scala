@@ -35,6 +35,12 @@ package object funcs {
   // --- scalars ---
   def floor(e: Expr): Expr = Call("floor", Seq(e))
   def ceiling(e: Expr): Expr = Call("ceiling", Seq(e))
+  // beyond-reference scalar string helpers (LLM text operators)
+  def lower(e: Expr): Expr = Call("lower", Seq(e))
+  def upper(e: Expr): Expr = Call("upper", Seq(e))
+  def trim(e: Expr): Expr = Call("trim", Seq(e))
+  def length(e: Expr): Expr = Call("length", Seq(e))
+  def md5(e: Expr): Expr = Call("md5", Seq(e))
   /** `cast` — reachable only via wire format in the reference
     * (compilers/sql_function.py:63-70). */
   def cast(e: Expr, typeName: String): Expr = Call(s"cast:$typeName", Seq(e))

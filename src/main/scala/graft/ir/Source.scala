@@ -83,6 +83,13 @@ object Source {
       dropUnmatched: Boolean,
   ) extends Source
 
+  /** Escape hatch for whole-DataFrame native operators (beyond-reference
+    * surface: the LLM-pipeline ops in [[graft.llm]] — dedup, ANN,
+    * multimodal decode). Keeps the op lazy inside the Source tree; the
+    * function must be a pure DataFrame→DataFrame transformation. */
+  final case class NativeOp(base: Source, op: DataFrame => DataFrame)
+      extends Source
+
   /** Sequential temporal join / funnel engine (reference
     * match_steps.py:10-69 + compilers/match_steps.py — algorithm réimagined
     * Spark-first as a single journey aggregation; see Compiler). */

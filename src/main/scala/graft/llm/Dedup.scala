@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus deduplication operators (beyond-reference surface; SURVEY.md
+  * §2.7). Every near-dup variant is CANDIDATE-GENERATION-BY-BUCKET-JOIN →
+  * within-bucket verification: there is never an all-pairs comparison, so
+  * the shuffle volume is O(docs × buckets-per-doc) and each reduce group is
+  * one LSH bucket. At 100 TB the only skew risk is a hot bucket (e.g. the
+  * empty-ish document); the verification join carries only (id, id) pairs
+  * plus a second join back to shingle sets, so a salted repartition of one
+  * hot bucket is a local fix, not a redesign.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized text, keeping the lowest
+    * id — a single hash aggregate (map-side partial combine; no sort). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__h__", md5(TextOps.normalize(col(textCol)).cast("binary")))
+      .groupBy(col("__h__"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Per-group exact-dup statistics (docs vs distinct normalized hashes). */
+  def exactStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(TextOps.normalize(col(textCol)).cast("binary")))
+          .as("n_unique"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: tokenize → distinct word n-gram shingles → MinHash signature
+    * (numHashes) → band hashes (numBands × rowsPerBand) → posexplode +
+    * self-equi-join on (band, hash) for candidates → exact Jaccard
+    * verification WITHIN candidates only. Pairs with Jaccard ≥ threshold
+    * survive. Candidate pairs carry only ids through the band join; shingle
+    * sets are joined back for verification, keeping band-join shuffle rows
+    * narrow.
+    *
+    * With rowsPerBand=r, numBands=b, a pair of true Jaccard j collides in
+    * ≥1 band with probability 1-(1-j^r)^b (e.g. j=0.9, r=2, b=4 → 99.87%).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
+      "numHashes must be a multiple of rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val base = docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__toks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__toks__")) >= shingleSize)
+      .withColumn("__sh__",
+        array_distinct(TextOps.wordShingles("__toks__", shingleSize)))
+      // the shingle/signature frame feeds both band-join sides AND the
+      // verification joins — persist so the expensive per-doc hashing runs
+      // once (the materialize-features-first phase a production pipeline
+      // would write to storage)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .withColumn("__sig__", TextOps.minhashSignature("__sh__", numHashes))
+      .select(col("__id__"),
+        posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
+          .as(Seq("__band__", "__bh__")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band__") === col("b.__band__") &&
+          col("a.__bh__") === col("b.__bh__") &&
+          col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("__id__"), col("__sh__"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.__id__"))
+      .join(sh.as("y"), col("doc_b") === col("y.__id__"))
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("x.__sh__"), col("y.__sh__"))) /
+            size(array_union(col("x.__sh__"), col("y.__sh__"))),
+          6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs.
+    *
+    * 32-bit SimHash over distinct word BIGRAMS (bigrams, not unigrams:
+    * narrow-vocabulary corpora make unigram token sets nearly identical
+    * across unrelated documents, collapsing every fingerprint); candidates
+    * = pairs sharing at least one of the 4 fingerprint bytes at the same
+    * position (pigeonhole: Hamming distance ≤ 3 over 4 bytes GUARANTEES a
+    * shared byte, so unlike MinHash-LSH this blocking is exact, not
+    * probabilistic); verification = popcount of XOR ≤ maxHamming. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__toks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__toks__")) >= 2)
+      .withColumn("__big__", array_distinct(TextOps.wordShingles("__toks__", 2)))
+      .withColumn("__th__", TextOps.hashedTokens("__big__"))
+      .withColumn("__fp__", TextOps.simhash32("__th__"))
+      .select(col("__id__"), col("__fp__"))
+      // both band-join sides read the fingerprints — hash once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("__id__"), col("__fp__"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (__fp__ >> (8 * j)) & 255)"))
+        .as(Seq("__j__", "__byte__")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__j__") === col("b.__j__") &&
+          col("a.__byte__") === col("b.__byte__") &&
+          col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
+        col("a.__fp__").as("__fa__"), col("b.__fp__").as("__fb__"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__fa__").bitwiseXOR(col("__fb__"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Character n-gram Jaccard near-duplicates with fingerprint blocking:
+    * candidates share their winnowing fingerprint (min md5 of char
+    * `blockNgram`-gram windows — TextOps.charNgramFingerprint), then exact
+    * char `verifyNgram`-gram Jaccard ≥ threshold verifies. Blocking is a
+    * plain groupBy bucket join; near-identical docs share the min window
+    * with probability ≈ their char-ngram Jaccard. The block window must be
+    * long enough to be rare (default 16 chars ≈ 3 words): short windows on
+    * a narrow-vocabulary corpus put a large fraction of documents in one
+    * bucket and the within-bucket verification degenerates toward
+    * all-pairs. */
+  def charNgramPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockNgram: Int = 16,
+      verifyNgram: Int = 3,
+      threshold: Double = 0.7,
+  ): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__fp__", TextOps.charNgramFingerprint("__text__", blockNgram))
+      .withColumn("__sh__", TextOps.charShingles("__text__", verifyNgram))
+      .select(col("__id__"), col("__fp__"), col("__sh__"))
+      // both self-join sides read the fingerprint+shingle frame — hash once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.as("a")
+      .join(base.as("b"),
+        col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))
+      .withColumn("jaccard",
+        round(
+          size(array_intersect(col("a.__sh__"), col("b.__sh__"))) /
+            size(array_union(col("a.__sh__"), col("b.__sh__"))),
+          6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
+        col("jaccard"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * beyond-reference surface (SURVEY.md §2.7).
+  *
+  * Dot products are explicit left folds in double precision
+  * (`aggregate(zip_with(...))` starting from 0.0): element-order summation
+  * is deterministic and bit-identical to the DuckDB oracle's equivalent
+  * `list_reduce` fold, so cosine scores hash-match exactly. All per-vector
+  * work is codegen'd row-level expressions — no UDFs, no collect.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one scan ×
+  * queries, fine for a handful of probes); the production path is the
+  * sign-LSH bucketed variant — candidates come from an equi-join on a
+  * quantized bucket id, so the plan is scan → hash join → per-query top-k
+  * window, never a cartesian product. An IVF variant would replace the
+  * bucket id with a nearest-centroid id; the join/window shape is identical.
+  */
+object Embeddings {
+
+  /** Left-fold dot product of two array<float> columns in double precision. */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)),
+        cast(0 AS double), (acc, v) -> acc + v)""")
+
+  /** Cosine similarity via explicit norms (works for non-normalized input). */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Sign-LSH bucket id from the first `bits` dimensions: bit d set iff
+    * component d ≥ 0 (axis-aligned random-hyperplane LSH for cosine —
+    * deterministic and engine-portable, unlike seeded random hyperplanes). */
+  def signBucket(vecCol: String, bits: Int): Column =
+    expr(s"""aggregate(
+        zip_with(slice($vecCol, 1, $bits), sequence(0, ${bits - 1}),
+          (x, b) -> IF(cast(x AS double) >= 0D, shiftleft(1, b), 0)),
+        0, (acc, v) -> acc + v)""")
+
+  /** Brute-force cosine top-k neighbors of one query vector. The 1-row
+    * query side is broadcast; scores sort on the 6-dp-rounded cosine with
+    * id tie-break so the cut is deterministic. */
+  def bruteTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int,
+  ): DataFrame = {
+    // norms precomputed once per vector: per-pair work is ONE dot product,
+    // not three (identical double values to the inline-cosine formula)
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    emb.where(col(idCol) =!= queryId)
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
+  /** Bucketed ANN: per-query top-k within the query's sign-LSH bucket.
+    * Candidates come from an equi-join on the bucket id (no cartesian);
+    * ranking is a per-query row_number window. */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      bits: Int,
+      k: Int,
+  ): DataFrame = {
+    val withBkt = emb.withColumn("__bkt__", signBucket(vecCol, bits))
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read by query + candidate side
+    val queries = withBkt.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+        col("__bkt__").as("__qbkt__"), col("__n__").as("__qn__"))
+    val scored = queries
+      .join(withBkt,
+        col("__qbkt__") === col("__bkt__") && col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col(idCol))))
+    scored.where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join for
+    * candidates (within-bucket only), cosine ≥ threshold verifies. */
+  def nearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      threshold: Double,
+  ): DataFrame = {
+    val withBkt = emb
+      .select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
+      .withColumn("__bkt__", signBucket("__v__", bits))
+      .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
+    withBkt.as("a")
+      .join(withBkt.as("b"),
+        col("a.__bkt__") === col("b.__bkt__") && col("a.__id__") < col("b.__id__"))
+      .withColumn("cosine",
+        round(dot("a.__v__", "b.__v__") / (col("a.__n__") * col("b.__n__")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("a.__id__").as("vec_a"), col("b.__id__").as("vec_b"),
+        col("cosine"))
+  }
+}

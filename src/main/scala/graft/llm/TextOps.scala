@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for large-scale training-data pipelines
+  * (beyond-reference surface; the reference has no text-analysis operators —
+  * SURVEY.md §2.7). Everything is built from codegen'd Catalyst built-ins
+  * and higher-order functions: no UDFs, no driver-side loops, so each
+  * primitive is a per-row expression that scales linearly with the scan.
+  *
+  * Functions that need *nested* lambdas take a column NAME and build a SQL
+  * `expr(...)` with explicitly named lambda variables — the Scala
+  * higher-order-function API auto-names every lambda variable `x`, so inner
+  * lambdas would shadow outer ones.
+  *
+  * Hashing note: primitives that feed a DuckDB-replayable oracle use md5
+  * (identical hex output in every engine). A production deployment on
+  * Spark-only infrastructure would swap md5 for `xxhash64` (cheaper,
+  * non-cryptographic) — the pipeline shape is unchanged.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, lowercased text — the canonical form for exact
+    * dedup. */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** "BPE-ish" regex token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap, deterministic
+    * approximation of subword tokenizer output length). */
+  def regexTokenCount(textCol: String): Column =
+    expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
+
+  /** Word n-gram shingles over a token-array column. Empty result when the
+    * document has fewer than n tokens. */
+  def wordShingles(toksCol: String, n: Int): Column =
+    expr(s"""CASE WHEN size($toksCol) >= $n
+        THEN transform(sequence(1, size($toksCol) - ${n - 1}),
+                       i -> concat_ws(' ', slice($toksCol, i, $n)))
+        ELSE CAST(array() AS array<string>) END""")
+
+  /** MinHash signature over a shingle-array column: element h of the
+    * signature is the lexicographic minimum of md5(h || ':' || shingle).
+    * String-min MinHash avoids engine-specific integer hashing, so the
+    * DuckDB oracle replays it exactly; collision behavior is the standard
+    * MinHash estimator (P[sig_a(h) == sig_b(h)] = Jaccard(a, b)). */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column =
+    expr(s"""transform(sequence(1, $numHashes),
+        h -> array_min(transform($shinglesCol,
+               s -> md5(concat(cast(h AS string), ':', s)))))""")
+
+  /** LSH band hashes over a signature column: band b hashes signature rows
+    * [(b-1)*r+1, b*r]. Near-dup candidates are pairs sharing ANY band —
+    * found with a bucket equi-join, never an all-pairs comparison. */
+  def bandHashes(sigCol: String, numBands: Int, rowsPerBand: Int): Column =
+    expr(s"""transform(sequence(1, $numBands),
+        b -> md5(concat_ws('|', slice($sigCol, (b - 1) * $rowsPerBand + 1, $rowsPerBand))))""")
+
+  /** 32-bit integer hash of each element of a string-array column (first 8
+    * hex digits of md5 — portable across engines, unlike murmur/xxhash). */
+  def hashedTokens(toksCol: String): Column =
+    expr(s"transform($toksCol, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint))")
+
+  /** 32-bit SimHash over a hashed-token array column (see [[hashedTokens]]):
+    * bit b of the fingerprint is the majority vote of bit b across token
+    * hashes (ties → 0). One pass over the tokens per row; no shuffle. */
+  def simhash32(hashedToksCol: String): Column = {
+    val counts =
+      s"""aggregate($hashedToksCol,
+             array_repeat(0, 32),
+             (acc, t) -> zip_with(acc, sequence(0, 31),
+               (a, b) -> a + IF(((t >> b) & 1) = 1, 1, -1)))"""
+    expr(s"""aggregate(
+        zip_with($counts, sequence(0, 31),
+          (c, b) -> IF(c > 0, shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
+        cast(0 AS bigint), (x, y) -> x + y)""")
+  }
+
+  /** Rolling-hash document fingerprint: minimum md5 over all character
+    * n-gram windows (a 1-fingerprint winnowing scheme). Near-identical
+    * documents share their minimum window with probability ≈ their char
+    * n-gram Jaccard, making this a cheap blocking key for near-dup
+    * detection. Documents shorter than n hash whole. */
+  def charNgramFingerprint(textCol: String, n: Int): Column =
+    expr(s"""CASE WHEN length($textCol) >= $n
+        THEN array_min(transform(sequence(1, length($textCol) - ${n - 1}),
+                       i -> md5(substring($textCol, i, $n))))
+        ELSE md5($textCol) END""")
+
+  /** Character n-gram shingle set (for n-gram Jaccard verification). */
+  def charShingles(textCol: String, n: Int): Column =
+    expr(s"""CASE WHEN length($textCol) >= $n
+        THEN array_distinct(transform(sequence(1, length($textCol) - ${n - 1}),
+                            i -> substring($textCol, i, $n)))
+        ELSE array($textCol) END""")
+
+  // ---------------- language ID + quality ----------------
+
+  /** Tiny per-language function-word profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small: language ID at 100 TB must
+    * be a closed-form expression, not a model inference. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "im"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "un", "une"),
+    "zh" -> Seq("de", "shi", "bu", "zai", "you", "wo", "ta"),
+  )
+
+  private def sqlStringList(words: Seq[String]): String =
+    words.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+
+  /** Count of tokens found in `words`. */
+  def stopwordCount(toksCol: String, words: Seq[String]): Column =
+    expr(s"size(filter($toksCol, t -> t IN (${sqlStringList(words)})))")
+
+  /** Predicted language: argmax of per-language stopword counts, first
+    * profile wins ties, 'und' (undetermined) when every score is zero. */
+  def langId(toksCol: String): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> stopwordCount(toksCol, words)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val picked = scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+      when(score === best, lit(lang)).otherwise(elseCol)
+    }
+    when(best === 0, lit("und")).otherwise(picked)
+  }
+
+  /** Mean token length: exact integer sum of lengths divided by count. */
+  def meanTokenLength(toksCol: String): Column =
+    expr(s"aggregate($toksCol, 0, (acc, t) -> acc + length(t))") /
+      expr(s"size($toksCol)")
+
+  /** Composite quality score in [0,1]: length saturation + lexical
+    * diversity (type-token ratio) + stopword density, the standard cheap
+    * pre-filter trio for web-scale corpus cleaning. Deterministic
+    * arithmetic over exact integer counts. */
+  def qualityScore(toksCol: String): Column = {
+    val nTok = expr(s"size($toksCol)").cast("double")
+    val ttr = expr(s"size(array_distinct($toksCol))").cast("double") / nTok
+    val stopRatio =
+      stopwordCount(toksCol, LangProfiles.head._2).cast("double") / nTok
+    round(
+      least(lit(1.0), nTok / 64.0) * 0.4 + ttr * 0.4 +
+        least(lit(1.0), stopRatio * 5.0) * 0.2,
+      6)
+  }
+}

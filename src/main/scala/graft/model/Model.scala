@@ -159,6 +159,17 @@ final case class Model(
     relations = VectorMap.empty,
   )
 
+  /** Apply a native whole-DataFrame operator (beyond-reference surface:
+    * the [[graft.llm]] pipeline ops). A fresh layer — attributes, measures
+    * and relations reset since the schema may change arbitrarily. */
+  def native(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Model =
+    copy(
+      source = Source.NativeOp(source, op),
+      attributes = VectorMap.empty,
+      measures = VectorMap.empty,
+      relations = VectorMap.empty,
+    )
+
   /** Unpivot/melt: N value columns → (key, value) long format (reference
     * model.py:939-995). The reference composes one pick per value column +
     * UNION ALL — N redundant scans; we lower to Spark's native single-scan
