@@ -283,12 +283,22 @@ object Compiler {
   }
 
   def compileFormatTs(c: Column, fmt: String): Column = {
-    // split into (pattern-chunk | splice) pieces, then concat
+    // split into (pattern-chunk | splice) pieces, then concat. Literal text
+    // accumulates separately and is emitted as ONE quoted run — per-char
+    // quoting would produce '1''0''0', which Java patterns read as escaped
+    // quote characters.
     val pieces = mutable.Buffer.empty[Either[String, Column]]
     val chunk = new StringBuilder
-    def quoteLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
-    def flush(): Unit =
+    val litBuf = new StringBuilder
+    def flushLit(): Unit =
+      if (litBuf.nonEmpty) {
+        chunk.append("'").append(litBuf.toString.replace("'", "''")).append("'")
+        litBuf.clear()
+      }
+    def flush(): Unit = {
+      flushLit()
       if (chunk.nonEmpty) { pieces += Left(chunk.toString); chunk.clear() }
+    }
     var i = 0
     while (i < fmt.length) {
       val ch = fmt.charAt(i)
@@ -298,8 +308,8 @@ object Compiler {
           if (fmt.charAt(i + 1) == '-' && i + 2 < fmt.length) fmt.substring(i + 1, i + 3)
           else fmt.charAt(i + 1).toString
         tok match {
-          case "%" => chunk.append(quoteLiteral("%"))
-          case t if pyTokenMap.contains(t) => chunk.append(pyTokenMap(t))
+          case "%" => litBuf.append("%")
+          case t if pyTokenMap.contains(t) => flushLit(); chunk.append(pyTokenMap(t))
           case t =>
             spliceToken(t, c) match {
               case Some(spliced) => flush(); pieces += Right(spliced)
@@ -313,7 +323,7 @@ object Compiler {
         }
         i += 1 + tok.length
       } else {
-        chunk.append(quoteLiteral(ch.toString))
+        litBuf.append(ch)
         i += 1
       }
     }

@@ -1,0 +1,184 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.funcs._
+import graft.ir.Expr._
+import graft.model.Model
+
+/** Core relational/expression semantics from the reference's documented
+  * behavior: fold (model.py:958-981), NULL-aware membership
+  * (column_expression.py:529-568), join NULL-fill vs drop_unmatched
+  * (docs/pattern_guides/joins.md), scalar subqueries, strftime tokens.
+  */
+class CoreOpsSpec extends GraftSuite {
+
+  test("fold unpivots wide to long, reference docstring example") {
+    val s = spark
+    import s.implicits._
+    val sales = Seq((2023, "$150K", "$30K"), (2024, "$500K", "$130K"))
+      .toDF("year", "income", "expenses")
+    val out = Model.fromDF(sales)
+      .fold(ids = Seq(col("year")), values = Seq(col("income"), col("expenses")),
+        keyName = "type", valueName = "value")
+      .sort(col("year")).sort(col("type"))
+      .run(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(out.toSet === Set(
+      (2023, "income", "$150K"), (2023, "expenses", "$30K"),
+      (2024, "income", "$500K"), (2024, "expenses", "$130K")))
+  }
+
+  test("fold retains NULL values (like the reference's pick+union)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Some("x"), None: Option[String])).toDF("id", "a", "b")
+    val out = Model.fromDF(df)
+      .fold(ids = Seq(col("id")), values = Seq(col("a"), col("b")))
+      .run(spark).collect()
+    assert(out.length === 2)
+    assert(out.count(_.isNullAt(2)) === 1)
+  }
+
+  private def nullableVals = {
+    val s = spark
+    import s.implicits._
+    Seq(Some(1L), Some(2L), None).toDF("v")
+  }
+
+  test("in_(values) NULL-aware truth table") {
+    // with a NULL in the list: v IN (...) OR v IS NULL
+    val withNull = Model.fromDF(nullableVals)
+      .filter(col("v").in(Seq(1L, null))).run(spark).collect()
+    assert(withNull.length === 2)
+    // without NULL: v IN (...) AND v IS NOT NULL — the NULL row never matches
+    val noNull = Model.fromDF(nullableVals)
+      .filter(col("v").in(Seq(1L))).run(spark).collect()
+    assert(noNull.map(_.getLong(0)).toSeq === Seq(1L))
+    // empty list is constant FALSE
+    val empty = Model.fromDF(nullableVals)
+      .filter(col("v").in(Seq.empty)).run(spark).collect()
+    assert(empty.isEmpty)
+  }
+
+  test("in_(model) includes NULL membership when the subquery has NULLs") {
+    val s = spark
+    import s.implicits._
+    val subWithNull = Model.fromDF(Seq(Some(1L), None).toDF("x"))
+    val subNoNull = Model.fromDF(Seq(Some(1L)).toDF("x"))
+    val a = Model.fromDF(nullableVals)
+      .filter(InModel(col("v"), subWithNull, col("x")))
+      .run(spark).collect()
+    assert(a.length === 2) // 1 matches, NULL matches via NULL-membership
+    val b = Model.fromDF(nullableVals)
+      .filter(InModel(col("v"), subNoNull, col("x")))
+      .run(spark).collect()
+    assert(b.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  private def salesAndProducts = {
+    val s = spark
+    import s.implicits._
+    val products = Seq(("p1", 10.0), ("p2", 20.0)).toDF("id", "price")
+    val sales = Seq(("s1", "p1"), ("s2", "p2"), ("s3", "zz")).toDF("sale", "product_id")
+    (Model.fromDF(sales), Model.fromDF(products).withPrimaryKey(col("id")))
+  }
+
+  test("with_join_one LEFT join NULL-fills unmatched rows") {
+    val (sales, products) = salesAndProducts
+    val joined = sales.withJoinOne(products, named = "product",
+      foreignKey = col("product_id"))
+    val out = joined.pick(col("sale"),
+      joined.rel("product").attr("price").named("price"))
+      .sort(col("sale")).run(spark).collect()
+    assert(out.length === 3)
+    assert(out(2).isNullAt(1)) // s3 -> no product -> NULL price
+  }
+
+  test("with_join_one drop_unmatched=INNER drops unmatched rows") {
+    val (sales, products) = salesAndProducts
+    val joined = sales.withJoinOne(products, named = "product",
+      foreignKey = col("product_id"), dropUnmatched = true)
+    val out = joined
+      .filter(joined.rel("product").attr("price") > lit(0.0))
+      .aggregate(measures = Seq(count().named("n")))
+      .run(spark).collect()
+    assert(out.head.getLong(0) === 2L)
+  }
+
+  test("join is lazy: unreferenced relation emits no join") {
+    val (sales, products) = salesAndProducts
+    val joined = sales.withJoinOne(products, named = "product",
+      foreignKey = col("product_id"))
+    val plan = joined.pick(col("sale")).run(spark)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+  }
+
+  test("scalar subquery over an empty model yields NULL, keeps rows") {
+    val s = spark
+    import s.implicits._
+    val base = Model.fromDF(Seq(1L, 2L).toDF("id"))
+    val emptySub = Model.fromDF(Seq.empty[Long].toDF("x"))
+      .aggregate(groups = Seq(col("x")), measures = Seq.empty) // still empty
+    val out = base.pick(col("id"), scalar(emptySub).named("m"))
+      .sort(col("id")).run(spark).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(1)))
+  }
+
+  test("cases with zero branches degrades to otherwise") {
+    val s = spark
+    import s.implicits._
+    val base = Model.fromDF(Seq(1L).toDF("id"))
+    val out = base.pick(col("id"),
+      cases(Seq.empty, lit("fallback")).named("c")).run(spark).collect()
+    assert(out.head.getString(1) === "fallback")
+  }
+
+  test("strftime token map matches Python strftime") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Timestamp.valueOf("2024-03-15 13:05:09")).toDF("ts")
+    def fmt(pattern: String): String =
+      Model.fromDF(df).pick(FormatTs(col("ts"), pattern).named("f"))
+        .run(spark).collect().head.getString(0)
+    assert(fmt("%Y-%m-%d %H:%M:%S") === "2024-03-15 13:05:09")
+    assert(fmt("%A %a %b %B") === "Friday Fri Mar March")
+    assert(fmt("%p %I") === "PM 01")
+    assert(fmt("%j|%-j") === "075|75")
+    assert(fmt("%w") === "5")   // Friday, Sunday=0
+    assert(fmt("%U") === "10")  // Sunday-first week of year
+    assert(fmt("%W") === "11")  // Monday-first week of year
+    assert(fmt("Q%Q %y") === "Q1 24")
+    assert(fmt("100%%") === "100%")
+  }
+
+  test("strftime week-zero boundary (days before the first week)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Timestamp.valueOf("2024-01-06 00:00:00")).toDF("ts") // Saturday
+    val out = Model.fromDF(df)
+      .pick(FormatTs(col("ts"), "%U %W %w").named("f"))
+      .run(spark).collect().head.getString(0)
+    assert(out === "00 01 6")
+  }
+
+  test("unknown strftime token throws instead of silent passthrough") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Timestamp.valueOf("2024-03-15 13:05:09")).toDF("ts")
+    intercept[IllegalArgumentException] {
+      Model.fromDF(df).pick(FormatTs(col("ts"), "%e").named("f")).run(spark)
+    }
+  }
+
+  test("strict attribute lookup throws on typos when attrs are declared") {
+    val s = spark
+    import s.implicits._
+    val m = Model.fromDF(Seq(1L).toDF("id"))
+      .withAttributes(col("id").named("ident"))
+    intercept[NoSuchElementException] { m.attr("identt") }
+    assert(m.attr("ident") !== null)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.funcs._
+import graft.ir.Expr._
+import graft.model.{Model, StepSpec}
+
+/** Event-analytics acceptance tests encoding the reference's documented
+  * worked examples (the public reference ships no tests; its docstrings are
+  * the golden specs — SURVEY.md §5).
+  */
+class FunnelSpec extends GraftSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  /** The funnel docstring fixture: 7 users, 14 events
+    * (/root/reference/src/model/model.py:578-628). */
+  private lazy val docstringEvents = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "ad_impression", ts("2024-01-01")),
+      (0L, "visit", ts("2024-01-02")),
+      (0L, "purchase", ts("2024-01-04")),
+      (1L, "ad_impression", ts("2024-01-01")),
+      (1L, "visit", ts("2024-01-02")),
+      (1L, "purchase", ts("2024-01-03")),
+      (1L, "purchase", ts("2024-01-04")),
+      (2L, "ad_impression", ts("2024-01-01")),
+      (2L, "visit", ts("2024-01-02")),
+      (3L, "ad_impression", ts("2024-01-01")),
+      (3L, "visit", ts("2024-01-02")),
+      (4L, "ad_impression", ts("2024-01-01")),
+      (5L, "visit", ts("2024-01-01")),
+      (5L, "purchase", ts("2024-01-02")),
+      (6L, "other_event", ts("2024-01-01")),
+    ).toDF("user_id", "event", "timestamp")
+  }
+
+  private def eventsModel: Model =
+    Model.fromDF(docstringEvents)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+
+  test("funnel docstring example: 7 users -> 5 -> 4 -> 2, in funnel order") {
+    // the docstring table has a typo (visit shows 5) but its prose derivation
+    // is unambiguous: users 0,1,2,3 visited AFTER an ad -> 4
+    val rows = eventsModel
+      .funnel(Seq[StepSpec]("ad_impression", "visit", "purchase"),
+        topOfFunnel = "users")
+      .run(spark)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(
+      "users" -> 7L, "ad_impression" -> 5L, "visit" -> 4L, "purchase" -> 2L))
+  }
+
+  test("funnel with integer topOfFunnel starts at that step index") {
+    val rows = eventsModel
+      .funnel(Seq[StepSpec]("ad_impression", "visit", "purchase"),
+        topOfFunnel = 1)
+      .run(spark)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq("visit" -> 4L, "purchase" -> 2L))
+  }
+
+  test("match_steps: greedy first-after matching per user") {
+    val matched = eventsModel
+      .matchSteps(Seq[StepSpec]("ad_impression", "visit", "purchase"))
+    val out = matched.pick(
+      col("user_id"),
+      matched.rel("visit").attr("timestamp").named("visit_ts"),
+      matched.attr("last_matched_step_name"))
+      .sort(col("user_id"))
+      .run(spark)
+      .collect()
+    assert(out.length === 7) // every distinct user appears
+    val byUser = out.map(r => r.getLong(0) -> r).toMap
+    // user 5 visited but never after an ad_impression
+    assert(byUser(5L).isNullAt(1))
+    assert(byUser(5L).isNullAt(2))
+    // user 6 matched nothing
+    assert(byUser(6L).isNullAt(2))
+    assert(byUser(0L).getString(2) === "purchase")
+    assert(byUser(2L).getString(2) === "visit")
+    assert(byUser(4L).getString(2) === "ad_impression")
+  }
+
+  test("match_steps: equal timestamps do not satisfy 'strictly after'") {
+    // reference journey tie-break sorts a later step's char BEFORE the
+    // earlier step at the same timestamp (ts asc, step-char desc), so the
+    // later step cannot match at the same instant
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", ts("2024-01-01")),
+      (1L, "b", ts("2024-01-01")), // same instant as step a -> NOT matched
+      (2L, "a", ts("2024-01-01")),
+      (2L, "b", ts("2024-01-02")), // strictly after -> matched
+    ).toDF("user_id", "event", "timestamp")
+    val matched = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"))
+    val out = matched.pick(
+      col("user_id"),
+      matched.rel("b").attr("timestamp").named("b_ts"))
+      .sort(col("user_id"))
+      .run(spark).collect()
+    assert(out(0).isNullAt(1))
+    assert(!out(1).isNullAt(1))
+  }
+
+  test("match_steps time_limit is calendar-aware (1 month != 30 days)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // March has 31 days: +1 MONTH cutoff = Apr 1 00:00; a 30-day
+      // approximation would cut at Mar 31 00:00 and wrongly exclude u1's b
+      (1L, "a", Timestamp.valueOf("2024-03-01 00:00:00")),
+      (1L, "b", Timestamp.valueOf("2024-03-31 12:00:00")),
+      (2L, "a", Timestamp.valueOf("2024-03-01 00:00:00")),
+      (2L, "b", Timestamp.valueOf("2024-04-02 00:00:00")), // beyond cutoff
+    ).toDF("user_id", "event", "timestamp")
+    val matched = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"), timeLimit = interval(1, "month"))
+    val out = matched.pick(
+      col("user_id"),
+      matched.rel("b").attr("timestamp").named("b_ts"))
+      .sort(col("user_id"))
+      .run(spark).collect()
+    assert(!out(0).isNullAt(1), "Mar 31 12:00 is inside [Mar 1, Apr 1)")
+    assert(out(1).isNullAt(1), "Apr 2 is beyond the 1-month cutoff")
+  }
+
+  test("funnel_conversion_rate on the docstring fixture") {
+    val row = eventsModel
+      .funnelConversionRate(Seq[StepSpec]("ad_impression", "visit", "purchase"))
+      .run(spark)
+      .collect()
+      .head
+    // 5 users entered (saw an ad), 2 converted
+    assert(row.getAs[Long]("startedCount") === 5L)
+    assert(row.getAs[Long]("convertedCount") === 2L)
+    assert(math.abs(row.getAs[Double]("rate") - 0.4) < 1e-12)
+  }
+}

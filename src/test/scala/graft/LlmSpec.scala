@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions.{col => sc}
+
+import graft.llm.{Dedup, Embeddings, Multimodal, TextOps}
+
+/** LLM-data-pipeline operator tests over tiny literal fixtures. */
+class LlmSpec extends GraftSuite {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely different content about spark query engines and columnar execution plans"),
+      (3L, "THE   quick brown fox jumps over the lazy dog near the river bank today"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 3) // docs 0 and 3 normalize identically
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("doc_id") === 0L) // keeps the lowest id
+  }
+
+  test("minhash LSH finds the near-duplicate pair, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)))   // one-word edit
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: identical documents collide at hamming 0") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(d, "doc_id", "text").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq((0L, 1L, 0)))
+  }
+
+  test("char-ngram near-dup blocking + jaccard verification") {
+    val pairs = Dedup.charNgramPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("language ID picks the profile with most stopword hits") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("der hund und die katze ist im haus"),
+      ("the cat and the dog is in a house"),
+      ("xyzzy plugh quux")).toDF("text")
+    val out = d.withColumn("__toks__", TextOps.tokens(sc("text")))
+      .select(TextOps.langId("__toks__")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("de", "en", "und"))
+  }
+
+  test("quality score is deterministic and bounded in [0,1]") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("the quick brown fox and the lazy dog", "a a a a a a a a")
+      .toDF("text")
+    val out = d.withColumn("__toks__", TextOps.tokens(sc("text")))
+      .select(TextOps.qualityScore("__toks__")).collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(0) > out(1)) // diverse text scores above degenerate repetition
+  }
+
+  private lazy val vectors = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // close to 0
+      (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal to 0
+      (3L, Array(-1f, 0f, 0f, 0f)),     // opposite to 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val out = Embeddings.bruteTopK(vectors, "vec_id", "embedding",
+      queryId = 0L, k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(out.head.getDouble(1) - 0.993884) < 1e-6)
+  }
+
+  test("sign-LSH bucketing: same bucket for same sign pattern, ANN finds neighbor") {
+    val out = Embeddings.lshTopK(vectors, "vec_id", "embedding",
+      queryPred = sc("vec_id") === 0L, bits = 4, k = 2).collect()
+    // vector 3 has a different sign bucket; 1 and 2 share bucket with 0
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors === Set(1L, 2L))
+    assert(out.head.getAs[Long]("neighbor_id") === 1L) // rank 1 = closest
+  }
+
+  test("embedding near-dup pairs within buckets above threshold") {
+    val pairs = Embeddings.nearDupPairs(vectors, "vec_id", "embedding",
+      bits = 4, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("multimodal decode: batched stub extracts typed metadata") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "abc"), (2L, "xy")).toDF("id", "txt")
+      .withColumn("payload", sc("txt").cast("binary"))
+    val out = Multimodal.decode(d, "payload", batchSize = 1)
+      .select(sc("id"), sc("meta.byte_len"), sc("meta.width"), sc("meta.height"),
+        sc("meta.n_frames"), sc("meta.sha"))
+      .orderBy(sc("id")).collect()
+    // 'a' = 97 -> width 64 + 97 % 64 = 97; 'b' = 98 -> height 98
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getInt(2) === 97)
+    assert(out(0).getInt(3) === 98)
+    assert(out(0).getInt(4) === 1 + 3 % 8)
+    val expectedSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(5) === expectedSha)
+    // null payloads produce null meta rather than failing the partition
+    val withNull = Seq((1L, Some("abc")), (2L, None: Option[String]))
+      .toDF("id", "txt").withColumn("payload", sc("txt").cast("binary"))
+    val metas = Multimodal.decode(withNull, "payload")
+      .select(sc("meta")).collect()
+    assert(metas.count(_.isNullAt(0)) === 1)
+  }
+
+  test("word shingles guard short documents") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("one two").toDF("text")
+      .withColumn("__toks__", TextOps.tokens(sc("text")))
+    val out = d.select(TextOps.wordShingles("__toks__", 3)).collect()
+    assert(out.head.getSeq[String](0).isEmpty)
+  }
+}
