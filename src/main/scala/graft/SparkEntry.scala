@@ -350,6 +350,73 @@ object SparkEntry {
         .limit(20)
         .run(s)),
 
+    // --- contains_any / contains_all (reference column_expression.py:602-622) ---
+    "q_contains_any" -> ((s, dir) =>
+      m(dir, "part")
+        .filter(col("p_name").containsAny(Seq("green", "blue")) &&
+          col("p_type").containsAll(Seq("PLATED", "BRASS")))
+        .aggregate(measures = Seq(count().named("n")))
+        .run(s)),
+
+    // --- distinct(x) in pick context → SELECT DISTINCT ---
+    "q_distinct_pick" -> ((s, dir) =>
+      m(dir, "orders")
+        .pick(distinct(col("o_orderpriority")))
+        .sort(col("o_orderpriority"))
+        .run(s)),
+
+    // --- {{ name }} substitution in raw SQL fragments (sql_text.py:38-158),
+    //     incl. a nested fragment-in-fragment reference ---
+    "q_sql_template" -> ((s, dir) =>
+      m(dir, "orders")
+        .withAttributes(
+          (col("o_totalprice") * (lit(1.0) - lit(0.1))).named("net"),
+          sql("{{ net }} * 2").named("double_net"))
+        .filter(sql("{{ double_net }} > 500000"))
+        .aggregate(measures = Seq(count().named("n"),
+          moneySum(col("o_totalprice")).named("total")))
+        .run(s)),
+
+    // --- CSV file connector (round-trips region through CSV) ---
+    "q_csv_source" -> ((s, dir) => {
+      val path = "/root/repo/target/fixtures/region_csv_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.read.parquet(s"$dir/region.parquet").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      Model.csv(path)
+        .pick(col("r_regionkey"), col("r_name"))
+        .sort(col("r_regionkey"))
+        .run(s)
+    }),
+
+    // --- JSON file connector (round-trips region through JSON lines) ---
+    "q_json_source" -> ((s, dir) => {
+      val path = "/root/repo/target/fixtures/region_json_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.read.parquet(s"$dir/region.parquet").coalesce(1)
+        .write.mode("overwrite").json(path)
+      Model.json(path)
+        .pick(cast(col("r_regionkey"), "int").named("r_regionkey"), col("r_name"))
+        .sort(col("r_regionkey"))
+        .run(s)
+    }),
+
+    // --- nested join namespace: orders → customer → nation without
+    //     pre-materializing the inner join ---
+    "q_join_nested" -> ((s, dir) => {
+      val nation = m(dir, "nation").withPrimaryKey(col("n_nationkey"))
+      val customer = m(dir, "customer").withPrimaryKey(col("c_custkey"))
+        .withJoinOne(nation, named = "nation", foreignKey = col("c_nationkey"))
+      val orders = m(dir, "orders")
+        .withJoinOne(customer, named = "cust", foreignKey = col("o_custkey"))
+      orders
+        .aggregate(
+          groups = Seq(orders.rel("cust").rel("nation").attr("n_name").named("nation_name")),
+          measures = Seq(count().named("n")))
+        .sort(col("nation_name"))
+        .run(s)
+    }),
+
     // =============== event analytics (match_steps family) ===============
 
     // --- match_steps: per-user greedy step timestamps + last matched step ---
@@ -693,6 +760,27 @@ object SparkEntry {
     "q_raw_sql" ->
       """SELECT substring(c_name, 1, 9) AS name_prefix, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1 LIMIT 20""",
+    "q_contains_any" ->
+      """SELECT count(*) AS n FROM part
+         WHERE (p_name LIKE '%green%' OR p_name LIKE '%blue%')
+           AND (p_type LIKE '%PLATED%' AND p_type LIKE '%BRASS%')""",
+    "q_distinct_pick" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
+    "q_sql_template" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE (o_totalprice * (1.0 - 0.1)) * 2 > 500000""",
+    "q_csv_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_json_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_join_nested" ->
+      """SELECT n.n_name AS nation_name, count(*) AS n
+         FROM orders o
+         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "q_match_steps" -> (FunnelCtes +
       """SELECT u.user_id, s0.t0 AS view_ts, s1.t1 AS click_ts, s2.t2 AS purchase_ts,
            CASE WHEN s2.t2 IS NOT NULL THEN 'purchase'

@@ -84,12 +84,18 @@ object Compiler {
           case None => col(n)
           case Some(ns) =>
             val full = nsCol(ns, n)
-            if (!f.hasCol(full)) f.attach(ns)
+            // attach the ROOT namespace of a nested chain ("cust:nation"
+            // attaches the pending join "cust"; the nested rename inside
+            // its build() provides the chained column)
+            if (!f.hasCol(full)) f.attach(ns.split(':').head)
             col(full)
         }
       case Lit(v)          => litCol(v)
       case Named(b, n)     => go(b).as(n)
-      case Disambiguated(b, ns) => compileExpr(b, f, Some(ns))
+      case Disambiguated(b, ns) =>
+        // nested relation traversal composes outer-to-inner into a ':'
+        // chain: rel("cust").rel("nation").attr(x) → prefix "cust:nation"
+        compileExpr(b, f, Some(prefix.fold(ns)(p => s"$p:$ns")))
 
       case Bin(op, l, r) =>
         import Op._
@@ -175,7 +181,24 @@ object Compiler {
 
       case FormatTs(b, fmt) => compileFormatTs(go(b), fmt)
 
-      case RawSql(s) => expr(s)
+      case RawSql(s, bindings) =>
+        // splice each bound {{ name }} as the referenced expression's
+        // rendered SQL (reference utils/sql.py inlines compiled fragments);
+        // unbound references mean the fragment never passed through a model
+        // transform that could resolve them. Referenced lazy joins attach
+        // first so namespaced columns exist.
+        val substituted = RawSql.RefPattern.replaceAllIn(s, m => {
+          val id = m.group(1)
+          val bound = bindings.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"unresolved {{ $id }} in sql fragment '$s' — the fragment " +
+                "must be used via a model transform (filter/pick/aggregate)"))
+          Expr.referencedNamespaces(bound)
+            .foreach(ns => f.attach(ns.split(':').head))
+          scala.util.matching.Regex.quoteReplacement(
+            s"(${renderSql(bound, prefix)})")
+        })
+        expr(substituted)
 
       case InValues(t, values) =>
         // NULL-aware IN (reference column_expression.py:550-568)
@@ -243,6 +266,103 @@ object Compiler {
 
   private val nsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def freshNs(kind: String): String = s"${kind}_${nsCounter.incrementAndGet()}"
+
+  /** Render an Expr as Spark-SQL text for `{{ name }}` fragment splicing
+    * (reference utils/sql.py inlines the compiled SQL of referenced
+    * expressions). Covers the scalar expression subset meaningful inside a
+    * SQL fragment; set-valued nodes (subqueries, model membership) throw. */
+  def renderSql(e: Expr, prefix: Option[String] = None): String = {
+    def bt(n: String): String = "`" + n.replace("`", "``") + "`"
+    def go(e: Expr): String = e match {
+      case ColRef(n, nsOpt) =>
+        (nsOpt orElse prefix) match {
+          case None     => bt(n)
+          case Some(ns) => bt(nsCol(ns, n))
+        }
+      case Lit(null) => "NULL"
+      case Lit(s: String) => "'" + s.replace("'", "''") + "'"
+      case Lit(b: Boolean) => b.toString.toUpperCase
+      case Lit(i: TimeInterval) => i.sqlLiteral
+      case Lit(t: java.time.Instant) =>
+        "TIMESTAMP '" + java.sql.Timestamp.from(t).toString + "'"
+      case Lit(d: java.time.LocalDate) => s"DATE '$d'"
+      case Lit(v: Seq[_]) =>
+        v.map(x => go(Lit(x))).mkString("array(", ", ", ")")
+      case Lit(v) => v.toString
+      case Named(b, _) => go(b)
+      case Disambiguated(b, ns) =>
+        renderSql(b, Some(prefix.fold(ns)(p => s"$p:$ns")))
+      case Bin(op, l, r) =>
+        import Op._
+        op match {
+          case FloorDiv => s"FLOOR((${go(l)}) / (${go(r)}))"
+          case other =>
+            val sym = other match {
+              case Eq => "="; case Neq => "!="; case Lt => "<"; case Lte => "<="
+              case Gt => ">"; case Gte => ">="; case Add => "+"; case Sub => "-"
+              case Mul => "*"; case Div => "/"; case And => "AND"; case Or => "OR"
+              case FloorDiv => "/" // unreachable
+            }
+            s"((${go(l)}) $sym (${go(r)}))"
+        }
+      case Not(b) => s"(NOT (${go(b)}))"
+      case Cases(branches, other) =>
+        val whens = branches.map { case (c, v) => s"WHEN ${go(c)} THEN ${go(v)}" }
+        val els = other.map(o => s" ELSE ${go(o)}").getOrElse("")
+        s"(CASE ${whens.mkString(" ")}$els END)"
+      case Call(fn, args, dist) =>
+        fn match {
+          case "count" if args.isEmpty => "count(1)"
+          case "count" if dist => s"count(DISTINCT ${go(args.head)})"
+          case "diffSeconds" =>
+            s"(unix_timestamp(${go(args.head)}) - unix_timestamp(${go(args(1))}))"
+          case c if c.startsWith("cast:") =>
+            s"CAST(${go(args.head)} AS ${c.stripPrefix("cast:")})"
+          case "ceiling" => s"ceil(${go(args.head)})"
+          case simple => s"$simple(${args.map(go).mkString(", ")})"
+        }
+      case Granularity(b, unit) =>
+        val c = s"CAST(${go(b)} AS TIMESTAMP)"
+        unit match {
+          case "week" =>
+            s"(date_trunc('week', $c + INTERVAL 1 DAY) - INTERVAL 1 DAY)"
+          case u => s"date_trunc('$u', $c)"
+        }
+      case AddInterval(t, iv, neg) =>
+        val sign = if (neg) "-" else "+"
+        s"(CAST(${go(t)} AS TIMESTAMP) $sign ${iv.sqlLiteral})"
+      case RawSql(s, bindings) =>
+        val substituted = RawSql.RefPattern.replaceAllIn(s, m => {
+          val id = m.group(1)
+          val bound = bindings.getOrElse(id,
+            throw new IllegalArgumentException(s"unresolved {{ $id }} in '$s'"))
+          scala.util.matching.Regex.quoteReplacement(s"(${go(bound)})")
+        })
+        s"($substituted)"
+      case LikeE(t, p, ci) =>
+        val op = if (ci) "ILIKE" else "LIKE"
+        s"(${go(t)} $op ${go(Lit(p))})"
+      case ContainsStr(t, v, cs) =>
+        if (cs) s"(${go(t)} LIKE ${go(Lit("%" + v + "%"))})"
+        else s"(lower(${go(t)}) LIKE ${go(Lit("%" + v.toLowerCase + "%"))})"
+      case InValues(t, values) =>
+        val nonNull = values.filter(_ != null)
+        val hasNull = values.exists(_ == null)
+        val tc = go(t)
+        (nonNull.nonEmpty, hasNull) match {
+          case (false, false) => "FALSE"
+          case (false, true)  => s"($tc IS NULL)"
+          case (true, false) =>
+            s"($tc IN (${nonNull.map(v => go(Lit(v))).mkString(", ")}) AND $tc IS NOT NULL)"
+          case (true, true) =>
+            s"($tc IN (${nonNull.map(v => go(Lit(v))).mkString(", ")}) OR $tc IS NULL)"
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"expression $other cannot be spliced into a sql fragment")
+    }
+    go(e)
+  }
 
   /** Python-strftime → Spark date_format pattern pieces, covering the
     * reference's FULL token whitelist (format_timestamp.py:81-111) with the
@@ -339,14 +459,25 @@ object Compiler {
 
   def compileSource(s: Source, spark: SparkSession): Frame = s match {
     case Source.Table(name) =>
+      // file connectors by extension (reference duckdb_connection.py:96-117
+      // registers csv/json/parquet paths as tables); bare names are
+      // registered tables/temp views
       val df =
-        if (name.contains("/") || name.endsWith(".parquet"))
+        if (name.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true").csv(name)
+        else if (name.endsWith(".json"))
+          spark.read.json(name)
+        else if (name.contains("/") || name.endsWith(".parquet"))
           graft.sources.ParquetIO.read(spark, name)
         else spark.table(name)
       new Frame(df)
 
     case Source.SqlQuery(q) => new Frame(spark.sql(q))
     case Source.FromDF(df)  => new Frame(df)
+    case Source.CsvFile(p) =>
+      new Frame(spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(p))
+    case Source.JsonFile(p) => new Frame(spark.read.json(p))
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)
@@ -357,8 +488,18 @@ object Compiler {
     case Source.Pick(base, cols, star) =>
       val f = compileSource(base, spark)
       if (!star) {
-        val compiled = cols.map(c => compileExpr(c, f).as(c.identifier))
+        // distinct(x) in pick context → SELECT DISTINCT (reference
+        // _sql_functions.py:33-38); strip the wrapper, dedupe the result
+        def stripDistinct(e: Expr): (Expr, Boolean) = e match {
+          case Call("distinct", Seq(inner), _) => (inner, true)
+          case Named(b, n) =>
+            val (inner, d) = stripDistinct(b); (Named(inner, n), d)
+          case other => (other, false)
+        }
+        val stripped = cols.map(stripDistinct)
+        val compiled = stripped.map { case (c, _) => compileExpr(c, f).as(c.identifier) }
         f.df = f.df.select(compiled: _*)
+        if (stripped.exists(_._2)) f.df = f.df.distinct()
       }
       // projection closes the layer: relations are dropped (model.py:881-887)
       new Frame(f.df)
@@ -418,7 +559,19 @@ object Compiler {
       val build = () => {
         val jf = compileSource(joined.source, spark)
         val pkCol = joined.primaryKey.map(pk => compileExpr(pk, jf))
-        val renamed = jf.df.columns.map(c => jf.df(c).as(nsCol(name, c))).toSeq
+        // attach the joined model's OWN pending joins so its
+        // relation-qualified attributes (nested namespaces) resolve — the
+        // reference compiles the joined model's full query layer
+        jf.pending.keys.toSeq.foreach(jf.attach)
+        // rename through this namespace; already-namespaced columns of the
+        // joined side chain as "<name>:<inner>" so nested Disambiguated
+        // lookups (prefix "name:inner") find them
+        val renamed = jf.df.columns.map { c =>
+          val target =
+            if (c.startsWith("__ns_")) s"__ns_$name:" + c.stripPrefix("__ns_")
+            else nsCol(name, c)
+          jf.df(c).as(target)
+        }.toSeq
         val extra = pkCol.map(_.as(pkName)).toSeq
         jf.df.select(renamed ++ extra: _*)
       }

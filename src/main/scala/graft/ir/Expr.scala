@@ -75,6 +75,16 @@ sealed trait Expr {
     * LIKE %v% / ILIKE for caseSensitive=false. */
   def contains(v: String, caseSensitive: Boolean = true): Expr =
     ContainsStr(this, v, caseSensitive)
+  /** OR / AND of substring containment (reference
+    * column_expression.py:602-622). */
+  def containsAny(vs: Seq[String], caseSensitive: Boolean = true): Expr = {
+    require(vs.nonEmpty, "containsAny requires at least one value")
+    vs.map(v => ContainsStr(this, v, caseSensitive): Expr).reduce(_ || _)
+  }
+  def containsAll(vs: Seq[String], caseSensitive: Boolean = true): Expr = {
+    require(vs.nonEmpty, "containsAll requires at least one value")
+    vs.map(v => ContainsStr(this, v, caseSensitive): Expr).reduce(_ && _)
+  }
   def like(pattern: String): Expr  = LikeE(this, pattern, ci = false)
   def ilike(pattern: String): Expr = LikeE(this, pattern, ci = true)
 
@@ -98,6 +108,9 @@ sealed trait Expr {
     case Granularity(b, _)    => b.identifier
     case FormatTs(b, _)       => b.identifier
     case Call("count", Seq(), _) => "count"
+    // distinct(x) in a pick context takes x's name (reference
+    // _sql_functions.py:33-38 DISTINCT-in-select)
+    case Call("distinct", Seq(inner), _) => inner.identifier
     case _ =>
       throw new IllegalArgumentException(
         s"$this has no identifier; call .named(...)")
@@ -148,9 +161,20 @@ object Expr {
     * (reference format_timestamp.py:8-30, token map :81-111). */
   final case class FormatTs(base: Expr, pyFormat: String) extends Expr
 
-  /** Raw SQL fragment → Spark `expr(...)` (reference sql_text.py:38;
-    * `{{ name }}` substitution happens at the Model layer). */
-  final case class RawSql(sql: String) extends Expr
+  /** Raw SQL fragment → Spark `expr(...)` (reference sql_text.py:38-158).
+    * `{{ name }}` references to model attrs/measures (or `{{ ns.attr }}`
+    * through a join namespace) are resolved into `bindings` when the
+    * expression is attached to a model operation (Model.bindSqlRefs,
+    * mirroring bind_references_to_model) and spliced as compiled SQL at
+    * lowering time. */
+  final case class RawSql(sql: String, bindings: Map[String, Expr] = Map.empty)
+      extends Expr
+
+  object RawSql {
+    /** `{{ some_name }}` / `{{ ns.attr }}` reference pattern (reference
+      * sql_text.py SQL_REFERENCE_SUBSTITUTION_REGEX). */
+    val RefPattern: scala.util.matching.Regex = raw"\{\{\s*([\w\.]+)\s*\}\}".r
+  }
 
   /** NULL-aware IN over literal values (column_expression.py:550-568). */
   final case class InValues(target: Expr, values: Seq[Any]) extends Expr
@@ -187,7 +211,8 @@ object Expr {
   def referencedNamespaces(e: Expr): Set[String] = e match {
     case ColRef(_, Some(n))   => Set(n)
     case ColRef(_, None)      => Set.empty
-    case Lit(_) | RawSql(_)   => Set.empty
+    case Lit(_)               => Set.empty
+    case RawSql(_, bindings)  => bindings.values.flatMap(referencedNamespaces).toSet
     case Named(b, _)          => referencedNamespaces(b)
     case Disambiguated(b, n)  => Set(n) ++ referencedNamespaces(b)
     case Bin(_, l, r)         => referencedNamespaces(l) ++ referencedNamespaces(r)

@@ -27,6 +27,13 @@ object Source {
   /** Raw-SQL scan → `spark.sql(query)` (reference sql_text.py:6-29). */
   final case class SqlQuery(sql: String) extends Source
 
+  /** CSV file/directory scan with header + schema inference (reference
+    * duckdb_connection.py:96-117 registers csv paths as tables). */
+  final case class CsvFile(path: String) extends Source
+
+  /** JSON-lines file/directory scan (duckdb_connection.py:96-117). */
+  final case class JsonFile(path: String) extends Source
+
   /** Pre-built DataFrame (parity with the reference's DuckDB connection
     * registering pandas frames, duckdb_connection.py:96-117). Used by tests
     * for literal fixtures. */

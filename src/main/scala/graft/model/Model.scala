@@ -19,10 +19,21 @@ final case class Relation(
 )
 
 /** Accessor for a relation's attributes: returns them `.disambiguated(rel)`
-  * (reference namespace.py:26-37). */
-final class RelAccessor(val relation: Relation) {
-  def attr(name: String): Expr = relation.model.attr(name).disambiguated(relation.name)
+  * (reference namespace.py:26-37). `wrap` threads outer namespace
+  * qualification for nested relation traversal (`rel.a.b.attr` keypaths in
+  * the reference). */
+final class RelAccessor(val relation: Relation, wrap: Expr => Expr = identity) {
+  def attr(name: String): Expr =
+    wrap(relation.model.attr(name).disambiguated(relation.name))
   def apply(name: String): Expr = attr(name)
+  /** Traverse into a relation OF the joined model (nested namespace). */
+  def rel(name: String): RelAccessor = {
+    val inner = relation.model.relations.getOrElse(name,
+      throw new NoSuchElementException(
+        s"relation '${relation.name}' has no nested relation '$name'; " +
+          s"known: ${relation.model.relations.keys.mkString(", ")}"))
+    new RelAccessor(inner, e => wrap(e.disambiguated(relation.name)))
+  }
 }
 
 /** Step spec for match_steps / funnel: a bare event-key string, a
@@ -104,14 +115,58 @@ final case class Model(
     )
   }
 
+  /** Resolve `{{ name }}` / `{{ ns.attr }}` references inside RawSql nodes
+    * against this model's attributes, measures, and relations (reference
+    * sql_text.py bind_references_to_model + utils/sql.py cycle-safe
+    * resolution). Applied to every expression entering a transform. */
+  private[model] def bindSqlRefs(e: Expr, visiting: Set[String] = Set.empty): Expr = {
+    def resolve(id: String): Expr = {
+      if (visiting.contains(id))
+        throw new IllegalArgumentException(
+          s"cyclic {{ $id }} reference in sql fragment")
+      val target = id.split('.') match {
+        case Array(ns, a) =>
+          rel(ns).attr(a)
+        case Array(name) =>
+          attributes.getOrElse(name, measures.getOrElse(name,
+            throw new NoSuchElementException(
+              s"{{ $name }} matches no attribute or measure; known: " +
+                s"${(attributes.keys ++ measures.keys).mkString(", ")}")))
+        case _ =>
+          throw new IllegalArgumentException(s"invalid reference {{ $id }}")
+      }
+      bindSqlRefs(target, visiting + id)
+    }
+    def walk(e: Expr): Expr = e match {
+      case RawSql(sql, b) if b.isEmpty =>
+        val ids = RawSql.RefPattern.findAllMatchIn(sql).map(_.group(1)).toSet
+        if (ids.isEmpty) e else RawSql(sql, ids.map(id => id -> resolve(id)).toMap)
+      case Named(b, n)         => Named(walk(b), n)
+      case Disambiguated(b, n) => Disambiguated(walk(b), n)
+      case Bin(op, l, r)       => Bin(op, walk(l), walk(r))
+      case Not(b)              => Not(walk(b))
+      case Cases(bs, o)        => Cases(bs.map { case (c, v) => (walk(c), walk(v)) }, o.map(walk))
+      case Call(fn, args, d)   => Call(fn, args.map(walk), d)
+      case Granularity(b, u)   => Granularity(walk(b), u)
+      case FormatTs(b, f)      => FormatTs(walk(b), f)
+      case InValues(t, vs)     => InValues(walk(t), vs)
+      case ArrContains(a, v)   => ArrContains(walk(a), walk(v))
+      case LikeE(t, p, ci)     => LikeE(walk(t), p, ci)
+      case ContainsStr(t, v, cs) => ContainsStr(walk(t), v, cs)
+      case AddInterval(t, iv, n) => AddInterval(walk(t), iv, n)
+      case other               => other
+    }
+    walk(e)
+  }
+
   // --- relational transforms (model.py:876-936, :390-407) ---
   def filter(condition: Expr): Model =
-    copy(source = Source.Filter(source, condition))
+    copy(source = Source.Filter(source, bindSqlRefs(condition)))
 
   /** SELECT only the listed expressions; resets attributes to the picked
     * names, drops measures and relations (model.py:876-887). */
   def pick(columns: Expr*): Model = copy(
-    source = Source.Pick(source, columns),
+    source = Source.Pick(source, columns.map(bindSqlRefs(_))),
     attributes = VectorMap.from(columns.map(c => c.identifier -> (ColRef(c.identifier): Expr))),
     measures = VectorMap.empty,
     relations = VectorMap.empty,
@@ -129,7 +184,8 @@ final case class Model(
     * become plain attributes, measures/relations cleared (model.py:390-407). */
   def aggregate(measures: Seq[Expr] = Seq.empty, groups: Seq[Expr] = Seq.empty): Model =
     copy(
-      source = Source.Aggregate(source, groups, measures),
+      source = Source.Aggregate(source, groups.map(bindSqlRefs(_)),
+        measures.map(bindSqlRefs(_))),
       attributes = VectorMap.from(
         (groups ++ measures).map(e => e.identifier -> (ColRef(e.identifier): Expr))),
       measures = VectorMap.empty,
@@ -384,6 +440,10 @@ object Model {
   def table(name: String): Model = Model(Source.Table(name))
   def sqlQuery(q: String): Model = Model(Source.SqlQuery(q))
   def fromDF(df: DataFrame): Model = Model(Source.FromDF(df))
+  /** CSV path (file or directory of part files), header + inferred schema. */
+  def csv(path: String): Model = Model(Source.CsvFile(path))
+  /** JSON-lines path (file or directory of part files). */
+  def json(path: String): Model = Model(Source.JsonFile(path))
   /** Convenience: parquet table inside an sf dir. */
   def parquet(dir: String, name: String): Model =
     Model(Source.Table(s"$dir/$name.parquet"))

@@ -173,6 +173,91 @@ class CoreOpsSpec extends GraftSuite {
     }
   }
 
+  test("{{ name }} substitution resolves attrs, measures, nested fragments") {
+    val s = spark
+    import s.implicits._
+    val base = Model.fromDF(Seq((1L, 10.0), (2L, 100.0)).toDF("id", "price"))
+      .withAttributes(
+        (col("price") * lit(2.0)).named("double_price"),
+        sql("{{ double_price }} + 1").named("plus_one"))
+    val out = base.filter(sql("{{ plus_one }} > 100"))
+      .run(spark).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L)) // 100*2+1 > 100
+  }
+
+  test("{{ name }} cycles throw a clear error") {
+    val s = spark
+    import s.implicits._
+    val m = Model.fromDF(Seq(1L).toDF("id"))
+      .withAttributes(
+        sql("{{ b }} + 1").named("a_"),
+        sql("{{ a_ }} + 1").named("b"))
+    val e = intercept[IllegalArgumentException] { m.filter(sql("{{ a_ }} > 0")) }
+    assert(e.getMessage.contains("cyclic"))
+  }
+
+  test("{{ ns.attr }} resolves through a join namespace") {
+    val (sales, products) = salesAndProducts
+    val joined = sales.withJoinOne(products, named = "product",
+      foreignKey = col("product_id"))
+    val out = joined.filter(sql("{{ product.price }} > 15"))
+      .pick(col("sale")).run(spark).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("s2"))
+  }
+
+  test("containsAny / containsAll compose substring predicates") {
+    val s = spark
+    import s.implicits._
+    val m = Model.fromDF(Seq("red green", "deep blue sea", "plain").toDF("t"))
+    assert(m.filter(col("t").containsAny(Seq("green", "blue")))
+      .run(spark).count() === 2)
+    assert(m.filter(col("t").containsAll(Seq("blue", "sea")))
+      .run(spark).count() === 1)
+  }
+
+  test("distinct(x) in pick context deduplicates") {
+    val s = spark
+    import s.implicits._
+    val m = Model.fromDF(Seq("a", "b", "a").toDF("v"))
+    val out = m.pick(distinct(col("v"))).sort(col("v")).run(spark).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("csv and json sources round-trip a frame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val base = "/root/repo/target/fixtures/spec_roundtrip"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$base.csvdir")
+    df.coalesce(1).write.mode("overwrite").json(s"$base.jsondir")
+    val fromCsv = Model.csv(s"$base.csvdir").sort(col("k")).run(spark).collect()
+    assert(fromCsv.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "x"), (2, "y")))
+    val fromJson = Model.json(s"$base.jsondir")
+      .pick(col("k"), col("v")).sort(col("k")).run(spark).collect()
+    assert(fromJson.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("nested join namespaces resolve without pre-materialization") {
+    val s = spark
+    import s.implicits._
+    val regions = Model.fromDF(Seq(("r1", "west"), ("r2", "east")).toDF("rid", "rname"))
+      .withPrimaryKey(col("rid"))
+    val stores = Model.fromDF(Seq(("st1", "r1"), ("st2", "r2")).toDF("sid", "region_id"))
+      .withPrimaryKey(col("sid"))
+      .withJoinOne(regions, named = "region", foreignKey = col("region_id"))
+    val sales = Model.fromDF(Seq(("x", "st1"), ("y", "st2"), ("z", "st1")).toDF("sale", "store_id"))
+      .withJoinOne(stores, named = "store", foreignKey = col("store_id"))
+    val out = sales.aggregate(
+      groups = Seq(sales.rel("store").rel("region").attr("rname").named("region_name")),
+      measures = Seq(count().named("n")))
+      .sort(col("region_name"))
+      .run(spark).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("east", 1L), ("west", 2L)))
+  }
+
   test("strict attribute lookup throws on typos when attrs are declared") {
     val s = spark
     import s.implicits._
