@@ -193,7 +193,8 @@ object SparkEntry {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
             (lit(1.0) + col("l_tax"))).named("gross"),
           (col("l_quantity") + lit(1.0)).named("qplus"),
-          (col("l_partkey") floorDiv lit(100L)).named("bucket"))
+          (col("l_partkey") floorDiv lit(100L)).named("bucket"),
+          ceiling(col("l_quantity") / lit(7.0)).named("qceil"))
         .sort(col("l_orderkey")).sort(col("l_linenumber"))
         .run(s)),
 
@@ -296,10 +297,23 @@ object SparkEntry {
           countIf(isThisWeek(col("ts"), at)).named("n_this_week"),
           countIf(isLastWeek(col("ts"), at)).named("n_last_week"),
           countIf(isThisMonth(col("ts"), at)).named("n_this_month"),
+          countIf(isLastMonth(col("ts"), at)).named("n_last_month"),
           countIf(isThisQuarter(col("ts"), at)).named("n_this_quarter"),
-          countIf(isThisYear(col("ts"), at)).named("n_this_year")))
+          countIf(isLastQuarter(col("ts"), at)).named("n_last_quarter"),
+          countIf(isThisYear(col("ts"), at)).named("n_this_year"),
+          countIf(isLastYear(col("ts"), at)).named("n_last_year")))
         .run(s)
     }),
+
+    // --- array contains on a computed array column ---
+    "q_array_contains" -> ((s, dir) =>
+      m(dir, "documents")
+        .filter(ArrContains(sql("split(text, ' ')"), lit("spark")))
+        .aggregate(
+          groups = Seq(col("lang")),
+          measures = Seq(count().named("n")))
+        .sort(col("lang"))
+        .run(s)),
 
     // --- interval arithmetic: shipdate within 90 days after order date ---
     "q_interval" -> ((s, dir) => {
@@ -679,7 +693,8 @@ object SparkEntry {
                 l_extendedprice * (1.0 - l_discount) AS net,
                 l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS gross,
                 l_quantity + 1.0 AS qplus,
-                CAST(floor(l_partkey / 100) AS BIGINT) AS bucket
+                CAST(floor(l_partkey / 100) AS BIGINT) AS bucket,
+                CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qceil
          FROM lineitem WHERE l_orderkey <= 100
          ORDER BY l_orderkey, l_linenumber""",
     "q_in_values" ->
@@ -730,8 +745,11 @@ object SparkEntry {
            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_this_week,
            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-07' AND ts < TIMESTAMP '2024-01-14' THEN 1 ELSE 0 END) AS BIGINT) AS n_last_week,
            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_this_month,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2023-12-01' AND ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_last_month,
            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-04-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_this_quarter,
-           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_this_year
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2023-10-01' AND ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_last_quarter,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_this_year,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_last_year
          FROM events""",
     "q_interval" ->
       """SELECT count(*) AS n
@@ -773,6 +791,10 @@ object SparkEntry {
          WHERE (o_totalprice * (1.0 - 0.1)) * 2 > 500000""",
     "q_csv_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_array_contains" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE list_contains(regexp_split_to_array(text, ' '), 'spark')
+         GROUP BY 1 ORDER BY 1""",
     "q_json_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_join_nested" ->

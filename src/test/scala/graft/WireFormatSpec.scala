@@ -1,0 +1,72 @@
+package graft
+
+import graft.funcs._
+import graft.ir.Expr._
+import graft.model.{Model, StepSpec}
+import graft.wire.WireFormat
+
+/** Wire-format round-trip: a serialized model rebuilds to an equal tree and
+  * produces identical results (reference model.py:1103-1152 ships models to
+  * a server as versioned JSON). */
+class WireFormatSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("complex relational model round-trips and runs identically") {
+    val customer = Model.parquet(dir, "customer").withPrimaryKey(col("c_custkey"))
+    val m = Model.parquet(dir, "orders")
+      .withJoinOne(customer, named = "customer", foreignKey = col("o_custkey"))
+      .withAttributes((col("o_totalprice") * lit(2.0)).named("dbl"))
+      .filter(col("o_totalprice") > lit(1000.0) &&
+        col("o_orderstatus").in(Seq("F", "O")))
+      .aggregate(
+        groups = Seq(
+          col("o_orderpriority"),
+          cases(Seq((col("o_totalprice") > lit(200000.0)) -> lit("big")), lit("small"))
+            .named("size_bucket"),
+          FormatTs(col("o_orderdate"), "%Y-%m").named("ym"),
+          col("o_orderdate").byQuarter.named("q")),
+        measures = Seq(count().named("n"),
+          cast(sum(cast(col("o_totalprice"), "decimal(18,2)")), "double").named("total")))
+      .sort(col("o_orderpriority")).sort(col("ym"))
+      .limit(25)
+    val json = WireFormat.toJson(m)
+    val rebuilt = WireFormat.fromJson(json)
+    assert(rebuilt === m) // case-class equality over the whole tree
+    val a = m.run(spark).collect().map(_.toSeq)
+    val b = rebuilt.run(spark).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("match_steps model with activity schema and time limit round-trips") {
+    val m = Model.parquet(dir, "events")
+      .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+      .funnel(Seq[StepSpec]("view", "click", "purchase"),
+        timeLimit = interval(7, "day"), topOfFunnel = "users")
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    val a = m.run(spark).collect().map(_.toSeq)
+    val b = rebuilt.run(spark).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("raw sql bindings and literals of every type survive the trip") {
+    val m = Model.parquet(dir, "orders")
+      .withAttributes((col("o_totalprice") * lit(0.5)).named("half"))
+      .filter(sql("{{ half }} > 1000"))
+      .filter(col("o_orderdate") >= lit(java.time.LocalDate.parse("1993-01-01")))
+      .filter(col("o_orderdate") < AddInterval(
+        lit(java.time.Instant.parse("1998-01-01T00:00:00Z")),
+        interval(1, "month"), negate = false))
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    assert(rebuilt === m)
+    assert(m.run(spark).count() === rebuilt.run(spark).count())
+  }
+
+  test("runtime-object sources refuse serialization with a clear error") {
+    val s = spark
+    import s.implicits._
+    val m = Model.fromDF(Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException] { WireFormat.toJson(m) }
+    assert(e.getMessage.contains("wire form"))
+  }
+}
