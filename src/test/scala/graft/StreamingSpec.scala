@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col => sc}
+
+import graft.streaming.Streams
+
+/** Structured-Streaming operator tests over MemoryStream micro-batches. */
+class StreamingSpec extends GraftSuite {
+
+  test("streaming exact dedup keeps first-seen doc per hash across batches") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String)](s)
+    val deduped = Streams.streamingExactDedup(
+      ms.toDF.toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "hello world"), (2L, "HELLO  world"), (3L, "other text"))
+      q.processAllAvailable()
+      // batch 2: a repeat of an already-seen hash plus a new doc
+      ms.addData((4L, "hello world"), (5L, "brand new"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // 2 normalizes to 1's hash (within-batch dup), 4 repeats it cross-batch
+      assert(out === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts finalize per tumbling window") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Timestamp, String)](s)
+    val counts = Streams.windowedCounts(
+      ms.toDF.toDF("ts", "event_type"), "ts", "event_type",
+      windowDuration = "10 minutes", watermarkDelay = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "view"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "view"),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 00:11:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window_start, event_type, n FROM wc_out ORDER BY window_start, event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(out.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", "click", 1L),
+        ("2024-01-01 00:00:00.0", "view", 2L),
+        ("2024-01-01 00:10:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup operator also runs in batch mode for backfill parity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "same doc"), (2L, "Same  DOC"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Streams.streamingExactDedup(df, "text")
+      .orderBy(sc("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 3L))
+  }
+}
