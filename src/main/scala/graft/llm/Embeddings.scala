@@ -23,8 +23,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Embeddings {
 
-  /** Left-fold dot product of two array<float> columns in double precision. */
-  def dot(a: String, b: String): Column =
+  /** Left-fold dot product of two array<float> columns in double precision.
+    * Uses the native codegen'd `float_vec_dot` (graft.expr.FloatVecDot) —
+    * the HOF formulation in [[dotFold]] is CodegenFallback and ~interpreted
+    * per element. Requires GraftExtensions (the operators below install it
+    * on their input's session automatically). Bit-identical to [[dotFold]]:
+    * same ascending left fold from 0.0. */
+  def dot(a: String, b: String): Column = expr(s"float_vec_dot($a, $b)")
+
+  /** Built-ins-only dot product (same values as [[dot]], no extension
+    * registration needed). */
+  def dotFold(a: String, b: String): Column =
     expr(s"""aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)),
         cast(0 AS double), (acc, v) -> acc + v)""")
 
@@ -51,6 +60,7 @@ object Embeddings {
       queryId: Long,
       k: Int,
   ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
     // norms precomputed once per vector: per-pair work is ONE dot product,
     // not three (identical double values to the inline-cosine formula)
     val q = emb.where(col(idCol) === queryId)
@@ -76,6 +86,7 @@ object Embeddings {
       bits: Int,
       k: Int,
   ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
     val withBkt = emb.withColumn("__bkt__", signBucket(vecCol, bits))
       .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
       .persist(StorageLevel.MEMORY_AND_DISK) // read by query + candidate side
@@ -104,6 +115,7 @@ object Embeddings {
       bits: Int,
       threshold: Double,
   ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
     val withBkt = emb
       .select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
       .withColumn("__bkt__", signBucket("__v__", bits))

@@ -110,6 +110,27 @@ class LlmSpec extends GraftSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("native float_vec_dot matches the HOF fold bit-for-bit") {
+    graft.GraftExtensions.install(spark)
+    assert(graft.GraftExtensions.installed(spark))
+    val out = vectors
+      .select(
+        Embeddings.dot("embedding", "embedding").as("native"),
+        Embeddings.dotFold("embedding", "embedding").as("fold"))
+      .collect()
+    out.foreach { r =>
+      // bit-identical, not approximately equal: same fold order from 0.0
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // uneven fixture check against a hand-computed value
+    val s = spark
+    import s.implicits._
+    val two = Seq((Array(1.5f, -2f, 3f), Array(4f, 0.5f, 2f))).toDF("a", "b")
+    val d = two.select(Embeddings.dot("a", "b")).collect().head.getDouble(0)
+    assert(math.abs(d - (1.5 * 4 + -2 * 0.5 + 3 * 2)) < 1e-12)
+  }
+
   test("multimodal decode: batched stub extracts typed metadata") {
     val s = spark
     import s.implicits._
