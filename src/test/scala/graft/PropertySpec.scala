@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.funcs._
+import graft.model.{Model, StepSpec}
+
+/** ScalaCheck properties over small random inputs (SURVEY.md §5 strategy):
+  * NULL-aware membership, fold row multiplication, funnel monotonicity.
+  * Each case runs a real Spark job, so minSuccessfulTests stays small. */
+class PropertySpec extends GraftSuite {
+
+  private def check(prop: Prop, cases: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: in_(values) matches the reference NULL semantics") {
+    val s = spark
+    import s.implicits._
+    val colGen = Gen.listOfN(8, Gen.option(Gen.choose(0L, 4L)))
+    val memberGen = Gen.listOfN(3, Gen.option(Gen.choose(0L, 4L)))
+    check(Prop.forAll(colGen, memberGen) { (values, members) =>
+      val df = values.toDF("v")
+      val memberList: Seq[Any] = members.map(_.map(Long.box).orNull)
+      val got = Model.fromDF(df).filter(col("v").in(memberList))
+        .run(spark).count()
+      val nonNull = members.flatten.toSet
+      val hasNull = members.contains(None)
+      val expected = values.count {
+        case Some(v) => nonNull.contains(v)
+        case None    => hasNull // NULL matches iff the list contains NULL
+      }
+      got == expected.toLong
+    })
+  }
+
+  test("property: fold multiplies rows by the number of value columns") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.choose(0, 12)
+    val kGen = Gen.choose(1, 4)
+    check(Prop.forAll(rowsGen, kGen) { (n, k) =>
+      val cols = (1 to k).map(i => s"v$i")
+      val df = spark.range(n.toLong).toDF("id")
+      val wide = cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col("id") * 2))
+      val folded = Model.fromDF(wide)
+        .fold(ids = Seq(col("id")), values = cols.map(c => col(c)))
+        .run(spark)
+      folded.count() == n.toLong * k &&
+        (n == 0 || folded.groupBy("key").count().collect()
+          .forall(_.getLong(1) == n.toLong))
+    }, cases = 6)
+  }
+
+  test("property: funnel step counts decrease monotonically") {
+    val s = spark
+    import s.implicits._
+    val eventGen = for {
+      user <- Gen.choose(0L, 4L)
+      kind <- Gen.oneOf("a", "b", "c", "x")
+      tick <- Gen.choose(0, 1000)
+    } yield (user, kind, new Timestamp(1700000000000L + tick * 60000L))
+    val eventsGen = Gen.nonEmptyListOf(eventGen)
+    check(Prop.forAll(eventsGen) { events =>
+      val df = events.toDF("user_id", "event", "ts")
+      val rows = Model.fromDF(df)
+        .withActivitySchema(col("user_id"), col("ts"), col("event"))
+        .funnel(Seq[StepSpec]("a", "b", "c"), topOfFunnel = "users")
+        .run(spark).collect()
+      val counts = rows.map(_.getLong(1)).toSeq
+      counts.size == 4 &&
+        counts.zip(counts.tail).forall { case (hi, lo) => hi >= lo }
+    }, cases = 6)
+  }
+}
