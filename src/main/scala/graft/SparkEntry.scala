@@ -545,6 +545,41 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
+    "q_ann_ivf" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.ivfTopK(df, "vec_id", "embedding",
+          centroidPred = org.apache.spark.sql.functions.col("vec_id") < 8,
+          queryPred = org.apache.spark.sql.functions.col("vec_id").between(10, 14),
+          k = 3))
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- end-to-end corpus cleaning: quality gate + lang gate + exact
+    //     dedup (keep lowest id per normalized hash) → per-source stats ---
+    "q_pipeline_clean" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          import org.apache.spark.sql.expressions.Window
+          import graft.llm.TextOps
+          df.withColumn("__toks__", TextOps.tokens(F.col("text")))
+            .withColumn("__q__", TextOps.qualityScore("__toks__"))
+            .withColumn("__lang__", TextOps.langId("__toks__"))
+            .where(F.col("__q__") >= 0.55 && F.col("__lang__") === "en")
+            .withColumn("__h__",
+              F.md5(TextOps.normalize(F.col("text")).cast("binary")))
+            .withColumn("__rk__", F.row_number().over(
+              Window.partitionBy(F.col("__h__")).orderBy(F.col("doc_id"))))
+            .where(F.col("__rk__") === 1)
+            .groupBy(F.col("source"))
+            .agg(
+              F.count(F.lit(1)).as("n_clean"),
+              F.sum(F.size(F.col("__toks__"))).as("n_tokens"))
+        }
+        .sort(col("source"))
+        .run(s)),
+
     // --- per-source token statistics (whitespace + BPE-ish regex counts) ---
     "q_text_stats" -> ((s, dir) =>
       m(dir, "documents")
@@ -986,6 +1021,55 @@ object SparkEntry {
          )
          SELECT query_id, neighbor_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    "q_ann_ivf" ->
+      (s"""WITH cent AS (
+           SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+         ), sim AS (
+           SELECT e.vec_id, e.embedding, c.cid,
+                  round(${cosSql("e.embedding", "c.cv")}, 6) AS csim
+           FROM embeddings e, cent c
+         ), assigned AS (
+           SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+             FROM sim) t WHERE rk = 1
+         ), scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+           FROM assigned q JOIN assigned c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+           WHERE q.vec_id BETWEEN 10 AND 14
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    "q_pipeline_clean" ->
+      (s"""WITH toks AS (
+           SELECT doc_id, source, text, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents
+         ), scored AS (
+           SELECT doc_id, source, text, w,
+             round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+                 + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                 + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS q,
+             $LangPredictSql AS predicted
+           FROM toks
+         ), gated AS (
+           SELECT doc_id, source, len(w) AS n_toks,
+                  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+           FROM scored WHERE q >= 0.55 AND predicted = 'en'
+         ), deduped AS (
+           SELECT source, n_toks FROM (
+             SELECT source, n_toks,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+             FROM gated) t WHERE rk = 1
+         )
+         SELECT source, count(*) AS n_clean, sum(n_toks)::BIGINT AS n_tokens
+         FROM deduped GROUP BY 1 ORDER BY 1"""),
 
     "q_text_stats" ->
       """WITH toks AS (

@@ -106,6 +106,53 @@ object Embeddings {
         col("rank"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest "centroid" (highest
+    * cosine among the `centroidPred` rows — here fixed sampled vectors, the
+    * deterministic stand-in for trained k-means centroids), then answer
+    * each query from its own cell only (nprobe=1). Plan shape: one small
+    * broadcast (centroids) × scan for assignment, then a cell equi-join +
+    * per-query top-k window — the same join/window skeleton as [[lshTopK]]
+    * with the bucket id swapped for a centroid id, which is exactly how a
+    * trained-IVF variant would slot in. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      queryPred: Column,
+      k: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    val centroids = emb.where(centroidPred)
+      .select(col(idCol).as("__cid__"), col(vecCol).as("__cv__"),
+        sqrt(dot(vecCol, vecCol)).as("__cn__"))
+    val assigned = emb
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim__",
+        round(dot(vecCol, "__cv__") / (col("__n__") * col("__cn__")), 6))
+      .withColumn("__crk__",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("__csim__").desc, col("__cid__"))))
+      .where(col("__crk__") === 1)
+      .select(col(idCol), col(vecCol), col("__n__"), col("__cid__").as("__cell__"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // query side + candidate side
+    val queries = assigned.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+        col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
+    queries
+      .join(assigned,
+        col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join for
     * candidates (within-bucket only), cosine ≥ threshold verifies. */
   def nearDupPairs(
