@@ -431,6 +431,50 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- segments pattern: distinct-group segment + semi-join filter +
+    //     double aggregate (docs/pattern_guides/segments.md LTV) ---
+    "q_segment_ltv" -> ((s, dir) => {
+      val loyal = m(dir, "orders")
+        .filter(col("o_orderpriority") === lit("1-URGENT"))
+        .aggregate(groups = Seq(distinct(col("o_custkey")).named("loyal_key")))
+      val orders = m(dir, "orders")
+        .withJoinOne(loyal, named = "loyal",
+          condition = col("o_custkey") === ColRef("loyal_key", Some("loyal")))
+      orders
+        .filter(ColRef("loyal_key", Some("loyal")) =!= Lit(null))
+        .aggregate(
+          groups = Seq(col("o_custkey")),
+          measures = Seq(moneySum(col("o_totalprice")).named("total")))
+        .aggregate(measures = Seq(
+          (cast(sum(cast(col("total"), "decimal(18,6)")), "double") / count())
+            .named("ltv"),
+          count().named("n_customers")))
+        .run(s)
+    }),
+
+    // --- timeframes pattern: weekly aggregate self-joined on prev_week for
+    //     week-over-week comparison (docs/pattern_guides/timeframes.md) ---
+    "q_timeframe_compare" -> ((s, dir) => {
+      val weekly = m(dir, "orders")
+        .aggregate(
+          groups = Seq(
+            col("o_orderdate").byWeek.named("week"),
+            AddInterval(col("o_orderdate").byWeek, interval(7, "day"),
+              negate = true).named("prev_week")),
+          measures = Seq(moneySum(col("o_totalprice")).named("revenue")))
+        .withPrimaryKey(col("week"))
+      val joined = weekly.withJoinOne(weekly, named = "prev",
+        foreignKey = col("prev_week"))
+      joined
+        .pick(
+          col("week"),
+          col("revenue").named("this_week"),
+          joined.rel("prev").attr("revenue").named("last_week"),
+          (col("revenue") - joined.rel("prev").attr("revenue")).named("wow_change"))
+        .sort(col("week"))
+        .run(s)
+    }),
+
     // =============== event analytics (match_steps family) ===============
 
     // --- match_steps: per-user greedy step timestamps + last matched step ---
@@ -832,6 +876,25 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_json_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_segment_ltv" ->
+      """SELECT CAST(sum(CAST(total AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ltv,
+                count(*) AS n_customers
+         FROM (
+           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders
+           WHERE o_custkey IN (
+             SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+           GROUP BY 1) t""",
+    "q_timeframe_compare" ->
+      """WITH weekly AS (
+           SELECT date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
+                  date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY - INTERVAL 7 DAY AS prev_week,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1, 2)
+         SELECT a.week, a.revenue AS this_week, b.revenue AS last_week,
+                a.revenue - b.revenue AS wow_change
+         FROM weekly a LEFT JOIN weekly b ON a.prev_week = b.week
+         ORDER BY a.week""",
     "q_join_nested" ->
       """SELECT n.n_name AS nation_name, count(*) AS n
          FROM orders o

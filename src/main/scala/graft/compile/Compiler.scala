@@ -506,7 +506,15 @@ object Compiler {
 
     case Source.Aggregate(base, groups, measures) =>
       val f = compileSource(base, spark)
-      val groupCols = groups.map(g => compileExpr(g, f).as(g.identifier))
+      // distinct(x) as a group is the reference's segment idiom
+      // (docs/pattern_guides/segments.md); grouping already deduplicates,
+      // so strip the wrapper and keep the inner expression
+      def stripDistinct(e: Expr): Expr = e match {
+        case Call("distinct", Seq(inner), _) => inner
+        case Named(b, n)                     => Named(stripDistinct(b), n)
+        case other                           => other
+      }
+      val groupCols = groups.map(g => compileExpr(stripDistinct(g), f).as(g.identifier))
       val measureCols = measures.map(m => compileExpr(m, f).as(m.identifier))
       val out =
         if (measures.isEmpty) f.df.select(groupCols: _*).distinct()
