@@ -2,37 +2,61 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.FloatVecDot
+import graft.expr.{CharNgramMin, FloatVecDot, MinHashSig}
 
-/** Session extension registering graft's native Catalyst expressions —
-  * currently `float_vec_dot` (codegen'd array<float> dot product; see
-  * FloatVecDot for why the HOF formulation isn't enough). Enable with
+/** Session extension registering graft's native Catalyst expressions:
+  * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
+  * (winnowing fingerprint), `minhash_sig` (MinHash signature) — each
+  * replaces a CodegenFallback higher-order-function hot loop with plain
+  * JVM code producing bit-identical values. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * imperatively via `GraftExtensions.install(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.floatVecDot)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val floatVecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("float_vec_dot"),
-    new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-    (args: Seq[Expression]) => {
-      require(args.length == 2, "float_vec_dot takes exactly 2 arguments")
-      FloatVecDot(args.head, args(1))
-    },
+  private type FnReg = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int parameter, got $other")
+  }
+
+  private val functions: Seq[FnReg] = Seq(
+    (FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_vec_dot takes exactly 2 arguments")
+        FloatVecDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("char_ngram_min"),
+      new ExpressionInfo(classOf[CharNgramMin].getName, "char_ngram_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "char_ngram_min takes exactly 2 arguments")
+        CharNgramMin(args.head, intLit(args(1), "char_ngram_min"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashSig(args.head, intLit(args(1), "minhash_sig"))
+      }),
   )
 
   /** Imperative registration for sessions built without the extensions
     * config (e.g. a caller-provided SparkSession). Idempotent. */
   def install(spark: SparkSession): Unit =
-    org.apache.spark.sql.GraftFunctionBridge.register(spark,
-      floatVecDot._1, floatVecDot._2, floatVecDot._3)
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftFunctionBridge.register(spark, id, info, builder)
+    }
 
-  /** True when `float_vec_dot` resolves in this session. */
+  /** True when the graft functions resolve in this session. */
   def installed(spark: SparkSession): Boolean =
     spark.catalog.functionExists("float_vec_dot")
 }

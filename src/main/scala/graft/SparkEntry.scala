@@ -679,9 +679,10 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
           df.where(F.col("doc_id") < 50)
             .select(F.col("doc_id"),
-              graft.llm.TextOps.charNgramFingerprint("text", 8).as("fp"))
+              F.expr("char_ngram_min(text, 8)").as("fp"))
         }
         .sort(col("doc_id"))
         .run(s)),

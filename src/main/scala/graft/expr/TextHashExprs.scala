@@ -1,0 +1,127 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup hot loops.
+  *
+  * The built-in formulations (`transform(sequence(...), i -> md5(...))`,
+  * nested `array_min(transform(...))`) are higher-order functions —
+  * CodegenFallback in Spark, so every window/shingle pays an interpreted
+  * lambda dispatch plus expression-tree evaluation. At millions of md5
+  * calls per partition that overhead dominates. These expressions evaluate
+  * the same loops in plain JVM code (thread-local MessageDigest, no
+  * per-element expression dispatch) and codegen to a static call.
+  *
+  * Hex output is identical to Spark's and DuckDB's `md5`, so the DuckDB
+  * oracles that replay the HOF formulations keep hash-matching exactly.
+  */
+object TextHash {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Min md5-hex over all character n-gram windows (whole-text md5 when
+    * shorter than n) — the winnowing fingerprint. */
+  def charNgramMin(text: UTF8String, n: Int): UTF8String = {
+    if (text == null) return null
+    val s = text.toString
+    if (s.length < n) return UTF8String.fromString(md5Hex(s))
+    var min: String = null
+    var i = 0
+    val last = s.length - n
+    while (i <= last) {
+      val h = md5Hex(s.substring(i, i + n))
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+
+  /** MinHash signature: element h (1-based) is the lexicographic min of
+    * md5(h || ':' || shingle) across the shingle array. */
+  def minhashSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    if (shingles == null) return null
+    val n = shingles.numElements()
+    val sig = new Array[Any](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      val prefix = (h + 1).toString + ":"
+      var min: String = null
+      var i = 0
+      while (i < n) {
+        val sh = shingles.getUTF8String(i)
+        if (sh != null) {
+          val hx = md5Hex(prefix + sh.toString)
+          if (min == null || hx.compareTo(min) < 0) min = hx
+        }
+        i += 1
+      }
+      sig(h) = if (min == null) null else UTF8String.fromString(min)
+      h += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `char_ngram_min(text, n)` — see [[TextHash.charNgramMin]]. */
+case class CharNgramMin(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_min expects (string, n>0), got ${child.dataType.simpleString}, n=$n")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "char_ngram_min"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.charNgramMin(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.TextHash.charNgramMin($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramMin =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles, numHashes)` — see [[TextHash.minhashSignature]]. */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects (array<string>, n>0), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.TextHash.minhashSignature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -56,6 +56,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
       "numHashes must be a multiple of rowsPerBand")
+    graft.GraftExtensions.install(docs.sparkSession)
     val numBands = numHashes / rowsPerBand
     val base = docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
@@ -69,7 +70,9 @@ object Dedup {
       // would write to storage)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base
-      .withColumn("__sig__", TextOps.minhashSignature("__sh__", numHashes))
+      // native expression (graft.expr.MinHashSig): the HOF formulation in
+      // TextOps.minhashSignature is value-identical but interpreted
+      .withColumn("__sig__", expr(s"minhash_sig(__sh__, $numHashes)"))
       .select(col("__id__"),
         posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
           .as(Seq("__band__", "__bh__")))
@@ -154,9 +157,12 @@ object Dedup {
       verifyNgram: Int = 3,
       threshold: Double = 0.7,
   ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
-      .withColumn("__fp__", TextOps.charNgramFingerprint("__text__", blockNgram))
+      // native winnowing fingerprint (graft.expr.CharNgramMin) — same
+      // values as TextOps.charNgramFingerprint, no interpreted HOF loop
+      .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)"))
       .withColumn("__sh__", TextOps.charShingles("__text__", verifyNgram))
       .select(col("__id__"), col("__fp__"), col("__sh__"))
       // both self-join sides read the fingerprint+shingle frame — hash once

@@ -110,6 +110,28 @@ class LlmSpec extends GraftSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("native char_ngram_min / minhash_sig match the HOF formulations") {
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    val d = Seq("the quick brown fox jumps over the lazy dog", "tiny", "")
+      .toDF("text")
+    val fp = d.select(
+      expr("char_ngram_min(text, 8)").as("native"),
+      TextOps.charNgramFingerprint("text", 8).as("hof")).collect()
+    fp.foreach(r => assert(r.getString(0) === r.getString(1)))
+    val withSh = d.withColumn("__toks__", TextOps.tokens(sc("text")))
+      .where(org.apache.spark.sql.functions.size(sc("__toks__")) >= 3)
+      .withColumn("__sh__",
+        org.apache.spark.sql.functions.array_distinct(
+          TextOps.wordShingles("__toks__", 3)))
+    val sigs = withSh.select(
+      expr("minhash_sig(__sh__, 8)").as("native"),
+      TextOps.minhashSignature("__sh__", 8).as("hof")).collect()
+    sigs.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("native float_vec_dot matches the HOF fold bit-for-bit") {
     graft.GraftExtensions.install(spark)
     assert(graft.GraftExtensions.installed(spark))
