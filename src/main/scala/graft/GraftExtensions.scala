@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CharNgramMin, FloatVecDot, MinHashSig}
+import graft.expr.{CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, SimhashBigrams}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -46,6 +46,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig takes exactly 2 arguments")
         MinHashSig(args.head, intLit(args(1), "minhash_sig"))
+      }),
+    (FunctionIdentifier("char_ngram_jaccard"),
+      new ExpressionInfo(classOf[CharNgramJaccard].getName, "char_ngram_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "char_ngram_jaccard takes exactly 3 arguments")
+        CharNgramJaccard(args.head, args(1), intLit(args(2), "char_ngram_jaccard"))
+      }),
+    (FunctionIdentifier("simhash_bigrams"),
+      new ExpressionInfo(classOf[SimhashBigrams].getName, "simhash_bigrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_bigrams takes exactly 1 argument")
+        SimhashBigrams(args.head)
       }),
   )
 

@@ -42,6 +42,9 @@ object TextHash {
     new String(out)
   }
 
+  /** First 8 hex digits of md5 (the portable 32-bit token hash). */
+  def md5Hex8(s: String): String = md5Hex(s).substring(0, 8)
+
   /** Min md5-hex over all character n-gram windows (whole-text md5 when
     * shorter than n) — the winnowing fingerprint. */
   def charNgramMin(text: UTF8String, n: Int): UTF8String = {
@@ -85,6 +88,70 @@ object TextHash {
   }
 }
 
+object TextHashMore {
+  /** Jaccard similarity of the distinct character n-gram sets of two
+    * strings (same sets as TextOps.charShingles → array_intersect /
+    * array_union, computed directly from the strings so the pipeline never
+    * materializes shingle arrays). */
+  def charNgramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    def grams(u: UTF8String): java.util.HashSet[String] = {
+      val s = u.toString
+      val set = new java.util.HashSet[String]()
+      if (s.length < n) { set.add(s); set }
+      else {
+        var i = 0
+        val last = s.length - n
+        while (i <= last) { set.add(s.substring(i, i + n)); i += 1 }
+        set
+      }
+    }
+    val ga = grams(a)
+    val gb = grams(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val union = ga.size + gb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** 32-bit SimHash over the DISTINCT word bigrams of a token array —
+    * fuses TextOps.wordShingles(2) + array_distinct + hashedTokens +
+    * simhash32 into one pass. Hash per bigram = first 8 md5-hex digits
+    * parsed as a long (identical to the CAST(conv(substring(md5(..),1,8),
+    * 16,10) AS bigint) formulation); bit b of the fingerprint is the
+    * majority vote (ties → 0). */
+  def simhashBigrams(toks: ArrayData): Long = {
+    if (toks == null) return 0L
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n - 1) {
+      val a = toks.getUTF8String(i)
+      val b = toks.getUTF8String(i + 1)
+      if (a != null && b != null) {
+        val bigram = a.toString + " " + b.toString
+        if (seen.add(bigram)) {
+          val h = java.lang.Long.parseLong(TextHash.md5Hex8(bigram), 16)
+          var bit = 0
+          while (bit < 32) {
+            if (((h >> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (counts(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+}
+
 /** `char_ngram_min(text, n)` — see [[TextHash.charNgramMin]]. */
 case class CharNgramMin(child: Expression, n: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -102,6 +169,50 @@ case class CharNgramMin(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expr.TextHash.charNgramMin($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramMin =
+    copy(child = newChild)
+}
+
+/** `char_ngram_jaccard(a, b, n)` — see [[TextHashMore.charNgramJaccard]]. */
+case class CharNgramJaccard(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && n > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_jaccard expects (string, string, n>0)")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_ngram_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashMore.charNgramJaccard(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.TextHashMore.charNgramJaccard($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash_bigrams(tokens)` — see [[TextHashMore.simhashBigrams]]. */
+case class SimhashBigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_bigrams expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.simhashBigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHashMore.simhashBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBigrams =
     copy(child = newChild)
 }
 

@@ -111,13 +111,14 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
   ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
       .withColumn("__toks__", TextOps.tokens(col("__text__")))
       .where(size(col("__toks__")) >= 2)
-      .withColumn("__big__", array_distinct(TextOps.wordShingles("__toks__", 2)))
-      .withColumn("__th__", TextOps.hashedTokens("__big__"))
-      .withColumn("__fp__", TextOps.simhash32("__th__"))
+      // native fused bigram-simhash (graft.expr.SimhashBigrams) — value-
+      // identical to the wordShingles→hashedTokens→simhash32 HOF chain
+      .withColumn("__fp__", expr("simhash_bigrams(__toks__)"))
       .select(col("__id__"), col("__fp__"))
       // both band-join sides read the fingerprints — hash once
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -163,18 +164,16 @@ object Dedup {
       // native winnowing fingerprint (graft.expr.CharNgramMin) — same
       // values as TextOps.charNgramFingerprint, no interpreted HOF loop
       .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)"))
-      .withColumn("__sh__", TextOps.charShingles("__text__", verifyNgram))
-      .select(col("__id__"), col("__fp__"), col("__sh__"))
-      // both self-join sides read the fingerprint+shingle frame — hash once
+      // both self-join sides read the fingerprint frame — hash once
       .persist(StorageLevel.MEMORY_AND_DISK)
     base.as("a")
       .join(base.as("b"),
         col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))
+      // per-pair native verify (graft.expr.CharNgramJaccard): same distinct
+      // n-gram sets as charShingles + array_intersect/union, but computed
+      // straight from the two strings — no shingle arrays materialized
       .withColumn("jaccard",
-        round(
-          size(array_intersect(col("a.__sh__"), col("b.__sh__"))) /
-            size(array_union(col("a.__sh__"), col("b.__sh__"))),
-          6))
+        round(expr(s"char_ngram_jaccard(a.__text__, b.__text__, $verifyNgram)"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
         col("jaccard"))
