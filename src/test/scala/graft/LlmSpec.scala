@@ -132,6 +132,26 @@ class LlmSpec extends GraftSuite {
     sigs.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("native simhash_bigrams matches the composed HOF chain") {
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{expr, size}
+    val d = Seq(
+      "alpha beta gamma delta epsilon zeta", "alpha beta", "x y x y x y")
+      .toDF("text")
+      .withColumn("__toks__", TextOps.tokens(sc("text")))
+      .where(size(sc("__toks__")) >= 2)
+      .withColumn("__big__",
+        org.apache.spark.sql.functions.array_distinct(
+          TextOps.wordShingles("__toks__", 2)))
+      .withColumn("__th__", TextOps.hashedTokens("__big__"))
+    val out = d.select(
+      expr("simhash_bigrams(__toks__)").as("native"),
+      TextOps.simhash32("__th__").as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native float_vec_dot matches the HOF fold bit-for-bit") {
     graft.GraftExtensions.install(spark)
     assert(graft.GraftExtensions.installed(spark))
