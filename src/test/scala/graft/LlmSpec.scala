@@ -121,6 +121,18 @@ class LlmSpec extends GraftSuite {
       expr("char_ngram_min(text, 8)").as("native"),
       TextOps.charNgramFingerprint("text", 8).as("hof")).collect()
     fp.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // per-pair native jaccard == set arithmetic over charShingles
+    val pair = Seq(("abcdefg", "abcdxyz")).toDF("a", "b")
+      .withColumn("__sa__", TextOps.charShingles("a", 3))
+      .withColumn("__sb__", TextOps.charShingles("b", 3))
+    val jr = pair.select(
+      expr("char_ngram_jaccard(a, b, 3)").as("native"),
+      (org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(sc("__sa__"), sc("__sb__"))) /
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_union(sc("__sa__"), sc("__sb__"))))
+        .as("hof")).collect().head
+    assert(jr.getDouble(0) === jr.getDouble(1))
     val withSh = d.withColumn("__toks__", TextOps.tokens(sc("text")))
       .where(org.apache.spark.sql.functions.size(sc("__toks__")) >= 3)
       .withColumn("__sh__",
