@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, SimhashBigrams}
+import graft.expr.{CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -58,6 +58,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_bigrams takes exactly 1 argument")
         SimhashBigrams(args.head)
+      }),
+    (FunctionIdentifier("minhash_sig_words"),
+      new ExpressionInfo(classOf[MinHashSigWords].getName, "minhash_sig_words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_sig_words takes exactly 3 arguments")
+        MinHashSigWords(args.head, intLit(args(1), "minhash_sig_words"),
+          intLit(args(2), "minhash_sig_words"))
+      }),
+    (FunctionIdentifier("word_ngram_jaccard"),
+      new ExpressionInfo(classOf[WordNgramJaccard].getName, "word_ngram_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "word_ngram_jaccard takes exactly 3 arguments")
+        WordNgramJaccard(args.head, args(1), intLit(args(2), "word_ngram_jaccard"))
       }),
   )
 

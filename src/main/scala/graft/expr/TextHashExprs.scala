@@ -28,7 +28,7 @@ object TextHash {
   }
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(s: String): String = {
+  private[expr] def md5Hex(s: String): String = {
     val d = digest.get()
     d.reset()
     val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -107,6 +107,61 @@ object TextHashMore {
     }
     val ga = grams(a)
     val gb = grams(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val union = ga.size + gb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  private def wordShingleSet(
+      toks: ArrayData, n: Int): java.util.LinkedHashSet[String] = {
+    val set = new java.util.LinkedHashSet[String]()
+    val cnt = toks.numElements()
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + n <= cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  /** MinHash signature over the distinct word n-gram shingles of a token
+    * array — fuses wordShingles + array_distinct + minhashSignature into
+    * one pass (identical values: min is order-insensitive). */
+  def minhashSigWords(toks: ArrayData, n: Int, numHashes: Int): ArrayData = {
+    if (toks == null) return null
+    val shingles = wordShingleSet(toks, n)
+    val sig = new Array[Any](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      val prefix = (h + 1).toString + ":"
+      var min: String = null
+      val it = shingles.iterator()
+      while (it.hasNext) {
+        val hx = TextHash.md5Hex(prefix + it.next())
+        if (min == null || hx.compareTo(min) < 0) min = hx
+      }
+      sig(h) = if (min == null) null else UTF8String.fromString(min)
+      h += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Jaccard similarity of the distinct word n-gram shingle sets of two
+    * token arrays (same sets as wordShingles + array_distinct, same ratio
+    * as array_intersect/array_union sizes). */
+  def wordNgramJaccard(a: ArrayData, b: ArrayData, n: Int): Double = {
+    val ga = wordShingleSet(a, n)
+    val gb = wordShingleSet(b, n)
     var inter = 0
     val it = ga.iterator()
     while (it.hasNext) if (gb.contains(it.next())) inter += 1
@@ -193,6 +248,57 @@ case class CharNgramJaccard(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CharNgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig_words(tokens, shingleSize, numHashes)` —
+  * see [[TextHashMore.minhashSigWords]]. */
+case class MinHashSigWords(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 && numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_words expects (array<string>, n>0, h>0), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig_words"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.minhashSigWords(input.asInstanceOf[ArrayData], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.TextHashMore.minhashSigWords($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigWords =
+    copy(child = newChild)
+}
+
+/** `word_ngram_jaccard(aToks, bToks, n)` —
+  * see [[TextHashMore.wordNgramJaccard]]. */
+case class WordNgramJaccard(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if n > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_jaccard expects (array<string>, array<string>, n>0), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "word_ngram_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashMore.wordNgramJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expr.TextHashMore.wordNgramJaccard($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgramJaccard =
     copy(left = newLeft, right = newRight)
 }
 

@@ -58,21 +58,22 @@ object Dedup {
       "numHashes must be a multiple of rowsPerBand")
     graft.GraftExtensions.install(docs.sparkSession)
     val numBands = numHashes / rowsPerBand
+    // the token frame feeds both band-join sides AND the verification
+    // joins — persist so tokenization runs once (the materialize-features-
+    // first phase a production pipeline would write to storage). Shingling
+    // + signatures run as fused native expressions (graft.expr
+    // .MinHashSigWords / WordNgramJaccard — value-identical to the
+    // wordShingles/array_distinct/minhashSignature HOF chain, which is
+    // CodegenFallback and interpreted per element).
     val base = docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
       .withColumn("__toks__", TextOps.tokens(col("__text__")))
       .where(size(col("__toks__")) >= shingleSize)
-      .withColumn("__sh__",
-        array_distinct(TextOps.wordShingles("__toks__", shingleSize)))
-      // the shingle/signature frame feeds both band-join sides AND the
-      // verification joins — persist so the expensive per-doc hashing runs
-      // once (the materialize-features-first phase a production pipeline
-      // would write to storage)
+      .select(col("__id__"), col("__toks__"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base
-      // native expression (graft.expr.MinHashSig): the HOF formulation in
-      // TextOps.minhashSignature is value-identical but interpreted
-      .withColumn("__sig__", expr(s"minhash_sig(__sh__, $numHashes)"))
+      .withColumn("__sig__",
+        expr(s"minhash_sig_words(__toks__, $shingleSize, $numHashes)"))
       .select(col("__id__"),
         posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
           .as(Seq("__band__", "__bh__")))
@@ -83,15 +84,11 @@ object Dedup {
           col("a.__id__") < col("b.__id__"))
       .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"))
       .distinct()
-    val sh = base.select(col("__id__"), col("__sh__"))
     cand
-      .join(sh.as("x"), col("doc_a") === col("x.__id__"))
-      .join(sh.as("y"), col("doc_b") === col("y.__id__"))
+      .join(base.as("x"), col("doc_a") === col("x.__id__"))
+      .join(base.as("y"), col("doc_b") === col("y.__id__"))
       .withColumn("jaccard",
-        round(
-          size(array_intersect(col("x.__sh__"), col("y.__sh__"))) /
-            size(array_union(col("x.__sh__"), col("y.__sh__"))),
-          6))
+        round(expr(s"word_ngram_jaccard(x.__toks__, y.__toks__, $shingleSize)"), 6))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

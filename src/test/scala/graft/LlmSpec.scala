@@ -140,8 +140,20 @@ class LlmSpec extends GraftSuite {
           TextOps.wordShingles("__toks__", 3)))
     val sigs = withSh.select(
       expr("minhash_sig(__sh__, 8)").as("native"),
-      TextOps.minhashSignature("__sh__", 8).as("hof")).collect()
-    sigs.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+      TextOps.minhashSignature("__sh__", 8).as("hof"),
+      expr("minhash_sig_words(__toks__, 3, 8)").as("fused")).collect()
+    sigs.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](2) === r.getSeq[String](1))
+    }
+    // word-ngram jaccard: native per-pair == set arithmetic over shingles
+    val p = Seq(("a b c d e", "a b c x y")).toDF("l", "r")
+      .withColumn("__tl__", TextOps.tokens(sc("l")))
+      .withColumn("__tr__", TextOps.tokens(sc("r")))
+    val wj = p.select(expr("word_ngram_jaccard(__tl__, __tr__, 3)"))
+      .collect().head.getDouble(0)
+    // shingles: {a b c, b c d, c d e} vs {a b c, b c x, c x y} -> 1/5
+    assert(math.abs(wj - 0.2) < 1e-12)
   }
 
   test("native simhash_bigrams matches the composed HOF chain") {
