@@ -195,6 +195,9 @@ class LlmSpec extends GraftSuite {
     val two = Seq((Array(1.5f, -2f, 3f), Array(4f, 0.5f, 2f))).toDF("a", "b")
     val d = two.select(Embeddings.dot("a", "b")).collect().head.getDouble(0)
     assert(math.abs(d - (1.5 * 4 + -2 * 0.5 + 3 * 2)) < 1e-12)
+    // cosine helper: self-similarity is exactly 1 up to fp error
+    val c = two.select(Embeddings.cosine("a", "a")).collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
   }
 
   test("multimodal decode: batched stub extracts typed metadata") {
