@@ -564,6 +564,29 @@ object SparkEntry {
         .sort(col("doc_a")).sort(col("doc_b"))
         .run(s)),
 
+    // --- transitive near-dup clustering (connected components over the
+    //     verified MinHash pairs; keep-one-per-cluster labeling) ---
+    "q_dedup_clusters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          val pairs = graft.llm.Dedup.minhashPairs(df, "doc_id", "text")
+          graft.llm.Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- deterministic hash sampling (repeatable corpus subsetting) ---
+    "q_sample_hash" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(graft.llm.TextOps.hashSample(F.col("text"), 25.0))
+            .groupBy(F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- embedding-cosine near-dup pairs within sign-LSH buckets ---
     "q_dedup_embed" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -984,29 +1007,28 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
 
     "q_dedup_minhash" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-         ), sh AS (
-           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
-           FROM toks WHERE len(w) >= 3
-         ), sig AS (
-           SELECT doc_id, sh, list_transform(range(1, 9),
-                    h -> list_min(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))))) AS sig
-           FROM sh
-         ), band AS (
-           SELECT doc_id, b, md5(array_to_string(sig[(b-1)*2+1:(b-1)*2+2], '|')) AS bh
-           FROM sig, range(1, 5) AS r(b)
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-           FROM band a JOIN band c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+      (MinhashPairsCtes +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
+    "q_dedup_clusters" ->
+      (MinhashPairsCtes +
+        """, nodes AS (
+           SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+         ), reach AS (
+           SELECT id AS src, id AS dst FROM nodes
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
          )
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT doc_a, doc_b,
-                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
-           FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) t
-         WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+         SELECT src AS doc_id, min(dst) AS cluster_id
+         FROM reach GROUP BY 1 ORDER BY 1"""),
+
+    "q_sample_hash" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) < 1073741824
+         GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_simhash" ->
       """WITH toks AS (
@@ -1184,6 +1206,37 @@ object SparkEntry {
            sha256(text) AS sha
          FROM documents WHERE lang = 'en' AND doc_id < 100 ORDER BY doc_id""",
   )
+
+  /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
+    * (word-3-gram shingles, 8-hash string-min signature, 4×2 bands,
+    * band-join candidates, exact-Jaccard verify at 0.8). `RECURSIVE` so
+    * q_dedup_clusters can append a recursive closure CTE. */
+  private val MinhashPairsCtes: String =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+         FROM toks WHERE len(w) >= 3
+       ), sig AS (
+         SELECT doc_id, sh, list_transform(range(1, 9),
+                  h -> list_min(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))))) AS sig
+         FROM sh
+       ), band AS (
+         SELECT doc_id, b, md5(array_to_string(sig[(b-1)*2+1:(b-1)*2+2], '|')) AS bh
+         FROM sig, range(1, 5) AS r(b)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM band a JOIN band c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+       ), pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) t
+         WHERE jaccard >= 0.8
+       )
+    """
 
   /** DuckDB inline expression builders for the embedding oracles: an
     * explicit left-fold dot product in double precision (bit-identical to

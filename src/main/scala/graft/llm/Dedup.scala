@@ -137,6 +137,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Transitive closure of near-dup pairs into clusters: label every
+    * involved document with the minimum doc id of its connected component
+    * (the "keep one representative per duplicate cluster" step that
+    * follows any pairwise near-dup detector — pairs alone over-delete when
+    * duplicates chain A~B~C).
+    *
+    * Algorithm: iterative min-label propagation over the undirected edge
+    * list — each round joins labels to edges and takes the per-node min of
+    * (own label, neighbor labels) until a fixpoint. Rounds needed = graph
+    * diameter (near-dup clusters are tiny); each round is two hash
+    * joins/aggregates, fully distributed. The driver-side loop/convergence
+    * check is inherent to iterative graph algorithms (at extreme scale
+    * swap in large-star/small-star, same join shapes). */
+  def clusterPairs(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIterations: Int = 20,
+  ): DataFrame = {
+    // pairs is typically an expensive detector output and is read twice
+    // (both edge directions) — materialize it once
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col(aCol).as("__src__"), col(bCol).as("__dst__"))
+      .union(p.select(col(bCol).as("__src__"), col(aCol).as("__dst__")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("__src__").as("__id__")).distinct()
+      .withColumn("__lbl__", col("__id__"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val propagated = edges
+        .join(labels, col("__src__") === col("__id__"))
+        .groupBy(col("__dst__"))
+        .agg(min(col("__lbl__")).as("__nlbl__"))
+      val next = labels
+        .join(propagated, col("__id__") === col("__dst__"), "left_outer")
+        .select(col("__id__"),
+          least(col("__lbl__"), coalesce(col("__nlbl__"), col("__lbl__")))
+            .as("__lbl__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.__id__") === col("o.__id__"))
+        .where(col("n.__lbl__") =!= col("o.__lbl__"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("__id__").as("doc_id"), col("__lbl__").as("cluster_id"))
+  }
+
   /** Character n-gram Jaccard near-duplicates with fingerprint blocking:
     * candidates share their winnowing fingerprint (min md5 of char
     * `blockNgram`-gram windows — TextOps.charNgramFingerprint), then exact

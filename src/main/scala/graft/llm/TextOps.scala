@@ -98,6 +98,18 @@ object TextOps {
                             i -> substring($textCol, i, $n)))
         ELSE array($textCol) END""")
 
+  /** Deterministic hash sampling: keep a row iff the md5 of its key lands
+    * in the first `percent` of the hash space (first 8 hex digits as an
+    * unsigned 32-bit value). Stable across runs/engines and cluster
+    * topology — the correct way to sample a 100 TB corpus repeatably
+    * (unlike `sample()`, which depends on partitioning and seed plumbing). */
+  def hashSample(keyCol: Column, percent: Double): Column = {
+    require(percent > 0 && percent <= 100, "percent must be in (0, 100]")
+    val cutoff = (percent / 100.0 * 4294967296.0).toLong
+    conv(substring(md5(keyCol.cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") < cutoff
+  }
+
   // ---------------- language ID + quality ----------------
 
   /** Tiny per-language function-word profiles for the n-gram/stopword

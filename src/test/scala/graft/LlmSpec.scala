@@ -225,6 +225,28 @@ class LlmSpec extends GraftSuite {
     assert(metas.count(_.isNullAt(0)) === 1)
   }
 
+  test("clusterPairs computes transitive near-dup components") {
+    val s = spark
+    import s.implicits._
+    // chain 1~2~3 plus isolated pair 7~9: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val s = spark
+    import s.implicits._
+    val df = spark.range(2000).toDF("id")
+      .withColumn("key", sc("id").cast("string"))
+    val n1 = df.where(TextOps.hashSample(sc("key"), 25.0)).count()
+    val n2 = df.where(TextOps.hashSample(sc("key"), 25.0)).count()
+    assert(n1 === n2) // repeatable
+    assert(n1 > 2000 * 0.15 && n1 < 2000 * 0.35) // ~25%
+  }
+
   test("word shingles guard short documents") {
     val s = spark
     import s.implicits._
