@@ -595,6 +595,20 @@ object SparkEntry {
         .sort(col("vec_a")).sort(col("vec_b"))
         .run(s)),
 
+    // --- int8 embedding quantization: reconstruction-error stats ---
+    "q_embed_quant" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Embeddings.quantize8(df, "embedding", "q8")
+            .groupBy(F.col("label"))
+            .agg(
+              F.count(F.lit(1)).as("n"),
+              F.round(F.max(F.col("q8_max_err")), 6).as("max_err"))
+        }
+        .sort(col("label"))
+        .run(s)),
+
     // --- brute-force cosine top-k (correctness baseline for ANN) ---
     "q_ann_brute" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -1085,6 +1099,22 @@ object SparkEntry {
            FROM bkt a JOIN bkt c ON a.bkt = c.bkt AND a.vec_id < c.vec_id) t
          WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""),
 
+    "q_embed_quant" ->
+      """SELECT label, count(*) AS n, round(max(err), 6) AS max_err FROM (
+           SELECT label,
+             list_reduce(list_transform(range(1, 65),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] / scale)),
+               (a, b) -> greatest(a, b)) AS err
+           FROM (
+             SELECT label, embedding,
+               127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                                   (a, b) -> greatest(a, b)) AS scale,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) *
+                        (127.0 / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                                             (a, b) -> greatest(a, b))) + 0.5) AS INT)) AS q
+             FROM embeddings) t1) t2
+         GROUP BY 1 ORDER BY 1""",
     "q_ann_brute" ->
       (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, cosine FROM (

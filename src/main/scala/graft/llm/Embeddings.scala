@@ -153,6 +153,27 @@ object Embeddings {
         col("rank"))
   }
 
+  /** Per-vector symmetric int8 quantization (the standard storage/transfer
+    * compression for embedding columns at corpus scale: 4× smaller than
+    * float32). scale = 127/max|x| per vector; values round half-up via the
+    * engine-portable floor(x*scale + 0.5). Adds `<out>` (array<int> codes),
+    * `<out>_scale`, and `<out>_max_err` (max reconstruction error —
+    * order-independent, so deterministic across partitionings). */
+  def quantize8(emb: DataFrame, vecCol: String, out: String): DataFrame =
+    emb
+      .withColumn(s"${out}_maxabs",
+        expr(s"""aggregate($vecCol, cast(0 AS double),
+            (acc, x) -> greatest(acc, abs(cast(x AS double))))"""))
+      .withColumn(s"${out}_scale", lit(127.0) / col(s"${out}_maxabs"))
+      .withColumn(out,
+        expr(s"""transform($vecCol,
+            x -> CAST(floor(cast(x AS double) * ${out}_scale + 0.5D) AS int))"""))
+      .withColumn(s"${out}_max_err",
+        expr(s"""aggregate(zip_with($vecCol, $out,
+            (x, q) -> abs(cast(x AS double) - q / ${out}_scale)),
+            cast(0 AS double), (acc, v) -> greatest(acc, v))"""))
+      .drop(s"${out}_maxabs")
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join for
     * candidates (within-bucket only), cosine ≥ threshold verifies. */
   def nearDupPairs(
