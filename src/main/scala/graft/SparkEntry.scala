@@ -518,6 +518,15 @@ object SparkEntry {
           partitionStartEvents = Seq(col("ts").byMonth.named("month")))
         .run(s)),
 
+    // --- funnel grouped by partition_matches (cohort attribute of the
+    //     matched model — reference model.py:548,689-692) ---
+    "q_funnel_cohort" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+        .funnel(Seq[graft.model.StepSpec]("view", "click", "purchase"),
+          partitionMatches = Seq((col("user_id") floorDiv lit(50L)).named("cohort")))
+        .run(s)),
+
     // --- funnel_conversion_rate ---
     "q_funnel_rate" -> ((s, dir) =>
       m(dir, "events")
@@ -1000,6 +1009,18 @@ object SparkEntry {
                 count(t2) AS convertedCount,
                 avg(floor(epoch(t2)) - floor(epoch(t0))) AS avgSecondsToConvert
          FROM j"""),
+    "q_funnel_cohort" -> (FunnelCtes +
+      """, j AS (
+           SELECT u.user_id, CAST(u.user_id // 50 AS BIGINT) AS cohort,
+                  s0.t0, s1.t1, s2.t2
+           FROM (SELECT DISTINCT user_id FROM events) u
+           LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id))
+         SELECT cohort, step, entities FROM (
+           SELECT cohort, 'view' AS step, count(t0) AS entities, 0 AS si FROM j GROUP BY 1
+           UNION ALL SELECT cohort, 'click', count(t1), 1 FROM j GROUP BY 1
+           UNION ALL SELECT cohort, 'purchase', count(t2), 2 FROM j GROUP BY 1
+         ) t ORDER BY cohort, si"""),
     "q_funnel_time_limit_month" -> (FunnelCtes +
       """, j AS (
            SELECT s0.user_id, s0.t0,
