@@ -534,6 +534,14 @@ object SparkEntry {
         .funnelConversionRate(Seq[graft.model.StepSpec]("view", "click", "purchase"))
         .run(s)),
 
+    // --- conversion rate per cohort (partition_matches) ---
+    "q_funnel_rate_cohort" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+        .funnelConversionRate(Seq[graft.model.StepSpec]("view", "click", "purchase"),
+          partitionMatches = Seq((col("user_id") floorDiv lit(50L)).named("cohort")))
+        .run(s)),
+
     // --- funnel with calendar-unit time limit (cutoff = step0 + INTERVAL
     //     1 MONTH, calendar-aware — not 30-day seconds) ---
     "q_funnel_time_limit_month" -> ((s, dir) =>
@@ -1009,6 +1017,17 @@ object SparkEntry {
                 count(t2) AS convertedCount,
                 avg(floor(epoch(t2)) - floor(epoch(t0))) AS avgSecondsToConvert
          FROM j"""),
+    "q_funnel_rate_cohort" -> (FunnelCtes +
+      """, j AS (
+           SELECT s0.user_id, CAST(s0.user_id // 50 AS BIGINT) AS cohort,
+                  s0.t0, s1.t1, s2.t2
+           FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id))
+         SELECT cohort,
+                count(t2) / count(t0) AS rate,
+                count(t0) AS startedCount,
+                count(t2) AS convertedCount,
+                avg(floor(epoch(t2)) - floor(epoch(t0))) AS avgSecondsToConvert
+         FROM j GROUP BY 1 ORDER BY 1"""),
     "q_funnel_cohort" -> (FunnelCtes +
       """, j AS (
            SELECT u.user_id, CAST(u.user_id // 50 AS BIGINT) AS cohort,
