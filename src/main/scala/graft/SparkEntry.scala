@@ -108,6 +108,31 @@ object SparkEntry {
         .sort(col("month")).sort(col("week"))
         .run(s)),
 
+    // --- fine-grained granularities (hour/minute/second truncation) ---
+    "q_granularity_fine" -> ((s, dir) =>
+      m(dir, "events")
+        .filter(col("event_id") < lit(500L))
+        .aggregate(
+          groups = Seq(
+            col("ts").byHour.named("hour"),
+            col("ts").byMinute.named("minute"),
+            col("ts").bySecond.named("second")),
+          measures = Seq(count().named("n")))
+        .sort(col("hour")).sort(col("minute")).sort(col("second"))
+        .run(s)),
+
+    // --- explicit NULLS FIRST / NULLS LAST sort directions ---
+    "q_sort_nulls" -> ((s, dir) =>
+      m(dir, "orders")
+        .filter(col("o_orderkey") <= lit(200L))
+        .pick(
+          col("o_orderkey"),
+          cases(Seq((col("o_orderstatus") === lit("P")) -> lit(null)),
+            col("o_orderstatus")).named("status_or_null"))
+        .sort(col("status_or_null"), dir = "desc", nulls = "first")
+        .sort(col("o_orderkey"))
+        .run(s)),
+
     // --- JoinOneSource: lazy LEFT join through a named relation ---
     "q_join_one" -> ((s, dir) => {
       val customer = m(dir, "customer").withPrimaryKey(col("c_custkey"))
@@ -793,6 +818,18 @@ object SparkEntry {
                 date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
                 count(*) AS n
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_granularity_fine" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+                date_trunc('minute', ts) AS minute,
+                date_trunc('second', ts) AS second,
+                count(*) AS n
+         FROM events WHERE event_id < 500
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_sort_nulls" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_or_null
+         FROM orders WHERE o_orderkey <= 200
+         ORDER BY status_or_null DESC NULLS FIRST, o_orderkey""",
     "q_join_one" ->
       """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
