@@ -194,6 +194,19 @@ object SparkEntry {
         .sort(col("bal_bucket"))
         .run(s)),
 
+    // --- named measure definitions referenced via msr() (model.py:265-279:
+    //     measures are definitions only until an aggregate references them) ---
+    "q_measures" -> ((s, dir) => {
+      val orders = m(dir, "orders").withMeasures(
+        moneySum(col("o_totalprice")).named("revenue"),
+        countIf(col("o_orderstatus") === lit("F")).named("n_fulfilled"))
+      orders.aggregate(
+        groups = Seq(col("o_orderpriority")),
+        measures = Seq(orders.msr("revenue"), orders.msr("n_fulfilled")))
+        .sort(col("o_orderpriority"))
+        .run(s)
+    }),
+
     // --- count_if / distinct / count(x) ---
     "q_count_if" -> ((s, dir) =>
       m(dir, "orders")
@@ -852,6 +865,11 @@ object SparkEntry {
                      WHEN c_acctbal < 5000.0 THEN 'low'
                      ELSE 'high' END AS bal_bucket, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_measures" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_count_if" ->
       """SELECT o_orderpriority,
                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
