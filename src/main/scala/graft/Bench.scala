@@ -27,6 +27,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally llm.CacheScope.global.release() // each query re-caches its own
+                                              // frames inside its timed run
       (System.nanoTime() - t0) / 1e9
     }
 

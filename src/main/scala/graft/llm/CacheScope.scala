@@ -1,0 +1,52 @@
+package graft.llm
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracks the frames an llm operator persists so a long-lived session can
+  * release them once the operator's output has been consumed. The dedup /
+  * ANN detectors persist their feature frames (tokenized shingles, LSH
+  * buckets, centroid assignments) because both sides of a self-join read
+  * them; those persists must outlive the RETURNED lazy DataFrame, so the
+  * operator itself can never unpersist them. Callers that embed the
+  * operators in a long-lived session pass a scope and call [[release]]
+  * after materializing results; one-shot drivers can use [[CacheScope.global]]
+  * (the session-lifetime default).
+  */
+final class CacheScope {
+  private val frames = ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later release.
+    * Idempotent per frame: re-registering an already-tracked frame is a
+    * no-op persist (Spark warns), so operators persist exactly once. */
+  def cache(df: DataFrame): DataFrame = {
+    frames += df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every tracked frame (non-blocking) and forget them. Safe to
+    * call repeatedly; only frames cached since the last release are
+    * touched. */
+  def release(): Unit = {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
+object CacheScope {
+  /** Session-lifetime scope for one-shot drivers (verify/bench mains call
+    * `release()` between queries to keep executor storage bounded). */
+  val global = new CacheScope
+
+  /** Run `f` with a fresh scope and release its persists afterwards. Only
+    * correct when `f` MATERIALIZES everything it needs (collect/write)
+    * before returning — a lazy DataFrame escaping the scope would silently
+    * recompute its unpersisted inputs. */
+  def withScope[A](f: CacheScope => A): A = {
+    val scope = new CacheScope
+    try f(scope)
+    finally scope.release()
+  }
+}

@@ -53,6 +53,7 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.8,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
       "numHashes must be a multiple of rowsPerBand")
@@ -65,12 +66,11 @@ object Dedup {
     // .MinHashSigWords / WordNgramJaccard — value-identical to the
     // wordShingles/array_distinct/minhashSignature HOF chain, which is
     // CodegenFallback and interpreted per element).
-    val base = docs
+    val base = scope.cache(docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
       .withColumn("__toks__", TextOps.tokens(col("__text__")))
       .where(size(col("__toks__")) >= shingleSize)
-      .select(col("__id__"), col("__toks__"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("__id__"), col("__toks__")))
     val banded = base
       .withColumn("__sig__",
         expr(s"minhash_sig_words(__toks__, $shingleSize, $numHashes)"))
@@ -107,18 +107,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
-    val base = docs
+    val base = scope.cache(docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
       .withColumn("__toks__", TextOps.tokens(col("__text__")))
       .where(size(col("__toks__")) >= 2)
       // native fused bigram-simhash (graft.expr.SimhashBigrams) — value-
       // identical to the wordShingles→hashedTokens→simhash32 HOF chain
       .withColumn("__fp__", expr("simhash_bigrams(__toks__)"))
-      .select(col("__id__"), col("__fp__"))
       // both band-join sides read the fingerprints — hash once
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("__id__"), col("__fp__")))
     val banded = base.select(col("__id__"), col("__fp__"),
       posexplode(expr(
         "transform(sequence(0, 3), j -> (__fp__ >> (8 * j)) & 255)"))
@@ -147,9 +147,22 @@ object Dedup {
     * list — each round joins labels to edges and takes the per-node min of
     * (own label, neighbor labels) until a fixpoint. Rounds needed = graph
     * diameter (near-dup clusters are tiny); each round is two hash
-    * joins/aggregates, fully distributed. The driver-side loop/convergence
-    * check is inherent to iterative graph algorithms (at extreme scale
-    * swap in large-star/small-star, same join shapes). */
+    * joins/aggregates, fully distributed.
+    *
+    * Loop hygiene (the scale-critical part of an iterative Spark job):
+    *   - ONE action per round: the change count rides along as a 0/1
+    *     column on the new label frame, so the same aggregate job that
+    *     materializes the round's cache also decides convergence — no
+    *     second labels⋈labels comparison join.
+    *   - `localCheckpoint` every 3 rounds truncates the logical plan, so
+    *     analysis/planning stays O(1) per round instead of compounding by
+    *     two joins each iteration.
+    *   - every superseded frame is unpersisted; the RESULT is
+    *     `localCheckpoint`ed (self-contained partitions), which lets the
+    *     internal pair/edge/label caches be dropped before returning.
+    * At extreme scale swap min-label for large-star/small-star (same join
+    * shapes, fewer rounds on high-diameter graphs); near-dup clusters have
+    * tiny diameter so propagation rounds ≈ 2-4 in practice. */
   def clusterPairs(
       pairs: DataFrame,
       aCol: String,
@@ -157,14 +170,21 @@ object Dedup {
       maxIterations: Int = 20,
   ): DataFrame = {
     // pairs is typically an expensive detector output and is read twice
-    // (both edge directions) — materialize it once
+    // (both edge directions) — materialize it once (internal-only persist:
+    // dropped before return, the result no longer references it)
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p.select(col(aCol).as("__src__"), col(bCol).as("__dst__"))
       .union(p.select(col(bCol).as("__src__"), col(aCol).as("__dst__")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("__src__").as("__id__")).distinct()
-      .withColumn("__lbl__", col("__id__"))
+    // round 0 fused into the seed: every node starts at min(self, direct
+    // neighbors) — identical to one propagation round from the identity
+    // labeling, for the cost of the node-dedup aggregate the seed needs
+    // anyway (edges is symmetric, so every node appears as __src__)
+    var labels = edges
+      .select(col("__src__").as("__id__"),
+        least(col("__src__"), col("__dst__")).as("__lbl__"))
+      .groupBy(col("__id__")).agg(min(col("__lbl__")).as("__lbl__"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
@@ -177,18 +197,36 @@ object Dedup {
         .join(propagated, col("__id__") === col("__dst__"), "left_outer")
         .select(col("__id__"),
           least(col("__lbl__"), coalesce(col("__nlbl__"), col("__lbl__")))
-            .as("__lbl__"))
+            .as("__lbl__"),
+          // 0/1 change flag (NULL-safe: no neighbor min → unchanged)
+          when(col("__nlbl__") < col("__lbl__"), 1L).otherwise(0L)
+            .as("__chg__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.__id__") === col("o.__id__"))
-        .where(col("n.__lbl__") =!= col("o.__lbl__"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
+      // the ONE action of the round: materializes `next` into cache and
+      // returns the number of labels that moved
+      val changedRow = next.agg(sum(col("__chg__"))).first()
+      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      val prev = labels
+      labels =
+        if (iter % 3 == 2) {
+          // truncate lineage (cheap: reads the cache just written)
+          val cp = next.localCheckpoint(true)
+          next.unpersist(blocking = false)
+          cp
+        } else next
+      prev.unpersist(blocking = false)
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("__id__").as("doc_id"), col("__lbl__").as("cluster_id"))
+    // self-contained result: after this checkpoint the output references
+    // no internal cache, so everything above can be dropped eagerly
+    val out = labels
+      .select(col("__id__").as("doc_id"), col("__lbl__").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    out
   }
 
   /** Character n-gram Jaccard near-duplicates with fingerprint blocking:
@@ -208,15 +246,14 @@ object Dedup {
       blockNgram: Int = 16,
       verifyNgram: Int = 3,
       threshold: Double = 0.7,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
-    val base = docs
+    val base = scope.cache(docs
       .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
       // native winnowing fingerprint (graft.expr.CharNgramMin) — same
       // values as TextOps.charNgramFingerprint, no interpreted HOF loop
-      .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)"))
-      // both self-join sides read the fingerprint frame — hash once
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)")))
     base.as("a")
       .join(base.as("b"),
         col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))

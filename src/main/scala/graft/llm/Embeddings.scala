@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`) —
   * beyond-reference surface (SURVEY.md §2.7).
@@ -85,11 +84,12 @@ object Embeddings {
       queryPred: Column,
       bits: Int,
       k: Int,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    val withBkt = emb.withColumn("__bkt__", signBucket(vecCol, bits))
-      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
-      .persist(StorageLevel.MEMORY_AND_DISK) // read by query + candidate side
+    val withBkt = scope.cache(emb // read by query + candidate side
+      .withColumn("__bkt__", signBucket(vecCol, bits))
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol))))
     val queries = withBkt.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
         col("__bkt__").as("__qbkt__"), col("__n__").as("__qn__"))
@@ -113,7 +113,16 @@ object Embeddings {
     * broadcast (centroids) × scan for assignment, then a cell equi-join +
     * per-query top-k window — the same join/window skeleton as [[lshTopK]]
     * with the bucket id swapped for a centroid id, which is exactly how a
-    * trained-IVF variant would slot in. */
+    * trained-IVF variant would slot in.
+    *
+    * The assignment stage is a PER-ROW ARGMAX FOLD over a one-row
+    * broadcast array of all centroids — zero row expansion, zero extra
+    * shuffle. (The obvious alternative — crossJoin(centroids) +
+    * row_number window — materializes n×k rows and sorts them per map
+    * task; at 100 TB that k× inflates the scan output for no reason.)
+    * The fold's tie-break (higher rounded cosine, then lower centroid id)
+    * totally orders candidates, so the argmax is independent of the
+    * nondeterministic collect_list order. */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -121,22 +130,29 @@ object Embeddings {
       centroidPred: Column,
       queryPred: Column,
       k: Int,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    val centroids = emb.where(centroidPred)
+    // all centroids folded into ONE row carrying array<struct<cid,cv,cn>>
+    // (k centroids × dim floats — a few MB even at IVF-scale k; a trained
+    // k-means stage would emit exactly this artifact)
+    val centArr = emb.where(centroidPred)
       .select(col(idCol).as("__cid__"), col(vecCol).as("__cv__"),
         sqrt(dot(vecCol, vecCol)).as("__cn__"))
-    val assigned = emb
+      .agg(collect_list(
+        struct(col("__cid__"), col("__cv__"), col("__cn__"))).as("__cents__"))
+    val assigned = scope.cache(emb
       .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__csim__",
-        round(dot(vecCol, "__cv__") / (col("__n__") * col("__cn__")), 6))
-      .withColumn("__crk__",
-        row_number().over(Window.partitionBy(col(idCol))
-          .orderBy(col("__csim__").desc, col("__cid__"))))
-      .where(col("__crk__") === 1)
-      .select(col(idCol), col(vecCol), col("__n__"), col("__cid__").as("__cell__"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // query side + candidate side
+      .crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
+      .withColumn("__best__", expr(s"""aggregate(
+          transform(__cents__, c -> named_struct(
+            'sim', round(float_vec_dot($vecCol, c.__cv__) / (__n__ * c.__cn__), 6),
+            'cid', CAST(c.__cid__ AS bigint))),
+          named_struct('sim', CAST(-2 AS double), 'cid', CAST(-1 AS bigint)),
+          (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
+                         c, acc))"""))
+      .select(col(idCol), col(vecCol), col("__n__"),
+        col("__best__.cid").as("__cell__"))) // query side + candidate side
     val queries = assigned.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
         col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
@@ -182,13 +198,13 @@ object Embeddings {
       vecCol: String,
       bits: Int,
       threshold: Double,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    val withBkt = emb
+    val withBkt = scope.cache(emb // both self-join sides
       .select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
       .withColumn("__bkt__", signBucket("__v__", bits))
-      .withColumn("__n__", sqrt(dot("__v__", "__v__")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
+      .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
     withBkt.as("a")
       .join(withBkt.as("b"),
         col("a.__bkt__") === col("b.__bkt__") && col("a.__id__") < col("b.__id__"))
