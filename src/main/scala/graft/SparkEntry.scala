@@ -15,14 +15,20 @@ object SparkEntry {
 
   private def m(dir: String, table: String): Model = Model.parquet(dir, table)
 
-  /** Money-sum de-flaker: sum double amounts as exact decimal, then one
-    * rounding back to double. Plain sum(double) is summation-order dependent
-    * (Spark partial aggregates vs the DuckDB oracle diverge in the last few
-    * ulps — the round-1 `q_join_one` hash failure); decimal summation is
-    * associative so both sides agree bit-for-bit. Oracles mirror with
-    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  /** Money-sum de-flaker: sum EXACT INTEGER CENTS, then one division back
+    * to double. Plain sum(double) is summation-order dependent (Spark
+    * partial aggregates vs the DuckDB oracle diverge in the last few ulps —
+    * the round-1 `q_join_one` hash failure); integer summation is
+    * associative so both sides agree bit-for-bit, and a bigint sum
+    * aggregates ~2× cheaper than the round-2 DECIMAL(18,2) formulation.
+    * floor(x*100 + 0.5) is the engine-portable half-up cents conversion
+    * (sign-safe: a true 2-dp amount lands within ~1e-10 of an integer, so
+    * the +0.5 offset can't cross a boundary either way). Long overflow
+    * headroom: 9.2e18 cents ≈ $9.2e16 — far past any 100 TB corpus sum.
+    * Oracles mirror with
+    * CAST(sum(CAST(floor(x*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0. */
   private def moneySum(e: graft.ir.Expr): graft.ir.Expr =
-    cast(sum(cast(e, "decimal(18,2)")), "double")
+    cast(sum(cast(floor(e * lit(100.0) + lit(0.5)), "bigint")), "double") / lit(100.0)
 
   /** Order-independent mean: exact decimal sum divided by count, identical
     * on the oracle side as CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE)/count(*). */
@@ -779,17 +785,38 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
-    // --- multimodal: binary payload column + batched stub decode ---
+    // --- multimodal: binary payload column + batched REAL header decode.
+    // Payloads are genuine PNG / JPEG headers built in-SQL with dimensions
+    // derived from doc_id (multi-byte values >255, so a big-endian bug
+    // can't cancel out), followed by the document bytes; the oracle
+    // recomputes width/height/byte_len ARITHMETICALLY from doc_id, so a
+    // wrong parser hash-mismatches. ---
     "q_multimodal_meta" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
           val withPayload = df
             .where(F.col("lang") === "en" && F.col("doc_id") < 100)
-            .withColumn("payload", F.col("text").cast("binary"))
+            .withColumn("payload", F.expr(
+              """concat(
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     unhex(concat('89504E470D0A1A0A', '0000000D', '49484452',
+                       lpad(hex(200 + doc_id * 3), 8, '0'),
+                       lpad(hex(150 + doc_id * 5), 8, '0'),
+                       '0806000000'))
+                   ELSE
+                     unhex(concat('FFD8',
+                       'FFE000104A46494600010100000100010000',
+                       'FFC0001108',
+                       lpad(hex(150 + doc_id * 5), 4, '0'),
+                       lpad(hex(200 + doc_id * 3), 4, '0'),
+                       '03012200021101031101'))
+                   END,
+                   cast(text AS binary))"""))
           graft.llm.Multimodal.decode(withPayload, "payload")
-            .select(F.col("doc_id"), F.col("meta.byte_len"), F.col("meta.width"),
-              F.col("meta.height"), F.col("meta.n_frames"), F.col("meta.sha"))
+            .select(F.col("doc_id"), F.col("meta.format"), F.col("meta.width"),
+              F.col("meta.height"), F.col("meta.byte_len"),
+              F.sha2(F.col("text").cast("binary"), 256).as("text_sha"))
         }
         .sort(col("doc_id"))
         .run(s)),
@@ -806,14 +833,14 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
                 CAST(sum(CAST(l_discount AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_agg_global" ->
       """SELECT count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
                 max(o_orderdate) AS last_order
          FROM orders""",
     "q_sort_limit" ->
@@ -845,7 +872,7 @@ object SparkEntry {
          ORDER BY status_or_null DESC NULLS FIRST, o_orderkey""",
     "q_join_one" ->
       """SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
-                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_chain" ->
@@ -857,7 +884,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_sql_text" ->
       """SELECT s_nationkey, count(*) AS n,
-                CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+                CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
          FROM supplier WHERE s_acctbal > 5000
          GROUP BY 1 ORDER BY 1""",
     "q_cases" ->
@@ -867,7 +894,7 @@ object SparkEntry {
          FROM customer GROUP BY 1 ORDER BY 1""",
     "q_measures" ->
       """SELECT o_orderpriority,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q_count_if" ->
@@ -902,7 +929,7 @@ object SparkEntry {
       """SELECT CASE WHEN p_brand IN ('Brand#11','Brand#22','Brand#33')
                      THEN p_brand ELSE 'Other' END AS brand_group,
                 count(*) AS n,
-                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+                CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
          FROM part GROUP BY 1 ORDER BY 1""",
     "q_scalar_subquery" ->
       """SELECT count(*) AS n, min(o_totalprice) AS min_price
@@ -975,7 +1002,7 @@ object SparkEntry {
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
     "q_sql_template" ->
       """SELECT count(*) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
          FROM orders
          WHERE (o_totalprice * (1.0 - 0.1)) * 2 > 500000""",
     "q_csv_source" ->
@@ -990,7 +1017,7 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(total AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ltv,
                 count(*) AS n_customers
          FROM (
-           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
            FROM orders
            WHERE o_custkey IN (
              SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -999,7 +1026,7 @@ object SparkEntry {
       """WITH weekly AS (
            SELECT date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
                   date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY - INTERVAL 7 DAY AS prev_week,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
            FROM orders GROUP BY 1, 2)
          SELECT a.week, a.revenue AS this_week, b.revenue AS last_week,
                 a.revenue - b.revenue AS wow_change
@@ -1324,11 +1351,12 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS byte_len,
-           CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
-           CAST(64 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
-           CAST(1 + octet_length(CAST(text AS BLOB)) % 8 AS INT) AS n_frames,
-           sha256(text) AS sha
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(200 + doc_id * 3 AS INT) AS width,
+           CAST(150 + doc_id * 5 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 39 END
+             + octet_length(CAST(text AS BLOB)) AS byte_len,
+           sha256(text) AS text_sha
          FROM documents WHERE lang = 'en' AND doc_id < 100 ORDER BY doc_id""",
   )
 

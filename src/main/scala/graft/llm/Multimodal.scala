@@ -7,14 +7,22 @@ import org.apache.spark.sql.types._
   * image/audio/video payloads are opaque `binary` columns with typed
   * metadata extracted by a batched per-partition decode.
   *
-  * The Spark-side plumbing here is real and tested — schema, partition
-  * iteration, batch shape, typed output encoder. The codec itself is a
-  * clearly-marked STUB ([[decodeStub]]): this environment ships no
-  * image/audio libraries, so the stub computes deterministic fake metadata
-  * from the raw bytes. A real deployment swaps [[decodeStub]] for a native
-  * decoder (JNI/FFI) and nothing else changes; batching exists precisely so
-  * such a decoder can amortize per-call setup across `batchSize` payloads,
-  * the same shape `mapInPandas` gives Python pipelines.
+  * The decode is a REAL header parser for the dominant raster formats —
+  * pure byte inspection, no codec libraries, so it runs anywhere:
+  *   - PNG: 8-byte signature, then the mandatory IHDR first chunk;
+  *     width/height are big-endian u32 at offsets 16/20.
+  *   - JPEG: SOI then a marker walk past APPn/COM/DQT/DHT segments to the
+  *     first SOF0/SOF1/SOF2 frame header; height/width are big-endian u16
+  *     at +3/+5 into the segment payload.
+  *   - GIF: "GIF87a"/"GIF89a" header; width/height are LITTLE-endian u16
+  *     at offsets 6/8.
+  * Unrecognized payloads keep byte_len and the SHA-256 fingerprint real
+  * and report format "unknown" with zero dims — honest, never fabricated.
+  * Full pixel decode (resize, frame sampling) would slot into the same
+  * batched per-partition loop via a native codec (JNI/FFI); batching
+  * exists precisely so such a codec can amortize per-call setup across
+  * `batchSize` payloads, the same shape `mapInPandas` gives Python
+  * pipelines.
   */
 object Multimodal {
 
@@ -28,32 +36,73 @@ object Multimodal {
     StructField("sha", StringType, nullable = false),
   ))
 
-  /** STUB decoder — stands in for a real image/audio codec, which is not
-    * available in this environment. Deterministic fake: dimensions derive
-    * from the first payload bytes, the content fingerprint is a real
-    * SHA-256. Swap this single function for a native decoder in production. */
-  def decodeStub(payload: Array[Byte]): Row = {
-    val b0 = if (payload.length > 0) payload(0) & 0xff else 0
-    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse real metadata from raw payload bytes (see object doc). */
+  def decodeMeta(payload: Array[Byte]): Row = {
+    val len = payload.length.toLong
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(payload).map("%02x".format(_)).mkString
-    Row("fake", 64 + b0 % 64, 64 + b1 % 64, 1 + payload.length % 8,
-      payload.length.toLong, sha)
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def unknown: Row = Row("unknown", 0, 0, 0, len, sha)
+
+    if (payload.length >= 24 &&
+        payload.startsWith(PngSignature) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      // PNG: signature + IHDR (mandatory first chunk per spec)
+      Row("png", be32(16), be32(20), 1, len, sha)
+    } else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk the marker stream to the first frame header
+      var i = 2
+      var res: Row = null
+      var corrupt = false
+      while (res == null && !corrupt && i + 3 < payload.length) {
+        if (u8(i) != 0xff) corrupt = true
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xff) i += 1 // fill byte before a marker
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+            i += 2 // standalone marker (TEM / RSTn / SOI / EOI): no segment
+          } else if (marker == 0xda) {
+            corrupt = true // entropy-coded data reached without a SOF
+          } else {
+            val segLen = be16(i + 2)
+            if (segLen < 2) corrupt = true
+            else {
+              if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) &&
+                  i + 8 < payload.length) {
+                res = Row("jpeg", be16(i + 7), be16(i + 5), 1, len, sha)
+              }
+              i += 2 + segLen
+            }
+          }
+        }
+      }
+      if (res != null) res else unknown
+    } else if (payload.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8') {
+      Row("gif", le16(6), le16(8), 1, len, sha)
+    } else unknown
   }
 
   /** Decode a binary payload column into a `meta` struct column, iterating
     * each partition in batches of `batchSize` rows (the batch is where a
-    * real codec would amortize setup / exploit vectorized decode). Runs as
-    * one narrow mapPartitions — no shuffle, scales with the scan. */
+    * full pixel codec would amortize setup / exploit vectorized decode).
+    * Runs as one narrow mapPartitions — no shuffle, scales with the scan. */
   def decode(df: DataFrame, payloadCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("meta", MetaSchema, nullable = true))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // batch boundary: a real decoder would submit `batch` as one call
+        // batch boundary: a pixel codec would submit `batch` as one call
         batch.map { row =>
           val payload = row.getAs[Array[Byte]](payloadIdx)
-          val meta = if (payload == null) null else decodeStub(payload)
+          val meta = if (payload == null) null else decodeMeta(payload)
           Row.fromSeq(row.toSeq :+ meta)
         }
       }

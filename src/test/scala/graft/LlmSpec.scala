@@ -200,23 +200,44 @@ class LlmSpec extends GraftSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
-  test("multimodal decode: batched stub extracts typed metadata") {
+  test("multimodal decode: real PNG/JPEG/GIF header parsing") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG per spec: signature, IHDR length 13, width 389, height 270
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000185 0000010E 0806000000")
+    // JPEG: SOI, APP0(JFIF), a DQT segment the walk must skip, then a
+    // PROGRESSIVE SOF2 with height 261 / width 467, then entropy bytes
+    val jpeg = hx("FFD8 FFE00010 4A46494600010100000100010000" +
+      "FFDB0004 0001 FFC20011 08 0105 01D3 03012200021101031101 FFDA")
+    // GIF89a: little-endian 320×200
+    val gif = hx("474946383961 4001 C800 F700")
+    val other = "not an image".getBytes("UTF-8")
+
+    for ((bytes, fmt, w, h) <- Seq(
+        (png, "png", 389, 270), (jpeg, "jpeg", 467, 261),
+        (gif, "gif", 320, 200), (other, "unknown", 0, 0))) {
+      val m = Multimodal.decodeMeta(bytes)
+      assert(m.getString(0) === fmt, fmt)
+      assert(m.getInt(1) === w, s"$fmt width")
+      assert(m.getInt(2) === h, s"$fmt height")
+      assert(m.getLong(4) === bytes.length.toLong)
+      val expectedSha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(m.getString(5) === expectedSha)
+    }
+    // truncated JPEG (no SOF before data) and bare SOI degrade to unknown
+    assert(Multimodal.decodeMeta(hx("FFD8 FFDA")).getString(0) === "unknown")
+    assert(Multimodal.decodeMeta(hx("FFD8")).getString(0) === "unknown")
+
+    // distributed path: the batched decode carries metadata through
     val s = spark
     import s.implicits._
-    val d = Seq((1L, "abc"), (2L, "xy")).toDF("id", "txt")
-      .withColumn("payload", sc("txt").cast("binary"))
+    val d = Seq((1L, png), (2L, jpeg)).toDF("id", "payload")
     val out = Multimodal.decode(d, "payload", batchSize = 1)
-      .select(sc("id"), sc("meta.byte_len"), sc("meta.width"), sc("meta.height"),
-        sc("meta.n_frames"), sc("meta.sha"))
+      .select(sc("id"), sc("meta.format"), sc("meta.width"))
       .orderBy(sc("id")).collect()
-    // 'a' = 97 -> width 64 + 97 % 64 = 97; 'b' = 98 -> height 98
-    assert(out(0).getLong(1) === 3L)
-    assert(out(0).getInt(2) === 97)
-    assert(out(0).getInt(3) === 98)
-    assert(out(0).getInt(4) === 1 + 3 % 8)
-    val expectedSha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out(0).getString(5) === expectedSha)
+    assert(out(0).getString(1) === "png" && out(0).getInt(2) === 389)
+    assert(out(1).getString(1) === "jpeg" && out(1).getInt(2) === 467)
     // null payloads produce null meta rather than failing the partition
     val withNull = Seq((1L, Some("abc")), (2L, None: Option[String]))
       .toDF("id", "txt").withColumn("payload", sc("txt").cast("binary"))
