@@ -114,6 +114,17 @@ object SparkEntry {
         .sort(col("month")).sort(col("week"))
         .run(s)),
 
+    // --- week start as a compile setting (reference settings.py:5-10):
+    // same query, Monday-start deployment (DuckDB weeks are natively
+    // Monday-based, so the oracle is the plain date_trunc) ---
+    "q_week_monday" -> ((s, dir) =>
+      m(dir, "orders")
+        .aggregate(
+          groups = Seq(col("o_orderdate").byWeek.named("week")),
+          measures = Seq(count().named("n")))
+        .sort(col("week"))
+        .run(s, graft.compile.CompileSettings(weekStartDay = "monday"))),
+
     // --- fine-grained granularities (hour/minute/second truncation) ---
     "q_granularity_fine" -> ((s, dir) =>
       m(dir, "events")
@@ -431,6 +442,16 @@ object SparkEntry {
           (col("o_totalprice") * (lit(1.0) - lit(0.1))).named("net"),
           sql("{{ net }} * 2").named("double_net"))
         .filter(sql("{{ double_net }} > 500000"))
+        .aggregate(measures = Seq(count().named("n"),
+          moneySum(col("o_totalprice")).named("total")))
+        .run(s)),
+
+    // --- `self.`-qualified references in raw fragments (sql_text.py:
+    //     124-155 re-points `self` at the current query layer) ---
+    "q_sql_self" -> ((s, dir) =>
+      m(dir, "orders")
+        .filter(sql(
+          "self.o_totalprice * 2 > 500000 AND self.o_orderpriority = '1-URGENT'"))
         .aggregate(measures = Seq(count().named("n"),
           moneySum(col("o_totalprice")).named("total")))
         .run(s)),
@@ -858,6 +879,9 @@ object SparkEntry {
                 date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
                 count(*) AS n
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_week_monday" ->
+      """SELECT date_trunc('week', o_orderdate) AS week, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_granularity_fine" ->
       """SELECT date_trunc('hour', ts) AS hour,
                 date_trunc('minute', ts) AS minute,
@@ -1005,6 +1029,11 @@ object SparkEntry {
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
          FROM orders
          WHERE (o_totalprice * (1.0 - 0.1)) * 2 > 500000""",
+    "q_sql_self" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+         FROM orders
+         WHERE o_totalprice * 2 > 500000 AND o_orderpriority = '1-URGENT'""",
     "q_csv_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_array_contains" ->

@@ -16,7 +16,37 @@ import graft.model.Model
   * emission (reference join_one.py:58-66), now()/constant materialization,
   * private-column stripping (post_process.py:8-17).
   */
+/** Compile-time settings (reference src/run/compile/settings.py:5-10 makes
+  * the first day of the week a compile knob, default SUNDAY). Passed to
+  * [[Compiler.run]]; scoped to that compilation. */
+final case class CompileSettings(weekStartDay: String = "sunday") {
+  require(CompileSettings.WeekShift.contains(weekStartDay.toLowerCase),
+    s"unknown weekStartDay '$weekStartDay'; " +
+      s"one of: ${CompileSettings.WeekShift.keys.mkString(", ")}")
+  /** Days to add before a Monday-based date_trunc('week') (and subtract
+    * after) so the truncation lands on `weekStartDay`:
+    * shift ≡ Monday − startDay (mod 7). Spark and DuckDB both truncate
+    * weeks to Monday, so the same shift renders on both engines. */
+  def weekShift: Int = CompileSettings.WeekShift(weekStartDay.toLowerCase)
+}
+
+object CompileSettings {
+  // declared BEFORE `default`: the constructor's require reads this map
+  private val WeekShift = Map(
+    "monday" -> 0, "tuesday" -> 6, "wednesday" -> 5, "thursday" -> 4,
+    "friday" -> 3, "saturday" -> 2, "sunday" -> 1)
+  val default: CompileSettings = CompileSettings()
+}
+
 object Compiler {
+
+  /** Active settings for the compilation in flight — bound by [[run]].
+    * A DynamicVariable (thread-local) rather than a parameter because the
+    * expression/source lowering is a static recursive walk; the setting is
+    * ambient compile state exactly like the reference's settings object. */
+  private val activeSettings =
+    new scala.util.DynamicVariable[CompileSettings](CompileSettings.default)
+  def settings: CompileSettings = activeSettings.value
 
   /** Internal namespaced column name for join/relation columns. Starts with
     * `__` so it is stripped from results like reference private columns
@@ -171,11 +201,13 @@ object Compiler {
       case Granularity(b, unit) =>
         val c = go(b).cast("timestamp")
         unit match {
-          // Sunday-based weeks like the reference default
+          // week start is a compile setting, reference-default Sunday
           // (settings.py:5-10; Databricks recipe granularity.py:231-240);
-          // Spark date_trunc('week') is Monday-based, so shift ±1 day.
-          case "week" =>
-            date_trunc("week", c + expr("INTERVAL 1 DAY")) - expr("INTERVAL 1 DAY")
+          // Spark date_trunc('week') is Monday-based, so shift ±k days.
+          case "week" if settings.weekShift != 0 =>
+            val k = settings.weekShift
+            date_trunc("week", c + expr(s"INTERVAL $k DAY")) -
+              expr(s"INTERVAL $k DAY")
           case u => date_trunc(u, c)
         }
 
@@ -324,8 +356,9 @@ object Compiler {
       case Granularity(b, unit) =>
         val c = s"CAST(${go(b)} AS TIMESTAMP)"
         unit match {
-          case "week" =>
-            s"(date_trunc('week', $c + INTERVAL 1 DAY) - INTERVAL 1 DAY)"
+          case "week" if settings.weekShift != 0 =>
+            val k = settings.weekShift
+            s"(date_trunc('week', $c + INTERVAL $k DAY) - INTERVAL $k DAY)"
           case u => s"date_trunc('$u', $c)"
         }
       case AddInterval(t, iv, neg) =>
@@ -748,8 +781,13 @@ object Compiler {
 
   /** Compile a model and post-process the output like the reference
     * (post_process.py:8-48): duplicate-column rename + `__private__`
-    * column stripping. */
-  def run(m: Model, spark: SparkSession): DataFrame = {
+    * column stripping. `settings` scopes compile knobs (week start) to
+    * this compilation. */
+  def run(m: Model, spark: SparkSession,
+      settings: CompileSettings = CompileSettings.default): DataFrame =
+    activeSettings.withValue(settings) { runCompiled(m, spark) }
+
+  private def runCompiled(m: Model, spark: SparkSession): DataFrame = {
     val f = compileSource(m.source, spark)
     val names = f.df.columns
     val seen = mutable.Map.empty[String, Int]

@@ -63,6 +63,7 @@ final case class Model(
     relations: VectorMap[String, Relation] = VectorMap.empty,
     primaryKey: Option[Expr] = None,
     activitySchema: Option[ActivitySchema] = None,
+    customMeta: Map[String, String] = Map.empty,
 ) {
 
   // --- accessors (reference accessors.py:36-38; KeyPath sugar not needed
@@ -91,6 +92,11 @@ final case class Model(
   def withMeasures(ms: Expr*): Model =
     copy(measures = ms.foldLeft(measures)((m, e) => m.updated(e.identifier, e)))
   def withPrimaryKey(pk: Expr): Model = copy(primaryKey = Some(pk))
+  /** Attach user metadata (reference model.py:77-87 `custom_meta`: an
+    * opaque dict carried through every transform — case-class copy does
+    * that for free here — and the wire format, for BI-tool integrations). */
+  def withCustomMeta(kv: (String, String)*): Model =
+    copy(customMeta = customMeta ++ kv)
   def withActivitySchema(group: Expr, timestamp: Expr, eventKey: Expr): Model =
     copy(activitySchema = Some(ActivitySchema(group, timestamp, eventKey)))
 
@@ -125,6 +131,10 @@ final case class Model(
         throw new IllegalArgumentException(
           s"cyclic {{ $id }} reference in sql fragment")
       val target = id.split('.') match {
+        // `self.x` = a column/attribute of THIS model (reference
+        // sql_text.py:124-155 re-points `self` qualifiers at the current
+        // CTE; here the attribute expression is spliced directly)
+        case Array("self", a) => attr(a)
         case Array(ns, a) =>
           rel(ns).attr(a)
         case Array(name) =>
@@ -139,8 +149,12 @@ final case class Model(
     }
     def walk(e: Expr): Expr = e match {
       case RawSql(sql, b) if b.isEmpty =>
-        val ids = RawSql.RefPattern.findAllMatchIn(sql).map(_.group(1)).toSet
-        if (ids.isEmpty) e else RawSql(sql, ids.map(id => id -> resolve(id)).toMap)
+        // normalize bare `self.x` qualifiers (the reference fragment
+        // convention) into `{{ self.x }}` references, then bind everything
+        val normalized = Model.rewriteSelfRefs(sql)
+        val ids = RawSql.RefPattern.findAllMatchIn(normalized).map(_.group(1)).toSet
+        if (ids.isEmpty) e
+        else RawSql(normalized, ids.map(id => id -> resolve(id)).toMap)
       case Named(b, n)         => Named(walk(b), n)
       case Disambiguated(b, n) => Disambiguated(walk(b), n)
       case Bin(op, l, r)       => Bin(op, walk(l), walk(r))
@@ -427,6 +441,11 @@ final case class Model(
     * reference post-process (post_process.py:8-17). */
   def run(spark: SparkSession): DataFrame = Compiler.run(this, spark)
 
+  /** Lower with explicit compile settings (reference settings.py:5-10 —
+    * e.g. a Monday-start week deployment). */
+  def run(spark: SparkSession, settings: graft.compile.CompileSettings): DataFrame =
+    Compiler.run(this, spark, settings)
+
   /** Compile-only parity with `model.sql()` (model.py:1036-1056):
     * the optimized logical plan rendered as text. */
   def explain(spark: SparkSession): String =
@@ -436,6 +455,34 @@ final case class Model(
 object Model {
   /** FUNNEL_COUNT_COLUMN_NAME (reference model.py:42). */
   val FunnelCountColumn = "entities"
+
+  /** Rewrite bare `self.<ident>` qualifiers in a SQL fragment to
+    * `{{ self.<ident> }}` references. Quote-aware hand scanner (no SQL
+    * parser dependency): occurrences inside single-quoted string literals
+    * or double-quoted identifiers are left untouched, as is `self` used as
+    * a path segment of a longer identifier (`x.self.y`, `myself.z`). */
+  private[model] def rewriteSelfRefs(sql: String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) { out += c; if (c == '\'') inSingle = false; i += 1 }
+      else if (inDouble) { out += c; if (c == '"') inDouble = false; i += 1 }
+      else if (c == '\'') { inSingle = true; out += c; i += 1 }
+      else if (c == '"') { inDouble = true; out += c; i += 1 }
+      else if (sql.startsWith("self.", i) &&
+          (i == 0 || (!isIdentChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
+        var k = i + 5
+        while (k < sql.length && isIdentChar(sql.charAt(k))) k += 1
+        if (k > i + 5) { out ++= s"{{ self.${sql.substring(i + 5, k)} }}"; i = k }
+        else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
 
   def table(name: String): Model = Model(Source.Table(name))
   def sqlQuery(q: String): Model = Model(Source.SqlQuery(q))

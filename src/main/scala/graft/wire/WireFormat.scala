@@ -38,6 +38,7 @@ object WireFormat {
     "activitySchema" -> m.activitySchema.map(a => Map(
       "group" -> exprW(a.group), "timestamp" -> exprW(a.timestamp),
       "eventKey" -> Option(a.eventKey).map(exprW).orNull)).orNull,
+    "customMeta" -> m.customMeta,
   )
 
   private def relW(r: Relation): Map[String, Any] = Map(
@@ -166,6 +167,10 @@ object WireFormat {
       ActivitySchema(exprR(obj(a("group"))), exprR(obj(a("timestamp"))),
         Option(a("eventKey")).map(x => exprR(obj(x))).orNull)
     },
+    // absent in pre-customMeta wires — tolerate additively
+    customMeta = m.get("customMeta")
+      .map(v => obj(v).map { case (k, x) => k -> str(x) })
+      .getOrElse(Map.empty),
   )
 
   private def sourceR(s: Map[String, Any]): Source = str(s("t")) match {

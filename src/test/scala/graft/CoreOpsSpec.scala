@@ -13,6 +13,30 @@ import graft.model.Model
   */
 class CoreOpsSpec extends GraftSuite {
 
+  test("self.-qualified raw-SQL references resolve against the model") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0, "self.x"), (2L, 50.0, "other")).toDF("id", "amt", "tag")
+    // undeclared model: self.amt falls back to the named column; the
+    // 'self.x' STRING LITERAL and the "self.x"-quoted identifier must
+    // survive untouched (quote-aware scanner, not a blind regex)
+    val out = Model.fromDF(df)
+      .filter(sql("self.amt > 20 AND self.tag <> 'self.x'"))
+      .run(s).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    // declared model: self.net splices the derived attribute expression
+    val m2 = Model.fromDF(df)
+      .withAttributes((col("amt") * lit(3.0)).named("net"))
+      .filter(sql("self.net > 100"))
+      .run(s).collect()
+    assert(m2.map(_.getLong(0)).toSeq === Seq(2L))
+    // unknown self-attribute on a declared model throws like attr()
+    intercept[NoSuchElementException] {
+      Model.fromDF(df).withAttributes(col("amt").named("net"))
+        .filter(sql("self.nope > 1"))
+    }
+  }
+
   test("fold unpivots wide to long, reference docstring example") {
     val s = spark
     import s.implicits._

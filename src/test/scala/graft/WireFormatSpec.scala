@@ -15,6 +15,7 @@ class WireFormatSpec extends GraftSuite {
   test("complex relational model round-trips and runs identically") {
     val customer = Model.parquet(dir, "customer").withPrimaryKey(col("c_custkey"))
     val m = Model.parquet(dir, "orders")
+      .withCustomMeta("owner" -> "analytics", "tier" -> "gold")
       .withJoinOne(customer, named = "customer", foreignKey = col("o_custkey"))
       .withAttributes((col("o_totalprice") * lit(2.0)).named("dbl"))
       .filter(col("o_totalprice") > lit(1000.0) &&
