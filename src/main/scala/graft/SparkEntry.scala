@@ -625,6 +625,40 @@ object SparkEntry {
         .sort(col("source"))
         .run(s)),
 
+    // --- benchmark decontamination: word-3-gram overlap between "train"
+    //     (doc_id >= 20) and a small "eval suite" (doc_id < 20) ---
+    "q_contamination" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Dedup.contamination(
+            df.where(F.col("doc_id") >= 20), "doc_id", "text",
+            df.where(F.col("doc_id") < 20), "doc_id", "text")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- PII scrubbing: deterministic injected PII, regex redaction,
+    //     content-hash verification ---
+    "q_pii_scrub" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("doc_id") < 100)
+            .withColumn("__pii__", F.expr(
+              """concat(text, ' contact user', cast(doc_id AS string),
+                   '@mail.example.com from 10.0.',
+                   cast(doc_id % 200 AS string), '.7 call +1555 ',
+                   cast(1000000 + doc_id AS string))"""))
+            .withColumn("__scrubbed__",
+              graft.llm.TextOps.scrubPii(F.col("__pii__")))
+            .select(F.col("doc_id"),
+              F.md5(F.col("__scrubbed__").cast("binary")).as("scrub_md5"),
+              F.length(F.col("__scrubbed__")).as("n_chars_scrubbed"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- MinHash + LSH near-dup pairs (banded bucket join, never all-pairs) ---
     "q_dedup_minhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -1174,6 +1208,34 @@ object SparkEntry {
     "q_dedup_minhash" ->
       (MinhashPairsCtes +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+         ), grams AS (
+           SELECT doc_id, md5(g) AS gh FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS g
+             FROM toks WHERE len(w) >= 3) t)
+         SELECT tr.doc_id,
+                count(DISTINCT tr.gh) AS n_shared_ngrams,
+                count(DISTINCT ev.doc_id) AS n_eval_docs
+         FROM grams tr JOIN grams ev ON tr.gh = ev.gh
+         WHERE tr.doc_id >= 20 AND ev.doc_id < 20
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_pii_scrub" ->
+      """SELECT doc_id, md5(s) AS scrub_md5, CAST(length(s) AS INT) AS n_chars_scrubbed
+         FROM (
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@mail.example.com from 10.0.', CAST(doc_id % 200 AS VARCHAR),
+                      '.7 call +1555 ', CAST(1000000 + doc_id AS VARCHAR)),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9][0-9 -]{5,13}[0-9]', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s
+           FROM documents WHERE doc_id < 100) t
+         ORDER BY doc_id""",
 
     "q_dedup_clusters" ->
       (MinhashPairsCtes +

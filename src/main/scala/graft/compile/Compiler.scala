@@ -797,7 +797,12 @@ object Compiler {
       if (k == 0) n else s"${n}_${k + 1}"
     }
     val renamed = if (deduped.sameElements(names)) f.df else f.df.toDF(deduped.toIndexedSeq: _*)
-    val visible = deduped.filterNot(_.startsWith("__"))
+    // strip exactly what the reference strips (identifier.py:9-10): dunder
+    // `__x__` private columns, plus the engine's own `__ns_…`/`__…__`
+    // internals (all dunder- or ns-prefixed by construction). A merely
+    // `__`-prefixed user column like `__raw` stays visible.
+    val visible = deduped.filterNot(n =>
+      n.startsWith("__ns_") || graft.ir.Expr.isPrivateName(n))
     renamed.select(visible.map(col).toIndexedSeq: _*)
   }
 }

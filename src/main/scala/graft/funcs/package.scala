@@ -12,6 +12,14 @@ package object funcs {
 
   def col(name: String): Expr = ColRef(name)
   def lit(v: Any): Expr = Lit(v)
+  /** Intentionally-private column: dunder-named, stripped from results by
+    * post-processing (reference private_column.py:5-18 — the internal API
+    * around the `.named` dunder guard). */
+  def privateColumn(name: String, e: Expr): Expr = {
+    require(Expr.isPrivateName(name),
+      s"private column names must be `__name__` form, got '$name'")
+    Named(e, name)
+  }
   /** `column(sql=...)` raw-fragment escape hatch (reference column.py:24-31). */
   def sql(fragment: String): Expr = RawSql(fragment)
 

@@ -44,8 +44,15 @@ object TimeInterval {
 sealed trait Expr {
   import Expr._
 
-  /** Attach an output alias (reference `.named`, column_expression.py:29-46). */
-  def named(n: String): Expr = Named(this, n)
+  /** Attach an output alias (reference `.named`, column_expression.py:29-46).
+    * Dunder-form names (`__x__`) are reserved for private columns — the
+    * reference's `.named` rejects them too (private_column.py:5-18); use
+    * [[graft.funcs.privateColumn]] for an intentionally-stripped column. */
+  def named(n: String): Expr = {
+    require(!Expr.isPrivateName(n),
+      s"'$n' is a private (__dunder__) name; use funcs.privateColumn")
+    Named(this, n)
+  }
 
   /** Qualify this expression to a join namespace (reference
     * `.disambiguated`, column_expression.py:81-99). */
@@ -121,6 +128,13 @@ sealed trait Expr {
 }
 
 object Expr {
+  /** Private-column name form: `__name__` with an optional dup-rename digit
+    * suffix (reference utils/identifier.py:9-10). Only these — plus the
+    * engine's own `__ns_…` join columns — are stripped from results; a
+    * user column like `__raw` passes through untouched. */
+  private val PrivateNameRe = raw"__.+__\d*".r
+  def isPrivateName(n: String): Boolean = PrivateNameRe.matches(n)
+
   /** Escaped column reference, optionally namespace-qualified
     * (reference column_name.py:9-30). */
   final case class ColRef(name: String, ns: Option[String] = None) extends Expr

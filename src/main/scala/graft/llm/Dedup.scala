@@ -173,9 +173,11 @@ object Dedup {
     // (both edge directions) — materialize it once (internal-only persist:
     // dropped before return, the result no longer references it)
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // no distinct(): detectors emit each pair once, and min-aggregation is
+    // duplicate-tolerant anyway — a dedup shuffle of the full edge list
+    // would cost more than the duplicates it removes
     val edges = p.select(col(aCol).as("__src__"), col(bCol).as("__dst__"))
       .union(p.select(col(bCol).as("__src__"), col(aCol).as("__dst__")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // round 0 fused into the seed: every node starts at min(self, direct
     // neighbors) — identical to one propagation round from the identity
@@ -227,6 +229,40 @@ object Dedup {
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
     out
+  }
+
+  /** Benchmark decontamination: find training documents sharing any word
+    * n-gram with an evaluation suite (the standard n-gram-overlap test a
+    * training pipeline runs before shipping a corpus — contaminated docs
+    * leak eval answers into the model).
+    *
+    * Scale shape: BOTH sides explode to (md5(ngram), id); the EVAL side is
+    * tiny (a benchmark is a few thousand docs) and deduped, so the join
+    * broadcasts it — the exploded train side never shuffles except for
+    * the final per-doc aggregate. Returns one row per contaminated train
+    * doc: distinct shared n-grams + distinct eval docs hit. */
+  def contamination(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      eval: DataFrame,
+      evalId: String,
+      evalText: String,
+      n: Int = 3,
+  ): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String) = df
+      .select(col(id).as(outId), TextOps.tokens(col(text)).as("__toks__"))
+      .where(size(col("__toks__")) >= n)
+      .select(col(outId),
+        explode(array_distinct(TextOps.wordShingles("__toks__", n))).as("__g__"))
+      .select(col(outId), md5(col("__g__").cast("binary")).as("__gh__"))
+    grams(train, trainId, trainText, "__tid__")
+      .join(broadcast(grams(eval, evalId, evalText, "__eid__").distinct()), "__gh__")
+      .groupBy(col("__tid__"))
+      .agg(countDistinct(col("__gh__")).as("n_shared_ngrams"),
+        countDistinct(col("__eid__")).as("n_eval_docs"))
+      .select(col("__tid__").as(trainId), col("n_shared_ngrams"),
+        col("n_eval_docs"))
   }
 
   /** Character n-gram Jaccard near-duplicates with fingerprint blocking:

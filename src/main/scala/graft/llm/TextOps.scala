@@ -98,6 +98,21 @@ object TextOps {
                             i -> substring($textCol, i, $n)))
         ELSE array($textCol) END""")
 
+  /** PII scrubbing: replace emails, international-format phone numbers,
+    * and IPv4 addresses with typed placeholder tokens (the redaction pass
+    * a training pipeline runs before a corpus ships). Patterns stay inside
+    * the common Java-regex/RE2 subset — no backreferences or lookaround —
+    * so the DuckDB oracle replays them byte-identically with
+    * `regexp_replace(..., 'g')`. Per-row codegen'd `regexp_replace` chain:
+    * no shuffle, scales with the scan. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    val phone = regexp_replace(email, lit("\\+[0-9][0-9 -]{5,13}[0-9]"), lit("<PHONE>"))
+    regexp_replace(phone,
+      lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("<IP>"))
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key lands
     * in the first `percent` of the hash space (first 8 hex digits as an
     * unsigned 32-bit value). Stable across runs/engines and cluster

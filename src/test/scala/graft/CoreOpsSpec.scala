@@ -37,6 +37,21 @@ class CoreOpsSpec extends GraftSuite {
     }
   }
 
+  test("private-column stripping matches the reference dunder rule") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "amt")
+    // __raw is NOT dunder-form: it must survive post-processing
+    val out = Model.fromDF(df)
+      .pick(col("id"), col("amt").named("__raw"),
+        privateColumn("__hidden__", col("amt") * lit(2.0)))
+      .run(s)
+    assert(out.columns.toSeq === Seq("id", "__raw"))
+    // .named refuses dunder names, like the reference guard
+    intercept[IllegalArgumentException] { col("amt").named("__x__") }
+    intercept[IllegalArgumentException] { privateColumn("not_dunder", col("amt")) }
+  }
+
   test("fold unpivots wide to long, reference docstring example") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,35 @@ class LlmSpec extends GraftSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("contamination flags train docs sharing eval n-grams") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "famously the capital of france is paris which tourists love"),
+      (2L, "a completely unrelated sentence about spark executors")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, "doc_id", "text",
+      eval, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    // shared 3-grams: "the capital of", "capital of france",
+    // "of france is", "france is paris"
+    assert(out.head.getLong(1) === 4L)
+    assert(out.head.getLong(2) === 1L)
+  }
+
+  test("scrubPii redacts emails, phones, and IPv4 addresses") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      "mail me at jane.doe+x@corp.example.org or call +44 20 7946 0958",
+      "server 192.168.10.254 stayed up; version 1.2 is fine",
+      "no pii here").toDF("text")
+    val out = d.select(TextOps.scrubPii(sc("text"))).collect().map(_.getString(0))
+    assert(out(0) === "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1) === "server <IP> stayed up; version 1.2 is fine")
+    assert(out(2) === "no pii here")
+  }
+
   test("language ID picks the profile with most stopword hits") {
     val s = spark
     import s.implicits._
