@@ -692,6 +692,33 @@ object SparkEntry {
         .run(s)),
 
     // --- deterministic hash sampling (repeatable corpus subsetting) ---
+    // --- per-group corpus rebalancing: deterministic stratified sample ---
+    "q_stratified_sample" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(graft.llm.TextOps.stratifiedSample(F.col("text"), F.col("lang"),
+              Map("en" -> 10.0, "de" -> 50.0, "zh" -> 100.0),
+              defaultPercent = 25.0))
+            .groupBy(F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
+    // --- within-doc repetition ratio (boilerplate signal) ---
+    "q_repetition" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("doc_id") < 100)
+            .withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .select(F.col("doc_id"),
+              graft.llm.TextOps.repetitionRatio("__toks__", 2).as("rep_ratio"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     "q_sample_hash" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
@@ -1256,6 +1283,25 @@ object SparkEntry {
       """SELECT lang, count(*) AS n FROM documents
          WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) < 1073741824
          GROUP BY 1 ORDER BY 1""",
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) <
+           CASE lang WHEN 'en' THEN 429496729 WHEN 'de' THEN 2147483648
+                     WHEN 'zh' THEN 4294967296 ELSE 1073741824 END
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_repetition" ->
+      """SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN round(1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+                ELSE 0.0 END AS rep_ratio
+         FROM (
+           SELECT doc_id, w,
+                  list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1])) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents WHERE doc_id < 100) a) b
+         ORDER BY doc_id""",
 
     "q_dedup_simhash" ->
       """WITH toks AS (

@@ -54,6 +54,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8,
       scope: CacheScope = CacheScope.global,
+      maxBucketSize: Int = 0,
   ): DataFrame = {
     require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
       "numHashes must be a multiple of rowsPerBand")
@@ -71,12 +72,27 @@ object Dedup {
       .withColumn("__toks__", TextOps.tokens(col("__text__")))
       .where(size(col("__toks__")) >= shingleSize)
       .select(col("__id__"), col("__toks__")))
-    val banded = base
+    val bandedAll = base
       .withColumn("__sig__",
         expr(s"minhash_sig_words(__toks__, $shingleSize, $numHashes)"))
       .select(col("__id__"),
         posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
           .as(Seq("__band__", "__bh__")))
+    // hot-bucket guard (off by default, maxBucketSize <= 0): a degenerate
+    // bucket — every near-empty doc hashing to one band value — makes the
+    // self-join quadratic IN THAT BUCKET. Production corpora cap or drop
+    // such buckets (the docs inside are boilerplate, not near-dups of
+    // interest); this is the skew fix for the one O(n²) risk in the
+    // pipeline, applied per (band, hash) key via one windowed count under
+    // the same partitioning the join needs anyway.
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else bandedAll
+        .withColumn("__bn__",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band__"), col("__bh__"))))
+        .where(col("__bn__") <= maxBucketSize)
+        .drop("__bn__")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.__band__") === col("b.__band__") &&

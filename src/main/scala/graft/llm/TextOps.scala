@@ -98,6 +98,40 @@ object TextOps {
                             i -> substring($textCol, i, $n)))
         ELSE array($textCol) END""")
 
+  /** Per-group deterministic sampling: keep a row iff its key hash lands
+    * below its GROUP's cutoff (percent in (0,100], missing groups use
+    * `defaultPercent`). The per-language / per-source rebalancing step of
+    * a corpus mix — same md5-prefix hash space as [[hashSample]], so it is
+    * repeatable across runs, engines, and cluster topology, and a row's
+    * membership is stable when fractions change (nested samples). Pure
+    * per-row predicate: no shuffle, pushes into the scan. */
+  def stratifiedSample(
+      keyCol: Column,
+      groupCol: Column,
+      percents: Map[String, Double],
+      defaultPercent: Double = 0.0,
+  ): Column = {
+    require(percents.values.forall(p => p >= 0 && p <= 100) &&
+      defaultPercent >= 0 && defaultPercent <= 100,
+      "percents must be in [0, 100]")
+    def cut(p: Double) = lit((p / 100.0 * 4294967296.0).toLong)
+    val cutoff = percents.foldLeft(cut(defaultPercent)) {
+      case (acc, (g, p)) => when(groupCol === lit(g), cut(p)).otherwise(acc)
+    }
+    conv(substring(md5(keyCol.cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") < cutoff
+  }
+
+  /** Within-document repetition ratio: fraction of word n-gram occurrences
+    * that are repeats (1 − distinct/total), the classic boilerplate /
+    * SEO-spam signal. Per-row closed form; 0.0 for docs shorter than n. */
+  def repetitionRatio(toksCol: String, n: Int = 2): Column = {
+    val sh = wordShingles(toksCol, n)
+    when(size(sh) > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** PII scrubbing: replace emails, international-format phone numbers,
     * and IPv4 addresses with typed placeholder tokens (the redaction pass
     * a training pipeline runs before a corpus ships). Patterns stay inside

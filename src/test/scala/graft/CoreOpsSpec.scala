@@ -37,6 +37,24 @@ class CoreOpsSpec extends GraftSuite {
     }
   }
 
+  test("week granularity honors the first-day-of-week compile setting") {
+    val s = spark
+    import s.implicits._
+    import graft.compile.CompileSettings
+    // 2024-01-10 is a Wednesday
+    val df = Seq(java.sql.Date.valueOf("2024-01-10")).toDF("d")
+    def weekOf(day: String): String =
+      Model.fromDF(df).pick(col("d").byWeek.named("w"))
+        .run(s, CompileSettings(weekStartDay = day))
+        .collect().head.getTimestamp(0).toString.take(10)
+    assert(weekOf("sunday") === "2024-01-07")
+    assert(weekOf("monday") === "2024-01-08")
+    assert(weekOf("saturday") === "2024-01-06")
+    assert(weekOf("wednesday") === "2024-01-10")
+    assert(weekOf("thursday") === "2024-01-04")
+    intercept[IllegalArgumentException] { CompileSettings(weekStartDay = "someday") }
+  }
+
   test("private-column stripping matches the reference dunder rule") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,57 @@ class LlmSpec extends GraftSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("minhash hot-bucket cap drops degenerate buckets only") {
+    val s = spark
+    import s.implicits._
+    // 0/1 near-dup pair + 5 identical boilerplate docs forming a hot bucket
+    val d = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "the quick brown fox jumps over the lazy dog near the shore")) ++
+      (10L to 14L).map(i => (i, "lorem ipsum dolor sit amet consectetur")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)))             // real pair survives
+    assert(!capped.exists(_._1 >= 10L))           // hot bucket excluded
+    val uncapped = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(_._1 >= 10L) === 10)    // 5 choose 2 without cap
+  }
+
+  test("stratified sample is deterministic with per-group rates") {
+    val s = spark
+    import s.implicits._
+    val d = (0 until 300).map(i => (s"doc text number $i", if (i % 3 == 0) "en"
+      else if (i % 3 == 1) "de" else "fr")).toDF("text", "lang")
+    val kept = d.where(TextOps.stratifiedSample(sc("text"), sc("lang"),
+        Map("en" -> 100.0, "de" -> 0.0), defaultPercent = 50.0))
+      .groupBy(sc("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") === 100L)                   // 100% of en
+    assert(!kept.contains("de"))                  // 0% of de
+    val fr = kept.getOrElse("fr", 0L)
+    assert(fr > 20L && fr < 80L)                  // ~50% of fr
+    // repeatable: second evaluation keeps the identical rows
+    val again = d.where(TextOps.stratifiedSample(sc("text"), sc("lang"),
+        Map("en" -> 100.0, "de" -> 0.0), defaultPercent = 50.0))
+      .count()
+    assert(again === kept.values.sum)
+  }
+
+  test("repetition ratio flags boilerplate") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("buy now buy now buy now", "all words here are unique", "one")
+      .toDF("text").withColumn("__toks__", TextOps.tokens(sc("text")))
+    val out = d.select(TextOps.repetitionRatio("__toks__", 2))
+      .collect().map(_.getDouble(0))
+    // bigrams: [buy now, now buy, buy now, now buy, buy now] -> 2 distinct of 5
+    assert(math.abs(out(0) - 0.6) < 1e-9)
+    assert(out(1) === 0.0)
+    assert(out(2) === 0.0) // shorter than n
+  }
+
   test("contamination flags train docs sharing eval n-grams") {
     val s = spark
     import s.implicits._
