@@ -543,6 +543,15 @@ object SparkEntry {
     // =============== event analytics (match_steps family) ===============
 
     // --- match_steps: per-user greedy step timestamps + last matched step ---
+    // --- gap-based sessionization over the activity schema ---
+    "q_sessionize" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(group = col("user_id"), timestamp = col("ts"),
+          eventKey = col("event_type"))
+        .sessionize(gapSeconds = 1800)
+        .sort(col("user_id")).sort(col("session_start"))
+        .run(s)),
+
     "q_match_steps" -> ((s, dir) => {
       val matched = m(dir, "events")
         .withActivitySchema(group = col("user_id"), timestamp = col("ts"),
@@ -1128,6 +1137,20 @@ object SparkEntry {
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "q_sessionize" ->
+      """WITH flags AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+                       THEN ts END AS bnd
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), sess AS (
+           SELECT user_id, ts,
+                  max(bnd) OVER (PARTITION BY user_id ORDER BY ts) AS session_start
+           FROM flags)
+         SELECT user_id, session_start, count(*) AS n_events, max(ts) AS session_end
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_match_steps" -> (FunnelCtes +
       """SELECT u.user_id, s0.t0 AS view_ts, s1.t1 AS click_ts, s2.t2 AS purchase_ts,
            CASE WHEN s2.t2 IS NOT NULL THEN 'purchase'

@@ -640,6 +640,36 @@ object Compiler {
       new Frame(op(f.df))
 
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
+
+    case Source.Sessionize(base, schema, gapSeconds) =>
+      // Gap-based sessionization, tie-safe by construction: a boundary
+      // flag from lag() is order-ambiguous for equal timestamps, but the
+      // session START is a running max over a RANGE frame (ties included
+      // on both engines' default frame), so tied rows always land in the
+      // same session regardless of intra-tie order — the output grain is
+      // deterministic where raw row_number-style session ids would not be.
+      // ONE exchange: both windows share hash(group), and the final
+      // (group, session_start) aggregate's clustering is satisfied by the
+      // same partitioning (subset rule), so Catalyst reuses it.
+      val bf = compileSource(base, spark)
+      val gIdent = schema.group.identifier
+      val gCol = compileExpr(schema.group, bf)
+      val tCol = compileExpr(schema.timestamp, bf)
+      val ev = bf.df.select(gCol.as("__g__"), tCol.cast("timestamp").as("__t__"))
+      val w = Window.partitionBy(col("__g__")).orderBy(col("__t__"))
+      val prev = lag(col("__t__"), 1).over(w)
+      val flagged = ev.withColumn("__bnd__",
+        // interval comparison, not epoch math: exact at any timestamp
+        // precision (unix_timestamp would truncate sub-second events)
+        when(prev.isNull ||
+          col("__t__") > prev + expr(s"INTERVAL $gapSeconds SECOND"),
+          col("__t__")))
+      val sess = flagged.withColumn("__ss__", max(col("__bnd__")).over(w))
+      new Frame(sess
+        .groupBy(col("__g__"), col("__ss__"))
+        .agg(count(lit(1)).as("n_events"), max(col("__t__")).as("session_end"))
+        .select(col("__g__").as(gIdent), col("__ss__").as("session_start"),
+          col("n_events"), col("session_end")))
   }
 
   // =================== match_steps (Spark-first redesign) ===================

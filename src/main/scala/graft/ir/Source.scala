@@ -107,4 +107,13 @@ object Source {
       partitionStartEvents: Seq[Expr],
       timeLimit: Option[TimeInterval],
   ) extends Source
+
+  /** Gap-based sessionization over the activity schema (beyond-reference
+    * activity analytics): one output row per (group, session), where a new
+    * session starts after more than `gapSeconds` of inactivity. */
+  final case class Sessionize(
+      base: Source,
+      schema: ActivitySchema,
+      gapSeconds: Long,
+  ) extends Source
 }

@@ -292,6 +292,20 @@ final case class Model(
     * partition); per-step event columns reachable via the step's relation
     * namespace; adds attrs last_matched_step_name/index and measures
     * entities / <step>_count. */
+  /** Gap-based sessionization (beyond-reference activity analytics): one
+    * row per (group, session_start) with `n_events` and `session_end`; a
+    * new session starts after more than `gapSeconds` without an event.
+    * Grain is deterministic under equal timestamps (see Compiler). */
+  def sessionize(
+      gapSeconds: Long,
+      group: Expr = null,
+      timestamp: Expr = null,
+  ): Model = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val schema = normalizedSchema(group, timestamp, eventKey = null)
+    Model(Source.Sessionize(source, schema, gapSeconds))
+  }
+
   def matchSteps(
       steps: Seq[StepSpec],
       group: Expr = null,

@@ -81,6 +81,11 @@ object WireFormat {
         "steps" -> steps.map(st => Map("name" -> st.name, "cond" -> exprW(st.condition))).toList,
         "partitionStartEvents" -> parts.map(exprW).toList,
         "timeLimit" -> limit.map(i => Map("num" -> i.num, "unit" -> i.unit)).orNull)
+    case Source.Sessionize(b, schema, gap) =>
+      Map("t" -> "sessionize", "base" -> sourceW(b),
+        "group" -> exprW(schema.group), "timestamp" -> exprW(schema.timestamp),
+        "eventKey" -> Option(schema.eventKey).map(exprW).orNull,
+        "gapSeconds" -> gap)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -213,6 +218,11 @@ object WireFormat {
         Option(s("timeLimit")).map(v => {
           val i = obj(v); TimeInterval(long(i("num")), str(i("unit")))
         }))
+    case "sessionize" =>
+      Source.Sessionize(sourceR(obj(s("base"))),
+        ActivitySchema(exprR(obj(s("group"))), exprR(obj(s("timestamp"))),
+          Option(s("eventKey")).map(x => exprR(obj(x))).orNull),
+        long(s("gapSeconds")))
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")
   }
 

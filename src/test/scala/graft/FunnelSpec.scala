@@ -145,4 +145,38 @@ class FunnelSpec extends GraftSuite {
     assert(row.getAs[Long]("convertedCount") === 2L)
     assert(math.abs(row.getAs[Double]("rate") - 0.4) < 1e-12)
   }
+
+  test("sessionize splits on gaps and keeps equal-timestamp ties together") {
+    val s = spark
+    import s.implicits._
+    def t(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+    val events = Seq(
+      // user 1: 3 events within 30min, then a 31-min gap, then 2 more
+      (1L, "a", t("10:00:00")), (1L, "b", t("10:10:00")), (1L, "c", t("10:29:00")),
+      (1L, "d", t("11:00:01")), (1L, "e", t("11:05:00")),
+      // user 2: two events at the IDENTICAL boundary instant + one before
+      (2L, "x", t("09:00:00")),
+      (2L, "y", t("09:30:01")), (2L, "z", t("09:30:01")),
+    ).toDF("user_id", "event", "timestamp")
+    val out = Model.fromDF(events)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .sessionize(gapSeconds = 1800)
+      .sort(col("user_id")).sort(col("session_start"))
+      .run(s).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getTimestamp(3).toString))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", 3L, "2024-01-01 10:29:00.0"),
+      (1L, "2024-01-01 11:00:01.0", 2L, "2024-01-01 11:05:00.0"),
+      (2L, "2024-01-01 09:00:00.0", 1L, "2024-01-01 09:00:00.0"),
+      // both 09:30:01 events share one session despite the tie at the
+      // boundary — the RANGE-frame running max makes the grain stable
+      (2L, "2024-01-01 09:30:01.0", 2L, "2024-01-01 09:30:01.0"),
+    ))
+    // wire round-trip: sessionize has a serializable source form
+    val m = Model.table("events")
+      .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+      .sessionize(900)
+    assert(graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(m)) === m)
+  }
 }
