@@ -51,6 +51,73 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Streaming gap-based sessionization — the streaming twin of
+    * `Model.sessionize`. Keyed state = the one OPEN session per group
+    * (start, end, count — three longs, constant per key); an event within
+    * `gapSeconds` of the open session extends it, a later event closes and
+    * emits it, and an event-time timeout (the watermark passing
+    * session_end + gap) flushes sessions for groups that simply stop
+    * sending. Out-of-order events inside the watermark extend the open
+    * session exactly like the batch operator's window would; events later
+    * than the watermark are dropped by the engine. Group key is emitted as
+    * its string form (`group`), the price of a schema-generic operator.
+    * Output: group, session_start, n_events, session_end (append mode). */
+  def streamingSessionize(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      watermarkDelay: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val gapMs = gapSeconds * 1000L
+    val src = events.withWatermark(tsCol, watermarkDelay)
+    val gIdx = src.schema.fieldIndex(groupCol)
+    val tIdx = src.schema.fieldIndex(tsCol)
+    val outSchema = StructType(Seq(
+      StructField("group", StringType, nullable = false),
+      StructField("session_start", TimestampType, nullable = false),
+      StructField("n_events", LongType, nullable = false),
+      StructField("session_end", TimestampType, nullable = false)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+    val stateEnc = Encoders.product[(Long, Long, Long)]
+    src
+      .groupByKey((r: Row) => String.valueOf(r.get(gIdx)))
+      .flatMapGroupsWithState[(Long, Long, Long), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long)]) =>
+          def emit(s: (Long, Long, Long)): Row =
+            Row(key, new java.sql.Timestamp(s._1), s._3, new java.sql.Timestamp(s._2))
+          if (state.hasTimedOut) {
+            val done = emit(state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // a micro-batch is unordered: process this batch's events in
+            // event-time order so in-batch session splits are exact
+            val ts = rows.map(_.getTimestamp(tIdx).getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case None => Some((t, t, 1L))
+                case Some((s0, e0, n0)) =>
+                  if (t - e0 > gapMs) { closed += emit((s0, e0, n0)); Some((t, t, 1L)) }
+                  // watermark-admitted stragglers may predate the open
+                  // session's start — widen both ends
+                  else Some((math.min(s0, t), math.max(e0, t), n0 + 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }(stateEnc, rowEnc)
+  }
+
   /** Tumbling-window counts per key with watermarked bounded lateness:
     * the standard `withWatermark` + `window()` aggregation; late events
     * beyond `watermarkDelay` are dropped, windows finalize incrementally. */

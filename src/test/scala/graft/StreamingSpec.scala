@@ -31,6 +31,40 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits closed sessions and times out idle ones") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, Timestamp)](s)
+    val sessions = Streams.streamingSessionize(
+      ms.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 1800, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(x: String) = Timestamp.valueOf(s"2024-01-01 $x")
+    try {
+      // batch 1: user 1 has two sessions IN ONE BATCH (second starts
+      // 31 min later) — first closes immediately; user 2 stays open
+      ms.addData((1L, t("10:00:00")), (1L, t("10:10:00")),
+        (1L, t("10:41:01")), (2L, t("10:30:00")))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT group FROM sess_out").collect()
+      assert(afterB1.map(_.getString(0)).toSeq === Seq("1"))
+      // batch 2: watermark jumps past every open session's end + gap →
+      // user 1's second session and user 2's session flush via timeout
+      ms.addData((3L, t("14:00:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        """SELECT group, session_start, n_events, session_end
+           FROM sess_out ORDER BY group, session_start""").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.getTimestamp(3).toString))
+      assert(out.toSeq === Seq(
+        ("1", "2024-01-01 10:00:00.0", 2L, "2024-01-01 10:10:00.0"),
+        ("1", "2024-01-01 10:41:01.0", 1L, "2024-01-01 10:41:01.0"),
+        ("2", "2024-01-01 10:30:00.0", 1L, "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts finalize per tumbling window") {
     val s = spark
     import s.implicits._
