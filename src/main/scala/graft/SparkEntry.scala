@@ -543,6 +543,29 @@ object SparkEntry {
     // =============== event analytics (match_steps family) ===============
 
     // --- match_steps: per-user greedy step timestamps + last matched step ---
+    // --- weekly retention cohorts, composed ENTIRELY through the public
+    //     Model API (joinOne onto an aggregated cohort model + granularity
+    //     + count-distinct): the classic product-analytics matrix ---
+    "q_retention" -> ((s, dir) => {
+      val cohorts = m(dir, "events")
+        .aggregate(
+          groups = Seq(col("user_id")),
+          measures = Seq(min(col("ts").byWeek).named("cohort_week")))
+        .withPrimaryKey(col("user_id"))
+      val ev = m(dir, "events")
+        .withJoinOne(cohorts, named = "cohort", foreignKey = col("user_id"),
+          dropUnmatched = true)
+      ev.aggregate(
+          groups = Seq(
+            ev.rel("cohort").attr("cohort_week").named("cohort_week"),
+            floor(diffSeconds(col("ts").byWeek,
+              ev.rel("cohort").attr("cohort_week")) / lit(604800))
+              .named("week_offset")),
+          measures = Seq(countDistinct(col("user_id")).named("active_users")))
+        .sort(col("cohort_week")).sort(col("week_offset"))
+        .run(s)
+    }),
+
     // --- gap-based sessionization over the activity schema ---
     "q_sessionize" -> ((s, dir) =>
       m(dir, "events")
@@ -1137,6 +1160,19 @@ object SparkEntry {
          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "q_retention" ->
+      """WITH cohorts AS (
+           SELECT user_id,
+                  min(date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY) AS cohort_week
+           FROM events GROUP BY 1)
+         SELECT c.cohort_week,
+                CAST(floor(date_diff('second', c.cohort_week,
+                    date_trunc('week', e.ts + INTERVAL 1 DAY) - INTERVAL 1 DAY)
+                  / 604800) AS BIGINT) AS week_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN cohorts c ON e.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_sessionize" ->
       """WITH flags AS (
            SELECT user_id, ts,
