@@ -120,6 +120,23 @@ class LlmSpec extends GraftSuite {
     assert(out.head.getLong(2) === 1L)
   }
 
+  test("new operators degrade cleanly on empty inputs") {
+    val s = spark
+    import s.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.contamination(docs, "doc_id", "text",
+      noDocs, "doc_id", "text").count() === 0L)
+    assert(Dedup.contamination(noDocs, "doc_id", "text",
+      docs, "doc_id", "text").count() === 0L)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusterPairs(noPairs, "doc_a", "doc_b").count() === 0L)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(graft.model.Model.fromDF(noEvents)
+      .withActivitySchema(graft.funcs.col("user_id"), graft.funcs.col("ts"),
+        graft.funcs.col("user_id"))
+      .sessionize(60).run(s).count() === 0L)
+  }
+
   test("scrubPii redacts emails, phones, and IPv4 addresses") {
     val s = spark
     import s.implicits._
