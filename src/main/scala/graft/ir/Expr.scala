@@ -15,20 +15,6 @@ final case class TimeInterval(num: Long, unit: String) {
     case "quarter" => s"INTERVAL '${num * 3}' MONTH"
     case u         => s"INTERVAL '$num' ${u.toUpperCase}"
   }
-  /** Exact length in seconds for FIXED-length units only; calendar units
-    * (year/quarter/month) have no fixed seconds and throw — callers that
-    * need calendar arithmetic must use INTERVAL comparison (as matchSteps'
-    * time_limit does). */
-  def fixedSeconds: Long = unit match {
-    case "year" | "quarter" | "month" =>
-      throw new IllegalArgumentException(
-        s"calendar unit '$unit' has no fixed length in seconds")
-    case "week"    => num * 7L * 86400
-    case "day"    => num * 86400
-    case "hour"    => num * 3600
-    case "minute"  => num * 60
-    case "second"  => num
-  }
 }
 object TimeInterval {
   val Units: Set[String] =

@@ -20,16 +20,22 @@ final class CacheScope {
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for later release.
     * Idempotent per frame: re-registering an already-tracked frame is a
-    * no-op persist (Spark warns), so operators persist exactly once. */
-  def cache(df: DataFrame): DataFrame = {
+    * no-op persist (Spark warns), so operators persist exactly once.
+    * Synchronized: the shared [[CacheScope.global]] default may be hit
+    * from concurrent driver threads. */
+  def cache(df: DataFrame): DataFrame = synchronized {
     frames += df
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Unpersist every tracked frame (non-blocking) and forget them. Safe to
     * call repeatedly; only frames cached since the last release are
-    * touched. */
-  def release(): Unit = {
+    * touched. CAUTION on the shared global scope: release() drops OTHER
+    * in-flight queries' feature frames too (they recompute, correctly but
+    * slowly) — a multi-threaded driver should give each query its own
+    * scope and only release the global between quiescent points, which is
+    * exactly how Verify/Bench use it. */
+  def release(): Unit = synchronized {
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
   }

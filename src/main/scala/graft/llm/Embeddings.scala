@@ -144,11 +144,16 @@ object Embeddings {
     val assigned = scope.cache(emb
       .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
       .crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
+      // the init struct borrows its cid TYPE (and an arbitrary value —
+      // sim -2 loses to any real cosine) from the first centroid via the
+      // null-safe 0-based get(), so ids of any orderable type work and an
+      // EMPTY centroid set yields cid NULL → the cell equi-join matches
+      // nothing → empty result (never a degenerate full self-join)
       .withColumn("__best__", expr(s"""aggregate(
           transform(__cents__, c -> named_struct(
             'sim', round(float_vec_dot($vecCol, c.__cv__) / (__n__ * c.__cn__), 6),
-            'cid', CAST(c.__cid__ AS bigint))),
-          named_struct('sim', CAST(-2 AS double), 'cid', CAST(-1 AS bigint)),
+            'cid', c.__cid__)),
+          named_struct('sim', CAST(-2 AS double), 'cid', get(__cents__, 0).__cid__),
           (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
                          c, acc))"""))
       .select(col(idCol), col(vecCol), col("__n__"),

@@ -286,12 +286,6 @@ final case class Model(
     normalized
   }
 
-  /** Per `group`, greedily match an ordered list of step predicates over
-    * time-ordered events (reference model.py:411-537 + the 696-LoC
-    * compilers/match_steps.py). Output grain: one row per group (× start
-    * partition); per-step event columns reachable via the step's relation
-    * namespace; adds attrs last_matched_step_name/index and measures
-    * entities / <step>_count. */
   /** Gap-based sessionization (beyond-reference activity analytics): one
     * row per (group, session_start) with `n_events` and `session_end`; a
     * new session starts after more than `gapSeconds` without an event.
@@ -306,6 +300,12 @@ final case class Model(
     Model(Source.Sessionize(source, schema, gapSeconds))
   }
 
+  /** Per `group`, greedily match an ordered list of step predicates over
+    * time-ordered events (reference model.py:411-537 + the 696-LoC
+    * compilers/match_steps.py). Output grain: one row per group (× start
+    * partition); per-step event columns reachable via the step's relation
+    * namespace; adds attrs last_matched_step_name/index and measures
+    * entities / <step>_count. */
   def matchSteps(
       steps: Seq[StepSpec],
       group: Expr = null,
@@ -472,9 +472,11 @@ object Model {
 
   /** Rewrite bare `self.<ident>` qualifiers in a SQL fragment to
     * `{{ self.<ident> }}` references. Quote-aware hand scanner (no SQL
-    * parser dependency): occurrences inside single-quoted string literals
-    * or double-quoted identifiers are left untouched, as is `self` used as
-    * a path segment of a longer identifier (`x.self.y`, `myself.z`). */
+    * parser dependency): occurrences inside single-quoted string literals,
+    * double-quoted identifiers, or EXISTING `{{ … }}` template references
+    * (a user may spell the same thing `{{ self.x }}` directly) are left
+    * untouched, as is `self` used as a path segment of a longer
+    * identifier (`x.self.y`, `myself.z`). */
   private[model] def rewriteSelfRefs(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
     var i = 0
@@ -487,6 +489,13 @@ object Model {
       else if (inDouble) { out += c; if (c == '"') inDouble = false; i += 1 }
       else if (c == '\'') { inSingle = true; out += c; i += 1 }
       else if (c == '"') { inDouble = true; out += c; i += 1 }
+      else if (sql.startsWith("{{", i)) {
+        // copy an existing template reference verbatim (no double-wrap)
+        val end = sql.indexOf("}}", i + 2)
+        val stop = if (end < 0) sql.length else end + 2
+        out ++= sql.substring(i, stop)
+        i = stop
+      }
       else if (sql.startsWith("self.", i) &&
           (i == 0 || (!isIdentChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.'))) {
         var k = i + 5

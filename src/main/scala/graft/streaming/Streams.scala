@@ -104,8 +104,15 @@ object Streams {
                 case None => Some((t, t, 1L))
                 case Some((s0, e0, n0)) =>
                   if (t - e0 > gapMs) { closed += emit((s0, e0, n0)); Some((t, t, 1L)) }
-                  // watermark-admitted stragglers may predate the open
-                  // session's start — widen both ends
+                  else if (s0 - t > gapMs) {
+                    // a watermark-admitted straggler MORE than a gap older
+                    // than the open session is its own (already closed)
+                    // session — batch sessionize would split here too; a
+                    // stream cannot retract, so emit it immediately
+                    closed += emit((t, t, 1L)); Some((s0, e0, n0))
+                  }
+                  // stragglers within a gap of the open session widen it,
+                  // exactly like the batch operator's window would
                   else Some((math.min(s0, t), math.max(e0, t), n0 + 1L))
               }
             }

@@ -30,6 +30,11 @@ class CoreOpsSpec extends GraftSuite {
       .filter(sql("self.net > 100"))
       .run(s).collect()
     assert(m2.map(_.getLong(0)).toSeq === Seq(2L))
+    // the explicit {{ self.x }} template spelling must not double-wrap
+    val m3 = Model.fromDF(df)
+      .filter(sql("{{ self.amt }} > 20"))
+      .run(s).collect()
+    assert(m3.map(_.getLong(0)).toSeq === Seq(2L))
     // unknown self-attribute on a declared model throws like attr()
     intercept[NoSuchElementException] {
       Model.fromDF(df).withAttributes(col("amt").named("net"))

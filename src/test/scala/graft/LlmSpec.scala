@@ -120,6 +120,24 @@ class LlmSpec extends GraftSuite {
     assert(out.head.getLong(2) === 1L)
   }
 
+  test("ivfTopK keeps the id's type and returns empty for no centroids") {
+    val s = spark
+    import s.implicits._
+    // string ids: cell assignment and the equi-join must preserve the type
+    val sv = Seq(
+      ("a", Array(1f, 0f, 0f, 0f)), ("b", Array(0.9f, 0.1f, 0f, 0f)),
+      ("c", Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Embeddings.ivfTopK(sv, "vec_id", "embedding",
+      centroidPred = sc("vec_id") === "a", queryPred = sc("vec_id") === "a",
+      k = 2).collect()
+    assert(out.map(_.getAs[String]("neighbor_id")).toSet === Set("b", "c"))
+    // an empty centroid set yields an EMPTY result, not a full self-join
+    val none = Embeddings.ivfTopK(vectors, "vec_id", "embedding",
+      centroidPred = sc("vec_id") === -999L, queryPred = sc("vec_id") === 0L,
+      k = 2)
+    assert(none.count() === 0L)
+  }
+
   test("new operators degrade cleanly on empty inputs") {
     val s = spark
     import s.implicits._

@@ -65,6 +65,30 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits an out-of-gap straggler as its own session") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, Timestamp)](s)
+    val sessions = Streams.streamingSessionize(
+      ms.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 1800, watermarkDelay = "4 hours")
+    val q = sessions.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    def t(x: String) = Timestamp.valueOf(s"2024-01-01 $x")
+    try {
+      ms.addData((1L, t("10:00:00")))
+      q.processAllAvailable()
+      // 08:00 is watermark-admitted (4h delay) but a full gap older than
+      // the open 10:00 session: it must NOT widen it into one 2h session
+      ms.addData((1L, t("08:00:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT session_start, n_events FROM sess_late_out ORDER BY session_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(out.toSeq === Seq(("2024-01-01 08:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts finalize per tumbling window") {
     val s = spark
     import s.implicits._
