@@ -18,7 +18,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q_join_one", "q_match_steps", "q_funnel",
-        "q_dedup_minhash", "q_ann_lsh", "q_fold")
+        "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf", "q_fold",
+        "q_sessionize", "q_retention", "q_contamination")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

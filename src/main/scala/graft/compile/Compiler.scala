@@ -656,6 +656,9 @@ object Compiler {
       val gCol = compileExpr(schema.group, bf)
       val tCol = compileExpr(schema.timestamp, bf)
       val ev = bf.df.select(gCol.as("__g__"), tCol.cast("timestamp").as("__t__"))
+        // a null timestamp cannot belong to any session — dropping it here
+        // beats emitting a bogus null-start session per group
+        .where(col("__t__").isNotNull)
       val w = Window.partitionBy(col("__g__")).orderBy(col("__t__"))
       val prev = lag(col("__t__"), 1).over(w)
       val flagged = ev.withColumn("__bnd__",
