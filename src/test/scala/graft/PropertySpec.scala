@@ -77,4 +77,57 @@ class PropertySpec extends GraftSuite {
         counts.zip(counts.tail).forall { case (hi, lo) => hi >= lo }
     }, cases = 6)
   }
+
+  test("property: sessionize partitions events exactly (counts sum, bounds hold)") {
+    val s = spark
+    import s.implicits._
+    val eventsGen = Gen.listOfN(12, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 20000L)))
+    check(Prop.forAll(eventsGen) { evs =>
+      val df = evs.map { case (u, off) =>
+        (u, new Timestamp(1700000000000L + off * 1000L))
+      }.toDF("user_id", "ts")
+      val out = Model.fromDF(df)
+        .withActivitySchema(col("user_id"), col("ts"), col("user_id"))
+        .sessionize(gapSeconds = 1800)
+        .run(spark).collect()
+      val nEvents = out.map(_.getAs[Long]("n_events")).sum
+      // every event lands in exactly one session; sessions are well-formed
+      nEvents == evs.size.toLong && out.forall { r =>
+        val st = r.getTimestamp(1).getTime
+        val en = r.getAs[Timestamp]("session_end").getTime
+        st <= en
+      }
+    }, cases = 6)
+  }
+
+  test("property: stratified sample at a uniform rate equals hashSample") {
+    val s = spark
+    import s.implicits._
+    val docsGen = Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    check(Prop.forAll(docsGen, Gen.choose(1, 99)) { (texts, pct) =>
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (t + i, if (i % 2 == 0) "en" else "de")
+      }.toDF("text", "lang")
+      import org.apache.spark.sql.functions.{col => sc}
+      val strat = df.where(graft.llm.TextOps.stratifiedSample(
+        sc("text"), sc("lang"), Map.empty, defaultPercent = pct)).count()
+      val plain = df.where(graft.llm.TextOps.hashSample(sc("text"), pct))
+        .count()
+      strat == plain // same hash space + same cutoff → identical subset
+    }, cases = 6)
+  }
+
+  test("property: scrubPii never alters text without @, +, or dotted digits") {
+    val s = spark
+    import s.implicits._
+    val safeGen = Gen.listOfN(6,
+      Gen.alphaStr.map(_.take(20)).suchThat(_.nonEmpty))
+    check(Prop.forAll(safeGen) { texts =>
+      val df = texts.toDF("text")
+      import org.apache.spark.sql.functions.{col => sc}
+      df.select(graft.llm.TextOps.scrubPii(sc("text")).as("s"), sc("text"))
+        .collect().forall(r => r.getString(0) == r.getString(1))
+    }, cases = 6)
+  }
 }
