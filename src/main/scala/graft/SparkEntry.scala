@@ -1569,10 +1569,14 @@ object SparkEntry {
          FROM toks WHERE len(w) >= 3
        ), sig AS (
          SELECT doc_id, sh, list_transform(range(1, 9),
-                  h -> list_min(list_transform(sh, s -> md5(concat(CAST(h AS VARCHAR), ':', s))))) AS sig
+                  h -> list_min(list_transform(sh,
+                         s -> ((2*h+1) * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+                               + 1000000007*h) % 2147483647))) AS sig
          FROM sh
        ), band AS (
-         SELECT doc_id, b, md5(array_to_string(sig[(b-1)*2+1:(b-1)*2+2], '|')) AS bh
+         SELECT doc_id, b,
+                md5(array_to_string(list_transform(sig[(b-1)*2+1:(b-1)*2+2],
+                      v -> CAST(v AS VARCHAR)), '|')) AS bh
          FROM sig, range(1, 5) AS r(b)
        ), cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b

@@ -62,27 +62,43 @@ object TextHash {
     UTF8String.fromString(min)
   }
 
-  /** MinHash signature: element h (1-based) is the lexicographic min of
-    * md5(h || ':' || shingle) across the shingle array. */
+  /** MinHash signature via ONE md5 per shingle + a universal-hash family:
+    * x = first 8 md5-hex digits parsed as a long (32-bit), then
+    * h_k(x) = ((2k+1)·x + 1000000007·k) mod 2147483647 for k = 1..H;
+    * signature element k is the min over shingles. The round-2
+    * formulation paid H full md5s PER SHINGLE (md5(k || ':' || s)); this
+    * pays one, and the (2k+1) odd multipliers give H distinct affine
+    * permutations of the same 32-bit hash — the standard one-hash MinHash
+    * construction. Every intermediate stays below 2^40, so the identical
+    * values replay in DuckDB's checked BIGINT arithmetic (and even in
+    * doubles) with zero overflow risk. */
+  def minhashHash(k: Int, x: Long): Long =
+    ((2L * k + 1L) * x + 1000000007L * k) % 2147483647L
+
   def minhashSignature(shingles: ArrayData, numHashes: Int): ArrayData = {
     if (shingles == null) return null
     val n = shingles.numElements()
-    val sig = new Array[Any](numHashes)
-    var h = 0
-    while (h < numHashes) {
-      val prefix = (h + 1).toString + ":"
-      var min: String = null
-      var i = 0
-      while (i < n) {
-        val sh = shingles.getUTF8String(i)
-        if (sh != null) {
-          val hx = md5Hex(prefix + sh.toString)
-          if (min == null || hx.compareTo(min) < 0) min = hx
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) {
+        val x = java.lang.Long.parseLong(md5Hex(sh.toString).substring(0, 8), 16)
+        var k = 1
+        while (k <= numHashes) {
+          val v = minhashHash(k, x)
+          if (v < mins(k - 1)) mins(k - 1) = v
+          k += 1
         }
-        i += 1
       }
-      sig(h) = if (min == null) null else UTF8String.fromString(min)
-      h += 1
+      i += 1
+    }
+    val sig = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      sig(k) = if (mins(k) == Long.MaxValue) null else java.lang.Long.valueOf(mins(k))
+      k += 1
     }
     new GenericArrayData(sig)
   }
@@ -136,22 +152,29 @@ object TextHashMore {
 
   /** MinHash signature over the distinct word n-gram shingles of a token
     * array — fuses wordShingles + array_distinct + minhashSignature into
-    * one pass (identical values: min is order-insensitive). */
+    * one pass (identical values: min is order-insensitive). Same one-md5
+    * universal-hash construction as [[TextHash.minhashSignature]]. */
   def minhashSigWords(toks: ArrayData, n: Int, numHashes: Int): ArrayData = {
     if (toks == null) return null
     val shingles = wordShingleSet(toks, n)
-    val sig = new Array[Any](numHashes)
-    var h = 0
-    while (h < numHashes) {
-      val prefix = (h + 1).toString + ":"
-      var min: String = null
-      val it = shingles.iterator()
-      while (it.hasNext) {
-        val hx = TextHash.md5Hex(prefix + it.next())
-        if (min == null || hx.compareTo(min) < 0) min = hx
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val x = java.lang.Long.parseLong(
+        TextHash.md5Hex(it.next()).substring(0, 8), 16)
+      var k = 1
+      while (k <= numHashes) {
+        val v = TextHash.minhashHash(k, x)
+        if (v < mins(k - 1)) mins(k - 1) = v
+        k += 1
       }
-      sig(h) = if (min == null) null else UTF8String.fromString(min)
-      h += 1
+    }
+    val sig = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      sig(k) = if (mins(k) == Long.MaxValue) null else java.lang.Long.valueOf(mins(k))
+      k += 1
     }
     new GenericArrayData(sig)
   }
@@ -261,7 +284,7 @@ case class MinHashSigWords(child: Expression, n: Int, numHashes: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig_words expects (array<string>, n>0, h>0), got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig_words"
 
   override def nullSafeEval(input: Any): Any =
@@ -329,7 +352,7 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig expects (array<string>, n>0), got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(input: Any): Any =

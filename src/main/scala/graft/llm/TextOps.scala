@@ -43,22 +43,27 @@ object TextOps {
                        i -> concat_ws(' ', slice($toksCol, i, $n)))
         ELSE CAST(array() AS array<string>) END""")
 
-  /** MinHash signature over a shingle-array column: element h of the
-    * signature is the lexicographic minimum of md5(h || ':' || shingle).
-    * String-min MinHash avoids engine-specific integer hashing, so the
-    * DuckDB oracle replays it exactly; collision behavior is the standard
-    * MinHash estimator (P[sig_a(h) == sig_b(h)] = Jaccard(a, b)). */
+  /** MinHash signature over a shingle-array column: ONE portable 32-bit
+    * md5-prefix hash per shingle, permuted through the affine family
+    * h_k(x) = ((2k+1)·x + 1000000007·k) mod 2147483647 — the standard
+    * one-hash MinHash construction (round 2 paid numHashes full md5s per
+    * shingle). md5-derived base hash keeps it engine-portable, so the
+    * DuckDB oracle replays it in plain BIGINT arithmetic; collision
+    * behavior is the usual estimator (P[sig_a(k) == sig_b(k)] ≈ Jaccard). */
   def minhashSignature(shinglesCol: String, numHashes: Int): Column =
     expr(s"""transform(sequence(1, $numHashes),
         h -> array_min(transform($shinglesCol,
-               s -> md5(concat(cast(h AS string), ':', s)))))""")
+               s -> ((2 * h + 1) * cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)
+                     + 1000000007L * h) % 2147483647L)))""")
 
   /** LSH band hashes over a signature column: band b hashes signature rows
     * [(b-1)*r+1, b*r]. Near-dup candidates are pairs sharing ANY band —
     * found with a bucket equi-join, never an all-pairs comparison. */
   def bandHashes(sigCol: String, numBands: Int, rowsPerBand: Int): Column =
     expr(s"""transform(sequence(1, $numBands),
-        b -> md5(concat_ws('|', slice($sigCol, (b - 1) * $rowsPerBand + 1, $rowsPerBand))))""")
+        b -> md5(concat_ws('|', transform(
+               slice($sigCol, (b - 1) * $rowsPerBand + 1, $rowsPerBand),
+               v -> cast(v AS string)))))""")
 
   /** 32-bit integer hash of each element of a string-array column (first 8
     * hex digits of md5 — portable across engines, unlike murmur/xxhash). */
