@@ -394,6 +394,19 @@ object SparkEntry {
         .run(s)),
 
     // --- fold (unpivot wide→long) ---
+    // --- pivot: the inverse of fold, composed from the aggregate algebra.
+    // l_quantity is integer-valued, so double sums are exact and
+    // order-independent without the cents dance. ---
+    "q_pivot" -> ((s, dir) =>
+      m(dir, "lineitem")
+        .pivot(
+          groups = Seq(col("l_linestatus")),
+          keyCol = col("l_returnflag"),
+          valueCol = col("l_quantity"),
+          keys = Seq("A", "N", "R"))
+        .sort(col("l_linestatus"))
+        .run(s)),
+
     "q_fold" -> ((s, dir) =>
       m(dir, "orders")
         .aggregate(
@@ -1094,6 +1107,13 @@ object SparkEntry {
                 CAST(l_linenumber AS DOUBLE) AS ln_dbl
          FROM lineitem WHERE l_orderkey <= 500
          ORDER BY l_orderkey, l_linenumber""",
+    "q_pivot" ->
+      """SELECT l_linestatus,
+                sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+                sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+                sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "q_fold" ->
       """SELECT o_orderpriority, status, n FROM (
            SELECT o_orderpriority, 'n_open' AS status,

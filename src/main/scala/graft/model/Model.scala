@@ -206,6 +206,31 @@ final case class Model(
       relations = VectorMap.empty,
     )
 
+  /** Pivot — the inverse of `fold`/unpivot (beyond-reference sugar): one
+    * output column per pivot `key` holding `agg` of `valueCol` where
+    * `keyCol` equals the key, grouped by `groups`. Composed entirely from
+    * the existing aggregate algebra (agg-over-CASE measures), so it
+    * inherits the aggregate's single-shuffle map-side-combine plan and
+    * needs no new compiler surface. Keys are explicit (like every SQL
+    * dialect's PIVOT IN-list) — an inferred key set would require an extra
+    * pass over the data. */
+  def pivot(
+      groups: Seq[Expr],
+      keyCol: Expr,
+      valueCol: Expr,
+      keys: Seq[String],
+      agg: String = "sum",
+  ): Model = {
+    require(Seq("sum", "min", "max", "avg", "count").contains(agg),
+      s"pivot agg must be one of sum/min/max/avg/count, got '$agg'")
+    require(keys.nonEmpty, "pivot requires at least one key")
+    val ms = keys.map { k =>
+      Call(agg, Seq(Cases(Seq((Bin(Op.Eq, keyCol, Lit(k)), valueCol)), None)))
+        .named(k)
+    }
+    aggregate(measures = ms, groups = groups)
+  }
+
   /** ORDER BY; chained `.sort` calls accumulate keys on the same layer like
     * the reference (sort.py:40; SURVEY.md §7.4 sort-stability note) —
     * merging through adjacent Filter/Sort nodes so `.sort(a).sort(b)` emits

@@ -75,6 +75,23 @@ class CoreOpsSpec extends GraftSuite {
     intercept[IllegalArgumentException] { privateColumn("not_dunder", col("amt")) }
   }
 
+  test("pivot widens key/value rows; absent keys yield NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", "a", 1.0), ("x", "b", 2.0), ("x", "a", 4.0), ("y", "a", 3.0))
+      .toDF("g", "k", "v")
+    val out = Model.fromDF(df)
+      .pivot(Seq(col("g")), col("k"), col("v"), Seq("a", "b"))
+      .sort(col("g")).run(s).collect()
+    assert(out.map(r => (r.getString(0),
+      Option(r.get(1)), Option(r.get(2)))).toSeq === Seq(
+      ("x", Some(5.0), Some(2.0)),
+      ("y", Some(3.0), None))) // y has no 'b' rows → NULL, like SQL PIVOT
+    intercept[IllegalArgumentException] {
+      Model.fromDF(df).pivot(Seq(col("g")), col("k"), col("v"), Seq("a"), "median")
+    }
+  }
+
   test("fold unpivots wide to long, reference docstring example") {
     val s = spark
     import s.implicits._

@@ -31,6 +31,30 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stateless gates compose with streaming dedup into a cleaning pipeline") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.size
+    val ms = MemoryStream[(Long, String)](s)
+    // the batch corpus-cleaning shape on a stream: per-row quality gate
+    // (stateless, any batch transform works) feeding the stateful dedup
+    val gated = ms.toDF.toDF("doc_id", "text")
+      .withColumn("__toks__", graft.llm.TextOps.tokens(sc("text")))
+      .where(size(sc("__toks__")) >= 3).drop("__toks__")
+    val cleaned = Streams.streamingExactDedup(gated, "text")
+    val q = cleaned.writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "too short"), (2L, "a long enough document"),
+        (3L, "A  LONG enough document"), (4L, "another unique document"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM clean_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // 1 fails the gate; 3 normalizes to 2's hash
+      assert(out === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions and times out idle ones") {
     val s = spark
     import s.implicits._
