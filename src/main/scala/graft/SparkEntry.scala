@@ -814,6 +814,20 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- TRAINED IVF: 2 Lloyd's iterations (deterministic, decimal-exact
+    //     means) then serve top-k from the fitted cells ---
+    "q_ann_ivf_trained" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
+            initPred = F.col("vec_id") < 8, iters = 2)
+          graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
+            queryPred = F.col("vec_id") < 3, k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
     // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
     "q_ann_ivf" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -1460,6 +1474,36 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0) t
          ORDER BY cosine DESC, vec_id LIMIT 10"""),
 
+    "q_ann_ivf_trained" ->
+      (s"""WITH init AS (
+           SELECT vec_id AS cid,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8
+         ), ${kmeansIterSql("init", "a1", "s1", "m1", "c1")},
+         ${kmeansIterSql("c1", "a2", "s2", "m2", "c2")},
+         af AS (
+           SELECT e.vec_id, e.embedding, cc.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    round((${dotSql("e.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                    cc.cid) AS rn
+           FROM embeddings e CROSS JOIN c2 cc
+         ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  round((${dotSql("q.embedding", "n.embedding")}) /
+                        (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                         sqrt(${dotSql("q.embedding", "q.embedding")})), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "n.embedding")}) /
+                          (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                           sqrt(${dotSql("q.embedding", "q.embedding")})), 6) DESC,
+                    n.vec_id) AS rank
+           FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+           WHERE q.vec_id < 3) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
     "q_ann_lsh" ->
       (s"""WITH bkt AS (
            SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
@@ -1616,6 +1660,30 @@ object SparkEntry {
     * the Spark side's aggregate(zip_with(...)) fold over the same element
     * order — 0.0+p1 = p1 exactly, so list_reduce's first-element seed
     * matches) and the 4-bit sign-LSH bucket. Dim 64 per TESTDATA. */
+  /** One unrolled Lloyd's iteration as DuckDB CTEs: assignment (argmax
+    * rounded cosine, cid tie-break — the exact fold order the Spark side
+    * uses), then the per-(cell, dim) mean as an exact decimal sum of
+    * 6-dp-rounded members (order-independent on both engines). */
+  private def kmeansIterSql(centSrc: String, a: String, s: String,
+      mn: String, c: String): String =
+    s"""$a AS (
+          SELECT e.vec_id, e.embedding, cc.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round((${dotSql("e.embedding", "cc.cv")}) /
+                         (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                          sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                   cc.cid) AS rn
+          FROM embeddings e CROSS JOIN $centSrc cc
+        ), $s AS (SELECT vec_id, embedding, cid AS cell FROM $a WHERE rn = 1
+        ), $mn AS (
+          SELECT cell, d,
+                 round(CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE), 6)
+                     AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS m
+          FROM $s CROSS JOIN range(1, 65) AS r(d)
+          GROUP BY cell, d
+        ), $c AS (SELECT cell AS cid, list(m ORDER BY d) AS cv
+                  FROM $mn GROUP BY cell)"""
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def cosSql(a: String, b: String): String =

@@ -132,32 +132,28 @@ object Embeddings {
       k: Int,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
+    val centroids = emb.where(centroidPred)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    ivfTopKTrained(emb, idCol, vecCol, centroids, queryPred, k, scope)
+  }
+
+  /** IVF top-k against an EXPLICIT centroid table `(cid, cv)` — e.g. the
+    * output of [[kmeansFit]]. `cv` may be array<float> or array<double>
+    * (float_vec_dot accepts either side). */
+  def ivfTopKTrained(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      queryPred: Column,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    // all centroids folded into ONE row carrying array<struct<cid,cv,cn>>
-    // (k centroids × dim floats — a few MB even at IVF-scale k; a trained
-    // k-means stage would emit exactly this artifact)
-    val centArr = emb.where(centroidPred)
-      .select(col(idCol).as("__cid__"), col(vecCol).as("__cv__"),
-        sqrt(dot(vecCol, vecCol)).as("__cn__"))
-      .agg(collect_list(
-        struct(col("__cid__"), col("__cv__"), col("__cn__"))).as("__cents__"))
-    val assigned = scope.cache(emb
-      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
-      .crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
-      // the init struct borrows its cid TYPE (and an arbitrary value —
-      // sim -2 loses to any real cosine) from the first centroid via the
-      // null-safe 0-based get(), so ids of any orderable type work and an
-      // EMPTY centroid set yields cid NULL → the cell equi-join matches
-      // nothing → empty result (never a degenerate full self-join)
-      .withColumn("__best__", expr(s"""aggregate(
-          transform(__cents__, c -> named_struct(
-            'sim', round(float_vec_dot($vecCol, c.__cv__) / (__n__ * c.__cn__), 6),
-            'cid', c.__cid__)),
-          named_struct('sim', CAST(-2 AS double), 'cid', get(__cents__, 0).__cid__),
-          (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
-                         c, acc))"""))
-      .select(col(idCol), col(vecCol), col("__n__"),
-        col("__best__.cid").as("__cell__"))) // query side + candidate side
+    val assigned = scope.cache(
+      withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("__n__"), col("__cell__")))
     val queries = assigned.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
         col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
@@ -172,6 +168,84 @@ object Embeddings {
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
         col("rank"))
+  }
+
+  /** Nearest-centroid cell assignment: adds `__cell__` (the argmax-cosine
+    * centroid id) to `df`, which must already carry `__n__` = the vector's
+    * norm. All centroids fold into ONE row carrying array<struct<cid,cv,
+    * cn>> (k centroids × dim values — a few MB even at IVF-scale k) that
+    * broadcasts; each row computes its argmax in a per-row fold — zero row
+    * expansion, zero extra shuffle. The init struct borrows its cid TYPE
+    * (and an arbitrary value — sim -2 loses to any real cosine) from the
+    * first centroid via the null-safe 0-based get(), so ids of any
+    * orderable type work and an EMPTY centroid set yields cid NULL → any
+    * later cell equi-join matches nothing (never a degenerate self-join).
+    * The (sim desc, cid asc) tie-break totally orders candidates, so the
+    * argmax is independent of collect_list order. */
+  private def withCell(
+      df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(dot("cv", "cv")).as("__cn__"))
+      .agg(collect_list(
+        struct(col("__cid__"), col("__cv__"), col("__cn__"))).as("__cents__"))
+    df.crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
+      .withColumn("__best__", expr(s"""aggregate(
+          transform(__cents__, c -> named_struct(
+            'sim', round(float_vec_dot($vecCol, c.__cv__) / (__n__ * c.__cn__), 6),
+            'cid', c.__cid__)),
+          named_struct('sim', CAST(-2 AS double), 'cid', get(__cents__, 0).__cid__),
+          (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
+                         c, acc))"""))
+      .withColumn("__cell__", col("__best__.cid"))
+      .drop("__cents__", "__best__")
+  }
+
+  /** Lloyd's k-means under cosine similarity, fully deterministic and
+    * oracle-replayable:
+    *   - init: the `initPred` rows of `emb` seed the centroids (cell ids
+    *     stay = the seed vector's id across iterations, so labels are
+    *     stable);
+    *   - assign: per-row argmax fold over the broadcast centroid array
+    *     (same [[withCell]] the serving path uses — train and serve can
+    *     never disagree on assignment);
+    *   - update: per-(cell, dimension) mean computed as an EXACT decimal
+    *     sum of 6-dp-rounded member values divided by the count, rounded
+    *     back to 6 dp — the integer-cents trick generalized, so the mean
+    *     is independent of summation order and bit-identical across
+    *     engines. Empty cells drop out (standard Lloyd's).
+    * Per iteration: one narrow assignment pass + one (cell, dim) aggregate
+    * whose output is k×dim rows — trivially small. Returns (cid,
+    * cv array<double>). */
+  def kmeansFit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initPred: Column,
+      iters: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    require(iters >= 0, "iters must be non-negative")
+    val base = emb
+      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+      .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+    var cents = base.where(initPred)
+      .select(col("__vid__").as("cid"),
+        expr("transform(__v__, v -> CAST(v AS double))").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = withCell(base, "__v__", cents)
+      cents = assigned
+        .select(col("__cell__"), posexplode(col("__v__")).as(Seq("__d__", "__x__")))
+        .groupBy(col("__cell__"), col("__d__"))
+        .agg((round(
+          sum(round(col("__x__").cast("double"), 6).cast("decimal(27,8)"))
+            .cast("double") / count(lit(1)), 6)).as("__m__"))
+        .groupBy(col("__cell__"))
+        .agg(expr("transform(array_sort(collect_list(struct(__d__, __m__))), s -> s.__m__)")
+          .as("cv"))
+        .select(col("__cell__").as("cid"), col("cv"))
+    }
+    cents
   }
 
   /** Per-vector symmetric int8 quantization (the standard storage/transfer

@@ -120,6 +120,24 @@ class LlmSpec extends GraftSuite {
     assert(out.head.getLong(2) === 1L)
   }
 
+  test("kmeansFit converges to hand-computed centroids on the fixture") {
+    // seeds {0, 3}; after 1 iteration: v1 (cos .9939 to seed 0) and v2
+    // (tie 0 vs 0, lower cid wins) join cell 0; cell 0 mean =
+    // ((1+.9+0)/3, (0+.1+1)/3, 0, 0); cell 3 keeps (-1, 0, 0, 0)
+    val cents = Embeddings.kmeansFit(vectors, "vec_id", "embedding",
+      initPred = sc("vec_id").isin(0L, 3L), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(cents.keySet === Set(0L, 3L))
+    assert(cents(0L) === Seq(0.633333, 0.366667, 0.0, 0.0))
+    assert(cents(3L) === Seq(-1.0, 0.0, 0.0, 0.0))
+    // serving from trained centroids: query 0's cell holds 1 and 2
+    val served = Embeddings.ivfTopKTrained(vectors, "vec_id", "embedding",
+      Embeddings.kmeansFit(vectors, "vec_id", "embedding",
+        initPred = sc("vec_id").isin(0L, 3L), iters = 2),
+      queryPred = sc("vec_id") === 0L, k = 3).collect()
+    assert(served.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+  }
+
   test("ivfTopK keeps the id's type and returns empty for no centroids") {
     val s = spark
     import s.implicits._
