@@ -223,12 +223,14 @@ object Embeddings {
       vecCol: String,
       initPred: Column,
       iters: Int,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
     require(iters >= 0, "iters must be non-negative")
-    val base = emb
+    // every iteration's assignment pass reads (vector, norm) — cache once
+    val base = scope.cache(emb
       .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
-      .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+      .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
     var cents = base.where(initPred)
       .select(col("__vid__").as("cid"),
         expr("transform(__v__, v -> CAST(v AS double))").as("cv"))
