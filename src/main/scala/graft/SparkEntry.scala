@@ -764,6 +764,21 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- APPLY near-dup dedup: keep one representative per cluster,
+    //     i.e. the complete detector → closure → anti-join pipeline ---
+    "q_dedup_apply" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val pairs = graft.llm.Dedup.minhashPairs(df, "doc_id", "text")
+          val clusters = graft.llm.Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+          val drop = clusters.where(F.col("doc_id") =!= F.col("cluster_id"))
+          df.join(drop, Seq("doc_id"), "left_anti")
+            .groupBy(F.col("lang")).agg(F.count(F.lit(1)).as("n_kept"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     "q_sample_hash" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
@@ -824,6 +839,20 @@ object SparkEntry {
             initPred = F.col("vec_id") < 8, iters = 2)
           graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
             queryPred = F.col("vec_id") < 3, k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- nprobe=2: each query searches its TWO best cells (the IVF
+    //     recall knob; probing expands only the tiny query side) ---
+    "q_ann_ivf_probe" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
+            initPred = F.col("vec_id") < 8, iters = 2)
+          graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
+            queryPred = F.col("vec_id") < 3, k = 5, nprobe = 2)
         }
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
@@ -1372,6 +1401,26 @@ object SparkEntry {
          SELECT src AS doc_id, min(dst) AS cluster_id
          FROM reach GROUP BY 1 ORDER BY 1"""),
 
+    "q_dedup_apply" ->
+      (MinhashPairsCtes +
+        """, nodes AS (
+           SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+         ), edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs
+         ), reach AS (
+           SELECT id AS src, id AS dst FROM nodes
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         ), clusters AS (
+           SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+         )
+         SELECT lang, count(*) AS n_kept FROM documents d
+         WHERE NOT EXISTS (
+           SELECT 1 FROM clusters c
+           WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
+         GROUP BY 1 ORDER BY 1"""),
+
     "q_sample_hash" ->
       """SELECT lang, count(*) AS n FROM documents
          WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) < 1073741824
@@ -1475,21 +1524,7 @@ object SparkEntry {
          ORDER BY cosine DESC, vec_id LIMIT 10"""),
 
     "q_ann_ivf_trained" ->
-      (s"""WITH init AS (
-           SELECT vec_id AS cid,
-                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8
-         ), ${kmeansIterSql("init", "a1", "s1", "m1", "c1")},
-         ${kmeansIterSql("c1", "a2", "s2", "m2", "c2")},
-         af AS (
-           SELECT e.vec_id, e.embedding, cc.cid,
-                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                    round((${dotSql("e.embedding", "cc.cv")}) /
-                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
-                    cc.cid) AS rn
-           FROM embeddings e CROSS JOIN c2 cc
-         ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)
+      (KmeansCtes + s"""
          SELECT query_id, neighbor_id, cosine, rank FROM (
            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                   round((${dotSql("q.embedding", "n.embedding")}) /
@@ -1502,6 +1537,30 @@ object SparkEntry {
                     n.vec_id) AS rank
            FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
            WHERE q.vec_id < 3) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    "q_ann_ivf_probe" ->
+      (KmeansCtes + s""",
+         qc AS (
+           SELECT q.vec_id AS query_id, q.embedding AS qe, cc.cid AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                    cc.cid) AS crk
+           FROM embeddings q CROSS JOIN c2 cc WHERE q.vec_id < 3)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT qc.query_id, n.vec_id AS neighbor_id,
+                  round((${dotSql("qc.qe", "n.embedding")}) /
+                        (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                         sqrt(${dotSql("qc.qe", "qc.qe")})), 6) AS cosine,
+                  row_number() OVER (PARTITION BY qc.query_id ORDER BY
+                    round((${dotSql("qc.qe", "n.embedding")}) /
+                          (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                           sqrt(${dotSql("qc.qe", "qc.qe")})), 6) DESC,
+                    n.vec_id) AS rank
+           FROM qc JOIN sf n ON n.cell = qc.cell AND n.vec_id <> qc.query_id
+           WHERE qc.crk <= 2) t
          WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     "q_ann_lsh" ->
@@ -1660,6 +1719,27 @@ object SparkEntry {
     * the Spark side's aggregate(zip_with(...)) fold over the same element
     * order — 0.0+p1 = p1 exactly, so list_reduce's first-element seed
     * matches) and the 4-bit sign-LSH bucket. Dim 64 per TESTDATA. */
+  /** Shared trained-IVF CTE chain: seed centroids (vec_id < 8), two
+    * unrolled Lloyd's iterations, final assignment `sf(vec_id, embedding,
+    * cell)`. Appended tails serve nprobe=1 (`q_ann_ivf_trained`) and
+    * nprobe=2 (`q_ann_ivf_probe`). */
+  private lazy val KmeansCtes: String =
+    s"""WITH init AS (
+         SELECT vec_id AS cid,
+                list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+         FROM embeddings WHERE vec_id < 8
+       ), ${kmeansIterSql("init", "a1", "s1", "m1", "c1")},
+       ${kmeansIterSql("c1", "a2", "s2", "m2", "c2")},
+       af AS (
+         SELECT e.vec_id, e.embedding, cc.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round((${dotSql("e.embedding", "cc.cv")}) /
+                        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                         sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                  cc.cid) AS rn
+         FROM embeddings e CROSS JOIN c2 cc
+       ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
+
   /** One unrolled Lloyd's iteration as DuckDB CTEs: assignment (argmax
     * rounded cosine, cid tie-break — the exact fold order the Spark side
     * uses), then the per-(cell, dim) mean as an exact decimal sum of

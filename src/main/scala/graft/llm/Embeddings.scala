@@ -134,12 +134,17 @@ object Embeddings {
   ): DataFrame = {
     val centroids = emb.where(centroidPred)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    ivfTopKTrained(emb, idCol, vecCol, centroids, queryPred, k, scope)
+    ivfTopKTrained(emb, idCol, vecCol, centroids, queryPred, k, scope = scope)
   }
 
   /** IVF top-k against an EXPLICIT centroid table `(cid, cv)` — e.g. the
     * output of [[kmeansFit]]. `cv` may be array<float> or array<double>
-    * (float_vec_dot accepts either side). */
+    * (float_vec_dot accepts either side). `nprobe` > 1 searches each
+    * query's best-nprobe CELLS (the standard IVF recall knob): candidates
+    * still live in exactly one cell each, so probing P distinct cells
+    * never duplicates a neighbor; the P-cell ranking joins the tiny query
+    * side against the broadcast centroid table — a deliberate q×k
+    * expansion on the small side only, never on the corpus. */
   def ivfTopKTrained(
       emb: DataFrame,
       idCol: String,
@@ -147,16 +152,36 @@ object Embeddings {
       centroids: DataFrame,
       queryPred: Column,
       k: Int,
+      nprobe: Int = 1,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
     val assigned = scope.cache(
       withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
         vecCol, centroids)
         .select(col(idCol), col(vecCol), col("__n__"), col("__cell__")))
-    val queries = assigned.where(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
-        col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
+    val queries =
+      if (nprobe == 1)
+        assigned.where(queryPred)
+          .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+            col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
+      else {
+        val cents = centroids.select(col("cid").as("__pcid__"),
+          col("cv").as("__pcv__"), sqrt(dot("cv", "cv")).as("__pcn__"))
+        assigned.where(queryPred)
+          .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+            col("__n__").as("__qn__"))
+          .crossJoin(broadcast(cents)) // q×k on the query side only
+          .withColumn("__csim__",
+            round(dot("__q__", "__pcv__") / (col("__qn__") * col("__pcn__")), 6))
+          .withColumn("__crk__",
+            row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("__csim__").desc, col("__pcid__"))))
+          .where(col("__crk__") <= nprobe)
+          .select(col("query_id"), col("__q__"), col("__qn__"),
+            col("__pcid__").as("__qcell__"))
+      }
     queries
       .join(assigned,
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))

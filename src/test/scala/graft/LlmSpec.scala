@@ -131,11 +131,15 @@ class LlmSpec extends GraftSuite {
     assert(cents(0L) === Seq(0.633333, 0.366667, 0.0, 0.0))
     assert(cents(3L) === Seq(-1.0, 0.0, 0.0, 0.0))
     // serving from trained centroids: query 0's cell holds 1 and 2
+    val fitted = Embeddings.kmeansFit(vectors, "vec_id", "embedding",
+      initPred = sc("vec_id").isin(0L, 3L), iters = 2)
     val served = Embeddings.ivfTopKTrained(vectors, "vec_id", "embedding",
-      Embeddings.kmeansFit(vectors, "vec_id", "embedding",
-        initPred = sc("vec_id").isin(0L, 3L), iters = 2),
-      queryPred = sc("vec_id") === 0L, k = 3).collect()
+      fitted, queryPred = sc("vec_id") === 0L, k = 3).collect()
     assert(served.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    // nprobe=2 reaches the second-best cell too (vector 3 lives there)
+    val probed = Embeddings.ivfTopKTrained(vectors, "vec_id", "embedding",
+      fitted, queryPred = sc("vec_id") === 0L, k = 3, nprobe = 2).collect()
+    assert(probed.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L, 2L, 3L))
   }
 
   test("ivfTopK keeps the id's type and returns empty for no centroids") {
