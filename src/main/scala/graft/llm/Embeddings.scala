@@ -272,7 +272,10 @@ object Embeddings {
           .as("cv"))
         .select(col("__cell__").as("cid"), col("cv"))
     }
-    cents
+    // materialize the k-row result NOW: fitting is inherently an action,
+    // and a lazy return would silently re-run all iterations once per
+    // downstream broadcast (assignment + every nprobe ranking)
+    cents.localCheckpoint(true)
   }
 
   /** Per-vector symmetric int8 quantization (the standard storage/transfer
