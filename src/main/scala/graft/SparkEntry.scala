@@ -1242,7 +1242,8 @@ object SparkEntry {
                   CASE WHEN lag(ts) OVER w IS NULL
                             OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
                        THEN ts END AS bnd
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           FROM events WHERE ts IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          ), sess AS (
            SELECT user_id, ts,
                   max(bnd) OVER (PARTITION BY user_id ORDER BY ts) AS session_start
@@ -1387,35 +1388,12 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_dedup_clusters" ->
-      (MinhashPairsCtes +
-        """, nodes AS (
-           SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
-         ), edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs
-         ), reach AS (
-           SELECT id AS src, id AS dst FROM nodes
-           UNION
-           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-         )
-         SELECT src AS doc_id, min(dst) AS cluster_id
-         FROM reach GROUP BY 1 ORDER BY 1"""),
+      (MinhashPairsCtes + ClosureCtes +
+        """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
 
     "q_dedup_apply" ->
-      (MinhashPairsCtes +
-        """, nodes AS (
-           SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
-         ), edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs
-         ), reach AS (
-           SELECT id AS src, id AS dst FROM nodes
-           UNION
-           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
-         ), clusters AS (
-           SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
-         )
-         SELECT lang, count(*) AS n_kept FROM documents d
+      (MinhashPairsCtes + ClosureCtes +
+        """SELECT lang, count(*) AS n_kept FROM documents d
          WHERE NOT EXISTS (
            SELECT 1 FROM clusters c
            WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
@@ -1683,6 +1661,25 @@ object SparkEntry {
     * (word-3-gram shingles, 8-hash string-min signature, 4×2 bands,
     * band-join candidates, exact-Jaccard verify at 0.8). `RECURSIVE` so
     * q_dedup_clusters can append a recursive closure CTE. */
+  /** Transitive closure of `pairs` into `clusters(doc_id, cluster_id)` —
+    * appended after [[MinhashPairsCtes]] (whose WITH RECURSIVE header the
+    * `reach` CTE relies on). Shared by q_dedup_clusters / q_dedup_apply so
+    * the closure formulation can never desynchronize between them. */
+  private val ClosureCtes: String =
+    """, nodes AS (
+         SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs
+       ), edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach AS (
+         SELECT id AS src, id AS dst FROM nodes
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+       ), clusters AS (
+         SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+       )
+    """
+
   private val MinhashPairsCtes: String =
     """WITH RECURSIVE toks AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents

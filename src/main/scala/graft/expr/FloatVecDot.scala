@@ -44,11 +44,16 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
 
+  // fixed per instance; hoisted so the interpreted path (one eval per
+  // row×centroid inside HOF folds) pays no per-call type dispatch
+  @transient private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat = elemType(right).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val xf = elemType(left).contains(FloatType)
-    val yf = elemType(right).contains(FloatType)
+    val xf = leftIsFloat
+    val yf = rightIsFloat
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0

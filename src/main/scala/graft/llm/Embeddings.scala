@@ -262,6 +262,9 @@ object Embeddings {
     for (_ <- 1 to iters) {
       val assigned = withCell(base, "__v__", cents)
       cents = assigned
+        // empty centroid set → every __cell__ is NULL; without this guard
+        // the NULL group would fabricate one phantom corpus-mean centroid
+        .where(col("__cell__").isNotNull)
         .select(col("__cell__"), posexplode(col("__v__")).as(Seq("__d__", "__x__")))
         .groupBy(col("__cell__"), col("__d__"))
         .agg((round(

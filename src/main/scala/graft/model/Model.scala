@@ -213,7 +213,10 @@ final case class Model(
     * inherits the aggregate's single-shuffle map-side-combine plan and
     * needs no new compiler surface. Keys are explicit (like every SQL
     * dialect's PIVOT IN-list) — an inferred key set would require an extra
-    * pass over the data. */
+    * pass over the data. NOTE on `sum`/`avg` over double values: plain
+    * double summation is order-dependent in the last ulps; when an
+    * engine-exact result matters (oracle comparisons), sum integer-valued
+    * or decimal-cast columns (see the money-cents pattern in SparkEntry). */
   def pivot(
       groups: Seq[Expr],
       keyCol: Expr,
@@ -224,6 +227,8 @@ final case class Model(
     require(Seq("sum", "min", "max", "avg", "count").contains(agg),
       s"pivot agg must be one of sum/min/max/avg/count, got '$agg'")
     require(keys.nonEmpty, "pivot requires at least one key")
+    require(keys.distinct.size == keys.size,
+      s"pivot keys must be unique, got duplicates in ${keys.mkString(", ")}")
     val ms = keys.map { k =>
       Call(agg, Seq(Cases(Seq((Bin(Op.Eq, keyCol, Lit(k)), valueCol)), None)))
         .named(k)

@@ -71,7 +71,9 @@ object Streams {
   ): DataFrame = {
     import org.apache.spark.sql.types._
     val gapMs = gapSeconds * 1000L
-    val src = events.withWatermark(tsCol, watermarkDelay)
+    // null timestamps cannot belong to any session — same rule as batch
+    val src = events.where(col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
     val gIdx = src.schema.fieldIndex(groupCol)
     val tIdx = src.schema.fieldIndex(tsCol)
     val outSchema = StructType(Seq(
