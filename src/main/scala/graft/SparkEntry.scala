@@ -394,6 +394,23 @@ object SparkEntry {
         .run(s)),
 
     // --- fold (unpivot wide→long) ---
+    // --- general scalar helpers (coalesce/abs/round/concat/substring/
+    //     replace — beyond-reference convenience funcs) ---
+    "q_scalar_funcs" -> ((s, dir) =>
+      m(dir, "customer")
+        .pick(
+          col("c_custkey"),
+          coalesce(cases((col("c_acctbal") < lit(0.0)) -> col("c_mktsegment")),
+            lit("none")).named("neg_seg"),
+          abs(col("c_acctbal")).named("abs_bal"),
+          round(col("c_acctbal"), 1).named("bal_1dp"),
+          concat(col("c_mktsegment"), lit("-"), substring(col("c_name"), 1, 8))
+            .named("tag"),
+          replace(col("c_mktsegment"), lit("MACHINERY"), lit("MACH")).named("seg"))
+        .filter(col("c_custkey") <= lit(100))
+        .sort(col("c_custkey"))
+        .run(s)),
+
     // --- pivot: the inverse of fold, composed from the aggregate algebra.
     // l_quantity is integer-valued, so double sums are exact and
     // order-independent without the cents dance. ---
@@ -1150,6 +1167,15 @@ object SparkEntry {
                 CAST(l_linenumber AS DOUBLE) AS ln_dbl
          FROM lineitem WHERE l_orderkey <= 500
          ORDER BY l_orderkey, l_linenumber""",
+    "q_scalar_funcs" ->
+      """SELECT c_custkey,
+                coalesce(CASE WHEN c_acctbal < 0 THEN c_mktsegment END, 'none') AS neg_seg,
+                abs(c_acctbal) AS abs_bal,
+                round(c_acctbal, 1) AS bal_1dp,
+                concat(c_mktsegment, '-', substring(c_name, 1, 8)) AS tag,
+                replace(c_mktsegment, 'MACHINERY', 'MACH') AS seg
+         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+
     "q_pivot" ->
       """SELECT l_linestatus,
                 sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,

@@ -186,6 +186,29 @@ object Compiler {
           case "trim"     => trim(go(args.head))
           case "length"   => length(go(args.head))
           case "md5"      => md5(go(args.head).cast("binary"))
+          // general scalar helpers (beyond-reference convenience; names
+          // render identically on DuckDB so oracles stay generic)
+          case "coalesce" => coalesce(args.map(go): _*)
+          case "abs"      => abs(go(args.head))
+          case "round" =>
+            val digits = args.lift(1) match {
+              case None              => 0
+              case Some(Lit(i: Int)) => i
+              case Some(Lit(l: Long)) => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"round digits must be an integer literal, got $other")
+            }
+            round(go(args.head), digits)
+          case "concat"   => concat(args.map(go): _*)
+          case "substring" =>
+            (args.lift(1), args.lift(2)) match {
+              case (Some(Lit(p: Int)), Some(Lit(l: Int))) =>
+                substring(go(args.head), p, l)
+              case other => throw new IllegalArgumentException(
+                s"substring(pos, len) must be integer literals, got $other")
+            }
+          case "replace"  =>
+            call_function("replace", go(args.head), go(args(1)), go(args(2)))
           // reference Databricks recipe (compilers/sql_function.py:90-91)
           case "diffSeconds" =>
             unix_timestamp(go(args.head)) - unix_timestamp(go(args(1)))

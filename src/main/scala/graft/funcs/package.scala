@@ -42,6 +42,15 @@ package object funcs {
 
   // --- scalars ---
   def floor(e: Expr): Expr = Call("floor", Seq(e))
+  // general scalar helpers (beyond-reference convenience)
+  def coalesce(es: Expr*): Expr = Call("coalesce", es)
+  def abs(e: Expr): Expr = Call("abs", Seq(e))
+  def round(e: Expr, digits: Int = 0): Expr = Call("round", Seq(e, Lit(digits)))
+  def concat(es: Expr*): Expr = Call("concat", es)
+  def substring(e: Expr, pos: Int, len: Int): Expr =
+    Call("substring", Seq(e, Lit(pos), Lit(len)))
+  def replace(e: Expr, search: Expr, repl: Expr): Expr =
+    Call("replace", Seq(e, search, repl))
   def ceiling(e: Expr): Expr = Call("ceiling", Seq(e))
   // beyond-reference scalar string helpers (LLM text operators)
   def lower(e: Expr): Expr = Call("lower", Seq(e))
