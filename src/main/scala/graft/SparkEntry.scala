@@ -394,6 +394,19 @@ object SparkEntry {
         .run(s)),
 
     // --- fold (unpivot wide→long) ---
+    // --- per-group top-k via Source.RankLimit (WindowGroupLimit plan) ---
+    "q_topk_group" -> ((s, dir) =>
+      m(dir, "orders")
+        .topK(
+          partitionBy = Seq(col("o_orderpriority")),
+          orderBy = Seq(graft.ir.SortKey(col("o_totalprice"), asc = false),
+            graft.ir.SortKey(col("o_orderkey"))),
+          k = 2)
+        .pick(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rank"))
+        .sort(col("o_orderpriority")).sort(col("rank"))
+        .run(s)),
+
     // --- general scalar helpers (coalesce/abs/round/concat/substring/
     //     replace — beyond-reference convenience funcs) ---
     "q_scalar_funcs" -> ((s, dir) =>
@@ -1167,6 +1180,14 @@ object SparkEntry {
                 CAST(l_linenumber AS DOUBLE) AS ln_dbl
          FROM lineitem WHERE l_orderkey <= 500
          ORDER BY l_orderkey, l_linenumber""",
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders) t
+         WHERE rank <= 2 ORDER BY o_orderpriority, rank""",
+
     "q_scalar_funcs" ->
       """SELECT c_custkey,
                 coalesce(CASE WHEN c_acctbal < 0 THEN c_mktsegment END, 'none') AS neg_seg,

@@ -662,6 +662,24 @@ object Compiler {
       val f = compileSource(base, spark)
       new Frame(op(f.df))
 
+    case Source.RankLimit(base, partitionBy, orderKeys, k, rankName) =>
+      val f = compileSource(base, spark)
+      val parts = partitionBy.map(p => compileExpr(p, f))
+      val orders = orderKeys.map { sk =>
+        val c = compileExpr(sk.e, f)
+        (sk.asc, sk.nulls) match {
+          case (true, "auto") | (true, "first")  => c.asc_nulls_first
+          case (true, "last")                    => c.asc_nulls_last
+          case (false, "auto") | (false, "last") => c.desc_nulls_last
+          case (false, "first")                  => c.desc_nulls_first
+          case (_, other) => throw new IllegalArgumentException(s"bad nulls: $other")
+        }
+      }
+      val w = Window.partitionBy(parts: _*).orderBy(orders: _*)
+      new Frame(f.df
+        .withColumn(rankName, row_number().over(w))
+        .where(col(rankName) <= k))
+
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
 
     case Source.Sessionize(base, schema, gapSeconds) =>

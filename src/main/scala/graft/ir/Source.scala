@@ -108,6 +108,19 @@ object Source {
       timeLimit: Option[TimeInterval],
   ) extends Source
 
+  /** Per-group top-k (beyond-reference): keep the first `k` rows of each
+    * partition under `orderKeys`, exposing the 1-based position as
+    * `rankName`. Lowers to a row_number window + filter, which Spark
+    * optimizes with WindowGroupLimit (per-partition partial limits before
+    * the shuffle). */
+  final case class RankLimit(
+      base: Source,
+      partitionBy: Seq[Expr],
+      orderKeys: Seq[SortKey],
+      k: Long,
+      rankName: String,
+  ) extends Source
+
   /** Gap-based sessionization over the activity schema (beyond-reference
     * activity analytics): one output row per (group, session), where a new
     * session starts after more than `gapSeconds` of inactivity. */

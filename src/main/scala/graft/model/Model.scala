@@ -206,6 +206,25 @@ final case class Model(
       relations = VectorMap.empty,
     )
 
+  /** Per-group top-k (beyond-reference): keep each partition's first `k`
+    * rows under `orderBy` (give a tie-breaking trailing key for a
+    * deterministic cut), exposing the 1-based position as `rankName`.
+    * Row grain only shrinks, so declared attributes/measures/relations
+    * stay valid. Spark plans this as a WindowGroupLimit: partial per-map
+    * limits run before the shuffle. */
+  def topK(
+      partitionBy: Seq[Expr],
+      orderBy: Seq[SortKey],
+      k: Long,
+      rankName: String = "rank",
+  ): Model = {
+    require(k > 0, "k must be positive")
+    require(orderBy.nonEmpty, "topK requires at least one order key")
+    copy(source = Source.RankLimit(source,
+      partitionBy.map(bindSqlRefs(_)),
+      orderBy.map(sk => sk.copy(e = bindSqlRefs(sk.e))), k, rankName))
+  }
+
   /** Pivot — the inverse of `fold`/unpivot (beyond-reference sugar): one
     * output column per pivot `key` holding `agg` of `valueCol` where
     * `keyCol` equals the key, grouped by `groups`. Composed entirely from

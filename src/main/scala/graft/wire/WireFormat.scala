@@ -65,6 +65,12 @@ object WireFormat {
         Map("expr" -> exprW(k.e), "asc" -> k.asc, "nulls" -> k.nulls)).toList)
     case Source.Limit(b, n, off) =>
       Map("t" -> "limit", "base" -> sourceW(b), "n" -> n, "offset" -> off)
+    case Source.RankLimit(b, parts, keys, k, rankName) =>
+      Map("t" -> "rankLimit", "base" -> sourceW(b),
+        "partitionBy" -> parts.map(exprW).toList,
+        "keys" -> keys.map(sk =>
+          Map("expr" -> exprW(sk.e), "asc" -> sk.asc, "nulls" -> sk.nulls)).toList,
+        "k" -> k, "rankName" -> rankName)
     case Source.Union(b, o) =>
       Map("t" -> "union", "base" -> sourceW(b), "other" -> sourceW(o))
     case Source.Fold(b, ids, values, kn, vn) =>
@@ -196,6 +202,12 @@ object WireFormat {
         SortKey(exprR(obj(k("expr"))), bool(k("asc")), str(k("nulls")))))
     case "limit" =>
       Source.Limit(sourceR(obj(s("base"))), long(s("n")), long(s("offset")))
+    case "rankLimit" =>
+      Source.RankLimit(sourceR(obj(s("base"))),
+        arr(s("partitionBy")).map(p => exprR(obj(p))),
+        arr(s("keys")).map(obj).map(k =>
+          SortKey(exprR(obj(k("expr"))), bool(k("asc")), str(k("nulls")))),
+        long(s("k")), str(s("rankName")))
     case "union" =>
       Source.Union(sourceR(obj(s("base"))), sourceR(obj(s("other"))))
     case "fold" =>

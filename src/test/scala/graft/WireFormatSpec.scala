@@ -39,6 +39,20 @@ class WireFormatSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("topK model round-trips and runs identically") {
+    import graft.ir.SortKey
+    val m = Model.parquet(dir, "orders")
+      .topK(Seq(col("o_orderpriority")),
+        Seq(SortKey(col("o_totalprice"), asc = false), SortKey(col("o_orderkey"))),
+        k = 3)
+      .pick(col("o_orderpriority"), col("o_orderkey"), col("rank"))
+      .sort(col("o_orderpriority")).sort(col("rank"))
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    assert(rebuilt === m)
+    assert(rebuilt.run(spark).collect().map(_.toSeq).toSeq ===
+      m.run(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("match_steps model with activity schema and time limit round-trips") {
     val m = Model.parquet(dir, "events")
       .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
