@@ -37,6 +37,31 @@ object ParquetIO {
     }
   }
 
+  /** Corpus-scale partitioned parquet sink: directory-partition by the
+    * given columns (e.g. language/source — enables partition PRUNING on
+    * every later scan), sort WITHIN each file by `sortBy` (clusters
+    * related rows so min/max page stats prune reads — e.g. sort by doc
+    * hash for dedup-adjacent scans), and cap rows per file so a 100 TB
+    * write produces uniformly-sized splits instead of a few giant files.
+    * `sortWithinPartitions` deliberately avoids a global sort: no range
+    * exchange, each task sorts only its own output. */
+  def writeCorpus(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      sortBy: Seq[String] = Seq.empty,
+      maxRecordsPerFile: Long = 5000000L,
+  ): Unit = {
+    val sorted =
+      if (sortBy.isEmpty) df
+      else df.sortWithinPartitions(sortBy.map(col): _*)
+    sorted.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionBy: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

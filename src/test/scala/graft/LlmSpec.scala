@@ -160,6 +160,25 @@ class LlmSpec extends GraftSuite {
     assert(none.count() === 0L)
   }
 
+  test("writeCorpus produces pruned-readable partition directories") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val df = Seq((1L, "en", "alpha"), (2L, "de", "beta"), (3L, "en", "gamma"))
+      .toDF("doc_id", "lang", "text")
+    graft.sources.ParquetIO.writeCorpus(df, dir,
+      partitionBy = Seq("lang"), sortBy = Seq("doc_id"))
+    // hive-style partition dirs exist → later scans prune on lang
+    val sub = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(sub.contains("lang=en") && sub.contains("lang=de"))
+    val back = s.read.parquet(dir)
+    assert(back.count() === 3L)
+    assert(back.where(sc("lang") === "en").count() === 2L)
+    // the lang=en filter reaches the scan as a partition filter
+    val plan = back.where(sc("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+  }
+
   test("new operators degrade cleanly on empty inputs") {
     val s = spark
     import s.implicits._

@@ -101,6 +101,29 @@ class PropertySpec extends GraftSuite {
     }, cases = 6)
   }
 
+  test("property: fold inverts pivot (per-group per-key sums recovered)") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.listOfN(10, Gen.zip(
+      Gen.oneOf("x", "y"), Gen.oneOf("a", "b"), Gen.choose(1L, 9L)))
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("g", "k", "v")
+      // pivot to wide, fold back to long: recovers sum(v) per (g, k) for
+      // keys that appear in the group (fold keeps NULLs for absent keys)
+      val roundTrip = Model.fromDF(df)
+        .pivot(Seq(col("g")), col("k"), col("v"), Seq("a", "b"))
+        .fold(ids = Seq(col("g")), values = Seq(col("a"), col("b")),
+          keyName = "k", valueName = "v")
+        .run(spark).collect()
+        .flatMap(r => Option(r.get(2)).map(v =>
+          (r.getString(0), r.getString(1)) -> v.asInstanceOf[Long]))
+        .toMap
+      val expected = rows.groupBy(t => (t._1, t._2))
+        .map { case (gk, ts) => gk -> ts.map(_._3).sum }
+      roundTrip == expected
+    }, cases = 6)
+  }
+
   test("property: stratified sample at a uniform rate equals hashSample") {
     val s = spark
     import s.implicits._
