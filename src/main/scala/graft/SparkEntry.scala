@@ -393,7 +393,6 @@ object SparkEntry {
         .sort(col("l_orderkey")).sort(col("l_linenumber"))
         .run(s)),
 
-    // --- fold (unpivot wide→long) ---
     // --- per-group top-k via Source.RankLimit (WindowGroupLimit plan) ---
     "q_topk_group" -> ((s, dir) =>
       m(dir, "orders")
@@ -416,7 +415,7 @@ object SparkEntry {
           coalesce(cases((col("c_acctbal") < lit(0.0)) -> col("c_mktsegment")),
             lit("none")).named("neg_seg"),
           abs(col("c_acctbal")).named("abs_bal"),
-          round(col("c_acctbal"), 1).named("bal_1dp"),
+          round(col("c_acctbal") / lit(3.0), 6).named("bal_third"),
           concat(col("c_mktsegment"), lit("-"), substring(col("c_name"), 1, 8))
             .named("tag"),
           replace(col("c_mktsegment"), lit("MACHINERY"), lit("MACH")).named("seg"))
@@ -424,6 +423,7 @@ object SparkEntry {
         .sort(col("c_custkey"))
         .run(s)),
 
+    // --- fold (unpivot wide→long) + pivot (its inverse) ---
     // --- pivot: the inverse of fold, composed from the aggregate algebra.
     // l_quantity is integer-valued, so double sums are exact and
     // order-independent without the cents dance. ---
@@ -1192,8 +1192,8 @@ object SparkEntry {
       """SELECT c_custkey,
                 coalesce(CASE WHEN c_acctbal < 0 THEN c_mktsegment END, 'none') AS neg_seg,
                 abs(c_acctbal) AS abs_bal,
-                round(c_acctbal, 1) AS bal_1dp,
-                concat(c_mktsegment, '-', substring(c_name, 1, 8)) AS tag,
+                round(c_acctbal / 3, 6) AS bal_third,
+                (c_mktsegment || '-' || substring(c_name, 1, 8)) AS tag,
                 replace(c_mktsegment, 'MACHINERY', 'MACH') AS seg
          FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
 

@@ -201,11 +201,16 @@ object Compiler {
             round(go(args.head), digits)
           case "concat"   => concat(args.map(go): _*)
           case "substring" =>
-            (args.lift(1), args.lift(2)) match {
-              case (Some(Lit(p: Int)), Some(Lit(l: Int))) =>
-                substring(go(args.head), p, l)
-              case other => throw new IllegalArgumentException(
-                s"substring(pos, len) must be integer literals, got $other")
+            // wire JSON deserializes every integer literal as Long
+            def intLit(e: Option[Expr]): Option[Int] = e match {
+              case Some(Lit(i: Int))  => Some(i)
+              case Some(Lit(l: Long)) => Some(l.toInt)
+              case _                  => None
+            }
+            (intLit(args.lift(1)), intLit(args.lift(2))) match {
+              case (Some(p), Some(l)) => substring(go(args.head), p, l)
+              case _ => throw new IllegalArgumentException(
+                s"substring(pos, len) must be integer literals, got ${args.drop(1)}")
             }
           case "replace"  =>
             call_function("replace", go(args.head), go(args(1)), go(args(2)))
@@ -664,6 +669,9 @@ object Compiler {
 
     case Source.RankLimit(base, partitionBy, orderKeys, k, rankName) =>
       val f = compileSource(base, spark)
+      require(!f.df.columns.contains(rankName),
+        s"topK rank column '$rankName' already exists on the input; " +
+          "pass a different rankName")
       val parts = partitionBy.map(p => compileExpr(p, f))
       val orders = orderKeys.map { sk =>
         val c = compileExpr(sk.e, f)

@@ -220,6 +220,11 @@ final case class Model(
   ): Model = {
     require(k > 0, "k must be positive")
     require(orderBy.nonEmpty, "topK requires at least one order key")
+    // an empty partition list would funnel every row through ONE window
+    // task; global top-k is sort().limit(), which scales via range
+    // partitioning instead
+    require(partitionBy.nonEmpty,
+      "topK requires partition keys; for a global top-k use sort().limit()")
     copy(source = Source.RankLimit(source,
       partitionBy.map(bindSqlRefs(_)),
       orderBy.map(sk => sk.copy(e = bindSqlRefs(sk.e))), k, rankName))

@@ -52,9 +52,13 @@ object ParquetIO {
       sortBy: Seq[String] = Seq.empty,
       maxRecordsPerFile: Long = 5000000L,
   ): Unit = {
+    // the task ordering must LEAD with the partition columns: the file
+    // writer requires ordering on them and would otherwise plan a second
+    // (stability-unspecified) sort on top, silently voiding the sortBy
+    // clustering
     val sorted =
       if (sortBy.isEmpty) df
-      else df.sortWithinPartitions(sortBy.map(col): _*)
+      else df.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
     sorted.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionBy: _*)
