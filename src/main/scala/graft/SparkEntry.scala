@@ -618,6 +618,21 @@ object SparkEntry {
         .sort(col("user_id")).sort(col("session_start"))
         .run(s)),
 
+    // --- sessionize composes with the relational layers (weekly rollup) ---
+    "q_sessions_weekly" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(group = col("user_id"), timestamp = col("ts"),
+          eventKey = col("event_type"))
+        .sessionize(gapSeconds = 1800)
+        .aggregate(
+          groups = Seq(col("session_start").byWeek.named("week")),
+          measures = Seq(count().named("n_sessions"),
+            // integer sum / count: exact and order-independent
+            (cast(sum(col("n_events")), "double") / count())
+              .named("avg_events")))
+        .sort(col("week"))
+        .run(s)),
+
     "q_match_steps" -> ((s, dir) => {
       val matched = m(dir, "events")
         .withActivitySchema(group = col("user_id"), timestamp = col("ts"),
@@ -1282,6 +1297,26 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN cohorts c ON e.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_sessions_weekly" ->
+      """WITH flags AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts > lag(ts) OVER w + INTERVAL 1800 SECOND
+                       THEN ts END AS bnd
+           FROM events WHERE ts IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), sess AS (
+           SELECT user_id, ts,
+                  max(bnd) OVER (PARTITION BY user_id ORDER BY ts) AS session_start
+           FROM flags
+         ), sessions AS (
+           SELECT user_id, session_start, count(*) AS n_events
+           FROM sess GROUP BY 1, 2)
+         SELECT date_trunc('week', session_start + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
+                count(*) AS n_sessions,
+                CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events
+         FROM sessions GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       """WITH flags AS (

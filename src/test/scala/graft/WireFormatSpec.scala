@@ -39,6 +39,18 @@ class WireFormatSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("scalar-helper expressions survive the wire (Long literal args)") {
+    val m = Model.parquet(dir, "customer")
+      .pick(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 8), lit("!")).named("tag"),
+        round(col("c_acctbal") / lit(3.0), 6).named("third"))
+      .sort(col("c_custkey")).limit(5)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    // wire JSON turns the Int literals into Longs — must still compile
+    assert(rebuilt.run(spark).collect().map(_.toSeq).toSeq ===
+      m.run(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("topK model round-trips and runs identically") {
     import graft.ir.SortKey
     val m = Model.parquet(dir, "orders")
