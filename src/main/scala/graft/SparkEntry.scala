@@ -1563,7 +1563,7 @@ object SparkEntry {
     "q_embed_quant" ->
       """SELECT label, count(*) AS n, round(max(err), 6) AS max_err FROM (
            SELECT label,
-             list_reduce(list_transform(range(1, 65),
+             list_reduce(list_transform(range(1, len(embedding) + 1),
                i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] / scale)),
                (a, b) -> greatest(a, b)) AS err
            FROM (
@@ -1819,6 +1819,12 @@ object SparkEntry {
          FROM embeddings e CROSS JOIN c2 cc
        ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
 
+  /** Embedding dimensionality of the shipped testdata (TESTDATA.md).
+    * DuckDB's range() cannot take lateral column refs, so the per-dim
+    * explode in the k-means oracle needs the constant; the dot-product
+    * folds are len()-driven and dimension-agnostic. */
+  private val EmbDim = 64
+
   /** One unrolled Lloyd's iteration as DuckDB CTEs: assignment (argmax
     * rounded cosine, cid tie-break — the exact fold order the Spark side
     * uses), then the per-(cell, dim) mean as an exact decimal sum of
@@ -1838,13 +1844,13 @@ object SparkEntry {
           SELECT cell, d,
                  round(CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE), 6)
                      AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS m
-          FROM $s CROSS JOIN range(1, 65) AS r(d)
+          FROM $s CROSS JOIN range(1, $EmbDim + 1) AS r(d)
           GROUP BY cell, d
         ), $c AS (SELECT cell AS cid, list(m ORDER BY d) AS cv
                   FROM $mn GROUP BY cell)"""
 
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   private val BktSql: String =
