@@ -141,6 +141,31 @@ class PropertySpec extends GraftSuite {
     }, cases = 6)
   }
 
+  test("property: topK keeps at most k contiguously-ranked rows per group") {
+    val s = spark
+    import s.implicits._
+    import graft.ir.SortKey
+    val rowsGen = Gen.listOfN(14, Gen.zip(
+      Gen.oneOf("g1", "g2", "g3"), Gen.choose(0L, 100L)))
+    check(Prop.forAll(rowsGen, Gen.choose(1L, 4L)) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val out = Model.fromDF(df)
+        .topK(Seq(col("g")),
+          Seq(SortKey(col("v"), asc = false), SortKey(col("id"))), k)
+        .run(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getAs[Int]("rank")))
+      val byGroup = out.groupBy(_._1)
+      byGroup.forall { case (g, rs) =>
+        val expected = rows.zipWithIndex.collect { case ((`g`, v), i) => (v, i) }
+          .sortBy { case (v, i) => (-v, i) }.take(k.toInt).map(_._1)
+        rs.size <= k &&
+          rs.sortBy(_._3).map(_._3).toSeq == (1 to rs.size).toSeq &&
+          rs.sortBy(_._3).map(_._2).toSeq == expected
+      }
+    }, cases = 6)
+  }
+
   test("property: scrubPii never alters text without @, +, or dotted digits") {
     val s = spark
     import s.implicits._
