@@ -756,6 +756,17 @@ object SparkEntry {
         .sort(col("doc_a")).sort(col("doc_b"))
         .run(s)),
 
+    // --- MinHash with the hot-bucket cap engaged (the LSH skew guard):
+    //     band buckets above the cap are dropped before the self-join —
+    //     cap=2 provably bites at sf0.01, where the largest bucket holds 3
+    //     docs, so this exercises the capped code path, not a no-op ---
+    "q_dedup_minhash_skew" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.minhashPairs(df, "doc_id", "text",
+          maxBucketSize = 2))
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
     // --- SimHash near-dup pairs (byte-band blocking, exact for hamming<=3) ---
     "q_dedup_simhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -1441,6 +1452,10 @@ object SparkEntry {
       (MinhashPairsCtes +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
+    "q_dedup_minhash_skew" ->
+      (minhashPairsCtes(maxBucketSize = 2) +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
     "q_contamination" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -1649,7 +1664,8 @@ object SparkEntry {
          ), assigned AS (
            SELECT vec_id, embedding, cid AS cell FROM (
              SELECT vec_id, embedding, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC NULLS LAST, cid) AS rk
              FROM sim) t WHERE rk = 1
          ), scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1762,9 +1778,32 @@ object SparkEntry {
        )
     """
 
-  private val MinhashPairsCtes: String =
-    """WITH RECURSIVE toks AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  /** `maxBucketSize` > 0 replays Dedup.minhashPairs' hot-bucket cap: one
+    * windowed count per (band, hash) key filters band rows whose bucket
+    * exceeds the cap, exactly like the Spark side's count-over-window —
+    * keep both formulations parameterized the same way so a capped query
+    * can never silently desynchronize from its oracle (round-3 ADVICE). */
+  private def minhashPairsCtes(maxBucketSize: Int = 0): String = {
+    val bandCte =
+      if (maxBucketSize <= 0)
+        """), band AS (
+         SELECT doc_id, b,
+                md5(array_to_string(list_transform(sig[(b-1)*2+1:(b-1)*2+2],
+                      v -> CAST(v AS VARCHAR)), '|')) AS bh
+         FROM sig, range(1, 5) AS r(b)"""
+      else
+        s"""), band_all AS (
+         SELECT doc_id, b,
+                md5(array_to_string(list_transform(sig[(b-1)*2+1:(b-1)*2+2],
+                      v -> CAST(v AS VARCHAR)), '|')) AS bh
+         FROM sig, range(1, 5) AS r(b)
+       ), band AS (
+         SELECT doc_id, b, bh FROM (
+           SELECT doc_id, b, bh, count(*) OVER (PARTITION BY b, bh) AS bn
+           FROM band_all) t
+         WHERE bn <= $maxBucketSize"""
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
        ), sh AS (
          SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
@@ -1775,11 +1814,7 @@ object SparkEntry {
                          s -> ((2*h+1) * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
                                + 1000000007*h) % 2147483647))) AS sig
          FROM sh
-       ), band AS (
-         SELECT doc_id, b,
-                md5(array_to_string(list_transform(sig[(b-1)*2+1:(b-1)*2+2],
-                      v -> CAST(v AS VARCHAR)), '|')) AS bh
-         FROM sig, range(1, 5) AS r(b)
+       $bandCte
        ), cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          FROM band a JOIN band c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
@@ -1792,6 +1827,9 @@ object SparkEntry {
          WHERE jaccard >= 0.8
        )
     """
+  }
+
+  private lazy val MinhashPairsCtes: String = minhashPairsCtes()
 
   /** DuckDB inline expression builders for the embedding oracles: an
     * explicit left-fold dot product in double precision (bit-identical to
@@ -1814,7 +1852,7 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
                   round((${dotSql("e.embedding", "cc.cv")}) /
                         (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-                         sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                         sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
                   cc.cid) AS rn
          FROM embeddings e CROSS JOIN c2 cc
        ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
@@ -1836,7 +1874,7 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
                    round((${dotSql("e.embedding", "cc.cv")}) /
                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-                          sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                          sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
                    cc.cid) AS rn
           FROM embeddings e CROSS JOIN $centSrc cc
         ), $s AS (SELECT vec_id, embedding, cid AS cell FROM $a WHERE rn = 1

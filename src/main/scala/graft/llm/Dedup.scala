@@ -84,7 +84,10 @@ object Dedup {
     // such buckets (the docs inside are boilerplate, not near-dups of
     // interest); this is the skew fix for the one O(n²) risk in the
     // pipeline, applied per (band, hash) key via one windowed count under
-    // the same partitioning the join needs anyway.
+    // the same partitioning the join needs anyway. Driver-gated queries
+    // that set a cap must use the equally-parameterized oracle
+    // (SparkEntry.minhashPairsCtes(maxBucketSize)) — it replays this exact
+    // windowed count, so query and oracle can't desynchronize.
     val banded =
       if (maxBucketSize <= 0) bandedAll
       else bandedAll

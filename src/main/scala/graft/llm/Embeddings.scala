@@ -206,8 +206,17 @@ object Embeddings {
     * orderable type work and an EMPTY centroid set yields cid NULL → any
     * later cell equi-join matches nothing (never a degenerate self-join).
     * The (sim desc, cid asc) tie-break totally orders candidates, so the
-    * argmax is independent of collect_list order. */
-  private def withCell(
+    * argmax is independent of collect_list order.
+    *
+    * Degenerate vectors are guarded EXPLICITLY: a zero norm on either side
+    * pins sim to -2 before any division happens (so the result never
+    * depends on the engine's divide-by-zero convention — NULL, NaN, or
+    * Inf), and a NULL fold result (null vector elements) coalesces to -2
+    * as well. Every candidate therefore carries a real sim, the cid
+    * tie-break applies, and a fully-degenerate row deterministically lands
+    * in the MINIMUM centroid id's cell — matching the oracle's
+    * `ORDER BY sim DESC NULLS LAST, cid` row_number formulation. */
+  private[graft] def withCell(
       df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
@@ -217,7 +226,10 @@ object Embeddings {
     df.crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
       .withColumn("__best__", expr(s"""aggregate(
           transform(__cents__, c -> named_struct(
-            'sim', round(float_vec_dot($vecCol, c.__cv__) / (__n__ * c.__cn__), 6),
+            'sim', IF(__n__ = 0D OR c.__cn__ = 0D, CAST(-2 AS double),
+                      coalesce(round(float_vec_dot($vecCol, c.__cv__)
+                                       / (__n__ * c.__cn__), 6),
+                               CAST(-2 AS double))),
             'cid', c.__cid__)),
           named_struct('sim', CAST(-2 AS double), 'cid', get(__cents__, 0).__cid__),
           (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),

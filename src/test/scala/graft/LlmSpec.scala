@@ -160,6 +160,24 @@ class LlmSpec extends GraftSuite {
     assert(none.count() === 0L)
   }
 
+  test("zero-norm vectors assign deterministically to the minimum centroid id") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    // every cosine against a zero vector is degenerate: the explicit
+    // zero-norm guard pins sim to -2 for all centroids, so the cid
+    // tie-break picks the MINIMUM centroid id — never the collect_list
+    // order of the broadcast centroid array
+    val df = Seq((9L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .withColumn("__n__",
+        org.apache.spark.sql.functions.sqrt(Embeddings.dot("embedding", "embedding")))
+    val cents = Seq((7L, Array(1f, 0f, 0f, 0f)), (5L, Array(0f, 1f, 0f, 0f)))
+      .toDF("cid", "cv")
+    val out = Embeddings.withCell(df, "embedding", cents)
+      .select(sc("vec_id"), sc("__cell__")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((9L, 5L)))
+  }
+
   test("writeCorpus produces pruned-readable partition directories") {
     val s = spark
     import s.implicits._
