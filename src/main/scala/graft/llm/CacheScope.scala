@@ -43,7 +43,15 @@ final class CacheScope {
 
 object CacheScope {
   /** Session-lifetime scope for one-shot drivers (verify/bench mains call
-    * `release()` between queries to keep executor storage bounded). */
+    * `release()` between queries to keep executor storage bounded).
+    *
+    * CONVENTION: only the driver MAIN releases this scope, and only at a
+    * quiescent point (no queries in flight) — a release() from one thread
+    * unpersists OTHER in-flight queries' feature frames mid-computation
+    * (results stay correct, the features silently recompute). A
+    * long-lived multi-threaded session should pass each operator its own
+    * scope (every llm operator takes one) and release per query, or use
+    * [[withScope]] around fully-materializing work. */
   val global = new CacheScope
 
   /** Run `f` with a fresh scope and release its persists afterwards. Only

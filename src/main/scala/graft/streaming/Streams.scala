@@ -51,17 +51,34 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Pending (not-yet-final) sessions of one group — the keyed state of
+    * [[streamingSessionize]]. Each entry is (startMs, endMs, count). */
+  final case class SessionBuf(sessions: Seq[(Long, Long, Long)])
+
   /** Streaming gap-based sessionization — the streaming twin of
-    * `Model.sessionize`. Keyed state = the one OPEN session per group
-    * (start, end, count — three longs, constant per key); an event within
-    * `gapSeconds` of the open session extends it, a later event closes and
-    * emits it, and an event-time timeout (the watermark passing
-    * session_end + gap) flushes sessions for groups that simply stop
-    * sending. Out-of-order events inside the watermark extend the open
-    * session exactly like the batch operator's window would; events later
-    * than the watermark are dropped by the engine. Group key is emitted as
-    * its string form (`group`), the price of a schema-generic operator.
-    * Output: group, session_start, n_events, session_end (append mode). */
+    * `Model.sessionize`. Keyed state = ALL not-yet-final sessions of the
+    * group (each (start, end, count); usually exactly one). An incoming
+    * event extends whichever pending session it lands within `gapSeconds`
+    * of — merging two pending sessions when it bridges them — and a
+    * session is EMITTED only once the watermark passes its end + gap,
+    * i.e. once no admissible event can still extend it (an event-time
+    * timeout flushes groups that simply stop sending).
+    *
+    * Deferring emission to the watermark is what makes cross-batch
+    * stragglers exact: two watermark-admitted stragglers from the same
+    * old session arriving in DIFFERENT micro-batches accumulate into the
+    * same pending session and emit once — an emit-on-sight design would
+    * produce two singleton sessions where the batch operator produces
+    * one. Within the watermark delay the output is therefore identical to
+    * `Model.sessionize` over the same events; only events later than the
+    * watermark (dropped by the engine) can diverge, which is the
+    * unavoidable streaming trade.
+    *
+    * State per group stays bounded: one open session plus one entry per
+    * straggler cluster still inside the watermark delay — the timeout
+    * drains them oldest-first. Group key is emitted as its string form
+    * (`group`), the price of a schema-generic operator. Output: group,
+    * session_start, n_events, session_end (append mode). */
   def streamingSessionize(
       events: DataFrame,
       groupCol: String,
@@ -83,48 +100,40 @@ object Streams {
       StructField("session_end", TimestampType, nullable = false)))
     implicit val rowEnc = Encoders.row(outSchema)
     implicit val strEnc = Encoders.STRING
-    val stateEnc = Encoders.product[(Long, Long, Long)]
     src
       .groupByKey((r: Row) => String.valueOf(r.get(gIdx)))
-      .flatMapGroupsWithState[(Long, Long, Long), Row](
+      .flatMapGroupsWithState[SessionBuf, Row](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long)]) =>
+        (key: String, rows: Iterator[Row], state: GroupState[SessionBuf]) =>
           def emit(s: (Long, Long, Long)): Row =
             Row(key, new java.sql.Timestamp(s._1), s._3, new java.sql.Timestamp(s._2))
-          if (state.hasTimedOut) {
-            val done = emit(state.get)
-            state.remove()
-            Iterator.single(done)
-          } else {
-            // a micro-batch is unordered: process this batch's events in
-            // event-time order so in-batch session splits are exact
-            val ts = rows.map(_.getTimestamp(tIdx).getTime).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Row]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur = cur match {
-                case None => Some((t, t, 1L))
-                case Some((s0, e0, n0)) =>
-                  if (t - e0 > gapMs) { closed += emit((s0, e0, n0)); Some((t, t, 1L)) }
-                  else if (s0 - t > gapMs) {
-                    // a watermark-admitted straggler MORE than a gap older
-                    // than the open session is its own (already closed)
-                    // session — batch sessionize would split here too; a
-                    // stream cannot retract, so emit it immediately
-                    closed += emit((t, t, 1L)); Some((s0, e0, n0))
-                  }
-                  // stragglers within a gap of the open session widen it,
-                  // exactly like the batch operator's window would
-                  else Some((math.min(s0, t), math.max(e0, t), n0 + 1L))
-              }
+          val wm = state.getCurrentWatermarkMs()
+          var sess = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          // a micro-batch is unordered: fold events in event-time order;
+          // each event merges every pending session within a gap of it
+          // (bridging two sessions unifies them — exact batch parity)
+          rows.map(_.getTimestamp(tIdx).getTime).toArray.sorted.foreach { t =>
+            val (near, far) =
+              sess.partition(s => t >= s._1 - gapMs && t <= s._2 + gapMs)
+            val merged = near.foldLeft((t, t, 1L)) {
+              case ((s0, e0, n0), (s1, e1, n1)) =>
+                (math.min(s0, s1), math.max(e0, e1), n0 + n1)
             }
-            cur.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp(c._2 + gapMs)
-            }
-            closed.iterator
+            sess = merged :: far
           }
-      }(stateEnc, rowEnc)
+          // final = the watermark guarantees no event can extend it: any
+          // still-admissible event has ts ≥ wm ≥ end + gap, outside the gap
+          val (done, pending) = sess.partition(s => s._2 + gapMs <= wm)
+          if (pending.nonEmpty) {
+            state.update(SessionBuf(pending))
+            // fire when the earliest pending session becomes final;
+            // clamped strictly past the watermark (earlier timestamps are
+            // rejected by the engine)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._2).min + gapMs, wm + 1L))
+          } else state.remove()
+          done.sortBy(_._1).map(emit).iterator
+      }(Encoders.product[SessionBuf], rowEnc)
   }
 
   /** Tumbling-window counts per key with watermarked bounded lateness:

@@ -89,7 +89,7 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
-  test("streaming sessionize emits an out-of-gap straggler as its own session") {
+  test("cross-batch stragglers from one old session merge before emission") {
     val s = spark
     import s.implicits._
     val ms = MemoryStream[(Long, Timestamp)](s)
@@ -103,13 +103,30 @@ class StreamingSpec extends GraftSuite {
       ms.addData((1L, t("10:00:00")))
       q.processAllAvailable()
       // 08:00 is watermark-admitted (4h delay) but a full gap older than
-      // the open 10:00 session: it must NOT widen it into one 2h session
+      // the pending 10:00 session: it must NOT widen it — it buffers as
+      // its own pending session
       ms.addData((1L, t("08:00:00")))
       q.processAllAvailable()
+      // a SECOND straggler of the same old session, in a LATER micro-batch:
+      // must merge into the buffered 08:00 session (the batch operator
+      // would put both events in one session)
+      ms.addData((1L, t("08:10:00")))
+      q.processAllAvailable()
+      // nothing is final yet — the watermark (06:00) hasn't passed any
+      // session's end + gap
+      assert(spark.sql("SELECT * FROM sess_late_out").count() === 0L)
+      // advance the watermark to 09:00: the merged straggler session
+      // (ends 08:10, final at 08:40) flushes as ONE 2-event session;
+      // the 10:00 session stays pending
+      ms.addData((9L, t("13:00:00")))
+      q.processAllAvailable()
       val out = spark.sql(
-        "SELECT session_start, n_events FROM sess_late_out ORDER BY session_start")
-        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
-      assert(out.toSeq === Seq(("2024-01-01 08:00:00.0", 1L)))
+        """SELECT session_start, n_events, session_end
+           FROM sess_late_out ORDER BY session_start""")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getTimestamp(2).toString))
+      assert(out.toSeq ===
+        Seq(("2024-01-01 08:00:00.0", 2L, "2024-01-01 08:10:00.0")))
     } finally q.stop()
   }
 
