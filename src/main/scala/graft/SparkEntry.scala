@@ -186,6 +186,32 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- wire-format DRIVER gating: the same nested join-chain model
+    //     (joins + measures + filter + aggregate + sort) serialized to
+    //     versioned JSON and REBUILT via WireFormat.toJson/fromJson, then
+    //     run; the oracle is identical to q_join_chain's, so a lossy codec
+    //     (a dropped join condition, a reordered attribute map) fails the
+    //     driver hash — not just a unit spec ---
+    "q_wire_roundtrip" -> ((s, dir) => {
+      val nation = m(dir, "nation").withPrimaryKey(col("n_nationkey"))
+      val customer = m(dir, "customer").withPrimaryKey(col("c_custkey"))
+        .withJoinOne(nation, named = "nation", foreignKey = col("c_nationkey"))
+      val cWithNation = customer.pick(
+        col("c_custkey"), col("c_acctbal"),
+        customer.rel("nation").attr("n_name").named("nation_name"))
+        .withPrimaryKey(col("c_custkey"))
+      val orders = m(dir, "orders")
+        .withJoinOne(cWithNation, named = "cust", foreignKey = col("o_custkey"),
+          dropUnmatched = true)
+      val model = orders
+        .filter(orders.rel("cust").attr("c_acctbal") > lit(9990.0))
+        .aggregate(
+          groups = Seq(orders.rel("cust").attr("nation_name").named("nation_name")),
+          measures = Seq(count().named("n")))
+        .sort(col("nation_name"))
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
+
     // --- SqlTextSource (raw-SQL scan) ---
     "q_sql_text" -> ((s, dir) => {
       s.read.parquet(s"$dir/supplier.parquet").createOrReplaceTempView("supplier_v")
@@ -1105,6 +1131,13 @@ object SparkEntry {
          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
     "q_join_chain" ->
+      """SELECT n.n_name AS nation_name, count(*) AS n
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_acctbal > 9990.0
+         GROUP BY 1 ORDER BY 1""",
+    "q_wire_roundtrip" ->
       """SELECT n.n_name AS nation_name, count(*) AS n
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
