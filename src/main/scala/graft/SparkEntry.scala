@@ -239,6 +239,21 @@ object SparkEntry {
 
     // --- named measure definitions referenced via msr() (model.py:265-279:
     //     measures are definitions only until an aggregate references them) ---
+    // --- exact interpolated percentile / median measures (sort-based,
+    //     deterministic; DuckDB quantile_cont replays the interpolation,
+    //     6-dp rounding on both sides absorbs ulps) ---
+    "q_percentile" -> ((s, dir) =>
+      m(dir, "lineitem")
+        .aggregate(
+          groups = Seq(col("l_returnflag")),
+          measures = Seq(
+            round(median(col("l_quantity")), 6).named("med_qty"),
+            round(percentile(col("l_quantity"), 0.9), 6).named("p90_qty"),
+            round(percentile(col("l_extendedprice"), 0.99), 6).named("p99_price"),
+            count().named("n")))
+        .sort(col("l_returnflag"))
+        .run(s)),
+
     "q_measures" -> ((s, dir) => {
       val orders = m(dir, "orders").withMeasures(
         moneySum(col("o_totalprice")).named("revenue"),
@@ -430,6 +445,46 @@ object SparkEntry {
         .pick(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
           col("rank"))
         .sort(col("o_orderpriority")).sort(col("rank"))
+        .run(s)),
+
+    // --- windowed analytics: row_number + lag + running sum + moving avg
+    //     over ONE shared window spec (single exchange + single sort;
+    //     integer-cents running sum so both engines agree bit-for-bit) ---
+    "q_window_calc" -> ((s, dir) => {
+      val cents = cast(floor(col("o_totalprice") * lit(100.0) + lit(0.5)), "bigint")
+      m(dir, "orders")
+        .filter(col("o_custkey") < lit(150L))
+        .withWindow(
+          partitionBy = Seq(col("o_custkey")),
+          orderBy = Seq(graft.ir.SortKey(col("o_orderdate")),
+            graft.ir.SortKey(col("o_orderkey"))),
+          cols = Seq(
+            graft.ir.Source.WinCol("order_seq", "row_number", None),
+            graft.ir.Source.WinCol("prev_date", "lag", Some(col("o_orderdate"))),
+            graft.ir.Source.WinCol("run_cents", "running_sum", Some(cents)),
+            graft.ir.Source.WinCol("avg3_cents", "moving_avg", Some(cents),
+              frame = 3)))
+        .pick(col("o_orderkey"), col("o_custkey"), col("order_seq"),
+          col("prev_date"), col("run_cents"),
+          round(col("avg3_cents"), 6).named("avg3_cents"))
+        .sort(col("o_orderkey"))
+        .run(s)
+    }),
+
+    // --- as-of join: each purchase event picks up the customer's most
+    //     recent order at that moment (tag-union + last-non-null window;
+    //     one exchange on the key, no range-join explosion) ---
+    "q_asof_join" -> ((s, dir) =>
+      m(dir, "events")
+        .filter(col("event_type") === lit("purchase") && col("user_id") < lit(50L))
+        .pick(col("event_id"), col("user_id"), col("ts"))
+        .asofJoin(m(dir, "orders"),
+          on = (col("user_id"), col("o_custkey")),
+          ts = (col("ts"), col("o_orderdate")),
+          pick = Seq(col("o_orderkey").named("last_order_key"),
+            col("o_totalprice").named("last_order_price")),
+          seq = col("o_orderkey"))
+        .sort(col("event_id"))
         .run(s)),
 
     // --- general scalar helpers (coalesce/abs/round/concat/substring/
@@ -1154,6 +1209,13 @@ object SparkEntry {
                      WHEN c_acctbal < 5000.0 THEN 'low'
                      ELSE 'high' END AS bal_bucket, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_measures" ->
       """SELECT o_orderpriority,
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
@@ -1246,6 +1308,38 @@ object SparkEntry {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) t
          WHERE rank <= 2 ORDER BY o_orderpriority, rank""",
+    "q_window_calc" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderdate,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders WHERE o_custkey < 150)
+         SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS order_seq,
+                lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev_date,
+                CAST(sum(cents) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+                round(avg(cents) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3_cents
+         FROM base ORDER BY o_orderkey""",
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+              (SELECT o.o_orderkey FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                LIMIT 1) AS last_order_key,
+              (SELECT o.o_totalprice FROM orders o
+                WHERE o.o_custkey = e.user_id
+                  AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                LIMIT 1) AS last_order_price
+         FROM events e
+         WHERE e.event_type = 'purchase' AND e.user_id < 50
+         ORDER BY e.event_id""",
 
     "q_scalar_funcs" ->
       """SELECT c_custkey,

@@ -177,6 +177,18 @@ object Compiler {
           case "min"      => min(go(args.head))
           case "max"      => max(go(args.head))
           case "avg"      => avg(go(args.head))
+          // exact interpolated percentile — Spark's sort-based `percentile`
+          // aggregate (deterministic; same linear interpolation as DuckDB's
+          // quantile_cont, so oracles replay 1:1)
+          case "percentile" =>
+            val p = args.lift(1) match {
+              case Some(Lit(d: Double)) => d
+              case Some(Lit(l: Long))   => l.toDouble
+              case Some(Lit(i: Int))    => i.toDouble
+              case other => throw new IllegalArgumentException(
+                s"percentile fraction must be a numeric literal, got $other")
+            }
+            call_function("percentile", go(args.head), lit(p))
           case "floor"    => floor(go(args.head))
           case "ceiling"  => ceil(go(args.head))
           // scalar string helpers (beyond-reference; used by the LLM text
@@ -518,6 +530,20 @@ object Compiler {
 
   // =================== source lowering ===================
 
+  /** SortKey list → ordered Columns with the reference's nulls-auto rule
+    * (auto = first when asc, last when desc — sort.py:13-45). */
+  private def sortKeyCols(keys: Seq[SortKey], f: Frame): Seq[Column] =
+    keys.map { k =>
+      val c = compileExpr(k.e, f)
+      (k.asc, k.nulls) match {
+        case (true, "auto") | (true, "first")  => c.asc_nulls_first
+        case (true, "last")                    => c.asc_nulls_last
+        case (false, "auto") | (false, "last") => c.desc_nulls_last
+        case (false, "first")                  => c.desc_nulls_first
+        case (_, other) => throw new IllegalArgumentException(s"bad nulls: $other")
+      }
+    }
+
   def compileSource(s: Source, spark: SparkSession): Frame = s match {
     case Source.Table(name) =>
       // file connectors by extension (reference duckdb_connection.py:96-117
@@ -585,17 +611,7 @@ object Compiler {
 
     case Source.Sort(base, keys) =>
       val f = compileSource(base, spark)
-      val sortCols = keys.map { k =>
-        val c = compileExpr(k.e, f)
-        (k.asc, k.nulls) match {
-          case (true, "auto") | (true, "first") => c.asc_nulls_first
-          case (true, "last")                   => c.asc_nulls_last
-          case (false, "auto") | (false, "last") => c.desc_nulls_last
-          case (false, "first")                  => c.desc_nulls_first
-          case (_, other) => throw new IllegalArgumentException(s"bad nulls: $other")
-        }
-      }
-      f.df = f.df.orderBy(sortCols: _*)
+      f.df = f.df.orderBy(sortKeyCols(keys, f): _*)
       f
 
     case Source.Limit(base, n, off) =>
@@ -673,20 +689,88 @@ object Compiler {
         s"topK rank column '$rankName' already exists on the input; " +
           "pass a different rankName")
       val parts = partitionBy.map(p => compileExpr(p, f))
-      val orders = orderKeys.map { sk =>
-        val c = compileExpr(sk.e, f)
-        (sk.asc, sk.nulls) match {
-          case (true, "auto") | (true, "first")  => c.asc_nulls_first
-          case (true, "last")                    => c.asc_nulls_last
-          case (false, "auto") | (false, "last") => c.desc_nulls_last
-          case (false, "first")                  => c.desc_nulls_first
-          case (_, other) => throw new IllegalArgumentException(s"bad nulls: $other")
-        }
-      }
-      val w = Window.partitionBy(parts: _*).orderBy(orders: _*)
+      val w = Window.partitionBy(parts: _*).orderBy(sortKeyCols(orderKeys, f): _*)
       new Frame(f.df
         .withColumn(rankName, row_number().over(w))
         .where(col(rankName) <= k))
+
+    case Source.WindowCalc(base, partitionBy, orderKeys, wcols) =>
+      // every column shares ONE (partition, order) spec: a single
+      // hash(partition) exchange + one sort; Catalyst's CollapseWindow
+      // fuses the same-spec functions into one Window operator and the
+      // moving-frame variants chain on the already-sorted child. Window
+      // state is O(1) (running) or O(frame) rows — nothing accumulates
+      // unbounded per key, so hot entities spill-safely at 100 TB.
+      val f = compileSource(base, spark)
+      val parts = partitionBy.map(p => compileExpr(p, f))
+      val w = Window.partitionBy(parts: _*).orderBy(sortKeyCols(orderKeys, f): _*)
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wcols.foreach { wc =>
+        require(!f.df.columns.contains(wc.name),
+          s"window column '${wc.name}' already exists on the input")
+        def tgt: Column = compileExpr(wc.target.getOrElse(
+          throw new IllegalArgumentException(
+            s"window column '${wc.name}' (${wc.kind}) needs a target expression")), f)
+        val c = wc.kind match {
+          case "row_number"  => row_number().over(w)
+          case "lag"         => lag(tgt, wc.offset.toInt).over(w)
+          case "lead"        => lead(tgt, wc.offset.toInt).over(w)
+          case "running_sum" => sum(tgt).over(running)
+          case "running_min" => min(tgt).over(running)
+          case "running_max" => max(tgt).over(running)
+          case "moving_sum"  => sum(tgt).over(w.rowsBetween(-(wc.frame - 1), 0))
+          case "moving_avg"  => avg(tgt).over(w.rowsBetween(-(wc.frame - 1), 0))
+          case other =>
+            throw new IllegalArgumentException(s"unknown window kind '$other'")
+        }
+        f.df = f.df.withColumn(wc.name, c)
+      }
+      f
+
+    case Source.AsofJoin(base, right, leftOn, rightOn, leftTs, rightTs,
+        rightSeq, pick, strict) =>
+      // Tag-union + one last-non-null running window: both sides shuffle
+      // ONCE on the key, the right payload rides as a single struct, and
+      // each left row reads the latest preceding right struct — the
+      // scale-correct as-of shape (a range join explodes |left| ×
+      // |right-per-key| candidate pairs; a correlated subquery doesn't
+      // distribute). Equal-timestamp eligibility is encoded purely in the
+      // tag sort: inclusive (≤) sorts right rows BEFORE left ones at the
+      // same timestamp, strict (<) after; right-timestamp ties resolve to
+      // the highest seq because the window reads the LAST preceding row
+      // under (ts, tag, seq) ascending order.
+      val lf = compileSource(base, spark)
+      val lk = compileExpr(leftOn, lf)
+      val lt = compileExpr(leftTs, lf)
+      val keepCols = lf.df.columns.toSeq
+      pick.foreach(p => require(!keepCols.contains(p.identifier),
+        s"asofJoin pick '${p.identifier}' collides with an existing column"))
+      val leftTag = if (strict) 0 else 1
+      val leftSide = lf.df
+        .withColumn("__k__", lk)
+        .withColumn("__ts__", lt.cast("timestamp"))
+        .withColumn("__tag__", lit(leftTag))
+      val rf = compileSource(right.source, spark)
+      rf.pending.keys.toSeq.foreach(rf.attach)
+      val rv = struct(pick.map(p => compileExpr(p, rf).as(p.identifier)): _*)
+      val rightSide = rf.df.select(
+        compileExpr(rightOn, rf).as("__k__"),
+        compileExpr(rightTs, rf).cast("timestamp").as("__ts__"),
+        rightSeq.map(sq => compileExpr(sq, rf)).getOrElse(lit(0L))
+          .cast("long").as("__seq__"),
+        rv.as("__rv__"))
+        // null keys/timestamps can never match — drop before the shuffle
+        .where(col("__k__").isNotNull && col("__ts__").isNotNull)
+        .withColumn("__tag__", lit(1 - leftTag))
+      val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
+      val w = Window.partitionBy(col("__k__"))
+        .orderBy(col("__ts__").asc, col("__tag__").asc, col("__seq__").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matched = unioned.withColumn("__rvlast__",
+        last(col("__rv__"), ignoreNulls = true).over(w))
+      new Frame(matched.where(col("__tag__") === leftTag)
+        .select(keepCols.map(col) ++
+          pick.map(p => col("__rvlast__").getField(p.identifier).as(p.identifier)): _*))
 
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
 

@@ -34,6 +34,21 @@ package object funcs {
   def sum(e: Expr): Expr = Call("sum", Seq(e))
   def avg(e: Expr): Expr = Call("avg", Seq(e))
 
+  /** Exact interpolated percentile (beyond-reference analytic measure):
+    * the value at fraction `p` of the sorted distribution, linearly
+    * interpolated between the two closest ranks — identical semantics to
+    * DuckDB's `quantile_cont`, so oracles replay directly. Exact (sort-
+    * based), hence deterministic; round the result to 6 dp when gating
+    * against an oracle to absorb interpolation ulps. For sketched
+    * quantiles at extreme scale swap to approx_percentile — same call
+    * shape, documented accuracy trade. */
+  def percentile(e: Expr, p: Double): Expr = {
+    require(p >= 0.0 && p <= 1.0, s"percentile fraction must be in [0,1], got $p")
+    Call("percentile", Seq(e, Lit(p)))
+  }
+  /** Median = percentile 0.5. */
+  def median(e: Expr): Expr = percentile(e, 0.5)
+
   /** `count_if(cond)` — rewritten at definition time to
     * sum(cases((cond,1), other=0)), exactly like the reference
     * (_sql_functions.py:25-30). */

@@ -129,4 +129,46 @@ object Source {
       schema: ActivitySchema,
       gapSeconds: Long,
   ) extends Source
+
+  /** One windowed analytic column of a [[WindowCalc]]. `kind` ∈
+    * row_number | lag | lead | running_sum | running_min | running_max |
+    * moving_sum | moving_avg. `target` is the measured expression (absent
+    * only for row_number), `offset` the lag/lead distance, `frame` the
+    * moving-window size in rows (trailing, current row included). */
+  final case class WinCol(
+      name: String,
+      kind: String,
+      target: Option[Expr],
+      offset: Long = 1L,
+      frame: Long = 0L,
+  )
+
+  /** Windowed analytics (beyond-reference): every column shares ONE
+    * (partitionBy, orderKeys) window spec, so the whole node costs a
+    * single hash(partition) exchange + one sort regardless of how many
+    * columns it adds. Row grain is unchanged. */
+  final case class WindowCalc(
+      base: Source,
+      partitionBy: Seq[Expr],
+      orderKeys: Seq[SortKey],
+      cols: Seq[WinCol],
+  ) extends Source
+
+  /** As-of join (beyond-reference temporal join): append to each base row
+    * the `pick` columns of the `right` model's latest row with the same
+    * key and right timestamp ≤ the row's timestamp (strictly < when
+    * `strict`); ties on the right timestamp break to the highest
+    * `rightSeq`. Lowered as a tag-union + one last-non-null window —
+    * a single exchange on the key, never a range-join row explosion. */
+  final case class AsofJoin(
+      base: Source,
+      right: graft.model.Model,
+      leftOn: Expr,
+      rightOn: Expr,
+      leftTs: Expr,
+      rightTs: Expr,
+      rightSeq: Option[Expr],
+      pick: Seq[Expr],
+      strict: Boolean,
+  ) extends Source
 }

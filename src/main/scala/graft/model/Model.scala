@@ -230,6 +230,85 @@ final case class Model(
       orderBy.map(sk => sk.copy(e = bindSqlRefs(sk.e))), k, rankName))
   }
 
+  /** Windowed analytics (beyond-reference): lag/lead/running/moving
+    * aggregates and row_number over ONE shared (partitionBy, orderBy)
+    * window spec — however many columns are added, the node costs a single
+    * hash(partition) exchange and one sort (Catalyst's CollapseWindow
+    * fuses same-spec window functions; the moving-frame variants chain on
+    * the same child ordering without re-sorting). Partition keys are
+    * required: a global window funnels every row through one task, which
+    * no cluster survives — at scale, analytics windows are always
+    * per-entity. Give a TOTAL order (add a tie-breaking trailing key):
+    * running aggregates over an ambiguous order are nondeterministic.
+    * Row grain is unchanged, so existing attributes/measures/relations
+    * stay valid; the new columns register as attributes. */
+  def withWindow(
+      partitionBy: Seq[Expr],
+      orderBy: Seq[SortKey],
+      cols: Seq[Source.WinCol],
+  ): Model = {
+    require(partitionBy.nonEmpty,
+      "withWindow requires partition keys; a global window cannot scale")
+    require(orderBy.nonEmpty, "withWindow requires at least one order key")
+    require(cols.nonEmpty, "withWindow requires at least one window column")
+    require(cols.map(_.name).distinct.size == cols.size,
+      s"duplicate window column names in ${cols.map(_.name).mkString(", ")}")
+    val kinds = Set("row_number", "lag", "lead", "running_sum", "running_min",
+      "running_max", "moving_sum", "moving_avg")
+    cols.foreach { wc =>
+      require(kinds.contains(wc.kind),
+        s"unknown window kind '${wc.kind}'; one of: ${kinds.toSeq.sorted.mkString(", ")}")
+      require(wc.kind == "row_number" || wc.target.isDefined,
+        s"window column '${wc.name}' (${wc.kind}) needs a target expression")
+      if (wc.kind.startsWith("moving_"))
+        require(wc.frame >= 1,
+          s"window column '${wc.name}': moving frame must be >= 1 row")
+    }
+    copy(
+      source = Source.WindowCalc(source,
+        partitionBy.map(bindSqlRefs(_)),
+        orderBy.map(sk => sk.copy(e = bindSqlRefs(sk.e))),
+        cols.map(wc => wc.copy(target = wc.target.map(bindSqlRefs(_))))),
+      attributes = attributes ++
+        cols.map(wc => wc.name -> (ColRef(wc.name): Expr)),
+    )
+  }
+
+  /** As-of join (beyond-reference temporal join): append, to every row,
+    * `pick` columns from the `right` model's most recent row with the same
+    * key (`on`) and right timestamp ≤ this row's timestamp (strictly <
+    * when `strict`); right-timestamp ties break to the highest `seq`
+    * (pass a unique numeric right column for a deterministic match).
+    * Unmatched rows keep NULLs — as-of is left-outer by nature.
+    *
+    * Scale shape: both sides shuffle ONCE on the key into a tag-union,
+    * right payloads ride as one struct, and a single last-non-null
+    * running window resolves every match — never the range-join row
+    * explosion (|left| × |right-per-key| candidates) and never a per-row
+    * subquery. Row grain is unchanged; picked columns register as
+    * attributes. */
+  def asofJoin(
+      right: Model,
+      on: (Expr, Expr),
+      ts: (Expr, Expr),
+      pick: Seq[Expr],
+      seq: Expr = null,
+      strict: Boolean = false,
+  ): Model = {
+    require(pick.nonEmpty, "asofJoin requires at least one picked right column")
+    require(pick.map(_.identifier).distinct.size == pick.size,
+      s"duplicate asofJoin pick names in ${pick.map(_.identifier).mkString(", ")}")
+    copy(
+      source = Source.AsofJoin(source, right,
+        bindSqlRefs(on._1), right.bindSqlRefs(on._2),
+        bindSqlRefs(ts._1), right.bindSqlRefs(ts._2),
+        Option(seq).map(right.bindSqlRefs(_)),
+        pick.map(right.bindSqlRefs(_)), strict),
+      attributes = attributes ++
+        pick.map(p => p.identifier -> (ColRef(p.identifier): Expr)),
+    )
+  }
+
   /** Pivot — the inverse of `fold`/unpivot (beyond-reference sugar): one
     * output column per pivot `key` holding `agg` of `valueCol` where
     * `keyCol` equals the key, grouped by `groups`. Composed entirely from

@@ -92,6 +92,21 @@ object WireFormat {
         "group" -> exprW(schema.group), "timestamp" -> exprW(schema.timestamp),
         "eventKey" -> Option(schema.eventKey).map(exprW).orNull,
         "gapSeconds" -> gap)
+    case Source.WindowCalc(b, parts, keys, cols) =>
+      Map("t" -> "windowCalc", "base" -> sourceW(b),
+        "partitionBy" -> parts.map(exprW).toList,
+        "keys" -> keys.map(sk =>
+          Map("expr" -> exprW(sk.e), "asc" -> sk.asc, "nulls" -> sk.nulls)).toList,
+        "cols" -> cols.map(wc => Map(
+          "name" -> wc.name, "kind" -> wc.kind,
+          "target" -> wc.target.map(exprW).orNull,
+          "offset" -> wc.offset, "frame" -> wc.frame)).toList)
+    case Source.AsofJoin(b, right, lOn, rOn, lTs, rTs, seq, pick, strict) =>
+      Map("t" -> "asofJoin", "base" -> sourceW(b), "right" -> modelW(right),
+        "leftOn" -> exprW(lOn), "rightOn" -> exprW(rOn),
+        "leftTs" -> exprW(lTs), "rightTs" -> exprW(rTs),
+        "seq" -> seq.map(exprW).orNull, "pick" -> pick.map(exprW).toList,
+        "strict" -> strict)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -230,6 +245,21 @@ object WireFormat {
         Option(s("timeLimit")).map(v => {
           val i = obj(v); TimeInterval(long(i("num")), str(i("unit")))
         }))
+    case "windowCalc" =>
+      Source.WindowCalc(sourceR(obj(s("base"))),
+        arr(s("partitionBy")).map(p => exprR(obj(p))),
+        arr(s("keys")).map(obj).map(k =>
+          SortKey(exprR(obj(k("expr"))), bool(k("asc")), str(k("nulls")))),
+        arr(s("cols")).map(obj).map(wc => Source.WinCol(
+          str(wc("name")), str(wc("kind")),
+          Option(wc("target")).map(t => exprR(obj(t))),
+          long(wc("offset")), long(wc("frame")))))
+    case "asofJoin" =>
+      Source.AsofJoin(sourceR(obj(s("base"))), modelR(obj(s("right"))),
+        exprR(obj(s("leftOn"))), exprR(obj(s("rightOn"))),
+        exprR(obj(s("leftTs"))), exprR(obj(s("rightTs"))),
+        Option(s("seq")).map(v => exprR(obj(v))),
+        arr(s("pick")).map(p => exprR(obj(p))), bool(s("strict")))
     case "sessionize" =>
       Source.Sessionize(sourceR(obj(s("base"))),
         ActivitySchema(exprR(obj(s("group"))), exprR(obj(s("timestamp"))),

@@ -337,6 +337,76 @@ class CoreOpsSpec extends GraftSuite {
       Seq(("east", 1L), ("west", 2L)))
   }
 
+  test("withWindow: lag/running/moving columns share one window spec") {
+    val s = spark
+    import s.implicits._
+    import graft.ir.{SortKey, Source}
+    val df = Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L), (2L, 1, 5L),
+    ).toDF("k", "seq", "v")
+    val out = Model.fromDF(df)
+      .withWindow(
+        partitionBy = Seq(col("k")),
+        orderBy = Seq(SortKey(col("seq"))),
+        cols = Seq(
+          Source.WinCol("rn", "row_number", None),
+          Source.WinCol("prev_v", "lag", Some(col("v"))),
+          Source.WinCol("next_v", "lead", Some(col("v"))),
+          Source.WinCol("run_v", "running_sum", Some(col("v"))),
+          Source.WinCol("avg2", "moving_avg", Some(col("v")), frame = 2)))
+      .sort(col("k")).sort(col("seq"))
+      .run(s).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("seq"), r.getAs[Int]("rn"),
+        Option(r.getAs[Any]("prev_v")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("next_v")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("run_v"), r.getAs[Double]("avg2")))
+    assert(out.toSeq === Seq(
+      (1L, 1, 1, None, Some(20L), 10L, 10.0),
+      (1L, 2, 2, Some(10L), Some(30L), 30L, 15.0),
+      (1L, 3, 3, Some(20L), None, 60L, 25.0),
+      (2L, 1, 1, None, None, 5L, 5.0)))
+  }
+
+  test("asofJoin: latest right row wins, seq breaks ties, strict excludes equal ts") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = Timestamp.valueOf(s"2024-01-01 $x")
+    val left = Seq(
+      (1L, "a", t("10:00:00")), (2L, "a", t("11:00:00")), (3L, "b", t("09:00:00")),
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", t("10:00:00"), 1L, "r1"),
+      ("a", t("10:00:00"), 2L, "r2"), // same ts: higher seq must win
+      ("a", t("10:30:00"), 3L, "r3"),
+    ).toDF("k", "ts", "seq", "v")
+    def run(strict: Boolean) = Model.fromDF(left)
+      .asofJoin(Model.fromDF(right),
+        on = (col("k"), col("k")), ts = (col("ts"), col("ts")),
+        pick = Seq(col("v").named("rv")), seq = col("seq"), strict = strict)
+      .sort(col("id"))
+      .run(s).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("rv"))))
+    // inclusive: the equal-ts right rows are eligible, r2 (seq 2) wins
+    assert(run(strict = false).toSeq ===
+      Seq((1L, Some("r2")), (2L, Some("r3")), (3L, None)))
+    // strict: equal-ts rows excluded → event 1 has no prior order
+    assert(run(strict = true).toSeq ===
+      Seq((1L, None), (2L, Some("r3")), (3L, None)))
+  }
+
+  test("percentile measure interpolates like quantile_cont") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val out = Model.fromDF(df)
+      .aggregate(measures = Seq(
+        median(col("x")).named("med"),
+        percentile(col("x"), 0.25).named("q1")))
+      .run(s).collect().head
+    assert(out.getDouble(0) === 2.5) // (2+3)/2
+    assert(out.getDouble(1) === 1.75) // 1 + 0.75 * (2-1)
+  }
+
   test("strict attribute lookup throws on typos when attrs are declared") {
     val s = spark
     import s.implicits._

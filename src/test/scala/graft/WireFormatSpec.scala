@@ -65,6 +65,29 @@ class WireFormatSpec extends GraftSuite {
       m.run(spark).collect().map(_.toSeq).toSeq)
   }
 
+  test("windowCalc and asofJoin models round-trip and run identically") {
+    import graft.ir.{SortKey, Source}
+    val m = Model.parquet(dir, "events")
+      .withWindow(
+        partitionBy = Seq(col("user_id")),
+        orderBy = Seq(SortKey(col("ts")), SortKey(col("event_id"))),
+        cols = Seq(
+          Source.WinCol("rn", "row_number", None),
+          Source.WinCol("prev_ts", "lag", Some(col("ts"))),
+          Source.WinCol("run_n", "running_sum", Some(lit(1L)))))
+      .asofJoin(Model.parquet(dir, "orders"),
+        on = (col("user_id"), col("o_custkey")),
+        ts = (col("ts"), col("o_orderdate")),
+        pick = Seq(col("o_orderkey").named("last_order_key")),
+        seq = col("o_orderkey"))
+      .pick(col("event_id"), col("rn"), col("run_n"), col("last_order_key"))
+      .sort(col("event_id")).limit(20)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    assert(rebuilt === m)
+    assert(rebuilt.run(spark).collect().map(_.toSeq).toSeq ===
+      m.run(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("match_steps model with activity schema and time limit round-trips") {
     val m = Model.parquet(dir, "events")
       .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
