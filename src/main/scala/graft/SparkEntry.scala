@@ -888,6 +888,23 @@ object SparkEntry {
         .sort(col("lang"))
         .run(s)),
 
+    // --- Gopher-style quality gates (the published web-corpus rule
+    //     family): per-rule booleans + conjunction, replayed rule-for-rule
+    //     by the oracle ---
+    "q_quality_gates" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .withColumn("__g__", graft.llm.TextOps.gopherGates("__toks__"))
+            .select(F.col("doc_id"), F.col("__g__.word_count_ok"),
+              F.col("__g__.mean_word_len_ok"), F.col("__g__.symbol_ok"),
+              F.col("__g__.alpha_ok"), F.col("__g__.stopword_ok"),
+              F.col("__g__.pass"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- within-doc repetition ratio (boilerplate signal) ---
     "q_repetition" -> ((s, dir) =>
       m(dir, "documents")
@@ -1634,6 +1651,28 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 429496729 WHEN 'de' THEN 2147483648
                      WHEN 'zh' THEN 4294967296 ELSE 1073741824 END
          GROUP BY 1 ORDER BY 1""",
+
+    "q_quality_gates" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), g AS (
+           SELECT doc_id,
+             len(w) BETWEEN 50 AND 100000 AS word_count_ok,
+             (CAST(list_reduce(list_transform(w, t -> len(t)), (a, b) -> a + b) AS DOUBLE)
+               / len(w)) BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+             CAST(len(list_filter(w, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+               / len(w) <= 0.1 AS symbol_ok,
+             CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / len(w) >= 0.8 AS alpha_ok,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+               s -> list_contains(w, s))) >= 2 AS stopword_ok
+           FROM t)
+         SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ok, alpha_ok,
+                stopword_ok,
+                word_count_ok AND mean_word_len_ok AND symbol_ok AND alpha_ok
+                  AND stopword_ok AS pass
+         FROM g ORDER BY doc_id""",
 
     "q_repetition" ->
       """SELECT doc_id,

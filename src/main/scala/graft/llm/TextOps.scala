@@ -202,6 +202,55 @@ object TextOps {
     expr(s"aggregate($toksCol, 0, (acc, t) -> acc + length(t))") /
       expr(s"size($toksCol)")
 
+  /** The Gopher rule family's tiny English function-word list: a document
+    * is expected to contain at least 2 of these (Rae et al. 2021, A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality gates (the published rule family from
+    * Rae et al. 2021 appendix A1.1, the de-facto standard web-corpus
+    * pre-filter): per-rule booleans plus their conjunction `pass`, as a
+    * struct column. Every rule is closed-form per-row arithmetic over the
+    * token array — no shuffle, no UDF, scales with the scan — and every
+    * primitive (contains / rlike / size / aggregate) has a byte-identical
+    * DuckDB counterpart so the oracle replays the gates exactly.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; ≤ 10% of words contain '#' or '…'-style ellipsis; ≥ 80% of
+    * words contain at least one alphabetic character; at least 2 distinct
+    * [[GopherStopwords]] present. */
+  def gopherGates(
+      toksCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+  ): Column = {
+    val n = expr(s"size($toksCol)")
+    val nD = n.cast("double")
+    val meanLen =
+      expr(s"aggregate($toksCol, 0, (acc, t) -> acc + length(t))")
+        .cast("double") / nD
+    val symbolRatio =
+      expr(s"size(filter($toksCol, t -> contains(t, '#') OR contains(t, '...')))")
+        .cast("double") / nD
+    val alphaRatio =
+      expr(s"size(filter($toksCol, t -> t rlike '[A-Za-z]'))").cast("double") / nD
+    val stopHits = expr(
+      s"""size(filter(array(${sqlStringList(GopherStopwords)}),
+           w -> array_contains($toksCol, w)))""")
+    val wordCountOk = n >= minWords && n <= maxWords
+    val meanLenOk = meanLen >= 3.0 && meanLen <= 10.0
+    val symbolOk = symbolRatio <= 0.1
+    val alphaOk = alphaRatio >= 0.8
+    val stopOk = stopHits >= 2
+    struct(
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ok"),
+      alphaOk.as("alpha_ok"),
+      stopOk.as("stopword_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk && stopOk).as("pass"))
+  }
+
   /** Composite quality score in [0,1]: length saturation + lexical
     * diversity (type-token ratio) + stopword density, the standard cheap
     * pre-filter trio for web-scale corpus cleaning. Deterministic

@@ -104,6 +104,28 @@ class LlmSpec extends GraftSuite {
     assert(out(2) === 0.0) // shorter than n
   }
 
+  test("gopher gates flag short, symbol-heavy, and stopword-free docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat and that was fine to be there with us"),
+      (2L, "b c"), // too short, no stopwords
+      (3L, "#x #y #z w1 w2 the of and to be"), // 3/10 symbol words
+    ).toDF("doc_id", "text")
+    val out = d
+      .withColumn("__toks__", TextOps.tokens(sc("text")))
+      .withColumn("__g__", TextOps.gopherGates("__toks__", minWords = 5))
+      .orderBy(sc("doc_id"))
+      .select(sc("__g__.word_count_ok"), sc("__g__.symbol_ok"),
+        sc("__g__.stopword_ok"), sc("__g__.pass"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (true, true, true, true),
+      (false, true, false, false),
+      (true, false, true, false)))
+  }
+
   test("contamination flags train docs sharing eval n-grams") {
     val s = spark
     import s.implicits._
