@@ -862,6 +862,16 @@ object SparkEntry {
         .sort(col("doc_a")).sort(col("doc_b"))
         .run(s)),
 
+    // --- winnowing recall knob: bottom-2 fingerprints per doc (candidate
+    //     pairs share ANY of the 2 smallest window hashes — a strict
+    //     superset of the single-fingerprint candidates) ---
+    "q_dedup_ngram_k" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.charNgramPairs(df, "doc_id", "text",
+          numFingerprints = 2))
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
     // --- transitive near-dup clustering (connected components over the
     //     verified MinHash pairs; keep-one-per-cluster labeling) ---
     "q_dedup_clusters" -> ((s, dir) =>
@@ -1729,6 +1739,30 @@ object SparkEntry {
                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                         len(list_distinct(a.sh || b.sh)), 6) AS jaccard
            FROM base a JOIN base b ON a.fp = b.fp AND a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
+
+    "q_dedup_ngram_k" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN length(text) >= 16
+                  THEN list_sort(list_distinct(list_transform(range(1, length(text) - 14),
+                         i -> md5(substr(text, i, 16)))))[1:2]
+                  ELSE [md5(text)] END AS fps,
+             CASE WHEN length(text) >= 3
+                  THEN list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))
+                  ELSE [text] END AS sh
+           FROM documents
+         ), banded AS (
+           SELECT doc_id, unnest(fps) AS fp FROM base
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         )
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM cand JOIN base x ON x.doc_id = doc_a JOIN base y ON y.doc_id = doc_b) t
          WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
 
     "q_dedup_embed" ->

@@ -293,7 +293,10 @@ object Dedup {
     * long enough to be rare (default 16 chars ≈ 3 words): short windows on
     * a narrow-vocabulary corpus put a large fraction of documents in one
     * bucket and the within-bucket verification degenerates toward
-    * all-pairs. */
+    * all-pairs. `numFingerprints` > 1 switches to a bottom-k sketch of
+    * window hashes (w-window winnowing): recall grows monotonically with
+    * k (the k=1 candidate set is always contained) at ≤ k× candidate
+    * cost — a parameter, not a redesign (SCALE.md). */
   def charNgramPairs(
       docs: DataFrame,
       idCol: String,
@@ -302,23 +305,56 @@ object Dedup {
       verifyNgram: Int = 3,
       threshold: Double = 0.7,
       scope: CacheScope = CacheScope.global,
+      numFingerprints: Int = 1,
   ): DataFrame = {
+    require(numFingerprints >= 1, "numFingerprints must be at least 1")
     graft.GraftExtensions.install(docs.sparkSession)
-    val base = scope.cache(docs
-      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
-      // native winnowing fingerprint (graft.expr.CharNgramMin) — same
-      // values as TextOps.charNgramFingerprint, no interpreted HOF loop
-      .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)")))
-    base.as("a")
-      .join(base.as("b"),
-        col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))
-      // per-pair native verify (graft.expr.CharNgramJaccard): same distinct
-      // n-gram sets as charShingles + array_intersect/union, but computed
-      // straight from the two strings — no shingle arrays materialized
-      .withColumn("jaccard",
-        round(expr(s"char_ngram_jaccard(a.__text__, b.__text__, $verifyNgram)"), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
-        col("jaccard"))
+    // both branches verify per-pair with the native CharNgramJaccard
+    // expression: same distinct n-gram sets as charShingles +
+    // array_intersect/union, computed straight from the two strings —
+    // no shingle arrays materialized
+    if (numFingerprints == 1) {
+      // single min window hash (native codegen'd expression): direct
+      // fingerprint self-join with the verify fused into the join — the
+      // cheapest plan when one fingerprint's recall suffices
+      val base = scope.cache(docs
+        .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+        .withColumn("__fp__", expr(s"char_ngram_min(__text__, $blockNgram)")))
+      base.as("a")
+        .join(base.as("b"),
+          col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))
+        .withColumn("jaccard",
+          round(expr(s"char_ngram_jaccard(a.__text__, b.__text__, $verifyNgram)"), 6))
+        .where(col("jaccard") >= threshold)
+        .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"),
+          col("jaccard"))
+    } else {
+      // w-window winnowing recall knob: the k smallest DISTINCT window
+      // hashes (a bottom-k sketch) as block keys. Candidates are pairs
+      // whose bottom-k sets INTERSECT — a strict superset of the k=1
+      // candidates (the min hash is always in the bottom-k) at ≤ k×
+      // candidate/shuffle cost, same equi-join shape, no all-pairs risk.
+      val base = scope.cache(docs
+        .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+        .withColumn("__fps__", expr(
+          s"""CASE WHEN length(__text__) >= $blockNgram
+              THEN slice(array_sort(array_distinct(transform(
+                     sequence(1, length(__text__) - ${blockNgram - 1}),
+                     i -> md5(substring(__text__, i, $blockNgram))))),
+                   1, $numFingerprints)
+              ELSE array(md5(__text__)) END""")))
+      val banded = base.select(col("__id__"), explode(col("__fps__")).as("__fp__"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.__fp__") === col("b.__fp__") && col("a.__id__") < col("b.__id__"))
+        .select(col("a.__id__").as("doc_a"), col("b.__id__").as("doc_b"))
+        .distinct()
+        .join(base.as("x"), col("doc_a") === col("x.__id__"))
+        .join(base.as("y"), col("doc_b") === col("y.__id__"))
+        .withColumn("jaccard",
+          round(expr(s"char_ngram_jaccard(x.__text__, y.__text__, $verifyNgram)"), 6))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 }

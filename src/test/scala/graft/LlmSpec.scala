@@ -53,6 +53,16 @@ class LlmSpec extends GraftSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("bottom-k winnowing candidates contain every k=1 pair") {
+    val p1 = Dedup.charNgramPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Dedup.charNgramPairs(docs, "doc_id", "text", threshold = 0.6,
+      numFingerprints = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.subsetOf(p2)) // the min hash is always in the bottom-k
+    assert(p2.contains((0L, 1L)))
+  }
+
   test("minhash hot-bucket cap drops degenerate buckets only") {
     val s = spark
     import s.implicits._
