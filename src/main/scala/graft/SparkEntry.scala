@@ -1154,6 +1154,38 @@ object SparkEntry {
         }
         .sort(col("doc_id"))
         .run(s)),
+
+    // --- multimodal audio: synthesized canonical 44-byte WAV headers
+    //     (little-endian fields built in SQL hex) + text bytes as samples;
+    //     the RIFF chunk walk recovers rate/channels/duration and the
+    //     oracle replays the same arithmetic ---
+    "q_multimodal_audio" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          def le16(e: String) =
+            s"substr(lpad(hex($e), 4, '0'), 3, 2) || substr(lpad(hex($e), 4, '0'), 1, 2)"
+          def le32(e: String) =
+            s"""substr(lpad(hex($e), 8, '0'), 7, 2) || substr(lpad(hex($e), 8, '0'), 5, 2) ||
+               substr(lpad(hex($e), 8, '0'), 3, 2) || substr(lpad(hex($e), 8, '0'), 1, 2)"""
+          val withPayload = df
+            .where(F.col("lang") === "de" && F.col("doc_id") < 200)
+            .withColumn("__sr__", F.expr("CAST(8000 + (doc_id % 5) * 2000 AS INT)"))
+            .withColumn("__ch__", F.expr("CAST(1 + (doc_id % 2) AS INT)"))
+            .withColumn("__dl__", F.expr("length(cast(text AS binary))"))
+            .withColumn("__br__", F.expr("__sr__ * __ch__ * 2"))
+            .withColumn("payload", F.expr(s"""unhex(concat(
+                 '52494646', ${le32("36 + __dl__")}, '57415645',
+                 '666d7420', '10000000', '0100', ${le16("__ch__")},
+                 ${le32("__sr__")}, ${le32("__br__")}, ${le16("__ch__ * 2")}, '1000',
+                 '64617461', ${le32("__dl__")}, hex(cast(text AS binary))))"""))
+          graft.llm.Multimodal.decode(withPayload, "payload")
+            .select(F.col("doc_id"), F.col("meta.format"),
+              F.col("meta.sample_rate"), F.col("meta.n_channels"),
+              F.col("meta.duration_ms"), F.col("meta.byte_len"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -1953,6 +1985,16 @@ object SparkEntry {
              + octet_length(CAST(text AS BLOB)) AS byte_len,
            sha256(text) AS text_sha
          FROM documents WHERE lang = 'en' AND doc_id < 100 ORDER BY doc_id""",
+
+    "q_multimodal_audio" ->
+      """SELECT doc_id, 'wav' AS format,
+           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+           CAST(1 + (doc_id % 2) AS INT) AS n_channels,
+           CAST((octet_length(CAST(text AS BLOB)) * 1000)
+                // (CAST(8000 + (doc_id % 5) * 2000 AS BIGINT)
+                   * (1 + (doc_id % 2)) * 2) AS BIGINT) AS duration_ms,
+           44 + octet_length(CAST(text AS BLOB)) AS byte_len
+         FROM documents WHERE lang = 'de' AND doc_id < 200 ORDER BY doc_id""",
   )
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline

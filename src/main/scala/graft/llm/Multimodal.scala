@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   *     at +3/+5 into the segment payload.
   *   - GIF: "GIF87a"/"GIF89a" header; width/height are LITTLE-endian u16
   *     at offsets 6/8.
+  *   - WAV: RIFF/WAVE container with a proper CHUNK WALK (not fixed
+  *     offsets — fmt need not be first): channels/sample-rate/byte-rate
+  *     from the fmt chunk, duration from the data chunk's byte count
+  *     (capped at the bytes actually present, so truncated files report
+  *     honest durations) divided by the byte rate.
   * Unrecognized payloads keep byte_len and the SHA-256 fingerprint real
   * and report format "unknown" with zero dims — honest, never fabricated.
   * Full pixel decode (resize, frame sampling) would slot into the same
@@ -26,7 +31,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata produced by decode. */
+  /** Typed metadata produced by decode. Image fields are zero for audio
+    * payloads and vice versa (a flat struct keeps the column pruneable —
+    * a tagged union would force reading every field to read one). */
   val MetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -34,6 +41,9 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("sha", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
   ))
 
   private val PngSignature =
@@ -49,13 +59,16 @@ object Multimodal {
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-    def unknown: Row = Row("unknown", 0, 0, 0, len, sha)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def unknown: Row = Row("unknown", 0, 0, 0, len, sha, 0, 0, 0L)
 
     if (payload.length >= 24 &&
         payload.startsWith(PngSignature) &&
         u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
       // PNG: signature + IHDR (mandatory first chunk per spec)
-      Row("png", be32(16), be32(20), 1, len, sha)
+      Row("png", be32(16), be32(20), 1, len, sha, 0, 0, 0L)
     } else if (payload.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG: walk the marker stream to the first frame header
       var i = 2
@@ -76,7 +89,7 @@ object Multimodal {
             else {
               if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) &&
                   i + 8 < payload.length) {
-                res = Row("jpeg", be16(i + 7), be16(i + 5), 1, len, sha)
+                res = Row("jpeg", be16(i + 7), be16(i + 5), 1, len, sha, 0, 0, 0L)
               }
               i += 2 + segLen
             }
@@ -86,7 +99,38 @@ object Multimodal {
       if (res != null) res else unknown
     } else if (payload.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
         u8(2) == 'F' && u8(3) == '8') {
-      Row("gif", le16(6), le16(8), 1, len, sha)
+      Row("gif", le16(6), le16(8), 1, len, sha, 0, 0, 0L)
+    } else if (payload.length >= 36 && u8(0) == 'R' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' &&
+        u8(10) == 'V' && u8(11) == 'E') {
+      // WAV: walk RIFF chunks (word-aligned); fmt gives channels/rates,
+      // data gives the sample byte count
+      var i = 12
+      var channels = 0
+      var sampleRate = 0
+      var byteRate = 0L
+      var dataLen = -1L
+      var stop = false
+      while (!stop && i + 8 <= payload.length) {
+        val id = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= payload.length) {
+          channels = le16(i + 10)
+          sampleRate = le32(i + 12).toInt
+          byteRate = le32(i + 16)
+        } else if (id == "data") {
+          // cap the header's claim at the bytes actually present, so a
+          // truncated file reports the duration of what it really holds
+          dataLen = math.min(sz, math.max(0L, (payload.length - i - 8).toLong))
+        }
+        if (sz > payload.length) stop = true // corrupt size: end the walk
+        else i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (channels > 0 && sampleRate > 0) {
+        val durMs =
+          if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+        Row("wav", 0, 0, 0, len, sha, sampleRate, channels, durMs)
+      } else unknown
     } else unknown
   }
 

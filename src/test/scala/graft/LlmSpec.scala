@@ -452,6 +452,42 @@ class LlmSpec extends GraftSuite {
     assert(metas.count(_.isNullAt(0)) === 1)
   }
 
+  test("multimodal decode: WAV chunk walk recovers rate/channels/duration") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // non-canonical chunk ORDER: a LIST chunk precedes fmt — fixed-offset
+    // parsers break here, the walk must not. 8000 Hz mono 16-bit
+    // (byte rate 16000), 4 data bytes → duration 0 ms
+    val wav = hx("52494646 38000000 57415645" + // RIFF size WAVE
+      "4C495354 04000000 AABBCCDD" + // LIST chunk (skipped)
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" + // fmt
+      "64617461 04000000 01020304") // data: 4 bytes
+    val m = Multimodal.decodeMeta(wav)
+    assert(m.getString(0) === "wav")
+    assert(m.getInt(6) === 8000)
+    assert(m.getInt(7) === 1)
+    assert(m.getLong(8) === 0L)
+    // 32000 data bytes at byte rate 16000 → 2000 ms; build a real 2-second
+    // mono file and check the arithmetic end to end
+    val data = Array.fill[Byte](32000)(0x7f.toByte)
+    val full = hx("52494646" + le32(36 + 32000) + "57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461" + le32(32000)) ++ data
+    val m2 = Multimodal.decodeMeta(full)
+    assert(m2.getString(0) === "wav")
+    assert(m2.getLong(8) === 2000L)
+    // TRUNCATED file: data chunk claims 32000 bytes but only 1600 present
+    // → honest 100 ms, not the header's claim
+    val truncated = full.take(44 + 1600)
+    assert(Multimodal.decodeMeta(truncated).getLong(8) === 100L)
+    // RIFF magic with a garbage body degrades to unknown
+    assert(Multimodal.decodeMeta(
+      hx("52494646 04000000 57415645 00000000")).getString(0) === "unknown")
+  }
+
+  private def le32(v: Int): String =
+    f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+
   test("clusterPairs computes transitive near-dup components") {
     val s = spark
     import s.implicits._
