@@ -19,7 +19,8 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q_join_one", "q_match_steps", "q_funnel",
         "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf", "q_fold",
-        "q_sessionize", "q_retention", "q_contamination")
+        "q_sessionize", "q_retention", "q_contamination",
+        "q_window_calc", "q_asof_join", "q_dedup_ngram_k")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -166,6 +166,62 @@ class PropertySpec extends GraftSuite {
     }, cases = 6)
   }
 
+  test("property: asofJoin equals the brute-force latest-eligible right row") {
+    val s = spark
+    import s.implicits._
+    val leftGen = Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L)))
+    val rightGen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L)))
+    check(Prop.forAll(leftGen, rightGen, Gen.oneOf(true, false)) {
+      (ls, rs, strict) =>
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k.toString, new Timestamp(t * 1000)) }
+          .toDF("id", "k", "ts")
+        // right value = its own index; ts collisions exercise the seq tie
+        val right = rs.zipWithIndex
+          .map { case ((k, t), i) => (k.toString, new Timestamp(t * 1000), i.toLong) }
+          .toDF("k", "ts", "seq")
+        val got = Model.fromDF(left)
+          .asofJoin(Model.fromDF(right),
+            on = (col("k"), col("k")), ts = (col("ts"), col("ts")),
+            pick = Seq(col("seq").named("rseq")), seq = col("seq"),
+            strict = strict)
+          .run(spark).collect()
+          .map(r => r.getAs[Long]("id") ->
+            Option(r.getAs[Any]("rseq")).map(_.asInstanceOf[Long]))
+          .toMap
+        val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+          val elig = rs.zipWithIndex.filter { case ((rk, rt), _) =>
+            rk == k && (if (strict) rt < t else rt <= t)
+          }
+          i.toLong -> (if (elig.isEmpty) None
+          else Some(elig.maxBy { case ((_, rt), ri) => (rt, ri) }._2.toLong))
+        }.toMap
+        got == expected
+    }, cases = 6)
+  }
+
+  test("property: running_sum matches the per-key prefix sum") {
+    val s = spark
+    import s.implicits._
+    import graft.ir.{SortKey, Source}
+    val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(-5L, 5L)))
+    check(Prop.forAll(gen) { xs =>
+      val df = xs.zipWithIndex
+        .map { case ((k, v), i) => (k.toString, i.toLong, v) }
+        .toDF("k", "seq", "v")
+      val got = Model.fromDF(df)
+        .withWindow(Seq(col("k")), Seq(SortKey(col("seq"))),
+          Seq(Source.WinCol("rs", "running_sum", Some(col("v")))))
+        .run(spark).collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("seq"), r.getAs[Long]("rs")))
+      got.forall { case (k, seq, rs) =>
+        rs == xs.zipWithIndex
+          .filter { case ((xk, _), i) => xk.toString == k && i <= seq }
+          .map(_._1._2).sum
+      }
+    }, cases = 6)
+  }
+
   test("property: scrubPii never alters text without @, +, or dotted digits") {
     val s = spark
     import s.implicits._
