@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
+import graft.expr.{CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -46,6 +46,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig takes exactly 2 arguments")
         MinHashSig(args.head, intLit(args(1), "minhash_sig"))
+      }),
+    (FunctionIdentifier("char_ngram_bottomk"),
+      new ExpressionInfo(classOf[CharNgramBottomK].getName, "char_ngram_bottomk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "char_ngram_bottomk takes exactly 3 arguments")
+        CharNgramBottomK(args.head, intLit(args(1), "char_ngram_bottomk"),
+          intLit(args(2), "char_ngram_bottomk"))
       }),
     (FunctionIdentifier("char_ngram_jaccard"),
       new ExpressionInfo(classOf[CharNgramJaccard].getName, "char_ngram_jaccard"),

@@ -192,6 +192,35 @@ object TextHashMore {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** k smallest DISTINCT md5-hex hashes over all character n-gram
+    * windows, ascending — the bottom-k winnowing sketch. Value-identical
+    * to `slice(array_sort(array_distinct(transform(sequence(1,
+    * length(t)-n+1), i -> md5(substring(t, i, n))))), 1, k)` (whole-text
+    * md5 when shorter than n), but ONE pass with a bounded k-element
+    * ordered buffer instead of materializing and sorting every window
+    * hash. */
+  def charNgramBottomK(text: UTF8String, n: Int, k: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    if (s.length < n)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(TextHash.md5Hex(s))))
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    val last = s.length - n
+    while (i <= last) {
+      val h = TextHash.md5Hex(s.substring(i, i + n))
+      if (set.size < k) set.add(h)
+      else if (h.compareTo(set.last) < 0 && set.add(h)) set.pollLast()
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over the DISTINCT word bigrams of a token array —
     * fuses TextOps.wordShingles(2) + array_distinct + hashedTokens +
     * simhash32 into one pass. Hash per bigram = first 8 md5-hex digits
@@ -247,6 +276,29 @@ case class CharNgramMin(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expr.TextHash.charNgramMin($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramMin =
+    copy(child = newChild)
+}
+
+/** `char_ngram_bottomk(text, n, k)` — see [[TextHashMore.charNgramBottomK]]. */
+case class CharNgramBottomK(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n > 0 && k > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_bottomk expects (string, n>0, k>0), got " +
+        s"${child.dataType.simpleString}, n=$n, k=$k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngram_bottomk"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.charNgramBottomK(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.TextHashMore.charNgramBottomK($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramBottomK =
     copy(child = newChild)
 }
 

@@ -334,15 +334,14 @@ object Dedup {
       // whose bottom-k sets INTERSECT — a strict superset of the k=1
       // candidates (the min hash is always in the bottom-k) at ≤ k×
       // candidate/shuffle cost, same equi-join shape, no all-pairs risk.
+      // native one-pass bottom-k (graft.expr.CharNgramBottomK) — value-
+      // identical to the slice(array_sort(array_distinct(transform(...))))
+      // HOF chain (spec-asserted), without materializing and sorting every
+      // window hash per doc
       val base = scope.cache(docs
         .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
-        .withColumn("__fps__", expr(
-          s"""CASE WHEN length(__text__) >= $blockNgram
-              THEN slice(array_sort(array_distinct(transform(
-                     sequence(1, length(__text__) - ${blockNgram - 1}),
-                     i -> md5(substring(__text__, i, $blockNgram))))),
-                   1, $numFingerprints)
-              ELSE array(md5(__text__)) END""")))
+        .withColumn("__fps__",
+          expr(s"char_ngram_bottomk(__text__, $blockNgram, $numFingerprints)")))
       val banded = base.select(col("__id__"), explode(col("__fps__")).as("__fp__"))
       banded.as("a")
         .join(banded.as("b"),

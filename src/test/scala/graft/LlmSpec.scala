@@ -327,6 +327,20 @@ class LlmSpec extends GraftSuite {
       expr("char_ngram_min(text, 8)").as("native"),
       TextOps.charNgramFingerprint("text", 8).as("hof")).collect()
     fp.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // native bottom-k == slice(array_sort(array_distinct(transform(...))))
+    val bk = d.select(
+      expr("char_ngram_bottomk(text, 8, 3)").as("native"),
+      expr("""CASE WHEN length(text) >= 8
+          THEN slice(array_sort(array_distinct(transform(
+                 sequence(1, length(text) - 7),
+                 i -> md5(substring(text, i, 8))))), 1, 3)
+          ELSE array(md5(text)) END""").as("hof")).collect()
+    bk.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // bottom-1 == the single min fingerprint
+    val b1 = d.select(
+      expr("char_ngram_bottomk(text, 8, 1)").as("k1"),
+      expr("char_ngram_min(text, 8)").as("m")).collect()
+    b1.foreach(r => assert(r.getSeq[String](0) === Seq(r.getString(1))))
     // per-pair native jaccard == set arithmetic over charShingles
     val pair = Seq(("abcdefg", "abcdxyz")).toDF("a", "b")
       .withColumn("__sa__", TextOps.charShingles("a", 3))
