@@ -483,7 +483,10 @@ object SparkEntry {
           ts = (col("ts"), col("o_orderdate")),
           pick = Seq(col("o_orderkey").named("last_order_key"),
             col("o_totalprice").named("last_order_price")),
-          seq = col("o_orderkey"))
+          seq = col("o_orderkey"),
+          // the left keys (user_id < 50) cover ~3% of the order history:
+          // exactly the selective case the right-side prune exists for
+          pruneRight = true)
         .sort(col("event_id"))
         .run(s)),
 

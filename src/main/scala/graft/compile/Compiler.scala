@@ -728,7 +728,7 @@ object Compiler {
       f
 
     case Source.AsofJoin(base, right, leftOn, rightOn, leftTs, rightTs,
-        rightSeq, pick, strict) =>
+        rightSeq, pick, strict, pruneRight) =>
       // Tag-union + one last-non-null running window: both sides shuffle
       // ONCE on the key, the right payload rides as a single struct, and
       // each left row reads the latest preceding right struct — the
@@ -753,7 +753,7 @@ object Compiler {
       val rf = compileSource(right.source, spark)
       rf.pending.keys.toSeq.foreach(rf.attach)
       val rv = struct(pick.map(p => compileExpr(p, rf).as(p.identifier)): _*)
-      val rightSide = rf.df.select(
+      val rightAll = rf.df.select(
         compileExpr(rightOn, rf).as("__k__"),
         compileExpr(rightTs, rf).cast("timestamp").as("__ts__"),
         rightSeq.map(sq => compileExpr(sq, rf)).getOrElse(lit(0L))
@@ -761,6 +761,17 @@ object Compiler {
         rv.as("__rv__"))
         // null keys/timestamps can never match — drop before the shuffle
         .where(col("__k__").isNotNull && col("__ts__").isNotNull)
+      // opt-in right-side pruning for a SELECTIVE left (a small entity
+      // subset against a big right history): a left-semi join on the
+      // left's distinct keys drops unmatched right rows before the union
+      // shuffle — results are identical (those rows can never be a match),
+      // and the extra small exchange pays for itself whenever it
+      // eliminates most of the right side
+      val rightSide = (if (pruneRight)
+        rightAll.join(
+          leftSide.select(col("__k__")).where(col("__k__").isNotNull).distinct(),
+          Seq("__k__"), "left_semi")
+      else rightAll)
         .withColumn("__tag__", lit(1 - leftTag))
       val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
       val w = Window.partitionBy(col("__k__"))

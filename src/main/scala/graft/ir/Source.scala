@@ -170,5 +170,6 @@ object Source {
       rightSeq: Option[Expr],
       pick: Seq[Expr],
       strict: Boolean,
+      pruneRight: Boolean = false,
   ) extends Source
 }

@@ -286,7 +286,10 @@ final case class Model(
     * running window resolves every match — never the range-join row
     * explosion (|left| × |right-per-key| candidates) and never a per-row
     * subquery. Row grain is unchanged; picked columns register as
-    * attributes. */
+    * attributes. `pruneRight` semi-join-filters the right side by the
+    * left's distinct keys before the union — identical results, worth it
+    * exactly when the left is a selective entity subset against a big
+    * right history (most right rows can never match). */
   def asofJoin(
       right: Model,
       on: (Expr, Expr),
@@ -294,6 +297,7 @@ final case class Model(
       pick: Seq[Expr],
       seq: Expr = null,
       strict: Boolean = false,
+      pruneRight: Boolean = false,
   ): Model = {
     require(pick.nonEmpty, "asofJoin requires at least one picked right column")
     require(pick.map(_.identifier).distinct.size == pick.size,
@@ -303,7 +307,7 @@ final case class Model(
         bindSqlRefs(on._1), right.bindSqlRefs(on._2),
         bindSqlRefs(ts._1), right.bindSqlRefs(ts._2),
         Option(seq).map(right.bindSqlRefs(_)),
-        pick.map(right.bindSqlRefs(_)), strict),
+        pick.map(right.bindSqlRefs(_)), strict, pruneRight),
       attributes = attributes ++
         pick.map(p => p.identifier -> (ColRef(p.identifier): Expr)),
     )

@@ -101,12 +101,12 @@ object WireFormat {
           "name" -> wc.name, "kind" -> wc.kind,
           "target" -> wc.target.map(exprW).orNull,
           "offset" -> wc.offset, "frame" -> wc.frame)).toList)
-    case Source.AsofJoin(b, right, lOn, rOn, lTs, rTs, seq, pick, strict) =>
+    case Source.AsofJoin(b, right, lOn, rOn, lTs, rTs, seq, pick, strict, prune) =>
       Map("t" -> "asofJoin", "base" -> sourceW(b), "right" -> modelW(right),
         "leftOn" -> exprW(lOn), "rightOn" -> exprW(rOn),
         "leftTs" -> exprW(lTs), "rightTs" -> exprW(rTs),
         "seq" -> seq.map(exprW).orNull, "pick" -> pick.map(exprW).toList,
-        "strict" -> strict)
+        "strict" -> strict, "pruneRight" -> prune)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -259,7 +259,9 @@ object WireFormat {
         exprR(obj(s("leftOn"))), exprR(obj(s("rightOn"))),
         exprR(obj(s("leftTs"))), exprR(obj(s("rightTs"))),
         Option(s("seq")).map(v => exprR(obj(v))),
-        arr(s("pick")).map(p => exprR(obj(p))), bool(s("strict")))
+        arr(s("pick")).map(p => exprR(obj(p))), bool(s("strict")),
+        // absent in pre-pruneRight wires — tolerate additively
+        s.get("pruneRight").exists(v => bool(v)))
     case "sessionize" =>
       Source.Sessionize(sourceR(obj(s("base"))),
         ActivitySchema(exprR(obj(s("group"))), exprR(obj(s("timestamp"))),

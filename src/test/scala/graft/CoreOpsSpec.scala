@@ -392,6 +392,16 @@ class CoreOpsSpec extends GraftSuite {
     // strict: equal-ts rows excluded → event 1 has no prior order
     assert(run(strict = true).toSeq ===
       Seq((1L, None), (2L, Some("r3")), (3L, None)))
+    // the right-side key prune never changes results — it only drops
+    // right rows that could not match any left key
+    val pruned = Model.fromDF(left)
+      .asofJoin(Model.fromDF(right),
+        on = (col("k"), col("k")), ts = (col("ts"), col("ts")),
+        pick = Seq(col("v").named("rv")), seq = col("seq"), pruneRight = true)
+      .sort(col("id"))
+      .run(s).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("rv"))))
+    assert(pruned.toSeq === run(strict = false).toSeq)
   }
 
   test("percentile measure interpolates like quantile_cont") {
