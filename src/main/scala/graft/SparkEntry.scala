@@ -239,6 +239,50 @@ object SparkEntry {
 
     // --- named measure definitions referenced via msr() (model.py:265-279:
     //     measures are definitions only until an aggregate references them) ---
+    // --- hierarchical subtotals: GROUP BY ROLLUP (single-shuffle Expand
+    //     lowering; subtotal rows carry NULL in rolled-up columns) ---
+    "q_rollup" -> ((s, dir) =>
+      m(dir, "lineitem")
+        .rollup(
+          groups = Seq(col("l_returnflag"), col("l_linestatus")),
+          measures = Seq(moneySum(col("l_quantity")).named("sum_qty"),
+            count().named("n")))
+        .sort(col("l_returnflag"), nulls = "last")
+        .sort(col("l_linestatus"), nulls = "last")
+        .run(s)),
+
+    // --- all grouping combinations: GROUP BY CUBE ---
+    "q_cube" -> ((s, dir) =>
+      m(dir, "orders")
+        .cube(
+          groups = Seq(col("o_orderstatus"), col("o_orderpriority")),
+          measures = Seq(count().named("n"),
+            moneySum(col("o_totalprice")).named("total")))
+        .sort(col("o_orderstatus"), nulls = "last")
+        .sort(col("o_orderpriority"), nulls = "last")
+        .run(s)),
+
+    // --- first-class semi/anti joins (EXISTS / NOT EXISTS semantics) ---
+    "q_semi_join" -> ((s, dir) =>
+      m(dir, "customer")
+        .semiJoin(m(dir, "orders"), on = Seq((col("c_custkey"), col("o_custkey"))))
+        .aggregate(groups = Seq(col("c_mktsegment")),
+          measures = Seq(count().named("n")))
+        .sort(col("c_mktsegment"))
+        .run(s)),
+
+    "q_anti_join" -> ((s, dir) =>
+      // customers with NO urgent order (the right side is a filtered
+      // model, so the anti set is non-empty at every scale factor)
+      m(dir, "customer")
+        .antiJoin(
+          m(dir, "orders").filter(col("o_orderpriority") === lit("1-URGENT")),
+          on = Seq((col("c_custkey"), col("o_custkey"))))
+        .aggregate(groups = Seq(col("c_mktsegment")),
+          measures = Seq(count().named("n")))
+        .sort(col("c_mktsegment"))
+        .run(s)),
+
     // --- exact interpolated percentile / median measures (sort-based,
     //     deterministic; DuckDB quantile_cont replays the interpolation,
     //     6-dp rounding on both sides absorbs ulps) ---
@@ -1271,6 +1315,26 @@ object SparkEntry {
                      WHEN c_acctbal < 5000.0 THEN 'low'
                      ELSE 'high' END AS bal_bucket, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""",
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,

@@ -591,7 +591,7 @@ object Compiler {
       // projection closes the layer: relations are dropped (model.py:881-887)
       new Frame(f.df)
 
-    case Source.Aggregate(base, groups, measures) =>
+    case Source.Aggregate(base, groups, measures, mode) =>
       val f = compileSource(base, spark)
       // distinct(x) as a group is the reference's segment idiom
       // (docs/pattern_guides/segments.md); grouping already deduplicates,
@@ -603,10 +603,25 @@ object Compiler {
       }
       val groupCols = groups.map(g => compileExpr(stripDistinct(g), f).as(g.identifier))
       val measureCols = measures.map(m => compileExpr(m, f).as(m.identifier))
-      val out =
-        if (measures.isEmpty) f.df.select(groupCols: _*).distinct()
-        else if (groups.isEmpty) f.df.agg(measureCols.head, measureCols.tail: _*)
-        else f.df.groupBy(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+      val out = mode match {
+        case "group" =>
+          if (measures.isEmpty) f.df.select(groupCols: _*).distinct()
+          else if (groups.isEmpty) f.df.agg(measureCols.head, measureCols.tail: _*)
+          else f.df.groupBy(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+        // grouping sets lower to Spark's native Expand-based rollup/cube:
+        // ONE shuffle computes every level (partial aggregation applies
+        // per grouping set) — not a union of per-level aggregates
+        case "rollup" =>
+          require(groups.nonEmpty && measures.nonEmpty,
+            "rollup requires groups and measures")
+          f.df.rollup(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+        case "cube" =>
+          require(groups.nonEmpty && measures.nonEmpty,
+            "cube requires groups and measures")
+          f.df.cube(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+        case other =>
+          throw new IllegalArgumentException(s"unknown aggregate mode '$other'")
+      }
       new Frame(out)
 
     case Source.Sort(base, keys) =>
@@ -782,6 +797,23 @@ object Compiler {
       new Frame(matched.where(col("__tag__") === leftTag)
         .select(keepCols.map(col) ++
           pick.map(p => col("__rvlast__").getField(p.identifier).as(p.identifier)): _*))
+
+    case Source.SetJoin(base, right, on, anti) =>
+      // left_semi / left_anti: Spark's native existence joins — the right
+      // side reduces to its key columns (scan prunes to them) and AQE
+      // picks broadcast vs shuffled from the actual key-side size
+      val lf = compileSource(base, spark)
+      val rf = compileSource(right.source, spark)
+      rf.pending.keys.toSeq.foreach(rf.attach)
+      val ns = freshNs("setjoin")
+      val rightKeys = rf.df.select(on.zipWithIndex.map { case ((_, re), i) =>
+        compileExpr(re, rf).as(nsCol(ns, s"k$i"))
+      }: _*)
+      val cond = on.zipWithIndex.map { case ((le, _), i) =>
+        compileExpr(le, lf) === col(nsCol(ns, s"k$i"))
+      }.reduce(_ && _)
+      lf.df = lf.df.join(rightKeys, cond, if (anti) "left_anti" else "left_semi")
+      lf
 
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
 

@@ -49,9 +49,16 @@ object Source {
       extends Source
 
   /** γ — GROUP BY groups, compute measures (reference aggregate.py:7-48).
-    * Zero groups → global aggregate; zero measures → DISTINCT of groups. */
-  final case class Aggregate(base: Source, groups: Seq[Expr], measures: Seq[Expr])
-      extends Source
+    * Zero groups → global aggregate; zero measures → DISTINCT of groups.
+    * `mode` (beyond-reference): "group" = plain GROUP BY; "rollup"/"cube"
+    * = hierarchical / all-combination grouping sets (subtotal rows carry
+    * NULL in the aggregated-out group columns, standard SQL semantics). */
+  final case class Aggregate(
+      base: Source,
+      groups: Seq[Expr],
+      measures: Seq[Expr],
+      mode: String = "group",
+  ) extends Source
 
   /** ORDER BY; keys accumulate across chained `.sort` calls on the same
     * layer (reference sort.py:40 appends to the running SELECT), so one
@@ -128,6 +135,18 @@ object Source {
       base: Source,
       schema: ActivitySchema,
       gapSeconds: Long,
+  ) extends Source
+
+  /** Set-membership join (beyond-reference): keep base rows with (semi)
+    * or without (anti) an equi-match in `right`. EXISTS / NOT EXISTS
+    * semantics — a NULL key never matches, so anti KEEPS null-key rows
+    * (unlike NOT IN). Only the right side's key columns are read, so the
+    * scan prunes to the keys and Catalyst may broadcast the right side. */
+  final case class SetJoin(
+      base: Source,
+      right: graft.model.Model,
+      on: Seq[(Expr, Expr)],
+      anti: Boolean,
   ) extends Source
 
   /** One windowed analytic column of a [[WindowCalc]]. `kind` ∈

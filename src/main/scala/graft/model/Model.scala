@@ -197,9 +197,31 @@ final case class Model(
   /** GROUP BY groups, compute measures; afterwards groups+measures all
     * become plain attributes, measures/relations cleared (model.py:390-407). */
   def aggregate(measures: Seq[Expr] = Seq.empty, groups: Seq[Expr] = Seq.empty): Model =
+    aggregateMode(measures, groups, "group")
+
+  /** Hierarchical subtotals (beyond-reference): GROUP BY ROLLUP — one row
+    * per grouping prefix level, subtotal rows carrying NULL in the
+    * aggregated-out columns (standard SQL). Lowered to Spark's native
+    * Expand-based rollup: ONE shuffle computes every level. */
+  def rollup(groups: Seq[Expr], measures: Seq[Expr]): Model = {
+    require(groups.nonEmpty && measures.nonEmpty,
+      "rollup requires groups and measures")
+    aggregateMode(measures, groups, "rollup")
+  }
+
+  /** All grouping combinations (beyond-reference): GROUP BY CUBE. Same
+    * single-shuffle Expand lowering as [[rollup]]. */
+  def cube(groups: Seq[Expr], measures: Seq[Expr]): Model = {
+    require(groups.nonEmpty && measures.nonEmpty,
+      "cube requires groups and measures")
+    aggregateMode(measures, groups, "cube")
+  }
+
+  private def aggregateMode(
+      measures: Seq[Expr], groups: Seq[Expr], mode: String): Model =
     copy(
       source = Source.Aggregate(source, groups.map(bindSqlRefs(_)),
-        measures.map(bindSqlRefs(_))),
+        measures.map(bindSqlRefs(_)), mode),
       attributes = VectorMap.from(
         (groups ++ measures).map(e => e.identifier -> (ColRef(e.identifier): Expr))),
       measures = VectorMap.empty,
@@ -228,6 +250,28 @@ final case class Model(
     copy(source = Source.RankLimit(source,
       partitionBy.map(bindSqlRefs(_)),
       orderBy.map(sk => sk.copy(e = bindSqlRefs(sk.e))), k, rankName))
+  }
+
+  /** Keep only rows WITH an equi-match in `other` (left-semi join;
+    * EXISTS semantics — the reference reaches this through the
+    * `in_(model)` / segment idiom, this is the first-class form). Row
+    * grain only shrinks, so attributes/measures/relations stay valid. */
+  def semiJoin(other: Model, on: Seq[(Expr, Expr)]): Model =
+    setJoin(other, on, anti = false)
+
+  /** Keep only rows WITHOUT an equi-match in `other` (left-anti join;
+    * NOT EXISTS semantics — null keys never match, so they are KEPT,
+    * unlike NOT IN). The reference expresses this as
+    * `filter(rel.x.col == None)` (segments.md); this is the direct form. */
+  def antiJoin(other: Model, on: Seq[(Expr, Expr)]): Model =
+    setJoin(other, on, anti = true)
+
+  private def setJoin(other: Model, on: Seq[(Expr, Expr)], anti: Boolean): Model = {
+    require(on.nonEmpty, "semi/anti join requires at least one key pair")
+    copy(source = Source.SetJoin(source,
+      other,
+      on.map { case (l, r) => (bindSqlRefs(l), other.bindSqlRefs(r)) },
+      anti))
   }
 
   /** Windowed analytics (beyond-reference): lag/lead/running/moving

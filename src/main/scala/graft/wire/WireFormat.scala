@@ -57,9 +57,10 @@ object WireFormat {
     case Source.Filter(b, c) => Map("t" -> "filter", "base" -> sourceW(b), "cond" -> exprW(c))
     case Source.Pick(b, cols, star) =>
       Map("t" -> "pick", "base" -> sourceW(b), "cols" -> cols.map(exprW).toList, "star" -> star)
-    case Source.Aggregate(b, g, ms) =>
+    case Source.Aggregate(b, g, ms, mode) =>
       Map("t" -> "aggregate", "base" -> sourceW(b),
-        "groups" -> g.map(exprW).toList, "measures" -> ms.map(exprW).toList)
+        "groups" -> g.map(exprW).toList, "measures" -> ms.map(exprW).toList,
+        "mode" -> mode)
     case Source.Sort(b, keys) =>
       Map("t" -> "sort", "base" -> sourceW(b), "keys" -> keys.map(k =>
         Map("expr" -> exprW(k.e), "asc" -> k.asc, "nulls" -> k.nulls)).toList)
@@ -92,6 +93,11 @@ object WireFormat {
         "group" -> exprW(schema.group), "timestamp" -> exprW(schema.timestamp),
         "eventKey" -> Option(schema.eventKey).map(exprW).orNull,
         "gapSeconds" -> gap)
+    case Source.SetJoin(b, right, on, anti) =>
+      Map("t" -> "setJoin", "base" -> sourceW(b), "right" -> modelW(right),
+        "on" -> on.map { case (l, r) =>
+          Map("l" -> exprW(l), "r" -> exprW(r)) }.toList,
+        "anti" -> anti)
     case Source.WindowCalc(b, parts, keys, cols) =>
       Map("t" -> "windowCalc", "base" -> sourceW(b),
         "partitionBy" -> parts.map(exprW).toList,
@@ -211,7 +217,9 @@ object WireFormat {
     case "aggregate" =>
       Source.Aggregate(sourceR(obj(s("base"))),
         arr(s("groups")).map(g => exprR(obj(g))),
-        arr(s("measures")).map(m => exprR(obj(m))))
+        arr(s("measures")).map(m => exprR(obj(m))),
+        // absent in pre-mode wires — tolerate additively
+        s.get("mode").map(str).getOrElse("group"))
     case "sort" =>
       Source.Sort(sourceR(obj(s("base"))), arr(s("keys")).map(obj).map(k =>
         SortKey(exprR(obj(k("expr"))), bool(k("asc")), str(k("nulls")))))
@@ -245,6 +253,11 @@ object WireFormat {
         Option(s("timeLimit")).map(v => {
           val i = obj(v); TimeInterval(long(i("num")), str(i("unit")))
         }))
+    case "setJoin" =>
+      Source.SetJoin(sourceR(obj(s("base"))), modelR(obj(s("right"))),
+        arr(s("on")).map(obj).map(p =>
+          (exprR(obj(p("l"))), exprR(obj(p("r"))))),
+        bool(s("anti")))
     case "windowCalc" =>
       Source.WindowCalc(sourceR(obj(s("base"))),
         arr(s("partitionBy")).map(p => exprR(obj(p))),

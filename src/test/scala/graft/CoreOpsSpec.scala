@@ -337,6 +337,44 @@ class CoreOpsSpec extends GraftSuite {
       Seq(("east", 1L), ("west", 2L)))
   }
 
+  test("rollup and cube emit subtotal rows with NULL group columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("g1", "g2", "v")
+    val out = Model.fromDF(df)
+      .rollup(groups = Seq(col("g1"), col("g2")),
+        measures = Seq(sum(col("v")).named("s")))
+      .run(s).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(out === Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L),
+      (Some("b"), Some("x"), 4L),
+      (Some("a"), None, 3L), (Some("b"), None, 4L), // per-g1 subtotals
+      (None, None, 7L))) // grand total
+    // cube adds the per-g2 slice: 3 leaves + 2 g1 + 2 g2 + 1 total
+    val cubeRows = Model.fromDF(df)
+      .cube(groups = Seq(col("g1"), col("g2")),
+        measures = Seq(sum(col("v")).named("s")))
+      .run(s).collect()
+    assert(cubeRows.length === 8)
+  }
+
+  test("semi/anti joins have EXISTS semantics: null keys never match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Some(1L), "m"), (Some(2L), "n"), (None: Option[Long], "z"))
+      .toDF("k", "tag")
+    val right = Seq(Tuple1(1L)).toDF("rk")
+    def names(m: Model) = m.sort(col("tag")).run(s).collect().map(_.getString(1)).toSeq
+    assert(names(Model.fromDF(left)
+      .semiJoin(Model.fromDF(right), Seq((col("k"), col("rk"))))) === Seq("m"))
+    // NOT EXISTS keeps the null-key row (a NULL key matches nothing) —
+    // the deliberate divergence from NOT IN semantics
+    assert(names(Model.fromDF(left)
+      .antiJoin(Model.fromDF(right), Seq((col("k"), col("rk"))))) === Seq("n", "z"))
+  }
+
   test("withWindow: lag/running/moving columns share one window spec") {
     val s = spark
     import s.implicits._
