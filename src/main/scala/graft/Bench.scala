@@ -35,6 +35,16 @@ object Bench {
     // warm-up: one representative aggregate query, untimed
     exec("q1_agg")
 
+    // With args: time only the named queries, three passes each (regression
+    // isolation — pass 1 includes per-query codegen, passes 2-3 are steady
+    // state). Without args: the driver's full single-pass sweep.
+    if (args.nonEmpty) {
+      for (pass <- 1 to 3; n <- args)
+        println(f"[bench] pass $pass $n%-28s ${exec(n)}%8.3f s")
+      spark.stop()
+      return
+    }
+
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1233,6 +1233,65 @@ object SparkEntry {
         }
         .sort(col("doc_id"))
         .run(s)),
+
+    // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
+    //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
+    "q_bm25_search" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.bm25TopK(
+          df, "doc_id", "text", Seq("spark", "window", "vector"), k = 15))
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- per-document top-3 TF-IDF terms (corpus-wide document freqs) ---
+    "q_tfidf_terms" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.tfidfTopTerms(
+          df, "doc_id", "text",
+          org.apache.spark.sql.functions.col("doc_id") < 40, k = 3))
+        .sort(col("doc_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- corpus-wide top-20 word bigrams ---
+    "q_top_ngrams" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.topNgrams(df, "text", n = 2, k = 20))
+        .sort(col("gram"))
+        .run(s)),
+
+    // --- overlapping word-window chunking (size 32, stride 24) ---
+    "q_chunk_docs" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Search.chunkWords(
+            df.where(F.col("doc_id") < 100), "doc_id", "text",
+            chunkSize = 32, stride = 24)
+        }
+        .sort(col("doc_id")).sort(col("chunk_ix"))
+        .run(s)),
+
+    // --- per-label mean-embedding centroids at (label, dim) grain ---
+    "q_embed_centroid" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.labelCentroids(
+          df, "label", "embedding"))
+        .sort(col("label")).sort(col("dim"))
+        .run(s)),
+
+    // --- JSON field extraction through the Model API (funcs.jsonGet) ---
+    "q_json_props" -> ((s, dir) =>
+      m(dir, "events")
+        .aggregate(
+          groups = Seq(col("event_type")),
+          measures = Seq(
+            count().named("n"),
+            sum(cast(jsonGet(col("props"), "$.k"), "bigint")).named("sum_k"),
+            round(cast(sum(cast(jsonGet(col("props"), "$.k"), "bigint")), "double")
+              / count(), 6).named("avg_k"),
+            max(cast(jsonGet(col("props"), "$.k"), "bigint")).named("max_k")))
+        .sort(col("event_type"))
+        .run(s)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -2062,6 +2121,101 @@ object SparkEntry {
                    * (1 + (doc_id % 2)) * 2) AS BIGINT) AS duration_ms,
            44 + octet_length(CAST(text AS BLOB)) AS byte_len
          FROM documents WHERE lang = 'de' AND doc_id < 200 ORDER BY doc_id""",
+
+    // BM25 with k1=1.2, b=0.75 over query bag (spark, window, vector):
+    // same tokenization, same per-term tf, same ln-idf, same 6-dp rounding
+    // and (score desc, doc_id) cut as Search.bm25TopK.
+    "q_bm25_search" -> {
+      val terms = Seq("spark", "window", "vector")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(w, t -> t = '$t')) AS tf$i" }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"""ln(1.0 + (CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))
+            * (CAST(tf$i AS DOUBLE) * 2.2)
+            / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(tdl AS DOUBLE) / n)))""").mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id, len(w)::BIGINT AS dl, $tfs
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+          ), stats AS (
+            SELECT count(*) AS n, sum(dl) AS tdl, $dfs FROM toks
+          )
+          SELECT doc_id, dl, score FROM (
+            SELECT doc_id, dl, round($score, 6) AS score
+            FROM toks CROSS JOIN stats
+          ) WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 15"""
+    },
+
+    "q_tfidf_terms" ->
+      """WITH pairs AS (
+           SELECT doc_id, unnest(w) AS term, len(w) AS dl
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+           FROM pairs GROUP BY 1, 2
+         ), dfx AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), stats AS (
+           SELECT count(DISTINCT doc_id) AS n FROM tf
+         ), ranked AS (
+           SELECT t.doc_id, t.term, t.tf,
+                  round((CAST(t.tf AS DOUBLE) / t.dl)
+                        * ln(CAST(s.n AS DOUBLE) / d.df), 6) AS tfidf,
+                  row_number() OVER (PARTITION BY t.doc_id ORDER BY
+                    round((CAST(t.tf AS DOUBLE) / t.dl)
+                          * ln(CAST(s.n AS DOUBLE) / d.df), 6) DESC, t.term) AS rank
+           FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s
+           WHERE t.doc_id < 40
+         )
+         SELECT doc_id, term, tf, tfidf, rank FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q_top_ngrams" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+         ), grams AS (
+           SELECT array_to_string(w[i : i + 1], ' ') AS gram
+           FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+         )
+         SELECT gram, count(*) AS n_occurrences FROM grams
+         GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 20""",
+
+    // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)
+    "q_chunk_docs" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 100
+         ), ix AS (
+           SELECT doc_id, w, CAST(i AS INT) AS chunk_ix
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, 1 + (greatest(len(w) - 32, 0) + 23) // 24)) AS i
+                 FROM toks)
+         )
+         SELECT doc_id, chunk_ix,
+                array_to_string(w[chunk_ix * 24 + 1 : chunk_ix * 24 + 32], ' ')
+                  AS chunk_text,
+                CAST(least(32, len(w) - chunk_ix * 24) AS INT) AS n_tokens
+         FROM ix ORDER BY doc_id, chunk_ix""",
+
+    "q_embed_centroid" ->
+      (s"""SELECT label, CAST(d AS INT) AS dim, count(*) AS n_vecs,
+            round(CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE), 6)
+                AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS centroid
+          FROM embeddings CROSS JOIN range(1, $EmbDim + 1) AS r(d)
+          GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / count(*), 6) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline

@@ -198,6 +198,12 @@ object Compiler {
           case "trim"     => trim(go(args.head))
           case "length"   => length(go(args.head))
           case "md5"      => md5(go(args.head).cast("binary"))
+          case "json_get" =>
+            args(1) match {
+              case Lit(p: String) => get_json_object(go(args.head), p)
+              case other => throw new IllegalArgumentException(
+                s"json_get path must be a string literal, got $other")
+            }
           // general scalar helpers (beyond-reference convenience; names
           // render identically on DuckDB so oracles stay generic)
           case "coalesce" => coalesce(args.map(go): _*)
@@ -391,6 +397,8 @@ object Compiler {
           case c if c.startsWith("cast:") =>
             s"CAST(${go(args.head)} AS ${c.stripPrefix("cast:")})"
           case "ceiling" => s"ceil(${go(args.head)})"
+          case "json_get" =>
+            s"get_json_object(${go(args.head)}, ${go(args(1))})"
           case simple => s"$simple(${args.map(go).mkString(", ")})"
         }
       case Granularity(b, unit) =>

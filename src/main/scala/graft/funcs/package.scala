@@ -73,6 +73,18 @@ package object funcs {
   def trim(e: Expr): Expr = Call("trim", Seq(e))
   def length(e: Expr): Expr = Call("length", Seq(e))
   def md5(e: Expr): Expr = Call("md5", Seq(e))
+
+  /** Extract a JSON field as a string (NULL on missing path / invalid
+    * JSON). `path` is a constant JSONPath like `$.k` or `$.a.b` — the
+    * subset Spark's `get_json_object` and DuckDB's `json_extract_string`
+    * both accept, so oracles replay it unchanged. Covers the reference's
+    * STRUCT/RECORD/JSON → JSON type mapping (type_names.py:99-102): the
+    * reference reads JSON columns back as strings and leaves extraction to
+    * raw SQL; graft makes extraction first-class. */
+  def jsonGet(e: Expr, path: String): Expr = {
+    require(path.startsWith("$"), s"jsonGet path must start with '$$': $path")
+    Call("json_get", Seq(e, Lit(path)))
+  }
   /** `cast` — reachable only via wire format in the reference
     * (compilers/sql_function.py:63-70). */
   def cast(e: Expr, typeName: String): Expr = Call(s"cast:$typeName", Seq(e))

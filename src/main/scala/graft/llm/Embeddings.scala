@@ -293,6 +293,34 @@ object Embeddings {
     cents.localCheckpoint(true)
   }
 
+  /** Per-group mean embedding (class centroids / group prototypes — the
+    * pooling step behind label prototypes, topic vectors, and cluster
+    * summaries). Output grain is (group, dim): one row per group per
+    * component, `centroid` = mean of that component, `n_vecs` = group size.
+    *
+    * Determinism: means are exact decimal sums of 6-dp-rounded members
+    * divided by the count (the [[kmeansFit]] pattern) — bit-identical
+    * across partitionings and engines, so the oracle hash-matches.
+    *
+    * Scale: posexplode is a linear dim-fold (rows × dim, no shuffle), the
+    * mean is one hash aggregate with map-side combine on (group, dim) —
+    * dim fan-out actually helps parallelism at 100 TB (keys = groups ×
+    * dims, so no hot single-group reducer). */
+  def labelCentroids(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String,
+  ): DataFrame =
+    emb
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__d__", "__x__")))
+      .groupBy(col(groupCol), (col("__d__") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(
+          sum(round(col("__x__").cast("double"), 6).cast("decimal(27,8)"))
+            .cast("double") / count(lit(1)), 6).as("centroid"))
+
   /** Per-vector symmetric int8 quantization (the standard storage/transfer
     * compression for embedding columns at corpus scale: 4× smaller than
     * float32). scale = 127/max|x| per vector; values round half-up via the

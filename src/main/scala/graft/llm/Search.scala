@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level keyword relevance / retrieval operators (beyond-reference
+  * surface; the reference has no text-search operators — SURVEY.md §2.7).
+  *
+  * Scale design: the query path ([[bm25TopK]]) never explodes the corpus —
+  * per-document term frequencies for the handful of query terms are per-row
+  * closed-form expressions, corpus statistics (N, avgdl, per-term document
+  * frequency) are ONE global aggregate broadcast back as a 1-row frame, and
+  * the final top-k is a TakeOrdered, so the whole plan is two scans and no
+  * wide shuffle. The indexing-style paths ([[tfidfTopTerms]], [[topNgrams]])
+  * explode to (doc, term) grain — linear in corpus size — and aggregate
+  * with map-side combine; per-document top-k pruning uses a row_number
+  * window, which Spark caps per map task via WindowGroupLimit.
+  *
+  * Determinism: scores use only IEEE-exact double ops (+ * /) over exact
+  * integer counts, except `ln` in the idf — rounded to 6 dp with id/term
+  * tie-breaks, so the DuckDB oracle replays scores bit-identically.
+  */
+object Search {
+
+  /** Okapi BM25 top-k document retrieval for a constant bag of query terms.
+    *
+    * score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    * with idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)) (Robertson/
+    * Sparck-Jones with the +1 floor, as in Lucene). Documents matching no
+    * term are dropped.
+    *
+    * The per-term tf columns are `size(filter(toks, t -> t = term))` — one
+    * codegen'd pass over the token array per term, no corpus explode. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK requires at least one query term")
+    def lit1(s: String) = s"'${s.replace("'", "''")}'"
+    val base = docs
+      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      .withColumn("__dl__", size(col("__toks__")).cast("long"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"__tf_${i}__",
+        expr(s"size(filter(__toks__, t -> t = ${lit1(t)}))").cast("long"))
+    }
+    // ONE global aggregate → 1-row broadcast: corpus size, total token
+    // count, and per-term document frequency.
+    val statAggs =
+      Seq(count(lit(1)).as("__n__"), sum(col("__dl__")).as("__tdl__")) ++
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf_${i}__") > 0, 1L).otherwise(0L)).as(s"__df_${i}__"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("__tdl__").cast("double") / col("__n__").cast("double")
+    val score = queryTerms.indices
+      .map { i =>
+        val tf = col(s"__tf_${i}__").cast("double")
+        val df = col(s"__df_${i}__").cast("double")
+        val idf = log(lit(1.0) +
+          (col("__n__").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__").cast("double") / avgdl))
+      }
+      .reduce(_ + _) // fixed fold order: term list order, as in the oracle
+    scored
+      .withColumn("score", round(score, 6))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("__dl__").as("dl"), col("score"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tfidf = (tf/|d|) · ln(N/df), with
+    * document frequencies taken over the WHOLE corpus and results reported
+    * for the documents matching `reportPred` (bound the output, not the
+    * statistics). Returns (id, term, tf, tfidf, rank ≤ k).
+    *
+    * Plan: corpus explode to (doc, term) → tf aggregate (map-side combine)
+    * → per-term df aggregate → equi-join tf×df on term (shuffle join — the
+    * term dictionary of a 100 TB corpus is itself large, so no broadcast)
+    * → 1-row stats broadcast → per-doc row_number window. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reportPred: Column,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    val pairs = scope.cache(docs
+      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      .select(col(idCol), col("__toks__"),
+        explode(col("__toks__")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(size(col("__toks__"))).as("__dl__")))
+    val dfPerTerm = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df__"))
+    val stats = pairs.agg(countDistinct(col(idCol)).as("__n__"))
+    val ranked = pairs
+      .where(reportPred)
+      .join(dfPerTerm, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", round(
+        (col("tf").cast("double") / col("__dl__").cast("double")) *
+          log(col("__n__").cast("double") / col("__df__").cast("double")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term"))))
+    ranked.where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count (the building block
+    * of n-gram LM statistics and boilerplate mining). Deterministic order:
+    * count desc, gram asc. Explode is linear in corpus token count; the
+    * count aggregate combines map-side; the final top-k is a TakeOrdered
+    * (no global sort materialization). */
+  def topNgrams(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int,
+  ): DataFrame =
+    docs
+      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      .select(explode(TextOps.wordShingles("__toks__", n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** Fixed-size overlapping word-window chunking — the standard
+    * context-window preparation step for embedding / training pipelines.
+    * Chunk i covers tokens [i·stride, i·stride + chunkSize); the last chunk
+    * is the first one reaching the end of the document, so every token is
+    * covered and no chunk is fully contained in its predecessor. Returns
+    * one row per chunk: (id, chunk_ix, chunk_text, n_tokens).
+    *
+    * Per-row closed form + posexplode: no shuffle, output linear in corpus
+    * size (≤ chunkSize/stride × input tokens). */
+  def chunkWords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int,
+  ): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toksed = docs
+      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      // integer ceil: 1 + ceil(max(n - chunkSize, 0) / stride)
+      .withColumn("__nchunks__",
+        expr(s"1 + CAST((greatest(size(__toks__) - $chunkSize, 0) + ${stride - 1}) / $stride AS INT)"))
+    toksed
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(sequence(0, __nchunks__ - 1),
+                i -> struct(
+                  concat_ws(' ', slice(__toks__, i * $stride + 1, $chunkSize)) AS text,
+                  least($chunkSize, size(__toks__) - i * $stride) AS n))""")))
+      .select(col(idCol), col("pos").as("chunk_ix"),
+        col("col.text").as("chunk_text"), col("col.n").as("n_tokens"))
+  }
+}

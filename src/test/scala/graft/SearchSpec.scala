@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions.{col => sc}
+
+import graft.funcs._
+import graft.llm.{Embeddings, Search}
+import graft.model.Model
+
+/** Corpus search / retrieval-prep operators (graft.llm.Search) + the
+  * jsonGet scalar through the Model API. */
+class SearchSpec extends GraftSuite {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "spark engine spark runs fast"),
+      (1L, "spark engine runs ok today"),
+      (2L, "flink pipeline streams events quickly"),
+      (3L, "rare unique tokens here only"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25: higher tf wins at equal length; non-matching docs dropped") {
+    val out = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    // docs 2 and 3 contain no query term → excluded
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L))
+    // doc 0 has tf=2 at the same length 5 → strictly higher score, rank 1
+    assert(out.head.getLong(0) === 0L)
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
+  test("bm25: multi-term scores are the sum of per-term contributions") {
+    val both = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "flink"), k = 10).collect()
+    // flink appears only in doc 2: rarest term → doc 2 must be present
+    assert(both.map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("tfidf: a doc's rarest term outranks corpus-wide common terms") {
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text",
+      sc("doc_id") === 0L, k = 2).collect()
+    assert(out.length === 2)
+    // 'spark' appears in 2/4 docs but twice in doc 0; 'engine' also in 2
+    // docs but once here; 'fast'/'runs' are rarer/equal — top term must
+    // have strictly maximal tfidf, and ranks are 1,2
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(out(0).getAs[Double]("tfidf") >= out(1).getAs[Double]("tfidf"))
+  }
+
+  test("top n-grams: exact bigram counts with deterministic ties") {
+    val out = Search.topNgrams(docs, "text", n = 2, k = 3).collect()
+    // 'spark engine' occurs in docs 0 and 1 → count 2; everything else 1
+    assert(out(0).getString(0) === "spark engine")
+    assert(out(0).getLong(1) === 2L)
+    // remaining rows tie at 1 → lexicographic gram order
+    assert(out(1).getString(0) < out(2).getString(0))
+  }
+
+  test("chunkWords: coverage, overlap, and tail-chunk shape") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((7L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val out = Search.chunkWords(one, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy(sc("chunk_ix")).collect()
+    assert(out.map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq ===
+      Seq((0, "t1 t2 t3", 3), (1, "t3 t4 t5", 3)))
+    // exact-fit doc → single chunk
+    val fit = Search.chunkWords(one, "doc_id", "text", chunkSize = 5, stride = 5)
+      .collect()
+    assert(fit.length === 1 && fit.head.getString(2) === "t1 t2 t3 t4 t5")
+  }
+
+  test("chunkWords: every token is covered at stride < chunkSize") {
+    val out = Search.chunkWords(docs, "doc_id", "text", chunkSize = 3, stride = 2)
+    val back = out.groupBy(sc("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(sc("n_tokens")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each doc has 5 tokens → chunks of 3 with stride 2 cover 3 + 3 = 6
+    // token slots (one overlap column duplicated)
+    assert(back.values.toSet === Set(6L))
+  }
+
+  test("labelCentroids: exact means at (label, dim) grain") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 3.0f), 0),
+      (2L, Seq(3.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Embeddings.labelCentroids(emb, "label", "embedding")
+      .orderBy(sc("label"), sc("dim")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0, 1, 2L, 2.0), (0, 2, 2L, 4.0), (1, 1, 1L, 10.0), (1, 2, 1L, 20.0)))
+  }
+
+  test("jsonGet extracts fields through the Model API; NULL on miss") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", """{"k": 3, "tag": "x"}"""),
+      ("a", """{"k": 4}"""),
+      ("b", """not json"""),
+    ).toDF("g", "props")
+    val out = Model.fromDF(df)
+      .aggregate(
+        groups = Seq(col("g")),
+        measures = Seq(
+          sum(cast(jsonGet(col("props"), "$.k"), "bigint")).named("sum_k"),
+          count(jsonGet(col("props"), "$.tag")).named("n_tag")))
+      .sort(col("g"))
+      .run(s).collect()
+    assert(out.map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSeq
+      === Seq(("a", Some(7L), 1L), ("b", None, 0L)))
+  }
+}
