@@ -262,6 +262,19 @@ object SparkEntry {
         .sort(col("o_orderpriority"), nulls = "last")
         .run(s)),
 
+    // --- arbitrary GROUPING SETS: a non-hierarchical set list a rollup
+    //     can't express — (flag, status), (status), grand total ---
+    "q_grouping_sets" -> ((s, dir) =>
+      m(dir, "lineitem")
+        .groupingSets(
+          groups = Seq(col("l_returnflag"), col("l_linestatus")),
+          sets = Seq(Seq(0, 1), Seq(1), Seq.empty),
+          measures = Seq(moneySum(col("l_quantity")).named("sum_qty"),
+            count().named("n")))
+        .sort(col("l_returnflag"), nulls = "last")
+        .sort(col("l_linestatus"), nulls = "last")
+        .run(s)),
+
     // --- first-class semi/anti joins (EXISTS / NOT EXISTS semantics) ---
     "q_semi_join" -> ((s, dir) =>
       m(dir, "customer")
@@ -512,6 +525,45 @@ object SparkEntry {
           col("prev_date"), col("run_cents"),
           round(col("avg3_cents"), 6).named("avg3_cents"))
         .sort(col("o_orderkey"))
+        .run(s)
+    }),
+
+    // --- rank-family window kinds. Two chained WindowCalc nodes on the
+    //     SAME partition key: the first orders by a tie-HEAVY key (floor of
+    //     value) so rank/dense_rank/percent_rank/cume_dist exercise real
+    //     tie semantics; the second adds the unique tie-break so ntile is
+    //     deterministic. Catalyst reuses the single hash(user_id) exchange
+    //     across both sorts. ---
+    "q_window_rank" -> ((s, dir) => {
+      import graft.ir.{SortKey, Source => S}
+      m(dir, "events")
+        .filter(col("user_id") < lit(40L))
+        .withWindow(
+          partitionBy = Seq(col("user_id")),
+          orderBy = Seq(SortKey(floor(col("value")), asc = false)),
+          cols = Seq(
+            S.WinCol("rnk", "rank", None),
+            S.WinCol("drnk", "dense_rank", None),
+            S.WinCol("prnk_raw", "percent_rank", None),
+            S.WinCol("cd_raw", "cume_dist", None)))
+        .withWindow(
+          partitionBy = Seq(col("user_id")),
+          orderBy = Seq(SortKey(floor(col("value")), asc = false),
+            SortKey(col("event_id"))),
+          cols = Seq(
+            S.WinCol("quartile", "ntile", None, frame = 4),
+            S.WinCol("top_val", "first_value", Some(col("value"))),
+            // last_value ignores NULLs: latest purchase-typed event so far
+            S.WinCol("latest_purchase", "last_value",
+              Some(cases(Seq((col("event_type") === lit("purchase"),
+                col("event_type"))), lit(null))))))
+        .pick(col("event_id"), col("user_id"), col("rnk"), col("drnk"),
+          round(col("prnk_raw"), 6).named("prnk"),
+          round(col("cd_raw"), 6).named("cd"),
+          col("quartile"),
+          round(col("top_val"), 6).named("top_val"),
+          col("latest_purchase"))
+        .sort(col("event_id"))
         .run(s)
     }),
 
@@ -1380,6 +1432,13 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
@@ -1493,6 +1552,24 @@ object SparkEntry {
                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) t
          WHERE rank <= 2 ORDER BY o_orderpriority, rank""",
+    "q_window_rank" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type, value, floor(value) AS fv
+           FROM events WHERE user_id < 40
+         )
+         SELECT event_id, user_id,
+           rank() OVER (PARTITION BY user_id ORDER BY fv DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY fv DESC) AS drnk,
+           round(percent_rank() OVER (PARTITION BY user_id ORDER BY fv DESC), 6) AS prnk,
+           round(cume_dist() OVER (PARTITION BY user_id ORDER BY fv DESC), 6) AS cd,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY fv DESC, event_id) AS quartile,
+           round(first_value(value) OVER (PARTITION BY user_id ORDER BY fv DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS top_val,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY fv DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_purchase
+         FROM base ORDER BY event_id""",
+
     "q_window_calc" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderdate,

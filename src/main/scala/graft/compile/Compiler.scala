@@ -627,6 +627,26 @@ object Compiler {
           require(groups.nonEmpty && measures.nonEmpty,
             "cube requires groups and measures")
           f.df.cube(groupCols: _*).agg(measureCols.head, measureCols.tail: _*)
+        // arbitrary GROUPING SETS, encoded as "sets:0,1|1|" — pipe-separated
+        // index lists into `groups` (empty list = grand total). The set
+        // entries must be the SAME resolved expressions as the group-by
+        // list (alias nodes carry fresh exprIds and don't match), so the
+        // group expressions are materialized as named columns first and
+        // both lists reference them by name.
+        case s if s.startsWith("sets:") =>
+          require(groups.nonEmpty && measures.nonEmpty,
+            "grouping sets require groups and measures")
+          val sets = s.stripPrefix("sets:").split("\\|", -1).toSeq
+            .map(part => if (part.isEmpty) Seq.empty[Int]
+                         else part.split(",").toSeq.map(_.toInt))
+          val names = groups.map(_.identifier)
+          val withGroups = groups.zip(names).foldLeft(f.df) {
+            case (df, (g, n)) => df.withColumn(n, compileExpr(stripDistinct(g), f))
+          }
+          withGroups
+            .groupingSets(sets.map(_.map(i => col(names(i)))),
+              names.map(col): _*)
+            .agg(measureCols.head, measureCols.tail: _*)
         case other =>
           throw new IllegalArgumentException(s"unknown aggregate mode '$other'")
       }
@@ -736,8 +756,21 @@ object Compiler {
             s"window column '${wc.name}' (${wc.kind}) needs a target expression")), f)
         val c = wc.kind match {
           case "row_number"  => row_number().over(w)
+          case "rank"        => rank().over(w)
+          case "dense_rank"  => dense_rank().over(w)
+          // percent_rank/cume_dist emit double in [0,1]; ntile takes the
+          // bucket count through `frame` (rank-family kinds are targetless,
+          // like row_number)
+          case "percent_rank" => percent_rank().over(w)
+          case "cume_dist"   => cume_dist().over(w)
+          case "ntile"       => ntile(wc.frame.toInt).over(w)
           case "lag"         => lag(tgt, wc.offset.toInt).over(w)
           case "lead"        => lead(tgt, wc.offset.toInt).over(w)
+          // first/last value over the running frame: last_value with the
+          // default frame would read the partition tail (order-dependent
+          // answers); the running frame gives the standard "latest so far"
+          case "first_value" => first(tgt).over(running)
+          case "last_value"  => last(tgt, ignoreNulls = true).over(running)
           case "running_sum" => sum(tgt).over(running)
           case "running_min" => min(tgt).over(running)
           case "running_max" => max(tgt).over(running)

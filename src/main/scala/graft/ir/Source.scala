@@ -150,10 +150,13 @@ object Source {
   ) extends Source
 
   /** One windowed analytic column of a [[WindowCalc]]. `kind` ∈
-    * row_number | lag | lead | running_sum | running_min | running_max |
-    * moving_sum | moving_avg. `target` is the measured expression (absent
-    * only for row_number), `offset` the lag/lead distance, `frame` the
-    * moving-window size in rows (trailing, current row included). */
+    * row_number | rank | dense_rank | percent_rank | cume_dist | ntile |
+    * lag | lead | first_value | last_value | running_sum | running_min |
+    * running_max | moving_sum | moving_avg. `target` is the measured
+    * expression (absent for the rank family), `offset` the lag/lead
+    * distance, `frame` the moving-window size in rows (trailing, current
+    * row included) — or, for ntile, the bucket count. first/last_value
+    * read the running frame (latest-so-far; last_value ignores NULLs). */
   final case class WinCol(
       name: String,
       kind: String,

@@ -217,6 +217,24 @@ final case class Model(
     aggregateMode(measures, groups, "cube")
   }
 
+  /** Arbitrary GROUPING SETS (beyond-reference): each entry of `sets`
+    * lists the INDICES into `groups` that stay grouped for that set (the
+    * empty list is the grand total). Generalizes [[rollup]]/[[cube]] with
+    * the same single-shuffle Expand lowering; subtotal rows carry NULL in
+    * the aggregated-out columns. The set structure is encoded into the
+    * aggregate mode string (`sets:0,1|1|`), so it rides the wire format
+    * unchanged. */
+  def groupingSets(
+      groups: Seq[Expr], sets: Seq[Seq[Int]], measures: Seq[Expr]): Model = {
+    require(groups.nonEmpty && measures.nonEmpty,
+      "groupingSets requires groups and measures")
+    require(sets.nonEmpty, "groupingSets requires at least one set")
+    sets.foreach(_.foreach(i => require(i >= 0 && i < groups.size,
+      s"grouping-set index $i out of range for ${groups.size} groups")))
+    aggregateMode(measures, groups,
+      "sets:" + sets.map(_.mkString(",")).mkString("|"))
+  }
+
   private def aggregateMode(
       measures: Seq[Expr], groups: Seq[Expr], mode: String): Model =
     copy(
@@ -297,16 +315,21 @@ final case class Model(
     require(cols.nonEmpty, "withWindow requires at least one window column")
     require(cols.map(_.name).distinct.size == cols.size,
       s"duplicate window column names in ${cols.map(_.name).mkString(", ")}")
-    val kinds = Set("row_number", "lag", "lead", "running_sum", "running_min",
-      "running_max", "moving_sum", "moving_avg")
+    val rankFamily = Set("row_number", "rank", "dense_rank", "percent_rank",
+      "cume_dist", "ntile")
+    val kinds = rankFamily ++ Set("lag", "lead", "first_value", "last_value",
+      "running_sum", "running_min", "running_max", "moving_sum", "moving_avg")
     cols.foreach { wc =>
       require(kinds.contains(wc.kind),
         s"unknown window kind '${wc.kind}'; one of: ${kinds.toSeq.sorted.mkString(", ")}")
-      require(wc.kind == "row_number" || wc.target.isDefined,
+      require(rankFamily.contains(wc.kind) || wc.target.isDefined,
         s"window column '${wc.name}' (${wc.kind}) needs a target expression")
       if (wc.kind.startsWith("moving_"))
         require(wc.frame >= 1,
           s"window column '${wc.name}': moving frame must be >= 1 row")
+      if (wc.kind == "ntile")
+        require(wc.frame >= 1,
+          s"window column '${wc.name}': ntile bucket count (frame) must be >= 1")
     }
     copy(
       source = Source.WindowCalc(source,

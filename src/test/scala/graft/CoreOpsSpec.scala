@@ -360,6 +360,59 @@ class CoreOpsSpec extends GraftSuite {
     assert(cubeRows.length === 8)
   }
 
+  test("groupingSets computes exactly the requested sets") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("g1", "g2", "v")
+    val out = Model.fromDF(df)
+      .groupingSets(groups = Seq(col("g1"), col("g2")),
+        sets = Seq(Seq(0, 1), Seq(1), Seq.empty),
+        measures = Seq(sum(col("v")).named("s")))
+      .run(s).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(out === Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L),
+      (Some("b"), Some("x"), 4L),             // (g1, g2) leaves
+      (None, Some("x"), 5L), (None, Some("y"), 2L), // per-g2 slice (no g1 level!)
+      (None, None, 7L)))                      // grand total
+  }
+
+  test("withWindow rank family: ties, buckets, first/last over running frame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0, "v"), (2L, 10.0, "p"), (3L, 5.0, "v"), (4L, 1.0, "p"))
+      .toDF("id", "score", "t")
+    val out = Model.fromDF(df)
+      .withWindow(
+        partitionBy = Seq(lit(1)),
+        orderBy = Seq(graft.ir.SortKey(col("score"), asc = false),
+          graft.ir.SortKey(col("id"))),
+        cols = Seq(
+          graft.ir.Source.WinCol("rnk", "rank", None),
+          graft.ir.Source.WinCol("drnk", "dense_rank", None),
+          graft.ir.Source.WinCol("prnk", "percent_rank", None),
+          graft.ir.Source.WinCol("cd", "cume_dist", None),
+          graft.ir.Source.WinCol("pair", "ntile", None, frame = 2),
+          graft.ir.Source.WinCol("best", "first_value", Some(col("score"))),
+          graft.ir.Source.WinCol("last_p", "last_value",
+            Some(cases(Seq((col("t") === lit("p"), col("id"))), lit(null))))))
+      .sort(col("id"))
+      .run(s).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rnk"), r.getAs[Int]("drnk"),
+        r.getAs[Double]("prnk"), r.getAs[Double]("cd"), r.getAs[Int]("pair"),
+        r.getAs[Double]("best"), Option(r.getAs[Any]("last_p"))))
+    // order (score desc, id): ids 1,2,3,4. The (score,id) order is total,
+    // so rank == row_number here; dense_rank/percent_rank/cume_dist reflect
+    // the same unique ordering; ntile(2) splits 2/2; first_value is the
+    // running best (10.0 everywhere); last_p carries the latest 'p' id.
+    assert(out.toSeq === Seq(
+      (1L, 1, 1, 0.0, 0.25, 1, 10.0, None),
+      (2L, 2, 2, 1.0 / 3, 0.5, 1, 10.0, Some(2L)),
+      (3L, 3, 3, 2.0 / 3, 0.75, 2, 10.0, Some(2L)),
+      (4L, 4, 4, 1.0, 1.0, 2, 10.0, Some(4L))))
+  }
+
   test("semi/anti joins have EXISTS semantics: null keys never match") {
     val s = spark
     import s.implicits._
