@@ -895,6 +895,15 @@ object SparkEntry {
         .sort(col("source"))
         .run(s)),
 
+    // --- block-level boilerplate removal: corpus-repeated 8-token blocks
+    //     stripped from every doc, survivors reassembled in order ---
+    "q_block_dedup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.blockDedup(
+          df, "doc_id", "text", blockSize = 8, maxCopies = 2))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- benchmark decontamination: word-3-gram overlap between "train"
     //     (doc_id >= 20) and a small "eval suite" (doc_id < 20) ---
     "q_contamination" -> ((s, dir) =>
@@ -1844,6 +1853,34 @@ object SparkEntry {
     "q_dedup_minhash_skew" ->
       (minhashPairsCtes(maxBucketSize = 2) +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
+    // blocks = non-overlapping 8-token windows (chunking CTE shape);
+    // blocks whose text occurs in > 2 blocks corpus-wide are dropped;
+    // string_agg skips NULLed-out blocks, coalesce matches Spark's
+    // concat_ws('') on all-dropped docs
+    "q_block_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), ix AS (
+           SELECT doc_id, w, CAST(i AS INT) AS chunk_ix
+           FROM (SELECT doc_id, w,
+                   unnest(range(0, 1 + (greatest(len(w) - 8, 0) + 7) // 8)) AS i
+                 FROM toks)
+         ), blocks AS (
+           SELECT doc_id, chunk_ix,
+                  array_to_string(w[chunk_ix * 8 + 1 : chunk_ix * 8 + 8], ' ') AS bt
+           FROM ix
+         ), counts AS (
+           SELECT md5(bt) AS bh, count(*) AS copies FROM blocks GROUP BY 1
+         )
+         SELECT b.doc_id, count(*) AS n_blocks,
+                CAST(sum(CASE WHEN c.copies > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                coalesce(string_agg(CASE WHEN c.copies <= 2 THEN b.bt END,
+                  ' ' ORDER BY b.chunk_ix), '') AS clean_text
+         FROM blocks b JOIN counts c ON md5(b.bt) = c.bh
+         GROUP BY 1 ORDER BY 1""",
 
     "q_contamination" ->
       """WITH toks AS (

@@ -356,4 +356,52 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
   }
+
+  /** Block-level (paragraph-style) dedup: remove corpus-REPEATED token
+    * blocks from every document while keeping the documents themselves —
+    * the CCNet/RefinedWeb boilerplate-removal step (navigation chrome,
+    * cookie banners, repeated headers appear across thousands of pages).
+    *
+    * Documents split into NON-overlapping `blockSize`-token blocks
+    * ([[Search.chunkWords]] with stride = blockSize); a block whose exact
+    * text occurs in more than `maxCopies` blocks corpus-wide is dropped
+    * from every document; surviving blocks reassemble in order. Returns
+    * (id, n_blocks, n_dropped, clean_text) — clean_text is '' when every
+    * block was boilerplate.
+    *
+    * Scale: blocks are linear in corpus tokens; the copy-count is one hash
+    * aggregate (map-side combine); the repeated-block DICTIONARY (count >
+    * maxCopies) is orders of magnitude smaller than the corpus, so the
+    * flagging join is an equi-join Spark can broadcast (AQE decides);
+    * reassembly is one aggregate whose collect_list is bounded by a single
+    * document's block count — never corpus-scale state. */
+  def blockDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int = 8,
+      maxCopies: Int = 2,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(maxCopies >= 1, "maxCopies must be >= 1")
+    val blocks = scope.cache(
+      Search.chunkWords(docs, idCol, textCol, blockSize, blockSize)
+        .withColumn("__bh__", md5(col("chunk_text").cast("binary"))))
+    val repeated = blocks
+      .groupBy(col("__bh__"))
+      .agg(count(lit(1)).as("__copies__"))
+      .where(col("__copies__") > maxCopies)
+    blocks
+      .join(repeated, Seq("__bh__"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__copies__").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", expr(
+          """transform(
+               array_sort(collect_list(
+                 CASE WHEN __copies__ IS NULL
+                      THEN struct(chunk_ix, chunk_text) END)),
+               s -> s.chunk_text)""")).as("clean_text"))
+  }
 }

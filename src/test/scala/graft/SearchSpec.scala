@@ -97,6 +97,29 @@ class SearchSpec extends GraftSuite {
       (0, 1, 2L, 2.0), (0, 2, 2L, 4.0), (1, 1, 1L, 10.0), (1, 2, 1L, 20.0)))
   }
 
+  test("blockDedup strips corpus-repeated blocks, keeps document order") {
+    val s = spark
+    import s.implicits._
+    val boiler = "cookie banner accept all terms"  // 5-token repeated block
+    val d = Seq(
+      (0L, s"$boiler unique alpha beta gamma delta"),
+      (1L, s"$boiler unique epsilon zeta eta theta"),
+      (2L, s"$boiler unique iota kappa lambda mu"),
+      (3L, "completely original text with no repeats"),
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.blockDedup(d, "doc_id", "text",
+      blockSize = 5, maxCopies = 2)
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the boiler block appears 3 > maxCopies times → dropped everywhere;
+    // each doc keeps its unique tail block (and doc 3 is untouched)
+    assert(out.toSeq === Seq(
+      (0L, 2L, 1L, "unique alpha beta gamma delta"),
+      (1L, 2L, 1L, "unique epsilon zeta eta theta"),
+      (2L, 2L, 1L, "unique iota kappa lambda mu"),
+      (3L, 2L, 0L, "completely original text with no repeats")))
+  }
+
   test("jsonGet extracts fields through the Model API; NULL on miss") {
     val s = spark
     import s.implicits._
