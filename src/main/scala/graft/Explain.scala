@@ -20,7 +20,9 @@ object Explain {
       else Seq("q1_agg", "q_join_one", "q_match_steps", "q_funnel",
         "q_dedup_minhash", "q_ann_lsh", "q_ann_ivf", "q_fold",
         "q_sessionize", "q_retention", "q_contamination",
-        "q_window_calc", "q_asof_join", "q_dedup_ngram_k")
+        "q_window_calc", "q_asof_join", "q_dedup_ngram_k",
+        "q_bm25_search", "q_tfidf_terms", "q_block_dedup",
+        "q_grouping_sets", "q_window_rank")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -745,8 +745,41 @@ object Compiler {
       // state is O(1) (running) or O(frame) rows — nothing accumulates
       // unbounded per key, so hot entities spill-safely at 100 TB.
       val f = compileSource(base, spark)
-      val parts = partitionBy.map(p => compileExpr(p, f))
-      val w = Window.partitionBy(parts: _*).orderBy(sortKeyCols(orderKeys, f): _*)
+      // Materialize partition/order expressions ONCE as shared internal
+      // columns: building the spec from per-withColumn expression copies
+      // gives every window function a fresh projected sort attribute
+      // (_w0#n), which defeats CollapseWindow — the plan then pays one
+      // Sort per window column instead of one per frame shape (observed
+      // on q_window_rank: 7 sorts → 2). The engine-internal __gw*__
+      // names are dropped below, before the frame leaves this node.
+      // Bare column refs keep their own (stable) attribute — materializing
+      // them under a fresh name would hide the hash-partitioning from a
+      // chained same-key WindowCalc and force a second exchange.
+      def bareCol(e: Expr): Option[String] = e match {
+        case ColRef(n, None) if f.df.columns.contains(n) => Some(n)
+        case _                                     => None
+      }
+      val tmpNames = scala.collection.mutable.ArrayBuffer.empty[String]
+      def shared(e: Expr, tag: String): String = bareCol(e).getOrElse {
+        val n = s"__gw$tag${tmpNames.size}__"
+        f.df = f.df.withColumn(n, compileExpr(e, f))
+        tmpNames += n
+        n
+      }
+      val pNames = partitionBy.map(shared(_, "p"))
+      val oNames = orderKeys.map(k => shared(k.e, "o"))
+      val parts = pNames.map(col(_))
+      val ordCols = orderKeys.zip(oNames).map { case (k, n) =>
+        (k.asc, k.nulls) match {
+          case (true, "auto") | (true, "first")  => col(n).asc_nulls_first
+          case (true, "last")                    => col(n).asc_nulls_last
+          case (false, "auto") | (false, "last") => col(n).desc_nulls_last
+          case (false, "first")                  => col(n).desc_nulls_first
+          case (_, other) =>
+            throw new IllegalArgumentException(s"bad nulls: $other")
+        }
+      }
+      val w = Window.partitionBy(parts: _*).orderBy(ordCols: _*)
       val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       wcols.foreach { wc =>
         require(!f.df.columns.contains(wc.name),
@@ -781,6 +814,7 @@ object Compiler {
         }
         f.df = f.df.withColumn(wc.name, c)
       }
+      f.df = f.df.drop(tmpNames.toSeq: _*)
       f
 
     case Source.AsofJoin(base, right, leftOn, rightOn, leftTs, rightTs,
