@@ -1070,6 +1070,21 @@ object SparkEntry {
         .sort(col("vec_a")).sort(col("vec_b"))
         .run(s)),
 
+    // --- SemDeDup: k-means cells + within-cell cosine closure, keep one
+    //     representative per semantic-duplicate group ---
+    "q_semdedup" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
+            initPred = F.col("vec_id") < 8, iters = 2)
+          graft.llm.Embeddings.semDedup(df, "vec_id", "embedding", cents,
+            threshold = 0.3)
+            .groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n_kept"))
+        }
+        .sort(col("label"))
+        .run(s)),
+
     // --- int8 embedding quantization: reconstruction-error stats ---
     "q_embed_quant" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -2046,6 +2061,21 @@ object SparkEntry {
                   round(${cosSql("a.embedding", "c.embedding")}, 6) AS cosine
            FROM bkt a JOIN bkt c ON a.bkt = c.bkt AND a.vec_id < c.vec_id) t
          WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""),
+
+    "q_semdedup" ->
+      (KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+         pairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM sf a JOIN sf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE round((${dotSql("a.embedding", "b.embedding")}) /
+                       (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+                        sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.3
+         )""" + ClosureCtes + """
+         SELECT e.label, count(*) AS n_kept FROM embeddings e
+         WHERE NOT EXISTS (
+           SELECT 1 FROM clusters c
+           WHERE c.doc_id = e.vec_id AND c.doc_id <> c.cluster_id)
+         GROUP BY 1 ORDER BY 1"""),
 
     "q_embed_quant" ->
       """SELECT label, count(*) AS n, round(max(err), 6) AS max_err FROM (

@@ -342,6 +342,51 @@ object Embeddings {
             cast(0 AS double), (acc, v) -> greatest(acc, v))"""))
       .drop(s"${out}_maxabs")
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space with k-means, then within
+    * each cluster treat any pair with cosine ≥ `threshold` as duplicates
+    * and keep ONE representative per connected duplicate group (the lowest
+    * id, via the same transitive closure the text near-dup path uses).
+    * Returns the kept subset of `emb` (all original columns).
+    *
+    * `centroids` is a `(cid, cv)` table — typically [[kmeansFit]] output —
+    * so train/serve assignment share one fold and cannot disagree.
+    *
+    * Scale design: the cluster id is the blocking key, exactly like the
+    * LSH band hash in MinHash dedup — candidate pairs are a within-cell
+    * self-equi-join, never corpus all-pairs. The published method sizes
+    * k ~ sqrt(n) precisely so cells stay small; k is the caller's knob and
+    * the per-pair verify is one codegen'd dot product over precomputed
+    * norms. The closure runs on the (tiny) duplicate-pair graph only. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    // both self-join sides read (id, vec, norm, cell) — materialize once
+    val assigned = scope.cache(
+      withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol).as("__id__"), col(vecCol).as("__v__"),
+          col("__n__"), col("__cell__")))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.__cell__") === col("b.__cell__") &&
+          col("a.__id__") < col("b.__id__"))
+      .withColumn("__cos__",
+        round(dot("a.__v__", "b.__v__") / (col("a.__n__") * col("b.__n__")), 6))
+      .where(col("__cos__") >= threshold)
+      .select(col("a.__id__").as("__pa__"), col("b.__id__").as("__pb__"))
+    val drop = Dedup.clusterPairs(pairs, "__pa__", "__pb__")
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__drop__"))
+    emb.join(drop, col(idCol) === col("__drop__"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join for
     * candidates (within-bucket only), cosine ≥ threshold verifies. */
   def nearDupPairs(

@@ -174,6 +174,21 @@ class LlmSpec extends GraftSuite {
     assert(probed.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L, 2L, 3L))
   }
 
+  test("semDedup keeps one representative per within-cell duplicate group") {
+    // cells from seeds {0, 3}: vectors 0,1,2 land in cell 0, vector 3 in
+    // cell 3. At threshold 0.99 only (0,1) are duplicates (cos .9939) —
+    // keep the lower id 0; vectors 2 and 3 are untouched singletons.
+    val cents = Embeddings.kmeansFit(vectors, "vec_id", "embedding",
+      initPred = sc("vec_id").isin(0L, 3L), iters = 1)
+    val kept = Embeddings.semDedup(vectors, "vec_id", "embedding", cents,
+      threshold = 0.99).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 3L))
+    // threshold above every within-cell cosine → nothing dropped
+    val all = Embeddings.semDedup(vectors, "vec_id", "embedding", cents,
+      threshold = 0.9999).count()
+    assert(all === 4L)
+  }
+
   test("ivfTopK keeps the id's type and returns empty for no centroids") {
     val s = spark
     import s.implicits._
