@@ -1347,6 +1347,14 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("chunk_ix"))
         .run(s)),
 
+    // --- concat-and-chunk sequence packing: (doc, sequence) slice map ---
+    "q_pack_sequences" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.packSequences(
+          df, "doc_id", "text", budget = 512, shards = 4))
+        .sort(col("shard")).sort(col("seq_id")).sort(col("doc_id"))
+        .run(s)),
+
     // --- per-label mean-embedding centroids at (label, dim) grain ---
     "q_embed_centroid" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -2345,6 +2353,33 @@ object SparkEntry {
                   AS chunk_text,
                 CAST(least(32, len(w) - chunk_ix * 24) AS INT) AS n_tokens
          FROM ix ORDER BY doc_id, chunk_ix""",
+
+    // replays Search.packSequences: md5-shard, per-shard token cumsum,
+    // slice docs at 512-token sequence boundaries (range() is exclusive
+    // so +1 mirrors Spark's inclusive sequence())
+    "q_pack_sequences" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 4 AS shard
+           FROM documents WHERE length(trim(text)) > 0
+         ), cum AS (
+           SELECT doc_id, nt, shard,
+                  CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+           FROM base
+         ), sl AS (
+           SELECT shard, doc_id, e - nt AS s, e,
+                  unnest(range((e - nt) // 512, (e - 1) // 512 + 1)) AS seq_id
+           FROM cum
+         )
+         SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+                doc_id,
+                CAST(greatest(s - seq_id * 512, 0) AS BIGINT) AS tok_offset,
+                CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)
+                     AS BIGINT) AS n_tokens
+         FROM sl ORDER BY shard, seq_id, doc_id""",
 
     "q_embed_centroid" ->
       (s"""SELECT label, CAST(d AS INT) AS dim, count(*) AS n_vecs,

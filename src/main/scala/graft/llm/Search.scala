@@ -169,4 +169,48 @@ object Search {
       .select(col(idCol), col("pos").as("chunk_ix"),
         col("col.text").as("chunk_text"), col("col.n").as("n_tokens"))
   }
+
+  /** Concat-and-chunk sequence packing — the standard LLM-pretraining prep
+    * that concatenates documents in a deterministic order and splits the
+    * token stream at fixed `budget` boundaries (docs crossing a boundary
+    * straddle two training sequences; the trainer masks cross-doc
+    * attention). Output grain is one row per (document, sequence) slice:
+    * `(shard, seq_id, <id>, tok_offset, n_tokens)` where `tok_offset` is
+    * the slice's position INSIDE its sequence — exactly the index map a
+    * packed-batch loader needs. Every sequence except each shard's last is
+    * full, so padding waste is bounded by shards/total.
+    *
+    * Distribution: documents are sharded by an md5 hash of the id (stable
+    * under repartitioning and engine-portable), the running token count is
+    * a per-shard window cumsum — ONE hash exchange + sort — and the
+    * boundary explode emits 1 + spans extra rows per doc (≤ n_tok/budget).
+    * The per-shard prefix sum is the only sequential dependency, so
+    * `shards` is the parallelism knob: size it to ~target-sequences-per-
+    * task at 100 TB (the packing itself never needs a global order). */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      shards: Int,
+  ): DataFrame = {
+    require(budget > 0 && shards > 0, "need positive budget and shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .where(length(trim(col(textCol))) > 0)
+      .withColumn("__nt__", size(TextOps.tokens(col(textCol))).cast("long"))
+      .withColumn("shard",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+          16, 10).cast("bigint") % shards)
+      .withColumn("__end__", sum(col("__nt__")).over(w))
+      .withColumn("__start__", col("__end__") - col("__nt__"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(__start__ div $budget, (__end__ - 1) div $budget)")))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        greatest(col("__start__") - col("seq_id") * budget, lit(0L))
+          .as("tok_offset"),
+        (least(col("__end__"), (col("seq_id") + 1) * budget)
+          - greatest(col("__start__"), col("seq_id") * budget)).as("n_tokens"))
+  }
 }
