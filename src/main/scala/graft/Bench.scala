@@ -49,12 +49,19 @@ object Bench {
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    // Full per-query detail goes to STDERR: the driver captures only the
-    // last ~2k chars of stdout, and a 99-entry JSON line overflows that
-    // window (rounds 1-3 all came back `parsed: null`). The single stdout
-    // line below stays well under the capture window: total + a fixed
-    // headline subset spanning scan/join/funnel/window/dedup/ANN/text.
-    results.foreach { case (k, v) => System.err.println(f"[bench] $k%-28s $v%8.3f s") }
+    // Full per-query detail goes to a FILE, not the console: the driver
+    // captures only the last ~2k chars of combined output, and sbt's
+    // stderr relay lags stdout, so detail lines printed to stderr BEFORE
+    // the JSON line landed AFTER it in the capture and pushed the JSON's
+    // start out of the window (rounds 1-3 and 5 all came back
+    // `parsed: null`). The single stdout line below — total + a fixed
+    // headline subset spanning scan/join/funnel/window/dedup/ANN/text —
+    // is now the only console output of the sweep.
+    val detail = results
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = Seq(
       "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
       "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
@@ -64,7 +71,11 @@ object Bench {
     val qs = headline.filter(byName.contains)
       .map(k => f""""$k":${byName(k)}%.3f""").mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // give sbt's async stderr relay (Spark WARNs etc.) time to drain so
+    // nothing can interleave after the JSON line in the combined capture
+    System.err.flush(); Thread.sleep(3000)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+object SemProf {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](n: String)(f: => A): A = { val t0=System.nanoTime(); val r=f; println(f"[prof] $n%-26s ${(System.nanoTime()-t0)/1e9}%8.3f s"); r }
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+    df.count()
+    for (pass <- 1 to 2) {
+      println(s"--- pass $pass")
+      val cents = t("kmeansFit")(graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding", initPred = F.col("vec_id") < 8, iters = 2))
+      val kept = t("semDedup-build")(graft.llm.Embeddings.semDedup(df, "vec_id", "embedding", cents, threshold = 0.3))
+      t("semDedup-run")(kept.groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n_kept")).write.format("noop").mode("overwrite").save())
+      llm.CacheScope.global.release()
+    }
+    spark.stop()
+  }
+}

@@ -273,7 +273,8 @@ object Embeddings {
         expr("transform(__v__, v -> CAST(v AS double))").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = withCell(base, "__v__", cents)
-      cents = assigned
+      cents =
+        assigned
         // empty centroid set → every __cell__ is NULL; without this guard
         // the NULL group would fabricate one phantom corpus-mean centroid
         .where(col("__cell__").isNotNull)
@@ -286,11 +287,18 @@ object Embeddings {
         .agg(expr("transform(array_sort(collect_list(struct(__d__, __m__))), s -> s.__m__)")
           .as("cv"))
         .select(col("__cell__").as("cid"), col("cv"))
+        // materialize the k-row frame PER ITERATION: fitting is inherently
+        // sequential actions, and a lazy chain would nest each iteration's
+        // aggregate (and its centroid broadcast) inside the next plan —
+        // re-analyzed, re-broadcast, and re-executed as stacked jobs at
+        // the end. One eager k×dim-row checkpoint per round keeps every
+        // round a single flat assignment+aggregate job.
+        .localCheckpoint(true)
     }
-    // materialize the k-row result NOW: fitting is inherently an action,
-    // and a lazy return would silently re-run all iterations once per
-    // downstream broadcast (assignment + every nprobe ranking)
-    cents.localCheckpoint(true)
+    // iters = 0 skips the loop: materialize the seed selection too, so the
+    // return is always a checkpointed k-row frame (a lazy return would
+    // re-run the seed scan once per downstream broadcast)
+    if (iters == 0) cents.localCheckpoint(true) else cents
   }
 
   /** Per-group mean embedding (class centroids / group prototypes — the
