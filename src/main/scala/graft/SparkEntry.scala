@@ -1071,15 +1071,24 @@ object SparkEntry {
         .run(s)),
 
     // --- SemDeDup: k-means cells + within-cell cosine closure, keep one
-    //     representative per semantic-duplicate group ---
+    //     representative per semantic-duplicate group. k ~ sqrt(n) per the
+    //     paper (cells stay O(sqrt n) so within-cell pairs are O(n) total,
+    //     never all-pairs); one count action parameterizes BOTH sides (the
+    //     oracle derives the same k via floor(sqrt(count(*)))). Threshold
+    //     0.45 is the top of this synthetic corpus's cosine range (near-
+    //     orthogonal vectors, max pairwise ~0.55 — the paper's 0.9+ would
+    //     match zero pairs here); it yields a sparse duplicate graph, not
+    //     the round-6 near-dense 0.3 one. maxCellSize caps any dense mode
+    //     k-means can't split, mirroring minhashPairs' bucket cap. ---
     "q_semdedup" -> ((s, dir) =>
       m(dir, "embeddings")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
+          val k = math.floor(math.sqrt(df.count().toDouble)).toLong
           val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
-            initPred = F.col("vec_id") < 8, iters = 2)
+            initPred = F.col("vec_id") < k, iters = 2)
           graft.llm.Embeddings.semDedup(df, "vec_id", "embedding", cents,
-            threshold = 0.3)
+            threshold = SemThreshold, maxCellSize = SemMaxCell)
             .groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n_kept"))
         }
         .sort(col("label"))
@@ -2071,13 +2080,19 @@ object SparkEntry {
          WHERE cosine >= 0.3 ORDER BY vec_a, vec_b"""),
 
     "q_semdedup" ->
-      (KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+      (kmeansCtes(SemKPredSql).replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+         sfc AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT vec_id, embedding, cell,
+                    count(*) OVER (PARTITION BY cell) AS cn FROM sf) t
+           WHERE cn <= $SemMaxCell
+         ),
          pairs AS (
            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           FROM sf a JOIN sf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           FROM sfc a JOIN sfc b ON a.cell = b.cell AND a.vec_id < b.vec_id
            WHERE round((${dotSql("a.embedding", "b.embedding")}) /
                        (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-                        sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.3
+                        sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= $SemThreshold
          )""" + ClosureCtes + """
          SELECT e.label, count(*) AS n_kept FROM embeddings e
          WHERE NOT EXISTS (
@@ -2478,15 +2493,27 @@ object SparkEntry {
     * the Spark side's aggregate(zip_with(...)) fold over the same element
     * order — 0.0+p1 = p1 exactly, so list_reduce's first-element seed
     * matches) and the 4-bit sign-LSH bucket. Dim 64 per TESTDATA. */
-  /** Shared trained-IVF CTE chain: seed centroids (vec_id < 8), two
-    * unrolled Lloyd's iterations, final assignment `sf(vec_id, embedding,
-    * cell)`. Appended tails serve nprobe=1 (`q_ann_ivf_trained`) and
-    * nprobe=2 (`q_ann_ivf_probe`). */
-  private lazy val KmeansCtes: String =
+  /** SemDeDup knobs, shared verbatim by the Spark query and its oracle so
+    * they can never desynchronize. Threshold 0.45 sits just under this
+    * synthetic corpus's max pairwise cosine (~0.55; near-orthogonal
+    * vectors — the paper's 0.9+ regime would match zero pairs here) and
+    * yields a sparse duplicate graph. The k predicate is floor(sqrt(n))
+    * on both engines. */
+  private val SemThreshold: Double = 0.45
+  private val SemMaxCell: Int = 256
+  private val SemKPredSql: String =
+    "vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+
+  /** Shared trained-IVF CTE chain: seed centroids (`initPred`, default
+    * vec_id < 8), two unrolled Lloyd's iterations, final assignment
+    * `sf(vec_id, embedding, cell)`. Appended tails serve nprobe=1
+    * (`q_ann_ivf_trained`), nprobe=2 (`q_ann_ivf_probe`), and the
+    * sqrt(n)-seeded SemDeDup cells (`q_semdedup`). */
+  private def kmeansCtes(initPred: String = "vec_id < 8"): String =
     s"""WITH init AS (
          SELECT vec_id AS cid,
                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
-         FROM embeddings WHERE vec_id < 8
+         FROM embeddings WHERE $initPred
        ), ${kmeansIterSql("init", "a1", "s1", "m1", "c1")},
        ${kmeansIterSql("c1", "a2", "s2", "m2", "c2")},
        af AS (
@@ -2498,6 +2525,8 @@ object SparkEntry {
                   cc.cid) AS rn
          FROM embeddings e CROSS JOIN c2 cc
        ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
+
+  private lazy val KmeansCtes: String = kmeansCtes()
 
   /** Embedding dimensionality of the shipped testdata (TESTDATA.md).
     * DuckDB's range() cannot take lateral column refs, so the per-dim

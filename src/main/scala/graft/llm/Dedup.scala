@@ -162,24 +162,29 @@ object Dedup {
     * follows any pairwise near-dup detector — pairs alone over-delete when
     * duplicates chain A~B~C).
     *
-    * Algorithm: min-label propagation WITH pointer jumping over the
-    * undirected edge list. Each round takes the per-node min of (own
-    * label, neighbor labels) — one hop — and then also adopts the label
-    * OF its label (`lbl := min(lbl, labels[lbl])`, a labels⋈labels
-    * self-join). The jump halves label-chain length every round, so
-    * rounds = O(log diameter) instead of O(diameter) — the same doubling
-    * that makes large-star/small-star converge — while the fixpoint is
-    * unchanged (min id per connected component). Measured on the SemDeDup
-    * threshold-0.3 graph (diameter ~7): 7 rounds → 3.
+    * Algorithm: iterative min-label propagation over the undirected edge
+    * list — each round joins labels to edges and takes the per-node min of
+    * (own label, neighbor labels) until a fixpoint. Rounds needed = graph
+    * diameter; each round is two hash joins/aggregates, fully distributed.
+    *
+    * Why ONE hop per round and not pointer jumping: a measured A/B (sf0.1,
+    * local[32]) showed the O(log d) pointer-jumping variant (adopt the
+    * label of your label via a labels⋈labels self-join each round) is a
+    * 3.9-6× NET LOSS here — near-dup graphs have diameter 2-4, so saving
+    * rounds cannot pay for the extra persisted frame, the extra self-join,
+    * and the extra checkpoint jobs each round carries. Pointer jumping
+    * (or large-star/small-star, same join shapes) only wins on genuinely
+    * deep graphs; if a caller ever feeds one, the non-convergence warning
+    * below is the signal to switch, not a silent default.
     *
     * Loop hygiene (the scale-critical part of an iterative Spark job):
     *   - ONE action per round: the change count rides along as a 0/1
     *     column on the new label frame, so the same aggregate job that
     *     materializes the round's cache also decides convergence — no
     *     second labels⋈labels comparison join.
-    *   - `localCheckpoint` every 2 rounds truncates the logical plan, so
+    *   - `localCheckpoint` every 3 rounds truncates the logical plan, so
     *     analysis/planning stays O(1) per round instead of compounding by
-    *     three joins each iteration.
+    *     two joins each iteration.
     *   - every superseded frame is unpersisted; the RESULT is
     *     `localCheckpoint`ed (self-contained partitions), which lets the
     *     internal pair/edge/label caches be dropped before returning. */
@@ -215,40 +220,22 @@ object Dedup {
         .join(labels, col("__src__") === col("__id__"))
         .groupBy(col("__dst__"))
         .agg(min(col("__lbl__")).as("__nlbl__"))
-      // one-hop neighbor min (NULL-safe: isolated node → own label).
-      // Persisted: the jump below reads it as BOTH sides — through the
-      // fresh mapping, not the round-start one, so label-chain distance
-      // genuinely halves (lookup through round-start labels only adds one
-      // extra step per round; measured 7 rounds → 6 vs → 4 with this).
-      val hopped = labels
+      val next = labels
         .join(propagated, col("__id__") === col("__dst__"), "left_outer")
-        .select(col("__id__"), col("__lbl__").as("__old__"),
+        .select(col("__id__"),
           least(col("__lbl__"), coalesce(col("__nlbl__"), col("__lbl__")))
-            .as("__hop__"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: adopt the label of the label. Labels are node ids,
-      // so the lookup side is the same hopped frame; a root (lbl == id)
-      // finds itself and is a no-op.
-      val next = hopped.as("x")
-        .join(hopped.select(col("__id__").as("__yid__"),
-            col("__hop__").as("__ylbl__")),
-          col("x.__hop__") === col("__yid__"), "left_outer")
-        .select(col("x.__id__").as("__id__"),
-          least(col("x.__hop__"), coalesce(col("__ylbl__"), col("x.__hop__")))
             .as("__lbl__"),
-          // 0/1 change flag vs the round's starting label
-          when(least(col("x.__hop__"),
-              coalesce(col("__ylbl__"), col("x.__hop__"))) < col("x.__old__"),
-            1L).otherwise(0L).as("__chg__"))
+          // 0/1 change flag (NULL-safe: no neighbor min → unchanged)
+          when(col("__nlbl__") < col("__lbl__"), 1L).otherwise(0L)
+            .as("__chg__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the ONE action of the round: materializes `next` into cache and
       // returns the number of labels that moved
       val changedRow = next.agg(sum(col("__chg__"))).first()
       val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
-      hopped.unpersist(blocking = false)
       val prev = labels
       labels =
-        if (iter % 2 == 1) {
+        if (iter % 3 == 2) {
           // truncate lineage (cheap: reads the cache just written)
           val cp = next.localCheckpoint(true)
           next.unpersist(blocking = false)
@@ -258,6 +245,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      // partially-merged clusters are WRONG output — make it observable.
+      // A graph deep enough to hit this is also the signal to switch to a
+      // doubling scheme (pointer jumping / large-star): see scaladoc.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterPairs did not converge in $maxIterations rounds; " +
+          "cluster_ids may be partially merged (raise maxIterations or " +
+          "switch to a doubling propagation for high-diameter graphs)")
     // self-contained result: after this checkpoint the output references
     // no internal cache, so everything above can be dropped eagerly
     val out = labels

@@ -264,16 +264,28 @@ object Embeddings {
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
     require(iters >= 0, "iters must be non-negative")
+    val spark = emb.sparkSession
+    // Centroids are MODEL PARAMETERS, not data: k×dim values, bounded tiny
+    // by the same k ≪ n argument that lets withCell broadcast them (MLlib's
+    // KMeans keeps centers on the driver for the same reason). Pinning each
+    // round to a LocalRelation via one k-row collect keeps every iteration
+    // a single flat assignment+aggregate job with NO checkpoint writes and
+    // NO superseded block-storage RDDs to release (the round-6 eager
+    // localCheckpoint-per-iteration leaked those until GC).
+    def pin(k: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(k.collect().toSeq.asJava, k.schema)
+    }
     // every iteration's assignment pass reads (vector, norm) — cache once
     val base = scope.cache(emb
       .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
       .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
-    var cents = base.where(initPred)
+    var cents = pin(base.where(initPred)
       .select(col("__vid__").as("cid"),
-        expr("transform(__v__, v -> CAST(v AS double))").as("cv"))
+        expr("transform(__v__, v -> CAST(v AS double))").as("cv")))
     for (_ <- 1 to iters) {
       val assigned = withCell(base, "__v__", cents)
-      cents =
+      cents = pin(
         assigned
         // empty centroid set → every __cell__ is NULL; without this guard
         // the NULL group would fabricate one phantom corpus-mean centroid
@@ -286,19 +298,9 @@ object Embeddings {
         .groupBy(col("__cell__"))
         .agg(expr("transform(array_sort(collect_list(struct(__d__, __m__))), s -> s.__m__)")
           .as("cv"))
-        .select(col("__cell__").as("cid"), col("cv"))
-        // materialize the k-row frame PER ITERATION: fitting is inherently
-        // sequential actions, and a lazy chain would nest each iteration's
-        // aggregate (and its centroid broadcast) inside the next plan —
-        // re-analyzed, re-broadcast, and re-executed as stacked jobs at
-        // the end. One eager k×dim-row checkpoint per round keeps every
-        // round a single flat assignment+aggregate job.
-        .localCheckpoint(true)
+        .select(col("__cell__").as("cid"), col("cv")))
     }
-    // iters = 0 skips the loop: materialize the seed selection too, so the
-    // return is always a checkpointed k-row frame (a lazy return would
-    // re-run the seed scan once per downstream broadcast)
-    if (iters == 0) cents.localCheckpoint(true) else cents
+    cents
   }
 
   /** Per-group mean embedding (class centroids / group prototypes — the
@@ -363,24 +365,40 @@ object Embeddings {
     * Scale design: the cluster id is the blocking key, exactly like the
     * LSH band hash in MinHash dedup — candidate pairs are a within-cell
     * self-equi-join, never corpus all-pairs. The published method sizes
-    * k ~ sqrt(n) precisely so cells stay small; k is the caller's knob and
-    * the per-pair verify is one codegen'd dot product over precomputed
-    * norms. The closure runs on the (tiny) duplicate-pair graph only. */
+    * k ~ sqrt(n) precisely so cells stay O(sqrt(n)); k is the caller's
+    * knob and the per-pair verify is one codegen'd dot product over
+    * precomputed norms. The closure runs on the (tiny) duplicate-pair
+    * graph only.
+    *
+    * `maxCellSize` > 0 is the hot-cell guard (the [[Dedup.minhashPairs]]
+    * `maxBucketSize` pattern): a k-means cell that still collects more
+    * than the cap — a dense mode the centroid count can't split — is
+    * excluded from pair generation entirely, so its members are KEPT, not
+    * compared O(cell²). A documented recall tradeoff, identical on the
+    * oracle side (SparkEntry parameterizes both from one constant). */
   def semDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
       threshold: Double,
+      maxCellSize: Int = 0,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
     // both self-join sides read (id, vec, norm, cell) — materialize once
-    val assigned = scope.cache(
+    val assignedAll =
       withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
         vecCol, centroids)
         .select(col(idCol).as("__id__"), col(vecCol).as("__v__"),
-          col("__n__"), col("__cell__")))
+          col("__n__"), col("__cell__"))
+    val assigned = scope.cache(
+      if (maxCellSize <= 0) assignedAll
+      else assignedAll
+        .withColumn("__cn__", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__cell__"))))
+        .where(col("__cn__") <= maxCellSize)
+        .drop("__cn__"))
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.__cell__") === col("b.__cell__") &&
