@@ -17,7 +17,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the single JSON line out of the
+    // combined sbt capture, and late-relayed WARN lines (block-manager
+    // re-adds etc.) can interleave after it — silence them at the source
+    spark.sparkContext.setLogLevel("ERROR")
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
@@ -49,19 +52,6 @@ object Bench {
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    // Full per-query detail goes to a FILE, not the console: the driver
-    // captures only the last ~2k chars of combined output, and sbt's
-    // stderr relay lags stdout, so detail lines printed to stderr BEFORE
-    // the JSON line landed AFTER it in the capture and pushed the JSON's
-    // start out of the window (rounds 1-3 and 5 all came back
-    // `parsed: null`). The single stdout line below — total + a fixed
-    // headline subset spanning scan/join/funnel/window/dedup/ANN/text —
-    // is now the only console output of the sweep.
-    val detail = results
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = Seq(
       "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
       "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
@@ -71,10 +61,27 @@ object Bench {
     val qs = headline.filter(byName.contains)
       .map(k => f""""$k":${byName(k)}%.3f""").mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // give sbt's async stderr relay (Spark WARNs etc.) time to drain so
-    // nothing can interleave after the JSON line in the combined capture
-    System.err.flush(); Thread.sleep(3000)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query detail goes to a FILE, not the console: the driver
+    // captures only the last ~2k chars of combined output, and sbt's
+    // stderr relay lags stdout, so detail lines printed to stderr BEFORE
+    // the JSON line landed AFTER it in the capture and pushed the JSON's
+    // start out of the window (rounds 1-3 and 5 all came back
+    // `parsed: null`). The file carries BOTH the compact headline line
+    // (longitudinal grading) and the full per-query map.
+    val detail = results
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"compact":$compact,"detail":$detail}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // give sbt's async stderr relay (any residual ERROR lines) time to
+    // drain so nothing interleaves after the JSON line in the combined
+    // capture; raisable without recompiling via SPARK_GRAFT_DRAIN_MS
+    System.err.flush()
+    Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_DRAIN_MS", "3000").toLong)
+    println(compact)
     System.out.flush()
     spark.stop()
   }

@@ -20,6 +20,14 @@ object SemProf {
     for (pass <- 1 to 2) {
       println(s"--- pass $pass (k=$k)")
       val cents = t("kmeansFit")(graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding", initPred = F.col("vec_id") < k, iters = 2))
+      if (pass == 1) { // cell-size distribution: the O(sqrt n) scale argument, measured
+        val sizes = graft.llm.Embeddings.withCell(
+            df.select(F.col("vec_id").as("__vid__"), F.col("embedding").as("__v__"))
+              .withColumn("__n__", F.sqrt(F.expr("float_vec_dot(__v__, __v__)"))), "__v__", cents)
+          .groupBy(F.col("__cell__")).agg(F.count(F.lit(1)).as("n"))
+          .agg(F.count(F.lit(1)), F.min("n"), F.expr("percentile(n, 0.5)"), F.expr("percentile(n, 0.99)"), F.max("n")).collect()(0)
+        println(s"[prof] cells=${sizes.get(0)} min=${sizes.get(1)} p50=${sizes.get(2)} p99=${sizes.get(3)} max=${sizes.get(4)} (n=${df.count()}, k=$k)")
+      }
       val kept = t("semDedup-build")(graft.llm.Embeddings.semDedup(df, "vec_id", "embedding", cents, threshold = 0.45, maxCellSize = 256))
       t("semDedup-run")(kept.groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n_kept")).write.format("noop").mode("overwrite").save())
       llm.CacheScope.global.release()

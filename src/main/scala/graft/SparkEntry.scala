@@ -1062,6 +1062,44 @@ object SparkEntry {
         .sort(col("lang"))
         .run(s)),
 
+    // --- temperature-weighted corpus mixing (XLM-R/mT5 resampling,
+    //     alpha = 0.5): rare languages up-weighted ∝ √n_g; one group
+    //     aggregate + broadcast rate table + per-row hash predicate. The
+    //     oracle replays rates (6-dp pow/sum discipline) and the md5
+    //     keep rule bit-exactly, so the kept SET matches, not just the
+    //     proportions. ---
+    "q_lang_mix" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.TextOps.temperatureMix(df, "lang", "text",
+              alpha = 0.5, keepFrac = 0.5)
+            .groupBy(F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n_kept"),
+              F.round(F.max(F.col("rate")), 6).as("rate"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
+    // --- near-dup-aware train/val split: split decided by the CLUSTER
+    //     representative's hash, so near-duplicates never straddle the
+    //     boundary (the silent leakage mode of per-doc random splits);
+    //     oracle replays detector + recursive closure + same split rule ---
+    "q_split_by_cluster" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val pairs = graft.llm.Dedup.minhashPairs(df, "doc_id", "text")
+          val clusters = graft.llm.Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+          graft.llm.Dedup.splitByCluster(df, "doc_id", clusters,
+              trainPercent = 80.0)
+            .groupBy(F.col("split"))
+            .agg(F.count(F.lit(1)).as("n_docs"),
+              F.countDistinct(F.col("lang")).as("n_langs"))
+        }
+        .sort(col("split"))
+        .run(s)),
+
     // --- embedding-cosine near-dup pairs within sign-LSH buckets ---
     "q_dedup_embed" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -1319,6 +1357,36 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- Full PNG pixel decode (chunk walk → Inflater → unfilter, all
+    //     five filter types): per-channel sum/min/max over deterministic
+    //     fixture PNGs whose dims and every pixel are a closed form of
+    //     doc_id (Multimodal.pngFixture). The oracle replays the closed
+    //     form over a range cross-join — the compressed IDAT bytes only
+    //     reproduce it if the inflate+unfilter pass is byte-exact. One
+    //     narrow mapPartitions per stage, no shuffle until the sort. ---
+    "q_multimodal_pixels" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.pngFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.decodePixels(withPayload, "payload")
+            .select(F.col("doc_id"), F.col("px.n_px").as("n_px"),
+              F.posexplode(F.arrays_zip(
+                F.col("px.sums").as("sums"), F.col("px.mins").as("mins"),
+                F.col("px.maxs").as("maxs"))).as(Seq("channel", "st")))
+            .select(F.col("doc_id"),
+              F.col("channel").cast("int").as("channel"), F.col("n_px"),
+              F.col("st.sums").as("sum_v"), F.col("st.mins").as("min_v"),
+              F.col("st.maxs").as("max_v"))
+        }
+        .sort(col("doc_id")).sort(col("channel"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -1372,17 +1440,23 @@ object SparkEntry {
         .sort(col("label")).sort(col("dim"))
         .run(s)),
 
-    // --- JSON field extraction through the Model API (funcs.jsonGet) ---
+    // --- JSON field extraction through the Model API (funcs.jsonGet).
+    //     The field is extracted ONCE in a pick below the aggregate:
+    //     Spark does not CSE get_json_object across aggregate functions,
+    //     so inlining jsonGet into sum+avg+max re-parses the JSON blob
+    //     three times per row (a measured 2× cost on this query). Hoist
+    //     the parse, aggregate the extracted value. ---
     "q_json_props" -> ((s, dir) =>
       m(dir, "events")
+        .pick(col("event_type"),
+          cast(jsonGet(col("props"), "$.k"), "bigint").named("k_val"))
         .aggregate(
           groups = Seq(col("event_type")),
           measures = Seq(
             count().named("n"),
-            sum(cast(jsonGet(col("props"), "$.k"), "bigint")).named("sum_k"),
-            round(cast(sum(cast(jsonGet(col("props"), "$.k"), "bigint")), "double")
-              / count(), 6).named("avg_k"),
-            max(cast(jsonGet(col("props"), "$.k"), "bigint")).named("max_k")))
+            sum(col("k_val")).named("sum_k"),
+            round(cast(sum(col("k_val")), "double") / count(), 6).named("avg_k"),
+            max(col("k_val")).named("max_k")))
         .sort(col("event_type"))
         .run(s)),
   )
@@ -1959,6 +2033,41 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) < 1073741824
          GROUP BY 1 ORDER BY 1""",
 
+    // Replays temperatureMix(alpha=0.5, keepFrac=0.5): pow→6dp round,
+    // decimal weight sum, the SAME double expression association
+    // (kf * N * w / S / n), floor(rate * 2^32) cutoff, md5-prefix keep.
+    "q_lang_mix" ->
+      """WITH g AS (SELECT lang, count(*) AS ng FROM documents GROUP BY 1),
+         gw AS (SELECT lang, ng,
+                       round(pow(CAST(ng AS DOUBLE), 0.5), 6) AS wp FROM g),
+         t AS (SELECT sum(ng) AS N,
+                      round(CAST(sum(CAST(wp AS DECIMAL(27,6))) AS DOUBLE), 6) AS S
+               FROM gw),
+         r AS (SELECT lang,
+                      least(1.0, round(0.5 * CAST(N AS DOUBLE) * wp / S
+                                       / CAST(ng AS DOUBLE), 6)) AS rate
+               FROM gw CROSS JOIN t),
+         rc AS (SELECT lang, rate,
+                       CAST(floor(rate * 4294967296.0) AS BIGINT) AS cut FROM r)
+         SELECT d.lang, count(*) AS n_kept, round(max(rc.rate), 6) AS rate
+         FROM documents d JOIN rc ON d.lang = rc.lang
+         WHERE CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) < rc.cut
+         GROUP BY 1 ORDER BY 1""",
+
+    // Near-dup-aware split: same closure CTEs as q_dedup_clusters, then
+    // the split rule = md5 prefix of the representative id AS A STRING
+    // (engine-portable bytes), cutoff = floor(0.8 * 2^32).
+    "q_split_by_cluster" ->
+      (MinhashPairsCtes + ClosureCtes + """
+         , rep AS (
+             SELECT d.doc_id, d.lang,
+                    CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) AS rid
+             FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+         SELECT CASE WHEN CAST(concat('0x', substr(md5(rid), 1, 8)) AS BIGINT)
+                          < 3435973836 THEN 'train' ELSE 'val' END AS split,
+                count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+         FROM rep GROUP BY 1 ORDER BY 1"""),
+
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n FROM documents
          WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) <
@@ -2288,6 +2397,27 @@ object SparkEntry {
                    * (1 + (doc_id % 2)) * 2) AS BIGINT) AS duration_ms,
            44 + octet_length(CAST(text AS BLOB)) AS byte_len
          FROM documents WHERE lang = 'de' AND doc_id < 200 ORDER BY doc_id""",
+
+    // Replays pngFixture's closed form (w = 8+id%5, h = 6+id%7,
+    // v = (7x+13y+31c+3·id) mod 256) over a range cross-join; the Spark
+    // side recovers the same values only via a byte-exact PNG pixel
+    // decode of real deflate-compressed, filter-encoded scanlines.
+    "q_multimodal_pixels" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id, c.c,
+                  (7 * x.x + 13 * y.y + 31 * c.c + 3 * d.doc_id) % 256 AS v
+           FROM d
+           CROSS JOIN range(0, 12) x(x)
+           CROSS JOIN range(0, 12) y(y)
+           CROSS JOIN range(0, 3) c(c)
+           WHERE x.x < 8 + d.doc_id % 5 AND y.y < 6 + d.doc_id % 7)
+         SELECT doc_id, CAST(c AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(min(v) AS BIGINT) AS min_v,
+                CAST(max(v) AS BIGINT) AS max_v
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // BM25 with k1=1.2, b=0.75 over query bag (spark, window, vector):
     // same tokenization, same per-term tf, same ln-idf, same 6-dp rounding

@@ -189,6 +189,24 @@ object Compiler {
                 s"percentile fraction must be a numeric literal, got $other")
             }
             call_function("percentile", go(args.head), lit(p))
+          // approximate percentile — the extreme-scale swap point the
+          // `percentile` scaladoc documents: a bounded-memory quantile
+          // sketch (Spark's QuantileSummaries) instead of the exact
+          // aggregate's per-group value buffer. Same call shape as
+          // `percentile` plus an accuracy knob, so the swap is one word.
+          // Values are rank-approximate (error ≤ n/accuracy), so this is
+          // spec-gated on plan shape, not oracle-hashed.
+          case "approx_percentile" =>
+            def num(e: Option[Expr], what: String): Double = e match {
+              case Some(Lit(d: Double)) => d
+              case Some(Lit(l: Long))   => l.toDouble
+              case Some(Lit(i: Int))    => i.toDouble
+              case other => throw new IllegalArgumentException(
+                s"approx_percentile $what must be a numeric literal, got $other")
+            }
+            call_function("approx_percentile", go(args.head),
+              lit(num(args.lift(1), "fraction")),
+              lit(num(args.lift(2), "accuracy").toInt))
           case "floor"    => floor(go(args.head))
           case "ceiling"  => ceil(go(args.head))
           // scalar string helpers (beyond-reference; used by the LLM text
@@ -573,6 +591,15 @@ object Compiler {
       new Frame(spark.read.option("header", "true")
         .option("inferSchema", "true").csv(p))
     case Source.JsonFile(p) => new Frame(spark.read.json(p))
+    case Source.XlsxFile(p, sheet) =>
+      // the seam is real (wire round-trips, composes in Source trees);
+      // only the physical read needs a spreadsheet datasource this
+      // offline build can't carry — fail loudly, never read garbage
+      throw new UnsupportedOperationException(
+        s"xlsx source '$p'${sheet.fold("")(sh => s" (sheet $sh)")} requires a " +
+          "spreadsheet datasource (e.g. spark-excel) on the classpath; " +
+          "unavailable in this offline build. Convert to csv/parquet or " +
+          "register the codec and extend Compiler.compileSource here.")
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)

@@ -49,6 +49,21 @@ package object funcs {
   /** Median = percentile 0.5. */
   def median(e: Expr): Expr = percentile(e, 0.5)
 
+  /** Approximate percentile — [[percentile]]'s extreme-scale variant.
+    * Same call shape plus an `accuracy` knob; lowers to Spark's
+    * `approx_percentile` (a bounded-memory QuantileSummaries sketch —
+    * O(accuracy·log n) state per group instead of the exact aggregate's
+    * per-group value buffer, rank error ≤ n/accuracy). Returns an actual
+    * element of the distribution (no interpolation), so results are
+    * deterministic for a fixed input but NOT bit-comparable to
+    * quantile_cont — gate on plan shape / tolerance, not hash. */
+  def approxPercentile(e: Expr, p: Double, accuracy: Int = 10000): Expr = {
+    require(p >= 0.0 && p <= 1.0,
+      s"approx_percentile fraction must be in [0,1], got $p")
+    require(accuracy > 0, s"approx_percentile accuracy must be positive, got $accuracy")
+    Call("approx_percentile", Seq(e, Lit(p), Lit(accuracy)))
+  }
+
   /** `count_if(cond)` — rewritten at definition time to
     * sum(cases((cond,1), other=0)), exactly like the reference
     * (_sql_functions.py:25-30). */

@@ -165,7 +165,14 @@ object Dedup {
     * Algorithm: iterative min-label propagation over the undirected edge
     * list — each round joins labels to edges and takes the per-node min of
     * (own label, neighbor labels) until a fixpoint. Rounds needed = graph
-    * diameter; each round is two hash joins/aggregates, fully distributed.
+    * diameter; each round is ONE hash join + ONE aggregate, fully
+    * distributed: the node's own label enters the aggregate as a tagged
+    * self-row unioned under the joined neighbor rows (no join needed — it
+    * comes straight from the label frame), and the same aggregate derives
+    * both the new label (min over all rows) and the old label (min over
+    * the self rows, of which there is exactly one per node) — so the
+    * change flag costs zero extra joins and works for ids of any
+    * orderable type.
     *
     * Why ONE hop per round and not pointer jumping: a measured A/B (sf0.1,
     * local[32]) showed the O(log d) pointer-jumping variant (adopt the
@@ -184,7 +191,8 @@ object Dedup {
     *     second labels⋈labels comparison join.
     *   - `localCheckpoint` every 3 rounds truncates the logical plan, so
     *     analysis/planning stays O(1) per round instead of compounding by
-    *     two joins each iteration.
+    *     a join+aggregate each iteration (skipped on the converged round —
+    *     the returned result carries its own checkpoint).
     *   - every superseded frame is unpersisted; the RESULT is
     *     `localCheckpoint`ed (self-contained partitions), which lets the
     *     internal pair/edge/label caches be dropped before returning. */
@@ -216,33 +224,38 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val propagated = edges
+      // neighbor labels arrive via the one join; the node's OWN label
+      // rides in as a tagged self-row (straight from the label frame, no
+      // join), so a single aggregate yields both min-over-all (the new
+      // label) and min-over-self (the old label → change flag)
+      val contrib = edges
         .join(labels, col("__src__") === col("__id__"))
+        .select(col("__dst__"), col("__lbl__"), lit(false).as("__own__"))
+        .union(labels.select(col("__id__").as("__dst__"), col("__lbl__"),
+          lit(true).as("__own__")))
+      val next = contrib
         .groupBy(col("__dst__"))
-        .agg(min(col("__lbl__")).as("__nlbl__"))
-      val next = labels
-        .join(propagated, col("__id__") === col("__dst__"), "left_outer")
-        .select(col("__id__"),
-          least(col("__lbl__"), coalesce(col("__nlbl__"), col("__lbl__")))
-            .as("__lbl__"),
-          // 0/1 change flag (NULL-safe: no neighbor min → unchanged)
-          when(col("__nlbl__") < col("__lbl__"), 1L).otherwise(0L)
-            .as("__chg__"))
+        .agg(min(col("__lbl__")).as("__nl__"),
+          min(when(col("__own__"), col("__lbl__"))).as("__ol__"))
+        .select(col("__dst__").as("__id__"), col("__nl__").as("__lbl__"),
+          when(col("__nl__") < col("__ol__"), 1L).otherwise(0L).as("__chg__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the ONE action of the round: materializes `next` into cache and
       // returns the number of labels that moved
       val changedRow = next.agg(sum(col("__chg__"))).first()
       val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      converged = changed == 0
       val prev = labels
       labels =
-        if (iter % 3 == 2) {
-          // truncate lineage (cheap: reads the cache just written)
+        if (!converged && iter % 3 == 2) {
+          // truncate lineage (cheap: reads the cache just written) — but
+          // never on the final round: the result below gets its own
+          // checkpoint, so one here would be a wasted eager job
           val cp = next.localCheckpoint(true)
           next.unpersist(blocking = false)
           cp
         } else next
       prev.unpersist(blocking = false)
-      converged = changed == 0
       iter += 1
     }
     if (!converged)
@@ -262,6 +275,44 @@ object Dedup {
     edges.unpersist(blocking = false)
     p.unpersist(blocking = false)
     out
+  }
+
+  /** Near-dup-aware train/validation split: assign every document a
+    * split by hashing its CLUSTER representative (its [[clusterPairs]]
+    * cluster_id; unclustered docs represent themselves), so near-
+    * duplicate documents can never straddle the train/val boundary — the
+    * leakage mode a per-document random split silently commits at corpus
+    * scale (a val doc whose near-twin sits in train is a leaked label).
+    *
+    * Deterministic: the split decision is the [[TextOps.hashSample]]
+    * md5-prefix rule on the representative id RENDERED AS A STRING
+    * (engine-portable bytes — casting a bigint to binary is
+    * engine-specific), so the assignment is stable across runs, engines,
+    * and partitionings.
+    *
+    * Scale shape: `clusters` is the (small) set of documents touched by
+    * any near-dup pair — orders of magnitude smaller than the corpus —
+    * so the join broadcasts under AQE; the corpus side flows map-side
+    * with a per-row hash predicate. Adds a `split` column ("train" /
+    * "val"). */
+  def splitByCluster(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      trainPercent: Double = 90.0,
+  ): DataFrame = {
+    require(trainPercent > 0 && trainPercent < 100,
+      s"trainPercent must be in (0,100), got $trainPercent")
+    val cutoff = (trainPercent / 100.0 * 4294967296.0).toLong
+    val rep = clusters.select(col("doc_id").as(idCol),
+      col("cluster_id").as("__rep__"))
+    df.join(rep, Seq(idCol), "left_outer")
+      .withColumn("__rid__",
+        coalesce(col("__rep__"), col(idCol)).cast("string"))
+      .withColumn("split",
+        when(conv(substring(md5(col("__rid__").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") < cutoff, "train").otherwise("val"))
+      .drop("__rep__", "__rid__")
   }
 
   /** Benchmark decontamination: find training documents sharing any word

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives for large-scale training-data pipelines
@@ -125,6 +125,59 @@ object TextOps {
     }
     conv(substring(md5(keyCol.cast("binary")), 1, 8), 16, 10)
       .cast("bigint") < cutoff
+  }
+
+  /** Temperature-weighted corpus mixing — the multilingual-pretraining
+    * resampling step (Conneau et al. XLM-R §3.1 / Xue et al. mT5 §3.2):
+    * group g's share of the kept corpus is re-weighted ∝ n_g^alpha, so
+    * alpha < 1 up-samples rare languages/sources and alpha = 1 keeps
+    * natural proportions. `keepFrac` sets the overall kept fraction;
+    * per-group rates cap at 1 (a tiny group can't be over-sampled without
+    * replication, which a filter can't do — callers wanting true
+    * up-sampling union extra hash-slices).
+    *
+    * Scale shape: ONE group-count aggregate (map-side combined), a 1-row
+    * global total, and a broadcast of the per-group rate table (rows =
+    * #groups, tiny by definition) back onto the corpus; the keep decision
+    * is then a pure per-row hash predicate in the same md5-prefix space
+    * as [[hashSample]] — deterministic across engines, partitionings, and
+    * reruns, and nested across keepFrac values. Nothing in the row path
+    * shuffles.
+    *
+    * Determinism discipline (oracle-replayable): pow results and rates
+    * round to 6 dp, the weight SUM runs in decimal (order-independent),
+    * the double expression `keepFrac * N * w / S / n_g` keeps one fixed
+    * association on both engines, and the cutoff is `floor(rate * 2^32)`
+    * of the identical rounded double — so the kept SET is bit-identical,
+    * not just statistically equal. */
+  def temperatureMix(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      alpha: Double = 0.5,
+      keepFrac: Double = 0.5,
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1], got $keepFrac")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng__"))
+      .withColumn("__wp__",
+        round(pow(col("__ng__").cast("double"), alpha), 6))
+    val tot = stats.agg(
+      sum(col("__ng__")).as("__N__"),
+      round(sum(col("__wp__").cast("decimal(27,6)")).cast("double"), 6)
+        .as("__S__"))
+    val rates = stats.crossJoin(broadcast(tot)) // 1-row global total
+      .withColumn("rate", least(lit(1.0),
+        round(lit(keepFrac) * col("__N__").cast("double") * col("__wp__")
+          / col("__S__") / col("__ng__").cast("double"), 6)))
+      .withColumn("__cut__",
+        floor(col("rate") * lit(4294967296.0)).cast("bigint"))
+      .select(col(groupCol), col("rate"), col("__cut__"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") < col("__cut__"))
+      .drop("__cut__")
   }
 
   /** Within-document repetition ratio: fraction of word n-gram occurrences

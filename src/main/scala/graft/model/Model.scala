@@ -718,6 +718,11 @@ object Model {
   def csv(path: String): Model = Model(Source.CsvFile(path))
   /** JSON-lines path (file or directory of part files). */
   def json(path: String): Model = Model(Source.JsonFile(path))
+  /** Excel sheet (reference parity: duckdb_connection.py:96-117). Wire-
+    * and composition-complete; compiling requires a spreadsheet codec —
+    * see [[graft.ir.Source.XlsxFile]]. */
+  def xlsx(path: String, sheet: Option[String] = None): Model =
+    Model(Source.XlsxFile(path, sheet))
   /** Convenience: parquet table inside an sf dir. */
   def parquet(dir: String, name: String): Model =
     Model(Source.Table(s"$dir/$name.parquet"))

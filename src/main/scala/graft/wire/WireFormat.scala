@@ -54,6 +54,8 @@ object WireFormat {
     case Source.SqlQuery(q) => Map("t" -> "sql", "query" -> q)
     case Source.CsvFile(p)  => Map("t" -> "csv", "path" -> p)
     case Source.JsonFile(p) => Map("t" -> "json", "path" -> p)
+    case Source.XlsxFile(p, sheet) =>
+      Map("t" -> "xlsx", "path" -> p, "sheet" -> sheet.orNull)
     case Source.Filter(b, c) => Map("t" -> "filter", "base" -> sourceW(b), "cond" -> exprW(c))
     case Source.Pick(b, cols, star) =>
       Map("t" -> "pick", "base" -> sourceW(b), "cols" -> cols.map(exprW).toList, "star" -> star)
@@ -210,6 +212,8 @@ object WireFormat {
     case "sql"   => Source.SqlQuery(str(s("query")))
     case "csv"   => Source.CsvFile(str(s("path")))
     case "json"  => Source.JsonFile(str(s("path")))
+    case "xlsx"  => Source.XlsxFile(str(s("path")),
+      Option(s.getOrElse("sheet", null)).map(str))
     case "filter" => Source.Filter(sourceR(obj(s("base"))), exprR(obj(s("cond"))))
     case "pick" =>
       Source.Pick(sourceR(obj(s("base"))),

@@ -508,6 +508,27 @@ class CoreOpsSpec extends GraftSuite {
     assert(out.getDouble(1) === 1.75) // 1 + 0.75 * (2-1)
   }
 
+  test("approx_percentile lowers to the bounded-memory sketch aggregate") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val m = Model.fromDF(df)
+      .aggregate(measures = Seq(
+        approxPercentile(col("x"), 0.5, 1000).named("p50")))
+    // plan-shape gate (values are rank-approximate, so no oracle hash):
+    // the physical aggregate must be the QuantileSummaries sketch, not
+    // the exact sort-based percentile with its per-group value buffer
+    val plan = m.run(s).queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"))
+    // no EXACT percentile aggregate anywhere ("percentile(" alone would
+    // also match inside "approx_percentile(")
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(plan).isDefined, plan)
+    // sketch with eps*n = 1 on a dense 1..1000 sequence: rank error < 1,
+    // so the returned element is within one neighbor of the true median
+    val v = m.run(s).collect().head.getDouble(0)
+    assert(v >= 499.0 && v <= 501.0, s"p50=$v")
+  }
+
   test("strict attribute lookup throws on typos when attrs are declared") {
     val s = spark
     import s.implicits._

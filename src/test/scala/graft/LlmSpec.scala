@@ -481,6 +481,44 @@ class LlmSpec extends GraftSuite {
     assert(metas.count(_.isNullAt(0)) === 1)
   }
 
+  test("multimodal pixel decode: inflate + unfilter round-trips the encoder") {
+    // every (w, h) here spans y = 0..≥5, so all five PNG filter types
+    // (None/Sub/Up/Average/Paeth — the encoder cycles y mod 5) are hit
+    for ((w, h, ch) <- Seq((8, 6, 3), (12, 12, 3), (5, 7, 1), (3, 11, 4))) {
+      def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 31 + 5) % 256
+      val bytes = Multimodal.encodePng(w, h, ch, pix)
+      // the encoder emits a spec-valid PNG: header sniffing agrees on dims
+      val meta = Multimodal.decodeMeta(bytes)
+      assert(meta.getString(0) === "png" &&
+        meta.getInt(1) === w && meta.getInt(2) === h)
+      val px = Multimodal.decodePngPixels(bytes)
+      assert(px != null, s"${w}x$h/$ch decode failed")
+      assert(px.getInt(0) === w && px.getInt(1) === h && px.getInt(2) === ch)
+      assert(px.getLong(3) === w.toLong * h)
+      // closed-form expectation per channel, independent of the codec
+      for (c <- 0 until ch) {
+        val vs = for (y <- 0 until h; x <- 0 until w) yield pix(x, y, c).toLong
+        assert(px.getSeq[Long](4)(c) === vs.sum, s"sum c=$c")
+        assert(px.getSeq[Long](5)(c) === vs.min, s"min c=$c")
+        assert(px.getSeq[Long](6)(c) === vs.max, s"max c=$c")
+      }
+    }
+    // corruption is observable, never fabricated: truncated IDAT, bad
+    // filter byte, and non-PNG payloads all yield null
+    val good = Multimodal.pngFixture(3L)
+    assert(Multimodal.decodePngPixels(good.dropRight(20)) === null)
+    assert(Multimodal.decodePngPixels("nope".getBytes("UTF-8")) === null)
+    assert(Multimodal.decodePngPixels(null) === null)
+
+    // distributed path: batched decodePixels carries the stats struct
+    val s = spark
+    import s.implicits._
+    val d = Seq((3L, good), (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodePixels(d, "payload", batchSize = 1)
+      .select(sc("id"), sc("px")).orderBy(sc("id")).collect()
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
+
   test("multimodal decode: GIF block walk counts animation frames") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -542,6 +580,54 @@ class LlmSpec extends GraftSuite {
       .orderBy(sc("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("splitByCluster keeps near-dup clusters on one side of the boundary") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
+    // two chains: {1,2,3} and {7,9}; everything else unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+    val out = Dedup.splitByCluster(docs, "doc_id", clusters, trainPercent = 60.0)
+    assert(out.count() === 40) // left join: no row loss, no duplication
+    // invariant: every cluster lands whole on one side
+    val bySplit = out.join(clusters, Seq("doc_id"))
+      .groupBy(sc("cluster_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(sc("split")).as("k"))
+      .collect()
+    assert(bySplit.nonEmpty && bySplit.forall(_.getLong(1) === 1L))
+    // determinism: rerun gives the identical assignment
+    val a = out.select(sc("doc_id"), sc("split")).collect().map(_.toSeq).toSet
+    val b = Dedup.splitByCluster(docs, "doc_id", clusters, trainPercent = 60.0)
+      .select(sc("doc_id"), sc("split")).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("temperatureMix: alpha=1 keeps natural proportions, alpha<1 boosts rare groups") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 300).map(i => (s"k$i", "big")) ++
+      (1 to 30).map(i => (s"r$i", "rare"))).toDF("key", "grp")
+    // alpha = 1 → every group's rate is exactly keepFrac (w_g ∝ n_g
+    // cancels): the mix degenerates to a plain hash sample
+    val flat = TextOps.temperatureMix(docs, "grp", "key", alpha = 1.0, keepFrac = 0.5)
+    val flatRates = flat.select(sc("grp"), sc("rate")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(flatRates.values.forall(_ === 0.5), flatRates)
+    // alpha = 0.5 → the rare group's rate strictly exceeds the big one's
+    val mixed = TextOps.temperatureMix(docs, "grp", "key", alpha = 0.5, keepFrac = 0.5)
+    val rates = mixed.select(sc("grp"), sc("rate")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("rare") > rates("big"), rates)
+    // rates cap at 1 (a filter cannot over-sample)
+    assert(rates.values.forall(r => r > 0 && r <= 1.0), rates)
+    // kept membership is deterministic and NESTED in the hash space: the
+    // alpha=1/kf=0.5 kept set contains the alpha=1/kf=0.25 one
+    val k50 = flat.select(sc("key")).collect().map(_.getString(0)).toSet
+    val k25 = TextOps.temperatureMix(docs, "grp", "key", alpha = 1.0, keepFrac = 0.25)
+      .select(sc("key")).collect().map(_.getString(0)).toSet
+    assert(k25.subsetOf(k50), s"${k25.size} vs ${k50.size}")
   }
 
   test("hashSample is deterministic and roughly proportional") {

@@ -112,6 +112,23 @@ class WireFormatSpec extends GraftSuite {
     assert(m.run(spark).count() === rebuilt.run(spark).count())
   }
 
+  test("xlsx source round-trips on the wire and fails compile with a clear error") {
+    // the seam is wire- and composition-complete (reference parity:
+    // duckdb_connection.py:96-117 registers .xlsx paths); only the
+    // physical read is unsupported in this offline build
+    val m = Model.xlsx("/data/budget.xlsx", Some("Q3"))
+      .filter(col("amount") > lit(100.0))
+      .pick(col("dept"), col("amount"))
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    assert(rebuilt === m)
+    val noSheet = WireFormat.fromJson(WireFormat.toJson(Model.xlsx("/data/a.xlsx")))
+    assert(noSheet === Model.xlsx("/data/a.xlsx"))
+    val e = intercept[UnsupportedOperationException] { m.run(spark) }
+    assert(e.getMessage.contains("spreadsheet datasource"))
+    assert(e.getMessage.contains("budget.xlsx"))
+    assert(e.getMessage.contains("Q3"))
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
