@@ -136,9 +136,11 @@ object TextOps {
     * replication, which a filter can't do — callers wanting true
     * up-sampling union extra hash-slices).
     *
-    * Scale shape: ONE group-count aggregate (map-side combined), a 1-row
-    * global total, and a broadcast of the per-group rate table (rows =
-    * #groups, tiny by definition) back onto the corpus; the keep decision
+    * Scale shape: ONE group-count aggregate (map-side combined) — global
+    * totals come from an unbounded window over that #groups-row frame, so
+    * the corpus is scanned exactly once for statistics — and a broadcast
+    * of the per-group rate table (rows = #groups, tiny by definition)
+    * back onto the corpus; the keep decision
     * is then a pure per-row hash predicate in the same md5-prefix space
     * as [[hashSample]] — deterministic across engines, partitionings, and
     * reruns, and nested across keepFrac values. Nothing in the row path
@@ -163,11 +165,17 @@ object TextOps {
       .agg(count(lit(1)).as("__ng__"))
       .withColumn("__wp__",
         round(pow(col("__ng__").cast("double"), alpha), 6))
-    val tot = stats.agg(
-      sum(col("__ng__")).as("__N__"),
-      round(sum(col("__wp__").cast("decimal(27,6)")).cast("double"), 6)
-        .as("__S__"))
-    val rates = stats.crossJoin(broadcast(tot)) // 1-row global total
+    // global totals via an unbounded window OVER THE #groups-row stats
+    // frame (not a second aggregate of the corpus: a separate `stats.agg`
+    // branch would re-scan the full input — Spark does not share uncached
+    // subplans — which at 100 TB is an extra full pass for two scalars)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = stats
+      .withColumn("__N__", sum(col("__ng__")).over(w))
+      .withColumn("__S__",
+        round(sum(col("__wp__").cast("decimal(27,6)")).over(w)
+          .cast("double"), 6))
       .withColumn("rate", least(lit(1.0),
         round(lit(keepFrac) * col("__N__").cast("double") * col("__wp__")
           / col("__S__") / col("__ng__").cast("double"), 6)))
