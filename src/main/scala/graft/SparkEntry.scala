@@ -1154,6 +1154,17 @@ object SparkEntry {
         .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
         .run(s)),
 
+    // --- two-stage quantized retrieval: int8-code integer scoring prunes
+    //     to 50 candidates, exact float cosine reranks to top 10 (the
+    //     IVF-PQ serving shape; both cuts deterministic via 6-dp scores +
+    //     id tie-break, so the oracle replays the candidate SET) ---
+    "q_ann_quantized" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.quantizedRerankTopK(
+          df, "vec_id", "embedding", queryId = 0L, candidates = 50, k = 10))
+        .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
+        .run(s)),
+
     // --- bucketed ANN: per-query top-k via sign-LSH bucket equi-join ---
     "q_ann_lsh" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -2225,6 +2236,34 @@ object SparkEntry {
                                              (a, b) -> greatest(a, b))) + 0.5) AS INT)) AS q
              FROM embeddings) t1) t2
          GROUP BY 1 ORDER BY 1""",
+    // Two-stage quantized retrieval: replays quantize8 (same floor(x*s+0.5)
+    // codes), the integer code dot (exact in double), the same score
+    // association (dot / (sa*sq) / (na*nq), 6dp), and both (score DESC, id)
+    // cuts — candidate SET and final ranking match bit-for-bit.
+    "q_ann_quantized" ->
+      (s"""WITH qz AS (
+           SELECT vec_id, embedding,
+             127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                                 (a, b) -> greatest(a, b)) AS scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) *
+                      (127.0 / list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                                           (a, b) -> greatest(a, b))) + 0.5) AS INT)) AS q
+           FROM embeddings),
+         qq AS (SELECT scale AS qs, q AS qc, embedding AS qe FROM qz WHERE vec_id = 0),
+         cand AS (
+           SELECT z.vec_id, z.embedding, qq.qe,
+                  round((${dotSql("z.q", "qq.qc")}) / (z.scale * qq.qs) /
+                        (sqrt(${dotSql("z.embedding", "z.embedding")}) *
+                         sqrt(${dotSql("qq.qe", "qq.qe")})), 6) AS cosine_q8
+           FROM qz z, qq WHERE z.vec_id <> 0
+           ORDER BY cosine_q8 DESC, z.vec_id LIMIT 50)
+         SELECT vec_id, cosine_q8,
+                round((${dotSql("embedding", "qe")}) /
+                      (sqrt(${dotSql("embedding", "embedding")}) *
+                       sqrt(${dotSql("qe", "qe")})), 6) AS cosine
+         FROM cand ORDER BY cosine DESC, vec_id LIMIT 10"""),
+
     "q_ann_brute" ->
       (s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, cosine FROM (

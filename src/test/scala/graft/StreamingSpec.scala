@@ -157,6 +157,44 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing eval n-grams, passes the rest") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("eval_id", "text")
+    val docs = Seq(
+      (1L, "totally unrelated content here okay"),
+      (2L, "contains the quick brown fox inside"), // shares "the quick brown"
+      (3L, "too short"), // < 3 tokens: no n-gram to leak, passes
+      (4L, "brown fox jumps over something"), // shares "brown fox jumps"
+      (5L, "clean document streaming through nicely"))
+
+    val ms = MemoryStream[(Long, String)](s)
+    val filtered = Streams.streamingDecontaminate(
+      ms.toDF.toDF("doc_id", "text"), "text", eval, "text", n = 3)
+    val q = filtered.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(3): _*) // stateless: batch boundaries irrelevant
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM decon_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out === Seq(1L, 3L, 5L))
+    } finally q.stop()
+
+    // backfill parity: on a batch frame the filter keeps exactly the
+    // complement of what the batch DETECTOR flags — one tokenizer, one
+    // semantics, two execution modes
+    val batch = docs.toDF("doc_id", "text")
+    val kept = Streams.streamingDecontaminate(batch, "text", eval, "text", n = 3)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = graft.llm.Dedup.contamination(
+        batch, "doc_id", "text", eval, "eval_id", "text", n = 3)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === docs.map(_._1).toSet -- flagged)
+  }
+
   test("streaming dedup operator also runs in batch mode for backfill parity") {
     val s = spark
     import s.implicits._
