@@ -22,7 +22,8 @@ object Explain {
         "q_sessionize", "q_retention", "q_contamination",
         "q_window_calc", "q_asof_join", "q_dedup_ngram_k",
         "q_bm25_search", "q_tfidf_terms", "q_block_dedup",
-        "q_grouping_sets", "q_window_rank")
+        "q_grouping_sets", "q_window_rank", "q_lang_mix",
+        "q_ann_quantized", "q_multimodal_pixels", "q_json_props")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
