@@ -1023,6 +1023,29 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- within-document repeated-line removal (RefinedWeb/CCNet line
+    //     dedup): multi-line docs are synthesized deterministically from
+    //     text substrings (the corpus has no newlines) with lines 1 and 3,
+    //     2 and 5 repeating; the oracle rebuilds the same doc and replays
+    //     keep-first-occurrence via list_position. Per-row closed form. ---
+    "q_dedup_lines" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val built = df.where(F.col("doc_id") < 200)
+            .withColumn("__doc__", F.concat_ws("\n",
+              F.expr("substring(text, 1, 60)"), F.expr("substring(text, 30, 50)"),
+              F.expr("substring(text, 1, 60)"), F.expr("substring(text, 80, 40)"),
+              F.expr("substring(text, 30, 50)")))
+          val dd = graft.llm.TextOps.dedupLines(F.col("__doc__"))
+          built.select(F.col("doc_id"),
+            F.size(F.split(F.col("__doc__"), "\n", -1)).as("n_in"),
+            F.size(F.split(dd, "\n", -1)).as("n_out"),
+            F.md5(dd.cast("binary")).as("out_md5"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- within-doc repetition ratio (boilerplate signal) ---
     "q_repetition" -> ((s, dir) =>
       m(dir, "documents")
@@ -2107,6 +2130,29 @@ object SparkEntry {
                 word_count_ok AND mean_word_len_ok AND symbol_ok AND alpha_ok
                   AND stopword_ok AS pass
          FROM g ORDER BY doc_id""",
+
+    // Rebuilds the same synthetic multi-line doc, then keep-first-
+    // occurrence per line via list_position(ls, ls[i]) = i — the exact
+    // semantics of TextOps.dedupLines' array_position filter.
+    "q_dedup_lines" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  concat_ws(chr(10), substring(text, 1, 60), substring(text, 30, 50),
+                            substring(text, 1, 60), substring(text, 80, 40),
+                            substring(text, 30, 50)) AS doc
+           FROM documents WHERE doc_id < 200),
+         l AS (SELECT doc_id, string_split(doc, chr(10)) AS ls FROM b),
+         d AS (SELECT doc_id, ls,
+                      array_to_string(
+                        list_filter(list_transform(range(1, len(ls) + 1),
+                          i -> CASE WHEN list_position(ls, ls[i]) = i
+                                    THEN ls[i] END),
+                          x -> x IS NOT NULL), chr(10)) AS dd
+               FROM l)
+         SELECT doc_id, CAST(len(ls) AS INT) AS n_in,
+                CAST(len(string_split(dd, chr(10))) AS INT) AS n_out,
+                md5(dd) AS out_md5
+         FROM d ORDER BY doc_id""",
 
     "q_repetition" ->
       """SELECT doc_id,

@@ -127,6 +127,22 @@ object TextOps {
       .cast("bigint") < cutoff
   }
 
+  /** Within-document repeated-line removal — the RefinedWeb/CCNet line
+    * dedup step (navigation, cookie banners, and footer boilerplate
+    * repeat VERBATIM inside a page; corpus-level dedup can't see them):
+    * keep the FIRST occurrence of each line, preserve document order,
+    * rejoin. A pure per-row closed form — no shuffle, no state, composes
+    * into any cleaning pipeline. Cost is O(lines²) string compares per
+    * document worst-case, dwarfed by the scan at web-document line counts
+    * (10²–10³); for corpus-level repeated blocks use [[Dedup.blockDedup]],
+    * which this complements (within-doc vs across-docs). */
+  def dedupLines(textCol: Column, delim: String = "\n"): Column = {
+    val lines = split(textCol, java.util.regex.Pattern.quote(delim), -1)
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + lit(1)),
+      delim)
+  }
+
   /** Temperature-weighted corpus mixing — the multilingual-pretraining
     * resampling step (Conneau et al. XLM-R §3.1 / Xue et al. mT5 §3.2):
     * group g's share of the kept corpus is re-weighted ∝ n_g^alpha, so

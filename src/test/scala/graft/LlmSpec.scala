@@ -629,6 +629,29 @@ class LlmSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("dedupLines keeps first occurrences in order, including empty lines") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "nav bar\nreal content\nnav bar\nmore content\nreal content"),
+      (2L, "a\n\nb\n\na"), // duplicate EMPTY lines collapse too
+      (3L, "no repeats here"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = docs.select(sc("doc_id"),
+        TextOps.dedupLines(sc("text")).as("dd"))
+      .orderBy(sc("doc_id")).collect().map(_.getString(1))
+    assert(out(0) === "nav bar\nreal content\nmore content")
+    assert(out(1) === "a\n\nb")
+    assert(out(2) === "no repeats here")
+    assert(out(3) === "")
+    // custom delimiter (regex metachar: must be quoted internally)
+    val custom = docs.where(sc("doc_id") === 1L)
+      .select(TextOps.dedupLines(
+        org.apache.spark.sql.functions.translate(sc("text"), "\n", "|"), "|"))
+      .collect().head.getString(0)
+    assert(custom === "nav bar|real content|more content")
+  }
+
   test("temperatureMix: alpha=1 keeps natural proportions, alpha<1 boosts rare groups") {
     val s = spark
     import s.implicits._

@@ -222,6 +222,45 @@ class PropertySpec extends GraftSuite {
     }, cases = 6)
   }
 
+  test("property: dedupLines is idempotent and preserves the distinct line set") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => sc}
+    val lineGen = Gen.listOfN(10, Gen.oneOf("a", "bb", "ccc", "", "dd d"))
+    check(Prop.forAll(lineGen) { lines =>
+      val df = Seq(lines.mkString("\n")).toDF("text")
+      val once = df.select(graft.llm.TextOps.dedupLines(sc("text")).as("d"))
+      val d1 = once.collect().head.getString(0)
+      val d2 = once.select(graft.llm.TextOps.dedupLines(sc("d")))
+        .collect().head.getString(0)
+      val expected = {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        lines.foreach(seen += _)
+        seen.mkString("\n")
+      }
+      d1 == expected && d2 == d1 // first-occurrence order + idempotence
+    }, cases = 8)
+  }
+
+  test("property: splitByCluster covers every doc exactly once, clusters never straddle") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => sc, countDistinct}
+    val pairGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)).suchThat(p => p._1 != p._2))
+    check(Prop.forAll(pairGen) { ps =>
+      val docs = (1L to 15L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      val clusters = graft.llm.Dedup.clusterPairs(
+        ps.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      val out = graft.llm.Dedup.splitByCluster(docs, "doc_id", clusters, 70.0)
+      val total = out.count()
+      val straddlers = out.join(clusters, Seq("doc_id"))
+        .groupBy(sc("cluster_id")).agg(countDistinct(sc("split")).as("k"))
+        .where(sc("k") > 1L).count()
+      total == 15L && straddlers == 0L
+    }, cases = 6)
+  }
+
   test("property: scrubPii never alters text without @, +, or dotted digits") {
     val s = spark
     import s.implicits._
