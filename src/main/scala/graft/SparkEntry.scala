@@ -1421,6 +1421,35 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("channel"))
         .run(s)),
 
+    // --- Full GIF pixel decode (variable-width LZW decompression +
+    //     palette mapping, pure JDK): per-channel stats over fixture GIFs
+    //     whose pixel INDICES are a closed form of doc_id and whose
+    //     palette is the fixed (i, 2i, 3i) mod 256 ramp. The oracle
+    //     replays the closed form; only a correct LZW decode of the real
+    //     compressed code stream reproduces it. ---
+    "q_multimodal_gif" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.gifFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.decodePixels(withPayload, "payload")
+            .select(F.col("doc_id"), F.col("px.n_px").as("n_px"),
+              F.posexplode(F.arrays_zip(
+                F.col("px.sums").as("sums"), F.col("px.mins").as("mins"),
+                F.col("px.maxs").as("maxs"))).as(Seq("channel", "st")))
+            .select(F.col("doc_id"),
+              F.col("channel").cast("int").as("channel"), F.col("n_px"),
+              F.col("st.sums").as("sum_v"), F.col("st.mins").as("min_v"),
+              F.col("st.maxs").as("max_v"))
+        }
+        .sort(col("doc_id")).sort(col("channel"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -2492,6 +2521,26 @@ object SparkEntry {
          px AS (
            SELECT d.doc_id, c.c,
                   (7 * x.x + 13 * y.y + 31 * c.c + 3 * d.doc_id) % 256 AS v
+           FROM d
+           CROSS JOIN range(0, 12) x(x)
+           CROSS JOIN range(0, 12) y(y)
+           CROSS JOIN range(0, 3) c(c)
+           WHERE x.x < 8 + d.doc_id % 5 AND y.y < 6 + d.doc_id % 7)
+         SELECT doc_id, CAST(c AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(min(v) AS BIGINT) AS min_v,
+                CAST(max(v) AS BIGINT) AS max_v
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replays gifFixture's closed form: pixel index (11x+17y+3·id) mod 256
+    // through the fixed palette ramp — channel c's value is
+    // (idx·(c+1)) mod 256. Matching requires a byte-exact LZW decode.
+    "q_multimodal_gif" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id, c.c,
+                  (((11 * x.x + 17 * y.y + 3 * d.doc_id) % 256) * (c.c + 1)) % 256 AS v
            FROM d
            CROSS JOIN range(0, 12) x(x)
            CROSS JOIN range(0, 12) y(y)

@@ -389,11 +389,237 @@ object Multimodal {
     Row(w, h, channels, w.toLong * h, sums.toSeq, mins.toSeq, maxs.toSeq)
   }
 
-  /** Decode a PNG payload column into a `px` stats struct column (see
+  /** Encode an 8-bit-palette single-frame GIF89a from a pixel-index
+    * function — pure JDK, with a REAL variable-width LZW compressor (not
+    * the literal-codes shortcut, so round-trip tests exercise the
+    * decoder's dictionary chains and KwKwK path). The 256-entry global
+    * color table maps index i to RGB `(i, 2i mod 256, 3i mod 256)` — a
+    * fixed ramp the decoder inverts through the same table.
+    *
+    * Width sync (the classic GIF trap): the decoder materializes each
+    * dictionary entry one code LATER than the encoder, so the encoder
+    * widens when ITS nextFree reaches 2^width + 1 — exactly when the
+    * decoder's reaches 2^width — and performs the same bookkeeping after
+    * the final data code so the EOI is written at the width the decoder
+    * will read it with. On a full table (4096) it emits CLEAR and
+    * resets, matching the decoder's guard. */
+  def encodeGif(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"invalid dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { // global color table: the fixed ramp
+      out.write(i); out.write((i * 2) % 256); out.write((i * 3) % 256)
+      i += 1
+    }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
+    out.write(8) // LZW minimum code size
+    val Clear = 256; val Eoi = 257
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var width = 9
+    var nextFree = Eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    def put(code: Int): Unit = {
+      acc |= (code.toLong & 0xfff) << nbits; nbits += width
+      while (nbits >= 8) { data.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    // post-emit bookkeeping: mirror the decoder's entry add + width bump
+    // (encoder nextFree runs one ahead; see scaladoc)
+    def account(key: Int): Unit =
+      if (nextFree < 4096) {
+        if (key >= 0) dict.put(key, nextFree)
+        nextFree += 1
+        if (nextFree == (1 << width) + 1 && width < 12) width += 1
+      }
+    def reset(): Unit = { dict.clear(); width = 9; nextFree = Eoi + 1 }
+    put(Clear)
+    var cur = -1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pixel(x, y) & 0xff
+        if (cur == -1) cur = p
+        else {
+          val key = (cur << 8) | p
+          val e = dict.get(key)
+          if (e != null) cur = e.intValue()
+          else {
+            put(cur)
+            account(key)
+            if (nextFree >= 4096) { put(Clear); reset() }
+            cur = p
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    put(cur)
+    account(-1) // keep EOI's width in sync with the decoder's final bump
+    put(Eoi)
+    if (nbits > 0) data.write((acc & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) { // <=255-byte sub-blocks
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic GIF fixture: dims and every pixel INDEX a closed form
+    * of `id` (`w = 8 + id%5`, `h = 6 + id%7`,
+    * `idx(x,y) = (11x + 17y + 3·id) mod 256`), mapped through the fixed
+    * palette ramp — so channel values are `idx`, `2·idx mod 256`,
+    * `3·idx mod 256`, all SQL-replayable. Only a real LZW decode of the
+    * compressed code stream reproduces them. */
+  def gifFixture(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 7).toInt
+    encodeGif(w, h, (x, y) => ((11L * x + 17L * y + 3L * id) % 256L).toInt)
+  }
+
+  /** Full GIF pixel decode — pure JDK, a complete variable-width LZW
+    * decompressor (per the GIF89a spec: LSB-first codes, dynamic code
+    * width 3–12 bits, CLEAR/EOI handling, the KwKwK self-reference case)
+    * over the first image's sub-block-chained data, mapped through the
+    * global color table to RGB stats. Interlaced images are fine (row
+    * order doesn't change channel statistics). Returns null — honest,
+    * never fabricated — for images without a color table, local-palette
+    * frames, or any truncation/corruption the stream checks catch. */
+  def decodeGifPixels(payload: Array[Byte]): Row = {
+    if (payload == null || payload.length < 21) return null
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')) return null
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return null // no global color table: indices unmappable
+    val gctSize = 3 * (1 << ((packed & 7) + 1))
+    var i = 13
+    val gctOff = i
+    i += gctSize
+    if (i >= payload.length) return null
+    // walk blocks to the first image descriptor
+    var w = 0; var h = 0
+    var found = false
+    var corrupt = false
+    while (!found && !corrupt && i < payload.length) {
+      u8(i) match {
+        case 0x3b => corrupt = true // trailer before any image
+        case 0x21 => // extension: label + sub-block chain
+          i += 2
+          var more = true
+          while (more && i < payload.length) {
+            val n = u8(i); i += 1
+            if (n == 0) more = false else i += n
+          }
+        case 0x2c =>
+          if (i + 10 > payload.length) corrupt = true
+          else {
+            w = le16(i + 5); h = le16(i + 7)
+            val p = u8(i + 9)
+            i += 10
+            if ((p & 0x80) != 0) return null // local palette: fixture never emits one
+            found = true
+          }
+        case _ => corrupt = true
+      }
+    }
+    if (!found || corrupt || w <= 0 || h <= 0 || i >= payload.length) return null
+    // concatenate the image's LZW sub-blocks
+    val minCode = u8(i); i += 1
+    if (minCode < 2 || minCode > 8) return null
+    val lzw = new java.io.ByteArrayOutputStream()
+    var more = true
+    while (more) {
+      if (i >= payload.length) return null // truncated chain
+      val n = u8(i); i += 1
+      if (n == 0) more = false
+      else {
+        if (i + n > payload.length) return null
+        lzw.write(payload, i, n); i += n
+        }
+    }
+    val code = lzw.toByteArray
+    // LZW decode → per-channel stats through the palette, single pass
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var width = minCode + 1
+    var nextFree = eoi + 1
+    var prev = -1
+    var acc = 0L; var nbits = 0; var pos = 0
+    val nPx = w.toLong * h
+    var emitted = 0L
+    val sums = new Array[Long](3)
+    val mins = Array.fill(3)(255L)
+    val maxs = new Array[Long](3)
+    def emit(idx: Int): Unit = {
+      if (emitted < nPx) {
+        val r = u8(gctOff + 3 * idx)
+        val g = u8(gctOff + 3 * idx + 1)
+        val b = u8(gctOff + 3 * idx + 2)
+        sums(0) += r; sums(1) += g; sums(2) += b
+        if (r < mins(0)) mins(0) = r; if (r > maxs(0)) maxs(0) = r
+        if (g < mins(1)) mins(1) = g; if (g > maxs(1)) maxs(1) = g
+        if (b < mins(2)) mins(2) = b; if (b > maxs(2)) maxs(2) = b
+      }
+      emitted += 1
+    }
+    var done = false
+    while (!done) {
+      while (nbits < width && pos < code.length) {
+        acc |= (code(pos).toLong & 0xff) << nbits; nbits += 8; pos += 1
+      }
+      if (nbits < width) return null // ran out of bits before EOI
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nbits -= width
+      if (c == clear) {
+        width = minCode + 1; nextFree = eoi + 1; prev = -1
+      } else if (c == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (c >= clear) return null // first code after reset must be literal
+        emit(c); prev = c
+      } else {
+        if (c > nextFree) return null
+        // unwind string(c) — or, in the KwKwK case (c == nextFree, the
+        // not-yet-added entry), string(prev): the output is then
+        // string(prev) + firstChar(string(prev))
+        var top = 0
+        var cur = if (c == nextFree) prev else c
+        while (cur >= clear + 2) { stack(top) = suffix(cur); top += 1; cur = prefix(cur) }
+        val first = cur // the root literal = firstChar of the output string
+        stack(top) = first; top += 1
+        var k = top - 1
+        while (k >= 0) { emit(stack(k)); k -= 1 } // stack holds it reversed
+        if (c == nextFree) emit(first)
+        if (nextFree <= 4095) {
+          prefix(nextFree) = prev; suffix(nextFree) = first; nextFree += 1
+        }
+        if (nextFree == (1 << width) && width < 12) width += 1
+        prev = c
+      }
+    }
+    if (emitted != nPx) return null // wrong pixel count: corrupt stream
+    Row(w, h, 3, nPx, sums.toSeq, mins.toSeq, maxs.toSeq)
+  }
+
+  /** Decode a raster payload column into a `px` stats struct column (see
     * [[PixelSchema]]): one narrow mapPartitions, no shuffle — the same
-    * batched per-partition shape as [[decode]], but running the FULL
-    * inflate+unfilter pixel path. Non-PNG / corrupt payloads yield a
-    * null struct. */
+    * batched per-partition shape as [[decode]], running the FULL pixel
+    * path (PNG: inflate + unfilter; GIF: LZW + palette). Unsupported /
+    * corrupt payloads yield a null struct. */
   def decodePixels(df: DataFrame, payloadCol: String,
       batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("px", PixelSchema, nullable = true))
@@ -401,8 +627,12 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          Row.fromSeq(row.toSeq :+
-            decodePngPixels(row.getAs[Array[Byte]](payloadIdx)))
+          val payload = row.getAs[Array[Byte]](payloadIdx)
+          val px =
+            if (payload != null && payload.length >= 8 &&
+                payload.startsWith(PngSignature)) decodePngPixels(payload)
+            else decodeGifPixels(payload)
+          Row.fromSeq(row.toSeq :+ px)
         }
       }
     }(Encoders.row(outSchema))

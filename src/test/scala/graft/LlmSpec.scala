@@ -519,6 +519,59 @@ class LlmSpec extends GraftSuite {
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
   }
 
+  test("multimodal GIF pixel decode: real LZW decompression round-trips the encoder") {
+    // enough pixels to force several CLEAR cycles (250-literal period) and
+    // exercise the dictionary across resets
+    for ((w, h) <- Seq((8, 6), (12, 12), (30, 20), (5, 7))) {
+      def idx(x: Int, y: Int): Int = (x * 11 + y * 17 + 5) % 256
+      val bytes = Multimodal.encodeGif(w, h, idx)
+      // the encoder emits a spec-valid GIF: the header walk agrees
+      val meta = Multimodal.decodeMeta(bytes)
+      assert(meta.getString(0) === "gif" &&
+        meta.getInt(1) === w && meta.getInt(2) === h && meta.getInt(3) === 1)
+      val px = Multimodal.decodeGifPixels(bytes)
+      assert(px != null, s"${w}x$h decode failed")
+      assert(px.getInt(0) === w && px.getInt(1) === h && px.getInt(2) === 3)
+      assert(px.getLong(3) === w.toLong * h)
+      // closed-form expectation per channel through the palette ramp
+      for (c <- 0 until 3) {
+        val vs = for (y <- 0 until h; x <- 0 until w)
+          yield ((idx(x, y) * (c + 1)) % 256).toLong
+        assert(px.getSeq[Long](4)(c) === vs.sum, s"sum c=$c ${w}x$h")
+        assert(px.getSeq[Long](5)(c) === vs.min, s"min c=$c")
+        assert(px.getSeq[Long](6)(c) === vs.max, s"max c=$c")
+      }
+    }
+    // a REAL compressing LZW stream (not just the literal-code subset):
+    // constant-color image produces long runs the dictionary compresses
+    // via chained entries, including KwKwK self-references
+    val flat = Multimodal.encodeGif(40, 30, (_, _) => 7)
+    val pf = Multimodal.decodeGifPixels(flat)
+    assert(pf != null && pf.getLong(3) === 1200L)
+    assert(pf.getSeq[Long](4)(0) === 7L * 1200)
+    assert(pf.getSeq[Long](5)(0) === 7L && pf.getSeq[Long](6)(0) === 7L)
+    assert(pf.getSeq[Long](4)(1) === 14L * 1200)
+    // big high-entropy image: fills the 4096-entry dictionary and forces
+    // the mid-stream CLEAR + reset path on both sides
+    def noisy(x: Int, y: Int): Int = (x * 31 + y * 57 + x * y) % 256
+    val big = Multimodal.encodeGif(150, 100, noisy)
+    val pb = Multimodal.decodeGifPixels(big)
+    assert(pb != null && pb.getLong(3) === 15000L)
+    val exp = for (y <- 0 until 100; x <- 0 until 150) yield noisy(x, y).toLong
+    assert(pb.getSeq[Long](4)(0) === exp.sum)
+    assert(pb.getSeq[Long](5)(0) === exp.min && pb.getSeq[Long](6)(0) === exp.max)
+
+    // corruption is observable: truncated stream and missing palette → null
+    val good = Multimodal.gifFixture(3L)
+    assert(Multimodal.decodeGifPixels(good.dropRight(6)) === null)
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // no global color table → indices unmappable → null, never fabricated
+    assert(Multimodal.decodeGifPixels(hx(
+      "474946383961 0100 0100 00 00 00" +
+        "2C 00000000 01000100 00 02 02 4C01 00 3B")) === null)
+  }
+
   test("multimodal decode: GIF block walk counts animation frames") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
