@@ -1023,6 +1023,21 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- character-entropy quality signal (model-free perplexity proxy:
+    //     repetitive spam and padding sit far below natural text's ~4.1
+    //     bits/char). Terms folded in sorted distinct-char order on both
+    //     engines → bit-identical sums. ---
+    "q_text_entropy" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("doc_id") < 100)
+            .select(F.col("doc_id"),
+              graft.llm.TextOps.charEntropy("text").as("entropy"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- within-document repeated-line removal (RefinedWeb/CCNet line
     //     dedup): multi-line docs are synthesized deterministically from
     //     text substrings (the corpus has no newlines) with lines 1 and 3,
@@ -2159,6 +2174,25 @@ object SparkEntry {
                 word_count_ok AND mean_word_len_ok AND symbol_ok AND alpha_ok
                   AND stopword_ok AS pass
          FROM g ORDER BY doc_id""",
+
+    // Shannon entropy replay: same sorted distinct-char fold order, same
+    // p·log2(p) terms, first-element seed (= Spark's exact 0.0 seed),
+    // `+ 0.0` canonicalizing -0.0, 6-dp round.
+    "q_text_entropy" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0 ELSE
+             round(list_reduce(
+               list_transform(
+                 list_sort(list_distinct(list_transform(range(1, length(text) + 1),
+                   i -> substring(text, i, 1)))),
+                 ch -> -(CAST(len(list_filter(list_transform(range(1, length(text) + 1),
+                           i -> substring(text, i, 1)), x -> x = ch)) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE))
+                       * log2(CAST(len(list_filter(list_transform(range(1, length(text) + 1),
+                           i -> substring(text, i, 1)), x -> x = ch)) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE))),
+               (a, b) -> a + b) + 0.0, 6) END AS entropy
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     // Rebuilds the same synthetic multi-line doc, then keep-first-
     // occurrence per line via list_position(ls, ls[i]) = i — the exact

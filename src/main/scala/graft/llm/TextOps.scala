@@ -127,6 +127,32 @@ object TextOps {
       .cast("bigint") < cutoff
   }
 
+  /** Character-distribution Shannon entropy in bits — the model-free
+    * proxy for LM-perplexity quality filtering (CCNet uses a real LM;
+    * when none is available, low char entropy is the same signal:
+    * repetitive spam, padding, and binary-ish noise all sit far from
+    * natural text's ~4.1 bits/char). Pure per-row closed form.
+    *
+    * Determinism discipline: the per-character terms are folded in
+    * SORTED distinct-char order (binary collation on both engines), the
+    * Spark 0.0 seed is exact against the oracle's first-element seed
+    * (0.0 + t = t in IEEE), and a final `+ 0.0` canonicalizes the
+    * single-distinct-char case's -0.0 before the 6-dp round. Cost is
+    * O(distinct·len) char compares per row — bounded by the alphabet,
+    * not the document. */
+  def charEntropy(textCol: String): Column = {
+    val t = textCol
+    val chars = s"transform(sequence(1, length($t)), i -> substring($t, i, 1))"
+    expr(s"""CASE WHEN length($t) = 0 OR $t IS NULL THEN 0.0D ELSE
+        round(aggregate(
+          array_sort(array_distinct($chars)), 0D,
+          (acc, ch) -> acc - (CAST(size(filter($chars, x -> x = ch)) AS DOUBLE)
+                              / CAST(length($t) AS DOUBLE))
+                       * log2(CAST(size(filter($chars, x -> x = ch)) AS DOUBLE)
+                              / CAST(length($t) AS DOUBLE))
+        ) + 0D, 6) END""")
+  }
+
   /** Within-document repeated-line removal — the RefinedWeb/CCNet line
     * dedup step (navigation, cookie banners, and footer boilerplate
     * repeat VERBATIM inside a page; corpus-level dedup can't see them):

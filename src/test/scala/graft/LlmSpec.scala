@@ -682,6 +682,21 @@ class LlmSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("charEntropy matches closed-form Shannon values") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, "aab"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(sc("doc_id"), TextOps.charEntropy("text").as("e"))
+      .orderBy(sc("doc_id")).collect().map(_.getDouble(1))
+    assert(out(0) === 0.0) // one symbol: zero bits (and +0.0, not -0.0)
+    assert(out(1) === 1.0) // two equiprobable symbols
+    assert(out(2) === 2.0) // four equiprobable symbols
+    assert(out(3) === 0.918296) // H(2/3, 1/3) to 6 dp
+    assert(out(4) === 0.0) // empty text
+    assert(!out(0).toString.startsWith("-")) // -0.0 canonicalized
+  }
+
   test("dedupLines keeps first occurrences in order, including empty lines") {
     val s = spark
     import s.implicits._
