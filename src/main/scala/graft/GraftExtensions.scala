@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
+import graft.expr.{CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -59,6 +59,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "char_ngram_jaccard takes exactly 3 arguments")
         CharNgramJaccard(args.head, args(1), intLit(args(2), "char_ngram_jaccard"))
+      }),
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_entropy takes exactly 1 argument")
+        CharEntropy(args.head)
       }),
     (FunctionIdentifier("simhash_bigrams"),
       new ExpressionInfo(classOf[SimhashBigrams].getName, "simhash_bigrams"),

@@ -1031,6 +1031,7 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
           df.where(F.col("doc_id") < 100)
             .select(F.col("doc_id"),
               graft.llm.TextOps.charEntropy("text").as("entropy"))

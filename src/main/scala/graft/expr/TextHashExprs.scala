@@ -417,3 +417,58 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** Character-distribution Shannon entropy, bit-for-bit identical to the
+  * HOF formulation in TextOps.charEntropyHof (which the DuckDB oracle
+  * replays): counts by code point, folds -(p·log2 p) terms in ASCENDING
+  * code-point order (= binary order of single-char strings, = the HOF's
+  * array_sort order), seeds at exact 0.0, canonicalizes -0.0 with +0.0,
+  * and applies the same HALF_UP 6-dp round Spark's `round` uses. The HOF
+  * version re-scans the text once per distinct character through
+  * interpreted lambdas (measured ~2.9 s over sf0.1 documents); this is
+  * one codegen'd pass plus an alphabet-sized fold (~100 ms). */
+object TextEntropy {
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    var n = 0L
+    val counts = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val c = counts.get(cp)
+      counts.put(cp, if (c == null) 1 else c.intValue() + 1)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val nd = n.toDouble
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().intValue() / nd
+      // Spark's log2 lowers to java.lang.Math.log(x) / Math.log(2.0)
+      acc -= p * (java.lang.Math.log(p) / java.lang.Math.log(2.0))
+    }
+    java.math.BigDecimal.valueOf(acc + 0.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
+/** `char_entropy(text)` — see [[TextEntropy.charEntropy]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects a string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    TextEntropy.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextEntropy.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

@@ -137,10 +137,21 @@ object TextOps {
     * SORTED distinct-char order (binary collation on both engines), the
     * Spark 0.0 seed is exact against the oracle's first-element seed
     * (0.0 + t = t in IEEE), and a final `+ 0.0` canonicalizes the
-    * single-distinct-char case's -0.0 before the 6-dp round. Cost is
-    * O(distinct·len) char compares per row — bounded by the alphabet,
-    * not the document. */
-  def charEntropy(textCol: String): Column = {
+    * single-distinct-char case's -0.0 before the 6-dp round.
+    *
+    * Production path: the codegen'd `char_entropy` native (one pass +
+    * alphabet-sized fold; requires GraftExtensions). The HOF formulation
+    * below ([[charEntropyHof]]) is what the DuckDB oracle replays; a
+    * value-identity spec pins native ≡ HOF, so the oracle stays valid. */
+  def charEntropy(textCol: String): Column =
+    expr(s"""CASE WHEN $textCol IS NULL OR length($textCol) = 0 THEN 0.0D
+        ELSE char_entropy($textCol) END""")
+
+  /** Oracle-reference HOF formulation of [[charEntropy]] — interpreted
+    * (CodegenFallback) lambdas re-scanning the text once per distinct
+    * char; kept as the cross-engine semantic definition and spec anchor,
+    * not the production path. */
+  private[graft] def charEntropyHof(textCol: String): Column = {
     val t = textCol
     val chars = s"transform(sequence(1, length($t)), i -> substring($t, i, 1))"
     expr(s"""CASE WHEN length($t) = 0 OR $t IS NULL THEN 0.0D ELSE

@@ -685,6 +685,7 @@ class LlmSpec extends GraftSuite {
   test("charEntropy matches closed-form Shannon values") {
     val s = spark
     import s.implicits._
+    graft.GraftExtensions.install(s)
     val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, "aab"), (5L, ""))
       .toDF("doc_id", "text")
     val out = docs.select(sc("doc_id"), TextOps.charEntropy("text").as("e"))
@@ -695,6 +696,25 @@ class LlmSpec extends GraftSuite {
     assert(out(3) === 0.918296) // H(2/3, 1/3) to 6 dp
     assert(out(4) === 0.0) // empty text
     assert(!out(0).toString.startsWith("-")) // -0.0 canonicalized
+  }
+
+  test("native char_entropy is value-identical to the oracle HOF formulation") {
+    val s = spark
+    graft.GraftExtensions.install(s)
+    // real corpus text plus adversarial edges (repeats, unicode, spaces)
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("text"))
+    import s.implicits._
+    val edges = Seq("zzzzzz", "a b a b ", "héllo wörld", "0123456789" * 30,
+      "x", "  ", "日本語テキスト日本").toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val mismatches = df
+        .select(TextOps.charEntropy("text").as("nat"),
+          TextOps.charEntropyHof("text").as("hof"))
+        .where(sc("nat") =!= sc("hof"))
+        .count()
+      assert(mismatches === 0L)
+    }
   }
 
   test("dedupLines keeps first occurrences in order, including empty lines") {
