@@ -1150,8 +1150,9 @@ object SparkEntry {
     // --- SemDeDup: k-means cells + within-cell cosine closure, keep one
     //     representative per semantic-duplicate group. k ~ sqrt(n) per the
     //     paper (cells stay O(sqrt n) so within-cell pairs are O(n) total,
-    //     never all-pairs); one count action parameterizes BOTH sides (the
-    //     oracle derives the same k via floor(sqrt(count(*)))). Threshold
+    //     never all-pairs); kmeansFitSqrtK sizes k by counting its own
+    //     CACHED projection — no extra corpus scan (the oracle derives the
+    //     same k via floor(sqrt(count(*)))). Threshold
     //     0.45 is the top of this synthetic corpus's cosine range (near-
     //     orthogonal vectors, max pairwise ~0.55 — the paper's 0.9+ would
     //     match zero pairs here); it yields a sparse duplicate graph, not
@@ -1161,9 +1162,8 @@ object SparkEntry {
       m(dir, "embeddings")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val k = math.floor(math.sqrt(df.count().toDouble)).toLong
-          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
-            initPred = F.col("vec_id") < k, iters = 2)
+          val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+            df, "vec_id", "embedding", iters = 2)
           graft.llm.Embeddings.semDedup(df, "vec_id", "embedding", cents,
             threshold = SemThreshold, maxCellSize = SemMaxCell)
             .groupBy(F.col("label")).agg(F.count(F.lit(1)).as("n_kept"))
@@ -1214,13 +1214,15 @@ object SparkEntry {
         .run(s)),
 
     // --- TRAINED IVF: 2 Lloyd's iterations (deterministic, decimal-exact
-    //     means) then serve top-k from the fitted cells ---
+    //     means) then serve top-k from the fitted cells. k ~ sqrt(n) keeps
+    //     per-probe serving cost O(sqrt n) — a fixed k would make every
+    //     probe linearly heavier as the corpus grows ---
     "q_ann_ivf_trained" -> ((s, dir) =>
       m(dir, "embeddings")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
-            initPred = F.col("vec_id") < 8, iters = 2)
+          val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+            df, "vec_id", "embedding", iters = 2)
           graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
             queryPred = F.col("vec_id") < 3, k = 5)
         }
@@ -1233,8 +1235,8 @@ object SparkEntry {
       m(dir, "embeddings")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val cents = graft.llm.Embeddings.kmeansFit(df, "vec_id", "embedding",
-            initPred = F.col("vec_id") < 8, iters = 2)
+          val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+            df, "vec_id", "embedding", iters = 2)
           graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
             queryPred = F.col("vec_id") < 3, k = 5, nprobe = 2)
         }
@@ -2803,12 +2805,13 @@ object SparkEntry {
   private val SemKPredSql: String =
     "vec_id < (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
-  /** Shared trained-IVF CTE chain: seed centroids (`initPred`, default
-    * vec_id < 8), two unrolled Lloyd's iterations, final assignment
+  /** Shared trained-IVF CTE chain: seed centroids (`initPred`), two
+    * unrolled Lloyd's iterations, final assignment
     * `sf(vec_id, embedding, cell)`. Appended tails serve nprobe=1
     * (`q_ann_ivf_trained`), nprobe=2 (`q_ann_ivf_probe`), and the
-    * sqrt(n)-seeded SemDeDup cells (`q_semdedup`). */
-  private def kmeansCtes(initPred: String = "vec_id < 8"): String =
+    * SemDeDup cells (`q_semdedup`) — all three now seed k = floor(sqrt(n))
+    * cells, replaying [[graft.llm.Embeddings.kmeansFitSqrtK]]. */
+  private def kmeansCtes(initPred: String): String =
     s"""WITH init AS (
          SELECT vec_id AS cid,
                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
@@ -2825,7 +2828,7 @@ object SparkEntry {
          FROM embeddings e CROSS JOIN c2 cc
        ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
 
-  private lazy val KmeansCtes: String = kmeansCtes()
+  private lazy val KmeansCtes: String = kmeansCtes(SemKPredSql)
 
   /** Embedding dimensionality of the shipped testdata (TESTDATA.md).
     * DuckDB's range() cannot take lateral column refs, so the per-dim

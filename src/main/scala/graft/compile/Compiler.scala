@@ -204,9 +204,14 @@ object Compiler {
               case other => throw new IllegalArgumentException(
                 s"approx_percentile $what must be a numeric literal, got $other")
             }
+            // Accuracy is optional (Spark itself accepts the 2-arg form, and
+            // 2-arg calls arrive via the wire format): default to 10000,
+            // Spark's own ApproximatePercentile default.
+            val accuracy: Int =
+              if (args.lift(2).isEmpty) 10000
+              else num(args.lift(2), "accuracy").toInt
             call_function("approx_percentile", go(args.head),
-              lit(num(args.lift(1), "fraction")),
-              lit(num(args.lift(2), "accuracy").toInt))
+              lit(num(args.lift(1), "fraction")), lit(accuracy))
           case "floor"    => floor(go(args.head))
           case "ceiling"  => ceil(go(args.head))
           // scalar string helpers (beyond-reference; used by the LLM text

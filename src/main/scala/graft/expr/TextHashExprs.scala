@@ -446,8 +446,12 @@ object TextEntropy {
     val it = counts.values().iterator()
     while (it.hasNext) {
       val p = it.next().intValue() / nd
-      // Spark's log2 lowers to java.lang.Math.log(x) / Math.log(2.0)
-      acc -= p * (java.lang.Math.log(p) / java.lang.Math.log(2.0))
+      // Spark's Log2 expression evaluates via java.lang.StrictMath.log
+      // (spark-catalyst 4.1.2, both interpreted and codegen paths). Math.log
+      // is a HotSpot intrinsic allowed to differ by 1 ulp, so StrictMath is
+      // required for the bit-for-bit native==HOF value identity the spec and
+      // oracle assert.
+      acc -= p * (java.lang.StrictMath.log(p) / java.lang.StrictMath.log(2.0))
     }
     java.math.BigDecimal.valueOf(acc + 0.0)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -303,6 +303,13 @@ object Dedup {
   ): DataFrame = {
     require(trainPercent > 0 && trainPercent < 100,
       s"trainPercent must be in (0,100), got $trainPercent")
+    // `clusters` must be clusterPairs output: keyed (doc_id, cluster_id)
+    // regardless of what the corpus frame calls its id column. Fail loudly
+    // on anything else rather than silently misaligning the join.
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      s"clusters must be clusterPairs output with (doc_id, cluster_id) " +
+        s"columns; got [${clusters.columns.mkString(", ")}]")
     val cutoff = (trainPercent / 100.0 * 4294967296.0).toLong
     val rep = clusters.select(col("doc_id").as(idCol),
       col("cluster_id").as("__rep__"))

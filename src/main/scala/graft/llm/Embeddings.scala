@@ -261,10 +261,45 @@ object Embeddings {
       initPred: Column,
       iters: Int,
       scope: CacheScope = CacheScope.global,
+  ): DataFrame =
+    lloyd(cacheBase(emb, idCol, vecCol, scope), initPred, iters)
+
+  /** [[kmeansFit]] with k = floor(sqrt(n)) seed cells (the SemDeDup / IVF
+    * sizing: cells stay O(sqrt n), so within-cell work is O(n) total and
+    * per-probe serving cost shrinks as the corpus grows). Sizing counts the
+    * CACHED projection — the count action doubles as cache materialization,
+    * so the corpus is scanned exactly once for count + init + every
+    * assignment pass (a raw `emb.count()` before fit would add a whole
+    * extra corpus scan at 100 TB). Seed ids are `idCol < k`, matching the
+    * oracle's `vec_id < floor(sqrt(count(*)))` predicate. */
+  def kmeansFitSqrtK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      scope: CacheScope = CacheScope.global,
   ): DataFrame = {
-    graft.GraftExtensions.install(emb.sparkSession)
+    val base = cacheBase(emb, idCol, vecCol, scope)
+    val k = math.floor(math.sqrt(base.count().toDouble)).toLong
+    lloyd(base, col("__vid__") < k, iters)
+  }
+
+  /** The cached (__vid__, __v__, __n__) projection every Lloyd's pass
+    * reads. Cached once per fit; callers release via the scope. */
+  private def cacheBase(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scope: CacheScope,
+  ): DataFrame =
+    scope.cache(emb
+      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+      .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
+
+  private def lloyd(base: DataFrame, initPred: Column, iters: Int): DataFrame = {
+    graft.GraftExtensions.install(base.sparkSession)
     require(iters >= 0, "iters must be non-negative")
-    val spark = emb.sparkSession
+    val spark = base.sparkSession
     // Centroids are MODEL PARAMETERS, not data: k×dim values, bounded tiny
     // by the same k ≪ n argument that lets withCell broadcast them (MLlib's
     // KMeans keeps centers on the driver for the same reason). Pinning each
@@ -276,10 +311,6 @@ object Embeddings {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(k.collect().toSeq.asJava, k.schema)
     }
-    // every iteration's assignment pass reads (vector, norm) — cache once
-    val base = scope.cache(emb
-      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
-      .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
     var cents = pin(base.where(initPred)
       .select(col("__vid__").as("cid"),
         expr("transform(__v__, v -> CAST(v AS double))").as("cv")))
