@@ -6,8 +6,24 @@ import org.apache.spark.sql.SparkSession
   * write sink (a `.count()` would let Catalyst prune every column of
   * projection-only queries and under-measure scan+compute), after one
   * untimed warm-up query to absorb JIT/codegen compilation cost.
+  *
+  * Stall-proofing: the host VM intermittently freezes (round 7's driver
+  * artifact recorded 765 s for a sweep that reruns at 69 s — a trivial
+  * projection "took" 15 s), so wall time alone cannot distinguish a slow
+  * engine from a stalled host. Each timing therefore records the JVM's
+  * process-CPU delta next to wall time: during a host stall the process
+  * accrues no CPU, so `wall >> cpu` flags the measurement itself as
+  * untrustworthy. Flagged queries (wall > 1 s with cpu < half of wall, or
+  * any wall > 10 s) are re-run up to two more times and the median wall
+  * (with its paired cpu) is reported, plus a `reruns` map naming what was
+  * re-measured — the artifact itself now carries the evidence needed to
+  * adjudicate a stall, instead of leaving it to post-hoc forensics.
   */
 object Bench {
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,17 +38,43 @@ object Bench {
     // re-adds etc.) can interleave after it — silence them at the source
     spark.sparkContext.setLogLevel("ERROR")
 
-    def exec(name: String): Double = {
+    /** One timed run: (wall seconds, process-CPU seconds). (-1, -1) on
+      * failure. CPU is the whole-JVM delta — all 32 local executor threads
+      * plus the driver — so cpu/wall ≈ effective parallelism when healthy
+      * and collapses toward 0 when the host stalls under the JVM. */
+    def exec(name: String): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1.0)
       }
       finally llm.CacheScope.global.release() // each query re-caches its own
                                               // frames inside its timed run
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+    }
+
+    /** A first measurement is suspect when the JVM was idle for most of
+      * the wall it was charged (host stall signature: even a fully skewed
+      * single-thread query keeps cpu ≈ wall), or simply extreme — no
+      * query in this suite legitimately needs 10 s at sf0.1. */
+    def suspect(wall: Double, cpu: Double): Boolean =
+      wall >= 0 && ((wall > 1.0 && cpu < 0.5 * wall) || wall > 10.0)
+
+    /** Measure with stall protection: re-run suspect timings (two extra
+      * runs) and take the median wall with its paired cpu. Returns
+      * (wall, cpu, nRuns). */
+    def measure(name: String): (Double, Double, Int) = {
+      val first = exec(name)
+      if (!suspect(first._1, first._2)) (first._1, first._2, 1)
+      else {
+        val runs = (first +: Seq.fill(2)(exec(name))).filter(_._1 >= 0)
+        if (runs.isEmpty) (-1.0, -1.0, 3)
+        else { val (w, c) = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)
+                 .apply(runs.size / 2); (w, c, 3) }
+      }
     }
 
     // warm-up, untimed: one relational aggregate + one llm text/hash
@@ -45,13 +87,15 @@ object Bench {
     // isolation — pass 1 includes per-query codegen, passes 2-3 are steady
     // state). Without args: the driver's full single-pass sweep.
     if (args.nonEmpty) {
-      for (pass <- 1 to 3; n <- args)
-        println(f"[bench] pass $pass $n%-28s ${exec(n)}%8.3f s")
+      for (pass <- 1 to 3; n <- args) {
+        val (w, c) = exec(n)
+        println(f"[bench] pass $pass $n%-28s wall $w%8.3f s  cpu $c%8.3f s")
+      }
       spark.stop()
       return
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> measure(n))
     val headline = Seq(
       "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
       "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
@@ -59,22 +103,29 @@ object Bench {
       "q_pipeline_clean", "q_text_quality", "q_pack_sequences")
     val byName = results.toMap
     val qs = headline.filter(byName.contains)
-      .map(k => f""""$k":${byName(k)}%.3f""").mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+      .map(k => f""""$k":${byName(k)._1}%.3f""").mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
+    val nRerun = results.count(_._2._3 > 1)
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_s":$totalCpu%.3f,"n_reruns":$nRerun,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE, not the console: the driver
     // captures only the last ~2k chars of combined output, and sbt's
     // stderr relay lags stdout, so detail lines printed to stderr BEFORE
     // the JSON line landed AFTER it in the capture and pushed the JSON's
     // start out of the window (rounds 1-3 and 5 all came back
-    // `parsed: null`). The file carries BOTH the compact headline line
-    // (longitudinal grading) and the full per-query map.
+    // `parsed: null`). The file carries the compact headline line
+    // (longitudinal grading), the per-query wall map, the per-query
+    // process-CPU map, and which queries needed median-of-3.
     val detail = results
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => f""""$k":${v._1}%.3f""" }.mkString("{", ",", "}")
+    val cpuDetail = results
+      .map { case (k, v) => f""""$k":${v._2}%.3f""" }.mkString("{", ",", "}")
+    val reruns = results.filter(_._2._3 > 1)
+      .map { case (k, v) => s""""$k":${v._3}""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"compact":$compact,"detail":$detail}"""
+      s"""{"compact":$compact,"detail":$detail,"cpu":$cpuDetail,"reruns":$reruns}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // give sbt's async stderr relay (any residual ERROR lines) time to
     // drain so nothing interleaves after the JSON line in the combined
