@@ -971,25 +971,34 @@ object Compiler {
     * wall (one bot group with 50M events = one non-spillable aggregation
     * buffer).
     *
-    * v2 removes the journey entirely: a chain of windowed min-struct
-    * aggregates under the SAME group partitioning —
-    *   m0 = min(struct(t, ei)) over group where step-0 matches
-    *   mk = min(struct(t, ei)) over group where step-k matches and
-    *        t > m(k-1).t          (greedy "first strictly after")
-    * then one groupBy(group) to collapse to the output grain. Window min
-    * state is O(1) per partition and Spark's window buffer spills to disk,
-    * so per-group memory is bounded. Equal-timestamp semantics match the
+    * v3 removes the journey entirely: ONE custom aggregate —
+    * [[graft.expr.GreedyChain]] `greedy_chain(t, mask, K)`, a
+    * TypedImperativeAggregate whose state is the pruned per-step candidate
+    * frontier (O(steps) when groups match early; see its scaladoc for the
+    * monotone-cap pruning argument) — computes every step's matched time
+    * per group in a single hash aggregate with map-side combine, so the
+    * shuffle moves frontier-sized state instead of events. v2's chain of K
+    * dependent windowed min-struct aggregates was semantically identical
+    * but buffered every group's full event list K+1 times through
+    * WindowExec's spill array (a 50M-event bot group = K+1 full spill
+    * passes); the aggregate does zero per-group buffering.
+    *
+    * A second narrow pass (join the per-key chain back, count events
+    * before each matched time) recovers `step_k_event_index` — the matched
+    * event's 1-based position in the group's time-ordered event sequence —
+    * deterministically, replacing v2's tie-arbitrary row_number. Per the
+    * reference (match_steps.py:366-378) indices beyond the time limit are
+    * now nulled like their timestamps. Equal-timestamp semantics match the
     * reference's journey tie-break (ts asc, step-char DESC: a later step
     * sharing the previous step's timestamp sorts BEFORE it in the journey
     * and is therefore not matched — exactly what strict `t >` produces).
     *
-    * Non-partitioned plan: ONE shuffle (row_number, every window, and the
-    * final groupBy all share hash(group) partitioning). With
-    * partition_start_events the grain is (group × partition of first step-0
-    * event) (match_steps.py:387-447): anchors = first step-0 event per
-    * (group, partition), inner-joined back on group (entities that never
-    * entered a journey are dropped, :271-283), windows then run per
-    * (group, partition).
+    * With partition_start_events the grain is (group × partition of first
+    * step-0 event) (match_steps.py:387-447): anchors = first step-0 event
+    * time per (group, partition), inner-joined back on group (entities
+    * that never entered a journey are dropped, :271-283); step 0's mask
+    * bit becomes `t == anchor_t`, pinning each replica's chain start to
+    * its partition's anchor.
     *
     * time_limit is evaluated after greedy assembly, matching the
     * reference's documented pessimism (match_steps.py:177-178), and is
@@ -1000,6 +1009,7 @@ object Compiler {
   private def compileMatchSteps(ms: Source.MatchSteps, spark: SparkSession): Frame = {
     import ms._
     require(steps.size <= 62, "Too many unique step types to match against.")
+    graft.GraftExtensions.install(spark)
     val bf = compileSource(base, spark)
 
     val gIdent = schema.group.identifier
@@ -1011,53 +1021,57 @@ object Compiler {
     val partCols = partitionStartEvents.map(p => compileExpr(p, bf))
     val pNames = partIdents.map(id => nsCol("part", id))
 
-    // event stream: group, ts, per-step match flags, partition values,
-    // per-group event index (stable key for the per-step event-row joins)
-    var ev = bf.df.withColumn("__g__", gCol).withColumn("__t__", tCol)
+    // event stream: group, activity timestamp (normalized to TIMESTAMP),
+    // per-step match flags, partition values
+    var ev = bf.df.withColumn("__g__", gCol)
+      .withColumn("__t__", tCol.cast("timestamp"))
     pNames.zip(partCols).foreach { case (n, c) => ev = ev.withColumn(n, c) }
     condCols.zipWithIndex.foreach { case (c, k) => ev = ev.withColumn(s"__c${k}__", c) }
-    ev = ev.withColumn("__ei__",
-      row_number().over(Window.partitionBy(col("__g__")).orderBy(col("__t__"))))
 
-    // (work, key): rows the window chain runs over and its partitioning
+    // (work, key): rows the chain aggregate runs over and its grouping
     val (work, keyNames) =
-      if (partitionStartEvents.isEmpty) {
-        val w = Window.partitionBy(col("__g__"))
-        (ev.withColumn("__m0__",
-          min(when(col("__c0__"), struct(col("__t__").as("t"), col("__ei__").as("ei"))))
-            .over(w)),
-          Seq("__g__"))
-      } else {
-        // anchor = first step-0 event per (group, partition); inner join
-        // replicates each group's events once per entered partition
+      if (partitionStartEvents.isEmpty) (ev, Seq("__g__"))
+      else {
+        // anchor = first step-0 event time per (group, partition); inner
+        // join replicates each group's events once per entered partition
         val anchors = ev.where(col("__c0__"))
           .groupBy((col("__g__") +: pNames.map(col)): _*)
-          .agg(min(struct(col("__t__").as("t"), col("__ei__").as("ei"))).as("__m0__"))
+          .agg(min(col("__t__")).as("__a0t__"))
         (ev.drop(pNames: _*).join(anchors, "__g__"), "__g__" +: pNames)
       }
-    val wKey = Window.partitionBy(keyNames.map(col): _*)
 
-    // greedy chain: mk = first step-k event strictly after m(k-1)
-    var chained = work
-    (1 until steps.size).foreach { k =>
-      val prev = col(s"__m${k - 1}__")
-      chained = chained.withColumn(s"__m${k}__",
-        min(when(col(s"__c${k}__") && prev.isNotNull && col("__t__") > prev.getField("t"),
-          struct(col("__t__").as("t"), col("__ei__").as("ei")))).over(wKey))
-    }
+    // step-membership bitmask; with partitions, step 0 pins to the anchor
+    val bit0: Column =
+      if (partitionStartEvents.isEmpty) col("__c0__")
+      else col("__t__") === col("__a0t__")
+    val maskCol = steps.indices.map { k =>
+      val flag = if (k == 0) bit0 else col(s"__c${k}__")
+      when(flag, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
-    // collapse to the output grain: one row per (group[, partitions]);
-    // window columns are constant per key so first() is deterministic
-    val aggs = steps.indices.map(k => first(col(s"__m${k}__")).as(s"__m${k}__"))
-    var out = chained.groupBy(keyNames.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    // pass 1: the whole greedy chain in one bounded-state hash aggregate
+    val chain = work.groupBy(keyNames.map(col): _*)
+      .agg(call_function("greedy_chain", col("__t__"), maskCol, lit(steps.size))
+        .as("__mt__"))
 
-    // per-step matched timestamp + event id, with calendar-aware time_limit
-    // (cutoff = step0_ts + INTERVAL) applied after greedy assembly
-    val base0t = col("__m0__").getField("t")
+    // pass 2: matched-event positions — count of the group's events
+    // strictly before each matched time (1-based; ties at the matched
+    // instant take the first slot). Null-timestamp events are unmatchable
+    // and occupy no position.
+    val ltAggs = steps.indices.map(k =>
+      count(when(col("__t__") < element_at(col("__mt__"), k + 1), 1))
+        .as(s"__lt${k}__"))
+    var out = work.join(chain, keyNames)
+      .groupBy(keyNames.map(col): _*)
+      .agg(first(col("__mt__")).as("__mt__"), ltAggs: _*)
+
+    // per-step matched timestamp + event index, with calendar-aware
+    // time_limit (cutoff = step0_ts + INTERVAL) applied after greedy
+    // assembly; indices beyond the limit are nulled like their timestamps
+    // (reference match_steps.py:366-378)
+    val base0t = element_at(col("__mt__"), 1)
     steps.zipWithIndex.foreach { case (st, k) =>
-      val mk = col(s"__m${k}__")
-      val rawTs = mk.getField("t")
+      val rawTs = element_at(col("__mt__"), k + 1)
       val ts =
         if (k == 0) rawTs
         else timeLimit match {
@@ -1066,31 +1080,49 @@ object Compiler {
         }
       out = out
         .withColumn(nsCol(st.name, tsIdent), ts)
-        .withColumn(s"__sei_${k}__", when(ts.isNotNull, mk.getField("ei")))
-        .withColumn(s"step_${k}_event_index", mk.getField("ei").cast("long"))
+        .withColumn(s"step_${k}_event_index",
+          when(ts.isNotNull, col(s"__lt${k}__") + 1).cast("long"))
     }
     out = out.withColumn(gIdent, col("__g__"))
     partIdents.zip(pNames).foreach { case (id, n) => out = out.withColumn(id, col(n)) }
-    val frame = new Frame(out.drop(steps.indices.map(k => s"__m${k}__"): _*))
+    val frame = new Frame(out.drop("__mt__" +: steps.indices.map(k => s"__lt${k}__"): _*))
 
     // lazy per-step joins for full event rows (reference final-layer joins,
-    // match_steps.py:288-320), keyed by (group, event index)
+    // match_steps.py:288-320), keyed by (group, matched timestamp) with a
+    // deterministic representative among same-instant step matches (the
+    // lexicographically smallest event row over its orderable columns) —
+    // v2 keyed on a tie-arbitrary row_number here
     val baseCols = bf.df.columns.toSeq
     steps.zipWithIndex.foreach { case (st, k) =>
       val ns = st.name
       val build = () => {
         val keep = baseCols.filterNot(c => nsCol(ns, c) == nsCol(ns, tsIdent))
-        ev.select(
-          col("__g__").as(nsCol(ns, "__g__")) +:
-            col("__ei__").as(nsCol(ns, "__ei__")) +:
-            keep.map(c => col(c).as(nsCol(ns, c))): _*)
+        val matching = ev.where(col(s"__c${k}__"))
+        val ordKeys = keep.filter(c => isOrderable(matching.schema(c).dataType))
+        val ordCol = if (ordKeys.isEmpty) lit(1) else struct(ordKeys.map(col): _*)
+        matching
+          .groupBy(col("__g__"), col("__t__"))
+          .agg(min_by(struct(keep.map(col): _*), ordCol).as("__rep__"))
+          .select(
+            col("__g__").as(nsCol(ns, "__g__")) +:
+              col("__t__").as(nsCol(ns, "__t__")) +:
+              keep.map(c => col(s"__rep__.$c").as(nsCol(ns, c))): _*)
       }
       val cond = (fr: Frame) =>
         col(gIdent) === col(nsCol(ns, "__g__")) &&
-          col(s"__sei_${k}__") === col(nsCol(ns, "__ei__"))
+          col(nsCol(ns, tsIdent)) === col(nsCol(ns, "__t__"))
       frame.pending(ns) = PendingJoin(ns, build, cond, "left_outer")
     }
     frame
+  }
+
+  /** Conservative orderability check for the match_steps join tie-break:
+    * maps and interval/variant types cannot key a deterministic min. */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => isOrderable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => isOrderable(a.elementType)
+    case other => other.typeName != "calendarinterval" && other.typeName != "variant"
   }
 
   // =================== runner ===================

@@ -179,4 +179,83 @@ class FunnelSpec extends GraftSuite {
       .sessionize(900)
     assert(graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(m)) === m)
   }
+
+  test("match_steps hot group: 120k events in one group through the bounded aggregate") {
+    // One bot-like group with 120k events, half of them matching step 1
+    // BEFORE the step-0 anchor (the adversarial shape for frontier
+    // retention). The old window-chain design buffered all 120k rows
+    // K+1 times per group; the greedy_chain aggregate's state is the
+    // pruned candidate frontier.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val n = 120000
+    val df = s.range(n).select(
+      F.lit(1L).as("user_id"),
+      F.expr("timestamp_seconds(1700000000 + id)").as("timestamp"),
+      F.when(F.col("id") === 60001L, "view")
+        .when(F.col("id") % 2 === 0, "click")
+        .otherwise("noise").as("event"))
+      .repartition(8) // force partial-state merges across partitions
+    val matched = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("view", "click", "purchase"))
+    val out = matched.pick(
+      col("user_id"),
+      matched.rel("view").attr("timestamp").named("view_ts"),
+      matched.rel("click").attr("timestamp").named("click_ts"),
+      matched.rel("purchase").attr("timestamp").named("purchase_ts"))
+    val plan = out.sort(col("user_id")).run(s)
+    assert(plan.queryExecution.executedPlan.toString.contains("greedy_chain"),
+      "plan must run the custom bounded-state chain aggregate")
+    val rows = plan.collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    // view at t=60001; first click strictly after = 60002; no purchase
+    assert(r.getTimestamp(1).getTime === (1700000000L + 60001) * 1000)
+    assert(r.getTimestamp(2).getTime === (1700000000L + 60002) * 1000)
+    assert(r.isNullAt(3))
+  }
+
+  test("match_steps matches a brute-force sorted-scan oracle under random partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val events = Seq.fill(300)((
+        rnd.nextInt(5).toLong,                                  // group
+        new Timestamp(1700000000000L + rnd.nextInt(40) * 1000L), // ts (ties!)
+        Seq("a", "b", "c", "x", "y")(rnd.nextInt(5))))           // event
+      val df = events.toDF("user_id", "timestamp", "event")
+        .repartition(7 + trial)
+      val matched = Model.fromDF(df)
+        .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+        .matchSteps(Seq[StepSpec]("a", "b", "c"))
+      val got = matched.pick(
+        col("user_id"),
+        matched.rel("a").attr("timestamp").named("a_ts"),
+        matched.rel("b").attr("timestamp").named("b_ts"),
+        matched.rel("c").attr("timestamp").named("c_ts"))
+        .sort(col("user_id")).run(s).collect()
+        .map(r => (r.getLong(0),
+          Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+
+      // brute force: greedy first-strictly-after over times per group
+      val expected = events.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, evs) =>
+        def firstAfter(step: String, after: Option[Long]): Option[Long] = {
+          val cands = evs.filter(_._3 == step).map(_._2.getTime)
+          after match {
+            case None if step == "a" => if (cands.isEmpty) None else Some(cands.min)
+            case Some(x) => cands.filter(_ > x).sorted.headOption
+            case None => None
+          }
+        }
+        val a = firstAfter("a", None)
+        val b = firstAfter("b", a)
+        val c = firstAfter("c", b)
+        (g, a.map(new Timestamp(_)), b.map(new Timestamp(_)), c.map(new Timestamp(_)))
+      }
+      assert(got.toSeq === expected, s"trial $trial")
+    }
+  }
 }
