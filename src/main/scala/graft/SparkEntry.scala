@@ -703,6 +703,27 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- xlsx file connector (pure-JDK codec; region written as a real
+    //     workbook by the fixture encoder, read back through the Source
+    //     seam — reference duckdb_connection.py:96-117 via pandas
+    //     read_excel). The 5-row collect is the fixture ENCODER, not the
+    //     query: spreadsheets are driver-sized by construction. ---
+    "q_xlsx_source" -> ((s, dir) => {
+      val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      java.nio.file.Files.createDirectories(fixDir)
+      val path = fixDir.resolve(
+        "region_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".xlsx").toString
+      val rows = s.read.parquet(s"$dir/region.parquet")
+        .select("r_regionkey", "r_name").na.drop()
+        .collect().sortBy(_.getInt(0))
+        .map(r => Seq[Any](r.getInt(0).toLong, r.getString(1))).toSeq
+      graft.sources.Xlsx.write(path, Seq("r_regionkey", "r_name"), rows)
+      Model.xlsx(path)
+        .pick(cast(col("r_regionkey"), "int").named("r_regionkey"), col("r_name"))
+        .sort(col("r_regionkey"))
+        .run(s)
+    }),
+
     // --- nested join namespace: orders → customer → nation without
     //     pre-materializing the inner join ---
     "q_join_nested" -> ((s, dir) => {
@@ -1855,6 +1876,8 @@ object SparkEntry {
          WHERE list_contains(regexp_split_to_array(text, ' '), 'spark')
          GROUP BY 1 ORDER BY 1""",
     "q_json_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_xlsx_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_segment_ltv" ->
       """SELECT CAST(sum(CAST(total AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ltv,

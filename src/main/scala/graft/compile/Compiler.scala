@@ -597,14 +597,9 @@ object Compiler {
         .option("inferSchema", "true").csv(p))
     case Source.JsonFile(p) => new Frame(spark.read.json(p))
     case Source.XlsxFile(p, sheet) =>
-      // the seam is real (wire round-trips, composes in Source trees);
-      // only the physical read needs a spreadsheet datasource this
-      // offline build can't carry — fail loudly, never read garbage
-      throw new UnsupportedOperationException(
-        s"xlsx source '$p'${sheet.fold("")(sh => s" (sheet $sh)")} requires a " +
-          "spreadsheet datasource (e.g. spark-excel) on the classpath; " +
-          "unavailable in this offline build. Convert to csv/parquet or " +
-          "register the codec and extend Compiler.compileSource here.")
+      // pure-JDK codec (ZIP + SAX): header row + pandas-style type
+      // inference; yields a LocalRelation that downstream joins broadcast
+      new Frame(graft.sources.Xlsx.read(spark, p, sheet))
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)

@@ -34,13 +34,11 @@ object Source {
   /** JSON-lines file/directory scan (duckdb_connection.py:96-117). */
   final case class JsonFile(path: String) extends Source
 
-  /** Excel sheet scan (reference duckdb_connection.py:96-117 registers
-    * .xlsx paths via DuckDB's spreadsheet reader). The node is a full
-    * wire-format citizen — models referencing xlsx sources serialize,
-    * deserialize, and compose — but COMPILING it requires a spreadsheet
-    * codec (e.g. a spark-excel datasource), which this offline build
-    * cannot add; Compiler fails with a clear unsupported-here error
-    * rather than a silent wrong read. `sheet` None → first sheet. */
+  /** Excel sheet scan (reference duckdb_connection.py:96-117 loads .xlsx
+    * via pandas.read_excel). Compiled through the pure-JDK codec in
+    * [[graft.sources.Xlsx]] (ZIP + SAX — no spreadsheet dependency):
+    * first row = header, pandas-style per-column type inference.
+    * `sheet` None → first sheet. */
   final case class XlsxFile(path: String, sheet: Option[String] = None)
       extends Source
 

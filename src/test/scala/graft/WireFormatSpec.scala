@@ -112,10 +112,10 @@ class WireFormatSpec extends GraftSuite {
     assert(m.run(spark).count() === rebuilt.run(spark).count())
   }
 
-  test("xlsx source round-trips on the wire and fails compile with a clear error") {
+  test("xlsx source round-trips on the wire and compiles to a physical read") {
     // the seam is wire- and composition-complete (reference parity:
-    // duckdb_connection.py:96-117 registers .xlsx paths); only the
-    // physical read is unsupported in this offline build
+    // duckdb_connection.py:96-117 registers .xlsx paths), and since
+    // round 8 the physical read is real (pure-JDK ZIP+SAX codec)
     val m = Model.xlsx("/data/budget.xlsx", Some("Q3"))
       .filter(col("amount") > lit(100.0))
       .pick(col("dept"), col("amount"))
@@ -123,10 +123,18 @@ class WireFormatSpec extends GraftSuite {
     assert(rebuilt === m)
     val noSheet = WireFormat.fromJson(WireFormat.toJson(Model.xlsx("/data/a.xlsx")))
     assert(noSheet === Model.xlsx("/data/a.xlsx"))
-    val e = intercept[UnsupportedOperationException] { m.run(spark) }
-    assert(e.getMessage.contains("spreadsheet datasource"))
-    assert(e.getMessage.contains("budget.xlsx"))
-    assert(e.getMessage.contains("Q3"))
+
+    // end-to-end through a real workbook: write → wire round-trip → run
+    val path = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      .resolve("budget.xlsx").toString
+    graft.sources.Xlsx.write(path, Seq("dept", "amount"),
+      Seq(Seq("eng", 250.5), Seq("ops", 99.0), Seq("eng", 101.0)), sheetName = "Q3")
+    val live = WireFormat.fromJson(WireFormat.toJson(
+      Model.xlsx(path, Some("Q3"))
+        .filter(col("amount") > lit(100.0))
+        .pick(col("dept"), col("amount"))))
+    val rows = live.run(spark).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows.toSeq === Seq(("eng", 101.0), ("eng", 250.5)))
   }
 
   test("runtime-object sources refuse serialization with a clear error") {
