@@ -10,4 +10,22 @@ class EntrySpec extends GraftSuite {
   test("every query has an oracle and every oracle has a query") {
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
+
+  test("plan lint: no cartesian product in any query's physical plan") {
+    // Whole-suite guard: a CartesianProductExec anywhere means a join lost
+    // its equi-condition (or a non-broadcastable nested loop slipped in) —
+    // the single worst 100TB failure mode. BroadcastNestedLoopJoin is
+    // allowed: every intentional crossJoin here broadcasts a 1-row/k-row
+    // frame. Runs at sf0.001 (plan shape is SF-independent).
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan =
+        try q(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    llm.CacheScope.global.release()
+    assert(offenders.isEmpty,
+      s"queries with cartesian products: ${offenders.mkString(", ")}")
+  }
 }
