@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -150,10 +150,16 @@ object Streams {
     * join, no state store, no watermark; it composes freely with the
     * stateful operators (dedup, sessionize) in either order. A benchmark
     * suite is a few thousand documents (the same tiny-side argument the
-    * batch operator uses to broadcast), so the literal is MBs; an eval
-    * set too big for that would swap the array for a bloom filter built
-    * by one static aggregate — same per-row predicate shape, bounded
-    * false-drop rate instead of exactness.
+    * batch operator uses to broadcast), so the literal is MBs.
+    *
+    * An eval set whose distinct gram count exceeds `maxExactGrams` swaps
+    * the array for a BLOOM FILTER built by one distributed aggregate
+    * (`df.stat.bloomFilter`, fpp = `bloomFpp`) and probed per row by the
+    * native `bloom_any_contain` expression — the same stateless predicate
+    * shape with a bounded plan size at ANY suite scale. The trade is
+    * one-sided: a Bloom filter has no false negatives, so contaminated
+    * documents can never leak through; clean documents are over-dropped
+    * at most at the fpp rate.
     *
     * Documents with fewer than `n` tokens carry no n-gram and pass (they
     * cannot leak an n-gram answer). Works on batch frames too (backfill
@@ -164,24 +170,37 @@ object Streams {
       eval: DataFrame,
       evalText: String,
       n: Int = 3,
+      maxExactGrams: Long = 1L << 20,
+      bloomFpp: Double = 0.001,
   ): DataFrame = {
-    val evalGrams = eval
+    graft.GraftExtensions.install(docs.sparkSession)
+    val evalGramsDf = eval
       .select(TextOps.tokens(col(evalText)).as("__toks__"))
       .where(size(col("__toks__")) >= n)
       .select(explode(array_distinct(TextOps.wordShingles("__toks__", n)))
         .as("__g__"))
       .select(md5(col("__g__").cast("binary")).as("__gh__"))
-      .distinct().collect().map(_.getString(0)).sorted
-    val evalArr = typedLit(evalGrams)
+      .distinct()
     // SAME tokens/shingles composition as the batch detector — one
     // tokenizer, two execution modes, no way to drift apart
-    docs
+    val withGrams = docs
       .withColumn("__toks__", TextOps.tokens(col(textCol)))
       .withColumn("__gh__",
         transform(array_distinct(TextOps.wordShingles("__toks__", n)),
           g => md5(g.cast("binary"))))
-      .where(!arrays_overlap(col("__gh__"), evalArr))
-      .drop("__toks__", "__gh__")
+    val nGrams = evalGramsDf.count()
+    val contaminated: Column =
+      if (nGrams <= maxExactGrams) {
+        val evalArr = typedLit(
+          evalGramsDf.collect().map(_.getString(0)).sorted.toSeq)
+        arrays_overlap(col("__gh__"), evalArr)
+      } else {
+        val bf = evalGramsDf.stat.bloomFilter("__gh__", nGrams, bloomFpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        call_function("bloom_any_contain", lit(bos.toByteArray), col("__gh__"))
+      }
+    withGrams.where(!contaminated).drop("__toks__", "__gh__")
   }
 
   def windowedCounts(

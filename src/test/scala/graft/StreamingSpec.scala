@@ -195,6 +195,53 @@ class StreamingSpec extends GraftSuite {
     assert(kept === docs.map(_._1).toSet -- flagged)
   }
 
+  test("oversized eval suites decontaminate through the bloom-filter path") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("eval_id", "text")
+    val docs = Seq(
+      (1L, "totally unrelated content here okay"),
+      (2L, "contains the quick brown fox inside"),
+      (3L, "too short"),
+      (4L, "brown fox jumps over something"),
+      (5L, "clean document streaming through nicely"))
+    val batch = docs.toDF("doc_id", "text")
+
+    // maxExactGrams = 0 forces the bloom path regardless of suite size
+    val viaBloom = Streams.streamingDecontaminate(
+      batch, "text", eval, "text", n = 3, maxExactGrams = 0L)
+    // analyzed plan, not executed: over a local fixture Catalyst constant-
+    // folds the whole filter into the LocalTableScan (which is itself
+    // evidence the predicate is a plain stateless expression)
+    assert(viaBloom.queryExecution.analyzed.toString.contains("bloom_any_contain"),
+      "oversized suite must probe the native bloom predicate, not a plan literal")
+    val keptBloom = viaBloom.select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // one-sided parity: no false negatives — every exact-contaminated doc
+    // is dropped by the bloom path too; over-drop is bounded by fpp
+    val keptExact = Streams.streamingDecontaminate(batch, "text", eval, "text", n = 3)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptBloom.subsetOf(keptExact), "bloom path must never leak contamination")
+    // at fpp=0.001 over a handful of grams the outcome is exact (and the
+    // filter's hashing is deterministic, so this equality is stable)
+    assert(keptBloom === keptExact)
+    assert(keptExact === Set(1L, 3L, 5L))
+
+    // and it still composes as a streaming filter
+    val ms = MemoryStream[(Long, String)](s)
+    val q = Streams.streamingDecontaminate(
+      ms.toDF.toDF("doc_id", "text"), "text", eval, "text", n = 3, maxExactGrams = 0L)
+      .writeStream.format("memory").queryName("decon_bloom_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs: _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM decon_bloom_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming dedup operator also runs in batch mode for backfill parity") {
     val s = spark
     import s.implicits._
