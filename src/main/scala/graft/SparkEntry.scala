@@ -977,6 +977,25 @@ object SparkEntry {
         .sort(col("doc_a")).sort(col("doc_b"))
         .run(s)),
 
+    // --- boilerplate hot-bucket skew: 10% of docs share ONE text, so one
+    //     LSH bucket per band holds n/10 docs and an uncapped self-join
+    //     would emit C(n/10, 2) candidate pairs (124,750 at sf0.1). The
+    //     bucket cap drops the degenerate bucket entirely — boilerplate is
+    //     noise, not near-dups of interest — keeping candidates linear;
+    //     the oracle replays the same injected corpus and cap. ---
+    "q_dedup_boilerplate_skew" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val corpus = df.withColumn("text",
+            F.when(F.col("doc_id") % 10 === 0, F.lit(BoilerplateText))
+              .otherwise(F.col("text")))
+          graft.llm.Dedup.minhashPairs(corpus, "doc_id", "text",
+            maxBucketSize = 8)
+        }
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
     // --- SimHash near-dup pairs (byte-band blocking, exact for hamming<=3) ---
     "q_dedup_simhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -2064,6 +2083,12 @@ object SparkEntry {
       (minhashPairsCtes(maxBucketSize = 2) +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
+    "q_dedup_boilerplate_skew" ->
+      (minhashPairsCtes(maxBucketSize = 8,
+        corpusSql = "SELECT doc_id, CASE WHEN doc_id % 10 = 0 " +
+          s"THEN '$BoilerplateText' ELSE text END AS text FROM documents") +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
     // blocks = non-overlapping 8-token windows (chunking CTE shape);
     // blocks whose text occurs in > 2 blocks corpus-wide are dropped;
     // string_agg skips NULLed-out blocks, coalesce matches Spark's
@@ -2764,7 +2789,15 @@ object SparkEntry {
     * exceeds the cap, exactly like the Spark side's count-over-window —
     * keep both formulations parameterized the same way so a capped query
     * can never silently desynchronize from its oracle (round-3 ADVICE). */
-  private def minhashPairsCtes(maxBucketSize: Int = 0): String = {
+  /** One boilerplate string, shared verbatim by the skew query and its
+    * oracle: injected into 10% of docs it collapses them into ONE LSH
+    * bucket in EVERY band — the hot-bucket shape that makes an uncapped
+    * band self-join quadratic. */
+  private val BoilerplateText =
+    "subscribe to our newsletter for updates and special offers today"
+
+  private def minhashPairsCtes(maxBucketSize: Int = 0,
+      corpusSql: String = "SELECT doc_id, text FROM documents"): String = {
     val bandCte =
       if (maxBucketSize <= 0)
         """), band AS (
@@ -2783,8 +2816,10 @@ object SparkEntry {
            SELECT doc_id, b, bh, count(*) OVER (PARTITION BY b, bh) AS bn
            FROM band_all) t
          WHERE bn <= $maxBucketSize"""
-    s"""WITH RECURSIVE toks AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    s"""WITH RECURSIVE corpus AS (
+         $corpusSql
+       ), toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
        ), sh AS (
          SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh

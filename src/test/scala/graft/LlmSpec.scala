@@ -81,6 +81,28 @@ class LlmSpec extends GraftSuite {
     assert(uncapped.count(_._1 >= 10L) === 10)    // 5 choose 2 without cap
   }
 
+  test("bucket cap keeps candidate growth linear as the boilerplate bucket scales") {
+    // 10% of docs share ONE text -> one hot bucket per band. Doubling the
+    // corpus quadruples the uncapped quadratic term (C(n/10, 2)) but the
+    // capped output must stay flat at the organic near-dups (zero here:
+    // every other doc is unique). The q_dedup_boilerplate_skew driver
+    // query is the oracle-gated twin of this property at sf scale.
+    val s = spark
+    import s.implicits._
+    def corpus(n: Int) = (0 until n).map { i =>
+      if (i % 10 == 0) (i.toLong, "subscribe to our newsletter for updates and offers")
+      else (i.toLong, s"unique document number $i about topic${i * 7} and subject${i * 13} entirely")
+    }.toDF("doc_id", "text")
+    def pairs(n: Int, cap: Int) =
+      Dedup.minhashPairs(corpus(n), "doc_id", "text", threshold = 0.5,
+        maxBucketSize = cap).count()
+    val (unc200, unc400) = (pairs(200, 0), pairs(400, 0))
+    assert(unc200 === 190L, "C(20,2) boilerplate pairs at n=200") // 20 choose 2
+    assert(unc400 === 780L, "C(40,2) at n=400: doubling n quadruples pairs")
+    assert(pairs(200, 8) === 0L && pairs(400, 8) === 0L,
+      "capped candidate count stays flat while the corpus doubles")
+  }
+
   test("stratified sample is deterministic with per-group rates") {
     val s = spark
     import s.implicits._
