@@ -1508,6 +1508,33 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("channel"))
         .run(s)),
 
+    // --- Full baseline-JPEG pixel decode (Huffman entropy decode + IDCT,
+    //     pure JDK): stats over block-CONSTANT grayscale fixtures encoded
+    //     with all-ones quantization, which makes the lossy format
+    //     losslessly checkable (DC-only blocks survive the DCT round-trip
+    //     bit-exactly). The oracle replays the per-block closed form;
+    //     only a correct Huffman + bitstream + IDCT decode of the real
+    //     compressed scan reproduces it. ---
+    "q_multimodal_jpeg" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Jpeg.fixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.decodePixels(withPayload, "payload")
+            .select(F.col("doc_id"),
+              F.lit(0).cast("int").as("channel"), F.col("px.n_px").as("n_px"),
+              F.element_at(F.col("px.sums"), 1).as("sum_v"),
+              F.element_at(F.col("px.mins"), 1).as("min_v"),
+              F.element_at(F.col("px.maxs"), 1).as("max_v"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -2637,6 +2664,27 @@ object SparkEntry {
                 CAST(min(v) AS BIGINT) AS min_v,
                 CAST(max(v) AS BIGINT) AS max_v
          FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replays Jpeg.fixture's closed form: block-constant value
+    // ((5·⌊x/8⌋ + 9·⌊y/8⌋ + 7·id) mod 200) + 28 over the non-8-aligned
+    // w×h crop — matching requires a correct baseline JPEG entropy
+    // decode (all-ones quantization makes the DCT round-trip exact).
+    "q_multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id,
+                  ((5 * (x.x // 8) + 9 * (y.y // 8) + 7 * d.doc_id) % 200) + 28 AS v
+           FROM d
+           CROSS JOIN range(0, 32) x(x)
+           CROSS JOIN range(0, 24) y(y)
+           WHERE x.x < 8 * (2 + d.doc_id % 3) - (d.doc_id % 5)
+             AND y.y < 8 * (2 + d.doc_id % 2) - (d.doc_id % 3))
+         SELECT doc_id, CAST(0 AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(min(v) AS BIGINT) AS min_v,
+                CAST(max(v) AS BIGINT) AS max_v
+         FROM px GROUP BY 1, 2 ORDER BY 1""",
 
     // BM25 with k1=1.2, b=0.75 over query bag (spark, window, vector):
     // same tokenization, same per-term tf, same ln-idf, same 6-dp rounding

@@ -618,8 +618,9 @@ object Multimodal {
   /** Decode a raster payload column into a `px` stats struct column (see
     * [[PixelSchema]]): one narrow mapPartitions, no shuffle — the same
     * batched per-partition shape as [[decode]], running the FULL pixel
-    * path (PNG: inflate + unfilter; GIF: LZW + palette). Unsupported /
-    * corrupt payloads yield a null struct. */
+    * path (PNG: inflate + unfilter; JPEG: baseline Huffman + IDCT, see
+    * [[Jpeg]]; GIF: LZW + palette). Unsupported / corrupt payloads yield
+    * a null struct. */
   def decodePixels(df: DataFrame, payloadCol: String,
       batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("px", PixelSchema, nullable = true))
@@ -631,6 +632,9 @@ object Multimodal {
           val px =
             if (payload != null && payload.length >= 8 &&
                 payload.startsWith(PngSignature)) decodePngPixels(payload)
+            else if (payload != null && payload.length >= 4 &&
+                (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+              Jpeg.decodePixels(payload)
             else decodeGifPixels(payload)
           Row.fromSeq(row.toSeq :+ px)
         }

@@ -610,6 +610,119 @@ class LlmSpec extends GraftSuite {
       hx("474946383961 4001 C800 00 00 00")).getInt(3) === 0)
   }
 
+  test("multimodal JPEG pixel decode: block-constant images round-trip exactly") {
+    // all-ones quantization + block-constant pixels = DC-only blocks whose
+    // coefficients survive quantize/dequantize bit-exactly, so the LOSSY
+    // format becomes losslessly checkable (the q_multimodal_jpeg oracle
+    // replays this closed form in SQL)
+    for (id <- 0L until 12L) {
+      val w = (8 * (2 + id % 3) - id % 5).toInt
+      val h = (8 * (2 + id % 2) - id % 3).toInt
+      def v(x: Int, y: Int): Long = ((5L * (x / 8) + 9L * (y / 8) + 7L * id) % 200L) + 28L
+      val bytes = graft.llm.Jpeg.fixture(id)
+      val meta = Multimodal.decodeMeta(bytes)
+      assert(meta.getString(0) === "jpeg" && meta.getInt(1) === w && meta.getInt(2) === h)
+      val px = graft.llm.Jpeg.decodePixels(bytes)
+      assert(px != null, s"fixture $id failed to decode")
+      assert(px.getInt(0) === w && px.getInt(1) === h && px.getInt(2) === 1)
+      val vs = for (y <- 0 until h; x <- 0 until w) yield v(x, y)
+      assert(px.getSeq[Long](4)(0) === vs.sum, s"sum id=$id")
+      assert(px.getSeq[Long](5)(0) === vs.min, s"min id=$id")
+      assert(px.getSeq[Long](6)(0) === vs.max, s"max id=$id")
+    }
+  }
+
+  test("multimodal JPEG decode: AC coefficients decode against an independent DCT") {
+    // NON-constant pattern -> real AC coefficients, runs, ZRL and EOB in
+    // the entropy stream. Expected pixels computed here with an
+    // independent straight-from-the-formula FDCT->round->IDCT->round
+    // pipeline (unit quantization), so any Huffman/bitstream/zigzag error
+    // in either codec half scrambles the comparison.
+    val (w, h) = (16, 8)
+    def pix(x: Int, y: Int): Int = (x * 29 + y * 47) % 256
+    val bytes = graft.llm.Jpeg.encode(w, h, pix)
+    val px = graft.llm.Jpeg.decodePixels(bytes)
+    assert(px != null)
+
+    def ref8x8(bx: Int, by: Int): Array[Int] = {
+      val f = Array.tabulate(64)(i => pix(bx * 8 + i % 8, by * 8 + i / 8) - 128.0)
+      def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+      val coef = Array.tabulate(64) { i =>
+        val u = i % 8; val v = i / 8
+        var s = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += f(y * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        math.round(0.25 * cc(u) * cc(v) * s).toDouble
+      }
+      Array.tabulate(64) { i =>
+        val x = i % 8; val y = i / 8
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8)
+          s += cc(u) * cc(v) * coef(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        math.max(0, math.min(255, math.round(0.25 * s + 128).toInt))
+      }
+    }
+    val expected = for (y <- 0 until h; x <- 0 until w) yield
+      ref8x8(x / 8, y / 8)((y % 8) * 8 + (x % 8)).toLong
+    assert(px.getSeq[Long](4)(0) === expected.sum)
+    assert(px.getSeq[Long](5)(0) === expected.min)
+    assert(px.getSeq[Long](6)(0) === expected.max)
+  }
+
+  test("multimodal JPEG: interoperates with the JDK's own codec when present") {
+    // Our encoder's output must be REAL standard JPEG, and our decoder
+    // must read third-party baseline files (libjpeg quant/Huffman tables,
+    // possibly subsampled). javax.imageio ships a JPEG plugin in every
+    // JDK; tolerance ±1 covers libjpeg's integer IDCT vs our exact float.
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    assume(readers.hasNext, "no ImageIO JPEG plugin in this JVM")
+
+    // (a) their decoder reads our bytes: block-constant fixture is DC-only,
+    // exact modulo integer-IDCT wobble
+    val bytes = graft.llm.Jpeg.fixture(5L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our encoder's output")
+    val ours = graft.llm.Jpeg.decodePixels(bytes)
+    assert(img.getWidth === ours.getInt(0) && img.getHeight === ours.getInt(1))
+    var maxDelta = 0
+    var theirSum = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val theirs = img.getRaster.getSample(x, y, 0)
+      theirSum += theirs
+      def v(bx: Int, by: Int): Int = (((5L * bx + 9L * by + 7L * 5L) % 200L) + 28L).toInt
+      maxDelta = math.max(maxDelta, math.abs(theirs - v(x / 8, y / 8)))
+    }
+    assert(maxDelta <= 1, s"libjpeg disagrees by $maxDelta > 1")
+
+    // (b) our decoder reads their bytes: re-encode a gradient with the
+    // JDK writer (libjpeg tables, real quantization) and compare decoders
+    val src = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      src.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assume(javax.imageio.ImageIO.write(src, "jpeg", bos), "no JPEG writer")
+    val theirBytes = bos.toByteArray
+    val mine = graft.llm.Jpeg.decodePixels(theirBytes)
+    assert(mine != null, "our decoder rejected a libjpeg file")
+    val theirImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(theirBytes))
+    var sumTheirs = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val v = theirImg.getRaster.getSample(x, y, 0).toLong
+      sumTheirs += v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    // per-pixel tolerance ±1 -> aggregate tolerance n_px on the sum
+    assert(math.abs(mine.getSeq[Long](4)(0) - sumTheirs) <= 24 * 16,
+      "decoders disagree beyond integer-IDCT wobble")
+    assert(math.abs(mine.getSeq[Long](5)(0) - mn) <= 1)
+    assert(math.abs(mine.getSeq[Long](6)(0) - mx) <= 1)
+  }
+
   test("multimodal decode: WAV chunk walk recovers rate/channels/duration") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
