@@ -996,6 +996,20 @@ object SparkEntry {
         .sort(col("doc_a")).sort(col("doc_b"))
         .run(s)),
 
+    // --- cross-corpus near-dup JOIN: dedupe one corpus half against the
+    //     other (the "new crawl vs existing cleaned corpus" shape) — band
+    //     equi-join BETWEEN corpora, never all-pairs ---
+    "q_dedup_cross" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Dedup.minhashJoin(
+            df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
+            df.where(F.col("doc_id") % 2 === 1), "doc_id", "text")
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
     // --- SimHash near-dup pairs (byte-band blocking, exact for hamming<=3) ---
     "q_dedup_simhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -2110,6 +2124,21 @@ object SparkEntry {
       (minhashPairsCtes(maxBucketSize = 2) +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
+    "q_dedup_cross" ->
+      (s"""WITH RECURSIVE ${minhashSideCtes("l", "doc_id % 2 = 0")},
+         ${minhashSideCtes("r", "doc_id % 2 = 1")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM bandl a JOIN bandr b ON a.b = b.b AND a.bh = b.bh
+         )
+         SELECT left_id, right_id, jaccard FROM (
+           SELECT left_id, right_id,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM cand JOIN shl x ON x.doc_id = left_id
+                     JOIN shr y ON y.doc_id = right_id) t
+         WHERE jaccard >= 0.8 ORDER BY left_id, right_id"""),
+
     "q_dedup_boilerplate_skew" ->
       (minhashPairsCtes(maxBucketSize = 8,
         corpusSql = "SELECT doc_id, CASE WHEN doc_id % 10 = 0 " +
@@ -2894,6 +2923,31 @@ object SparkEntry {
   }
 
   private lazy val MinhashPairsCtes: String = minhashPairsCtes()
+
+  /** One corpus side of the cross-corpus minhash-join oracle: tokens →
+    * shingles → signature → band hashes, CTE names suffixed so two sides
+    * coexist in one WITH chain (mirrors Dedup.minhashJoin's per-side
+    * feature build; same parameters as [[minhashPairsCtes]]). */
+  private def minhashSideCtes(sfx: String, pred: String): String =
+    s"""toks$sfx AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents WHERE $pred
+       ), sh$sfx AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+         FROM toks$sfx WHERE len(w) >= 3
+       ), sig$sfx AS (
+         SELECT doc_id, sh, list_transform(range(1, 9),
+                  h -> list_min(list_transform(sh,
+                         s -> ((2*h+1) * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+                               + 1000000007*h) % 2147483647))) AS sig
+         FROM sh$sfx
+       ), band$sfx AS (
+         SELECT doc_id, b,
+                md5(array_to_string(list_transform(sig[(b-1)*2+1:(b-1)*2+2],
+                      v -> CAST(v AS VARCHAR)), '|')) AS bh
+         FROM sig$sfx, range(1, 5) AS r(b)
+       )"""
 
   /** DuckDB inline expression builders for the embedding oracles: an
     * explicit left-fold dot product in double precision (bit-identical to

@@ -112,6 +112,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash near-dup JOIN — the "dedupe the new crawl
+    * against the existing cleaned corpus" shape every incremental
+    * training pipeline runs. Same LSH machinery as [[minhashPairs]] but
+    * the band equi-join runs BETWEEN two corpora instead of within one:
+    * never all-pairs, and the already-clean side's features could be a
+    * precomputed table at 100 TB (band hashes are a pure function of the
+    * text). Returns one row per near-dup (left_id, right_id) pair above
+    * `threshold`.
+    *
+    * `maxBucketSize` caps each side's (band, hash) population
+    * independently — a boilerplate bucket on EITHER side makes the join
+    * product quadratic, and capping per side keeps the cap's oracle
+    * replayable without a cross-side count. */
+  def minhashJoin(
+      left: DataFrame,
+      leftId: String,
+      leftText: String,
+      right: DataFrame,
+      rightId: String,
+      rightText: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      scope: CacheScope = CacheScope.global,
+      maxBucketSize: Int = 0,
+  ): DataFrame = {
+    require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
+      "numHashes must be a multiple of rowsPerBand")
+    graft.GraftExtensions.install(left.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    def side(df: DataFrame, id: String, text: String): (DataFrame, DataFrame) = {
+      val base = scope.cache(df
+        .select(col(id).as("__id__"), col(text).as("__text__"))
+        .withColumn("__toks__", TextOps.tokens(col("__text__")))
+        .where(size(col("__toks__")) >= shingleSize)
+        .select(col("__id__"), col("__toks__")))
+      val bandedAll = base
+        .withColumn("__sig__",
+          expr(s"minhash_sig_words(__toks__, $shingleSize, $numHashes)"))
+        .select(col("__id__"),
+          posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
+            .as(Seq("__band__", "__bh__")))
+      val banded =
+        if (maxBucketSize <= 0) bandedAll
+        else bandedAll
+          .withColumn("__bn__",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__band__"), col("__bh__"))))
+          .where(col("__bn__") <= maxBucketSize)
+          .drop("__bn__")
+      (base, banded)
+    }
+    val (lBase, lBanded) = side(left, leftId, leftText)
+    val (rBase, rBanded) = side(right, rightId, rightText)
+    val cand = lBanded.as("a")
+      .join(rBanded.as("b"),
+        col("a.__band__") === col("b.__band__") &&
+          col("a.__bh__") === col("b.__bh__"))
+      .select(col("a.__id__").as("left_id"), col("b.__id__").as("right_id"))
+      .distinct()
+    cand
+      .join(lBase.as("x"), col("left_id") === col("x.__id__"))
+      .join(rBase.as("y"), col("right_id") === col("y.__id__"))
+      .withColumn("jaccard",
+        round(expr(s"word_ngram_jaccard(x.__toks__, y.__toks__, $shingleSize)"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs.
     *
     * 32-bit SimHash over distinct word BIGRAMS (bigrams, not unigrams:

@@ -35,6 +35,24 @@ class LlmSpec extends GraftSuite {
     assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("cross-corpus minhash join finds near-dups BETWEEN frames only") {
+    val s = spark
+    import s.implicits._
+    val crawl = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "entirely new content about distributed query engines and shuffle hygiene"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank today")) // dup of 100 WITHIN crawl
+      .toDF("new_id", "text")
+    val out = Dedup.minhashJoin(crawl, "new_id", "text", docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both crawl copies hit the cleaned corpus's near-dup group (0, 1, 3);
+    // the within-crawl pair (100,102) must NOT appear — different id spaces
+    assert(out.exists(_ == (100L, 0L)) && out.exists(_ == (102L, 0L)))
+    assert(out.forall { case (l, r) => l >= 100L && r < 100L })
+    assert(!out.map(_._1).contains(101L), "unrelated doc must not match")
+  }
+
   test("simhash: identical documents collide at hamming 0") {
     val s = spark
     import s.implicits._
