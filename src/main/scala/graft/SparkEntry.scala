@@ -874,6 +874,18 @@ object SparkEntry {
           partitionStartEvents = Seq(col("ts").byMonth.named("month")))
         .run(s)),
 
+    // --- partitions AND time limit together: per-partition anchors pin
+    //     each replica's chain start, the calendar cutoff then nulls late
+    //     steps per (group, partition) — the combined codepath of the
+    //     round-8 greedy_chain lowering ---
+    "q_funnel_partition_limit" -> ((s, dir) =>
+      m(dir, "events")
+        .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
+        .funnel(Seq[graft.model.StepSpec]("view", "click", "purchase"),
+          partitionStartEvents = Seq(col("ts").byMonth.named("month")),
+          timeLimit = interval(7, "day"))
+        .run(s)),
+
     // --- funnel grouped by partition_matches (cohort attribute of the
     //     matched model — reference model.py:548,689-692) ---
     "q_funnel_cohort" -> ((s, dir) =>
@@ -2057,6 +2069,32 @@ object SparkEntry {
            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
          sel AS (
            SELECT p0.month, p0.t0, c1.t1, c2.t2
+           FROM p0 LEFT JOIN c1 USING (user_id, month)
+                   LEFT JOIN c2 USING (user_id, month))
+         SELECT month, step, entities FROM (
+           SELECT month, 'view' AS step, count(t0) AS entities, 0 AS si FROM sel GROUP BY 1
+           UNION ALL SELECT month, 'click', count(t1), 1 FROM sel GROUP BY 1
+           UNION ALL SELECT month, 'purchase', count(t2), 2 FROM sel GROUP BY 1
+         ) t ORDER BY month, si""",
+    // Greedy chain assembled WITHOUT the limit (the reference's documented
+    // pessimism), then each later step nulled independently when at or
+    // beyond anchor + 7 days — per (user, month) anchor.
+    "q_funnel_partition_limit" ->
+      """WITH p0 AS (
+           SELECT user_id, date_trunc('month', ts) AS month, min(ts) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c1 AS (
+           SELECT p0.user_id, p0.month, min(e.ts) AS t1
+           FROM events e JOIN p0 ON e.user_id = p0.user_id AND e.ts > p0.t0
+           WHERE e.event_type = 'click' GROUP BY 1, 2),
+         c2 AS (
+           SELECT c1.user_id, c1.month, min(e.ts) AS t2
+           FROM events e JOIN c1 ON e.user_id = c1.user_id AND e.ts > c1.t1
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         sel AS (
+           SELECT p0.month, p0.t0,
+                  CASE WHEN c1.t1 < p0.t0 + INTERVAL 7 DAY THEN c1.t1 END AS t1,
+                  CASE WHEN c2.t2 < p0.t0 + INTERVAL 7 DAY THEN c2.t2 END AS t2
            FROM p0 LEFT JOIN c1 USING (user_id, month)
                    LEFT JOIN c2 USING (user_id, month))
          SELECT month, step, entities FROM (
