@@ -38,6 +38,56 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("property: greedy_chain state merges are order-independent and match a sorted scan") {
+    // Drives ChainState directly (no Spark): any random binary merge tree
+    // over any partitioning of the event list must evaluate to the greedy
+    // chain a sequential sorted scan produces — this is the exact
+    // contract Spark's partial aggregation relies on, and the pruning
+    // math is only sound if it holds for EVERY merge order.
+    import graft.expr.GreedyChain
+    val K = 3
+    val agg = GreedyChain(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.LongType, nullable = true), K)
+    val eventGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(1, 7))) // (time, mask 1..7)
+    check(Prop.forAll(eventGen, Gen.long) { (events, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // random merge tree: split shuffled events into 1-6 chunks, update
+      // each into its own state, fold-merge in random order
+      val chunks = rnd.shuffle(events).grouped(
+        math.max(1, events.size / (1 + rnd.nextInt(6)))).toSeq
+      val states = chunks.map { chunk =>
+        val st = agg.createAggregationBuffer()
+        chunk.foreach { case (t, m) =>
+          agg.update(st, org.apache.spark.sql.catalyst.InternalRow(t, m.toLong))
+        }
+        // round-trip serialization like a real exchange would
+        agg.deserialize(agg.serialize(st))
+      }
+      val merged = rnd.shuffle(states).reduce { (a, b) => agg.merge(a, b) }
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq
+
+      // reference: greedy first-strictly-after over the sorted list
+      var prev: Option[Long] = None
+      val expected = (0 until K).map { k =>
+        val cands = events.collect { case (t, m) if (m & (1 << k)) != 0 => t }
+        val r = (k, prev) match {
+          case (0, _) => cands.sorted.headOption
+          case (_, Some(x)) => cands.filter(_ > x).sorted.headOption
+          case (_, None) => None
+        }
+        prev = r
+        r.map(Long.box).orNull
+      }
+      got == expected
+    }, cases = 40)
+  }
+
   test("property: fold multiplies rows by the number of value columns") {
     val s = spark
     import s.implicits._
