@@ -58,10 +58,12 @@ object Bench {
 
     /** A first measurement is suspect when the JVM was idle for most of
       * the wall it was charged (host stall signature: even a fully skewed
-      * single-thread query keeps cpu ≈ wall), or simply extreme — no
-      * query in this suite legitimately needs 10 s at sf0.1. */
+      * single-thread query keeps cpu ≈ wall), or simply extreme — the
+      * slowest legitimate steady-state query is ~5 s at sf0.1, so
+      * anything above gets a median-of-3 (this also smooths first-run
+      * JIT/GC churn on the heavy tail). */
     def suspect(wall: Double, cpu: Double): Boolean =
-      wall >= 0 && ((wall > 1.0 && cpu < 0.5 * wall) || wall > 10.0)
+      wall >= 0 && ((wall > 1.0 && cpu < 0.5 * wall) || wall > 5.0)
 
     /** Measure with stall protection: re-run suspect timings (two extra
       * runs) and take the median wall with its paired cpu. Returns

@@ -23,7 +23,9 @@ object Explain {
         "q_window_calc", "q_asof_join", "q_dedup_ngram_k",
         "q_bm25_search", "q_tfidf_terms", "q_block_dedup",
         "q_grouping_sets", "q_window_rank", "q_lang_mix",
-        "q_ann_quantized", "q_multimodal_pixels", "q_json_props")
+        "q_ann_quantized", "q_multimodal_pixels", "q_json_props",
+        "q_dedup_cross", "q_dedup_boilerplate_skew", "q_xlsx_source",
+        "q_multimodal_jpeg", "q_funnel_partition_limit")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
