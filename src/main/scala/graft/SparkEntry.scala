@@ -1586,6 +1586,15 @@ object SparkEntry {
         .sort(col("gram"))
         .run(s)),
 
+    // --- BPE training statistic: top adjacent-character pairs over the
+    //     corpus VOCABULARY (explode runs on vocab × frequency, never on
+    //     raw text — Heaps' law makes that sublinear in corpus size) ---
+    "q_bpe_pairs" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpePairCounts(df, "text", k = 20))
+        .sort(col("pair"))
+        .run(s)),
+
     // --- overlapping word-window chunking (size 32, stride 24) ---
     "q_chunk_docs" -> ((s, dir) =>
       m(dir, "documents")
@@ -2815,6 +2824,23 @@ object SparkEntry {
          )
          SELECT gram, count(*) AS n_occurrences FROM grams
          GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 20""",
+
+    // Vocabulary-weighted character-pair counts (one BPE iteration's
+    // argmax statistic): word freq first, then per-word adjacent pairs
+    // replicated by unnest; same (n desc, pair) deterministic cut.
+    "q_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents
+         ), wf AS (
+           SELECT w, count(*) AS f FROM w WHERE len(w) >= 2 GROUP BY w
+         ), p AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> concat(w[i], ' ', w[i+1]))) AS pair, f
+           FROM wf
+         )
+         SELECT pair, sum(f) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
 
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)
     "q_chunk_docs" ->

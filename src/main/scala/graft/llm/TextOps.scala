@@ -35,6 +35,33 @@ object TextOps {
   def regexTokenCount(textCol: String): Column =
     expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
 
+  /** Adjacent-character pair counts over the corpus vocabulary — the
+    * statistic one BPE tokenizer-training iteration maximizes (merge the
+    * most frequent symbol pair). Returns the top-`k` pairs as
+    * (`pair` "a b", `n` total occurrences), ties broken by pair text so
+    * the cut is deterministic.
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY first (one hash
+    * aggregate with map-side combine — word frequency), and the
+    * character-pair explode runs over vocab entries weighted by
+    * frequency, never over raw text. Vocabulary is sublinear in corpus
+    * size (Heaps' law), so the expensive step shrinks relative to the
+    * data as the corpus grows — the standard trick that makes BPE
+    * training feasible at corpus scale. Top-k is a TakeOrdered, no
+    * global sort. */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("__w__"))
+      .where(length(col("__w__")) >= 2)
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
+      .select(col("__f__"), explode(expr(
+        """transform(sequence(1, length(__w__) - 1),
+             i -> concat(substring(__w__, i, 1), ' ', substring(__w__, i + 1, 1)))"""))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__f__")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** Word n-gram shingles over a token-array column. Empty result when the
     * document has fewer than n tokens. */
   def wordShingles(toksCol: String, n: Int): Column =

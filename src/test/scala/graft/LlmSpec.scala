@@ -690,6 +690,23 @@ class LlmSpec extends GraftSuite {
     assert(px.getSeq[Long](6)(0) === expected.max)
   }
 
+  test("multimodal JPEG decode: corruption yields null or a row, never an exception") {
+    // the operator contract decodeMeta/decodePixels share: a partition
+    // must survive arbitrary garbage payloads (null out, no throw)
+    val good = graft.llm.Jpeg.fixture(3L)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val bad = good.clone()
+      val n = 1 + rnd.nextInt(4)
+      for (_ <- 1 to n) bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      graft.llm.Jpeg.decodePixels(bad) // must not throw; null or best-effort row
+    }
+    for (cut <- Seq(2, 20, good.length / 2, good.length - 3))
+      graft.llm.Jpeg.decodePixels(good.take(cut))
+    assert(graft.llm.Jpeg.decodePixels(Array[Byte](1, 2, 3)) === null)
+    assert(graft.llm.Jpeg.decodePixels(null) === null)
+  }
+
   test("multimodal JPEG: interoperates with the JDK's own codec when present") {
     // Our encoder's output must be REAL standard JPEG, and our decoder
     // must read third-party baseline files (libjpeg quant/Huffman tables,
