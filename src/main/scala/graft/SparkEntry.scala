@@ -1309,6 +1309,23 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- product quantization: per-segment Lloyd's codebooks (m=2) +
+    //     asymmetric-distance top-k over the codes. The corpus side is
+    //     scan-shaped (assignment pass + broadcast lookup-table join per
+    //     segment); segment partials combine in fixed segment order so
+    //     the float fold is deterministic ---
+    "q_ann_pq" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cb = graft.llm.Embeddings.pqCodebooks(df, "vec_id", "embedding",
+            dim = 64, m = 2, initPred = F.col("vec_id") < 4, iters = 2)
+          graft.llm.Embeddings.pqTopK(df, "vec_id", "embedding", cb,
+            dim = 64, m = 2, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
     // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
     "q_ann_ivf" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -2534,6 +2551,34 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0) t
          ORDER BY cosine DESC, vec_id LIMIT 10"""),
 
+    // PQ/ADC: one Lloyd's chain per 32-dim half-slice (suffixes p0/p1),
+    // query lookup tables t0/t1, score = cosine against the RECONSTRUCTED
+    // vector — (qd0+qd1) / (qn * sqrt(cn2_0+cn2_1)), 6dp, id tie-break.
+    "q_ann_pq" ->
+      (s"""WITH RECURSIVE
+         corpus0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+         corpus1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM embeddings),
+         ${kmeansChain("vec_id < 4", "corpus0", "p0", 32)},
+         ${kmeansChain("vec_id < 4", "corpus1", "p1", 32)},
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0),
+         t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
+         t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p1, q)
+         SELECT vec_id, score, rank FROM (
+           SELECT s0.vec_id,
+                  round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
+                    s0.vec_id) AS rank
+           FROM sfp0 s0 JOIN sfp1 s1 ON s0.vec_id = s1.vec_id
+                JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
+                CROSS JOIN q
+           WHERE s0.vec_id <> 0) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
     "q_ann_ivf_trained" ->
       (KmeansCtes + s"""
          SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -3036,21 +3081,30 @@ object SparkEntry {
     * SemDeDup cells (`q_semdedup`) — all three now seed k = floor(sqrt(n))
     * cells, replaying [[graft.llm.Embeddings.kmeansFitSqrtK]]. */
   private def kmeansCtes(initPred: String): String =
-    s"""WITH init AS (
+    "WITH " + kmeansChain(initPred, "embeddings", "", EmbDim)
+
+  /** The WITH-body of one Lloyd's chain (seed → 2 iterations → final
+    * assignment), CTE names suffixed with `sfx` and reading `corpus`
+    * (vec_id, embedding) with `dim` components — so several chains (e.g.
+    * one per PQ segment slice) compose in one statement. Yields
+    * `c2$sfx` (cid, cv) and `sf$sfx` (vec_id, embedding, cell). */
+  private def kmeansChain(initPred: String, corpus: String, sfx: String,
+      dim: Int): String =
+    s"""init$sfx AS (
          SELECT vec_id AS cid,
                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
-         FROM embeddings WHERE $initPred
-       ), ${kmeansIterSql("init", "a1", "s1", "m1", "c1")},
-       ${kmeansIterSql("c1", "a2", "s2", "m2", "c2")},
-       af AS (
+         FROM $corpus WHERE $initPred
+       ), ${kmeansIterSql(s"init$sfx", s"a1$sfx", s"s1$sfx", s"m1$sfx", s"c1$sfx", corpus, dim)},
+       ${kmeansIterSql(s"c1$sfx", s"a2$sfx", s"s2$sfx", s"m2$sfx", s"c2$sfx", corpus, dim)},
+       af$sfx AS (
          SELECT e.vec_id, e.embedding, cc.cid,
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
                   round((${dotSql("e.embedding", "cc.cv")}) /
                         (sqrt(${dotSql("e.embedding", "e.embedding")}) *
                          sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
                   cc.cid) AS rn
-         FROM embeddings e CROSS JOIN c2 cc
-       ), sf AS (SELECT vec_id, embedding, cid AS cell FROM af WHERE rn = 1)"""
+         FROM $corpus e CROSS JOIN c2$sfx cc
+       ), sf$sfx AS (SELECT vec_id, embedding, cid AS cell FROM af$sfx WHERE rn = 1)"""
 
   private lazy val KmeansCtes: String = kmeansCtes(SemKPredSql)
 
@@ -3065,7 +3119,8 @@ object SparkEntry {
     * uses), then the per-(cell, dim) mean as an exact decimal sum of
     * 6-dp-rounded members (order-independent on both engines). */
   private def kmeansIterSql(centSrc: String, a: String, s: String,
-      mn: String, c: String): String =
+      mn: String, c: String, corpus: String = "embeddings",
+      dim: Int = EmbDim): String =
     s"""$a AS (
           SELECT e.vec_id, e.embedding, cc.cid,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -3073,13 +3128,13 @@ object SparkEntry {
                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
                    cc.cid) AS rn
-          FROM embeddings e CROSS JOIN $centSrc cc
+          FROM $corpus e CROSS JOIN $centSrc cc
         ), $s AS (SELECT vec_id, embedding, cid AS cell FROM $a WHERE rn = 1
         ), $mn AS (
           SELECT cell, d,
                  round(CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE), 6)
                      AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS m
-          FROM $s CROSS JOIN range(1, $EmbDim + 1) AS r(d)
+          FROM $s CROSS JOIN range(1, $dim + 1) AS r(d)
           GROUP BY cell, d
         ), $c AS (SELECT cell AS cid, list(m ORDER BY d) AS cv
                   FROM $mn GROUP BY cell)"""

@@ -291,10 +291,13 @@ object Embeddings {
       idCol: String,
       vecCol: String,
       scope: CacheScope,
-  ): DataFrame =
+  ): DataFrame = {
+    // analysis of the norm expression below needs float_vec_dot resolved
+    graft.GraftExtensions.install(emb.sparkSession)
     scope.cache(emb
       .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
       .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
+  }
 
   private def lloyd(base: DataFrame, initPred: Column, iters: Int): DataFrame = {
     graft.GraftExtensions.install(base.sparkSession)
@@ -361,6 +364,98 @@ object Embeddings {
         round(
           sum(round(col("__x__").cast("double"), 6).cast("decimal(27,8)"))
             .cast("double") / count(lit(1)), 6).as("centroid"))
+
+  /** Product-quantization codebooks: the vector splits into `m` equal
+    * segments and each segment gets its own Lloyd's-fitted codebook (the
+    * FAISS IVF-PQ storage layout — a 64-dim float vector becomes m
+    * 1-byte codes at m=8/k≤256, a 32× compression). Returns
+    * (segment, cid, cv) — m × k rows, model-parameter-sized. Training
+    * reuses [[kmeansFit]] per segment slice, so assignments are the same
+    * deterministic argmax-rounded-cosine rule everywhere. */
+  def pqCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      initPred: Column,
+      iters: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    val segLen = dim / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), s * segLen + 1, segLen).as("__seg__"))
+      kmeansFit(sliced, idCol, "__seg__", initPred, iters, scope)
+        .withColumn("segment", lit(s))
+    }.reduce(_ unionByName _)
+      .select(col("segment"), col("cid"), col("cv"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: encode every corpus
+    * vector as its per-segment nearest codebook entry, precompute the
+    * query's dot product against every codebook entry (m × k values — a
+    * broadcast lookup table), and score each vector as
+    *   Σ_s qdot(s, code_s)  /  (‖q‖ · sqrt(Σ_s ‖c_{s,code_s}‖²))
+    * — the cosine against the RECONSTRUCTED vector. The corpus side never
+    * touches the query vector: per segment it is one narrow assignment
+    * pass plus a broadcast-table join, so the whole search is
+    * scan-shaped (a production deployment encodes once and stores the
+    * codes; the per-query work is just the tiny table + the joins).
+    *
+    * Determinism: segment partials combine left-to-right in segment
+    * order via a wide per-segment join (NOT an unordered sum aggregate),
+    * so the float fold order is fixed for any m; the final score rounds
+    * to 6 dp with id tie-break. With m = 1 and a per-vector codebook
+    * (initPred = all ids, iters = 0) ADC degenerates to EXACT cosine
+    * search — the spec gate. */
+  def pqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      queryId: Long,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    graft.GraftExtensions.install(emb.sparkSession)
+    val segLen = dim / m
+    val cbooks = scope.cache(codebooks)
+    val qrow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+
+    val perSeg = (0 until m).map { s =>
+      val sliced = emb
+        .select(col(idCol).as("__vid__"),
+          slice(col(vecCol), s * segLen + 1, segLen).as("__v__"))
+        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+      val cents = cbooks.where(col("segment") === s).select(col("cid"), col("cv"))
+      val assigned = withCell(sliced, "__v__", cents)
+        .select(col("__vid__"), col("__cell__"))
+      // the query's lookup table for this segment: k rows, broadcast
+      val table = cents.crossJoin(broadcast(qrow))
+        .select(col("cid").as("__cell__"),
+          dot(s"slice(__q__, ${s * segLen + 1}, $segLen)", "cv").as(s"__qd${s}__"),
+          dot("cv", "cv").as(s"__cn2${s}__"))
+      assigned.join(broadcast(table), "__cell__")
+        .select(col("__vid__"), col(s"__qd${s}__"), col(s"__cn2${s}__"))
+    }
+    val joined = perSeg.reduce((a, b) => a.join(b, "__vid__"))
+    val qdotSum = (0 until m).map(s => col(s"__qd${s}__")).reduce(_ + _)
+    val cn2Sum = (0 until m).map(s => col(s"__cn2${s}__")).reduce(_ + _)
+    joined
+      .where(col("__vid__") =!= queryId)
+      .crossJoin(broadcast(qrow.select(col("__qn__"))))
+      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__vid__"))))
+      .where(col("rank") <= k)
+      .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+  }
 
   /** Per-vector symmetric int8 quantization (the standard storage/transfer
     * compression for embedding columns at corpus scale: 4× smaller than

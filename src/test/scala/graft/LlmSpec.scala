@@ -348,6 +348,37 @@ class LlmSpec extends GraftSuite {
     ).toDF("vec_id", "embedding")
   }
 
+  test("PQ with one segment and a per-vector codebook degenerates to exact search") {
+    // every vector becomes its own codebook entry (iters = 0, seeds =
+    // all ids), so each vector's code is itself, the reconstruction is
+    // exact, and ADC scores must equal brute-force cosine — any error in
+    // codebook training, assignment, table lookup, or the score formula
+    // breaks the equality
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val embs = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cb = Embeddings.pqCodebooks(embs, "vec_id", "embedding",
+      dim = 8, m = 1, initPred = sc("vec_id") >= 0L, iters = 0)
+    val pq = Embeddings.pqTopK(embs, "vec_id", "embedding", cb,
+      dim = 8, m = 1, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Embeddings.bruteTopK(embs, "vec_id", "embedding",
+      queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("cosine")))).toSeq
+    assert(pq === brute)
+
+    // and with m = 2 coarse segments the search still returns k ranked
+    // rows with scores in [-1, 1]
+    val cb2 = Embeddings.pqCodebooks(embs, "vec_id", "embedding",
+      dim = 8, m = 2, initPred = sc("vec_id") < 3L, iters = 1)
+    val adc = Embeddings.pqTopK(embs, "vec_id", "embedding", cb2,
+      dim = 8, m = 2, queryId = 0L, k = 5).collect()
+    assert(adc.length === 5)
+    assert(adc.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val out = Embeddings.bruteTopK(vectors, "vec_id", "embedding",
       queryId = 0L, k = 2).collect()
