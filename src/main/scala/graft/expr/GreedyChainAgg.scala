@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * commutative-merge formulation: a later partial may reveal a step-0 event
   * at any time x, and the answer must then be each step's successor of x.
   */
-private[expr] final class ChainState(val sets: Array[java.util.TreeSet[java.lang.Long]]) {
+private[graft] final class ChainState(val sets: Array[java.util.TreeSet[java.lang.Long]]) {
 
   def add(k: Int, t: Long): Unit =
     if (k == 0) {

@@ -51,6 +51,83 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
+    * frontier, in micros (the serialized form of graft.expr.ChainState). */
+  final case class ChainFrontier(cands: Seq[Seq[Long]])
+
+  /** Streaming funnel / chain matching — the streaming twin of
+    * `Model.matchSteps`, powered by the SAME pruned-frontier state machine
+    * as the batch `greedy_chain` aggregate (graft.expr.ChainState). The
+    * frontier is merge-order-independent (its monotone-cap pruning is
+    * proven for ANY arrival order), so out-of-order events are handled
+    * EXACTLY without a watermark: a step-0 event arriving three batches
+    * after the step-1 events it unlocks still produces the same chain the
+    * batch operator computes over the full history — the state simply
+    * retains each step's still-feasible candidates (O(steps) once the
+    * chain matches early; the batch aggregate's bound).
+    *
+    * Update-mode output: one row per group per micro-batch in which the
+    * group's chain CHANGED — (group, `<step>_ts`...). Steps match on
+    * equality of `eventCol` against each step name (the reference's
+    * string-step normalization). Works on batch frames too (one group
+    * call over full history = batch parity). */
+  def streamingMatchSteps(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      eventCol: String,
+      steps: Seq[String],
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    require(steps.nonEmpty && steps.size <= 62, "1..62 steps")
+    val stepIdx = steps.zipWithIndex.toMap
+    val prep = events.select(
+      col(groupCol).cast("string").as("__g__"),
+      col(tsCol).cast("timestamp").as("__t__"),
+      col(eventCol).cast("string").as("__e__"))
+    val outSchema = StructType(
+      StructField("group", StringType) +:
+        steps.map(s => StructField(s"${s}_ts", TimestampType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val bufEnc = Encoders.product[ChainFrontier]
+    implicit val strEnc = Encoders.STRING
+    def restore(buf: Option[ChainFrontier]): graft.expr.ChainState = {
+      val sets = Array.fill(steps.size)(new java.util.TreeSet[java.lang.Long]())
+      buf.foreach(_.cands.zipWithIndex.foreach { case (c, k) =>
+        c.foreach(t => sets(k).add(t))
+      })
+      new graft.expr.ChainState(sets)
+    }
+    prep
+      .groupByKey((r: Row) => r.getString(0))
+      .flatMapGroupsWithState[ChainFrontier, Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[Row], state: GroupState[ChainFrontier]) =>
+          val st = restore(state.getOption)
+          val before = st.chain().toSeq
+          rows.foreach { r =>
+            if (!r.isNullAt(1) && !r.isNullAt(2)) {
+              stepIdx.get(r.getString(2)).foreach { k =>
+                st.add(k, DateTimeUtils.fromJavaTimestamp(r.getTimestamp(1)))
+                st.prune()
+              }
+            }
+          }
+          val after = st.chain().toSeq
+          state.update(ChainFrontier(st.sets.toSeq.map { s =>
+            val it = s.iterator(); val b = Seq.newBuilder[Long]
+            while (it.hasNext) b += it.next()
+            b.result()
+          }))
+          if (after == before) Iterator.empty
+          else Iterator.single(Row.fromSeq(g +: after.map {
+            case null => null
+            case m: java.lang.Long => DateTimeUtils.toJavaTimestamp(m)
+          }))
+      }(bufEnc, rowEnc)
+  }
+
   /** Pending (not-yet-final) sessions of one group — the keyed state of
     * [[streamingSessionize]]. Each entry is (startMs, endMs, count). */
   final case class SessionBuf(sessions: Seq[(Long, Long, Long)])
