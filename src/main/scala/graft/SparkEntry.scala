@@ -850,6 +850,17 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- the STREAMING chain matcher in batch/backfill mode: update-mode
+    //     emission over full history = one row per group whose chain
+    //     matched step 0 — oracle-checkable because the frontier state
+    //     machine is deterministic for any processing order ---
+    "q_stream_chain" -> ((s, dir) =>
+      m(dir, "events")
+        .native(df => graft.streaming.Streams.streamingMatchSteps(
+          df, "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+        .sort(col("group"))
+        .run(s)),
+
     // --- funnel (top_of_funnel as named total row) ---
     "q_funnel" -> ((s, dir) =>
       m(dir, "events")
@@ -2062,6 +2073,15 @@ object SparkEntry {
          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          ORDER BY user_id"""),
+    // One row per group that matched step 0 (the streaming operator's
+    // update-mode emission over full history); group key is the string
+    // form, the price of the schema-generic streaming operator.
+    "q_stream_chain" -> (FunnelCtes +
+      """SELECT CAST(s0.user_id AS VARCHAR) AS "group",
+                s0.t0 AS view_ts, s1.t1 AS click_ts, s2.t2 AS purchase_ts
+         FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         ORDER BY 1"""),
+
     "q_funnel" -> (FunnelCtes +
       """SELECT step, entities FROM (
            SELECT 'users' AS step, count(DISTINCT user_id) AS entities, 0 AS si FROM events
