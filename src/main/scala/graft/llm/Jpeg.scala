@@ -387,6 +387,11 @@ object Jpeg {
         case 0xc0 | 0xc1 => // SOF0/1: baseline (extended sequential ok)
           if (u8(seg) != 8) throw new IllegalArgumentException("only 8-bit")
           h = u16(seg + 1); w = u16(seg + 3)
+          // sanity-cap BEFORE any plane allocation: a corrupt/hostile SOF
+          // can declare 65535×65535 and an OutOfMemoryError is NOT caught
+          // by decodePixels' Exception guard — reject, don't allocate
+          if (w < 1 || h < 1 || w.toLong * h > (1L << 24))
+            throw new IllegalArgumentException(s"implausible dimensions ${w}x$h")
           val n = u8(seg + 5)
           if (n != 1 && n != 3) throw new IllegalArgumentException("1 or 3 components")
           comps = (0 until n).map { c =>

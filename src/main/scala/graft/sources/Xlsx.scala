@@ -191,7 +191,18 @@ object Xlsx {
                 case "s" => Some(Cell.Str(shared(text.trim.toInt)))
                 case "b" => Some(Cell.Bool(text.trim == "1" || text.trim == "true"))
                 case "str" | "inlineStr" => Some(Cell.Str(text))
-                case _ => Some(Cell.Num(text.trim.toDouble))
+                // error cells (#DIV/0!, #N/A, …) surface as their text —
+                // never a numeric-parse crash (pandas maps them to NaN;
+                // string keeps the diagnostic visible)
+                case "e" => Some(Cell.Str(text))
+                case t =>
+                  try Some(Cell.Num(text.trim.toDouble))
+                  catch {
+                    case _: NumberFormatException =>
+                      throw new IllegalArgumentException(
+                        s"xlsx cell ${if (cellCol >= 0) colName(cellCol) else "?"}: " +
+                          s"unparseable numeric '$text' (cell type '$t')")
+                  }
               }
               row += cell
             case "row" => grid += row.toVector

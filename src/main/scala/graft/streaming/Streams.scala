@@ -265,19 +265,25 @@ object Streams {
       .withColumn("__gh__",
         transform(array_distinct(TextOps.wordShingles("__toks__", n)),
           g => md5(g.cast("binary"))))
-    val nGrams = evalGramsDf.count()
-    val contaminated: Column =
-      if (nGrams <= maxExactGrams) {
-        val evalArr = typedLit(
-          evalGramsDf.collect().map(_.getString(0)).sorted.toSeq)
-        arrays_overlap(col("__gh__"), evalArr)
-      } else {
-        val bf = evalGramsDf.stat.bloomFilter("__gh__", nGrams, bloomFpp)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        call_function("bloom_any_contain", lit(bos.toByteArray), col("__gh__"))
-      }
-    withGrams.where(!contaminated).drop("__toks__", "__gh__")
+    // the gram pipeline feeds both the path decision and the chosen
+    // structure — cache it so query construction runs ONE tokenize/
+    // shingle/distinct job, not two over the same lineage
+    evalGramsDf.persist()
+    try {
+      val nGrams = evalGramsDf.count()
+      val contaminated: Column =
+        if (nGrams <= maxExactGrams) {
+          val evalArr = typedLit(
+            evalGramsDf.collect().map(_.getString(0)).sorted.toSeq)
+          arrays_overlap(col("__gh__"), evalArr)
+        } else {
+          val bf = evalGramsDf.stat.bloomFilter("__gh__", nGrams, bloomFpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          call_function("bloom_any_contain", lit(bos.toByteArray), col("__gh__"))
+        }
+      withGrams.where(!contaminated).drop("__toks__", "__gh__")
+    } finally evalGramsDf.unpersist(blocking = false)
   }
 
   def windowedCounts(

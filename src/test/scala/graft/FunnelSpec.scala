@@ -180,6 +180,68 @@ class FunnelSpec extends GraftSuite {
     assert(graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(m)) === m)
   }
 
+  test("match_steps keeps null groups and null partition values") {
+    val s = spark
+    import s.implicits._
+    // null group: a legitimate key the chain must not silently drop
+    val df = Seq(
+      (Option(1L), "a", ts("2024-01-01")),
+      (Option(1L), "b", ts("2024-01-02")),
+      (Option.empty[Long], "a", ts("2024-01-03")),
+      (Option.empty[Long], "b", ts("2024-01-04")),
+    ).toDF("user_id", "event", "timestamp")
+    val matched = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"))
+    val rows = matched.pick(col("user_id"),
+      matched.rel("b").attr("timestamp").named("b_ts"))
+      .run(s).collect()
+    assert(rows.length === 2, "both the 1L and the NULL group must survive")
+    val nullRow = rows.find(_.isNullAt(0)).getOrElse(fail("null group dropped"))
+    assert(nullRow.getTimestamp(1) === ts("2024-01-04"))
+
+    // null partition value: its anchor forms a partition like any other
+    val pdf = Seq(
+      (1L, "A", "a", ts("2024-01-01")),
+      (1L, null, "a", ts("2024-01-02")),
+      (1L, "A", "b", ts("2024-01-05")),
+    ).toDF("user_id", "channel", "event", "timestamp")
+    val pm = Model.fromDF(pdf)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"),
+        partitionStartEvents = Seq(col("channel")))
+    val prows = pm.pick(col("user_id"), col("channel"),
+      pm.rel("a").attr("timestamp").named("a_ts"))
+      .run(s).collect()
+      .map(r => (Option(r.getString(1)), r.getTimestamp(2))).toSet
+    assert(prows === Set(
+      (Some("A"), ts("2024-01-01")),
+      (None, ts("2024-01-02"))), "null-channel partition must be emitted")
+  }
+
+  test("match_steps: same-instant anchors in different partitions join their own events") {
+    val s = spark
+    import s.implicits._
+    // two partitions of one group anchor at the SAME timestamp on
+    // DIFFERENT events — each output row's step-0 relation must carry its
+    // own partition's event attributes
+    val df = Seq(
+      (1L, "A", "a", "tagA", ts("2024-01-01")),
+      (1L, "B", "a", "tagB", ts("2024-01-01")),
+      (1L, "A", "b", "x", ts("2024-01-02")),
+    ).toDF("user_id", "channel", "event", "tag", "timestamp")
+    val m = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"),
+        partitionStartEvents = Seq(col("channel")))
+    val rows = m.pick(col("channel"),
+      m.rel("a").attr("tag").named("a_tag"))
+      .sort(col("channel"))
+      .run(s).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("A", "tagA"), ("B", "tagB")))
+  }
+
   test("match_steps hot group: 120k events in one group through the bounded aggregate") {
     // One bot-like group with 120k events, half of them matching step 1
     // BEFORE the step-0 anchor (the adversarial shape for frontier
