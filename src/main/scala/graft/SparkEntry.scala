@@ -1337,6 +1337,24 @@ object SparkEntry {
         .sort(col("rank"))
         .run(s)),
 
+    // --- the full IVF-PQ serving composition: sqrt(n) coarse cells
+    //     restrict candidates to the query's cell, ADC over m=2 segment
+    //     codebooks scores only those — per-query cost O(n/k) code
+    //     lookups, the FAISS serving shape end-to-end ---
+    "q_ann_ivfpq" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+            df, "vec_id", "embedding", iters = 2)
+          val cb = graft.llm.Embeddings.pqCodebooks(df, "vec_id", "embedding",
+            dim = 64, m = 2, initPred = F.col("vec_id") < 4, iters = 2)
+          graft.llm.Embeddings.ivfPqTopK(df, "vec_id", "embedding",
+            coarse, cb, dim = 64, m = 2, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
     // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
     "q_ann_ivf" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -2597,6 +2615,38 @@ object SparkEntry {
                 JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
                 CROSS JOIN q
            WHERE s0.vec_id <> 0) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
+    // IVF-PQ: the coarse sqrt(n) chain (default suffix — same CTEs as the
+    // other trained-IVF oracles) gates candidates to the query's cell
+    // (null-safe: an empty-centroid corner yields NULL cells on both
+    // engines), then the q_ann_pq scoring tail runs over candidates only.
+    "q_ann_ivfpq" ->
+      (KmeansCtes + s""",
+         corpus0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+         corpus1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM embeddings),
+         ${kmeansChain("vec_id < 4", "corpus0", "p0", 32)},
+         ${kmeansChain("vec_id < 4", "corpus1", "p1", 32)},
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0),
+         qc AS (SELECT cell AS qcell FROM sf WHERE vec_id = 0),
+         cand AS (
+           SELECT vec_id FROM sf, qc
+           WHERE sf.cell IS NOT DISTINCT FROM qc.qcell AND vec_id <> 0),
+         t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
+         t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p1, q)
+         SELECT vec_id, score, rank FROM (
+           SELECT s0.vec_id,
+                  round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
+                    s0.vec_id) AS rank
+           FROM cand JOIN sfp0 s0 USING (vec_id) JOIN sfp1 s1 USING (vec_id)
+                JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
+                CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY rank"""),
 
     "q_ann_ivf_trained" ->

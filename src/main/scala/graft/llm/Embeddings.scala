@@ -457,6 +457,69 @@ object Embeddings {
       .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
   }
 
+  /** The full FAISS-style IVF-PQ serving composition: a coarse k-means
+    * cell assignment restricts candidates to the query's cell (the IVF
+    * recall/cost knob), and ADC over per-segment codebooks scores only
+    * those candidates — so per-query cost is O(n/k_coarse) code lookups
+    * instead of a corpus scan, and the corpus representation is m codes +
+    * one coarse cell id per vector. Composes [[kmeansFit]] (coarse),
+    * [[pqCodebooks]] and the [[pqTopK]] scoring rule; all the same
+    * determinism arguments apply (rounded-argmax assignments, fixed-order
+    * segment folds, 6-dp score with id tie-break). */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      queryId: Long,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    graft.GraftExtensions.install(emb.sparkSession)
+    val segLen = dim / m
+    // coarse cell per vector; candidates = the query's cell, query excluded
+    val celled = scope.cache(
+      withCell(emb.select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+        .withColumn("__n__", sqrt(dot("__v__", "__v__"))), "__v__", coarse)
+        .select(col("__vid__"), col("__v__"), col("__cell__")))
+    val qcell = celled.where(col("__vid__") === queryId)
+      .select(col("__cell__").as("__qc__"))
+    val cands = celled.join(broadcast(qcell), col("__cell__") <=> col("__qc__"))
+      .where(col("__vid__") =!= queryId)
+      .select(col("__vid__"), col("__v__"))
+    val qrow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    val cbooks = scope.cache(codebooks)
+    val perSeg = (0 until m).map { s =>
+      val sliced = cands
+        .select(col("__vid__"), slice(col("__v__"), s * segLen + 1, segLen).as("__v__"))
+        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+      val cents = cbooks.where(col("segment") === s).select(col("cid"), col("cv"))
+      val assigned = withCell(sliced, "__v__", cents)
+        .select(col("__vid__"), col("__cell__"))
+      val table = cents.crossJoin(broadcast(qrow))
+        .select(col("cid").as("__cell__"),
+          dot(s"slice(__q__, ${s * segLen + 1}, $segLen)", "cv").as(s"__qd${s}__"),
+          dot("cv", "cv").as(s"__cn2${s}__"))
+      assigned.join(broadcast(table), "__cell__")
+        .select(col("__vid__"), col(s"__qd${s}__"), col(s"__cn2${s}__"))
+    }
+    val joined = perSeg.reduce((a, b) => a.join(b, "__vid__"))
+    val qdotSum = (0 until m).map(s => col(s"__qd${s}__")).reduce(_ + _)
+    val cn2Sum = (0 until m).map(s => col(s"__cn2${s}__")).reduce(_ + _)
+    joined
+      .crossJoin(broadcast(qrow.select(col("__qn__"))))
+      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__vid__"))))
+      .where(col("rank") <= k)
+      .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+  }
+
   /** Per-vector symmetric int8 quantization (the standard storage/transfer
     * compression for embedding columns at corpus scale: 4× smaller than
     * float32). scale = 127/max|x| per vector; values round half-up via the
