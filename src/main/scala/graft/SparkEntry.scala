@@ -850,6 +850,34 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- the bloom-filter decontamination path in batch/backfill mode,
+    //     gated on the property the filter GUARANTEES: no false
+    //     negatives. Output = docs dropped by the bloom path that the
+    //     exact path also drops; that equals the exact contaminated set
+    //     iff nothing leaked through the bloom predicate (a single leak
+    //     shrinks the intersection and fails the row/hash compare).
+    //     False POSITIVES — bounded by fpp, and inflated on tiny filters
+    //     by Spark's Murmur3 double-hashing (measured: 4 over-drops at
+    //     nominal 1e-6 here) — cannot affect the output, which is what
+    //     makes the oracle exact. ---
+    "q_stream_decontam" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val eval = df.where(F.col("doc_id") < 5)
+            .select(F.col("doc_id").as("eval_id"), F.col("text"))
+          val ids = df.select(F.col("doc_id"))
+          def dropped(kept: org.apache.spark.sql.DataFrame) =
+            ids.join(kept.select(F.col("doc_id")), Seq("doc_id"), "left_anti")
+          val bloomDropped = dropped(graft.streaming.Streams.streamingDecontaminate(
+            df, "text", eval, "text", n = 3, maxExactGrams = 0L))
+          val exactDropped = dropped(graft.streaming.Streams.streamingDecontaminate(
+            df, "text", eval, "text", n = 3))
+          bloomDropped.intersect(exactDropped)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- the STREAMING chain matcher in batch/backfill mode: update-mode
     //     emission over full history = one row per group whose chain
     //     matched step 0 — oracle-checkable because the frontier state
@@ -2091,6 +2119,23 @@ object SparkEntry {
          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          ORDER BY user_id"""),
+    // The exact contaminated set: bloom-dropped ∩ exact-dropped collapses
+    // to it exactly when the bloom path leaks nothing (no-false-negative
+    // gate; over-drops cannot appear in the intersection).
+    "q_stream_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+           FROM toks WHERE len(w) >= 3
+         ), eg AS (
+           SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 5
+         )
+         SELECT DISTINCT s.doc_id FROM sh s JOIN eg ON list_contains(s.sh, eg.g)
+         ORDER BY doc_id""",
+
     // One row per group that matched step 0 (the streaming operator's
     // update-mode emission over full history); group key is the string
     // form, the price of the schema-generic streaming operator.

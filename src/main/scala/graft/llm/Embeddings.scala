@@ -421,17 +421,50 @@ object Embeddings {
       k: Int,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     graft.GraftExtensions.install(emb.sparkSession)
-    val segLen = dim / m
-    val cbooks = scope.cache(codebooks)
+    val cands = emb
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
     val qrow = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    adcTopK(cands, codebooks, qrow, dim, m, k, scope)
+  }
 
+  /** The shared ADC scorer behind [[pqTopK]] and [[ivfPqTopK]]: assign
+    * each candidate's segments to their codebook cells, join the query's
+    * broadcast lookup tables, combine partials in FIXED segment order,
+    * rank by (6-dp score desc, id). Validates the codebooks frame against
+    * (m, segLen) — a mismatched frame would otherwise score silently
+    * wrong, because the dot's left fold truncates to the shorter array. */
+  private def adcTopK(
+      cands: DataFrame,
+      codebooks: DataFrame,
+      qrow: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      scope: CacheScope,
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    val segLen = dim / m
+    val cbooks = scope.cache(codebooks)
+    // codebooks are model-parameter-sized: validating shape is one tiny
+    // aggregate, and catches training/serving m or dim drift loudly
+    val shape = cbooks.groupBy(col("segment"))
+      .agg(countDistinct(size(col("cv"))).as("__nlen__"),
+        first(size(col("cv"))).as("__len__"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    require(shape.map(_._1).toSeq == (0 until m),
+      s"codebooks cover segments ${shape.map(_._1).mkString(",")}; expected 0..${m - 1} " +
+        "(was the frame trained with a different m?)")
+    shape.foreach { case (s, nlen, len) =>
+      require(nlen == 1L && len == segLen,
+        s"codebook segment $s has ${len}-dim entries; expected $segLen " +
+          "(was the frame trained with a different dim or m?)")
+    }
     val perSeg = (0 until m).map { s =>
-      val sliced = emb
-        .select(col(idCol).as("__vid__"),
-          slice(col(vecCol), s * segLen + 1, segLen).as("__v__"))
+      val sliced = cands
+        .select(col("__vid__"), slice(col("__v__"), s * segLen + 1, segLen).as("__v__"))
         .withColumn("__n__", sqrt(dot("__v__", "__v__")))
       val cents = cbooks.where(col("segment") === s).select(col("cid"), col("cv"))
       val assigned = withCell(sliced, "__v__", cents)
@@ -448,7 +481,6 @@ object Embeddings {
     val qdotSum = (0 until m).map(s => col(s"__qd${s}__")).reduce(_ + _)
     val cn2Sum = (0 until m).map(s => col(s"__cn2${s}__")).reduce(_ + _)
     joined
-      .where(col("__vid__") =!= queryId)
       .crossJoin(broadcast(qrow.select(col("__qn__"))))
       .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
       .withColumn("rank", row_number().over(
@@ -478,9 +510,7 @@ object Embeddings {
       k: Int,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     graft.GraftExtensions.install(emb.sparkSession)
-    val segLen = dim / m
     // coarse cell per vector; candidates = the query's cell, query excluded
     val celled = scope.cache(
       withCell(emb.select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
@@ -493,31 +523,7 @@ object Embeddings {
       .select(col("__vid__"), col("__v__"))
     val qrow = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
-    val cbooks = scope.cache(codebooks)
-    val perSeg = (0 until m).map { s =>
-      val sliced = cands
-        .select(col("__vid__"), slice(col("__v__"), s * segLen + 1, segLen).as("__v__"))
-        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
-      val cents = cbooks.where(col("segment") === s).select(col("cid"), col("cv"))
-      val assigned = withCell(sliced, "__v__", cents)
-        .select(col("__vid__"), col("__cell__"))
-      val table = cents.crossJoin(broadcast(qrow))
-        .select(col("cid").as("__cell__"),
-          dot(s"slice(__q__, ${s * segLen + 1}, $segLen)", "cv").as(s"__qd${s}__"),
-          dot("cv", "cv").as(s"__cn2${s}__"))
-      assigned.join(broadcast(table), "__cell__")
-        .select(col("__vid__"), col(s"__qd${s}__"), col(s"__cn2${s}__"))
-    }
-    val joined = perSeg.reduce((a, b) => a.join(b, "__vid__"))
-    val qdotSum = (0 until m).map(s => col(s"__qd${s}__")).reduce(_ + _)
-    val cn2Sum = (0 until m).map(s => col(s"__cn2${s}__")).reduce(_ + _)
-    joined
-      .crossJoin(broadcast(qrow.select(col("__qn__"))))
-      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("__vid__"))))
-      .where(col("rank") <= k)
-      .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+    adcTopK(cands, codebooks, qrow, dim, m, k, scope)
   }
 
   /** Per-vector symmetric int8 quantization (the standard storage/transfer

@@ -69,26 +69,46 @@ object Streams {
     * Update-mode output: one row per group per micro-batch in which the
     * group's chain CHANGED — (group, `<step>_ts`...). Steps match on
     * equality of `eventCol` against each step name (the reference's
-    * string-step normalization). Works on batch frames too (one group
-    * call over full history = batch parity). */
+    * string-step normalization); a REPEATED step name feeds every one of
+    * its positions, like the batch operator's per-step conditions. Works
+    * on batch frames too (one group call over full history = batch
+    * parity).
+    *
+    * State: the frontier is O(steps) once a group's chain matches early,
+    * but a group whose next-unmatched step never arrives retains its
+    * later-step candidates indefinitely (the same information-theoretic
+    * floor the batch aggregate has — except a stream never terminates).
+    * `idleTimeout` (e.g. "7 days") bounds that: a group receiving no
+    * events for the duration has its state dropped (a later resumption
+    * restarts its chain from scratch — the documented trade). None keeps
+    * exact unbounded semantics. */
   def streamingMatchSteps(
       events: DataFrame,
       groupCol: String,
       tsCol: String,
       eventCol: String,
       steps: Seq[String],
+      idleTimeout: Option[String] = None,
   ): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     require(steps.nonEmpty && steps.size <= 62, "1..62 steps")
-    val stepIdx = steps.zipWithIndex.toMap
+    // every position of a repeated step name gets the event
+    val stepIdx: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val prep = events.select(
       col(groupCol).cast("string").as("__g__"),
       col(tsCol).cast("timestamp").as("__t__"),
       col(eventCol).cast("string").as("__e__"))
     val outSchema = StructType(
       StructField("group", StringType) +:
-        steps.map(s => StructField(s"${s}_ts", TimestampType)))
+        steps.zipWithIndex.map { case (s, i) =>
+          // repeated step names disambiguate by position so the output
+          // schema stays valid (view, click, view -> view_0_ts, click_ts,
+          // view_2_ts)
+          val n = if (steps.count(_ == s) > 1) s"${s}_${i}_ts" else s"${s}_ts"
+          StructField(n, TimestampType)
+        })
     implicit val rowEnc = Encoders.row(outSchema)
     implicit val bufEnc = Encoders.product[ChainFrontier]
     implicit val strEnc = Encoders.STRING
@@ -99,32 +119,39 @@ object Streams {
       })
       new graft.expr.ChainState(sets)
     }
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     prep
       .groupByKey((r: Row) => r.getString(0))
       .flatMapGroupsWithState[ChainFrontier, Row](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (g: String, rows: Iterator[Row], state: GroupState[ChainFrontier]) =>
-          val st = restore(state.getOption)
-          val before = st.chain().toSeq
-          rows.foreach { r =>
-            if (!r.isNullAt(1) && !r.isNullAt(2)) {
-              stepIdx.get(r.getString(2)).foreach { k =>
-                st.add(k, DateTimeUtils.fromJavaTimestamp(r.getTimestamp(1)))
-                st.prune()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = restore(state.getOption)
+            val before = st.chain().toSeq
+            rows.foreach { r =>
+              if (!r.isNullAt(1) && !r.isNullAt(2)) {
+                stepIdx.get(r.getString(2)).foreach(_.foreach { k =>
+                  st.add(k, DateTimeUtils.fromJavaTimestamp(r.getTimestamp(1)))
+                  st.prune()
+                })
               }
             }
+            val after = st.chain().toSeq
+            state.update(ChainFrontier(st.sets.toSeq.map { s =>
+              val it = s.iterator(); val b = Seq.newBuilder[Long]
+              while (it.hasNext) b += it.next()
+              b.result()
+            }))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            if (after == before) Iterator.empty
+            else Iterator.single(Row.fromSeq(g +: after.map {
+              case null => null
+              case m: java.lang.Long => DateTimeUtils.toJavaTimestamp(m)
+            }))
           }
-          val after = st.chain().toSeq
-          state.update(ChainFrontier(st.sets.toSeq.map { s =>
-            val it = s.iterator(); val b = Seq.newBuilder[Long]
-            while (it.hasNext) b += it.next()
-            b.result()
-          }))
-          if (after == before) Iterator.empty
-          else Iterator.single(Row.fromSeq(g +: after.map {
-            case null => null
-            case m: java.lang.Long => DateTimeUtils.toJavaTimestamp(m)
-          }))
       }(bufEnc, rowEnc)
   }
 
@@ -247,7 +274,10 @@ object Streams {
       eval: DataFrame,
       evalText: String,
       n: Int = 3,
-      maxExactGrams: Long = 1L << 20,
+      // 64k md5-hex grams ≈ 2 MB plan literal — the "literal is MBs"
+      // design point; past it the per-row arrays_overlap against a huge
+      // literal costs more than the O(1) bloom probe anyway
+      maxExactGrams: Long = 1L << 16,
       bloomFpp: Double = 0.001,
   ): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
