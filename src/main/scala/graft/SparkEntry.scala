@@ -856,23 +856,27 @@ object SparkEntry {
     //     exact path also drops; that equals the exact contaminated set
     //     iff nothing leaked through the bloom predicate (a single leak
     //     shrinks the intersection and fails the row/hash compare).
-    //     False POSITIVES — bounded by fpp, and inflated on tiny filters
-    //     by Spark's Murmur3 double-hashing (measured: 4 over-drops at
-    //     nominal 1e-6 here) — cannot affect the output, which is what
-    //     makes the oracle exact. ---
+    //     False POSITIVES — bounded by fpp (default 1e-3 here; inflated
+    //     on tiny filters by Spark's Murmur3 double-hashing — a separate
+    //     experiment measured 4 over-drops even at nominal 1e-6) —
+    //     cannot affect the output, which is what makes the oracle
+    //     exact. The docs frame is cached: both paths' gram pipelines and
+    //     both sides of each anti-join read it. ---
     "q_stream_decontam" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val eval = df.where(F.col("doc_id") < 5)
+          val docs = graft.llm.CacheScope.global.cache(
+            df.where(F.col("doc_id").isNotNull))
+          val eval = docs.where(F.col("doc_id") < 5)
             .select(F.col("doc_id").as("eval_id"), F.col("text"))
-          val ids = df.select(F.col("doc_id"))
+          val ids = docs.select(F.col("doc_id"))
           def dropped(kept: org.apache.spark.sql.DataFrame) =
             ids.join(kept.select(F.col("doc_id")), Seq("doc_id"), "left_anti")
           val bloomDropped = dropped(graft.streaming.Streams.streamingDecontaminate(
-            df, "text", eval, "text", n = 3, maxExactGrams = 0L))
+            docs, "text", eval, "text", n = 3, maxExactGrams = 0L))
           val exactDropped = dropped(graft.streaming.Streams.streamingDecontaminate(
-            df, "text", eval, "text", n = 3))
+            docs, "text", eval, "text", n = 3))
           bloomDropped.intersect(exactDropped)
         }
         .sort(col("doc_id"))

@@ -450,10 +450,17 @@ object Embeddings {
     val cbooks = scope.cache(codebooks)
     // codebooks are model-parameter-sized: validating shape is one tiny
     // aggregate, and catches training/serving m or dim drift loudly
-    val shape = cbooks.groupBy(col("segment"))
-      .agg(countDistinct(size(col("cv"))).as("__nlen__"),
-        first(size(col("cv"))).as("__len__"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val shape = cbooks
+      .select(col("segment").cast("int").as("__s__"), size(col("cv")).as("__len__"))
+      .where(col("__s__").isNotNull) // a null segment surfaces as "missing"
+      .groupBy(col("__s__"))
+      .agg(countDistinct(col("__len__")).as("__nlen__"),
+        min(col("__len__")).as("__minlen__"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .sortBy(_._1)
     require(shape.map(_._1).toSeq == (0 until m),
       s"codebooks cover segments ${shape.map(_._1).mkString(",")}; expected 0..${m - 1} " +
         "(was the frame trained with a different m?)")

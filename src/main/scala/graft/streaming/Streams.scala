@@ -100,13 +100,14 @@ object Streams {
       col(groupCol).cast("string").as("__g__"),
       col(tsCol).cast("timestamp").as("__t__"),
       col(eventCol).cast("string").as("__e__"))
+    // with ANY repeated name, every column carries its position — a
+    // selective suffix could collide with a literal step named like the
+    // suffixed form (steps "view","view","view_0")
+    val anyRepeat = steps.distinct.size != steps.size
     val outSchema = StructType(
       StructField("group", StringType) +:
         steps.zipWithIndex.map { case (s, i) =>
-          // repeated step names disambiguate by position so the output
-          // schema stays valid (view, click, view -> view_0_ts, click_ts,
-          // view_2_ts)
-          val n = if (steps.count(_ == s) > 1) s"${s}_${i}_ts" else s"${s}_ts"
+          val n = if (anyRepeat) s"${s}_${i}_ts" else s"${s}_ts"
           StructField(n, TimestampType)
         })
     implicit val rowEnc = Encoders.row(outSchema)

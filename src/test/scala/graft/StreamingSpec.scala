@@ -303,6 +303,25 @@ class StreamingSpec extends GraftSuite {
     assert(!stream.contains("2") && batch("2") === ((null, null, null)))
   }
 
+  test("streaming match_steps: repeated step names feed every position; idleTimeout plumbs") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // a -> b -> a: the second "a" must match a LATER a-event, exactly like
+    // the batch operator's per-step conditions
+    val df = Seq(
+      (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "a"),
+      (2L, ts(1), "a"), (2L, ts(2), "b"), // no second a -> chain stops
+    ).toDF("user_id", "ts", "event")
+    val out = Streams.streamingMatchSteps(df, "user_id", "ts", "event",
+      Seq("a", "b", "a"), idleTimeout = Some("10 minutes"))
+    assert(out.columns.toSeq === Seq("group", "a_0_ts", "b_1_ts", "a_2_ts"))
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getTimestamp(1), r.getTimestamp(2), Option(r.getTimestamp(3))))).toMap
+    assert(rows("1") === ((ts(1), ts(2), Some(ts(3)))))
+    assert(rows("2") === ((ts(1), ts(2), None)))
+  }
+
   test("streaming dedup operator also runs in batch mode for backfill parity") {
     val s = spark
     import s.implicits._
