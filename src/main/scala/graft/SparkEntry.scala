@@ -3003,7 +3003,7 @@ object SparkEntry {
                     i -> concat(w[i], ' ', w[i+1]))) AS pair, f
            FROM wf
          )
-         SELECT pair, sum(f) AS n FROM p
+         SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p
          GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
 
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)

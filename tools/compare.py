@@ -4,7 +4,12 @@ graft.Verify (Spark) into an outDir, then execute each oracle_sql.json
 entry in DuckDB over the same parquet tables and compare values
 column-name-sorted, row-sorted. Dev tool only — not part of the library.
 
-Usage: python3 tools/compare.py <sfDir> <outDir> [query ...]
+Strict by default: column dtype CLASSES (int vs float vs bool vs string vs
+datetime) must match, because the driver's hash is type-sensitive — a DuckDB
+HUGEINT (uncast sum) coerced to float64 red-flags a query whose values are
+bit-identical to Spark's int64. Pass --loose for the old values-only check.
+
+Usage: python3 tools/compare.py <sfDir> <outDir> [--loose] [query ...]
 """
 import json, math, sys
 
@@ -22,9 +27,17 @@ def norm(v):
     return str(v)
 
 
+def dtype_class(dt):
+    k = dt.kind  # numpy kind: i/u int, f float, b bool, M datetime, O object
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "datetime", "m": "timedelta"}.get(k, "object")
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--loose"]
+    strict = "--loose" not in sys.argv
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,6 +61,13 @@ def main():
             n_fail += 1
             continue
         got, want = got[g_cols], want[w_cols]
+        if strict:
+            bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in g_cols
+                   if dtype_class(got[c].dtype) != dtype_class(want[c].dtype)]
+            if bad:
+                print(f"FAIL {name}: dtype class mismatch (spark vs oracle): {bad}")
+                n_fail += 1
+                continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
