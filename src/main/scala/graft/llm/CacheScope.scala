@@ -17,6 +17,7 @@ import org.apache.spark.storage.StorageLevel
   */
 final class CacheScope {
   private val frames = ArrayBuffer.empty[DataFrame]
+  private val memo = scala.collection.mutable.Map.empty[Any, DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for later release.
     * Idempotent per frame: re-registering an already-tracked frame is a
@@ -26,6 +27,19 @@ final class CacheScope {
   def cache(df: DataFrame): DataFrame = synchronized {
     frames += df
     df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[cache]] with structural sharing: the first call for a `key` builds
+    * and persists the frame; later calls return the SAME DataFrame object,
+    * so downstream plans read one InMemoryRelation instead of re-deriving
+    * (and re-persisting) an identical projection. Used by the llm
+    * operators to share the (id, vector, norm) feature frame between a
+    * k-means fit and its serving/dedup consumer — at corpus scale that is
+    * a whole saved scan+norm pass per consumer. Keys must capture the full
+    * derivation (canonicalized input plan + parameters); [[release]]
+    * clears the memo along with the persists. */
+  def cacheKeyed(key: Any)(build: => DataFrame): DataFrame = synchronized {
+    memo.getOrElseUpdate(key, cache(build))
   }
 
   /** Unpersist every tracked frame (non-blocking) and forget them. Safe to
@@ -38,6 +52,7 @@ final class CacheScope {
   def release(): Unit = synchronized {
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
+    memo.clear()
   }
 }
 

@@ -285,7 +285,10 @@ object Embeddings {
   }
 
   /** The cached (__vid__, __v__, __n__) projection every Lloyd's pass
-    * reads. Cached once per fit; callers release via the scope. */
+    * reads — MEMOIZED per (input plan, idCol, vecCol) in the scope, so a
+    * fit and its consumers (semDedup, ivfPqTopK) within one query share a
+    * single InMemoryRelation instead of each re-scanning the corpus to
+    * re-derive the identical projection. Callers release via the scope. */
   private def cacheBase(
       emb: DataFrame,
       idCol: String,
@@ -294,9 +297,12 @@ object Embeddings {
   ): DataFrame = {
     // analysis of the norm expression below needs float_vec_dot resolved
     graft.GraftExtensions.install(emb.sparkSession)
-    scope.cache(emb
-      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
-      .withColumn("__n__", sqrt(dot("__v__", "__v__"))))
+    scope.cacheKeyed(
+      ("graft.llm.base", emb.queryExecution.analyzed.canonicalized, idCol, vecCol)) {
+      emb
+        .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+    }
   }
 
   private def lloyd(base: DataFrame, initPred: Column, iters: Int): DataFrame = {
@@ -399,17 +405,18 @@ object Embeddings {
     * broadcast lookup table), and score each vector as
     *   Σ_s qdot(s, code_s)  /  (‖q‖ · sqrt(Σ_s ‖c_{s,code_s}‖²))
     * — the cosine against the RECONSTRUCTED vector. The corpus side never
-    * touches the query vector: per segment it is one narrow assignment
-    * pass plus a broadcast-table join, so the whole search is
-    * scan-shaped (a production deployment encodes once and stores the
-    * codes; the per-query work is just the tiny table + the joins).
+    * touches the query vector: all m assignments and the score lookup
+    * happen in ONE candidate pass against a single 1-row broadcast, so
+    * the whole search is scan-shaped with zero candidate-set shuffles (a
+    * production deployment encodes once and stores the codes; the
+    * per-query work is just the tiny lookup row).
     *
     * Determinism: segment partials combine left-to-right in segment
-    * order via a wide per-segment join (NOT an unordered sum aggregate),
-    * so the float fold order is fixed for any m; the final score rounds
-    * to 6 dp with id tie-break. With m = 1 and a per-vector codebook
-    * (initPred = all ids, iters = 0) ADC degenerates to EXACT cosine
-    * search — the spec gate. */
+    * order inside one projection (NOT an unordered sum aggregate), so the
+    * float fold order is fixed for any m; the final score rounds to 6 dp
+    * with id tie-break. With m = 1 and a per-vector codebook (initPred =
+    * all ids, iters = 0) ADC degenerates to EXACT cosine search — the
+    * spec gate. */
   def pqTopK(
       emb: DataFrame,
       idCol: String,
@@ -430,10 +437,11 @@ object Embeddings {
     adcTopK(cands, codebooks, qrow, dim, m, k, scope)
   }
 
-  /** The shared ADC scorer behind [[pqTopK]] and [[ivfPqTopK]]: assign
-    * each candidate's segments to their codebook cells, join the query's
-    * broadcast lookup tables, combine partials in FIXED segment order,
-    * rank by (6-dp score desc, id). Validates the codebooks frame against
+  /** The shared ADC scorer behind [[pqTopK]] and [[ivfPqTopK]]: one
+    * candidate-set pass that assigns every segment to its codebook cell
+    * and sums the query's precomputed per-(segment, cell) partials in
+    * FIXED segment order from a single 1-row broadcast, then ranks by
+    * (6-dp score desc, id). Validates the codebooks frame against
     * (m, segLen) — a mismatched frame would otherwise score silently
     * wrong, because the dot's left fold truncates to the shorter array. */
   private def adcTopK(
@@ -469,26 +477,65 @@ object Embeddings {
         s"codebook segment $s has ${len}-dim entries; expected $segLen " +
           "(was the frame trained with a different dim or m?)")
     }
-    val perSeg = (0 until m).map { s =>
-      val sliced = cands
-        .select(col("__vid__"), slice(col("__v__"), s * segLen + 1, segLen).as("__v__"))
-        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
-      val cents = cbooks.where(col("segment") === s).select(col("cid"), col("cv"))
-      val assigned = withCell(sliced, "__v__", cents)
-        .select(col("__vid__"), col("__cell__"))
-      // the query's lookup table for this segment: k rows, broadcast
-      val table = cents.crossJoin(broadcast(qrow))
-        .select(col("cid").as("__cell__"),
-          dot(s"slice(__q__, ${s * segLen + 1}, $segLen)", "cv").as(s"__qd${s}__"),
-          dot("cv", "cv").as(s"__cn2${s}__"))
-      assigned.join(broadcast(table), "__cell__")
-        .select(col("__vid__"), col(s"__qd${s}__"), col(s"__cn2${s}__"))
-    }
-    val joined = perSeg.reduce((a, b) => a.join(b, "__vid__"))
-    val qdotSum = (0 until m).map(s => col(s"__qd${s}__")).reduce(_ + _)
-    val cn2Sum = (0 until m).map(s => col(s"__cn2${s}__")).reduce(_ + _)
-    joined
+    // SINGLE-PASS scoring: every per-query quantity folds into ONE 1-row
+    // broadcast — per segment s, the centroid array (for the assignment
+    // argmax) and a map cell → (qd = q_s·c, cn2 = ‖c‖²) lookup, plus the
+    // query norm. Candidates then take exactly one pass: one 1-row
+    // BroadcastNestedLoopJoin, a projection that computes all m cell
+    // assignments and sums the looked-up partials IN FIXED SEGMENT ORDER
+    // (an in-expression left fold, so the float order matches the old
+    // per-segment wide-join formulation bit-for-bit — AdcSinglePassSpec
+    // pins that identity), then the top-k window. The previous design
+    // joined m per-segment partial frames pairwise on __vid__ — m−1
+    // shuffle joins of the candidate set that a production m=8..16 would
+    // multiply; this plan shuffles the candidate set zero times before
+    // the top-k.
+    val segTables = cbooks.crossJoin(broadcast(qrow))
+      .select(col("segment").cast("int").as("__s__"), col("cid"), col("cv"),
+        sqrt(dot("cv", "cv")).as("__cn__"),
+        dot(s"slice(__q__, CAST(segment AS INT) * $segLen + 1, $segLen)", "cv")
+          .as("__qd__"),
+        dot("cv", "cv").as("__cn2__"))
+    val oneRow = segTables
+      .groupBy(col("__s__"))
+      .agg(
+        collect_list(struct(col("cid").as("__cid__"), col("cv").as("__cv__"),
+          col("__cn__"))).as("__cents__"),
+        map_from_entries(collect_list(struct(col("cid"),
+          struct(col("__qd__").as("qd"), col("__cn2__").as("cn2"))))).as("__tab__"))
+      .agg(
+        map_from_entries(collect_list(struct(col("__s__"), col("__cents__"))))
+          .as("__cbs__"),
+        map_from_entries(collect_list(struct(col("__s__"), col("__tab__"))))
+          .as("__tabs__"))
       .crossJoin(broadcast(qrow.select(col("__qn__"))))
+    // per segment: slice, norm, then the same argmax fold withCell uses
+    // (identical expression over element_at(__cbs__, s) — train/serve
+    // assignment cannot disagree), yielding __cell{s}__
+    val withSegs = (0 until m).foldLeft(cands.crossJoin(broadcast(oneRow))) {
+      (df, s) =>
+        df.withColumn(s"__seg${s}__",
+            slice(col("__v__"), s * segLen + 1, segLen))
+          .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
+          .withColumn(s"__cell${s}__", expr(s"""aggregate(
+              transform(element_at(__cbs__, $s), c -> named_struct(
+                'sim', IF(__sn${s}__ = 0D OR c.__cn__ = 0D, CAST(-2 AS double),
+                          coalesce(round(float_vec_dot(__seg${s}__, c.__cv__)
+                                           / (__sn${s}__ * c.__cn__), 6),
+                                   CAST(-2 AS double))),
+                'cid', c.__cid__)),
+              named_struct('sim', CAST(-2 AS double),
+                'cid', get(element_at(__cbs__, $s), 0).__cid__),
+              (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
+                             c, acc)).cid"""))
+    }
+    val qdotSum = (0 until m)
+      .map(s => expr(s"element_at(element_at(__tabs__, $s), __cell${s}__).qd"))
+      .reduce(_ + _)
+    val cn2Sum = (0 until m)
+      .map(s => expr(s"element_at(element_at(__tabs__, $s), __cell${s}__).cn2"))
+      .reduce(_ + _)
+    withSegs
       .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("__vid__"))))
@@ -518,18 +565,21 @@ object Embeddings {
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    // coarse cell per vector; candidates = the query's cell, query excluded
+    // coarse cell per vector; candidates = the query's cell, query
+    // excluded. The (id, vec, norm) projection is the memoized cacheBase,
+    // shared with the coarse kmeansFitSqrtK that produced `coarse` — the
+    // assignment pass reads the fit's InMemoryRelation, not the corpus.
+    val base = cacheBase(emb, idCol, vecCol, scope)
     val celled = scope.cache(
-      withCell(emb.select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
-        .withColumn("__n__", sqrt(dot("__v__", "__v__"))), "__v__", coarse)
+      withCell(base, "__v__", coarse)
         .select(col("__vid__"), col("__v__"), col("__cell__")))
     val qcell = celled.where(col("__vid__") === queryId)
       .select(col("__cell__").as("__qc__"))
     val cands = celled.join(broadcast(qcell), col("__cell__") <=> col("__qc__"))
       .where(col("__vid__") =!= queryId)
       .select(col("__vid__"), col("__v__"))
-    val qrow = emb.where(col(idCol) === queryId)
-      .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    val qrow = base.where(col("__vid__") === queryId)
+      .select(col("__v__").as("__q__"), col("__n__").as("__qn__"))
     adcTopK(cands, codebooks, qrow, dim, m, k, scope)
   }
 
@@ -643,11 +693,14 @@ object Embeddings {
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
-    // both self-join sides read (id, vec, norm, cell) — materialize once
+    // both self-join sides read (id, vec, norm, cell) — materialize once.
+    // The (id, vec, norm) projection comes from the MEMOIZED cacheBase, so
+    // when `centroids` was fit from the same frame (kmeansFitSqrtK) the
+    // assignment pass reads the fit's InMemoryRelation instead of
+    // re-scanning the corpus for an identical projection.
     val assignedAll =
-      withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
-        vecCol, centroids)
-        .select(col(idCol).as("__id__"), col(vecCol).as("__v__"),
+      withCell(cacheBase(emb, idCol, vecCol, scope), "__v__", centroids)
+        .select(col("__vid__").as("__id__"), col("__v__"),
           col("__n__"), col("__cell__"))
     val assigned = scope.cache(
       if (maxCellSize <= 0) assignedAll

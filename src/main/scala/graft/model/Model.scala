@@ -74,17 +74,38 @@ final case class Model(
     * declarations (plain table scans) resolve to the named column. */
   def attr(name: String): Expr =
     if (attributes.isEmpty) ColRef(name)
-    else attributes.getOrElse(name,
-      throw new NoSuchElementException(
-        s"unknown attribute '$name'; known: ${attributes.keys.mkString(", ")}"))
+    else attributes.getOrElse(name, unknown("attribute", name, attributes.keys))
   def msr(name: String): Expr =
-    measures.getOrElse(name,
-      throw new NoSuchElementException(
-        s"unknown measure '$name'; known: ${measures.keys.mkString(", ")}"))
+    measures.getOrElse(name, unknown("measure", name, measures.keys))
   def rel(name: String): RelAccessor =
-    new RelAccessor(relations.getOrElse(name,
-      throw new NoSuchElementException(
-        s"unknown relation '$name'; known: ${relations.keys.mkString(", ")}")))
+    new RelAccessor(relations.getOrElse(name, unknown("relation", name, relations.keys)))
+
+  /** Rich unknown-identifier error (reference model.py:101-180 behavior):
+    * an exact hit in ANOTHER map is called out with the accessor to use
+    * (the reference's "a measure was found instead — did you mean
+    * msr(...)?"), otherwise close names in the SAME map rank by edit
+    * distance; the full known list always follows, so no information the
+    * plain error carried is lost. */
+  private def unknown(kind: String, name: String, known: Iterable[String]): Nothing = {
+    val accessorOf = Map("attribute" -> "attr", "measure" -> "msr", "relation" -> "rel")
+    val cross = Seq(
+      "attribute" -> attributes.keySet, "measure" -> measures.keySet,
+      "relation" -> relations.keySet)
+      .collect { case (k, names) if k != kind && names(name) =>
+        s"""a $k with this name exists — did you mean ${accessorOf(k)}("$name")?""" }
+    val near = known
+      .map(k => (k, Model.editDistance(name.toLowerCase, k.toLowerCase)))
+      .filter { case (k, d) => d <= math.max(1, math.min(name.length, k.length) / 3) }
+      .toSeq.sortBy { case (k, d) => (d, k) }.take(3).map(n => s"'${n._1}'")
+    val hints = cross ++
+      (if (cross.isEmpty && near.nonEmpty)
+         Seq(s"did you mean ${near.mkString(" or ")}?") else Nil)
+    throw new NoSuchElementException(
+      s"unknown $kind '$name'" +
+        (if (hints.nonEmpty) s" — ${hints.mkString(" ")}" else "") +
+        s"; known ${kind}s: " +
+        (if (known.isEmpty) "<none>" else known.mkString(", ")))
+  }
 
   // --- definition builders (model.py:235-279, :282-350, :354-384) ---
   def withAttributes(attrs: Expr*): Model =
@@ -673,6 +694,22 @@ final case class Model(
 object Model {
   /** FUNNEL_COUNT_COLUMN_NAME (reference model.py:42). */
   val FunnelCountColumn = "entities"
+
+  /** Levenshtein distance, for "did you mean" identifier suggestions.
+    * Identifier-sized inputs only (two-row DP, O(|a|·|b|)). */
+  private[model] def editDistance(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
 
   /** Rewrite bare `self.<ident>` qualifiers in a SQL fragment to
     * `{{ self.<ident> }}` references. Quote-aware hand scanner (no SQL

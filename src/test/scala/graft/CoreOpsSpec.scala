@@ -42,6 +42,26 @@ class CoreOpsSpec extends GraftSuite {
     }
   }
 
+  test("unknown identifiers get did-you-mean suggestions (reference model.py:101-180)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0)).toDF("id", "amt")
+    val m = Model.fromDF(df)
+      .withAttributes(col("amt").named("net_amount"), col("id").named("order_id"))
+      .withMeasures(count().named("n_orders"))
+    // typo → edit-distance suggestion from the same map
+    val typo = intercept[NoSuchElementException](m.attr("net_amuont"))
+    assert(typo.getMessage.contains("did you mean 'net_amount'?"))
+    assert(typo.getMessage.contains("known attributes:"))
+    // name that exists in ANOTHER map → cross-kind accessor hint
+    val cross = intercept[NoSuchElementException](m.attr("n_orders"))
+    assert(cross.getMessage.contains("""did you mean msr("n_orders")?"""))
+    // far-from-everything name → no suggestion, just the known list
+    val far = intercept[NoSuchElementException](m.msr("zzz_completely_else"))
+    assert(!far.getMessage.contains("did you mean"))
+    assert(far.getMessage.contains("known measures: n_orders"))
+  }
+
   test("week granularity honors the first-day-of-week compile setting") {
     val s = spark
     import s.implicits._

@@ -28,4 +28,19 @@ class EntrySpec extends GraftSuite {
     assert(offenders.isEmpty,
       s"queries with cartesian products: ${offenders.mkString(", ")}")
   }
+
+  test("plan lint: ADC scoring never shuffle-joins the candidate set") {
+    // The single-pass ADC design (Embeddings.adcTopK) scores candidates in
+    // one projection against a 1-row broadcast — the old formulation's
+    // m−1 SortMergeJoins of per-segment partials must never come back
+    // (a production m=8..16 would shuffle the candidate set 7-15 times).
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_ann_pq", "q_ann_ivfpq").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name plans a SortMergeJoin; ADC must stay broadcast-only")
+    }
+    llm.CacheScope.global.release()
+  }
 }

@@ -379,6 +379,78 @@ class LlmSpec extends GraftSuite {
     assert(adc.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
   }
 
+  test("cacheKeyed shares one persisted frame across fit and consumer") {
+    // kmeansFitSqrtK and semDedup/ivfPqTopK all derive the same
+    // (id, vec, norm) projection; the scope memo must hand back the SAME
+    // DataFrame (one InMemoryRelation, one persist) for the same
+    // (plan, idCol, vecCol) key, and release() must clear the memo.
+    val scope = new graft.llm.CacheScope
+    var builds = 0
+    def build() = { builds += 1; vectors.select(sc("vec_id"), sc("embedding")) }
+    val key = ("k", vectors.queryExecution.analyzed.canonicalized, "vec_id")
+    val a = scope.cacheKeyed(key)(build())
+    val b = scope.cacheKeyed(key)(build())
+    assert(a eq b)
+    assert(builds === 1)
+    scope.release()
+    scope.cacheKeyed(key)(build())
+    assert(builds === 2) // post-release, the memo rebuilds
+    scope.release()
+  }
+
+  test("single-pass ADC is value-identical to the per-segment join formulation") {
+    // The round-8 adcTopK assembled per-segment partials with an m-way
+    // join on the candidate id; the single-pass rewrite must produce
+    // bit-identical (id, score, rank) rows — same slice, same assignment
+    // fold, same fixed-order partial sum, same 6-dp round. The join
+    // formulation is reconstructed verbatim here as the reference.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, round, row_number, slice, sqrt}
+    val rnd = new scala.util.Random(23)
+    val embs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val m = 2; val dim = 8; val segLen = dim / m; val k = 29
+    val cb = Embeddings.pqCodebooks(embs, "vec_id", "embedding",
+      dim = dim, m = m, initPred = sc("vec_id") < 4L, iters = 2)
+    val single = Embeddings.pqTopK(embs, "vec_id", "embedding", cb,
+      dim = dim, m = m, queryId = 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val cands = embs.where(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("__vid__"), col("embedding").as("__v__"))
+    val qrow = embs.where(col("vec_id") === 0L)
+      .select(col("embedding").as("__q__"),
+        sqrt(Embeddings.dot("embedding", "embedding")).as("__qn__"))
+    val perSeg = (0 until m).map { seg =>
+      val sliced = cands
+        .select(col("__vid__"), slice(col("__v__"), seg * segLen + 1, segLen).as("__v__"))
+        .withColumn("__n__", sqrt(Embeddings.dot("__v__", "__v__")))
+      val cents = cb.where(col("segment") === seg).select(col("cid"), col("cv"))
+      val assigned = Embeddings.withCell(sliced, "__v__", cents)
+        .select(col("__vid__"), col("__cell__"))
+      val table = cents.crossJoin(broadcast(qrow))
+        .select(col("cid").as("__cell__"),
+          Embeddings.dot(s"slice(__q__, ${seg * segLen + 1}, $segLen)", "cv")
+            .as(s"__qd${seg}__"),
+          Embeddings.dot("cv", "cv").as(s"__cn2${seg}__"))
+      assigned.join(broadcast(table), "__cell__")
+        .select(col("__vid__"), col(s"__qd${seg}__"), col(s"__cn2${seg}__"))
+    }
+    val joined = perSeg.reduce((a, b) => a.join(b, "__vid__"))
+    val qdotSum = (0 until m).map(seg => col(s"__qd${seg}__")).reduce(_ + _)
+    val cn2Sum = (0 until m).map(seg => col(s"__cn2${seg}__")).reduce(_ + _)
+    val ref = joined
+      .crossJoin(broadcast(qrow.select(col("__qn__"))))
+      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("__vid__"))))
+      .where(col("rank") <= k)
+      .collect().map(r => (r.getAs[Long]("__vid__"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank"))).toSeq
+    assert(single === ref)
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val out = Embeddings.bruteTopK(vectors, "vec_id", "embedding",
       queryId = 0L, k = 2).collect()
