@@ -354,10 +354,21 @@ object Jpeg {
     var restartInterval = 0
 
     var i = 2
-    while (i + 4 <= data.length) {
+    while (i + 2 <= data.length) {
       if (u8(i) != 0xff) throw new IllegalArgumentException("lost marker sync")
+      // legal encoders may pad with 0xFF fill bytes between segments
+      // (ITU T.81 B.1.1.2) — skip them before reading the marker id
+      while (i + 2 <= data.length && u8(i + 1) == 0xff) i += 1
+      if (i + 2 > data.length)
+        throw new IllegalArgumentException("truncated after fill bytes")
       val m = u8(i + 1)
       if (m == 0xd9) return null // EOI before any scan
+      // length-less markers (TEM 0x01, stray RSTn 0xD0-0xD7) carry no
+      // 2-byte length — reading u16(i+2) would misparse the next marker
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (i + 4 > data.length) {
+        throw new IllegalArgumentException("truncated marker segment")
+      } else {
       val len = u16(i + 2)
       val seg = i + 4
       m match {
@@ -420,6 +431,7 @@ object Jpeg {
         case _ => // APPn / COM / others: skip
       }
       i += 2 + len
+      }
     }
     throw new IllegalArgumentException("no scan found")
   }

@@ -290,9 +290,13 @@ object Streams {
       .select(md5(col("__g__").cast("binary")).as("__gh__"))
       .distinct()
     // SAME tokens/shingles composition as the batch detector — one
-    // tokenizer, two execution modes, no way to drift apart
+    // tokenizer, two execution modes, no way to drift apart. NULL text
+    // coalesces to '' so its gram array is EMPTY, not NULL: a null array
+    // would make `!contaminated` three-valued-NULL and silently DROP the
+    // doc, where every other short-of-n-grams doc passes — the oracle
+    // (len(w) >= n on the token array) keeps null-text docs too.
     val withGrams = docs
-      .withColumn("__toks__", TextOps.tokens(col(textCol)))
+      .withColumn("__toks__", TextOps.tokens(coalesce(col(textCol), lit(""))))
       .withColumn("__gh__",
         transform(array_distinct(TextOps.wordShingles("__toks__", n)),
           g => md5(g.cast("binary"))))

@@ -111,6 +111,41 @@ class FunnelSpec extends GraftSuite {
     assert(!out(1).isNullAt(1))
   }
 
+  test("match_steps: step_k_event_index is count-strictly-earlier + 1, ties take the first slot") {
+    // reference match_steps.py compiles event_index as row_number() over
+    // (partition by group order by ts) with ARBITRARY tie order; v3 pins
+    // the deterministic refinement: the index the FIRST event at the
+    // matched instant would get — count of strictly-earlier events + 1.
+    // user 1: events at t1, t1, t2(a), t3(b) → a matched at t2 has 2
+    // earlier events → index 3; b at t3 → index 4.
+    // user 2: a at t1 (index 1), b tied with two other events at t2 —
+    // all three tie, b's index collapses to 2 (first slot), not 3 or 4.
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x", ts("2024-01-01")),
+      (1L, "x", ts("2024-01-01")),
+      (1L, "a", ts("2024-01-02")),
+      (1L, "b", ts("2024-01-03")),
+      (2L, "a", ts("2024-01-01")),
+      (2L, "x", ts("2024-01-02")),
+      (2L, "b", ts("2024-01-02")),
+      (2L, "x", ts("2024-01-02")),
+    ).toDF("user_id", "event", "timestamp")
+    val matched = Model.fromDF(df)
+      .withActivitySchema(col("user_id"), col("timestamp"), col("event"))
+      .matchSteps(Seq[StepSpec]("a", "b"))
+    val out = matched.pick(
+      col("user_id"),
+      col("step_0_event_index").named("ia"),
+      col("step_1_event_index").named("ib"))
+      .sort(col("user_id"))
+      .run(spark).collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 4L)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 2L)
+  }
+
   test("match_steps time_limit is calendar-aware (1 month != 30 days)") {
     val s = spark
     import s.implicits._

@@ -793,6 +793,22 @@ class LlmSpec extends GraftSuite {
     assert(px.getSeq[Long](6)(0) === expected.max)
   }
 
+  test("multimodal JPEG decode: 0xFF fill bytes and length-less markers parse (T.81 B.1.1.2)") {
+    // legal encoders may pad with 0xFF fill bytes between segments and
+    // emit TEM (0x01) — both are length-less; a parser that reads a
+    // 2-byte length for them desyncs and nulls a valid file
+    val good = graft.llm.Jpeg.fixture(3L)
+    val base = graft.llm.Jpeg.decodePixels(good)
+    assert(base != null)
+    // splice after SOI: [fill, fill, TEM] then the rest of the stream
+    val spliced = (good.take(2)
+      ++ Array(0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01.toByte)
+      ++ good.drop(2))
+    val px = graft.llm.Jpeg.decodePixels(spliced)
+    assert(px != null)
+    assert(px === base) // identical stats — padding is semantically void
+  }
+
   test("multimodal JPEG decode: corruption yields null or a row, never an exception") {
     // the operator contract decodeMeta/decodePixels share: a partition
     // must survive arbitrary garbage payloads (null out, no throw)

@@ -195,6 +195,19 @@ class StreamingSpec extends GraftSuite {
         batch, "doc_id", "text", eval, "eval_id", "text", n = 3)
       .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
     assert(kept === docs.map(_._1).toSet -- flagged)
+
+    // a NULL-text doc has no n-gram to leak — it must PASS like a short
+    // doc on both the exact and bloom paths, never be three-valued-NULL
+    // dropped (the latent asymmetry vs the oracle's len(w) >= n rule)
+    val withNull = Seq((6L, Option.empty[String]), (7L, Some("the quick brown fox leaked")))
+      .toDF("doc_id", "text")
+    val keptNull = Streams.streamingDecontaminate(withNull, "text", eval, "text", n = 3)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptNull === Set(6L))
+    val keptNullBloom = Streams.streamingDecontaminate(
+        withNull, "text", eval, "text", n = 3, maxExactGrams = 0L)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptNullBloom === Set(6L))
   }
 
   test("oversized eval suites decontaminate through the bloom-filter path") {
