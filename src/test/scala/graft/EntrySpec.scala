@@ -29,6 +29,35 @@ class EntrySpec extends GraftSuite {
       s"queries with cartesian products: ${offenders.mkString(", ")}")
   }
 
+  test("schema lint: every query output uses only oracle-stable column types") {
+    // The driver hashes values TYPE-SENSITIVELY against a DuckDB replay of
+    // the oracle SQL (pandas dtypes: int64 / float64 / object / bool /
+    // datetime). A Spark output column of FloatType (parquet float32 reads
+    // back as float32, oracle computes float64), DecimalType (object vs
+    // float64), or Byte/Short (driver-side width drift) can hash-mismatch
+    // even when every value is numerically equal — exactly the q_bpe_pairs
+    // r8 failure class, from the Spark side. Ints, longs, doubles,
+    // strings, bools, dates and timestamps are the proven-stable surface.
+    import org.apache.spark.sql.types._
+    def stable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DoubleType | StringType | BooleanType |
+           DateType | TimestampType | TimestampNTZType | BinaryType => true
+      case ArrayType(et, _) => stable(et)
+      case st: StructType => st.fields.forall(f => stable(f.dataType))
+      case _ => false // Float, Decimal, Byte, Short, Map, CalendarInterval…
+    }
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val bad = q(spark, dir).schema.fields
+        .filterNot(f => stable(f.dataType))
+        .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
+      llm.CacheScope.global.release()
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"oracle-unstable output columns: ${offenders.mkString(", ")}")
+  }
+
   test("plan lint: ADC scoring never shuffle-joins the candidate set") {
     // The single-pass ADC design (Embeddings.adcTopK) scores candidates in
     // one projection against a 1-row broadcast — the old formulation's
