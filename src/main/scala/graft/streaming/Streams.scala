@@ -156,6 +156,134 @@ object Streams {
       }(bufEnc, rowEnc)
   }
 
+  /** Keyed state of [[streamingMatchStepsFinal]]: the chain frontier plus
+    * the max event-time seen (ms, for idle finalization) and a tombstone
+    * flag set once the group's single final row has been emitted. */
+  final case class ChainFinalState(
+      cands: Seq[Seq[Long]], maxSeenMs: Long, done: Boolean)
+
+  /** Watermark-finalized APPEND-mode streaming match_steps: each group
+    * emits its chain EXACTLY ONCE, when it provably can no longer change —
+    * the production alternative to [[streamingMatchSteps]]'s update-mode
+    * refinements (which downstream consumers must upsert).
+    *
+    * Finality argument: the greedy chain only changes when an event with
+    * timestamp STRICTLY BELOW an existing match (improvement) or any
+    * timestamp beyond the last match (extension) arrives. Once a chain is
+    * COMPLETE, no extension exists, and once the watermark has passed its
+    * last matched timestamp every admissible event (ts ≥ watermark) is too
+    * late to improve any match — so a complete chain whose last match is
+    * behind the watermark is final, and that is exactly when its
+    * event-time timeout fires and emits. Late-but-admissible data before
+    * that point still updates the frontier and is reflected in the single
+    * emitted row (the spec's refinement-then-one-emission case).
+    *
+    * Incomplete chains never provably finalize while the stream lives;
+    * `idleFinalizeMs` drains them — a group whose event time stops
+    * advancing for that gap emits its partial chain (nulls for unmatched
+    * steps, funnel-style) and closes. None = only complete chains emit.
+    *
+    * After emission the state collapses to a TOMBSTONE held for
+    * `tombstoneTtlMs` of watermark time: admissible stragglers landing
+    * inside the TTL are ignored (no duplicate row); after the tombstone
+    * expires a reactivated group starts a fresh chain — the documented
+    * at-most-once-per-TTL trade. Streaming-only by design: in batch
+    * execution timeouts never fire — use `Model.matchSteps` for batch.
+    * State is O(steps) per live group, same bound as update mode. */
+  def streamingMatchStepsFinal(
+      events: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      eventCol: String,
+      steps: Seq[String],
+      watermarkDelay: String,
+      idleFinalizeMs: Option[Long] = None,
+      tombstoneTtlMs: Long = 24L * 3600 * 1000,
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    require(steps.nonEmpty && steps.size <= 62, "1..62 steps")
+    val stepIdx: Map[String, Seq[Int]] =
+      steps.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val prep = events.select(
+        col(groupCol).cast("string").as("__g__"),
+        col(tsCol).cast("timestamp").as("__t__"),
+        col(eventCol).cast("string").as("__e__"))
+      .withWatermark("__t__", watermarkDelay)
+    val anyRepeat = steps.distinct.size != steps.size
+    val outSchema = StructType(
+      StructField("group", StringType) +:
+        steps.zipWithIndex.map { case (s, i) =>
+          val n = if (anyRepeat) s"${s}_${i}_ts" else s"${s}_ts"
+          StructField(n, TimestampType)
+        })
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val bufEnc = Encoders.product[ChainFinalState]
+    implicit val strEnc = Encoders.STRING
+    def restore(buf: Option[ChainFinalState]): graft.expr.ChainState = {
+      val sets = Array.fill(steps.size)(new java.util.TreeSet[java.lang.Long]())
+      buf.foreach(_.cands.zipWithIndex.foreach { case (c, k) =>
+        c.foreach(t => sets(k).add(t))
+      })
+      new graft.expr.ChainState(sets)
+    }
+    def emitRow(g: String, chain: Seq[Any]): Row =
+      Row.fromSeq(g +: chain.map {
+        case null            => null
+        case m: java.lang.Long => DateTimeUtils.toJavaTimestamp(m)
+      })
+    prep
+      .groupByKey((r: Row) => r.getString(0))
+      .flatMapGroupsWithState[ChainFinalState, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (g: String, rows: Iterator[Row], state: GroupState[ChainFinalState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val cur = state.get
+            if (cur.done) { state.remove(); Iterator.empty }
+            else {
+              // fire = the finality (or idle) condition held at watermark
+              state.update(cur.copy(cands = Nil, done = true))
+              state.setTimeoutTimestamp(wm + math.max(1L, tombstoneTtlMs))
+              Iterator.single(emitRow(g, restore(Some(cur)).chain().toSeq))
+            }
+          } else if (state.getOption.exists(_.done)) {
+            // straggler after emission: swallow, keep the tombstone alive
+            state.update(state.get)
+            state.setTimeoutTimestamp(wm + math.max(1L, tombstoneTtlMs))
+            Iterator.empty
+          } else {
+            val st = restore(state.getOption)
+            var maxSeenMs = state.getOption.map(_.maxSeenMs).getOrElse(Long.MinValue)
+            rows.foreach { r =>
+              if (!r.isNullAt(1) && !r.isNullAt(2)) {
+                val micros = DateTimeUtils.fromJavaTimestamp(r.getTimestamp(1))
+                maxSeenMs = math.max(maxSeenMs, micros / 1000L)
+                stepIdx.get(r.getString(2)).foreach(_.foreach { k =>
+                  st.add(k, micros)
+                  st.prune()
+                })
+              }
+            }
+            state.update(ChainFinalState(st.sets.toSeq.map { s =>
+              val it = s.iterator(); val b = Seq.newBuilder[Long]
+              while (it.hasNext) b += it.next()
+              b.result()
+            }, maxSeenMs, done = false))
+            val chain = st.chain()
+            if (chain.nonEmpty && chain.last != null) {
+              // complete: final once the watermark passes the last match
+              val lastMs = chain.last.asInstanceOf[java.lang.Long].longValue() / 1000L
+              state.setTimeoutTimestamp(math.max(lastMs + 1, wm + 1))
+            } else idleFinalizeMs.foreach { gap =>
+              state.setTimeoutTimestamp(
+                math.max(maxSeenMs + gap, wm + 1))
+            }
+            Iterator.empty
+          }
+      }(bufEnc, rowEnc)
+  }
+
   /** Pending (not-yet-final) sessions of one group — the keyed state of
     * [[streamingSessionize]]. Each entry is (startMs, endMs, count). */
   final case class SessionBuf(sessions: Seq[(Long, Long, Long)])

@@ -159,6 +159,84 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("append-mode match_steps: one final emission, refined by late data within the watermark") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(String, Timestamp, String)](s)
+    val out = Streams.streamingMatchStepsFinal(
+      ms.toDF.toDF("user", "ts", "event"), "user", "ts", "event",
+      steps = Seq("a", "b"), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("msf_out")
+      .outputMode("append").start()
+    def rows() = spark.sql("SELECT group, a_ts, b_ts FROM msf_out").collect()
+      .map(r => (r.getString(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull)).toSeq
+    try {
+      // batch 1: g1 completes a@00:10 -> b@00:50 ... but nothing emits:
+      // the watermark has not passed the last match yet
+      ms.addData(("g1", Timestamp.valueOf("2024-01-01 00:00:10"), "a"),
+                 ("g1", Timestamp.valueOf("2024-01-01 00:00:50"), "b"))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2: a LATE b@00:20 (admissible: watermark is ~zero under the
+      // 1h delay) IMPROVES the chain — update mode would have emitted the
+      // b@00:50 refinement already; append mode must fold this in silently
+      ms.addData(("g1", Timestamp.valueOf("2024-01-01 00:00:20"), "b"))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batches 3-4: unrelated group pushes event time to 02:00 so the
+      // watermark (02:00 - 1h) passes g1's last match; the next trigger
+      // fires g1's timeout -> the ONE final row, with the refined b@00:20
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 02:00:00"), "x"))
+      q.processAllAvailable()
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 02:00:01"), "x"))
+      q.processAllAvailable()
+      assert(rows() === Seq(
+        ("g1", "2024-01-01 00:00:10.0", "2024-01-01 00:00:20.0")))
+      // tombstone: a fresh admissible a->b for g1 inside the TTL must NOT
+      // produce a second row
+      ms.addData(("g1", Timestamp.valueOf("2024-01-01 02:30:00"), "a"),
+                 ("g1", Timestamp.valueOf("2024-01-01 02:30:05"), "b"))
+      q.processAllAvailable()
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 06:00:00"), "x"))
+      q.processAllAvailable()
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 06:00:01"), "x"))
+      q.processAllAvailable()
+      assert(rows().length === 1)
+      // g2 never matched a step: incomplete chains without idleFinalizeMs
+      // never emit
+      assert(rows().forall(_._1 == "g1"))
+    } finally q.stop()
+  }
+
+  test("append-mode match_steps: idleFinalizeMs drains incomplete chains once") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(String, Timestamp, String)](s)
+    val out = Streams.streamingMatchStepsFinal(
+      ms.toDF.toDF("user", "ts", "event"), "user", "ts", "event",
+      steps = Seq("a", "b"), watermarkDelay = "10 minutes",
+      idleFinalizeMs = Some(30L * 60 * 1000))
+    val q = out.writeStream.format("memory").queryName("msf_idle_out")
+      .outputMode("append").start()
+    try {
+      // g1 matches only step a, then goes idle
+      ms.addData(("g1", Timestamp.valueOf("2024-01-01 00:00:10"), "a"))
+      q.processAllAvailable()
+      // push event time far past idle gap + watermark delay
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 03:00:00"), "x"))
+      q.processAllAvailable()
+      ms.addData(("g2", Timestamp.valueOf("2024-01-01 03:00:01"), "x"))
+      q.processAllAvailable()
+      val out1 = spark.sql("SELECT group, a_ts, b_ts FROM msf_idle_out WHERE group = 'g1'")
+        .collect()
+      assert(out1.length === 1)
+      assert(out1.head.getTimestamp(1).toString === "2024-01-01 00:00:10.0")
+      assert(out1.head.isNullAt(2)) // step b never matched -> null, funnel-style
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs sharing eval n-grams, passes the rest") {
     val s = spark
     import s.implicits._
