@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{BloomAnyContain, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
+import graft.expr.{BloomAnyContain, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -90,6 +90,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "greedy_chain takes exactly 3 arguments")
         GreedyChain(args.head, args(1), intLit(args(2), "greedy_chain"))
+      }),
+    (FunctionIdentifier("char_bigram_counts"),
+      new ExpressionInfo(classOf[CharBigramCounts].getName, "char_bigram_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_bigram_counts takes exactly 1 argument")
+        CharBigramCounts(args.head)
+      }),
+    (FunctionIdentifier("lm_bits"),
+      new ExpressionInfo(classOf[LmBits].getName, "lm_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lm_bits takes exactly 2 arguments")
+        LmBits(args.head, args(1))
       }),
     (FunctionIdentifier("word_ngram_jaccard"),
       new ExpressionInfo(classOf[WordNgramJaccard].getName, "word_ngram_jaccard"),

@@ -724,6 +724,25 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- ORC file connector (Spark-native columnar reader — pushdown and
+    //     pruning like parquet; the fixture write is a distributed Spark
+    //     write, not a driver-side encode). Oracle replays on the parquet
+    //     original: content-identical by construction. ---
+    "q_orc_source" -> ((s, dir) => {
+      val path = "/root/repo/target/fixtures/supplier_orc_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .write.mode("overwrite").orc(path)
+      Model.orc(path)
+        .filter(col("s_acctbal") > lit(5000))
+        .aggregate(
+          groups = Seq(col("s_nationkey")),
+          measures = Seq(count().named("n"), moneySum(col("s_acctbal")).named("bal")))
+        .sort(col("s_nationkey"))
+        .run(s)
+    }),
+
     // --- nested join namespace: orders → customer → nation without
     //     pre-materializing the inner join ---
     "q_join_nested" -> ((s, dir) => {
@@ -1227,6 +1246,62 @@ object SparkEntry {
               F.round(F.max(F.col("rate")), 6).as("rate"))
         }
         .sort(col("lang"))
+        .run(s)),
+
+    // --- CCNet-style LM perplexity quality scoring: char-bigram add-α
+    //     model trained on a corpus hash-split (one vocabulary-bounded
+    //     aggregate + ≤729-row model collect), served as a codegen'd
+    //     per-row native probing the model frozen into the plan as a
+    //     5.7 KB literal — zero serve-time joins/shuffles. The oracle
+    //     retrains and rescores the identical closed form in DuckDB. ---
+    "q_lm_perplexity" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val model = graft.llm.LangModel.fitBigramLm(
+            df.where(F.col("doc_id") % 10 < 8), "text")
+          df.select(F.col("doc_id"),
+            graft.llm.LangModel.bitsPerChar(F.col("text"), model).as("bits"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- CCNet head/middle/tail partition by perplexity CUTOFFS: because
+    //     scores are 6-dp-quantized, the cutoffs come from a bounded-
+    //     domain value histogram (groupBy bits) — the tercile selection is
+    //     windows over that tiny frame, never a global row_number over the
+    //     corpus, and the cutoff frame broadcasts back as one row. ---
+    "q_lm_ppl_buckets" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          import org.apache.spark.sql.expressions.Window
+          val model = graft.llm.LangModel.fitBigramLm(
+            df.where(F.col("doc_id") % 10 < 8), "text")
+          val scored = df.select(F.col("doc_id"),
+            graft.llm.LangModel.bitsPerChar(F.col("text"), model).as("bits"))
+          // everything below the histogram runs on the tiny quantized-
+          // value frame in ONE lineage (Spark does not share uncached
+          // subplans, so cutoffs are unbounded windows over the SAME
+          // frame — temperatureMix pattern — never a re-scan of scored)
+          val whole = Window.orderBy("bits").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+          scored.groupBy(F.col("bits"))
+            .agg(F.count(F.lit(1)).as("cnt"))
+            .withColumn("cum", F.sum("cnt").over(Window.orderBy("bits")))
+            .withColumn("tot", F.sum("cnt").over(whole))
+            .withColumn("c1", F.min(F.when(
+              F.col("cum") >= F.expr("(tot + 2) DIV 3"), F.col("bits"))).over(whole))
+            .withColumn("c2", F.min(F.when(
+              F.col("cum") >= F.expr("(tot * 2 + 2) DIV 3"), F.col("bits"))).over(whole))
+            .withColumn("bucket",
+              F.when(F.col("bits") <= F.col("c1"), 1)
+                .when(F.col("bits") <= F.col("c2"), 2).otherwise(3))
+            .groupBy(F.col("bucket"))
+            .agg(F.sum("cnt").as("n"),
+              F.min("bits").as("min_bits"), F.max("bits").as("max_bits"))
+        }
+        .sort(col("bucket"))
         .run(s)),
 
     // --- near-dup-aware train/val split: split decided by the CLUSTER
@@ -2038,6 +2113,13 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_xlsx_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // ORC fixture is written from the parquet supplier table, so the
+    // oracle replays the aggregate on the parquet original directly.
+    "q_orc_source" ->
+      """SELECT s_nationkey, count(*) AS n,
+                CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS bal
+         FROM supplier WHERE s_acctbal > 5000
+         GROUP BY 1 ORDER BY 1""",
     "q_segment_ltv" ->
       """SELECT CAST(sum(CAST(total AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ltv,
                 count(*) AS n_customers
@@ -2451,6 +2533,92 @@ object SparkEntry {
                          / CAST(length(text) AS DOUBLE))),
                (a, b) -> a + b) + 0.0, 6) END AS entropy
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    // Retrains and rescores the char-bigram add-α model end-to-end:
+    // same normalization, same (n+0.5)/(m+13.5) smoothing with terms
+    // rounded via round(log2(x), 6), per-doc fold over `ORDER BY b` =
+    // the native's ascending-slot order, first-element-equivalent 0.0
+    // seed (all terms strictly negative), same final 6-dp round.
+    "q_lm_perplexity" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+           FROM documents),
+         tpos AS (
+           SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM norm),
+         tg AS (
+           SELECT substring(t, i, 2) AS b, CAST(count(*) AS BIGINT) AS n
+           FROM tpos WHERE doc_id % 10 < 8 GROUP BY 1),
+         mg AS (
+           SELECT substring(b, 1, 1) AS c1, sum(n) AS m FROM tg GROUP BY 1),
+         model AS (
+           SELECT b, round(log2((n + 0.5) / (m + 13.5)) + 0.0, 6) AS term
+           FROM tg JOIN mg ON substring(tg.b, 1, 1) = mg.c1),
+         fb AS (
+           SELECT c1, round(log2(0.5 / (m + 13.5)) + 0.0, 6) AS fterm FROM mg),
+         dg AS (
+           SELECT doc_id, substring(t, i, 2) AS b, count(*) AS n
+           FROM tpos GROUP BY 1, 2),
+         terms AS (
+           SELECT dg.doc_id, dg.b,
+                  dg.n * coalesce(model.term, fb.fterm,
+                                  round(log2(0.5 / 13.5) + 0.0, 6)) AS v
+           FROM dg LEFT JOIN model ON dg.b = model.b
+                   LEFT JOIN fb ON substring(dg.b, 1, 1) = fb.c1),
+         sc AS (
+           SELECT doc_id, list_reduce(list(v ORDER BY b), (a, x) -> a + x) AS sm
+           FROM terms GROUP BY doc_id)
+         SELECT n2.doc_id,
+                CASE WHEN length(n2.t) < 2 THEN 0.0
+                     ELSE round(-(sc.sm) / CAST(length(n2.t) - 1 AS DOUBLE) + 0.0, 6)
+                END AS bits
+         FROM norm n2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+
+    // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
+    // 6-dp-quantized value histogram (integer ceil-division targets, so
+    // the bucket SETS match bit-for-bit, not just the proportions).
+    "q_lm_ppl_buckets" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+           FROM documents),
+         tpos AS (
+           SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM norm),
+         tg AS (
+           SELECT substring(t, i, 2) AS b, CAST(count(*) AS BIGINT) AS n
+           FROM tpos WHERE doc_id % 10 < 8 GROUP BY 1),
+         mg AS (
+           SELECT substring(b, 1, 1) AS c1, sum(n) AS m FROM tg GROUP BY 1),
+         model AS (
+           SELECT b, round(log2((n + 0.5) / (m + 13.5)) + 0.0, 6) AS term
+           FROM tg JOIN mg ON substring(tg.b, 1, 1) = mg.c1),
+         fb AS (
+           SELECT c1, round(log2(0.5 / (m + 13.5)) + 0.0, 6) AS fterm FROM mg),
+         dg AS (
+           SELECT doc_id, substring(t, i, 2) AS b, count(*) AS n
+           FROM tpos GROUP BY 1, 2),
+         terms AS (
+           SELECT dg.doc_id, dg.b,
+                  dg.n * coalesce(model.term, fb.fterm,
+                                  round(log2(0.5 / 13.5) + 0.0, 6)) AS v
+           FROM dg LEFT JOIN model ON dg.b = model.b
+                   LEFT JOIN fb ON substring(dg.b, 1, 1) = fb.c1),
+         sc AS (
+           SELECT doc_id, list_reduce(list(v ORDER BY b), (a, x) -> a + x) AS sm
+           FROM terms GROUP BY doc_id),
+         scored AS (
+           SELECT n2.doc_id,
+                  CASE WHEN length(n2.t) < 2 THEN 0.0
+                       ELSE round(-(sc.sm) / CAST(length(n2.t) - 1 AS DOUBLE) + 0.0, 6)
+                  END AS bits
+           FROM norm n2 LEFT JOIN sc USING (doc_id)),
+         hist AS (SELECT bits, CAST(count(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+         cum AS (SELECT bits, cnt, sum(cnt) OVER (ORDER BY bits) AS cum,
+                        sum(cnt) OVER () AS tot FROM hist),
+         cuts AS (SELECT min(CASE WHEN cum >= (tot + 2) // 3 THEN bits END) AS c1,
+                         min(CASE WHEN cum >= (tot * 2 + 2) // 3 THEN bits END) AS c2
+                  FROM cum)
+         SELECT CASE WHEN bits <= c1 THEN 1 WHEN bits <= c2 THEN 2 ELSE 3 END AS bucket,
+                count(*) AS n, min(bits) AS min_bits, max(bits) AS max_bits
+         FROM scored, cuts GROUP BY 1 ORDER BY 1""",
 
     // Rebuilds the same synthetic multi-line doc, then keep-first-
     // occurrence per line via list_position(ls, ls[i]) = i — the exact

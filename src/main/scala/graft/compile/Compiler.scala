@@ -585,6 +585,8 @@ object Compiler {
           spark.read.option("header", "true").option("inferSchema", "true").csv(name)
         else if (name.endsWith(".json"))
           spark.read.json(name)
+        else if (name.endsWith(".orc"))
+          spark.read.orc(name)
         else if (name.contains("/") || name.endsWith(".parquet"))
           graft.sources.ParquetIO.read(spark, name)
         else spark.table(name)
@@ -596,6 +598,7 @@ object Compiler {
       new Frame(spark.read.option("header", "true")
         .option("inferSchema", "true").csv(p))
     case Source.JsonFile(p) => new Frame(spark.read.json(p))
+    case Source.OrcFile(p)  => new Frame(spark.read.orc(p))
     case Source.XlsxFile(p, sheet) =>
       // pure-JDK codec (ZIP + SAX): header row + pandas-style type
       // inference; yields a LocalRelation that downstream joins broadcast

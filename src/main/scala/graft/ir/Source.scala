@@ -34,6 +34,11 @@ object Source {
   /** JSON-lines file/directory scan (duckdb_connection.py:96-117). */
   final case class JsonFile(path: String) extends Source
 
+  /** ORC file/directory scan (columnar warehouse interchange; Spark ships
+    * the reader natively, so this is pure connector surface — pushdown and
+    * pruning come from the data source V2 scan like parquet). */
+  final case class OrcFile(path: String) extends Source
+
   /** Excel sheet scan (reference duckdb_connection.py:96-117 loads .xlsx
     * via pandas.read_excel). Compiled through the pure-JDK codec in
     * [[graft.sources.Xlsx]] (ZIP + SAX — no spreadsheet dependency):

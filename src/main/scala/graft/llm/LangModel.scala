@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.BigramLm
+
+/** CCNet-style language-model perplexity quality filter
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", 2020): score every document by how surprising
+  * its character sequence is under a language model trained on a trusted
+  * slice of the corpus, then keep/bucket by the score. CCNet uses a
+  * word-level KenLM; the engine ships the same pipeline shape with a
+  * char-bigram add-α model, which is closed-form, oracle-replayable, and
+  * dense (27² = 729 parameters).
+  *
+  * Scale anatomy (the 100 TB story):
+  *   - TRAINING is one map-side-combined aggregate: a codegen'd native
+  *     (`char_bigram_counts`) reduces each document to its ≤729-entry
+  *     bigram histogram, so the explode+groupBy runs on vocabulary-bounded
+  *     rows — never corpus characters. The model collect is ≤729 rows
+  *     (model parameters, same defense as the k-means centroid pin).
+  *   - SERVING is a pure per-row projection: the dense model freezes into
+  *     the plan as a 5.7 KB binary literal probed by the codegen'd
+  *     `lm_bits` native — zero joins, zero shuffles, composes with any
+  *     downstream filter.
+  *
+  * Determinism contract (shared with the DuckDB oracle):
+  *   - normalization: `trim(regexp_replace(lower(text), '[^a-z]+', ' '))`
+  *     on both engines (ASCII corpus; byte-identical results).
+  *   - each model term is round(log2((n+α)/(m+αV)), 6) with α = 0.5 —
+  *     6-dp rounding absorbs the ≤1-ulp log2 divergence across engines.
+  *   - a document's score folds count·term over bigrams in ascending
+  *     slot order = `ORDER BY bigram` binary order; every term is
+  *     strictly negative so the 0.0 seed is IEEE-identical to DuckDB's
+  *     first-element-seeded `list_reduce`.
+  */
+object LangModel {
+
+  /** α of the add-α smoothing; αV = 13.5 appears in the oracle SQL. */
+  val Alpha = 0.5
+
+  /** Lowercase, collapse non-letters to single spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z]+", " "))
+
+  private def normSql(textCol: String): String =
+    s"trim(regexp_replace(lower($textCol), '[^a-z]+', ' '))"
+
+  /** Train the dense bigram model on `train`'s text column: one
+    * vocabulary-bounded aggregate, a ≤729-row collect, and add-α terms
+    * computed with Spark's own log2 (StrictMath) + HALF_UP 6-dp round so
+    * the DuckDB oracle's `round(log2(...), 6)` replays them exactly.
+    * Slots never seen in training get the smoothed fallback
+    * (α / (m(c1) + αV), degenerating to 1/V when c1 is unseen), so the
+    * returned array is fully dense and scoring needs no backoff logic. */
+  def fitBigramLm(train: DataFrame, textCol: String): Array[Double] = {
+    graft.GraftExtensions.install(train.sparkSession)
+    val rows = train
+      .select(normText(col(textCol)).as("__t__"))
+      .where(col("__t__").isNotNull)
+      .select(explode(call_function("char_bigram_counts", col("__t__"))))
+      .groupBy(col("key")).agg(sum("value").as("n"))
+      .collect()
+    val counts = new Array[Long](BigramLm.Slots)
+    rows.foreach { r => counts(BigramLm.slotOf(r.getString(0))) = r.getLong(1) }
+    val marg = Array.tabulate(BigramLm.V) { c1 =>
+      var m = 0L; var c2 = 0
+      while (c2 < BigramLm.V) { m += counts(c1 * BigramLm.V + c2); c2 += 1 }
+      m
+    }
+    val aV = Alpha * BigramLm.V
+    Array.tabulate(BigramLm.Slots) { s =>
+      val p = (counts(s) + Alpha) / (marg(s / BigramLm.V) + aV)
+      // Spark's Log2 evaluates via StrictMath.log (see TextEntropy) —
+      // required for parity with the oracle's round(log2(x), 6)
+      val t = java.lang.StrictMath.log(p) / java.lang.StrictMath.log(2.0)
+      java.math.BigDecimal.valueOf(t + 0.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
+
+  /** Per-row bits-per-bigram score (normalizes internally). NULL text →
+    * NULL; empty/1-char normalized text → 0.0. */
+  def bitsPerChar(textCol: Column, model: Array[Double]): Column =
+    call_function("lm_bits", normText(textCol), lit(BigramLm.encode(model)))
+
+  /** Interpreted HOF formulation of [[bitsPerChar]] over an inline
+    * map<bigram,double> literal — the cross-engine semantic definition
+    * the LangModelSpec pins the native against (the same native≡HOF
+    * anchor pattern as TextOps.charEntropyHof), not the production path.
+    * `textCol` is a column NAME (expr-string formulation, as the HOF
+    * lambdas and the 729-entry map literal only compose in SQL text). */
+  private[graft] def bitsPerCharHof(textCol: String, model: Array[Double]): Column = {
+    val mapLit = model.zipWithIndex
+      .map { case (v, slot) => s"'${BigramLm.bigramOf(slot)}', ${"%.6f".format(v)}D" }
+      .mkString("map(", ", ", ")")
+    val t = normSql(textCol)
+    val grams = s"transform(sequence(1, length($t) - 1), i -> substring($t, i, 2))"
+    expr(s"""CASE WHEN $textCol IS NULL THEN CAST(NULL AS DOUBLE)
+        WHEN length($t) < 2 THEN 0.0D ELSE
+        round(-(aggregate(array_sort(array_distinct($grams)), 0D,
+          (acc, b) -> acc + CAST(size(filter($grams, x -> x = b)) AS DOUBLE)
+                            * element_at($mapLit, b)))
+          / CAST(length($t) - 1 AS DOUBLE) + 0D, 6) END""")
+  }
+}

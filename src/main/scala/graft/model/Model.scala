@@ -755,6 +755,8 @@ object Model {
   def csv(path: String): Model = Model(Source.CsvFile(path))
   /** JSON-lines path (file or directory of part files). */
   def json(path: String): Model = Model(Source.JsonFile(path))
+  /** ORC path (file or directory of part files). */
+  def orc(path: String): Model = Model(Source.OrcFile(path))
   /** Excel sheet (reference parity: duckdb_connection.py:96-117). Wire-
     * and composition-complete; compiling requires a spreadsheet codec —
     * see [[graft.ir.Source.XlsxFile]]. */

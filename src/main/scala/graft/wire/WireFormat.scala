@@ -54,6 +54,7 @@ object WireFormat {
     case Source.SqlQuery(q) => Map("t" -> "sql", "query" -> q)
     case Source.CsvFile(p)  => Map("t" -> "csv", "path" -> p)
     case Source.JsonFile(p) => Map("t" -> "json", "path" -> p)
+    case Source.OrcFile(p)  => Map("t" -> "orc", "path" -> p)
     case Source.XlsxFile(p, sheet) =>
       Map("t" -> "xlsx", "path" -> p, "sheet" -> sheet.orNull)
     case Source.Filter(b, c) => Map("t" -> "filter", "base" -> sourceW(b), "cond" -> exprW(c))
@@ -212,6 +213,7 @@ object WireFormat {
     case "sql"   => Source.SqlQuery(str(s("query")))
     case "csv"   => Source.CsvFile(str(s("path")))
     case "json"  => Source.JsonFile(str(s("path")))
+    case "orc"   => Source.OrcFile(str(s("path")))
     case "xlsx"  => Source.XlsxFile(str(s("path")),
       Option(s.getOrElse("sheet", null)).map(str))
     case "filter" => Source.Filter(sourceR(obj(s("base"))), exprR(obj(s("cond"))))

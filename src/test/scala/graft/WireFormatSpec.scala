@@ -137,6 +137,25 @@ class WireFormatSpec extends GraftSuite {
     assert(rows.toSeq === Seq(("eng", 101.0), ("eng", 250.5)))
   }
 
+  test("orc source round-trips on the wire and compiles to a physical read") {
+    val m = Model.orc("/data/facts.orc")
+      .filter(col("v") > lit(1.0))
+      .pick(col("k"), col("v"))
+    assert(WireFormat.fromJson(WireFormat.toJson(m)) === m)
+
+    // end-to-end through a real ORC file: write → wire round-trip → run
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("facts").toString
+    Seq(("eng", 250.5), ("ops", 99.0), ("eng", 101.0)).toDF("k", "v")
+      .write.mode("overwrite").orc(dir)
+    val live = WireFormat.fromJson(WireFormat.toJson(
+      Model.orc(dir).filter(col("v") > lit(100.0)).pick(col("k"), col("v"))))
+    val rows = live.run(s).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows.toSeq === Seq(("eng", 101.0), ("eng", 250.5)))
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
