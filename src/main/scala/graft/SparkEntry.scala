@@ -1748,6 +1748,27 @@ object SparkEntry {
         .sort(col("pair"))
         .run(s)),
 
+    // --- full BPE tokenizer training (Sennrich): 4 merge rules learned
+    //     iteratively on the Heaps-bounded word-frequency table; the
+    //     greedy left-to-right merge applies via string replace over the
+    //     ';sym;;sym;' delimiter encoding, exact on both engines ---
+    "q_bpe_train" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeTrain(df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    // --- BPE encoding with the learned rules: per-doc subword counts.
+    //     Tokenization happens once per DISTINCT word (Heaps-bounded) and
+    //     broadcast-joins back to the documents — per-doc work is a
+    //     lookup, never a re-merge. ---
+    "q_bpe_subwords" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df =>
+          graft.llm.TextOps.bpeSubwordCounts(df, "doc_id", "text", merges = 4))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- overlapping word-window chunking (size 32, stride 24) ---
     "q_chunk_docs" -> ((s, dir) =>
       m(dir, "documents")
@@ -3173,6 +3194,115 @@ object SparkEntry {
          )
          SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p
          GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+
+    // Four BPE training iterations unrolled: each round re-derives pair
+    // counts from the current symbol encoding, argmaxes with the same
+    // (n DESC, pair) tie-break, and applies the merge with the same
+    // boundary-exact string replace over the ';a;;b;' encoding.
+    "q_bpe_train" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    '\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT ';' || regexp_replace(w, '(.)', '\1;;', 'g') || '_;' AS e, f
+           FROM wf),
+         s1 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e0),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s1),
+         b1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p1
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e1 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e0, b1 b),
+         s2 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e1),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s2),
+         b2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p2
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e2 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e1, b2 b),
+         s3 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e2),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s3),
+         b3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p3
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e3 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e2, b3 b),
+         s4 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e3),
+         p4 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s4),
+         b4 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p4
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+         SELECT merge_ix, pair, n FROM (
+           SELECT 1 AS merge_ix, pair, n FROM b1
+           UNION ALL SELECT 2, pair, n FROM b2
+           UNION ALL SELECT 3, pair, n FROM b3
+           UNION ALL SELECT 4, pair, n FROM b4)
+         ORDER BY merge_ix""",
+
+    // Same four training iterations (word column carried through), then
+    // per-word merged-symbol counts joined back to per-document words.
+    "q_bpe_subwords" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    '\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT w, ';' || regexp_replace(w, '(.)', '\1;;', 'g') || '_;' AS e, f
+           FROM wf),
+         s1 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e0),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s1),
+         b1 AS (SELECT pair FROM p1 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e1 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e0, b1 b),
+         s2 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e1),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s2),
+         b2 AS (SELECT pair FROM p2 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e2 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e1, b2 b),
+         s3 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e2),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s3),
+         b3 AS (SELECT pair FROM p3 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e3 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e2, b3 b),
+         s4 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e3),
+         p4 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s4),
+         b4 AS (SELECT pair FROM p4 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e4 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e3, b4 b),
+         vs AS (SELECT w, CAST(len(string_split(trim(e, ';'), ';;')) AS BIGINT) AS ns
+                FROM e4),
+         dw AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    '\s+')) AS w
+           FROM documents)
+         SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
+         FROM dw JOIN vs USING (w) WHERE len(w) >= 1
+         GROUP BY 1 ORDER BY doc_id""",
 
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)
     "q_chunk_docs" ->

@@ -62,6 +62,110 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    * `merges` merge rules by repeatedly merging the corpus's most frequent
+    * adjacent symbol pair. Returns one row per learned merge:
+    * (`merge_ix` 1-based, `pair` "a b", `n` weighted occurrence count at
+    * the time of the merge). Ties break to the lexicographically smallest
+    * pair, so the whole merge sequence is deterministic.
+    *
+    * Scale shape: everything runs on the WORD-FREQUENCY table (Heaps'-law
+    * sublinear in corpus size, like [[bpePairCounts]]) — one corpus pass
+    * builds it, then each iteration is one vocabulary-sized aggregate +
+    * a 1-row argmax collect (the learned rule is a model parameter, the
+    * same defense as the k-means centroid pin) + one per-word projection.
+    * Words are normalized to [a-z] (standard BPE pre-tokenization), with
+    * a `_` end-of-word marker symbol.
+    *
+    * The greedy left-to-right non-overlapping merge is applied with plain
+    * string `replace` over a delimiter encoding that makes it exact on
+    * BOTH engines (the property the DuckDB oracle needs): a word's symbol
+    * list [a, b, c] is encoded `;a;;b;;c;`, so the pattern `;a;;b;`
+    * matches exactly at symbol boundaries (no symbol contains `;`), and
+    * replacing it with `;ab;` leaves the `;` that opens the NEXT symbol
+    * untouched — consecutive disjoint occurrences all merge in one pass,
+    * while a genuinely overlapping `a a a` merges once, exactly the
+    * reference BPE semantics. */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeFit(docs, textCol, merges, scope)._1.toDF("merge_ix", "pair", "n")
+  }
+
+  /** BPE ENCODING: tokenize with the first `merges` learned rules and
+    * return per-document subword token counts (`doc_id`, `n_subwords`).
+    * The corpus tokenizes through its vocabulary: the merged symbol
+    * count is computed once per DISTINCT word (Heaps-bounded frame, the
+    * same `;sym;` encoding the trainer maintains) and broadcast-joined
+    * back to the per-document words — per-document work is a word lookup,
+    * never a re-merge. */
+  def bpeSubwordCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val (_, vocab) = bpeFit(docs, textCol, merges, scope)
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    val sizes = vocab.select(col("__w__"),
+      expr(s"size($syms)").cast("long").as("__n__"))
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    docs
+      .select(col(idCol), explode(split(norm, "\\s+")).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .join(broadcast(sizes), Seq("__w__"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n__")).as("n_subwords"))
+  }
+
+  /** Shared BPE training loop: returns the learned merge rules and the
+    * final vocabulary frame (`__w__` raw word, `__e__` merged-symbol
+    * encoding, `__f__` frequency). */
+  private def bpeFit(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope): (Seq[(Int, String, Long)], DataFrame) = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    val wf = scope.cache(docs
+      .select(explode(split(norm, "\\s+")).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
+      .select(col("__w__"),
+        concat(lit(";"), concat_ws(";;", split(col("__w__"), "")), lit(";;_;"))
+          .as("__e__"),
+        col("__f__")))
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    // CASE guard: a fully-merged word has ONE symbol and Spark's
+    // sequence(1, 0) counts DOWN ([1,0] → element_at out of bounds);
+    // DuckDB's range(1, 1) is already empty, so values are unaffected
+    val pairsOf = expr(
+      s"""CASE WHEN size($syms) < 2 THEN CAST(array() AS array<string>)
+          ELSE transform(sequence(1, size($syms) - 1),
+            i -> concat(element_at($syms, i), ' ', element_at($syms, i + 1)))
+          END""")
+    var words = wf
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    for (ix <- 1 to merges) {
+      val best = words
+        .select(col("__f__"), explode(pairsOf).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("__f__")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      learned += ((ix, pair, best.getLong(1)))
+      val Array(a, b) = pair.split(' ')
+      words = words.select(col("__w__"),
+        expr(s"replace(__e__, ';$a;;$b;', ';$a$b;')").as("__e__"),
+        col("__f__"))
+    }
+    (learned.result(), words)
+  }
+
   /** Word n-gram shingles over a token-array column. Empty result when the
     * document has fewer than n tokens. */
   def wordShingles(toksCol: String, n: Int): Column =

@@ -1006,6 +1006,28 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("bpeTrain learns deterministic merges with exact greedy semantics") {
+    val s = spark
+    import s.implicits._
+    // word freqs: aa×3, abab×2, the×1 (with '_' end-of-word markers)
+    val df = Seq("aa aa aa", "abab abab", "the").toDF("text")
+    val out = TextOps.bpeTrain(df, "text", merges = 4)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // hand-derived sequence: 'a b' (4 from abab×2) → tie at 3 between
+    // 'a a' and 'a _' breaks to 'a _' ('_' < 'a') → 'a a_' (3) → 'ab _' (2)
+    assert(out.toSeq === Seq(
+      (1, "a b", 4L), (2, "a _", 3L), (3, "a a_", 3L), (4, "ab _", 2L)))
+
+    // genuine overlap: (a,a) in 'aaa' merges once per pass (greedy
+    // left-to-right non-overlapping), not twice
+    val df2 = Seq("aaa aaa").toDF("text")
+    val out2 = TextOps.bpeTrain(df2, "text", merges = 2)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out2.toSeq === Seq((1, "a a", 4L), (2, "a _", 2L)))
+  }
+
   test("dedupLines keeps first occurrences in order, including empty lines") {
     val s = spark
     import s.implicits._
