@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style linear text classifier (Joulin et al. 2016): logistic
+  * regression over bag-of-words indicator features, trained by full-batch
+  * gradient descent. The pipeline shape is the production one — a cheap
+  * linear scorer distilling or routing on top of token presence — while
+  * every training step is deterministic and DuckDB-replayable:
+  *
+  *   - features are word-presence INDICATORS (0/1 integers), so the
+  *     logit `w·x` is exact IEEE arithmetic over 6-dp weights folded in
+  *     fixed feature order on both engines;
+  *   - the sigmoid is rounded to 6 dp (absorbs the ≤1-ulp cross-engine
+  *     `exp` divergence — the pow/log2 discipline);
+  *   - the gradient accumulates as exact INTEGER micro-units
+  *     (`floor((σ−y)·x·1e6 + 0.5)` per doc, summed as BIGINT) — the
+  *     integer-cents trick, so the sum is order-independent and shuffles
+  *     can't perturb it;
+  *   - weights re-round to 6 dp after each step (BigDecimal HALF_UP =
+  *     DuckDB `round`).
+  *
+  * Scale anatomy: each iteration is ONE map-side-combined aggregate over
+  * the cached feature frame (indicator projection — no shuffle beyond the
+  * 1-row gradient reduce) + an O(features) driver update (model
+  * parameters, the k-means-centroid-pin defense). Serving would freeze
+  * the weights into a per-row predicate exactly like the LM model
+  * literal. */
+object Classifier {
+
+  /** Train `iters` full-batch GD steps (η = 1) of
+    * P(label-word present | other-word indicators) and return the learned
+    * weights, one row per (`feature`, `weight`) with `bias` first. */
+  def fitLogistic(
+      docs: DataFrame,
+      textCol: String,
+      labelWord: String,
+      featureWords: Seq[String],
+      iters: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    require(featureWords.nonEmpty && !featureWords.contains(labelWord))
+    val toks = TextOps.tokens(col(textCol))
+    val featCols = featureWords.zipWithIndex.map { case (w, j) =>
+      array_contains(toks, w).cast("int").as(s"__x$j")
+    }
+    val feats = scope.cache(docs.select(
+      array_contains(toks, labelWord).cast("int").as("__y") +: featCols: _*))
+
+    val nFeat = featureWords.length
+    val w = new Array[Double](nFeat + 1) // w(0) = bias, features follow
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v + 0.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    for (_ <- 1 to iters) {
+      // logit folded in fixed feature order (bias + x0·w1 + x1·w2 + …)
+      val z = (0 until nFeat).foldLeft(lit(w(0)): Column) { (acc, j) =>
+        acc + lit(w(j + 1)) * col(s"__x$j")
+      }
+      val sig = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      val err = sig - col("__y")
+      val gradCols = sum(expr_floorMicro(err)).as("__g_bias") +:
+        (0 until nFeat).map(j =>
+          sum(expr_floorMicro(err * col(s"__x$j"))).as(s"__g$j"))
+      val row = feats.agg(count(lit(1)).as("__n"), gradCols: _*).collect()(0)
+      val n = row.getLong(0)
+      w(0) = round6(w(0) - (row.getLong(1).toDouble / 1e6) / n)
+      for (j <- 0 until nFeat)
+        w(j + 1) = round6(w(j + 1) - (row.getLong(2 + j).toDouble / 1e6) / n)
+    }
+    import spark.implicits._
+    (("bias", w(0)) +: featureWords.zipWithIndex.map { case (word, j) =>
+      (word, w(j + 1))
+    }).toDF("feature", "weight")
+  }
+
+  /** Exact integer micro-gradient: floor(v·1e6 + 0.5) as BIGINT. */
+  private def expr_floorMicro(v: Column): Column =
+    floor(v * lit(1000000.0) + lit(0.5)).cast("long")
+}

@@ -98,6 +98,50 @@ class LangModelSpec extends GraftSuite {
     }
   }
 
+  test("fitLogistic matches an independent plain-Scala GD re-derivation") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "spark sql query fast", // y=1, sql+query
+      "spark sql join",       // y=1, sql+join
+      "spark hash agg",       // y=1, hash
+      "table vector stream",  // y=0
+      "sql table batch",      // y=0, sql+table
+      "vector stream column") // y=0
+    val words = Seq("sql", "query", "join", "hash", "table", "vector", "stream")
+    val out = graft.llm.Classifier
+      .fitLogistic(texts.toDF("text"), "text", "spark", words, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // independent re-derivation: no Spark, same math definition
+    def round6(v: Double) = java.math.BigDecimal.valueOf(v + 0.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val docs = texts.map(_.split(" ").toSet)
+    val y = docs.map(d => if (d("spark")) 1 else 0)
+    val x = docs.map(d => words.map(w => if (d(w)) 1 else 0))
+    val w = Array.fill(words.length + 1)(0.0)
+    for (_ <- 1 to 3) {
+      val micro = Array.fill(words.length + 1)(0L)
+      for (i <- docs.indices) {
+        val z = x(i).zipWithIndex.foldLeft(w(0)) { case (a, (xi, j)) =>
+          a + w(j + 1) * xi
+        }
+        val sig = round6(1.0 / (1.0 + StrictMath.exp(-z)))
+        val err = sig - y(i)
+        micro(0) += math.floor(err * 1000000.0 + 0.5).toLong
+        for (j <- words.indices)
+          micro(j + 1) += math.floor(err * x(i)(j) * 1000000.0 + 0.5).toLong
+      }
+      for (j <- w.indices)
+        w(j) = round6(w(j) - (micro(j).toDouble / 1e6) / docs.length)
+    }
+    assert(out("bias") === w(0))
+    for ((word, j) <- words.zipWithIndex)
+      assert(out(word) === w(j + 1), s"weight for '$word'")
+    // co-occurring feature learned a larger weight than the anti-feature
+    assert(out("sql") > out("vector"))
+  }
+
   test("in-distribution text scores fewer bits than gibberish") {
     val s = spark
     import s.implicits._
