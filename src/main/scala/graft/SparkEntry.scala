@@ -1167,6 +1167,23 @@ object SparkEntry {
         .sort(col("feature"))
         .run(s)),
 
+    // --- classifier SERVING: learned weights frozen into the plan as
+    //     literals, scoring is a pure per-row projection (zero joins) ---
+    "q_classifier_score" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val words = Seq("sql", "query", "join", "hash", "table",
+            "vector", "stream")
+          val w = graft.llm.Classifier.fitWeights(
+            df, "text", "spark", words, iters = 3)
+          df.select(F.col("doc_id"),
+            graft.llm.Classifier.scoreLogistic(F.col("text"), words, w).as("p"))
+            .withColumn("pred", F.col("p") >= 0.5)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -2621,6 +2638,71 @@ object SparkEntry {
            UNION ALL SELECT 'vector', w5 FROM w3
            UNION ALL SELECT 'stream', w6 FROM w3)
          ORDER BY feature""",
+
+    // Same three training iterations, then per-doc sigmoid scoring with
+    // the final weights (identical literal fold order).
+    "q_classifier_score" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(list_contains(w, 'spark') AS INT) AS y,
+                  CAST(list_contains(w, 'sql') AS INT) AS x0,
+                  CAST(list_contains(w, 'query') AS INT) AS x1,
+                  CAST(list_contains(w, 'join') AS INT) AS x2,
+                  CAST(list_contains(w, 'hash') AS INT) AS x3,
+                  CAST(list_contains(w, 'table') AS INT) AS x4,
+                  CAST(list_contains(w, 'vector') AS INT) AS x5,
+                  CAST(list_contains(w, 'stream') AS INT) AS x6
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         s1 AS (SELECT f.*, nn.n,
+                       round(1.0 / (1.0 + exp(-(0.0 + 0.0*x0 + 0.0*x1 + 0.0*x2
+                         + 0.0*x3 + 0.0*x4 + 0.0*x5 + 0.0*x6))), 6) AS s
+                FROM f, nn),
+         w1 AS (SELECT
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS wb,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x0 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w0,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w1,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w2,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x3 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w3,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x4 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w4,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x5 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w5,
+             round(0.0 - (CAST(sum(CAST(floor((s - y) * x6 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w6
+           FROM s1),
+         s2 AS (SELECT f.*, nn.n, w.*,
+                       round(1.0 / (1.0 + exp(-(w.wb + w.w0*x0 + w.w1*x1 + w.w2*x2
+                         + w.w3*x3 + w.w4*x4 + w.w5*x5 + w.w6*x6))), 6) AS s
+                FROM f, nn, w1 w),
+         w2 AS (SELECT
+             round(any_value(wb) - (CAST(sum(CAST(floor((s - y) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS wb,
+             round(any_value(w0) - (CAST(sum(CAST(floor((s - y) * x0 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w0,
+             round(any_value(w1) - (CAST(sum(CAST(floor((s - y) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w1,
+             round(any_value(w2) - (CAST(sum(CAST(floor((s - y) * x2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w2,
+             round(any_value(w3) - (CAST(sum(CAST(floor((s - y) * x3 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w3,
+             round(any_value(w4) - (CAST(sum(CAST(floor((s - y) * x4 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w4,
+             round(any_value(w5) - (CAST(sum(CAST(floor((s - y) * x5 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w5,
+             round(any_value(w6) - (CAST(sum(CAST(floor((s - y) * x6 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w6
+           FROM s2),
+         s3 AS (SELECT f.*, nn.n, w.*,
+                       round(1.0 / (1.0 + exp(-(w.wb + w.w0*x0 + w.w1*x1 + w.w2*x2
+                         + w.w3*x3 + w.w4*x4 + w.w5*x5 + w.w6*x6))), 6) AS s
+                FROM f, nn, w2 w),
+         w3 AS (SELECT
+             round(any_value(wb) - (CAST(sum(CAST(floor((s - y) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS wb,
+             round(any_value(w0) - (CAST(sum(CAST(floor((s - y) * x0 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w0,
+             round(any_value(w1) - (CAST(sum(CAST(floor((s - y) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w1,
+             round(any_value(w2) - (CAST(sum(CAST(floor((s - y) * x2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w2,
+             round(any_value(w3) - (CAST(sum(CAST(floor((s - y) * x3 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w3,
+             round(any_value(w4) - (CAST(sum(CAST(floor((s - y) * x4 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w4,
+             round(any_value(w5) - (CAST(sum(CAST(floor((s - y) * x5 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w5,
+             round(any_value(w6) - (CAST(sum(CAST(floor((s - y) * x6 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / any_value(n) + 0.0, 6) AS w6
+           FROM s3)
+         SELECT doc_id, p, p >= 0.5 AS pred FROM (
+           SELECT f.doc_id,
+                  round(1.0 / (1.0 + exp(-(w.wb + w.w0*x0 + w.w1*x1 + w.w2*x2
+                    + w.w3*x3 + w.w4*x4 + w.w5*x5 + w.w6*x6))), 6) AS p
+           FROM f, w3 w)
+         ORDER BY doc_id""",
 
     // Shannon entropy replay: same sorted distinct-char fold order, same
     // p·log2(p) terms, first-element seed (= Spark's exact 0.0 seed),

@@ -40,6 +40,40 @@ object Classifier {
       iters: Int,
       scope: CacheScope = CacheScope.global): DataFrame = {
     val spark = docs.sparkSession
+    val w = fitWeights(docs, textCol, labelWord, featureWords, iters, scope)
+    import spark.implicits._
+    (("bias", w(0)) +: featureWords.zipWithIndex.map { case (word, j) =>
+      (word, w(j + 1))
+    }).toDF("feature", "weight")
+  }
+
+  /** SERVING: per-row predicted probability under trained `weights`
+    * (bias-first, as [[fitWeights]] returns them) — the weights freeze
+    * into the plan as literals folded in the same fixed feature order,
+    * so scoring is a pure projection that rides the scan with zero
+    * joins (the LM-model-literal pattern). */
+  def scoreLogistic(
+      textCol: Column,
+      featureWords: Seq[String],
+      weights: Array[Double]): Column = {
+    require(weights.length == featureWords.length + 1)
+    val toks = TextOps.tokens(textCol)
+    val z = featureWords.zipWithIndex.foldLeft(lit(weights(0)): Column) {
+      case (acc, (word, j)) =>
+        acc + lit(weights(j + 1)) * array_contains(toks, word).cast("int")
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The training loop behind [[fitLogistic]]; returns bias-first raw
+    * weights for [[scoreLogistic]] to serve. */
+  def fitWeights(
+      docs: DataFrame,
+      textCol: String,
+      labelWord: String,
+      featureWords: Seq[String],
+      iters: Int,
+      scope: CacheScope = CacheScope.global): Array[Double] = {
     require(featureWords.nonEmpty && !featureWords.contains(labelWord))
     val toks = TextOps.tokens(col(textCol))
     val featCols = featureWords.zipWithIndex.map { case (w, j) =>
@@ -70,10 +104,7 @@ object Classifier {
       for (j <- 0 until nFeat)
         w(j + 1) = round6(w(j + 1) - (row.getLong(2 + j).toDouble / 1e6) / n)
     }
-    import spark.implicits._
-    (("bias", w(0)) +: featureWords.zipWithIndex.map { case (word, j) =>
-      (word, w(j + 1))
-    }).toDF("feature", "weight")
+    w
   }
 
   /** Exact integer micro-gradient: floor(v·1e6 + 0.5) as BIGINT. */
