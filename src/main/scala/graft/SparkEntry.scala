@@ -999,6 +999,25 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- duplicated-substring spans (Lee et al. 2022 shape): any >=8-word
+    //     span occurring >=2 times anywhere in the corpus, at ANY
+    //     alignment, merged to maximal per-doc spans ---
+    "q_substr_spans" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.substringSpans(
+          df, "doc_id", "text", minSpanWords = 8, minCopies = 2))
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- apply substring dedup: strip every covered word, hash the
+    //     reassembled survivors ---
+    "q_substr_clean" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.substringClean(
+          df, "doc_id", "text", minSpanWords = 8, minCopies = 2))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- benchmark decontamination: word-3-gram overlap between "train"
     //     (doc_id >= 20) and a small "eval suite" (doc_id < 20) ---
     "q_contamination" -> ((s, dir) =>
@@ -2458,6 +2477,68 @@ object SparkEntry {
                 coalesce(string_agg(CASE WHEN c.copies <= 2 THEN b.bt END,
                   ' ' ORDER BY b.chunk_ix), '') AS clean_text
          FROM blocks b JOIN counts c ON md5(b.bt) = c.bh
+         GROUP BY 1 ORDER BY 1""",
+
+    // Duplicated-substring spans: same rolling 8-gram positions, same
+    // global >=2 count, same lag-based island merge (coverage touches
+    // while pos <= prev + 8). Positions are BIGINT on both engines;
+    // HUGEINT sums cast back to BIGINT.
+    "q_substr_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8)
+         ), dupg AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+         dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dupg USING (gh)),
+         seg AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(
+                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8, -1)
+                  THEN 1 ELSE 0 END AS nw
+           FROM dup
+         ), segs AS (
+           SELECT doc_id, pos,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM seg
+         ), spans AS (
+           SELECT doc_id, seg, min(pos) AS s, max(pos) + 7 AS e
+           FROM segs GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+                CAST(max(e - s + 1) AS BIGINT) AS max_span_words
+         FROM spans GROUP BY 1 ORDER BY 1""",
+
+    // Apply substring dedup: covered word positions = union of [pos, pos+7]
+    // intervals; survivors reassembled in word order and md5'd (string md5
+    // only — DuckDB md5 is VARCHAR-only).
+    "q_substr_clean" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8)
+         ), dupg AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+         dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dupg USING (gh)),
+         cov AS (
+           SELECT DISTINCT doc_id, pos + j AS wp
+           FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS j FROM dup)
+         ), words AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS wp, w[i] AS word
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks))
+         SELECT wo.doc_id, count(*) AS n_words,
+                CAST(sum(CASE WHEN c.wp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_removed,
+                md5(coalesce(string_agg(CASE WHEN c.wp IS NULL THEN wo.word END,
+                  ' ' ORDER BY wo.wp), '')) AS clean_md5
+         FROM words wo LEFT JOIN cov c ON wo.doc_id = c.doc_id AND wo.wp = c.wp
          GROUP BY 1 ORDER BY 1""",
 
     "q_contamination" ->

@@ -546,4 +546,122 @@ object Dedup {
                       THEN struct(chunk_ix, chunk_text) END)),
                s -> s.chunk_text)""")).as("clean_text"))
   }
+
+  /** Word positions whose k-gram (the k words starting there) occurs at
+    * least `minCopies` times anywhere in the corpus — the shared first
+    * stage of [[substringSpans]] / [[substringClean]], memoized in the
+    * scope so both consumers in one query read a single cached frame.
+    *
+    * Scale shape: the position explode is token-linear (one row per word
+    * position, never per character); gram counting is ONE map-side-combined
+    * hash aggregate; the duplicated-gram dictionary (count >= minCopies)
+    * is corpus-shrunk, so the flag join back to positions is an equi-join
+    * AQE broadcasts when it fits. Returns (idCol, __pos__) with 1-based
+    * word positions. */
+  private def dupGramPositions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCopies: Int,
+      scope: CacheScope,
+  ): DataFrame =
+    scope.cacheKeyed(("graft.llm.substrpos",
+      docs.queryExecution.analyzed.canonicalized, idCol, textCol, k,
+      minCopies)) {
+      val pos = docs
+        .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks__"))
+        .where(size(col("__toks__")) >= k)
+        .select(col(idCol),
+          posexplode(TextOps.wordShingles("__toks__", k)).as(Seq("__p0__", "__g__")))
+        .select(col(idCol), (col("__p0__") + 1).cast("long").as("__pos__"),
+          md5(col("__g__").cast("binary")).as("__gh__"))
+      val dup = pos
+        .groupBy(col("__gh__"))
+        .agg(count(lit(1)).as("__copies__"))
+        .where(col("__copies__") >= minCopies)
+        .select(col("__gh__"))
+      pos.join(dup, "__gh__").select(col(idCol), col("__pos__"))
+    }
+
+  /** Duplicated-substring SPAN detection — the rolling-window complement of
+    * [[blockDedup]] (which only sees its fixed non-overlapping block grid):
+    * any word span of >= `minSpanWords` words occurring at least
+    * `minCopies` times anywhere in the corpus (any offset, any document,
+    * within-document repeats included) is flagged at EVERY alignment.
+    * This is the fixed-granularity equivalent of suffix-array exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): a duplicated >= k-word span is exactly a
+    * maximal run of duplicated-k-gram starting positions, so merging
+    * consecutive flagged positions (coverage touches while
+    * pos <= prev_pos + k) reconstructs the maximal spans.
+    *
+    * Island merging runs inside per-document windows — state is bounded by
+    * one document's positions, never corpus-scale. Returns one row per
+    * document with at least one span: n_spans, dup_words (covered word
+    * count), max_span_words. */
+  def substringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanWords: Int = 8,
+      minCopies: Int = 2,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(minSpanWords >= 2 && minCopies >= 2,
+      "minSpanWords and minCopies must be >= 2")
+    val k = minSpanWords
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos__"))
+    dupGramPositions(docs, idCol, textCol, k, minCopies, scope)
+      .withColumn("__new__",
+        when(col("__pos__") >
+          coalesce(lag(col("__pos__"), 1).over(w) + k, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__seg__", sum(col("__new__")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__seg__"))
+      .agg(min(col("__pos__")).as("__s__"),
+        (max(col("__pos__")) + k - 1).as("__e__"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e__") - col("__s__") + 1).as("dup_words"),
+        max(col("__e__") - col("__s__") + 1).cast("long").as("max_span_words"))
+  }
+
+  /** Apply [[substringSpans]]: strip every covered word, reassemble the
+    * survivors in order. Covered positions come from exploding each
+    * flagged start into its k-word interval (<= k rows per flagged
+    * position, distinct-folded before the join); reassembly is one
+    * aggregate whose collect_list is bounded by a single document's word
+    * count. Emits every document (>= minSpanWords words or not):
+    * n_words, n_removed, and the md5 of the cleaned text (compact,
+    * engine-portable). */
+  def substringClean(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanWords: Int = 8,
+      minCopies: Int = 2,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    val k = minSpanWords
+    val covered = dupGramPositions(docs, idCol, textCol, k, minCopies, scope)
+      .select(col(idCol),
+        explode(sequence(col("__pos__"), col("__pos__") + k - 1)).as("__wp__"))
+      .distinct()
+    docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("__p0__", "__w__")))
+      .select(col(idCol), (col("__p0__") + 1).cast("long").as("__wp__"), col("__w__"))
+      .join(covered.withColumn("__cov__", lit(1)), Seq(idCol, "__wp__"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("__cov__").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", expr(
+          """transform(
+               array_sort(collect_list(
+                 CASE WHEN __cov__ IS NULL THEN struct(__wp__, __w__) END)),
+               s -> s.__w__)""")).cast("binary")).as("clean_md5"))
+  }
 }

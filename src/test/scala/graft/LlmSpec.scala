@@ -301,6 +301,41 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("substring spans: arbitrary alignment, within-doc repeats, clean md5") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq(
+      // the shared 8-word span sits at offset 1 here and offset 3 below —
+      // blockDedup's fixed grid would only catch one alignment
+      (10L, "A B C D E F G H x y z"),
+      (11L, "p q A B C D E F G H r"),
+      (12L, "unique words only here nothing repeated at all whatsoever"),
+      // period-8 repeat WITHIN one doc: dup 8-gram starts at pos 1 and 9,
+      // islands merge (9 <= 1 + 8) into one span covering all 16 words
+      (13L, "M N O P Q R S T M N O P Q R S T"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(fix, "doc_id", "text",
+      minSpanWords = 8, minCopies = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(spans.keySet === Set(10L, 11L, 13L)) // doc 12 clean
+    assert(spans(10L) === ((1L, 8L, 8L)))
+    assert(spans(11L) === ((1L, 8L, 8L)))
+    assert(spans(13L) === ((1L, 16L, 16L)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val clean = Dedup.substringClean(fix, "doc_id", "text",
+      minSpanWords = 8, minCopies = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(clean(10L) === ((11L, 8L, md5hex("x y z"))))
+    assert(clean(11L) === ((11L, 8L, md5hex("p q r"))))
+    assert(clean(12L) === ((9L, 0L, md5hex(
+      "unique words only here nothing repeated at all whatsoever"))))
+    assert(clean(13L) === ((16L, 16L, md5hex("")))) // fully stripped
+  }
+
   test("scrubPii redacts emails, phones, and IPv4 addresses") {
     val s = spark
     import s.implicits._
