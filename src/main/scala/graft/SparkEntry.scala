@@ -1300,6 +1300,25 @@ object SparkEntry {
         .sort(col("lang"))
         .run(s)),
 
+    // --- DoReMi-style domain upsampling: fractional epoch weights per
+    //     lang, deterministic hash-gated extra copy; per-doc replica
+    //     counts pin the emitted multiset bit-exactly ---
+    "q_upsample_mix" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val sp = df.sparkSession
+          import sp.implicits._
+          val wts = Seq(("en", 0.5), ("zh", 2.0), ("es", 1.5),
+            ("de", 2.25), ("fr", 3.0)).toDF("lang", "weight")
+          graft.llm.TextOps.upsampleMix(df, "lang", "text", wts)
+            .groupBy(F.col("doc_id"), F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n_copies"),
+              F.max(F.col("replica")).as("max_replica"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- CCNet-style LM perplexity quality scoring: char-bigram add-α
     //     model trained on a corpus hash-split (one vocabulary-bounded
     //     aggregate + ≤729-row model collect), served as a codegen'd
@@ -2606,6 +2625,30 @@ object SparkEntry {
          FROM documents d JOIN rc ON d.lang = rc.lang
          WHERE CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) < rc.cut
          GROUP BY 1 ORDER BY 1""",
+
+    // Replays upsampleMix: copies = floor(w) + (md5-prefix hash <
+    // floor(round(frac(w),6)·2^32)), replicas via range(0, n).
+    "q_upsample_mix" ->
+      """WITH wts AS (
+           SELECT lang, CAST(wt AS DOUBLE) AS wt
+           FROM (VALUES ('en', 0.5), ('zh', 2.0), ('es', 1.5),
+                        ('de', 2.25), ('fr', 3.0)) v(lang, wt)
+         ), j AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(floor(w.wt) AS BIGINT) AS base,
+                  CAST(floor(round(w.wt - floor(w.wt), 6) * 4294967296.0)
+                    AS BIGINT) AS cut,
+                  CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) AS h
+           FROM documents d JOIN wts w USING (lang)
+         ), n AS (
+           SELECT doc_id, lang,
+                  base + CASE WHEN h < cut THEN 1 ELSE 0 END AS n
+           FROM j WHERE base + CASE WHEN h < cut THEN 1 ELSE 0 END > 0
+         ), r AS (
+           SELECT doc_id, lang, unnest(range(0, n)) AS replica FROM n)
+         SELECT doc_id, lang, count(*) AS n_copies,
+                CAST(max(replica) AS BIGINT) AS max_replica
+         FROM r GROUP BY 1, 2 ORDER BY doc_id""",
 
     // Near-dup-aware split: same closure CTEs as q_dedup_clusters, then
     // the split rule = md5 prefix of the representative id AS A STRING

@@ -372,6 +372,44 @@ object TextOps {
       .drop("__cut__")
   }
 
+  /** Deterministic per-group UPSAMPLING with fractional epoch weights —
+    * the replication complement of [[temperatureMix]] (which can only keep
+    * a subset). `weights` is a tiny (groupCol, weight>=0 double) frame —
+    * DoReMi/PaLM-style domain mixture weights: rare domains repeat (w>1),
+    * oversized domains thin out (w<1 degenerates to a keep-predicate).
+    * Each row emits floor(w) copies plus one more iff its 32-bit md5
+    * key-hash falls below floor(round(frac(w),6)·2^32): expected copies
+    * = w, and the emitted multiset is a pure function of (key, weight),
+    * so the DuckDB oracle replays it bit-for-bit. Copies carry a 0-based
+    * `replica` index so downstream exact dedup can't collapse them.
+    * Groups absent from `weights` drop (weight 0 by construction).
+    *
+    * Scale shape: weights broadcast; replication is a map-side explode of
+    * sequence(0, n-1) — ZERO shuffles, output flows straight into the
+    * next stage at scan parallelism. (Guard: `where n > 0` runs before
+    * the explode — sequence(0, -1) would DESCEND, the Spark sharp edge.) */
+  def upsampleMix(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weights: DataFrame,
+  ): DataFrame = {
+    val wts = weights
+      .select(col(groupCol), col("weight").cast("double").as("__wt__"))
+      .withColumn("__base__", floor(col("__wt__")).cast("bigint"))
+      .withColumn("__cut__",
+        floor(round(col("__wt__") - floor(col("__wt__")), 6)
+          * lit(4294967296.0)).cast("bigint"))
+      .drop("__wt__")
+    df.join(broadcast(wts), Seq(groupCol))
+      .withColumn("__n__", col("__base__") +
+        when(conv(substring(md5(col(keyCol).cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") < col("__cut__"), 1L).otherwise(0L))
+      .where(col("__n__") > 0)
+      .withColumn("replica", explode(sequence(lit(0L), col("__n__") - 1)))
+      .drop("__base__", "__cut__", "__n__")
+  }
+
   /** Within-document repetition ratio: fraction of word n-gram occurrences
     * that are repeats (1 − distinct/total), the classic boilerplate /
     * SEO-spam signal. Per-row closed form; 0.0 for docs shorter than n. */

@@ -301,6 +301,38 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("upsampleMix: integer weights replicate exactly, fractional gate deterministically") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a", "alpha text zero"), (1L, "a", "alpha text one"),
+      (2L, "b", "beta text two"), (3L, "b", "beta text three"),
+      (4L, "c", "gamma text four"),
+    ).toDF("doc_id", "grp", "text")
+    val wts = Seq(("a", 3.0), ("b", 0.5)).toDF("grp", "weight")
+    val out = TextOps.upsampleMix(corpus, "grp", "text", wts)
+      .groupBy(sc("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.collect_set(sc("replica")).as("reps"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).sorted))).toMap
+    // integer weight 3.0: every 'a' doc exactly 3 copies, replicas 0,1,2
+    assert(out(0L) === ((3L, Seq(0L, 1L, 2L))))
+    assert(out(1L) === ((3L, Seq(0L, 1L, 2L))))
+    // weight 0.5: each 'b' doc keeps 0 or 1 copies by its own hash
+    for (id <- Seq(2L, 3L); n <- out.get(id)) assert(n === ((1L, Seq(0L))))
+    // unweighted group 'c' drops entirely
+    assert(!out.contains(4L))
+    // deterministic: a second run emits the identical multiset
+    val again = TextOps.upsampleMix(corpus, "grp", "text", wts)
+      .groupBy(sc("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === out.map { case (k, (n, _)) => (k, n) })
+  }
+
   test("substring spans: arbitrary alignment, within-doc repeats, clean md5") {
     val s = spark
     import s.implicits._
