@@ -1729,6 +1729,33 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("channel"))
         .run(s)),
 
+    // --- ViT patch prep: 4×4 fixed-grid patch means over the same
+    //     closed-form fixture PNGs (full tiles only). The oracle replays
+    //     the pixel formula over each tile — the decoded raster only
+    //     reproduces it if inflate + unfilter + the tile accumulation are
+    //     all byte-exact. Patch means are integer sums over 16 (a power
+    //     of two), so the doubles are exact on both engines. ---
+    "q_multimodal_patches" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.pngFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.patchMeans(withPayload, "payload", patch = 4)
+            .select(F.col("doc_id"), F.explode(F.col("patches")).as("pt"))
+            .select(F.col("doc_id"), F.col("pt.py").cast("long").as("py"),
+              F.col("pt.px").cast("long").as("px"),
+              F.posexplode(F.col("pt.means")).as(Seq("channel", "mean_v")))
+            .select(F.col("doc_id"), F.col("py"), F.col("px"),
+              F.col("channel").cast("long").as("channel"), F.col("mean_v"))
+        }
+        .sort(col("doc_id")).sort(col("py")).sort(col("px")).sort(col("channel"))
+        .run(s)),
+
     // --- Full GIF pixel decode (variable-width LZW decompression +
     //     palette mapping, pure JDK): per-channel stats over fixture GIFs
     //     whose pixel INDICES are a closed form of doc_id and whose
@@ -3365,6 +3392,28 @@ object SparkEntry {
                 CAST(min(v) AS BIGINT) AS min_v,
                 CAST(max(v) AS BIGINT) AS max_v
          FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replays pngFixture's closed form over each FULL 4×4 tile: mean =
+    // sum of (7x+13y+31c+3·id) mod 256 over the tile, / 16 (exact in
+    // double), 6-dp round as a formatting no-op.
+    "q_multimodal_patches" ->
+      """WITH d AS (SELECT doc_id,
+                  8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h
+           FROM documents WHERE doc_id < 12),
+         t AS (
+           SELECT d.doc_id, py.py, px.px, c.c,
+                  (7 * (px.px * 4 + dx.dx) + 13 * (py.py * 4 + dy.dy)
+                   + 31 * c.c + 3 * d.doc_id) % 256 AS v
+           FROM d
+           CROSS JOIN range(0, 3) py(py)
+           CROSS JOIN range(0, 3) px(px)
+           CROSS JOIN range(0, 3) c(c)
+           CROSS JOIN range(0, 4) dy(dy)
+           CROSS JOIN range(0, 4) dx(dx)
+           WHERE px.px < w // 4 AND py.py < h // 4)
+         SELECT doc_id, py, px, c AS channel,
+                round(CAST(sum(v) AS DOUBLE) / 16, 6) AS mean_v
+         FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
 
     // Replays gifFixture's closed form: pixel index (11x+17y+3·id) mod 256
     // through the fixed palette ramp — channel c's value is

@@ -182,6 +182,17 @@ object Multimodal {
     StructField("maxs", ArrayType(LongType, containsNull = false), nullable = false),
   ))
 
+  /** One fixed-grid patch: 0-based grid coordinates + per-channel means
+    * (6-dp, exact for power-of-two patch sizes — the sum is an integer
+    * and the divisor a power of two, so the double is exact and the
+    * round is a formatting no-op the oracle replays trivially). */
+  val PatchSchema: StructType = StructType(Seq(
+    StructField("py", IntegerType, nullable = false),
+    StructField("px", IntegerType, nullable = false),
+    StructField("means", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+  ))
+
   /** Encode an 8-bit PNG from a pixel function — pure JDK
     * (`java.util.zip.Deflater` for IDAT, `CRC32` for chunk checksums).
     * `channels`: 1 = grayscale, 3 = RGB, 4 = RGBA (PNG color types
@@ -295,7 +306,42 @@ object Multimodal {
     * inflate or size checks catch — returns null (honest, never
     * fabricated). This closes the "header-only" seam the metadata
     * decoder documented. */
+  /** The unfiltered raster behind [[decodePngPixels]]: `raw` holds
+    * `h` scanlines of `1 + w*channels` bytes each (the leading filter
+    * byte is dead after reconstruction). Null on any unsupported or
+    * corrupt payload — same acceptance rules as the stats decode. */
+  private[llm] final case class PngRaster(
+      w: Int, h: Int, channels: Int, raw: Array[Byte]) {
+    def pixel(x: Int, y: Int, c: Int): Int =
+      raw(y * (1 + w * channels) + 1 + x * channels + c) & 0xff
+  }
+
   def decodePngPixels(payload: Array[Byte]): Row = {
+    val r = decodePngRaster(payload)
+    if (r == null) return null
+    val PngRaster(w, h, channels, raw) = r
+    val stride = 1 + w * channels
+    val sums = new Array[Long](channels)
+    val mins = Array.fill(channels)(255L)
+    val maxs = new Array[Long](channels)
+    var y = 0
+    while (y < h) {
+      val rs = y * stride + 1
+      var k = 0
+      while (k < w * channels) {
+        val v = (raw(rs + k) & 0xff).toLong
+        val c = k % channels
+        sums(c) += v
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        k += 1
+      }
+      y += 1
+    }
+    Row(w, h, channels, w.toLong * h, sums.toSeq, mins.toSeq, maxs.toSeq)
+  }
+
+  private[llm] def decodePngRaster(payload: Array[Byte]): PngRaster = {
     if (payload == null || payload.length < 45 ||
         !payload.startsWith(PngSignature)) return null
     def u8(i: Int): Int = payload(i) & 0xff
@@ -368,25 +414,7 @@ object Multimodal {
       }
       y += 1
     }
-    // single stats pass
-    val sums = new Array[Long](channels)
-    val mins = Array.fill(channels)(255L)
-    val maxs = new Array[Long](channels)
-    y = 0
-    while (y < h) {
-      val rs = y * stride + 1
-      var k = 0
-      while (k < w * bpp) {
-        val v = (raw(rs + k) & 0xff).toLong
-        val c = k % bpp
-        sums(c) += v
-        if (v < mins(c)) mins(c) = v
-        if (v > maxs(c)) maxs(c) = v
-        k += 1
-      }
-      y += 1
-    }
-    Row(w, h, channels, w.toLong * h, sums.toSeq, mins.toSeq, maxs.toSeq)
+    PngRaster(w, h, channels, raw)
   }
 
   /** Encode an 8-bit-palette single-frame GIF89a from a pixel-index
@@ -637,6 +665,62 @@ object Multimodal {
               Jpeg.decodePixels(payload)
             else decodeGifPixels(payload)
           Row.fromSeq(row.toSeq :+ px)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** ViT-style patch embedding prep: decode each PNG payload and reduce
+    * every FULL `patch`×`patch` tile of the fixed grid (partial edge tiles
+    * drop — the deterministic fixed-grid rule; a production pipeline
+    * resizes first) to its per-channel mean — the input statistic a patch
+    * projection consumes. Adds a `patches` column:
+    * array<struct<py, px, means>> in row-major grid order; null for
+    * non-PNG / corrupt payloads, empty array when the image is smaller
+    * than one tile.
+    *
+    * One narrow mapPartitions, no shuffle: per-row work is the inflate +
+    * unfilter + one O(pixels) accumulation pass, and the emitted patch
+    * vectors are (pixels / patch²)-fold SMALLER than the raster — the
+    * image never leaves the partition, only the reduced features do. */
+  def patchMeans(df: DataFrame, payloadCol: String, patch: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(patch >= 1, "patch must be >= 1")
+    val outSchema = df.schema.add(StructField("patches",
+      ArrayType(PatchSchema, containsNull = false), nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v + 0.0)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val raster = decodePngRaster(row.getAs[Array[Byte]](payloadIdx))
+          val patches = if (raster == null) null else {
+            val nx = raster.w / patch
+            val ny = raster.h / patch
+            val area = (patch * patch).toDouble
+            (0 until ny).flatMap { py =>
+              (0 until nx).map { px =>
+                val sums = new Array[Long](raster.channels)
+                var dy = 0
+                while (dy < patch) {
+                  var dx = 0
+                  while (dx < patch) {
+                    var c = 0
+                    while (c < raster.channels) {
+                      sums(c) += raster.pixel(px * patch + dx, py * patch + dy, c)
+                      c += 1
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                Row(py, px, sums.map(s => round6(s / area)).toSeq)
+              }
+            }
+          }
+          Row.fromSeq(row.toSeq :+ patches)
         }
       }
     }(Encoders.row(outSchema))

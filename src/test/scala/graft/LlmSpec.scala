@@ -729,6 +729,28 @@ class LlmSpec extends GraftSuite {
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
   }
 
+  test("multimodal patch means: fixed grid, exact tile averages, honest nulls") {
+    val s = spark
+    import s.implicits._
+    def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 31 + 5) % 256
+    val img = Multimodal.encodePng(9, 6, 3, pix)   // 2×1 full 4×4 tiles
+    val tiny = Multimodal.encodePng(3, 3, 3, pix)  // smaller than one tile
+    val d = Seq((0L, img), (1L, tiny), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.patchMeans(d, "payload", patch = 4)
+      .select(sc("id"), sc("patches")).orderBy(sc("id")).collect()
+    // closed-form tile means, independent of the codec
+    val got = out(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(got.map(r => (r.getInt(0), r.getInt(1))) === Seq((0, 0), (0, 1)))
+    for (r <- got; c <- 0 until 3) {
+      val exp = (for (dy <- 0 until 4; dx <- 0 until 4)
+        yield pix(r.getInt(1) * 4 + dx, r.getInt(0) * 4 + dy, c)).sum / 16.0
+      assert(r.getSeq[Double](2)(c) === exp, s"tile ${r} channel $c")
+    }
+    assert(out(1).getSeq[org.apache.spark.sql.Row](1).isEmpty) // sub-tile image
+    assert(out(2).isNullAt(1))                                 // corrupt
+  }
+
   test("multimodal GIF pixel decode: real LZW decompression round-trips the encoder") {
     // enough pixels to force several CLEAR cycles (250-literal period) and
     // exercise the dictionary across resets
