@@ -1052,6 +1052,31 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- HTML → text extraction: deterministic HTML shell injected
+    //     around each doc (script with a raw '<', comment, style, core
+    //     entities incl. the &amp;lt; decode-order trap), stripped by the
+    //     regex chain, content-hash verified ---
+    "q_html_strip" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("doc_id") < 100)
+            .withColumn("__html__", F.expr(
+              """concat('<html><head><title>Doc ', cast(doc_id AS string),
+                   '</title><style type="text/css">body { color: red; }</style></head>',
+                   '<body><!-- id ', cast(doc_id AS string), ' --><h1>Doc&nbsp;',
+                   cast(doc_id AS string), '</h1><p class="main">', text,
+                   ' &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>',
+                   '<script>if (1 < 2) { alert(">"); }</script></body></html>')"""))
+            .withColumn("__clean__",
+              graft.llm.TextOps.stripHtml(F.col("__html__")))
+            .select(F.col("doc_id"),
+              F.md5(F.col("__clean__").cast("binary")).as("clean_md5"),
+              F.length(F.col("__clean__")).as("n_chars"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- MinHash + LSH near-dup pairs (banded bucket join, never all-pairs) ---
     "q_dedup_minhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -2612,6 +2637,31 @@ object SparkEntry {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+[0-9][0-9 -]{5,13}[0-9]', '<PHONE>', 'g'),
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s
+           FROM documents WHERE doc_id < 100) t
+         ORDER BY doc_id""",
+
+    // Replays stripHtml over the same injected shell: block drops, tag
+    // drop, entity decode (&amp; last), whitespace collapse — identical
+    // regex chain in the Java/RE2 common subset.
+    "q_html_strip" ->
+      """SELECT doc_id, md5(c) AS clean_md5, CAST(length(c) AS INT) AS n_chars
+         FROM (
+           SELECT doc_id, trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+                   '</title><style type="text/css">body { color: red; }</style></head>',
+                   '<body><!-- id ', CAST(doc_id AS VARCHAR), ' --><h1>Doc&nbsp;',
+                   CAST(doc_id AS VARCHAR), '</h1><p class="main">', text,
+                   ' &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>',
+                   '<script>if (1 < 2) { alert(">"); }</script></body></html>'),
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS c
            FROM documents WHERE doc_id < 100) t
          ORDER BY doc_id""",
 

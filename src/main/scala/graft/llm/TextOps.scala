@@ -435,6 +435,30 @@ object TextOps {
       lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("<IP>"))
   }
 
+  /** HTML → text extraction, the first stage of every web-crawl corpus
+    * pipeline (the WARC/HTML step the Gopher/CCNet filters assume already
+    * happened): script/style/comment blocks drop wholesale (BEFORE the
+    * generic tag pass — a `1 < 2` inside a script would otherwise eat
+    * text to the next `>`), remaining tags drop, the six core character
+    * entities decode (`&amp;` LAST so `&amp;lt;` yields the literal
+    * `&lt;`, per the single-pass decoding rule), whitespace collapses.
+    * Patterns stay inside the Java-regex/RE2 common subset (non-greedy +
+    * inline `(?is)` flags, no lookaround/backrefs) so the DuckDB oracle
+    * replays byte-identically. Per-row codegen'd chain: no shuffle,
+    * scales with the scan. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style[^>]*>.*?</style>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noComment, lit("(?s)<[^>]*>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key lands
     * in the first `percent` of the hash space (first 8 hex digits as an
     * unsigned 32-bit value). Stable across runs/engines and cluster

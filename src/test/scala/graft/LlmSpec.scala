@@ -301,6 +301,24 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("stripHtml: blocks before tags, entity decode order, whitespace collapse") {
+    val s = spark
+    import s.implicits._
+    val html = """<html><head><style>p { x: 1 > 0; }</style></head><body>
+      <!-- note --><h1>A&nbsp;B</h1><p class="z">keep &amp;lt; this &lt;x&gt; &#39;y&#39; &quot;z&quot;</p>
+      <script>if (1 < 2) { alert(">"); }</script>trailing</body></html>"""
+    val out = Seq(Tuple1(html)).toDF("t")
+      .select(TextOps.stripHtml(sc("t")).as("c")).head().getString(0)
+    // script survives as nothing (raw '<' inside it never reaches the tag
+    // pass), &amp;lt; decodes to the literal entity, quotes decode
+    assert(out === """A B keep &lt; this <x> 'y' "z" trailing""")
+    // unterminated script: the block regex can't close, the tag pass
+    // still strips the opening tag — deterministic, never an error
+    val ragged = Seq(Tuple1("<p>a</p><script>var x = 1;")).toDF("t")
+      .select(TextOps.stripHtml(sc("t")).as("c")).head().getString(0)
+    assert(ragged === "a var x = 1;")
+  }
+
   test("upsampleMix: integer weights replicate exactly, fractional gate deterministically") {
     val s = spark
     import s.implicits._
