@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *     l_orderkey offsets), so groups multiply while per-group event
   *     counts — the state/frontier bound — stay constant.
   *
-  * Usage: runMain graft.ScaleCheck <srcSfDir> <workDir> [factor]
+  * Usage: runMain graft.ScaleCheck <srcSfDir> <workDir> [factor] [q1,q2,…]
   * Writes <workDir>/scaled parquet, prints a markdown table of
-  * min-of-3-pass walls at both scales and their ratio.
+  * min-of-3-pass walls at both scales and their ratio. The optional 4th
+  * arg times only the named queries (new families without re-timing the
+  * whole set).
   */
 object ScaleCheck {
   private val osBean = java.lang.management.ManagementFactory
@@ -69,9 +71,12 @@ object ScaleCheck {
       runs.minBy(_._1)
     }
 
+    val selected = args.lift(3)
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Queries)
     println(f"| query | sf0.1 wall (s) | x$factor wall (s) | ratio | x$factor cpu (s) |")
     println("|---|---|---|---|---|")
-    Queries.foreach { q =>
+    selected.foreach { q =>
       val (w1, _) = time(srcDir, q)
       val (wN, cN) = time(scaledDir, q)
       println(f"| $q | $w1%.2f | $wN%.2f | ${wN / w1}%.2fx | $cN%.1f |")

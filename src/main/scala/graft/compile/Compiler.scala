@@ -212,6 +212,17 @@ object Compiler {
               else num(args.lift(2), "accuracy").toInt
             call_function("approx_percentile", go(args.head),
               lit(num(args.lift(1), "fraction")), lit(accuracy))
+          // HyperLogLog++ cardinality sketch — countDistinct's
+          // extreme-scale swap (O(1/rsd²) state per group, one shuffle).
+          // Spec-gated like approx_percentile: values are approximate.
+          case "approx_count_distinct" =>
+            val rsd: Double = args.lift(1) match {
+              case None                 => 0.05
+              case Some(Lit(d: Double)) => d
+              case other => throw new IllegalArgumentException(
+                s"approx_count_distinct rsd must be a double literal, got $other")
+            }
+            call_function("approx_count_distinct", go(args.head), lit(rsd))
           case "floor"    => floor(go(args.head))
           case "ceiling"  => ceil(go(args.head))
           // scalar string helpers (beyond-reference; used by the LLM text

@@ -64,6 +64,18 @@ package object funcs {
     Call("approx_percentile", Seq(e, Lit(p), Lit(accuracy)))
   }
 
+  /** `approx_count_distinct(e[, rsd])` — the extreme-scale swap for
+    * [[countDistinct]]: Spark's HyperLogLog++ sketch aggregate, fixed
+    * O(1/rsd²) bytes of state per group instead of the exact distinct's
+    * per-group value set and its extra shuffle. Same call shape, so the
+    * swap is one word. Values are cardinality-approximate (relative
+    * standard deviation `rsd`), so this is spec-gated on plan shape +
+    * error bound, not oracle-hashed. */
+  def approxCountDistinct(e: Expr, rsd: Double = 0.05): Expr = {
+    require(rsd > 0 && rsd < 1, s"approx_count_distinct rsd must be in (0,1), got $rsd")
+    Call("approx_count_distinct", Seq(e, Lit(rsd)))
+  }
+
   /** `count_if(cond)` — rewritten at definition time to
     * sum(cases((cond,1), other=0)), exactly like the reference
     * (_sql_functions.py:25-30). */

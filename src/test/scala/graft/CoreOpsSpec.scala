@@ -549,6 +549,29 @@ class CoreOpsSpec extends GraftSuite {
     assert(v >= 499.0 && v <= 501.0, s"p50=$v")
   }
 
+  test("approx_count_distinct lowers to the HLL++ sketch, not exact distinct") {
+    val s = spark
+    import s.implicits._
+    // 10000 rows over 1000 distinct keys, grouped into 2 groups
+    val df = (0 until 10000).map(i => (i % 2, i % 1000)).toDF("g", "k")
+    val m = Model.fromDF(df)
+      .withAttributes(col("g").named("g"))
+      .aggregate(
+        measures = Seq(approxCountDistinct(col("k"), 0.02).named("nk")),
+        groups = Seq(col("g").named("g")))
+    val run = m.run(s)
+    val plan = run.queryExecution.executedPlan.toString
+    // plan-shape gate: the HLL sketch aggregate, and NOT the exact
+    // distinct's expanded two-phase count(distinct …)
+    assert(plan.contains("approx_count_distinct"))
+    assert(!plan.contains("count(distinct"), plan)
+    // rsd=0.02 on 500 true distincts per group: allow 5 sigma
+    for (r <- run.collect()) {
+      val v = r.getLong(1).toDouble
+      assert(math.abs(v - 500.0) <= 50.0, s"group ${r.get(0)}: $v")
+    }
+  }
+
   test("strict attribute lookup throws on typos when attrs are declared") {
     val s = spark
     import s.implicits._
