@@ -999,6 +999,25 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
+    //     footer lines injected into every doc survive only at their
+    //     first corpus occurrence; content lines repeat only where the
+    //     corpus itself has duplicate docs ---
+    "q_line_dedup_corpus" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val built = df.where(F.col("doc_id") < 200)
+            .withColumn("__doc__", F.concat_ws("\n",
+              F.lit("SITE NAV | Home | About"),
+              F.expr("substring(text, 1, 60)"),
+              F.lit("(c) example.org - all rights reserved"),
+              F.expr("substring(text, 61, 60)")))
+          graft.llm.Dedup.corpusLineDedup(built, "doc_id", "__doc__")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- duplicated-substring spans (Lee et al. 2022 shape): any >=8-word
     //     span occurring >=2 times anywhere in the corpus, at ANY
     //     alignment, merged to maximal per-doc spans ---
@@ -2549,6 +2568,32 @@ object SparkEntry {
                   ' ' ORDER BY b.chunk_ix), '') AS clean_text
          FROM blocks b JOIN counts c ON md5(b.bt) = c.bh
          GROUP BY 1 ORDER BY 1""",
+
+    // Corpus-level line dedup: first occurrence per distinct line in
+    // (doc_id, line-index) order = row_number 1 over the line partition;
+    // survivors reassemble in index order, md5'd as VARCHAR.
+    "q_line_dedup_corpus" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  concat_ws(chr(10), 'SITE NAV | Home | About',
+                            substring(text, 1, 60),
+                            '(c) example.org - all rights reserved',
+                            substring(text, 61, 60)) AS doc
+           FROM documents WHERE doc_id < 200
+         ), l AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS ix, ls[i] AS ln
+           FROM (SELECT doc_id, string_split(doc, chr(10)) AS ls FROM b),
+                LATERAL unnest(range(1, len(ls) + 1)) t(i)
+         ), k AS (
+           SELECT doc_id, ix, ln,
+                  row_number() OVER (PARTITION BY ln ORDER BY doc_id, ix) = 1
+                    AS keep
+           FROM l)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN keep THEN ln END,
+                  chr(10) ORDER BY ix), '')) AS clean_md5
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     // Duplicated-substring spans: same rolling 8-gram positions, same
     // global >=2 count, same lag-based island merge (coverage touches

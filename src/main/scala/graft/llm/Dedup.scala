@@ -547,6 +547,43 @@ object Dedup {
                s -> s.chunk_text)""")).as("clean_text"))
   }
 
+  /** Corpus-LEVEL line dedup — CCNet's shard-dedup stage: boilerplate
+    * lines (cookie banners, navigation, footers) repeat across PAGES,
+    * which the within-document [[TextOps.dedupLines]] cannot see. Every
+    * distinct line keeps exactly its first corpus occurrence in
+    * (id, line-index) order; later copies anywhere in the corpus drop.
+    *
+    * Scale shape: line rows are corpus-linear; first-occurrence detection
+    * is ONE shuffle on the line hash (a window min of the (id, ix) struct
+    * — no separate dictionary aggregate + join pass); reassembly is one
+    * per-doc aggregate whose collect_list is bounded by a single
+    * document's line count. Emits every document: n_lines, n_kept, and
+    * the md5 of the surviving text. */
+  def corpusLineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+  ): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim), -1)).as(Seq("__ix__", "__ln__")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__lh__"))
+    lines
+      .withColumn("__lh__", md5(col("__ln__").cast("binary")))
+      .withColumn("__keep__",
+        struct(col(idCol), col("__ix__")) ===
+          min(struct(col(idCol), col("__ix__"))).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep__"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(delim, expr(
+          """transform(array_sort(collect_list(
+               CASE WHEN __keep__ THEN struct(__ix__, __ln__) END)),
+             s -> s.__ln__)""")).cast("binary")).as("clean_md5"))
+  }
+
   /** Word positions whose k-gram (the k words starting there) occurs at
     * least `minCopies` times anywhere in the corpus — the shared first
     * stage of [[substringSpans]] / [[substringClean]], memoized in the

@@ -301,6 +301,25 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("corpusLineDedup keeps only the first corpus occurrence of each line") {
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fix = Seq(
+      (0L, "BANNER\nalpha\nFOOTER"),
+      (1L, "BANNER\nbeta\nFOOTER\nalpha"), // every shared line is a repeat
+      (2L, "gamma\nBANNER"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusLineDedup(fix, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((3L, 3L, md5hex("BANNER\nalpha\nFOOTER"))))
+    assert(out(1L) === ((4L, 1L, md5hex("beta")))) // BANNER/FOOTER/alpha seen
+    assert(out(2L) === ((2L, 1L, md5hex("gamma"))))
+  }
+
   test("stripHtml: blocks before tags, entity decode order, whitespace collapse") {
     val s = spark
     import s.implicits._
