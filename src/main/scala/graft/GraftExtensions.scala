@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{BloomAnyContain, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MinHashSig, MinHashSigWords, SimhashBigrams, WordNgramJaccard}
+import graft.expr.{BloomAnyContain, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MinHashSig, MinHashSigWords, SimhashBigrams, WordKgramMd5s, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -78,6 +78,12 @@ object GraftExtensions {
         require(args.length == 3, "minhash_sig_words takes exactly 3 arguments")
         MinHashSigWords(args.head, intLit(args(1), "minhash_sig_words"),
           intLit(args(2), "minhash_sig_words"))
+      }),
+    (FunctionIdentifier("word_kgram_md5s"),
+      new ExpressionInfo(classOf[WordKgramMd5s].getName, "word_kgram_md5s"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_kgram_md5s takes exactly 2 arguments")
+        WordKgramMd5s(args.head, intLit(args(1), "word_kgram_md5s"))
       }),
     (FunctionIdentifier("bloom_any_contain"),
       new ExpressionInfo(classOf[BloomAnyContain].getName, "bloom_any_contain"),

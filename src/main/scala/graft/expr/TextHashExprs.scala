@@ -150,6 +150,33 @@ object TextHashMore {
     set
   }
 
+  /** md5-hex of EVERY word k-gram window, in position order — the
+    * POSITIONAL (non-distinct) complement of [[wordShingleSet]], fusing
+    * wordShingles + per-gram md5 into one pass. Substring-span dedup
+    * explodes this with positions, so duplicates and order must survive
+    * (a distinct fold would destroy the island structure). Empty array
+    * when the doc has fewer than k tokens — matching the HOF guard. */
+  def wordKgramMd5s(toks: ArrayData, k: Int): ArrayData = {
+    if (toks == null) return null
+    val cnt = toks.numElements()
+    if (cnt < k) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](cnt - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(TextHash.md5Hex(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over the distinct word n-gram shingles of a token
     * array — fuses wordShingles + array_distinct + minhashSignature into
     * one pass (identical values: min is order-insensitive). Same one-md5
@@ -347,6 +374,26 @@ case class MinHashSigWords(child: Expression, n: Int, numHashes: Int)
       s"graft.expr.TextHashMore.minhashSigWords($c, $n, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigWords =
+    copy(child = newChild)
+}
+
+/** `word_kgram_md5s(toks, k)` — see [[TextHashMore.wordKgramMd5s]]. */
+case class WordKgramMd5s(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_kgram_md5s expects (array<string>, k>0), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_kgram_md5s"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.wordKgramMd5s(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHashMore.wordKgramMd5s($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordKgramMd5s =
     copy(child = newChild)
 }
 

@@ -606,13 +606,18 @@ object Dedup {
     scope.cacheKeyed(("graft.llm.substrpos",
       docs.queryExecution.analyzed.canonicalized, idCol, textCol, k,
       minCopies)) {
+      // positional gram hashing runs through the codegen'd native (the
+      // HOF formulation `md5(posexplode(wordShingles(...)))` is the
+      // value-identity anchor — LlmSpec pins native ≡ HOF)
+      graft.GraftExtensions.install(docs.sparkSession)
       val pos = docs
         .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks__"))
         .where(size(col("__toks__")) >= k)
         .select(col(idCol),
-          posexplode(TextOps.wordShingles("__toks__", k)).as(Seq("__p0__", "__g__")))
+          posexplode(expr(s"word_kgram_md5s(__toks__, $k)"))
+            .as(Seq("__p0__", "__gh__")))
         .select(col(idCol), (col("__p0__") + 1).cast("long").as("__pos__"),
-          md5(col("__g__").cast("binary")).as("__gh__"))
+          col("__gh__"))
       val dup = pos
         .groupBy(col("__gh__"))
         .agg(count(lit(1)).as("__copies__"))

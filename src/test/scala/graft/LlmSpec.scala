@@ -301,6 +301,27 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("native word_kgram_md5s matches the HOF shingle+md5 formulation") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val fix = Seq("a b c d e f", "one two", "x", "", "a a a a")
+      .map(Tuple1(_)).toDF("text")
+      .withColumn("__toks__", TextOps.tokens(sc("text")))
+    for (k <- Seq(2, 3, 8)) {
+      val rows = fix.select(
+        org.apache.spark.sql.functions.expr(s"word_kgram_md5s(__toks__, $k)"),
+        org.apache.spark.sql.functions.expr(
+          s"""CASE WHEN size(__toks__) >= $k
+              THEN transform(${"sequence(1, size(__toks__) - " + (k - 1) + ")"},
+                     i -> md5(cast(concat_ws(' ', slice(__toks__, i, $k)) AS binary)))
+              ELSE CAST(array() AS array<string>) END"""))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k")
+    }
+  }
+
   test("corpusLineDedup keeps only the first corpus occurrence of each line") {
     val s = spark
     import s.implicits._
