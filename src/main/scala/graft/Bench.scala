@@ -106,7 +106,8 @@ object Bench {
       "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
       "q_dedup_clusters", "q_ann_lsh", "q_ann_ivf", "q_bm25_search",
       "q_pipeline_clean", "q_text_quality", "q_pack_sequences",
-      "q_semdedup", "q_ann_pq", "q_ann_ivfpq")
+      "q_semdedup", "q_ann_pq", "q_ann_ivfpq", "q_substr_spans",
+      "q_line_dedup_corpus")
     val byName = results.toMap
     // each headline entry carries its PAIRED process-CPU so the driver
     // artifact is self-adjudicating: wall >> cpu on an entry = the host
