@@ -292,6 +292,48 @@ class PropertySpec extends GraftSuite {
     }, cases = 8)
   }
 
+  test("property: substringSpans equals the brute-force span derivation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => sc}
+    // tiny vocabulary forces duplicated k-grams at random alignments
+    val k = 3
+    val docGen = Gen.listOfN(3,
+      Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+    check(Prop.forAll(docGen) { docsW =>
+      val df = docsW.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.llm.Dedup
+        .substringSpans(df, "doc_id", "text", minSpanWords = k, minCopies = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // brute force: count every k-gram occurrence corpus-wide, mark
+      // covered word positions, read spans off the coverage bitmap
+      val all = docsW.zipWithIndex.flatMap { case (ws, i) =>
+        ws.sliding(k).zipWithIndex.collect {
+          case (g, p) if g.length == k => (i.toLong, p, g.mkString(" "))
+        }
+      }
+      val counts = all.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val expected = docsW.zipWithIndex.flatMap { case (ws, i) =>
+        val covered = Array.fill(ws.length)(false)
+        for ((id, p, g) <- all if id == i.toLong && counts(g) >= 2;
+             j <- p until (p + k)) covered(j) = true
+        val spans = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var run = 0
+        (covered :+ false).foreach { c =>
+          if (c) run += 1 else { if (run > 0) spans += run; run = 0 }
+        }
+        if (spans.isEmpty) None
+        else Some(i.toLong ->
+          ((spans.size.toLong, spans.sum.toLong, spans.max.toLong)))
+      }.toMap
+      got == expected
+    }, cases = 8)
+  }
+
   test("property: splitByCluster covers every doc exactly once, clusters never straddle") {
     val s = spark
     import s.implicits._
