@@ -999,6 +999,24 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- feature-hashing doc vectors (hashing trick / HashingTF analog):
+    //     md5-portable bucket assignment, fixed 64 dims, non-zero buckets
+    //     verified per doc ---
+    "q_hashed_tf" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Search.hashedTfVectors(
+            df.where(F.col("doc_id") < 300), "doc_id", "text", dims = 64)
+            .select(F.col("doc_id"),
+              F.posexplode(F.col("tf")).as(Seq("bucket", "tf")))
+            .where(F.col("tf") > 0)
+            .select(F.col("doc_id"),
+              F.col("bucket").cast("long").as("bucket"), F.col("tf"))
+        }
+        .sort(col("doc_id")).sort(col("bucket"))
+        .run(s)),
+
     // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
     //     footer lines injected into every doc survive only at their
     //     first corpus occurrence; content lines repeat only where the
@@ -2568,6 +2586,20 @@ object SparkEntry {
                   ' ' ORDER BY b.chunk_ix), '') AS clean_text
          FROM blocks b JOIN counts c ON md5(b.bt) = c.bh
          GROUP BY 1 ORDER BY 1""",
+
+    // Replays hashedTfVectors' bucket assignment: md5-prefix 32-bit hash
+    // mod 64, per-(doc, bucket) counts as DOUBLE (vector element type).
+    "q_hashed_tf" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents WHERE doc_id < 300
+         ), b AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                    AS bucket
+           FROM t)
+         SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS tf
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Corpus-level line dedup: first occurrence per distinct line in
     // (doc_id, line-index) order = row_number 1 over the line partition;

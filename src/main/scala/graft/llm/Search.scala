@@ -187,6 +187,41 @@ object Search {
     * The per-shard prefix sum is the only sequential dependency, so
     * `shards` is the parallelism knob: size it to ~target-sequences-per-
     * task at 100 TB (the packing itself never needs a global order). */
+  /** Feature-hashing document vectors — the "hashing trick" (Weinberger
+    * et al. 2009; MLlib's HashingTF analog, but md5-portable so the
+    * DuckDB oracle replays the bucket assignment bit-for-bit): token t
+    * lands in bucket md5_32(t) mod dims, the vector is per-bucket term
+    * counts. Bridges raw text into the ANN/cosine serving ops with no
+    * external embedding model — fixed dims, no vocabulary state, and the
+    * inevitable collisions are the technique's documented trade-off.
+    *
+    * Scale shape: token explode is corpus-linear with map-side combine
+    * into (doc, bucket) partial counts; assembly is one per-doc aggregate
+    * whose map is bounded by `dims`. Returns (idCol, tf: array<double>
+    * of length dims) — doubles so [[Embeddings]] consumes it directly. */
+  def hashedTfVectors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 64,
+  ): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t__"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__t__").cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") % dims).as("__b__"))
+      .groupBy(col(idCol), col("__b__"))
+      .agg(count(lit(1)).as("__tf__"))
+      .groupBy(col(idCol))
+      .agg(expr(
+        s"""transform(sequence(0, ${dims - 1}),
+              b -> CAST(coalesce(
+                element_at(map_from_arrays(collect_list(__b__),
+                                           collect_list(__tf__)), CAST(b AS bigint)),
+                0L) AS double))""").as("tf"))
+  }
+
   def packSequences(
       docs: DataFrame,
       idCol: String,

@@ -301,6 +301,26 @@ class LlmSpec extends GraftSuite {
       .sessionize(60).run(s).count() === 0L)
   }
 
+  test("hashedTfVectors: fixed dims, count semantics, feeds bruteTopK directly") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "spark engine query spark"),
+      (1L, "spark engine query plans"),   // near-dup of 0
+      (2L, "entirely unrelated words painting garden"),
+    ).toDF("doc_id", "text")
+    val vecs = graft.llm.Search.hashedTfVectors(corpus, "doc_id", "text", dims = 32)
+    val byId = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId.values.forall(_.length === 32))
+    // vector sums = token counts (nothing lost to hashing)
+    assert(byId(0L).sum === 4.0 && byId(1L).sum === 4.0 && byId(2L).sum === 5.0)
+    // the bridge: the hashed vectors run through the ANN serving op as-is
+    val top = graft.llm.Embeddings
+      .bruteTopK(vecs, "doc_id", "tf", queryId = 0L, k = 1)
+      .collect().head
+    assert(top.getLong(0) === 1L) // nearest neighbor is the near-duplicate
+  }
+
   test("native word_kgram_md5s matches the HOF shingle+md5 formulation") {
     val s = spark
     import s.implicits._
