@@ -237,6 +237,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("upsampleMix runs unchanged on a stream (stateless stream-static join)") {
+    val s = spark
+    import s.implicits._
+    val wts = Seq(("a", 2.0), ("b", 1.0)).toDF("grp", "weight")
+    val docs = Seq(
+      (0L, "a", "alpha one"), (1L, "b", "beta two"),
+      (2L, "a", "alpha three"), (3L, "c", "gamma unweighted"))
+
+    val ms = MemoryStream[(Long, String, String)](s)
+    val up = graft.llm.TextOps.upsampleMix(
+      ms.toDF.toDF("doc_id", "grp", "text"), "grp", "text", wts)
+    val q = up.writeStream.format("memory").queryName("upsample_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*) // stateless: batch boundaries irrelevant
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT doc_id, replica FROM upsample_out ORDER BY doc_id, replica")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // identical multiset to the batch run — integer weight 2 doubles
+      // the 'a' docs, weight 1 passes 'b' through, 'c' drops
+      val batch = graft.llm.TextOps.upsampleMix(
+        docs.toDF("doc_id", "grp", "text"), "grp", "text", wts)
+        .select(sc("doc_id"), sc("replica"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(out === batch)
+      assert(out === Seq((0L, 0L), (0L, 1L), (1L, 0L), (2L, 0L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs sharing eval n-grams, passes the rest") {
     val s = spark
     import s.implicits._
