@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{BloomAnyContain, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MinHashSig, MinHashSigWords, SimhashBigrams, WordKgramMd5s, WordNgramJaccard}
+import graft.expr.{BloomAnyContain, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MinHashSig, MinHashSigWords, SimhashBigrams, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -114,6 +114,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "word_ngram_jaccard takes exactly 3 arguments")
         WordNgramJaccard(args.head, args(1), intLit(args(2), "word_ngram_jaccard"))
+      }),
+    (FunctionIdentifier("vec_argmax_cell"),
+      new ExpressionInfo(classOf[VecArgmaxCell].getName, "vec_argmax_cell"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_argmax_cell takes exactly 3 arguments")
+        VecArgmaxCell(args.head, args(1), args(2))
       }),
   )
 

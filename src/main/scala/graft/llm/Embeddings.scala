@@ -224,19 +224,29 @@ object Embeddings {
       .agg(collect_list(
         struct(col("__cid__"), col("__cv__"), col("__cn__"))).as("__cents__"))
     df.crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
-      .withColumn("__best__", expr(s"""aggregate(
-          transform(__cents__, c -> named_struct(
-            'sim', IF(__n__ = 0D OR c.__cn__ = 0D, CAST(-2 AS double),
-                      coalesce(round(float_vec_dot($vecCol, c.__cv__)
-                                       / (__n__ * c.__cn__), 6),
-                               CAST(-2 AS double))),
-            'cid', c.__cid__)),
-          named_struct('sim', CAST(-2 AS double), 'cid', get(__cents__, 0).__cid__),
-          (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
-                         c, acc))"""))
-      .withColumn("__cell__", col("__best__.cid"))
-      .drop("__cents__", "__best__")
+      .withColumn("__cell__", expr(s"vec_argmax_cell($vecCol, __n__, __cents__)"))
+      .drop("__cents__")
   }
+
+  /** The built-ins-only (CodegenFallback HOF) formulation of the
+    * [[graft.expr.VecArgmaxCell]] assignment argmax [[withCell]] and the
+    * ADC scorer run natively — kept as the value-identity anchor: LlmSpec
+    * asserts native ≡ HOF cell-for-cell over the real embeddings, so the
+    * oracle argument (which replays THIS formulation in DuckDB SQL)
+    * transfers to the native unchanged. Semantics documented at
+    * [[withCell]]; per-element behavior at [[graft.expr.VecArgmaxCell]]. */
+  private[graft] def argmaxCellHof(
+      vecCol: String, normCol: String, centsCol: String): Column =
+    expr(s"""aggregate(
+        transform($centsCol, c -> named_struct(
+          'sim', IF($normCol = 0D OR c.__cn__ = 0D, CAST(-2 AS double),
+                    coalesce(round(float_vec_dot($vecCol, c.__cv__)
+                                     / ($normCol * c.__cn__), 6),
+                             CAST(-2 AS double))),
+          'cid', c.__cid__)),
+        named_struct('sim', CAST(-2 AS double), 'cid', get($centsCol, 0).__cid__),
+        (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
+                       c, acc)).cid""")
 
   /** Lloyd's k-means under cosine similarity, fully deterministic and
     * oracle-replayable:
@@ -509,25 +519,16 @@ object Embeddings {
         map_from_entries(collect_list(struct(col("__s__"), col("__tab__"))))
           .as("__tabs__"))
       .crossJoin(broadcast(qrow.select(col("__qn__"))))
-    // per segment: slice, norm, then the same argmax fold withCell uses
-    // (identical expression over element_at(__cbs__, s) — train/serve
+    // per segment: slice, norm, then the same native argmax withCell uses
+    // (identical vec_argmax_cell over element_at(__cbs__, s) — train/serve
     // assignment cannot disagree), yielding __cell{s}__
     val withSegs = (0 until m).foldLeft(cands.crossJoin(broadcast(oneRow))) {
       (df, s) =>
         df.withColumn(s"__seg${s}__",
             slice(col("__v__"), s * segLen + 1, segLen))
           .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
-          .withColumn(s"__cell${s}__", expr(s"""aggregate(
-              transform(element_at(__cbs__, $s), c -> named_struct(
-                'sim', IF(__sn${s}__ = 0D OR c.__cn__ = 0D, CAST(-2 AS double),
-                          coalesce(round(float_vec_dot(__seg${s}__, c.__cv__)
-                                           / (__sn${s}__ * c.__cn__), 6),
-                                   CAST(-2 AS double))),
-                'cid', c.__cid__)),
-              named_struct('sim', CAST(-2 AS double),
-                'cid', get(element_at(__cbs__, $s), 0).__cid__),
-              (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
-                             c, acc)).cid"""))
+          .withColumn(s"__cell${s}__",
+            expr(s"vec_argmax_cell(__seg${s}__, __sn${s}__, element_at(__cbs__, $s))"))
     }
     val qdotSum = (0 until m)
       .map(s => expr(s"element_at(element_at(__tabs__, $s), __cell${s}__).qd"))

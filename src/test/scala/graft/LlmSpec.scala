@@ -723,6 +723,66 @@ class LlmSpec extends GraftSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native vec_argmax_cell matches the HOF argmax fold on every edge") {
+    // vec_argmax_cell replaces the CodegenFallback aggregate(transform(...))
+    // assignment argmax (the ANN suite's hottest interpreted loop); the HOF
+    // formulation stays as the value-identity anchor. The fixture forces
+    // every branch: random vectors, a zero vector and a NULL vector (both
+    // must land in the MINIMUM cid via the -2-sim tie-break), a zero-norm
+    // centroid, a NULL-cv centroid, and an exact-duplicate centroid pair
+    // (tie → smaller cid).
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{broadcast, collect_list, expr, sqrt, struct}
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))) ++
+      Seq((40L, Array.fill(6)(0f)), (41L, null: Array[Float]))
+    val embs = rows.toDF("vec_id", "embedding")
+    val dup = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val cents = (Seq((7L, dup), (3L, dup), (5L, Array.fill(6)(0f)),
+      (9L, null: Array[Float])) ++
+      (10L until 14L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))))
+      .toDF("cid", "cv")
+    def centArr(c: org.apache.spark.sql.DataFrame) = c
+      .select(sc("cid").as("__cid__"), sc("cv").as("__cv__"),
+        sqrt(Embeddings.dot("cv", "cv")).as("__cn__"))
+      .agg(collect_list(struct(sc("__cid__"), sc("__cv__"), sc("__cn__")))
+        .as("__cents__"))
+    val both = embs
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(cents)))
+      .select(sc("vec_id"),
+        expr("vec_argmax_cell(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.get(1) === r.get(2), s"vec ${r.getLong(0)}"))
+    // degenerate rows (zero / NULL vector): every sim is -2, so the
+    // tie-break must pick the minimum cid — 3, via the duplicate pair
+    both.filter(r => r.getLong(0) >= 40L)
+      .foreach(r => assert(r.getLong(1) === 3L))
+    // empty centroid set → NULL cell from both paths
+    val empty = embs.limit(1)
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(cents.where(sc("cid") < 0L))))
+      .select(
+        expr("vec_argmax_cell(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
+      .collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // non-numeric cid type: string ids order lexicographically in both
+    val scents = Seq(("b", dup), ("a", dup)).toDF("cid", "cv")
+    val sc0 = embs.where(sc("vec_id") === 0L)
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(scents)))
+      .select(
+        expr("vec_argmax_cell(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
+      .collect().head
+    assert(sc0.getString(0) === "a")
+    assert(sc0.getString(0) === sc0.getString(1))
+  }
+
   test("multimodal decode: real PNG/JPEG/GIF header parsing") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
