@@ -124,7 +124,29 @@ object TextOps {
 
   /** Shared BPE training loop: returns the learned merge rules and the
     * final vocabulary frame (`__w__` raw word, `__e__` merged-symbol
-    * encoding, `__f__` frequency). */
+    * encoding, `__f__` frequency).
+    *
+    * Lineage bound: each merge appends one `replace(__e__, ...)` to the
+    * vocab plan, so an unbounded loop would hand Catalyst an M-deep
+    * expression tree (O(M) analysis per iteration, O(M²) total — fatal at
+    * a realistic M≈30k vocab). Every [[BpeCheckpointEvery]] merges the
+    * vocab frame is re-materialized with an eager `localCheckpoint`,
+    * flattening the replace chain: analysis cost stays O(1) amortized and
+    * the deepest plan ever compiled has ≤[[BpeCheckpointEvery]] replaces.
+    * Superseded checkpoint blocks are Heaps-bounded (vocab-sized, ≤M/32 of
+    * them) and are released by the ContextCleaner once unreferenced. The
+    * honest remaining bound: training is inherently M sequential 1-row
+    * argmax round-trips (each merge depends on the counts AFTER the
+    * previous one — same sequential structure as reference BPE), and each
+    * iteration re-counts pairs over the vocab, O(M·|vocab|) total; at
+    * M≈30k production scale you'd incrementalize pair counts (only words
+    * containing the merged pair change), which this trainer does not do.
+    *
+    * If the corpus runs out of mergeable pairs before `merges` (every word
+    * fully merged), training stops early and returns the rules learned so
+    * far, mirroring reference BPE termination. */
+  private val BpeCheckpointEvery = 32
+
   private def bpeFit(
       docs: DataFrame,
       textCol: String,
@@ -150,18 +172,26 @@ object TextOps {
           END""")
     var words = wf
     val learned = Seq.newBuilder[(Int, String, Long)]
-    for (ix <- 1 to merges) {
+    var ix = 1
+    var exhausted = false
+    while (ix <= merges && !exhausted) {
       val best = words
         .select(col("__f__"), explode(pairsOf).as("pair"))
         .groupBy(col("pair")).agg(sum(col("__f__")).as("n"))
         .orderBy(col("n").desc, col("pair"))
-        .limit(1).collect()(0)
-      val pair = best.getString(0)
-      learned += ((ix, pair, best.getLong(1)))
-      val Array(a, b) = pair.split(' ')
-      words = words.select(col("__w__"),
-        expr(s"replace(__e__, ';$a;;$b;', ';$a$b;')").as("__e__"),
-        col("__f__"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        learned += ((ix, pair, best(0).getLong(1)))
+        val Array(a, b) = pair.split(' ')
+        words = words.select(col("__w__"),
+          expr(s"replace(__e__, ';$a;;$b;', ';$a$b;')").as("__e__"),
+          col("__f__"))
+        // flatten the replace chain so plan depth stays bounded (scaladoc)
+        if (ix % BpeCheckpointEvery == 0) words = words.localCheckpoint(true)
+        ix += 1
+      }
     }
     (learned.result(), words)
   }
