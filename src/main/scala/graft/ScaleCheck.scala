@@ -94,15 +94,26 @@ object ScaleCheck {
     def write(df: DataFrame, t: String): Unit =
       df.coalesce(8).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
-    // per-replica Caesar rotation over both cases; digits/space/punct fixed
+    // Per-replica substitution cipher over both cases; digits/space/punct
+    // fixed. Replicas 1..25 are Caesar rotations; 26..51 rotate the
+    // REVERSED alphabet, so no replica's transform is the identity (a bare
+    // r % 26 made replica 26 an exact duplicate of the original, silently
+    // recreating the quadratic duplicate-density inflation this design
+    // exists to prevent). All 52 transforms are pairwise distinct; beyond
+    // that the cycle would repeat, so factor is capped.
+    require(factor <= 52,
+      s"factor $factor > 52 would repeat substitution transforms and " +
+        "inflate duplicate density quadratically")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def rotExpr(c: String): org.apache.spark.sql.Column = {
-      // build CASE over __rep__: translate(text, alphabet, rot(alphabet, rep))
+      // build CASE over __rep__: translate(text, alphabet, perm(alphabet, rep))
       (1 until factor).foldLeft(when(col("__rep__") === 0, col(c))) { (acc, r) =>
         val k = r % 26
-        val rl = lower.drop(k) + lower.take(k)
-        val ru = upper.drop(k) + upper.take(k)
+        val (bl, bu) =
+          if (r < 26) (lower, upper) else (lower.reverse, upper.reverse)
+        val rl = bl.drop(k) + bl.take(k)
+        val ru = bu.drop(k) + bu.take(k)
         acc.when(col("__rep__") === r, translate(col(c), lower + upper, rl + ru))
       }.otherwise(col(c))
     }

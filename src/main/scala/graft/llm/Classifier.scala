@@ -100,9 +100,15 @@ object Classifier {
           sum(expr_floorMicro(err * col(s"__x$j"))).as(s"__g$j"))
       val row = feats.agg(count(lit(1)).as("__n"), gradCols: _*).collect()(0)
       val n = row.getLong(0)
-      w(0) = round6(w(0) - (row.getLong(1).toDouble / 1e6) / n)
+      // degenerate input fails loudly, not with an opaque NPE / div-by-0:
+      // an empty frame makes n = 0, and all-NULL features make the
+      // gradient sums NULL (sum over zero non-null rows)
+      require(n > 0, "fitLogistic: empty training frame (no rows to fit)")
+      def grad(i: Int): Double =
+        if (row.isNullAt(i)) 0.0 else row.getLong(i).toDouble / 1e6
+      w(0) = round6(w(0) - grad(1) / n)
       for (j <- 0 until nFeat)
-        w(j + 1) = round6(w(j + 1) - (row.getLong(2 + j).toDouble / 1e6) / n)
+        w(j + 1) = round6(w(j + 1) - grad(2 + j) / n)
     }
     w
   }

@@ -676,7 +676,10 @@ object Dedup {
     * flagged start into its k-word interval (<= k rows per flagged
     * position, distinct-folded before the join); reassembly is one
     * aggregate whose collect_list is bounded by a single document's word
-    * count. Emits every document (>= minSpanWords words or not):
+    * count. Emits every document with NON-NULL text (>= minSpanWords
+    * words or not): a NULL-text document has a NULL token array, so
+    * posexplode produces no position rows and the doc is absent from the
+    * output — the DuckDB oracle's unnest drops it identically. Output:
     * n_words, n_removed, and the md5 of the cleaned text (compact,
     * engine-portable). */
   def substringClean(

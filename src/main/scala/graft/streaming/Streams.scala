@@ -157,10 +157,15 @@ object Streams {
   }
 
   /** Keyed state of [[streamingMatchStepsFinal]]: the chain frontier plus
-    * the max event-time seen (ms, for idle finalization) and a tombstone
-    * flag set once the group's single final row has been emitted. */
+    * the max event-time seen (ms, for idle finalization), a tombstone
+    * flag set once the group's single final row has been emitted, and the
+    * tombstone's FIXED expiry (watermark ms, set once at emission —
+    * straggler batches re-pin the timeout to this value rather than
+    * extending it, so steady straggler traffic cannot keep a tombstone
+    * alive past emission + tombstoneTtlMs). */
   final case class ChainFinalState(
-      cands: Seq[Seq[Long]], maxSeenMs: Long, done: Boolean)
+      cands: Seq[Seq[Long]], maxSeenMs: Long, done: Boolean,
+      tombstoneUntilMs: Long = 0L)
 
   /** Watermark-finalized APPEND-mode streaming match_steps: each group
     * emits its chain EXACTLY ONCE, when it provably can no longer change —
@@ -242,15 +247,24 @@ object Streams {
             val cur = state.get
             if (cur.done) { state.remove(); Iterator.empty }
             else {
-              // fire = the finality (or idle) condition held at watermark
-              state.update(cur.copy(cands = Nil, done = true))
-              state.setTimeoutTimestamp(wm + math.max(1L, tombstoneTtlMs))
+              // fire = the finality (or idle) condition held at watermark;
+              // the tombstone expiry is fixed NOW, at emission
+              val until = wm + math.max(1L, tombstoneTtlMs)
+              state.update(cur.copy(cands = Nil, done = true,
+                tombstoneUntilMs = until))
+              state.setTimeoutTimestamp(until)
               Iterator.single(emitRow(g, restore(Some(cur)).chain().toSeq))
             }
           } else if (state.getOption.exists(_.done)) {
-            // straggler after emission: swallow, keep the tombstone alive
+            // straggler after emission: swallow; re-pin the timeout to the
+            // emission-time expiry (GroupState clears a pending timeout on
+            // every data invocation, so it must be re-set — but to the
+            // SAME instant, never extended). wm + 1 only guards the race
+            // where the expiring batch itself carries a straggler (Spark
+            // rejects timeouts at/below the current watermark).
+            val until = state.get.tombstoneUntilMs
             state.update(state.get)
-            state.setTimeoutTimestamp(wm + math.max(1L, tombstoneTtlMs))
+            state.setTimeoutTimestamp(math.max(until, wm + 1L))
             Iterator.empty
           } else {
             val st = restore(state.getOption)

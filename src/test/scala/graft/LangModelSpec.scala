@@ -142,6 +142,22 @@ class LangModelSpec extends GraftSuite {
     assert(out("sql") > out("vector"))
   }
 
+  test("fitWeights fails loudly on degenerate input") {
+    val s = spark
+    import s.implicits._
+    // empty frame: clear require message, not a div-by-zero / NPE
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.Classifier.fitWeights(
+        Seq.empty[String].toDF("text"), "text", "spark", Seq("sql"), iters = 1)
+    }
+    assert(ex.getMessage.contains("empty training frame"))
+    // all-NULL text: NULL gradient sums read as 0, weights stay finite
+    val w = graft.llm.Classifier.fitWeights(
+      Seq[String](null, null).toDF("text"), "text", "spark", Seq("sql"),
+      iters = 2)
+    assert(w.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("in-distribution text scores fewer bits than gibberish") {
     val s = spark
     import s.implicits._

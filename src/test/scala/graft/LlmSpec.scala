@@ -1255,6 +1255,47 @@ class LlmSpec extends GraftSuite {
     assert(out2.toSeq === Seq((1, "a a", 4L), (2, "a _", 2L)))
   }
 
+  test("bpeTrain: bounded lineage at merges=200, prefix-stable, early stop") {
+    val s = spark
+    import s.implicits._
+    // Synthetic corpus with a deep merge supply: 120 distinct 12-letter
+    // words over a 6-letter alphabet at Zipf-ish frequencies → thousands
+    // of distinct pairs, comfortably more than 200 merges.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val words = (0 until 120).map { i =>
+      val w = (0 until 12).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      Array.fill(1 + 600 / (i + 5))(w).mkString(" ")
+    }
+    val df = words.toDF("text")
+    // merges=200 crosses six localCheckpoint boundaries (every 32); before
+    // the lineage bound this plan was 200 nested replace()s deep and
+    // analysis alone was O(M^2). The wall bound is a plan-blowup tripwire,
+    // generous enough for a churning host.
+    val t0 = System.nanoTime()
+    val deep = TextOps.bpeTrain(df, "text", merges = 200)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(deep.length === 200)
+    assert(secs < 240.0, f"bpeTrain(200) took $secs%.0f s — lineage blowup?")
+    // greedy BPE is prefix-deterministic: a merges=50 run (crossing one
+    // checkpoint) must equal the first 50 rules of the merges=200 run —
+    // pins that checkpointing changes no values, only the plan
+    val fifty = TextOps.bpeTrain(df, "text", merges = 50)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(fifty.toSeq === deep.toSeq.take(50))
+    // pair exhaustion: 'ab' fully merges in 3 rules (a b, ab _, the tie
+    // chain) — asking for 50 stops early instead of throwing on the
+    // empty argmax
+    val tiny = TextOps.bpeTrain(Seq("ab ab").toDF("text"), "text", merges = 50)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(tiny.length < 50 && tiny.nonEmpty)
+    assert(tiny.head === ((1, "a b", 2L)))
+  }
+
   test("dedupLines keeps first occurrences in order, including empty lines") {
     val s = spark
     import s.implicits._
