@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{CacheScope, Embeddings}
+
+/** Measured ANN quality (SCALE.md's recall table): every approximate
+  * serving op's recall@k against the exact brute-force top-k.
+  *
+  * The exactness specs pin each op's values at degenerate settings (m=1,
+  * candidates=all ⇒ identical to brute force); this harness measures the
+  * other half of the story — how much of the true neighborhood the
+  * bucketed/quantized variants return when their pruning is doing real
+  * work. Two datasets, because recall is a joint property of op AND data
+  * geometry:
+  *
+  *   - the REAL sf embeddings table — which is geometrically unstructured
+  *     (measured: same-label and cross-label mean cosine both ≈ 1e-5,
+  *     top-10 neighbor label agreement ≈ chance). On isotropic data every
+  *     space-partitioning method degrades toward nprobe/cells by design
+  *     (there is no cluster structure to recover), so these numbers are
+  *     the honest FLOOR, not an op defect;
+  *   - a PLANTED-CLUSTER set (40 deterministic unit-sphere centers × 50
+  *     points, noise keeping intra-cluster cosine ≈ 0.9) — the structured
+  *     case real embedding corpora resemble, where a working IVF/PQ must
+  *     score high. An op that recovers planted structure but floors on
+  *     noise is behaving exactly like the published systems it models;
+  *     an op that ALSO floors on planted clusters is broken.
+  *
+  * Ground truth is ONE batched join: the query set (broadcast) × corpus
+  * with a per-query row_number window — the same skeleton as lshTopK with
+  * the bucket join removed — so truth and candidates score with the
+  * identical rounded-cosine + id tie-break and recall is never blurred by
+  * scoring disagreements. recall@k = |ANN top-k ∩ brute top-k| / k,
+  * averaged over the query set. Multi-query ops measure 50 queries in one
+  * call; per-query ops (pq / ivfpq / quantized rerank, whose public
+  * surface is one query vector) loop a 12-query subset — an
+  * offline-harness loop, not a serving shape.
+  *
+  * PQ runs at BOTH the driver query's oracle-exactness knobs (m=2,
+  * 4-centroid codebooks — deliberately tiny so the DuckDB oracle replays
+  * them) and production-shaped knobs (m=8 segments, 64-centroid
+  * codebooks ⇒ 8 bits/segment, the standard PQ64-ish configuration at
+  * this dimension).
+  *
+  * Usage: runMain graft.RecallCheck [sfDir] [k]
+  * Prints the markdown tables SCALE.md carries.
+  */
+object RecallCheck {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+
+    val real = sources.ParquetIO.read(spark, s"$srcDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    measure(spark, real, s"real $srcDir (isotropic/unstructured geometry)", k)
+    measure(spark, planted(spark), "planted clusters (40 centers x 50, intra-cos ~0.9)", k)
+    spark.stop()
+  }
+
+  /** Deterministic planted-cluster embeddings: 40 centers on the unit
+    * sphere (coordinates sin-derived, no RNG — re-runs are identical),
+    * 50 points each with per-point sin-derived noise. */
+  private def planted(spark: SparkSession): DataFrame =
+    spark.range(2000).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), i -> CAST(
+          sin(CAST(id DIV 50 AS double) * 131.0 + i * 17.0)
+          + 0.35 * sin(id * 37.0 + i * 13.0 + CAST(id DIV 50 AS double))
+          AS float))""").as("embedding"))
+
+  private def measure(
+      spark: SparkSession, embIn: DataFrame, title: String, k: Int): Unit = {
+    val scope = new CacheScope
+    val emb = scope.cache(embIn)
+    val n = emb.count()
+    // 50 queries spread across the id range (not a contiguous prefix, so
+    // cell/bucket membership varies); per-query ops take the first 12
+    val step = math.max(1L, n / 50L)
+    val queryPred = col("vec_id") % step === 0L && col("vec_id") < step * 50L
+    val queryIds = emb.where(queryPred).select(col("vec_id"))
+      .orderBy(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val perQueryIds = queryIds.take(12)
+
+    // ground truth: exact top-k per query, batched (queries broadcast)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Embeddings.dot("embedding", "embedding")).as("__n__"))
+    val queries = base.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__q__"),
+        col("__n__").as("__qn__"))
+    val truth = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Embeddings.dot("embedding", "__q__") / (col("__n__") * col("__qn__")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .cache()
+    truth.count()
+
+    // mean recall@k of a (query_id, neighbor_id) candidate frame; queries
+    // the op returned NOTHING for still divide (empty bucket = recall 0)
+    def recallOf(cands: DataFrame, ids: Seq[Long]): Double = {
+      val hits = truth.where(col("query_id").isin(ids: _*))
+        .join(cands.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .count()
+      hits.toDouble / (ids.length.toLong * k)
+    }
+
+    def perQuery(run: Long => DataFrame): DataFrame =
+      perQueryIds.map { q =>
+        run(q).select(lit(q).as("query_id"), col("vec_id").as("neighbor_id"))
+      }.reduce(_ unionAll _)
+
+    val cents = Embeddings.kmeansFitSqrtK(emb, "vec_id", "embedding", iters = 2)
+    val kCells = cents.count()
+    // oracle-exactness PQ knobs (the driver query's) and production knobs
+    val cbTiny = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 2, initPred = col("vec_id") < 4, iters = 2, scope = scope)
+    val cbProd = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+
+    val rows = Seq(
+      ("lsh (bits=4)", queryIds.length, recallOf(
+        Embeddings.lshTopK(emb, "vec_id", "embedding", queryPred,
+          bits = 4, k = k, scope = scope), queryIds)),
+      ("lsh (bits=8)", queryIds.length, recallOf(
+        Embeddings.lshTopK(emb, "vec_id", "embedding", queryPred,
+          bits = 8, k = k, scope = scope), queryIds)),
+      (s"ivf trained (k=$kCells, nprobe=1)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
+          queryPred, k = k, scope = scope), queryIds)),
+      (s"ivf trained (k=$kCells, nprobe=2)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
+          queryPred, k = k, nprobe = 2, scope = scope), queryIds)),
+      (s"ivf trained (k=$kCells, nprobe=4)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
+          queryPred, k = k, nprobe = 4, scope = scope), queryIds)),
+      (s"ivf trained (k=$kCells, nprobe=8)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
+          queryPred, k = k, nprobe = 8, scope = scope), queryIds)),
+      ("pq oracle knobs (m=2, 4 cents)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding", cbTiny,
+          dim = 64, m = 2, queryId = q, k = k, scope = scope)), perQueryIds)),
+      ("pq prod knobs (m=8, 64 cents)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding", cbProd,
+          dim = 64, m = 8, queryId = q, k = k, scope = scope)), perQueryIds)),
+      (s"ivfpq prod (k=$kCells, m=8, nprobe=1)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+          cents, cbProd, dim = 64, m = 8, queryId = q, k = k, scope = scope)),
+        perQueryIds)),
+      ("quantized rerank (int8, cand=50)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.quantizedRerankTopK(emb, "vec_id",
+          "embedding", queryId = q, candidates = 50, k = k)), perQueryIds)),
+    )
+
+    println(s"\nrecall@$k over $title ($n vectors)\n")
+    println(s"| op (knobs) | queries | recall@$k |")
+    println("|---|---|---|")
+    rows.foreach { case (op, nq, r) => println(f"| $op | $nq | $r%.3f |") }
+    truth.unpersist()
+    scope.release()
+  }
+}
