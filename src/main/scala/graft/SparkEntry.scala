@@ -869,6 +869,27 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- the user-visible per-step event indices (reference
+    //     match_steps.py:120-133): each matched event's 1-based position
+    //     in its group's time-ordered event sequence. v3 pins the
+    //     deterministic refinement of the reference's tie-arbitrary
+    //     row_number: count of strictly-earlier events + 1, so
+    //     same-instant ties collapse to the first slot (FunnelSpec) and
+    //     the oracle can replay the exact values ---
+    "q_match_steps_index" -> ((s, dir) => {
+      val matched = m(dir, "events")
+        .withActivitySchema(group = col("user_id"), timestamp = col("ts"),
+          eventKey = col("event_type"))
+        .matchSteps(Seq[graft.model.StepSpec]("view", "click", "purchase"))
+      matched.pick(
+        col("user_id"),
+        col("step_0_event_index").named("view_index"),
+        col("step_1_event_index").named("click_index"),
+        col("step_2_event_index").named("purchase_index"))
+        .sort(col("user_id"))
+        .run(s)
+    }),
+
     // --- the bloom-filter decontamination path in batch/backfill mode,
     //     gated on the property the filter GUARANTEES: no false
     //     negatives. Output = docs dropped by the bloom path that the
@@ -1048,10 +1069,13 @@ object SparkEntry {
 
     // --- apply substring dedup: strip every covered word, hash the
     //     reassembled survivors ---
+    // Through the model-level Source.SubstringClean (wire-serializable
+    // since round 10); WireFormatSpec round-trips the node, this row
+    // gates the compiled lowering's values.
     "q_substr_clean" -> ((s, dir) =>
       m(dir, "documents")
-        .native(df => graft.llm.Dedup.substringClean(
-          df, "doc_id", "text", minSpanWords = 8, minCopies = 2))
+        .substringClean(col("doc_id"), col("text"),
+          minSpanWords = 8, minCopies = 2)
         .sort(col("doc_id"))
         .run(s)),
 
@@ -1365,21 +1389,24 @@ object SparkEntry {
     // --- DoReMi-style domain upsampling: fractional epoch weights per
     //     lang, deterministic hash-gated extra copy; per-doc replica
     //     counts pin the emitted multiset bit-exactly ---
-    "q_upsample_mix" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val sp = df.sparkSession
-          import sp.implicits._
-          val wts = Seq(("en", 0.5), ("zh", 2.0), ("es", 1.5),
-            ("de", 2.25), ("fr", 3.0)).toDF("lang", "weight")
-          graft.llm.TextOps.upsampleMix(df, "lang", "text", wts)
-            .groupBy(F.col("doc_id"), F.col("lang"))
-            .agg(F.count(F.lit(1)).as("n_copies"),
-              F.max(F.col("replica")).as("max_replica"))
-        }
+    // Exercises the WIRE-SERIALIZABLE surface end-to-end: the model —
+    // including the weights SUB-MODEL (a VALUES-backed SqlQuery) — goes
+    // through toJson/fromJson before running, so this row gates both the
+    // Source.UpsampleMix lowering and its codec (the q_wire_roundtrip
+    // pattern). Values are unchanged from the pre-wire native formulation.
+    "q_upsample_mix" -> ((s, dir) => {
+      val wts = Model.sqlQuery(
+        """SELECT * FROM VALUES ('en', CAST(0.5 AS DOUBLE)), ('zh', 2.0),
+             ('es', 1.5), ('de', 2.25), ('fr', 3.0) AS t(lang, weight)""")
+      val model = m(dir, "documents")
+        .upsampleMix(wts, group = col("lang"), key = col("text"))
+        .aggregate(
+          groups = Seq(col("doc_id"), col("lang")),
+          measures = Seq(count().named("n_copies"),
+            max(col("replica")).named("max_replica")))
         .sort(col("doc_id"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- CCNet-style LM perplexity quality scoring: char-bigram add-α
     //     model trained on a corpus hash-split (one vocabulary-bounded
@@ -2386,6 +2413,30 @@ object SparkEntry {
          LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          ORDER BY user_id"""),
+
+    // Replays the pinned index semantics exactly: matched index = count
+    // of the group's events STRICTLY before the matched instant, + 1
+    // (ties collapse to the first slot — deterministic, unlike a bare
+    // row_number over an arbitrary tie order).
+    "q_match_steps_index" -> (FunnelCtes +
+      """, idx AS (
+           SELECT u.user_id, s0.t0, s1.t1, s2.t2
+           FROM (SELECT DISTINCT user_id FROM events) u
+           LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id))
+         SELECT i.user_id,
+           CAST(CASE WHEN i.t0 IS NOT NULL
+                THEN 1 + count(CASE WHEN e.ts < i.t0 THEN 1 END) END AS BIGINT)
+             AS view_index,
+           CAST(CASE WHEN i.t1 IS NOT NULL
+                THEN 1 + count(CASE WHEN e.ts < i.t1 THEN 1 END) END AS BIGINT)
+             AS click_index,
+           CAST(CASE WHEN i.t2 IS NOT NULL
+                THEN 1 + count(CASE WHEN e.ts < i.t2 THEN 1 END) END AS BIGINT)
+             AS purchase_index
+         FROM idx i LEFT JOIN events e ON e.user_id = i.user_id
+         GROUP BY i.user_id, i.t0, i.t1, i.t2
+         ORDER BY i.user_id"""),
     // The exact contaminated set: bloom-dropped ∩ exact-dropped collapses
     // to it exactly when the bloom path leaks nothing (no-false-negative
     // gate; over-drops cannot appear in the intersection).

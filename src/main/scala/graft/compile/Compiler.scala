@@ -933,6 +933,40 @@ object Compiler {
 
     case ms: Source.MatchSteps => compileMatchSteps(ms, spark)
 
+    case Source.UpsampleMix(base, group, key, weights) =>
+      // Lowers to graft.llm.TextOps.upsampleMix: broadcast the (tiny by
+      // nature) weights side, replicate via a map-side sequence-explode —
+      // the operator itself shuffles nothing. The weights subtree compiles
+      // like any model, so the whole node is wire-complete; its contract
+      // is a column named like the group identifier plus `weight`.
+      val bf = compileSource(base, spark)
+      val wf = compileSource(weights.source, spark)
+      wf.pending.keys.toSeq.foreach(wf.attach)
+      val gName = group.identifier
+      require(wf.df.columns.contains(gName) && wf.df.columns.contains("weight"),
+        s"upsampleMix weights model must expose columns ($gName, weight); " +
+          s"got (${wf.df.columns.mkString(", ")})")
+      val keyName = "__upmix_key__" // dunder: stripped by sink post-process
+      val df = bf.df
+        .withColumn(gName, compileExpr(group, bf))
+        .withColumn(keyName, compileExpr(key, bf))
+      new Frame(graft.llm.TextOps
+        .upsampleMix(df, gName, keyName, wf.df.select(col(gName), col("weight")))
+        .drop(keyName))
+
+    case Source.SubstringClean(base, id, text, minSpanWords, minCopies) =>
+      // Lowers to graft.llm.Dedup.substringClean (token-linear position
+      // explode via the word_kgram_md5s native, one map-side-combined gram
+      // aggregate, corpus-shrunk dictionary equi-join, per-doc windows).
+      val bf = compileSource(base, spark)
+      val idName = id.identifier
+      val txName = "__sc_text__"
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(txName, compileExpr(text, bf))
+      new Frame(graft.llm.Dedup
+        .substringClean(df, idName, txName, minSpanWords, minCopies))
+
     case Source.Sessionize(base, schema, gapSeconds) =>
       // Gap-based sessionization, tie-safe by construction: a boundary
       // flag from lag() is order-ambiguous for equal timestamps, but the

@@ -207,4 +207,36 @@ object Source {
       strict: Boolean,
       pruneRight: Boolean = false,
   ) extends Source
+
+  /** Deterministic fractional upsampling by group weight (beyond-reference
+    * training-data op, the wire form of `graft.llm.TextOps.upsampleMix`):
+    * each base row with group weight w (from the `weights` model, whose
+    * columns are the `group` identifier + `weight`) is replicated floor(w)
+    * or ceil(w) times — the fractional remainder selects rows by a
+    * portable md5 cutoff on `key`, so the kept SET is deterministic and
+    * engine-replayable, and expected replication equals w exactly. Adds a
+    * 0-based `replica` column; rows with total weight 0 drop. The weights
+    * side broadcasts (mixture tables are tiny by nature); replication is a
+    * map-side sequence-explode — the operator itself shuffles nothing. */
+  final case class UpsampleMix(
+      base: Source,
+      group: Expr,
+      key: Expr,
+      weights: graft.model.Model,
+  ) extends Source
+
+  /** Corpus-level duplicated-substring removal (beyond-reference, the
+    * wire form of `graft.llm.Dedup.substringClean`): strip every word
+    * covered by a >= `minSpanWords`-word span whose k-gram appears in
+    * >= `minCopies` documents, reassemble survivors in order. Output per
+    * document with non-null `text`: the `id` column, n_words, n_removed,
+    * and clean_md5 (md5 of the surviving text — compact and
+    * engine-portable). */
+  final case class SubstringClean(
+      base: Source,
+      id: Expr,
+      text: Expr,
+      minSpanWords: Int,
+      minCopies: Int,
+  ) extends Source
 }

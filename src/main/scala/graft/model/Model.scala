@@ -525,6 +525,31 @@ final case class Model(
     Model(Source.Sessionize(source, schema, gapSeconds))
   }
 
+  /** Deterministic fractional upsampling by group weight (the wire-
+    * serializable form of `graft.llm.TextOps.upsampleMix`): replicate
+    * each row by its group's weight from the `weights` model (columns:
+    * the `group` identifier + `weight`; typically the output of a
+    * temperature-mixture computation), fractional parts resolved by a
+    * portable hash cutoff on `key`. Adds a 0-based `replica` column. */
+  def upsampleMix(weights: Model, group: Expr, key: Expr): Model =
+    Model(Source.UpsampleMix(source, group, key, weights))
+
+  /** Corpus-level duplicated-substring removal (the wire-serializable
+    * form of `graft.llm.Dedup.substringClean`): per document with
+    * non-null `text`, strip words covered by >= `minSpanWords`-word spans
+    * duplicated across >= `minCopies` documents. Output: `id`, n_words,
+    * n_removed, clean_md5. */
+  def substringClean(
+      id: Expr,
+      text: Expr,
+      minSpanWords: Int = 8,
+      minCopies: Int = 2,
+  ): Model = {
+    require(minSpanWords >= 1 && minCopies >= 2,
+      "substringClean needs minSpanWords >= 1 and minCopies >= 2")
+    Model(Source.SubstringClean(source, id, text, minSpanWords, minCopies))
+  }
+
   /** Per `group`, greedily match an ordered list of step predicates over
     * time-ordered events (reference model.py:411-537 + the 696-LoC
     * compilers/match_steps.py). Output grain: one row per group (× start

@@ -116,6 +116,12 @@ object WireFormat {
         "leftTs" -> exprW(lTs), "rightTs" -> exprW(rTs),
         "seq" -> seq.map(exprW).orNull, "pick" -> pick.map(exprW).toList,
         "strict" -> strict, "pruneRight" -> prune)
+    case Source.UpsampleMix(b, g, k, w) =>
+      Map("t" -> "upsampleMix", "base" -> sourceW(b), "group" -> exprW(g),
+        "key" -> exprW(k), "weights" -> modelW(w))
+    case Source.SubstringClean(b, id, tx, msw, mc) =>
+      Map("t" -> "substringClean", "base" -> sourceW(b), "id" -> exprW(id),
+        "text" -> exprW(tx), "minSpanWords" -> msw, "minCopies" -> mc)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -286,6 +292,13 @@ object WireFormat {
         ActivitySchema(exprR(obj(s("group"))), exprR(obj(s("timestamp"))),
           Option(s("eventKey")).map(x => exprR(obj(x))).orNull),
         long(s("gapSeconds")))
+    case "upsampleMix" =>
+      Source.UpsampleMix(sourceR(obj(s("base"))), exprR(obj(s("group"))),
+        exprR(obj(s("key"))), modelR(obj(s("weights"))))
+    case "substringClean" =>
+      Source.SubstringClean(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("text"))), long(s("minSpanWords")).toInt,
+        long(s("minCopies")).toInt)
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")
   }
 

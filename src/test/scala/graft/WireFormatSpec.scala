@@ -156,6 +156,41 @@ class WireFormatSpec extends GraftSuite {
     assert(rows.toSeq === Seq(("eng", 101.0), ("eng", 250.5)))
   }
 
+  test("upsampleMix and substringClean round-trip and run identically") {
+    val s = spark
+    import s.implicits._
+    // upsampleMix: the weights SUB-MODEL (VALUES-backed SqlQuery) rides
+    // along inside the node — structural equality must hold through json
+    val wts = Model.sqlQuery(
+      """SELECT * FROM VALUES ('a', CAST(1.5 AS DOUBLE)), ('b', 2.0)
+           AS t(grp, weight)""")
+    val up = Model.sqlQuery(
+      """SELECT * FROM VALUES ('a', 'x'), ('a', 'y'), ('b', 'z')
+           AS t(grp, k)""")
+      .upsampleMix(wts, group = col("grp"), key = col("k"))
+      .sort(col("grp")).sort(col("replica"))
+    assert(WireFormat.fromJson(WireFormat.toJson(up)) === up)
+    // codec-rebuilt model runs identically to the direct one
+    val direct = up.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(up)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq)
+    // 'b' (weight 2.0) gets exactly replicas 0 and 1; 'a' rows get 1 or 2
+    val byGrp = direct.groupBy(_.head)
+    assert(byGrp("b").map(r => r(2)).toSet === Set(0L, 1L))
+
+    // substringClean: knobs are plain ints — survive the json number trip
+    val sc0 = Model.parquet("/root/testdata/sf0.001", "documents")
+      .substringClean(col("doc_id"), col("text"), minSpanWords = 8,
+        minCopies = 2)
+      .sort(col("doc_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(sc0)) === sc0)
+    val d2 = sc0.run(s).collect().map(_.toSeq)
+    val r2 = WireFormat.fromJson(WireFormat.toJson(sc0)).run(s)
+      .collect().map(_.toSeq)
+    assert(r2.toSeq === d2.toSeq && d2.nonEmpty)
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
