@@ -51,6 +51,73 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Streaming corpus-level LINE dedup — the streaming twin of
+    * `graft.llm.Dedup.corpusLineDedup`'s first-occurrence semantics:
+    * emit each distinct line (by md5 of its exact bytes) ONCE, from the
+    * first document that carries it. Output is the kept-line stream
+    * `(<idCol> long, line_ix int, line string)` — dropped duplicates are
+    * implicit (append mode can't retract), and downstream reassembly is a
+    * batch post-pass over the kept set, which is how a production
+    * pipeline consumes a dedup decision stream anyway.
+    *
+    * Tie-break parity with the batch operator: WITHIN a micro-batch the
+    * winner among same-hash lines is min(id, line_ix) — exactly the batch
+    * window-min — computed in one pass over the group iterator (O(1)
+    * memory; a boilerplate line repeated millions of times in one batch
+    * buffers nothing). ACROSS batches it is first-arrival-wins, which
+    * equals the batch result whenever arrival order follows id order (an
+    * append-only corpus feed); out-of-order arrival keeps an older
+    * duplicate instead — the inherent difference between a one-pass
+    * stream and a corpus-wide min, documented rather than hidden.
+    *
+    * State: one boolean per distinct line hash (the same distinct-line
+    * bound the batch operator's shuffle has); RocksDB-backed at corpus
+    * scale like [[streamingExactDedup]]. The id column is cast to long —
+    * the schema-generic price also paid by [[streamingMatchSteps]]'s
+    * string group. */
+  def streamingLineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val lines = docs.select(
+      col(idCol).cast("long").as("__id__"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim), -1)).as(Seq("__ix__", "__ln__")))
+      // a null id has no place in the (id, ix) tie-break order; dropping
+      // beats a runtime NPE in the state function (null TEXT already
+      // drops via posexplode of the null split, like the batch operator)
+      .where(col("__id__").isNotNull)
+      .withColumn("__lh__", md5(col("__ln__").cast("binary")))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("line_ix", IntegerType),
+      StructField("line", StringType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+    lines
+      .groupByKey((r: Row) => r.getString(3))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) { Iterator.empty }
+          else {
+            state.update(true)
+            // single pass, O(1) state: min(id, ix) replays the batch
+            // operator's window-min tie-break within this batch
+            var bid = 0L; var bix = 0; var bln: String = null; var any = false
+            rows.foreach { r =>
+              val id = r.getLong(0); val ix = r.getInt(1)
+              if (!any || id < bid || (id == bid && ix < bix)) {
+                bid = id; bix = ix; bln = r.getString(2); any = true
+              }
+            }
+            Iterator.single(Row(bid, bix, bln))
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
     * frontier, in micros (the serialized form of graft.expr.ChainState). */
   final case class ChainFrontier(cands: Seq[Seq[Long]])

@@ -269,6 +269,65 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming line dedup: batch parity across batch boundaries, in-batch ties to min(id, ix)") {
+    val s = spark
+    import s.implicits._
+    // nav/footer boilerplate repeats across docs AND batches; doc 4 is
+    // entirely boilerplate by the time it arrives (zero kept lines)
+    val docs = Seq(
+      (1L, "nav bar\nwelcome page\nfooter(c)"),
+      (2L, "nav bar\nreal article body\nfooter(c)"),
+      (3L, "fresh unique line\nnav bar"),
+      (4L, "footer(c)\nnav bar"),
+      (5L, "closing thoughts\nreal article body"))
+
+    val ms = MemoryStream[(Long, String)](s)
+    val dd = Streams.streamingLineDedup(ms.toDF.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val q = dd.writeStream.format("memory").queryName("linededup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 carries an in-batch tie: 'nav bar' appears in docs 1 and
+      // 2 (and twice nowhere within one doc) — winner must be (1, 0)
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT doc_id, line_ix, line FROM linededup_out ORDER BY doc_id, line_ix")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(out === Seq(
+        (1L, 0, "nav bar"), (1L, 1, "welcome page"), (1L, 2, "footer(c)"),
+        (2L, 1, "real article body"),
+        (3L, 0, "fresh unique line"),
+        (5L, 0, "closing thoughts")))
+
+      // BATCH PARITY: arrival order follows id order, so the streamed
+      // kept set reassembles to exactly the batch operator's per-doc
+      // (n_kept, clean_md5) — same multiset across the batch boundary
+      val streamed = spark.sql(
+        """SELECT doc_id, count(*) AS n_kept,
+             md5(CAST(concat_ws('\n', transform(
+               array_sort(collect_list(struct(line_ix, line))),
+               x -> x.line)) AS BINARY)) AS clean_md5
+           FROM linededup_out GROUP BY doc_id""")
+      val batch = graft.llm.Dedup.corpusLineDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .where(sc("n_kept") > 0)
+      val bRows = batch.select(sc("doc_id"), sc("n_kept"), sc("clean_md5"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val sRows = streamed
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(sRows === bRows)
+      // doc 4 kept nothing: absent from the stream, n_kept=0 in batch
+      assert(!sRows.exists(_._1 == 4L))
+      assert(graft.llm.Dedup.corpusLineDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .where(sc("doc_id") === 4L).select(sc("n_kept"))
+        .collect().head.getLong(0) === 0L)
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs sharing eval n-grams, passes the rest") {
     val s = spark
     import s.implicits._
