@@ -58,6 +58,74 @@ class EntrySpec extends GraftSuite {
       s"oracle-unstable output columns: ${offenders.mkString(", ")}")
   }
 
+  test("plan lint: every BroadcastNestedLoopJoin builds a 1-row or literal side") {
+    // The no-cartesian lint deliberately allows BNLJ because every
+    // intentional crossJoin in the suite broadcasts a 1-row parameter (or
+    // a driver-pinned LocalRelation of model parameters). Nothing stopped
+    // a future non-tiny BNLJ build side from slipping in — at 100 TB that
+    // is a corpus × corpus nested loop. This walks each plan and proves
+    // the BUILD side of every BNLJ is statically tiny: a zero-grouping
+    // (global) aggregate = exactly 1 row, LIMIT 1, a LocalTableScan
+    // (driver-literal rows), or a key-literal point filter (`id = 0` —
+    // the ANN query-vector attach; bounded by one key's multiplicity).
+    // Pass-through is a whitelist — row-expanding nodes like
+    // Generate/Expand deliberately fail the check. The residual gap is a
+    // non-selective equality filter (e.g. `lang = 'en'`) on a build side,
+    // accepted here because a point filter is statically
+    // indistinguishable from it; the lint's target — a whole-corpus
+    // build side with no selective predicate at all — still fails.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case w: WholeStageCodegenExec => Seq(w.child)
+        case _ => Seq.empty
+      })).flatMap(flatten)
+
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Literal => CatLit}
+    def pointEq(c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      c.collectFirst {
+        case EqualTo(_, _: CatLit) => (); case EqualTo(_: CatLit, _) => ()
+        case EqualNullSafe(_, _: CatLit) => (); case EqualNullSafe(_: CatLit, _) => ()
+      }.isDefined
+
+    def oneRowish(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case g: GlobalLimitExec => g.limit <= 1
+      case _: LocalTableScanExec => true // driver-literal (pinned params)
+      case e: BroadcastExchangeExec => oneRowish(e.child)
+      case r: ReusedExchangeExec => oneRowish(r.child)
+      case w: WholeStageCodegenExec => oneRowish(w.child)
+      case i: InputAdapter => oneRowish(i.child)
+      case pr: ProjectExec => oneRowish(pr.child)
+      case f: FilterExec => pointEq(f.condition) || oneRowish(f.child)
+      case s: SortExec => oneRowish(s.child)
+      case c: ColumnarToRowExec => oneRowish(c.child)
+      // a parameter-attach of two tiny sides is itself tiny (the ADC
+      // plans nest 1-row × 1-row attaches before broadcasting the result)
+      case j: BroadcastNestedLoopJoinExec => oneRowish(j.left) && oneRowish(j.right)
+      case _ => false
+    }
+
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan
+      llm.CacheScope.global.release()
+      flatten(plan).collect {
+        case j: BroadcastNestedLoopJoinExec
+            if !oneRowish(if (j.buildSide == BuildLeft) j.left else j.right) =>
+          s"$name: ${j.nodeName} build side is not provably 1-row/literal"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("plan lint: ADC scoring never shuffle-joins the candidate set") {
     // The single-pass ADC design (Embeddings.adcTopK) scores candidates in
     // one projection against a 1-row broadcast — the old formulation's
