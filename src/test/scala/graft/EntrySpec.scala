@@ -126,6 +126,63 @@ class EntrySpec extends GraftSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("plan ratchet: no query's shuffle count exceeds its recorded budget") {
+    // Shuffles are THE scale-determining plan property: a regression that
+    // adds an exchange to a hot operator multiplies 100 TB of network.
+    // This is a RATCHET against src/test/resources/shuffle_budget.json
+    // (checked in; regenerate by deleting the file and re-running): a
+    // query shuffling MORE than its recorded budget fails; one shuffling
+    // less prints a reminder to tighten the budget. Counts come from the
+    // pre-AQE physical plan (deterministic — AQE only coalesces/converts
+    // at runtime) and stop at InMemoryTableScan leaves, so the metric is
+    // stable run-to-run. New queries without a budget row fail until
+    // recorded — adding an operator means consciously recording its cost.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    // NOTE: AdaptiveSparkPlanExec.inputPlan is pre-EnsureRequirements (no
+    // exchanges yet); executedPlan before materialization is the INITIAL
+    // plan, exchanges inserted but nothing runtime-re-planned — the
+    // deterministic thing to budget.
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case w: WholeStageCodegenExec => Seq(w.child)
+        case _ => Seq.empty
+      })).flatMap(flatten)
+
+    val dir = "/root/testdata/sf0.001"
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan
+      llm.CacheScope.global.release()
+      name -> flatten(plan).count(_.isInstanceOf[ShuffleExchangeExec])
+    }
+    val budgetFile = new java.io.File("src/test/resources/shuffle_budget.json")
+    if (!budgetFile.exists()) {
+      budgetFile.getParentFile.mkdirs()
+      val json = counts.map { case (n, c) => s"""  "$n": $c""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.write(budgetFile.toPath, json.getBytes("UTF-8"))
+      info(s"recorded initial shuffle budgets to $budgetFile — commit it")
+    } else {
+      val txt = new String(java.nio.file.Files.readAllBytes(budgetFile.toPath), "UTF-8")
+      val recorded = "\"([^\"]+)\":\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+      val over = counts.collect {
+        case (n, c) if recorded.get(n).exists(c > _) =>
+          s"$n shuffles $c > budget ${recorded(n)}"
+        case (n, _) if !recorded.contains(n) =>
+          s"$n has no recorded shuffle budget (delete $budgetFile to regenerate)"
+      }
+      assert(over.isEmpty, over.mkString("\n"))
+      counts.foreach { case (n, c) =>
+        recorded.get(n).filter(c < _).foreach(b =>
+          info(s"$n now shuffles $c < budget $b — tighten the budget"))
+      }
+    }
+  }
+
   test("plan lint: ADC scoring never shuffle-joins the candidate set") {
     // The single-pass ADC design (Embeddings.adcTopK) scores candidates in
     // one projection against a 1-row broadcast — the old formulation's
