@@ -1945,6 +1945,15 @@ object SparkEntry {
         .sort(col("merge_ix"))
         .run(s)),
 
+    // --- the production-shaped trainer: driver-held pair counts updated
+    //     by deltas over affected words only (rule-for-rule identical to
+    //     bpeTrain — same oracle SQL by reference) ---
+    "q_bpe_train_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeTrainIncremental(df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
     // --- BPE encoding with the learned rules: per-doc subword counts.
     //     Tokenization happens once per DISTINCT word (Heaps-bounded) and
     //     broadcast-joins back to the documents — per-doc work is a
@@ -2006,8 +2015,9 @@ object SparkEntry {
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Column names must match exactly. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Column names must match exactly.
+    * (`oracleSql` below adds the by-reference entries.) */
+  private def baseOracleSql: Map[String, String] = Map(
     "q_scan_pick" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_filter" ->
@@ -3882,6 +3892,12 @@ object SparkEntry {
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
   )
+
+  // The incremental trainer is rule-for-rule identical to the naive one
+  // (LlmSpec pins it), so the SAME four-iteration DuckDB replay is its
+  // oracle — defined by reference so the two gates stay in lock-step.
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train"))
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
     * (word-3-gram shingles, 8-hash string-min signature, 4×2 bands,

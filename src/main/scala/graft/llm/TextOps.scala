@@ -196,6 +196,101 @@ object TextOps {
     (learned.result(), words)
   }
 
+  /** BPE training with INCREMENTAL pair counts — value-identical to
+    * [[bpeTrain]] (LlmSpec pins rule-for-rule equality, so the oracle
+    * argument transfers), but with the production cost shape the naive
+    * trainer's scaladoc concedes it lacks:
+    *
+    *   - pair counts live in a driver-side map, updated by DELTAS — the
+    *     design real tokenizer trainers use (HuggingFace tokenizers holds
+    *     pair counts in trainer memory the same way): the pair space is
+    *     vocabulary-bounded (distinct adjacent symbol pairs, ~|vocab|·len
+    *     entries of a few tens of bytes), the same "model parameters on
+    *     the driver" defense as the k-means centroid pin;
+    *   - each merge touches only AFFECTED words: one substring-contains
+    *     filter over the (Heaps-bounded, cached) vocab frame, a pair
+    *     explode of just those words before+after the merge, and one
+    *     small aggregated delta collect — the naive trainer re-explodes
+    *     and re-aggregates EVERY word's pairs every iteration;
+    *   - the replace-chain lineage is bounded by the same
+    *     [[BpeCheckpointEvery]] re-materialization as [[bpeTrain]].
+    *
+    * The argmax is a linear scan of the driver map (deterministic
+    * (n desc, pair asc), matching the naive trainer's ordering exactly);
+    * a 30k-merge production run would keep a heap + dirty set instead of
+    * rescanning — noted, not needed at harness scale. Training stops
+    * early when no pairs remain, like [[bpeTrain]]. */
+  def bpeTrainIncremental(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeFitIncremental(docs, textCol, merges, scope)._1
+      .toDF("merge_ix", "pair", "n")
+  }
+
+  private def bpeFitIncremental(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope): (Seq[(Int, String, Long)], DataFrame) = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    val wf = scope.cache(docs
+      .select(explode(split(norm, "\\s+")).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
+      .select(col("__w__"),
+        concat(lit(";"), concat_ws(";;", split(col("__w__"), "")), lit(";;_;"))
+          .as("__e__"),
+        col("__f__")))
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    val pairsOf = expr(
+      s"""CASE WHEN size($syms) < 2 THEN CAST(array() AS array<string>)
+          ELSE transform(sequence(1, size($syms) - 1),
+            i -> concat(element_at($syms, i), ' ', element_at($syms, i + 1)))
+          END""")
+
+    // trainer state: pair -> weighted count, seeded by ONE full aggregate
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.select(col("__f__"), explode(pairsOf).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__f__")).as("n"))
+      .collect().foreach(r => counts(r.getString(0)) = r.getLong(1))
+
+    var words = wf
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    var ix = 1
+    while (ix <= merges && counts.nonEmpty) {
+      // deterministic argmax: (count desc, pair asc) — bpeFit's ordering
+      var bp: String = null
+      var bn = Long.MinValue
+      counts.foreach { case (p, n) =>
+        if (n > bn || (n == bn && p < bp)) { bp = p; bn = n }
+      }
+      learned += ((ix, bp, bn))
+      val Array(a, b) = bp.split(' ')
+      val merged = expr(s"replace(__e__, ';$a;;$b;', ';$a$b;')")
+      // delta = (after − before) pair multisets of ONLY the words that
+      // contain the merged pair, aggregated cluster-side to a small frame
+      val aff = words.where(col("__e__").contains(s";$a;;$b;"))
+      aff.select((-col("__f__")).as("__d__"), explode(pairsOf).as("pair"))
+        .unionByName(aff
+          .withColumn("__e__", merged)
+          .select(col("__f__").as("__d__"), explode(pairsOf).as("pair")))
+        .groupBy(col("pair")).agg(sum(col("__d__")).as("d"))
+        .collect().foreach { r =>
+          val n = counts.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          if (n == 0L) counts.remove(r.getString(0))
+          else counts(r.getString(0)) = n
+        }
+      words = words.select(col("__w__"), merged.as("__e__"), col("__f__"))
+      if (ix % BpeCheckpointEvery == 0) words = words.localCheckpoint(true)
+      ix += 1
+    }
+    (learned.result(), words)
+  }
+
   /** Word n-gram shingles over a token-array column. Empty result when the
     * document has fewer than n tokens. */
   def wordShingles(toksCol: String, n: Int): Column =

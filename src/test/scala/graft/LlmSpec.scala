@@ -1296,6 +1296,30 @@ class LlmSpec extends GraftSuite {
     assert(tiny.head === ((1, "a b", 2L)))
   }
 
+  test("bpeTrainIncremental is rule-for-rule identical to the naive trainer") {
+    val s = spark
+    import s.implicits._
+    // same deep-merge corpus as the lineage spec; 60 merges cross a
+    // checkpoint boundary AND exercise hundreds of delta updates
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val words = (0 until 120).map { i =>
+      val w = (0 until 12).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      Array.fill(1 + 600 / (i + 5))(w).mkString(" ")
+    }
+    val df = words.toDF("text")
+    def rules(out: org.apache.spark.sql.DataFrame) = out
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val naive = rules(TextOps.bpeTrain(df, "text", merges = 60))
+    val incr = rules(TextOps.bpeTrainIncremental(df, "text", merges = 60))
+    assert(incr === naive)
+    // exhaustion parity: both stop at the same early rule count
+    val t1 = rules(TextOps.bpeTrain(Seq("ab ab").toDF("text"), "text", 50))
+    val t2 = rules(TextOps.bpeTrainIncremental(Seq("ab ab").toDF("text"), "text", 50))
+    assert(t2 === t1)
+  }
+
   test("dedupLines keeps first occurrences in order, including empty lines") {
     val s = spark
     import s.implicits._
