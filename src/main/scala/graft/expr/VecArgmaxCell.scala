@@ -33,10 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - NULL `vec`/`norm`, zero norms, or NULL cv/cn entries pin that sim
   *     to -2, so a fully-degenerate row deterministically lands in the
   *     MINIMUM centroid id's cell via the cid tie-break;
-  *   - a NULL cid never wins a tie (SQL `<` is NULL-propagating).
-  * Sims are finite by construction (finite inputs, nonzero-norm guard),
-  * so primitive double compares match Spark's NaN-aware comparison on
-  * every reachable value.
+  *   - a NULL cid never wins a tie (SQL `<` is NULL-propagating);
+  *   - NaN (reachable through NaN values in user embedding data) follows
+  *     Spark's comparison semantics exactly — NaN is GREATEST and
+  *     NaN = NaN is true — via `java.lang.Double.compare`, whose total
+  *     order is precisely Spark's; a NaN sim therefore beats every
+  *     finite sim and ties among NaNs break to the minimum cid, matching
+  *     the HOF fold bit-for-bit (LlmSpec pins the NaN cases).
   */
 case class VecArgmaxCell(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -182,7 +185,13 @@ class ArgmaxCellHelper(vecFloat: Boolean, cvFloat: Boolean, cidType: DataType)
           val cn = row.getDouble(2)
           if (cn != 0.0) sim = round6(dot(vec, row.getArray(1)) / (norm * cn))
         }
-        if (sim > bestSim || (sim == bestSim && !row.isNullAt(0) &&
+        // Double.compare, not primitive >: Spark orders NaN GREATEST and
+        // NaN = NaN true — exactly Double.compare's total order. A NaN
+        // sim (NaN values in user embedding data) must pick the same
+        // winner as the HOF: NaN beats every finite sim, ties among NaNs
+        // break to the minimum cid.
+        val cmp = java.lang.Double.compare(sim, bestSim)
+        if (cmp > 0 || (cmp == 0 && !row.isNullAt(0) &&
             bestCid != null && lt(row.get(0, cidType), bestCid))) {
           bestSim = sim
           bestCid = if (row.isNullAt(0)) null else row.get(0, cidType)

@@ -770,6 +770,35 @@ class LlmSpec extends GraftSuite {
         Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
       .collect().head
     assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // NaN semantics: Spark orders NaN GREATEST (NaN > x true, NaN = NaN
+    // true). A NaN VECTOR makes every sim NaN → all tie → minimum cid
+    // (3, via the duplicate pair). A NaN-component CENTROID has sim NaN
+    // against every finite vector → it beats all finite sims; with two
+    // such centroids the tie again breaks to the smaller cid. The native
+    // must reproduce both through Double.compare's total order.
+    val nanVec = Array.fill(6)(1f); nanVec(3) = Float.NaN
+    val nanRows = Seq((50L, nanVec)).toDF("vec_id", "embedding")
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(cents)))
+      .select(
+        expr("vec_argmax_cell(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
+      .collect().head
+    assert(nanRows.getLong(0) === 3L && nanRows.getLong(1) === 3L)
+    val nanCents = (Seq((20L, nanVec), (15L, nanVec)) ++
+      (10L until 13L).map(i => (i, Array.fill(6)(rnd.nextFloat())))).toDF("cid", "cv")
+    val nanCentOut = embs.where(sc("vec_id") < 5L)
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(nanCents)))
+      .select(sc("vec_id"),
+        expr("vec_argmax_cell(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHof("embedding", "__n__", "__cents__").as("hof"))
+      .collect()
+    nanCentOut.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"NaN centroid, vec ${r.getLong(0)}")
+      assert(r.getLong(1) === 15L) // NaN sim beats finite; tie → min cid
+    }
+
     // non-numeric cid type: string ids order lexicographically in both
     val scents = Seq(("b", dup), ("a", dup)).toDF("cid", "cv")
     val sc0 = embs.where(sc("vec_id") === 0L)
