@@ -1408,6 +1408,36 @@ object SparkEntry {
       graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
     }),
 
+    // --- the weights-as-sub-model design earning its keep: DoReMi-style
+    //     α=0.5 mixture weights COMPUTED FROM THE CORPUS (weight_l =
+    //     N·n_l^α / (Σn^α · n_l), preserving expected corpus size since
+    //     Σ n_l·w_l = N) feed upsampleMix as a model subtree — scalar
+    //     subqueries for the two corpus totals, a decimal-summed pow
+    //     normalizer for cross-engine determinism — and the WHOLE
+    //     pipeline (stats → weights → upsample → per-doc agg) round-trips
+    //     the wire codec before running ---
+    "q_upsample_temperature" -> ((s, dir) => {
+      val docs = m(dir, "documents")
+      val stats = docs.aggregate(groups = Seq(col("lang")),
+        measures = Seq(count().named("n")))
+      val nTotal = docs.aggregate(measures = Seq(count().named("c")))
+      val powSum = stats.aggregate(measures = Seq(
+        sum(sql("CAST(round(pow(n, 0.5), 6) AS DECIMAL(27,6))")).named("s")))
+      val weights = stats.pick(col("lang"),
+        round(
+          cast(scalar(nTotal), "double") * sql("round(pow(n, 0.5), 6)")
+            / (cast(scalar(powSum), "double") * cast(col("n"), "double")),
+          6).named("weight"))
+      val model = docs
+        .upsampleMix(weights, group = col("lang"), key = col("text"))
+        .aggregate(
+          groups = Seq(col("doc_id"), col("lang")),
+          measures = Seq(count().named("n_copies"),
+            max(col("replica")).named("max_replica")))
+        .sort(col("doc_id"))
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
+
     // --- CCNet-style LM perplexity quality scoring: char-bigram add-α
     //     model trained on a corpus hash-split (one vocabulary-bounded
     //     aggregate + ≤729-row model collect), served as a codegen'd
@@ -2852,6 +2882,40 @@ object SparkEntry {
            SELECT d.doc_id, d.lang,
                   CAST(floor(w.wt) AS BIGINT) AS base,
                   CAST(floor(round(w.wt - floor(w.wt), 6) * 4294967296.0)
+                    AS BIGINT) AS cut,
+                  CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) AS h
+           FROM documents d JOIN wts w USING (lang)
+         ), n AS (
+           SELECT doc_id, lang,
+                  base + CASE WHEN h < cut THEN 1 ELSE 0 END AS n
+           FROM j WHERE base + CASE WHEN h < cut THEN 1 ELSE 0 END > 0
+         ), r AS (
+           SELECT doc_id, lang, unnest(range(0, n)) AS replica FROM n)
+         SELECT doc_id, lang, count(*) AS n_copies,
+                CAST(max(replica) AS BIGINT) AS max_replica
+         FROM r GROUP BY 1, 2 ORDER BY doc_id""",
+
+    // Replays the data-computed mixture exactly: same α=0.5 pow with 6dp
+    // rounding on both sides, the normalizer summed as DECIMAL(27,6) (so
+    // engine fold order cannot perturb it), the same
+    // ((N · pow) / (S · n)) association, then the md5-cut upsample replay.
+    "q_upsample_temperature" ->
+      """WITH stats AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1
+         ), tot AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+         ps AS (
+           SELECT sum(CAST(round(pow(n, 0.5), 6) AS DECIMAL(27,6))) AS s
+           FROM stats
+         ), wts AS (
+           SELECT lang,
+                  round(CAST(t.c AS DOUBLE) * round(pow(n, 0.5), 6)
+                    / (CAST(p.s AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS weight
+           FROM stats, tot t, ps p
+         ), j AS (
+           SELECT d.doc_id, d.lang,
+                  CAST(floor(w.weight) AS BIGINT) AS base,
+                  CAST(floor(round(w.weight - floor(w.weight), 6) * 4294967296.0)
                     AS BIGINT) AS cut,
                   CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) AS h
            FROM documents d JOIN wts w USING (lang)
