@@ -812,6 +812,44 @@ class LlmSpec extends GraftSuite {
     assert(sc0.getString(0) === sc0.getString(1))
   }
 
+  test("ANN index persistence: fit once, save, load, serve identically") {
+    // The serving ops take their model state as plain DataFrames (kmeans
+    // centroids, PQ codebooks), so index persistence is parquet
+    // write/read — no bespoke format. This pins the full production
+    // cycle: fit → save → load in a fresh frame → serve, with results
+    // IDENTICAL to serving straight off the fit (the loaded index is the
+    // same model, not a lossy copy — float round-trip through parquet is
+    // exact).
+    val s = spark
+    import org.apache.spark.sql.functions.{col => sc2}
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(sc2("embedding").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft_index").toString
+    val cents = Embeddings.kmeansFitSqrtK(emb, "vec_id", "embedding", iters = 2)
+    val cb = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 2, initPred = sc2("vec_id") < 4, iters = 2)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val centsL = s.read.parquet(s"$dir/centroids")
+    val cbL = s.read.parquet(s"$dir/codebooks")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val direct = rows(Embeddings.ivfTopKTrained(emb, "vec_id", "embedding",
+      cents, queryPred = sc2("vec_id") < 3, k = 5)
+      .orderBy(sc2("query_id"), sc2("rank")))
+    val loaded = rows(Embeddings.ivfTopKTrained(emb, "vec_id", "embedding",
+      centsL, queryPred = sc2("vec_id") < 3, k = 5)
+      .orderBy(sc2("query_id"), sc2("rank")))
+    assert(loaded === direct && direct.nonEmpty)
+
+    val directPq = rows(Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+      cents, cb, dim = 64, m = 2, queryId = 0L, k = 10).orderBy(sc2("rank")))
+    val loadedPq = rows(Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+      centsL, cbL, dim = 64, m = 2, queryId = 0L, k = 10).orderBy(sc2("rank")))
+    assert(loadedPq === directPq && directPq.nonEmpty)
+  }
+
   test("multimodal decode: real PNG/JPEG/GIF header parsing") {
     def hx(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
