@@ -902,6 +902,17 @@ object SparkEntry {
     //     cannot affect the output, which is what makes the oracle
     //     exact. The docs frame is cached: both paths' gram pipelines and
     //     both sides of each anti-join read it. ---
+    // --- the round-10 streaming line dedup in batch/backfill mode: one
+    //     state-function call per line hash over full history = the batch
+    //     first-occurrence keep set, winner min(doc_id, line_ix). The
+    //     oracle replays it as a row_number window over exploded lines ---
+    "q_stream_line_dedup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.streaming.Streams.streamingLineDedup(
+          df, "doc_id", "text"))
+        .sort(col("doc_id")).sort(col("line_ix"))
+        .run(s)),
+
     "q_stream_decontam" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
@@ -2894,6 +2905,22 @@ object SparkEntry {
          SELECT doc_id, lang, count(*) AS n_copies,
                 CAST(max(replica) AS BIGINT) AS max_replica
          FROM r GROUP BY 1, 2 ORDER BY doc_id""",
+
+    // First-occurrence kept-line set: row_number over (line) ordered by
+    // (doc_id, line_ix) replays the state function's min-winner exactly.
+    "q_stream_line_dedup" ->
+      """WITH l AS (
+           SELECT doc_id, i - 1 AS line_ix, ln[i] AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+                 FROM documents WHERE doc_id IS NOT NULL) t,
+                LATERAL unnest(range(1, len(ln) + 1)) u(i)
+         )
+         SELECT doc_id, CAST(line_ix AS INTEGER) AS line_ix, line FROM (
+           SELECT doc_id, line_ix, line,
+                  row_number() OVER (PARTITION BY line
+                                     ORDER BY doc_id, line_ix) AS rn
+           FROM l)
+         WHERE rn = 1 ORDER BY doc_id, line_ix""",
 
     // Replays the data-computed mixture exactly: same α=0.5 pow with 6dp
     // rounding on both sides, the normalizer summed as DECIMAL(27,6) (so
