@@ -18,6 +18,38 @@ class PropertySpec extends GraftSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: streamingLineDedup (batch mode) == corpusLineDedup keep set") {
+    // Random corpora from a tiny line alphabet (forcing heavy cross-doc
+    // duplication, empty lines, and single-line docs): the streaming
+    // operator run over full history must keep EXACTLY the batch
+    // operator's first-occurrence set — reassembling its kept lines
+    // per doc reproduces corpusLineDedup's (n_kept, clean_md5).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c, _}
+    val lineGen = Gen.oneOf("nav", "footer", "body text", "", "x y z", "q")
+    val docGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, lineGen))
+    val corpusGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+    check(Prop.forAll(corpusGen) { docsLines =>
+      val docs = docsLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      val streamed = graft.streaming.Streams
+        .streamingLineDedup(docs, "doc_id", "text")
+        .groupBy(c("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws("\n", expr(
+            """transform(array_sort(collect_list(struct(line_ix, line))),
+                 x -> x.line)""")).cast("binary")).as("clean_md5"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.llm.Dedup.corpusLineDedup(docs, "doc_id", "text")
+        .where(c("n_kept") > 0)
+        .select(c("doc_id"), c("n_kept"), c("clean_md5"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      streamed == batch
+    }, cases = 6)
+  }
+
   test("property: in_(values) matches the reference NULL semantics") {
     val s = spark
     import s.implicits._
