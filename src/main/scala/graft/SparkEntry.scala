@@ -1049,6 +1049,41 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("bucket"))
         .run(s)),
 
+    // --- DSIR importance weights (Xie et al. 2023): hashed word
+    //     unigram+bigram bag scored by the target/raw log-probability
+    //     ratio in EXACT integer micro-bits (order-independent under any
+    //     shuffle); target = the English slice, raw = the whole corpus.
+    //     Fit is two ≤256-row count aggregates; serving probes the ratio
+    //     table as a plan literal — zero serve-time joins. ---
+    "q_dsir_weights" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val raw = df.where(F.col("text").isNotNull)
+          val target = raw.where(F.col("lang") === "en")
+          val llr = graft.llm.Dsir.fitLlrMicro(target, raw, "text", dims = 256)
+          raw.select(F.col("doc_id"),
+            graft.llm.Dsir.nGrams(F.col("text")).cast("long").as("n_grams"),
+            graft.llm.Dsir.weightMicro(F.col("text"), llr).as("weight_micro"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- DSIR selection: keep the k highest-importance documents,
+    //     deterministically ranked (weight desc, id) — TakeOrdered cut,
+    //     rank window only over the k-row result ---
+    "q_dsir_select" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val raw = df.where(F.col("text").isNotNull)
+          val target = raw.where(F.col("lang") === "en")
+          val llr = graft.llm.Dsir.fitLlrMicro(target, raw, "text", dims = 256)
+          graft.llm.Dsir.selectTopK(raw, "doc_id", "text", llr, k = 100)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
     // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
     //     footer lines injected into every doc survive only at their
     //     first corpus occurrence; content lines repeat only where the
@@ -1829,6 +1864,34 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- Frame-level audio features: 64-sample frames of exact integer
+    //     energy / zero-crossings / peak over REAL 16-bit PCM decoded from
+    //     fixture WAVs (canonical header + a JUNK filler chunk, samples a
+    //     closed form of (doc_id, i)). The oracle replays the closed form
+    //     per frame — matching requires a true RIFF chunk walk plus a
+    //     byte-exact little-endian s16 decode. ---
+    "q_multimodal_audio_frames" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 16).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.wavFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.audioFrameFeatures(withPayload, "payload",
+              frameSamples = 64)
+            .select(F.col("doc_id"), F.explode(F.col("aframes")).as("fr"))
+            .select(F.col("doc_id"), F.col("fr.frame_ix").as("frame_ix"),
+              F.col("fr.n_samples").as("n_samples"),
+              F.col("fr.sum_sq").as("sum_sq"),
+              F.col("fr.zero_cross").as("zero_cross"),
+              F.col("fr.max_abs").as("max_abs"))
+        }
+        .sort(col("doc_id")).sort(col("frame_ix"))
+        .run(s)),
+
     // --- Full PNG pixel decode (chunk walk → Inflater → unfilter, all
     //     five filter types): per-channel sum/min/max over deterministic
     //     fixture PNGs whose dims and every pixel are a closed form of
@@ -1913,6 +1976,60 @@ object SparkEntry {
               F.col("st.maxs").as("max_v"))
         }
         .sort(col("doc_id")).sort(col("channel"))
+        .run(s)),
+
+    // --- Video-style frame sampling: every-2nd-frame per-channel stats
+    //     over ANIMATED fixture GIFs (3-6 full LZW-compressed frames each,
+    //     pixel index a closed form of (frame, x, y, doc_id)). Unsampled
+    //     frames are length-prefix-hopped, never entropy-decoded — the
+    //     sampled-frames-only cost a video pipeline needs. The oracle
+    //     replays the closed form restricted to even frame indices. ---
+    "q_multimodal_frames" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.gifAnimFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.frameSample(withPayload, "payload", every = 2)
+            .select(F.col("doc_id"), F.explode(F.col("frames")).as("fr"))
+            .select(F.col("doc_id"), F.col("fr.frame_ix").as("frame_ix"),
+              F.col("fr.n_px").as("n_px"),
+              F.posexplode(F.arrays_zip(
+                F.col("fr.sums").as("sums"), F.col("fr.mins").as("mins"),
+                F.col("fr.maxs").as("maxs"))).as(Seq("channel", "st")))
+            .select(F.col("doc_id"), F.col("frame_ix"),
+              F.col("channel").cast("int").as("channel"), F.col("n_px"),
+              F.col("st.sums").as("sum_v"), F.col("st.mins").as("min_v"),
+              F.col("st.maxs").as("max_v"))
+        }
+        .sort(col("doc_id")).sort(col("frame_ix")).sort(col("channel"))
+        .run(s)),
+
+    // --- Scene-cut statistics: adjacent-frame summed absolute RGB
+    //     difference over animated fixture GIFs with a PLANTED cut (+97
+    //     index jump at frame 2+id%3, +5 drift inside scenes). Working
+    //     state is two frame rasters regardless of clip length. The
+    //     oracle replays both frames' closed forms pixel-for-pixel. ---
+    "q_multimodal_scenecut" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.gifSceneFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.sceneDiffFrames(withPayload, "payload")
+            .select(F.col("doc_id"), F.explode(F.col("scenes")).as("sc"))
+            .select(F.col("doc_id"), F.col("sc.frame_ix").as("frame_ix"),
+              F.col("sc.n_px").as("n_px"), F.col("sc.diff_sum").as("diff_sum"))
+        }
+        .sort(col("doc_id")).sort(col("frame_ix"))
         .run(s)),
 
     // --- Full baseline-JPEG pixel decode (Huffman entropy decode + IDCT,
@@ -2702,6 +2819,90 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS tf
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // DSIR: replays the hashed-gram feature space (md5-mod-256 buckets of
+    // word unigrams + space-joined bigrams), both add-α bucket models
+    // (each log2 term 6-dp-rounded then floor(x·10⁶+0.5) to integer
+    // micro-bits), and the per-doc INTEGER gram-sum of the ratio table.
+    "q_dsir_weights" ->
+      """WITH raw AS (
+           SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+         ), g AS (
+           SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5(gm), 1, 8)) AS BIGINT) % 256 AS b
+           FROM (
+             SELECT doc_id, lang,
+                    unnest(regexp_split_to_array(trim(text), '\s+')) AS gm
+             FROM raw
+             UNION ALL
+             SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS gm
+             FROM (SELECT doc_id, lang,
+                          regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM raw),
+                  LATERAL unnest(range(1, len(toks))) t(i))
+         ), model AS (
+           SELECT r.b,
+                  CAST(floor(round(log2((coalesce(tc.n, 0) + CAST(0.5 AS DOUBLE))
+                       / (tt.c + CAST(128 AS DOUBLE))), 6) * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(round(log2((coalesce(rc.n, 0) + CAST(0.5 AS DOUBLE))
+                       / (rt.c + CAST(128 AS DOUBLE))), 6) * 1000000 + 0.5) AS BIGINT)
+                    AS llr
+           FROM range(0, 256) r(b)
+           LEFT JOIN (SELECT b, count(*) AS n FROM g WHERE lang = 'en'
+                      GROUP BY 1) tc ON r.b = tc.b
+           LEFT JOIN (SELECT b, count(*) AS n FROM g GROUP BY 1) rc ON r.b = rc.b
+           CROSS JOIN (SELECT count(*) AS c FROM g WHERE lang = 'en') tt
+           CROSS JOIN (SELECT count(*) AS c FROM g) rt
+         )
+         SELECT d.doc_id, CAST(count(g.b) AS BIGINT) AS n_grams,
+                CAST(coalesce(sum(m.llr), 0) AS BIGINT) AS weight_micro
+         FROM raw d
+         LEFT JOIN g ON d.doc_id = g.doc_id
+         LEFT JOIN model m ON g.b = m.b
+         GROUP BY 1 ORDER BY 1""",
+
+    // DSIR selection: the same model + per-doc weights, cut to the top
+    // 100 by (weight desc, doc_id) with a deterministic rank.
+    "q_dsir_select" ->
+      """WITH raw AS (
+           SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+         ), g AS (
+           SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5(gm), 1, 8)) AS BIGINT) % 256 AS b
+           FROM (
+             SELECT doc_id, lang,
+                    unnest(regexp_split_to_array(trim(text), '\s+')) AS gm
+             FROM raw
+             UNION ALL
+             SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS gm
+             FROM (SELECT doc_id, lang,
+                          regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM raw),
+                  LATERAL unnest(range(1, len(toks))) t(i))
+         ), model AS (
+           SELECT r.b,
+                  CAST(floor(round(log2((coalesce(tc.n, 0) + CAST(0.5 AS DOUBLE))
+                       / (tt.c + CAST(128 AS DOUBLE))), 6) * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(round(log2((coalesce(rc.n, 0) + CAST(0.5 AS DOUBLE))
+                       / (rt.c + CAST(128 AS DOUBLE))), 6) * 1000000 + 0.5) AS BIGINT)
+                    AS llr
+           FROM range(0, 256) r(b)
+           LEFT JOIN (SELECT b, count(*) AS n FROM g WHERE lang = 'en'
+                      GROUP BY 1) tc ON r.b = tc.b
+           LEFT JOIN (SELECT b, count(*) AS n FROM g GROUP BY 1) rc ON r.b = rc.b
+           CROSS JOIN (SELECT count(*) AS c FROM g WHERE lang = 'en') tt
+           CROSS JOIN (SELECT count(*) AS c FROM g) rt
+         ), w AS (
+           SELECT d.doc_id, CAST(coalesce(sum(m.llr), 0) AS BIGINT) AS weight_micro
+           FROM raw d
+           LEFT JOIN g ON d.doc_id = g.doc_id
+           LEFT JOIN model m ON g.b = m.b
+           GROUP BY 1
+         )
+         SELECT doc_id, weight_micro,
+                CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                     AS BIGINT) AS rank
+         FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""",
 
     // Corpus-level line dedup: first occurrence per distinct line in
     // (doc_id, line-index) order = row_number 1 over the line partition;
@@ -3651,6 +3852,29 @@ object SparkEntry {
            44 + octet_length(CAST(text AS BLOB)) AS byte_len
          FROM documents WHERE lang = 'de' AND doc_id < 200 ORDER BY doc_id""",
 
+    // Replays wavFixture's closed form s(i) = ((7·id + 13·i) mod 2048) −
+    // 1024 over 64-sample frames: exact integer energy, strict
+    // sign-product zero crossings (frame-local lag), peak amplitude.
+    "q_multimodal_audio_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 16),
+         s AS (
+           SELECT d.doc_id, i.i,
+                  ((7 * d.doc_id + 13 * i.i) % 2048) - 1024 AS v,
+                  CAST(i.i // 64 AS INT) AS frame_ix
+           FROM d CROSS JOIN range(0, 480) i(i)
+           WHERE i.i < 240 + (d.doc_id % 7) * 40),
+         fr AS (
+           SELECT doc_id, frame_ix, i, v,
+                  lag(v) OVER (PARTITION BY doc_id, frame_ix ORDER BY i) AS pv
+           FROM s)
+         SELECT doc_id, frame_ix,
+                CAST(count(*) AS INT) AS n_samples,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0)
+                     AS INT) AS zero_cross,
+                CAST(max(abs(v)) AS INT) AS max_abs
+         FROM fr GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Replays pngFixture's closed form (w = 8+id%5, h = 6+id%7,
     // v = (7x+13y+31c+3·id) mod 256) over a range cross-join; the Spark
     // side recovers the same values only via a byte-exact PNG pixel
@@ -3713,6 +3937,57 @@ object SparkEntry {
                 CAST(min(v) AS BIGINT) AS min_v,
                 CAST(max(v) AS BIGINT) AS max_v
          FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replays gifAnimFixture's closed form over the SAMPLED (even) frame
+    // indices: pixel index (11x+17y+23f+3·id) mod 256 through the palette
+    // ramp; matching requires the frame walk to locate and LZW-decode
+    // exactly frames 0, 2, 4 of each animation.
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id, f.f, c.c,
+                  (((11 * x.x + 17 * y.y + 23 * f.f + 3 * d.doc_id) % 256)
+                   * (c.c + 1)) % 256 AS v
+           FROM d
+           CROSS JOIN range(0, 6) f(f)
+           CROSS JOIN range(0, 12) x(x)
+           CROSS JOIN range(0, 12) y(y)
+           CROSS JOIN range(0, 3) c(c)
+           WHERE x.x < 8 + d.doc_id % 5 AND y.y < 6 + d.doc_id % 7
+             AND f.f < 3 + d.doc_id % 4 AND f.f % 2 = 0)
+         SELECT doc_id, CAST(f AS INT) AS frame_ix, CAST(c AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(min(v) AS BIGINT) AS min_v,
+                CAST(max(v) AS BIGINT) AS max_v
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // Replays gifSceneFixture's closed form on BOTH sides of every
+    // adjacent frame pair: index (11x+17y+3·id+5f+97·[f≥cut]) mod 256
+    // through the palette ramp, summed |Δ| over pixels and channels —
+    // matching requires two byte-exact LZW rasters per pair.
+    "q_multimodal_scenecut" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
+                  5 + doc_id % 3 AS nf, 2 + doc_id % 3 AS cut
+           FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id, f.f, d.w, d.h,
+                  abs(((((11 * x.x + 17 * y.y + 3 * d.doc_id + 5 * f.f
+                          + CASE WHEN f.f >= d.cut THEN 97 ELSE 0 END) % 256)
+                        * (c.c + 1)) % 256)
+                    - ((((11 * x.x + 17 * y.y + 3 * d.doc_id + 5 * (f.f - 1)
+                          + CASE WHEN f.f - 1 >= d.cut THEN 97 ELSE 0 END) % 256)
+                        * (c.c + 1)) % 256)) AS dv
+           FROM d
+           CROSS JOIN range(1, 7) f(f)
+           CROSS JOIN range(0, 12) x(x)
+           CROSS JOIN range(0, 12) y(y)
+           CROSS JOIN range(0, 3) c(c)
+           WHERE x.x < d.w AND y.y < d.h AND f.f < d.nf)
+         SELECT doc_id, CAST(f AS INT) AS frame_ix,
+                CAST(w * h AS BIGINT) AS n_px,
+                CAST(sum(dv) AS BIGINT) AS diff_sum
+         FROM px GROUP BY 1, 2, w, h ORDER BY 1, 2""",
 
     // Replays Jpeg.fixture's closed form: block-constant value
     // ((5·⌊x/8⌋ + 9·⌊y/8⌋ + 7·id) mod 200) + 28 over the non-8-aligned

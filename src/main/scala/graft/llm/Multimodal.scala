@@ -434,6 +434,16 @@ object Multimodal {
   def encodeGif(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"invalid dims ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    writeGifFrame(out, w, h, pixel)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF89a header + logical screen descriptor + the fixed 256-entry
+    * global color table ramp `(i, 2i mod 256, 3i mod 256)`. */
+  private def writeGifHeader(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int): Unit = {
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     le16(w); le16(h)
@@ -444,6 +454,14 @@ object Multimodal {
       out.write(i); out.write((i * 2) % 256); out.write((i * 3) % 256)
       i += 1
     }
+  }
+
+  /** One full-screen image descriptor + LZW-compressed frame data (the
+    * real variable-width compressor — see [[encodeGif]]'s scaladoc for
+    * the width-sync bookkeeping). */
+  private def writeGifFrame(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, pixel: (Int, Int) => Int): Unit = {
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0) // descriptor
     out.write(8) // LZW minimum code size
     val Clear = 256; val Eoi = 257
@@ -499,6 +517,37 @@ object Multimodal {
       out.write(n); out.write(bytes, off, n); off += n
     }
     out.write(0) // block terminator
+  }
+
+  /** Encode a multi-frame (animated) GIF89a — the pure-JDK stand-in for a
+    * video container: N full-screen frames behind one global palette
+    * ramp, each preceded by a Graphic Control Extension carrying the
+    * frame delay, plus the NETSCAPE 2.0 looping extension real encoders
+    * emit. `pixel(frame, x, y)` gives each frame's palette index. Every
+    * frame gets its own real LZW-compressed data stream, so frame
+    * sampling ([[sampleGifFrames]]) exercises genuine decode-vs-skip
+    * economics. */
+  def encodeAnimatedGif(w: Int, h: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => Int, delayCs: Int = 4): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"invalid dims ${w}x$h")
+    require(nFrames >= 1, s"need at least one frame, got $nFrames")
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    // NETSCAPE 2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); out.write(0); out.write(0); out.write(0)
+    var f = 0
+    while (f < nFrames) {
+      // Graphic Control Extension: no disposal/transparency, delay in cs
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0)
+      out.write(delayCs & 0xff); out.write((delayCs >>> 8) & 0xff)
+      out.write(0); out.write(0)
+      val frame = f
+      writeGifFrame(out, w, h, (x, y) => pixel(frame, x, y))
+      f += 1
+    }
     out.write(0x3b) // trailer
     out.toByteArray
   }
@@ -513,6 +562,19 @@ object Multimodal {
     val w = (8 + id % 5).toInt
     val h = (6 + id % 7).toInt
     encodeGif(w, h, (x, y) => ((11L * x + 17L * y + 3L * id) % 256L).toInt)
+  }
+
+  /** Deterministic ANIMATED fixture: `gifFixture`'s dims, `3 + id%4`
+    * frames, pixel index `(11x + 17y + 23f + 3·id) mod 256` — the frame
+    * term makes every frame distinct so a sampler that silently decodes
+    * the wrong frame (or reuses the previous one) cannot match the
+    * closed form. */
+  def gifAnimFixture(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 7).toInt
+    val nf = (3 + id % 4).toInt
+    encodeAnimatedGif(w, h, nf,
+      (f, x, y) => ((11L * x + 17L * y + 23L * f + 3L * id) % 256L).toInt)
   }
 
   /** Full GIF pixel decode — pure JDK, a complete variable-width LZW
@@ -565,19 +627,40 @@ object Multimodal {
     // concatenate the image's LZW sub-blocks
     val minCode = u8(i); i += 1
     if (minCode < 2 || minCode > 8) return null
-    val lzw = new java.io.ByteArrayOutputStream()
+    val lzw = readGifSubBlocks(payload, i)
+    if (lzw == null) return null
+    val stats = lzwChannelStats(lzw._1, minCode, payload, gctOff, w.toLong * h)
+    if (stats == null) return null
+    Row(w, h, 3, w.toLong * h, stats(0).toSeq, stats(1).toSeq, stats(2).toSeq)
+  }
+
+  /** Concatenate a length-prefixed GIF sub-block chain starting at `i`.
+    * Returns (bytes, offset past the 0 terminator), or null if the chain
+    * runs off the payload. */
+  private def readGifSubBlocks(payload: Array[Byte], start: Int): (Array[Byte], Int) = {
+    var i = start
+    val buf = new java.io.ByteArrayOutputStream()
     var more = true
     while (more) {
       if (i >= payload.length) return null // truncated chain
-      val n = u8(i); i += 1
+      val n = payload(i) & 0xff; i += 1
       if (n == 0) more = false
       else {
         if (i + n > payload.length) return null
-        lzw.write(payload, i, n); i += n
-        }
+        buf.write(payload, i, n); i += n
+      }
     }
-    val code = lzw.toByteArray
-    // LZW decode → per-channel stats through the palette, single pass
+    (buf.toByteArray, i)
+  }
+
+  /** LZW-decode one frame's code stream and reduce it to per-channel
+    * (sums, mins, maxs) through the global color table at `gctOff`.
+    * Returns null on any stream corruption or a pixel-count mismatch.
+    * This is the shared decode core of [[decodeGifPixels]] (first frame)
+    * and [[sampleGifFrames]] (every sampled frame). */
+  private def lzwChannelStats(code: Array[Byte], minCode: Int,
+      payload: Array[Byte], gctOff: Int, nPx: Long): Array[Array[Long]] = {
+    def u8(i: Int): Int = payload(i) & 0xff
     val clear = 1 << minCode
     val eoi = clear + 1
     val prefix = new Array[Int](4096)
@@ -587,7 +670,6 @@ object Multimodal {
     var nextFree = eoi + 1
     var prev = -1
     var acc = 0L; var nbits = 0; var pos = 0
-    val nPx = w.toLong * h
     var emitted = 0L
     val sums = new Array[Long](3)
     val mins = Array.fill(3)(255L)
@@ -640,7 +722,274 @@ object Multimodal {
       }
     }
     if (emitted != nPx) return null // wrong pixel count: corrupt stream
-    Row(w, h, 3, nPx, sums.toSeq, mins.toSeq, maxs.toSeq)
+    Array(sums, mins, maxs)
+  }
+
+  /** One sampled frame's statistics, produced by [[sampleGifFrames]]:
+    * 0-based frame index, the frame's own descriptor dims, and the
+    * per-channel stats of its decoded pixels. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("frame_ix", IntegerType, nullable = false),
+    StructField("fw", IntegerType, nullable = false),
+    StructField("fh", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("mins", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("maxs", ArrayType(LongType, containsNull = false), nullable = false),
+  ))
+
+  /** Video-style frame sampling over an animated GIF: walk EVERY image
+    * descriptor, LZW-decode only frames whose index is a multiple of
+    * `every`, and SKIP the compressed data of the rest (a length-prefixed
+    * sub-block hop — no bit-level work), so decode cost scales with
+    * sampled frames, not total frames: the economics real video frame
+    * sampling needs. Returns one [[FrameSchema]] row per sampled frame,
+    * or null for corrupt payloads / no global palette / local-palette
+    * frames (same honesty rules as [[decodeGifPixels]]). */
+  def sampleGifFrames(payload: Array[Byte], every: Int): Seq[Row] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    if (payload == null || payload.length < 21) return null
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')) return null
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return null // no global color table
+    val gctOff = 13
+    var i = gctOff + 3 * (1 << ((packed & 7) + 1))
+    if (i >= payload.length) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var frameIx = 0
+    var done = false
+    while (!done) {
+      if (i >= payload.length) return null // no trailer: truncated
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 => // extension (GCE / NETSCAPE / comment): label + chain
+          i += 2
+          val skipped = readGifSubBlocks(payload, i)
+          if (skipped == null) return null
+          i = skipped._2
+        case 0x2c =>
+          if (i + 10 > payload.length) return null
+          val fw = le16(i + 5); val fh = le16(i + 7)
+          val p = u8(i + 9)
+          i += 10
+          if ((p & 0x80) != 0) return null // local palette: unmappable here
+          if (i >= payload.length) return null
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return null
+          val blocks = readGifSubBlocks(payload, i)
+          if (blocks == null) return null
+          i = blocks._2
+          if (frameIx % every == 0) {
+            if (fw <= 0 || fh <= 0) return null
+            val stats = lzwChannelStats(blocks._1, minCode, payload, gctOff,
+              fw.toLong * fh)
+            if (stats == null) return null
+            out += Row(frameIx, fw, fh, fw.toLong * fh,
+              stats(0).toSeq, stats(1).toSeq, stats(2).toSeq)
+          }
+          frameIx += 1
+        case _ => return null // unknown block type: corrupt
+      }
+    }
+    out.toSeq
+  }
+
+  /** LZW-decode one frame's code stream to its palette-INDEX raster
+    * (row-major), or null on corruption — the materializing variant of
+    * [[lzwChannelStats]], needed when two frames must be compared
+    * pixel-for-pixel. Memory is one frame (w·h bytes), never the clip. */
+  private def lzwIndices(code: Array[Byte], minCode: Int,
+      nPx: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    var width = minCode + 1
+    var nextFree = eoi + 1
+    var prev = -1
+    var acc = 0L; var nbits = 0; var pos = 0
+    val out = new Array[Byte](nPx)
+    var emitted = 0
+    def emit(idx: Int): Unit = {
+      if (emitted < nPx) out(emitted) = idx.toByte
+      emitted += 1
+    }
+    var done = false
+    while (!done) {
+      while (nbits < width && pos < code.length) {
+        acc |= (code(pos).toLong & 0xff) << nbits; nbits += 8; pos += 1
+      }
+      if (nbits < width) return null
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nbits -= width
+      if (c == clear) {
+        width = minCode + 1; nextFree = eoi + 1; prev = -1
+      } else if (c == eoi) done = true
+      else if (prev == -1) {
+        if (c >= clear) return null
+        emit(c); prev = c
+      } else {
+        if (c > nextFree) return null
+        var top = 0
+        var cur = if (c == nextFree) prev else c
+        while (cur >= clear + 2) { stack(top) = suffix(cur); top += 1; cur = prefix(cur) }
+        val first = cur
+        stack(top) = first; top += 1
+        var k = top - 1
+        while (k >= 0) { emit(stack(k)); k -= 1 }
+        if (c == nextFree) emit(first)
+        if (nextFree <= 4095) {
+          prefix(nextFree) = prev; suffix(nextFree) = first; nextFree += 1
+        }
+        if (nextFree == (1 << width) && width < 12) width += 1
+        prev = c
+      }
+    }
+    if (emitted != nPx) return null
+    out
+  }
+
+  /** One frame-pair difference produced by [[sceneDiffs]]: the frame's
+    * 0-based index (≥ 1 — frame 0 has no predecessor), its pixel count,
+    * and the EXACT integer sum over pixels and RGB channels of
+    * |value(f) − value(f−1)| — the mean-absolute-difference statistic
+    * scene-cut detectors threshold. */
+  val SceneDiffSchema: StructType = StructType(Seq(
+    StructField("frame_ix", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("diff_sum", LongType, nullable = false),
+  ))
+
+  /** Scene-change statistics over an animated GIF: decode consecutive
+    * frames and emit each adjacent pair's summed absolute RGB difference.
+    * Working state is exactly TWO frame rasters regardless of clip
+    * length — frames stream through, the clip never materializes. Frames
+    * must share the full-screen geometry (sub-rectangle frames imply
+    * disposal compositing this statistic doesn't model → null, honest).
+    * Returns null for corrupt / no-global-palette / local-palette
+    * payloads, Nil for single-frame clips. */
+  def sceneDiffs(payload: Array[Byte]): Seq[Row] = {
+    if (payload == null || payload.length < 21) return null
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')) return null
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return null
+    val gctOff = 13
+    var i = gctOff + 3 * (1 << ((packed & 7) + 1))
+    if (i >= payload.length) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var prevRaster: Array[Byte] = null
+    var pw = -1; var ph = -1
+    var frameIx = 0
+    var done = false
+    while (!done) {
+      if (i >= payload.length) return null
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          i += 2
+          val skipped = readGifSubBlocks(payload, i)
+          if (skipped == null) return null
+          i = skipped._2
+        case 0x2c =>
+          if (i + 10 > payload.length) return null
+          val fw = le16(i + 5); val fh = le16(i + 7)
+          val p = u8(i + 9)
+          i += 10
+          if ((p & 0x80) != 0) return null
+          if (i >= payload.length) return null
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return null
+          val blocks = readGifSubBlocks(payload, i)
+          if (blocks == null) return null
+          i = blocks._2
+          if (fw <= 0 || fh <= 0) return null
+          if (prevRaster != null && (fw != pw || fh != ph)) return null
+          val raster = lzwIndices(blocks._1, minCode, fw * fh)
+          if (raster == null) return null
+          if (prevRaster != null) {
+            var d = 0L
+            var k = 0
+            val n = fw * fh
+            while (k < n) {
+              val a = raster(k) & 0xff
+              val b = prevRaster(k) & 0xff
+              if (a != b) {
+                var c = 0
+                while (c < 3) {
+                  d += math.abs(u8(gctOff + 3 * a + c) - u8(gctOff + 3 * b + c))
+                  c += 1
+                }
+              }
+              k += 1
+            }
+            out += Row(frameIx, n.toLong, d)
+          }
+          prevRaster = raster; pw = fw; ph = fh
+          frameIx += 1
+        case _ => return null
+      }
+    }
+    out.toSeq
+  }
+
+  /** DataFrame form of [[sceneDiffs]]: adds a `scenes` column (array of
+    * [[SceneDiffSchema]], null for corrupt payloads). Narrow
+    * mapPartitions; per-row memory is two frames, output is a few bytes
+    * per frame pair. */
+  def sceneDiffFrames(df: DataFrame, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField("scenes",
+      ArrayType(SceneDiffSchema, containsNull = false), nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val scenes = sceneDiffs(row.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(row.toSeq :+ scenes)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic scene-cut fixture: `5 + id%3` frames; within a scene
+    * the pixel index drifts by +5 per frame, and at frame `cut = 2 +
+    * id%3` the whole frame jumps by +97 — adjacent-frame diffs are small
+    * inside scenes and large across the cut, so a thresholding query can
+    * recover `cut` exactly. */
+  def gifSceneFixture(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 7).toInt
+    val nf = (5 + id % 3).toInt
+    val cut = (2 + id % 3).toInt
+    encodeAnimatedGif(w, h, nf, (f, x, y) =>
+      ((11L * x + 17L * y + 3L * id + 5L * f +
+        (if (f >= cut) 97L else 0L)) % 256L).toInt)
+  }
+
+  /** DataFrame form of [[sampleGifFrames]]: adds a `frames` column
+    * (array of [[FrameSchema]], null for corrupt/non-GIF payloads). One
+    * narrow mapPartitions, no shuffle — payloads never leave the
+    * partition; only the per-frame stats (a few hundred bytes regardless
+    * of resolution) do, which is what makes every-Nth-frame feature
+    * extraction viable on a 100 TB video corpus. */
+  def frameSample(df: DataFrame, payloadCol: String, every: Int,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(StructField("frames",
+      ArrayType(FrameSchema, containsNull = false), nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val frames = sampleGifFrames(row.getAs[Array[Byte]](payloadIdx), every)
+          Row.fromSeq(row.toSeq :+ frames)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Decode a raster payload column into a `px` stats struct column (see
@@ -721,6 +1070,154 @@ object Multimodal {
             }
           }
           Row.fromSeq(row.toSeq :+ patches)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decoded 16-bit PCM audio: format parameters plus the raw interleaved
+    * sample frames, produced by [[decodeWavPcm]]. */
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Decode a RIFF/WAVE payload's 16-bit PCM samples — the audio analogue
+    * of the pixel decoders, pure JDK. Walks the chunk list (word-aligned,
+    * filler chunks like JUNK/LIST skipped — fmt and data need not be
+    * adjacent or in canonical order), requires uncompressed 16-bit PCM
+    * (audioFormat 1), and caps the data chunk's claim at the bytes
+    * actually present, so truncated files decode the honest prefix.
+    * Returns null for non-WAV / compressed / non-16-bit payloads. */
+  def decodeWavPcm(payload: Array[Byte]): PcmAudio = {
+    if (payload == null || payload.length < 36) return null
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E')) return null
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    var i = 12
+    var audioFormat = -1; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= payload.length) {
+      val id = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 24 <= payload.length) {
+        audioFormat = le16(i + 8)
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = math.min(sz, (payload.length - dataOff).toLong).toInt
+      }
+      if (sz > payload.length) i = payload.length // corrupt size: end walk
+      else i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (audioFormat != 1 || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+        dataOff < 0) return null
+    val n = dataLen / 2 // truncate a ragged trailing byte
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      samples(k) = (u8(dataOff + 2 * k) | (u8(dataOff + 2 * k + 1) << 8)).toShort
+      k += 1
+    }
+    PcmAudio(sampleRate, channels, samples)
+  }
+
+  /** Encode 16-bit PCM samples as a canonical RIFF/WAVE file, with an
+    * optional JUNK filler chunk between fmt and data (real recorders emit
+    * alignment filler; fixtures use it so only a true chunk WALK — not
+    * fixed offsets — finds the samples). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short],
+      junkBytes: Int = 0): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "invalid format")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val dataLen = samples.length * 2
+    val junkChunk = if (junkBytes > 0) 8 + junkBytes + (junkBytes & 1) else 0
+    ascii("RIFF"); le32(4 + 24 + junkChunk + 8 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate.toLong * channels * 2); le16(channels * 2); le16(16)
+    if (junkBytes > 0) {
+      ascii("JUNK"); le32(junkBytes)
+      var j = 0
+      while (j < junkBytes + (junkBytes & 1)) { out.write(0); j += 1 }
+    }
+    ascii("data"); le32(dataLen)
+    var k = 0
+    while (k < samples.length) { le16(samples(k) & 0xffff); k += 1 }
+    out.toByteArray
+  }
+
+  /** Deterministic WAV fixture: mono 8 kHz, `240 + 40·(id mod 7)` samples
+    * of the closed form `s(i) = ((7·id + 13·i) mod 2048) − 1024`, behind
+    * a 5-byte JUNK chunk — SQL-replayable, but only through a real chunk
+    * walk + little-endian s16 decode. */
+  def wavFixture(id: Long): Array[Byte] = {
+    val n = (240 + (id % 7) * 40).toInt
+    val samples = Array.tabulate(n)(i => (((7L * id + 13L * i) % 2048L) - 1024L).toShort)
+    encodeWav(8000, 1, samples, junkBytes = 5)
+  }
+
+  /** Per-frame features produced by [[audioFrameFeatures]]: 0-based frame
+    * index, sample count (last frame may be partial), exact integer
+    * energy (Σ s²), strict zero-crossing count (s[i−1]·s[i] < 0 within
+    * the frame), and peak amplitude — the inputs to silence trimming,
+    * voice-activity gating, and loudness normalization. */
+  val AudioFrameSchema: StructType = StructType(Seq(
+    StructField("frame_ix", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("zero_cross", IntegerType, nullable = false),
+    StructField("max_abs", IntegerType, nullable = false),
+  ))
+
+  /** Frame-level audio feature extraction over WAV payloads: decode the
+    * 16-bit PCM stream ([[decodeWavPcm]]) and reduce channel 0 to
+    * non-overlapping `frameSamples`-sample frames of integer features
+    * (all sums exact — no float drift between engines). Adds an
+    * `aframes` array column ([[AudioFrameSchema]]); null for non-PCM /
+    * corrupt payloads. One narrow mapPartitions, no shuffle: audio never
+    * leaves the partition, only features ~frameSamples-fold smaller do. */
+  def audioFrameFeatures(df: DataFrame, payloadCol: String,
+      frameSamples: Int, batchSize: Int = 64): DataFrame = {
+    require(frameSamples >= 2, s"frameSamples must be >= 2, got $frameSamples")
+    val outSchema = df.schema.add(StructField("aframes",
+      ArrayType(AudioFrameSchema, containsNull = false), nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val pcm = decodeWavPcm(row.getAs[Array[Byte]](payloadIdx))
+          val frames = if (pcm == null) null else {
+            val stride = pcm.channels // channel 0 of the interleave
+            val n = pcm.samples.length / stride
+            (0 until (n + frameSamples - 1) / frameSamples).map { f =>
+              val lo = f * frameSamples
+              val hi = math.min(lo + frameSamples, n)
+              var sumSq = 0L; var zc = 0; var maxAbs = 0
+              var i = lo
+              while (i < hi) {
+                val v = pcm.samples(i * stride).toInt
+                sumSq += v.toLong * v
+                val a = math.abs(v)
+                if (a > maxAbs) maxAbs = a
+                if (i > lo && pcm.samples((i - 1) * stride).toInt * v < 0) zc += 1
+                i += 1
+              }
+              Row(f, hi - lo, sumSq, zc, maxAbs)
+            }
+          }
+          Row.fromSeq(row.toSeq :+ frames)
         }
       }
     }(Encoders.row(outSchema))

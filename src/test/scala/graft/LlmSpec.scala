@@ -1025,6 +1025,207 @@ class LlmSpec extends GraftSuite {
       hx("474946383961 4001 C800 00 00 00")).getInt(3) === 0)
   }
 
+  test("multimodal animated GIF: frame sampling decodes exactly the sampled frames") {
+    for (id <- 0L until 12L) {
+      val w = (8 + id % 5).toInt; val h = (6 + id % 7).toInt
+      val nf = (3 + id % 4).toInt
+      def idx(f: Int, x: Int, y: Int): Int =
+        ((11L * x + 17L * y + 23L * f + 3L * id) % 256L).toInt
+      val bytes = Multimodal.gifAnimFixture(id)
+      // the container is spec-valid: the meta walk sees every frame
+      val meta = Multimodal.decodeMeta(bytes)
+      assert(meta.getString(0) === "gif" && meta.getInt(1) === w &&
+        meta.getInt(2) === h && meta.getInt(3) === nf, s"meta id=$id")
+      // every=1 decodes all frames; each matches its own closed form
+      val all = Multimodal.sampleGifFrames(bytes, every = 1)
+      assert(all != null && all.size === nf, s"all-frames id=$id")
+      for ((r, f) <- all.zipWithIndex; c <- 0 until 3) {
+        assert(r.getInt(0) === f && r.getInt(1) === w && r.getInt(2) === h)
+        val vs = for (y <- 0 until h; x <- 0 until w)
+          yield ((idx(f, x, y) * (c + 1)) % 256).toLong
+        assert(r.getSeq[Long](4)(c) === vs.sum, s"sum id=$id f=$f c=$c")
+        assert(r.getSeq[Long](5)(c) === vs.min && r.getSeq[Long](6)(c) === vs.max)
+      }
+      // every=2 keeps exactly frames 0, 2, 4, ... — and nothing else
+      val sampled = Multimodal.sampleGifFrames(bytes, every = 2)
+      assert(sampled.map(_.getInt(0)) === (0 until nf by 2))
+      // the single-frame decoder and the sampler agree on frame 0
+      val first = Multimodal.decodeGifPixels(bytes)
+      assert(first != null)
+      assert(first.getSeq[Long](4) === all.head.getSeq[Long](4))
+    }
+    // corruption stays observable through the multi-frame walk
+    val good = Multimodal.gifAnimFixture(5L)
+    assert(Multimodal.sampleGifFrames(good.dropRight(4), 1) === null)
+    assert(Multimodal.sampleGifFrames(Array[Byte](1, 2, 3), 1) === null)
+    // a plain single-frame GIF is just a 1-frame animation to the sampler
+    val single = Multimodal.gifFixture(3L)
+    val sf = Multimodal.sampleGifFrames(single, 1)
+    val sp = Multimodal.decodeGifPixels(single)
+    assert(sf.size === 1 && sf.head.getSeq[Long](4) === sp.getSeq[Long](4))
+  }
+
+  test("multimodal scene diffs: adjacent-frame MAD recovers the planted cut") {
+    for (id <- 0L until 12L) {
+      val w = (8 + id % 5).toInt; val h = (6 + id % 7).toInt
+      val nf = (5 + id % 3).toInt
+      val cut = (2 + id % 3).toInt
+      def idx(f: Int, x: Int, y: Int): Int =
+        ((11L * x + 17L * y + 3L * id + 5L * f +
+          (if (f >= cut) 97L else 0L)) % 256L).toInt
+      def chan(v: Int, c: Int): Int = (v * (c + 1)) % 256
+      val diffs = Multimodal.sceneDiffs(Multimodal.gifSceneFixture(id))
+      assert(diffs != null && diffs.size === nf - 1, s"id=$id")
+      for ((r, k) <- diffs.zipWithIndex) {
+        val f = k + 1
+        assert(r.getInt(0) === f && r.getLong(1) === w.toLong * h)
+        val exp = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield
+          math.abs(chan(idx(f, x, y), c) - chan(idx(f - 1, x, y), c)).toLong).sum
+        assert(r.getLong(2) === exp, s"id=$id f=$f")
+      }
+      // the cut is recoverable: its pair dominates every in-scene pair
+      val byFrame = diffs.map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val cutDiff = byFrame(cut)
+      assert(byFrame.filterNot(_._1 == cut).values.forall(_ < cutDiff),
+        s"id=$id cut=$cut diffs=$byFrame")
+    }
+    // degenerate shapes: single frame → empty, corruption → null
+    assert(Multimodal.sceneDiffs(Multimodal.gifFixture(1L)) === Nil)
+    assert(Multimodal.sceneDiffs(Multimodal.gifSceneFixture(2L).dropRight(5)) === null)
+  }
+
+  test("multimodal WAV PCM: chunk-walk decode round-trips the encoder") {
+    val mono = Array.tabulate(300)(i => ((i * 37) % 4001 - 2000).toShort)
+    val bytes = Multimodal.encodeWav(8000, 1, mono, junkBytes = 5)
+    // the meta walk and the PCM decode agree on the format
+    val meta = Multimodal.decodeMeta(bytes)
+    assert(meta.getString(0) === "wav" && meta.getInt(6) === 8000 &&
+      meta.getInt(7) === 1)
+    val pcm = Multimodal.decodeWavPcm(bytes)
+    assert(pcm != null && pcm.sampleRate === 8000 && pcm.channels === 1)
+    assert(pcm.samples.toSeq === mono.toSeq)
+    // stereo interleave survives; frame features read channel 0 only
+    val stereo = Array.tabulate(200)(i =>
+      (if (i % 2 == 0) i * 3 else -9999).toShort) // ch0 = 3·k, ch1 = junk
+    val sb = Multimodal.encodeWav(16000, 2, stereo)
+    val spcm = Multimodal.decodeWavPcm(sb)
+    assert(spcm.channels === 2 && spcm.samples.length === 200)
+    // truncation decodes the honest prefix, never fabricates
+    val cut = Multimodal.decodeWavPcm(bytes.dropRight(11))
+    assert(cut != null && cut.samples.length === 300 - 6 &&
+      cut.samples.toSeq === mono.take(294).toSeq)
+    // compressed / non-16-bit formats refuse, not guess
+    val mulaw = Multimodal.encodeWav(8000, 1, mono)
+    mulaw(20) = 7 // audioFormat: μ-law
+    assert(Multimodal.decodeWavPcm(mulaw) === null)
+    assert(Multimodal.decodeWavPcm("RIFFxxxxWAVE".getBytes) === null)
+  }
+
+  test("DSIR: model and weights match a plain-Scala re-derivation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dims = 16
+    val docs = Seq(
+      (0L, "the quick brown fox", "en"),
+      (1L, "the lazy dog sleeps", "en"),
+      (2L, "der schnelle braune fuchs", "de"),
+      (3L, "le chien paresseux dort", "fr"),
+      (4L, "the quick dog", "en"),
+      (5L, "der faule hund schlaeft", "de"),
+    ).toDF("doc_id", "text", "lang")
+    val target = docs.where($"lang" === "en")
+    val llr = graft.llm.Dsir.fitLlrMicro(target, docs, "text", dims)
+
+    // plain-Scala re-derivation of the whole contract
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grams(t: String): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int =
+      (java.lang.Long.parseLong(md5Hex(g).take(8), 16) % dims).toInt
+    def counts(rows: Seq[String]): Array[Long] = {
+      val arr = new Array[Long](dims)
+      rows.flatMap(grams).foreach(g => arr(bucket(g)) += 1)
+      arr
+    }
+    val allTexts = Seq("the quick brown fox", "the lazy dog sleeps",
+      "der schnelle braune fuchs", "le chien paresseux dort",
+      "the quick dog", "der faule hund schlaeft")
+    val enTexts = Seq("the quick brown fox", "the lazy dog sleeps", "the quick dog")
+    def micro(n: Long, tot: Long): Long = {
+      val p = (n + 0.5) / (tot + 0.5 * dims)
+      val t = java.lang.StrictMath.log(p) / java.lang.StrictMath.log(2.0)
+      val r6 = java.math.BigDecimal.valueOf(t)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.floor(r6 * 1e6 + 0.5).toLong
+    }
+    val tc = counts(enTexts); val rc = counts(allTexts)
+    val exp = Array.tabulate(dims)(b => micro(tc(b), tc.sum) - micro(rc(b), rc.sum))
+    assert(llr.toSeq === exp.toSeq)
+
+    // per-doc weights are the exact integer gram-sum of the table
+    val got = docs.select($"doc_id",
+        graft.llm.Dsir.weightMicro($"text", llr).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((t, id) <- allTexts.zipWithIndex) {
+      val expW = grams(t).map(g => llr(bucket(g))).sum
+      assert(got(id.toLong) === expW, s"doc $id")
+    }
+    // the statistic discriminates: every English doc outweighs every
+    // non-English doc on this vocabulary-disjoint corpus
+    val en = Seq(0L, 1L, 4L).map(got); val other = Seq(2L, 3L, 5L).map(got)
+    assert(en.min > other.max)
+
+    // selection: deterministic (weight desc, id) rank, k-row cut
+    val sel = graft.llm.Dsir.selectTopK(docs, "doc_id", "text", llr, k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(sel.length === 3)
+    assert(sel.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    val selW = sel.map(_.getAs[Long]("weight_micro"))
+    assert(selW.sorted.reverse.toSeq === selW.toSeq) // descending
+    assert(sel.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 4L))) // the en docs
+  }
+
+  test("multimodal audio frames: integer energy/zero-cross/peak match a direct fold") {
+    for (id <- 0L until 8L) {
+      val n = (240 + (id % 7) * 40).toInt
+      def s(i: Int): Int = (((7L * id + 13L * i) % 2048L) - 1024L).toInt
+      val pcm = Multimodal.decodeWavPcm(Multimodal.wavFixture(id))
+      assert(pcm != null && pcm.samples.length === n, s"id=$id")
+      assert((0 until n).forall(i => pcm.samples(i) === s(i).toShort))
+      // frame features vs a direct per-frame fold
+      val spark2 = spark
+      import spark2.implicits._
+      val df = Seq(id).toDF("doc_id")
+        .map(r => (r.getLong(0), Multimodal.wavFixture(r.getLong(0))))
+        .toDF("doc_id", "payload")
+      val got = Multimodal.audioFrameFeatures(df, "payload", frameSamples = 64)
+        .selectExpr("explode(aframes) AS fr").select("fr.*")
+        .collect().sortBy(_.getInt(0))
+      val nFrames = (n + 63) / 64
+      assert(got.length === nFrames, s"id=$id frames")
+      for (f <- 0 until nFrames) {
+        val lo = f * 64; val hi = math.min(lo + 64, n)
+        val vs = (lo until hi).map(s)
+        val r = got(f)
+        assert(r.getInt(1) === hi - lo)
+        assert(r.getLong(2) === vs.map(v => v.toLong * v).sum, s"id=$id f=$f energy")
+        assert(r.getInt(3) === vs.sliding(2).count(p =>
+          p.length == 2 && p(0) * p(1) < 0), s"id=$id f=$f zc")
+        assert(r.getInt(4) === vs.map(math.abs).max, s"id=$id f=$f peak")
+      }
+    }
+    // corrupt payloads yield a null frames column, not an empty array
+    val spark2 = spark
+    import spark2.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val r = Multimodal.audioFrameFeatures(bad, "payload", 64).collect()(0)
+    assert(r.isNullAt(r.length - 1))
+  }
+
   test("multimodal JPEG pixel decode: block-constant images round-trip exactly") {
     // all-ones quantization + block-constant pixels = DC-only blocks whose
     // coefficients survive quantize/dequantize bit-exactly, so the LOSSY

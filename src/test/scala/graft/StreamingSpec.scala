@@ -269,6 +269,40 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("DSIR weight serving is a stateless projection: identical on a stream") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox", "en"), (1L, "der schnelle fuchs", "de"),
+      (2L, "the lazy dog", "en"), (3L, "le chien dort", "fr"))
+    val batchDf = docs.toDF("doc_id", "text", "lang")
+    // fit is a batch-side (model-parameter) step, like freezing eval grams
+    val llr = graft.llm.Dsir.fitLlrMicro(
+      batchDf.where(sc("lang") === "en"), batchDf, "text", dims = 32)
+
+    val ms = MemoryStream[(Long, String, String)](s)
+    val scored = ms.toDF.toDF("doc_id", "text", "lang")
+      .select(sc("doc_id"),
+        graft.llm.Dsir.weightMicro(sc("text"), llr).as("w"))
+    val q = scored.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*) // stateless: batch boundaries irrelevant
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, w FROM dsir_out ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = batchDf
+        .select(sc("doc_id"), graft.llm.Dsir.weightMicro(sc("text"), llr).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(out === batch)
+      // and the statistic still discriminates on the stream output
+      val w = out.toMap
+      assert(Seq(0L, 2L).map(w).min > Seq(1L, 3L).map(w).max)
+    } finally q.stop()
+  }
+
   test("streaming line dedup: batch parity across batch boundaries, in-batch ties to min(id, ix)") {
     val s = spark
     import s.implicits._
