@@ -411,12 +411,15 @@ object Dedup {
       evalText: String,
       n: Int = 3,
   ): DataFrame = {
+    graft.GraftExtensions.install(train.sparkSession)
+    // shingle construction + hashing fused in the codegen'd
+    // word_kgram_md5s native (same md5-hex values as the HOF
+    // shingle+md5 formulation — spec-pinned), distinct'd per doc
     def grams(df: DataFrame, id: String, text: String, outId: String) = df
       .select(col(id).as(outId), TextOps.tokens(col(text)).as("__toks__"))
       .where(size(col("__toks__")) >= n)
-      .select(col(outId),
-        explode(array_distinct(TextOps.wordShingles("__toks__", n))).as("__g__"))
-      .select(col(outId), md5(col("__g__").cast("binary")).as("__gh__"))
+      .select(col(outId), explode(array_distinct(
+        call_function("word_kgram_md5s", col("__toks__"), lit(n)))).as("__gh__"))
     grams(train, trainId, trainText, "__tid__")
       .join(broadcast(grams(eval, evalId, evalText, "__eid__").distinct()), "__gh__")
       .groupBy(col("__tid__"))

@@ -504,11 +504,15 @@ object Streams {
     // would make `!contaminated` three-valued-NULL and silently DROP the
     // doc, where every other short-of-n-grams doc passes — the oracle
     // (len(w) >= n on the token array) keeps null-text docs too.
+    // gram hashing via the codegen'd native: array_distinct AFTER
+    // hashing ≡ the HOF's md5-of-distinct-shingles (md5 is a pure
+    // function; first-occurrence order is preserved either way — the
+    // value-identity spec pins this), without paying an interpreted
+    // lambda + shingle-string allocation per gram
     val withGrams = docs
       .withColumn("__toks__", TextOps.tokens(coalesce(col(textCol), lit(""))))
       .withColumn("__gh__",
-        transform(array_distinct(TextOps.wordShingles("__toks__", n)),
-          g => md5(g.cast("binary"))))
+        array_distinct(call_function("word_kgram_md5s", col("__toks__"), lit(n))))
     // the gram pipeline feeds both the path decision and the chosen
     // structure — cache it so query construction runs ONE tokenize/
     // shingle/distinct job, not two over the same lineage

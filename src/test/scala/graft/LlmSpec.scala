@@ -342,6 +342,33 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("decontam gram path: distinct of native md5s ≡ md5 of distinct shingles") {
+    // the contamination operators hash with array_distinct(word_kgram_md5s)
+    // — md5 is a pure function, so distincting after hashing keeps the
+    // same first-occurrence elements in the same order as the HOF's
+    // md5-of-distinct-shingles; duplicate-heavy fixtures exercise it
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val fix = Seq(
+      "a b c a b c a b c", "one two three", "x y", "", "a a a a a",
+      "repeat me repeat me repeat me twice")
+      .map(Tuple1(_)).toDF("text")
+      .withColumn("__toks__", TextOps.tokens(sc("text")))
+    for (k <- Seq(2, 3)) {
+      val rows = fix.select(
+        org.apache.spark.sql.functions.expr(
+          s"array_distinct(word_kgram_md5s(__toks__, $k))"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.array_distinct(
+            TextOps.wordShingles("__toks__", k)),
+          g => org.apache.spark.sql.functions.md5(g.cast("binary"))))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k")
+    }
+  }
+
   test("corpusLineDedup keeps only the first corpus occurrence of each line") {
     val s = spark
     import s.implicits._
