@@ -1069,20 +1069,21 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
-    // --- DSIR selection: keep the k highest-importance documents,
+    // --- DSIR selection as a first-class wire-serializable Source: the
+    //     TARGET slice rides as a sub-model (the upsampleMix weights
+    //     pattern), the whole pipeline round-trips through toJson/fromJson
+    //     before running. Keeps the k highest-importance documents,
     //     deterministically ranked (weight desc, id) — TakeOrdered cut,
-    //     rank window only over the k-row result ---
-    "q_dsir_select" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val raw = df.where(F.col("text").isNotNull)
-          val target = raw.where(F.col("lang") === "en")
-          val llr = graft.llm.Dsir.fitLlrMicro(target, raw, "text", dims = 256)
-          graft.llm.Dsir.selectTopK(raw, "doc_id", "text", llr, k = 100)
-        }
+    //     rank window only over the k-row result. ---
+    "q_dsir_select" -> ((s, dir) => {
+      val base = m(dir, "documents")
+      val model = base
+        .dsirSelect(
+          target = base.filter(col("lang") === lit("en")),
+          id = col("doc_id"), text = col("text"), k = 100)
         .sort(col("rank"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
     //     footer lines injected into every doc survive only at their

@@ -967,6 +967,30 @@ object Compiler {
       new Frame(graft.llm.Dedup
         .substringClean(df, idName, txName, minSpanWords, minCopies))
 
+    case Source.DsirSelect(base, id, text, target, dims, k) =>
+      // Lowers to graft.llm.Dsir: FIT materializes the two ≤dims-row
+      // bucket models at compile time (bounded model parameters — the
+      // k-means-centroid-collect precedent); SERVING probes the ratio
+      // table frozen into the plan as an array literal (zero joins); the
+      // cut is sort+limit (TakeOrdered) with a k-row rank window.
+      val bf = compileSource(base, spark)
+      val tf = compileSource(target.source, spark)
+      tf.pending.keys.toSeq.foreach(tf.attach)
+      val idName = id.identifier
+      val txName = text.identifier
+      require(tf.df.columns.contains(txName),
+        s"dsirSelect target model must expose a column named '$txName'; " +
+          s"got (${tf.df.columns.mkString(", ")})")
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(txName, compileExpr(text, bf))
+        .where(col(txName).isNotNull)
+      val llr = graft.llm.Dsir.fitLlrMicro(
+        tf.df.select(col(txName)).where(col(txName).isNotNull),
+        df.select(col(txName)), txName, dims)
+      new Frame(graft.llm.Dsir.selectTopK(
+        df.select(col(idName), col(txName)), idName, txName, llr, k))
+
     case Source.Sessionize(base, schema, gapSeconds) =>
       // Gap-based sessionization, tie-safe by construction: a boundary
       // flag from lag() is order-ambiguous for equal timestamps, but the

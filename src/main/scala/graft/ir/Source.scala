@@ -239,4 +239,24 @@ object Source {
       minSpanWords: Int,
       minCopies: Int,
   ) extends Source
+
+  /** DSIR importance selection (beyond-reference, the wire form of
+    * `graft.llm.Dsir`; Xie et al. 2023): rank base documents by the
+    * hashed word-gram importance weight of `text` — how much likelier
+    * its gram bag is under the TARGET distribution than under the base
+    * corpus's own — and keep the top `k`. `target` is a SUB-MODEL
+    * (typically a filter of the same corpus, or a separate trusted
+    * table) that must expose a column named like the `text` expression;
+    * the base model itself supplies the raw distribution. Rows with
+    * null `text` drop. Output: the `id` column, weight_micro (exact
+    * integer micro-bits — deterministic under any partitioning), and
+    * rank (1-based, ties broken by `id`). */
+  final case class DsirSelect(
+      base: Source,
+      id: Expr,
+      text: Expr,
+      target: graft.model.Model,
+      dims: Int,
+      k: Int,
+  ) extends Source
 }

@@ -550,6 +550,23 @@ final case class Model(
     Model(Source.SubstringClean(source, id, text, minSpanWords, minCopies))
   }
 
+  /** DSIR importance selection (the wire-serializable form of
+    * `graft.llm.Dsir`, Xie et al. 2023): keep the `k` documents whose
+    * `text` scores highest under the hashed-gram target/raw importance
+    * ratio. `target` is a sub-model exposing a column named like `text`
+    * (typically a filter of this same model). Output: `id`,
+    * weight_micro, rank. */
+  def dsirSelect(
+      target: Model,
+      id: Expr,
+      text: Expr,
+      k: Int,
+      dims: Int = 256,
+  ): Model = {
+    require(dims > 0 && k > 0, "dsirSelect needs dims > 0 and k > 0")
+    Model(Source.DsirSelect(source, id, text, target, dims, k))
+  }
+
   /** Per `group`, greedily match an ordered list of step predicates over
     * time-ordered events (reference model.py:411-537 + the 696-LoC
     * compilers/match_steps.py). Output grain: one row per group (× start

@@ -122,6 +122,9 @@ object WireFormat {
     case Source.SubstringClean(b, id, tx, msw, mc) =>
       Map("t" -> "substringClean", "base" -> sourceW(b), "id" -> exprW(id),
         "text" -> exprW(tx), "minSpanWords" -> msw, "minCopies" -> mc)
+    case Source.DsirSelect(b, id, tx, tgt, dims, k) =>
+      Map("t" -> "dsirSelect", "base" -> sourceW(b), "id" -> exprW(id),
+        "text" -> exprW(tx), "target" -> modelW(tgt), "dims" -> dims, "k" -> k)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -299,6 +302,10 @@ object WireFormat {
       Source.SubstringClean(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("text"))), long(s("minSpanWords")).toInt,
         long(s("minCopies")).toInt)
+    case "dsirSelect" =>
+      Source.DsirSelect(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("text"))), modelR(obj(s("target"))),
+        long(s("dims")).toInt, long(s("k")).toInt)
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")
   }
 

@@ -191,6 +191,27 @@ class WireFormatSpec extends GraftSuite {
     assert(r2.toSeq === d2.toSeq && d2.nonEmpty)
   }
 
+  test("dsirSelect rides the wire with its target sub-model and runs identically") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "documents")
+    val ds = base
+      .dsirSelect(
+        target = base.filter(col("lang") === lit("en")),
+        id = col("doc_id"), text = col("text"), k = 10, dims = 64)
+      .sort(col("rank"))
+    // structural equality through json (target sub-model included)
+    assert(WireFormat.fromJson(WireFormat.toJson(ds)) === ds)
+    val direct = ds.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(ds)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq)
+    assert(direct.length === 10)
+    // ranks are 1..10 and weights non-increasing
+    assert(direct.map(_(2)) === (1L to 10L).toSeq)
+    val w = direct.map(_(1).asInstanceOf[Long])
+    assert(w.sorted.reverse.toSeq === w.toSeq)
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
