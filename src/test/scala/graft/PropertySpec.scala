@@ -397,4 +397,81 @@ class PropertySpec extends GraftSuite {
         .collect().forall(r => r.getString(0) == r.getString(1))
     }, cases = 6)
   }
+
+  test("property: animated GIF encode/sample round-trips at any sampling stride") {
+    // Pure-JVM codec property (no Spark job, so many cases are cheap):
+    // random dims / frame counts / pixel functions / strides — the
+    // sampler must report exactly the strided frame indices with stats
+    // equal to the generating function's, and the meta walk must count
+    // every frame.
+    val gen = for {
+      w <- Gen.choose(1, 20); h <- Gen.choose(1, 16)
+      nf <- Gen.choose(1, 6); seed <- Gen.choose(0L, 1L << 30)
+      every <- Gen.choose(1, 3)
+    } yield (w, h, nf, seed, every)
+    check(Prop.forAll(gen) { case (w, h, nf, seed, every) =>
+      def pix(f: Int, x: Int, y: Int): Int =
+        ((x * 31L + y * 57L + f * 101L + seed) % 256L).toInt
+      val bytes = graft.llm.Multimodal.encodeAnimatedGif(w, h, nf, pix)
+      val meta = graft.llm.Multimodal.decodeMeta(bytes)
+      val frames = graft.llm.Multimodal.sampleGifFrames(bytes, every)
+      val okMeta = meta.getString(0) == "gif" && meta.getInt(1) == w &&
+        meta.getInt(2) == h && meta.getInt(3) == nf
+      val okIx = frames != null &&
+        frames.map(_.getInt(0)) == (0 until nf by every)
+      okMeta && okIx && frames.forall { r =>
+        val f = r.getInt(0)
+        (0 until 3).forall { c =>
+          val vs = for (y <- 0 until h; x <- 0 until w)
+            yield ((pix(f, x, y) * (c + 1)) % 256).toLong
+          r.getSeq[Long](4)(c) == vs.sum &&
+            r.getSeq[Long](5)(c) == vs.min && r.getSeq[Long](6)(c) == vs.max
+        }
+      }
+    }, cases = 30)
+  }
+
+  test("property: sceneDiffs equals the brute-force adjacent-frame difference") {
+    val gen = for {
+      w <- Gen.choose(1, 16); h <- Gen.choose(1, 12)
+      nf <- Gen.choose(1, 6); seed <- Gen.choose(0L, 1L << 30)
+    } yield (w, h, nf, seed)
+    check(Prop.forAll(gen) { case (w, h, nf, seed) =>
+      def pix(f: Int, x: Int, y: Int): Int =
+        ((x * 13L + y * 29L + f * f * 47L + seed) % 256L).toInt
+      def chan(v: Int, c: Int): Int = (v * (c + 1)) % 256
+      val diffs = graft.llm.Multimodal.sceneDiffs(
+        graft.llm.Multimodal.encodeAnimatedGif(w, h, nf, pix))
+      diffs != null && diffs.size == nf - 1 && diffs.zipWithIndex.forall {
+        case (r, k) =>
+          val f = k + 1
+          val exp = (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            yield math.abs(chan(pix(f, x, y), c)
+              - chan(pix(f - 1, x, y), c)).toLong).sum
+          r.getInt(0) == f && r.getLong(1) == w.toLong * h && r.getLong(2) == exp
+      }
+    }, cases = 30)
+  }
+
+  test("property: WAV encode/decode round-trips arbitrary 16-bit PCM, honest under truncation") {
+    val gen = for {
+      sr <- Gen.choose(8000, 48000); ch <- Gen.choose(1, 3)
+      n <- Gen.choose(0, 400); junk <- Gen.choose(0, 9)
+      seed <- Gen.choose(0L, 1L << 30); cut <- Gen.choose(0, 64)
+    } yield (sr, ch, n, junk, seed, cut)
+    check(Prop.forAll(gen) { case (sr, ch, n, junk, seed, cut) =>
+      val samples = Array.tabulate(n)(i =>
+        (((seed * 31 + i * 7919L) % 65536L) - 32768L).toShort)
+      val bytes = graft.llm.Multimodal.encodeWav(sr, ch, samples, junk)
+      val pcm = graft.llm.Multimodal.decodeWavPcm(bytes)
+      val okFull = pcm != null && pcm.sampleRate == sr && pcm.channels == ch &&
+        pcm.samples.toSeq == samples.toSeq
+      // truncating inside the data chunk decodes the exact sample prefix
+      val cut2 = math.min(cut, 2 * n)
+      val cutPcm = graft.llm.Multimodal.decodeWavPcm(bytes.dropRight(cut2))
+      val okCut = cutPcm != null &&
+        cutPcm.samples.toSeq == samples.take((2 * n - cut2) / 2).toSeq
+      okFull && okCut
+    }, cases = 40)
+  }
 }
