@@ -1085,6 +1085,22 @@ object SparkEntry {
       graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
     }),
 
+    // --- token-budget corpus assembly, wire-first: each language gets
+    //     floor(budget·weight+0.5) tokens and keeps its md5(doc_id)-ordered
+    //     document prefix under the quota (the step that turns mixture
+    //     weights into an actual ~budget-token corpus); weights ride as a
+    //     sub-model and the whole pipeline round-trips the wire ---
+    "q_token_budget" -> ((s, dir) => {
+      val wts = Model.sqlQuery(
+        """SELECT * FROM VALUES ('en', CAST(0.45 AS DOUBLE)), ('zh', 0.15),
+             ('es', 0.15), ('de', 0.15), ('fr', 0.10) AS t(lang, weight)""")
+      val model = m(dir, "documents")
+        .tokenBudgetFill(wts, id = col("doc_id"), group = col("lang"),
+          text = col("text"), budget = 12000L)
+        .sort(col("doc_id"))
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
+
     // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
     //     footer lines injected into every doc survive only at their
     //     first corpus occurrence; content lines repeat only where the
@@ -2904,6 +2920,33 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
                      AS BIGINT) AS rank
          FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100""",
+
+    // Token-budget fill: quota = floor(weight·12000 + 0.5) per language;
+    // keep the md5(doc_id)-ordered prefix whose inclusive running token
+    // count fits; same whitespace tokenization as the Spark side.
+    "q_token_budget" ->
+      """WITH wts(lang, weight) AS (VALUES
+             ('en', CAST(0.45 AS DOUBLE)), ('zh', CAST(0.15 AS DOUBLE)),
+             ('es', CAST(0.15 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+             ('fr', CAST(0.10 AS DOUBLE))),
+         d AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS mk
+           FROM documents WHERE text IS NOT NULL),
+         j AS (
+           SELECT d.doc_id, d.lang, d.n_tokens, d.mk,
+                  CAST(floor(w.weight * 12000 + 0.5) AS BIGINT) AS quota
+           FROM d JOIN wts w ON d.lang = w.lang),
+         c AS (
+           SELECT doc_id, lang, n_tokens, quota,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY mk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM j)
+         SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens <= quota ORDER BY doc_id""",
 
     // Corpus-level line dedup: first occurrence per distinct line in
     // (doc_id, line-index) order = row_number 1 over the line partition;

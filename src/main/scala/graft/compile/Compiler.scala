@@ -991,6 +991,26 @@ object Compiler {
       new Frame(graft.llm.Dsir.selectTopK(
         df.select(col(idName), col(txName)), idName, txName, llr, k))
 
+    case Source.TokenBudgetFill(base, id, group, text, weights, budget) =>
+      // Lowers to graft.llm.TextOps.tokenBudgetFill: broadcast weights,
+      // map-side token counts, ONE hash-partitioned running-sum window on
+      // the group key. Same weights-sub-model contract as UpsampleMix.
+      val bf = compileSource(base, spark)
+      val wf = compileSource(weights.source, spark)
+      wf.pending.keys.toSeq.foreach(wf.attach)
+      val gName = group.identifier
+      require(wf.df.columns.contains(gName) && wf.df.columns.contains("weight"),
+        s"tokenBudgetFill weights model must expose columns ($gName, weight); " +
+          s"got (${wf.df.columns.mkString(", ")})")
+      val idName = id.identifier
+      val txName = "__tbf_text__"
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(gName, compileExpr(group, bf))
+        .withColumn(txName, compileExpr(text, bf))
+      new Frame(graft.llm.TextOps.tokenBudgetFill(df, idName, gName, txName,
+        wf.df.select(col(gName), col("weight")), budget))
+
     case Source.Sessionize(base, schema, gapSeconds) =>
       // Gap-based sessionization, tie-safe by construction: a boundary
       // flag from lag() is order-ambiguous for equal timestamps, but the

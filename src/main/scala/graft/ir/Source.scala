@@ -259,4 +259,21 @@ object Source {
       dims: Int,
       k: Int,
   ) extends Source
+
+  /** Token-budget corpus assembly (beyond-reference, the wire form of
+    * `graft.llm.TextOps.tokenBudgetFill`): give each group
+    * floor(budget · weight + 0.5) tokens from the `weights` sub-model
+    * (columns: the `group` identifier + `weight`) and keep each group's
+    * md5(id)-ordered document PREFIX whose inclusive running token count
+    * fits its quota. Output: `id`, `group`, n_tokens, cum_tokens —
+    * deterministic, and membership is prefix-stable as the budget
+    * grows. */
+  final case class TokenBudgetFill(
+      base: Source,
+      id: Expr,
+      group: Expr,
+      text: Expr,
+      weights: graft.model.Model,
+      budget: Long,
+  ) extends Source
 }

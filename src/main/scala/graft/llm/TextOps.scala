@@ -535,6 +535,50 @@ object TextOps {
       .drop("__base__", "__cut__", "__n__")
   }
 
+  /** Token-budget corpus assembly: fill a total token budget across
+    * groups by mixture weight — the final step that turns "domain
+    * weights" into an actual training corpus of ~`budget` tokens. Each
+    * group g gets quota_g = floor(budget · w_g + 0.5) tokens and keeps
+    * the PREFIX of its documents, in deterministic md5(id) order, whose
+    * inclusive running token count fits the quota (prefix rule: the
+    * first overflowing doc and everything after it drop — replayable by
+    * one window; a skip-and-continue packing would be inherently
+    * sequential). Kept rows carry n_tokens and cum_tokens so downstream
+    * sharding can cut on token offsets.
+    *
+    * Scale: token counts are a map-side projection; weights broadcast
+    * (mixture tables are tiny); the running sum is ONE hash-partitioned
+    * window on the group key — WindowExec spills, so a giant group is
+    * disk-bounded, and the md5 order means re-filling with a larger
+    * budget EXTENDS each group's kept prefix (stable membership, the
+    * hashSample property). */
+  def tokenBudgetFill(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      weights: DataFrame,
+      budget: Long,
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__mk__"), col(idCol))
+    df.where(col(textCol).isNotNull)
+      .withColumn("__nt__", size(tokens(col(textCol))).cast("long"))
+      .withColumn("__mk__",
+        md5(col(idCol).cast("string").cast("binary")))
+      .join(broadcast(weights
+        .select(col(groupCol), col("weight").cast("double").as("__wt__"))),
+        Seq(groupCol))
+      .withColumn("__quota__",
+        floor(col("__wt__") * budget + lit(0.5)).cast("bigint"))
+      .withColumn("__cum__", sum(col("__nt__")).over(w))
+      .where(col("__cum__") <= col("__quota__"))
+      .select(col(idCol), col(groupCol), col("__nt__").as("n_tokens"),
+        col("__cum__").as("cum_tokens"))
+  }
+
   /** Within-document repetition ratio: fraction of word n-gram occurrences
     * that are repeats (1 − distinct/total), the classic boilerplate /
     * SEO-spam signal. Per-row closed form; 0.0 for docs shorter than n. */

@@ -567,6 +567,23 @@ final case class Model(
     Model(Source.DsirSelect(source, id, text, target, dims, k))
   }
 
+  /** Token-budget corpus assembly (the wire-serializable form of
+    * `graft.llm.TextOps.tokenBudgetFill`): keep each group's
+    * deterministic md5(id)-ordered document prefix whose running token
+    * count fits floor(budget · weight + 0.5), weights from the
+    * sub-model (columns: the `group` identifier + `weight`). Output:
+    * `id`, `group`, n_tokens, cum_tokens. */
+  def tokenBudgetFill(
+      weights: Model,
+      id: Expr,
+      group: Expr,
+      text: Expr,
+      budget: Long,
+  ): Model = {
+    require(budget > 0, "tokenBudgetFill needs budget > 0")
+    Model(Source.TokenBudgetFill(source, id, group, text, weights, budget))
+  }
+
   /** Per `group`, greedily match an ordered list of step predicates over
     * time-ordered events (reference model.py:411-537 + the 696-LoC
     * compilers/match_steps.py). Output grain: one row per group (× start

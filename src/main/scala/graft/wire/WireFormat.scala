@@ -125,6 +125,10 @@ object WireFormat {
     case Source.DsirSelect(b, id, tx, tgt, dims, k) =>
       Map("t" -> "dsirSelect", "base" -> sourceW(b), "id" -> exprW(id),
         "text" -> exprW(tx), "target" -> modelW(tgt), "dims" -> dims, "k" -> k)
+    case Source.TokenBudgetFill(b, id, g, tx, w, budget) =>
+      Map("t" -> "tokenBudgetFill", "base" -> sourceW(b), "id" -> exprW(id),
+        "group" -> exprW(g), "text" -> exprW(tx), "weights" -> modelW(w),
+        "budget" -> budget)
     case Source.FromDF(_) | Source.NativeOp(_, _) =>
       throw new IllegalArgumentException(
         s"${s.getClass.getSimpleName} wraps a live runtime object and has no wire form")
@@ -306,6 +310,10 @@ object WireFormat {
       Source.DsirSelect(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("text"))), modelR(obj(s("target"))),
         long(s("dims")).toInt, long(s("k")).toInt)
+    case "tokenBudgetFill" =>
+      Source.TokenBudgetFill(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("group"))), exprR(obj(s("text"))),
+        modelR(obj(s("weights"))), long(s("budget")))
     case other => throw new IllegalArgumentException(s"unknown source type '$other'")
   }
 

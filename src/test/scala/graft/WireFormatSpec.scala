@@ -212,6 +212,29 @@ class WireFormatSpec extends GraftSuite {
     assert(w.sorted.reverse.toSeq === w.toSeq)
   }
 
+  test("tokenBudgetFill rides the wire and honors per-group quotas") {
+    val s = spark
+    val wts = Model.sqlQuery(
+      """SELECT * FROM VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', 0.5)
+           AS t(lang, weight)""")
+    val tb = Model.parquet("/root/testdata/sf0.001", "documents")
+      .tokenBudgetFill(wts, id = col("doc_id"), group = col("lang"),
+        text = col("text"), budget = 2000L)
+      .sort(col("doc_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(tb)) === tb)
+    val direct = tb.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(tb)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq && direct.nonEmpty)
+    // every kept row's cum fits its group quota (floor(0.5·2000+0.5)=1000)
+    assert(direct.forall(r => r(3).asInstanceOf[Long] <= 1000L))
+    // per group, the max cum is within one doc of the quota boundary:
+    // adding the next doc in md5 order would overflow (prefix maximality
+    // is implied by cum <= quota AND the group's total exceeding it)
+    val byLang = direct.groupBy(_(1))
+    assert(byLang.keySet === Set("en", "de")) // only weighted groups emit
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
