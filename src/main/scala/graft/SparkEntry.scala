@@ -2026,6 +2026,63 @@ object SparkEntry {
         .sort(col("doc_id")).sort(col("frame_ix")).sort(col("channel"))
         .run(s)),
 
+    // --- Image RESIZE: 2× box downscale (output pixel = sum div 4 of its
+    //     source tile) re-encoded as a real PNG, then decoded back to
+    //     stats — the oracle replays the tile arithmetic over the fixture
+    //     closed form, so both the resize AND the PNG re-encode/decode
+    //     round-trip must be byte-exact ---
+    "q_multimodal_resize" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.pngFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val resized = graft.llm.Multimodal.resizePng(withPayload, "payload",
+            factor = 2)
+          graft.llm.Multimodal.decodePixels(resized, "resized")
+            .select(F.col("doc_id"), F.col("px.n_px").as("n_px"),
+              F.posexplode(F.arrays_zip(
+                F.col("px.sums").as("sums"), F.col("px.mins").as("mins"),
+                F.col("px.maxs").as("maxs"))).as(Seq("channel", "st")))
+            .select(F.col("doc_id"),
+              F.col("channel").cast("int").as("channel"), F.col("n_px"),
+              F.col("st.sums").as("sum_v"), F.col("st.mins").as("min_v"),
+              F.col("st.maxs").as("max_v"))
+        }
+        .sort(col("doc_id")).sort(col("channel"))
+        .run(s)),
+
+    // --- Audio RESAMPLE: 2× decimation re-encoded as a real mono WAV at
+    //     half the rate, then frame features over the decimated stream —
+    //     the oracle replays the stride-2 closed form ---
+    "q_multimodal_resample" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 14).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Multimodal.wavFixture(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val res = graft.llm.Multimodal.resampleWav(withPayload, "payload",
+            factor = 2)
+          graft.llm.Multimodal.audioFrameFeatures(res, "resampled",
+              frameSamples = 32)
+            .select(F.col("doc_id"), F.explode(F.col("aframes")).as("fr"))
+            .select(F.col("doc_id"), F.col("fr.frame_ix").as("frame_ix"),
+              F.col("fr.n_samples").as("n_samples"),
+              F.col("fr.sum_sq").as("sum_sq"),
+              F.col("fr.zero_cross").as("zero_cross"),
+              F.col("fr.max_abs").as("max_abs"))
+        }
+        .sort(col("doc_id")).sort(col("frame_ix"))
+        .run(s)),
+
     // --- Scene-cut statistics: adjacent-frame summed absolute RGB
     //     difference over animated fixture GIFs with a PLANTED cut (+97
     //     index jump at frame 2+id%3, +5 drift inside scenes). Working
@@ -4005,6 +4062,54 @@ object SparkEntry {
                 CAST(min(v) AS BIGINT) AS min_v,
                 CAST(max(v) AS BIGINT) AS max_v
          FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // Replays the 2× box downscale of pngFixture's closed form: output
+    // pixel = (sum of the 2×2 source tile) // 4; stats over the halved
+    // grid — matching requires resize arithmetic AND the PNG
+    // re-encode/decode round-trip to be byte-exact.
+    "q_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 12),
+         px AS (
+           SELECT d.doc_id, c.c, ox.ox, oy.oy,
+                  CAST(sum((7 * (2 * ox.ox + dx.dx) + 13 * (2 * oy.oy + dy.dy)
+                            + 31 * c.c + 3 * d.doc_id) % 256) // 4 AS BIGINT) AS v
+           FROM d
+           CROSS JOIN range(0, 6) ox(ox)
+           CROSS JOIN range(0, 6) oy(oy)
+           CROSS JOIN range(0, 2) dx(dx)
+           CROSS JOIN range(0, 2) dy(dy)
+           CROSS JOIN range(0, 3) c(c)
+           WHERE ox.ox < (8 + d.doc_id % 5) // 2
+             AND oy.oy < (6 + d.doc_id % 7) // 2
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(c AS INT) AS channel,
+                CAST(count(*) AS BIGINT) AS n_px,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(min(v) AS BIGINT) AS min_v,
+                CAST(max(v) AS BIGINT) AS max_v
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Replays wavFixture decimated by 2: s'(i) = ((7·id + 26·i) mod 2048)
+    // − 1024 over half the samples, framed at 32.
+    "q_multimodal_resample" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 14),
+         s AS (
+           SELECT d.doc_id, i.i,
+                  ((7 * d.doc_id + 26 * i.i) % 2048) - 1024 AS v,
+                  CAST(i.i // 32 AS INT) AS frame_ix
+           FROM d CROSS JOIN range(0, 240) i(i)
+           WHERE i.i < 120 + (d.doc_id % 7) * 20),
+         fr AS (
+           SELECT doc_id, frame_ix, i, v,
+                  lag(v) OVER (PARTITION BY doc_id, frame_ix ORDER BY i) AS pv
+           FROM s)
+         SELECT doc_id, frame_ix,
+                CAST(count(*) AS INT) AS n_samples,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0)
+                     AS INT) AS zero_cross,
+                CAST(max(abs(v)) AS INT) AS max_abs
+         FROM fr GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Replays gifSceneFixture's closed form on BOTH sides of every
     // adjacent frame pair: index (11x+17y+3·id+5f+97·[f≥cut]) mod 256

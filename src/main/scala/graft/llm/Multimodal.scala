@@ -1223,6 +1223,80 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Image RESIZE: box-filter downscale of each PNG payload by an integer
+    * `factor` (output pixel = integer mean, sum div factor², over its
+    * factor×factor source tile; partial edge tiles drop — the fixed-grid
+    * rule patchMeans uses), re-encoded as a real PNG into a `resized`
+    * binary column. The thumbnail/tile pass of an image pipeline: one
+    * narrow mapPartitions, decode → reduce → encode per row, output
+    * payloads factor²-fold smaller; null for corrupt payloads or images
+    * smaller than one tile. */
+  def resizePng(df: DataFrame, payloadCol: String, factor: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = df.schema.add(
+      StructField("resized", BinaryType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val area = factor * factor
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val raster = decodePngRaster(row.getAs[Array[Byte]](payloadIdx))
+          val out: Array[Byte] = if (raster == null) null else {
+            val ow = raster.w / factor
+            val oh = raster.h / factor
+            if (ow == 0 || oh == 0) null
+            else encodePng(ow, oh, raster.channels, (x, y, c) => {
+              var s = 0
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  s += raster.pixel(x * factor + dx, y * factor + dy, c)
+                  dx += 1
+                }
+                dy += 1
+              }
+              s / area
+            })
+          }
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Audio RESAMPLE: integer-factor decimation of each WAV payload's
+    * channel 0 (keep every `factor`-th sample — the cheap anti-aliasing-
+    * free downsample; a production pipeline low-passes first, which is a
+    * per-row FIR this same loop would host), re-encoded as a real mono
+    * WAV at sampleRate/factor into a `resampled` binary column. Null for
+    * non-PCM / corrupt payloads. */
+  def resampleWav(df: DataFrame, payloadCol: String, factor: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = df.schema.add(
+      StructField("resampled", BinaryType, nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val pcm = decodeWavPcm(row.getAs[Array[Byte]](payloadIdx))
+          val out: Array[Byte] =
+            if (pcm == null || pcm.sampleRate / factor == 0) null
+            else {
+              val stride = pcm.channels
+              val n = pcm.samples.length / stride
+              val kept = Array.tabulate((n + factor - 1) / factor)(i =>
+                pcm.samples(i * factor * stride))
+              encodeWav(pcm.sampleRate / factor, 1, kept)
+            }
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode a binary payload column into a `meta` struct column, iterating
     * each partition in batches of `batchSize` rows (the batch is where a
     * full pixel codec would amortize setup / exploit vectorized decode).

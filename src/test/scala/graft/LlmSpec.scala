@@ -1092,6 +1092,63 @@ class LlmSpec extends GraftSuite {
     assert(sf.size === 1 && sf.head.getSeq[Long](4) === sp.getSeq[Long](4))
   }
 
+  test("multimodal resize: box downscale re-encodes a real PNG with exact tile means") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 8L).toDF("doc_id")
+      .map(r => (r.getLong(0), Multimodal.pngFixture(r.getLong(0))))
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizePng(ids, "payload", factor = 2)
+    val stats = Multimodal.decodePixels(resized, "resized")
+      .select(sc("doc_id"), sc("px")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    for (id <- 0L until 8L) {
+      val w = (8 + id % 5).toInt; val h = (6 + id % 7).toInt
+      def v(x: Int, y: Int, c: Int): Int =
+        ((7L * x + 13L * y + 31L * c + 3L * id) % 256L).toInt
+      def out(x: Int, y: Int, c: Int): Long =
+        ((0 until 2).flatMap(dy => (0 until 2).map(dx =>
+          v(2 * x + dx, 2 * y + dy, c))).sum / 4).toLong
+      val px = stats(id)
+      assert(px.getInt(0) === w / 2 && px.getInt(1) === h / 2, s"id=$id dims")
+      for (c <- 0 until 3) {
+        val vs = for (y <- 0 until h / 2; x <- 0 until w / 2) yield out(x, y, c)
+        assert(px.getSeq[Long](4)(c) === vs.sum, s"id=$id c=$c")
+        assert(px.getSeq[Long](5)(c) === vs.min && px.getSeq[Long](6)(c) === vs.max)
+      }
+    }
+    // too-small image or corrupt payload → null, never fabricated
+    val tiny = Seq((0L, Multimodal.encodePng(3, 3, 1, (_, _, _) => 5)),
+      (1L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    val t = Multimodal.resizePng(tiny, "payload", factor = 4).collect()
+    assert(t.forall(_.isNullAt(2)))
+  }
+
+  test("multimodal resample: decimation keeps every k-th channel-0 sample at rate/k") {
+    for (id <- 0L until 7L) {
+      val n = (240 + (id % 7) * 40).toInt
+      def s0(i: Int): Int = (((7L * id + 13L * i) % 2048L) - 1024L).toInt
+      val spark2 = spark
+      import spark2.implicits._
+      val df = Seq((id, Multimodal.wavFixture(id))).toDF("doc_id", "payload")
+      val out = Multimodal.resampleWav(df, "payload", factor = 2).collect()(0)
+      val pcm = Multimodal.decodeWavPcm(out.getAs[Array[Byte]](2))
+      assert(pcm != null && pcm.sampleRate === 4000 && pcm.channels === 1)
+      assert(pcm.samples.length === n / 2, s"id=$id")
+      assert((0 until n / 2).forall(i => pcm.samples(i) === s0(2 * i).toShort))
+    }
+    // stereo decimation reads channel 0 of the interleave
+    val stereo = Array.tabulate(40)(i =>
+      (if (i % 2 == 0) (i / 2) * 10 else -7).toShort)
+    val sb = Multimodal.encodeWav(16000, 2, stereo)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((0L, sb)).toDF("doc_id", "payload")
+    val out = Multimodal.resampleWav(df, "payload", factor = 5).collect()(0)
+    val pcm = Multimodal.decodeWavPcm(out.getAs[Array[Byte]](2))
+    assert(pcm.sampleRate === 3200 && pcm.samples.toSeq === Seq[Short](0, 50, 100, 150))
+  }
+
   test("multimodal scene diffs: adjacent-frame MAD recovers the planted cut") {
     for (id <- 0L until 12L) {
       val w = (8 + id % 5).toInt; val h = (6 + id % 7).toInt
