@@ -303,6 +303,41 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("multimodal frame sampling is stateless: identical on a stream") {
+    // frameSample is a narrow mapPartitions — no state, no watermark —
+    // so clips arriving on a stream produce exactly the batch features
+    // regardless of batch boundaries (the decode-at-ingest shape a video
+    // pipeline wants: features land in the lake, payloads never re-read).
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    def fx(id: Long) = graft.llm.Multimodal.gifAnimFixture(id)
+
+    val ms = MemoryStream[Long](s)
+    val sampled = graft.llm.Multimodal.frameSample(
+      ms.toDF.toDF("doc_id")
+        .map(r => (r.getLong(0), fx(r.getLong(0)))).toDF("doc_id", "payload"),
+      "payload", every = 2)
+      .selectExpr("doc_id", "explode(frames) AS fr")
+      .selectExpr("doc_id", "fr.frame_ix AS frame_ix", "fr.sums[0] AS sum_r")
+    val q = sampled.writeStream.format("memory").queryName("frames_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ids.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(ids.drop(2): _*) // stateless: boundaries irrelevant
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT doc_id, frame_ix, sum_r FROM frames_out ORDER BY doc_id, frame_ix")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val batch = ids.flatMap { id =>
+        graft.llm.Multimodal.sampleGifFrames(fx(id), 2)
+          .map(r => (id, r.getInt(0), r.getSeq[Long](4).head))
+      }.sorted
+      assert(out === batch && out.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming line dedup: batch parity across batch boundaries, in-batch ties to min(id, ix)") {
     val s = spark
     import s.implicits._
