@@ -66,6 +66,34 @@ object ParquetIO {
       .parquet(path)
   }
 
+  /** Bucketed+sorted table write — the CO-LOCATED JOIN layout: two
+    * tables bucketed the same way (same key, same bucket count) join and
+    * aggregate with ZERO shuffle exchanges, because the on-disk hash
+    * layout already satisfies the join's required distribution and the
+    * per-bucket sort satisfies the sort-merge ordering. At 100 TB this
+    * is the difference between re-shuffling the fact table on every run
+    * and paying the shuffle ONCE at ingest (the bucketed write's own
+    * exchange) — every subsequent join/agg on the key rides the layout
+    * for free. Registers `table` in the session catalog with data at
+    * `path` (bucketing metadata lives in the catalog — a plain
+    * `spark.read.parquet` of the path would not see it). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      buckets: Int,
+  ): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

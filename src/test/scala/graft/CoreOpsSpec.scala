@@ -580,4 +580,64 @@ class CoreOpsSpec extends GraftSuite {
     intercept[NoSuchElementException] { m.attr("identt") }
     assert(m.attr("ident") !== null)
   }
+
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    // The co-located-join layout (ParquetIO.writeBucketed): both sides
+    // bucketed on the join key with equal bucket counts — the scan's
+    // hash layout satisfies the join distribution and the per-bucket
+    // sort satisfies the merge ordering, so the plan carries no
+    // ShuffleExchange at all. The 100 TB payoff: the fact table's
+    // shuffle is paid once at ingest, not on every query.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case w: WholeStageCodegenExec => Seq(w.child)
+        case _ => Seq.empty
+      })).flatMap(flatten)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      flatten(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.ParquetIO.writeBucketed(
+      orders, "orders_b", "/tmp/graft_buckets/orders", "o_orderkey", 4)
+    graft.sources.ParquetIO.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "/tmp/graft_buckets/lineitem", "o_orderkey", 4)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("orders_b")
+        .join(s.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"))
+      assert(shuffles(joined) === 0,
+        s"bucketed join+agg should plan zero exchanges:\n${joined.queryExecution.executedPlan}")
+      // and the layout changes only the plan, never the values
+      val viaBuckets = joined.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val direct = orders
+        .join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(viaBuckets === direct && direct.nonEmpty)
+      // the unbucketed formulation of the same query pays exchanges —
+      // the layout is what removed them
+      assert(shuffles(orders
+        .join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))) > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
