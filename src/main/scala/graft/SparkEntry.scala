@@ -1059,12 +1059,19 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val raw = df.where(F.col("text").isNotNull)
-          val target = raw.where(F.col("lang") === "en")
-          val llr = graft.llm.Dsir.fitLlrMicro(target, raw, "text", dims = 256)
-          raw.select(F.col("doc_id"),
-            graft.llm.Dsir.nGrams(F.col("text")).cast("long").as("n_grams"),
-            graft.llm.Dsir.weightMicro(F.col("text"), llr).as("weight_micro"))
+          // hash the gram buckets ONCE into a cached feature frame; the
+          // target counts, raw counts, serving fold, and n_grams all
+          // read it (n_grams = the bucket array's size — free)
+          graft.GraftExtensions.install(df.sparkSession)
+          val feats = graft.llm.CacheScope.global.cache(
+            df.where(F.col("text").isNotNull)
+              .select(F.col("doc_id"), F.col("lang"),
+                graft.llm.Dsir.gramBuckets(F.col("text"), 256).as("__bk__")))
+          val llr = graft.llm.Dsir.fitLlrMicroOf(
+            feats.where(F.col("lang") === "en"), feats, "__bk__", 256)
+          feats.select(F.col("doc_id"),
+            F.size(F.col("__bk__")).cast("long").as("n_grams"),
+            graft.llm.Dsir.weightMicroOf(F.col("__bk__"), llr).as("weight_micro"))
         }
         .sort(col("doc_id"))
         .run(s)),

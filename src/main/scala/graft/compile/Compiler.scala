@@ -981,15 +981,24 @@ object Compiler {
       require(tf.df.columns.contains(txName),
         s"dsirSelect target model must expose a column named '$txName'; " +
           s"got (${tf.df.columns.mkString(", ")})")
-      val df = bf.df
+      // materialize-FEATURES-once (the semdedup doctrine): the hashed
+      // gram-bucket arrays — the dominant md5 cost — are computed in ONE
+      // pass and cached; the fit's raw-count pass and the serving fold
+      // both read the cache instead of re-hashing the corpus. Scope is
+      // released per query by the harness.
+      graft.GraftExtensions.install(spark)
+      val feats = graft.llm.CacheScope.global.cache(bf.df
         .withColumn(idName, compileExpr(id, bf))
         .withColumn(txName, compileExpr(text, bf))
         .where(col(txName).isNotNull)
-      val llr = graft.llm.Dsir.fitLlrMicro(
-        tf.df.select(col(txName)).where(col(txName).isNotNull),
-        df.select(col(txName)), txName, dims)
-      new Frame(graft.llm.Dsir.selectTopK(
-        df.select(col(idName), col(txName)), idName, txName, llr, k))
+        .select(col(idName),
+          graft.llm.Dsir.gramBuckets(col(txName), dims).as("__bk__")))
+      val targetBuckets = tf.df
+        .where(col(txName).isNotNull)
+        .select(graft.llm.Dsir.gramBuckets(col(txName), dims).as("__bk__"))
+      val llr = graft.llm.Dsir.fitLlrMicroOf(
+        targetBuckets, feats.select(col("__bk__")), "__bk__", dims)
+      new Frame(graft.llm.Dsir.selectTopKOf(feats, idName, "__bk__", llr, k))
 
     case Source.TokenBudgetFill(base, id, group, text, weights, budget) =>
       // Lowers to graft.llm.TextOps.tokenBudgetFill: broadcast weights,

@@ -61,23 +61,35 @@ object Dsir {
   /** Gram count of a document (unigrams + bigrams), for budgeting. */
   def nGrams(text: Column): Column = size(gramMd5s(text))
 
+  /** The document's hashed gram BUCKETS (array<bigint>) — the shared
+    * feature projection: computing this ONCE and caching it serves the
+    * fit's count pass AND the serving fold, so the md5 work (the
+    * dominant cost) is paid once however many passes consume it. */
+  def gramBuckets(text: Column, dims: Int): Column =
+    transform(gramMd5s(text), m => bucketOf(m, dims))
+
   private def bucketOf(md5Hex: Column, dims: Int): Column =
     conv(substring(md5Hex, 1, 8), 16, 10).cast("bigint") % dims
 
-  /** One corpus's per-bucket gram-occurrence counts: explode + one
-    * map-side-combined count aggregate + a ≤dims-row collect. */
-  private def bucketCounts(docs: DataFrame, textCol: String,
+  /** One corpus's per-bucket gram-occurrence counts from a precomputed
+    * buckets column: explode + one map-side-combined count aggregate +
+    * a ≤dims-row collect. */
+  private def bucketCountsOf(docs: DataFrame, bucketsCol: String,
       dims: Int): Array[Long] = {
     val rows = docs
-      .where(col(textCol).isNotNull)
-      .select(explode(gramMd5s(col(textCol))).as("__m__"))
-      .select(bucketOf(col("__m__"), dims).as("__b__"))
+      .select(explode(col(bucketsCol)).as("__b__"))
       .groupBy(col("__b__")).agg(count(lit(1)).as("__n__"))
       .collect()
     val arr = new Array[Long](dims)
     rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
   }
+
+  private def bucketCounts(docs: DataFrame, textCol: String,
+      dims: Int): Array[Long] =
+    bucketCountsOf(docs
+      .where(col(textCol).isNotNull)
+      .select(gramBuckets(col(textCol), dims).as("__b__")), "__b__", dims)
 
   /** Fit the per-bucket importance table: micro-bits of
     * log2 p_target(b) − log2 p_raw(b) under add-α smoothing, each side
@@ -88,8 +100,12 @@ object Dsir {
       dims: Int = 256): Array[Long] = {
     require(dims > 0, "dims must be positive")
     graft.GraftExtensions.install(target.sparkSession)
-    val tc = bucketCounts(target, textCol, dims)
-    val rc = bucketCounts(raw, textCol, dims)
+    llrFromCounts(bucketCounts(target, textCol, dims),
+      bucketCounts(raw, textCol, dims), dims)
+  }
+
+  private def llrFromCounts(tc: Array[Long], rc: Array[Long],
+      dims: Int): Array[Long] = {
     val tTot = tc.sum
     val rTot = rc.sum
     def microBits(n: Long, tot: Long): Long = {
@@ -107,28 +123,50 @@ object Dsir {
   /** Per-row integer importance weight: Σ over the document's grams of
     * their bucket's micro-bit log ratio, probing the model frozen into
     * the plan as an array literal — zero joins at serve time. */
-  def weightMicro(text: Column, llrMicro: Array[Long]): Column = {
-    val dims = llrMicro.length
+  def weightMicro(text: Column, llrMicro: Array[Long]): Column =
+    weightMicroOf(gramBuckets(text, llrMicro.length), llrMicro)
+
+  /** [[weightMicro]] over a precomputed buckets column (the cached
+    * feature-sharing path — no per-pass re-hashing). */
+  def weightMicroOf(buckets: Column, llrMicro: Array[Long]): Column = {
     val llrLit = array(llrMicro.map(lit(_)): _*)
-    val buckets = transform(gramMd5s(text), m => bucketOf(m, dims))
     aggregate(buckets, lit(0L),
       (acc, b) => acc + element_at(llrLit, (b + 1).cast("int")))
+  }
+
+  /** [[fitLlrMicro]] over precomputed bucket frames (feature-sharing
+    * path): `target` and `raw` each expose `bucketsCol`. */
+  def fitLlrMicroOf(target: DataFrame, raw: DataFrame, bucketsCol: String,
+      dims: Int): Array[Long] = {
+    val tc = bucketCountsOf(target, bucketsCol, dims)
+    val rc = bucketCountsOf(raw, bucketsCol, dims)
+    llrFromCounts(tc, rc, dims)
   }
 
   /** Keep the `k` highest-importance documents, deterministically ranked
     * by (weight desc, id): sort+limit (TakeOrdered — no global sort
     * shuffle), then a rank window over only the k-row result. */
   def selectTopK(docs: DataFrame, idCol: String, textCol: String,
-      llrMicro: Array[Long], k: Int): DataFrame = {
+      llrMicro: Array[Long], k: Int): DataFrame =
+    rankCut(docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        weightMicro(col(textCol), llrMicro).as("weight_micro")), idCol, k)
+
+  /** [[selectTopK]] over a precomputed buckets column. */
+  def selectTopKOf(docs: DataFrame, idCol: String, bucketsCol: String,
+      llrMicro: Array[Long], k: Int): DataFrame =
+    rankCut(docs.select(col(idCol),
+      weightMicroOf(col(bucketsCol), llrMicro).as("weight_micro")), idCol, k)
+
+  private def rankCut(weighted: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val top = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol), weightMicro(col(textCol), llrMicro).as("weight_micro"))
+    weighted
       .sort(col("weight_micro").desc, col(idCol))
       .limit(k)
-    top.withColumn("rank",
-      row_number().over(
-        Window.orderBy(col("weight_micro").desc, col(idCol))).cast("long"))
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("weight_micro").desc, col(idCol))).cast("long"))
   }
 }
