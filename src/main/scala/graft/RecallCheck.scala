@@ -166,6 +166,14 @@ object RecallCheck {
       ("quantized rerank (int8, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.quantizedRerankTopK(emb, "vec_id",
           "embedding", queryId = q, candidates = 50, k = k)), perQueryIds)),
+      ("random projection (dims=16, cand=50)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.rpTopK(emb, "vec_id", "embedding",
+          queryId = q, d = 64, dims = 16, seed = 7, candidates = 50, k = k)),
+        perQueryIds)),
+      ("random projection (dims=32, cand=100)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.rpTopK(emb, "vec_id", "embedding",
+          queryId = q, d = 64, dims = 32, seed = 7, candidates = 100, k = k)),
+        perQueryIds)),
     )
 
     println(s"\nrecall@$k over $title ($n vectors)\n")

@@ -1208,6 +1208,31 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- Unicode NFC normalization (codegen'd native ≡ DuckDB
+    //     nfc_normalize): crawl noise simulated by decomposing every 'a'
+    //     into a + U+0301; per-lang changed-doc counts and the codepoint
+    //     contraction NFC recovers ---
+    "q_text_nfc" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
+          // NOTE: built with a Scala literal, not Spark chr(769) — Spark's
+          // chr() is ASCII-only (wraps mod 256), DuckDB's is full Unicode
+          df.withColumn("__dec__",
+              F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")))
+            .withColumn("__nfc__", F.expr("nfc_normalize(__dec__)"))
+            .groupBy(F.col("lang"))
+            .agg(
+              F.count(F.lit(1)).as("n_docs"),
+              F.sum(F.when(F.col("__nfc__") =!= F.col("__dec__"), 1L)
+                .otherwise(0L)).as("n_changed"),
+              (F.sum(F.length(F.col("__dec__")))
+                - F.sum(F.length(F.col("__nfc__")))).as("cp_delta"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- MinHash + LSH near-dup pairs (banded bucket join, never all-pairs) ---
     "q_dedup_minhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -1645,6 +1670,18 @@ object SparkEntry {
       m(dir, "embeddings")
         .native(df => graft.llm.Embeddings.quantizedRerankTopK(
           df, "vec_id", "embedding", queryId = 0L, candidates = 50, k = 10))
+        .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
+        .run(s)),
+
+    // --- random-projection (JL) ANN: deterministic ±1 md5 sign matrix
+    //     frozen as a plan literal projects 64-dim vectors to 16 dims;
+    //     shortlist of 50 by projected cosine, exact-cosine rerank to 10.
+    //     The index-free serving path: no training, no build, candidate
+    //     scan touches dims/d of the data. ---
+    "q_ann_rp" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.rpTopK(df, "vec_id", "embedding",
+          queryId = 0L, d = 64, dims = 16, seed = 7, candidates = 50, k = 10))
         .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
         .run(s)),
 
@@ -2163,6 +2200,18 @@ object SparkEntry {
       m(dir, "documents")
         .native(df => graft.llm.Search.topNgrams(df, "text", n = 2, k = 20))
         .sort(col("gram"))
+        .run(s)),
+
+    // --- exact distributed top-20 tokens via two-pass heavy hitters:
+    //     Misra-Gries candidate aggregate (O(width) state, zero token
+    //     shuffle) + exact recount over the broadcast candidate set. The
+    //     exactness precondition (20th count 888 > n/(w+1) = 27165/65 at
+    //     sf0.01) holds with an order-of-magnitude margin, so the oracle
+    //     is the plain exact top-k. ---
+    "q_heavy_hitters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.heavyHitters(df, "text", k = 20, width = 64))
+        .sort(col("token"))
         .run(s)),
 
     // --- BPE training statistic: top adjacent-character pairs over the
@@ -3734,6 +3783,36 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0) t
          ORDER BY cosine DESC, vec_id LIMIT 10"""),
 
+    // JL random projection: the ±1 sign matrix replays via the same
+    // md5-parity formula (bit-exact projection — same element order, same
+    // double ops), both cuts via (6-dp score, vec_id) — so candidate SET
+    // and rerank match exactly.
+    "q_ann_rp" ->
+      (s"""WITH p AS (
+           SELECT vec_id, embedding,
+                  list_transform(range(0, 16), j ->
+                    list_reduce(list_transform(range(1, 65), i ->
+                      CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN CAST(concat('0x', substr(md5(concat('rp:7:', i, ':', j)), 1, 8)) AS BIGINT) % 2 = 0
+                            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+                      (x, y) -> x + y)) AS pv
+           FROM embeddings),
+         q AS (SELECT embedding AS qv, pv AS qp,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn,
+                      sqrt(${dotSql("pv", "pv")}) AS qpn
+               FROM p WHERE vec_id = 0),
+         cand AS (
+           SELECT p.vec_id, p.embedding,
+                  round(${dotSql("p.pv", "q.qp")}
+                        / (sqrt(${dotSql("p.pv", "p.pv")}) * q.qpn), 6) AS cosine_rp,
+                  q.qv, q.qn
+           FROM p, q WHERE p.vec_id <> 0
+           ORDER BY cosine_rp DESC, p.vec_id LIMIT 50)
+         SELECT vec_id, cosine_rp,
+                round(${dotSql("embedding", "qv")}
+                      / (sqrt(${dotSql("embedding", "embedding")}) * qn), 6) AS cosine
+         FROM cand ORDER BY cosine DESC, vec_id LIMIT 10"""),
+
     // PQ/ADC: one Lloyd's chain per 32-dim half-slice (suffixes p0/p1),
     // query lookup tables t0/t1, score = cosine against the RECONSTRUCTED
     // vector — (qd0+qd1) / (qn * sqrt(cn2_0+cn2_1)), 6dp, id tie-break.
@@ -4228,6 +4307,31 @@ object SparkEntry {
          )
          SELECT gram, count(*) AS n_occurrences FROM grams
          GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 20""",
+
+    // Exact top-k replay: the MG pass only proposes candidates (superset
+    // guaranteed by the n/(width+1) bound), the recount defines every
+    // user-visible value — so the oracle is the straight exact top-k with
+    // the same (n DESC, token) cut.
+    // NFC parity: java.text.Normalizer NFC == DuckDB nfc_normalize (both
+    // implement UAX#15 canonical composition); lengths count codepoints
+    // on both engines, so the contraction delta replays exactly.
+    "q_text_nfc" ->
+      """WITH d AS (
+           SELECT lang, replace(text, 'a', 'a' || chr(769)) AS dec
+           FROM documents
+         )
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN nfc_normalize(dec) <> dec THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                CAST(sum(length(dec)) - sum(length(nfc_normalize(dec))) AS BIGINT) AS cp_delta
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> ''
+         )
+         SELECT token, count(*) AS n FROM toks WHERE token <> ''
+         GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
 
     // Vocabulary-weighted character-pair counts (one BPE iteration's
     // argmax statistic): word freq first, then per-word adjacent pairs

@@ -660,6 +660,78 @@ object Embeddings {
       .select(col(idCol), col("cosine_q8"), col("cosine"))
   }
 
+  /** md5-portable ±1 entry of the random projection matrix: +1 when the
+    * first-8-hex-chars value of md5("rp:<seed>:<i>:<j>") is even. The same
+    * formula is replayable in DuckDB (`concat('0x', substr(md5(...), 1, 8))
+    * :: BIGINT % 2`), so the oracle reproduces the EXACT projection, not a
+    * statistical twin. i is 1-based (SQL list indexing), j is 0-based. */
+  private[graft] def rpSign(seed: Int, i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$seed:$i:$j".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection (Johnson–Lindenstrauss) ANN: project every vector
+    * to `dims` dimensions with a deterministic ±1 sign matrix (Achlioptas
+    * 2003 — database-friendly random projections), shortlist `candidates`
+    * by projected cosine, then rerank the shortlist with the exact cosine.
+    *
+    * Scale design: the projection matrix is a PLAN LITERAL (dims × d
+    * doubles — a few KB; the model-parameter pattern, zero joins to attach
+    * it), each projected coordinate is one codegen'd `float_vec_dot`
+    * against a literal row, and the shortlist is a TakeOrdered — so the
+    * whole candidate pass is a single narrow scan over d-dim vectors that
+    * writes only dims-dim rows, an d/dims I/O + CPU reduction over brute
+    * force per query batch, with NO index build or training step (the
+    * practical win over IVF/PQ when the corpus churns faster than an index
+    * can be rebuilt). Exact rerank touches `candidates` full vectors only.
+    *
+    * Both stages cut deterministically (6-dp score, id tie-break) and the
+    * projection is md5-replayable, so the DuckDB oracle reproduces the
+    * candidate SET bit-for-bit — recall vs [[bruteTopK]] is measured in
+    * RecallCheck like every other serving op. */
+  def rpTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      d: Int,
+      dims: Int,
+      seed: Int,
+      candidates: Int,
+      k: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    require(d >= 1 && dims >= 1 && dims <= d,
+      s"need 1 <= dims <= d, got dims=$dims d=$d")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val signRow: Int => Column = j =>
+      typedlit((1 to d).map(i => rpSign(seed, i, j)))
+    val proj = array((0 until dims).map(j =>
+      expr(s"float_vec_dot($vecCol, __sr${j}__)")): _*)
+    val withProj = (0 until dims)
+      .foldLeft(emb)((df, j) => df.withColumn(s"__sr${j}__", signRow(j)))
+      .withColumn("__pv__", proj)
+      .select(col(idCol), col(vecCol), col("__pv__"),
+        sqrt(dot(vecCol, vecCol)).as("__n__"),
+        sqrt(dot("__pv__", "__pv__")).as("__pn__"))
+    val q = withProj.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv__"), col("__pv__").as("__qp__"),
+        col("__n__").as("__qn__"), col("__pn__").as("__qpn__"))
+    withProj.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q)) // 1-row query attach
+      .withColumn("cosine_rp",
+        round(dot("__pv__", "__qp__") / (col("__pn__") * col("__qpn__")), 6))
+      .orderBy(col("cosine_rp").desc, col(idCol))
+      .limit(candidates) // TakeOrdered shortlist
+      .withColumn("cosine",
+        round(dot(vecCol, "__qv__") / (col("__n__") * col("__qn__")), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine_rp"), col("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — cluster the embedding space with k-means, then within
     * each cluster treat any pair with cosine ≥ `threshold` as duplicates

@@ -222,6 +222,53 @@ object Search {
                 0L) AS double))""").as("tf"))
   }
 
+  /** Exact distributed top-k frequent tokens via the two-pass heavy-hitter
+    * scheme: a Misra-Gries candidate pass, then an exact recount restricted
+    * to the candidates.
+    *
+    * Pass 1 is ONE global aggregate of [[graft.expr.MgSummary]] — state is
+    * `width` counters per partition, merged map-side; no token row ever
+    * shuffles, and the driver collect is a bounded model parameter
+    * (<= width entries, the LM-plan-literal pattern). Pass 2 explodes
+    * tokens (corpus-linear, narrow) and broadcast-semi-joins the candidate
+    * set, so the groupBy shuffles at most `width` distinct keys with
+    * map-side combine — at 100 TB the wire carries O(width x partitions)
+    * rows either pass, never the vocabulary.
+    *
+    * EXACTNESS: Misra-Gries retains every token with true frequency
+    * > n_tokens/(width+1) (mergeable-summaries bound, any merge tree), so
+    * the recounted top-k equals the true top-k whenever the k-th true
+    * count clears that threshold; `require` width >= some sanity floor and
+    * document the precondition. Ties cut by (n DESC, token ASC), matching
+    * the oracle's ORDER BY.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      width: Int,
+  ): DataFrame = {
+    require(k >= 1 && width >= k,
+      s"heavyHitters needs width >= k >= 1, got k=$k width=$width")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val summary = docs
+      .agg(expr(s"mg_summary($textCol, $width)").as("__mg__"))
+      .select(explode(col("__mg__")).as(Seq("__tok__", "__lb__")))
+    // bounded collect: <= width candidate tokens (a model parameter)
+    val candidates = summary.select("__tok__").as[String].collect().toSeq
+    val candDf = broadcast(candidates.toDF("__tok__"))
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("__tok__"))
+      .where(col("__tok__") =!= "")
+      .join(candDf, Seq("__tok__"), "left_semi")
+      .groupBy(col("__tok__").as("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   def packSequences(
       docs: DataFrame,
       idCol: String,

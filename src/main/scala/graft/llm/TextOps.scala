@@ -628,6 +628,15 @@ object TextOps {
     trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
   }
 
+  /** Unicode NFC normalization (codegen'd native, [[graft.expr.NfcNormalize]]).
+    * Corpus pipelines normalize BEFORE any hashing/dedup stage: the
+    * decomposed e+U+0301 and precomposed U+00E9 must land in the same
+    * minhash/md5/gram keys or the same page crawled by two paths never
+    * dedups. Per-row, zero shuffle; DuckDB's `nfc_normalize` is the same
+    * Unicode transform, so oracles replay it exactly. The caller must have
+    * graft natives installed (every public operator entry point installs). */
+  def nfc(textCol: String): Column = expr(s"nfc_normalize($textCol)")
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key lands
     * in the first `percent` of the hash space (first 8 hex digits as an
     * unsigned 32-bit value). Stable across runs/engines and cluster

@@ -1528,6 +1528,75 @@ class LlmSpec extends GraftSuite {
     llm.CacheScope.global.release()
   }
 
+  test("rpTopK: candidates=all degenerates to brute-force; sign matrix is deterministic") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    // shortlist wide open → the rerank IS brute force (projection may
+    // only PRUNE, never perturb exact scores)
+    val full = Embeddings.rpTopK(emb, "vec_id", "embedding",
+        queryId = 0L, d = 64, dims = 16, seed = 7, candidates = n, k = 10)
+      .select(sc("vec_id"), sc("cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Embeddings.bruteTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .select(sc("vec_id"), sc("cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === brute.toSeq)
+    // the ±1 matrix is pure function of (seed, i, j): stable across calls,
+    // changes with seed
+    assert(Embeddings.rpSign(7, 1, 0) === Embeddings.rpSign(7, 1, 0))
+    assert((1 to 64).exists(i =>
+      Embeddings.rpSign(7, i, 0) !== Embeddings.rpSign(8, i, 0)))
+    // JL pruning preserves PLANTED structure (sin-derived clusters, the
+    // RecallCheck generator): near-isotropic synthetic vectors have
+    // inter-neighbor cosine gaps below the dims=16 distortion — that's a
+    // data property, measured honestly in RecallCheck — but clustered
+    // geometry (the case ANN serving exists for) survives projection.
+    val planted = s.range(200).selectExpr("id AS vec_id",
+      """transform(sequence(0, 63), i -> CAST(
+          sin(CAST(id DIV 20 AS double) * 131.0 + i * 17.0)
+          + 0.35 * sin(id * 37.0 + i * 13.0 + CAST(id DIV 20 AS double))
+          AS float)) AS embedding""")
+    val pBrute = Embeddings.bruteTopK(planted, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .select(sc("vec_id")).collect().map(_.getLong(0)).toSet
+    val pruned = Embeddings.rpTopK(planted, "vec_id", "embedding",
+        queryId = 0L, d = 64, dims = 16, seed = 7, candidates = 50, k = 10)
+      .select(sc("vec_id")).collect().map(_.getLong(0)).toSet
+    assert((pruned & pBrute).size >= 8, s"recall too low: $pruned vs $pBrute")
+  }
+
+  test("nfc native: composes decomposed accents, idempotent, null-safe, ascii fast path") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val df = Seq(
+      (0L, "café"),          // decomposed é
+      (1L, "café"),           // precomposed é
+      (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("id", "t")
+    val out = df.selectExpr("id", "nfc_normalize(t) AS n",
+        "length(t) AS lt", "length(nfc_normalize(t)) AS ln")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(0L) === "café") // composed
+    assert(out(1L) === "café") // unchanged
+    assert(out(2L) === "plain ascii")
+    assert(out(3L) === null)
+    // the two forms now hash identically — the dedup motivation
+    val hashes = df.where(sc("id") < 2)
+      .selectExpr("md5(cast(nfc_normalize(t) AS binary)) AS h")
+      .collect().map(_.getString(0)).distinct
+    assert(hashes.length === 1)
+    // idempotence
+    val twice = df.where(sc("id") === 0)
+      .selectExpr("nfc_normalize(nfc_normalize(t)) = nfc_normalize(t) AS eq")
+      .collect().head.getBoolean(0)
+    assert(twice)
+  }
+
   test("splitByCluster keeps near-dup clusters on one side of the boundary") {
     val s = spark
     import s.implicits._

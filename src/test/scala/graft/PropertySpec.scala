@@ -120,6 +120,44 @@ class PropertySpec extends GraftSuite {
     }, cases = 40)
   }
 
+  test("property: MgState retains every token above n/(width+1) under any merge tree") {
+    // Drives MgState directly (ChainState pattern): for any token stream,
+    // any partitioning, any random merge order, and serialize round-trips,
+    // the merged summary must contain EVERY token whose true frequency
+    // exceeds n/(width+1) — the precondition heavyHitters' exactness rests
+    // on — and every retained count must be a lower bound on the truth.
+    import graft.expr.MgSummary
+    val width = 4
+    val agg = MgSummary(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true), width)
+    val tokGen = Gen.frequency(
+      (6, Gen.const("the")), (3, Gen.const("of")), (2, Gen.const("and")),
+      (1, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")))
+    val streamGen = Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, tokGen))
+    check(Prop.forAll(streamGen, Gen.long) { (toks, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val chunks = rnd.shuffle(toks).grouped(
+        math.max(1, toks.size / (1 + rnd.nextInt(5)))).toSeq
+      val states = chunks.map { chunk =>
+        val st = agg.createAggregationBuffer()
+        chunk.foreach { t =>
+          agg.update(st, org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+        }
+        agg.deserialize(agg.serialize(st))
+      }
+      val merged = rnd.shuffle(states).reduce { (a, b) => agg.merge(a, b) }
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val thresh = toks.size.toDouble / (width + 1)
+      val kept = merged.counts.toMap
+      truth.forall { case (t, c) =>
+        (c <= thresh || kept.contains(t)) &&
+          kept.get(t).forall(lb => lb <= c)
+      }
+    }, cases = 40)
+  }
+
   test("property: fold multiplies rows by the number of value columns") {
     val s = spark
     import s.implicits._

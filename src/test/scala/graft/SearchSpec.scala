@@ -31,6 +31,30 @@ class SearchSpec extends GraftSuite {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  test("heavyHitters: equals exact top-k on a skewed corpus with tiny width") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 40 docs: 'hot' in every doc 3x, 'warm' in half, long tail of unique
+    // tokens — width 8 forces real MG decrement sweeps and merge trims.
+    val docs = (0 until 40).map { i =>
+      val tail = s"u${i}a u${i}b u${i}c"
+      val warm = if (i % 2 == 0) " warm warm" else ""
+      (i.toLong, s"hot hot hot$warm $tail")
+    }.toDF("doc_id", "text")
+    val got = Search.heavyHitters(docs, "text", k = 2, width = 8).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("hot", 120L), ("warm", 40L)))
+  }
+
+  test("heavyHitters: ties cut deterministically by (n desc, token asc)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "bb aa bb aa cc")).toDF("doc_id", "text")
+    val got = Search.heavyHitters(docs, "text", k = 2, width = 8).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("aa", "bb"))
+  }
+
   test("bm25: multi-term scores are the sum of per-term contributions") {
     val both = Search.bm25TopK(docs, "doc_id", "text",
       Seq("spark", "flink"), k = 10).collect()
