@@ -1673,6 +1673,18 @@ object SparkEntry {
         .sort(col("cosine"), dir = "desc").sort(col("vec_id"))
         .run(s)),
 
+    // --- margin-based bitext mining (CCMatrix pairing rule): label
+    //     halves as the two "languages", sign-LSH bucket equi-join as
+    //     the candidate generator (never A×B), hub-normalized margins,
+    //     per-A best partner above threshold ---
+    "q_bitext_mine" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.bitextMine(df, "vec_id", "embedding",
+          sideAPred = org.apache.spark.sql.functions.col("label") < 5,
+          bits = 4, k = 4, minMargin = 1.0))
+        .sort(col("a_id"))
+        .run(s)),
+
     // --- random-projection (JL) ANN: deterministic ±1 md5 sign matrix
     //     frozen as a plan literal projects 64-dim vectors to 16 dims;
     //     shortlist of 50 by projected cosine, exact-cosine rerank to 10.
@@ -2214,6 +2226,38 @@ object SparkEntry {
         .sort(col("token"))
         .run(s)),
 
+    // --- per-language exact top-5 tokens: the grouped two-pass heavy
+    //     hitter (per-group MG state, broadcast candidate semi-join);
+    //     per-group exactness bound verified at sf0.01 (min c5=131 >
+    //     max n_g/65=181-threshold per group) ---
+    "q_heavy_hitters_grouped" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.heavyHittersByGroup(
+          df, "lang", "text", k = 5, width = 64))
+        .sort(col("lang")).sort(col("rank"))
+        .run(s)),
+
+    // --- CDC-chunk storage dedup ratio: content-defined chunks shared
+    //     across documents collapse to one stored copy — the dedup-storage
+    //     accounting query (one narrow chunk map + one groupBy on
+    //     chunk_md5) ---
+    "q_cdc_dedup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Search.cdcChunks(df, "doc_id", "text", k = 4, modulus = 16)
+            .groupBy(F.col("chunk_md5"))
+            .agg(F.count(F.lit(1)).as("__cnt__"),
+              F.max(F.col("n_words")).as("__w__"))
+            .agg(
+              F.sum(F.col("__cnt__")).as("n_chunks"),
+              F.count(F.lit(1)).as("n_uniq"),
+              F.sum((F.col("__cnt__") - 1) * F.col("__w__")).as("dup_words"),
+              F.round(F.count(F.lit(1)).cast("double")
+                / F.sum(F.col("__cnt__")), 6).as("uniq_ratio"))
+        }
+        .run(s)),
+
     // --- BPE training statistic: top adjacent-character pairs over the
     //     corpus VOCABULARY (explode runs on vocab × frequency, never on
     //     raw text — Heaps' law makes that sublinear in corpus size) ---
@@ -2262,6 +2306,18 @@ object SparkEntry {
             df.where(F.col("doc_id") < 100), "doc_id", "text",
             chunkSize = 32, stride = 24)
         }
+        .sort(col("doc_id")).sort(col("chunk_ix"))
+        .run(s)),
+
+    // --- content-defined chunking (word-level Rabin/LBFS boundary rule):
+    //     boundary before word i when md5(4-gram at i) ≡ 0 mod 16; the
+    //     whole operator is a narrow map (codegen'd gram hash + boundary
+    //     natives + one posexplode), zero joins/shuffles ---
+    "q_cdc_chunks" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Search.cdcChunks(
+          df.where(org.apache.spark.sql.functions.col("doc_id") < 100),
+          "doc_id", "text", k = 4, modulus = 16))
         .sort(col("doc_id")).sort(col("chunk_ix"))
         .run(s)),
 
@@ -3783,6 +3839,47 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0) t
          ORDER BY cosine DESC, vec_id LIMIT 10"""),
 
+    // Bitext margins: same bucket equi-join, 6-dp cosines, decimal
+    // (order-free) top-k averages over actual candidate counts, identical
+    // double margin expression, (margin desc, b_id) pick.
+    "q_bitext_mine" ->
+      (s"""WITH e AS (
+           SELECT vec_id, label, embedding, $BktSql AS bkt,
+                  sqrt(${dotSql("embedding", "embedding")}) AS nn
+           FROM embeddings),
+         a AS (SELECT vec_id AS a_id, embedding AS av, bkt, nn AS an
+               FROM e WHERE label < 5),
+         b AS (SELECT vec_id AS b_id, embedding AS bv, bkt, nn AS bn
+               FROM e WHERE label >= 5),
+         pairs AS (
+           SELECT a_id, b_id,
+                  round(${dotSql("av", "bv")} / (an * bn), 6) AS cosine
+           FROM a JOIN b USING (bkt)),
+         ax AS (
+           SELECT a_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS axv
+           FROM (SELECT a_id, cosine, row_number() OVER
+                   (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         ay AS (
+           SELECT b_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS ayv
+           FROM (SELECT b_id, cosine, row_number() OVER
+                   (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         mg AS (
+           SELECT p.a_id, p.b_id, p.cosine,
+                  round(p.cosine / ((ax.axv + ay.ayv) / CAST(2.0 AS DOUBLE)), 6)
+                    AS margin
+           FROM pairs p JOIN ax USING (a_id) JOIN ay USING (b_id))
+         SELECT a_id, b_id, cosine, margin FROM (
+           SELECT mg.*, row_number() OVER
+             (PARTITION BY a_id ORDER BY margin DESC, b_id) AS pick
+           FROM mg) f
+         WHERE pick = 1 AND margin > 1.0 ORDER BY a_id"""),
+
     // JL random projection: the ±1 sign matrix replays via the same
     // md5-parity formula (bit-exact projection — same element order, same
     // double ops), both cuts via (6-dp score, vec_id) — so candidate SET
@@ -4308,10 +4405,84 @@ object SparkEntry {
          SELECT gram, count(*) AS n_occurrences FROM grams
          GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 20""",
 
+    // Grouped heavy hitters: per-group exact top-5 replay (MG pass only
+    // proposes; per-group recount is the value-defining stage).
+    "q_heavy_hitters_grouped" ->
+      """WITH toks AS (
+           SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> ''
+         ), c AS (
+           SELECT lang, token, count(*) AS n FROM toks WHERE token <> ''
+           GROUP BY 1, 2
+         ), r AS (
+           SELECT lang, token, n,
+                  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+           FROM c)
+         SELECT lang, token, n, rank FROM r WHERE rank <= 5
+         ORDER BY lang, rank""",
+
+    // CDC dedup accounting: same chunk CTE as q_cdc_chunks (whole corpus),
+    // grouped by chunk hash.
+    "q_cdc_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), g AS (
+           SELECT doc_id, w, len(w) AS n,
+                  list_prepend(CAST(1 AS BIGINT), list_filter(
+                    list_transform(range(2, len(w) - 2), i ->
+                      CASE WHEN CAST(concat('0x', substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)) AS BIGINT) % 16 = 0
+                           THEN CAST(i AS BIGINT) ELSE NULL END),
+                    x -> x IS NOT NULL)) AS starts
+           FROM toks
+         ), c AS (
+           SELECT doc_id, w, n, starts,
+                  unnest(range(1, len(starts) + 1)) AS cix
+           FROM g
+         ), ch AS (
+           SELECT coalesce(starts[cix + 1] - 1, n) - starts[cix] + 1 AS n_words,
+                  md5(array_to_string(w[starts[cix] : coalesce(starts[cix + 1] - 1, n)], ' ')) AS chunk_md5
+           FROM c
+         ), byh AS (
+           SELECT chunk_md5, count(*) AS cnt, max(n_words) AS w2
+           FROM ch GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                count(*) AS n_uniq,
+                CAST(sum((cnt - 1) * w2) AS BIGINT) AS dup_words,
+                round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS uniq_ratio
+         FROM byh""",
+
     // Exact top-k replay: the MG pass only proposes candidates (superset
     // guaranteed by the n/(width+1) bound), the recount defines every
     // user-visible value — so the oracle is the straight exact top-k with
     // the same (n DESC, token) cut.
+    // CDC replay: same md5-of-4-gram boundary rule (first-8-hex mod 16),
+    // start 1 prepended, ends from the next start, chunk text md5 over the
+    // space-joined slice. range(2, len(w)-2) enumerates gram positions
+    // 2..n-3 — exactly the valid 4-gram starts after position 1.
+    "q_cdc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 100
+         ), g AS (
+           SELECT doc_id, w, len(w) AS n,
+                  list_prepend(CAST(1 AS BIGINT), list_filter(
+                    list_transform(range(2, len(w) - 2), i ->
+                      CASE WHEN CAST(concat('0x', substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)) AS BIGINT) % 16 = 0
+                           THEN CAST(i AS BIGINT) ELSE NULL END),
+                    x -> x IS NOT NULL)) AS starts
+           FROM toks
+         ), c AS (
+           SELECT doc_id, w, n, starts,
+                  unnest(range(1, len(starts) + 1)) AS cix
+           FROM g
+         )
+         SELECT doc_id, CAST(cix AS BIGINT) AS chunk_ix,
+                starts[cix] AS start_word,
+                coalesce(starts[cix + 1] - 1, n) - starts[cix] + 1 AS n_words,
+                md5(array_to_string(w[starts[cix] : coalesce(starts[cix + 1] - 1, n)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_ix""",
+
     // NFC parity: java.text.Normalizer NFC == DuckDB nfc_normalize (both
     // implement UAX#15 canonical composition); lengths count codepoints
     // on both engines, so the contraction delta replays exactly.

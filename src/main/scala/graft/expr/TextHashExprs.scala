@@ -177,6 +177,31 @@ object TextHashMore {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunk START positions (1-based word positions) from a
+    * positional gram-md5 array ([[wordKgramMd5s]] output): position 1,
+    * plus every gram position i >= 2 whose md5's first-8-hex value is
+    * ≡ 0 (mod `modulus`). The hash-boundary rule is the word-level analog
+    * of Rabin/gear CDC (LBFS, Muthitacharoen et al. SOSP'01): boundaries
+    * depend only on LOCAL content, so an insertion early in a document
+    * shifts chunk hashes only until the next boundary — unlike fixed-size
+    * chunking, where everything downstream changes. Expected chunk length
+    * is `modulus` words. DuckDB replays the rule verbatim
+    * (`concat('0x', substr(md5(gram), 1, 8))::BIGINT % modulus`). */
+  def cdcStarts(grams: ArrayData, modulus: Int): ArrayData = {
+    if (grams == null) return null
+    val n = grams.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](8)
+    buf += 1
+    var i = 1
+    while (i < n) {
+      val h = grams.getUTF8String(i).toString
+      if (java.lang.Long.parseLong(h.substring(0, 8), 16) % modulus == 0)
+        buf += i + 1
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** MinHash signature over the distinct word n-gram shingles of a token
     * array — fuses wordShingles + array_distinct + minhashSignature into
     * one pass (identical values: min is order-insensitive). Same one-md5
@@ -394,6 +419,26 @@ case class WordKgramMd5s(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expr.TextHashMore.wordKgramMd5s($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WordKgramMd5s =
+    copy(child = newChild)
+}
+
+/** `cdc_starts(grams, modulus)` — see [[TextHashMore.cdcStarts]]. */
+case class CdcStarts(child: Expression, modulus: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if modulus > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_starts expects (array<string>, modulus>0), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_starts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.cdcStarts(input.asInstanceOf[ArrayData], modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHashMore.cdcStarts($c, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcStarts =
     copy(child = newChild)
 }
 

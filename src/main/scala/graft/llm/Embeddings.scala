@@ -660,6 +660,74 @@ object Embeddings {
       .select(col(idCol), col("cosine_q8"), col("cosine"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER pairing rule): for candidate cross-side pairs (x, y),
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x→B) + avgTopK(y→A)) / 2)
+    * — raw cosine normalized by how "hubby" each endpoint is, which kills
+    * the hub vectors that raw-cosine pairing mis-marries. Emits each
+    * A-side vector's best-margin partner with margin > `minMargin`.
+    *
+    * Scale design: candidates come from a sign-LSH bucket EQUI-JOIN
+    * (the [[lshTopK]] blocking key — never A×B all-pairs; any serving
+    * index could stand in as the candidate generator), per-pair work is
+    * one codegen'd dot product over precomputed norms, and both
+    * normalizer averages are per-key windows over the SAME candidate
+    * frame (memoized, computed once). At 100 TB both sides shuffle once
+    * on the bucket id; everything after is per-bucket / per-key.
+    *
+    * Determinism for the oracle: cosines round to 6 dp; top-k cuts order
+    * by (cosine desc, id); averages sum the rounded cosines as
+    * DECIMAL(18,9) (order-free) over the ACTUAL candidate count (< k
+    * when a bucket is thin); margin = cos / ((ax + ay) / 2) in doubles,
+    * rounded to 6 dp, final pick by (margin desc, partner id). */
+  def bitextMine(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sideAPred: Column,
+      bits: Int,
+      k: Int,
+      minMargin: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    require(k >= 1, "k must be positive")
+    val base = emb
+      .withColumn("__bkt__", signBucket(vecCol, bits))
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
+      .withColumn("__sideA__", sideAPred)
+    val a = base.where(col("__sideA__"))
+      .select(col(idCol).as("a_id"), col(vecCol).as("__av__"),
+        col("__bkt__"), col("__n__").as("__an__"))
+    val b = base.where(!col("__sideA__"))
+      .select(col(idCol).as("b_id"), col(vecCol).as("__bv__"),
+        col("__bkt__"), col("__n__").as("__bn__"))
+    val pairs = scope.cache(a.join(b, Seq("__bkt__"))
+      .withColumn("cosine",
+        round(dot("__av__", "__bv__") / (col("__an__") * col("__bn__")), 6))
+      .select(col("a_id"), col("b_id"), col("cosine")))
+    def hubAvg(key: String, other: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cosine").desc, col(other))
+      pairs
+        .withColumn("__r__", row_number().over(w))
+        .where(col("__r__") <= k)
+        .groupBy(col(key))
+        .agg((sum(col("cosine").cast("decimal(18,9)")).cast("double")
+          / count(lit(1))).as(out))
+    }
+    pairs
+      .join(hubAvg("a_id", "b_id", "__ax__"), Seq("a_id"))
+      .join(hubAvg("b_id", "a_id", "__ay__"), Seq("b_id"))
+      .withColumn("margin",
+        round(col("cosine") / ((col("__ax__") + col("__ay__")) / lit(2.0)), 6))
+      .withColumn("__pick__",
+        row_number().over(Window.partitionBy(col("a_id"))
+          .orderBy(col("margin").desc, col("b_id"))))
+      .where(col("__pick__") === 1 && col("margin") > minMargin)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("margin"))
+  }
+
   /** md5-portable ±1 entry of the random projection matrix: +1 when the
     * first-8-hex-chars value of md5("rp:<seed>:<i>:<j>") is even. The same
     * formula is replayable in DuckDB (`concat('0x', substr(md5(...), 1, 8))

@@ -222,6 +222,48 @@ object Search {
                 0L) AS double))""").as("tf"))
   }
 
+  /** Content-defined chunking (word-level Rabin-style CDC, the LBFS /
+    * dedup-storage boundary rule): a chunk boundary falls BEFORE word i
+    * (i >= 2) whenever the md5 of the k-gram starting at i is ≡ 0 mod
+    * `modulus` — so boundaries are functions of LOCAL content only, and an
+    * edit early in a document perturbs chunk identities only up to the
+    * next boundary (fixed-size chunking shifts every downstream chunk).
+    * Expected chunk length ≈ `modulus` words. Emits one row per chunk:
+    * (id, chunk_ix, start_word, n_words, chunk_md5).
+    *
+    * Scale shape: gram hashing ([[graft.expr.WordKgramMd5s]]) and boundary
+    * selection ([[graft.expr.CdcStarts]]) are codegen'd per-row natives;
+    * the chunk rows come from ONE posexplode that carries the token array
+    * alongside — zero joins, zero shuffles, the whole operator is a
+    * narrow map over the scan. Chunk ends derive from the starts array
+    * itself (`element_at(starts, ix+2) - 1`, else n). */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      modulus: Int = 16,
+  ): DataFrame = {
+    require(k >= 1 && modulus >= 1, "need k >= 1 and modulus >= 1")
+    graft.GraftExtensions.install(docs.sparkSession)
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__w__"))
+      .withColumn("__n__", size(col("__w__")))
+      .withColumn("__starts__",
+        expr(s"cdc_starts(word_kgram_md5s(__w__, $k), $modulus)"))
+      .select(col(idCol), col("__w__"), col("__n__"), col("__starts__"),
+        posexplode(col("__starts__")).as(Seq("__p__", "__s__")))
+      .withColumn("__e__",
+        coalesce(expr("try_element_at(__starts__, __p__ + 2) - 1"), col("__n__")))
+      .select(
+        col(idCol),
+        (col("__p__") + 1).cast("long").as("chunk_ix"),
+        col("__s__").cast("long").as("start_word"),
+        (col("__e__") - col("__s__") + 1).cast("long").as("n_words"),
+        md5(expr("CAST(array_join(slice(__w__, __s__, __e__ - __s__ + 1), ' ') AS binary)"))
+          .as("chunk_md5"))
+  }
+
   /** Exact distributed top-k frequent tokens via the two-pass heavy-hitter
     * scheme: a Misra-Gries candidate pass, then an exact recount restricted
     * to the candidates.
@@ -267,6 +309,43 @@ object Search {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+  }
+
+  /** Per-group exact top-k frequent tokens — [[heavyHitters]] composed
+    * under a group key (the "top terms per language/source/domain" shape).
+    * Pass 1 is one hash aggregate of [[graft.expr.MgSummary]] per group
+    * (map-side combined, width-bounded state per group); pass 2 recounts
+    * exactly over a (group, token) semi-join against the broadcast
+    * candidate frame (≤ width × |groups| rows — intended for low-
+    * cardinality group columns; for unbounded groups swap the broadcast
+    * for a shuffle semi-join, same plan otherwise). Exactness per group
+    * needs the group's k-th count > n_g/(width+1), the same Misra-Gries
+    * superset bound as the global op. */
+  def heavyHittersByGroup(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int,
+      width: Int,
+  ): DataFrame = {
+    require(k >= 1 && width >= k,
+      s"heavyHittersByGroup needs width >= k >= 1, got k=$k width=$width")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val cand = docs
+      .groupBy(col(groupCol))
+      .agg(expr(s"mg_summary($textCol, $width)").as("__mg__"))
+      .select(col(groupCol), explode(map_keys(col("__mg__"))).as("__tok__"))
+    docs
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("__tok__"))
+      .where(col("__tok__") =!= "")
+      .join(broadcast(cand), Seq(groupCol, "__tok__"), "left_semi")
+      .groupBy(col(groupCol), col("__tok__"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("n").desc, col("__tok__"))))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("__tok__").as("token"), col("n"), col("rank"))
   }
 
   def packSequences(

@@ -548,4 +548,32 @@ object Streams {
       .select(
         col("window.start").as("window_start"),
         col(keyCol), col("n"))
+
+  /** Streaming per-group Misra-Gries heavy-hitter candidates — the
+    * streaming face of [[graft.llm.Search.heavyHittersByGroup]]'s pass 1:
+    * a plain streaming aggregation whose buffer IS the mergeable MG
+    * summary ([[graft.expr.MgSummary]]), so the state store holds
+    * `width` counters per group forever, regardless of stream length or
+    * vocabulary size. Run with Update output mode (each micro-batch
+    * refreshes the groups it touched) or Complete for a per-batch
+    * snapshot.
+    *
+    * The candidate GUARANTEE (every token with frequency > n_g/(width+1)
+    * over the whole history is present) holds under streaming's
+    * incremental merge order because MG summaries merge associatively
+    * with additive error — the same any-merge-tree property PropertySpec
+    * pins for the batch aggregate. Candidate counts (the map values)
+    * remain lower bounds; the exact recount stays a batch/offline pass,
+    * exactly as in the two-pass batch operator. */
+  def streamingHeavyHitterCandidates(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      width: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    docs
+      .groupBy(col(groupCol))
+      .agg(expr(s"mg_summary($textCol, $width)").as("mg_candidates"))
+  }
 }

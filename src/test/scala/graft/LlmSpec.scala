@@ -1567,6 +1567,60 @@ class LlmSpec extends GraftSuite {
     assert((pruned & pBrute).size >= 8, s"recall too low: $pruned vs $pBrute")
   }
 
+  test("bitextMine equals a plain-Scala re-derivation of the margin rule") {
+    val s = spark
+    import s.implicits._
+    // all first-4 coords positive → one bucket: candidate set = full A×B,
+    // so the Scala loop below is the complete ground truth
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0.1f, 0.1f)),
+      (1L, 1, Array(0.1f, 1.0f, 0.1f, 0.1f)),
+      (2L, 2, Array(0.2f, 0.3f, 1.0f, 0.1f)),
+      (10L, 7, Array(0.7f, 0.7f, 0.1f, 0.1f)), // hub: close to 0 and 1
+      (11L, 8, Array(0.1f, 0.9f, 0.1f, 0.3f)),
+      (12L, 9, Array(0.15f, 0.2f, 0.9f, 0.2f)),
+    ).toDF("vec_id", "label", "embedding")
+    val got = Embeddings.bitextMine(vecs, "vec_id", "embedding",
+        sideAPred = sc("label") < 5, bits = 4, k = 2, minMargin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val aS = Seq(0L -> Array(1.0f, 0.1f, 0.1f, 0.1f),
+      1L -> Array(0.1f, 1.0f, 0.1f, 0.1f), 2L -> Array(0.2f, 0.3f, 1.0f, 0.1f))
+    val bS = Seq(10L -> Array(0.7f, 0.7f, 0.1f, 0.1f),
+      11L -> Array(0.1f, 0.9f, 0.1f, 0.3f), 12L -> Array(0.15f, 0.2f, 0.9f, 0.2f))
+    val cosMap = (for ((ai, av) <- aS; (bi, bv) <- bS)
+      yield (ai, bi) -> cos(av, bv)).toMap
+    def topAvg(xs: Seq[Double]) = {
+      // replicate the op's order-free decimal(18,9) sum → double → /n
+      val t = xs.sorted.reverse.take(2)
+      t.map(v => BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / t.length
+    }
+    val ax = aS.map { case (ai, _) => ai -> topAvg(bS.map(b => cosMap((ai, b._1)))) }.toMap
+    val ay = bS.map { case (bi, _) => bi -> topAvg(aS.map(a => cosMap((a._1, bi)))) }.toMap
+    val expected = aS.map { case (ai, _) =>
+      val best = bS.map { case (bi, _) =>
+        val mg = BigDecimal(cosMap((ai, bi)) / ((ax(ai) + ay(bi)) / 2.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (bi, mg)
+      }.maxBy { case (bi, mg) => (mg, -bi) }
+      (ai, best._1, best._2)
+    }
+    assert(got === expected)
+    // the margin rule must pair each specific vector with its specific
+    // partner, not the hub
+    assert(got.find(_._1 == 1L).get._2 === 11L)
+    assert(got.find(_._1 == 2L).get._2 === 12L)
+    llm.CacheScope.global.release()
+  }
+
   test("nfc native: composes decomposed accents, idempotent, null-safe, ascii fast path") {
     val s = spark
     import s.implicits._

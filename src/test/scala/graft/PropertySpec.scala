@@ -120,6 +120,39 @@ class PropertySpec extends GraftSuite {
     }, cases = 40)
   }
 
+  test("property: CDC chunk boundaries are edit-local (insertion shifts only one chunk region)") {
+    // The property content-defined chunking EXISTS for: insert one word at
+    // a random position — every chunk starting at a boundary beyond the
+    // edit's gram window must survive with an identical content hash
+    // (start shifted by exactly one). Fixed-size chunking fails this.
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val wordGen = Gen.oneOf((0 until 30).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(20, 120).flatMap(n => Gen.listOfN(n, wordGen))
+    check(Prop.forAll(docGen, Gen.chooseNum(0, 1000), Gen.long) { (words, posRaw, _) =>
+      val pos = posRaw % words.size // insert before 0-based position pos
+      val edited = words.take(pos) ::: List("INSERTED") ::: words.drop(pos)
+      val docs = Seq((0L, words.mkString(" ")), (1L, edited.mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = graft.llm.Search
+        .cdcChunks(docs, "doc_id", "text", k = k, modulus = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+      val orig = chunks.filter(_._1 == 0L).sortBy(_._2)
+      val ed = chunks.filter(_._1 == 1L).sortBy(_._2)
+      // first original boundary start strictly past the edit's gram reach:
+      // grams containing the inserted word start at positions > pos-k+1
+      // (1-based: pos+1), so boundaries at start > pos + k are untouched
+      val stable = orig.map(_._2).filter(st => st >= 2 && st > pos + k)
+      stable.isEmpty || {
+        val origTail = orig.filter(c => c._2 >= stable.min).map(c => (c._3, c._4))
+        val edTail = ed.filter(c => c._2 >= stable.min + 1).map(c => (c._3, c._4))
+        origTail.toSeq == edTail.toSeq
+      }
+    }, cases = 20)
+  }
+
   test("property: MgState retains every token above n/(width+1) under any merge tree") {
     // Drives MgState directly (ChainState pattern): for any token stream,
     // any partitioning, any random merge order, and serialize round-trips,

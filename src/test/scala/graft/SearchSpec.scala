@@ -31,6 +31,52 @@ class SearchSpec extends GraftSuite {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  test("cdc_starts native is value-identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      "a b c",                    // fewer than k tokens → single chunk
+      "one two three four",      // exactly k
+      (1 to 200).map(i => s"w${i % 23}").mkString(" "), // long, repetitive
+      "",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = docs
+      .selectExpr("doc_id",
+        "word_kgram_md5s(split(trim(text), '\\\\s+'), 4) AS g")
+      .selectExpr("doc_id",
+        "cdc_starts(g, 16) AS native",
+        """concat(array(1),
+             filter(transform(g, (h, i) ->
+               IF(i >= 1 AND CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % 16 = 0,
+                  i + 1, CAST(NULL AS INT))),
+               x -> x IS NOT NULL)) AS hof""")
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("cdcChunks: chunk spans tile the document exactly; expected-length sane") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, (1 to 500).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Search.cdcChunks(docs, "doc_id", "text", k = 4, modulus = 16)
+      .orderBy(sc("chunk_ix")).collect()
+    // spans are contiguous from word 1 through n with no gaps/overlap
+    assert(out.head.getLong(2) === 1L)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) + a.getLong(3) === b.getLong(2), "contiguous")
+      case _ =>
+    }
+    assert(out.map(_.getLong(3)).sum === 500L)
+    // boundary rate 1/16 → plausible chunk count for 500 words
+    assert(out.length >= 8 && out.length <= 90)
+  }
+
   test("heavyHitters: equals exact top-k on a skewed corpus with tiny width") {
     val s = spark
     import s.implicits._

@@ -397,6 +397,50 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming MG heavy-hitter candidates keep the guarantee across micro-batches") {
+    val s = spark
+    import s.implicits._
+    // three batches per group; 'hot' dominates lang a, 'warm' lang b;
+    // width 4 forces decrements in-batch AND at the state-merge boundary
+    val b1 = Seq(("a", "hot hot hot x1 x2"), ("b", "warm warm y1"))
+    val b2 = Seq(("a", "hot hot x3 x4 x5"), ("b", "warm warm warm y2 y3"))
+    val b3 = Seq(("a", "hot x6"), ("b", "warm y4 y5 y6"))
+    val all = b1 ++ b2 ++ b3
+
+    val ms = MemoryStream[(String, String)](s)
+    val agg = Streams.streamingHeavyHitterCandidates(
+      ms.toDF.toDF("lang", "text"), "lang", "text", width = 4)
+    // complete mode: the memory sink holds exactly the latest per-group
+    // snapshot (no last-row-per-group bookkeeping needed)
+    val q = agg.writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+      val byGroup = spark.sql("SELECT lang, mg_candidates FROM mg_out")
+        .collect()
+        .map(r => (r.getString(0), r.getMap[String, Long](1)))
+        .toMap
+      val truth = all.groupBy(_._1).map { case (g, docs) =>
+        val toks = docs.flatMap(_._2.split("\\s+"))
+        g -> (toks.size, toks.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      }
+      truth.foreach { case (g, (n, counts)) =>
+        val kept = byGroup(g)
+        val thresh = n.toDouble / 5 // width + 1 = 5
+        counts.foreach { case (tok, c) =>
+          assert(c <= thresh || kept.contains(tok),
+            s"group $g lost heavy token $tok ($c > $thresh)")
+          kept.get(tok).foreach(lb => assert(lb <= c,
+            s"group $g overcounts $tok: $lb > $c"))
+        }
+      }
+      // the dominant tokens survived with usable counts
+      assert(byGroup("a").contains("hot") && byGroup("b").contains("warm"))
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops docs sharing eval n-grams, passes the rest") {
     val s = spark
     import s.implicits._
