@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard}
+import graft.expr.{BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -114,6 +114,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "word_ngram_jaccard takes exactly 3 arguments")
         WordNgramJaccard(args.head, args(1), intLit(args(2), "word_ngram_jaccard"))
+      }),
+    (FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_len takes exactly 1 argument")
+        DeflateLen(args.head)
       }),
     (FunctionIdentifier("cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "cdc_starts"),

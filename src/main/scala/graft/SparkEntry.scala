@@ -1462,6 +1462,20 @@ object SparkEntry {
         .sort(col("lang"))
         .run(s)),
 
+    // --- Efraimidis–Spirakis weighted sampling without replacement,
+    //     md5-derandomized: 25 docs drawn ∝ n_chars; priorities
+    //     ln(u)/w at 6 dp with key tie-break, so the sampled SET
+    //     replays bit-for-bit ---
+    "q_weighted_sample" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.weightedSample(
+            df, "doc_id", "n_chars", k = 25)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("priority")))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- temperature-weighted corpus mixing (XLM-R/mT5 resampling,
     //     alpha = 0.5): rare languages up-weighted ∝ √n_g; one group
     //     aggregate + broadcast rate table + per-row hash predicate. The
@@ -1682,6 +1696,18 @@ object SparkEntry {
         .native(df => graft.llm.Embeddings.bitextMine(df, "vec_id", "embedding",
           sideAPred = org.apache.spark.sql.functions.col("label") < 5,
           bits = 4, k = 4, minMargin = 1.0))
+        .sort(col("a_id"))
+        .run(s)),
+
+    // --- bitext mining with the quadratic guard engaged: per-(bucket,
+    //     side) lowest-id cap bounds candidate pairs at 2^bits×cap²
+    //     regardless of corpus size (ScaleCheck: the uncapped 4-bit join
+    //     grew 18× at 10× data; this one stays linear) ---
+    "q_bitext_capped" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.bitextMine(df, "vec_id", "embedding",
+          sideAPred = org.apache.spark.sql.functions.col("label") < 5,
+          bits = 4, k = 4, minMargin = 1.0, maxPerBucketSide = 24))
         .sort(col("a_id"))
         .run(s)),
 
@@ -3275,6 +3301,17 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) < 1073741824
          GROUP BY 1 ORDER BY 1""",
 
+    // ES weighted sampling: same u = (md5_u32(key)+1)/2^32, same
+    // round(ln(u)/w, 6) priority, same (priority desc, key) cut.
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang,
+                round(ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+                         / CAST(4294967296.0 AS DOUBLE))
+                      / CAST(n_chars AS DOUBLE), 6) AS priority
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0
+         ORDER BY priority DESC, doc_id LIMIT 25""",
+
     // Replays temperatureMix(alpha=0.5, keepFrac=0.5): pow→6dp round,
     // decimal weight sum, the SAME double expression association
     // (kf * N * w / S / n), floor(rate * 2^32) cutoff, md5-prefix keep.
@@ -3851,6 +3888,54 @@ object SparkEntry {
                FROM e WHERE label < 5),
          b AS (SELECT vec_id AS b_id, embedding AS bv, bkt, nn AS bn
                FROM e WHERE label >= 5),
+         pairs AS (
+           SELECT a_id, b_id,
+                  round(${dotSql("av", "bv")} / (an * bn), 6) AS cosine
+           FROM a JOIN b USING (bkt)),
+         ax AS (
+           SELECT a_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS axv
+           FROM (SELECT a_id, cosine, row_number() OVER
+                   (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         ay AS (
+           SELECT b_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS ayv
+           FROM (SELECT b_id, cosine, row_number() OVER
+                   (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         mg AS (
+           SELECT p.a_id, p.b_id, p.cosine,
+                  round(p.cosine / ((ax.axv + ay.ayv) / CAST(2.0 AS DOUBLE)), 6)
+                    AS margin
+           FROM pairs p JOIN ax USING (a_id) JOIN ay USING (b_id))
+         SELECT a_id, b_id, cosine, margin FROM (
+           SELECT mg.*, row_number() OVER
+             (PARTITION BY a_id ORDER BY margin DESC, b_id) AS pick
+           FROM mg) f
+         WHERE pick = 1 AND margin > 1.0 ORDER BY a_id"""),
+
+    // Capped bitext margins: same pipeline with the per-(bucket, side)
+    // lowest-id row_number cap replayed in both a and b CTEs.
+    "q_bitext_capped" ->
+      (s"""WITH e AS (
+           SELECT vec_id, label, embedding, $BktSql AS bkt,
+                  sqrt(${dotSql("embedding", "embedding")}) AS nn
+           FROM embeddings),
+         a0 AS (SELECT vec_id AS a_id, embedding AS av, bkt, nn AS an
+                FROM e WHERE label < 5),
+         a AS (SELECT a_id, av, bkt, an FROM (
+                 SELECT a0.*, row_number() OVER
+                   (PARTITION BY bkt ORDER BY a_id) AS br FROM a0) t
+               WHERE br <= 24),
+         b0 AS (SELECT vec_id AS b_id, embedding AS bv, bkt, nn AS bn
+                FROM e WHERE label >= 5),
+         b AS (SELECT b_id, bv, bkt, bn FROM (
+                 SELECT b0.*, row_number() OVER
+                   (PARTITION BY bkt ORDER BY b_id) AS br FROM b0) t
+               WHERE br <= 24),
          pairs AS (
            SELECT a_id, b_id,
                   round(${dotSql("av", "bv")} / (an * bn), 6) AS cosine

@@ -675,6 +675,17 @@ object Embeddings {
     * frame (memoized, computed once). At 100 TB both sides shuffle once
     * on the bucket id; everything after is per-bucket / per-key.
     *
+    * THE QUADRATIC GUARD: with `bits` fixed, per-bucket population grows
+    * with the corpus and the within-bucket join grows O(n²/2^bits) —
+    * ScaleCheck measured 18× wall at 10× data for the uncapped 4-bit
+    * query. `maxPerBucketSide` is the same deterministic skew cap the
+    * MinHash/SemDeDup paths use: each (bucket, side) keeps only its
+    * lowest-id `cap` members for PAIRING (a documented recall tradeoff,
+    * identical on the oracle side), bounding candidate pairs at
+    * 2^bits × cap² regardless of corpus size. Production settings scale
+    * `bits` with log₂(n) AND keep a cap as the backstop, exactly like
+    * `minhashPairs(maxBucketSize)`.
+    *
     * Determinism for the oracle: cosines round to 6 dp; top-k cuts order
     * by (cosine desc, id); averages sum the rounded cosines as
     * DECIMAL(18,9) (order-free) over the ACTUAL candidate count (< k
@@ -688,20 +699,30 @@ object Embeddings {
       bits: Int,
       k: Int,
       minMargin: Double,
+      maxPerBucketSide: Int = Int.MaxValue,
       scope: CacheScope = CacheScope.global,
   ): DataFrame = {
     graft.GraftExtensions.install(emb.sparkSession)
     require(k >= 1, "k must be positive")
+    require(maxPerBucketSide >= 1, "maxPerBucketSide must be positive")
     val base = emb
       .withColumn("__bkt__", signBucket(vecCol, bits))
       .withColumn("__n__", sqrt(dot(vecCol, vecCol)))
       .withColumn("__sideA__", sideAPred)
-    val a = base.where(col("__sideA__"))
+    def capped(df: DataFrame, id: String): DataFrame =
+      if (maxPerBucketSide == Int.MaxValue) df
+      else df
+        .withColumn("__br__",
+          row_number().over(Window.partitionBy(col("__bkt__"))
+            .orderBy(col(id))))
+        .where(col("__br__") <= maxPerBucketSide)
+        .drop("__br__")
+    val a = capped(base.where(col("__sideA__"))
       .select(col(idCol).as("a_id"), col(vecCol).as("__av__"),
-        col("__bkt__"), col("__n__").as("__an__"))
-    val b = base.where(!col("__sideA__"))
+        col("__bkt__"), col("__n__").as("__an__")), "a_id")
+    val b = capped(base.where(!col("__sideA__"))
       .select(col(idCol).as("b_id"), col(vecCol).as("__bv__"),
-        col("__bkt__"), col("__n__").as("__bn__"))
+        col("__bkt__"), col("__n__").as("__bn__")), "b_id")
     val pairs = scope.cache(a.join(b, Seq("__bkt__"))
       .withColumn("cosine",
         round(dot("__av__", "__bv__") / (col("__an__") * col("__bn__")), 6))

@@ -637,6 +637,50 @@ object TextOps {
     * graft natives installed (every public operator entry point installs). */
   def nfc(textCol: String): Column = expr(s"nfc_normalize($textCol)")
 
+  /** Compression-ratio quality signal: deflate_len(text)/octet_length(text)
+    * (level-6 DEFLATE, [[graft.expr.DeflateLen]]). Boilerplate/template
+    * spam compresses far below natural prose; near-random noise compresses
+    * above it — the model-free complement to LM perplexity (RedPajama-v2
+    * ccnet signal family). NULL/empty text → NULL (no 0/0). Not DuckDB-
+    * replayable (no SQL DEFLATE) — spec-gated with closed-form orderings,
+    * the approxPercentile precedent. */
+  def compressionRatio(textCol: String): Column =
+    when(length(col(textCol)) > 0,
+      expr(s"deflate_len($textCol)").cast("double")
+        / expr(s"octet_length($textCol)"))
+
+  /** Weighted sampling WITHOUT replacement, deterministic: the
+    * Efraimidis–Spirakis priority rule (Inf. Proc. Letters 2006) with the
+    * random draw replaced by the md5 hash of the key — each row's
+    * priority is ln(u)/w for u = (md5_u32(key)+1)/2^32 ∈ (0,1], and the
+    * top-k priorities ARE a weight-proportional sample without
+    * replacement. Deterministic across runs/engines/topology like
+    * [[hashSample]] (the repeatable-at-100TB property), and a TakeOrdered
+    * — no global sort materialization, no per-group state.
+    *
+    * ln is the one non-IEEE-exact op → priorities round to 6 dp with a
+    * key tie-break (the pow/log2 oracle discipline); rows with
+    * non-positive or NULL weight are excluded (a zero-weight row can
+    * never win and ln(u)/0 is undefined). */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u__",
+        (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
+          16, 10).cast("bigint") + 1L).cast("double") / lit(4294967296.0))
+      .withColumn("priority",
+        round(log(col("__u__")) / col(weightCol).cast("double"), 6))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+      .drop("__u__")
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key lands
     * in the first `percent` of the hash space (first 8 hex digits as an
     * unsigned 32-bit value). Stable across runs/engines and cluster

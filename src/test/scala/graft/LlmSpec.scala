@@ -1651,6 +1651,67 @@ class LlmSpec extends GraftSuite {
     assert(twice)
   }
 
+  test("weightedSample replays the ES priority rule exactly; weight scales inclusion") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i <= 10) 5000L else 50L))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.llm.TextOps.weightedSample(df, "doc_id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // plain-Scala re-derivation of priority = round(ln((h+1)/2^32)/w, 6)
+    def prio(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (i, w) => (i, prio(i, w)) }
+      .sortBy { case (i, p) => (-p, i) }.take(20)
+    assert(got === expected)
+    // 100× weight: the 10 heavy docs all make the top 20 — weight
+    // proportionality in action, deterministically
+    assert((1L to 10L).forall(i => got.exists(_._1 == i)))
+    // zero/NULL weights are excluded, not divide-by-zero'd
+    val withZero = (Seq((0L, 0L)) ++ rows).toDF("doc_id", "w")
+    assert(!graft.llm.TextOps.weightedSample(withZero, "doc_id", "w", 20)
+      .collect().exists(_.getLong(0) == 0L))
+  }
+
+  test("compressionRatio orders repetition < prose < hash noise; null-safe") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val prose = "the quick brown fox jumps over the lazy dog while the " +
+      "hunter waits by the river bank watching clouds drift slowly east " +
+      "under a pale morning sky as birds scatter from the tall dry grass"
+    val spam = ("buy cheap widgets " * 12).trim
+    // noise over a WIDE printable alphabet (hex would be only 16 symbols
+    // — 4 bits/char — which deflate compresses BELOW prose): map md5
+    // bytes onto 90 printable chars ≈ 6.5 bits/char entropy
+    val noise = (1 to 12).flatMap(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes("UTF-8")).map(b => (33 + ((b & 0xff) % 90)).toChar))
+      .mkString
+    val df = Seq((0L, prose), (1L, spam), (2L, noise), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(sc("id"),
+        graft.llm.TextOps.compressionRatio("text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+    assert(out(3L) === null && out(4L) === null)
+    val (p, sp, nz) = (out(0L).doubleValue, out(1L).doubleValue, out(2L).doubleValue)
+    assert(sp < p, s"spam $sp should compress below prose $p")
+    assert(p < nz, s"prose $p should compress below noise $nz")
+    assert(sp > 0 && nz < 1.5)
+    // deterministic within a run
+    val again = df.where(sc("id") === 0)
+      .select(graft.llm.TextOps.compressionRatio("text"))
+      .collect().head.getDouble(0)
+    assert(again === p)
+  }
+
   test("splitByCluster keeps near-dup clusters on one side of the boundary") {
     val s = spark
     import s.implicits._
