@@ -2284,6 +2284,28 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- unigram-LM (SentencePiece-family) piece inventory: top-120
+    //     substrings (len ≤ 4) of the Heaps-bounded word table + all
+    //     single chars, integer micro-bit costs ---
+    "q_unigram_vocab" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Unigram.fitVocab(
+          df, "text", vocabSize = 120, maxPieceLen = 4))
+        .sort(col("piece"))
+        .run(s)),
+
+    // --- unigram-LM Viterbi segmentation: per-doc piece counts + total
+    //     micro-bit cost via the codegen'd integer DP probing the
+    //     plan-literal model; oracle replays training AND the DP
+    //     (unrolled to maxWordLen stages) end-to-end ---
+    "q_unigram_segment" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Unigram.segmentCounts(
+          df, "doc_id", "text", vocabSize = 120, maxPieceLen = 4,
+          maxWordLen = 12, unkCostMicrobits = 30000000L))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- BPE training statistic: top adjacent-character pairs over the
     //     corpus VOCABULARY (explode runs on vocab × frequency, never on
     //     raw text — Heaps' law makes that sublinear in corpus size) ---
@@ -4589,6 +4611,29 @@ object SparkEntry {
          SELECT token, count(*) AS n FROM toks WHERE token <> ''
          GROUP BY 1 ORDER BY n DESC, token LIMIT 20""",
 
+    // Unigram-LM inventory: exact replay of the substring-count top-V ∪
+    // chars cut and the integer micro-bit cost formula.
+    "q_unigram_vocab" ->
+      (s"""WITH $UnigramTrainCtes
+         SELECT piece, n,
+                CAST(round((ln(CAST(t AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) AS cost_microbits
+         FROM selu, totu ORDER BY piece"""),
+
+    // Unigram-LM segmentation: training CTEs + the 12-stage unrolled
+    // integer Viterbi; absent words (len>12 or unreachable) replay the
+    // native's unk rule (1 piece, 30e6 micro-bits).
+    "q_unigram_segment" ->
+      (s"""WITH $UnigramTrainCtes,
+         $UnigramDpCtes
+         SELECT doc_id,
+                CAST(sum(CASE WHEN ws.c IS NULL THEN 1
+                              ELSE ws.c % 64 END) AS BIGINT) AS n_pieces,
+                CAST(sum(CASE WHEN ws.c IS NULL THEN 30000000
+                              ELSE ws.c // 64 END) AS BIGINT) AS cost_microbits
+         FROM wordsu LEFT JOIN wstatu ws USING (w)
+         GROUP BY 1 ORDER BY 1"""),
+
     // Vocabulary-weighted character-pair counts (one BPE iteration's
     // argmax statistic): word freq first, then per-word adjacent pairs
     // replicated by unnest; same (n desc, pair) deterministic cut.
@@ -4972,6 +5017,62 @@ object SparkEntry {
           GROUP BY cell, d
         ), $c AS (SELECT cell AS cid, list(m ORDER BY d) AS cv
                   FROM $mn GROUP BY cell)"""
+
+  /** Shared unigram-LM training CTEs (q_unigram_vocab / q_unigram_segment):
+    * [a-z]+ word freqs → substring candidates (len ≤ 4) → top-120 ∪ all
+    * single chars → integer micro-bit costs. Mirrors Unigram.fitVocab
+    * knob-for-knob. */
+  private val UnigramTrainCtes: String =
+    """toksu AS (
+         SELECT doc_id, unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), '\s+')) AS w
+         FROM documents
+       ), wordsu AS MATERIALIZED (SELECT doc_id, w FROM toksu WHERE len(w) >= 1),
+       wfu AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wordsu GROUP BY 1),
+       candu AS (
+         SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, f
+         FROM (SELECT w, f, unnest(range(1, len(w) + 1)) AS i FROM wfu) t1,
+              LATERAL unnest(range(1, least(4, len(w) - i + 1) + 1)) t2(l)
+       ), pcu AS (SELECT piece, CAST(sum(f) AS BIGINT) AS n FROM candu GROUP BY 1),
+       rankedu AS (
+         SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS r
+         FROM pcu
+       ), selu AS MATERIALIZED (
+         SELECT piece, n FROM rankedu WHERE r <= 120
+         UNION SELECT piece, n FROM rankedu WHERE len(piece) = 1
+       ), totu AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM selu)"""
+
+  /** Unrolled integer-composite Viterbi DP over distinct words (stages
+    * 1..maxWordLen=12): a_p carries min composite cost to segment each
+    * word's p-char prefix; composite = cost_microbits*64 + n_pieces, so
+    * min-sum = lexicographic (cost, pieces) — exactly UnigramModel's DP. */
+  private val UnigramDpCtes: String = {
+    val stages = (1 to 12).map { i =>
+      s"""su$i AS (
+           SELECT t.w, CAST($i AS BIGINT) AS p, min(d.c + t.cc) AS c
+           FROM tru t JOIN au${i - 1} d ON d.w = t.w AND d.p = t.j
+           WHERE t.i = $i GROUP BY t.w
+         ), au$i AS MATERIALIZED (
+           SELECT * FROM au${i - 1} UNION ALL SELECT * FROM su$i)"""
+    }.mkString(",\n")
+    s"""vocabu AS (
+         SELECT piece,
+                CAST(round((ln(CAST(t AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) * 64 + 1 AS cc
+         FROM selu, totu
+       ), dwu AS (SELECT DISTINCT w FROM wordsu WHERE len(w) <= 12),
+       tru0 AS (
+         SELECT w, j, j + l AS i,
+                substr(w, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
+         FROM (SELECT w, unnest(range(0, len(w))) AS j FROM dwu) t,
+              LATERAL unnest(range(1, least(4, len(w) - j) + 1)) u(l)
+       ), tru AS MATERIALIZED (SELECT tru0.w, tru0.j, tru0.i, v.cc
+                  FROM tru0 JOIN vocabu v USING (piece)),
+       au0 AS MATERIALIZED (
+         SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c FROM dwu),
+       $stages,
+       wstatu AS (SELECT w, c FROM au12 WHERE p = len(w))"""
+  }
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-language-model (SentencePiece-style, Kudo 2018) subword
+  * tokenization — the OTHER production tokenizer family next to BPE
+  * ([[TextOps.bpeTrain]]): pieces carry -log-probability costs and a word
+  * segments to its minimal-total-cost piece sequence by Viterbi DP.
+  *
+  * This implementation is the deterministic, oracle-replayable core:
+  * piece inventory = the corpus's most frequent substrings (length ≤
+  * `maxPieceLen`) of the Heaps-bounded word-frequency table, plus EVERY
+  * single character (segmentability guarantee — Viterbi can never
+  * strand); piece cost = round((ln Σn − ln n) · 1e6) INTEGER micro-bits
+  * (the DSIR integer-log trick: all downstream DP/compare/sum arithmetic
+  * is exact, so cross-engine parity is bit-level); segmentation = the
+  * codegen'd [[graft.expr.UnigramViterbi]] integer DP probing the model
+  * frozen into the plan as a binary literal (the LM-plan-literal pattern
+  * — zero joins at serve time). Published SentencePiece additionally runs
+  * EM rounds to re-estimate piece probabilities and prunes the inventory
+  * by likelihood loss; the frequency-seeded inventory here is EM's
+  * standard initialization, and its serving-side mechanics (Viterbi over
+  * -log-prob costs) are identical.
+  *
+  * Scale shape: training = one vocabulary-bounded substring explode
+  * (≤ len × maxPieceLen candidates per DISTINCT word) + one aggregate +
+  * a TakeOrdered cut + a ≤(V+Σchars)-row collect (bounded model
+  * parameters); serving tokenizes once per DISTINCT word and
+  * broadcast-joins counts back to documents (the bpeSubwordCounts
+  * shape) — per-document work is a lookup, never a re-segmentation.
+  */
+object Unigram {
+
+  private def normWords(textCol: String): Column =
+    split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), "\\s+")
+
+  /** Word-frequency table (`__w__`, `__f__`) over [a-z]+ words. */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(normWords(textCol)).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .groupBy(col("__w__"))
+      .agg(count(lit(1)).as("__f__"))
+
+  /** Piece inventory with counts and integer micro-bit costs:
+    * (piece, n, cost_microbits). Top `vocabSize` substrings by
+    * (n DESC, piece) plus all single characters. */
+  def fitVocab(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+  ): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1, "need positive knobs")
+    val wf = wordFreq(docs, textCol)
+    // all substrings of length 1..maxPieceLen, replicated by word freq —
+    // HOF explode over the VOCABULARY frame (never raw text), the bpe
+    // replace-chain precedent for vocab-bounded interpreted work
+    val cand = wf.select(col("__f__"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(__w__)), i ->
+                transform(sequence(1, least($maxPieceLen, length(__w__) - i + 1)),
+                  l -> substring(__w__, i, l))))""")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("__f__")).as("n"))
+    val top = cand.orderBy(col("n").desc, col("piece")).limit(vocabSize)
+    val chars = cand.where(length(col("piece")) === 1)
+    val sel = top.union(chars).distinct()
+    // 1-row total broadcast: cost = round((ln T - ln n) * 1e6) micro-bits
+    val tot = sel.agg(sum(col("n")).as("__t__"))
+    sel.crossJoin(broadcast(tot))
+      .select(col("piece"), col("n"),
+        expr("CAST(round((ln(CAST(__t__ AS double)) - ln(CAST(n AS double))) * 1000000) AS bigint)")
+          .as("cost_microbits"))
+  }
+
+  /** Per-document segmentation statistics through the learned vocabulary:
+    * (idCol, n_pieces, cost_microbits). Words longer than `maxWordLen`
+    * score as a single unk piece of `unkCostMicrobits`. */
+  def segmentCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      unkCostMicrobits: Long = 30000000L,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    val vocab = fitVocab(docs, textCol, vocabSize, maxPieceLen)
+      .select(col("piece"), col("cost_microbits"))
+      .collect() // bounded model parameter: <= vocabSize + |alphabet| rows
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val model = graft.expr.UnigramModel.encode(
+      vocab, maxPieceLen, maxWordLen, unkCostMicrobits)
+    // segment once per DISTINCT word; broadcast back to documents
+    val words = docs
+      .select(col(idCol), explode(normWords(textCol)).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+    val dw = words.select(col("__w__")).distinct()
+      .withColumn("__comp__",
+        call_function("unigram_viterbi", col("__w__"), lit(model)))
+    words
+      .join(broadcast(dw), Seq("__w__"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(expr("__comp__ % 64")).as("n_pieces"),
+        sum(expr("__comp__ div 64")).as("cost_microbits"))
+  }
+}

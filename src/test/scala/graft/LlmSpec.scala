@@ -1651,6 +1651,29 @@ class LlmSpec extends GraftSuite {
     assert(twice)
   }
 
+  test("unigram segmentCounts: frequent words go whole, rare words split, long words unk") {
+    val s = spark
+    import s.implicits._
+    // 'data' dominates → must enter the vocab as a whole piece and
+    // segment as ONE piece; 'zq' appears once (substring counts too low
+    // for the top cut beyond chars) → two single-char pieces; the
+    // 13-char word exceeds maxWordLen → exactly the unk cost
+    val docs = (Seq.fill(30)("data data") ++ Seq("zq", "abcdefghijklm"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.llm.Unigram.segmentCounts(docs, "doc_id", "text",
+        vocabSize = 8, maxPieceLen = 4, maxWordLen = 12,
+        unkCostMicrobits = 30000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._1 === 2L) // two 'data' words, one piece each
+    assert(out(30L)._1 === 2L) // 'zq' → 'z' + 'q'
+    assert(out(31L) === ((1L, 30000000L))) // unk: one piece, unk cost
+    // vocab inventory includes every single character seen
+    val vocab = graft.llm.Unigram.fitVocab(docs, "text", 8, 4)
+      .collect().map(_.getString(0)).toSet
+    assert("datazq".forall(ch => vocab.contains(ch.toString)))
+    assert(vocab.contains("data"))
+  }
+
   test("weightedSample replays the ES priority rule exactly; weight scales inclusion") {
     val s = spark
     import s.implicits._

@@ -153,6 +153,44 @@ class PropertySpec extends GraftSuite {
     }, cases = 20)
   }
 
+  test("property: unigram Viterbi equals brute-force min over ALL segmentations") {
+    // Random short words over a 4-letter alphabet, random piece vocab
+    // (always including the single chars): the native integer DP must
+    // return exactly min over every possible segmentation of
+    // (total cost × 64 + piece count) — the lexicographic (cost, pieces)
+    // optimum — and the unk composite when the word exceeds maxWordLen.
+    import graft.expr.UnigramModel
+    val alpha = "abcd"
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val pieceGen = Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val vocabGen = for {
+      pieces <- Gen.listOfN(6, pieceGen)
+      costs <- Gen.listOfN(6 + alpha.length, Gen.chooseNum(1L, 50L))
+    } yield (alpha.map(_.toString) ++ pieces).distinct
+      .zip(costs).toSeq
+    check(Prop.forAll(wordGen, vocabGen) { (word, vocab) =>
+      val L = 4
+      val model = UnigramModel.decode(
+        UnigramModel.encode(vocab, L, 6, 999L))
+      val got = UnigramModel.viterbi(word, model)
+      def segmentations(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(L, w.length)).flatMap(l =>
+          segmentations(w.drop(l)).map(w.take(l) +: _))
+      val vm = vocab.toMap
+      val comps = segmentations(word)
+        .filter(_.forall(vm.contains))
+        .map(seg => seg.map(p => vm(p) * 64L + 1L).sum)
+      val expected =
+        if (word.length > 6) 999L * 64L + 1L
+        else if (comps.isEmpty) 999L * 64L + 1L
+        else comps.min
+      got == expected
+    }, cases = 60)
+  }
+
   test("property: MgState retains every token above n/(width+1) under any merge tree") {
     // Drives MgState directly (ChainState pattern): for any token stream,
     // any partitioning, any random merge order, and serialize round-trips,
