@@ -397,6 +397,43 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("CDC chunking is stateless: identical chunks on a stream across batch boundaries") {
+    // cdcChunks is a pure narrow map (codegen'd gram hash + boundary
+    // natives + one posexplode) — no state, no watermark — so documents
+    // arriving on a stream chunk exactly as in batch, the
+    // chunk-at-ingest shape a dedup-storage pipeline wants.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, (1 to 80).map(i => s"w${i % 13}").mkString(" ")),
+      (1L, "short doc"),
+      (2L, (1 to 60).map(i => s"v${i % 7}").mkString(" ")),
+      (3L, (1 to 90).map(i => s"w${i % 13}").mkString(" ")))
+
+    val ms = MemoryStream[(Long, String)](s)
+    val chunked = graft.llm.Search.cdcChunks(
+      ms.toDF.toDF("doc_id", "text"), "doc_id", "text", k = 4, modulus = 8)
+    val q = chunked.writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*) // stateless: boundaries irrelevant
+      q.processAllAvailable()
+      val out = spark.sql(
+        """SELECT doc_id, chunk_ix, start_word, n_words, chunk_md5
+           FROM cdc_out ORDER BY doc_id, chunk_ix""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      val batch = graft.llm.Search.cdcChunks(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = 4, modulus = 8)
+        .orderBy(sc("doc_id"), sc("chunk_ix"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      assert(out === batch && out.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter candidates keep the guarantee across micro-batches") {
     val s = spark
     import s.implicits._
