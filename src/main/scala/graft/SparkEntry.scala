@@ -1466,15 +1466,15 @@ object SparkEntry {
     //     md5-derandomized: 25 docs drawn ∝ n_chars; priorities
     //     ln(u)/w at 6 dp with key tie-break, so the sampled SET
     //     replays bit-for-bit ---
-    "q_weighted_sample" -> ((s, dir) =>
-      m(dir, "documents")
-        .native(df => graft.llm.TextOps.weightedSample(
-            df, "doc_id", "n_chars", k = 25)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("lang"),
-            org.apache.spark.sql.functions.col("priority")))
+    //     ... as a wire-serializable Source: the sampling spec (key,
+    //     weight, k) ships to a server like any other model
+    "q_weighted_sample" -> ((s, dir) => {
+      val model = m(dir, "documents")
+        .weightedSample(col("doc_id"), col("n_chars"), k = 25)
+        .pick(col("doc_id"), col("lang"), col("priority"))
         .sort(col("doc_id"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- temperature-weighted corpus mixing (XLM-R/mT5 resampling,
     //     alpha = 0.5): rare languages up-weighted ∝ √n_g; one group
@@ -2361,13 +2361,15 @@ object SparkEntry {
     //     boundary before word i when md5(4-gram at i) ≡ 0 mod 16; the
     //     whole operator is a narrow map (codegen'd gram hash + boundary
     //     natives + one posexplode), zero joins/shuffles ---
-    "q_cdc_chunks" -> ((s, dir) =>
-      m(dir, "documents")
-        .native(df => graft.llm.Search.cdcChunks(
-          df.where(org.apache.spark.sql.functions.col("doc_id") < 100),
-          "doc_id", "text", k = 4, modulus = 16))
+    //     ... and the whole pipeline (filter → chunk) round-trips the
+    //     wire codec before running — chunking is a first-class Source
+    "q_cdc_chunks" -> ((s, dir) => {
+      val model = m(dir, "documents")
+        .filter(col("doc_id") < lit(100))
+        .cdcChunks(col("doc_id"), col("text"), k = 4, modulus = 16)
         .sort(col("doc_id")).sort(col("chunk_ix"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- concat-and-chunk sequence packing: (doc, sequence) slice map ---
     "q_pack_sequences" -> ((s, dir) =>

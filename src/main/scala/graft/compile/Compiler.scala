@@ -967,6 +967,31 @@ object Compiler {
       new Frame(graft.llm.Dedup
         .substringClean(df, idName, txName, minSpanWords, minCopies))
 
+    case Source.CdcChunks(base, id, text, k, modulus) =>
+      // Lowers to graft.llm.Search.cdcChunks: codegen'd gram-hash +
+      // boundary natives + ONE posexplode carrying the token array —
+      // zero joins, zero shuffles, a pure narrow map over the scan.
+      val bf = compileSource(base, spark)
+      val idName = id.identifier
+      val txName = "__cdc_text__"
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(txName, compileExpr(text, bf))
+      new Frame(graft.llm.Search.cdcChunks(df, idName, txName, k, modulus))
+
+    case Source.WeightedSample(base, key, weight, k) =>
+      // Lowers to graft.llm.TextOps.weightedSample: ES priorities with
+      // the md5-derandomized draw; a TakeOrdered cut, no global sort.
+      // The dunder key/weight columns strip at the sink post-process.
+      val bf = compileSource(base, spark)
+      val kName = "__ws_key__"
+      val wName = "__ws_w__"
+      val df = bf.df
+        .withColumn(kName, compileExpr(key, bf))
+        .withColumn(wName, compileExpr(weight, bf))
+      new Frame(graft.llm.TextOps.weightedSample(df, kName, wName, k)
+        .drop(wName))
+
     case Source.DsirSelect(base, id, text, target, dims, k) =>
       // Lowers to graft.llm.Dsir: FIT materializes the two ≤dims-row
       // bucket models at compile time (bounded model parameters — the

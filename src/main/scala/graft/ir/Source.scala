@@ -276,4 +276,32 @@ object Source {
       weights: graft.model.Model,
       budget: Long,
   ) extends Source
+
+  /** Content-defined chunking (beyond-reference, the wire form of
+    * `graft.llm.Search.cdcChunks`): word-level Rabin/LBFS hash
+    * boundaries — a chunk boundary falls before word i whenever the md5
+    * of the `k`-gram starting at i is ≡ 0 (mod `modulus`), so chunk
+    * identities are edit-local. One row per chunk: the `id` column,
+    * chunk_ix, start_word, n_words, chunk_md5. A pure narrow map
+    * (codegen'd natives + one posexplode), zero joins/shuffles. */
+  final case class CdcChunks(
+      base: Source,
+      id: Expr,
+      text: Expr,
+      k: Int,
+      modulus: Int,
+  ) extends Source
+
+  /** Weighted sampling without replacement (beyond-reference, the wire
+    * form of `graft.llm.TextOps.weightedSample`): Efraimidis–Spirakis
+    * priorities ln(u)/w with the draw md5-derandomized on `key` — the
+    * top-`k` priorities ARE a weight-proportional sample, deterministic
+    * across runs/engines/topology. Keeps base columns plus `priority`
+    * (6-dp); rows with NULL or non-positive weight are excluded. */
+  final case class WeightedSample(
+      base: Source,
+      key: Expr,
+      weight: Expr,
+      k: Int,
+  ) extends Source
 }

@@ -550,6 +550,27 @@ final case class Model(
     Model(Source.SubstringClean(source, id, text, minSpanWords, minCopies))
   }
 
+  /** Content-defined chunking (the wire-serializable form of
+    * `graft.llm.Search.cdcChunks`): word-level Rabin/LBFS hash
+    * boundaries, one row per chunk — `id`, chunk_ix, start_word,
+    * n_words, chunk_md5. Edit-local chunk identities: an insertion
+    * perturbs chunks only up to the next content boundary. */
+  def cdcChunks(id: Expr, text: Expr, k: Int = 4, modulus: Int = 16): Model = {
+    require(k >= 1 && modulus >= 1, "cdcChunks needs k >= 1 and modulus >= 1")
+    Model(Source.CdcChunks(source, id, text, k, modulus))
+  }
+
+  /** Weighted sampling without replacement (the wire-serializable form
+    * of `graft.llm.TextOps.weightedSample`): Efraimidis–Spirakis
+    * priorities with the draw md5-derandomized on `key` — top-`k`
+    * priorities are a weight-proportional sample, deterministic across
+    * runs/engines/topology. Adds `priority`; non-positive/NULL weights
+    * are excluded. */
+  def weightedSample(key: Expr, weight: Expr, k: Int): Model = {
+    require(k >= 1, "weightedSample needs k >= 1")
+    Model(Source.WeightedSample(source, key, weight, k))
+  }
+
   /** DSIR importance selection (the wire-serializable form of
     * `graft.llm.Dsir`, Xie et al. 2023): keep the `k` documents whose
     * `text` scores highest under the hashed-gram target/raw importance

@@ -125,6 +125,12 @@ object WireFormat {
     case Source.DsirSelect(b, id, tx, tgt, dims, k) =>
       Map("t" -> "dsirSelect", "base" -> sourceW(b), "id" -> exprW(id),
         "text" -> exprW(tx), "target" -> modelW(tgt), "dims" -> dims, "k" -> k)
+    case Source.CdcChunks(b, id, tx, k, modulus) =>
+      Map("t" -> "cdcChunks", "base" -> sourceW(b), "id" -> exprW(id),
+        "text" -> exprW(tx), "k" -> k, "modulus" -> modulus)
+    case Source.WeightedSample(b, key, w, k) =>
+      Map("t" -> "weightedSample", "base" -> sourceW(b), "key" -> exprW(key),
+        "weight" -> exprW(w), "k" -> k)
     case Source.TokenBudgetFill(b, id, g, tx, w, budget) =>
       Map("t" -> "tokenBudgetFill", "base" -> sourceW(b), "id" -> exprW(id),
         "group" -> exprW(g), "text" -> exprW(tx), "weights" -> modelW(w),
@@ -310,6 +316,12 @@ object WireFormat {
       Source.DsirSelect(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("text"))), modelR(obj(s("target"))),
         long(s("dims")).toInt, long(s("k")).toInt)
+    case "cdcChunks" =>
+      Source.CdcChunks(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("text"))), long(s("k")).toInt, long(s("modulus")).toInt)
+    case "weightedSample" =>
+      Source.WeightedSample(sourceR(obj(s("base"))), exprR(obj(s("key"))),
+        exprR(obj(s("weight"))), long(s("k")).toInt)
     case "tokenBudgetFill" =>
       Source.TokenBudgetFill(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("group"))), exprR(obj(s("text"))),

@@ -235,6 +235,32 @@ class WireFormatSpec extends GraftSuite {
     assert(byLang.keySet === Set("en", "de")) // only weighted groups emit
   }
 
+  test("cdcChunks and weightedSample round-trip and run identically") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "documents")
+
+    val chunks = base
+      .cdcChunks(col("doc_id"), col("text"), k = 4, modulus = 8)
+      .sort(col("doc_id")).sort(col("chunk_ix"))
+    assert(WireFormat.fromJson(WireFormat.toJson(chunks)) === chunks)
+    val cDirect = chunks.run(s).collect().map(_.toSeq)
+    val cRebuilt = WireFormat.fromJson(WireFormat.toJson(chunks)).run(s)
+      .collect().map(_.toSeq)
+    assert(cRebuilt.toSeq === cDirect.toSeq && cDirect.nonEmpty)
+
+    val sample = base
+      .weightedSample(col("doc_id"), col("n_chars"), k = 7)
+      .pick(col("doc_id"), col("priority"))
+      .sort(col("doc_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(sample)) === sample)
+    val sDirect = sample.run(s).collect().map(_.toSeq)
+    val sRebuilt = WireFormat.fromJson(WireFormat.toJson(sample)).run(s)
+      .collect().map(_.toSeq)
+    assert(sRebuilt.toSeq === sDirect.toSeq && sDirect.length === 7)
+    // the dunder sampling key never leaks into the sink schema
+    assert(!sample.run(s).columns.exists(_.startsWith("__")))
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
