@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard}
+import graft.expr.{AcCount, BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -114,6 +114,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "word_ngram_jaccard takes exactly 3 arguments")
         WordNgramJaccard(args.head, args(1), intLit(args(2), "word_ngram_jaccard"))
+      }),
+    (FunctionIdentifier("ac_count"),
+      new ExpressionInfo(classOf[AcCount].getName, "ac_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ac_count takes exactly 2 arguments")
+        AcCount(args.head, args(1))
       }),
     (FunctionIdentifier("unigram_viterbi"),
       new ExpressionInfo(classOf[UnigramViterbi].getName, "unigram_viterbi"),

@@ -1208,6 +1208,27 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- Aho–Corasick keyword/blocklist scan: 6-phrase dictionary
+    //     (incl. multi-word and self-overlapping phrases) matched in ONE
+    //     text pass per row; per-lang total matches + matched-doc counts.
+    //     The oracle replays the identical overlapping-count value per
+    //     phrase via positional substring equality. ---
+    "q_keyword_hits" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
+          df.withColumn("__hits__", graft.llm.TextOps.keywordHits("text",
+              Seq("table", "value fast", "part value", "spark", "a a", "row")))
+            .groupBy(F.col("lang"))
+            .agg(
+              F.sum(F.col("__hits__")).as("n_matches"),
+              F.sum(F.when(F.col("__hits__") > 0, 1L).otherwise(0L))
+                .as("n_docs_matched"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- Unicode NFC normalization (codegen'd native ≡ DuckDB
     //     nfc_normalize): crawl noise simulated by decomposing every 'a'
     //     into a + U+0301; per-lang changed-doc counts and the codepoint
@@ -4591,6 +4612,24 @@ object SparkEntry {
                 coalesce(starts[cix + 1] - 1, n) - starts[cix] + 1 AS n_words,
                 md5(array_to_string(w[starts[cix] : coalesce(starts[cix + 1] - 1, n)], ' ')) AS chunk_md5
          FROM c ORDER BY doc_id, chunk_ix""",
+
+    // Aho-Corasick replay: per phrase, the overlapping occurrence count
+    // is |{ i : substr(text, i, len(kw)) = kw }| — identical to the
+    // automaton's per-(position, entry) counting; NULL text sums to NULL
+    // → matched CASE falls to 0 on both engines.
+    "q_keyword_hits" ->
+      """WITH kws AS (
+           SELECT unnest(['table', 'value fast', 'part value', 'spark', 'a a', 'row']) AS kw
+         ), per AS (
+           SELECT d.lang, d.doc_id,
+                  sum(len(list_filter(range(1, len(d.text) - len(kw) + 2),
+                        i -> substr(d.text, CAST(i AS INT), len(kw)) = kw))) AS c
+           FROM documents d CROSS JOIN kws
+           GROUP BY 1, 2
+         )
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_matches,
+                CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_matched
+         FROM per GROUP BY 1 ORDER BY 1""",
 
     // NFC parity: java.text.Normalizer NFC == DuckDB nfc_normalize (both
     // implement UAX#15 canonical composition); lengths count codepoints

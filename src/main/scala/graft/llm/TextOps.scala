@@ -637,6 +637,20 @@ object TextOps {
     * graft natives installed (every public operator entry point installs). */
   def nfc(textCol: String): Column = expr(s"nfc_normalize($textCol)")
 
+  /** Total Aho–Corasick matches of a phrase dictionary in the text —
+    * the blocklist/keyword-scan primitive at 10k+ phrase scale: ONE text
+    * pass regardless of dictionary size ([[graft.expr.AcCount]]; the
+    * regex-chain alternative pays a pass per phrase). Counts every
+    * (position, entry) match, overlaps included; phrases must be
+    * non-empty and SHOULD be distinct (duplicates count separately). */
+  def keywordHits(textCol: String, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "keywordHits needs non-empty phrases")
+    val arr = phrases.map(p => s"'${p.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    expr(s"ac_count($textCol, $arr)")
+  }
+
   /** Compression-ratio quality signal: deflate_len(text)/octet_length(text)
     * (level-6 DEFLATE, [[graft.expr.DeflateLen]]). Boilerplate/template
     * spam compresses far below natural prose; near-random noise compresses

@@ -153,6 +153,30 @@ class PropertySpec extends GraftSuite {
     }, cases = 20)
   }
 
+  test("property: Aho-Corasick count equals brute-force positional matching") {
+    // Random texts and dictionaries over a tiny alphabet (maximizing
+    // overlaps, shared prefixes, and phrases-inside-phrases): the
+    // automaton's total must equal the quadratic per-(position, entry)
+    // scan for every input.
+    import graft.expr.AcAutomaton
+    val charGen = Gen.oneOf('a', 'b', ' ')
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val phraseGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val dictGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, phraseGen).map(_.distinct))
+    check(Prop.forAll(textGen, dictGen) { (text, dict) =>
+      dict.isEmpty || {
+        val ac = new AcAutomaton(dict)
+        val brute = dict.map(kw =>
+          (0 to text.length - kw.length).count(i =>
+            text.regionMatches(i, kw, 0, kw.length)).toLong).sum
+        ac.count(text) == brute
+      }
+    }, cases = 60)
+  }
+
   test("property: unigram Viterbi equals brute-force min over ALL segmentations") {
     // Random short words over a 4-letter alphabet, random piece vocab
     // (always including the single chars): the native integer DP must
