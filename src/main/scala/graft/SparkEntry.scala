@@ -1457,6 +1457,69 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- Gopher repetition-signal family (Rae et al. 2021 Table A1):
+    //     top-n-gram and duplicated-n-gram character fractions. Integer
+    //     numerators (count × gram length), one 6dp-rounded division;
+    //     ties on the top gram break lexicographically on both engines ---
+    "q_gopher_repetition" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.TextOps.repetitionSignals(
+            df.where(F.col("doc_id") < 300), "doc_id", "text",
+            topNs = Seq(2, 3), dupNs = Seq(5))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- URL decomposition (scheme/host/path/registrable domain) over
+    //     deterministically synthesized URLs with userinfo, ports, multi-
+    //     label ccTLD suffixes, and query strings; the oracle builds the
+    //     SAME urls and replays the identical regexp/split chain ---
+    "q_url_parse" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val url = F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 === 0, F.lit("user@")).otherwise(F.lit("")),
+            F.lit("www."), F.col("source"), F.lit("."),
+            F.element_at(
+              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
+              (F.col("doc_id") % 4 + 1).cast("int")),
+            F.when(F.col("doc_id") % 5 === 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/d/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 === 0,
+              F.concat(F.lit("?lang="), F.col("lang"))).otherwise(F.lit("")))
+          val p = graft.llm.TextOps.urlParts(url)
+          df.where(F.col("doc_id") < 400)
+            .select(F.col("doc_id"), url.as("url"),
+              p.getField("scheme").as("scheme"), p.getField("host").as("host"),
+              p.getField("path").as("path"), p.getField("domain").as("domain"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- per-domain document cap: ≤ cap docs per registrable domain in
+    //     deterministic (md5(id), id) order — kept SET replays exactly ---
+    "q_domain_cap" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val domain = F.concat(F.col("source"), F.lit("."),
+            F.element_at(
+              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
+              (F.col("doc_id") % 4 + 1).cast("int")))
+          val withDom = df.where(F.col("doc_id") < 2000)
+            .withColumn("domain", domain)
+          graft.llm.TextOps.domainCap(withDom, "domain", "doc_id", cap = 25)
+            .groupBy(F.col("domain"))
+            .agg(F.count(F.lit(1)).as("n_kept"),
+              F.sum(F.col("doc_id")).as("sum_ids"))
+        }
+        .sort(col("domain"))
+        .run(s)),
+
     // --- APPLY near-dup dedup: keep one representative per cluster,
     //     i.e. the complete detector → closure → anti-join pipeline ---
     "q_dedup_apply" -> ((s, dir) =>
@@ -3769,6 +3832,89 @@ object SparkEntry {
            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
                  FROM documents WHERE doc_id < 100) a) b
          ORDER BY doc_id""",
+
+    "q_gopher_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, len(trim(text)) AS total,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents WHERE doc_id < 300),
+         tag AS (
+           SELECT doc_id, total, n,
+                  CASE WHEN len(w) >= n
+                       THEN list_transform(range(1, len(w) - n + 2),
+                              i -> array_to_string(w[i:i+n-1], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS gs
+           FROM base, (VALUES (2),(3),(5)) t(n)),
+         g AS (SELECT doc_id, total, n, g.g AS g
+               FROM tag, LATERAL unnest(gs) g(g)),
+         c AS (SELECT doc_id, total, n, g, count(*) AS c
+               FROM g GROUP BY doc_id, total, n, g),
+         r AS (SELECT doc_id, total, n, g, c,
+                      row_number() OVER (PARTITION BY doc_id, n
+                                         ORDER BY c DESC, g) AS rn,
+                      sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
+                        OVER (PARTITION BY doc_id, n) AS dup
+               FROM c),
+         p AS (SELECT doc_id, n,
+                      round(CAST(c * len(g) AS DOUBLE) / total, 6) AS topf,
+                      round(CAST(dup AS DOUBLE) / total, 6) AS dupf
+               FROM r WHERE rn = 1)
+         SELECT b.doc_id,
+           coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS top2gram_char_frac,
+           coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) AS top3gram_char_frac,
+           coalesce(max(CASE WHEN n = 5 THEN dupf END), 0.0) AS dup5gram_char_frac
+         FROM base b LEFT JOIN p USING (doc_id)
+         GROUP BY b.doc_id ORDER BY doc_id""",
+
+    "q_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||
+             'www.' || source || '.' ||
+             (['com','co.uk','org','io'])[CAST(doc_id % 4 + 1 AS INT)] ||
+             CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+             '/d/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END AS url
+           FROM documents WHERE doc_id < 400),
+         p AS (
+           SELECT doc_id, url,
+             regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+             regexp_extract(
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:[^@]*@)?([^:]*)', 1) AS host,
+             regexp_extract(url,
+               '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+           FROM u),
+         d AS (
+           SELECT doc_id, url, scheme, host, path,
+                  string_split(host, '.') AS ls,
+                  len(string_split(host, '.')) AS k
+           FROM p)
+         SELECT doc_id, url, scheme, host, path,
+           CASE WHEN k >= 3 AND array_to_string(ls[k-1:k], '.') IN
+                  ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in')
+                THEN array_to_string(ls[k-2:k], '.')
+                WHEN k >= 2 THEN array_to_string(ls[k-1:k], '.')
+                ELSE host END AS domain
+         FROM d ORDER BY doc_id""",
+
+    "q_domain_cap" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  source || '.' ||
+                  (['com','co.uk','org','io'])[CAST(doc_id % 4 + 1 AS INT)]
+                    AS domain
+           FROM documents WHERE doc_id < 2000),
+         r AS (
+           SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM d)
+         SELECT domain, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM r WHERE rn <= 25
+         GROUP BY domain ORDER BY domain""",
 
     "q_dedup_simhash" ->
       """WITH toks AS (

@@ -589,6 +589,75 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher repetition-signal family (Rae et al. 2021, Table A1) — the
+    * document-level repetition fractions the quality GATES
+    * ([[gopherGates]]) deliberately left out:
+    *
+    *   - `top{n}gram_char_frac`: characters claimed by the single most
+    *     frequent word n-gram (count × gram char length, single-space
+    *     joined) over the trimmed text length — ties break to the
+    *     lexicographically smallest gram so both engines pick the same
+    *     winner;
+    *   - `dup{n}gram_char_frac`: characters claimed by ALL n-grams that
+    *     occur more than once (Σ count × length over duplicated grams —
+    *     the published definition counts every occurrence, so overlap
+    *     double-counting is intentional and the value can exceed 1 on
+    *     degenerate spam).
+    *
+    * Numerators are exact INTEGER sums (order-independent under any
+    * shuffle); the one division rounds to 6dp on both engines. Docs with
+    * fewer than n tokens have no n-gram and report 0.0 (re-emitted via a
+    * thin two-column left join).
+    *
+    * Scale shape: one tagged gram explode (corpus-token-linear, n-fold) →
+    * map-side-combined count aggregate on (doc, n, gram) → per-(doc, n)
+    * struct-min argmax + conditional integer sum → bounded-width
+    * conditional pivot to one row per doc. No windows over the corpus, no
+    * dictionary joins; every aggregate combines map-side, so a 100×
+    * corpus costs 100× linear work on the same three exchanges. */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3),
+      dupNs: Seq[Int] = Seq(5)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val base = docs.select(col(idCol),
+      length(trim(col(textCol))).as("__total__"),
+      tokens(col(textCol)).as("__toks__"))
+    val tagged = base.select(col(idCol), col("__total__"),
+      explode(array(ns.map(n =>
+        struct(lit(n).as("n"), wordShingles("__toks__", n).as("gs"))): _*))
+        .as("__e__"))
+      .select(col(idCol), col("__total__"),
+        col("__e__.n").as("__n__"), explode(col("__e__.gs")).as("__g__"))
+    val counted = tagged
+      .groupBy(col(idCol), col("__total__"), col("__n__"), col("__g__"))
+      .agg(count(lit(1)).as("__c__"))
+    val perN = counted
+      .groupBy(col(idCol), col("__total__"), col("__n__"))
+      .agg(
+        min(struct((-col("__c__")).as("nc"), col("__g__").as("g"))).as("__top__"),
+        sum(when(col("__c__") >= 2, col("__c__") * length(col("__g__")))
+          .otherwise(lit(0L))).as("__dup__"))
+      .select(col(idCol), col("__n__"),
+        round(((-col("__top__.nc")) * length(col("__top__.g"))).cast("double")
+          / col("__total__"), 6).as("__topf__"),
+        round(col("__dup__").cast("double") / col("__total__"), 6).as("__dupf__"))
+    val pivotCols =
+      topNs.map(n => max(when(col("__n__") === n, col("__topf__")))
+        .as(s"top${n}gram_char_frac")) ++
+        dupNs.map(n => max(when(col("__n__") === n, col("__dupf__")))
+          .as(s"dup${n}gram_char_frac"))
+    val pivoted = perN.groupBy(col(idCol)).agg(pivotCols.head, pivotCols.tail: _*)
+    val outCols = topNs.map(n => s"top${n}gram_char_frac") ++
+      dupNs.map(n => s"dup${n}gram_char_frac")
+    docs.select(col(idCol)).join(pivoted, Seq(idCol), "left")
+      .select(col(idCol) +: outCols.map(c =>
+        coalesce(col(c), lit(0.0)).as(c)): _*)
+  }
+
   /** PII scrubbing: replace emails, international-format phone numbers,
     * and IPv4 addresses with typed placeholder tokens (the redaction pass
     * a training pipeline runs before a corpus ships). Patterns stay inside
@@ -602,6 +671,58 @@ object TextOps {
     val phone = regexp_replace(email, lit("\\+[0-9][0-9 -]{5,13}[0-9]"), lit("<PHONE>"))
     regexp_replace(phone,
       lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("<IP>"))
+  }
+
+  /** URL decomposition for web-corpus curation — scheme, host (userinfo
+    * and port stripped), path, and REGISTRABLE DOMAIN (the per-site key
+    * that domain blocklists, per-site caps, and URL dedup all group on;
+    * plain host grouping splits `a.example.com` from `b.example.com`).
+    * The registrable domain is the host's last two labels, widened to
+    * three when the two-label tail is a multi-label public suffix (the
+    * common ccTLD second-level registries — a full public-suffix-list
+    * deployment swaps the literal set for the PSL snapshot, same
+    * expression shape). Pure codegen'd regexp/split chain in the
+    * Java-regex/RE2 common subset (non-capturing groups only — no
+    * lookaround/backrefs), so the DuckDB oracle replays it
+    * byte-identically. Per-row, zero shuffle. */
+  def urlParts(url: Column): Column = {
+    val scheme = regexp_extract(url, "^([a-z][a-z0-9+.-]*)://", 1)
+    val auth = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1)
+    val path = regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val labels = split(host, "\\.")
+    val k = size(labels)
+    val two = concat_ws(".", slice(labels, k - 1, lit(2)))
+    val three = concat_ws(".", slice(labels, k - 2, lit(3)))
+    val multiSuffix = two.isin(
+      "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+    val domain = when(k >= 3 && multiSuffix, three)
+      .when(k >= 2, two)
+      .otherwise(host)
+    struct(scheme.as("scheme"), host.as("host"), path.as("path"),
+      domain.as("domain"))
+  }
+
+  /** Per-domain document cap — the Common Crawl curation step that stops
+    * a handful of template-heavy sites from dominating a corpus: keep at
+    * most `cap` documents per domain, chosen in deterministic
+    * (md5(id), id) order so membership is stable across runs, engines,
+    * and partitionings (the [[hashSample]] property, per-domain).
+    *
+    * Scale shape: ONE row_number window on the domain key. Spark plans a
+    * partial WindowGroupLimit before the exchange (the `topK` operator's
+    * verified shape), so each map task forwards at most `cap` rows per
+    * domain — a million-page hot domain contributes `cap × n_maps`
+    * candidates to the shuffle, not a million. */
+  def domainCap(
+      docs: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") <= cap)
+      .drop("__rn__")
   }
 
   /** HTML → text extraction, the first stage of every web-crawl corpus

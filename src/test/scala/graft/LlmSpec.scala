@@ -176,6 +176,68 @@ class LlmSpec extends GraftSuite {
       (true, false, true, false)))
   }
 
+  test("repetition signals: top/dup n-gram char fractions, ties and short docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "buy now buy now buy now"),       // 23 chars, 6 tokens
+      (2L, "all words here are unique"),     // 25 chars, all bigrams unique
+      (3L, "one"),                           // shorter than any n -> 0.0
+    ).toDF("doc_id", "text")
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val out = TextOps.repetitionSignals(d, "doc_id", "text",
+        topNs = Seq(2, 3), dupNs = Seq(2))
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // doc 1: bigrams {buy now: 3, now buy: 2}; top2 = 3*7/23, dup2 = 35/23;
+    // trigrams tie at count 2 -> lexicographically smallest "buy now buy"
+    // wins: top3 = 2*11/23 (the published definition double-counts, so
+    // dup fractions may exceed 1 on degenerate spam)
+    assert(out(0) === ((r6(21.0 / 23), r6(22.0 / 23), r6(35.0 / 23))))
+    // doc 2: every bigram count 1; top = smallest gram "all words" (9 chars)
+    assert(out(1) === ((r6(9.0 / 25), r6(14.0 / 25), 0.0)))
+    assert(out(2) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("urlParts decomposes scheme/host/path/registrable domain") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      "https://user@www.example.co.uk:8443/a/b?q=1",
+      "http://example.com/",
+      "https://localhost",
+      "https://a.b.example.org?x=1",
+    ).toDF("url")
+    val out = d.select(TextOps.urlParts(sc("url")).as("p"))
+      .select(sc("p.scheme"), sc("p.host"), sc("p.path"), sc("p.domain"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out(0) === (("https", "www.example.co.uk", "/a/b", "example.co.uk")))
+    assert(out(1) === (("http", "example.com", "/", "example.com")))
+    assert(out(2) === (("https", "localhost", "", "localhost")))
+    assert(out(3) === (("https", "a.b.example.org", "", "example.org")))
+  }
+
+  test("domainCap keeps at most cap per domain, deterministically") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 60L).map(i => (i, if (i % 3 == 0) "big.com" else "small.org"))
+      .toDF("doc_id", "domain")
+    val kept = TextOps.domainCap(d, "domain", "doc_id", cap = 10)
+    val byDom = kept.groupBy(sc("domain")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("big.com") === 10L)
+    assert(byDom("small.org") === 10L)
+    // deterministic under a different physical partitioning
+    val ids1 = kept.select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.domainCap(d.repartition(7), "domain", "doc_id", cap = 10)
+      .select(sc("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // under-cap domains keep everything
+    val all = TextOps.domainCap(d, "domain", "doc_id", cap = 100).count()
+    assert(all === 60L)
+  }
+
   test("contamination flags train docs sharing eval n-grams") {
     val s = spark
     import s.implicits._
