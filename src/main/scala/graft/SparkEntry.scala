@@ -2429,6 +2429,28 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- WordPiece training (Schuster & Nakajima; the BERT tokenizer):
+    //     BPE-shaped merges ranked by the LIKELIHOOD score n/(n_a·n_b),
+    //     compared in integer micro-bits (round((ln n − ln n_a − ln n_b)
+    //     · 1e6) — the DSIR integer-log discipline); ties (score desc,
+    //     pair asc). The oracle unrolls all four iterations. ---
+    "q_wordpiece_train" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Wordpiece.wordpieceTrain(df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    // --- WordPiece SERVING: greedy longest-match-first per DISTINCT word
+    //     through the vocab frozen into the plan as a binary literal
+    //     (codegen'd wordpiece_encode native, zero serve-time joins);
+    //     the oracle re-derives the vocab AND replays the greedy match
+    //     one consumed-position stage at a time ---
+    "q_wordpiece_encode" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Wordpiece.encodeWords(df, "text", merges = 4))
+        .sort(col("word"))
+        .run(s)),
+
     // --- overlapping word-window chunking (size 32, stride 24) ---
     "q_chunk_docs" -> ((s, dir) =>
       m(dir, "documents")
@@ -4947,6 +4969,24 @@ object SparkEntry {
          FROM dw JOIN vs USING (w) WHERE len(w) >= 1
          GROUP BY 1 ORDER BY doc_id""",
 
+    "q_wordpiece_train" ->
+      s"""WITH ${wpTrainCtes(4)}
+         SELECT merge_ix, pair, score_microbits, n FROM (
+           SELECT CAST(1 AS INT) AS merge_ix, pair, score_microbits, n FROM b1
+           UNION ALL SELECT 2, pair, score_microbits, n FROM b2
+           UNION ALL SELECT 3, pair, score_microbits, n FROM b3
+           UNION ALL SELECT 4, pair, score_microbits, n FROM b4)
+         ORDER BY merge_ix""",
+
+    // Same four training iterations, then the vocab (initial symbols ∪
+    // merge products) and one greedy-match stage per consumed position
+    // (8 = the corpus's max word length).
+    "q_wordpiece_encode" ->
+      s"""WITH ${wpTrainCtes(4)}${wpGreedyCtes(4, 8)}
+         SELECT w AS word, acc AS pieces,
+                CAST(len(string_split(acc, ' ')) AS INT) AS n_pieces
+         FROM st8 ORDER BY word""",
+
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)
     "q_chunk_docs" ->
       """WITH toks AS (
@@ -5012,6 +5052,120 @@ object SparkEntry {
   // oracle — defined by reference so the two gates stay in lock-step.
   def oracleSql: Map[String, String] =
     baseOracleSql + ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train"))
+
+  /** WordPiece training replay: `iters` unrolled merge iterations. Each
+    * iteration aggregates pair counts AND symbol counts from the current
+    * word state, scores every pair in integer micro-bits
+    * (round((ln n − ln n_a − ln n_b)·1e6) — Wordpiece.scala's exact
+    * arithmetic), picks (score DESC, pair ASC), and applies the merge via
+    * the `;sym;` delimiter replace (the q_bpe_train encoding, first char
+    * plain / continuations `##`-prefixed, no end marker). `e*`/`s*`/`y*`/
+    * `b*` are diamond-referenced → AS MATERIALIZED (CLAUDE.md CTE rule). */
+  private def wpTrainCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS (
+         SELECT unnest(regexp_split_to_array(
+                  trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                  '\\s+')) AS w
+         FROM documents),
+       wf AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS f
+         FROM w0 WHERE len(w) >= 1 GROUP BY 1),
+       e0 AS MATERIALIZED (
+         SELECT ';' || substr(w, 1, 1) ||
+                CASE WHEN len(w) > 1
+                     THEN ';;' || array_to_string(list_transform(
+                            range(2, len(w) + 1),
+                            i -> '##' || substr(w, i, 1)), ';;')
+                     ELSE '' END || ';' AS e, f
+         FROM wf)"""
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+       s$i AS MATERIALIZED (
+         SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e$p),
+       p$i AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+                 SELECT unnest(list_transform(range(1, len(s)),
+                          j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s$i)
+               GROUP BY 1),
+       y$i AS MATERIALIZED (
+         SELECT sym, CAST(sum(f) AS BIGINT) AS sn FROM (
+           SELECT unnest(s) AS sym, f FROM s$i) GROUP BY 1),
+       b$i AS MATERIALIZED (
+         SELECT pair, n,
+                CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(a.sn AS DOUBLE))
+                  - ln(CAST(b.sn AS DOUBLE))) * 1000000) AS BIGINT)
+                  AS score_microbits
+         FROM p$i
+         JOIN y$i a ON a.sym = string_split(pair, ' ')[1]
+         JOIN y$i b ON b.sym = string_split(pair, ' ')[2]
+         ORDER BY score_microbits DESC, pair LIMIT 1),
+       e$i AS MATERIALIZED (
+         SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                        ';' || string_split(b.pair, ' ')[1] ||
+                        CASE WHEN string_split(b.pair, ' ')[2] LIKE '##%'
+                             THEN substr(string_split(b.pair, ' ')[2], 3)
+                             ELSE string_split(b.pair, ' ')[2] END || ';') AS e, f
+         FROM e$p, b$i b)"""
+    }
+    sb.toString
+  }
+
+  /** WordPiece serving replay appended after [[wpTrainCtes]]: the vocab =
+    * every initial symbol (from s1) ∪ each merge's product, then `stages`
+    * unrolled greedy longest-match steps — stage k advances every
+    * unfinished word by its longest matching piece (row_number by body
+    * length; at most one piece can match per length, so no tie-break is
+    * needed) or marks it `[UNK]` (the all-or-nothing rule). `stages` must
+    * be ≥ the corpus's max word length (each stage consumes ≥ 1 char). */
+  private def wpGreedyCtes(iters: Int, stages: Int): String = {
+    val sb = new StringBuilder
+    val merged = (1 to iters).map(i => s"SELECT pair FROM b$i")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+       vocab AS MATERIALIZED (
+         SELECT DISTINCT sym AS piece FROM (SELECT unnest(s) AS sym FROM s1)
+         UNION
+         SELECT string_split(pair, ' ')[1] ||
+                CASE WHEN string_split(pair, ' ')[2] LIKE '##%'
+                     THEN substr(string_split(pair, ' ')[2], 3)
+                     ELSE string_split(pair, ' ')[2] END AS piece
+         FROM ($merged)),
+       st0 AS (SELECT w, 0 AS pos, '' AS acc, FALSE AS unk FROM wf)"""
+    for (k <- 1 to stages) {
+      val p = k - 1
+      sb ++= s""",
+       mk$k AS (
+         SELECT w, piece, body_len,
+                row_number() OVER (PARTITION BY w ORDER BY body_len DESC) AS rn
+         FROM (
+           SELECT s.w, v.piece,
+                  CASE WHEN v.piece LIKE '##%' THEN len(v.piece) - 2
+                       ELSE len(v.piece) END AS body_len
+           FROM st$p s JOIN vocab v
+             ON s.pos < len(s.w) AND NOT s.unk
+            AND ((s.pos > 0) = (v.piece LIKE '##%'))
+            AND substr(s.w, s.pos + 1,
+                  CASE WHEN v.piece LIKE '##%' THEN len(v.piece) - 2
+                       ELSE len(v.piece) END)
+                = CASE WHEN v.piece LIKE '##%' THEN substr(v.piece, 3)
+                       ELSE v.piece END) t),
+       st$k AS MATERIALIZED (
+         SELECT s.w,
+           CASE WHEN s.pos >= len(s.w) OR s.unk THEN s.pos
+                WHEN m.piece IS NULL THEN len(s.w)
+                ELSE s.pos + m.body_len END AS pos,
+           CASE WHEN s.pos >= len(s.w) OR s.unk THEN s.acc
+                WHEN m.piece IS NULL THEN '[UNK]'
+                WHEN s.acc = '' THEN m.piece
+                ELSE s.acc || ' ' || m.piece END AS acc,
+           (s.unk OR (s.pos < len(s.w) AND m.piece IS NULL)) AS unk
+         FROM st$p s LEFT JOIN (
+           SELECT w, piece, body_len FROM mk$k WHERE rn = 1) m
+           ON s.w = m.w)"""
+    }
+    sb.toString
+  }
 
   /** Shared DuckDB CTE chain replaying the MinHash+LSH pipeline
     * (word-3-gram shingles, 8-hash string-min signature, 4×2 bands,

@@ -145,7 +145,7 @@ object TextOps {
     * If the corpus runs out of mergeable pairs before `merges` (every word
     * fully merged), training stops early and returns the rules learned so
     * far, mirroring reference BPE termination. */
-  private val BpeCheckpointEvery = 32
+  private[llm] val BpeCheckpointEvery = 32
 
   private def bpeFit(
       docs: DataFrame,

@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece subword tokenization (Schuster & Nakajima 2012; the BERT
+  * tokenizer family) — the THIRD production tokenizer next to BPE
+  * ([[TextOps.bpeTrain]]) and unigram-LM ([[Unigram]]). Training is
+  * BPE-shaped merge learning with a different objective: each iteration
+  * merges the symbol pair maximizing the LIKELIHOOD score
+  * count(ab) / (count(a) · count(b)) rather than the raw pair count
+  * (the HuggingFace WordPiece trainer's rule), with continuation symbols
+  * carrying the literal `##` marker. Serving is greedy
+  * longest-match-first against the learned vocabulary — a different
+  * inference rule from both BPE's merge replay and unigram's Viterbi —
+  * with the published all-or-nothing `[UNK]` fallback.
+  *
+  * Cross-engine determinism: the score ratio is compared in INTEGER
+  * micro-bits — round((ln n − ln n_a − ln n_b) · 1e6) — the DSIR/unigram
+  * integer-log trick (ln is ~1ulp on both engines; the 1e6 rounding
+  * absorbs it), with ties broken (score DESC, pair ASC). The DuckDB
+  * oracle replays training iteration-for-iteration and serving
+  * stage-for-stage (one greedy-match stage per consumed position).
+  *
+  * Scale shape: training state is the Heaps-bounded word-frequency table
+  * (the BPE `;sym;` delimiter encoding — greedy non-overlapping merge
+  * semantics exact on both engines); each iteration is two
+  * vocabulary-sized aggregates + a broadcast-joined score frame + a
+  * 1-row argmax collect (a model parameter, like the k-means centroid
+  * pin); lineage re-materializes every [[TextOps.BpeCheckpointEvery]]
+  * merges. Serving tokenizes once per DISTINCT word through the
+  * codegen'd `wordpiece_encode` native probing the vocabulary frozen
+  * into the plan as a binary literal — zero joins, zero shuffles at
+  * tokenization time (the LmBits plan-literal pattern).
+  */
+object Wordpiece {
+
+  private def normWords(textCol: String): Column =
+    split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), "\\s+")
+
+  /** Initial WordPiece symbol encoding of a word: first char plain, every
+    * later char `##`-prefixed, in the `;sym;;sym;` delimiter form the
+    * merge replace operates on. */
+  private val initEncode = expr(
+    """concat(';', substring(__w__, 1, 1),
+         CASE WHEN length(__w__) > 1
+              THEN concat(';;', concat_ws(';;',
+                     transform(sequence(2, length(__w__)),
+                       i -> concat('##', substring(__w__, i, 1)))))
+              ELSE '' END, ';')""")
+
+  /** One merge step: `(learned merges, final word state, vocabulary)`.
+    * Vocabulary = every symbol of the initial encoding (alphabet + `##`
+    * continuations seen in the corpus) plus each merge's product — the
+    * standard WordPiece vocab (intermediate products stay IN the vocab
+    * even when a later merge extends them; greedy serving needs them). */
+  private def wpFit(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope): (Seq[(Int, String, Long, Long)], Seq[String]) = {
+    val wf = scope.cache(docs
+      .select(explode(normWords(textCol)).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
+      .select(col("__w__"), initEncode.as("__e__"), col("__f__")))
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    val pairsOf = expr(
+      s"""CASE WHEN size($syms) < 2 THEN CAST(array() AS array<string>)
+          ELSE transform(sequence(1, size($syms) - 1),
+            i -> concat(element_at($syms, i), ' ', element_at($syms, i + 1)))
+          END""")
+    val symsOf = expr(syms)
+
+    val initVocab = wf
+      .select(explode(symsOf).as("sym")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ 2 × |alphabet|
+    val vocab = Seq.newBuilder[String]
+    vocab ++= initVocab
+
+    var words = wf
+    val learned = Seq.newBuilder[(Int, String, Long, Long)]
+    var ix = 1
+    var exhausted = false
+    while (ix <= merges && !exhausted) {
+      val pc = words.select(col("__f__"), explode(pairsOf).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("__f__")).as("n"))
+      val sc = words.select(col("__f__"), explode(symsOf).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("__f__")).as("sn"))
+      val best = pc
+        .withColumn("__a__", expr("split(pair, ' ')[0]"))
+        .withColumn("__b__", expr("split(pair, ' ')[1]"))
+        .join(sc.select(col("sym").as("__a__"), col("sn").as("na")), Seq("__a__"))
+        .join(sc.select(col("sym").as("__b__"), col("sn").as("nb")), Seq("__b__"))
+        .select(col("pair"), col("n"),
+          expr("""CAST(round((ln(CAST(n AS double)) - ln(CAST(na AS double))
+                   - ln(CAST(nb AS double))) * 1000000) AS bigint)""")
+            .as("score_microbits"))
+        .orderBy(col("score_microbits").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        learned += ((ix, pair, best(0).getLong(2), best(0).getLong(1)))
+        val Array(a, b) = pair.split(' ')
+        val merged = a + b.stripPrefix("##")
+        vocab += merged
+        words = words.select(col("__w__"),
+          expr(s"replace(__e__, ';$a;;$b;', ';$merged;')").as("__e__"),
+          col("__f__"))
+        if (ix % TextOps.BpeCheckpointEvery == 0)
+          words = words.localCheckpoint(true)
+        ix += 1
+      }
+    }
+    (learned.result(), vocab.result().distinct)
+  }
+
+  /** Learned merge table: (merge_ix, pair, score_microbits, n). */
+  def wordpieceTrain(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wpFit(docs, textCol, merges, scope)._1
+      .toDF("merge_ix", "pair", "score_microbits", "n")
+  }
+
+  /** Greedy longest-match tokenization of every DISTINCT corpus word
+    * through the trained vocabulary: (word, pieces, n_pieces) — `pieces`
+    * is the space-joined piece string (continuations keep `##`), or
+    * `[UNK]` on any positional miss / overlong word. Tokenization is the
+    * codegen'd `wordpiece_encode` native over the vocab plan literal;
+    * the distinct-word frame is Heaps-bounded, so a document-level
+    * rollup broadcast-joins it back (the bpeSubwordCounts shape). */
+  def encodeWords(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      maxWordLen: Int = 32,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    val (_, vocab) = wpFit(docs, textCol, merges, scope)
+    val model = graft.expr.WordpieceModel.encode(vocab.sorted, maxWordLen)
+    docs.select(explode(normWords(textCol)).as("word"))
+      .where(length(col("word")) >= 1)
+      .distinct()
+      .select(col("word"),
+        call_function("wordpiece_encode", col("word"), lit(model)).as("pieces"))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")))
+  }
+}

@@ -238,6 +238,49 @@ class LlmSpec extends GraftSuite {
     assert(all === 60L)
   }
 
+  test("wordpiece training maximizes the likelihood score with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    // words: ab×4, abc×2, bc×3 — hand-derived merge sequence:
+    //  iter 1: score(b ##c) = 3/(3·5) beats a ##b 6/(6·6) and ##b ##c 2/(6·5)
+    //  iter 2: a ##b and ##b ##c TIE at 1/6 → lexicographic pair asc picks ##b ##c
+    //  iter 3: a ##b and a ##bc tie at 1/6 → a ##b (prefix sorts first)
+    val d = Seq("ab ab ab ab abc abc bc bc bc").toDF("text")
+    val out = graft.llm.Wordpiece.wordpieceTrain(d, "text", merges = 3,
+        scope = new graft.llm.CacheScope)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def mb(x: Double) = Math.round(x * 1e6)
+    assert(out.toSeq === Seq(
+      (1, "b ##c", mb(math.log(3.0) - math.log(3.0) - math.log(5.0)), 3L),
+      (2, "##b ##c", mb(math.log(2.0) - math.log(6.0) - math.log(2.0)), 2L),
+      (3, "a ##b", mb(math.log(4.0) - math.log(6.0) - math.log(4.0)), 4L)))
+  }
+
+  test("wordpiece greedy longest-match serving with [UNK] fallback") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("ab ab ab ab abc abc bc bc bc").toDF("text")
+    val out = graft.llm.Wordpiece.encodeWords(d, "text", merges = 3,
+        scope = new graft.llm.CacheScope)
+      .orderBy(sc("word")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // vocab after 3 merges: {a, b, ##b, ##c, bc, ##bc, ab}
+    // greedy on abc: longest-first takes "ab" then "##c" — NOT training's
+    // a+##bc path (inference rule differs from merge replay by design)
+    assert(out.toSeq === Seq(
+      ("ab", "ab", 1), ("abc", "ab ##c", 2), ("bc", "bc", 1)))
+    // direct UNK paths: unmatched char, overlong word
+    val m = graft.expr.WordpieceModel.decode(graft.expr.WordpieceModel.encode(
+      Seq("a", "b", "##b", "##c", "bc", "##bc", "ab").sorted, maxWordLen = 8))
+    assert(graft.expr.WordpieceModel.greedy("xyz", m).toString === "[UNK]")
+    assert(graft.expr.WordpieceModel.greedy("abz", m).toString === "[UNK]")
+    assert(graft.expr.WordpieceModel.greedy("abababababab", m).toString === "[UNK]")
+    // greedy takes "ab" first, then strands at pos 2 (no ##a/##ab piece):
+    // the all-or-nothing rule turns a greedy dead-end into [UNK]
+    assert(graft.expr.WordpieceModel.greedy("ababab", m).toString === "[UNK]")
+  }
+
   test("contamination flags train docs sharing eval n-grams") {
     val s = spark
     import s.implicits._
