@@ -1465,8 +1465,7 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          graft.llm.TextOps.repetitionSignals(
-            df.where(F.col("doc_id") < 300), "doc_id", "text",
+          graft.llm.TextOps.repetitionSignals(df, "doc_id", "text",
             topNs = Seq(2, 3), dupNs = Seq(5))
         }
         .sort(col("doc_id"))
@@ -1492,8 +1491,7 @@ object SparkEntry {
             F.when(F.col("doc_id") % 3 === 0,
               F.concat(F.lit("?lang="), F.col("lang"))).otherwise(F.lit("")))
           val p = graft.llm.TextOps.urlParts(url)
-          df.where(F.col("doc_id") < 400)
-            .select(F.col("doc_id"), url.as("url"),
+          df.select(F.col("doc_id"), url.as("url"),
               p.getField("scheme").as("scheme"), p.getField("host").as("host"),
               p.getField("path").as("path"), p.getField("domain").as("domain"))
         }
@@ -1510,8 +1508,7 @@ object SparkEntry {
             F.element_at(
               F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
               (F.col("doc_id") % 4 + 1).cast("int")))
-          val withDom = df.where(F.col("doc_id") < 2000)
-            .withColumn("domain", domain)
+          val withDom = df.withColumn("domain", domain)
           graft.llm.TextOps.domainCap(withDom, "domain", "doc_id", cap = 25)
             .groupBy(F.col("domain"))
             .agg(F.count(F.lit(1)).as("n_kept"),
@@ -2449,6 +2446,15 @@ object SparkEntry {
       m(dir, "documents")
         .native(df => graft.llm.Wordpiece.encodeWords(df, "text", merges = 4))
         .sort(col("word"))
+        .run(s)),
+
+    // --- WordPiece document rollup: per-doc word/subword/[UNK] counts
+    //     and OOV fraction via the Heaps-bounded distinct-word broadcast
+    //     (the bpeSubwordCounts shape) ---
+    "q_wordpiece_oov" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Wordpiece.docStats(df, "doc_id", "text", merges = 4))
+        .sort(col("doc_id"))
         .run(s)),
 
     // --- overlapping word-window chunking (size 32, stride 24) ---
@@ -3859,7 +3865,7 @@ object SparkEntry {
       """WITH base AS (
            SELECT doc_id, len(trim(text)) AS total,
                   regexp_split_to_array(trim(text), '\s+') AS w
-           FROM documents WHERE doc_id < 300),
+           FROM documents),
          tag AS (
            SELECT doc_id, total, n,
                   CASE WHEN len(w) >= n
@@ -3898,7 +3904,7 @@ object SparkEntry {
              CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
              '/d/' || CAST(doc_id AS VARCHAR) ||
              CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END AS url
-           FROM documents WHERE doc_id < 400),
+           FROM documents),
          p AS (
            SELECT doc_id, url,
              regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
@@ -3927,7 +3933,7 @@ object SparkEntry {
                   source || '.' ||
                   (['com','co.uk','org','io'])[CAST(doc_id % 4 + 1 AS INT)]
                     AS domain
-           FROM documents WHERE doc_id < 2000),
+           FROM documents),
          r AS (
            SELECT doc_id, domain,
                   row_number() OVER (PARTITION BY domain
@@ -4986,6 +4992,28 @@ object SparkEntry {
          SELECT w AS word, acc AS pieces,
                 CAST(len(string_split(acc, ' ')) AS INT) AS n_pieces
          FROM st8 ORDER BY word""",
+
+    // Same training + greedy stages, rolled up per document through the
+    // distinct-word join.
+    "q_wordpiece_oov" ->
+      s"""WITH ${wpTrainCtes(4)}${wpGreedyCtes(4, 8)},
+         enc AS (SELECT w, acc,
+                        CAST(len(string_split(acc, ' ')) AS BIGINT) AS np
+                 FROM st8),
+         dw AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    '\\s+')) AS w
+           FROM documents)
+         SELECT doc_id,
+                count(*) AS n_words,
+                CAST(sum(np) AS BIGINT) AS n_pieces,
+                CAST(sum(CASE WHEN acc = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unk,
+                round(CAST(sum(CASE WHEN acc = '[UNK]' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS unk_frac
+         FROM dw JOIN enc USING (w) WHERE len(w) >= 1
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)
     "q_chunk_docs" ->

@@ -151,4 +151,30 @@ object Wordpiece {
         call_function("wordpiece_encode", col("word"), lit(model)).as("pieces"))
       .withColumn("n_pieces", size(split(col("pieces"), " ")))
   }
+
+  /** Document-level tokenization rollup — the sequence-budgeting /
+    * vocab-coverage report a tokenizer ships with: per doc, the word
+    * count, total subword count, `[UNK]` word count, and the OOV
+    * fraction (6-dp). The Heaps-bounded distinct-word encoding
+    * broadcast-joins back to per-document words (the bpeSubwordCounts
+    * shape) — per-doc work is a hash probe, never a re-tokenization. */
+  def docStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int,
+      maxWordLen: Int = 32,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val enc = encodeWords(docs, textCol, merges, maxWordLen, scope)
+    docs.select(col(idCol), explode(normWords(textCol)).as("word"))
+      .where(length(col("word")) >= 1)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces").cast("long")).as("n_pieces"),
+        sum(when(col("pieces") === "[UNK]", 1L).otherwise(0L)).as("n_unk"))
+      .withColumn("unk_frac",
+        round(col("n_unk").cast("double") / col("n_words"), 6))
+  }
 }

@@ -236,6 +236,11 @@ class LlmSpec extends GraftSuite {
     // under-cap domains keep everything
     val all = TextOps.domainCap(d, "domain", "doc_id", cap = 100).count()
     assert(all === 60L)
+    // plan shape: the rn <= cap filter must rewrite to WindowGroupLimit,
+    // so each map task forwards at most cap rows per domain into the
+    // exchange — the property that makes a hot million-page domain safe
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 
   test("wordpiece training maximizes the likelihood score with deterministic ties") {
