@@ -1405,6 +1405,23 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- exact ROC AUC (Mann–Whitney with tie handling) of the quality
+    //     score against a keyword label — the calibration metric a
+    //     quality-classifier gate is tuned by; integer numerator over the
+    //     bounded distinct-score frame, one 6dp division ---
+    "q_classifier_auc" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val scored = df
+            .withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .select(
+              graft.llm.TextOps.qualityScore("__toks__").as("score"),
+              F.array_contains(F.col("__toks__"), "spark").as("label"))
+          graft.llm.Classifier.auc(scored, "score", "label")
+        }
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -4412,6 +4429,37 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Replays qualityScore then the exact Mann–Whitney AUC over the
+    // distinct-score frame: cum_neg = negatives strictly below each
+    // score; numerator = 2·Σ p·cum_neg + Σ p·n (ties count half).
+    "q_classifier_auc" ->
+      (s"""WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         sc AS (
+           SELECT round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2,
+                6) AS s,
+                list_contains(w, 'spark') AS y
+           FROM toks),
+         g AS (
+           SELECT s,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM sc GROUP BY s),
+         c AS (
+           SELECT p, n,
+                  coalesce(sum(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cumneg
+           FROM g)
+         SELECT CASE WHEN sum(p) = 0 OR sum(n) = 0 THEN NULL
+                     ELSE round(CAST(sum(p * cumneg * 2 + p * n) AS DOUBLE)
+                          / CAST(sum(p) * sum(n) * 2 AS DOUBLE), 6) END AS auc,
+                CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(n) AS BIGINT) AS n_neg
+         FROM c"""),
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

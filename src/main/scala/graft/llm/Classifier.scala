@@ -116,4 +116,41 @@ object Classifier {
   /** Exact integer micro-gradient: floor(v·1e6 + 0.5) as BIGINT. */
   private def expr_floorMicro(v: Column): Column =
     floor(v * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Exact ROC AUC of a score column against a boolean label — the
+    * Mann–Whitney statistic with standard tie handling
+    * (P[s⁺ > s⁻] + ½·P[s⁺ = s⁻]), the calibration metric every
+    * quality-classifier gate is tuned by. One row:
+    * (auc, n_pos, n_neg); NULL auc when a class is absent.
+    *
+    * Scale anatomy: the corpus reduces by ONE map-side-combined
+    * aggregate to per-DISTINCT-SCORE (n_pos, n_neg) counts — scores are
+    * 6-dp-rounded upstream, so the distinct-score frame is
+    * bounded-domain (≤ 10⁶ rows, the q_lm_ppl_buckets defense) and the
+    * running-negatives window runs over IT, never a corpus-wide
+    * row_number/sort. The AUC numerator is an exact INTEGER
+    * (2·Σ n_pos·cum_neg + Σ n_pos·n_neg — order-free under any
+    * shuffle); the single division rounds to 6 dp. */
+  def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("__s__"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p__"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n__"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s__"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cumneg__", coalesce(sum(col("__n__")).over(w), lit(0L)))
+      .agg(
+        sum(col("__p__") * col("__cumneg__") * 2 + col("__p__") * col("__n__"))
+          .as("__num__"),
+        sum(col("__p__")).as("n_pos"),
+        sum(col("__n__")).as("n_neg"))
+      .select(
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__num__").cast("double")
+            / (col("n_pos") * col("n_neg") * lit(2L)), 6)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
 }

@@ -286,6 +286,30 @@ class LlmSpec extends GraftSuite {
     assert(graft.expr.WordpieceModel.greedy("ababab", m).toString === "[UNK]")
   }
 
+  test("AUC: exact Mann–Whitney with half-credit ties and degenerate NULL") {
+    val s = spark
+    import s.implicits._
+    // pos {0.8, 0.6, 0.6}, neg {0.6, 0.4, 0.2, 0.1}:
+    //   0.8 beats all 4; each 0.6 beats 3 and ties 1 (half credit)
+    //   → (4 + 2·3.5) / 12 = 11/12
+    val d = Seq((0.8, true), (0.6, true), (0.6, true),
+      (0.6, false), (0.4, false), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val r = graft.llm.Classifier.auc(d, "score", "label").collect()(0)
+    assert(r.getDouble(0) === 0.916667)
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 4L)))
+    // perfect separation → 1.0; reversed → 0.0
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "label")
+    assert(graft.llm.Classifier.auc(sep, "score", "label")
+      .collect()(0).getDouble(0) === 1.0)
+    val rev = Seq((0.1, true), (0.8, false)).toDF("score", "label")
+    assert(graft.llm.Classifier.auc(rev, "score", "label")
+      .collect()(0).getDouble(0) === 0.0)
+    // single-class input reports NULL, not a crash or a fake number
+    val one = Seq((0.5, true), (0.7, true)).toDF("score", "label")
+    assert(graft.llm.Classifier.auc(one, "score", "label").collect()(0).isNullAt(0))
+  }
+
   test("contamination flags train docs sharing eval n-grams") {
     val s = spark
     import s.implicits._
