@@ -1534,6 +1534,28 @@ object SparkEntry {
         .sort(col("domain"))
         .run(s)),
 
+    // --- STREAMING per-domain cap in single-batch backfill mode: the
+    //     keyed admission state ranks candidates by the batch operator's
+    //     exact (md5(id), id) order, so one batch reproduces q_domain_cap
+    //     bit-for-bit (oracle shared by reference) ---
+    "q_stream_domain_cap" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val domain = F.concat(F.col("source"), F.lit("."),
+            F.element_at(
+              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
+              (F.col("doc_id") % 4 + 1).cast("int")))
+          val withDom = df.withColumn("domain", domain)
+          graft.streaming.Streams
+            .streamingDomainCap(withDom, "domain", "doc_id", cap = 25)
+            .groupBy(F.col("domain"))
+            .agg(F.count(F.lit(1)).as("n_kept"),
+              F.sum(F.col("doc_id")).as("sum_ids"))
+        }
+        .sort(col("domain"))
+        .run(s)),
+
     // --- APPLY near-dup dedup: keep one representative per cluster,
     //     i.e. the complete detector → closure → anti-join pipeline ---
     "q_dedup_apply" -> ((s, dir) =>
@@ -5127,7 +5149,9 @@ object SparkEntry {
   // (LlmSpec pins it), so the SAME four-iteration DuckDB replay is its
   // oracle — defined by reference so the two gates stay in lock-step.
   def oracleSql: Map[String, String] =
-    baseOracleSql + ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train"))
+    baseOracleSql +
+      ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train")) +
+      ("q_stream_domain_cap" -> baseOracleSql("q_domain_cap"))
 
   /** WordPiece training replay: `iters` unrolled merge iterations. Each
     * iteration aggregates pair counts AND symbol counts from the current

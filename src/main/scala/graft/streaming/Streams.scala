@@ -118,6 +118,67 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Streaming per-domain document cap — the streaming twin of
+    * `graft.llm.TextOps.domainCap`: admit at most `cap` documents per
+    * domain over the unbounded stream. Emits the admitted
+    * `(<idCol> long, <domainCol> string)` rows; rejections are implicit
+    * (append mode can't retract).
+    *
+    * Admission-order parity with the batch operator: WITHIN a
+    * micro-batch, candidates rank by the batch operator's exact
+    * (md5(id), id) order — so single-batch backfill reproduces the batch
+    * kept SET bit-for-bit (the driver query's oracle is q_domain_cap's,
+    * shared by reference). ACROSS batches the policy is first-arrivals:
+    * a stream cannot rank against documents it has not seen — the
+    * standard admission-control semantics, documented rather than
+    * hidden. Per-batch, per-domain rows buffer once for the ranking
+    * sort; at most `cap − used` of them survive.
+    *
+    * State: ONE long (admitted count) per distinct domain — strictly
+    * smaller than the dedup operators' per-distinct-key booleans;
+    * RocksDB-backed at scale like [[streamingExactDedup]]. */
+  def streamingDomainCap(
+      docs: DataFrame,
+      domainCol: String,
+      idCol: String,
+      cap: Int,
+  ): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.types._
+    val rows = docs.select(
+      col(idCol).cast("long").as("__id__"),
+      col(domainCol).cast("string").as("__dom__"))
+      .where(col("__id__").isNotNull && col("__dom__").isNotNull)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField(domainCol, StringType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    rows
+      .groupByKey((r: Row) => r.getString(1))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dom: String, it: Iterator[Row], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          if (used >= cap) Iterator.empty
+          else {
+            // rank this batch's candidates by the batch operator's exact
+            // (md5(id), id) order; buffer is one batch × one domain
+            val cands = it.map(r => r.getLong(0)).toArray
+            val ranked = cands.sortBy(id => (md5Hex(id.toString), id))
+            val take = ranked.take((cap - used).toInt)
+            state.update(used + take.length)
+            take.iterator.map(id => Row(id, dom))
+          }
+      }(Encoders.scalaLong, rowEnc)
+  }
+
   /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
     * frontier, in micros (the serialized form of graft.expr.ChainState). */
   final case class ChainFrontier(cands: Seq[Seq[Long]])

@@ -33,6 +33,51 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming domain cap admits at most cap per domain across batches") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String)](s)
+    val capped = Streams.streamingDomainCap(
+      ms.toDF.toDF("doc_id", "domain"), "domain", "doc_id", cap = 10)
+    val q = capped.writeStream.format("memory").queryName("domcap_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 8 docs in domain a (all admitted), 12 in b (10 admitted)
+      ms.addData(((0L until 8L).map(i => (i, "a")) ++
+        (100L until 112L).map(i => (i, "b"))): _*)
+      q.processAllAvailable()
+      // batch 2: 5 more in a (2 admitted — first-arrivals), 3 in b (0)
+      ms.addData(((20L until 25L).map(i => (i, "a")) ++
+        (200L until 203L).map(i => (i, "b"))): _*)
+      q.processAllAvailable()
+      val byDom = spark.sql(
+        "SELECT domain, count(*) AS n FROM domcap_out GROUP BY domain")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byDom === Map("a" -> 10L, "b" -> 10L))
+      // batch-1 'a' docs all admitted; exactly 2 of batch 2's five
+      val aIds = spark.sql("SELECT doc_id FROM domcap_out WHERE domain = 'a'")
+        .collect().map(_.getLong(0)).toSet
+      assert((0L until 8L).forall(aIds.contains))
+      assert(aIds.count(_ >= 20L) === 2)
+    } finally q.stop()
+  }
+
+  test("streaming domain cap single-batch backfill equals the batch operator") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 60L).map(i => (i, if (i % 3 == 0) "big.com" else "small.org"))
+      .toDF("doc_id", "domain")
+    // batch mode: flatMapGroupsWithState over one batch, empty state —
+    // the in-batch (md5(id), id) ranking must reproduce the batch
+    // operator's kept SET exactly
+    val streamed = Streams.streamingDomainCap(d, "domain", "doc_id", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.llm.TextOps.domainCap(d, "domain", "doc_id", cap = 10)
+      .select(sc("doc_id"), sc("domain"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateless gates compose with streaming dedup into a cleaning pipeline") {
     val s = spark
     import s.implicits._
