@@ -1405,6 +1405,30 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- corpus profile (the "dataset card" rollup): per-source doc /
+    //     lang / token counts, exact-decimal mean quality, Gopher pass
+    //     rate — many signals, ONE corpus scan, one aggregate ---
+    "q_corpus_profile" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .withColumn("__q__", graft.llm.TextOps.qualityScore("__toks__"))
+            .withColumn("__p__",
+              graft.llm.TextOps.gopherGates("__toks__").getField("pass"))
+            .groupBy(F.col("source"))
+            .agg(
+              F.count(F.lit(1)).as("n_docs"),
+              F.countDistinct(F.col("lang")).as("n_langs"),
+              F.sum(F.size(F.col("__toks__")).cast("long")).as("total_tokens"),
+              F.round(F.sum(F.col("__q__").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)), 6).as("mean_quality"),
+              F.round(F.sum(F.when(F.col("__p__"), 1L).otherwise(0L))
+                .cast("double") / F.count(F.lit(1)), 6).as("gopher_pass_rate"))
+        }
+        .sort(col("source"))
+        .run(s)),
+
     // --- exact ROC AUC (Mann–Whitney with tie handling) of the quality
     //     score against a keyword label — the calibration metric a
     //     quality-classifier gate is tuned by; integer numerator over the
@@ -4451,6 +4475,39 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // One-scan dataset-card rollup: quality replayed per doc, means as
+    // exact decimal sums of the 6dp values (the kmeans discipline).
+    "q_corpus_profile" ->
+      (s"""WITH t AS (
+           SELECT source, lang,
+                  regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT source, lang, len(w)::BIGINT AS ntok,
+             round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+               + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2,
+               6) AS q,
+             (len(w) BETWEEN 50 AND 100000)
+               AND ((CAST(list_reduce(list_transform(w, t -> len(t)),
+                      (a, b) -> a + b) AS DOUBLE) / len(w)) BETWEEN 3.0 AND 10.0)
+               AND (CAST(len(list_filter(w, t -> contains(t, '#')
+                      OR contains(t, '...'))) AS DOUBLE) / len(w) <= 0.1)
+               AND (CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+                      AS DOUBLE) / len(w) >= 0.8)
+               AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+                      s -> list_contains(w, s))) >= 2) AS p
+           FROM t)
+         SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(q AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6)
+             AS mean_quality,
+           round(CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS gopher_pass_rate
+         FROM g GROUP BY source ORDER BY source"""),
 
     // Replays qualityScore then the exact Mann–Whitney AUC over the
     // distinct-score frame: cum_neg = negatives strictly below each
