@@ -1405,6 +1405,32 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- markdown → text extraction over deterministically synthesized
+    //     markdown (headings, bold, links, images, fenced code, quotes,
+    //     inline code); the oracle builds the SAME documents and replays
+    //     the regex chain ---
+    "q_markdown_strip" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val nl = F.lit("\n")
+          val md = F.concat(
+            F.lit("# "), F.expr("substring(text, 1, 20)"), nl,
+            F.lit("**"), F.expr("substring(text, 21, 15)"), F.lit("** and ["),
+            F.expr("substring(text, 40, 10)"), F.lit("](http://ex.com/"),
+            F.col("doc_id").cast("string"), F.lit(")"), nl,
+            F.lit("```"), nl, F.expr("substring(text, 5, 12)"), nl,
+            F.lit("```"), nl,
+            F.lit("> "), F.expr("substring(text, 60, 20)"), F.lit(" `"),
+            F.expr("substring(text, 30, 6)"), F.lit("`"))
+          val clean = graft.llm.TextOps.stripMarkdown(md)
+          df.select(F.col("doc_id"), F.length(md).as("n_in"),
+            F.length(clean).as("n_out"),
+            F.md5(clean.cast("binary")).as("clean_md5"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- corpus profile (the "dataset card" rollup): per-source doc /
     //     lang / token counts, exact-decimal mean quality, Gopher pass
     //     rate — many signals, ONE corpus scan, one aggregate ---
@@ -4475,6 +4501,46 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Builds the same synthesized markdown (chr(10) newlines) and replays
+    // the strip chain: fences wholesale, images before links (alt/anchor
+    // text kept via \1), inline code unwrapped, line-start markers via
+    // inline (?m), '*' emphasis dropped, whitespace collapsed.
+    "q_markdown_strip" ->
+      """WITH u AS (
+           SELECT doc_id,
+             '# ' || substr(text, 1, 20) || chr(10) ||
+             '**' || substr(text, 21, 15) || '** and [' ||
+             substr(text, 40, 10) || '](http://ex.com/' ||
+             CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+             '```' || chr(10) || substr(text, 5, 12) || chr(10) ||
+             '```' || chr(10) ||
+             '> ' || substr(text, 60, 20) || ' `' || substr(text, 30, 6) || '`'
+               AS md
+           FROM documents),
+         c AS (
+           SELECT doc_id, md,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(md, '(?s)```.*?```', ' ', 'g'),
+                             '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+                           '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+                         '`([^`]*)`', '\1', 'g'),
+                       '(?m)^#{1,6}[ \t]+', '', 'g'),
+                     '(?m)^>[ \t]?', '', 'g'),
+                   '(?m)^(-{3,}|\*{3,})$', ' ', 'g'),
+                 '\*{1,3}', '', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM u)
+         SELECT doc_id, CAST(len(md) AS INT) AS n_in,
+                CAST(len(clean) AS INT) AS n_out, md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
 
     // One-scan dataset-card rollup: quality replayed per doc, means as
     // exact decimal sums of the 6dp values (the kmeans discipline).

@@ -749,6 +749,35 @@ object TextOps {
     trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
   }
 
+  /** Markdown → text extraction — [[stripHtml]]'s sibling for the
+    * README/docs/code-adjacent corpora (GitHub, StackExchange dumps):
+    * fenced code blocks drop WHOLESALE first (a `#` or `[` inside code
+    * must not be parsed as markup — the stripHtml script-block rule),
+    * then images and links reduce to their alt/anchor text (images
+    * BEFORE links: the generic link pattern would otherwise leave the
+    * `!` behind), inline-code backticks unwrap, ATX headings /
+    * blockquote markers / horizontal rules drop at line starts
+    * (`(?m)`), `*` emphasis markers drop, and whitespace collapses.
+    * Underscore emphasis is deliberately NOT stripped: telling `_em_`
+    * from `snake_case` needs lookaround, which RE2 lacks — the
+    * documented common-subset price. Replacement backreferences use
+    * `$1` (Java) here and `\\1` (RE2) in the oracle — different
+    * spelling, same transform. Per-row codegen'd chain: no shuffle,
+    * scales with the scan. */
+  def stripMarkdown(text: Column): Column = {
+    val noFence = regexp_replace(text, lit("(?s)```.*?```"), lit(" "))
+    val noImage = regexp_replace(noFence,
+      lit("!\\[([^\\]]*)\\]\\(([^)]*)\\)"), lit("$1"))
+    val noLink = regexp_replace(noImage,
+      lit("\\[([^\\]]*)\\]\\(([^)]*)\\)"), lit("$1"))
+    val noInline = regexp_replace(noLink, lit("`([^`]*)`"), lit("$1"))
+    val noHead = regexp_replace(noInline, lit("(?m)^#{1,6}[ \\t]+"), lit(""))
+    val noQuote = regexp_replace(noHead, lit("(?m)^>[ \\t]?"), lit(""))
+    val noRule = regexp_replace(noQuote, lit("(?m)^(-{3,}|\\*{3,})$"), lit(" "))
+    val noEmph = regexp_replace(noRule, lit("\\*{1,3}"), lit(""))
+    trim(regexp_replace(noEmph, lit("\\s+"), lit(" ")))
+  }
+
   /** Unicode NFC normalization (codegen'd native, [[graft.expr.NfcNormalize]]).
     * Corpus pipelines normalize BEFORE any hashing/dedup stage: the
     * decomposed e+U+0301 and precomposed U+00E9 must land in the same

@@ -286,6 +286,22 @@ class LlmSpec extends GraftSuite {
     assert(graft.expr.WordpieceModel.greedy("ababab", m).toString === "[UNK]")
   }
 
+  test("stripMarkdown reduces markup to text, dropping code fences wholesale") {
+    val s = spark
+    import s.implicits._
+    val md = "# Title\n**bold** text with [a link](http://x) and ![img alt](y.png)\n" +
+      "```\ncode # not heading\n```\n> quoted words\n---\n`inline` *star* done"
+    val out = Seq(md).toDF("t")
+      .select(TextOps.stripMarkdown(sc("t"))).collect()(0).getString(0)
+    assert(out ===
+      "Title bold text with a link and img alt quoted words inline star done")
+    // a '#' inside a fence must never be treated as a heading (checked
+    // above: 'not heading' is gone with the fence), and underscores stay
+    val under = Seq("snake_case stays _as is_").toDF("t")
+      .select(TextOps.stripMarkdown(sc("t"))).collect()(0).getString(0)
+    assert(under === "snake_case stays _as is_")
+  }
+
   test("AUC: exact Mann–Whitney with half-credit ties and degenerate NULL") {
     val s = spark
     import s.implicits._
