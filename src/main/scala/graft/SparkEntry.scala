@@ -1405,6 +1405,25 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- SEMANTIC decontamination: max cosine of every corpus vector
+    //     against the 8-vector eval suite frozen into the plan as float
+    //     literals (zero joins) — flags the paraphrased leakage n-gram
+    //     overlap misses; each cosine rounds 6dp before the max ---
+    "q_semantic_decontam" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val eval = df.where(F.col("vec_id") < 8)
+            .select(F.col("vec_id"), F.col("embedding"))
+            .orderBy(F.col("vec_id"))
+            .collect().map(_.getSeq[Float](1).toSeq).toSeq
+          graft.llm.Embeddings.semanticDecontaminate(
+            df.where(F.col("vec_id") >= 8), "vec_id", "embedding",
+            eval, threshold = 0.35)
+        }
+        .sort(col("vec_id"))
+        .run(s)),
+
     // --- markdown → text extraction over deterministically synthesized
     //     markdown (headings, bold, links, images, fenced code, quotes,
     //     inline code); the oracle builds the SAME documents and replays
@@ -4501,6 +4520,20 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Same eval suite read back from the table; cosines via the shared
+    // double-precision left-fold, rounded 6dp before the per-row max.
+    "q_semantic_decontam" ->
+      (s"""WITH ev AS (
+           SELECT embedding AS e FROM embeddings WHERE vec_id < 8),
+         tr AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+         c AS (
+           SELECT t.vec_id,
+                  max(round(${cosSql("t.embedding", "v.e")}, 6)) AS max_eval_cos
+           FROM tr t, ev v GROUP BY t.vec_id)
+         SELECT vec_id, max_eval_cos, max_eval_cos >= 0.35 AS contaminated
+         FROM c ORDER BY vec_id"""),
 
     // Builds the same synthesized markdown (chr(10) newlines) and replays
     // the strip chain: fences wholesale, images before links (alt/anchor

@@ -845,6 +845,47 @@ object Embeddings {
     * excluded from pair generation entirely, so its members are KEPT, not
     * compared O(cell²). A documented recall tradeoff, identical on the
     * oracle side (SparkEntry parameterizes both from one constant). */
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * similarity-space twin of the n-gram `Dedup.contamination` detector:
+    * flag corpus vectors whose MAX cosine against the eval suite's
+    * embeddings reaches `threshold`, catching the paraphrased or
+    * re-tokenized benchmark leakage exact n-gram overlap misses.
+    *
+    * The eval suite is a bounded model parameter (the eval-gram-freeze /
+    * rpTopK precedent): its vectors freeze into the plan as float-array
+    * LITERALS, so serving is |eval| codegen'd `float_vec_dot` folds per
+    * corpus row — ZERO joins, zero shuffles, scan-linear at any corpus
+    * size (at |eval| in the thousands, switch to the `contamination`
+    * broadcast-join shape instead). Each cosine rounds to 6dp BEFORE the
+    * max so both engines agree on the winner; `Float.toString` is
+    * shortest-round-trip, so the frozen literals are bit-identical to
+    * the source column. Output: (id, max_eval_cos, contaminated). */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalVecs: Seq[Seq[Float]],
+      threshold: Double): DataFrame = {
+    require(evalVecs.nonEmpty, "need a non-empty eval suite")
+    require(evalVecs.forall(_.forall(f => !f.isNaN && !f.isInfinite)),
+      "eval vectors must be finite (literal round-trip)")
+    graft.GraftExtensions.install(corpus.sparkSession)
+    def litArr(v: Seq[Float]) =
+      s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(", ")})"
+    val withNorm = corpus.withColumn("__nrm__",
+      sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")))
+    val cosines = evalVecs.map { v =>
+      val l = litArr(v)
+      round(expr(s"float_vec_dot($vecCol, $l)")
+        / (col("__nrm__") * sqrt(expr(s"float_vec_dot($l, $l)"))), 6)
+    }
+    val mx = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+    withNorm
+      .withColumn("max_eval_cos", mx)
+      .select(col(idCol), col("max_eval_cos"),
+        (col("max_eval_cos") >= threshold).as("contaminated"))
+  }
+
   def semDedup(
       emb: DataFrame,
       idCol: String,

@@ -286,6 +286,25 @@ class LlmSpec extends GraftSuite {
     assert(graft.expr.WordpieceModel.greedy("ababab", m).toString === "[UNK]")
   }
 
+  test("semantic decontamination flags planted eval near-dups with zero joins") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(Seq(1f, 0f, 0f, 0f))
+    val d = Seq(
+      (10L, Seq(0.99f, 0.1f, 0f, 0f)), // near the eval vector
+      (11L, Seq(0f, 1f, 0f, 0f)),      // orthogonal
+      (12L, Seq(-1f, 0f, 0f, 0f)),     // opposite
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.semanticDecontaminate(d, "vec_id", "embedding", ev, 0.9)
+    val rows = out.orderBy(sc("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows(0)._2 > 0.99 && rows(0)._3)
+    assert(rows(1)._2 === 0.0 && !rows(1)._3)
+    assert(rows(2)._2 === -1.0 && !rows(2)._3)
+    // the eval suite is plan literals: no join anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   test("stripMarkdown reduces markup to text, dropping code fences wholesale") {
     val s = spark
     import s.implicits._
