@@ -1586,22 +1586,25 @@ object SparkEntry {
 
     // --- per-domain document cap: ≤ cap docs per registrable domain in
     //     deterministic (md5(id), id) order — kept SET replays exactly ---
-    "q_domain_cap" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val domain = F.concat(F.col("source"), F.lit("."),
-            F.element_at(
-              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
-              (F.col("doc_id") % 4 + 1).cast("int")))
-          val withDom = df.withColumn("domain", domain)
-          graft.llm.TextOps.domainCap(withDom, "domain", "doc_id", cap = 25)
-            .groupBy(F.col("domain"))
-            .agg(F.count(F.lit(1)).as("n_kept"),
-              F.sum(F.col("doc_id")).as("sum_ids"))
-        }
+    // ... expressed through the public Model API (Source.DomainCap) and
+    // run THROUGH the wire codec — the cap is a first-class pipeline op.
+    "q_domain_cap" -> ((s, dir) => {
+      val md = col("doc_id") - ((col("doc_id") floorDiv lit(4L)) * lit(4L))
+      val model = m(dir, "documents")
+        .domainCap(
+          concat(col("source"), lit("."),
+            cases(Seq(
+              (md === lit(0L)) -> lit("com"),
+              (md === lit(1L)) -> lit("co.uk"),
+              (md === lit(2L)) -> lit("org")), lit("io"))),
+          col("doc_id"), cap = 25)
+        .aggregate(
+          groups = Seq(col("domain").named("domain")),
+          measures = Seq(count().named("n_kept"),
+            sum(col("doc_id")).named("sum_ids")))
         .sort(col("domain"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- STREAMING per-domain cap in single-batch backfill mode: the
     //     keyed admission state ranks candidates by the batch operator's

@@ -992,6 +992,20 @@ object Compiler {
       new Frame(graft.llm.TextOps.weightedSample(df, kName, wName, k)
         .drop(wName))
 
+    case Source.DomainCap(base, domain, id, cap) =>
+      // Lowers to graft.llm.TextOps.domainCap: ONE row_number window in
+      // deterministic (md5(id), id) order, rewritten by Spark to a
+      // partial WindowGroupLimit. The computed `domain` stays as an
+      // output column (downstream groupings use it); the dunder id
+      // helper strips at the sink post-process.
+      val bf = compileSource(base, spark)
+      val iName = "__dc_id__"
+      val df = bf.df
+        .withColumn("domain", compileExpr(domain, bf))
+        .withColumn(iName, compileExpr(id, bf))
+      new Frame(graft.llm.TextOps.domainCap(df, "domain", iName, cap)
+        .drop(iName))
+
     case Source.DsirSelect(base, id, text, target, dims, k) =>
       // Lowers to graft.llm.Dsir: FIT materializes the two ≤dims-row
       // bucket models at compile time (bounded model parameters — the

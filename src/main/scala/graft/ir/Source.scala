@@ -304,4 +304,16 @@ object Source {
       weight: Expr,
       k: Int,
   ) extends Source
+
+  /** Per-domain document cap (beyond-reference, the wire form of
+    * `graft.llm.TextOps.domainCap`): keep at most `cap` rows per value of
+    * `domain`, chosen in deterministic (md5(id), id) order. Keeps base
+    * columns plus the computed `domain`; lowers to one row_number window
+    * that Spark rewrites to a partial WindowGroupLimit. */
+  final case class DomainCap(
+      base: Source,
+      domain: Expr,
+      id: Expr,
+      cap: Int,
+  ) extends Source
 }

@@ -571,6 +571,17 @@ final case class Model(
     Model(Source.WeightedSample(source, key, weight, k))
   }
 
+  /** Per-domain document cap (the wire-serializable form of
+    * `graft.llm.TextOps.domainCap`, the Common Crawl anti-template-site
+    * curation step): keep at most `cap` rows per `domain` value, chosen
+    * in deterministic (md5(id), id) order — membership is stable across
+    * runs, engines, and partitionings. Adds the computed `domain`
+    * column; lowers to one partial-WindowGroupLimit window. */
+  def domainCap(domain: Expr, id: Expr, cap: Int): Model = {
+    require(cap >= 1, "domainCap needs cap >= 1")
+    Model(Source.DomainCap(source, domain, id, cap))
+  }
+
   /** DSIR importance selection (the wire-serializable form of
     * `graft.llm.Dsir`, Xie et al. 2023): keep the `k` documents whose
     * `text` scores highest under the hashed-gram target/raw importance

@@ -131,6 +131,9 @@ object WireFormat {
     case Source.WeightedSample(b, key, w, k) =>
       Map("t" -> "weightedSample", "base" -> sourceW(b), "key" -> exprW(key),
         "weight" -> exprW(w), "k" -> k)
+    case Source.DomainCap(b, d, id, cap) =>
+      Map("t" -> "domainCap", "base" -> sourceW(b), "domain" -> exprW(d),
+        "id" -> exprW(id), "cap" -> cap)
     case Source.TokenBudgetFill(b, id, g, tx, w, budget) =>
       Map("t" -> "tokenBudgetFill", "base" -> sourceW(b), "id" -> exprW(id),
         "group" -> exprW(g), "text" -> exprW(tx), "weights" -> modelW(w),
@@ -322,6 +325,9 @@ object WireFormat {
     case "weightedSample" =>
       Source.WeightedSample(sourceR(obj(s("base"))), exprR(obj(s("key"))),
         exprR(obj(s("weight"))), long(s("k")).toInt)
+    case "domainCap" =>
+      Source.DomainCap(sourceR(obj(s("base"))), exprR(obj(s("domain"))),
+        exprR(obj(s("id"))), long(s("cap")).toInt)
     case "tokenBudgetFill" =>
       Source.TokenBudgetFill(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("group"))), exprR(obj(s("text"))),

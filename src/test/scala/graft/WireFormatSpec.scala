@@ -261,6 +261,24 @@ class WireFormatSpec extends GraftSuite {
     assert(!sample.run(s).columns.exists(_.startsWith("__")))
   }
 
+  test("domainCap rides the wire and keeps at most cap per domain") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "documents")
+    val capped = base
+      .domainCap(col("source"), col("doc_id"), cap = 3)
+      .pick(col("doc_id"), col("domain"))
+      .sort(col("doc_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(capped)) === capped)
+    val direct = capped.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(capped)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq && direct.nonEmpty)
+    // cap respected per domain, and the dunder id helper never leaks
+    val perDom = capped.run(s).collect().groupBy(_.getString(1))
+    assert(perDom.values.forall(_.length <= 3) && perDom.nonEmpty)
+    assert(!capped.run(s).schema.fieldNames.exists(_.startsWith("__")))
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
