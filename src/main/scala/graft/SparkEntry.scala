@@ -1668,6 +1668,20 @@ object SparkEntry {
       graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
     }),
 
+    // --- per-GROUP weighted sampling (stratified ES): k per language,
+    //     weight-proportional, same md5-derandomized priority cut by a
+    //     partial-WindowGroupLimit rank window per group ---
+    "q_weighted_sample_group" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.TextOps.weightedSamplePerGroup(
+              df, "lang", "doc_id", "n_chars", k = 5)
+            .select(F.col("lang"), F.col("doc_id"), F.col("priority"))
+        }
+        .sort(col("lang")).sort(col("doc_id"))
+        .run(s)),
+
     // --- temperature-weighted corpus mixing (XLM-R/mT5 resampling,
     //     alpha = 0.5): rare languages up-weighted ∝ √n_g; one group
     //     aggregate + broadcast rate table + per-row hash predicate. The
@@ -3558,6 +3572,22 @@ object SparkEntry {
          FROM documents
          WHERE n_chars IS NOT NULL AND n_chars > 0
          ORDER BY priority DESC, doc_id LIMIT 25""",
+
+    "q_weighted_sample_group" ->
+      """WITH p AS (
+           SELECT lang, doc_id,
+             round(ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+                      / CAST(4294967296.0 AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE), 6) AS priority
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (
+           SELECT lang, doc_id, priority,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY priority DESC, doc_id) AS rn
+           FROM p)
+         SELECT lang, doc_id, priority FROM r WHERE rn <= 5
+         ORDER BY lang, doc_id""",
 
     // Replays temperatureMix(alpha=0.5, keepFrac=0.5): pow→6dp round,
     // decimal weight sum, the SAME double expression association

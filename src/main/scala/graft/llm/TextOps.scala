@@ -845,6 +845,42 @@ object TextOps {
       .drop("__u__")
   }
 
+  /** Per-GROUP weighted sampling without replacement — the stratified
+    * form of [[weightedSample]] ("k docs per language, weight-
+    * proportional"): the same md5-derandomized Efraimidis–Spirakis
+    * priority, cut to the top `k` PER GROUP by a rank window instead of
+    * a global TakeOrdered. Deterministic across runs/engines/topology
+    * (priority 6-dp + key tie-break); NULL/non-positive weights are
+    * excluded.
+    *
+    * Scale shape: ONE row_number window on the group key, which Spark
+    * rewrites to a partial WindowGroupLimit (the [[domainCap]] shape) —
+    * each map task forwards at most k rows per group into the exchange,
+    * so a billion-row group costs k × n_maps shuffle rows, not a
+    * billion. */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(keyCol))
+    df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__u__",
+        (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
+          16, 10).cast("bigint") + 1L).cast("double") / lit(4294967296.0))
+      .withColumn("priority",
+        round(log(col("__u__")) / col(weightCol).cast("double"), 6))
+      .withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") <= k)
+      .drop("__u__", "__rn__")
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key lands
     * in the first `percent` of the hash space (first 8 hex digits as an
     * unsigned 32-bit value). Stable across runs/engines and cluster

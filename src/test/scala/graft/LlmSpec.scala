@@ -286,6 +286,29 @@ class LlmSpec extends GraftSuite {
     assert(graft.expr.WordpieceModel.greedy("ababab", m).toString === "[UNK]")
   }
 
+  test("weightedSamplePerGroup: k per group, deterministic, group-equals-global") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toDouble))
+      .toDF("id", "g", "w")
+    val out = TextOps.weightedSamplePerGroup(d, "g", "id", "w", k = 5)
+    val byG = out.groupBy(sc("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 5L, "b" -> 5L))
+    // deterministic under a different physical partitioning
+    val ids1 = out.select(sc("id")).collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.weightedSamplePerGroup(d.repartition(7), "g", "id", "w", 5)
+      .select(sc("id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // restricted to one group, the stratified cut IS the global sampler
+    val aOnly = TextOps.weightedSample(d.where(sc("g") === "a"), "id", "w", 5)
+      .select(sc("id")).collect().map(_.getLong(0)).toSet
+    assert(ids1.filter(_ % 2 == 0) === aOnly)
+    // rank window rewrites to the per-map partial limit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("semantic decontamination flags planted eval near-dups with zero joins") {
     val s = spark
     import s.implicits._
