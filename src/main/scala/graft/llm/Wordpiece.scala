@@ -140,9 +140,33 @@ object Wordpiece {
       textCol: String,
       merges: Int,
       maxWordLen: Int = 32,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    encodeWithVocab(docs, textCol, wpFit(docs, textCol, merges, scope)._2,
+      maxWordLen)
+
+  /** The learned vocabulary as a single-column frame (`piece`) — plain
+    * data, so tokenizer persistence is a parquet write/read with no
+    * bespoke format (the ANN index-persistence pattern): fit → save →
+    * load → [[encodeWithVocab]] serves identically to a fresh fit. */
+  def wordpieceVocab(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
       scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wpFit(docs, textCol, merges, scope)._2.toDF("piece")
+  }
+
+  /** [[encodeWords]] through an EXPLICIT vocabulary (typically reloaded
+    * from a persisted [[wordpieceVocab]] frame). */
+  def encodeWithVocab(
+      docs: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      maxWordLen: Int = 32): DataFrame = {
+    require(vocab.nonEmpty, "need a non-empty vocabulary")
     graft.GraftExtensions.install(docs.sparkSession)
-    val (_, vocab) = wpFit(docs, textCol, merges, scope)
     val model = graft.expr.WordpieceModel.encode(vocab.sorted, maxWordLen)
     docs.select(explode(normWords(textCol)).as("word"))
       .where(length(col("word")) >= 1)

@@ -309,6 +309,22 @@ class LlmSpec extends GraftSuite {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("wordpiece vocab persists as plain parquet: save/load serves identically") {
+    val s = spark
+    import s.implicits._
+    val d = Seq("ab ab ab ab abc abc bc bc bc").toDF("text")
+    val scope = new graft.llm.CacheScope
+    val vocab = graft.llm.Wordpiece.wordpieceVocab(d, "text", merges = 3, scope)
+    val dir = java.nio.file.Files.createTempDirectory("wpvocab").toString
+    vocab.write.mode("overwrite").parquet(dir)
+    val reloaded = s.read.parquet(dir).collect().map(_.getString(0)).toSeq
+    val fresh = graft.llm.Wordpiece.encodeWords(d, "text", merges = 3, scope = scope)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val served = graft.llm.Wordpiece.encodeWithVocab(d, "text", reloaded)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(served === fresh && fresh.nonEmpty)
+  }
+
   test("semantic decontamination flags planted eval near-dups with zero joins") {
     val s = spark
     import s.implicits._

@@ -215,6 +215,88 @@ class PropertySpec extends GraftSuite {
     }, cases = 60)
   }
 
+  test("property: wordpiece greedy equals an independent longest-match re-derivation") {
+    // Random words and random vocabularies (plain + ## continuation
+    // pieces): the native must equal a from-scratch greedy reference —
+    // longest match at each position, commit without backtracking, any
+    // dead end or overlong word → [UNK] — and every non-UNK output must
+    // reconstruct the word with its ## markers stripped.
+    import graft.expr.WordpieceModel
+    val alpha = "abc"
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val bodyGen = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val vocabGen = for {
+      plains <- Gen.listOfN(5, bodyGen)
+      conts <- Gen.listOfN(5, bodyGen)
+    } yield (plains ++ conts.map("##" + _)).distinct
+    check(Prop.forAll(wordGen, vocabGen) { (word, vocab) =>
+      val m = WordpieceModel.decode(WordpieceModel.encode(vocab.sorted, 8))
+      val got = WordpieceModel.greedy(word, m).toString
+      val vs = vocab.toSet
+      def ref(pos: Int, acc: List[String]): Option[List[String]] =
+        if (pos >= word.length) Some(acc.reverse)
+        else (math.min(word.length - pos, 10) to 1 by -1).view
+          .map { l =>
+            if (pos == 0) word.substring(0, l)
+            else "##" + word.substring(pos, pos + l)
+          }
+          .find(vs.contains) match {
+            case Some(p) =>
+              val body = if (p.startsWith("##")) p.length - 2 else p.length
+              ref(pos + body, p :: acc)
+            case None => None
+          }
+      val expect =
+        if (word.length > 8) "[UNK]"
+        else ref(0, Nil).map(_.mkString(" ")).getOrElse("[UNK]")
+      val reconOk = got == "[UNK]" ||
+        got.split(' ').map(_.stripPrefix("##")).mkString == word
+      got == expect && reconOk
+    }, cases = 80)
+  }
+
+  test("property: repetitionSignals equals a plain-Scala recomputation") {
+    // Random multi-doc corpora from a tiny word alphabet (forcing heavy
+    // n-gram repetition and sub-n-length docs): the operator's pipeline
+    // (tagged explode → count → struct-min argmax + conditional sum →
+    // pivot → left join) must equal a from-scratch per-doc fold.
+    val s = spark
+    import s.implicits._
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val wordGen = Gen.oneOf("aa", "b", "ccc", "aa") // skew toward repeats
+    val docGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(12, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.TextOps.repetitionSignals(
+          df, "doc_id", "text", topNs = Seq(2), dupNs = Seq(2, 3))
+        .collect().map(r => r.getLong(0) -> (
+          r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      def ref(text: String, n: Int): (Double, Double) = {
+        val t = text.trim
+        val toks = t.split("\\s+").toSeq
+        if (toks.size < n) (0.0, 0.0)
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+          val (tg, tc) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          val dup = counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum
+          (r6(tc.toLong * tg.length / t.length.toDouble),
+            r6(dup / t.length.toDouble))
+        }
+      }
+      docs.zipWithIndex.forall { case (t, i) =>
+        val (top2, dup2) = ref(t, 2)
+        val (_, dup3) = ref(t, 3)
+        out(i.toLong) == ((top2, dup2, dup3))
+      }
+    }, cases = 10)
+  }
+
   test("property: MgState retains every token above n/(width+1) under any merge tree") {
     // Drives MgState directly (ChainState pattern): for any token stream,
     // any partitioning, any random merge order, and serialize round-trips,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions.{col => sc}
 
 import graft.funcs._
 import graft.ir.Expr._
+import graft.llm.TextOps
 import graft.streaming.Streams
 
 /** Structured-Streaming operator tests over MemoryStream micro-batches. */
@@ -30,6 +31,32 @@ class StreamingSpec extends GraftSuite {
         .collect().map(_.getLong(0)).toSeq
       // 2 normalizes to 1's hash (within-batch dup), 4 repeats it cross-batch
       assert(out === Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("stateless markdown strip runs unchanged on a stream") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "# Head\n**bold** [x](http://y) rest"),
+      (2L, "```\ncode # here\n```\nplain"),
+      (3L, "> quote `tick` *star*"))
+    val ms = MemoryStream[(Long, String)](s)
+    val out = ms.toDF.toDF("doc_id", "md")
+      .select(sc("doc_id"), TextOps.stripMarkdown(sc("md")).as("clean"))
+    val q = out.writeStream.format("memory").queryName("mdstrip_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, clean FROM mdstrip_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = docs.toDF("doc_id", "md")
+        .select(sc("doc_id"), TextOps.stripMarkdown(sc("md")).as("clean"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch && batch.size === 3)
     } finally q.stop()
   }
 
