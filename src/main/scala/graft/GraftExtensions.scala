@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{AcCount, BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordpieceEncode}
+import graft.expr.{AcCount, BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -150,6 +150,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "mg_summary takes exactly 2 arguments")
         MgSummary(args.head, intLit(args(1), "mg_summary"))
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_ngrams takes exactly 2 arguments")
+        WordNgrams(args.head, intLit(args(1), "word_ngrams"))
       }),
     (FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),

@@ -150,6 +150,33 @@ object TextHashMore {
     set
   }
 
+  /** Space-joined word n-grams in position order — the codegen'd form of
+    * `TextOps.wordShingles` (value-identical for arrays without NULL
+    * elements, i.e. every `split` output; the HOF stays as the
+    * spec-pinned anchor): one UTF8String byte-concat per gram instead of
+    * a CodegenFallback transform+slice+concat_ws lambda chain per
+    * position. Empty array below n tokens, matching the HOF guard. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    if (toks == null) return null
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Any](0))
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](cnt - n + 1)
+    var i = 0
+    while (i + n <= cnt) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks.getUTF8String(i + j)
+        if (j > 0) parts(2 * j - 1) = sep
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** md5-hex of EVERY word k-gram window, in position order — the
     * POSITIONAL (non-distinct) complement of [[wordShingleSet]], fusing
     * wordShingles + per-gram md5 into one pass. Substring-span dedup
@@ -403,6 +430,26 @@ case class MinHashSigWords(child: Expression, n: Int, numHashes: Int)
 }
 
 /** `word_kgram_md5s(toks, k)` — see [[TextHashMore.wordKgramMd5s]]. */
+/** `word_ngrams(toks, n)` — see [[TextHashMore.wordNgrams]]. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects (array<string>, n>0), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashMore.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHashMore.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 case class WordKgramMd5s(child: Expression, k: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess

@@ -127,14 +127,17 @@ object Search {
       textCol: String,
       n: Int,
       k: Int,
-  ): DataFrame =
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
     docs
       .withColumn("__toks__", TextOps.tokens(col(textCol)))
-      .select(explode(TextOps.wordShingles("__toks__", n)).as("gram"))
+      // codegen'd gram generation (wordShingles is the spec-pinned anchor)
+      .select(explode(expr(s"word_ngrams(__toks__, $n)")).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
+  }
 
   /** Fixed-size overlapping word-window chunking — the standard
     * context-window preparation step for embedding / training pipelines.

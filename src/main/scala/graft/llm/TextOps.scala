@@ -622,13 +622,16 @@ object TextOps {
       topNs: Seq[Int] = Seq(2, 3),
       dupNs: Seq[Int] = Seq(5)): DataFrame = {
     require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    graft.GraftExtensions.install(docs.sparkSession)
     val ns = (topNs ++ dupNs).distinct.sorted
     val base = docs.select(col(idCol),
       length(trim(col(textCol))).as("__total__"),
       tokens(col(textCol)).as("__toks__"))
+    // gram generation is the hot per-token loop → the codegen'd
+    // word_ngrams native (wordShingles stays as the spec-pinned anchor)
     val tagged = base.select(col(idCol), col("__total__"),
       explode(array(ns.map(n =>
-        struct(lit(n).as("n"), wordShingles("__toks__", n).as("gs"))): _*))
+        struct(lit(n).as("n"), expr(s"word_ngrams(__toks__, $n)").as("gs"))): _*))
         .as("__e__"))
       .select(col(idCol), col("__total__"),
         col("__e__.n").as("__n__"), explode(col("__e__.gs")).as("__g__"))

@@ -176,6 +176,20 @@ class LlmSpec extends GraftSuite {
       (true, false, true, false)))
   }
 
+  test("word_ngrams native is value-identical to the wordShingles HOF") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val d = Seq("a bb ccc dddd e", "one two", "solo", "x y z x y z x")
+      .toDF("text").withColumn("__toks__", TextOps.tokens(sc("text")))
+    for (n <- Seq(1, 2, 3, 5, 9)) {
+      val rows = d.select(
+        org.apache.spark.sql.functions.expr(s"word_ngrams(__toks__, $n)"),
+        TextOps.wordShingles("__toks__", n)).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    }
+  }
+
   test("repetition signals: top/dup n-gram char fractions, ties and short docs") {
     val s = spark
     import s.implicits._
