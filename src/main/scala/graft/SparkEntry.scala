@@ -1405,6 +1405,19 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- corpus drift: add-α-smoothed unigram KL divergence between two
+    //     corpus slices (crawl-snapshot / filter-stage distribution-shift
+    //     monitor); per-term integer nano-nats, one 6dp division ---
+    "q_corpus_drift" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.TextOps.unigramKl(
+            df.where(F.col("lang") === "en"),
+            df.where(F.col("lang") === "de"), "text")
+        }
+        .run(s)),
+
     // --- SEMANTIC decontamination: max cosine of every corpus vector
     //     against the 8-vector eval suite frozen into the plan as float
     //     literals (zero joins) — flags the paraphrased leakage n-gram
@@ -4553,6 +4566,42 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Replays the smoothed KL with the identical expression association:
+    // p = (na+0.5)/(ta+0.5v) over the union vocabulary, per-term
+    // round(p·(ln p − ln q)·1e9) summed as BIGINT, final 6dp division.
+    "q_corpus_drift" ->
+      """WITH wa AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS na FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE lang = 'en') t
+           WHERE len(w) >= 1 GROUP BY w),
+         wb AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS nb FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE lang = 'de') t
+           WHERE len(w) >= 1 GROUP BY w),
+         j AS (
+           SELECT coalesce(wa.na, 0) AS na, coalesce(wb.nb, 0) AS nb
+           FROM wa FULL OUTER JOIN wb USING (w)),
+         t AS (
+           SELECT na, nb,
+                  sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+                  count(*) OVER () AS v
+           FROM j),
+         k AS (
+           SELECT CAST(round(
+                    (CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * v)
+                    * (ln((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * v))
+                       - ln((CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * v)))
+                    * 1e9) AS BIGINT) AS tn,
+                  ta, tb, v
+           FROM t)
+         SELECT round(CAST(sum(tn) AS DOUBLE) / 1e9, 6) AS kl_nats,
+                CAST(max(v) AS BIGINT) AS n_vocab,
+                CAST(max(ta) AS BIGINT) AS n_tokens_a,
+                CAST(max(tb) AS BIGINT) AS n_tokens_b
+         FROM k""",
 
     // Same eval suite read back from the table; cosines via the shared
     // double-precision left-fold, rounded 6dp before the per-row max.

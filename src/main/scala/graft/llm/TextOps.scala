@@ -752,6 +752,66 @@ object TextOps {
     trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
   }
 
+  /** Corpus drift detection: add-α-smoothed unigram KL divergence
+    * D(P‖Q) between two corpus slices — the distribution-shift monitor a
+    * pipeline runs between crawl snapshots, before/after a filter stage,
+    * or across sources (a filter that silently skews the word
+    * distribution shows up here before it shows up in model evals).
+    *
+    * Determinism: p and q are ratios of exact integers (+α), so the
+    * divisions are single correctly-rounded IEEE ops on both engines;
+    * the one transcendental (ln) is ~1ulp and each term rounds to
+    * INTEGER nano-nats before the sum (the DSIR integer-log trick at
+    * 1e9 scale — order-independent under any shuffle), with one final
+    * 6-dp division. Smoothing domain = the UNION vocabulary, so q > 0
+    * always and KL is finite.
+    *
+    * Scale shape: two map-side-combined word-count aggregates (corpus-
+    * linear), one vocabulary-bounded full-outer join, totals via
+    * unbounded windows over the already-aggregated vocab frame (the
+    * temperatureMix one-scan trick — never a second corpus pass), one
+    * integer-sum reduce. Output (1 row): kl_nats, n_vocab,
+    * n_tokens_a, n_tokens_b. */
+  def unigramKl(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (q must stay nonzero)")
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(tokens(col(textCol))).as("__w__"))
+        .where(length(col("__w__")) >= 1)
+        .groupBy(col("__w__")).agg(count(lit(1)).as(name))
+    val j = counts(a, "__na__")
+      .join(counts(b, "__nb__"), Seq("__w__"), "full_outer")
+      .select(col("__w__"),
+        coalesce(col("__na__"), lit(0L)).as("na"),
+        coalesce(col("__nb__"), lit(0L)).as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    j.withColumn("__ta__", sum(col("na")).over(w))
+      .withColumn("__tb__", sum(col("nb")).over(w))
+      .withColumn("__v__", count(lit(1)).over(w))
+      .withColumn("__p__",
+        (col("na").cast("double") + lit(alpha))
+          / (col("__ta__").cast("double") + lit(alpha) * col("__v__")))
+      .withColumn("__q__",
+        (col("nb").cast("double") + lit(alpha))
+          / (col("__tb__").cast("double") + lit(alpha) * col("__v__")))
+      .withColumn("__t__",
+        round(col("__p__") * (log(col("__p__")) - log(col("__q__")))
+          * lit(1e9)).cast("long"))
+      .agg(
+        sum(col("__t__")).as("__kl__"),
+        max(col("__v__")).as("n_vocab"),
+        max(col("__ta__")).as("n_tokens_a"),
+        max(col("__tb__")).as("n_tokens_b"))
+      .select(
+        round(col("__kl__").cast("double") / 1e9, 6).as("kl_nats"),
+        col("n_vocab"), col("n_tokens_a"), col("n_tokens_b"))
+  }
+
   /** Markdown → text extraction — [[stripHtml]]'s sibling for the
     * README/docs/code-adjacent corpora (GitHub, StackExchange dumps):
     * fenced code blocks drop WHOLESALE first (a `#` or `[` inside code

@@ -323,6 +323,28 @@ class LlmSpec extends GraftSuite {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("unigramKl: hand-derived divergence, zero on identical slices, Gibbs >= 0") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x x y").toDF("text")
+    val b = Seq("x z").toDF("text")
+    val r = graft.llm.TextOps.unigramKl(a, b, "text").collect()(0)
+    // union vocab {x,y,z}: p=(na+.5)/(3+1.5), q=(nb+.5)/(2+1.5) —
+    // re-derive with the identical nano-nat rounding
+    val ps = Seq(2L -> 1L, 1L -> 0L, 0L -> 1L) // (na, nb) for x, y, z
+    val expect = ps.map { case (na, nb) =>
+      val p = (na + 0.5) / (3.0 + 1.5); val q = (nb + 0.5) / (2.0 + 1.5)
+      Math.round(p * (math.log(p) - math.log(q)) * 1e9)
+    }.sum / 1e9
+    assert(r.getDouble(0) === java.math.BigDecimal.valueOf(expect)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 3L, 2L)))
+    // KL(P||P) = 0; KL >= 0 (Gibbs) on a skewed pair
+    assert(graft.llm.TextOps.unigramKl(a, a, "text")
+      .collect()(0).getDouble(0) === 0.0)
+    assert(r.getDouble(0) >= 0.0)
+  }
+
   test("wordpiece vocab persists as plain parquet: save/load serves identically") {
     val s = spark
     import s.implicits._
