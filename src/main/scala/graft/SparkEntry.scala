@@ -1418,6 +1418,19 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- per-term drift attribution: the 15 words contributing most to
+    //     the en↔de divergence, signed nano-nat terms (sum = kl_nats) ---
+    "q_drift_terms" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.TextOps.driftTerms(
+            df.where(F.col("lang") === "en"),
+            df.where(F.col("lang") === "de"), "text", k = 15)
+        }
+        .sort(col("word"))
+        .run(s)),
+
     // --- SEMANTIC decontamination: max cosine of every corpus vector
     //     against the 8-vector eval suite frozen into the plan as float
     //     literals (zero joins) — flags the paraphrased leakage n-gram
@@ -4602,6 +4615,39 @@ object SparkEntry {
                 CAST(max(ta) AS BIGINT) AS n_tokens_a,
                 CAST(max(tb) AS BIGINT) AS n_tokens_b
          FROM k""",
+
+    // Same per-word terms, cut to the 15 largest |contribution|s.
+    "q_drift_terms" ->
+      """WITH wa AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS na FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE lang = 'en') t
+           WHERE len(w) >= 1 GROUP BY w),
+         wb AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS nb FROM (
+             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+             FROM documents WHERE lang = 'de') t
+           WHERE len(w) >= 1 GROUP BY w),
+         j AS (
+           SELECT w, coalesce(wa.na, 0) AS na, coalesce(wb.nb, 0) AS nb
+           FROM wa FULL OUTER JOIN wb USING (w)),
+         t AS (
+           SELECT w, na, nb,
+                  sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+                  count(*) OVER () AS v
+           FROM j),
+         k AS (
+           SELECT w AS word, na, nb,
+                  CAST(round(
+                    (CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * v)
+                    * (ln((CAST(na AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 0.5 * v))
+                       - ln((CAST(nb AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 0.5 * v)))
+                    * 1e9) AS BIGINT) AS term_nanonats
+           FROM t)
+         SELECT word, na, nb, term_nanonats FROM (
+           SELECT word, na, nb, term_nanonats FROM k
+           ORDER BY abs(term_nanonats) DESC, word LIMIT 15)
+         ORDER BY word""",
 
     // Same eval suite read back from the table; cosines via the shared
     // double-precision left-fold, rounded 6dp before the per-row max.

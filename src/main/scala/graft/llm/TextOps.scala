@@ -776,7 +776,46 @@ object TextOps {
       a: DataFrame,
       b: DataFrame,
       textCol: String,
+      alpha: Double = 0.5): DataFrame =
+    klTermFrame(a, b, textCol, alpha)
+      .agg(
+        sum(col("__t__")).as("__kl__"),
+        max(col("__v__")).as("n_vocab"),
+        max(col("__ta__")).as("n_tokens_a"),
+        max(col("__tb__")).as("n_tokens_b"))
+      .select(
+        round(col("__kl__").cast("double") / 1e9, 6).as("kl_nats"),
+        col("n_vocab"), col("n_tokens_a"), col("n_tokens_b"))
+
+  /** Per-TERM drift attribution — the "which words drifted" report next
+    * to [[unigramKl]]'s scalar: the k words with the largest
+    * |contribution| to D(P‖Q) (ties break on the word), each with its
+    * counts and signed nano-nat term (positive = over-represented in
+    * `a`, negative = in `b`). Same exact arithmetic as the scalar (the
+    * per-word terms SUM to it); TakeOrdered cut on the vocab-bounded
+    * frame — no global sort. */
+  def driftTerms(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      k: Int,
       alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    klTermFrame(a, b, textCol, alpha)
+      .select(col("__w__").as("word"), col("na"), col("nb"),
+        col("__t__").as("term_nanonats"))
+      .orderBy(abs(col("term_nanonats")).desc, col("word"))
+      .limit(k)
+  }
+
+  /** Shared drift scoring frame: one row per UNION-vocabulary word with
+    * counts, totals (unbounded windows over the tiny vocab frame — the
+    * temperatureMix one-scan trick), and the integer nano-nat KL term. */
+  private def klTermFrame(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      alpha: Double): DataFrame = {
     require(alpha > 0, "alpha must be positive (q must stay nonzero)")
     def counts(df: DataFrame, name: String) =
       df.select(explode(tokens(col(textCol))).as("__w__"))
@@ -802,14 +841,6 @@ object TextOps {
       .withColumn("__t__",
         round(col("__p__") * (log(col("__p__")) - log(col("__q__")))
           * lit(1e9)).cast("long"))
-      .agg(
-        sum(col("__t__")).as("__kl__"),
-        max(col("__v__")).as("n_vocab"),
-        max(col("__ta__")).as("n_tokens_a"),
-        max(col("__tb__")).as("n_tokens_b"))
-      .select(
-        round(col("__kl__").cast("double") / 1e9, 6).as("kl_nats"),
-        col("n_vocab"), col("n_tokens_a"), col("n_tokens_b"))
   }
 
   /** Markdown → text extraction — [[stripHtml]]'s sibling for the
