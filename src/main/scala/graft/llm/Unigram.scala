@@ -87,13 +87,32 @@ object Unigram {
       maxWordLen: Int = 12,
       unkCostMicrobits: Long = 30000000L,
   ): DataFrame = {
-    graft.GraftExtensions.install(docs.sparkSession)
     val vocab = fitVocab(docs, textCol, vocabSize, maxPieceLen)
       .select(col("piece"), col("cost_microbits"))
       .collect() // bounded model parameter: <= vocabSize + |alphabet| rows
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    segmentCountsWithVocab(docs, idCol, textCol, vocab,
+      maxPieceLen, maxWordLen, unkCostMicrobits)
+  }
+
+  /** [[segmentCounts]] through an EXPLICIT (piece, cost_microbits)
+    * vocabulary — typically a persisted [[fitVocab]] frame read back
+    * from parquet: tokenizer-model persistence is a plain table
+    * write/read, no bespoke format (the ANN index / WordPiece-vocab
+    * pattern). */
+  def segmentCountsWithVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabCosts: Seq[(String, Long)],
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      unkCostMicrobits: Long = 30000000L,
+  ): DataFrame = {
+    require(vocabCosts.nonEmpty, "need a non-empty vocabulary")
+    graft.GraftExtensions.install(docs.sparkSession)
     val model = graft.expr.UnigramModel.encode(
-      vocab, maxPieceLen, maxWordLen, unkCostMicrobits)
+      vocabCosts.sortBy(_._1), maxPieceLen, maxWordLen, unkCostMicrobits)
     // segment once per DISTINCT word; broadcast back to documents
     val words = docs
       .select(col(idCol), explode(normWords(textCol)).as("__w__"))

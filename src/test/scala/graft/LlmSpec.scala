@@ -345,6 +345,38 @@ class LlmSpec extends GraftSuite {
     assert(r.getDouble(0) >= 0.0)
   }
 
+  test("driftTerms contributions sum to the unigramKl scalar") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x x y q r").toDF("text")
+    val b = Seq("x z z r").toDF("text")
+    val kl = graft.llm.TextOps.unigramKl(a, b, "text")
+      .collect()(0).getDouble(0)
+    val terms = graft.llm.TextOps.driftTerms(a, b, "text", k = 100)
+      .collect().map(_.getLong(3))
+    def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r6(terms.sum / 1e9) === kl)
+  }
+
+  test("unigram vocab persists as plain parquet: save/load serves identically") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "aba abab bab"), (1L, "abab abab cc")).toDF("doc_id", "text")
+    val vocab = graft.llm.Unigram.fitVocab(d, "text", vocabSize = 6)
+    val dir = java.nio.file.Files.createTempDirectory("ugvocab").toString
+    vocab.write.mode("overwrite").parquet(dir)
+    val reloaded = s.read.parquet(dir)
+      .select(sc("piece"), sc("cost_microbits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fresh = graft.llm.Unigram.segmentCounts(d, "doc_id", "text", vocabSize = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = graft.llm.Unigram
+      .segmentCountsWithVocab(d, "doc_id", "text", reloaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === fresh && fresh.size === 2)
+  }
+
   test("wordpiece vocab persists as plain parquet: save/load serves identically") {
     val s = spark
     import s.implicits._

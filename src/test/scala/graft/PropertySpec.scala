@@ -297,6 +297,29 @@ class PropertySpec extends GraftSuite {
     }, cases = 10)
   }
 
+  test("property: domainCap kept sets are prefix-stable as cap grows") {
+    // The per-domain cut orders by (md5(id), id), so the kept set at cap
+    // k must be a SUBSET of the kept set at any larger cap — the
+    // membership-stability property hashSample has for fractions,
+    // here for per-group counts (growing a crawl budget must never
+    // evict previously kept pages).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 500L)
+      dom <- Gen.oneOf("a.com", "b.org", "c.net")
+    } yield (id, dom)
+    check(Prop.forAll(Gen.listOfN(60, rowGen),
+      Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (rows, k1, k2) =>
+      val d = rows.distinct.toDF("doc_id", "domain")
+      val lo = math.min(k1, k2); val hi = math.max(k1, k2)
+      def kept(k: Int) = graft.llm.TextOps.domainCap(d, "domain", "doc_id", k)
+        .select(c("doc_id")).collect().map(_.getLong(0)).toSet
+      kept(lo).subsetOf(kept(hi))
+    }, cases = 8)
+  }
+
   test("property: MgState retains every token above n/(width+1) under any merge tree") {
     // Drives MgState directly (ChainState pattern): for any token stream,
     // any partitioning, any random merge order, and serialize round-trips,
