@@ -1435,20 +1435,17 @@ object SparkEntry {
     //     against the 8-vector eval suite frozen into the plan as float
     //     literals (zero joins) — flags the paraphrased leakage n-gram
     //     overlap misses; each cosine rounds 6dp before the max ---
-    "q_semantic_decontam" -> ((s, dir) =>
-      m(dir, "embeddings")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val eval = df.where(F.col("vec_id") < 8)
-            .select(F.col("vec_id"), F.col("embedding"))
-            .orderBy(F.col("vec_id"))
-            .collect().map(_.getSeq[Float](1).toSeq).toSeq
-          graft.llm.Embeddings.semanticDecontaminate(
-            df.where(F.col("vec_id") >= 8), "vec_id", "embedding",
-            eval, threshold = 0.35)
-        }
+    //     ... expressed through the public Model API with the eval suite
+    //     riding the wire AS A SUB-MODEL, run THROUGH toJson/fromJson
+    "q_semantic_decontam" -> ((s, dir) => {
+      val evalModel = m(dir, "embeddings").filter(col("vec_id") < lit(8L))
+      val model = m(dir, "embeddings")
+        .filter(col("vec_id") >= lit(8L))
+        .semanticDecontam(evalModel, col("vec_id"), col("embedding"),
+          col("embedding"), threshold = 0.35)
         .sort(col("vec_id"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- markdown → text extraction over deterministically synthesized
     //     markdown (headings, bold, links, images, fenced code, quotes,

@@ -992,6 +992,31 @@ object Compiler {
       new Frame(graft.llm.TextOps.weightedSample(df, kName, wName, k)
         .drop(wName))
 
+    case Source.SemanticDecontam(base, id, vec, eval, evalVec, threshold) =>
+      // The eval sub-model compiles and COLLECTS at plan-build time — a
+      // bounded model parameter (benchmark suites are small; the
+      // DsirSelect target-slice precedent). Serving is |eval| codegen'd
+      // float_vec_dot folds per row against the frozen literals: zero
+      // joins, zero shuffles.
+      val bf = compileSource(base, spark)
+      val ef = compileSource(eval.source, spark)
+      ef.pending.keys.toSeq.foreach(ef.attach)
+      val vName = evalVec.identifier
+      require(ef.df.columns.contains(vName),
+        s"semanticDecontam eval model must expose a column named '$vName'; " +
+          s"got (${ef.df.columns.mkString(", ")})")
+      val evalVecs = ef.df
+        .where(col(vName).isNotNull)
+        .select(col(vName))
+        .collect().map(_.getSeq[Float](0).toSeq).toSeq
+      val idName = id.identifier
+      val cName = "__sd_vec__"
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(cName, compileExpr(vec, bf))
+      new Frame(graft.llm.Embeddings.semanticDecontaminate(
+        df, idName, cName, evalVecs, threshold))
+
     case Source.DomainCap(base, domain, id, cap) =>
       // Lowers to graft.llm.TextOps.domainCap: ONE row_number window in
       // deterministic (md5(id), id) order, rewritten by Spark to a

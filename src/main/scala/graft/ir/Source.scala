@@ -305,6 +305,22 @@ object Source {
       k: Int,
   ) extends Source
 
+  /** Semantic benchmark decontamination (beyond-reference, the wire form
+    * of `graft.llm.Embeddings.semanticDecontaminate`): flag base rows
+    * whose max cosine against the `eval` sub-model's vectors reaches
+    * `threshold`. The eval suite rides the wire AS A MODEL (the
+    * DsirSelect pattern) and freezes into the plan as float literals at
+    * compile time — zero serve-time joins. Output: (id, max_eval_cos,
+    * contaminated). */
+  final case class SemanticDecontam(
+      base: Source,
+      id: Expr,
+      vec: Expr,
+      eval: graft.model.Model,
+      evalVec: Expr,
+      threshold: Double,
+  ) extends Source
+
   /** Per-domain document cap (beyond-reference, the wire form of
     * `graft.llm.TextOps.domainCap`): keep at most `cap` rows per value of
     * `domain`, chosen in deterministic (md5(id), id) order. Keeps base

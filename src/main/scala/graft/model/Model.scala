@@ -571,6 +571,21 @@ final case class Model(
     Model(Source.WeightedSample(source, key, weight, k))
   }
 
+  /** Semantic benchmark decontamination (the wire-serializable form of
+    * `graft.llm.Embeddings.semanticDecontaminate`): flag rows whose max
+    * cosine against `eval`'s vectors (column named like `evalVec`)
+    * reaches `threshold` — the paraphrased-leakage screen next to the
+    * n-gram detector. The eval suite is a sub-model riding the wire;
+    * its vectors freeze into the plan as literals at compile time.
+    * Output: id, max_eval_cos (6-dp), contaminated. */
+  def semanticDecontam(
+      eval: Model,
+      id: Expr,
+      vec: Expr,
+      evalVec: Expr,
+      threshold: Double): Model =
+    Model(Source.SemanticDecontam(source, id, vec, eval, evalVec, threshold))
+
   /** Per-domain document cap (the wire-serializable form of
     * `graft.llm.TextOps.domainCap`, the Common Crawl anti-template-site
     * curation step): keep at most `cap` rows per `domain` value, chosen

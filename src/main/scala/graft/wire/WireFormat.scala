@@ -134,6 +134,10 @@ object WireFormat {
     case Source.DomainCap(b, d, id, cap) =>
       Map("t" -> "domainCap", "base" -> sourceW(b), "domain" -> exprW(d),
         "id" -> exprW(id), "cap" -> cap)
+    case Source.SemanticDecontam(b, id, v, eval, ev, th) =>
+      Map("t" -> "semanticDecontam", "base" -> sourceW(b), "id" -> exprW(id),
+        "vec" -> exprW(v), "eval" -> modelW(eval), "evalVec" -> exprW(ev),
+        "threshold" -> th)
     case Source.TokenBudgetFill(b, id, g, tx, w, budget) =>
       Map("t" -> "tokenBudgetFill", "base" -> sourceW(b), "id" -> exprW(id),
         "group" -> exprW(g), "text" -> exprW(tx), "weights" -> modelW(w),
@@ -328,6 +332,16 @@ object WireFormat {
     case "domainCap" =>
       Source.DomainCap(sourceR(obj(s("base"))), exprR(obj(s("domain"))),
         exprR(obj(s("id"))), long(s("cap")).toInt)
+    case "semanticDecontam" =>
+      val th = s("threshold") match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"semanticDecontam threshold must be numeric, got $other")
+      }
+      Source.SemanticDecontam(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("vec"))), modelR(obj(s("eval"))),
+        exprR(obj(s("evalVec"))), th)
     case "tokenBudgetFill" =>
       Source.TokenBudgetFill(sourceR(obj(s("base"))), exprR(obj(s("id"))),
         exprR(obj(s("group"))), exprR(obj(s("text"))),

@@ -279,6 +279,23 @@ class WireFormatSpec extends GraftSuite {
     assert(!capped.run(s).schema.fieldNames.exists(_.startsWith("__")))
   }
 
+  test("semanticDecontam rides the wire with its eval sub-model") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "embeddings")
+    val eval = base.filter(col("vec_id") < lit(4L))
+    val m = base.filter(col("vec_id") >= lit(4L))
+      .semanticDecontam(eval, col("vec_id"), col("embedding"),
+        col("embedding"), threshold = 0.3)
+      .sort(col("vec_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(m)) === m)
+    val direct = m.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq && direct.nonEmpty)
+    assert(m.run(s).columns.toSeq ===
+      Seq("vec_id", "max_eval_cos", "contaminated"))
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
