@@ -1408,15 +1408,16 @@ object SparkEntry {
     // --- corpus drift: add-α-smoothed unigram KL divergence between two
     //     corpus slices (crawl-snapshot / filter-stage distribution-shift
     //     monitor); per-term integer nano-nats, one 6dp division ---
-    "q_corpus_drift" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          graft.llm.TextOps.unigramKl(
-            df.where(F.col("lang") === "en"),
-            df.where(F.col("lang") === "de"), "text")
-        }
-        .run(s)),
+    //     ... expressed through the Model API with the comparison slice
+    //     riding the wire as a sub-model, run THROUGH toJson/fromJson
+    "q_corpus_drift" -> ((s, dir) => {
+      val model = m(dir, "documents")
+        .filter(col("lang") === lit("en"))
+        .corpusDrift(
+          m(dir, "documents").filter(col("lang") === lit("de")),
+          col("text"), col("text"))
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- per-term drift attribution: the 15 words contributing most to
     //     the en↔de divergence, signed nano-nat terms (sum = kl_nats) ---

@@ -992,6 +992,20 @@ object Compiler {
       new Frame(graft.llm.TextOps.weightedSample(df, kName, wName, k)
         .drop(wName))
 
+    case Source.CorpusDrift(base, other, text, otherText, alpha) =>
+      // Lowers to TextOps.unigramKl over the two compiled frames with a
+      // shared text-column name; the other slice is a sub-model (the
+      // SemanticDecontam/DsirSelect seam), compiled — not collected —
+      // because drift needs its full word distribution, not a bounded
+      // parameter set.
+      val bf = compileSource(base, spark)
+      val of = compileSource(other.source, spark)
+      of.pending.keys.toSeq.foreach(of.attach)
+      val tName = "__drift_text__"
+      val dfA = bf.df.withColumn(tName, compileExpr(text, bf))
+      val dfB = of.df.withColumn(tName, compileExpr(otherText, of))
+      new Frame(graft.llm.TextOps.unigramKl(dfA, dfB, tName, alpha))
+
     case Source.SemanticDecontam(base, id, vec, eval, evalVec, threshold) =>
       // The eval sub-model compiles and COLLECTS at plan-build time — a
       // bounded model parameter (benchmark suites are small; the

@@ -305,6 +305,19 @@ object Source {
       k: Int,
   ) extends Source
 
+  /** Corpus drift (beyond-reference, the wire form of
+    * `graft.llm.TextOps.unigramKl`): add-α-smoothed unigram KL
+    * divergence D(base ‖ other) between two corpus slices, the `other`
+    * slice riding the wire as a sub-model. One row:
+    * (kl_nats, n_vocab, n_tokens_a, n_tokens_b). */
+  final case class CorpusDrift(
+      base: Source,
+      other: graft.model.Model,
+      text: Expr,
+      otherText: Expr,
+      alpha: Double,
+  ) extends Source
+
   /** Semantic benchmark decontamination (beyond-reference, the wire form
     * of `graft.llm.Embeddings.semanticDecontaminate`): flag base rows
     * whose max cosine against the `eval` sub-model's vectors reaches

@@ -571,6 +571,21 @@ final case class Model(
     Model(Source.WeightedSample(source, key, weight, k))
   }
 
+  /** Corpus drift (the wire-serializable form of
+    * `graft.llm.TextOps.unigramKl`): smoothed unigram KL divergence
+    * D(this ‖ other) — the distribution-shift monitor between crawl
+    * snapshots or filter stages, with the comparison slice riding the
+    * wire as a sub-model. One row: kl_nats, n_vocab, n_tokens_a,
+    * n_tokens_b. */
+  def corpusDrift(
+      other: Model,
+      text: Expr,
+      otherText: Expr,
+      alpha: Double = 0.5): Model = {
+    require(alpha > 0, "corpusDrift needs alpha > 0")
+    Model(Source.CorpusDrift(source, other, text, otherText, alpha))
+  }
+
   /** Semantic benchmark decontamination (the wire-serializable form of
     * `graft.llm.Embeddings.semanticDecontaminate`): flag rows whose max
     * cosine against `eval`'s vectors (column named like `evalVec`)

@@ -134,6 +134,9 @@ object WireFormat {
     case Source.DomainCap(b, d, id, cap) =>
       Map("t" -> "domainCap", "base" -> sourceW(b), "domain" -> exprW(d),
         "id" -> exprW(id), "cap" -> cap)
+    case Source.CorpusDrift(b, other, tx, otx, alpha) =>
+      Map("t" -> "corpusDrift", "base" -> sourceW(b), "other" -> modelW(other),
+        "text" -> exprW(tx), "otherText" -> exprW(otx), "alpha" -> alpha)
     case Source.SemanticDecontam(b, id, v, eval, ev, th) =>
       Map("t" -> "semanticDecontam", "base" -> sourceW(b), "id" -> exprW(id),
         "vec" -> exprW(v), "eval" -> modelW(eval), "evalVec" -> exprW(ev),
@@ -332,6 +335,15 @@ object WireFormat {
     case "domainCap" =>
       Source.DomainCap(sourceR(obj(s("base"))), exprR(obj(s("domain"))),
         exprR(obj(s("id"))), long(s("cap")).toInt)
+    case "corpusDrift" =>
+      val alpha = s("alpha") match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"corpusDrift alpha must be numeric, got $other")
+      }
+      Source.CorpusDrift(sourceR(obj(s("base"))), modelR(obj(s("other"))),
+        exprR(obj(s("text"))), exprR(obj(s("otherText"))), alpha)
     case "semanticDecontam" =>
       val th = s("threshold") match {
         case d: Double => d

@@ -296,6 +296,23 @@ class WireFormatSpec extends GraftSuite {
       Seq("vec_id", "max_eval_cos", "contaminated"))
   }
 
+  test("corpusDrift rides the wire with its comparison sub-model") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "documents")
+    val m = base.filter(col("lang") === lit("en"))
+      .corpusDrift(base.filter(col("lang") === lit("de")),
+        col("text"), col("text"))
+    assert(WireFormat.fromJson(WireFormat.toJson(m)) === m)
+    val direct = m.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq && direct.length === 1)
+    // KL(P||P) = 0 through the wire too
+    val self = base.corpusDrift(base, col("text"), col("text"))
+    assert(WireFormat.fromJson(WireFormat.toJson(self)).run(s)
+      .collect()(0).getDouble(0) === 0.0)
+  }
+
   test("runtime-object sources refuse serialization with a clear error") {
     val s = spark
     import s.implicits._
