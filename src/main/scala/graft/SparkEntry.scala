@@ -1405,6 +1405,26 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- CANONICAL exact dedup: among exact duplicates keep the copy
+    //     maximizing the 6dp quality score (ties → lowest id) — the
+    //     keep-the-BEST-copy policy, one struct-min aggregate ---
+    "q_dedup_canonical" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          // dedup on a 5-word prefix so hash groups actually collide at
+          // sf0.01 (full texts are all distinct there) while the quality
+          // priority still ranks the FULL documents
+          val withQ = df
+            .withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .withColumn("quality", graft.llm.TextOps.qualityScore("__toks__"))
+            .withColumn("__key__",
+              F.concat_ws(" ", F.slice(F.col("__toks__"), 1, 5)))
+          graft.llm.Dedup.exactCanonical(withQ, "doc_id", "__key__", "quality")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- corpus drift: add-α-smoothed unigram KL divergence between two
     //     corpus slices (crawl-snapshot / filter-stage distribution-shift
     //     monitor); per-term integer nano-nats, one 6dp division ---
@@ -4577,6 +4597,29 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Replays the canonical cut: quality per doc, then per-hash
+    // row_number ordered (quality DESC, doc_id).
+    "q_dedup_canonical" ->
+      (s"""WITH q AS (
+           SELECT doc_id,
+             round(least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+               + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+               + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2,
+               6) AS quality,
+             md5(lower(regexp_replace(trim(array_to_string(w[1:5], ' ')),
+               '\\s+', ' ', 'g'))) AS h
+           FROM (SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents)),
+         r AS (
+           SELECT doc_id, quality, h,
+                  row_number() OVER (PARTITION BY h
+                    ORDER BY quality DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY h) AS n_copies
+           FROM q)
+         SELECT doc_id, quality, CAST(n_copies AS BIGINT) AS n_copies
+         FROM r WHERE rn = 1 ORDER BY doc_id"""),
 
     // Replays the smoothed KL with the identical expression association:
     // p = (na+0.5)/(ta+0.5v) over the union vocabulary, per-term

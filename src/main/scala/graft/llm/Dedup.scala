@@ -23,6 +23,34 @@ object Dedup {
       .groupBy(col("__h__"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with CANONICAL selection: among exact duplicates keep
+    * the copy maximizing `priorityCol` (ties → lowest id) instead of
+    * [[exact]]'s lowest-id-wins — the policy real pipelines want when
+    * duplicate crawls differ in extraction quality, recency, or source
+    * trust (keep the BEST copy, drop the rest). The priority must be
+    * deterministic (6-dp-rounded scores, timestamps, source ranks…) or
+    * the kept set isn't replayable.
+    *
+    * One map-side-combined aggregate on the content hash: the canonical
+    * row is a struct-min of (−priority-ordering, id) — no window, no
+    * second pass. Output: (idCol, priorityCol, n_copies), one row per
+    * distinct normalized text. Priority NULLs lose to any non-NULL
+    * (Spark sorts NULL structs... they never arise: coalesce upstream).
+    */
+  def exactCanonical(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: String): DataFrame =
+    docs
+      .withColumn("__h__", md5(TextOps.normalize(col(textCol)).cast("binary")))
+      .withColumn("__k__",
+        struct((-col(priorityCol)).as("np"), col(idCol).as("id")))
+      .groupBy(col("__h__"))
+      .agg(min(col("__k__")).as("__best__"), count(lit(1)).as("n_copies"))
+      .select(col("__best__.id").as(idCol),
+        (-col("__best__.np")).as(priorityCol), col("n_copies"))
+
   /** Per-group exact-dup statistics (docs vs distinct normalized hashes). */
   def exactStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs

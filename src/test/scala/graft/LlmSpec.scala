@@ -345,6 +345,20 @@ class LlmSpec extends GraftSuite {
     assert(r.getDouble(0) >= 0.0)
   }
 
+  test("exactCanonical keeps the highest-priority duplicate, ties to lowest id") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "same text", 0.3), (2L, "Same  TEXT", 0.9), // dup: 2 wins on quality
+      (3L, "other doc", 0.5), (4L, "other   DOC", 0.5), // dup tie: 3 wins on id
+      (5L, "unique", 0.1),
+    ).toDF("doc_id", "text", "prio")
+    val out = Dedup.exactCanonical(d, "doc_id", "text", "prio")
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, 0.9, 2L), (3L, 0.5, 2L), (5L, 0.1, 1L)))
+  }
+
   test("driftTerms contributions sum to the unigramKl scalar") {
     val s = spark
     import s.implicits._
