@@ -297,6 +297,34 @@ class PropertySpec extends GraftSuite {
     }, cases = 10)
   }
 
+  test("property: exactCanonical conserves copies and always beats the losers") {
+    // For any corpus: kept ids ⊆ input ids, Σ n_copies = |input|, one
+    // kept row per distinct normalized text, and every kept row's
+    // (priority, -id) weakly dominates every same-hash loser's.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 300L)
+      txt <- Gen.oneOf("a b", "A  b", "c d", "e", "C   D")
+      prio <- Gen.chooseNum(0, 9).map(_ / 10.0)
+    } yield (id, txt, prio)
+    check(Prop.forAll(Gen.listOfN(25, rowGen)) { rowsRaw =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val d = rows.toDF("doc_id", "text", "prio")
+      val out = graft.llm.Dedup.exactCanonical(d, "doc_id", "text", "prio")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val byHash = rows.groupBy(r => norm(r._2))
+      out.length == byHash.size &&
+        out.map(_._3).sum == rows.length &&
+        out.forall { case (id, p, _) =>
+          val grp = byHash(norm(rows.find(_._1 == id).get._2))
+          grp.forall(g => p > g._3 || (p == g._3 && id <= g._1))
+        }
+    }, cases = 8)
+  }
+
   test("property: domainCap kept sets are prefix-stable as cap grows") {
     // The per-domain cut orders by (md5(id), id), so the kept set at cap
     // k must be a SUBSET of the kept set at any larger cap — the
