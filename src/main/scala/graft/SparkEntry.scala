@@ -1405,6 +1405,17 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- per-doc n-gram NOVELTY (memorization-risk dual of the dedup
+    //     detectors): fraction of positional 8-grams occurring exactly
+    //     once corpus-wide; one cached hashing pass, corpus-shrunk
+    //     duplicated-gram dictionary join ---
+    "q_ngram_novelty" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df =>
+          graft.llm.Dedup.ngramNovelty(df, "doc_id", "text", k = 8))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- CANONICAL exact dedup: among exact duplicates keep the copy
     //     maximizing the 6dp quality score (ties → lowest id) — the
     //     keep-the-BEST-copy policy, one struct-min aggregate ---
@@ -4597,6 +4608,31 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Replays positional 8-gram hashing (the q_substr_spans gram SQL),
+    // corpus-wide counts, and the novel = count-1 fraction per doc.
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8)),
+         gc AS (SELECT gh, count(*) AS c FROM pos GROUP BY gh),
+         pd AS (
+           SELECT p.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(CASE WHEN g.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_novel
+           FROM pos p JOIN gc g USING (gh) GROUP BY p.doc_id)
+         SELECT t.doc_id,
+                coalesce(n_grams, 0) AS n_grams,
+                coalesce(n_novel, 0) AS n_novel,
+                coalesce(round(CAST(n_novel AS DOUBLE) / n_grams, 6), 0.0)
+                  AS novelty_frac
+         FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+         ORDER BY t.doc_id""",
 
     // Replays the canonical cut: quality per doc, then per-hash
     // row_number ordered (quality DESC, doc_id).

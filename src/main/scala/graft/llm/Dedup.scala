@@ -51,6 +51,51 @@ object Dedup {
       .select(col("__best__.id").as(idCol),
         (-col("__best__.np")).as(priorityCol), col("n_copies"))
 
+  /** Per-document n-gram NOVELTY — the memorization-risk / freshness
+    * score dual to the dedup detectors: the fraction of a document's
+    * positional word k-grams that occur exactly ONCE in the whole corpus
+    * (a repeated gram anywhere — another doc or the same one — is not
+    * novel). Low novelty = boilerplate/template/memorized content; the
+    * per-doc SCORE complements [[substringSpans]]' span-level findings.
+    *
+    * Scale shape (the substringSpans skeleton): token-linear positional
+    * gram hashing via the codegen'd `word_kgram_md5s` native on a
+    * CACHED position frame (one hashing pass serves both the global
+    * count and the per-doc join), ONE map-side-combined gram-count
+    * aggregate, duplicated-gram dictionary equi-join (corpus-SHRUNK —
+    * AQE broadcasts it), thin left join re-emitting sub-k docs as
+    * zero-gram rows. Output: (idCol, n_grams, n_novel, novelty_frac
+    * 6-dp; 0.0 when no grams). */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val pos = scope.cache(docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks__"))
+      .select(col(idCol),
+        explode(call_function("word_kgram_md5s", col("__toks__"), lit(k)))
+          .as("__gh__")))
+    val dupg = pos.groupBy(col("__gh__"))
+      .agg(count(lit(1)).as("__c__"))
+      .where(col("__c__") >= 2)
+      .select(col("__gh__"))
+    val perDoc = pos
+      .join(dupg.withColumn("__dup__", lit(1)), Seq("__gh__"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__dup__").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(round(col("n_novel").cast("double") / col("n_grams"), 6),
+          lit(0.0)).as("novelty_frac"))
+  }
+
   /** Per-group exact-dup statistics (docs vs distinct normalized hashes). */
   def exactStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs
