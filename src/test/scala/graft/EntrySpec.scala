@@ -29,6 +29,28 @@ class EntrySpec extends GraftSuite {
       s"queries with cartesian products: ${offenders.mkString(", ")}")
   }
 
+  test("plan lint: row filters reach the parquet scan as PushedFilters") {
+    // Pushdown gate on a representative per-family sample: each of these
+    // queries filters rows of a parquet table, so its formatted plan must
+    // carry a NON-EMPTY PushedFilters on some scan — a refactor that
+    // hides the predicate behind a non-pushable expression (cast, udf
+    // wrapper, pre-projection) silently turns a pruned scan into a full
+    // one at 100 TB. (Formatted mode prints the scan detail section;
+    // toString does not.)
+    val dir = "/root/testdata/sf0.001"
+    val sample = Seq("q_filter", "q_arith", "q_semantic_decontam",
+      "q_corpus_drift", "q_dedup_lines", "q_join_one")
+    val offenders = sample.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      !"PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+    }
+    llm.CacheScope.global.release()
+    assert(offenders.isEmpty,
+      s"queries whose filters never reached a scan: ${offenders.mkString(", ")}")
+  }
+
   test("schema lint: every query output uses only oracle-stable column types") {
     // The driver hashes values TYPE-SENSITIVELY against a DuckDB replay of
     // the oracle SQL (pandas dtypes: int64 / float64 / object / bool /
