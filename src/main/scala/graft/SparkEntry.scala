@@ -1405,6 +1405,25 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- language-ID confidence margins (the ABSTAIN signal): per true
+    //     lang, how many docs identify confidently (top-2 stopword-score
+    //     gap >= 2) vs tie at 0 — pure integer arithmetic ---
+    "q_langid_margin" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__toks__", graft.llm.TextOps.tokens(F.col("text")))
+            .withColumn("__m__", graft.llm.TextOps.langIdMargin("__toks__"))
+            .groupBy(F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n_docs"),
+              F.sum(F.when(F.col("__m__") >= 2, 1L).otherwise(0L))
+                .as("n_confident"),
+              F.sum(F.when(F.col("__m__") === 0, 1L).otherwise(0L))
+                .as("n_abstain"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- per-doc n-gram NOVELTY (memorization-risk dual of the dedup
     //     detectors): fraction of positional 8-grams occurring exactly
     //     once corpus-wide; one cached hashing pass, corpus-shrunk
@@ -4608,6 +4627,28 @@ object SparkEntry {
                + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
                + least(1.0, (CAST(${stopCountSql("en")} AS DOUBLE) / len(w)) * 5.0) * 0.2, 6) AS quality
          FROM toks ORDER BY doc_id"""),
+
+    // Replays the margin (top-2 gap of the per-language stopword scores,
+    // descending list sort) and the per-lang confidence rollup.
+    "q_langid_margin" ->
+      (s"""WITH toks AS (
+           SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+         m AS (
+           SELECT lang,
+                  list_sort([${graft.llm.TextOps.LangProfiles
+                    .map(p => stopCountSql(p._1)).mkString(", ")}],
+                    'DESC')[1]
+                  - list_sort([${graft.llm.TextOps.LangProfiles
+                    .map(p => stopCountSql(p._1)).mkString(", ")}],
+                    'DESC')[2] AS mg
+           FROM toks)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN mg >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_confident,
+                CAST(sum(CASE WHEN mg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_abstain
+         FROM m GROUP BY lang ORDER BY lang"""),
 
     // Replays positional 8-gram hashing (the q_substr_spans gram SQL),
     // corpus-wide counts, and the novel = count-1 fraction per doc.

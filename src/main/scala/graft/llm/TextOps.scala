@@ -1020,6 +1020,21 @@ object TextOps {
     when(best === 0, lit("und")).otherwise(picked)
   }
 
+  /** Language-ID confidence margin: best stopword-profile score minus
+    * the runner-up's — the ABSTAIN signal next to [[langId]]'s argmax
+    * (production pipelines drop or re-route low-margin docs rather than
+    * trust a coin-flip prediction; a cross-language tie yields margin 0,
+    * exactly the abstain case). Pure integer arithmetic over the same
+    * per-language counts: sort the score vector descending, subtract
+    * the top two. Per-row, zero shuffle, oracle replays it exactly. */
+  def langIdMargin(toksCol: String): Column = {
+    val scores = LangProfiles.map { case (_, words) =>
+      stopwordCount(toksCol, words)
+    }
+    val arr = sort_array(array(scores: _*), asc = false)
+    (element_at(arr, 1) - element_at(arr, 2)).cast("long")
+  }
+
   /** Mean token length: exact integer sum of lengths divided by count. */
   def meanTokenLength(toksCol: String): Column =
     expr(s"aggregate($toksCol, 0, (acc, t) -> acc + length(t))") /
