@@ -2636,6 +2636,17 @@ object SparkEntry {
         .sort(col("merge_ix"))
         .run(s)),
 
+    // --- WordPiece training, incremental-delta twin: driver-map pair AND
+    //     symbol counts updated over only affected words, ONE Spark job
+    //     per merge (LlmSpec pins rule-for-rule equality with the naive
+    //     trainer, so the same oracle applies by reference) ---
+    "q_wordpiece_train_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df =>
+          graft.llm.Wordpiece.wordpieceTrainIncremental(df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
     // --- WordPiece SERVING: greedy longest-match-first per DISTINCT word
     //     through the vocab frozen into the plan as a binary literal
     //     (codegen'd wordpiece_encode native, zero serve-time joins);
@@ -5553,6 +5564,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train")) +
+      ("q_wordpiece_train_incr" -> baseOracleSql("q_wordpiece_train")) +
       ("q_stream_domain_cap" -> baseOracleSql("q_domain_cap"))
 
   /** WordPiece training replay: `iters` unrolled merge iterations. Each
@@ -5619,7 +5631,12 @@ object SparkEntry {
     * unfinished word by its longest matching piece (row_number by body
     * length; at most one piece can match per length, so no tie-break is
     * needed) or marks it `[UNK]` (the all-or-nothing rule). `stages` must
-    * be ≥ the corpus's max word length (each stage consumes ≥ 1 char). */
+    * be ≥ the corpus's max word length (each stage consumes ≥ 1 char) —
+    * and that invariant is ENFORCED, not assumed: the final stage stamps
+    * any still-unfinished word with a `[TRUNCATED:…]` sentinel that can
+    * never match the Spark side's full tokenization, so a data change
+    * introducing longer words turns the gate red instead of silently
+    * emitting a partial piece string. */
   private def wpGreedyCtes(iters: Int, stages: Int): String = {
     val sb = new StringBuilder
     val merged = (1 to iters).map(i => s"SELECT pair FROM b$i")
@@ -5659,6 +5676,11 @@ object SparkEntry {
                 ELSE s.pos + m.body_len END AS pos,
            CASE WHEN s.pos >= len(s.w) OR s.unk THEN s.acc
                 WHEN m.piece IS NULL THEN '[UNK]'
+                WHEN $k = $stages AND s.pos + m.body_len < len(s.w)
+                  -- loud invariant guard: a word still unfinished after
+                  -- the last stage means stages < max word length; the
+                  -- sentinel can never match the Spark native's output
+                  THEN '[TRUNCATED:' || s.w || ']'
                 WHEN s.acc = '' THEN m.piece
                 ELSE s.acc || ' ' || m.piece END AS acc,
            (s.unk OR (s.pos < len(s.w) AND m.piece IS NULL)) AS unk

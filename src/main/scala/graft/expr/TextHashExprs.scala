@@ -151,11 +151,14 @@ object TextHashMore {
   }
 
   /** Space-joined word n-grams in position order — the codegen'd form of
-    * `TextOps.wordShingles` (value-identical for arrays without NULL
-    * elements, i.e. every `split` output; the HOF stays as the
-    * spec-pinned anchor): one UTF8String byte-concat per gram instead of
-    * a CodegenFallback transform+slice+concat_ws lambda chain per
-    * position. Empty array below n tokens, matching the HOF guard. */
+    * `TextOps.wordShingles` (value-identical to the spec-pinned HOF
+    * anchor, INCLUDING null tokens: `concat_ws` skips NULLs within each
+    * window, so a null token joins as if absent — and the output array
+    * therefore really is null-free, as the declared
+    * `containsNull = false` promises): one UTF8String byte-concat per
+    * gram instead of a CodegenFallback transform+slice+concat_ws lambda
+    * chain per position. Empty array below n tokens, matching the HOF
+    * guard. */
   def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
     if (toks == null) return null
     val cnt = toks.numElements()
@@ -165,13 +168,18 @@ object TextHashMore {
     var i = 0
     while (i + n <= cnt) {
       val parts = new Array[UTF8String](2 * n - 1)
+      var m = 0
       var j = 0
       while (j < n) {
-        parts(2 * j) = toks.getUTF8String(i + j)
-        if (j > 0) parts(2 * j - 1) = sep
+        val t = toks.getUTF8String(i + j)
+        if (t != null) { // concat_ws semantics: null tokens join as absent
+          if (m > 0) { parts(m) = sep; m += 1 }
+          parts(m) = t
+          m += 1
+        }
         j += 1
       }
-      out(i) = UTF8String.concat(parts: _*)
+      out(i) = UTF8String.concat(java.util.Arrays.copyOf(parts, m): _*)
       i += 1
     }
     new GenericArrayData(out)

@@ -124,16 +124,20 @@ object Classifier {
     * (auc, n_pos, n_neg); NULL auc when a class is absent.
     *
     * Scale anatomy: the corpus reduces by ONE map-side-combined
-    * aggregate to per-DISTINCT-SCORE (n_pos, n_neg) counts — scores are
-    * 6-dp-rounded upstream, so the distinct-score frame is
-    * bounded-domain (≤ 10⁶ rows, the q_lm_ppl_buckets defense) and the
-    * running-negatives window runs over IT, never a corpus-wide
-    * row_number/sort. The AUC numerator is an exact INTEGER
-    * (2·Σ n_pos·cum_neg + Σ n_pos·n_neg — order-free under any
+    * aggregate to per-DISTINCT-SCORE (n_pos, n_neg) counts — the score
+    * is 6-dp-rounded INSIDE the operator (a no-op for the already-
+    * rounded scores our classifiers emit, a tie-coarsening on raw
+    * doubles), so the distinct-score frame is bounded-domain by
+    * construction (≤ 10⁶ rows per unit of score range, the
+    * q_lm_ppl_buckets defense) and the running-negatives window runs
+    * over IT, never a corpus-wide row_number/sort — even when a caller
+    * hands in raw unrounded scores. The AUC numerator is an exact
+    * INTEGER (2·Σ n_pos·cum_neg + Σ n_pos·n_neg — order-free under any
     * shuffle); the single division rounds to 6 dp. */
   def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = scored
-      .groupBy(col(scoreCol).as("__s__"))
+      // + 0.0 canonicalizes -0.0 so a raw -0.0 and 0.0 score collapse
+      .groupBy(round(col(scoreCol).cast("double") + lit(0.0), 6).as("__s__"))
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__p__"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n__"))

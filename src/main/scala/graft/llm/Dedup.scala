@@ -32,11 +32,13 @@ object Dedup {
     * the kept set isn't replayable.
     *
     * One map-side-combined aggregate on the content hash: the canonical
-    * row is a struct-min of (−priority-ordering, id) — no window, no
-    * second pass. Output: (idCol, priorityCol, n_copies), one row per
-    * distinct normalized text. Priority NULLs lose to any non-NULL
-    * (Spark sorts NULL structs... they never arise: coalesce upstream).
-    */
+    * row is a struct-min of (priority-IS-NULL, −priority-ordering, id) —
+    * no window, no second pass. Output: (idCol, priorityCol, n_copies),
+    * one row per distinct normalized text. Priority NULLs LOSE to any
+    * non-NULL copy (the leading boolean sorts false < true, so a
+    * null-priority row can only win a group whose priorities are ALL
+    * NULL — in which case ties fall to the lowest id and the emitted
+    * priority is honestly NULL). */
   def exactCanonical(
       docs: DataFrame,
       idCol: String,
@@ -45,7 +47,8 @@ object Dedup {
     docs
       .withColumn("__h__", md5(TextOps.normalize(col(textCol)).cast("binary")))
       .withColumn("__k__",
-        struct((-col(priorityCol)).as("np"), col(idCol).as("id")))
+        struct(col(priorityCol).isNull.as("pn"),
+          (-col(priorityCol)).as("np"), col(idCol).as("id")))
       .groupBy(col("__h__"))
       .agg(min(col("__k__")).as("__best__"), count(lit(1)).as("n_copies"))
       .select(col("__best__.id").as(idCol),

@@ -169,10 +169,22 @@ object Streams {
           if (used >= cap) Iterator.empty
           else {
             // rank this batch's candidates by the batch operator's exact
-            // (md5(id), id) order; buffer is one batch × one domain
-            val cands = it.map(r => r.getLong(0)).toArray
-            val ranked = cands.sortBy(id => (md5Hex(id.toString), id))
-            val take = ranked.take((cap - used).toInt)
+            // (md5(id), id) order via a SIZE-BOUNDED selection: a k-cap
+            // max-heap over the iterator keeps memory O(cap − used) per
+            // (domain, batch) group — a hot domain never buffers its
+            // whole micro-batch just to admit the top few
+            val k = (cap - used).toInt
+            val ord = Ordering.Tuple2(Ordering.String, Ordering.Long)
+            val heap = new java.util.PriorityQueue[(String, Long)](
+              k, ord.reverse) // worst-ranked candidate at the head
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val key = (md5Hex(id.toString), id)
+              if (heap.size < k) heap.add(key)
+              else if (ord.lt(key, heap.peek)) { heap.poll(); heap.add(key) }
+            }
+            val take = heap.toArray(new Array[(String, Long)](heap.size))
+              .sortBy(identity)(ord).map(_._2)
             state.update(used + take.length)
             take.iterator.map(id => Row(id, dom))
           }

@@ -188,6 +188,18 @@ class LlmSpec extends GraftSuite {
         TextOps.wordShingles("__toks__", n)).collect()
       rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
     }
+    // NULL tokens (possible in user-built arrays, never from split):
+    // concat_ws skips nulls within a window, and the native mirrors that,
+    // so the output array honors its declared containsNull = false
+    val withNulls = d.sparkSession.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', 'c') AS __toks__")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val r = withNulls.select(
+        org.apache.spark.sql.functions.expr(s"word_ngrams(__toks__, $n)"),
+        TextOps.wordShingles("__toks__", n)).collect()(0)
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(!r.getSeq[String](0).contains(null))
+    }
   }
 
   test("repetition signals: top/dup n-gram char fractions, ties and short docs") {
@@ -357,6 +369,18 @@ class LlmSpec extends GraftSuite {
       .orderBy(sc("doc_id")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(out.toSeq === Seq((2L, 0.9, 2L), (3L, 0.5, 2L), (5L, 0.1, 1L)))
+    // NULL priorities LOSE to any non-NULL copy (the leading is-null
+    // struct field); an all-NULL group falls back to lowest id and
+    // honestly reports a NULL priority
+    val dn = Seq(
+      (1L, "same text", Some(0.2)), (2L, "Same  TEXT", None), // non-null wins
+      (3L, "ghost", None), (4L, "GHOST", None), // all-null: lowest id, NULL prio
+    ).toDF("doc_id", "text", "prio")
+    val outN = Dedup.exactCanonical(dn, "doc_id", "text", "prio")
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2)))
+    assert(outN.toSeq === Seq((1L, Some(0.2), 2L), (3L, None, 2L)))
   }
 
   test("driftTerms contributions sum to the unigramKl scalar") {
@@ -464,6 +488,12 @@ class LlmSpec extends GraftSuite {
     // single-class input reports NULL, not a crash or a fake number
     val one = Seq((0.5, true), (0.7, true)).toDF("score", "label")
     assert(graft.llm.Classifier.auc(one, "score", "label").collect()(0).isNullAt(0))
+    // RAW unrounded scores: the operator 6-dp-rounds internally, so the
+    // distinct-score frame is bounded-domain even for careless callers —
+    // sub-1e-6 score differences coarsen into a half-credit tie
+    val raw = Seq((0.12345678, true), (0.12345681, false)).toDF("score", "label")
+    assert(graft.llm.Classifier.auc(raw, "score", "label")
+      .collect()(0).getDouble(0) === 0.5)
   }
 
   test("contamination flags train docs sharing eval n-grams") {
@@ -2167,6 +2197,66 @@ class LlmSpec extends GraftSuite {
     val t1 = rules(TextOps.bpeTrain(Seq("ab ab").toDF("text"), "text", 50))
     val t2 = rules(TextOps.bpeTrainIncremental(Seq("ab ab").toDF("text"), "text", 50))
     assert(t2 === t1)
+  }
+
+  test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
+    val s = spark
+    import s.implicits._
+    // the BPE deep-merge corpus: 120 distinct 12-letter words over a
+    // 6-letter alphabet at Zipf-ish frequencies; 60 merges cross a
+    // checkpoint boundary AND exercise hundreds of delta updates of BOTH
+    // driver maps (pair counts and the score denominators' symbol counts)
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val words = (0 until 120).map { i =>
+      val w = (0 until 12).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      Array.fill(1 + 600 / (i + 5))(w).mkString(" ")
+    }
+    val df = words.toDF("text")
+    def rules(out: org.apache.spark.sql.DataFrame) = out
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // scores are compared in exact integer micro-bits: StrictMath.log +
+    // HALF_UP rounding on the driver must reproduce Spark's ln/round
+    val naive = rules(graft.llm.Wordpiece.wordpieceTrain(df, "text", merges = 60))
+    val incr = rules(graft.llm.Wordpiece.wordpieceTrainIncremental(df, "text", merges = 60))
+    assert(incr === naive)
+    // exhaustion parity: both stop at the same early rule count
+    val t1 = rules(graft.llm.Wordpiece.wordpieceTrain(Seq("ab ab").toDF("text"), "text", 50))
+    val t2 = rules(graft.llm.Wordpiece.wordpieceTrainIncremental(Seq("ab ab").toDF("text"), "text", 50))
+    assert(t2 === t1)
+  }
+
+  test("wordpieceTrainIncremental: bounded lineage and cost at merges=200") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val words = (0 until 120).map { i =>
+      val w = (0 until 12).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      Array.fill(1 + 600 / (i + 5))(w).mkString(" ")
+    }
+    val df = words.toDF("text")
+    // merges=200 crosses six localCheckpoint boundaries; the wall bound is
+    // a plan-blowup/cost-shape tripwire (one delta job per merge — the
+    // naive trainer's two-full-aggregates-plus-join per merge would not
+    // fit), generous enough for a churning host.
+    val t0 = System.nanoTime()
+    val deep = graft.llm.Wordpiece.wordpieceTrainIncremental(df, "text", merges = 200)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(deep.length === 200)
+    assert(secs < 240.0,
+      f"wordpieceTrainIncremental(200) took $secs%.0f s — lineage blowup?")
+    // greedy training is prefix-deterministic: merges=50 must equal the
+    // first 50 rules of the merges=200 run (checkpointing changes no
+    // values, only the plan)
+    val fifty = graft.llm.Wordpiece.wordpieceTrainIncremental(df, "text", merges = 50)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fifty.toSeq === deep.toSeq.take(50))
   }
 
   test("dedupLines keeps first occurrences in order, including empty lines") {
