@@ -2586,6 +2586,19 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- unigram-LM hard-EM round (Kudo 2018 §4.2, Viterbi-count
+    //     approximation): E-step segments every distinct word through
+    //     the seed model (codegen'd backpointer DP, shortest-last-piece
+    //     tie-break), prune to top-120 by count, single-char
+    //     segmentability floor, integer micro-bit re-costing; the oracle
+    //     replays training, the forward DP AND the 12-stage backtrack ---
+    "q_unigram_em" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Unigram.emRefit(
+          df, "text", vocabSize = 120, maxPieceLen = 4, maxWordLen = 12))
+        .sort(col("piece"))
+        .run(s)),
+
     // --- BPE training statistic: top adjacent-character pairs over the
     //     corpus VOCABULARY (explode runs on vocab × frequency, never on
     //     raw text — Heaps' law makes that sublinear in corpus size) ---
@@ -5332,6 +5345,17 @@ object SparkEntry {
          FROM wordsu LEFT JOIN wstatu ws USING (w)
          GROUP BY 1 ORDER BY 1"""),
 
+    // Unigram-LM hard-EM round: training + forward DP + 12-stage
+    // backtrack + freq-weighted counts + prune/floor + re-costing.
+    "q_unigram_em" ->
+      (s"""WITH $UnigramTrainCtes,
+         $UnigramDpCtes,
+         ${UnigramEmCtes(120)}
+         SELECT piece, n,
+                CAST(round((ln(CAST(et AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) AS cost_microbits
+         FROM emall, emtot ORDER BY piece"""),
+
     // Vocabulary-weighted character-pair counts (one BPE iteration's
     // argmax statistic): word freq first, then per-word adjacent pairs
     // replicated by unnest; same (n desc, pair) deterministic cut.
@@ -5931,12 +5955,57 @@ object SparkEntry {
                 substr(w, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
          FROM (SELECT w, unnest(range(0, len(w))) AS j FROM dwu) t,
               LATERAL unnest(range(1, least(4, len(w) - j) + 1)) u(l)
-       ), tru AS MATERIALIZED (SELECT tru0.w, tru0.j, tru0.i, v.cc
+       ), tru AS MATERIALIZED (SELECT tru0.w, tru0.j, tru0.i, piece, v.cc
                   FROM tru0 JOIN vocabu v USING (piece)),
        au0 AS MATERIALIZED (
          SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c FROM dwu),
        $stages,
        wstatu AS (SELECT w, c FROM au12 WHERE p = len(w))"""
+  }
+
+  /** Hard-EM round replay appended after [[UnigramDpCtes]]: BACKTRACK the
+    * best path of every reachable word (12 unrolled steps; at each
+    * position the chosen transition is the SHORTEST piece achieving the
+    * position's DP minimum — row_number over piece length ASC, exactly
+    * the native's strict-<, l-ascending backpointer rule), weight pieces
+    * by word frequency, prune to the top-`vocabSize` by (n DESC, piece),
+    * re-add unused seed single chars at count max(n, 1), and re-cost in
+    * integer micro-bits. */
+  private def UnigramEmCtes(vocabSize: Int): String = {
+    val steps = (1 to 12).map { k =>
+      s"""ch$k AS MATERIALIZED (
+           SELECT w, pos, piece, j FROM (
+             SELECT b.w, b.pos, t.piece, t.j,
+                    row_number() OVER (PARTITION BY b.w
+                                       ORDER BY t.i - t.j ASC) AS rn
+             FROM bt${k - 1} b
+             JOIN tru t ON t.w = b.w AND t.i = b.pos
+             JOIN au12 dj ON dj.w = b.w AND dj.p = t.j
+             JOIN au12 di ON di.w = b.w AND di.p = b.pos
+             WHERE b.pos > 0 AND dj.c + t.cc = di.c) s
+           WHERE rn = 1
+         ), bt$k AS MATERIALIZED (SELECT w, j AS pos FROM ch$k)"""
+    }.mkString(",\n")
+    val allCh = (1 to 12).map(k => s"SELECT w, piece FROM ch$k")
+      .mkString(" UNION ALL ")
+    s"""bt0 AS (SELECT w, len(w) AS pos FROM wstatu),
+       $steps,
+       emcnt AS MATERIALIZED (
+         SELECT piece, CAST(sum(f) AS BIGINT) AS n
+         FROM ($allCh) c JOIN wfu USING (w) GROUP BY 1
+       ), emtop AS (
+         SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS r
+         FROM emcnt
+       ), emsel AS MATERIALIZED (
+         SELECT piece, n FROM emtop WHERE r <= $vocabSize
+       ), emfloor AS (
+         SELECT c.piece, greatest(coalesce(e.n, 0), 1) AS n
+         FROM (SELECT piece FROM selu WHERE len(piece) = 1) c
+         LEFT JOIN emcnt e USING (piece)
+         WHERE c.piece NOT IN (SELECT piece FROM emsel)
+       ), emall AS MATERIALIZED (
+         SELECT piece, n FROM emsel UNION ALL SELECT piece, n FROM emfloor
+       ), emtot AS (SELECT CAST(sum(n) AS BIGINT) AS et FROM emall)"""
   }
 
   private def dotSql(a: String, b: String): String =

@@ -89,6 +89,49 @@ object UnigramModel {
     }
     if (dp(len) == Long.MaxValue) m.unkComposite else dp(len)
   }
+
+  /** Backpointer Viterbi: the SAME composite DP as [[viterbi]], but
+    * returning the best path's space-joined pieces (for EM expected
+    * counts) instead of the composite. Equal-composite paths need a
+    * deterministic tie-break here (unlike [[viterbi]], where they are
+    * indistinguishable): at every position the recorded backpointer is
+    * the SHORTEST last piece achieving the position's final minimum —
+    * the strict-`<`, l-ascending update order makes that automatic, and
+    * the DuckDB oracle replays it as a row_number over piece length
+    * ascending. Empty/overlong/unreachable words return "[UNK]". */
+  def viterbiPieces(word: String, m: Decoded): String = {
+    val len = word.length
+    if (len == 0 || len > m.maxWordLen) return "[UNK]"
+    val dp = new Array[Long](len + 1)
+    val bp = new Array[Int](len + 1)
+    java.util.Arrays.fill(dp, Long.MaxValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      val lMax = math.min(m.maxPieceLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (dp(j) != Long.MaxValue) {
+          val cc: java.lang.Long = m.table.get(word.substring(j, i))
+          if ((cc ne null) && dp(j) + cc.longValue < dp(i)) {
+            dp(i) = dp(j) + cc.longValue
+            bp(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dp(len) == Long.MaxValue) return "[UNK]"
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = len
+    while (p > 0) {
+      pieces += word.substring(p - bp(p), p)
+      p -= bp(p)
+    }
+    pieces.reverse.mkString(" ")
+  }
 }
 
 /** `unigram_viterbi(word, model)` — minimal-cost unigram-LM segmentation
@@ -132,5 +175,48 @@ case class UnigramViterbi(word: Expression, model: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UnigramViterbi =
+    copy(word = newLeft, model = newRight)
+}
+
+/** `unigram_viterbi_pieces(word, model)` — the best segmentation's
+  * space-joined PIECES (shortest-last-piece tie-break; see
+  * [[UnigramModel.viterbiPieces]]), the E-step primitive for hard-EM
+  * re-estimation. Same plan-literal model contract as `unigram_viterbi`. */
+case class UnigramViterbiPieces(word: Expression, model: Expression)
+    extends BinaryExpression {
+  override def left: Expression = word
+  override def right: Expression = model
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unigram_viterbi_pieces"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (word.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi_pieces word argument must be string, got ${word.dataType.simpleString}")
+    else if (model.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi_pieces model argument must be binary, got ${model.dataType.simpleString}")
+    else if (!model.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "unigram_viterbi_pieces model argument must be a literal (the encoded model)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val decoded: UnigramModel.Decoded =
+    UnigramModel.decode(model.eval(null).asInstanceOf[Array[Byte]])
+
+  def pieces(w: UTF8String): UTF8String =
+    UTF8String.fromString(UnigramModel.viterbiPieces(w.toString, decoded))
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    pieces(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unigramViterbiPieces", this,
+      classOf[UnigramViterbiPieces].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) => s"${ev.value} = $self.pieces($w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramViterbiPieces =
     copy(word = newLeft, model = newRight)
 }

@@ -75,6 +75,90 @@ object Unigram {
           .as("cost_microbits"))
   }
 
+  /** One hard-EM (Viterbi) re-estimation + prune round over a seed
+    * inventory — the published SentencePiece training loop's step (Kudo
+    * 2018 §4.2), in its deterministic Viterbi approximation (the 1-best
+    * segmentation stands in for forward-backward expectations, so every
+    * count is an exact integer and the DuckDB oracle can replay the
+    * whole round bit-for-bit):
+    *
+    *   - E-step: every DISTINCT corpus word (≤ `maxWordLen`; longer
+    *     words are unk and carry no piece evidence) segments through the
+    *     codegen'd `unigram_viterbi_pieces` native probing the seed
+    *     model as a plan literal — zero joins, one DP per distinct word;
+    *     expected counts = word-frequency-weighted piece counts of the
+    *     best paths, ONE map-side-combined aggregate;
+    *   - prune: keep the top `vocabSize` pieces by (count DESC, piece) —
+    *     pieces Viterbi never uses fall out of the inventory, the
+    *     likelihood-loss prune's deterministic proxy;
+    *   - segmentability floor: seed single-character pieces always stay,
+    *     at count max(n, 1), so any future word remains segmentable;
+    *   - M-step: cost = round((ln ΣN − ln n)·1e6) integer micro-bits
+    *     over the kept inventory (`StrictMath.log` + HALF_UP — the exact
+    *     functions Spark's `ln`/`round` codegen calls).
+    *
+    * The count table is vocabulary-bounded, so prune/floor/M-step run on
+    * the driver as model parameters (the k-means-centroid defense).
+    * Output: (piece, n, cost_microbits) — [[fitVocab]]'s schema, so
+    * rounds chain: feed the output costs back through
+    * [[emRefitWithVocab]] for EM round two. */
+  def emRefit(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+  ): DataFrame = {
+    val seed = fitVocab(docs, textCol, vocabSize, maxPieceLen)
+      .select(col("piece"), col("cost_microbits"))
+      .collect() // bounded model parameter: <= vocabSize + |alphabet| rows
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    emRefitWithVocab(docs, textCol, seed, vocabSize, maxPieceLen, maxWordLen)
+  }
+
+  /** [[emRefit]] from an EXPLICIT seed (piece, cost_microbits) inventory
+    * — chain rounds by feeding one round's output costs into the next. */
+  def emRefitWithVocab(
+      docs: DataFrame,
+      textCol: String,
+      seedCosts: Seq[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+  ): DataFrame = {
+    require(seedCosts.nonEmpty, "need a non-empty seed vocabulary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    // unk cost is irrelevant here: unreachable words return "[UNK]" from
+    // the pieces native and are filtered out of the evidence
+    val model = graft.expr.UnigramModel.encode(
+      seedCosts.sortBy(_._1), maxPieceLen, maxWordLen, 30000000L)
+    val counts = wordFreq(docs, textCol)
+      .where(length(col("__w__")) <= maxWordLen)
+      .select(col("__f__"), explode(split(
+        call_function("unigram_viterbi_pieces", col("__w__"), lit(model)),
+        " ")).as("piece"))
+      .where(col("piece") =!= "[UNK]")
+      .groupBy(col("piece")).agg(sum(col("__f__")).as("n"))
+      .collect() // bounded model parameter: <= seed inventory rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (p, n) => (-n, p) }.take(vocabSize)
+    val topPieces = top.map(_._1).toSet
+    val floorChars = seedCosts.map(_._1).filter(_.length == 1).distinct
+      .filterNot(topPieces)
+      .map(c => (c, math.max(counts.collectFirst {
+        case (p, n) if p == c => n
+      }.getOrElse(0L), 1L)))
+    val kept = (top ++ floorChars).sortBy(_._1)
+    val t = kept.map(_._2).sum
+    def cost(n: Long): Long =
+      BigDecimal((StrictMath.log(t.toDouble) - StrictMath.log(n.toDouble))
+        * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    kept.map { case (p, n) => (p, n, cost(n)) }.toSeq
+      .toDF("piece", "n", "cost_microbits")
+  }
+
   /** Per-document segmentation statistics through the learned vocabulary:
     * (idCol, n_pieces, cost_microbits). Words longer than `maxWordLen`
     * score as a single unk piece of `unkCostMicrobits`. */

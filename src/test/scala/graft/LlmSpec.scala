@@ -2199,6 +2199,89 @@ class LlmSpec extends GraftSuite {
     assert(t2 === t1)
   }
 
+  test("unigram emRefit matches a plain-Scala hard-EM re-derivation") {
+    val s = spark
+    import s.implicits._
+
+    // independent plain-Scala re-derivation of the whole round:
+    // fitVocab seed → backpointer Viterbi (shortest-last-piece ties) →
+    // freq-weighted counts → top-V prune → char floor → re-costing
+    def microCost(t: Long, n: Long): Long =
+      BigDecimal((StrictMath.log(t.toDouble) - StrictMath.log(n.toDouble))
+        * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def scalaEm(corpus: Seq[String], v: Int, mpl: Int, mwl: Int)
+        : Seq[(String, Long, Long)] = {
+      val words = corpus.flatMap(
+        _.toLowerCase.replaceAll("[^a-z]+", " ").trim.split("\\s+"))
+        .filter(_.nonEmpty)
+      val wf = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val cand = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        for (i <- 0 until w.length; l <- 1 to math.min(mpl, w.length - i)) {
+          val p = w.substring(i, i + l)
+          cand(p) = cand.getOrElse(p, 0L) + f
+        }
+      }
+      val seedTop = cand.toSeq.sortBy { case (p, n) => (-n, p) }.take(v)
+      val seed = (seedTop ++ cand.toSeq.filter(_._1.length == 1))
+        .distinctBy(_._1)
+      val seedT = seed.map(_._2).sum
+      val costs = seed.map { case (p, n) => p -> microCost(seedT, n) }.toMap
+      // backpointer Viterbi over composites cost*64+1
+      def viterbi(w: String): Option[Seq[String]] = {
+        val dp = Array.fill(w.length + 1)(Long.MaxValue)
+        val bp = new Array[Int](w.length + 1)
+        dp(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to math.min(mpl, i)) {
+          val j = i - l
+          if (dp(j) != Long.MaxValue) costs.get(w.substring(j, i)).foreach {
+            c =>
+              if (dp(j) + c * 64 + 1 < dp(i)) { dp(i) = dp(j) + c * 64 + 1; bp(i) = l }
+          }
+        }
+        if (dp(w.length) == Long.MaxValue) None
+        else {
+          var p = w.length
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (p > 0) { out += w.substring(p - bp(p), p); p -= bp(p) }
+          Some(out.reverse.toSeq)
+        }
+      }
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        if (w.length <= mwl) viterbi(w).foreach(_.foreach(p =>
+          cnt(p) = cnt.getOrElse(p, 0L) + f))
+      }
+      val top = cnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(v)
+      val topSet = top.map(_._1).toSet
+      val floor = seed.map(_._1).filter(_.length == 1).distinct
+        .filterNot(topSet)
+        .map(c => (c, math.max(cnt.getOrElse(c, 0L), 1L)))
+      val kept = (top ++ floor).sortBy(_._1)
+      val t = kept.map(_._2).sum
+      kept.map { case (p, n) => (p, n, microCost(t, n)) }
+    }
+
+    // deterministic corpus with repeated structure (forces real merges,
+    // pruning at v=12, and an unused floor char via a rare word) plus a
+    // randomized corpus per run seedless determinism isn't required for
+    val rnd = new scala.util.Random(7)
+    val fixed = Seq("abab abab banana banana banana bandana", "aq")
+    val random = (0 until 40).map { _ =>
+      (0 until (1 + rnd.nextInt(6))).map { _ =>
+        val len = 1 + rnd.nextInt(9)
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.mkString(" ")
+    }
+    for ((corpus, v) <- Seq((fixed, 12), (random, 10), (random, 50))) {
+      val got = graft.llm.Unigram.emRefit(corpus.toDF("text"), "text",
+          vocabSize = v, maxPieceLen = 3, maxWordLen = 8)
+        .orderBy(sc("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === scalaEm(corpus, v, 3, 8))
+    }
+  }
+
   test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
     val s = spark
     import s.implicits._
