@@ -15,6 +15,18 @@ object SparkEntry {
 
   private def m(dir: String, table: String): Model = Model.parquet(dir, table)
 
+  /** Unicode fixture corpus for the tokenizer-path queries: decompose
+    * every 'e' into e + U+0301 (NFC must re-compose it) and swap 'a' for
+    * 'ä' (the `\p{L}` split must keep it). Built with Scala literals —
+    * Spark's chr() is ASCII-only; the DuckDB twin is [[UniDocsCte]]. */
+  private def uniDocs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    df.withColumn("text",
+      F.replace(F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        F.lit("a"), F.lit("\u00e4")))
+  }
+
   /** Money-sum de-flaker: sum EXACT INTEGER CENTS, then one division back
     * to double. Plain sum(double) is summation-order dependent (Spark
     * partial aggregates vs the DuckDB oracle diverge in the last few ulps —
@@ -1108,6 +1120,24 @@ object SparkEntry {
       graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
     }),
 
+    // --- STREAMING token-budget admission backfill: the keyed-state
+    //     twin of q_token_budget run over the whole corpus as one batch
+    //     (per-group running token sums in state; within-batch ranking
+    //     by the batch operator's (md5(id), id) order) — rows must be
+    //     bit-identical to tokenBudgetFill's, so the oracle is shared
+    //     by reference ---
+    "q_stream_token_budget" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          graft.streaming.Streams.streamingTokenBudget(
+            df, "doc_id", "lang", "text",
+            Map("en" -> 0.45, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.15,
+              "fr" -> 0.10),
+            budget = 12000L)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- corpus-LEVEL line dedup (CCNet shard dedup): identical banner /
     //     footer lines injected into every doc survive only at their
     //     first corpus occurrence; content lines repeat only where the
@@ -1301,6 +1331,29 @@ object SparkEntry {
           graft.llm.Dedup.minhashJoin(
             df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
             df.where(F.col("doc_id") % 2 === 1), "doc_id", "text")
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
+    // --- INCREMENTAL dedup against a PERSISTED MinHash index: the odd
+    //     half is indexed once (bucketed on the band hash — that shuffle
+    //     is paid at ingest, and the saved layout satisfies the band
+    //     join's clustering, so the index side plans zero exchanges),
+    //     then the even "new crawl" slice hashes only itself and joins
+    //     the saved table. Values = q_dedup_cross exactly (LlmSpec pins
+    //     it), so the oracle is shared by reference. ---
+    "q_dedup_incremental" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val tbl = "minhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Dedup.minhashIndex(
+              df.where(F.col("doc_id") % 2 === 1), "doc_id", "text"),
+            tbl, s"/tmp/graft_minhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Dedup.minhashJoinIndexed(
+            df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
+            df.sparkSession.table(tbl))
         }
         .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
@@ -1991,6 +2044,21 @@ object SparkEntry {
         .sort(col("a_id"))
         .run(s)),
 
+    // --- bitext mining with AUTO-SCALED bucket bits: bits =
+    //     max(4, ceil(log2(n / 50))) derived from one corpus count —
+    //     SCALE.md's "scale bits with log2(n)" rule as code, so a 10×
+    //     corpus gets wider buckets with NO manual knob change; the
+    //     per-(bucket, side) cap stays on as the skew backstop ---
+    "q_bitext_auto" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.bitextMineAuto(df, "vec_id",
+          "embedding",
+          sideAPred = org.apache.spark.sql.functions.col("label") < 5,
+          targetBucketSize = 50, k = 4, minMargin = 1.0,
+          maxPerBucketSide = 24))
+        .sort(col("a_id"))
+        .run(s)),
+
     // --- random-projection (JL) ANN: deterministic ±1 md5 sign matrix
     //     frozen as a plan literal projects 64-dim vectors to 16 dims;
     //     shortlist of 50 by projected cosine, exact-cosine rerank to 10.
@@ -2009,6 +2077,17 @@ object SparkEntry {
         .native(df => graft.llm.Embeddings.lshTopK(df, "vec_id", "embedding",
           queryPred = org.apache.spark.sql.functions.col("vec_id") < 5,
           bits = 4, k = 3))
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- bucketed ANN with AUTO-SCALED bits (the q_ann_lsh plan, bucket
+    //     width from the corpus count via the integer log2 rule) ---
+    "q_ann_lsh_auto" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.lshTopKAuto(df, "vec_id",
+          "embedding",
+          queryPred = org.apache.spark.sql.functions.col("vec_id") < 5,
+          targetBucketSize = 50, k = 3))
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
@@ -2584,6 +2663,36 @@ object SparkEntry {
           df, "doc_id", "text", vocabSize = 120, maxPieceLen = 4,
           maxWordLen = 12, unkCostMicrobits = 30000000L))
         .sort(col("doc_id"))
+        .run(s)),
+
+    // --- UNICODE tokenizer-path fixtures: the corpus is derived by
+    //     decomposing every 'e' into e+U+0301 (NFC must re-compose it to
+    //     é) and swapping 'a' for 'ä' (the \p{L} word split must keep
+    //     it), then each trainer family runs its normal pipeline — the
+    //     queries that would return garbage under the old ASCII-residue
+    //     norm. Literals are Scala strings (Spark chr() is ASCII-only);
+    //     oracles derive the same corpus with DuckDB chr() and shadow
+    //     the documents view with a CTE, sharing the base replays
+    //     verbatim. ---
+    "q_bpe_train_unicode" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeTrain(
+          uniDocs(df), "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    "q_wordpiece_train_unicode" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Wordpiece.wordpieceTrain(
+          uniDocs(df), "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    "q_unigram_vocab_unicode" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Unigram.fitVocab(
+          uniDocs(df), "text", vocabSize = 120, maxPieceLen = 4))
+        .sort(col("piece"))
         .run(s)),
 
     // --- unigram-LM hard-EM round (Kudo 2018 §4.2, Viterbi-count
@@ -4375,6 +4484,55 @@ object SparkEntry {
            FROM mg) f
          WHERE pick = 1 AND margin > 1.0 ORDER BY a_id"""),
 
+    // Auto-bits bitext: the capped pipeline with the bucket width from
+    // the integer count rule (target 50) instead of a hardcoded 4.
+    "q_bitext_auto" ->
+      (s"""WITH ${nbCte(50, 4, 24)},
+         e AS (
+           SELECT vec_id, label, embedding, $BktAutoSql AS bkt,
+                  sqrt(${dotSql("embedding", "embedding")}) AS nn
+           FROM embeddings, nb),
+         a0 AS (SELECT vec_id AS a_id, embedding AS av, bkt, nn AS an
+                FROM e WHERE label < 5),
+         a AS (SELECT a_id, av, bkt, an FROM (
+                 SELECT a0.*, row_number() OVER
+                   (PARTITION BY bkt ORDER BY a_id) AS br FROM a0) t
+               WHERE br <= 24),
+         b0 AS (SELECT vec_id AS b_id, embedding AS bv, bkt, nn AS bn
+                FROM e WHERE label >= 5),
+         b AS (SELECT b_id, bv, bkt, bn FROM (
+                 SELECT b0.*, row_number() OVER
+                   (PARTITION BY bkt ORDER BY b_id) AS br FROM b0) t
+               WHERE br <= 24),
+         pairs AS (
+           SELECT a_id, b_id,
+                  round(${dotSql("av", "bv")} / (an * bn), 6) AS cosine
+           FROM a JOIN b USING (bkt)),
+         ax AS (
+           SELECT a_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS axv
+           FROM (SELECT a_id, cosine, row_number() OVER
+                   (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         ay AS (
+           SELECT b_id,
+                  CAST(sum(CAST(cosine AS DECIMAL(18,9))) AS DOUBLE)
+                    / count(*) AS ayv
+           FROM (SELECT b_id, cosine, row_number() OVER
+                   (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS r
+                 FROM pairs) t WHERE r <= 4 GROUP BY 1),
+         mg AS (
+           SELECT p.a_id, p.b_id, p.cosine,
+                  round(p.cosine / ((ax.axv + ay.ayv) / CAST(2.0 AS DOUBLE)), 6)
+                    AS margin
+           FROM pairs p JOIN ax USING (a_id) JOIN ay USING (b_id))
+         SELECT a_id, b_id, cosine, margin FROM (
+           SELECT mg.*, row_number() OVER
+             (PARTITION BY a_id ORDER BY margin DESC, b_id) AS pick
+           FROM mg) f
+         WHERE pick = 1 AND margin > 1.0 ORDER BY a_id"""),
+
     // Capped bitext margins: same pipeline with the per-(bucket, side)
     // lowest-id row_number cap replayed in both a and b CTEs.
     "q_bitext_capped" ->
@@ -4556,6 +4714,25 @@ object SparkEntry {
     "q_ann_lsh" ->
       (s"""WITH bkt AS (
            SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
+         ), scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+           FROM bkt q JOIN bkt c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           FROM scored
+         )
+         SELECT query_id, neighbor_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // Auto-bits LSH: same plan with the bucket width computed by the
+    // integer ceil-div + bit-length rule over count(*) (target 50).
+    "q_ann_lsh_auto" ->
+      (s"""WITH ${nbCte(50, 4, 24)},
+         bkt AS (
+           SELECT vec_id, embedding, $BktAutoSql AS bkt FROM embeddings, nb
          ), scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
@@ -5380,7 +5557,7 @@ object SparkEntry {
     "q_bpe_train" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(
-                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    trim(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')),
                     '\s+')) AS w
            FROM documents),
          wf AS (
@@ -5430,7 +5607,7 @@ object SparkEntry {
     "q_bpe_subwords" ->
       """WITH w AS (
            SELECT unnest(regexp_split_to_array(
-                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    trim(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')),
                     '\s+')) AS w
            FROM documents),
          wf AS (
@@ -5475,7 +5652,7 @@ object SparkEntry {
                 FROM e4),
          dw AS (
            SELECT doc_id, unnest(regexp_split_to_array(
-                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    trim(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')),
                     '\s+')) AS w
            FROM documents)
          SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
@@ -5509,7 +5686,7 @@ object SparkEntry {
                  FROM st8),
          dw AS (
            SELECT doc_id, unnest(regexp_split_to_array(
-                    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                    trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
                     '\\s+')) AS w
            FROM documents)
          SELECT doc_id,
@@ -5585,10 +5762,26 @@ object SparkEntry {
   // The incremental trainer is rule-for-rule identical to the naive one
   // (LlmSpec pins it), so the SAME four-iteration DuckDB replay is its
   // oracle — defined by reference so the two gates stay in lock-step.
+  // The unicode fixture queries likewise share the base trainer replays
+  // verbatim: a leading CTE shadows the `documents` view with the same
+  // derived corpus the Spark side builds (decomposed e → NFC é, ä).
+  private val UniDocsCte: String =
+    "documents AS MATERIALIZED (SELECT * REPLACE (" +
+      "replace(replace(text, 'e', 'e' || chr(769)), 'a', chr(228)) AS text" +
+      ") FROM main.documents), " // main. = the view, not this CTE
+
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("q_bpe_train_incr" -> baseOracleSql("q_bpe_train")) +
       ("q_wordpiece_train_incr" -> baseOracleSql("q_wordpiece_train")) +
+      ("q_bpe_train_unicode" ->
+        baseOracleSql("q_bpe_train").replaceFirst("WITH ", "WITH " + UniDocsCte)) +
+      ("q_wordpiece_train_unicode" ->
+        baseOracleSql("q_wordpiece_train").replaceFirst("WITH ", "WITH " + UniDocsCte)) +
+      ("q_unigram_vocab_unicode" ->
+        baseOracleSql("q_unigram_vocab").replaceFirst("WITH ", "WITH " + UniDocsCte)) +
+      ("q_dedup_incremental" -> baseOracleSql("q_dedup_cross")) +
+      ("q_stream_token_budget" -> baseOracleSql("q_token_budget")) +
       ("q_stream_domain_cap" -> baseOracleSql("q_domain_cap"))
 
   /** WordPiece training replay: `iters` unrolled merge iterations. Each
@@ -5603,7 +5796,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++= s"""w0 AS (
          SELECT unnest(regexp_split_to_array(
-                  trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                  trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
                   '\\s+')) AS w
          FROM documents),
        wf AS MATERIALIZED (
@@ -5914,7 +6107,7 @@ object SparkEntry {
   private val UnigramTrainCtes: String =
     """toksu AS (
          SELECT doc_id, unnest(regexp_split_to_array(
-           trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), '\s+')) AS w
+           trim(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')), '\s+')) AS w
          FROM documents
        ), wordsu AS MATERIALIZED (SELECT doc_id, w FROM toksu WHERE len(w) >= 1),
        wfu AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wordsu GROUP BY 1),
@@ -6014,6 +6207,21 @@ object SparkEntry {
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   private val BktSql: String =
     "list_reduce(list_transform(range(1, 5), d -> CASE WHEN CAST(embedding[d] AS DOUBLE) >= 0 THEN (1 << (d - 1)) ELSE 0 END), (x, y) -> x + y)"
+
+  /** Auto-bits twin of [[BktSql]]: bucket width from the 1-row `nb` CTE
+    * (must be cross-joined in scope) instead of a hardcoded 4. */
+  private val BktAutoSql: String =
+    "list_reduce(list_transform(range(1, bits + 1), d -> CASE WHEN CAST(embedding[d] AS DOUBLE) >= 0 THEN (1 << (d - 1)) ELSE 0 END), (x, y) -> x + y)"
+
+  /** Embeddings.autoBits replay: integer ceil-div + bit length (exact —
+    * no float log2), clamped to [minBits, maxBits]. */
+  private def nbCte(target: Int, minBits: Int, maxBits: Int): String =
+    s"""nb AS (
+         SELECT CAST(CASE WHEN q <= 1 THEN $minBits
+                  ELSE greatest($minBits, least($maxBits, length(bin(q - 1))))
+                  END AS BIGINT) AS bits
+         FROM (SELECT (count(*) + $target - 1) // $target AS q
+               FROM embeddings))"""
 
   /** Per-language stopword-count SQL over token list `w` (mirrors
     * TextOps.LangProfiles — keep in sync). */

@@ -258,6 +258,96 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Persistable MinHash INDEX of a cleaned corpus — the artifact the
+    * production 100 TB dedup loop builds ONCE per corpus snapshot and
+    * then queries with every new crawl slice, instead of re-hashing
+    * yesterday's petabytes per crawl: one row per band posting, keyed by
+    * the SINGLE composite `__bkey__` = "<band>:<band-hash>" (equality on
+    * it ⟺ the (band, hash) pair equality the band join needs — band is
+    * an int and ':' never appears in an md5 hex), with the verification
+    * token set DENORMALIZED onto the posting (bands are few — default
+    * 4 — and carrying tokens here means querying needs NO second join
+    * back to the corpus: a candidate row already holds both token
+    * sets). Columns: (`__id__`, `__bkey__`, `__toks__`).
+    *
+    * Persist with `ParquetIO.writeBucketed(index, table, path,
+    * "__bkey__", buckets)`: the saved hash-on-join-key layout satisfies
+    * the band join's required distribution, so a query against the
+    * saved table plans ZERO exchanges on the index side — its shuffle
+    * is paid once at index build (LlmSpec pins the plan shape). */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+  ): DataFrame = {
+    require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
+      "numHashes must be a multiple of rowsPerBand")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__toks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__toks__")) >= shingleSize)
+      .withColumn("__sig__",
+        expr(s"minhash_sig_words(__toks__, $shingleSize, $numHashes)"))
+      .select(col("__id__"), col("__toks__"),
+        posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
+          .as(Seq("__band__", "__bh__")))
+      .select(col("__id__"),
+        concat(col("__band__"), lit(":"), col("__bh__")).as("__bkey__"),
+        col("__toks__"))
+  }
+
+  /** INCREMENTAL cross-corpus near-dup join: [[minhashJoin]]'s output
+    * with the right side a pre-built [[minhashIndex]] frame (typically
+    * read back from its bucketed table). Signatures are computed ONLY
+    * for the new slice; the index side is scanned as stored — with the
+    * bucketed layout, corpus-side cost at query time is the scan, no
+    * hashing and no shuffle, so growing the index does not grow the
+    * per-crawl shuffle. Verification runs inline on the candidate rows
+    * (both token sets are already present — no join back), de-duplicated
+    * across bands by a distinct on the scored pair. Returns
+    * (left_id, right_id, jaccard) — [[minhashJoin]]'s exact contract,
+    * so the q_dedup_cross oracle transfers. */
+  def minhashJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
+      "numHashes must be a multiple of rowsPerBand")
+    graft.GraftExtensions.install(newDocs.sparkSession)
+    val numBands = numHashes / rowsPerBand
+    val banded = newDocs
+      .select(col(idCol).as("__nid__"), col(textCol).as("__text__"))
+      .withColumn("__ntoks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__ntoks__")) >= shingleSize)
+      .withColumn("__sig__",
+        expr(s"minhash_sig_words(__ntoks__, $shingleSize, $numHashes)"))
+      .select(col("__nid__"), col("__ntoks__"),
+        posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
+          .as(Seq("__band__", "__bh__")))
+      .select(col("__nid__"), col("__ntoks__"),
+        concat(col("__band__"), lit(":"), col("__bh__")).as("__bkey__"))
+    banded
+      .join(index, Seq("__bkey__"))
+      .withColumn("jaccard",
+        round(expr(s"word_ngram_jaccard(__ntoks__, __toks__, $shingleSize)"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("__nid__").as("left_id"), col("__id__").as("right_id"),
+        col("jaccard"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs.
     *
     * 32-bit SimHash over distinct word BIGRAMS (bigrams, not unigrams:

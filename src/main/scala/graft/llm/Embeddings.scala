@@ -49,6 +49,65 @@ object Embeddings {
           (x, b) -> IF(cast(x AS double) >= 0D, shiftleft(1, b), 0)),
         0, (acc, v) -> acc + v)""")
 
+  /** Auto-scaled sign-LSH width — SCALE.md's production rule
+    * ("scale `bits` with log₂(n)") as code instead of prose: the
+    * smallest b with 2^b ≥ ⌈n / targetBucketSize⌉, clamped to
+    * [minBits, maxBits], so EXPECTED bucket population stays ≈
+    * targetBucketSize as the corpus grows (10× data → +3.3 bits) and a
+    * within-bucket join's per-bucket work stays flat instead of growing
+    * linearly. Entirely INTEGER arithmetic (ceil-div + bit length) so
+    * the DuckDB oracle replays it exactly:
+    * `length(bin(q - 1))` with q = (n + t - 1) // t — no float log2 at
+    * a power-of-two boundary to disagree about. `maxBits` must not
+    * exceed the embedding dimension (the bucket reads the first b
+    * components). */
+  def autoBits(
+      n: Long,
+      targetBucketSize: Long,
+      minBits: Int = 4,
+      maxBits: Int = 24): Int = {
+    require(n >= 0 && targetBucketSize >= 1, "need n >= 0 and target >= 1")
+    require(1 <= minBits && minBits <= maxBits, "need 1 <= minBits <= maxBits")
+    val q = (n + targetBucketSize - 1) / targetBucketSize
+    val b = if (q <= 1) 0
+    else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.min(maxBits, math.max(minBits, b))
+  }
+
+  /** [[lshTopK]] with the bucket width derived from the CORPUS SIZE via
+    * [[autoBits]] — one count aggregate, then the normal bucketed plan.
+    * No manual `bits` knob to forget when the corpus 10×es. */
+  def lshTopKAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      targetBucketSize: Long,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame =
+    lshTopK(emb, idCol, vecCol, queryPred,
+      autoBits(emb.count(), targetBucketSize), k, scope)
+
+  /** [[bitextMine]] with [[autoBits]]-derived bucket width (count once,
+    * then the normal pipeline) — the log₂(n) scaling its scaladoc calls
+    * production practice, with the per-bucket cap kept as the skew
+    * backstop. */
+  def bitextMineAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sideAPred: Column,
+      targetBucketSize: Long,
+      k: Int,
+      minMargin: Double,
+      maxPerBucketSide: Int = Int.MaxValue,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame =
+    bitextMine(emb, idCol, vecCol, sideAPred,
+      autoBits(emb.count(), targetBucketSize), k, minMargin,
+      maxPerBucketSide, scope)
+
   /** Brute-force cosine top-k neighbors of one query vector. The 1-row
     * query side is broadcast; scores sort on the 6-dp-rounded cosine with
     * id tie-break so the cut is deterministic. */

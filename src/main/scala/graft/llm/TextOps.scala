@@ -29,6 +29,24 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Unicode-aware tokenizer word normalization, shared by the three
+    * subword-trainer families (BPE / WordPiece / unigram-LM): NFC-compose
+    * (crawl text is full of decomposed sequences — the `nfc_normalize`
+    * native), lowercase, and split on runs of NON-LETTERS (`\p{L}`, any
+    * Unicode letter), so a multilingual corpus trains on its real words
+    * instead of the ASCII residue a `[^a-z]` norm keeps. On pure-ASCII
+    * text this is value-identical to the old norm (NFC is the identity,
+    * digits/punctuation separate in both). Callers must install
+    * GraftExtensions first (every operator entry point does). DuckDB
+    * oracles replay it as
+    * `regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')`. */
+  private[llm] def letterNorm(textCol: String): Column =
+    trim(regexp_replace(
+      lower(call_function("nfc_normalize", col(textCol))), "[^\\p{L}]+", " "))
+
+  private[llm] def letterWords(textCol: String): Column =
+    split(letterNorm(textCol), "\\s+")
+
   /** "BPE-ish" regex token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (a cheap, deterministic
     * approximation of subword tokenizer output length). */
@@ -74,8 +92,8 @@ object TextOps {
     * builds it, then each iteration is one vocabulary-sized aggregate +
     * a 1-row argmax collect (the learned rule is a model parameter, the
     * same defense as the k-means centroid pin) + one per-word projection.
-    * Words are normalized to [a-z] (standard BPE pre-tokenization), with
-    * a `_` end-of-word marker symbol.
+    * Words are normalized by [[letterNorm]] (NFC + lowercase + split on
+    * non-letters — full Unicode), with a `_` end-of-word marker symbol.
     *
     * The greedy left-to-right non-overlapping merge is applied with plain
     * string `replace` over a delimiter encoding that makes it exact on
@@ -113,7 +131,8 @@ object TextOps {
     val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
     val sizes = vocab.select(col("__w__"),
       expr(s"size($syms)").cast("long").as("__n__"))
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    graft.GraftExtensions.install(docs.sparkSession)
+    val norm = letterNorm(textCol)
     docs
       .select(col(idCol), explode(split(norm, "\\s+")).as("__w__"))
       .where(length(col("__w__")) >= 1)
@@ -152,7 +171,8 @@ object TextOps {
       textCol: String,
       merges: Int,
       scope: CacheScope): (Seq[(Int, String, Long)], DataFrame) = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    graft.GraftExtensions.install(docs.sparkSession)
+    val norm = letterNorm(textCol)
     val wf = scope.cache(docs
       .select(explode(split(norm, "\\s+")).as("__w__"))
       .where(length(col("__w__")) >= 1)
@@ -236,7 +256,8 @@ object TextOps {
       textCol: String,
       merges: Int,
       scope: CacheScope): (Seq[(Int, String, Long)], DataFrame) = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    graft.GraftExtensions.install(docs.sparkSession)
+    val norm = letterNorm(textCol)
     val wf = scope.cache(docs
       .select(explode(split(norm, "\\s+")).as("__w__"))
       .where(length(col("__w__")) >= 1)

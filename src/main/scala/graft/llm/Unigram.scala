@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   private def normWords(textCol: String): Column =
-    split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), "\\s+")
+    TextOps.letterWords(textCol) // Unicode path: NFC + lower + \p{L} split
 
   /** Word-frequency table (`__w__`, `__f__`) over [a-z]+ words. */
   private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
@@ -53,6 +53,7 @@ object Unigram {
       maxPieceLen: Int = 4,
   ): DataFrame = {
     require(vocabSize >= 1 && maxPieceLen >= 1, "need positive knobs")
+    graft.GraftExtensions.install(docs.sparkSession)
     val wf = wordFreq(docs, textCol)
     // all substrings of length 1..maxPieceLen, replicated by word freq —
     // HOF explode over the VOCABULARY frame (never raw text), the bpe

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object Wordpiece {
 
   private def normWords(textCol: String): Column =
-    split(trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")), "\\s+")
+    TextOps.letterWords(textCol) // Unicode path: NFC + lower + \p{L} split
 
   /** Initial WordPiece symbol encoding of a word: first char plain, every
     * later char `##`-prefixed, in the `;sym;;sym;` delimiter form the
@@ -59,6 +59,7 @@ object Wordpiece {
       textCol: String,
       merges: Int,
       scope: CacheScope): (Seq[(Int, String, Long, Long)], Seq[String]) = {
+    graft.GraftExtensions.install(docs.sparkSession)
     val wf = scope.cache(docs
       .select(explode(normWords(textCol)).as("__w__"))
       .where(length(col("__w__")) >= 1)
@@ -150,6 +151,7 @@ object Wordpiece {
       textCol: String,
       merges: Int,
       scope: CacheScope): (Seq[(Int, String, Long, Long)], Seq[String]) = {
+    graft.GraftExtensions.install(docs.sparkSession)
     val wf = scope.cache(docs
       .select(explode(normWords(textCol)).as("__w__"))
       .where(length(col("__w__")) >= 1)
@@ -320,6 +322,7 @@ object Wordpiece {
       maxWordLen: Int = 32,
       scope: CacheScope = CacheScope.global): DataFrame = {
     val enc = encodeWords(docs, textCol, merges, maxWordLen, scope)
+    graft.GraftExtensions.install(docs.sparkSession)
     docs.select(col(idCol), explode(normWords(textCol)).as("word"))
       .where(length(col("word")) >= 1)
       .join(broadcast(enc), Seq("word"))

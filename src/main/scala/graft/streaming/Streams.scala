@@ -191,6 +191,88 @@ object Streams {
       }(Encoders.scalaLong, rowEnc)
   }
 
+  /** Streaming token-budget admission — the streaming twin of
+    * `graft.llm.TextOps.tokenBudgetFill` (the [[streamingDomainCap]]
+    * pattern): each group g gets quota_g = floor(weight_g·budget + 0.5)
+    * tokens; rows are admitted while the group's RUNNING token sum stays
+    * within quota. The running sum counts EVERY processed row, admitted
+    * or not — the batch operator's cumulative-window rule — so once a
+    * group's cum passes its quota the group is closed for good (fast
+    * path: no buffering, no state write). Emits the admitted
+    * `(<idCol> long, <groupCol> string, n_tokens, cum_tokens)` rows.
+    *
+    * Batch parity: WITHIN a micro-batch candidates rank by the batch
+    * operator's exact (md5(id), id) order, so single-batch backfill
+    * reproduces tokenBudgetFill's rows bit-for-bit (the driver query
+    * shares q_token_budget's oracle by reference). ACROSS batches the
+    * policy is first-arrivals — a stream cannot rank against documents
+    * it has not seen. Groups without a weight admit nothing (the batch
+    * op's inner weight join). Per (group, batch) the rows buffer once
+    * for the ranking sort — unlike the domain cap there is no bounded
+    * selection, because EVERY row moves the running sum and admission is
+    * a rank-prefix property; the closed-group fast path is the
+    * memory-pressure valve.
+    *
+    * State: ONE long (cumulative token count) per group — group-bounded
+    * (mixture tables are tiny), RocksDB-backed at scale. */
+  def streamingTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.types._
+    val rows = docs
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("__id__"),
+        col(groupCol).cast("string").as("__g__"),
+        size(graft.llm.TextOps.tokens(col(textCol))).cast("long").as("__nt__"))
+      .where(col("__id__").isNotNull && col("__g__").isNotNull)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField(groupCol, StringType),
+      StructField("n_tokens", LongType), StructField("cum_tokens", LongType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+    val quotas = weights.map { case (g, w) =>
+      g -> math.floor(w * budget + 0.5).toLong // the batch op's quota expr
+    }
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+    rows
+      .groupByKey((r: Row) => r.getString(1))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[Row], state: GroupState[Long]) =>
+          quotas.get(g) match {
+            case None => Iterator.empty // unweighted group: nothing admits
+            case Some(quota) =>
+              var cum = state.getOption.getOrElse(0L)
+              if (cum > quota) Iterator.empty // closed group fast path
+              else {
+                val ranked = it.map(r => (r.getLong(0), r.getLong(2)))
+                  .toArray
+                  .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+                val out = Seq.newBuilder[Row]
+                ranked.foreach { case (id, nt) =>
+                  cum += nt
+                  if (cum <= quota) out += Row(id, g, nt, cum)
+                }
+                state.update(cum)
+                out.result().iterator
+              }
+          }
+      }(Encoders.scalaLong, rowEnc)
+  }
+
   /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
     * frontier, in micros (the serialized form of graft.expr.ChainState). */
   final case class ChainFrontier(cands: Seq[Seq[Long]])

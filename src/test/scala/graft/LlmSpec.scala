@@ -2199,6 +2199,82 @@ class LlmSpec extends GraftSuite {
     assert(t2 === t1)
   }
 
+  test("minhashJoinIndexed over a persisted bucketed index: value-identical to minhashJoin, index side never reshuffles") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evens = docs.where(sc("doc_id") % 2 === 0)
+    val odds = docs.where(sc("doc_id") % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = pairs(graft.llm.Dedup.minhashJoin(
+      evens, "doc_id", "text", odds, "doc_id", "text"))
+    // build + persist the index (the once-per-snapshot ingest step)
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(odds, "doc_id", "text"),
+      "mh_idx_spec", "/tmp/graft_minhash_idx/spec", "__bkey__", 4)
+    try {
+      val joined = graft.llm.Dedup.minhashJoinIndexed(
+        evens, "doc_id", "text", s.table("mh_idx_spec"))
+      assert(pairs(joined) === direct)
+      assert(direct.nonEmpty) // the fixture actually contains near-dups
+      // plan shape: with broadcast off, the bucketed index scan feeds the
+      // band join WITHOUT a ShuffleExchange above it — only the new slice
+      // pays a shuffle (the production claim: index-side cost at query
+      // time is a scan, however big the corpus grows)
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def hasScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec => f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_minhash_idx/spec"))
+          case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+          case w: WholeStageCodegenExec => hasScan(w.child)
+          case other => other.children.exists(hasScan)
+        }
+        def hasJoin(p: SparkPlan): Boolean = p match {
+          case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+          case w: WholeStageCodegenExec => hasJoin(w.child)
+          case other => other.nodeName.contains("Join") ||
+            other.children.exists(hasJoin)
+        }
+        // offending = a shuffle BETWEEN the index scan and the band join
+        // (post-join shuffles — the distinct — are expected and re-shuffle
+        // only the already-shrunk candidate pairs, not the index)
+        def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+          case sh: ShuffleExchangeExec =>
+            (hasScan(sh.child) && !hasJoin(sh.child)) ||
+              hasShuffleAbove(sh.child)
+          case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+          case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+          case other => other.children.exists(hasShuffleAbove)
+        }
+        val plan = graft.llm.Dedup.minhashJoinIndexed(
+            evens, "doc_id", "text", s.table("mh_idx_spec"))
+          .queryExecution.executedPlan
+        assert(hasScan(plan), "expected the bucketed index scan in the plan")
+        assert(!hasShuffleAbove(plan),
+          s"index side re-shuffled — bucketed layout not riding free:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally s.sql("DROP TABLE IF EXISTS mh_idx_spec")
+  }
+
+  test("autoBits: exact integer ceil-log2 with clamping") {
+    import graft.llm.Embeddings.autoBits
+    // smallest b with 2^b >= ceil(n / target), clamped to [min, max]
+    assert(autoBits(0, 50) === 4) // empty corpus -> minBits
+    assert(autoBits(50, 50) === 4) // q = 1 -> minBits
+    assert(autoBits(500, 50) === 4) // q = 10 -> 4 (2^4 = 16 >= 10)
+    assert(autoBits(800, 50) === 4) // q = 16 -> exactly 4 (power of two)
+    assert(autoBits(801, 50) === 5) // q = 17 -> 5
+    assert(autoBits(2000, 50) === 6) // q = 40 -> 6
+    assert(autoBits(20000, 50) === 9) // 10x -> +3.3 bits, buckets stay flat
+    assert(autoBits(1L << 40, 1) === 24) // clamped at maxBits
+    assert(autoBits(1L << 40, 1, maxBits = 30) === 30)
+  }
+
   test("unigram emRefit matches a plain-Scala hard-EM re-derivation") {
     val s = spark
     import s.implicits._

@@ -105,6 +105,51 @@ class StreamingSpec extends GraftSuite {
     assert(streamed === batch)
   }
 
+  test("streaming token budget: cross-batch running sums, closed groups stay closed") {
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream[(Long, String, String)](s)
+    // 4-token docs; quota(en) = floor(0.5*40+0.5) = 20 tokens (5 docs),
+    // quota(fr) = floor(0.25*40+0.5) = 10 tokens (2 docs); 'de' unweighted
+    val admitted = Streams.streamingTokenBudget(
+      ms.toDF.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text",
+      Map("en" -> 0.5, "fr" -> 0.25), budget = 40L)
+    val q = admitted.writeStream.format("memory").queryName("tokbud_out")
+      .outputMode("append").start()
+    try {
+      val txt = "one two three four"
+      // batch 1: 3 en docs (12 tokens, all admit), 3 fr (only 2 admit), 2 de (none)
+      ms.addData((0L until 3L).map(i => (i, "en", txt)) ++
+        (100L until 103L).map(i => (i, "fr", txt)) ++
+        (200L until 202L).map(i => (i, "de", txt)): _*)
+      q.processAllAvailable()
+      // batch 2: 4 more en docs — cum 12 → only 2 admit (20-token quota);
+      // 1 more fr — fr cum is already 12 > 10: group closed
+      ms.addData((10L until 14L).map(i => (i, "en", txt)) ++
+        Seq((110L, "fr", txt)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, lang, n_tokens, cum_tokens FROM tokbud_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(byLang === Map("en" -> 5, "fr" -> 2))
+      assert(rows.filter(_._2 == "en").map(_._4).sorted.toSeq ===
+        Seq(4L, 8L, 12L, 16L, 20L)) // exact running sums across batches
+      assert(rows.count(r => r._1 >= 10L && r._1 < 14L) === 2) // batch 2 admits
+      // single-batch backfill ≡ the batch operator, rows and cums included
+      val d = ((0L until 20L).map(i => (i, "en", txt)) ++
+        (100L until 120L).map(i => (i, "fr", txt))).toDF("doc_id", "lang", "text")
+      val wts = Seq(("en", 0.5), ("fr", 0.25)).toDF("lang", "weight")
+      val batch = graft.llm.TextOps.tokenBudgetFill(
+          d, "doc_id", "lang", "text", wts, budget = 40L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val backfill = Streams.streamingTokenBudget(
+          d, "doc_id", "lang", "text", Map("en" -> 0.5, "fr" -> 0.25), 40L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(backfill === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateless gates compose with streaming dedup into a cleaning pipeline") {
     val s = spark
     import s.implicits._
