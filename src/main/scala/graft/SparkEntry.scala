@@ -1697,8 +1697,10 @@ object SparkEntry {
             F.when(F.col("doc_id") % 7 === 0, F.lit("user@")).otherwise(F.lit("")),
             F.lit("www."), F.col("source"), F.lit("."),
             F.element_at(
-              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io")),
-              (F.col("doc_id") % 4 + 1).cast("int")),
+              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io"),
+                F.lit("gov.uk"), F.lit("co.jp"), F.lit("github.io"),
+                F.lit("ck")),
+              (F.col("doc_id") % 8 + 1).cast("int")),
             F.when(F.col("doc_id") % 5 === 0, F.lit(":8443")).otherwise(F.lit("")),
             F.lit("/d/"), F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 3 === 0,
@@ -4243,12 +4245,13 @@ object SparkEntry {
          GROUP BY b.doc_id ORDER BY doc_id""",
 
     "q_url_parse" ->
-      """WITH u AS (
+      s"""WITH u AS (
            SELECT doc_id,
              'https://' ||
              CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||
              'www.' || source || '.' ||
-             (['com','co.uk','org','io'])[CAST(doc_id % 4 + 1 AS INT)] ||
+             (['com','co.uk','org','io','gov.uk','co.jp','github.io','ck'])
+               [CAST(doc_id % 8 + 1 AS INT)] ||
              CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
              '/d/' || CAST(doc_id AS VARCHAR) ||
              CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END AS url
@@ -4268,11 +4271,7 @@ object SparkEntry {
                   len(string_split(host, '.')) AS k
            FROM p)
          SELECT doc_id, url, scheme, host, path,
-           CASE WHEN k >= 3 AND array_to_string(ls[k-1:k], '.') IN
-                  ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in')
-                THEN array_to_string(ls[k-2:k], '.')
-                WHEN k >= 2 THEN array_to_string(ls[k-1:k], '.')
-                ELSE host END AS domain
+           $PslDomainSql AS domain
          FROM d ORDER BY doc_id""",
 
     "q_domain_cap" ->
@@ -6207,6 +6206,24 @@ object SparkEntry {
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   private val BktSql: String =
     "list_reduce(list_transform(range(1, 5), d -> CASE WHEN CAST(embedding[d] AS DOUBLE) >= 0 THEN (1 << (d - 1)) ELSE 0 END), (x, y) -> x + y)"
+
+  /** Registrable-domain CASE, GENERATED from TextOps' PSL snapshot lists
+    * (single source of truth — query and oracle cannot desynchronize).
+    * Expects `ls` (label list), `k` (label count), `host` in scope. */
+  private val PslDomainSql: String = {
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+    s"""CASE
+         WHEN k >= 4 AND array_to_string(ls[k-2:k], '.') IN ${inList(graft.llm.TextOps.PslSuffix3)}
+              THEN array_to_string(ls[k-3:k], '.')
+         WHEN k >= 2 AND array_to_string(ls[k-1:k], '.') IN ${inList(graft.llm.TextOps.PslException2)}
+              THEN array_to_string(ls[k-1:k], '.')
+         WHEN k >= 3 AND ls[k] IN ${inList(graft.llm.TextOps.PslWildcard1)}
+              THEN array_to_string(ls[k-2:k], '.')
+         WHEN k >= 3 AND array_to_string(ls[k-1:k], '.') IN ${inList(graft.llm.TextOps.PslSuffix2)}
+              THEN array_to_string(ls[k-2:k], '.')
+         WHEN k >= 2 THEN array_to_string(ls[k-1:k], '.')
+         ELSE host END"""
+  }
 
   /** Auto-bits twin of [[BktSql]]: bucket width from the 1-row `nb` CTE
     * (must be cross-joined in scope) instead of a hardcoded 4. */

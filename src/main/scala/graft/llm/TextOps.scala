@@ -701,14 +701,22 @@ object TextOps {
     * and port stripped), path, and REGISTRABLE DOMAIN (the per-site key
     * that domain blocklists, per-site caps, and URL dedup all group on;
     * plain host grouping splits `a.example.com` from `b.example.com`).
-    * The registrable domain is the host's last two labels, widened to
-    * three when the two-label tail is a multi-label public suffix (the
-    * common ccTLD second-level registries — a full public-suffix-list
-    * deployment swaps the literal set for the PSL snapshot, same
-    * expression shape). Pure codegen'd regexp/split chain in the
-    * Java-regex/RE2 common subset (non-capturing groups only — no
-    * lookaround/backrefs), so the DuckDB oracle replays it
-    * byte-identically. Per-row, zero shuffle. */
+    * The registrable domain follows the PUBLIC SUFFIX LIST algorithm
+    * (publicsuffix.org — public data): among the rules matching the
+    * host's tail, an exception rule prevails, else the longest; the
+    * registrable domain is the prevailing suffix plus one label.
+    * [[PslSuffix2]]/[[PslSuffix3]]/[[PslWildcard1]]/[[PslException2]]
+    * hold the frozen snapshot (ICANN second-level registries + the
+    * high-traffic private-domain entries like `github.io`); a
+    * production deployment regenerates the four lists from the live
+    * PSL file — the expression shape is unchanged. One documented
+    * deviation: a host that IS a public suffix returns itself (PSL says
+    * "no registrable domain"; curation wants a non-null grouping key).
+    * Pure codegen'd regexp/split chain in the Java-regex/RE2 common
+    * subset (non-capturing groups only — no lookaround/backrefs), so
+    * the DuckDB oracle replays it byte-identically (the CASE is
+    * GENERATED from these same lists — they cannot desynchronize).
+    * Per-row, zero shuffle. */
   def urlParts(url: Column): Column = {
     val scheme = regexp_extract(url, "^([a-z][a-z0-9+.-]*)://", 1)
     val auth = regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
@@ -716,16 +724,73 @@ object TextOps {
     val path = regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val labels = split(host, "\\.")
     val k = size(labels)
+    val last1 = element_at(labels, -1)
     val two = concat_ws(".", slice(labels, k - 1, lit(2)))
     val three = concat_ws(".", slice(labels, k - 2, lit(3)))
-    val multiSuffix = two.isin(
-      "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
-    val domain = when(k >= 3 && multiSuffix, three)
-      .when(k >= 2, two)
-      .otherwise(host)
+    val four = concat_ws(".", slice(labels, k - 3, lit(4)))
+    val domain =
+      when(k >= 4 && three.isin(PslSuffix3: _*), four)
+        .when(k >= 2 && two.isin(PslException2: _*), two) // !rule: itself
+        .when(k >= 3 && last1.isin(PslWildcard1: _*), three) // *.tld
+        .when(k >= 3 && two.isin(PslSuffix2: _*), three)
+        .when(k >= 2, two)
+        .otherwise(host)
     struct(scheme.as("scheme"), host.as("host"), path.as("path"),
       domain.as("domain"))
   }
+
+  /** Public-suffix-list snapshot (publicsuffix.org, PUBLIC data), the
+    * four rule classes [[urlParts]] consults. Two-label public suffixes:
+    * ICANN ccTLD second-level registries plus the widely-used PRIVATE
+    * section entries (user-content platforms — each user site is its
+    * own "registrable" unit for curation purposes, which is exactly why
+    * the platforms registered them). */
+  private[graft] val PslSuffix2: Seq[String] = Seq(
+    // ICANN ccTLD second-level registries
+    "co.uk", "org.uk", "me.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "nhs.uk", "ltd.uk", "plc.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "maori.nz",
+    "co.za", "org.za", "net.za", "web.za", "ac.za", "gov.za", "edu.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "pol.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.id", "or.id", "net.id", "ac.id", "go.id", "sch.id", "web.id",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua",
+    // PRIVATE section: user-content platforms
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "pages.dev",
+    "workers.dev", "azurewebsites.net", "cloudfront.net",
+    "firebaseapp.com", "web.app", "glitch.me", "onrender.com",
+    "fly.dev", "surge.sh", "neocities.org", "wordpress.com")
+
+  /** Three-label public suffixes (PRIVATE section entries). */
+  private[graft] val PslSuffix3: Seq[String] = Seq(
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+    "s3.amazonaws.com")
+
+  /** Wildcard rules `*.tld`: EVERY two-label tail under these TLDs is a
+    * public suffix. */
+  private[graft] val PslWildcard1: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "mm", "np", "pg")
+
+  /** Exception rules (`!` in the PSL): registrable DESPITE a wildcard. */
+  private[graft] val PslException2: Seq[String] = Seq("www.ck")
 
   /** Per-domain document cap — the Common Crawl curation step that stops
     * a handful of template-heavy sites from dominating a corpus: keep at

@@ -242,6 +242,24 @@ class LlmSpec extends GraftSuite {
     assert(out(1) === (("http", "example.com", "/", "example.com")))
     assert(out(2) === (("https", "localhost", "", "localhost")))
     assert(out(3) === (("https", "a.b.example.org", "", "example.org")))
+    // PSL snapshot cases the old 2-3-label heuristic got wrong
+    val psl = Seq(
+      "https://foo.gov.uk/x",          // ICANN 2-label suffix
+      "https://foo.co.jp/",            // ICANN 2-label suffix
+      "https://alice.github.io/blog",  // PRIVATE platform suffix
+      "https://www.alice.github.io/",  // one deeper: same site key
+      "https://photos.blogspot.co.uk", // PRIVATE 3-label suffix
+      "https://a.b.s3.amazonaws.com",  // PRIVATE 3-label suffix, deeper
+      "https://shop.anything.bd/",     // wildcard *.bd
+      "https://www.ck/",               // exception !www.ck
+      "https://x.www.ck/",             // exception beats the wildcard
+    ).toDF("url")
+      .select(TextOps.urlParts(sc("url")).getField("domain"))
+      .collect().map(_.getString(0))
+    assert(psl.toSeq === Seq(
+      "foo.gov.uk", "foo.co.jp", "alice.github.io", "alice.github.io",
+      "photos.blogspot.co.uk", "b.s3.amazonaws.com",
+      "shop.anything.bd", "www.ck", "www.ck"))
   }
 
   test("domainCap keeps at most cap per domain, deterministically") {
