@@ -2576,6 +2576,32 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- PROGRESSIVE JPEG decode (SOF2: spectral selection + successive
+    //     approximation, DC first/refine + pooled AC EOB runs): same
+    //     block-constant closed form as q_multimodal_jpeg but the
+    //     bitstream is genuinely progressive, so only a correct
+    //     multi-scan coefficient-accumulation decode reproduces it —
+    //     the oracle is shared by reference ---
+    "q_multimodal_jpeg_prog" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 12).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map(r => Row(r.getLong(0),
+              graft.llm.Jpeg.fixtureProgressive(r.getLong(0))))
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.decodePixels(withPayload, "payload")
+            .select(F.col("doc_id"),
+              F.lit(0).cast("int").as("channel"), F.col("px.n_px").as("n_px"),
+              F.element_at(F.col("px.sums"), 1).as("sum_v"),
+              F.element_at(F.col("px.mins"), 1).as("min_v"),
+              F.element_at(F.col("px.maxs"), 1).as("max_v"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -5781,6 +5807,7 @@ object SparkEntry {
         baseOracleSql("q_unigram_vocab").replaceFirst("WITH ", "WITH " + UniDocsCte)) +
       ("q_dedup_incremental" -> baseOracleSql("q_dedup_cross")) +
       ("q_stream_token_budget" -> baseOracleSql("q_token_budget")) +
+      ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
       ("q_stream_domain_cap" -> baseOracleSql("q_domain_cap"))
 
   /** WordPiece training replay: `iters` unrolled merge iterations. Each

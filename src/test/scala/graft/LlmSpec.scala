@@ -1743,6 +1743,76 @@ class LlmSpec extends GraftSuite {
     assert(graft.llm.Jpeg.decodePixels(null) === null)
   }
 
+  test("multimodal JPEG: progressive fixtures decode bit-identically to baseline") {
+    // same closed-form image through SOF2 (DC first Al=1 → DC refine →
+    // AC band with pooled EOB runs) must give the same stats row as the
+    // baseline encoding — multi-scan coefficient accumulation is exact
+    for (id <- 0L until 12L) {
+      val base = graft.llm.Jpeg.decodePixels(graft.llm.Jpeg.fixture(id))
+      val prog = graft.llm.Jpeg.decodePixels(graft.llm.Jpeg.fixtureProgressive(id))
+      assert(prog !== null, s"progressive decode returned null for id=$id")
+      assert(prog === base, s"progressive != baseline stats for id=$id")
+    }
+    // truncation honesty: cutting the progressive stream anywhere must
+    // never fabricate a row (null or a decode of the complete prefix —
+    // but our decoder requires EOI, so cuts give null)
+    val bytes = graft.llm.Jpeg.fixtureProgressive(3L)
+    for (cut <- Seq(2, 30, bytes.length / 2, bytes.length - 3))
+      graft.llm.Jpeg.decodePixels(bytes.take(cut)) // must not throw
+  }
+
+  test("multimodal JPEG: progressive interop with the JDK codec when present") {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    assume(readers.hasNext, "no ImageIO JPEG plugin in this JVM")
+    // (a) their decoder reads OUR progressive bytes exactly (DC-only)
+    val bytes = graft.llm.Jpeg.fixtureProgressive(5L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected our progressive output")
+    var maxDelta = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      def v(bx: Int, by: Int): Int = (((5L * bx + 9L * by + 7L * 5L) % 200L) + 28L).toInt
+      maxDelta = math.max(maxDelta,
+        math.abs(img.getRaster.getSample(x, y, 0) - v(x / 8, y / 8)))
+    }
+    assert(maxDelta <= 1, s"libjpeg disagrees on our progressive by $maxDelta > 1")
+
+    // (b) OUR decoder reads a JDK-written progressive file (libjpeg's
+    // default scan script: DC + split AC bands + SUCCESSIVE-APPROXIMATION
+    // REFINEMENT scans — the full G.2 decode surface) within the usual
+    // integer-IDCT wobble
+    val src = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      src.getRaster.setSample(x, y, 0, (x * 9 + y * 5) % 256)
+    val ios = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val mos = javax.imageio.ImageIO.createImageOutputStream(ios)
+    writer.setOutput(mos)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    writer.dispose(); mos.close()
+    val theirBytes = ios.toByteArray
+    // it really is progressive: SOF2 marker present
+    assert((0 until theirBytes.length - 1).exists(i =>
+      (theirBytes(i) & 0xff) == 0xff && (theirBytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not emit SOF2 — test would prove nothing")
+    val mine = graft.llm.Jpeg.decodePixels(theirBytes)
+    assert(mine != null, "our decoder rejected a libjpeg progressive file")
+    val theirImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(theirBytes))
+    var sumTheirs = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val v = theirImg.getRaster.getSample(x, y, 0).toLong
+      sumTheirs += v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    assert(math.abs(mine.getSeq[Long](4)(0) - sumTheirs) <= 24 * 16,
+      "progressive decoders disagree beyond integer-IDCT wobble")
+    assert(math.abs(mine.getSeq[Long](5)(0) - mn) <= 1)
+    assert(math.abs(mine.getSeq[Long](6)(0) - mx) <= 1)
+  }
+
   test("multimodal JPEG: interoperates with the JDK's own codec when present") {
     // Our encoder's output must be REAL standard JPEG, and our decoder
     // must read third-party baseline files (libjpeg quant/Huffman tables,
