@@ -1618,6 +1618,22 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- interpolated Kneser–Ney WORD-bigram LM perplexity (Kneser &
+    //     Ney 1995; Chen & Goodman 1998; the KenLM smoothing CCNet
+    //     scores with): trained on the doc_id%4=0 trusted slice, scoring
+    //     every doc; the P formula is ONE shared SQL string on both
+    //     engines (bit-identical IEEE order), per-bigram integer
+    //     micro-bits, 30-bit OOV penalty ---
+    "q_lm_kn" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.knBigramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -4154,6 +4170,55 @@ object SparkEntry {
                      ELSE round(-(sc.sm) / CAST(length(n2.t) - 1 AS DOUBLE) + 0.0, 6)
                 END AS bits
          FROM norm n2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+
+    // Interpolated-KN word-bigram replay: training tables from the
+    // doc_id%4=0 slice's bigram counts, the SHARED KnPSql/KnTermSql
+    // literals (same IEEE op order as the Spark lowering), integer
+    // micro-bit terms, short docs re-emitted (0, 0.0).
+    "q_lm_kn" ->
+      (s"""WITH ktx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
+             '\\s+') AS t
+           FROM documents),
+         kb AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+           FROM ktx WHERE len(t) >= 2 AND t[1] <> ''),
+         ktb AS MATERIALIZED (
+           SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM kb
+           WHERE doc_id % 4 = 0 GROUP BY 1),
+         kuni AS (
+           SELECT string_split(bg, ' ')[1] AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1fw
+           FROM ktb GROUP BY 1),
+         kcont AS (
+           SELECT string_split(bg, ' ')[2] AS w2,
+                  CAST(count(*) AS BIGINT) AS n1bw
+           FROM ktb GROUP BY 1),
+         kn12 AS (SELECT CAST(count(*) AS BIGINT) AS n12 FROM ktb),
+         kjoin AS (
+           SELECT b.doc_id, tb.c12, u.c1, u.n1fw, co.n1bw, n.n12
+           FROM kb b
+           LEFT JOIN ktb tb USING (bg)
+           LEFT JOIN kuni u ON u.w1 = string_split(b.bg, ' ')[1]
+           LEFT JOIN kcont co ON co.w2 = string_split(b.bg, ' ')[2]
+           CROSS JOIN kn12 n),
+         kp AS (SELECT doc_id, ${graft.llm.LangModel.KnPSql} AS p FROM kjoin),
+         kterm AS (SELECT doc_id, ${graft.llm.LangModel.KnTermSql} AS mb FROM kp),
+         kagg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(mb) AS BIGINT) AS s
+           FROM kterm GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(a.n_bigrams, 0) AS n_bigrams,
+                coalesce(round(CAST(a.s AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+                               / 1000000.0, 6),
+                         CAST(0 AS DOUBLE)) AS bits_per_bigram
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN kagg a USING (doc_id)
+         ORDER BY doc_id"""),
 
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so

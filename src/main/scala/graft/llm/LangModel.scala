@@ -85,6 +85,108 @@ object LangModel {
   def bitsPerChar(textCol: Column, model: Array[Double]): Column =
     call_function("lm_bits", normText(textCol), lit(BigramLm.encode(model)))
 
+  /** The shared interpolated-KN probability formula — ONE string, used
+    * verbatim by the Spark lowering AND the DuckDB oracle so the IEEE
+    * operation order (and therefore every compound-rounded double) is
+    * literally identical on both engines. Expects columns c12 (bigram
+    * count, NULL if unseen), c1/n1fw (left-word count / distinct
+    * continuations, NULL if w1 unseen), n1bw (distinct left contexts of
+    * w2, NULL if w2 unseen), n12 (total distinct bigrams). D = 0.75
+    * fixed; c12 ≥ 1 makes max(c12−D, 0) redundant. */
+  private[graft] val KnPSql: String =
+    """CASE
+         WHEN c12 IS NOT NULL THEN
+           ((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE))
+           + ((0.75 * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+             * (coalesce(CAST(n1bw AS DOUBLE), CAST(0 AS DOUBLE))
+                / CAST(n12 AS DOUBLE))
+         WHEN c1 IS NOT NULL THEN
+           ((0.75 * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+             * (coalesce(CAST(n1bw AS DOUBLE), CAST(0 AS DOUBLE))
+                / CAST(n12 AS DOUBLE))
+         ELSE coalesce(CAST(n1bw AS DOUBLE), CAST(0 AS DOUBLE))
+              / CAST(n12 AS DOUBLE)
+       END"""
+
+  /** Per-bigram integer micro-bits: −log₂(p)·1e6 rounded, with the
+    * deterministic 30-bit OOV penalty when the continuation mass is zero
+    * (unseen w2). Same literal on both engines. */
+  private[graft] val KnTermSql: String =
+    """CASE WHEN p <= 0 THEN 30000000
+       ELSE CAST(round((-log2(p)) * 1000000) AS BIGINT) END"""
+
+  /** Interpolated Kneser–Ney word-bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form, fixed discount D = 0.75) —
+    * the WORD-level LM quality scorer the CCNet pipeline actually runs
+    * (KenLM is KN-smoothed), next to the dense char-bigram model above:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁)
+    *            + (D·N1+(w₁•)/c(w₁)) · N1+(•w₂)/N1+(••)
+    *
+    * with the continuation distribution N1+(•w₂)/N1+(••) as the unigram
+    * base (the "how many contexts" estimate that makes KN beat raw
+    * counts). Unseen w₁ backs off entirely to the continuation
+    * distribution; an unseen w₂ takes a flat 30-bit OOV penalty.
+    * Tokenization = the shared Unicode tokenizer norm
+    * ([[TextOps.letterWords]]).
+    *
+    * Determinism: every count is an exact integer; P is the SAME IEEE
+    * double expression on both engines ([[KnPSql]], literally identical
+    * operation order); each bigram's −log₂ rounds to INTEGER micro-bits
+    * before the per-doc sum (order-free under any shuffle; the ~1ulp
+    * cross-engine log2 divergence is absorbed, the q_lm_perplexity
+    * precedent); one final 6-dp division.
+    *
+    * Scale anatomy: training is ONE map-side-combined bigram-count
+    * aggregate over the trusted slice (the unigram/continuation tables
+    * DERIVE from the Heaps-bounded bigram table — no second corpus
+    * pass); scoring explodes doc bigrams once and LEFT-joins the three
+    * model tables (vocabulary-bounded — AQE broadcasts them) plus a
+    * 1-row total attach, then one per-doc aggregate. Short docs
+    * (< 2 words) re-emit as (0, 0.0) through a thin left join.
+    * Output: (idCol, n_bigrams, bits_per_bigram). */
+  def knBigramScore(
+      docs: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = df
+      .withColumn("__toks__", TextOps.letterWords(textCol))
+      .where(size(col("__toks__")) >= 2 &&
+        element_at(col("__toks__"), 1) =!= "")
+      .select(cols :+ explode(TextOps.wordShingles("__toks__", 2)).as("bg"): _*)
+    val tb = scope.cache(bigramsOf(train)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+    val uni = tb
+      .groupBy(expr("split(bg, ' ')[0]").as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val cont = tb
+      .groupBy(expr("split(bg, ' ')[1]").as("w2"))
+      .agg(count(lit(1)).as("n1bw"))
+    val tot = tb.agg(count(lit(1)).as("n12"))
+    val scored = bigramsOf(docs, col(idCol))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .join(tb, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot)) // 1-row model parameter attach
+      .withColumn("p", expr(KnPSql))
+      .withColumn("__mb__", expr(KnTermSql))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__mb__")).as("__s__"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s__").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0), 6).as("bits_per_bigram"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
+  }
+
   /** Interpreted HOF formulation of [[bitsPerChar]] over an inline
     * map<bigram,double> literal — the cross-engine semantic definition
     * the LangModelSpec pins the native against (the same native≡HOF

@@ -2500,6 +2500,75 @@ class LlmSpec extends GraftSuite {
     assert(r2got.nonEmpty)
   }
 
+  test("knBigramScore matches a plain-Scala Kneser–Ney re-derivation") {
+    val s = spark
+    import s.implicits._
+    def words(text: String): Seq[String] =
+      java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+        .toLowerCase.replaceAll("[^\\p{L}]+", " ").trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+    def scalaKn(corpus: Seq[(Long, String)], trainPred: Long => Boolean)
+        : Seq[(Long, Long, Double)] = {
+      def bigrams(t: String): Seq[(String, String)] = {
+        val w = words(t)
+        if (w.length < 2) Seq.empty else w.zip(w.tail)
+      }
+      val tb = corpus.filter(d => trainPred(d._1)).flatMap(d => bigrams(d._2))
+        .groupBy(identity).map { case (bg, g) => bg -> g.size.toLong }
+      val c1 = tb.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+      val n1fw = tb.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size.toLong }
+      val n1bw = tb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+      val n12 = tb.size.toLong
+      def term(bg: (String, String)): Long = {
+        val contNum = n1bw.get(bg._2).map(_.toDouble).getOrElse(0.0)
+        val p = (tb.get(bg), c1.get(bg._1)) match {
+          case (Some(c12), Some(c)) =>
+            ((c12.toDouble - 0.75) / c.toDouble) +
+              ((0.75 * n1fw(bg._1).toDouble) / c.toDouble) *
+                (contNum / n12.toDouble)
+          case (None, Some(c)) =>
+            ((0.75 * n1fw(bg._1).toDouble) / c.toDouble) *
+              (contNum / n12.toDouble)
+          case _ => contNum / n12.toDouble
+        }
+        if (p <= 0) 30000000L
+        else BigDecimal(-(StrictMath.log(p) / StrictMath.log(2.0)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      corpus.map { case (id, t) =>
+        val bgs = bigrams(t)
+        if (bgs.isEmpty) (id, 0L, 0.0)
+        else {
+          val sum = bgs.map(term).sum
+          (id, bgs.size.toLong,
+            BigDecimal(sum.toDouble / bgs.size.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy(_._1)
+    }
+    // adversarial fixture: repeats (KN discount visible), unseen w2 (OOV
+    // penalty), unseen w1 (continuation backoff), short docs (re-emit)
+    val fixture = Seq(
+      (0L, "the cat sat on the mat the cat ran"),
+      (1L, "a cat sat"), (2L, "the dog sat on a log"),
+      (3L, "zq zq unseenword the"), (4L, "one"), (5L, ""),
+      (6L, "numbers 123 split words here"))
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("doc_id"), sc("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for ((data, pred) <- Seq(
+        (fixture, (id: Long) => id <= 2L),
+        (corpus, (id: Long) => id % 4 == 0L))) {
+      val df = data.toDF("doc_id", "text")
+      val got = graft.llm.LangModel.knBigramScore(
+          df, df.where(sc("doc_id").isin(data.map(_._1).filter(pred): _*)),
+          "doc_id", "text")
+        .orderBy(sc("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === scalaKn(data, pred))
+    }
+  }
+
   test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
     val s = spark
     import s.implicits._
