@@ -1618,6 +1618,33 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- jusText-style boilerplate LINE stripping (Pomikálek 2011's
+    //     context-free length + stopword-density rules, INTEGER density
+    //     compare): multi-line docs built from the corpus on both
+    //     engines; the cleaned text gates through its md5 ---
+    "q_boilerplate" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val doc = F.concat_ws("\n",
+            F.lit("Home | About | Contact Us"),
+            F.expr("substring(text, 1, 180)"),
+            F.lit("Buy now"),
+            F.expr("substring(text, 181, 60)"),
+            F.lit("Copyright 2024 All rights reserved"))
+          val stops = graft.llm.TextOps.LangProfiles.flatMap(_._2).distinct
+          df.select(F.col("doc_id"), doc.as("__doc__"))
+            .select(F.col("doc_id"),
+              graft.llm.TextOps.boilerplateLines("__doc__", stops).as("b"))
+            .select(F.col("doc_id"),
+              F.col("b.n_lines").as("n_lines"),
+              F.col("b.n_content").as("n_content"),
+              F.col("b.boilerplate_frac").as("boilerplate_frac"),
+              F.md5(F.col("b.clean").cast("binary")).as("clean_md5"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- interpolated Kneser–Ney WORD-bigram LM perplexity (Kneser &
     //     Ney 1995; Chen & Goodman 1998; the KenLM smoothing CCNet
     //     scores with): trained on the doc_id%4=0 trusted slice, scoring
@@ -4170,6 +4197,43 @@ object SparkEntry {
                      ELSE round(-(sc.sm) / CAST(length(n2.t) - 1 AS DOUBLE) + 0.0, 6)
                 END AS bits
          FROM norm n2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+
+    // jusText-lite replay: same synthesized multi-line doc, same
+    // integer density predicate (stopword list generated from
+    // TextOps.LangProfiles — single source of truth).
+    "q_boilerplate" -> {
+      val stopsIn = graft.llm.TextOps.LangProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(", ")
+      def toks(ln: String) =
+        s"list_filter(regexp_split_to_array(lower(trim($ln)), '\\s+'), t -> t <> '')"
+      val pred =
+        s"""len(${toks("ln")}) >= 6 AND (
+              100 * len(list_filter(${toks("ln")}, t2 -> t2 IN ($stopsIn)))
+                >= 20 * len(${toks("ln")})
+              OR length(trim(ln)) >= 80)"""
+      s"""WITH bl AS (
+           SELECT doc_id,
+             'Home | About | Contact Us' || chr(10) ||
+             substr(text, 1, 180) || chr(10) ||
+             'Buy now' || chr(10) ||
+             substr(text, 181, 60) || chr(10) ||
+             'Copyright 2024 All rights reserved' AS doc
+           FROM documents),
+         ls AS (SELECT doc_id, string_split(doc, chr(10)) AS lines FROM bl),
+         cl AS (SELECT doc_id, lines,
+                       list_filter(lines, ln -> $pred) AS content
+                FROM ls)
+         SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(content) AS BIGINT) AS n_content,
+                round(CAST(1 AS DOUBLE)
+                      - CAST(len(content) AS DOUBLE)
+                        / CAST(len(lines) AS DOUBLE), 6) AS boilerplate_frac,
+                -- DuckDB array_to_string(NULL-ish empty) can yield NULL;
+                -- Spark array_join of an empty array is '' — align
+                md5(coalesce(array_to_string(content, chr(10)), '')) AS clean_md5
+         FROM cl ORDER BY doc_id"""
+    },
 
     // Interpolated-KN word-bigram replay: training tables from the
     // doc_id%4=0 slice's bigram counts, the SHARED KnPSql/KnTermSql

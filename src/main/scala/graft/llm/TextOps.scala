@@ -1078,6 +1078,51 @@ object TextOps {
   /** Tiny per-language function-word profiles for the n-gram/stopword
     * language-ID heuristic. Deliberately small: language ID at 100 TB must
     * be a closed-form expression, not a model inference. */
+  /** jusText-style boilerplate LINE classification (Pomikálek 2011's
+    * context-free core — the length + stopword-density rules; the link-
+    * density rule needs markup and belongs upstream of [[stripHtml]]):
+    * a line is CONTENT iff it has ≥ `minWords` tokens AND (its stopword
+    * density clears `minStopPct` percent OR the line is ≥
+    * `longLineChars` chars — the long-line escape for prose with
+    * unusual vocabulary); everything else (nav bars, footers, button
+    * labels, copyright lines) is boilerplate. Returns a struct
+    * (`clean` = content lines joined by newline, `n_lines`,
+    * `n_content`, `boilerplate_frac` 6-dp).
+    *
+    * Determinism: the density test is pure INTEGER arithmetic
+    * (100·stops ≥ pct·words — no float ratio to disagree about); the
+    * one division (boilerplate fraction) is a single correctly-rounded
+    * IEEE op both engines state identically. Per-row HOF chain, zero
+    * shuffle — scales with the scan like the other curation gates.
+    * Empty text is one empty line → boilerplate_frac 1.0 (documented:
+    * empty docs have no content). */
+  def boilerplateLines(
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 6,
+      minStopPct: Int = 20,
+      longLineChars: Int = 80): Column = {
+    require(stopwords.nonEmpty && minWords >= 1 && minStopPct >= 0 &&
+      longLineChars >= 1, "bad knobs")
+    val stopLit = s"array(${sqlStringList(stopwords)})"
+    def toks(ln: String) = s"filter(split(lower(trim($ln)), '\\\\s+'), t -> t <> '')"
+    val pred =
+      s"""size(${toks("ln")}) >= $minWords AND (
+            100 * size(filter(${toks("ln")}, t -> array_contains($stopLit, t)))
+              >= $minStopPct * size(${toks("ln")})
+            OR length(trim(ln)) >= $longLineChars)"""
+    expr(
+      s"""named_struct(
+            'clean', array_join(filter(split($textCol, '\\n'), ln -> $pred), '\\n'),
+            'n_lines', CAST(size(split($textCol, '\\n')) AS BIGINT),
+            'n_content',
+              CAST(size(filter(split($textCol, '\\n'), ln -> $pred)) AS BIGINT),
+            'boilerplate_frac',
+              round(CAST(1 AS DOUBLE)
+                - CAST(size(filter(split($textCol, '\\n'), ln -> $pred)) AS DOUBLE)
+                  / CAST(size(split($textCol, '\\n')) AS DOUBLE), 6))""")
+  }
+
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
     "de" -> Seq("der", "die", "das", "und", "ist", "zu", "im"),

@@ -2500,6 +2500,44 @@ class LlmSpec extends GraftSuite {
     assert(r2got.nonEmpty)
   }
 
+  test("boilerplateLines: jusText-style length + stopword-density rules") {
+    val s = spark
+    import s.implicits._
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    val doc = Seq(
+      "Home | About | Contact",                                    // 4 toks
+      "the quick brown fox jumps over the lazy dog near the bank", // 12 toks, 3 stops = 25%
+      "buy now click here visit shop today deals sale discount",   // 10 toks, 0 stops, short
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore", // >= 80 chars, 0 stops: long-line escape
+      "",                                                          // empty line
+      "Copyright 2024 All rights reserved").mkString("\n")         // 5 toks
+    val r = Seq(doc).toDF("text")
+      .select(TextOps.boilerplateLines("text", stops).as("b"))
+      .select(sc("b.clean"), sc("b.n_lines"), sc("b.n_content"),
+        sc("b.boilerplate_frac"))
+      .collect()(0)
+    assert(r.getLong(1) === 6L)
+    assert(r.getLong(2) === 2L) // the stopwordy line + the long line
+    assert(r.getString(0) ===
+      "the quick brown fox jumps over the lazy dog near the bank\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore")
+    assert(r.getDouble(3) === 0.666667)
+    // empty text: one empty line, no content, frac 1.0 (documented)
+    val e = Seq("").toDF("text")
+      .select(TextOps.boilerplateLines("text", stops).as("b"))
+      .select(sc("b.n_lines"), sc("b.n_content"), sc("b.boilerplate_frac"))
+      .collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getDouble(2)) === ((1L, 0L, 1.0)))
+    // density boundary is INTEGER-exact: 20% of 10 tokens = 2 stops keeps,
+    // 1 stop drops (100*stops >= 20*words, never a float ratio)
+    val b2 = Seq("the a x x x x x x x x", "the x x x x x x x x x")
+      .toDF("text")
+      .select(TextOps.boilerplateLines("text", stops, minWords = 6,
+        minStopPct = 20, longLineChars = 200).as("b"))
+      .select(sc("b.n_content")).collect().map(_.getLong(0))
+    assert(b2.toSeq === Seq(1L, 0L))
+  }
+
   test("knBigramScore matches a plain-Scala Kneser–Ney re-derivation") {
     val s = spark
     import s.implicits._
