@@ -2645,6 +2645,38 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- perceptual IMAGE near-dup pairs (dHash 9×8 integer box grid →
+    //     byte-band blocking, exact for hamming ≤ 7 → inline popcount
+    //     verify): 24 fixture JPEGs in 8 dim-groups of 3, jittered +0/1/2
+    //     in one block — the oracle replays the hash bit-for-bit from the
+    //     pixel closed form and re-derives the same pairs ---
+    "q_image_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          // 72 = 9·8 and 64 = 8·8: every dHash box is exactly one
+          // constant block, so the hash is a closed form of the block
+          // values and the oracle needs no pixel grid at all
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+                  (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.imageNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -5472,6 +5504,46 @@ object SparkEntry {
                 CAST(min(v) AS BIGINT) AS min_v,
                 CAST(max(v) AS BIGINT) AS max_v
          FROM px GROUP BY 1, 2 ORDER BY 1""",
+
+    // dHash replay: 72×64 makes box = block, so bits compare the CLOSED
+    // FORM block values directly (the cross-multiplied box-sum compare
+    // degenerates to v_l > v_r under equal counts); byte bands,
+    // popcount hamming — all exact integers.
+    "q_image_neardup" ->
+      """WITH ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
+           FROM documents WHERE doc_id < 24),
+         vals AS MATERIALIZED (
+           SELECT i.id, bx.bx, byy.byy,
+                  (((37 + 11 * i.g) * bx.bx + (23 + 7 * i.g) * byy.byy
+                    + 13 * i.g) % 97) + 28
+                    + CASE WHEN bx.bx = 0 AND byy.byy = 0 THEN i.j
+                           ELSE 0 END AS v
+           FROM ii i
+           CROSS JOIN range(0, 9) bx(bx)
+           CROSS JOIN range(0, 8) byy(byy)),
+         bits AS (
+           SELECT l.id, l.byy, l.bx,
+                  CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+           FROM vals l
+           JOIN vals r ON r.id = l.id AND r.byy = l.byy AND r.bx = l.bx + 1
+           WHERE l.bx < 8),
+         bytes AS MATERIALIZED (
+           SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
+           FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM bytes a JOIN bytes b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id""",
 
     // BM25 with k1=1.2, b=0.75 over query bag (spark, window, vector):
     // same tokenization, same per-term tf, same ln-idf, same 6-dp rounding

@@ -487,11 +487,39 @@ object Jpeg {
   def decodePixels(payload: Array[Byte]): Row = {
     if (payload == null || payload.length < 4) return null
     if ((payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return null
-    try decodeOrThrow(payload)
-    catch { case _: Exception => null }
+    try {
+      val (w, h, comps, maxH, maxV) = decodeCore(payload)
+      statsRow(w, h, comps, maxH, maxV)
+    } catch { case _: Exception => null }
   }
 
-  private def decodeOrThrow(data: Array[Byte]): Row = {
+  /** Decode to the GRAYSCALE pixel grid (the Y plane — luma needs no
+    * color convert for YCbCr JPEGs; single-component images are already
+    * gray), cropped to (w, h) row-major — the perceptual-hash input.
+    * Null outside the decode envelope, like [[decodePixels]]. */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (payload == null || payload.length < 4) return null
+    if ((payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return null
+    try {
+      val (w, h, comps, maxH, maxV) = decodeCore(payload)
+      val c = comps(0)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) =
+            c.plane((y * c.vSamp / maxV) * c.planeW + (x * c.hSamp / maxH))
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    } catch { case _: Exception => null }
+  }
+
+  private def decodeCore(
+      data: Array[Byte]): (Int, Int, Array[Component], Int, Int) = {
     def u8(i: Int): Int = data(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
 
@@ -514,8 +542,10 @@ object Jpeg {
         throw new IllegalArgumentException("truncated after fill bytes")
       val m = u8(i + 1)
       if (m == 0xd9) { // EOI: progressive images finish here
-        return if (prog != null) finishProgressive(w, h, comps, quant.toMap, prog)
-        else null // EOI before any scan
+        if (prog == null)
+          throw new IllegalArgumentException("EOI before any scan")
+        finishProgressive(comps, quant.toMap, prog)
+        return (w, h, comps, prog.maxH, prog.maxV)
       }
       // length-less markers (TEM 0x01, stray RSTn 0xD0-0xD7) carry no
       // 2-byte length — reading u16(i+2) would misparse the next marker
@@ -587,8 +617,9 @@ object Jpeg {
           if (!progressive) {
             if (ns != comps.length)
               throw new IllegalArgumentException("partial scan")
-            return scan(data, i + 4 + len - 2, w, h, comps, quant.toMap,
-              dcTables.toMap, acTables.toMap, restartInterval)
+            val (maxH, maxV) = scan(data, i + 4 + len - 2, w, h, comps,
+              quant.toMap, dcTables.toMap, acTables.toMap, restartInterval)
+            return (w, h, comps, maxH, maxV)
           } else {
             val ss = u8(seg + 1 + 2 * ns)
             val se = u8(seg + 2 + 2 * ns)
@@ -822,8 +853,8 @@ object Jpeg {
   /** Dequantize + IDCT every accumulated block into component planes,
     * then the shared crop/upsample/stats tail. */
   private def finishProgressive(
-      w: Int, h: Int, comps: Array[Component],
-      quant: Map[Int, Array[Int]], st: ProgState): Row = {
+      comps: Array[Component],
+      quant: Map[Int, Array[Int]], st: ProgState): Unit = {
     val nat = new Array[Int](64)
     comps.zipWithIndex.foreach { case (c, ci) =>
       c.planeW = st.blocksW(ci) * 8
@@ -856,13 +887,12 @@ object Jpeg {
         by += 1
       }
     }
-    statsRow(w, h, comps, st.maxH, st.maxV)
   }
 
   private def scan(
       data: Array[Byte], start: Int, w: Int, h: Int, comps: Array[Component],
       quant: Map[Int, Array[Int]], dcTables: Map[Int, HuffTable],
-      acTables: Map[Int, HuffTable], restartInterval: Int): Row = {
+      acTables: Map[Int, HuffTable], restartInterval: Int): (Int, Int) = {
     val maxH = comps.map(_.hSamp).max
     val maxV = comps.map(_.vSamp).max
     val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
@@ -942,7 +972,7 @@ object Jpeg {
       my += 1
     }
 
-    statsRow(w, h, comps, maxH, maxV)
+    (maxH, maxV)
   }
 
   /** Crop + upsample + color-convert the decoded component planes into

@@ -169,6 +169,107 @@ object Multimodal {
     } else unknown
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash — the standard perceptual image
+    * fingerprint behind every image-dedup pipeline): grayscale pixels
+    * reduce to a 9×8 grid of integer box sums (floor-boundary boxes),
+    * and bit (x, y) is set iff box (x, y) is brighter than box
+    * (x+1, y). EXACT integer arithmetic end to end — the brightness
+    * compare cross-multiplies sums against counts (avgL > avgR ⟺
+    * sumL·cntR > sumR·cntL), so no division ever happens and a SQL
+    * oracle replays the hash bit-for-bit from a pixel closed form.
+    * Returned as 8 per-row bytes (array<int>), which doubles as the
+    * blocking shape: hamming ≤ 7 guarantees at least one equal byte
+    * (pigeonhole over 8 bands — the simhash byte-band trick, exact, not
+    * probabilistic). Null for undecodable payloads or images smaller
+    * than the 9×8 grid. JPEG (luma = the Y plane, no color convert);
+    * other rasters plug in via the same decodeGray seam. */
+  def dhashBytes(payload: Array[Byte]): Array[Int] = {
+    val g = Jpeg.decodeGray(payload)
+    if (g == null) return null
+    val (w, h, px) = g
+    if (w < 9 || h < 8) return null
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8
+      val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 9) {
+        val x0 = bx * w / 9
+        val x1 = (bx + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(by)(bx) = s
+        cnts(by)(bx) = (y1 - y0).toLong * (x1 - x0)
+        bx += 1
+      }
+      by += 1
+    }
+    Array.tabulate(8) { r =>
+      var b = 0
+      var bx = 0
+      while (bx < 8) {
+        if (sums(r)(bx) * cnts(r)(bx + 1) > sums(r)(bx + 1) * cnts(r)(bx))
+          b |= 1 << bx
+        bx += 1
+      }
+      b
+    }
+  }
+
+  /** dHash frame: (idCol, `dhash` array<int> of 8 band bytes) via one
+    * narrow mapPartitions — payloads never leave their partition. */
+  def dhash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false))))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row(row.get(idIdx), dhashBytes(row.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs — the multimodal sibling of
+    * the text dedup detectors: [[dhash]] every payload, block on the 8
+    * byte bands (EXACT for hamming ≤ 7 by pigeonhole — candidates carry
+    * both hash arrays, so verification is an inline popcount, no join
+    * back), keep pairs with hamming ≤ `maxHamming`. Output
+    * (a_id, b_id, hamming); scale shape = the simhashPairs band
+    * equi-join, never all-pairs. */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    import org.apache.spark.sql.functions._
+    val hashes = scope.cache(dhash(df, idCol, payloadCol)
+      .where(col("dhash").isNotNull))
+    val banded = hashes.select(col(idCol).as("__id__"), col("dhash"),
+      posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band__") === col("b.__band__") &&
+          col("a.__bv__") === col("b.__bv__") &&
+          col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("a_id"), col("b.__id__").as("b_id"),
+        expr("""CAST(aggregate(zip_with(a.dhash, b.dhash,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Per-channel pixel statistics produced by [[decodePixels]] — the
     * output of a REAL decompress-and-unfilter pass over PNG image data
     * (not header sniffing). Arrays are indexed by channel. */

@@ -1743,6 +1743,64 @@ class LlmSpec extends GraftSuite {
     assert(graft.llm.Jpeg.decodePixels(null) === null)
   }
 
+  // 72×64 block-constant fixture: 72 = 9·8 and 64 = 8·8 make every dHash
+  // box exactly ONE constant 8×8 block, so the decode is bit-exact and
+  // the expected hash is a pure closed form of the block values
+  private def dhashFixture(g: Int, jitter: Int): Array[Byte] =
+    graft.llm.Jpeg.encode(72, 64, (x, y) => {
+      val bx = x / 8; val byy = y / 8
+      (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+        (if (bx == 0 && byy == 0) jitter else 0)
+    })
+
+  private def dhashExpected(g: Int, jitter: Int): Seq[Int] = {
+    def v(bx: Int, byy: Int) =
+      (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+        (if (bx == 0 && byy == 0) jitter else 0)
+    (0 until 8).map { byy =>
+      (0 until 8).foldLeft(0) { (b, bx) =>
+        if (v(bx, byy) > v(bx + 1, byy)) b | (1 << bx) else b
+      }
+    }
+  }
+
+  test("dHash: exact integer box grid matches the closed form; honest nulls") {
+    for (g <- 0 until 4; j <- Seq(0, 2)) {
+      val got = graft.llm.Multimodal.dhashBytes(dhashFixture(g, j))
+      assert(got.toSeq === dhashExpected(g, j), s"g=$g j=$j")
+    }
+    // distinct patterns really are far apart (the fixture isn't degenerate)
+    val h0 = dhashExpected(0, 0)
+    val h1 = dhashExpected(1, 0)
+    assert(h0.zip(h1).map { case (a, b) => Integer.bitCount(a ^ b) }.sum > 7)
+    // too small for the 9×8 grid / undecodable -> null, never garbage
+    assert(graft.llm.Multimodal.dhashBytes(
+      graft.llm.Jpeg.encode(8, 8, (_, _) => 100)) === null)
+    assert(graft.llm.Multimodal.dhashBytes(Array[Byte](1, 2, 3)) === null)
+  }
+
+  test("imageNearDupPairs finds jittered duplicates, not cross-pattern pairs") {
+    val s = spark
+    import s.implicits._
+    // 3 patterns × {base, corner-jittered}: the jitter moves at most the
+    // two bits that compare block (0,0) — a near-dup; distinct patterns
+    // sit many bits apart (asserted via the closed form)
+    val rows = (0L until 6L).map { id =>
+      val g = (id % 3).toInt
+      val j = if (id < 3) 0 else 2
+      (id, dhashFixture(g, j))
+    }
+    for (a <- 0 until 3; b <- 0 until 3 if a != b) {
+      val d = dhashExpected(a, 0).zip(dhashExpected(b, 0))
+        .map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      assert(d > 2, s"patterns $a/$b too close ($d) — fixture degenerate")
+    }
+    val pairs = graft.llm.Multimodal.imageNearDupPairs(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 3L).map(g => (g, g + 3)).toSet)
+  }
+
   test("multimodal JPEG: progressive fixtures decode bit-identically to baseline") {
     // same closed-form image through SOF2 (DC first Al=1 → DC refine →
     // AC band with pooled EOB runs) must give the same stats row as the
