@@ -1622,28 +1622,22 @@ object SparkEntry {
     //     context-free length + stopword-density rules, INTEGER density
     //     compare): multi-line docs built from the corpus on both
     //     engines; the cleaned text gates through its md5 ---
-    "q_boilerplate" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val doc = F.concat_ws("\n",
-            F.lit("Home | About | Contact Us"),
-            F.expr("substring(text, 1, 180)"),
-            F.lit("Buy now"),
-            F.expr("substring(text, 181, 60)"),
-            F.lit("Copyright 2024 All rights reserved"))
-          val stops = graft.llm.TextOps.LangProfiles.flatMap(_._2).distinct
-          df.select(F.col("doc_id"), doc.as("__doc__"))
-            .select(F.col("doc_id"),
-              graft.llm.TextOps.boilerplateLines("__doc__", stops).as("b"))
-            .select(F.col("doc_id"),
-              F.col("b.n_lines").as("n_lines"),
-              F.col("b.n_content").as("n_content"),
-              F.col("b.boilerplate_frac").as("boilerplate_frac"),
-              F.md5(F.col("b.clean").cast("binary")).as("clean_md5"))
-        }
+    // ... expressed through the public Model API (Source.BoilerplateStrip)
+    //     and run THROUGH the wire codec — line stripping is a
+    //     first-class, shippable pipeline op.
+    "q_boilerplate" -> ((s, dir) => {
+      val doc = sql("concat_ws('\\n', 'Home | About | Contact Us', " +
+        "substring(text, 1, 180), 'Buy now', substring(text, 181, 60), " +
+        "'Copyright 2024 All rights reserved')")
+      val stops = graft.llm.TextOps.LangProfiles.flatMap(_._2).distinct
+      val model = m(dir, "documents")
+        .boilerplateStrip(col("doc_id"), doc, stops)
+        .pick(col("doc_id"), col("n_lines"), col("n_content"),
+          col("boilerplate_frac"),
+          sql("md5(cast(clean AS binary))").named("clean_md5"))
         .sort(col("doc_id"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- interpolated Kneser–Ney WORD-bigram LM perplexity (Kneser &
     //     Ney 1995; Chen & Goodman 1998; the KenLM smoothing CCNet

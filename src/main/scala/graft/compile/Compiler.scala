@@ -979,6 +979,27 @@ object Compiler {
         .withColumn(txName, compileExpr(text, bf))
       new Frame(graft.llm.Search.cdcChunks(df, idName, txName, k, modulus))
 
+    case Source.BoilerplateStrip(base, id, text, stops, mw, pct, llc) =>
+      // Lowers to TextOps.boilerplateLines: per-row HOF line
+      // classification with the INTEGER density compare — zero joins,
+      // zero shuffles, a pure narrow map over the scan.
+      val bf = compileSource(base, spark)
+      val idName = id.identifier
+      val txName = "__bp_text__"
+      val df = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(txName, compileExpr(text, bf))
+        .withColumn("__bp__",
+          graft.llm.TextOps.boilerplateLines(txName, stops, mw, pct, llc))
+        .select(
+          org.apache.spark.sql.functions.col(idName),
+          org.apache.spark.sql.functions.col("__bp__.n_lines").as("n_lines"),
+          org.apache.spark.sql.functions.col("__bp__.n_content").as("n_content"),
+          org.apache.spark.sql.functions.col("__bp__.boilerplate_frac")
+            .as("boilerplate_frac"),
+          org.apache.spark.sql.functions.col("__bp__.clean").as("clean"))
+      new Frame(df)
+
     case Source.WeightedSample(base, key, weight, k) =>
       // Lowers to graft.llm.TextOps.weightedSample: ES priorities with
       // the md5-derandomized draw; a TakeOrdered cut, no global sort.

@@ -345,4 +345,21 @@ object Source {
       id: Expr,
       cap: Int,
   ) extends Source
+
+  /** jusText-style boilerplate line stripping (beyond-reference, the
+    * wire form of `graft.llm.TextOps.boilerplateLines`): a line is
+    * content iff it has >= minWords tokens AND (its stopword density
+    * clears minStopPct percent OR it is >= longLineChars long). One row
+    * per input row: `id`, n_lines, n_content, boilerplate_frac, clean.
+    * The density compare is pure integer arithmetic — deterministic on
+    * every engine. */
+  final case class BoilerplateStrip(
+      base: Source,
+      id: Expr,
+      text: Expr,
+      stopwords: Seq[String],
+      minWords: Int,
+      minStopPct: Int,
+      longLineChars: Int,
+  ) extends Source
 }

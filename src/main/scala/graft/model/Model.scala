@@ -566,6 +566,21 @@ final case class Model(
     * priorities are a weight-proportional sample, deterministic across
     * runs/engines/topology. Adds `priority`; non-positive/NULL weights
     * are excluded. */
+  /** Boilerplate line stripping (the wire-serializable form of
+    * `graft.llm.TextOps.boilerplateLines`): jusText's context-free
+    * length + stopword-density rules with an integer density compare.
+    * One row per input row: `id`, n_lines, n_content, boilerplate_frac,
+    * clean. */
+  def boilerplateStrip(
+      id: Expr, text: Expr, stopwords: Seq[String],
+      minWords: Int = 6, minStopPct: Int = 20,
+      longLineChars: Int = 80): Model = {
+    require(stopwords.nonEmpty && minWords >= 1 && minStopPct >= 0 &&
+      longLineChars >= 1, "boilerplateStrip needs sane knobs")
+    Model(Source.BoilerplateStrip(source, id, text, stopwords,
+      minWords, minStopPct, longLineChars))
+  }
+
   def weightedSample(key: Expr, weight: Expr, k: Int): Model = {
     require(k >= 1, "weightedSample needs k >= 1")
     Model(Source.WeightedSample(source, key, weight, k))

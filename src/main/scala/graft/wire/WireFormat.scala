@@ -134,6 +134,11 @@ object WireFormat {
     case Source.DomainCap(b, d, id, cap) =>
       Map("t" -> "domainCap", "base" -> sourceW(b), "domain" -> exprW(d),
         "id" -> exprW(id), "cap" -> cap)
+    case Source.BoilerplateStrip(b, id, tx, stops, mw, pct, llc) =>
+      Map("t" -> "boilerplateStrip", "base" -> sourceW(b),
+        "id" -> exprW(id), "text" -> exprW(tx),
+        "stopwords" -> stops.toList, "minWords" -> mw,
+        "minStopPct" -> pct, "longLineChars" -> llc)
     case Source.CorpusDrift(b, other, tx, otx, alpha) =>
       Map("t" -> "corpusDrift", "base" -> sourceW(b), "other" -> modelW(other),
         "text" -> exprW(tx), "otherText" -> exprW(otx), "alpha" -> alpha)
@@ -332,6 +337,12 @@ object WireFormat {
     case "weightedSample" =>
       Source.WeightedSample(sourceR(obj(s("base"))), exprR(obj(s("key"))),
         exprR(obj(s("weight"))), long(s("k")).toInt)
+    case "boilerplateStrip" =>
+      Source.BoilerplateStrip(sourceR(obj(s("base"))), exprR(obj(s("id"))),
+        exprR(obj(s("text"))),
+        s("stopwords").asInstanceOf[List[Any]].map(str),
+        long(s("minWords")).toInt, long(s("minStopPct")).toInt,
+        long(s("longLineChars")).toInt)
     case "domainCap" =>
       Source.DomainCap(sourceR(obj(s("base"))), exprR(obj(s("domain"))),
         exprR(obj(s("id"))), long(s("cap")).toInt)

@@ -261,6 +261,27 @@ class WireFormatSpec extends GraftSuite {
     assert(!sample.run(s).columns.exists(_.startsWith("__")))
   }
 
+  test("boilerplateStrip rides the wire, stopword list included") {
+    val s = spark
+    val base = Model.parquet("/root/testdata/sf0.001", "documents")
+    val stripped = base
+      .boilerplateStrip(col("doc_id"),
+        sql("concat_ws('\\n', 'Nav | Bar', text, 'Copyright footer line')"),
+        stopwords = Seq("the", "a", "of", "and", "is", "to", "in"))
+      .pick(col("doc_id"), col("n_lines"), col("n_content"),
+        col("boilerplate_frac"))
+      .sort(col("doc_id"))
+    assert(WireFormat.fromJson(WireFormat.toJson(stripped)) === stripped)
+    val direct = stripped.run(s).collect().map(_.toSeq)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(stripped)).run(s)
+      .collect().map(_.toSeq)
+    assert(rebuilt.toSeq === direct.toSeq && direct.nonEmpty)
+    // every synthesized doc has 3 lines; nav/footer never classify as
+    // content, so the fraction is strictly positive
+    assert(direct.forall(r => r(1) == 3L))
+    assert(direct.forall(r => r(3).asInstanceOf[Double] >= 0.666666))
+  }
+
   test("domainCap rides the wire and keeps at most cap per domain") {
     val s = spark
     val base = Model.parquet("/root/testdata/sf0.001", "documents")
