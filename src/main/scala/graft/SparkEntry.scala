@@ -2886,6 +2886,45 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- TOKENIZER SELECTION REPORT: the three trained subword families
+    //     (BPE merges=4, WordPiece merges=4, unigram-LM V=120) tokenize
+    //     the SAME corpus through the shared Unicode norm; one row per
+    //     family with its total subword count and chars-per-subword —
+    //     the compression-rate comparison a tokenizer choice is made on.
+    //     The oracle REUSES each family's full training replay as a
+    //     subquery (single source of truth per family). ---
+    "q_tokenizer_compare" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
+          val chars = df
+            .select(F.explode(graft.llm.TextOps.letterWords("text")).as("w"))
+            .where(F.length(F.col("w")) >= 1)
+            .agg(F.sum(F.length(F.col("w")).cast("long")).as("n_chars"))
+          def fam(name: String, agg: org.apache.spark.sql.DataFrame) =
+            agg.select(F.lit(name).as("family"),
+              F.col("n_subwords").cast("long").as("n_subwords"))
+          fam("bpe", graft.llm.TextOps
+              .bpeSubwordCounts(df, "doc_id", "text", merges = 4)
+              .agg(F.sum(F.col("n_subwords")).as("n_subwords")))
+            .unionByName(fam("unigram", graft.llm.Unigram
+              .segmentCounts(df, "doc_id", "text", vocabSize = 120,
+                maxPieceLen = 4, maxWordLen = 12,
+                unkCostMicrobits = 30000000L)
+              .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
+            .unionByName(fam("wordpiece", graft.llm.Wordpiece
+              .docStats(df, "doc_id", "text", merges = 4)
+              .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
+            .crossJoin(F.broadcast(chars)) // 1-row corpus-chars attach
+            .select(F.col("family"), F.col("n_subwords"), F.col("n_chars"),
+              F.round(F.col("n_chars").cast("double")
+                / F.col("n_subwords").cast("double"), 6)
+                .as("chars_per_subword"))
+        }
+        .sort(col("family"))
+        .run(s)),
+
     // --- overlapping word-window chunking (size 32, stride 24) ---
     "q_chunk_docs" -> ((s, dir) =>
       m(dir, "documents")
@@ -6003,6 +6042,32 @@ object SparkEntry {
       ("q_dedup_incremental" -> baseOracleSql("q_dedup_cross")) +
       ("q_stream_token_budget" -> baseOracleSql("q_token_budget")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
+      // tokenizer report: REUSE each family's full per-doc replay as a
+      // subquery and aggregate — the single source of truth per family
+      ("q_tokenizer_compare" -> {
+        val b = baseOracleSql
+        val chars =
+          """SELECT CAST(sum(len(w)) AS BIGINT) AS n_chars FROM (
+               SELECT unnest(regexp_split_to_array(
+                 trim(regexp_replace(lower(nfc_normalize(text)),
+                   '[^\p{L}]+', ' ', 'g')), '\s+')) AS w
+               FROM documents) WHERE len(w) >= 1"""
+        s"""SELECT family, n_subwords, n_chars,
+                round(CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE), 6)
+                  AS chars_per_subword
+            FROM (
+              SELECT 'bpe' AS family,
+                     CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+              FROM (${b("q_bpe_subwords")})
+              UNION ALL
+              SELECT 'unigram', CAST(sum(n_pieces) AS BIGINT)
+              FROM (${b("q_unigram_segment")})
+              UNION ALL
+              SELECT 'wordpiece', CAST(sum(n_pieces) AS BIGINT)
+              FROM (${b("q_wordpiece_oov")})
+            ) f CROSS JOIN ($chars) c
+            ORDER BY family"""
+      }) +
       ("q_stream_domain_cap" -> baseOracleSql("q_domain_cap"))
 
   /** WordPiece training replay: `iters` unrolled merge iterations. Each

@@ -40,11 +40,11 @@ object TextOps {
     * GraftExtensions first (every operator entry point does). DuckDB
     * oracles replay it as
     * `regexp_replace(lower(nfc_normalize(text)), '[^\p{L}]+', ' ', 'g')`. */
-  private[llm] def letterNorm(textCol: String): Column =
+  private[graft] def letterNorm(textCol: String): Column =
     trim(regexp_replace(
       lower(call_function("nfc_normalize", col(textCol))), "[^\\p{L}]+", " "))
 
-  private[llm] def letterWords(textCol: String): Column =
+  private[graft] def letterWords(textCol: String): Column =
     split(letterNorm(textCol), "\\s+")
 
   /** "BPE-ish" regex token count: letter runs, digit runs, and single
