@@ -2805,6 +2805,23 @@ object SparkEntry {
         .sort(col("piece"))
         .run(s)),
 
+    // --- unigram-LM EM ROUND 2: round 1's output costs feed a second
+    //     Viterbi-count round through emRefitWithVocab — the oracle
+    //     re-runs the ENTIRE unrolled DP + backtrack chain with the
+    //     re-estimated costs (prefix-parameterized CTE builders), so
+    //     round chaining is fully oracle-gated, not just spec-gated ---
+    "q_unigram_em2" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          val r1 = graft.llm.Unigram.emRefit(
+              df, "text", vocabSize = 120, maxPieceLen = 4, maxWordLen = 12)
+            .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+          graft.llm.Unigram.emRefitWithVocab(
+            df, "text", r1, vocabSize = 120, maxPieceLen = 4, maxWordLen = 12)
+        }
+        .sort(col("piece"))
+        .run(s)),
+
     // --- BPE training statistic: top adjacent-character pairs over the
     //     corpus VOCABULARY (explode runs on vocab × frequency, never on
     //     raw text — Heaps' law makes that sublinear in corpus size) ---
@@ -5792,6 +5809,25 @@ object SparkEntry {
                            * 1000000) AS BIGINT) AS cost_microbits
          FROM emall, emtot ORDER BY piece"""),
 
+    // EM round 2: round-1 emall/emtot re-cost into vocab2 (the same
+    // integer micro-bit rule), then the whole DP + backtrack + prune +
+    // floor chain re-runs under the r2 prefix.
+    "q_unigram_em2" ->
+      (s"""WITH $UnigramTrainCtes,
+         $UnigramDpCtes,
+         ${UnigramEmCtes(120)},
+         vocab2 AS (
+           SELECT piece,
+                  CAST(round((ln(CAST(et AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                             * 1000000) AS BIGINT) * 64 + 1 AS cc
+           FROM emall, emtot),
+         ${unigramDpRound("r2", "vocab2")},
+         ${UnigramEmCtes(120, "r2", "emall")}
+         SELECT piece, n,
+                CAST(round((ln(CAST(et AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) AS cost_microbits
+         FROM r2emall, r2emtot ORDER BY piece"""),
+
     // Vocabulary-weighted character-pair counts (one BPE iteration's
     // argmax statistic): word freq first, then per-word adjacent pairs
     // replicated by unnest; same (n desc, pair) deterministic cut.
@@ -6414,15 +6450,7 @@ object SparkEntry {
     * 1..maxWordLen=12): a_p carries min composite cost to segment each
     * word's p-char prefix; composite = cost_microbits*64 + n_pieces, so
     * min-sum = lexicographic (cost, pieces) — exactly UnigramModel's DP. */
-  private val UnigramDpCtes: String = {
-    val stages = (1 to 12).map { i =>
-      s"""su$i AS (
-           SELECT t.w, CAST($i AS BIGINT) AS p, min(d.c + t.cc) AS c
-           FROM tru t JOIN au${i - 1} d ON d.w = t.w AND d.p = t.j
-           WHERE t.i = $i GROUP BY t.w
-         ), au$i AS MATERIALIZED (
-           SELECT * FROM au${i - 1} UNION ALL SELECT * FROM su$i)"""
-    }.mkString(",\n")
+  private val UnigramDpCtes: String =
     s"""vocabu AS (
          SELECT piece,
                 CAST(round((ln(CAST(t AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
@@ -6434,12 +6462,29 @@ object SparkEntry {
                 substr(w, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
          FROM (SELECT w, unnest(range(0, len(w))) AS j FROM dwu) t,
               LATERAL unnest(range(1, least(4, len(w) - j) + 1)) u(l)
-       ), tru AS MATERIALIZED (SELECT tru0.w, tru0.j, tru0.i, piece, v.cc
-                  FROM tru0 JOIN vocabu v USING (piece)),
-       au0 AS MATERIALIZED (
+       ), ${unigramDpRound("", "vocabu")}"""
+
+  /** One DP round (prefix-parameterized so EM round 2 can re-run the
+    * SAME unrolled Viterbi with re-estimated costs): joins the shared
+    * tru0 transition frame against `costCte` (piece, cc) and rolls the
+    * 12 stages under `$pfx`-prefixed names. */
+  private def unigramDpRound(pfx: String, costCte: String): String = {
+    val stages = (1 to 12).map { i =>
+      s"""${pfx}su$i AS (
+           SELECT t.w, CAST($i AS BIGINT) AS p, min(d.c + t.cc) AS c
+           FROM ${pfx}tru t JOIN ${pfx}au${i - 1} d
+             ON d.w = t.w AND d.p = t.j
+           WHERE t.i = $i GROUP BY t.w
+         ), ${pfx}au$i AS MATERIALIZED (
+           SELECT * FROM ${pfx}au${i - 1} UNION ALL SELECT * FROM ${pfx}su$i)"""
+    }.mkString(",\n")
+    s"""${pfx}tru AS MATERIALIZED (
+         SELECT tru0.w, tru0.j, tru0.i, piece, v.cc
+         FROM tru0 JOIN $costCte v USING (piece)),
+       ${pfx}au0 AS MATERIALIZED (
          SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c FROM dwu),
        $stages,
-       wstatu AS (SELECT w, c FROM au12 WHERE p = len(w))"""
+       ${pfx}wstatu AS (SELECT w, c FROM ${pfx}au12 WHERE p = len(w))"""
   }
 
   /** Hard-EM round replay appended after [[UnigramDpCtes]]: BACKTRACK the
@@ -6450,41 +6495,44 @@ object SparkEntry {
     * by word frequency, prune to the top-`vocabSize` by (n DESC, piece),
     * re-add unused seed single chars at count max(n, 1), and re-cost in
     * integer micro-bits. */
-  private def UnigramEmCtes(vocabSize: Int): String = {
+  private def UnigramEmCtes(vocabSize: Int, pfx: String = "",
+      floorCte: String = "selu"): String = {
     val steps = (1 to 12).map { k =>
-      s"""ch$k AS MATERIALIZED (
+      s"""${pfx}ch$k AS MATERIALIZED (
            SELECT w, pos, piece, j FROM (
              SELECT b.w, b.pos, t.piece, t.j,
                     row_number() OVER (PARTITION BY b.w
                                        ORDER BY t.i - t.j ASC) AS rn
-             FROM bt${k - 1} b
-             JOIN tru t ON t.w = b.w AND t.i = b.pos
-             JOIN au12 dj ON dj.w = b.w AND dj.p = t.j
-             JOIN au12 di ON di.w = b.w AND di.p = b.pos
+             FROM ${pfx}bt${k - 1} b
+             JOIN ${pfx}tru t ON t.w = b.w AND t.i = b.pos
+             JOIN ${pfx}au12 dj ON dj.w = b.w AND dj.p = t.j
+             JOIN ${pfx}au12 di ON di.w = b.w AND di.p = b.pos
              WHERE b.pos > 0 AND dj.c + t.cc = di.c) s
            WHERE rn = 1
-         ), bt$k AS MATERIALIZED (SELECT w, j AS pos FROM ch$k)"""
+         ), ${pfx}bt$k AS MATERIALIZED (SELECT w, j AS pos FROM ${pfx}ch$k)"""
     }.mkString(",\n")
-    val allCh = (1 to 12).map(k => s"SELECT w, piece FROM ch$k")
+    val allCh = (1 to 12).map(k => s"SELECT w, piece FROM ${pfx}ch$k")
       .mkString(" UNION ALL ")
-    s"""bt0 AS (SELECT w, len(w) AS pos FROM wstatu),
+    s"""${pfx}bt0 AS (SELECT w, len(w) AS pos FROM ${pfx}wstatu),
        $steps,
-       emcnt AS MATERIALIZED (
+       ${pfx}emcnt AS MATERIALIZED (
          SELECT piece, CAST(sum(f) AS BIGINT) AS n
          FROM ($allCh) c JOIN wfu USING (w) GROUP BY 1
-       ), emtop AS (
+       ), ${pfx}emtop AS (
          SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS r
-         FROM emcnt
-       ), emsel AS MATERIALIZED (
-         SELECT piece, n FROM emtop WHERE r <= $vocabSize
-       ), emfloor AS (
+         FROM ${pfx}emcnt
+       ), ${pfx}emsel AS MATERIALIZED (
+         SELECT piece, n FROM ${pfx}emtop WHERE r <= $vocabSize
+       ), ${pfx}emfloor AS (
          SELECT c.piece, greatest(coalesce(e.n, 0), 1) AS n
-         FROM (SELECT piece FROM selu WHERE len(piece) = 1) c
-         LEFT JOIN emcnt e USING (piece)
-         WHERE c.piece NOT IN (SELECT piece FROM emsel)
-       ), emall AS MATERIALIZED (
-         SELECT piece, n FROM emsel UNION ALL SELECT piece, n FROM emfloor
-       ), emtot AS (SELECT CAST(sum(n) AS BIGINT) AS et FROM emall)"""
+         FROM (SELECT piece FROM $floorCte WHERE len(piece) = 1) c
+         LEFT JOIN ${pfx}emcnt e USING (piece)
+         WHERE c.piece NOT IN (SELECT piece FROM ${pfx}emsel)
+       ), ${pfx}emall AS MATERIALIZED (
+         SELECT piece, n FROM ${pfx}emsel UNION ALL
+         SELECT piece, n FROM ${pfx}emfloor
+       ), ${pfx}emtot AS (
+         SELECT CAST(sum(n) AS BIGINT) AS et FROM ${pfx}emall)"""
   }
 
   private def dotSql(a: String, b: String): String =
