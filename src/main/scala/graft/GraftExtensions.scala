@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{AcCount, BloomAnyContain, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
+import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -146,6 +146,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cdc_starts takes exactly 2 arguments")
         CdcStarts(args.head, intLit(args(1), "cdc_starts"))
+      }),
+    (FunctionIdentifier("boilerplate_strip"),
+      new ExpressionInfo(classOf[BoilerplateStripExpr].getName,
+        "boilerplate_strip"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "boilerplate_strip takes exactly 2 arguments")
+        BoilerplateStripExpr(args.head, args(1))
       }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

@@ -984,6 +984,7 @@ object Compiler {
       // classification with the INTEGER density compare — zero joins,
       // zero shuffles, a pure narrow map over the scan.
       val bf = compileSource(base, spark)
+      graft.GraftExtensions.install(spark) // the boilerplate_strip native
       val idName = id.identifier
       val txName = "__bp_text__"
       val df = bf.df

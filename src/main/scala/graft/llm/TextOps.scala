@@ -1104,6 +1104,26 @@ object TextOps {
       longLineChars: Int = 80): Column = {
     require(stopwords.nonEmpty && minWords >= 1 && minStopPct >= 0 &&
       longLineChars >= 1, "bad knobs")
+    // production path: the codegen'd single-pass native (each line
+    // tokenizes ONCE; the HOF formulation below tokenizes every line
+    // three times through interpreted CodegenFallback lambdas and is
+    // kept as the spec-pinned value-identity anchor)
+    call_function("boilerplate_strip", col(textCol),
+      lit(graft.expr.BoilerplateModel.encode(
+        stopwords, minWords, minStopPct, longLineChars)))
+  }
+
+  /** Interpreted HOF formulation of [[boilerplateLines]] — the
+    * cross-engine semantic definition the spec pins the native against
+    * (the charEntropyHof pattern), not the production path. */
+  private[graft] def boilerplateLinesHof(
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Int = 6,
+      minStopPct: Int = 20,
+      longLineChars: Int = 80): Column = {
+    require(stopwords.nonEmpty && minWords >= 1 && minStopPct >= 0 &&
+      longLineChars >= 1, "bad knobs")
     val stopLit = s"array(${sqlStringList(stopwords)})"
     def toks(ln: String) = s"filter(split(lower(trim($ln)), '\\\\s+'), t -> t <> '')"
     val pred =

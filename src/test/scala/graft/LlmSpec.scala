@@ -2558,9 +2558,34 @@ class LlmSpec extends GraftSuite {
     assert(r2got.nonEmpty)
   }
 
+  test("boilerplate native is value-identical to the HOF anchor") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("concat_ws('\\n', 'Nav | Bar', text, substring(text, 1, 40), '') AS text")
+    val edges = Seq(
+      "", " ", "\t", "a\tb\tthe words of the land are a test here",
+      "x\n\ny\n", "héllo wörld the of and is to in extra words here",
+      "  padded the a of and is line with many words  ").toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val mismatches = df.select(
+          TextOps.boilerplateLines("text", stops).as("nat"),
+          TextOps.boilerplateLinesHof("text", stops).as("hof"))
+        .where(sc("nat.clean") =!= sc("hof.clean") ||
+          sc("nat.n_lines") =!= sc("hof.n_lines") ||
+          sc("nat.n_content") =!= sc("hof.n_content") ||
+          sc("nat.boilerplate_frac") =!= sc("hof.boilerplate_frac"))
+        .count()
+      assert(mismatches === 0L)
+    }
+  }
+
   test("boilerplateLines: jusText-style length + stopword-density rules") {
     val s = spark
     import s.implicits._
+    graft.GraftExtensions.install(s)
     val stops = Seq("the", "a", "of", "and", "is", "to", "in")
     val doc = Seq(
       "Home | About | Contact",                                    // 4 toks
