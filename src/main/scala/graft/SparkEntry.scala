@@ -2671,6 +2671,35 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- perceptual AUDIO near-dup pairs (energy-delta dHash over 65
+    //     PCM boxes → the same exact byte-band Hamming blocking): 24
+    //     WAV fixtures in 8 closed-form groups of 3, level-jittered in
+    //     the first samples — the oracle replays energies and bits from
+    //     the sample closed form ---
+    "q_audio_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n = (240 + (g % 7) * 40).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((((7L * g + 13L * i) % 2048L) - 1024L) +
+                  (if (i < 4) j else 0)).toShort)
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.audioNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -5581,6 +5610,52 @@ object SparkEntry {
          bytes AS MATERIALIZED (
            SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
            FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM bytes a JOIN bytes b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+
+    // audio dHash replay from the sample closed form: 65 floor-boundary
+    // energy boxes, HUGEINT cross-multiplied bits, 8 bytes, the shared
+    // band-candidate + popcount tail.
+    "q_audio_neardup" ->
+      """WITH ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  240 + (doc_id % 8 % 7) * 40 AS n
+           FROM documents WHERE doc_id < 24),
+         sg AS MATERIALIZED (
+           SELECT i.id, i.n, s.i,
+                  ((7 * i.g + 13 * s.i) % 2048) - 1024
+                    + CASE WHEN s.i < 4 THEN i.j ELSE 0 END AS v
+           FROM ii i CROSS JOIN range(0, 480) s(i)
+           WHERE s.i < i.n),
+         ab AS MATERIALIZED (
+           SELECT g.id, b.b,
+                  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM sg g CROSS JOIN range(0, 65) b(b)
+           WHERE g.i >= (b.b * g.n) // 65 AND g.i < ((b.b + 1) * g.n) // 65
+           GROUP BY 1, 2),
+         abits AS (
+           SELECT l.id, l.b,
+                  CASE WHEN CAST(l.e AS HUGEINT) * r.c
+                            > CAST(r.e AS HUGEINT) * l.c
+                       THEN 1 ELSE 0 END AS bit
+           FROM ab l JOIN ab r ON r.id = l.id AND r.b = l.b + 1
+           WHERE l.b < 64),
+         bytes AS MATERIALIZED (
+           SELECT id, b // 8 AS byy,
+                  CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bv
+           FROM abits GROUP BY 1, 2),
          cand AS (
            SELECT DISTINCT a.id AS a_id, b.id AS b_id
            FROM bytes a JOIN bytes b

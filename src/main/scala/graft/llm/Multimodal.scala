@@ -249,12 +249,23 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       maxHamming: Int = 6,
-      scope: CacheScope = CacheScope.global): DataFrame = {
+      scope: CacheScope = CacheScope.global): DataFrame =
+    bandedHammingPairs(dhash(df, idCol, payloadCol), idCol, maxHamming, scope)
+
+  /** Shared band-blocked Hamming join over an (idCol, `dhash` 8-byte
+    * array) frame — the candidate generator both perceptual hashes
+    * (image [[dhash]], audio [[audioDhash]]) feed: equi-join on any
+    * shared band byte (EXACT for hamming ≤ 7 by pigeonhole), inline
+    * popcount verify over the carried arrays, distinct pairs. */
+  private def bandedHammingPairs(
+      hashFrame: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      scope: CacheScope): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "byte-band blocking is exact only for hamming <= 7")
     import org.apache.spark.sql.functions._
-    val hashes = scope.cache(dhash(df, idCol, payloadCol)
-      .where(col("dhash").isNotNull))
+    val hashes = scope.cache(hashFrame.where(col("dhash").isNotNull))
     val banded = hashes.select(col(idCol).as("__id__"), col("dhash"),
       posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
     banded.as("a")
@@ -269,6 +280,78 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** 64-bit AUDIO difference hash — [[dhashBytes]]' audio sibling (the
+    * energy-delta-sign fingerprint): channel-0 PCM divides into 65
+    * floor-boundary boxes; bit b is set iff box b's ENERGY (Σ s², exact
+    * integer) beats box b+1's, compared by exact cross-multiplication
+    * against the box sample counts in BigInteger (no division, no
+    * overflow at any duration). Same 8-byte band-blocking contract.
+    * Null for non-PCM payloads or clips shorter than 65 samples. */
+  def audioDhashBytes(payload: Array[Byte]): Array[Int] = {
+    val pcm = decodeWavPcm(payload)
+    if (pcm == null) return null
+    val stride = pcm.channels
+    val n = pcm.samples.length / stride
+    if (n < 65) return null
+    val e = new Array[Long](65)
+    val c = new Array[Long](65)
+    var b = 0
+    while (b < 65) {
+      val lo = (b.toLong * n / 65).toInt
+      val hi = ((b + 1).toLong * n / 65).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) {
+        val v = pcm.samples(i * stride).toLong
+        s += v * v
+        i += 1
+      }
+      e(b) = s
+      c(b) = hi - lo
+      b += 1
+    }
+    Array.tabulate(8) { k =>
+      var byte = 0
+      var x = 0
+      while (x < 8) {
+        val i = 8 * k + x
+        val l = java.math.BigInteger.valueOf(e(i))
+          .multiply(java.math.BigInteger.valueOf(c(i + 1)))
+        val r = java.math.BigInteger.valueOf(e(i + 1))
+          .multiply(java.math.BigInteger.valueOf(c(i)))
+        if (l.compareTo(r) > 0) byte |= 1 << x
+        x += 1
+      }
+      byte
+    }
+  }
+
+  /** Audio hash frame (the [[dhash]] shape). */
+  def audioDhash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false))))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row(row.get(idIdx),
+          audioDhashBytes(row.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs — re-encoded / slightly
+    * level-shifted copies of a clip collide, unrelated clips don't;
+    * same exact band-blocked join as [[imageNearDupPairs]]. */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    bandedHammingPairs(audioDhash(df, idCol, payloadCol), idCol, maxHamming,
+      scope)
 
   /** Per-channel pixel statistics produced by [[decodePixels]] — the
     * output of a REAL decompress-and-unfilter pass over PNG image data

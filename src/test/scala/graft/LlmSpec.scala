@@ -1801,6 +1801,51 @@ class LlmSpec extends GraftSuite {
     assert(pairs === (0L until 3L).map(g => (g, g + 3)).toSet)
   }
 
+  test("audio dHash matches the closed form; near-dups pair, patterns don't") {
+    val s = spark
+    import s.implicits._
+    def samples(g: Int, j: Int): Array[Short] = {
+      val n = 240 + (g % 7) * 40
+      Array.tabulate(n)(i =>
+        ((((7L * g + 13L * i) % 2048L) - 1024L) + (if (i < 4) j else 0)).toShort)
+    }
+    def expected(g: Int, j: Int): Seq[Int] = {
+      val sm = samples(g, j)
+      val n = sm.length
+      val e = (0 until 65).map { b =>
+        val lo = b * n / 65; val hi = (b + 1) * n / 65
+        ((lo until hi).map(i => sm(i).toLong * sm(i)).sum, (hi - lo).toLong)
+      }
+      (0 until 8).map { k =>
+        (0 until 8).foldLeft(0) { (byte, x) =>
+          val i = 8 * k + x
+          if (BigInt(e(i)._1) * e(i + 1)._2 > BigInt(e(i + 1)._1) * e(i)._2)
+            byte | (1 << x)
+          else byte
+        }
+      }
+    }
+    for (g <- 0 until 4; j <- Seq(0, 2)) {
+      val wav = graft.llm.Multimodal.encodeWav(8000, 1, samples(g, j))
+      assert(graft.llm.Multimodal.audioDhashBytes(wav).toSeq ===
+        expected(g, j), s"g=$g j=$j")
+    }
+    // honest nulls: short clip, garbage payload
+    assert(graft.llm.Multimodal.audioDhashBytes(
+      graft.llm.Multimodal.encodeWav(8000, 1, Array.fill[Short](64)(5))) === null)
+    assert(graft.llm.Multimodal.audioDhashBytes(Array[Byte](9, 9)) === null)
+    // pairs: 3 groups × {base, level-jittered}; cross-group far apart
+    val rows = (0L until 6L).map { id =>
+      val g = (id % 3).toInt
+      val j = if (id < 3) 0 else 2
+      (id, graft.llm.Multimodal.encodeWav(8000, 1, samples(g, j)))
+    }
+    val pairs = graft.llm.Multimodal.audioNearDupPairs(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 3L).map(g => (g, g + 3)).toSet, s"got $pairs")
+  }
+
   test("multimodal JPEG: progressive fixtures decode bit-identically to baseline") {
     // same closed-form image through SOF2 (DC first Al=1 → DC refine →
     // AC band with pooled EOB runs) must give the same stats row as the
