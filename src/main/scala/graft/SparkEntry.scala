@@ -2700,6 +2700,37 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- STREAMING image-dedup backfill: first-seen-wins per dHash in
+    //     keyed state (min-id winner within a batch), run over the same
+    //     24 fixtures as one batch — the kept set must equal the batch
+    //     min-per-hash rule, replayed by the closed-form oracle ---
+    "q_stream_image_dedup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+                  (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.streaming.Streams
+            .streamingImageDedup(withPayload, "doc_id", "payload")
+            .select(F.col("doc_id"),
+              F.expr("array_join(transform(dhash, x -> cast(x AS string)), ':')")
+                .as("hash_key"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- BM25 keyword retrieval: constant query bag, per-row tf exprs,
     //     ONE corpus-stats aggregate broadcast back, TakeOrdered top-k ---
     "q_bm25_search" -> ((s, dir) =>
@@ -5589,27 +5620,7 @@ object SparkEntry {
     // degenerates to v_l > v_r under equal counts); byte bands,
     // popcount hamming — all exact integers.
     "q_image_neardup" ->
-      """WITH ii AS (
-           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
-           FROM documents WHERE doc_id < 24),
-         vals AS MATERIALIZED (
-           SELECT i.id, bx.bx, byy.byy,
-                  (((37 + 11 * i.g) * bx.bx + (23 + 7 * i.g) * byy.byy
-                    + 13 * i.g) % 97) + 28
-                    + CASE WHEN bx.bx = 0 AND byy.byy = 0 THEN i.j
-                           ELSE 0 END AS v
-           FROM ii i
-           CROSS JOIN range(0, 9) bx(bx)
-           CROSS JOIN range(0, 8) byy(byy)),
-         bits AS (
-           SELECT l.id, l.byy, l.bx,
-                  CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
-           FROM vals l
-           JOIN vals r ON r.id = l.id AND r.byy = l.byy AND r.bx = l.bx + 1
-           WHERE l.bx < 8),
-         bytes AS MATERIALIZED (
-           SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
-           FROM bits GROUP BY 1, 2),
+      (s"""WITH $ImageDhashCtes,
          cand AS (
            SELECT DISTINCT a.id AS a_id, b.id AS b_id
            FROM bytes a JOIN bytes b
@@ -5622,7 +5633,7 @@ object SparkEntry {
            JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
            GROUP BY 1, 2)
          SELECT a_id, b_id, hamming FROM ham
-         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
     // audio dHash replay from the sample closed form: 65 floor-boundary
     // energy boxes, HUGEINT cross-multiplied bits, 8 bytes, the shared
@@ -5669,6 +5680,17 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
+
+    // streaming image-dedup backfill: min doc_id per full dHash key
+    // over the same closed-form bytes.
+    "q_stream_image_dedup" ->
+      (s"""WITH $ImageDhashCtes,
+         keys AS (
+           SELECT id, string_agg(CAST(bv AS VARCHAR), ':' ORDER BY byy)
+                    AS hash_key
+           FROM bytes GROUP BY 1)
+         SELECT min(id) AS doc_id, hash_key
+         FROM keys GROUP BY hash_key ORDER BY doc_id"""),
 
     // BM25 with k1=1.2, b=0.75 over query bag (spark, window, vector):
     // same tokenization, same per-term tf, same ln-idf, same 6-dp rounding
@@ -6614,6 +6636,33 @@ object SparkEntry {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** Shared image-dHash replay CTEs (q_image_neardup /
+    * q_stream_image_dedup): the 24 closed-form fixtures reduce to
+    * per-(id, row) hash bytes — box = block at 72×64, so bits compare
+    * block values directly. */
+  private val ImageDhashCtes: String =
+    """ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
+           FROM documents WHERE doc_id < 24),
+         vals AS MATERIALIZED (
+           SELECT i.id, bx.bx, byy.byy,
+                  (((37 + 11 * i.g) * bx.bx + (23 + 7 * i.g) * byy.byy
+                    + 13 * i.g) % 97) + 28
+                    + CASE WHEN bx.bx = 0 AND byy.byy = 0 THEN i.j
+                           ELSE 0 END AS v
+           FROM ii i
+           CROSS JOIN range(0, 9) bx(bx)
+           CROSS JOIN range(0, 8) byy(byy)),
+         bits AS (
+           SELECT l.id, l.byy, l.bx,
+                  CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+           FROM vals l
+           JOIN vals r ON r.id = l.id AND r.byy = l.byy AND r.bx = l.bx + 1
+           WHERE l.bx < 8),
+         bytes AS MATERIALIZED (
+           SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
+           FROM bits GROUP BY 1, 2)"""
+
   private val BktSql: String =
     "list_reduce(list_transform(range(1, 5), d -> CASE WHEN CAST(embedding[d] AS DOUBLE) >= 0 THEN (1 << (d - 1)) ELSE 0 END), (x, y) -> x + y)"
 

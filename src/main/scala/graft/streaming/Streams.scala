@@ -271,6 +271,54 @@ object Streams {
       }(Encoders.scalaLong, rowEnc)
   }
 
+  /** Streaming EXACT perceptual image dedup — the crawler-side "drop
+    * repeated images as they stream" gate: first-seen-wins per dHash
+    * (`graft.llm.Multimodal.dhash`), so byte-identical copies AND
+    * re-encodes that hash identically collapse. NEAR-dup pairing
+    * (hamming > 0) stays a batch job against the persisted hash index —
+    * a stream cannot band-join candidates it has not seen. The decode +
+    * hash runs in the DISTRIBUTED mapPartitions stage; the keyed-state
+    * function only picks winners (the per-key-sequential-path rule).
+    *
+    * WITHIN a micro-batch the winner among same-hash payloads is the
+    * minimum id (one pass over the group iterator, O(1) memory), so
+    * single-batch backfill is deterministic and oracle-replayable;
+    * across batches first-arrivals. Undecodable / sub-grid payloads
+    * drop (no hash, no admission decision — honest, like the batch
+    * decoder's nulls). Emits `(<idCol> long, dhash array<int>)`.
+    * State: one boolean per distinct hash. */
+  def streamingImageDedup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val hashed = graft.llm.Multimodal.dhash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol)
+      .where(col("dhash").isNotNull)
+    val outSchema = StructType(Seq(StructField(idCol, LongType),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false))))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val strEnc = Encoders.STRING
+    hashed
+      .groupByKey((r: Row) => r.getSeq[Int](1).mkString(":"))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // min-id winner in one pass (batch-window parity)
+            var best: Row = null
+            rows.foreach { r =>
+              if (best == null || r.getLong(0) < best.getLong(0)) best = r
+            }
+            Iterator.single(best)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
     * frontier, in micros (the serialized form of graft.expr.ChainState). */
   final case class ChainFrontier(cands: Seq[Seq[Long]])

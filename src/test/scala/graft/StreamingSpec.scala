@@ -150,6 +150,34 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming image dedup: first dHash wins across batches, min-id within") {
+    val s = spark
+    import s.implicits._
+    def img(g: Int): Array[Byte] = graft.llm.Jpeg.encode(72, 64, (x, y) => {
+      val bx = x / 8; val byy = y / 8
+      (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28
+    })
+    val ms = MemoryStream[(Long, Array[Byte])](s)
+    val kept = Streams.streamingImageDedup(
+      ms.toDF.toDF("doc_id", "payload"), "doc_id", "payload")
+    val q = kept.writeStream.format("memory").queryName("imgdedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two copies of pattern 0 (min id 3 wins), one pattern 1,
+      // one garbage payload (drops — no hash, no decision)
+      ms.addData((7L, img(0)), (3L, img(0)), (5L, img(1)),
+        (9L, Array[Byte](1, 2, 3)))
+      q.processAllAvailable()
+      // batch 2: a LATER copy of pattern 0 (suppressed by state) and a
+      // new pattern 2 (admitted)
+      ms.addData((1L, img(0)), (8L, img(2)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM imgdedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(3L, 5L, 8L))
+    } finally q.stop()
+  }
+
   test("stateless gates compose with streaming dedup into a cleaning pipeline") {
     val s = spark
     import s.implicits._
