@@ -1358,6 +1358,32 @@ object SparkEntry {
         .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
 
+    // --- PARAGRAPH-level near-dup dedup (the Dolma/CCNet stage below
+    //     document granularity): both engines synthesize 3 paragraphs
+    //     per doc — a per-source shared banner (exact dups the detector
+    //     must find) plus two content slices — then the UNCHANGED
+    //     MinHash pipeline runs on the paragraph frame; the oracle
+    //     reuses the minhash replay with a paragraph corpusSql ---
+    "q_dedup_paragraph" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val base = df.where(F.col("doc_id") < 100)
+          val paras = base.select((F.col("doc_id") * 4).as("para_id"),
+              F.concat(F.lit("Shared banner text for source "),
+                F.col("source"),
+                F.lit(" repeated on every page")).as("ptext"))
+            .unionByName(base.select(
+              (F.col("doc_id") * 4 + 1).as("para_id"),
+              F.expr("substring(text, 1, 150)").as("ptext")))
+            .unionByName(base.select(
+              (F.col("doc_id") * 4 + 2).as("para_id"),
+              F.expr("substring(text, 121, 150)").as("ptext")))
+          graft.llm.Dedup.minhashPairs(paras, "para_id", "ptext")
+        }
+        .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
     // --- SimHash near-dup pairs (byte-band blocking, exact for hamming<=3) ---
     "q_dedup_simhash" -> ((s, dir) =>
       m(dir, "documents")
@@ -3644,6 +3670,22 @@ object SparkEntry {
 
     "q_dedup_minhash" ->
       (MinhashPairsCtes +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
+
+    // paragraph dedup: the SAME minhash replay over a synthesized
+    // paragraph corpus (per-source banner + two content slices).
+    "q_dedup_paragraph" ->
+      (minhashPairsCtes(corpusSql =
+        """SELECT doc_id * 4 AS doc_id,
+                  'Shared banner text for source ' || source ||
+                  ' repeated on every page' AS text
+           FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id * 4 + 1, substr(text, 1, 150)
+           FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id * 4 + 2, substr(text, 121, 150)
+           FROM documents WHERE doc_id < 100""") +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
     "q_dedup_minhash_skew" ->
