@@ -40,7 +40,8 @@ object ScaleCheck {
   private val Queries = Seq(
     "q1_agg", "q_match_steps", "q_sessionize", "q_retention",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
-    "q_semdedup", "q_ann_ivfpq", "q_contamination", "q_bm25_search")
+    "q_semdedup", "q_ann_ivfpq", "q_contamination", "q_bm25_search",
+    "q_image_neardup_corpus")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

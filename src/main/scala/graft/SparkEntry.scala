@@ -13,6 +13,13 @@ import graft.model.Model
   */
 object SparkEntry {
 
+  /** Per-JVM unique suffix for scratch tables/paths (q_dedup_incremental,
+    * q_image_neardup_incr): concurrent Verify/Bench JVMs over the same data
+    * dir must not share a catalog table name or an overwrite path. */
+  private lazy val runTag: String =
+    java.lang.Long.toHexString(
+      java.util.UUID.randomUUID().getMostSignificantBits & 0xffffffffL)
+
   private def m(dir: String, table: String): Model = Model.parquet(dir, table)
 
   /** Unicode fixture corpus for the tokenizer-path queries: decompose
@@ -1346,7 +1353,11 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val tbl = "minhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+          // per-JVM unique table/path: concurrent Verify runs over the same
+          // data dir must not race on a shared overwrite, and the table is
+          // dropped (with its files) when this JVM's next run re-creates it
+          val tbl = "minhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
           graft.sources.ParquetIO.writeBucketed(
             graft.llm.Dedup.minhashIndex(
               df.where(F.col("doc_id") % 2 === 1), "doc_id", "text"),
@@ -1681,6 +1692,21 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- interpolated KN TRIGRAM perplexity (KenLM shape: order-3 with
+    //     full recursive continuation-count backoff, D = 0.75; all
+    //     lower-order tables derive from the one trigram-count table) —
+    //     layered shared-formula strings keep both engines IEEE-identical
+    //     per level, integer micro-bit terms keep sums order-free ---
+    "q_lm_kn3" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.knTrigramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -1755,7 +1781,9 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val url = F.concat(
+          // doc_id % 13 == 11 rows get a bare host that IS a 3-label public
+          // suffix (s3.amazonaws.com) — the host-is-suffix rule's fixture
+          val url0 = F.concat(
             F.lit("https://"),
             F.when(F.col("doc_id") % 7 === 0, F.lit("user@")).otherwise(F.lit("")),
             F.lit("www."), F.col("source"), F.lit("."),
@@ -1768,6 +1796,9 @@ object SparkEntry {
             F.lit("/d/"), F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 3 === 0,
               F.concat(F.lit("?lang="), F.col("lang"))).otherwise(F.lit("")))
+          val url = F.when(F.col("doc_id") % 13 === 11,
+            F.concat(F.lit("https://s3.amazonaws.com/bucket/"),
+              F.col("doc_id").cast("string"))).otherwise(url0)
           val p = graft.llm.TextOps.urlParts(url)
           df.select(F.col("doc_id"), url.as("url"),
               p.getField("scheme").as("scheme"), p.getField("host").as("host"),
@@ -2692,7 +2723,85 @@ object SparkEntry {
           }(Encoders.row(ids.schema.add("payload",
             org.apache.spark.sql.types.BinaryType)))
           graft.llm.Multimodal.imageNearDupPairs(
-            withPayload, "doc_id", "payload", maxHamming = 6)
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- CORPUS-scale perceptual image dedup (the ScaleCheck target):
+    //     one 72×64 closed-form JPEG per document — pattern family
+    //     (doc_id/3) % 97 (97 is the wrapping modulus of the value form,
+    //     so families genuinely repeat at corpus scale, piling identical
+    //     hashes into the fixed 256-value byte buckets — exactly the
+    //     growth the maxPerBucketSide cap exists to bound), corner jitter
+    //     doc_id % 3. The oracle replays hash, cap, and pairs from the
+    //     block closed form. ---
+    "q_image_neardup_corpus" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          // repartition the (tiny) id column BEFORE the heavy per-row
+          // encode+hash: the source is one parquet file, and without this
+          // the whole corpus decodes on a single core — an 8-byte-per-row
+          // shuffle buys full-cluster parallelism for the expensive stage
+          val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val gg = ((id / 3) % 97).toInt
+              val j = (id % 3).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * gg) * bx + (23 + 7 * gg) * byy + 13 * gg) % 97) +
+                  28 + (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.imageNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- INCREMENTAL perceptual image dedup against a PERSISTED dHash
+    //     index (the batch job streamingImageDedup's scaladoc promises):
+    //     fixtures 8..23 are indexed once (band postings bucketed on
+    //     __bkey__ — that shuffle is paid at ingest; build-time cap 2
+    //     bounds every future query), then the "new crawl" slice 0..7
+    //     hashes only itself and joins the saved table. The oracle
+    //     replays hash, index cap, and pairs from the block closed
+    //     form. ---
+    "q_image_neardup_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+                  (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "dhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.dhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Multimodal.imageNearDupJoinIndexed(
+            withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+            df.sparkSession.table(tbl), maxHamming = 6)
         }
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
@@ -2721,7 +2830,8 @@ object SparkEntry {
           }(Encoders.row(ids.schema.add("payload",
             org.apache.spark.sql.types.BinaryType)))
           graft.llm.Multimodal.audioNearDupPairs(
-            withPayload, "doc_id", "payload", maxHamming = 6)
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
         }
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
@@ -4468,6 +4578,79 @@ object SparkEntry {
          LEFT JOIN kagg a USING (doc_id)
          ORDER BY doc_id"""),
 
+    // KN TRIGRAM replay: one trigram-count table from the doc_id%4=0
+    // slice; context/middle/unigram tables derived from it exactly as
+    // the operator does; the layered SHARED Kn3Pu/Kn3Pb/Kn3P literals +
+    // KnTermSql micro-bits.
+    "q_lm_kn3" ->
+      (s"""WITH k3x AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
+             '\\s+') AS t
+           FROM documents),
+         k3g AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+           FROM k3x WHERE len(t) >= 3 AND t[1] <> ''),
+         k3tb AS MATERIALIZED (
+           SELECT tg, CAST(count(*) AS BIGINT) AS c123 FROM k3g
+           WHERE doc_id % 4 = 0 GROUP BY 1),
+         k3ctx AS (
+           SELECT string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2]
+                    AS bg12,
+                  CAST(sum(c123) AS BIGINT) AS c12,
+                  CAST(count(*) AS BIGINT) AS n1fw12
+           FROM k3tb GROUP BY 1),
+         k3mid AS MATERIALIZED (
+           SELECT string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3]
+                    AS bg23,
+                  CAST(count(*) AS BIGINT) AS n1bw23
+           FROM k3tb GROUP BY 1),
+         k3mc AS (
+           SELECT string_split(bg23, ' ')[1] AS w2m,
+                  CAST(sum(n1bw23) AS BIGINT) AS nc2,
+                  CAST(count(*) AS BIGINT) AS n1fw2m
+           FROM k3mid GROUP BY 1),
+         k3u AS (
+           SELECT string_split(bg23, ' ')[2] AS w3,
+                  CAST(count(*) AS BIGINT) AS n1bw3
+           FROM k3mid GROUP BY 1),
+         k3n AS (SELECT CAST(count(*) AS BIGINT) AS nuni FROM k3mid),
+         k3j AS (
+           SELECT g.doc_id, tb.c123, cx.c12, cx.n1fw12, mi.n1bw23,
+                  mc.nc2, mc.n1fw2m, u.n1bw3, n.nuni
+           FROM k3g g
+           LEFT JOIN k3tb tb USING (tg)
+           LEFT JOIN k3ctx cx ON cx.bg12 =
+             string_split(g.tg, ' ')[1] || ' ' || string_split(g.tg, ' ')[2]
+           LEFT JOIN k3mid mi ON mi.bg23 =
+             string_split(g.tg, ' ')[2] || ' ' || string_split(g.tg, ' ')[3]
+           LEFT JOIN k3mc mc ON mc.w2m = string_split(g.tg, ' ')[2]
+           LEFT JOIN k3u u ON u.w3 = string_split(g.tg, ' ')[3]
+           CROSS JOIN k3n n),
+         k3pu AS (
+           SELECT doc_id, c123, c12, n1fw12, n1bw23, nc2, n1fw2m,
+                  ${graft.llm.LangModel.Kn3PuSql} AS pu
+           FROM k3j),
+         k3pb AS (
+           SELECT doc_id, c123, c12, n1fw12,
+                  ${graft.llm.LangModel.Kn3PbSql} AS pb
+           FROM k3pu),
+         k3p AS (SELECT doc_id, ${graft.llm.LangModel.Kn3PSql} AS p FROM k3pb),
+         k3t AS (SELECT doc_id, ${graft.llm.LangModel.KnTermSql} AS mb FROM k3p),
+         k3a AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                  CAST(sum(mb) AS BIGINT) AS s
+           FROM k3t GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(a.n_trigrams, 0) AS n_trigrams,
+                coalesce(round(CAST(a.s AS DOUBLE) / CAST(a.n_trigrams AS DOUBLE)
+                               / 1000000.0, 6),
+                         CAST(0 AS DOUBLE)) AS bits_per_trigram
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN k3a a USING (doc_id)
+         ORDER BY doc_id"""),
+
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so
     // the bucket SETS match bit-for-bit, not just the proportions).
@@ -4586,6 +4769,9 @@ object SparkEntry {
     "q_url_parse" ->
       s"""WITH u AS (
            SELECT doc_id,
+             CASE WHEN doc_id % 13 = 11
+               THEN 'https://s3.amazonaws.com/bucket/' || CAST(doc_id AS VARCHAR)
+               ELSE
              'https://' ||
              CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||
              'www.' || source || '.' ||
@@ -4593,7 +4779,8 @@ object SparkEntry {
                [CAST(doc_id % 8 + 1 AS INT)] ||
              CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
              '/d/' || CAST(doc_id AS VARCHAR) ||
-             CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END AS url
+             CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END
+             END AS url
            FROM documents),
          p AS (
            SELECT doc_id, url,
@@ -5663,9 +5850,69 @@ object SparkEntry {
     // popcount hamming — all exact integers.
     "q_image_neardup" ->
       (s"""WITH $ImageDhashCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
          cand AS (
            SELECT DISTINCT a.id AS a_id, b.id AS b_id
-           FROM bytes a JOIN bytes b
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // incremental twin: index side = ids 8..23 with the BUILD-time cap
+    // (row_number per bucket over index rows only), new side = ids 0..7
+    // uncapped; pairs = new × index band candidates, popcount verify.
+    "q_image_neardup_incr" ->
+      (s"""WITH $ImageDhashCtes,
+         idx AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes WHERE id >= 8)
+           WHERE br <= 2),
+         neu AS (SELECT id, byy, bv FROM bytes WHERE id < 8),
+         cand AS (
+           SELECT DISTINCT n.id AS a_id, i.id AS b_id
+           FROM neu n JOIN idx i ON n.byy = i.byy AND n.bv = i.bv),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // corpus-scale twin: same closed form over EVERY doc_id — pattern
+    // family (doc_id // 3) % 97, jitter doc_id % 3, same capped tail.
+    "q_image_neardup_corpus" ->
+      (s"""WITH ${imageDhashCtes(
+        """SELECT doc_id AS id, (doc_id // 3) % 97 AS g, doc_id % 3 AS j
+           FROM main.documents""")},
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
              ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
          ham AS (
            SELECT c.a_id, c.b_id,
@@ -5709,9 +5956,16 @@ object SparkEntry {
            SELECT id, b // 8 AS byy,
                   CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bv
            FROM abits GROUP BY 1, 2),
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
          cand AS (
            SELECT DISTINCT a.id AS a_id, b.id AS b_id
-           FROM bytes a JOIN bytes b
+           FROM capped a JOIN capped b
              ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
          ham AS (
            SELECT c.a_id, c.b_id,
@@ -6682,10 +6936,14 @@ object SparkEntry {
     * q_stream_image_dedup): the 24 closed-form fixtures reduce to
     * per-(id, row) hash bytes — box = block at 72×64, so bits compare
     * block values directly. */
-  private val ImageDhashCtes: String =
-    """ii AS (
-           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
-           FROM documents WHERE doc_id < 24),
+  private val ImageDhashCtes: String = imageDhashCtes(
+    """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
+           FROM documents WHERE doc_id < 24""")
+
+  /** [[ImageDhashCtes]] parameterized by the (id, g, j) generator — the
+    * corpus-scale query uses the same closed form over ALL doc_ids. */
+  private def imageDhashCtes(iiSql: String): String =
+    s"""ii AS ($iiSql),
          vals AS MATERIALIZED (
            SELECT i.id, bx.bx, byy.byy,
                   (((37 + 11 * i.g) * bx.bx + (23 + 7 * i.g) * byy.byy
@@ -6721,6 +6979,8 @@ object SparkEntry {
          WHEN k >= 3 AND ls[k] IN ${inList(graft.llm.TextOps.PslWildcard1)}
               THEN array_to_string(ls[k-2:k], '.')
          WHEN k >= 3 AND array_to_string(ls[k-1:k], '.') IN ${inList(graft.llm.TextOps.PslSuffix2)}
+              THEN array_to_string(ls[k-2:k], '.')
+         WHEN k >= 3 AND array_to_string(ls[k-2:k], '.') IN ${inList(graft.llm.TextOps.PslSuffix3)}
               THEN array_to_string(ls[k-2:k], '.')
          WHEN k >= 2 THEN array_to_string(ls[k-1:k], '.')
          ELSE host END"""

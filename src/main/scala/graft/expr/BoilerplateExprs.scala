@@ -80,7 +80,10 @@ object BoilerplateModel {
       val trimmed = trimSpaces(lines(li))
       // tokens of the lowercased trimmed line, empty tokens dropped —
       // the split('\s+') + filter(t <> '') HOF chain in one pass
-      val toks = trimmed.toLowerCase.split("\\s+")
+      // Locale.ROOT pins the mapping: Spark's lower() is locale-independent
+      // (UTF8String), and a default-locale toLowerCase would diverge on e.g.
+      // a Turkish JVM ('I' -> dotless ı), breaking native≡HOF≡oracle identity
+      val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       var nw = 0
       var stops = 0
       var t = 0

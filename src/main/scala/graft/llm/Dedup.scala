@@ -338,7 +338,11 @@ object Dedup {
           .as(Seq("__band__", "__bh__")))
       .select(col("__nid__"), col("__ntoks__"),
         concat(col("__band__"), lit(":"), col("__bh__")).as("__bkey__"))
-    banded
+    // cache the new-slice band rows: the slice is hashed once even when a
+    // caller materializes the result more than once (the sibling joins'
+    // scope contract — previously the parameter was accepted but unused)
+    val bandedCached = scope.cache(banded)
+    bandedCached
       .join(index, Seq("__bkey__"))
       .withColumn("jaccard",
         round(expr(s"word_ngram_jaccard(__ntoks__, __toks__, $shingleSize)"), 6))

@@ -187,6 +187,122 @@ object LangModel {
         coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
   }
 
+  /** Continuation-unigram probability of the trigram model's base level:
+    * N1+(•w3)/N1+(••) over the distinct-(w2,w3)-with-left-context table.
+    * Expects n1bw3 (NULL if w3 unseen) and nuni. */
+  private[graft] val Kn3PuSql: String =
+    """coalesce(CAST(n1bw3 AS DOUBLE), CAST(0 AS DOUBLE))
+       / CAST(nuni AS DOUBLE)"""
+
+  /** Middle (bigram) level of the trigram model, built from CONTINUATION
+    * counts the KN way: "counts" are N1+(•w2w3) (distinct left contexts
+    * of the bigram in the trigram table), the context mass is
+    * N1+(•w2•) = nc2 and the interpolation weight uses
+    * N1+(w2•) = n1fw2m (distinct continuations of w2 among trigram
+    * middles). NULL-keyed backoff: bigram unseen → weight·pu; middle
+    * word unseen → pu alone. Same fixed D = 0.75. */
+  private[graft] val Kn3PbSql: String =
+    """CASE
+         WHEN n1bw23 IS NOT NULL THEN
+           ((CAST(n1bw23 AS DOUBLE) - 0.75) / CAST(nc2 AS DOUBLE))
+           + ((0.75 * CAST(n1fw2m AS DOUBLE)) / CAST(nc2 AS DOUBLE)) * pu
+         WHEN nc2 IS NOT NULL THEN
+           ((0.75 * CAST(n1fw2m AS DOUBLE)) / CAST(nc2 AS DOUBLE)) * pu
+         ELSE pu
+       END"""
+
+  /** Top (trigram) level: raw counts c123/c12, interpolation weight
+    * D·N1+(w1w2•)/c(w1w2), recursing into the already-computed middle
+    * probability `pb`. Unseen context backs off to `pb` entirely. */
+  private[graft] val Kn3PSql: String =
+    """CASE
+         WHEN c123 IS NOT NULL THEN
+           ((CAST(c123 AS DOUBLE) - 0.75) / CAST(c12 AS DOUBLE))
+           + ((0.75 * CAST(n1fw12 AS DOUBLE)) / CAST(c12 AS DOUBLE)) * pb
+         WHEN c12 IS NOT NULL THEN
+           ((0.75 * CAST(n1fw12 AS DOUBLE)) / CAST(c12 AS DOUBLE)) * pb
+         ELSE pb
+       END"""
+
+  /** Interpolated Kneser–Ney word-TRIGRAM perplexity — [[knBigramScore]]
+    * generalized to order 3 with the full recursive backoff (the KenLM
+    * shape: Chen & Goodman 1998 interpolated KN, fixed D = 0.75):
+    *
+    *   P(w₃|w₁w₂) = (c(w₁w₂w₃)−D)/c(w₁w₂)
+    *              + (D·N1+(w₁w₂•)/c(w₁w₂)) · P_KN(w₃|w₂)
+    *   P_KN(w₃|w₂) = (N1+(•w₂w₃)−D)/N1+(•w₂•)
+    *              + (D·N1+(w₂•)/N1+(•w₂•)) · N1+(•w₃)/N1+(••)
+    *
+    * EVERY lower-order quantity derives from the ONE trigram-count
+    * table (continuation counts, the Kneser–Ney insight) — training
+    * stays a single map-side-combined corpus pass; the middle/unigram
+    * tables are vocabulary-bounded aggregates of it. No sentence
+    * markers: a bigram occurring only at document edges has no
+    * enclosing trigram and backs off (KenLM's <s> padding is a corpus
+    * prep choice, not an operator one).
+    *
+    * Determinism: the ONE-shared-formula-string discipline of the
+    * bigram op, layered — `pu`, `pb`, `p` are each computed as their
+    * own column from a literal shared with the oracle ([[Kn3PuSql]] /
+    * [[Kn3PbSql]] / [[Kn3PSql]]), so the IEEE op order is identical on
+    * both engines; per-trigram integer micro-bits ([[KnTermSql]], flat
+    * 30-bit OOV when the continuation mass is zero) make the per-doc
+    * sum order-free. Short docs (< 3 words) re-emit as (0, 0.0).
+    * Output: (idCol, n_trigrams, bits_per_trigram). */
+  def knTrigramScore(
+      docs: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    def trigramsOf(df: DataFrame, cols: Column*): DataFrame = df
+      .withColumn("__toks__", TextOps.letterWords(textCol))
+      .where(size(col("__toks__")) >= 3 &&
+        element_at(col("__toks__"), 1) =!= "")
+      .select(cols :+ explode(TextOps.wordShingles("__toks__", 3)).as("tg"): _*)
+    val tb3 = scope.cache(trigramsOf(train)
+      .groupBy(col("tg")).agg(count(lit(1)).as("c123")))
+    val ctx = tb3
+      .groupBy(substring_index(col("tg"), " ", 2).as("bg12"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1fw12"))
+    val mid = scope.cache(tb3
+      .groupBy(substring_index(col("tg"), " ", -2).as("bg23"))
+      .agg(count(lit(1)).as("n1bw23")))
+    val midctx = mid
+      .groupBy(expr("split(bg23, ' ')[0]").as("w2m"))
+      .agg(sum(col("n1bw23")).as("nc2"), count(lit(1)).as("n1fw2m"))
+    val uni3 = mid
+      .groupBy(expr("split(bg23, ' ')[1]").as("w3"))
+      .agg(count(lit(1)).as("n1bw3"))
+    val tot = mid.agg(count(lit(1)).as("nuni"))
+    val scored = trigramsOf(docs, col(idCol))
+      .withColumn("bg12", substring_index(col("tg"), " ", 2))
+      .withColumn("bg23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2m", expr("split(tg, ' ')[1]"))
+      .withColumn("w3", expr("split(tg, ' ')[2]"))
+      .join(tb3, Seq("tg"), "left")
+      .join(ctx, Seq("bg12"), "left")
+      .join(mid, Seq("bg23"), "left")
+      .join(midctx, Seq("w2m"), "left")
+      .join(uni3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot)) // 1-row model parameter attach
+      .withColumn("pu", expr(Kn3PuSql))
+      .withColumn("pb", expr(Kn3PbSql))
+      .withColumn("p", expr(Kn3PSql))
+      .withColumn("__mb__", expr(KnTermSql))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__mb__")).as("__s__"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("__s__").cast("double") / col("n_trigrams").cast("double")
+          / lit(1000000.0), 6).as("bits_per_trigram"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("bits_per_trigram"), lit(0.0)).as("bits_per_trigram"))
+  }
+
   /** Interpreted HOF formulation of [[bitsPerChar]] over an inline
     * map<bigram,double> literal — the cross-engine semantic definition
     * the LangModelSpec pins the native against (the same native≡HOF

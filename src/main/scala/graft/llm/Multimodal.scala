@@ -249,25 +249,52 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       maxHamming: Int = 6,
-      scope: CacheScope = CacheScope.global): DataFrame =
-    bandedHammingPairs(dhash(df, idCol, payloadCol), idCol, maxHamming, scope)
+      scope: CacheScope = CacheScope.global,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(dhash(df, idCol, payloadCol), idCol, maxHamming, scope,
+      maxPerBucketSide)
 
   /** Shared band-blocked Hamming join over an (idCol, `dhash` 8-byte
     * array) frame — the candidate generator both perceptual hashes
     * (image [[dhash]], audio [[audioDhash]]) feed: equi-join on any
     * shared band byte (EXACT for hamming ≤ 7 by pigeonhole), inline
-    * popcount verify over the carried arrays, distinct pairs. */
+    * popcount verify over the carried arrays, distinct pairs.
+    *
+    * THE QUADRATIC GUARD (`maxPerBucketSide`): unlike the md5-wide
+    * MinHash/simhash band keys, a dHash band value lives in a FIXED
+    * 256-value domain — per-(band, value) population grows ∝ n/256 (worse
+    * on real corpora, where near-constant regions pile into few byte
+    * values), so the uncapped self-join is O(n²/256) at scale. The cap is
+    * the repo's standard deterministic skew guard (bitext
+    * `maxPerBucketSide` / MinHash `maxBucketSize`): each (band, value)
+    * bucket keeps only its `cap` lowest-id members for PAIRING — a
+    * documented recall trade-off, row_number-replayable in a SQL oracle —
+    * bounding candidates at 8·256·cap² regardless of corpus size. */
   private def bandedHammingPairs(
       hashFrame: DataFrame,
       idCol: String,
       maxHamming: Int,
-      scope: CacheScope): DataFrame = {
+      scope: CacheScope,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "byte-band blocking is exact only for hamming <= 7")
+    require(maxPerBucketSide >= 1, "maxPerBucketSide must be positive")
     import org.apache.spark.sql.functions._
     val hashes = scope.cache(hashFrame.where(col("dhash").isNotNull))
-    val banded = hashes.select(col(idCol).as("__id__"), col("dhash"),
+    val bandedAll = hashes.select(col(idCol).as("__id__"), col("dhash"),
       posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+    // the capped frame is cached: it feeds BOTH self-join sides, and an
+    // uncached window subplan would rank every bucket twice (Spark does
+    // not share uncached subplans across branches)
+    val banded =
+      if (maxPerBucketSide == Int.MaxValue) bandedAll
+      else scope.cache(bandedAll
+        .withColumn("__br__",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band__"), col("__bv__"))
+            .orderBy(col("__id__"))))
+        .where(col("__br__") <= maxPerBucketSide)
+        .drop("__br__"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.__band__") === col("b.__band__") &&
@@ -275,6 +302,121 @@ object Multimodal {
           col("a.__id__") < col("b.__id__"))
       .select(col("a.__id__").as("a_id"), col("b.__id__").as("b_id"),
         expr("""CAST(aggregate(zip_with(a.dhash, b.dhash,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Persistable dHash INDEX of an image corpus — the batch artifact
+    * [[graft.streaming.Streams.streamingImageDedup]]'s scaladoc promises
+    * near-dup pairing queries run against, mirroring
+    * [[Dedup.minhashIndex]]: one row per band posting keyed by the
+    * composite `__bkey__` = "<band>:<byte-value>" (equality on the
+    * string ⟺ (band, value) equality — both parts are small ints and
+    * ':' separates), with the FULL 8-byte hash DENORMALIZED onto the
+    * posting so a query verifies candidates inline (popcount over the
+    * two carried arrays — no join back to the corpus).
+    *
+    * `maxPerBucketSide` caps postings per bucket AT BUILD time (the
+    * lowest-id rule of [[bandedHammingPairs]]): dHash band values live
+    * in a FIXED 256-value domain, so uncapped bucket population — and
+    * with it every future query's candidate count — grows ∝ n/256 with
+    * the corpus. Capping at build bounds all downstream query cost once,
+    * with no query-time window over the index.
+    *
+    * Persist with `ParquetIO.writeBucketed(index, table, path,
+    * "__bkey__", buckets)`: the saved hash-on-join-key layout satisfies
+    * the band join's required distribution, so queries plan ZERO
+    * index-side exchanges (spec-pinned, the minhashIndex precedent).
+    * Columns: (`__id__`, `__bkey__`, `__dhash__`). */
+  def dhashIndex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    hashIndexOf(dhash(df, idCol, payloadCol), idCol, maxPerBucketSide)
+
+  /** [[dhashIndex]] for audio ([[audioDhash]] postings — same contract). */
+  def audioDhashIndex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    hashIndexOf(audioDhash(df, idCol, payloadCol), idCol, maxPerBucketSide)
+
+  private def hashIndexOf(
+      hashFrame: DataFrame,
+      idCol: String,
+      maxPerBucketSide: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxPerBucketSide >= 1, "maxPerBucketSide must be positive")
+    val banded = hashFrame.where(col("dhash").isNotNull)
+      .select(col(idCol).as("__id__"), col("dhash").as("__dhash__"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+    val capped =
+      if (maxPerBucketSide == Int.MaxValue) banded
+      else banded
+        .withColumn("__br__",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band__"), col("__bv__"))
+            .orderBy(col("__id__"))))
+        .where(col("__br__") <= maxPerBucketSide)
+        .drop("__br__")
+    capped.select(col("__id__"),
+      concat(col("__band__"), lit(":"), col("__bv__")).as("__bkey__"),
+      col("__dhash__"))
+  }
+
+  /** INCREMENTAL perceptual near-dup join: the new slice's images are
+    * decoded + hashed, band-joined against a pre-built [[dhashIndex]]
+    * (typically read back from its bucketed table — the index side is
+    * scanned as stored, no hashing, no shuffle), and candidates verify
+    * inline by popcount over the two carried hash arrays. Growing the
+    * index does not grow the per-crawl shuffle; with a build-time-capped
+    * index, candidate count per new image is bounded at 8·cap. Returns
+    * (a_id = new id, b_id = index id, hamming ≤ `maxHamming`) —
+    * hamming ≤ 7 stays EXACT-by-pigeonhole relative to the (possibly
+    * capped) index postings. */
+  def imageNearDupJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    hashJoinIndexed(dhash(newDocs, idCol, payloadCol), idCol, index,
+      maxHamming, scope)
+
+  /** [[imageNearDupJoinIndexed]] for audio (vs an [[audioDhashIndex]]). */
+  def audioNearDupJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    hashJoinIndexed(audioDhash(newDocs, idCol, payloadCol), idCol, index,
+      maxHamming, scope)
+
+  private def hashJoinIndexed(
+      hashFrame: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      maxHamming: Int,
+      scope: CacheScope): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    val newBanded = scope.cache(hashFrame.where(col("dhash").isNotNull)
+      .select(col(idCol).as("__nid__"), col("dhash"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+      .select(col("__nid__"), col("dhash"),
+        concat(col("__band__"), lit(":"), col("__bv__")).as("__bkey__")))
+    newBanded
+      .join(index, Seq("__bkey__"))
+      .select(col("__nid__").as("a_id"), col("__id__").as("b_id"),
+        expr("""CAST(aggregate(zip_with(dhash, __dhash__,
                   (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
                 AS BIGINT)""").as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -349,9 +491,10 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       maxHamming: Int = 6,
-      scope: CacheScope = CacheScope.global): DataFrame =
+      scope: CacheScope = CacheScope.global,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
     bandedHammingPairs(audioDhash(df, idCol, payloadCol), idCol, maxHamming,
-      scope)
+      scope, maxPerBucketSide)
 
   /** Per-channel pixel statistics produced by [[decodePixels]] — the
     * output of a REAL decompress-and-unfilter pass over PNG image data

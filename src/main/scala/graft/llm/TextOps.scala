@@ -733,6 +733,10 @@ object TextOps {
         .when(k >= 2 && two.isin(PslException2: _*), two) // !rule: itself
         .when(k >= 3 && last1.isin(PslWildcard1: _*), three) // *.tld
         .when(k >= 3 && two.isin(PslSuffix2: _*), three)
+        // host IS a 3-label public suffix whose 2-label tail is not itself
+        // a suffix (s3.amazonaws.com): return itself, matching the 2-label
+        // and blogspot.co.uk-style host-is-suffix cases above
+        .when(k >= 3 && three.isin(PslSuffix3: _*), three)
         .when(k >= 2, two)
         .otherwise(host)
     struct(scheme.as("scheme"), host.as("host"), path.as("path"),

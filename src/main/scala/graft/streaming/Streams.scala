@@ -205,11 +205,21 @@ object Streams {
     * shares q_token_budget's oracle by reference). ACROSS batches the
     * policy is first-arrivals — a stream cannot rank against documents
     * it has not seen. Groups without a weight admit nothing (the batch
-    * op's inner weight join). Per (group, batch) the rows buffer once
-    * for the ranking sort — unlike the domain cap there is no bounded
-    * selection, because EVERY row moves the running sum and admission is
-    * a rank-prefix property; the closed-group fast path is the
-    * memory-pressure valve.
+    * op's inner weight join).
+    *
+    * MEMORY BOUND per (group, batch): the admitted set is a RANK PREFIX
+    * (cum only grows, so once it passes quota nothing later admits), and
+    * every admissible row with ≥1 token consumes ≥1 of the remaining
+    * quota — so a bounded max-heap holding the `remaining + 1`
+    * lowest-ranked nonzero-token rows provably contains every admissible
+    * one (a row evicted past that capacity has ≥ remaining+1 tokens of
+    * lower-ranked text before it). Zero-token rows (admissible at ANY
+    * crossing point before the prefix closes) buffer separately; they
+    * are part of the output itself, so holding them is the information
+    * floor, not slack. Total: O(min(batch-group rows, remaining-quota +
+    * zero-token rows)) — never the unconditional whole-batch `toArray`.
+    * The running sum still counts EVERY row via a single-pass total, so
+    * admission semantics are unchanged.
     *
     * State: ONE long (cumulative token count) per group — group-bounded
     * (mixture tables are tiny), RocksDB-backed at scale. */
@@ -252,19 +262,42 @@ object Streams {
           quotas.get(g) match {
             case None => Iterator.empty // unweighted group: nothing admits
             case Some(quota) =>
-              var cum = state.getOption.getOrElse(0L)
-              if (cum > quota) Iterator.empty // closed group fast path
+              val entering = state.getOption.getOrElse(0L)
+              if (entering > quota) Iterator.empty // closed group fast path
               else {
-                val ranked = it
-                  .map(r => (r.getString(3), r.getLong(0), r.getLong(2)))
-                  .toArray
-                ranked.sortInPlace()(Ordering.by(t => (t._1, t._2)))
+                val rankOrd: Ordering[(String, Long, Long)] =
+                  Ordering.by(t => (t._1, t._2))
+                // capacity = remaining quota + 1 (Long quota clamped):
+                // every kept nonzero row costs >= 1 token, so an evicted
+                // row has > remaining tokens ranked before it — provably
+                // never admitted
+                val cap = math.min(quota - entering + 1L, Int.MaxValue.toLong)
+                val heap = // max-heap by rank: evicts the HIGHEST-ranked
+                  scala.collection.mutable.PriorityQueue.empty(rankOrd)
+                val zeros = Seq.newBuilder[(String, Long, Long)]
+                var total = 0L
+                it.foreach { r =>
+                  val row = (r.getString(3), r.getLong(0), r.getLong(2))
+                  total += row._3
+                  if (row._3 == 0L) zeros += row
+                  else if (heap.size < cap) heap.enqueue(row)
+                  else if (rankOrd.lt(row, heap.head)) {
+                    heap.dequeue(); heap.enqueue(row)
+                  }
+                }
+                // merge the two candidate sets in rank order and walk the
+                // prefix sum; rows evicted from the heap are all ranked
+                // after every kept row, so they can only matter past the
+                // crossing point — where nothing admits anyway
+                val ranked = (heap.dequeueAll.reverse ++ zeros.result())
+                  .sorted(rankOrd)
+                var cum = entering
                 val out = Seq.newBuilder[Row]
                 ranked.foreach { case (_, id, nt) =>
                   cum += nt
                   if (cum <= quota) out += Row(id, g, nt, cum)
                 }
-                state.update(cum)
+                state.update(entering + total)
                 out.result().iterator
               }
           }

@@ -1801,6 +1801,32 @@ class LlmSpec extends GraftSuite {
     assert(pairs === (0L until 3L).map(g => (g, g + 3)).toSet)
   }
 
+  test("perceptual band join maxPerBucketSide keeps lowest-id bucket members") {
+    val s = spark
+    import s.implicits._
+    // 5 byte-identical images: every (band, value) bucket holds all 5 ids.
+    // Uncapped -> all C(5,2)=10 hamming-0 pairs; cap=2 keeps only ids
+    // {0,1} for pairing in every bucket -> exactly the (0,1) pair. The
+    // deterministic lowest-id rule is what the SQL oracle replays with
+    // row_number() OVER (PARTITION BY band, value ORDER BY id).
+    val rows = (0L until 5L).map(id => (id, dhashFixture(1, 0)))
+    def run(cap: Int) = graft.llm.Multimodal.imageNearDupPairs(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload",
+        maxHamming = 0, maxPerBucketSide = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Int.MaxValue) ===
+      (for (a <- 0L until 5L; b <- a + 1 until 5L) yield (a, b)).toSet)
+    assert(run(2) === Set((0L, 1L)))
+    // a binding cap on MIXED buckets: two patterns, 3 copies each — cap 2
+    // pairs each pattern's two lowest ids, never crosses patterns
+    val mixed = (0L until 6L).map(id => (id, dhashFixture((id % 2).toInt, 0)))
+    val capped = graft.llm.Multimodal.imageNearDupPairs(
+        mixed.toDF("doc_id", "payload"), "doc_id", "payload",
+        maxHamming = 0, maxPerBucketSide = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 2L), (1L, 3L)))
+  }
+
   test("audio dHash matches the closed form; near-dups pair, patterns don't") {
     val s = spark
     import s.implicits._
@@ -2452,6 +2478,73 @@ class LlmSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS mh_idx_spec")
   }
 
+  test("imageNearDupJoinIndexed over a persisted bucketed dHash index: cross-slice parity, index side never reshuffles") {
+    val s = spark
+    import s.implicits._
+    // 4 patterns × 3 jitters, split: index = ids 6..11, new slice = 0..5
+    val rows = (0L until 12L).map { id =>
+      (id, dhashFixture((id % 4).toInt, (id / 4).toInt))
+    }
+    val all = rows.toDF("doc_id", "payload")
+    val idxSide = all.where(sc("doc_id") >= 6)
+    val newSide = all.where(sc("doc_id") < 6)
+    def trip(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: uncapped within-corpus pairs crossing the slice split
+    val direct = trip(graft.llm.Multimodal.imageNearDupPairs(
+        all, "doc_id", "payload", maxHamming = 6))
+      .filter { case (a, b, _) => a < 6 && b >= 6 }
+    assert(direct.nonEmpty)
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Multimodal.dhashIndex(idxSide, "doc_id", "payload"),
+      "dhash_idx_spec", "/tmp/graft_dhash_idx/spec", "__bkey__", 4)
+    try {
+      val joined = graft.llm.Multimodal.imageNearDupJoinIndexed(
+        newSide, "doc_id", "payload", s.table("dhash_idx_spec"),
+        maxHamming = 6)
+      assert(trip(joined) === direct)
+      // plan shape: with broadcast off, the bucketed index scan feeds the
+      // band join WITHOUT a ShuffleExchange above it — only the new slice
+      // pays a shuffle (index-side query cost = the scan, at any corpus
+      // size). Same pin as the minhashJoinIndexed spec.
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def hasScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec => f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_dhash_idx/spec"))
+          case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+          case w: WholeStageCodegenExec => hasScan(w.child)
+          case other => other.children.exists(hasScan)
+        }
+        def hasJoin(p: SparkPlan): Boolean = p match {
+          case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+          case w: WholeStageCodegenExec => hasJoin(w.child)
+          case other => other.nodeName.contains("Join") ||
+            other.children.exists(hasJoin)
+        }
+        def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+          case sh: ShuffleExchangeExec =>
+            (hasScan(sh.child) && !hasJoin(sh.child)) ||
+              hasShuffleAbove(sh.child)
+          case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+          case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+          case other => other.children.exists(hasShuffleAbove)
+        }
+        val plan = graft.llm.Multimodal.imageNearDupJoinIndexed(
+            newSide, "doc_id", "payload", s.table("dhash_idx_spec"),
+            maxHamming = 6)
+          .queryExecution.executedPlan
+        assert(hasScan(plan), "expected the bucketed index scan in the plan")
+        assert(!hasShuffleAbove(plan),
+          s"index side re-shuffled — bucketed layout not riding free:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally s.sql("DROP TABLE IF EXISTS dhash_idx_spec")
+  }
+
   test("autoBits: exact integer ceil-log2 with clamping") {
     import graft.llm.Embeddings.autoBits
     // smallest b with 2^b >= ceil(n / target), clamped to [min, max]
@@ -2732,6 +2825,88 @@ class LlmSpec extends GraftSuite {
         .orderBy(sc("doc_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(got === scalaKn(data, pred))
+    }
+  }
+
+  test("knTrigramScore matches a plain-Scala recursive-KN re-derivation") {
+    val s = spark
+    import s.implicits._
+    def words(text: String): Seq[String] =
+      java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+        .toLowerCase.replaceAll("[^\\p{L}]+", " ").trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+    def scalaKn3(corpus: Seq[(Long, String)], trainPred: Long => Boolean)
+        : Seq[(Long, Long, Double)] = {
+      def trigrams(t: String): Seq[(String, String, String)] = {
+        val w = words(t)
+        if (w.length < 3) Seq.empty
+        else w.sliding(3).map(g => (g(0), g(1), g(2))).toSeq
+      }
+      val tb3 = corpus.filter(d => trainPred(d._1)).flatMap(d => trigrams(d._2))
+        .groupBy(identity).map { case (tg, g) => tg -> g.size.toLong }
+      val ctx = tb3.groupBy(t => (t._1._1, t._1._2))
+        .map { case (k, g) => k -> (g.values.sum, g.size.toLong) }
+      val mid = tb3.groupBy(t => (t._1._2, t._1._3))
+        .map { case (k, g) => k -> g.size.toLong } // N1+(. w2 w3)
+      val midctx = mid.groupBy(_._1._1)
+        .map { case (w2, g) => w2 -> (g.values.sum, g.size.toLong) }
+      val uni3 = mid.groupBy(_._1._2).map { case (w3, g) => w3 -> g.size.toLong }
+      val nuni = mid.size.toLong
+      def term(tg: (String, String, String)): Long = {
+        val pu = uni3.get(tg._3).map(_.toDouble).getOrElse(0.0) / nuni.toDouble
+        val pb = (mid.get((tg._2, tg._3)), midctx.get(tg._2)) match {
+          case (Some(nb), Some((nc2, nf))) =>
+            ((nb.toDouble - 0.75) / nc2.toDouble) +
+              ((0.75 * nf.toDouble) / nc2.toDouble) * pu
+          case (None, Some((nc2, nf))) =>
+            ((0.75 * nf.toDouble) / nc2.toDouble) * pu
+          case _ => pu
+        }
+        val p = (tb3.get(tg), ctx.get((tg._1, tg._2))) match {
+          case (Some(c123), Some((c12, nf12))) =>
+            ((c123.toDouble - 0.75) / c12.toDouble) +
+              ((0.75 * nf12.toDouble) / c12.toDouble) * pb
+          case (None, Some((c12, nf12))) =>
+            ((0.75 * nf12.toDouble) / c12.toDouble) * pb
+          case _ => pb
+        }
+        if (p <= 0) 30000000L
+        else BigDecimal(-(StrictMath.log(p) / StrictMath.log(2.0)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      corpus.map { case (id, t) =>
+        val tgs = trigrams(t)
+        if (tgs.isEmpty) (id, 0L, 0.0)
+        else {
+          val sum = tgs.map(term).sum
+          (id, tgs.size.toLong,
+            BigDecimal(sum.toDouble / tgs.size.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy(_._1)
+    }
+    // adversarial fixture: repeated trigrams (discount visible), unseen
+    // w3 (OOV), SEEN words in an unseen context (trigram->middle
+    // backoff), unseen middle word (middle->unigram backoff), edge-only
+    // bigrams (no enclosing trigram), 2-word and empty docs (re-emit)
+    val fixture = Seq(
+      (0L, "the cat sat on the mat the cat sat on a log"),
+      (1L, "a cat sat on the mat"), (2L, "the dog ran over the mat"),
+      (3L, "mat the cat unseenword on the"), (4L, "cat zq sat"),
+      (5L, "one two"), (6L, ""), (7L, "sat on"))
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("doc_id"), sc("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for ((data, pred) <- Seq(
+        (fixture, (id: Long) => id <= 2L),
+        (corpus, (id: Long) => id % 4 == 0L))) {
+      val df = data.toDF("doc_id", "text")
+      val got = graft.llm.LangModel.knTrigramScore(
+          df, df.where(sc("doc_id").isin(data.map(_._1).filter(pred): _*)),
+          "doc_id", "text")
+        .orderBy(sc("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === scalaKn3(data, pred))
     }
   }
 

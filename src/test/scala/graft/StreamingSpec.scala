@@ -147,6 +147,19 @@ class StreamingSpec extends GraftSuite {
           d, "doc_id", "lang", "text", Map("en" -> 0.5, "fr" -> 0.25), 40L)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       assert(backfill === batch && batch.nonEmpty)
+      // BOUNDED-selection path: quota(en) = 4 → heap capacity 5 against 20
+      // nonzero docs (evictions exercised) + zero-token docs riding the
+      // side buffer — still bit-identical to the batch operator
+      val dz = ((0L until 20L).map(i => (i, "en", txt)) ++
+        (50L until 55L).map(i => (i, "en", ""))).toDF("doc_id", "lang", "text")
+      val batchZ = graft.llm.TextOps.tokenBudgetFill(
+          dz, "doc_id", "lang", "text", Seq(("en", 0.5)).toDF("lang", "weight"),
+          budget = 8L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val backfillZ = Streams.streamingTokenBudget(
+          dz, "doc_id", "lang", "text", Map("en" -> 0.5), 8L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(backfillZ === batchZ && batchZ.nonEmpty)
     } finally q.stop()
   }
 
