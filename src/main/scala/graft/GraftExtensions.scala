@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
+import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, UnigramViterbiExcl, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -134,6 +134,14 @@ object GraftExtensions {
         require(args.length == 2,
           "unigram_viterbi_pieces takes exactly 2 arguments")
         UnigramViterbiPieces(args.head, args(1))
+      }),
+    (FunctionIdentifier("unigram_viterbi_excl"),
+      new ExpressionInfo(classOf[UnigramViterbiExcl].getName,
+        "unigram_viterbi_excl"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "unigram_viterbi_excl takes exactly 3 arguments")
+        UnigramViterbiExcl(args.head, args(1), args(2))
       }),
     (FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),

@@ -3018,6 +3018,26 @@ object SparkEntry {
         .sort(col("piece"))
         .run(s)),
 
+    // --- unigram-LM VOCABULARY PRUNING (Kudo 2018 §4.2 step 3, the
+    //     missing step next to the EM rounds): round-1 EM output seeds a
+    //     likelihood-loss pass — per (word, best-path multi-char piece)
+    //     exclusion Viterbi via the unigram_viterbi_excl native — keep
+    //     the 40 highest-loss pieces + the character floor, then one
+    //     recost E-step. The oracle replays EVERYTHING: round-1 EM, the
+    //     (w, x)-keyed exclusion DP, the loss ranking, and the recost DP
+    //     over the pruned inventory ---
+    "q_unigram_prune" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          val r1 = graft.llm.Unigram.emRefit(
+              df, "text", vocabSize = 120, maxPieceLen = 4, maxWordLen = 12)
+            .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+          graft.llm.Unigram.pruneVocab(
+            df, "text", r1, keepPieces = 40, maxPieceLen = 4, maxWordLen = 12)
+        }
+        .sort(col("piece"))
+        .run(s)),
+
     // --- BPE training statistic: top adjacent-character pairs over the
     //     corpus VOCABULARY (explode runs on vocab × frequency, never on
     //     raw text — Heaps' law makes that sublinear in corpus size) ---
@@ -3034,6 +3054,17 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       m(dir, "documents")
         .native(df => graft.llm.TextOps.bpeTrain(df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    // --- BYTE-LEVEL BPE (the GPT-2 family): raw whitespace words, UTF-8
+    //     bytes as hex-pair base symbols — total tokenizer, no [UNK] by
+    //     construction (LlmSpec proves the property on arbitrary
+    //     scripts); same merge loop, same 4-iteration unrolled oracle
+    //     over the byte seed ---
+    "q_bpe_bytes" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeTrainBytes(df, "text", merges = 4))
         .sort(col("merge_ix"))
         .run(s)),
 
@@ -6221,6 +6252,52 @@ object SparkEntry {
                            * 1000000) AS BIGINT) AS cost_microbits
          FROM r2emall, r2emtot ORDER BY piece"""),
 
+    // Vocabulary pruning replay: round-1 EM (emall/emtot) re-costs into
+    // vocab2; a p2-prefixed DP + backtrack gives every word's best cost
+    // and path; the (w, x)-keyed exclusion DP replays the
+    // unigram_viterbi_excl probes; loss ranks keep the top 40 multi-char
+    // pieces + the char floor; a p3-prefixed recost round over the
+    // pruned inventory produces the final (piece, n, cost).
+    "q_unigram_prune" ->
+      (s"""WITH $UnigramTrainCtes,
+         $UnigramDpCtes,
+         ${UnigramEmCtes(120)},
+         vocab2 AS (
+           SELECT piece,
+                  CAST(round((ln(CAST(et AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                             * 1000000) AS BIGINT) * 64 + 1 AS cc
+           FROM emall, emtot),
+         ${unigramDpRound("p2", "vocab2")},
+         ${UnigramEmCtes(120, "p2", "emall")},
+         px AS MATERIALIZED (
+           SELECT DISTINCT w, piece AS x
+           FROM (${(1 to 12).map(k => s"SELECT w, piece FROM p2ch$k")
+             .mkString(" UNION ALL ")})
+           WHERE len(piece) >= 2),
+         ${unigramExclDpRound("pz", "vocab2", "px")},
+         lossx AS (
+           SELECT wx.x AS piece,
+                  CAST(sum(f * ((wx.c // 64) - (ws.c // 64))) AS BIGINT)
+                    AS loss
+           FROM pzwstatx wx
+           JOIN p2wstatu ws USING (w)
+           JOIN wfu USING (w)
+           GROUP BY 1),
+         keepx AS (
+           SELECT piece FROM (
+             SELECT piece, row_number() OVER (ORDER BY loss DESC, piece) AS r
+             FROM lossx)
+           WHERE r <= 40),
+         vocabp AS MATERIALIZED (
+           SELECT piece, cc FROM vocab2
+           WHERE len(piece) = 1 OR piece IN (SELECT piece FROM keepx)),
+         ${unigramDpRound("p3", "vocabp")},
+         ${UnigramEmCtes(1000000, "p3", "vocabp")}
+         SELECT piece, n,
+                CAST(round((ln(CAST(et AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+                           * 1000000) AS BIGINT) AS cost_microbits
+         FROM p3emall, p3emtot ORDER BY piece"""),
+
     // Vocabulary-weighted character-pair counts (one BPE iteration's
     // argmax statistic): word freq first, then per-word adjacent pairs
     // replicated by unnest; same (n desc, pair) deterministic cut.
@@ -6253,6 +6330,57 @@ object SparkEntry {
            FROM w WHERE len(w) >= 1 GROUP BY 1),
          e0 AS (
            SELECT ';' || regexp_replace(w, '(.)', '\1;;', 'g') || '_;' AS e, f
+           FROM wf),
+         s1 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e0),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s1),
+         b1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p1
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e1 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e0, b1 b),
+         s2 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e1),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s2),
+         b2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p2
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e2 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e1, b2 b),
+         s3 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e2),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s3),
+         b3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p3
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e3 AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e2, b3 b),
+         s4 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e3),
+         p4 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s4),
+         b4 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p4
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+         SELECT merge_ix, pair, n FROM (
+           SELECT 1 AS merge_ix, pair, n FROM b1
+           UNION ALL SELECT 2, pair, n FROM b2
+           UNION ALL SELECT 3, pair, n FROM b3
+           UNION ALL SELECT 4, pair, n FROM b4)
+         ORDER BY merge_ix""",
+
+    // Byte-level BPE replay: raw whitespace words (no norm, no letter
+    // filter), UTF-8 bytes as lowercase hex-pair symbols, then the SAME
+    // four unrolled merge iterations as q_bpe_train.
+    "q_bpe_bytes" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT ';' || array_to_string(
+                    regexp_extract_all(lower(hex(encode(w))), '[0-9a-f]{2}'),
+                    ';;') || ';;_;' AS e, f
            FROM wf),
          s1 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e0),
          p1 AS (SELECT unnest(list_transform(range(1, len(s)),
@@ -6878,6 +7006,34 @@ object SparkEntry {
          SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c FROM dwu),
        $stages,
        ${pfx}wstatu AS (SELECT w, c FROM ${pfx}au12 WHERE p = len(w))"""
+  }
+
+  /** (w, x)-keyed EXCLUSION Viterbi replay (the unigram_viterbi_excl
+    * native): the same 12 unrolled integer-DP stages as
+    * [[unigramDpRound]], but transitions whose piece equals the pair's
+    * excluded `x` are dropped. `pairsCte` must provide (w, x). */
+  private def unigramExclDpRound(
+      pfx: String, costCte: String, pairsCte: String): String = {
+    val stages = (1 to 12).map { i =>
+      s"""${pfx}sx$i AS (
+           SELECT t.w, t.x, CAST($i AS BIGINT) AS p, min(d.c + t.cc) AS c
+           FROM ${pfx}trx t JOIN ${pfx}ax${i - 1} d
+             ON d.w = t.w AND d.x = t.x AND d.p = t.j
+           WHERE t.i = $i GROUP BY t.w, t.x
+         ), ${pfx}ax$i AS MATERIALIZED (
+           SELECT * FROM ${pfx}ax${i - 1} UNION ALL SELECT * FROM ${pfx}sx$i)"""
+    }.mkString(",\n")
+    s"""${pfx}trx AS MATERIALIZED (
+         SELECT p.w, p.x, t0.j, t0.i, t0.piece, v.cc
+         FROM $pairsCte p
+         JOIN tru0 t0 ON t0.w = p.w
+         JOIN $costCte v ON v.piece = t0.piece
+         WHERE t0.piece <> p.x),
+       ${pfx}ax0 AS MATERIALIZED (
+         SELECT w, x, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c
+         FROM $pairsCte),
+       $stages,
+       ${pfx}wstatx AS (SELECT w, x, c FROM ${pfx}ax12 WHERE p = len(w))"""
   }
 
   /** Hard-EM round replay appended after [[UnigramDpCtes]]: BACKTRACK the

@@ -132,6 +132,41 @@ object UnigramModel {
     }
     pieces.reverse.mkString(" ")
   }
+
+  /** EXCLUSION Viterbi — [[viterbi]] with one piece removed from the
+    * inventory: the likelihood-loss primitive of Kudo 2018's vocabulary
+    * pruning (loss of dropping piece x = Σ_w f_w · (cost_without_x −
+    * best_cost) over words whose best path uses x). Identical DP,
+    * identical composite; transitions whose piece equals `excl` are
+    * skipped. With the single-character alphabet always retained,
+    * excluding a multi-char piece can never strand a word that was
+    * reachable — but the unk composite stays the honest fallback. */
+  def viterbiExcl(word: String, m: Decoded, excl: String): Long = {
+    val len = word.length
+    if (len == 0 || len > m.maxWordLen) return m.unkComposite
+    val dp = new Array[Long](len + 1)
+    java.util.Arrays.fill(dp, Long.MaxValue)
+    dp(0) = 0L
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      val lMax = math.min(m.maxPieceLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (dp(j) != Long.MaxValue) {
+          val piece = word.substring(j, i)
+          if (piece != excl) {
+            val cc: java.lang.Long = m.table.get(piece)
+            if ((cc ne null) && dp(j) + cc.longValue < dp(i))
+              dp(i) = dp(j) + cc.longValue
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dp(len) == Long.MaxValue) m.unkComposite else dp(len)
+  }
 }
 
 /** `unigram_viterbi(word, model)` — minimal-cost unigram-LM segmentation
@@ -219,4 +254,52 @@ case class UnigramViterbiPieces(word: Expression, model: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UnigramViterbiPieces =
     copy(word = newLeft, model = newRight)
+}
+
+/** `unigram_viterbi_excl(word, model, piece)` — the best segmentation
+  * composite with ONE piece excluded from the inventory
+  * ([[UnigramModel.viterbiExcl]]): the per-(word, piece) primitive of
+  * Kudo 2018's likelihood-loss vocabulary pruning. Same plan-literal
+  * model contract as `unigram_viterbi`; `piece` is a per-row column
+  * (each word probes only the pieces on its own best path). */
+case class UnigramViterbiExcl(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "unigram_viterbi_excl"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi_excl word argument must be string, got ${first.dataType.simpleString}")
+    else if (second.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi_excl model argument must be binary, got ${second.dataType.simpleString}")
+    else if (!second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "unigram_viterbi_excl model argument must be a literal (the encoded model)")
+    else if (third.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unigram_viterbi_excl piece argument must be string, got ${third.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val decoded: UnigramModel.Decoded =
+    UnigramModel.decode(second.eval(null).asInstanceOf[Array[Byte]])
+
+  def score(w: UTF8String, x: UTF8String): Long =
+    UnigramModel.viterbiExcl(w.toString, decoded, x.toString)
+
+  override def nullSafeEval(w: Any, m: Any, x: Any): Any =
+    score(w.asInstanceOf[UTF8String], x.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unigramViterbiExcl", this,
+      classOf[UnigramViterbiExcl].getName)
+    nullSafeCodeGen(ctx, ev, (w, _, x) => s"${ev.value} = $self.score($w, $x);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : UnigramViterbiExcl =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -181,6 +181,59 @@ object TextOps {
         concat(lit(";"), concat_ws(";;", split(col("__w__"), "")), lit(";;_;"))
           .as("__e__"),
         col("__f__")))
+    bpeFitFrom(wf, merges)
+  }
+
+  /** BYTE-level word frame: raw whitespace-split words (NO unicode
+    * normalization, NO letter filter — the GPT-2 family does neither),
+    * each seeded as its UTF-8 byte sequence rendered as fixed-width
+    * LOWERCASE HEX pairs. Hex symbols live in [0-9a-f], so the `;sym;`
+    * delimiter machinery — and every oracle built on it — transfers
+    * unchanged; the `_` end-of-word marker is non-hex, no collision. */
+  private[graft] def byteWordFrame(
+      docs: DataFrame,
+      textCol: String,
+      scope: CacheScope): DataFrame = scope.cache(docs
+    .select(explode(split(col(textCol), "\\s+")).as("__w__"))
+    .where(length(col("__w__")) >= 1)
+    .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
+    .select(col("__w__"),
+      concat(lit(";"),
+        concat_ws(";;", expr(
+          "regexp_extract_all(lower(hex(encode(__w__, 'UTF-8'))), '[0-9a-f]{2}', 0)")),
+        lit(";;_;")).as("__e__"),
+      col("__f__")))
+
+  /** BYTE-LEVEL BPE training — the GPT-2 tokenizer family, the fourth
+    * production trainer next to char-level BPE / WordPiece / unigram-LM:
+    * the base alphabet is the 256 BYTES of each word's UTF-8 encoding,
+    * which makes the tokenizer TOTAL — any string over any script
+    * segments into base symbols, so there is no `[UNK]` BY CONSTRUCTION
+    * (the char-level trainers need an unknown token for any character
+    * outside the training alphabet; reference GPT-2 bpe chose bytes for
+    * exactly this reason). Merge semantics, determinism contract
+    * ((count desc, pair asc) argmax), early exhaustion, and the
+    * checkpointed lineage bound are [[bpeTrain]]'s — the loop is
+    * literally shared ([[bpeFitFrom]]); only the seeding differs
+    * ([[byteWordFrame]]: raw whitespace words, hex-pair byte symbols).
+    * Output rows: (merge_ix, pair, n) with pair = "<hexsym> <hexsym>". */
+  def bpeTrainBytes(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    bpeFitFrom(byteWordFrame(docs, textCol, scope), merges)._1
+      .toDF("merge_ix", "pair", "n")
+  }
+
+  /** The shared BPE merge loop over a prepared word frame
+    * (`__w__`, `__e__` `;sym;`-encoded symbols, `__f__` frequency). */
+  private def bpeFitFrom(
+      wf: DataFrame,
+      merges: Int): (Seq[(Int, String, Long)], DataFrame) = {
     val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
     // CASE guard: a fully-merged word has ONE symbol and Spark's
     // sequence(1, 0) counts DOWN ([1,0] → element_at out of bounds);

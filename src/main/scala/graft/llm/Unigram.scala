@@ -160,6 +160,81 @@ object Unigram {
       .toDF("piece", "n", "cost_microbits")
   }
 
+  /** The non-cut vocabSize passed to the recost E-step after pruning —
+    * large enough that the count table (≤ pruned inventory) is never cut
+    * again; the oracle replays the same literal. */
+  val PruneRecostCap = 1000000
+
+  /** VOCABULARY PRUNING by likelihood loss — the missing half of Kudo
+    * 2018's training loop next to [[emRefit]] (§4.2 step 3: "compute the
+    * loss of removing each piece, keep the top η%"), in the same
+    * deterministic Viterbi approximation that makes the EM rounds
+    * oracle-replayable:
+    *
+    *   - loss(x) = Σ_w f_w · (viterbi_cost_without_x(w) − best_cost(w))
+    *     over the words whose BEST path uses x — computed by the
+    *     codegen'd `unigram_viterbi_excl` native (one extra DP per
+    *     (word, used-multi-char-piece) pair; words and their paths come
+    *     from the same `unigram_viterbi[_pieces]` plan-literal probes as
+    *     the E-step). Pieces outside every best path have zero loss and
+    *     are never probed.
+    *   - keep the `keepPieces` highest-loss multi-char pieces
+    *     ((loss DESC, piece) — removing them would hurt the corpus
+    *     likelihood most); single characters always survive (the
+    *     segmentability floor, exactly SentencePiece's rule).
+    *   - re-cost: one [[emRefitWithVocab]] pass through the pruned
+    *     inventory (vocabSize = [[PruneRecostCap]], a non-cut) re-counts
+    *     usage under the smaller model and re-derives integer micro-bit
+    *     costs.
+    *
+    * The loss aggregate is vocabulary-bounded (collected as model
+    * parameters, the k-means-centroid defense); corpus work is two
+    * distinct-word passes (loss probes + recost) — linear, shuffle-free
+    * per-word natives. Output: (piece, n, cost_microbits) —
+    * [[fitVocab]]'s schema, chainable into further EM rounds. */
+  def pruneVocab(
+      docs: DataFrame,
+      textCol: String,
+      seedCosts: Seq[(String, Long)],
+      keepPieces: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+  ): DataFrame = {
+    require(seedCosts.nonEmpty, "need a non-empty seed vocabulary")
+    require(keepPieces >= 0, "keepPieces must be non-negative")
+    val spark = docs.sparkSession
+    graft.GraftExtensions.install(spark)
+    val model = graft.expr.UnigramModel.encode(
+      seedCosts.sortBy(_._1), maxPieceLen, maxWordLen, 30000000L)
+    val seg = wordFreq(docs, textCol)
+      .where(length(col("__w__")) <= maxWordLen)
+      .select(col("__w__"), col("__f__"),
+        call_function("unigram_viterbi", col("__w__"), lit(model))
+          .as("__best__"),
+        split(call_function("unigram_viterbi_pieces", col("__w__"), lit(model)),
+          " ").as("__pp__"))
+      .where(!array_contains(col("__pp__"), "[UNK]"))
+    val losses = seg
+      .select(col("__w__"), col("__f__"), col("__best__"),
+        explode(array_distinct(expr("filter(__pp__, p -> length(p) >= 2)")))
+          .as("__x__"))
+      .withColumn("__alt__",
+        call_function("unigram_viterbi_excl", col("__w__"), lit(model),
+          col("__x__")))
+      .groupBy(col("__x__"))
+      .agg(sum(col("__f__") *
+        (expr("__alt__ div 64") - expr("__best__ div 64"))).as("__loss__"))
+      .collect() // bounded model parameter: <= multi-char inventory rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    val keep = losses.sortBy { case (p, l) => (-l, p) }
+      .take(keepPieces).map(_._1).toSet
+    val prunedCosts = seedCosts.filter { case (p, _) =>
+      p.length == 1 || keep(p)
+    }
+    emRefitWithVocab(docs, textCol, prunedCosts, PruneRecostCap,
+      maxPieceLen, maxWordLen)
+  }
+
   /** Per-document segmentation statistics through the learned vocabulary:
     * (idCol, n_pieces, cost_microbits). Words longer than `maxWordLen`
     * score as a single unk piece of `unkCostMicrobits`. */

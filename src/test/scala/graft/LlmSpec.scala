@@ -2910,6 +2910,79 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("pruneVocab: char floor survives, keep budget honored, ranking nested") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r1 = graft.llm.Unigram.emRefit(docs, "text", vocabSize = 120)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    def pruned(keep: Int): Seq[(String, Long, Long)] =
+      graft.llm.Unigram.pruneVocab(docs, "text", r1, keepPieces = keep)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val p10 = pruned(10)
+    val pieces10 = p10.map(_._1).toSet
+    // the segmentability floor: every seed single char survives pruning
+    val seedChars = r1.map(_._1).filter(_.length == 1).toSet
+    assert(seedChars.subsetOf(pieces10))
+    // the keep budget bounds the multi-char inventory
+    assert(pieces10.count(_.length >= 2) <= 10)
+    assert(pieces10.exists(_.length >= 2), "nothing kept — fixture degenerate")
+    // ranking is nested: a larger budget keeps a superset of multi pieces
+    val p20multi = pruned(20).map(_._1).filter(_.length >= 2).toSet
+    assert(pieces10.filter(_.length >= 2).subsetOf(p20multi))
+    // output is chainable (fitVocab schema): another EM round accepts it
+    val chained = graft.llm.Unigram.emRefitWithVocab(
+      docs, "text", p10.map(t => (t._1, t._3)), vocabSize = 120)
+    assert(chained.count() > 0)
+  }
+
+  test("byte-level BPE is total: any script segments losslessly, no [UNK] ever") {
+    val s = spark
+    import s.implicits._
+    val train = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = graft.llm.TextOps.bpeTrainBytes(train, "text", merges = 12)
+      .orderBy(sc("merge_ix")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rules.size === 12)
+    // every learned symbol is hex pairs — byte concatenations, never a
+    // char the base alphabet lacks
+    rules.foreach { case (_, pair, _) =>
+      pair.split(' ').foreach(sym => // hex-pair runs, optionally merged
+        assert(sym.matches("(?:[0-9a-f]{2})*_?") && sym.nonEmpty, // with _
+          s"non-byte symbol $sym"))
+    }
+    // adversarial encode corpus the CHAR-level trainers would need [UNK]
+    // for: emoji, CJK, combining accents, punctuation, digits, mixed
+    val weird = Seq("héllo wörld", "日本語のテキスト", "🚀🚀 emoji!! a\tb\nc",
+      "....", "mixed漢字and-latin 12345", "́combining")
+    graft.GraftExtensions.install(s)
+    val wf = graft.llm.TextOps.byteWordFrame(
+      weird.toDF("text"), "text", graft.llm.CacheScope.global)
+    var enc = wf
+    rules.foreach { case (_, pair, _) =>
+      val Array(a, b) = pair.split(' ')
+      enc = enc.withColumn("__e__",
+        org.apache.spark.sql.functions.expr(
+          s"replace(__e__, ';$a;;$b;', ';$a$b;')"))
+    }
+    val out = enc.select(sc("__w__"), sc("__e__")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getString(0)
+      val e = r.getString(1)
+      val syms = e.stripPrefix(";").stripSuffix(";").split(";;").toSeq
+      // (a) total segmentation: every symbol is base bytes (or the
+      // end-of-word marker) — no [UNK] exists to fall back to
+      syms.foreach(sym =>
+        assert(sym.matches("(?:[0-9a-f]{2})*_?") && sym.nonEmpty,
+          s"$w segmented to $sym"))
+      // (b) lossless: concatenated symbols re-decode to the word's bytes
+      val hexCat = syms.mkString.filterNot(_ == '_')
+      val expectHex = w.getBytes("UTF-8").map("%02x".format(_)).mkString
+      assert(hexCat === expectHex, s"round-trip broke for $w")
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
     val s = spark
     import s.implicits._

@@ -215,6 +215,43 @@ class PropertySpec extends GraftSuite {
     }, cases = 60)
   }
 
+  test("property: exclusion Viterbi equals brute-force min over x-free segmentations") {
+    // Same setup as the plain-Viterbi property, plus a random excluded
+    // piece: viterbiExcl must equal min over every segmentation that
+    // never uses x (and the plain optimum whenever x is not on any
+    // optimal path's support — subsumed by the brute force).
+    import graft.expr.UnigramModel
+    val alpha = "abcd"
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val pieceGen = Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    val vocabGen = for {
+      pieces <- Gen.listOfN(6, pieceGen)
+      costs <- Gen.listOfN(6 + alpha.length, Gen.chooseNum(1L, 50L))
+    } yield (alpha.map(_.toString) ++ pieces).distinct
+      .zip(costs).toSeq
+    check(Prop.forAll(wordGen, vocabGen, pieceGen) { (word, vocab, x) =>
+      val L = 4
+      val model = UnigramModel.decode(
+        UnigramModel.encode(vocab, L, 6, 999L))
+      val got = UnigramModel.viterbiExcl(word, model, x)
+      def segmentations(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(L, w.length)).flatMap(l =>
+          segmentations(w.drop(l)).map(w.take(l) +: _))
+      val vm = vocab.toMap
+      val comps = segmentations(word)
+        .filter(seg => seg.forall(vm.contains) && !seg.contains(x))
+        .map(seg => seg.map(p => vm(p) * 64L + 1L).sum)
+      val expected =
+        if (word.length > 6) 999L * 64L + 1L
+        else if (comps.isEmpty) 999L * 64L + 1L
+        else comps.min
+      got == expected
+    }, cases = 60)
+  }
+
   test("property: wordpiece greedy equals an independent longest-match re-derivation") {
     // Random words and random vocabularies (plain + ## continuation
     // pieces): the native must equal a from-scratch greedy reference —
