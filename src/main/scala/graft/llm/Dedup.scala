@@ -301,6 +301,30 @@ object Dedup {
         col("__toks__"))
   }
 
+  /** Index MAINTENANCE — append a new slice's band postings into a
+    * persisted [[minhashIndex]] bucketed table, closing the incremental
+    * dedup loop so it NEVER rebuilds: crawl N queries the index
+    * ([[minhashJoinIndexed]]), admits its survivors, appends them here
+    * (a bucket-aligned write — the hash clustering the band join rides
+    * is preserved, each append just adds a file per bucket), and crawl
+    * N+1 queries the grown index. At 100 TB this turns index upkeep
+    * from a full corpus re-hash per crawl into a slice-sized append.
+    * `buckets` must match the table's original bucket count. */
+  def minhashIndexAppend(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      buckets: Int = 8,
+  ): Unit =
+    graft.sources.ParquetIO.appendBucketed(
+      minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes,
+        rowsPerBand),
+      table, "__bkey__", buckets)
+
   /** INCREMENTAL cross-corpus near-dup join: [[minhashJoin]]'s output
     * with the right side a pre-built [[minhashIndex]] frame (typically
     * read back from its bucketed table). Signatures are computed ONLY

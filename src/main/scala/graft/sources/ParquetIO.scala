@@ -94,6 +94,29 @@ object ParquetIO {
       .saveAsTable(table)
   }
 
+  /** APPEND rows into an existing [[writeBucketed]] table with the same
+    * bucket spec — the maintenance write of an incremental index loop:
+    * the hash-on-key CLUSTERING the downstream join rides is preserved
+    * (each append adds one more file per bucket; Spark's bucketed scan
+    * still satisfies the join's required distribution), while the
+    * per-bucket free SORT is given up once buckets span multiple files —
+    * an in-partition sort, never a shuffle, if a consumer needs order.
+    * The bucket count must match the table's or Spark rejects the write. */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int,
+  ): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

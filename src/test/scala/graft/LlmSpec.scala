@@ -2545,6 +2545,43 @@ class LlmSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_spec")
   }
 
+  test("minhashIndexAppend: query-after-append equals query-against-rebuilt-index") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.where(sc("doc_id") % 3 === 0) // initial index build
+    val b = docs.where(sc("doc_id") % 3 === 1) // appended slice
+    val q = docs.where(sc("doc_id") % 3 === 2) // querying crawl
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(a, "doc_id", "text"),
+      "mh_idx_app", "/tmp/graft_minhash_idx/app", "__bkey__", 4)
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(
+        a.unionByName(b), "doc_id", "text"),
+      "mh_idx_full", "/tmp/graft_minhash_idx/full", "__bkey__", 4)
+    try {
+      graft.llm.Dedup.minhashIndexAppend(b, "doc_id", "text", "mh_idx_app",
+        buckets = 4)
+      val grown = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_app")))
+      val rebuilt = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_full")))
+      assert(grown === rebuilt)
+      assert(grown.nonEmpty, "fixture found no cross-slice near-dups")
+      // clustering survives the append: the grown table still reports its
+      // bucket spec, so the band join's index side needs no exchange
+      val cat = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("mh_idx_app"))
+      assert(cat.bucketSpec.exists(_.numBuckets == 4))
+      // and the grown table holds exactly the rebuilt table's postings
+      assert(s.table("mh_idx_app").count() === s.table("mh_idx_full").count())
+    } finally {
+      s.sql("DROP TABLE IF EXISTS mh_idx_app")
+      s.sql("DROP TABLE IF EXISTS mh_idx_full")
+    }
+  }
+
   test("autoBits: exact integer ceil-log2 with clamping") {
     import graft.llm.Embeddings.autoBits
     // smallest b with 2^b >= ceil(n / target), clamped to [min, max]
