@@ -2836,6 +2836,41 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- INCREMENTAL audio near-dup against a persisted energy-delta
+    //     hash index — the audio twin of q_image_neardup_incr (same
+    //     bucketed band-posting contract, same build-time cap) ---
+    "q_audio_neardup_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n = (240 + (g % 7) * 40).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((((7L * g + 13L * i) % 2048L) - 1024L) +
+                  (if (i < 4) j else 0)).toShort)
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "adhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.audioDhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Multimodal.audioNearDupJoinIndexed(
+            withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+            df.sparkSession.table(tbl), maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- STREAMING image-dedup backfill: first-seen-wins per dHash in
     //     keyed state (min-id winner within a batch), run over the same
     //     24 fixtures as one batch — the kept set must equal the batch
@@ -5959,34 +5994,7 @@ object SparkEntry {
     // energy boxes, HUGEINT cross-multiplied bits, 8 bytes, the shared
     // band-candidate + popcount tail.
     "q_audio_neardup" ->
-      """WITH ii AS (
-           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
-                  240 + (doc_id % 8 % 7) * 40 AS n
-           FROM documents WHERE doc_id < 24),
-         sg AS MATERIALIZED (
-           SELECT i.id, i.n, s.i,
-                  ((7 * i.g + 13 * s.i) % 2048) - 1024
-                    + CASE WHEN s.i < 4 THEN i.j ELSE 0 END AS v
-           FROM ii i CROSS JOIN range(0, 480) s(i)
-           WHERE s.i < i.n),
-         ab AS MATERIALIZED (
-           SELECT g.id, b.b,
-                  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM sg g CROSS JOIN range(0, 65) b(b)
-           WHERE g.i >= (b.b * g.n) // 65 AND g.i < ((b.b + 1) * g.n) // 65
-           GROUP BY 1, 2),
-         abits AS (
-           SELECT l.id, l.b,
-                  CASE WHEN CAST(l.e AS HUGEINT) * r.c
-                            > CAST(r.e AS HUGEINT) * l.c
-                       THEN 1 ELSE 0 END AS bit
-           FROM ab l JOIN ab r ON r.id = l.id AND r.b = l.b + 1
-           WHERE l.b < 64),
-         bytes AS MATERIALIZED (
-           SELECT id, b // 8 AS byy,
-                  CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bv
-           FROM abits GROUP BY 1, 2),
+      (s"""WITH $AudioDhashCtes,
          capped AS (
            SELECT id, byy, bv
            FROM (SELECT id, byy, bv,
@@ -6006,7 +6014,33 @@ object SparkEntry {
            JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
            GROUP BY 1, 2)
          SELECT a_id, b_id, hamming FROM ham
-         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // audio incremental twin: index = ids 8..23 with the build-time cap,
+    // new = ids 0..7, same new x index candidate + popcount tail as
+    // q_image_neardup_incr over the audio closed-form bytes.
+    "q_audio_neardup_incr" ->
+      (s"""WITH $AudioDhashCtes,
+         idx AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes WHERE id >= 8)
+           WHERE br <= 2),
+         neu AS (SELECT id, byy, bv FROM bytes WHERE id < 8),
+         cand AS (
+           SELECT DISTINCT n.id AS a_id, i.id AS b_id
+           FROM neu n JOIN idx i ON n.byy = i.byy AND n.bv = i.bv),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
     // streaming image-dedup backfill: min doc_id per full dHash key
     // over the same closed-form bytes.
@@ -7095,6 +7129,39 @@ object SparkEntry {
   private val ImageDhashCtes: String = imageDhashCtes(
     """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
            FROM documents WHERE doc_id < 24""")
+
+  /** Shared audio-dHash replay CTEs (q_audio_neardup[_incr]): the 24
+    * closed-form WAV fixtures reduce to per-(id, byte-row) hash bytes —
+    * 65 floor-boundary energy boxes, HUGEINT cross-multiplied bits. */
+  private val AudioDhashCtes: String =
+    """ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  240 + (doc_id % 8 % 7) * 40 AS n
+           FROM documents WHERE doc_id < 24),
+         sg AS MATERIALIZED (
+           SELECT i.id, i.n, s.i,
+                  ((7 * i.g + 13 * s.i) % 2048) - 1024
+                    + CASE WHEN s.i < 4 THEN i.j ELSE 0 END AS v
+           FROM ii i CROSS JOIN range(0, 480) s(i)
+           WHERE s.i < i.n),
+         ab AS MATERIALIZED (
+           SELECT g.id, b.b,
+                  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM sg g CROSS JOIN range(0, 65) b(b)
+           WHERE g.i >= (b.b * g.n) // 65 AND g.i < ((b.b + 1) * g.n) // 65
+           GROUP BY 1, 2),
+         abits AS (
+           SELECT l.id, l.b,
+                  CASE WHEN CAST(l.e AS HUGEINT) * r.c
+                            > CAST(r.e AS HUGEINT) * l.c
+                       THEN 1 ELSE 0 END AS bit
+           FROM ab l JOIN ab r ON r.id = l.id AND r.b = l.b + 1
+           WHERE l.b < 64),
+         bytes AS MATERIALIZED (
+           SELECT id, b // 8 AS byy,
+                  CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bv
+           FROM abits GROUP BY 1, 2)"""
 
   /** [[ImageDhashCtes]] parameterized by the (id, g, j) generator — the
     * corpus-scale query uses the same closed form over ALL doc_ids. */
