@@ -1707,6 +1707,23 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- interpolated KN 5-GRAM perplexity (KenLM's DEFAULT order): the
+    //     generated per-level formula chain — one raw 5-gram pass, every
+    //     lower level's continuation counts derived recursively, 9
+    //     vocabulary-bounded model joins; oracle CTEs GENERATED from the
+    //     same order parameter (knNgramOracle(5)) so the two engines
+    //     cannot desynchronize ---
+    "q_lm_kn5" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.knNgramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text",
+            order = 5)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -2802,6 +2819,44 @@ object SparkEntry {
           graft.llm.Multimodal.imageNearDupJoinIndexed(
             withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
             df.sparkSession.table(tbl), maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- STREAMING near-dup gate backfill: the stream-static band join
+    //     + per-image dedupe state, run over the new slice as one batch
+    //     against the same persisted capped index — values must equal
+    //     the batch indexed join (shared oracle by reference) ---
+    "q_stream_image_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+                  (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "dhash_idx_s_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.dhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.streaming.Streams.streamingImageNearDup(
+              withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+              df.sparkSession.table(tbl), maxHamming = 6)
+            .select(F.col("doc_id").as("a_id"), F.col("b_id"),
+              F.col("hamming"))
         }
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
@@ -4716,6 +4771,11 @@ object SparkEntry {
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN k3a a USING (doc_id)
          ORDER BY doc_id"""),
+
+    // KenLM-default order-5 KN: the whole oracle is GENERATED from the
+    // order parameter, sharing the per-level formula literal with the
+    // Spark lowering.
+    "q_lm_kn5" -> knNgramOracle(5),
 
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so
@@ -6632,6 +6692,10 @@ object SparkEntry {
         baseOracleSql("q_unigram_vocab").replaceFirst("WITH ", "WITH " + UniDocsCte)) +
       ("q_dedup_incremental" -> baseOracleSql("q_dedup_cross")) +
       ("q_stream_token_budget" -> baseOracleSql("q_token_budget")) +
+      // streaming near-dup gate, single-batch backfill: the stream-static
+      // join + per-image dedupe state equals the batch indexed join —
+      // same pairs, same oracle
+      ("q_stream_image_neardup" -> baseOracleSql("q_image_neardup_incr")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
       // tokenizer report: REUSE each family's full per-doc replay as a
       // subquery and aggregate — the single source of truth per family
@@ -7129,6 +7193,87 @@ object SparkEntry {
   private val ImageDhashCtes: String = imageDhashCtes(
     """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
            FROM documents WHERE doc_id < 24""")
+
+  /** GENERATED order-N interpolated-KN oracle (q_lm_kn5): tokenize, doc
+    * N-grams, the raw top-level count table from the doc_id%4=0 slice,
+    * recursive continuation-count derivation (level-k counts = distinct
+    * left extensions among level-(k+1) seen grams), per-level context
+    * aggregates, the scoring join, and the layered probability chain
+    * using the SAME generated per-level formula the Spark lowering
+    * compiles (LangModel.knLevelPSql) — order is the single parameter,
+    * so both engines derive from one structure. */
+  private def knNgramOracle(n: Int): String = {
+    def slice(expr: String, lo: Int, hi: Int): String =
+      s"array_to_string(string_split($expr, ' ')[$lo:$hi], ' ')"
+    val gramBody = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
+    val seenCtes = ((n - 1) to 1 by -1).map { k =>
+      s"""kns$k AS MATERIALIZED (
+           SELECT ${slice("g", 2, k + 1)} AS g,
+                  CAST(count(*) AS BIGINT) AS cnt$k
+           FROM kns${k + 1} GROUP BY 1)"""
+    }.mkString(",\n         ")
+    val ctxCtes = (n to 2 by -1).map { k =>
+      s"""knc$k AS (
+           SELECT ${slice("g", 1, k - 1)} AS c,
+                  CAST(sum(cnt$k) AS BIGINT) AS tot$k,
+                  CAST(count(*) AS BIGINT) AS nfw$k
+           FROM kns$k GROUP BY 1)"""
+    }.mkString(",\n         ")
+    val joinCols = (n to 1 by -1).flatMap { k =>
+      Seq(s"s$k.cnt$k") ++ (if (k >= 2) Seq(s"c$k.tot$k", s"c$k.nfw$k")
+                            else Seq.empty)
+    }.mkString(", ")
+    val joins = (n to 1 by -1).map { k =>
+      val gk = slice("g.tg", n - k + 1, n)
+      val sj = s"LEFT JOIN kns$k s$k ON s$k.g = $gk"
+      if (k >= 2)
+        s"""$sj
+           LEFT JOIN knc$k c$k ON c$k.c = ${slice("g.tg", n - k + 1, n - 1)}"""
+      else sj
+    }.mkString("\n           ")
+    val pCtes = (1 to n).map { k =>
+      val src = if (k == 1) "knj" else s"knp${k - 1}"
+      s"""knp$k AS (
+           SELECT *, ${graft.llm.LangModel.knLevelPSql(k)} AS p$k
+           FROM $src)"""
+    }.mkString(",\n         ")
+    s"""WITH knx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
+             '\\s+') AS t
+           FROM documents),
+         kng AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+                    i -> $gramBody)) AS tg
+           FROM knx WHERE len(t) >= $n AND t[1] <> ''),
+         kns$n AS MATERIALIZED (
+           SELECT tg AS g, CAST(count(*) AS BIGINT) AS cnt$n FROM kng
+           WHERE doc_id % 4 = 0 GROUP BY 1),
+         $seenCtes,
+         $ctxCtes,
+         knt1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS tot1 FROM kns1),
+         knj AS (
+           SELECT g.doc_id, $joinCols, t.tot1
+           FROM kng g
+           $joins
+           CROSS JOIN knt1 t),
+         $pCtes,
+         knq AS (SELECT doc_id, p$n AS p FROM knp$n),
+         knterm AS (SELECT doc_id, ${graft.llm.LangModel.KnTermSql} AS mb
+                    FROM knq),
+         knagg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                  CAST(sum(mb) AS BIGINT) AS s
+           FROM knterm GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(a.n_ngrams, 0) AS n_ngrams,
+                coalesce(round(CAST(a.s AS DOUBLE) / CAST(a.n_ngrams AS DOUBLE)
+                               / 1000000.0, 6),
+                         CAST(0 AS DOUBLE)) AS bits_per_ngram
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN knagg a USING (doc_id)
+         ORDER BY doc_id"""
+  }
 
   /** Shared audio-dHash replay CTEs (q_audio_neardup[_incr]): the 24
     * closed-form WAV fixtures reduce to per-(id, byte-row) hash bytes —

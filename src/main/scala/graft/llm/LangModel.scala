@@ -303,6 +303,106 @@ object LangModel {
         coalesce(col("bits_per_trigram"), lit(0.0)).as("bits_per_trigram"))
   }
 
+  /** Per-level interpolated-KN probability formula, GENERATED (one
+    * source of truth for the Spark lowering AND the oracle): level 1 is
+    * the continuation-unigram base, level k ≥ 2 interpolates its
+    * (adjusted-)count estimate with the already-computed level-(k−1)
+    * probability `p{k-1}`. Columns per level: cnt$k (gram count at the
+    * level, NULL if unseen), tot$k / nfw$k (context mass / distinct
+    * continuations, NULL if the context is unseen). Fixed D = 0.75. */
+  private[graft] def knLevelPSql(k: Int): String =
+    if (k == 1)
+      """coalesce(CAST(cnt1 AS DOUBLE), CAST(0 AS DOUBLE))
+         / CAST(tot1 AS DOUBLE)"""
+    else
+      s"""CASE
+         WHEN cnt$k IS NOT NULL THEN
+           ((CAST(cnt$k AS DOUBLE) - 0.75) / CAST(tot$k AS DOUBLE))
+           + ((0.75 * CAST(nfw$k AS DOUBLE)) / CAST(tot$k AS DOUBLE))
+             * p${k - 1}
+         WHEN tot$k IS NOT NULL THEN
+           ((0.75 * CAST(nfw$k AS DOUBLE)) / CAST(tot$k AS DOUBLE))
+             * p${k - 1}
+         ELSE p${k - 1}
+       END"""
+
+  /** Interpolated Kneser–Ney word N-GRAM perplexity for ANY order ≥ 2 —
+    * the full KenLM shape (KenLM ships order 5): one raw N-gram-count
+    * pass over the trusted slice, then EVERY lower level's
+    * adjusted-count table derives recursively by the Kneser–Ney rule
+    * (level-k count of gram u = number of DISTINCT left extensions of u
+    * among level-(k+1) SEEN grams), contexts aggregate per level, and
+    * scoring LEFT-joins the 2(N−1)+1 vocabulary-bounded model tables
+    * (AQE broadcasts them) before folding the probability chain
+    * p1 → … → pN with the per-level generated formula ([[knLevelPSql]],
+    * shared verbatim with the oracle — the layered IEEE-order
+    * discipline of the bigram/trigram ops, which this generalizes:
+    * LlmSpec pins order 2 ≡ [[knBigramScore]] and order 3 ≡
+    * [[knTrigramScore]] value-for-value). Integer micro-bit terms
+    * ([[KnTermSql]]) keep per-doc sums order-free; short docs
+    * (< order words) re-emit as (0, 0.0).
+    * Output: (idCol, n_ngrams, bits_per_ngram). */
+  def knNgramScore(
+      docs: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int = 5,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val n = order
+    def gramsOf(df: DataFrame, cols: Column*): DataFrame = df
+      .withColumn("__toks__", TextOps.letterWords(textCol))
+      .where(size(col("__toks__")) >= n &&
+        element_at(col("__toks__"), 1) =!= "")
+      .select(cols :+ explode(TextOps.wordShingles("__toks__", n)).as("tg"): _*)
+    // seen(k): one row per SEEN k-gram with its level-k count — raw for
+    // k = N, adjusted (distinct-left-extension) below
+    val seen = new Array[DataFrame](n + 1)
+    seen(n) = scope.cache(gramsOf(train)
+      .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n")))
+    for (k <- (n - 1) to 1 by -1)
+      seen(k) = scope.cache(seen(k + 1)
+        .groupBy(substring_index(col("g"), " ", -k).as("g"))
+        .agg(count(lit(1)).as(s"cnt$k")))
+    // ctx(k ≥ 2): per level-k context (first k−1 words of the gram),
+    // total mass + distinct continuations
+    def ctx(k: Int): DataFrame = seen(k)
+      .groupBy(substring_index(col("g"), " ", k - 1).as(s"c$k"))
+      .agg(sum(col(s"cnt$k")).as(s"tot$k"), count(lit(1)).as(s"nfw$k"))
+    val tot1 = seen(1).agg(sum(col("cnt1")).as("tot1"))
+    var scored = gramsOf(docs, col(idCol))
+    for (k <- n to 1 by -1) {
+      val gk = if (k == n) col("tg") else substring_index(col("tg"), " ", -k)
+      scored = scored
+        .join(seen(k).withColumnRenamed("g", s"__g$k"),
+          gk === col(s"__g$k"), "left")
+        .drop(s"__g$k")
+      if (k >= 2)
+        scored = scored
+          .join(ctx(k), substring_index(gk, " ", k - 1) === col(s"c$k"),
+            "left")
+          .drop(s"c$k")
+    }
+    scored = scored.crossJoin(broadcast(tot1)) // 1-row model attach
+    for (k <- 1 to n)
+      scored = scored.withColumn(s"p$k", expr(knLevelPSql(k)))
+    val agg = scored
+      .withColumn("p", col(s"p$n"))
+      .withColumn("__mb__", expr(KnTermSql))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__mb__")).as("__s__"))
+      .select(col(idCol), col("n_ngrams"),
+        round(col("__s__").cast("double") / col("n_ngrams").cast("double")
+          / lit(1000000.0), 6).as("bits_per_ngram"))
+    docs.select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("bits_per_ngram"), lit(0.0)).as("bits_per_ngram"))
+  }
+
   /** Interpreted HOF formulation of [[bitsPerChar]] over an inline
     * map<bigram,double> literal — the cross-engine semantic definition
     * the LangModelSpec pins the native against (the same native≡HOF

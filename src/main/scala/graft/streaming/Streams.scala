@@ -308,8 +308,10 @@ object Streams {
     * repeated images as they stream" gate: first-seen-wins per dHash
     * (`graft.llm.Multimodal.dhash`), so byte-identical copies AND
     * re-encodes that hash identically collapse. NEAR-dup pairing
-    * (hamming > 0) stays a batch job against the persisted hash index —
-    * a stream cannot band-join candidates it has not seen. The decode +
+    * (hamming > 0) WITHIN the stream stays a batch job against the
+    * persisted hash index — a stream cannot band-join candidates it has
+    * not seen — but pairing against the EXISTING corpus is
+    * [[streamingImageNearDup]]'s stream-static join. The decode +
     * hash runs in the DISTRIBUTED mapPartitions stage; the keyed-state
     * function only picks winners (the per-key-sequential-path rule).
     *
@@ -348,6 +350,72 @@ object Streams {
               if (best == null || r.getLong(0) < best.getLong(0)) best = r
             }
             Iterator.single(best)
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
+  /** STREAMING perceptual NEAR-dup gate — the missing half next to
+    * [[streamingImageDedup]]'s exact gate: each incoming image is
+    * adjudicated against the PERSISTED corpus dHash index
+    * (`graft.llm.Multimodal.dhashIndex`, read back from its bucketed
+    * table) by a stateless STREAM-STATIC band join — a stream cannot
+    * band-join candidates it has not seen, but it CAN join the corpus
+    * that already exists, which is exactly the production "flag the new
+    * crawl as it streams" shape. Decode + hash + band-explode + join +
+    * popcount all run in DISTRIBUTED stateless stages; the keyed-state
+    * function only de-duplicates one image's candidate list (an image
+    * colliding with the same index entry in several bands) — bounded at
+    * 8·cap rows with a build-time-capped index — and marks the id
+    * adjudicated so a re-sent payload never re-emits. Emits
+    * (<idCol> long, b_id index match, hamming ≤ `maxHamming`) —
+    * [[graft.llm.Multimodal.imageNearDupJoinIndexed]]'s contract, so
+    * single-batch backfill parity against the batch op is spec-gated. */
+  def streamingImageNearDup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    import org.apache.spark.sql.types._
+    val hashed = graft.llm.Multimodal.dhash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol)
+      .where(col("dhash").isNotNull)
+    val cand = hashed
+      .select(col(idCol).as("__nid__"), col("dhash"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+      .select(col("__nid__"), col("dhash"),
+        concat(col("__band__"), lit(":"), col("__bv__")).as("__bkey__"))
+      .join(index, Seq("__bkey__"))
+      .select(col("__nid__"), col("__id__").cast("long").as("__bid__"),
+        expr("""CAST(aggregate(zip_with(dhash, __dhash__,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("__ham__"))
+      .where(col("__ham__") <= maxHamming)
+    val outSchema = StructType(Seq(StructField(idCol, LongType),
+      StructField("b_id", LongType), StructField("hamming", LongType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val longEnc = Encoders.scalaLong
+    cand
+      .groupByKey((r: Row) => r.getLong(0))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // image already adjudicated
+          else {
+            state.update(true)
+            // per-pair dedupe across bands: bounded at the candidate
+            // fan-out (8·cap with a capped index), never the batch
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            val out = Seq.newBuilder[Row]
+            rows.foreach { r =>
+              if (seen.add(r.getLong(1)))
+                out += Row(id, r.getLong(1), r.getLong(2))
+            }
+            out.result().iterator
           }
       }(Encoders.scalaBoolean, rowEnc)
   }

@@ -3020,6 +3020,33 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("knNgramScore generalizes the dedicated ops: order 2 = bigram, order 3 = trigram, order 5 sane") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where(sc("doc_id") % 4 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the generated per-level formula chain must reproduce the dedicated
+    // bigram and trigram operators BIT-FOR-BIT (same IEEE op order)
+    assert(rows(graft.llm.LangModel.knNgramScore(
+        docs, train, "doc_id", "text", order = 2)) ===
+      rows(graft.llm.LangModel.knBigramScore(docs, train, "doc_id", "text")))
+    assert(rows(graft.llm.LangModel.knNgramScore(
+        docs, train, "doc_id", "text", order = 3)) ===
+      rows(graft.llm.LangModel.knTrigramScore(docs, train, "doc_id", "text")))
+    // order 5 (the KenLM default): scores exist, are finite, and training
+    // docs compress better than the OOV ceiling
+    val kn5 = rows(graft.llm.LangModel.knNgramScore(
+      docs, train, "doc_id", "text", order = 5))
+    assert(kn5.size === docs.count())
+    assert(kn5.exists(_._2 > 0))
+    kn5.filter(_._2 > 0).foreach { case (id, _, bits) =>
+      assert(bits > 0.0 && bits <= 30.0, s"doc $id bits=$bits out of range")
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("wordpieceTrainIncremental is rule-for-rule identical to the naive trainer") {
     val s = spark
     import s.implicits._
