@@ -165,12 +165,23 @@ object Bench {
       s"""{"compact":$compact,"detail":$detail,"cpu":$cpuDetail,"reruns":$reruns,"baseline_ratio":$ratios}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // seed/refresh the ratchet: record this sweep's stall-protected walls
-    // as the new baseline when none is checked in (sf0.1 only)
-    if (sfDir.endsWith("sf0.1") && baseline.isEmpty)
+    // as the new baseline when none is checked in, and APPEND rows for
+    // queries added since the baseline was recorded (sf0.1 only) — a new
+    // query otherwise never acquires a ratchet and its regressions go
+    // unadjudicated; existing rows are never overwritten here (delete the
+    // file to re-record after intentional perf changes)
+    if (sfDir.endsWith("sf0.1") &&
+        (baseline.isEmpty || results.exists { case (k, v) =>
+          v._1 >= 0 && !baseline.contains(k) })) {
+      val merged = baseline ++ results.collect {
+        case (k, v) if v._1 >= 0 && !baseline.contains(k) => k -> v._1
+      }
       java.nio.file.Files.write(baselinePath,
-        results.collect { case (k, v) if v._1 >= 0 => f""""$k":${v._1}%.3f""" }
+        merged.toSeq.sortBy(_._1)
+          .map { case (k, w) => f""""$k":$w%.3f""" }
           .mkString("{\n", ",\n", "\n}\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // give sbt's async stderr relay (any residual ERROR lines) time to
     // drain so nothing interleaves after the JSON line in the combined
     // capture; raisable without recompiling via SPARK_GRAFT_DRAIN_MS

@@ -41,7 +41,7 @@ object ScaleCheck {
     "q1_agg", "q_match_steps", "q_sessionize", "q_retention",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_clusters",
     "q_semdedup", "q_ann_ivfpq", "q_contamination", "q_bm25_search",
-    "q_image_neardup_corpus")
+    "q_image_neardup_corpus", "q_video_neardup_corpus")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

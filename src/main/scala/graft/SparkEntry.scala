@@ -1724,6 +1724,39 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- COUNT-PRUNED order-5 KN (KenLM --prune 0 1 1 1 1): singleton
+    //     grams at orders 2..5 drop from the STORED model after the full
+    //     adjusted-count derivation; a pruned gram scores through
+    //     backoff exactly like an unseen one. The production shape: at
+    //     web scale the singleton tail IS most of the model's rows ---
+    "q_lm_kn5_pruned" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.knNgramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text",
+            order = 5, prune = Seq(0L, 1L, 1L, 1L, 1L))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- PERSISTED KN model serving (train once, score many): fit the
+    //     order-5 model to parquet level tables, score through the saved
+    //     artifact with zero retraining — values must equal the inline
+    //     trainer (shared oracle by reference) ---
+    "q_lm_kn5_persisted" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val modelDir = s"/tmp/graft_kn_model_$runTag"
+          graft.llm.LangModel.knNgramFit(
+            df.where(F.col("doc_id") % 4 === 0), "text", modelDir, order = 5)
+          graft.llm.LangModel.knNgramScoreWithModel(
+            df, "doc_id", "text", modelDir, order = 5)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- character-entropy quality signal (model-free perplexity proxy:
     //     repetitive spam and padding sit far below natural text's ~4.1
     //     bits/char). Terms folded in sorted distinct-char order on both
@@ -2861,6 +2894,159 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- perceptual VIDEO near-dup pairs (per-sampled-frame dHash over
+    //     animated-GIF palette-index rasters, per-frame byte-band
+    //     blocking, clips pair iff every aligned sampled frame is within
+    //     the threshold): 24 fixture clips in 8 groups of 3 with
+    //     group-dependent frame counts and a per-frame closed form — the
+    //     oracle replays frames, hashes, cap, alignment, and pairs ---
+    "q_video_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              val nf = 4 + (g % 3)
+              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, nf,
+                (f, x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                    13 * g) % 97) +
+                    (if (bx == 0 && byy == 0) j else 0)
+                }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.videoNearDupPairs(
+            withPayload, "doc_id", "payload", every = 2, maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- CORPUS-scale video near-dup: one clip per document with a
+    //     WRAPPING family modulus ((doc_id/3) % 97 — families genuinely
+    //     repeat as the corpus grows, piling identical per-frame hashes
+    //     into the byte buckets: the worst case for the band join, by
+    //     construction) — the growing-n ScaleCheck driver for the video
+    //     family, same cap and pairing rule as q_video_neardup ---
+    "q_video_neardup_corpus" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          // repartition the (tiny) id column BEFORE the heavy per-row
+          // encode: single-file parquet otherwise pins every encode to
+          // one core (the q_image_neardup_corpus lesson)
+          val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = ((id / 3) % 97).toInt
+              val j = (id % 3).toInt
+              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, 4,
+                (f, x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                    13 * g) % 97) +
+                    (if (bx == 0 && byy == 0) j else 0)
+                }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.videoNearDupPairs(
+            withPayload, "doc_id", "payload", every = 2, maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- INCREMENTAL video near-dup against a PERSISTED per-frame dHash
+    //     index: clips 8..23 are indexed once (postings keyed
+    //     "<frame>:<band>:<value>", build-time cap 2, bucketed on the
+    //     key — ingest pays the shuffle), then the "new crawl" 0..7
+    //     hashes only itself and joins the saved table with the
+    //     all-aligned-frames pairing rule ---
+    "q_video_neardup_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              val nf = 4 + (g % 3)
+              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, nf,
+                (f, x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                    13 * g) % 97) +
+                    (if (bx == 0 && byy == 0) j else 0)
+                }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "vhash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.videoDhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              every = 2, maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_vhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Multimodal.videoNearDupJoinIndexed(
+            withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+            df.sparkSession.table(tbl), every = 2, maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- STREAMING video near-dup gate backfill: the stream-static
+    //     per-frame band join + per-clip all-aligned-frames state, run
+    //     over the new slice as one batch against the same persisted
+    //     capped index — values must equal the batch indexed join
+    //     (shared oracle by reference) ---
+    "q_stream_video_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              val nf = 4 + (g % 3)
+              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, nf,
+                (f, x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                    13 * g) % 97) +
+                    (if (bx == 0 && byy == 0) j else 0)
+                }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "vhash_idx_s_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.videoDhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              every = 2, maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_vhash_idx/$tbl", "__bkey__", 8)
+          graft.streaming.Streams.streamingVideoNearDup(
+              withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+              df.sparkSession.table(tbl), every = 2, maxHamming = 6)
+            .select(F.col("doc_id").as("a_id"), F.col("b_id"),
+              F.col("max_hamming"))
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- perceptual AUDIO near-dup pairs (energy-delta dHash over 65
     //     PCM boxes → the same exact byte-band Hamming blocking): 24
     //     WAV fixtures in 8 closed-form groups of 3, level-jittered in
@@ -3156,6 +3342,15 @@ object SparkEntry {
       m(dir, "documents")
         .native(df => graft.llm.TextOps.bpeTrainBytes(df, "text", merges = 4))
         .sort(col("merge_ix"))
+        .run(s)),
+
+    // --- byte-level BPE ENCODING: per-doc subword counts through the
+    //     byte rules (every word tokenizes — no OOV path exists) ---
+    "q_bpe_bytes_subwords" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeSubwordCountsBytes(
+          df, "doc_id", "text", merges = 4))
+        .sort(col("doc_id"))
         .run(s)),
 
     // --- the production-shaped trainer: driver-held pair counts updated
@@ -4777,6 +4972,10 @@ object SparkEntry {
     // Spark lowering.
     "q_lm_kn5" -> knNgramOracle(5),
 
+    // pruned stored tables (raw derivation chain, per-level thresholds
+    // 0 1 1 1 1), same scoring joins + layered formula chain
+    "q_lm_kn5_pruned" -> knNgramOracle(5, Seq(0L, 1L, 1L, 1L, 1L)),
+
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so
     // the bucket SETS match bit-for-bit, not just the proportions).
@@ -6050,6 +6249,61 @@ object SparkEntry {
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
+    // video dHash replay: sampled frames from the closed form (nf = 4 +
+    // g%3, every 2nd frame), per-frame block-value hash bytes, the
+    // capped per-frame band join, and the all-aligned-frames rule.
+    "q_video_neardup" -> videoNearDupSql(
+      """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                4 + (doc_id % 8 % 3) AS nf
+         FROM documents WHERE doc_id < 24""", maxNf = 6),
+
+    // corpus-scale video replay: ONE clip per document, wrapping family
+    // modulus (families genuinely repeat at corpus scale — the worst
+    // case for the per-frame band buckets, by construction), nf = 4.
+    "q_video_neardup_corpus" -> videoNearDupSql(
+      """SELECT doc_id AS id, (doc_id // 3) % 97 AS g, doc_id % 3 AS j,
+                4 AS nf
+         FROM main.documents""", maxNf = 4),
+
+    // incremental twin: index postings = ids 8..23 with the BUILD-time
+    // per-(frame, band, value) cap, new slice = ids 0..7 uncapped, then
+    // the same aligned-frame popcount + all-frames pairing tail.
+    "q_video_neardup_incr" ->
+      (s"""WITH ${videoDhashCtes(
+        """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  4 + (doc_id % 8 % 3) AS nf
+           FROM documents WHERE doc_id < 24""", maxNf = 6)},
+         vidx AS (
+           SELECT id, f, byy, bv
+           FROM (SELECT id, f, byy, bv,
+                        row_number() OVER (PARTITION BY f, byy, bv
+                                           ORDER BY id) AS br
+                 FROM vbytes WHERE id >= 8)
+           WHERE br <= 2),
+         vcand AS (
+           SELECT DISTINCT n.id AS a_id, x.id AS b_id, n.f
+           FROM vbytes n JOIN vidx x
+             ON x.f = n.f AND x.byy = n.byy AND x.bv = n.bv
+           WHERE n.id < 8),
+         vham AS (
+           SELECT c.a_id, c.b_id, c.f,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS ham
+           FROM vcand c
+           JOIN vbytes x ON x.id = c.a_id AND x.f = c.f
+           JOIN vbytes y ON y.id = c.b_id AND y.f = c.f AND y.byy = x.byy
+           GROUP BY 1, 2, 3),
+         vok AS (SELECT a_id, b_id, f, ham FROM vham WHERE ham <= 6),
+         vagg AS (
+           SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS m,
+                  max(ham) AS max_hamming
+           FROM vok GROUP BY 1, 2)
+         SELECT g.a_id, g.b_id, g.max_hamming
+         FROM vagg g
+         JOIN vnfall na ON na.id = g.a_id
+         JOIN vnfall nb ON nb.id = g.b_id
+         WHERE g.m = na.nf AND na.nf = nb.nf
+         ORDER BY a_id, b_id"""),
+
     // audio dHash replay from the sample closed form: 65 floor-boundary
     // energy boxes, HUGEINT cross-multiplied bits, 8 bytes, the shared
     // band-candidate + popcount tail.
@@ -6512,6 +6766,62 @@ object SparkEntry {
            UNION ALL SELECT 4, pair, n FROM b4)
          ORDER BY merge_ix""",
 
+    // Byte-level encoding: the q_bpe_subwords chain (word carried
+    // through, final per-word symbol counts joined to per-doc words)
+    // over the byte-hex seed and raw whitespace words.
+    "q_bpe_bytes_subwords" ->
+      """WITH w AS (
+           SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT w, ';' || array_to_string(
+                    regexp_extract_all(lower(hex(encode(w))), '[0-9a-f]{2}'),
+                    ';;') || ';;_;' AS e, f
+           FROM wf),
+         s1 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e0),
+         p1 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s1),
+         b1 AS (SELECT pair FROM p1 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e1 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e0, b1 b),
+         s2 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e1),
+         p2 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s2),
+         b2 AS (SELECT pair FROM p2 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e2 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e1, b2 b),
+         s3 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e2),
+         p3 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s3),
+         b3 AS (SELECT pair FROM p3 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e3 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e2, b3 b),
+         s4 AS (SELECT string_split(trim(e, ';'), ';;') AS s, f FROM e3),
+         p4 AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s4),
+         b4 AS (SELECT pair FROM p4 GROUP BY 1
+                ORDER BY sum(f) DESC, pair LIMIT 1),
+         e4 AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                                  ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e3, b4 b),
+         vs AS (SELECT w, CAST(len(string_split(trim(e, ';'), ';;')) AS BIGINT) AS ns
+                FROM e4),
+         dw AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+           FROM documents)
+         SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
+         FROM dw JOIN vs USING (w) WHERE len(w) >= 1
+         GROUP BY 1 ORDER BY doc_id""",
+
     // Same four training iterations (word column carried through), then
     // per-word merged-symbol counts joined back to per-document words.
     "q_bpe_subwords" ->
@@ -6696,6 +7006,10 @@ object SparkEntry {
       // join + per-image dedupe state equals the batch indexed join —
       // same pairs, same oracle
       ("q_stream_image_neardup" -> baseOracleSql("q_image_neardup_incr")) +
+      // streaming video gate backfill ≡ the batch indexed video join
+      ("q_stream_video_neardup" -> baseOracleSql("q_video_neardup_incr")) +
+      // persisted-model serving is value-identical to the inline trainer
+      ("q_lm_kn5_persisted" -> baseOracleSql("q_lm_kn5")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
       // tokenizer report: REUSE each family's full per-doc replay as a
       // subquery and aggregate — the single source of truth per family
@@ -7194,6 +7508,80 @@ object SparkEntry {
     """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
            FROM documents WHERE doc_id < 24""")
 
+  /** GENERATED video near-dup oracle: the clip population comes in as
+    * `iiSql` (columns id, g, j, nf — pattern family, corner jitter,
+    * frame count), frames sample every 2nd index below nf (bounded by
+    * `maxNf`), each sampled frame replays the 9×8 block closed form into
+    * 8 hash bytes, then the capped per-(frame, band, value) self-join,
+    * per-frame popcount, and the all-aligned-frames pairing rule —
+    * exactly [[graft.llm.Multimodal.videoNearDupPairs]] with
+    * every = 2, maxHamming = 6, maxPerBucketSide = 2. */
+  private def videoNearDupSql(iiSql: String, maxNf: Int): String =
+    s"""WITH ${videoDhashCtes(iiSql, maxNf)},
+         vcapped AS (
+           SELECT id, f, byy, bv
+           FROM (SELECT id, f, byy, bv,
+                        row_number() OVER (PARTITION BY f, byy, bv
+                                           ORDER BY id) AS br
+                 FROM vbytes)
+           WHERE br <= 2),
+         vcand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.f
+           FROM vcapped a JOIN vcapped b
+             ON a.f = b.f AND a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         vham AS (
+           SELECT c.a_id, c.b_id, c.f,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS ham
+           FROM vcand c
+           JOIN vbytes x ON x.id = c.a_id AND x.f = c.f
+           JOIN vbytes y ON y.id = c.b_id AND y.f = c.f AND y.byy = x.byy
+           GROUP BY 1, 2, 3),
+         vok AS (SELECT a_id, b_id, f, ham FROM vham WHERE ham <= 6),
+         vagg AS (
+           SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS m,
+                  max(ham) AS max_hamming
+           FROM vok GROUP BY 1, 2)
+         SELECT g.a_id, g.b_id, g.max_hamming
+         FROM vagg g
+         JOIN vnfall na ON na.id = g.a_id
+         JOIN vnfall nb ON nb.id = g.b_id
+         WHERE g.m = na.nf AND na.nf = nb.nf
+         ORDER BY a_id, b_id"""
+
+  /** The shared video-hash CTE prefix (vii → per-frame hash bytes +
+    * per-clip sampled-frame counts): `iiSql` supplies (id, g, j, nf),
+    * frames sample every 2nd index below nf (≤ `maxNf`), each sampled
+    * frame replays the 9×8 block closed form into 8 bytes (`vbytes`),
+    * `vnf` counts sampled frames per clip. */
+  private def videoDhashCtes(iiSql: String, maxNf: Int): String =
+    s"""vii AS ($iiSql),
+         vfr AS (
+           SELECT i.id, i.g, i.j, f.f
+           FROM vii i CROSS JOIN range(0, $maxNf) f(f)
+           WHERE f.f < i.nf AND f.f % 2 = 0),
+         vvals AS MATERIALIZED (
+           SELECT r.id, r.f, bx.bx, byy.byy,
+                  (((37 + 11 * r.g) * bx.bx + (23 + 7 * r.g) * byy.byy
+                    + 29 * r.f + 13 * r.g) % 97)
+                    + CASE WHEN bx.bx = 0 AND byy.byy = 0 THEN r.j
+                           ELSE 0 END AS v
+           FROM vfr r
+           CROSS JOIN range(0, 9) bx(bx)
+           CROSS JOIN range(0, 8) byy(byy)),
+         vbits AS (
+           SELECT l.id, l.f, l.byy, l.bx,
+                  CASE WHEN l.v > r.v THEN 1 ELSE 0 END AS bit
+           FROM vvals l
+           JOIN vvals r ON r.id = l.id AND r.f = l.f AND r.byy = l.byy
+             AND r.bx = l.bx + 1
+           WHERE l.bx < 8),
+         vbytes AS MATERIALIZED (
+           SELECT id, f, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
+           FROM vbits GROUP BY 1, 2, 3),
+         vnfall AS (
+           SELECT id, CAST(count(*) AS BIGINT) AS nf
+           FROM (SELECT DISTINCT id, f FROM vbytes) GROUP BY 1)"""
+
   /** GENERATED order-N interpolated-KN oracle (q_lm_kn5): tokenize, doc
     * N-grams, the raw top-level count table from the doc_id%4=0 slice,
     * recursive continuation-count derivation (level-k counts = distinct
@@ -7202,16 +7590,29 @@ object SparkEntry {
     * using the SAME generated per-level formula the Spark lowering
     * compiles (LangModel.knLevelPSql) — order is the single parameter,
     * so both engines derive from one structure. */
-  private def knNgramOracle(n: Int): String = {
+  private def knNgramOracle(n: Int, prune: Seq[Long] = Seq.empty): String = {
     def slice(expr: String, lo: Int, hi: Int): String =
       s"array_to_string(string_split($expr, ' ')[$lo:$hi], ' ')"
     val gramBody = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
-    val seenCtes = ((n - 1) to 1 by -1).map { k =>
-      s"""kns$k AS MATERIALIZED (
+    // KenLM-style count pruning: the DERIVATION chain stays raw (knsr*,
+    // lower-level adjusted counts never see the thresholds), the STORED
+    // tables (kns*) filter per-level — matching LangModel.knPruned
+    val pruned = prune.exists(_ > 0)
+    def thr(k: Int): Long =
+      if (k >= 1 && k <= prune.length) prune(k - 1) else 0L
+    val raw = if (pruned) "r" else ""
+    val pruneCtes =
+      if (!pruned) Seq.empty
+      else (n to 1 by -1).map { k =>
+        val w = if (thr(k) > 0) s" WHERE cnt$k > ${thr(k)}" else ""
+        s"kns$k AS (SELECT * FROM knsr$k$w)"
+      }
+    val seenCtes = (((n - 1) to 1 by -1).map { k =>
+      s"""kns$raw$k AS MATERIALIZED (
            SELECT ${slice("g", 2, k + 1)} AS g,
                   CAST(count(*) AS BIGINT) AS cnt$k
-           FROM kns${k + 1} GROUP BY 1)"""
-    }.mkString(",\n         ")
+           FROM kns$raw${k + 1} GROUP BY 1)"""
+    } ++ pruneCtes).mkString(",\n         ")
     val ctxCtes = (n to 2 by -1).map { k =>
       s"""knc$k AS (
            SELECT ${slice("g", 1, k - 1)} AS c,
@@ -7246,7 +7647,7 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
                     i -> $gramBody)) AS tg
            FROM knx WHERE len(t) >= $n AND t[1] <> ''),
-         kns$n AS MATERIALIZED (
+         kns$raw$n AS MATERIALIZED (
            SELECT tg AS g, CAST(count(*) AS BIGINT) AS cnt$n FROM kng
            WHERE doc_id % 4 = 0 GROUP BY 1),
          $seenCtes,

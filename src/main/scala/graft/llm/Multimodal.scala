@@ -187,6 +187,13 @@ object Multimodal {
     val g = Jpeg.decodeGray(payload)
     if (g == null) return null
     val (w, h, px) = g
+    dhashOfGray(w, h, px)
+  }
+
+  /** The dHash grid computation over ANY single-channel raster — shared
+    * by the JPEG-gray path ([[dhashBytes]]) and the GIF-palette-index
+    * path ([[videoFrameDhashes]]); null below the 9×8 grid. */
+  private[graft] def dhashOfGray(w: Int, h: Int, px: Array[Int]): Array[Int] = {
     if (w < 9 || h < 8) return null
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)
@@ -1121,6 +1128,266 @@ object Multimodal {
       }
     }
     out.toSeq
+  }
+
+  /** Per-sampled-frame dHashes of an animated GIF — the VIDEO
+    * fingerprint: every `every`-th frame LZW-decodes to its
+    * palette-INDEX raster (unsampled frames are sub-block-hopped, never
+    * decoded — decode cost scales with sampled frames) and hashes
+    * through the shared [[dhashOfGray]] grid over the INDEX plane. The
+    * index plane is the right invariant for dedup: a re-encode that
+    * preserves the palette preserves indices exactly, and the dHash
+    * compares only relative brightness of adjacent boxes, so any
+    * monotone palette ramp gives the same bits as true luma. Returns
+    * (frame_ix, 8 band bytes) per sampled frame; null for corrupt /
+    * local-palette / sub-grid payloads (honesty rules of
+    * [[sampleGifFrames]]). */
+  def videoFrameDhashes(payload: Array[Byte], every: Int): Seq[(Int, Array[Int])] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    if (payload == null || payload.length < 21) return null
+    def u8(i: Int): Int = payload(i) & 0xff
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')) return null
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val packed = u8(10)
+    if ((packed & 0x80) == 0) return null
+    val gctOff = 13
+    var i = gctOff + 3 * (1 << ((packed & 7) + 1))
+    if (i >= payload.length) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var frameIx = 0
+    var done = false
+    while (!done) {
+      if (i >= payload.length) return null
+      u8(i) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          i += 2
+          val skipped = readGifSubBlocks(payload, i)
+          if (skipped == null) return null
+          i = skipped._2
+        case 0x2c =>
+          if (i + 10 > payload.length) return null
+          val fw = le16(i + 5); val fh = le16(i + 7)
+          val p = u8(i + 9)
+          i += 10
+          if ((p & 0x80) != 0) return null
+          if (i >= payload.length) return null
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return null
+          val blocks = readGifSubBlocks(payload, i)
+          if (blocks == null) return null
+          i = blocks._2
+          if (frameIx % every == 0) {
+            if (fw < 9 || fh < 8) return null
+            val idx = lzwIndices(blocks._1, minCode, fw * fh)
+            if (idx == null) return null
+            val px = new Array[Int](fw * fh)
+            var k = 0
+            while (k < px.length) { px(k) = idx(k) & 0xff; k += 1 }
+            val h = dhashOfGray(fw, fh, px)
+            if (h == null) return null
+            out += ((frameIx, h))
+          }
+          frameIx += 1
+        case _ => return null
+      }
+    }
+    out.toSeq
+  }
+
+  /** Video hash frame: one row per (idCol, `frame_ix`, `dhash`) sampled
+    * frame via one narrow mapPartitions, with the clip's total sampled
+    * count denormalized as `n_frames` (the all-frames pairing rule needs
+    * it, and here it is free — no stateful per-clip aggregation in a
+    * stream). Undecodable payloads drop. */
+  def videoDhash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      every: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("frame_ix", IntegerType, nullable = false),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false)),
+      StructField("n_frames", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val hs = videoFrameDhashes(row.getAs[Array[Byte]](payloadIdx), every)
+        if (hs == null) Iterator.empty
+        else hs.iterator.map { case (f, h) =>
+          Row(row.get(idIdx), f, h, hs.length.toLong)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate VIDEO pairs — the third modality next to
+    * [[imageNearDupPairs]] / [[audioNearDupPairs]]: fingerprint = the
+    * dHash of every `every`-th frame; two clips pair iff they have the
+    * SAME sampled-frame count and EVERY aligned sampled frame is within
+    * `maxHamming` (candidates come from a per-frame byte-band equi-join
+    * — exact for hamming ≤ 7 by pigeonhole, so a frame pair inside the
+    * threshold can never be missed — and a frame pair outside it keeps
+    * the clips apart by the matched-frame-count check). Output
+    * (a_id, b_id, max_hamming). `maxPerBucketSide` is the standard
+    * lowest-id cap, per (frame, band, value) bucket. */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      every: Int = 2,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    require(maxPerBucketSide >= 1, "maxPerBucketSide must be positive")
+    val frameEvery = every
+    import org.apache.spark.sql.functions._
+    val frames = scope.cache(
+      videoDhash(df, idCol, payloadCol, frameEvery)
+        .where(col("dhash").isNotNull))
+    val nf = frames.groupBy(col(idCol).as("__vid__"))
+      .agg(count(lit(1)).as("__nf__"))
+    val bandedAll = frames.select(col(idCol).as("__id__"), col("frame_ix"),
+      col("dhash"), posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+    val banded =
+      if (maxPerBucketSide == Int.MaxValue) bandedAll
+      else scope.cache(bandedAll
+        .withColumn("__br__",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("frame_ix"), col("__band__"), col("__bv__"))
+            .orderBy(col("__id__"))))
+        .where(col("__br__") <= maxPerBucketSide)
+        .drop("__br__"))
+    val perFrame = banded.as("a")
+      .join(banded.as("b"),
+        col("a.frame_ix") === col("b.frame_ix") &&
+          col("a.__band__") === col("b.__band__") &&
+          col("a.__bv__") === col("b.__bv__") &&
+          col("a.__id__") < col("b.__id__"))
+      .select(col("a.__id__").as("a_id"), col("b.__id__").as("b_id"),
+        col("a.frame_ix").as("__f__"),
+        expr("""CAST(aggregate(zip_with(a.dhash, b.dhash,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("__ham__"))
+      .where(col("__ham__") <= maxHamming)
+      .distinct()
+    perFrame
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("__m__"), max(col("__ham__")).as("max_hamming"))
+      .join(nf.withColumnRenamed("__vid__", "a_id")
+        .withColumnRenamed("__nf__", "__nfa__"), Seq("a_id"))
+      .join(nf.withColumnRenamed("__vid__", "b_id")
+        .withColumnRenamed("__nf__", "__nfb__"), Seq("b_id"))
+      .where(col("__m__") === col("__nfa__") && col("__nfa__") === col("__nfb__"))
+      .select(col("a_id"), col("b_id"), col("max_hamming"))
+  }
+
+  /** Persistable per-frame dHash INDEX of a video corpus — the third
+    * modality's [[dhashIndex]]: one row per sampled-frame band posting
+    * keyed `__bkey__` = "<frame>:<band>:<byte-value>" (frame alignment
+    * rides IN the key, so an indexed query only ever joins aligned
+    * frames), with the frame's full 8-byte hash (`__dhash__`) AND the
+    * clip's sampled-frame count (`__nf__`) denormalized onto the posting
+    * — a query verifies candidates inline (popcount) and applies the
+    * all-frames-aligned pairing rule with no join back to the corpus.
+    * `maxPerBucketSide` caps postings per (frame, band, value) bucket AT
+    * BUILD time, lowest-id first — same fixed-256-value-domain argument
+    * as [[dhashIndex]]. Persist with `ParquetIO.writeBucketed(index,
+    * table, path, "__bkey__", buckets)` for zero index-side exchanges
+    * at query time. Columns: (`__id__`, `__bkey__`, `__dhash__`,
+    * `__nf__`). */
+  def videoDhashIndex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      every: Int = 2,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame = {
+    val frameEvery = every // `functions.every` shadows the param below
+    import org.apache.spark.sql.functions._
+    require(maxPerBucketSide >= 1, "maxPerBucketSide must be positive")
+    val frames = videoDhash(df, idCol, payloadCol, frameEvery)
+      .where(col("dhash").isNotNull)
+    val nf = frames.groupBy(col(idCol).as("__vid__"))
+      .agg(count(lit(1)).as("__nf__"))
+    val banded = frames
+      .join(nf, frames(idCol) === nf("__vid__"))
+      .select(col(idCol).as("__id__"), col("frame_ix"),
+        col("dhash").as("__dhash__"), col("__nf__"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+    val capped =
+      if (maxPerBucketSide == Int.MaxValue) banded
+      else banded
+        .withColumn("__br__",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("frame_ix"), col("__band__"), col("__bv__"))
+            .orderBy(col("__id__"))))
+        .where(col("__br__") <= maxPerBucketSide)
+        .drop("__br__")
+    capped.select(col("__id__"),
+      concat(col("frame_ix"), lit(":"), col("__band__"), lit(":"),
+        col("__bv__")).as("__bkey__"),
+      col("__dhash__"), col("__nf__"))
+  }
+
+  /** INCREMENTAL video near-dup join against a pre-built
+    * [[videoDhashIndex]]: the new slice decodes + hashes ONLY itself,
+    * per-frame postings band-join the index on the composite key (frame
+    * alignment is key equality — no misaligned candidates exist), each
+    * candidate frame pair verifies inline by popcount, and two clips
+    * pair iff EVERY sampled frame on both sides matched within
+    * `maxHamming` (the [[videoNearDupPairs]] rule; the new side's frame
+    * count comes from its own hash pass, the index side's rides on the
+    * posting). Exact-by-pigeonhole at hamming ≤ 7 relative to the
+    * (possibly build-capped) index postings. Returns (a_id = new id,
+    * b_id = index id, max_hamming). */
+  def videoNearDupJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      every: Int = 2,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val frameEvery = every // `functions.every` shadows the param below
+    import org.apache.spark.sql.functions._
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    val frames = scope.cache(
+      videoDhash(newDocs, idCol, payloadCol, frameEvery)
+        .where(col("dhash").isNotNull))
+    val nfNew = frames.groupBy(col(idCol).as("__vid__"))
+      .agg(count(lit(1)).as("__nfa__"))
+    val newBanded = frames
+      .select(col(idCol).as("__nid__"), col("frame_ix"), col("dhash"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+      .select(col("__nid__"), col("dhash"),
+        concat(col("frame_ix"), lit(":"), col("__band__"), lit(":"),
+          col("__bv__")).as("__bkey__"))
+    val perFrame = newBanded
+      .join(index, Seq("__bkey__"))
+      .select(col("__nid__").as("a_id"), col("__id__").as("b_id"),
+        col("__bkey__"), col("__nf__").as("__nfb__"),
+        expr("""CAST(aggregate(zip_with(dhash, __dhash__,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("__ham__"))
+      .where(col("__ham__") <= maxHamming)
+      // one row per verified aligned FRAME pair (key prefix = frame):
+      // dedupe across the up-to-8 bands that agreed
+      .select(col("a_id"), col("b_id"),
+        substring_index(col("__bkey__"), ":", 1).as("__f__"),
+        col("__nfb__"), col("__ham__"))
+      .distinct()
+    perFrame
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("__m__"), max(col("__ham__")).as("max_hamming"),
+        max(col("__nfb__")).as("__nfb__"))
+      .join(nfNew.withColumnRenamed("__vid__", "a_id"), Seq("a_id"))
+      .where(col("__m__") === col("__nfa__") &&
+        col("__nfa__") === col("__nfb__"))
+      .select(col("a_id"), col("b_id"), col("max_hamming"))
   }
 
   /** LZW-decode one frame's code stream to its palette-INDEX raster

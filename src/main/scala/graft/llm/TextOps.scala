@@ -229,6 +229,30 @@ object TextOps {
       .toDF("merge_ix", "pair", "n")
   }
 
+  /** BYTE-level BPE ENCODING — [[bpeSubwordCounts]] for the GPT-2 family:
+    * tokenize the corpus through the byte-level rules and return per-doc
+    * subword counts. Same Heaps-bounded distinct-word broadcast shape;
+    * because the base alphabet is bytes, EVERY word tokenizes (no OOV
+    * path to account for). */
+  def bpeSubwordCountsBytes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    val (_, vocab) = bpeFitFrom(byteWordFrame(docs, textCol, scope), merges)
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    val sizes = vocab.select(col("__w__"),
+      expr(s"size($syms)").cast("long").as("__n__"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .join(broadcast(sizes), Seq("__w__"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n__")).as("n_subwords"))
+  }
+
   /** The shared BPE merge loop over a prepared word frame
     * (`__w__`, `__e__` `;sym;`-encoded symbols, `__f__` frequency). */
   private def bpeFitFrom(

@@ -420,6 +420,85 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Streaming perceptual VIDEO near-dup gate — [[streamingImageNearDup]]
+    * for clips: each arriving clip decodes + hashes its sampled frames in
+    * DISTRIBUTED stateless stages (the per-clip sampled-frame count rides
+    * on every frame row from the hash pass — no stateful aggregation),
+    * per-frame postings stream-static-join the persisted
+    * [[graft.llm.Multimodal.videoDhashIndex]] on the composite
+    * "<frame>:<band>:<value>" key, and candidates verify inline by
+    * popcount. Keyed state per clip only applies the all-aligned-frames
+    * pairing rule over that clip's ≤ nf·8·cap candidate rows (count
+    * distinct matched frames per index clip, require = both frame
+    * counts) and suppresses re-sent ids. Emits (idCol, b_id,
+    * max_hamming). */
+  def streamingVideoNearDup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      every: Int = 2,
+      maxHamming: Int = 6,
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "byte-band blocking is exact only for hamming <= 7")
+    import org.apache.spark.sql.types._
+    val hashed = graft.llm.Multimodal.videoDhash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol, every)
+      .where(col("dhash").isNotNull)
+    val cand = hashed
+      .select(col(idCol).as("__nid__"), col("n_frames").as("__nfa__"),
+        col("frame_ix"), col("dhash"),
+        posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
+      .select(col("__nid__"), col("__nfa__"), col("dhash"),
+        concat(col("frame_ix"), lit(":"), col("__band__"), lit(":"),
+          col("__bv__")).as("__bkey__"),
+        col("frame_ix"))
+      .join(index, Seq("__bkey__"))
+      .select(col("__nid__"), col("__nfa__"), col("frame_ix"),
+        col("__id__").cast("long").as("__bid__"),
+        col("__nf__").cast("long").as("__nfb__"),
+        expr("""CAST(aggregate(zip_with(dhash, __dhash__,
+                  (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
+                AS BIGINT)""").as("__ham__"))
+      .where(col("__ham__") <= maxHamming)
+    val outSchema = StructType(Seq(StructField(idCol, LongType),
+      StructField("b_id", LongType), StructField("max_hamming", LongType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val longEnc = Encoders.scalaLong
+    cand
+      .groupByKey((r: Row) => r.getLong(0))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // clip already adjudicated
+          else {
+            state.update(true)
+            // per index-clip: distinct matched frames + max hamming —
+            // bounded at the clip's candidate fan-out, never the batch
+            var nfa = 0L
+            val frames = scala.collection.mutable
+              .HashMap.empty[Long, scala.collection.mutable.HashSet[Int]]
+            val maxHam = scala.collection.mutable.HashMap.empty[Long, Long]
+            val nfb = scala.collection.mutable.HashMap.empty[Long, Long]
+            rows.foreach { r =>
+              nfa = r.getLong(1)
+              val b = r.getLong(3)
+              frames.getOrElseUpdate(b,
+                scala.collection.mutable.HashSet.empty[Int])
+                .add(r.getInt(2))
+              maxHam.update(b, math.max(maxHam.getOrElse(b, 0L), r.getLong(5)))
+              nfb.update(b, r.getLong(4))
+            }
+            frames.toSeq.sortBy(_._1).iterator.collect {
+              case (b, fs) if fs.size.toLong == nfa && nfa == nfb(b) =>
+                Row(id, b, maxHam(b))
+            }
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** Keyed state of [[streamingMatchSteps]]: each step's pruned candidate
     * frontier, in micros (the serialized form of graft.expr.ChainState). */
   final case class ChainFrontier(cands: Seq[Seq[Long]])

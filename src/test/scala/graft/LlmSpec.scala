@@ -1827,6 +1827,106 @@ class LlmSpec extends GraftSuite {
     assert(capped === Set((0L, 2L), (1L, 3L)))
   }
 
+  test("videoNearDupPairs: jittered clips pair, frame-count mismatch and patterns separate") {
+    val s = spark
+    import s.implicits._
+    def clip(g: Int, nf: Int, j: Int): Array[Byte] =
+      graft.llm.Multimodal.encodeAnimatedGif(72, 64, nf, (f, x, y) => {
+        val bx = x / 8; val byy = y / 8
+        (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f + 13 * g) % 97) +
+          (if (bx == 0 && byy == 0) j else 0)
+      })
+    // sampled-frame hashes decode for every 2nd frame only
+    val hs = graft.llm.Multimodal.videoFrameDhashes(clip(1, 5, 0), every = 2)
+    assert(hs.map(_._1) === Seq(0, 2, 4))
+    hs.foreach(h => assert(h._2.length === 8))
+    // corrupt payload: honest null
+    assert(graft.llm.Multimodal.videoFrameDhashes(Array[Byte](1, 2), 2) === null)
+    val rows = Seq(
+      (0L, clip(1, 4, 0)), // base
+      (1L, clip(1, 4, 2)), // corner-jittered copy -> pairs with 0
+      (2L, clip(1, 6, 0)), // same pattern, MORE frames -> sampled count
+                           // differs (2 vs 3): never pairs
+      (3L, clip(2, 4, 0))) // different pattern, same count: too far
+    val pairs = graft.llm.Multimodal.videoNearDupPairs(
+        rows.toDF("doc_id", "payload"), "doc_id", "payload",
+        every = 2, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("videoNearDupJoinIndexed over a persisted bucketed per-frame index: cross-slice parity, index side never reshuffles") {
+    val s = spark
+    import s.implicits._
+    def clip(g: Int, j: Int): Array[Byte] =
+      graft.llm.Multimodal.encodeAnimatedGif(72, 64, 4 + (g % 3), (f, x, y) => {
+        val bx = x / 8; val byy = y / 8
+        (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f + 13 * g) % 97) +
+          (if (bx == 0 && byy == 0) j else 0)
+      })
+    // 4 patterns × 3 jitters (frame counts vary by pattern), split:
+    // index = ids 6..11, new slice = 0..5
+    val all = (0L until 12L).map { id =>
+      (id, clip((id % 4).toInt, (id / 4).toInt))
+    }.toDF("doc_id", "payload")
+    val idxSide = all.where(sc("doc_id") >= 6)
+    val newSide = all.where(sc("doc_id") < 6)
+    def trip(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: uncapped within-corpus pairs crossing the slice split
+    val direct = trip(graft.llm.Multimodal.videoNearDupPairs(
+        all, "doc_id", "payload", every = 2, maxHamming = 6))
+      .filter { case (a, b, _) => a < 6 && b >= 6 }
+    assert(direct.nonEmpty)
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Multimodal.videoDhashIndex(idxSide, "doc_id", "payload",
+        every = 2),
+      "vhash_idx_spec", "/tmp/graft_vhash_idx/spec", "__bkey__", 4)
+    try {
+      val joined = graft.llm.Multimodal.videoNearDupJoinIndexed(
+        newSide, "doc_id", "payload", s.table("vhash_idx_spec"),
+        every = 2, maxHamming = 6)
+      assert(trip(joined) === direct)
+      // plan shape: the bucketed index scan feeds the band join with NO
+      // ShuffleExchange above it (the dhashIndex/minhashIndex pin)
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def hasScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec => f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_vhash_idx/spec"))
+          case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+          case w: WholeStageCodegenExec => hasScan(w.child)
+          case other => other.children.exists(hasScan)
+        }
+        def hasJoin(p: SparkPlan): Boolean = p match {
+          case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+          case w: WholeStageCodegenExec => hasJoin(w.child)
+          case other => other.nodeName.contains("Join") ||
+            other.children.exists(hasJoin)
+        }
+        def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+          case sh: ShuffleExchangeExec =>
+            (hasScan(sh.child) && !hasJoin(sh.child)) ||
+              hasShuffleAbove(sh.child)
+          case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+          case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+          case other => other.children.exists(hasShuffleAbove)
+        }
+        val plan = graft.llm.Multimodal.videoNearDupJoinIndexed(
+            newSide, "doc_id", "payload", s.table("vhash_idx_spec"),
+            every = 2, maxHamming = 6)
+          .queryExecution.executedPlan
+        assert(hasScan(plan), "expected the bucketed index scan in the plan")
+        assert(!hasShuffleAbove(plan),
+          s"index side re-shuffled — bucketed layout not riding free:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally s.sql("DROP TABLE IF EXISTS vhash_idx_spec")
+  }
+
   test("audio dHash matches the closed form; near-dups pair, patterns don't") {
     val s = spark
     import s.implicits._
@@ -3043,6 +3143,25 @@ class LlmSpec extends GraftSuite {
     assert(kn5.exists(_._2 > 0))
     kn5.filter(_._2 > 0).foreach { case (id, _, bits) =>
       assert(bits > 0.0 && bits <= 30.0, s"doc $id bits=$bits out of range")
+    }
+    // train-once / score-many: the persisted model scores IDENTICALLY —
+    // no retraining pass over the trusted slice
+    graft.llm.LangModel.knNgramFit(train, "text", "/tmp/graft_kn5_model",
+      order = 5)
+    assert(rows(graft.llm.LangModel.knNgramScoreWithModel(
+      docs, "doc_id", "text", "/tmp/graft_kn5_model", order = 5)) === kn5)
+    // KenLM-style count pruning: zero thresholds are the IDENTITY, and a
+    // singleton-pruned model still scores every doc (pruned grams route
+    // through backoff like unseen ones — scores finite, same doc set)
+    assert(rows(graft.llm.LangModel.knNgramScore(
+      docs, train, "doc_id", "text", order = 5,
+      prune = Seq(0L, 0L, 0L, 0L, 0L))) === kn5)
+    val knPruned = rows(graft.llm.LangModel.knNgramScore(
+      docs, train, "doc_id", "text", order = 5,
+      prune = Seq(0L, 1L, 1L, 1L, 1L)))
+    assert(knPruned.map(r => (r._1, r._2)) === kn5.map(r => (r._1, r._2)))
+    knPruned.filter(_._2 > 0).foreach { case (id, _, bits) =>
+      assert(bits > 0.0 && bits <= 30.0, s"pruned doc $id bits=$bits")
     }
     graft.llm.CacheScope.global.release()
   }

@@ -240,6 +240,57 @@ class StreamingSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_stream")
   }
 
+  test("streaming VIDEO near-dup gate: per-frame stream-static join vs the persisted index, batch parity") {
+    val s = spark
+    import s.implicits._
+    def clip(g: Int, j: Int): Array[Byte] =
+      graft.llm.Multimodal.encodeAnimatedGif(72, 64, 4, (f, x, y) => {
+        val bx = x / 8; val byy = y / 8
+        (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f + 13 * g) % 97) +
+          (if (bx == 0 && byy == 0) j else 0)
+      })
+    // corpus index: patterns 0..3 (ids 100..103), build-time cap
+    val corpus = (0 until 4).map(g => (100L + g, clip(g, 0)))
+      .toDF("doc_id", "payload")
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Multimodal.videoDhashIndex(corpus, "doc_id", "payload",
+        every = 2, maxPerBucketSide = 2),
+      "vhash_idx_stream", "/tmp/graft_vhash_idx/stream", "__bkey__", 4)
+    try {
+      val idx = s.table("vhash_idx_stream")
+      val ms = MemoryStream[(Long, Array[Byte])](s)
+      val flagged = Streams.streamingVideoNearDup(
+        ms.toDF.toDF("doc_id", "payload"), "doc_id", "payload", idx,
+        every = 2, maxHamming = 6)
+      val q = flagged.writeStream.format("memory").queryName("vneardup_out")
+        .outputMode("append").start()
+      try {
+        // batch 1: a jittered copy of pattern 0 (flags vs 100), a novel
+        // pattern (no match), garbage (drops)
+        ms.addData((1L, clip(0, 2)), (2L, clip(6, 0)),
+          (3L, Array[Byte](9, 9)))
+        q.processAllAvailable()
+        // batch 2: a copy of pattern 2 (flags vs 102) and a RE-SENT id 1
+        // (state suppresses re-emission)
+        ms.addData((4L, clip(2, 1)), (1L, clip(0, 2)))
+        q.processAllAvailable()
+        val rows = spark
+          .sql("SELECT doc_id, b_id, max_hamming FROM vneardup_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.map(t => (t._1, t._2)).toSet ===
+          Set((1L, 100L), (4L, 102L)))
+        assert(rows.forall(_._3 <= 6))
+        // batch parity: the same payloads through the batch indexed join
+        val batch = graft.llm.Multimodal.videoNearDupJoinIndexed(
+            Seq((1L, clip(0, 2)), (2L, clip(6, 0)), (4L, clip(2, 1)))
+              .toDF("doc_id", "payload"),
+            "doc_id", "payload", idx, every = 2, maxHamming = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally s.sql("DROP TABLE IF EXISTS vhash_idx_stream")
+  }
+
   test("stateless gates compose with streaming dedup into a cleaning pipeline") {
     val s = spark
     import s.implicits._
