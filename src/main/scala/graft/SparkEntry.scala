@@ -1724,6 +1724,21 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- STUPID BACKOFF order-5 scoring (Brants et al. 2007, the
+    //     MapReduce web-scale LM: every model table a plain count, no
+    //     discounting, fixed alpha = 0.4) — same one-raw-pass shape as
+    //     KN with suffix-SUM level derivation ---
+    "q_lm_sb5" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.sbNgramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text",
+            order = 5)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- COUNT-PRUNED order-5 KN (KenLM --prune 0 1 1 1 1): singleton
     //     grams at orders 2..5 drop from the STORED model after the full
     //     adjusted-count derivation; a pruned gram scores through
@@ -1853,6 +1868,42 @@ object SparkEntry {
           df.select(F.col("doc_id"), url.as("url"),
               p.getField("scheme").as("scheme"), p.getField("host").as("host"),
               p.getField("path").as("path"), p.getField("domain").as("domain"))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- domain BLOCKLIST gate: the q_url_parse fixture urls, blocklist
+    //     frame = the registrable domains of the doc_id % 10 = 0 slice
+    //     (a DataFrame, not a literal — the anti-join IS the scale
+    //     path), keep unblocked rows ---
+    "q_domain_blocklist" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val url0 = F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 === 0, F.lit("user@")).otherwise(F.lit("")),
+            F.lit("www."), F.col("source"), F.lit("."),
+            F.element_at(
+              F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("io"),
+                F.lit("gov.uk"), F.lit("co.jp"), F.lit("github.io"),
+                F.lit("ck")),
+              (F.col("doc_id") % 8 + 1).cast("int")),
+            F.when(F.col("doc_id") % 5 === 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/d/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 === 0,
+              F.concat(F.lit("?lang="), F.col("lang"))).otherwise(F.lit("")))
+          val url = F.when(F.col("doc_id") % 13 === 11,
+            F.concat(F.lit("https://s3.amazonaws.com/bucket/"),
+              F.col("doc_id").cast("string"))).otherwise(url0)
+          val urls = df.select(F.col("doc_id"), url.as("url"))
+          val blocklist = urls.where(F.col("doc_id") % 10 === 0)
+            .select(graft.llm.TextOps.urlParts(F.col("url"))
+              .getField("domain").as("domain"))
+          graft.llm.TextOps.domainBlocklistFilter(urls, "url", blocklist)
+            .select(F.col("doc_id"),
+              graft.llm.TextOps.urlParts(F.col("url"))
+                .getField("domain").as("domain"))
         }
         .sort(col("doc_id"))
         .run(s)),
@@ -2816,6 +2867,36 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- image near-dup CLUSTERS: the capped perceptual pair detector
+    //     composed with the SAME iterative min-label closure every text
+    //     dedup family uses (clusterPairs is modality-agnostic — zero
+    //     new clustering code), giving per-image canonical keepers ---
+    "q_image_dedup_clusters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                val bx = x / 8; val byy = y / 8
+                (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 13 * g) % 97) + 28 +
+                  (if (bx == 0 && byy == 0) j else 0)
+              }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val pairs = graft.llm.Multimodal.imageNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
+          graft.llm.Dedup.clusterPairs(pairs, "a_id", "b_id")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- INCREMENTAL perceptual image dedup against a PERSISTED dHash
     //     index (the batch job streamingImageDedup's scaladoc promises):
     //     fixtures 8..23 are indexed once (band postings bucketed on
@@ -3349,6 +3430,25 @@ object SparkEntry {
     "q_bpe_bytes_subwords" -> ((s, dir) =>
       m(dir, "documents")
         .native(df => graft.llm.TextOps.bpeSubwordCountsBytes(
+          df, "doc_id", "text", merges = 4))
+        .sort(col("doc_id"))
+        .run(s)),
+
+    // --- the FULL production GPT-2 recipe: regex pre-tokenization
+    //     (contractions, space-prefixed word/number/punct runs — the
+    //     RE2-safe shared pattern) ahead of byte-level merges ---
+    "q_bpe_bytes_gpt2" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeTrainBytesGpt2(
+          df, "text", merges = 4))
+        .sort(col("merge_ix"))
+        .run(s)),
+
+    // --- GPT-2 serving path: per-doc subword counts through the
+    //     pre-tokenized byte rules ---
+    "q_bpe_bytes_gpt2_subwords" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.TextOps.bpeSubwordCountsBytesGpt2(
           df, "doc_id", "text", merges = 4))
         .sort(col("doc_id"))
         .run(s)),
@@ -4976,6 +5076,11 @@ object SparkEntry {
     // 0 1 1 1 1), same scoring joins + layered formula chain
     "q_lm_kn5_pruned" -> knNgramOracle(5, Seq(0L, 1L, 1L, 1L, 1L)),
 
+    // Stupid Backoff: suffix-SUM level derivation + the shared generated
+    // alpha-0.4 formula chain
+    "q_lm_sb5" -> knNgramOracle(5, derivSum = true,
+      pSql = graft.llm.LangModel.sbLevelPSql),
+
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so
     // the bucket SETS match bit-for-bit, not just the proportions).
@@ -5124,6 +5229,41 @@ object SparkEntry {
          SELECT doc_id, url, scheme, host, path,
            $PslDomainSql AS domain
          FROM d ORDER BY doc_id""",
+
+    // same fixture + PSL domain, blocklist = the % 10 slice's domains,
+    // NOT IN anti-join (domains are never null here)
+    "q_domain_blocklist" ->
+      s"""WITH u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 11
+               THEN 'https://s3.amazonaws.com/bucket/' || CAST(doc_id AS VARCHAR)
+               ELSE
+             'https://' ||
+             CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END ||
+             'www.' || source || '.' ||
+             (['com','co.uk','org','io','gov.uk','co.jp','github.io','ck'])
+               [CAST(doc_id % 8 + 1 AS INT)] ||
+             CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+             '/d/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0 THEN '?lang=' || lang ELSE '' END
+             END AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             regexp_extract(
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:[^@]*@)?([^:]*)', 1) AS host
+           FROM u),
+         d AS (
+           SELECT doc_id, host,
+                  string_split(host, '.') AS ls,
+                  len(string_split(host, '.')) AS k
+           FROM p),
+         dd AS (SELECT doc_id, $PslDomainSql AS domain FROM d),
+         bl AS (SELECT DISTINCT domain FROM dd WHERE doc_id % 10 = 0)
+         SELECT doc_id, domain FROM dd
+         WHERE domain NOT IN (SELECT domain FROM bl)
+         ORDER BY doc_id""",
 
     "q_domain_cap" ->
       """WITH d AS (
@@ -6249,6 +6389,33 @@ object SparkEntry {
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
+    // image pair replay + the SAME recursive closure every text-dedup
+    // cluster oracle uses: pairs feed nodes/edges/reach/clusters.
+    "q_image_dedup_clusters" ->
+      (s"""WITH RECURSIVE $ImageDhashCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id AS doc_a, b_id AS doc_b FROM ham WHERE hamming <= 6)""" +
+        ClosureCtes +
+        """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
+
     // video dHash replay: sampled frames from the closed form (nf = 4 +
     // g%3, every 2nd frame), per-frame block-value hash bytes, the
     // capped per-frame band join, and the all-aligned-frames rule.
@@ -6821,6 +6988,11 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
          FROM dw JOIN vs USING (w) WHERE len(w) >= 1
          GROUP BY 1 ORDER BY doc_id""",
+
+    // The GPT-2 recipe: generated byte-BPE chain over the shared
+    // regex-pre-tokenized token stream (train + serving twins).
+    "q_bpe_bytes_gpt2" -> byteBpeOracle(Gpt2WordsSql, subwords = false),
+    "q_bpe_bytes_gpt2_subwords" -> byteBpeOracle(Gpt2WordsSql, subwords = true),
 
     // Same four training iterations (word column carried through), then
     // per-word merged-symbol counts joined back to per-document words.
@@ -7508,6 +7680,67 @@ object SparkEntry {
     """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j
            FROM documents WHERE doc_id < 24""")
 
+  /** The GPT-2 pre-tokenizer as a DuckDB list expression over `text` —
+    * the ONE shared pattern ([[graft.llm.TextOps.Gpt2PretokPattern]])
+    * with SQL quote escaping; RE2 and Java regex are both
+    * leftmost-first, so the engines split identically. */
+  private val Gpt2WordsSql: String =
+    s"regexp_extract_all(text, '${graft.llm.TextOps.Gpt2PretokPattern.replace("'", "''")}')"
+
+  /** GENERATED byte-level BPE oracle (the q_bpe_bytes chain
+    * parameterized by the tokenizer): `wordListSql` produces each
+    * document's token list, four training iterations run over the
+    * hex-pair byte seeding, then either the merge table (`subwords =
+    * false`) or per-doc subword counts via the final vocabulary joined
+    * back to the token stream. */
+  private def byteBpeOracle(wordListSql: String, subwords: Boolean): String = {
+    val iters = (1 to 4).map { i =>
+      s"""s$i AS (SELECT w, string_split(trim(e, ';'), ';;') AS s, f
+                FROM e${i - 1}),
+         p$i AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s$i),
+         b$i AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p$i
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e$i AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e${i - 1}, b$i b)"""
+    }.mkString(",\n         ")
+    val subwordCtes =
+      if (!subwords) ""
+      else s""",
+         vs AS (SELECT w,
+                  CAST(len(string_split(trim(e, ';'), ';;')) AS BIGINT) AS ns
+                FROM e4),
+         dw AS (
+           SELECT doc_id, unnest($wordListSql) AS w
+           FROM documents)"""
+    val tail =
+      if (subwords)
+        """SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
+         FROM dw JOIN vs USING (w) WHERE len(w) >= 1
+         GROUP BY 1 ORDER BY doc_id"""
+      else
+        """SELECT merge_ix, pair, n FROM (
+           SELECT 1 AS merge_ix, pair, n FROM b1
+           UNION ALL SELECT 2, pair, n FROM b2
+           UNION ALL SELECT 3, pair, n FROM b3
+           UNION ALL SELECT 4, pair, n FROM b4)
+         ORDER BY merge_ix"""
+    s"""WITH w AS (
+           SELECT unnest($wordListSql) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT w, ';' || array_to_string(
+                    regexp_extract_all(lower(hex(encode(w))), '[0-9a-f]{2}'),
+                    ';;') || ';;_;' AS e, f
+           FROM wf),
+         $iters$subwordCtes
+         $tail"""
+  }
+
   /** GENERATED video near-dup oracle: the clip population comes in as
     * `iiSql` (columns id, g, j, nf — pattern family, corner jitter,
     * frame count), frames sample every 2nd index below nf (bounded by
@@ -7590,7 +7823,11 @@ object SparkEntry {
     * using the SAME generated per-level formula the Spark lowering
     * compiles (LangModel.knLevelPSql) — order is the single parameter,
     * so both engines derive from one structure. */
-  private def knNgramOracle(n: Int, prune: Seq[Long] = Seq.empty): String = {
+  private def knNgramOracle(
+      n: Int,
+      prune: Seq[Long] = Seq.empty,
+      derivSum: Boolean = false,
+      pSql: Int => String = graft.llm.LangModel.knLevelPSql): String = {
     def slice(expr: String, lo: Int, hi: Int): String =
       s"array_to_string(string_split($expr, ' ')[$lo:$hi], ' ')"
     val gramBody = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
@@ -7608,9 +7845,12 @@ object SparkEntry {
         s"kns$k AS (SELECT * FROM knsr$k$w)"
       }
     val seenCtes = (((n - 1) to 1 by -1).map { k =>
+      // KN: continuation counts (distinct left extensions); Stupid
+      // Backoff: raw suffix-sums — one corpus pass either way
+      val agg = if (derivSum) s"sum(cnt${k + 1})" else "count(*)"
       s"""kns$raw$k AS MATERIALIZED (
            SELECT ${slice("g", 2, k + 1)} AS g,
-                  CAST(count(*) AS BIGINT) AS cnt$k
+                  CAST($agg AS BIGINT) AS cnt$k
            FROM kns$raw${k + 1} GROUP BY 1)"""
     } ++ pruneCtes).mkString(",\n         ")
     val ctxCtes = (n to 2 by -1).map { k =>
@@ -7635,7 +7875,7 @@ object SparkEntry {
     val pCtes = (1 to n).map { k =>
       val src = if (k == 1) "knj" else s"knp${k - 1}"
       s"""knp$k AS (
-           SELECT *, ${graft.llm.LangModel.knLevelPSql(k)} AS p$k
+           SELECT *, ${pSql(k)} AS p$k
            FROM $src)"""
     }.mkString(",\n         ")
     s"""WITH knx AS (

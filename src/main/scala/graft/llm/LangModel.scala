@@ -374,6 +374,58 @@ object LangModel {
       if (df == null || t <= 0) df else df.where(col(s"cnt$k") > t)
     }
 
+  /** Per-level STUPID BACKOFF score (Brants et al. 2007 §3, the LM
+    * smoothing built FOR distributed web-scale training — no
+    * discounting, no continuation counts, fixed backoff α = 0.4, scores
+    * unnormalized by design): level 1 is the raw relative frequency,
+    * level k ≥ 2 uses the raw count ratio when the gram is seen and
+    * α·S(level k−1) otherwise. GENERATED and shared verbatim with the
+    * oracle, like [[knLevelPSql]]. */
+  private[graft] def sbLevelPSql(k: Int): String =
+    if (k == 1)
+      """coalesce(CAST(cnt1 AS DOUBLE), CAST(0 AS DOUBLE))
+         / CAST(tot1 AS DOUBLE)"""
+    else
+      s"""CASE WHEN cnt$k IS NOT NULL THEN
+           CAST(cnt$k AS DOUBLE) / CAST(tot$k AS DOUBLE)
+         ELSE 0.4 * p${k - 1} END"""
+
+  /** STUPID BACKOFF word N-gram scoring (Brants et al. 2007 — "Large
+    * Language Models in Machine Translation", the Google MapReduce LM):
+    * the smoothing a 100 TB corpus actually trains, because every model
+    * table is a plain COUNT — one raw N-gram pass, lower levels derive
+    * by SUFFIX-SUM (level-k count of gram u = Σ counts of level-(k+1)
+    * grams ending in u — the sliding-window suffix definition, one
+    * corpus pass total, documented deviation from per-level recounting
+    * which differs only at document-boundary windows), contexts reuse
+    * the same aggregate shape as KN, and the score chain is the shared
+    * generated formula ([[sbLevelPSql]]). S is intentionally NOT a
+    * probability (Brants: "we do not normalize"); the micro-bit fold
+    * treats it as one, which is the standard bits-proxy use. Output:
+    * (idCol, n_ngrams, bits_per_ngram). */
+  def sbNgramScore(
+      docs: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int = 5,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    graft.GraftExtensions.install(train.sparkSession)
+    val n = order
+    val seen = new Array[DataFrame](n + 1)
+    seen(n) = scope.cache(knGramsOf(train, textCol, n)
+      .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n")))
+    for (k <- (n - 1) to 1 by -1)
+      seen(k) = scope.cache(seen(k + 1)
+        .groupBy(substring_index(col("g"), " ", -k).as("g"))
+        .agg(sum(col(s"cnt${k + 1}")).as(s"cnt$k")))
+    def ctx(k: Int): DataFrame = knCtxTable(seen(k), k)
+    val tot1 = seen(1).agg(sum(col("cnt1")).as("tot1"))
+    knScoreFromTables(docs, idCol, textCol, n, seen(_), ctx, tot1,
+      sbLevelPSql)
+  }
+
   /** The order-N model's level tables: seen(k) = one row per SEEN k-gram
     * with its level-k count — raw at k = N, adjusted (distinct left
     * extensions among level-(k+1) seen grams) below. Index 1..N. */
@@ -463,7 +515,8 @@ object LangModel {
       n: Int,
       seen: Int => DataFrame,
       ctx: Int => DataFrame,
-      tot1: DataFrame): DataFrame = {
+      tot1: DataFrame,
+      pSql: Int => String = knLevelPSql): DataFrame = {
     var scored = knGramsOf(docs, textCol, n, col(idCol))
     for (k <- n to 1 by -1) {
       val gk = if (k == n) col("tg") else substring_index(col("tg"), " ", -k)
@@ -479,7 +532,7 @@ object LangModel {
     }
     scored = scored.crossJoin(broadcast(tot1)) // 1-row model attach
     for (k <- 1 to n)
-      scored = scored.withColumn(s"p$k", expr(knLevelPSql(k)))
+      scored = scored.withColumn(s"p$k", expr(pSql(k)))
     val agg = scored
       .withColumn("p", col(s"p$n"))
       .withColumn("__mb__", expr(KnTermSql))

@@ -193,8 +193,41 @@ object TextOps {
   private[graft] def byteWordFrame(
       docs: DataFrame,
       textCol: String,
-      scope: CacheScope): DataFrame = scope.cache(docs
-    .select(explode(split(col(textCol), "\\s+")).as("__w__"))
+      scope: CacheScope): DataFrame = byteSeedFrame(
+    docs.select(explode(split(col(textCol), "\\s+")).as("__w__")), scope)
+
+  /** The RE2-safe GPT-2 pre-tokenizer pattern, ONE constant shared
+    * verbatim by the Spark lowering and the DuckDB oracle: apostrophe
+    * contractions, optionally-space-prefixed letter / digit /
+    * punctuation runs, whitespace runs. DOCUMENTED DEVIATION from
+    * GPT-2's exact pattern: the `\s+(?!\S)` alternative is dropped —
+    * RE2 (the oracle engine) has no lookahead — so a multi-space run
+    * before a visible token is consumed whole instead of donating its
+    * last space to the next token's ` ?` prefix. The alternatives cover
+    * every character class, so matches PARTITION the input (lossless
+    * pre-tokenization — spec-pinned), and Java regex and RE2 are both
+    * leftmost-first, so the two engines split identically. */
+  val Gpt2PretokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** [[byteWordFrame]] with GPT-2 pre-tokenization instead of bare
+    * whitespace words: tokens KEEP their leading space (GPT-2's
+    * space-marker convention — the space is just byte 0x20 in the hex
+    * seeding), punctuation splits from words, contractions split at the
+    * apostrophe. */
+  private[graft] def gpt2ByteWordFrame(
+      docs: DataFrame,
+      textCol: String,
+      scope: CacheScope): DataFrame = byteSeedFrame(
+    docs.select(explode(regexp_extract_all(col(textCol),
+      lit(Gpt2PretokPattern), lit(0))).as("__w__")), scope)
+
+  /** Shared byte seeding over a one-column (`__w__`) token frame:
+    * distinct-token frequencies, each token rendered as its UTF-8 bytes
+    * in fixed-width lowercase hex pairs under the `;sym;` machinery. */
+  private def byteSeedFrame(
+      words: DataFrame,
+      scope: CacheScope): DataFrame = scope.cache(words
     .where(length(col("__w__")) >= 1)
     .groupBy(col("__w__")).agg(count(lit(1)).as("__f__"))
     .select(col("__w__"),
@@ -239,14 +272,58 @@ object TextOps {
       idCol: String,
       textCol: String,
       merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    byteSubwordCountsFrom(docs, idCol,
+      byteWordFrame(docs, textCol, scope), merges,
+      explode(split(col(textCol), "\\s+")))
+
+  /** [[bpeTrainBytes]] behind the GPT-2 pre-tokenizer
+    * ([[Gpt2PretokPattern]]) — the full production GPT-2 recipe:
+    * regex pre-tokenization (contractions, space-prefixed word /
+    * number / punctuation runs), then byte-level merges. Merge loop,
+    * determinism contract and output shape are [[bpeTrainBytes]]'s. */
+  def bpeTrainBytesGpt2(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
       scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    bpeFitFrom(gpt2ByteWordFrame(docs, textCol, scope), merges)._1
+      .toDF("merge_ix", "pair", "n")
+  }
+
+  /** [[bpeSubwordCountsBytes]] behind the GPT-2 pre-tokenizer: per-doc
+    * subword counts through the GPT-2-pre-tokenized byte rules. */
+  def bpeSubwordCountsBytesGpt2(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Int,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    byteSubwordCountsFrom(docs, idCol,
+      gpt2ByteWordFrame(docs, textCol, scope), merges,
+      explode(regexp_extract_all(col(textCol),
+        lit(Gpt2PretokPattern), lit(0))))
+
+  /** Shared byte-BPE serving path: fit on the seeded token frame, then
+    * broadcast-join per-token subword sizes back to the documents'
+    * token stream (`wordsOf` must re-produce the SAME tokenization the
+    * seed frame was built from). */
+  private def byteSubwordCountsFrom(
+      docs: DataFrame,
+      idCol: String,
+      seed: DataFrame,
+      merges: Int,
+      wordsOf: Column): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
-    val (_, vocab) = bpeFitFrom(byteWordFrame(docs, textCol, scope), merges)
+    val (_, vocab) = bpeFitFrom(seed, merges)
     val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
     val sizes = vocab.select(col("__w__"),
       expr(s"size($syms)").cast("long").as("__n__"))
     docs
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__w__"))
+      .select(col(idCol), wordsOf.as("__w__"))
       .where(length(col("__w__")) >= 1)
       .join(broadcast(sizes), Seq("__w__"))
       .groupBy(col(idCol))
@@ -894,6 +971,27 @@ object TextOps {
       .where(col("__rn__") <= cap)
       .drop("__rn__")
   }
+
+  /** Domain BLOCKLIST gate — [[domainCap]]'s negative twin and the other
+    * half of production URL curation (UT1/adult/malware lists): drop
+    * every document whose url's REGISTRABLE domain (PSL, [[urlParts]])
+    * has a blocklist row. Blocklist-as-DataFrame anti-join is the scale
+    * path: a multi-million-entry list shuffles like any dimension (AQE
+    * broadcasts a small one) — no driver-side lookup, no literal
+    * explosion into the plan; registrable-domain matching makes
+    * subdomain wildcarding free (every host under a blocked site shares
+    * its registrable domain). Returns `docs` rows whose domain is
+    * unblocked, schema unchanged. */
+  def domainBlocklistFilter(
+      docs: DataFrame,
+      urlCol: String,
+      blocklist: DataFrame,
+      domainCol: String = "domain"): DataFrame =
+    docs
+      .withColumn("__dom__", urlParts(col(urlCol)).getField("domain"))
+      .join(blocklist.select(col(domainCol).as("__dom__")).distinct(),
+        Seq("__dom__"), "left_anti")
+      .drop("__dom__")
 
   /** HTML → text extraction, the first stage of every web-crawl corpus
     * pipeline (the WARC/HTML step the Gopher/CCNet filters assume already

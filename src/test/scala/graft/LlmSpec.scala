@@ -3120,6 +3120,110 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("GPT-2 pre-tokenizer: matches PARTITION the input (lossless), contractions and space-prefixed runs split as documented") {
+    val s = spark
+    import s.implicits._
+    val pat = graft.llm.TextOps.Gpt2PretokPattern
+    def toks(t: String): Seq[String] = {
+      val m = java.util.regex.Pattern.compile(pat).matcher(t)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    // the alternatives cover every character class → matches partition
+    // the string: concat(tokens) == input, for adversarial inputs too
+    val inputs = Seq("don't stop, won't  stop!", "I'll pay $12.50 now",
+      "日本語 text🚀", "  leading and trailing  ", "a\t\tb\nc", "")
+    inputs.foreach(t => assert(toks(t).mkString === t, s"lossy on <$t>"))
+    // documented splits: contraction peels, punctuation separates,
+    // numbers separate, tokens keep ONE leading space
+    assert(toks("don't stop, won't  stop!") ===
+      Seq("don", "'t", " stop", ",", " won", "'t", "  ", "stop", "!"))
+    assert(toks("I'll pay $12.50 now") ===
+      Seq("I", "'ll", " pay", " $", "12", ".", "50", " now"))
+    // the Spark lowering splits identically to the JVM regex (same
+    // pattern through regexp_extract_all)
+    val sparkToks = Seq("don't stop, won't  stop!").toDF("text")
+      .select(org.apache.spark.sql.functions.regexp_extract_all(
+        sc("text"), org.apache.spark.sql.functions.lit(pat),
+        org.apache.spark.sql.functions.lit(0)))
+      .collect().head.getSeq[String](0)
+    assert(sparkToks === toks("don't stop, won't  stop!"))
+    // GPT-2 trainer over the pre-tokenized stream: still byte-total
+    val train = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = graft.llm.TextOps.bpeTrainBytesGpt2(train, "text", merges = 6)
+      .orderBy(sc("merge_ix")).collect()
+    assert(rules.length === 6)
+    rules.foreach(r => r.getString(1).split(' ').foreach(sym =>
+      assert(sym.matches("(?:[0-9a-f]{2})*_?") && sym.nonEmpty)))
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("sbNgramScore matches a plain-Scala Stupid Backoff re-derivation (order 2)") {
+    val s = spark
+    import s.implicits._
+    def words(text: String): Seq[String] =
+      java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+        .toLowerCase.replaceAll("[^\\p{L}]+", " ").trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+    def scalaSb(corpus: Seq[(Long, String)], trainPred: Long => Boolean)
+        : Seq[(Long, Long, Double)] = {
+      def bigrams(t: String): Seq[(String, String)] = {
+        val w = words(t)
+        if (w.length < 2) Seq.empty else w.zip(w.tail)
+      }
+      val tb = corpus.filter(d => trainPred(d._1)).flatMap(d => bigrams(d._2))
+        .groupBy(identity).map { case (bg, g) => bg -> g.size.toLong }
+      // suffix-sum unigram counts (the one-pass sliding-window def)
+      val c1 = tb.groupBy(_._1._2).map { case (w2, g) => w2 -> g.values.sum }
+      val ctx2 = tb.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+      val tot1 = tb.values.sum
+      def term(bg: (String, String)): Long = {
+        val p = tb.get(bg) match {
+          case Some(c) => c.toDouble / ctx2(bg._1).toDouble
+          case None =>
+            0.4 * (c1.get(bg._2).map(_.toDouble).getOrElse(0.0) /
+              tot1.toDouble)
+        }
+        if (p <= 0) 30000000L
+        else BigDecimal(-(StrictMath.log(p) / StrictMath.log(2.0)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      corpus.map { case (id, t) =>
+        val bgs = bigrams(t)
+        if (bgs.isEmpty) (id, 0L, 0.0)
+        else {
+          val sum = bgs.map(term).sum
+          (id, bgs.size.toLong,
+            BigDecimal(sum.toDouble / bgs.size.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.sortBy(_._1)
+    }
+    val fixture = Seq(
+      (0L, "the cat sat on the mat the cat ran"),
+      (1L, "a cat sat"), (2L, "the dog sat on a log"),
+      (3L, "zq zq unseenword the"), (4L, "one"), (5L, ""),
+      (6L, "numbers 123 split words here"))
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("doc_id"), sc("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val trainCols: Seq[org.apache.spark.sql.Column] =
+      Seq(sc("doc_id") <= 2, sc("doc_id") % 4 === 0)
+    for (((data, pred), trainCol) <- Seq(
+        (fixture, (id: Long) => id <= 2L),
+        (corpus, (id: Long) => id % 4 == 0L)).zip(trainCols)) {
+      val df = data.toDF("doc_id", "text")
+      val got = graft.llm.LangModel.sbNgramScore(
+          df, df.where(trainCol), "doc_id", "text", order = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val want = scalaSb(data, pred)
+      assert(got === want)
+      graft.llm.CacheScope.global.release()
+    }
+  }
+
   test("knNgramScore generalizes the dedicated ops: order 2 = bigram, order 3 = trigram, order 5 sane") {
     val s = spark
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
