@@ -1724,6 +1724,39 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- KN model-size PROFILE: rows + mass per level — the artifact
+    //     report a pruning decision reads (the singleton tail it
+    //     exposes is what prune= removes) ---
+    "q_lm_kn_profile" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.LangModel.knModelProfile(
+            df.where(F.col("doc_id") % 4 === 0), "text", order = 5)
+        }
+        .sort(col("level"))
+        .run(s)),
+
+    // --- CCNet-style LM quality gate: score every doc with the order-5
+    //     KN model, keep docs under the bits threshold (scored docs
+    //     only), report the kept mix by language ---
+    "q_lm_kn_gate" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val scored = graft.llm.LangModel.knNgramScore(
+            df, df.where(F.col("doc_id") % 4 === 0), "doc_id", "text",
+            order = 5)
+          scored
+            .where(F.col("n_ngrams") > 0 &&
+              F.col("bits_per_ngram") <= 5.5)
+            .join(df.select(F.col("doc_id"), F.col("lang")), Seq("doc_id"))
+            .groupBy(F.col("lang"))
+            .agg(F.count(F.lit(1)).as("n_kept"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- STUPID BACKOFF order-5 scoring (Brants et al. 2007, the
     //     MapReduce web-scale LM: every model table a plain count, no
     //     discounting, fixed alpha = 0.4) — same one-raw-pass shape as
@@ -5081,6 +5114,26 @@ object SparkEntry {
     "q_lm_sb5" -> knNgramOracle(5, derivSum = true,
       pSql = graft.llm.LangModel.sbLevelPSql),
 
+    // per-level rows + mass over the same generated level chain
+    "q_lm_kn_profile" ->
+      (s"""WITH ${knSeenPrefixSql(5)}
+         SELECT level, n_grams, total_count FROM (""" +
+        (1 to 5).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS level,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(cnt$k) AS BIGINT) AS total_count FROM kns$k""")
+          .mkString("\n           UNION ALL ") +
+        """) ORDER BY level"""),
+
+    // the full kn5 scoring oracle as a subquery, thresholded and folded
+    // to the kept-language mix
+    "q_lm_kn_gate" ->
+      (s"""WITH scored AS (${knNgramOracle(5)})
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+         FROM scored s JOIN documents d USING (doc_id)
+         WHERE s.n_ngrams > 0 AND s.bits_per_ngram <= 5.5
+         GROUP BY 1 ORDER BY 1"""),
+
     // Same scored CTE, then CCNet head/middle/tail by cutoffs from the
     // 6-dp-quantized value histogram (integer ceil-division targets, so
     // the bucket SETS match bit-for-bit, not just the proportions).
@@ -7823,17 +7876,20 @@ object SparkEntry {
     * using the SAME generated per-level formula the Spark lowering
     * compiles (LangModel.knLevelPSql) — order is the single parameter,
     * so both engines derive from one structure. */
-  private def knNgramOracle(
+  /** The gram + level-table CTE prefix shared by every order-N LM
+    * oracle (scoring, profile): knx tokenization, kng doc N-grams, the
+    * raw top-level count table from the doc_id%4=0 slice, and the
+    * recursive level derivation (KN continuation counts, or Stupid
+    * Backoff suffix-sums with `derivSum`), with optional KenLM-style
+    * count pruning — the DERIVATION chain stays raw (knsr*), the STORED
+    * tables (kns*) filter per-level, matching LangModel.knPruned. */
+  private def knSeenPrefixSql(
       n: Int,
       prune: Seq[Long] = Seq.empty,
-      derivSum: Boolean = false,
-      pSql: Int => String = graft.llm.LangModel.knLevelPSql): String = {
+      derivSum: Boolean = false): String = {
     def slice(expr: String, lo: Int, hi: Int): String =
       s"array_to_string(string_split($expr, ' ')[$lo:$hi], ' ')"
     val gramBody = (0 until n).map(i => s"t[i+$i]").mkString(" || ' ' || ")
-    // KenLM-style count pruning: the DERIVATION chain stays raw (knsr*,
-    // lower-level adjusted counts never see the thresholds), the STORED
-    // tables (kns*) filter per-level — matching LangModel.knPruned
     val pruned = prune.exists(_ > 0)
     def thr(k: Int): Long =
       if (k >= 1 && k <= prune.length) prune(k - 1) else 0L
@@ -7845,14 +7901,34 @@ object SparkEntry {
         s"kns$k AS (SELECT * FROM knsr$k$w)"
       }
     val seenCtes = (((n - 1) to 1 by -1).map { k =>
-      // KN: continuation counts (distinct left extensions); Stupid
-      // Backoff: raw suffix-sums — one corpus pass either way
       val agg = if (derivSum) s"sum(cnt${k + 1})" else "count(*)"
       s"""kns$raw$k AS MATERIALIZED (
            SELECT ${slice("g", 2, k + 1)} AS g,
                   CAST($agg AS BIGINT) AS cnt$k
            FROM kns$raw${k + 1} GROUP BY 1)"""
     } ++ pruneCtes).mkString(",\n         ")
+    s"""knx AS (
+           SELECT doc_id, regexp_split_to_array(
+             trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
+             '\\s+') AS t
+           FROM documents),
+         kng AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+                    i -> $gramBody)) AS tg
+           FROM knx WHERE len(t) >= $n AND t[1] <> ''),
+         kns$raw$n AS MATERIALIZED (
+           SELECT tg AS g, CAST(count(*) AS BIGINT) AS cnt$n FROM kng
+           WHERE doc_id % 4 = 0 GROUP BY 1),
+         $seenCtes"""
+  }
+
+  private def knNgramOracle(
+      n: Int,
+      prune: Seq[Long] = Seq.empty,
+      derivSum: Boolean = false,
+      pSql: Int => String = graft.llm.LangModel.knLevelPSql): String = {
+    def slice(expr: String, lo: Int, hi: Int): String =
+      s"array_to_string(string_split($expr, ' ')[$lo:$hi], ' ')"
     val ctxCtes = (n to 2 by -1).map { k =>
       s"""knc$k AS (
            SELECT ${slice("g", 1, k - 1)} AS c,
@@ -7878,19 +7954,7 @@ object SparkEntry {
            SELECT *, ${pSql(k)} AS p$k
            FROM $src)"""
     }.mkString(",\n         ")
-    s"""WITH knx AS (
-           SELECT doc_id, regexp_split_to_array(
-             trim(regexp_replace(lower(nfc_normalize(text)), '[^\\p{L}]+', ' ', 'g')),
-             '\\s+') AS t
-           FROM documents),
-         kng AS MATERIALIZED (
-           SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
-                    i -> $gramBody)) AS tg
-           FROM knx WHERE len(t) >= $n AND t[1] <> ''),
-         kns$raw$n AS MATERIALIZED (
-           SELECT tg AS g, CAST(count(*) AS BIGINT) AS cnt$n FROM kng
-           WHERE doc_id % 4 = 0 GROUP BY 1),
-         $seenCtes,
+    s"""WITH ${knSeenPrefixSql(n, prune, derivSum)},
          $ctxCtes,
          knt1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS tot1 FROM kns1),
          knj AS (

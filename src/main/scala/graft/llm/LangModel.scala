@@ -426,6 +426,26 @@ object LangModel {
       sbLevelPSql)
   }
 
+  /** Model-size PROFILE of the order-N KN model — the artifact report a
+    * pruning decision reads (rows per level ≈ parquet size per level;
+    * the singleton tail this exposes is what [[knNgramScore]]'s `prune`
+    * removes): one row per level with its gram count and total mass.
+    * Output: (level, n_grams, total_count), level ascending. */
+  def knModelProfile(
+      train: DataFrame,
+      textCol: String,
+      order: Int = 5,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val seen = knLevelTables(train, textCol, order, scope)
+    (1 to order).map { k =>
+      seen(k).agg(
+        count(lit(1)).as("n_grams"),
+        sum(col(s"cnt$k")).as("total_count"))
+        .select(lit(k.toLong).as("level"), col("n_grams"),
+          col("total_count"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The order-N model's level tables: seen(k) = one row per SEEN k-gram
     * with its level-k count — raw at k = N, adjusted (distinct left
     * extensions among level-(k+1) seen grams) below. Index 1..N. */
