@@ -3486,6 +3486,23 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- PERSISTED tokenizer serving: rules fit on the doc_id % 2 = 0
+    //     slice and saved once, ALL docs (incl. words the trainer never
+    //     saw — byte seeding is total) served from the artifact with no
+    //     retraining ---
+    "q_bpe_bytes_served" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val dirM = s"/tmp/graft_bpe_rules_$runTag"
+          graft.llm.TextOps.bpeFitBytesSave(
+            df.where(F.col("doc_id") % 2 === 0), "text", merges = 4, dirM)
+          graft.llm.TextOps.bpeSubwordCountsWithRules(
+            df, "doc_id", "text", dirM)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- the production-shaped trainer: driver-held pair counts updated
     //     by deltas over affected words only (rule-for-rule identical to
     //     bpeTrain — same oracle SQL by reference) ---
@@ -7042,6 +7059,10 @@ object SparkEntry {
          FROM dw JOIN vs USING (w) WHERE len(w) >= 1
          GROUP BY 1 ORDER BY doc_id""",
 
+    // Persisted tokenizer serving: rules from the doc_id % 2 = 0 slice,
+    // replayed over every distinct word of the full corpus.
+    "q_bpe_bytes_served" -> byteBpeServedOracle("doc_id % 2 = 0"),
+
     // The GPT-2 recipe: generated byte-BPE chain over the shared
     // regex-pre-tokenized token stream (train + serving twins).
     "q_bpe_bytes_gpt2" -> byteBpeOracle(Gpt2WordsSql, subwords = false),
@@ -7792,6 +7813,56 @@ object SparkEntry {
            FROM wf),
          $iters$subwordCtes
          $tail"""
+  }
+
+  /** GENERATED persisted-serving byte-BPE oracle (q_bpe_bytes_served):
+    * the four training iterations run over the TRAIN slice's
+    * frequencies only (producing b1..b4 — the saved rule table), then
+    * the rules replay over ALL distinct words of the serving corpus
+    * (a0..a4 — byte seeding is total, so unseen words segment too) and
+    * per-doc counts fold over the full corpus. */
+  private def byteBpeServedOracle(trainPred: String): String = {
+    val trainIters = (1 to 4).map { i =>
+      s"""s$i AS (SELECT string_split(trim(e, ';'), ';;') AS s, f
+                FROM e${i - 1}),
+         p$i AS (SELECT unnest(list_transform(range(1, len(s)),
+                        j -> s[j] || ' ' || s[j+1])) AS pair, f FROM s$i),
+         b$i AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p$i
+                GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         e$i AS (SELECT replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e, f
+                FROM e${i - 1}, b$i b)"""
+    }.mkString(",\n         ")
+    val applyIters = (1 to 4).map { i =>
+      s"""a$i AS (SELECT w, replace(e, ';' || replace(b.pair, ' ', ';;') || ';',
+                               ';' || replace(b.pair, ' ', '') || ';') AS e
+                FROM a${i - 1}, b$i b)"""
+    }.mkString(",\n         ")
+    s"""WITH dwa AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM dwa WHERE ($trainPred) AND len(w) >= 1 GROUP BY 1),
+         e0 AS (
+           SELECT ';' || array_to_string(
+                    regexp_extract_all(lower(hex(encode(w))), '[0-9a-f]{2}'),
+                    ';;') || ';;_;' AS e, f
+           FROM wf),
+         $trainIters,
+         wa AS (SELECT DISTINCT w FROM dwa WHERE len(w) >= 1),
+         a0 AS (
+           SELECT w, ';' || array_to_string(
+                    regexp_extract_all(lower(hex(encode(w))), '[0-9a-f]{2}'),
+                    ';;') || ';;_;' AS e
+           FROM wa),
+         $applyIters,
+         vs AS (SELECT w,
+                  CAST(len(string_split(trim(e, ';'), ';;')) AS BIGINT) AS ns
+                FROM a4)
+         SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_subwords
+         FROM dwa JOIN vs USING (w) WHERE len(w) >= 1
+         GROUP BY 1 ORDER BY doc_id"""
   }
 
   /** GENERATED video near-dup oracle: the clip population comes in as

@@ -307,6 +307,65 @@ object TextOps {
       explode(regexp_extract_all(col(textCol),
         lit(Gpt2PretokPattern), lit(0))))
 
+  /** PERSIST the byte-BPE tokenizer artifact — train-once / serve-many
+    * (the knNgramFit shape for tokenizers): the ranked merge-rule table
+    * written as plain parquet under `dir/rules`. Rules are the WHOLE
+    * model for a byte-level tokenizer: any string — including words the
+    * training corpus never saw — tokenizes by seeding to bytes and
+    * replaying the rules in rank order, so the artifact serves open
+    * vocabulary by construction. */
+  def bpeFitBytesSave(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int,
+      dir: String,
+      scope: CacheScope = CacheScope.global): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    bpeFitFrom(byteWordFrame(docs, textCol, scope), merges)._1
+      .toDF("merge_ix", "pair", "n")
+      .write.mode("overwrite").parquet(s"$dir/rules")
+  }
+
+  /** Serve per-doc subword counts from a PERSISTED [[bpeFitBytesSave]]
+    * artifact, with NO retraining and full OOV coverage: the bounded
+    * rule table loads driver-side (model parameter, size = merges), the
+    * serving corpus' DISTINCT words seed to bytes, and the rules replay
+    * in rank order as a codegen'd replace chain — replace-all per rule,
+    * the exact operation training applied, so seen words reproduce
+    * their training segmentation and unseen words segment greedily by
+    * rule rank (standard BPE apply). Heaps-bounded per-distinct-word
+    * work, broadcast join back to the token stream. */
+  def bpeSubwordCountsWithRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    val rules = docs.sparkSession.read.parquet(s"$dir/rules")
+      .orderBy(col("merge_ix"))
+      .collect().map(_.getString(1)) // bounded: one row per merge
+    val seeded = byteSeedFrame(
+      docs.select(explode(split(col(textCol), "\\s+")).as("__w__")), scope)
+    val applied = rules.foldLeft(seeded) { (df, pair) =>
+      val Array(a, b) = pair.split(' ')
+      // plain string replace-all — the exact operation training applied
+      // (symbols are hex pairs + '_': no quoting hazards)
+      df.withColumn("__e__", expr(s"replace(__e__, ';$a;;$b;', ';$a$b;')"))
+    }
+    val syms = "split(trim(BOTH ';' FROM __e__), ';;')"
+    val sizes = applied.select(col("__w__"),
+      expr(s"size($syms)").cast("long").as("__n__"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__w__"))
+      .where(length(col("__w__")) >= 1)
+      .join(broadcast(sizes), Seq("__w__"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n__")).as("n_subwords"))
+  }
+
   /** Shared byte-BPE serving path: fit on the seeded token frame, then
     * broadcast-join per-token subword sizes back to the documents'
     * token stream (`wordsOf` must re-produce the SAME tokenization the

@@ -3120,6 +3120,32 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("persisted byte-BPE rules serve with no retraining: self-corpus parity and OOV words segment") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.llm.TextOps.bpeFitBytesSave(docs, "text", merges = 4,
+      "/tmp/graft_bpe_rules_spec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // serving the training corpus from the artifact reproduces the
+    // inline trainer's counts exactly (rules replay = training's own
+    // per-iteration replace-all)
+    assert(
+      rows(graft.llm.TextOps.bpeSubwordCountsWithRules(
+        docs, "doc_id", "text", "/tmp/graft_bpe_rules_spec")) ===
+      rows(graft.llm.TextOps.bpeSubwordCountsBytes(
+        docs, "doc_id", "text", merges = 4)))
+    // OOV coverage: a corpus of words the trainer NEVER saw still
+    // tokenizes (byte seeding is total — no join loss, no [UNK])
+    val oov = Seq((1L, "zzzqqq 日本語"), (2L, "🚀🚀")).toDF("doc_id", "text")
+    val served = rows(graft.llm.TextOps.bpeSubwordCountsWithRules(
+      oov, "doc_id", "text", "/tmp/graft_bpe_rules_spec"))
+    assert(served.map(_._1) === Seq(1L, 2L))
+    assert(served.forall(_._2 > 0))
+    graft.llm.CacheScope.global.release()
+  }
+
   test("GPT-2 pre-tokenizer: matches PARTITION the input (lossless), contractions and space-prefixed runs split as documented") {
     val s = spark
     import s.implicits._
