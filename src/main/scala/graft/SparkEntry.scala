@@ -2337,6 +2337,27 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- PERSISTED IVF index serving: same fit, corpus assignment paid
+    //     once at ingest (bucketed postings on __cell__), queries assign
+    //     only themselves — values identical to the inline trained path
+    //     (shared oracle by reference) ---
+    "q_ann_ivf_indexed" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+            df, "vec_id", "embedding", iters = 2)
+          val tbl = "ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.llm.Embeddings.ivfIndexSave(
+            df, "vec_id", "embedding", cents, tbl, s"/tmp/graft_ivf_idx/$tbl")
+          graft.llm.Embeddings.ivfTopKIndexed(
+            df.where(F.col("vec_id") < 3), "vec_id", "embedding",
+            s"/tmp/graft_ivf_idx/$tbl", df.sparkSession.table(tbl), k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
     // --- nprobe=2: each query searches its TWO best cells (the IVF
     //     recall knob; probing expands only the tiny query side) ---
     "q_ann_ivf_probe" -> ((s, dir) =>
@@ -7254,6 +7275,9 @@ object SparkEntry {
       ("q_stream_image_neardup" -> baseOracleSql("q_image_neardup_incr")) +
       // streaming video gate backfill ≡ the batch indexed video join
       ("q_stream_video_neardup" -> baseOracleSql("q_video_neardup_incr")) +
+      // persisted-IVF serving is value-identical to the inline trained
+      // path (same centroids, same deterministic assignment, shared tail)
+      ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
       // persisted-model serving is value-identical to the inline trainer
       ("q_lm_kn5_persisted" -> baseOracleSql("q_lm_kn5")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +

@@ -220,27 +220,45 @@ object Embeddings {
       withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
         vecCol, centroids)
         .select(col(idCol), col(vecCol), col("__n__"), col("__cell__")))
-    val queries =
-      if (nprobe == 1)
-        assigned.where(queryPred)
-          .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
-            col("__n__").as("__qn__"), col("__cell__").as("__qcell__"))
-      else {
-        val cents = centroids.select(col("cid").as("__pcid__"),
-          col("cv").as("__pcv__"), sqrt(dot("cv", "cv")).as("__pcn__"))
-        assigned.where(queryPred)
-          .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
-            col("__n__").as("__qn__"))
-          .crossJoin(broadcast(cents)) // q×k on the query side only
-          .withColumn("__csim__",
-            round(dot("__q__", "__pcv__") / (col("__qn__") * col("__pcn__")), 6))
-          .withColumn("__crk__",
-            row_number().over(Window.partitionBy(col("query_id"))
-              .orderBy(col("__csim__").desc, col("__pcid__"))))
-          .where(col("__crk__") <= nprobe)
-          .select(col("query_id"), col("__q__"), col("__qn__"),
-            col("__pcid__").as("__qcell__"))
-      }
+    val queries = ivfQueryCells(
+      assigned.where(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+          col("__n__").as("__qn__"), col("__cell__")),
+      centroids, nprobe)
+    ivfScoreTail(queries, assigned, idCol, vecCol, k)
+  }
+
+  /** Per-query probe cells from an already-assigned query frame
+    * (query_id, __q__, __qn__, __cell__): nprobe = 1 uses the carried
+    * cell; nprobe > 1 ranks each query's best-nprobe centroids (the q×k
+    * expansion stays on the tiny query side). */
+  private def ivfQueryCells(
+      q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
+    if (nprobe == 1) q.withColumnRenamed("__cell__", "__qcell__")
+    else {
+      val cents = centroids.select(col("cid").as("__pcid__"),
+        col("cv").as("__pcv__"), sqrt(dot("cv", "cv")).as("__pcn__"))
+      q.drop("__cell__")
+        .crossJoin(broadcast(cents)) // q×k on the query side only
+        .withColumn("__csim__",
+          round(dot("__q__", "__pcv__") / (col("__qn__") * col("__pcn__")), 6))
+        .withColumn("__crk__",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("__csim__").desc, col("__pcid__"))))
+        .where(col("__crk__") <= nprobe)
+        .select(col("query_id"), col("__q__"), col("__qn__"),
+          col("__pcid__").as("__qcell__"))
+    }
+
+  /** The shared IVF scoring tail: probe-cell equi-join against the
+    * assigned corpus (`__cell__`, idCol, vecCol, `__n__`), exact cosine
+    * within the cell, (cosine desc, id) top-k per query. */
+  private def ivfScoreTail(
+      queries: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame =
     queries
       .join(assigned,
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
@@ -252,6 +270,57 @@ object Embeddings {
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
         col("rank"))
+
+  /** PERSIST the IVF index — the ANN family's train-once artifact next
+    * to the MinHash / dHash / video-hash indexes: the centroid table as
+    * plain parquet (`dir/centroids`) and the cell-ASSIGNED corpus
+    * postings (`__cell__`, id, vec, norm) as a bucketed table on
+    * `__cell__` (`dir/postings`) — corpus assignment is paid ONCE at
+    * ingest, so no future query re-assigns (or re-scans twice) the
+    * corpus, and the bucketed layout feeds the probe-cell join with
+    * zero index-side exchanges. */
+  def ivfIndexSave(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      table: String,
+      dir: String,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val assigned =
+      withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("__n__"), col("__cell__"))
+    graft.sources.ParquetIO.writeBucketed(
+      assigned, table, s"$dir/postings", "__cell__", buckets)
+  }
+
+  /** IVF top-k served from a PERSISTED [[ivfIndexSave]] artifact: ONLY
+    * the (tiny) query frame assigns itself to cells — the corpus side
+    * is the stored postings table, scanned as bucketed, never
+    * re-assigned, never re-shuffled. Value-identical to
+    * [[ivfTopKTrained]] with the same centroids (assignment is the same
+    * deterministic argmax; the scoring tail is literally shared). */
+  def ivfTopKIndexed(
+      newQueries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.install(newQueries.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val centroids = newQueries.sparkSession.read.parquet(s"$dir/centroids")
+    val qAssigned =
+      withCell(newQueries.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+          col("__n__").as("__qn__"), col("__cell__"))
+    ivfScoreTail(ivfQueryCells(qAssigned, centroids, nprobe), postings,
+      idCol, vecCol, k)
   }
 
   /** Nearest-centroid cell assignment: adds `__cell__` (the argmax-cosine

@@ -2645,6 +2645,69 @@ class LlmSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_spec")
   }
 
+  test("ivfTopKIndexed over a persisted bucketed cell index: trained-path parity, postings never reshuffle") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2)
+    def quad(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val trained = quad(graft.llm.Embeddings.ivfTopKTrained(
+      emb, "vec_id", "embedding", cents, sc("vec_id") < 3, k = 5))
+    assert(trained.nonEmpty)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_idx_spec", "/tmp/graft_ivf_idx/spec", buckets = 4)
+    try {
+      val served = graft.llm.Embeddings.ivfTopKIndexed(
+        emb.where(sc("vec_id") < 3), "vec_id", "embedding",
+        "/tmp/graft_ivf_idx/spec", s.table("ivf_idx_spec"), k = 5)
+      assert(quad(served) === trained)
+      // nprobe > 1 agrees too (query-side expansion only)
+      assert(quad(graft.llm.Embeddings.ivfTopKIndexed(
+          emb.where(sc("vec_id") < 3), "vec_id", "embedding",
+          "/tmp/graft_ivf_idx/spec", s.table("ivf_idx_spec"), k = 5,
+          nprobe = 2)) ===
+        quad(graft.llm.Embeddings.ivfTopKTrained(
+          emb, "vec_id", "embedding", cents, sc("vec_id") < 3, k = 5,
+          nprobe = 2)))
+      // plan shape: the bucketed postings scan feeds the probe-cell join
+      // with NO ShuffleExchange above it
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivf_idx/spec/postings"))
+        case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+        case w: WholeStageCodegenExec => hasScan(w.child)
+        case other => other.children.exists(hasScan)
+      }
+      def hasJoin(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+        case w: WholeStageCodegenExec => hasJoin(w.child)
+        case other => other.nodeName.contains("Join") ||
+          other.children.exists(hasJoin)
+      }
+      def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+        case sh: ShuffleExchangeExec =>
+          (hasScan(sh.child) && !hasJoin(sh.child)) ||
+            hasShuffleAbove(sh.child)
+        case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+        case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+        case other => other.children.exists(hasShuffleAbove)
+      }
+      val plan = graft.llm.Embeddings.ivfTopKIndexed(
+          emb.where(sc("vec_id") < 3), "vec_id", "embedding",
+          "/tmp/graft_ivf_idx/spec", s.table("ivf_idx_spec"), k = 5)
+        .queryExecution.executedPlan
+      assert(hasScan(plan), "expected the bucketed postings scan")
+      assert(!hasShuffleAbove(plan),
+        s"postings re-shuffled — bucketed layout not riding free:\n$plan")
+    } finally s.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+    graft.llm.CacheScope.global.release()
+  }
+
   test("minhashIndexAppend: query-after-append equals query-against-rebuilt-index") {
     val s = spark
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
