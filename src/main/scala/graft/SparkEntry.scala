@@ -1905,6 +1905,35 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- URL canonicalization + exact URL dedup: messy fixture urls
+    //     (case, ports, userinfo-free, scrambled param order, tracking
+    //     params, fragments) collapse to canonical keys; per-key counts
+    //     are the dedup report ---
+    "q_url_canonical" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val url = F.concat(
+            F.lit("https://WWW."), F.col("source"), F.lit(".com"),
+            F.when(F.col("doc_id") % 2 === 0, F.lit(":443"))
+              .otherwise(F.lit("")),
+            F.lit("/p/"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 === 0,
+              F.concat(F.lit("?utm_source=feed&b=2&a="),
+                (F.col("doc_id") % 5).cast("string")))
+              .when(F.col("doc_id") % 3 === 1,
+                F.concat(F.lit("?a="), (F.col("doc_id") % 5).cast("string"),
+                  F.lit("&b=2&fbclid=xyz")))
+              .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 === 0, F.lit("#sec"))
+              .otherwise(F.lit("")))
+          df.select(graft.llm.TextOps.urlCanonical(url).as("canon"))
+            .groupBy(F.col("canon"))
+            .agg(F.count(F.lit(1)).as("n"))
+        }
+        .sort(col("canon"))
+        .run(s)),
+
     // --- domain BLOCKLIST gate: the q_url_parse fixture urls, blocklist
     //     frame = the registrable domains of the doc_id % 10 = 0 slice
     //     (a DataFrame, not a literal — the anti-join IS the scale
@@ -3243,6 +3272,44 @@ object SparkEntry {
           graft.llm.Multimodal.audioNearDupJoinIndexed(
             withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
             df.sparkSession.table(tbl), maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- STREAMING audio near-dup gate backfill: the shared
+    //     stream-static band join + keyed dedupe over the energy-delta
+    //     hash, one batch against the persisted capped index — values
+    //     must equal the batch indexed join (shared oracle) ---
+    "q_stream_audio_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n = (240 + (g % 7) * 40).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((((7L * g + 13L * i) % 2048L) - 1024L) +
+                  (if (i < 4) j else 0)).toShort)
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "adhash_idx_s_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.audioDhashIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.streaming.Streams.streamingAudioNearDup(
+              withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+              df.sparkSession.table(tbl), maxHamming = 6)
+            .select(F.col("doc_id").as("a_id"), F.col("b_id"),
+              F.col("hamming"))
         }
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
@@ -5321,6 +5388,46 @@ object SparkEntry {
            $PslDomainSql AS domain
          FROM d ORDER BY doc_id""",
 
+    // canonicalization replay: same regex pieces, list_filter on the
+    // tracking-param pattern, list_sort, per-canonical counts
+    "q_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://WWW.' || source || '.com' ||
+             CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+             '/p/' || CAST(doc_id % 7 AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&b=2&a=' || CAST(doc_id % 5 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2&fbclid=xyz'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+           FROM documents),
+         c AS (
+           SELECT
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               || '://' ||
+             lower(regexp_extract(
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+               '^(?:[^@]*@)?([^:]*)', 1)) ||
+             CASE WHEN regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END ||
+             CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                  ELSE '' END AS canon
+           FROM (
+             SELECT url,
+               list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 p -> NOT (regexp_matches(p,
+                   '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=')
+                   OR p = ''))) AS kept
+             FROM u))
+         SELECT canon, CAST(count(*) AS BIGINT) AS n
+         FROM c GROUP BY 1 ORDER BY 1""",
+
     // same fixture + PSL domain, blocklist = the % 10 slice's domains,
     // NOT IN anti-join (domains are never null here)
     "q_domain_blocklist" ->
@@ -7278,6 +7385,8 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // streaming audio gate backfill ≡ the batch indexed audio join
+      ("q_stream_audio_neardup" -> baseOracleSql("q_audio_neardup_incr")) +
       // persisted-model serving is value-identical to the inline trainer
       ("q_lm_kn5_persisted" -> baseOracleSql("q_lm_kn5")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +

@@ -1031,6 +1031,34 @@ object TextOps {
       .drop("__rn__")
   }
 
+  /** URL CANONICALIZATION — the normalize-before-dedup key for exact
+    * URL dedup (a crawl sees the same page as `HTTP://Host/p?b=2&a=1`,
+    * `http://host/p?a=1&b=2&utm_source=feed#frag`, …): lowercase scheme
+    * and host, strip userinfo and port, empty path → `/`, drop the
+    * fragment, drop tracking parameters (`utm_*`, `fbclid`, `gclid`,
+    * `ref`, `mc_cid`, `mc_eid` — the widely-published redundant set),
+    * and SORT the surviving query parameters (binary order — parameter
+    * order is almost always semantically irrelevant and is the top
+    * source of spurious URL distinctness). Pure per-row expression in
+    * the Java-regex/RE2 common subset; the DuckDB oracle replays it
+    * byte-identically. */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
+    val path0 =
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(org.apache.spark.sql.functions.filter(
+      split(qs, "&"),
+      p => !(p.rlike("^(utm_[a-zA-Z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=")
+        || p === lit(""))))
+    val q = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** Domain BLOCKLIST gate — [[domainCap]]'s negative twin and the other
     * half of production URL curation (UT1/adult/malware lists): drop
     * every document whose url's REGISTRABLE domain (PSL, [[urlParts]])

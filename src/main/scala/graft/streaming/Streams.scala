@@ -376,14 +376,44 @@ object Streams {
       payloadCol: String,
       index: DataFrame,
       maxHamming: Int = 6,
+  ): DataFrame =
+    streamingHashNearDup(
+      graft.llm.Multimodal.dhash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol),
+      idCol, index, maxHamming)
+
+  /** [[streamingImageNearDup]] for AUDIO clips — the energy-delta hash
+    * against a persisted [[graft.llm.Multimodal.audioDhashIndex]]; the
+    * shared stream-static band join and keyed dedupe state are
+    * modality-agnostic once the 8-byte fingerprint exists. */
+  def streamingAudioNearDup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+  ): DataFrame =
+    streamingHashNearDup(
+      graft.llm.Multimodal.audioDhash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol),
+      idCol, index, maxHamming)
+
+  /** The shared single-fingerprint streaming gate: band-explode the
+    * hashed stream, stream-static join the persisted capped index,
+    * verify inline by popcount, and dedupe one item's ≤ 8·cap candidate
+    * rows in keyed state (also suppressing re-sent ids). */
+  private def streamingHashNearDup(
+      hashedIn: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      maxHamming: Int,
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "byte-band blocking is exact only for hamming <= 7")
     import org.apache.spark.sql.types._
-    val hashed = graft.llm.Multimodal.dhash(
-        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
-        idCol, payloadCol)
-      .where(col("dhash").isNotNull)
+    val hashed = hashedIn.where(col("dhash").isNotNull)
     val cand = hashed
       .select(col(idCol).as("__nid__"), col("dhash"),
         posexplode(col("dhash")).as(Seq("__band__", "__bv__")))

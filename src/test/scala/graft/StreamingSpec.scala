@@ -240,6 +240,50 @@ class StreamingSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_stream")
   }
 
+  test("streaming AUDIO near-dup gate: energy-delta hash vs the persisted index, batch parity") {
+    val s = spark
+    import s.implicits._
+    def wav(g: Int, j: Int): Array[Byte] = {
+      val n = 240 + (g % 7) * 40
+      graft.llm.Multimodal.encodeWav(8000, 1, Array.tabulate(n)(i =>
+        ((((7L * g + 13L * i) % 2048L) - 1024L) +
+          (if (i < 4) j else 0)).toShort))
+    }
+    val corpus = (0 until 4).map(g => (100L + g, wav(g, 0)))
+      .toDF("doc_id", "payload")
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Multimodal.audioDhashIndex(corpus, "doc_id", "payload",
+        maxPerBucketSide = 2),
+      "adhash_idx_stream", "/tmp/graft_dhash_idx/astream", "__bkey__", 4)
+    try {
+      val idx = s.table("adhash_idx_stream")
+      val ms = MemoryStream[(Long, Array[Byte])](s)
+      val flagged = Streams.streamingAudioNearDup(
+        ms.toDF.toDF("doc_id", "payload"), "doc_id", "payload", idx,
+        maxHamming = 6)
+      val q = flagged.writeStream.format("memory").queryName("aneardup_out")
+        .outputMode("append").start()
+      try {
+        // batch 1: a jittered copy of pattern 0, a novel pattern, garbage
+        ms.addData((1L, wav(0, 2)), (2L, wav(6, 0)), (3L, Array[Byte](9)))
+        q.processAllAvailable()
+        // batch 2: a copy of pattern 2 and a RE-SENT id 1 (suppressed)
+        ms.addData((4L, wav(2, 1)), (1L, wav(0, 2)))
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT doc_id, b_id, hamming FROM aneardup_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.map(t => (t._1, t._2)).toSet ===
+          Set((1L, 100L), (4L, 102L)))
+        val batch = graft.llm.Multimodal.audioNearDupJoinIndexed(
+            Seq((1L, wav(0, 2)), (2L, wav(6, 0)), (4L, wav(2, 1)))
+              .toDF("doc_id", "payload"),
+            "doc_id", "payload", idx, maxHamming = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally s.sql("DROP TABLE IF EXISTS adhash_idx_stream")
+  }
+
   test("streaming VIDEO near-dup gate: per-frame stream-static join vs the persisted index, batch parity") {
     val s = spark
     import s.implicits._
