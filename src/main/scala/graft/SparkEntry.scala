@@ -743,6 +743,29 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- WARC crawl-container connector (Common Crawl's shard format;
+    //     one task per shard, gzip members decompress in the task): the
+    //     documents table round-trips through a REAL gzipped WARC file
+    //     and reads back through the Model API. Oracle replays on the
+    //     parquet original: content-identical by construction. ---
+    "q_warc_source" -> ((s, dir) => {
+      val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      java.nio.file.Files.createDirectories(fixDir)
+      val path = fixDir.resolve(
+        "docs_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect().sortBy(_.getLong(0))
+        .map(r => ("response",
+          s"https://${r.getString(1)}.example/d/${r.getLong(0)}",
+          "text/plain", r.getString(2).getBytes("UTF-8"))).toSeq
+      graft.sources.Warc.write(path, rows)
+      Model.warc(path)
+        .pick(col("url"), col("content_length"))
+        .sort(col("url"))
+        .run(s)
+    }),
+
     // --- ORC file connector (Spark-native columnar reader — pushdown and
     //     pruning like parquet; the fixture write is a distributed Spark
     //     write, not a driver-side encode). Oracle replays on the parquet
@@ -4072,6 +4095,13 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_xlsx_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // WARC fixture is encoded from the documents table, so the oracle
+    // replays url + utf-8 byte length on the parquet original directly.
+    "q_warc_source" ->
+      """SELECT 'https://' || source || '.example/d/' ||
+                CAST(doc_id AS VARCHAR) AS url,
+              CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+         FROM documents ORDER BY url""",
     // ORC fixture is written from the parquet supplier table, so the
     // oracle replays the aggregate on the parquet original directly.
     "q_orc_source" ->

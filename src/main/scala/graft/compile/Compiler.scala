@@ -614,6 +614,9 @@ object Compiler {
       // pure-JDK codec (ZIP + SAX): header row + pandas-style type
       // inference; yields a LocalRelation that downstream joins broadcast
       new Frame(graft.sources.Xlsx.read(spark, p, sheet))
+    case Source.WarcFile(p) =>
+      // crawl-container scan: one task per shard, record walk in the task
+      new Frame(graft.sources.Warc.read(spark, p))
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)

@@ -47,6 +47,12 @@ object Source {
   final case class XlsxFile(path: String, sheet: Option[String] = None)
       extends Source
 
+  /** WARC/1.0 crawl-container scan (Common Crawl's shard format; ISO
+    * 28500) — one row per record, file-level task parallelism, `.gz`
+    * shards decompress in the task. Compiled through the pure-JDK codec
+    * in [[graft.sources.Warc]]. */
+  final case class WarcFile(path: String) extends Source
+
   /** Pre-built DataFrame (parity with the reference's DuckDB connection
     * registering pandas frames, duckdb_connection.py:96-117). Used by tests
     * for literal fixtures. */

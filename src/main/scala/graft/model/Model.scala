@@ -898,6 +898,9 @@ object Model {
     * see [[graft.ir.Source.XlsxFile]]. */
   def xlsx(path: String, sheet: Option[String] = None): Model =
     Model(Source.XlsxFile(path, sheet))
+  /** WARC crawl shard(s) — one row per record (warc_type, url,
+    * content_type, content_length, payload). */
+  def warc(path: String): Model = Model(Source.WarcFile(path))
   /** Convenience: parquet table inside an sf dir. */
   def parquet(dir: String, name: String): Model =
     Model(Source.Table(s"$dir/$name.parquet"))

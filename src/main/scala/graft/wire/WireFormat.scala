@@ -57,6 +57,7 @@ object WireFormat {
     case Source.OrcFile(p)  => Map("t" -> "orc", "path" -> p)
     case Source.XlsxFile(p, sheet) =>
       Map("t" -> "xlsx", "path" -> p, "sheet" -> sheet.orNull)
+    case Source.WarcFile(p) => Map("t" -> "warc", "path" -> p)
     case Source.Filter(b, c) => Map("t" -> "filter", "base" -> sourceW(b), "cond" -> exprW(c))
     case Source.Pick(b, cols, star) =>
       Map("t" -> "pick", "base" -> sourceW(b), "cols" -> cols.map(exprW).toList, "star" -> star)
@@ -250,6 +251,7 @@ object WireFormat {
     case "orc"   => Source.OrcFile(str(s("path")))
     case "xlsx"  => Source.XlsxFile(str(s("path")),
       Option(s.getOrElse("sheet", null)).map(str))
+    case "warc"  => Source.WarcFile(str(s("path")))
     case "filter" => Source.Filter(sourceR(obj(s("base"))), exprR(obj(s("cond"))))
     case "pick" =>
       Source.Pick(sourceR(obj(s("base"))),
