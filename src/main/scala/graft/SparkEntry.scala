@@ -766,6 +766,46 @@ object SparkEntry {
         .run(s)
     }),
 
+    // --- the CONTAINER-TO-CORPUS pipeline: gzipped WARC of real HTML
+    //     payloads → payload decode → stripHtml → token-count gate →
+    //     registrable-domain rollup — crawl ingestion end to end through
+    //     the Model API, no pre-flattened table anywhere ---
+    "q_warc_pipeline" -> ((s, dir) => {
+      val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      java.nio.file.Files.createDirectories(fixDir)
+      val path = fixDir.resolve(
+        "pipe_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect().sortBy(_.getLong(0))
+        .map { r =>
+          val id = r.getLong(0)
+          val html = "<html><head><title>Doc " + id +
+            "</title><style type=\"text/css\">body { color: red; }</style></head>" +
+            "<body><!-- id " + id + " --><h1>Doc&nbsp;" + id +
+            "</h1><p class=\"main\">" + r.getString(2) +
+            " &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>" +
+            "<script>if (1 < 2) { alert(\">\"); }</script></body></html>"
+          ("response", s"https://${r.getString(1)}.example/d/$id",
+            "text/html", html.getBytes("UTF-8"))
+        }.toSeq
+      graft.sources.Warc.write(path, rows)
+      Model.warc(path)
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.withColumn("__clean__",
+              graft.llm.TextOps.stripHtml(F.col("payload").cast("string")))
+            .where(F.size(graft.llm.TextOps.tokens(F.col("__clean__"))) >= 12)
+            .withColumn("__dom__",
+              graft.llm.TextOps.urlParts(F.col("url")).getField("domain"))
+            .groupBy(F.col("__dom__").as("domain"))
+            .agg(F.count(F.lit(1)).as("n_kept"),
+              F.sum(F.length(F.col("__clean__"))).as("n_chars"))
+        }
+        .sort(col("domain"))
+        .run(s)
+    }),
+
     // --- ORC file connector (Spark-native columnar reader — pushdown and
     //     pruning like parquet; the fixture write is a distributed Spark
     //     write, not a driver-side encode). Oracle replays on the parquet
@@ -4095,6 +4135,41 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_xlsx_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    // container-to-corpus: the oracle rebuilds the same html wrap from
+    // the parquet original, replays the strip chain, token gate, and
+    // the source-derived domain rollup.
+    "q_warc_pipeline" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+               '</title><style type="text/css">body { color: red; }</style></head>',
+               '<body><!-- id ', CAST(doc_id AS VARCHAR), ' --><h1>Doc&nbsp;',
+               CAST(doc_id AS VARCHAR), '</h1><p class="main">', text,
+               ' &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>',
+               '<script>if (1 < 2) { alert(">"); }</script></body></html>')
+               AS html
+           FROM documents),
+         c AS (
+           SELECT source, trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS c
+           FROM h),
+         k AS (
+           SELECT source, c FROM c
+           WHERE len(regexp_split_to_array(trim(c), '\s+')) >= 12)
+         SELECT source || '.example' AS domain,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(length(c)) AS BIGINT) AS n_chars
+         FROM k GROUP BY 1 ORDER BY 1""",
+
     // WARC fixture is encoded from the documents table, so the oracle
     // replays url + utf-8 byte length on the parquet original directly.
     "q_warc_source" ->
