@@ -121,7 +121,7 @@ object Warc {
     -1
   }
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val out = new ByteArrayOutputStream()

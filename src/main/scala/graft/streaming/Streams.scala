@@ -23,6 +23,37 @@ import graft.llm.TextOps
   */
 object Streams {
 
+  /** CONTINUOUS crawl ingestion: watch a directory for arriving WARC
+    * shards (the shape a live crawl delivers — Common Crawl publishes
+    * new ~1 GB shards continuously) and emit one row per record as each
+    * shard lands, via Spark's file stream source over `binaryFile` +
+    * the same single-pass record walk the batch reader runs
+    * ([[graft.sources.Warc.parse]] — gzip members decompress in the
+    * task). Exactly-once per shard comes free from the file source's
+    * processed-files log; downstream gates/dedup compose as on any
+    * stream. Schema: [[graft.sources.Warc.schema]]. */
+  def streamingWarcRecords(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val files = spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(dir)
+      .select("path", "content")
+    files.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val raw = r.getAs[Array[Byte]]("content")
+        graft.sources.Warc.parse(
+          if (r.getString(0).endsWith(".gz")) graft.sources.Warc.gunzipAll(raw)
+          else raw)
+      }
+    }(Encoders.row(graft.sources.Warc.schema))
+  }
+
   /** Emit only the first-seen document per normalized-content hash.
     * Output schema = input schema. Works on batch frames too (useful for
     * backfill parity tests of the same operator). */

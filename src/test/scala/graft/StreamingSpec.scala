@@ -240,6 +240,36 @@ class StreamingSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_stream")
   }
 
+  test("streaming WARC ingestion: shards arriving across batches emit records exactly once and compose with dedup") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    def shard(name: String, recs: Seq[(String, String)]): Unit =
+      graft.sources.Warc.write(dir.resolve(name).toString,
+        recs.map { case (u, t) =>
+          ("response", u, "text/plain", t.getBytes("UTF-8"))
+        })
+    shard("s1.warc.gz", Seq(
+      ("https://a.example/1", "the quick brown fox"),
+      ("https://a.example/2", "the quick brown fox"))) // in-shard dup
+    val records = Streams.streamingWarcRecords(s, dir.toString + "/*.warc.gz")
+      .withColumn("text", sc("payload").cast("string"))
+      .select("url", "text")
+    val cleaned = Streams.streamingExactDedup(records, "text")
+    val q = cleaned.writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later shard lands: a cross-shard duplicate AND a new page
+      shard("s2.warc.gz", Seq(
+        ("https://b.example/1", "THE  quick brown fox"), // norm-dup of s1
+        ("https://b.example/2", "something genuinely new")))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM warc_stream_out")
+        .collect().map(_.getString(0)).toSet
+      assert(urls === Set("https://a.example/1", "https://b.example/2"))
+    } finally q.stop()
+  }
+
   test("streaming AUDIO near-dup gate: energy-delta hash vs the persisted index, batch parity") {
     val s = spark
     import s.implicits._
