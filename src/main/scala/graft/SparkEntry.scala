@@ -3191,6 +3191,38 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- video near-dup CLUSTERS: the capped per-frame pair detector
+    //     composed with the shared min-label closure ---
+    "q_video_dedup_clusters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = (id % 8).toInt
+              val j = (id / 8).toInt
+              val nf = 4 + (g % 3)
+              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, nf,
+                (f, x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                    13 * g) % 97) +
+                    (if (bx == 0 && byy == 0) j else 0)
+                }))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Dedup.clusterPairs(
+            graft.llm.Multimodal.videoNearDupPairs(
+              withPayload, "doc_id", "payload", every = 2, maxHamming = 6,
+              maxPerBucketSide = 2),
+            "a_id", "b_id")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- INCREMENTAL video near-dup against a PERSISTED per-frame dHash
     //     index: clips 8..23 are indexed once (postings keyed
     //     "<frame>:<band>:<value>", build-time cap 2, bucketed on the
@@ -3302,6 +3334,35 @@ object SparkEntry {
             maxPerBucketSide = 2)
         }
         .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
+    // --- audio near-dup CLUSTERS: same composition over the
+    //     energy-delta pair detector ---
+    "q_audio_dedup_clusters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n = (240 + (g % 7) * 40).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((((7L * g + 13L * i) % 2048L) - 1024L) +
+                  (if (i < 4) j else 0)).toShort)
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Dedup.clusterPairs(
+            graft.llm.Multimodal.audioNearDupPairs(
+              withPayload, "doc_id", "payload", maxHamming = 6,
+              maxPerBucketSide = 2),
+            "a_id", "b_id")
+        }
+        .sort(col("doc_id"))
         .run(s)),
 
     // --- INCREMENTAL audio near-dup against a persisted energy-delta
@@ -6735,6 +6796,42 @@ object SparkEntry {
                 4 AS nf
          FROM main.documents""", maxNf = 4),
 
+    // video pair replay + the shared recursive closure
+    "q_video_dedup_clusters" ->
+      (s"""WITH RECURSIVE ${videoPairCtes(
+        """SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  4 + (doc_id % 8 % 3) AS nf
+           FROM documents WHERE doc_id < 24""", maxNf = 6)},
+         pairs AS (SELECT a_id AS doc_a, b_id AS doc_b FROM vpairs)""" +
+        ClosureCtes +
+        """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
+
+    // audio pair replay + the shared recursive closure
+    "q_audio_dedup_clusters" ->
+      (s"""WITH RECURSIVE $AudioDhashCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id AS doc_a, b_id AS doc_b FROM ham WHERE hamming <= 6)""" +
+        ClosureCtes +
+        """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
+
     // incremental twin: index postings = ids 8..23 with the BUILD-time
     // per-(frame, band, value) cap, new slice = ids 0..7 uncapped, then
     // the same aligned-frame popcount + all-frames pairing tail.
@@ -8112,7 +8209,15 @@ object SparkEntry {
     * exactly [[graft.llm.Multimodal.videoNearDupPairs]] with
     * every = 2, maxHamming = 6, maxPerBucketSide = 2. */
   private def videoNearDupSql(iiSql: String, maxNf: Int): String =
-    s"""WITH ${videoDhashCtes(iiSql, maxNf)},
+    s"""WITH ${videoPairCtes(iiSql, maxNf)}
+         SELECT a_id, b_id, max_hamming FROM vpairs
+         ORDER BY a_id, b_id"""
+
+  /** The full video pair-detection CTE chain through `vpairs`
+    * (a_id, b_id, max_hamming) — shared by the pair query and the
+    * cluster closure. */
+  private def videoPairCtes(iiSql: String, maxNf: Int): String =
+    s"""${videoDhashCtes(iiSql, maxNf)},
          vcapped AS (
            SELECT id, f, byy, bv
            FROM (SELECT id, f, byy, bv,
@@ -8135,13 +8240,13 @@ object SparkEntry {
          vagg AS (
            SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS m,
                   max(ham) AS max_hamming
-           FROM vok GROUP BY 1, 2)
-         SELECT g.a_id, g.b_id, g.max_hamming
-         FROM vagg g
-         JOIN vnfall na ON na.id = g.a_id
-         JOIN vnfall nb ON nb.id = g.b_id
-         WHERE g.m = na.nf AND na.nf = nb.nf
-         ORDER BY a_id, b_id"""
+           FROM vok GROUP BY 1, 2),
+         vpairs AS (
+           SELECT g.a_id, g.b_id, g.max_hamming
+           FROM vagg g
+           JOIN vnfall na ON na.id = g.a_id
+           JOIN vnfall nb ON nb.id = g.b_id
+           WHERE g.m = na.nf AND na.nf = nb.nf)"""
 
   /** The shared video-hash CTE prefix (vii → per-frame hash bytes +
     * per-clip sampled-frame counts): `iiSql` supplies (id, g, j, nf),
