@@ -3560,6 +3560,29 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- PERSISTED unigram tokenizer serving: the fitted (piece, cost)
+    //     inventory saved as plain parquet, segmentation served from
+    //     the artifact with no refit — values equal the inline path
+    //     (shared oracle by reference) ---
+    "q_unigram_segment_served" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          val modelDir = s"/tmp/graft_unigram_model_$runTag"
+          graft.llm.Unigram.fitVocab(df, "text", vocabSize = 120,
+              maxPieceLen = 4)
+            .select(org.apache.spark.sql.functions.col("piece"),
+              org.apache.spark.sql.functions.col("cost_microbits"))
+            .write.mode("overwrite").parquet(modelDir)
+          val vocab = df.sparkSession.read.parquet(modelDir)
+            .collect() // bounded model parameter, <= vocabSize rows
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          graft.llm.Unigram.segmentCountsWithVocab(
+            df, "doc_id", "text", vocab, maxPieceLen = 4,
+            maxWordLen = 12, unkCostMicrobits = 30000000L)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- UNICODE tokenizer-path fixtures: the corpus is derived by
     //     decomposing every 'e' into e+U+0301 (NFC must re-compose it to
     //     é) and swapping 'a' for 'ä' (the \p{L} word split must keep
@@ -7589,6 +7612,8 @@ object SparkEntry {
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
       // streaming audio gate backfill ≡ the batch indexed audio join
       ("q_stream_audio_neardup" -> baseOracleSql("q_audio_neardup_incr")) +
+      // persisted unigram serving is value-identical to the inline fit
+      ("q_unigram_segment_served" -> baseOracleSql("q_unigram_segment")) +
       // persisted-model serving is value-identical to the inline trainer
       ("q_lm_kn5_persisted" -> baseOracleSql("q_lm_kn5")) +
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
