@@ -605,6 +605,29 @@ object SparkEntry {
         .sort(col("event_id"))
         .run(s)),
 
+    // --- bucketed interval/range join: every (click, purchase) pair
+    //     where the click falls in the 2-hour window BEFORE the same
+    //     user's purchase — attribution, the DISTRIBUTED form of a
+    //     BETWEEN theta join (equi-join on (user, time-bucket) + exact
+    //     filter, never a BNLJ/cartesian; see Source.RangeJoin). One
+    //     output row PER PAIR (unlike asof's latest-only), so the
+    //     oracle is the plain inequality join. ---
+    "q_range_join" -> ((s, dir) =>
+      m(dir, "events")
+        .filter(col("event_type") === lit("click"))
+        .pick(col("event_id"), col("user_id"), col("ts"))
+        .rangeJoin(
+          m(dir, "events")
+            .filter(col("event_type") === lit("purchase")),
+          point = col("ts"),
+          between = (
+            AddInterval(col("ts"), interval(2, "hour"), negate = true),
+            col("ts")),
+          pick = Seq(col("event_id").named("purchase_event")),
+          on = (col("user_id"), col("user_id")))
+        .sort(col("event_id")).sort(col("purchase_event"))
+        .run(s)),
+
     // --- general scalar helpers (coalesce/abs/round/concat/substring/
     //     replace — beyond-reference convenience funcs) ---
     "q_scalar_funcs" -> ((s, dir) =>
@@ -4159,6 +4182,17 @@ object SparkEntry {
          FROM events e
          WHERE e.event_type = 'purchase' AND e.user_id < 50
          ORDER BY e.event_id""",
+
+    "q_range_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+                p.event_id AS purchase_event
+         FROM events e
+         JOIN events p
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts - INTERVAL 2 HOUR
+          AND e.ts <  p.ts
+         WHERE e.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY e.event_id, purchase_event""",
 
     "q_scalar_funcs" ->
       """SELECT c_custkey,

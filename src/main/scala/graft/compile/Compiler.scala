@@ -917,6 +917,56 @@ object Compiler {
         .select(keepCols.map(col) ++
           pick.map(p => col("__rvlast__").getField(p.identifier).as(p.identifier)): _*))
 
+    case Source.RangeJoin(base, right, leftOn, rightOn, point, lo, hi,
+        pick, bucketMicros) =>
+      // Bucketed interval join: both sides map to fixed-width epoch-micro
+      // buckets and meet in ONE shuffle equi-join on (key, bucket); the
+      // exact [lo, hi) predicate then filters candidates. Bucket width
+      // defaults to the widest right interval (a bounded one-row agg — a
+      // model parameter, not a data collect), so each right interval
+      // explodes into ≤ 2 buckets and each left point into exactly 1:
+      // right-side amplification is capped at 2× regardless of data
+      // volume. Bucket arithmetic is exact integer math — (x - pmod(x, w))
+      // is divisible by w, so the double division is exact and
+      // floor-correct for negative epochs too.
+      val lf = compileSource(base, spark)
+      val keepCols = lf.df.columns.toSeq
+      pick.foreach(p => require(!keepCols.contains(p.identifier),
+        s"rangeJoin pick '${p.identifier}' collides with an existing column"))
+      val rf = compileSource(right.source, spark)
+      rf.pending.keys.toSeq.foreach(rf.attach)
+      val rv = struct(pick.map(p => compileExpr(p, rf).as(p.identifier)): _*)
+      val rightBase = rf.df.select(
+        rightOn.map(k => compileExpr(k, rf)).getOrElse(lit(0L)).as("__k__"),
+        unix_micros(compileExpr(lo, rf).cast("timestamp")).as("__lo__"),
+        unix_micros(compileExpr(hi, rf).cast("timestamp")).as("__hi__"),
+        rv.as("__rv__"))
+        // null keys/bounds and empty intervals can never match — drop
+        // before the shuffle
+        .where(col("__k__").isNotNull && col("__lo__").isNotNull &&
+          col("__hi__").isNotNull && col("__lo__") < col("__hi__"))
+      val width = if (bucketMicros > 0) bucketMicros else {
+        val row = rightBase
+          .agg(max(col("__hi__") - col("__lo__"))).head()
+        if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+      }
+      def bucketOf(c: Column): Column =
+        ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+      val rightExp = rightBase.withColumn("__b__",
+        explode(sequence(bucketOf(col("__lo__")),
+          bucketOf(col("__hi__") - lit(1L)))))
+      val leftSide = lf.df
+        .withColumn("__k__",
+          leftOn.map(k => compileExpr(k, lf)).getOrElse(lit(0L)))
+        .withColumn("__pt__",
+          unix_micros(compileExpr(point, lf).cast("timestamp")))
+        .where(col("__k__").isNotNull && col("__pt__").isNotNull)
+        .withColumn("__b__", bucketOf(col("__pt__")))
+      val joined = leftSide.join(rightExp, Seq("__k__", "__b__"), "inner")
+        .where(col("__pt__") >= col("__lo__") && col("__pt__") < col("__hi__"))
+      new Frame(joined.select(keepCols.map(col) ++
+        pick.map(p => col("__rv__").getField(p.identifier).as(p.identifier)): _*))
+
     case Source.SetJoin(base, right, on, anti) =>
       // left_semi / left_anti: Spark's native existence joins — the right
       // side reduces to its key columns (scan prunes to them) and AQE

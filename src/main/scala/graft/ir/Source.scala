@@ -214,6 +214,31 @@ object Source {
       pruneRight: Boolean = false,
   ) extends Source
 
+  /** Interval/range join (beyond-reference temporal join — the
+    * DISTRIBUTED form of `point BETWEEN lo AND hi` theta joins):
+    * inner-join each base row whose `point` timestamp falls in a right
+    * row's `[lo, hi)` window (plus optional equi keys), appending the
+    * `pick` columns — one output row per matching (left, right) pair.
+    * Lowered by TIME-BUCKETING, never a raw theta join: both sides hash
+    * to fixed-width epoch-micro buckets (width auto-sized to the widest
+    * right interval, so every interval spans ≤ 2 buckets and every point
+    * exactly 1), equi-join on (key, bucket), then the exact range
+    * predicate filters candidates. A plain theta join degenerates to a
+    * broadcast-nested-loop/cartesian at scale; this shape is one shuffle
+    * equi-join with ≤ 2× right-side amplification, and the bucket key
+    * distributes even the keyless form. */
+  final case class RangeJoin(
+      base: Source,
+      right: graft.model.Model,
+      leftOn: Option[Expr],
+      rightOn: Option[Expr],
+      point: Expr,
+      lo: Expr,
+      hi: Expr,
+      pick: Seq[Expr],
+      bucketMicros: Long, // 0 = auto (widest right interval)
+  ) extends Source
+
   /** Deterministic fractional upsampling by group weight (beyond-reference
     * training-data op, the wire form of `graft.llm.TextOps.upsampleMix`):
     * each base row with group weight w (from the `weights` model, whose

@@ -401,6 +401,34 @@ final case class Model(
     )
   }
 
+  /** Interval/range join (beyond-reference): one output row per (base
+    * row, right row) pair where `point` ∈ [between._1, between._2) on the
+    * right and the optional equi keys match; `pick` names the appended
+    * right columns. See [[graft.ir.Source.RangeJoin]] for the bucketed
+    * lowering that keeps this a shuffle equi-join at scale. */
+  def rangeJoin(
+      right: Model,
+      point: Expr,
+      between: (Expr, Expr),
+      pick: Seq[Expr],
+      on: (Expr, Expr) = null,
+      bucketMicros: Long = 0L,
+  ): Model = {
+    require(pick.nonEmpty, "rangeJoin requires at least one picked right column")
+    require(pick.map(_.identifier).distinct.size == pick.size,
+      s"duplicate rangeJoin pick names in ${pick.map(_.identifier).mkString(", ")}")
+    copy(
+      source = Source.RangeJoin(source, right,
+        Option(on).map(o => bindSqlRefs(o._1)),
+        Option(on).map(o => right.bindSqlRefs(o._2)),
+        bindSqlRefs(point),
+        right.bindSqlRefs(between._1), right.bindSqlRefs(between._2),
+        pick.map(right.bindSqlRefs(_)), bucketMicros),
+      attributes = attributes ++
+        pick.map(p => p.identifier -> (ColRef(p.identifier): Expr)),
+    )
+  }
+
   /** Pivot — the inverse of `fold`/unpivot (beyond-reference sugar): one
     * output column per pivot `key` holding `agg` of `valueCol` where
     * `keyCol` equals the key, grouped by `groups`. Composed entirely from

@@ -117,6 +117,11 @@ object WireFormat {
         "leftTs" -> exprW(lTs), "rightTs" -> exprW(rTs),
         "seq" -> seq.map(exprW).orNull, "pick" -> pick.map(exprW).toList,
         "strict" -> strict, "pruneRight" -> prune)
+    case Source.RangeJoin(b, right, lOn, rOn, pt, lo, hi, pick, w) =>
+      Map("t" -> "rangeJoin", "base" -> sourceW(b), "right" -> modelW(right),
+        "leftOn" -> lOn.map(exprW).orNull, "rightOn" -> rOn.map(exprW).orNull,
+        "point" -> exprW(pt), "lo" -> exprW(lo), "hi" -> exprW(hi),
+        "pick" -> pick.map(exprW).toList, "bucketMicros" -> w)
     case Source.UpsampleMix(b, g, k, w) =>
       Map("t" -> "upsampleMix", "base" -> sourceW(b), "group" -> exprW(g),
         "key" -> exprW(k), "weights" -> modelW(w))
@@ -322,6 +327,12 @@ object WireFormat {
         ActivitySchema(exprR(obj(s("group"))), exprR(obj(s("timestamp"))),
           Option(s("eventKey")).map(x => exprR(obj(x))).orNull),
         long(s("gapSeconds")))
+    case "rangeJoin" =>
+      Source.RangeJoin(sourceR(obj(s("base"))), modelR(obj(s("right"))),
+        Option(s("leftOn")).map(v => exprR(obj(v))),
+        Option(s("rightOn")).map(v => exprR(obj(v))),
+        exprR(obj(s("point"))), exprR(obj(s("lo"))), exprR(obj(s("hi"))),
+        arr(s("pick")).map(p => exprR(obj(p))), long(s("bucketMicros")))
     case "upsampleMix" =>
       Source.UpsampleMix(sourceR(obj(s("base"))), exprR(obj(s("group"))),
         exprR(obj(s("key"))), modelR(obj(s("weights"))))

@@ -515,6 +515,53 @@ class CoreOpsSpec extends GraftSuite {
     assert(pruned.toSeq === run(strict = false).toSeq)
   }
 
+  test("rangeJoin: [lo, hi) boundary semantics, keys, and explicit buckets") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = Timestamp.valueOf(s"2024-01-01 $x")
+    val left = Seq(
+      (1L, "a", t("10:00:00")), // == lo → included
+      (2L, "a", t("11:59:59")), // inside
+      (3L, "a", t("12:00:00")), // == hi → excluded
+      (4L, "b", t("10:30:00")), // key mismatch vs window w1
+      (5L, "a", null.asInstanceOf[Timestamp]), // null point drops
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", t("10:00:00"), t("12:00:00"), "w1"),
+      ("b", t("09:00:00"), t("10:00:00"), "w2"), // 4's ts after this window
+      ("a", null.asInstanceOf[Timestamp], t("12:00:00"), "w3"), // null lo drops
+      ("a", t("13:00:00"), t("13:00:00"), "w4"), // empty interval drops
+    ).toDF("k", "lo", "hi", "w")
+    def run(bucketMicros: Long) = Model.fromDF(left)
+      .rangeJoin(Model.fromDF(right),
+        point = col("ts"), between = (col("lo"), col("hi")),
+        pick = Seq(col("w").named("win")),
+        on = (col("k"), col("k")), bucketMicros = bucketMicros)
+      .sort(col("id"))
+      .run(s).collect().map(r => (r.getLong(0), r.getAs[String]("win"))).toSeq
+    val expect = Seq((1L, "w1"), (2L, "w1"))
+    assert(run(0L) === expect) // auto width (widest interval)
+    // explicit width far below the interval span: many buckets per
+    // interval, identical results (bucketing is an impl detail)
+    assert(run(60L * 1000000L) === expect)
+    // width far above: one bucket holds everything, still identical
+    assert(run(365L * 86400L * 1000000L) === expect)
+    // keyless form: window w2 (key-free) now matches id=4 by time alone
+    val keyless = Model.fromDF(left.where("ts IS NOT NULL"))
+      .rangeJoin(Model.fromDF(right.where("w = 'w2'")),
+        point = col("ts"), between = (col("lo"), col("hi")),
+        pick = Seq(col("w").named("win")))
+      .run(s).collect().map(r => (r.getLong(0), r.getAs[String]("win"))).toSeq
+    assert(keyless === Seq.empty) // 09:00–10:00 holds no left point ≥ lo, < hi
+    val keyless2 = Model.fromDF(left.where("ts IS NOT NULL"))
+      .rangeJoin(Model.fromDF(right.where("w = 'w1'")),
+        point = col("ts"), between = (col("lo"), col("hi")),
+        pick = Seq(col("w").named("win")))
+      .sort(col("id"))
+      .run(s).collect().map(r => (r.getLong(0), r.getAs[String]("win"))).toSeq
+    assert(keyless2 === Seq((1L, "w1"), (2L, "w1"), (4L, "w1"))) // no key gate
+  }
+
   test("percentile measure interpolates like quantile_cont") {
     val s = spark
     import s.implicits._

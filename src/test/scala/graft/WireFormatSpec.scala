@@ -88,6 +88,25 @@ class WireFormatSpec extends GraftSuite {
       m.run(spark).collect().map(_.toSeq).toSeq)
   }
 
+  test("rangeJoin model round-trips and runs identically") {
+    val m = Model.parquet(dir, "events")
+      .filter(col("event_type") === lit("click"))
+      .pick(col("event_id"), col("user_id"), col("ts"))
+      .rangeJoin(
+        Model.parquet(dir, "events")
+          .filter(col("event_type") === lit("purchase")),
+        point = col("ts"),
+        between = (AddInterval(col("ts"), interval(2, "hour"), negate = true),
+          col("ts")),
+        pick = Seq(col("event_id").named("purchase_event")),
+        on = (col("user_id"), col("user_id")))
+      .sort(col("event_id")).sort(col("purchase_event")).limit(20)
+    val rebuilt = WireFormat.fromJson(WireFormat.toJson(m))
+    assert(rebuilt === m)
+    assert(rebuilt.run(spark).collect().map(_.toSeq).toSeq ===
+      m.run(spark).collect().map(_.toSeq).toSeq)
+  }
+
   test("match_steps model with activity schema and time limit round-trips") {
     val m = Model.parquet(dir, "events")
       .withActivitySchema(col("user_id"), col("ts"), col("event_type"))
