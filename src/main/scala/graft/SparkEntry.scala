@@ -1516,6 +1516,47 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- link-graph PageRank (crawl authority prior): deterministic
+    //     integer fixed-point power iteration over a wrapping synthetic
+    //     link fixture (0..4 out-links per doc by doc_id%5 — %5==0 docs
+    //     exercise the dangling path; dst wraps mod n so in-degree varies
+    //     per node). All-integer shares make every iteration exactly
+    //     replayable — the oracle unrolls the 5 rounds as chained CTEs. ---
+    "q_pagerank" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val n = df.count() // bounded model parameter (node-space modulus)
+          val edges = df.select(F.col("doc_id"))
+            .withColumn("j", F.explode(F.sequence(F.lit(1L), F.lit(4L))))
+            .where(F.col("j") <= F.pmod(F.col("doc_id"), F.lit(5L)))
+            .select(F.col("doc_id").as("src"),
+              F.pmod(F.col("doc_id") * F.lit(31L) + F.col("j") * F.lit(17L),
+                F.lit(n)).as("dst"))
+          graft.llm.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        }
+        .sort(col("node"))
+        .run(s)),
+
+    // --- HyperLogLog distinct sketch (engine-portable registers): the
+    //     100 TB answer to count(distinct) — at most 2^p rows per group
+    //     cross the wire. All register math is integer (md5 buckets,
+    //     bit-length ranks, power-of-two sums), so the DuckDB oracle
+    //     replays the registers bit-for-bit and the estimator is ONE
+    //     shared SQL string on both engines; n_exact sits alongside as
+    //     the accuracy baseline. ---
+    "q_hll_distinct" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val sk = graft.llm.Sketch.hllDistinct(df, Seq("lang"), F.col("text"))
+          df.groupBy(F.col("lang"))
+            .agg(F.countDistinct(F.col("text")).as("n_exact"))
+            .join(sk, Seq("lang"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
     // --- deterministic hash sampling (repeatable corpus subsetting) ---
     // --- per-group corpus rebalancing: deterministic stratified sample ---
     "q_stratified_sample" -> ((s, dir) =>
@@ -4894,6 +4935,34 @@ object SparkEntry {
            FROM documents WHERE doc_id < 100) t
          ORDER BY doc_id""",
 
+    "q_pagerank" -> PageRankSql,
+
+    "q_hll_distinct" ->
+      (s"""WITH h AS (
+          SELECT lang,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        b AS (SELECT lang, h % 256 AS bkt, h // 256 AS w FROM h),
+        r AS (SELECT lang, bkt,
+                max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS M
+              FROM b GROUP BY 1, 2),
+        a AS (SELECT lang,
+                sum(CAST(1 AS BIGINT) << (53 - M)) AS Sp,
+                count(*) AS nb
+              FROM r GROUP BY 1),
+        f AS (SELECT lang, Sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS S,
+                256 - nb AS V, nb
+              FROM a)
+        SELECT f.lang, d.n_exact,
+               ${graft.llm.Sketch.hllEstimateSql(8, "f.S", "f.V")}
+                 AS hll_estimate,
+               CAST(f.nb AS BIGINT) AS hll_buckets_used
+        FROM f
+        JOIN (SELECT lang, count(DISTINCT text) AS n_exact
+              FROM documents GROUP BY 1) d ON d.lang = f.lang
+        ORDER BY f.lang"""),
+
     "q_dedup_clusters" ->
       (MinhashPairsCtes + ClosureCtes +
         """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
@@ -7811,6 +7880,38 @@ object SparkEntry {
     * appended after [[MinhashPairsCtes]] (whose WITH RECURSIVE header the
     * `reach` CTE relies on). Shared by q_dedup_clusters / q_dedup_apply so
     * the closure formulation can never desynchronize between them. */
+  /** q_pagerank oracle: the 5 power-iteration rounds unrolled as chained
+    * CTEs (AS MATERIALIZED — the chain is a diamond over edges/deg/nodes;
+    * naive inlining re-expands shared CTEs exponentially). Integer
+    * fixed-point shares replay Graph.pageRank exactly: `//` is DuckDB's
+    * floor division and every operand is positive. */
+  private lazy val PageRankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS MATERIALIZED (
+        SELECT e.dst AS node,
+               sum((r.r * 850000) // (1000000 * g.d)) AS c
+        FROM edges e
+        JOIN r${i - 1} r ON r.node = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY 1),
+      r$i AS MATERIALIZED (
+        SELECT n2.node, 150000 + coalesce(c.c, 0) AS r
+        FROM nodes n2 LEFT JOIN c$i c ON c.node = n2.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 31 + t.j * 17)
+                 % (SELECT count(*) FROM main.documents) AS dst
+        FROM documents d, LATERAL unnest(range(1, 5)) AS t(j)
+        WHERE t.j <= d.doc_id % 5),
+      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $rounds
+      SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5 ORDER BY node"""
+  }
+
   private val ClosureCtes: String =
     """, nodes AS (
          SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs

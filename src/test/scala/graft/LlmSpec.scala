@@ -3487,4 +3487,44 @@ class LlmSpec extends GraftSuite {
     val out = d.select(TextOps.wordShingles("__toks__", 3)).collect()
     assert(out.head.getSeq[String](0).isEmpty)
   }
+
+  test("hllDistinct: bounded relative error, duplicate-invariant, linear-count small sets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val big = spark.range(5000)
+      .select(F.concat(F.lit("v"), F.col("id")).as("v"), F.lit("g").as("g"))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      graft.llm.Sketch.hllDistinct(df, Seq("g"), F.col("v"))
+        .collect().head.getAs[Double]("hll_estimate")
+    val e1 = est(big)
+    // m=256 → RSE ≈ 1.04/√256 = 6.5%; 3σ bound
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.20, s"estimate $e1 too far from 5000")
+    // duplicates never move a register: 3× the same values, same estimate
+    assert(est(big.union(big).union(big)) === e1)
+    // tiny set rides the linear-counting branch: near-exact
+    val small = spark.range(10)
+      .select(F.concat(F.lit("w"), F.col("id")).as("v"), F.lit("g").as("g"))
+    val e2 = est(small)
+    assert(math.abs(e2 - 10.0) < 1.0, s"small-set estimate $e2 not ~10")
+  }
+
+  test("pageRank: hand-computed integer fixed-point iterations, dangling ok") {
+    val s = spark
+    import s.implicits._
+    // 0→1, 0→2, 1→2; node 2 dangling (its mass evaporates)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    def ranks(iters: Int): Map[Long, Long] =
+      graft.llm.Graph.pageRank(edges, "src", "dst", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1: shares from 0 = floor(1e6*0.85/2) = 425000 to each of 1,2;
+    // from 1 = 850000 to 2; base = 150000
+    assert(ranks(1) === Map(0L -> 150000L, 1L -> 575000L, 2L -> 1425000L))
+    // iter 2: from 0 = floor(150000*0.85/2) = 63750; from 1 =
+    // floor(575000*0.85) = 488750
+    assert(ranks(2) === Map(0L -> 150000L, 1L -> 213750L, 2L -> 702500L))
+    // a 5-round run is deterministic across invocations (integer sums
+    // are merge-order independent)
+    assert(ranks(5) === ranks(5))
+  }
 }
