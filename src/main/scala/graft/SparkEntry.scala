@@ -1538,6 +1538,27 @@ object SparkEntry {
         .sort(col("node"))
         .run(s)),
 
+    // --- HITS hub/authority over the same link fixture: the 2-D link
+    //     signal next to PageRank (hubs = link-list/nav pages,
+    //     authorities = linked-to content). Integer max-normalized fixed
+    //     point — merge-order independent, every round exactly replayable
+    //     (the oracle unrolls 3 rounds with max subqueries). ---
+    "q_hits" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val n = df.count() // bounded model parameter (node-space modulus)
+          val edges = df.select(F.col("doc_id"))
+            .withColumn("j", F.explode(F.sequence(F.lit(1L), F.lit(4L))))
+            .where(F.col("j") <= F.pmod(F.col("doc_id"), F.lit(5L)))
+            .select(F.col("doc_id").as("src"),
+              F.pmod(F.col("doc_id") * F.lit(31L) + F.col("j") * F.lit(17L),
+                F.lit(n)).as("dst"))
+          graft.llm.Graph.hits(edges, "src", "dst", iterations = 3)
+        }
+        .sort(col("node"))
+        .run(s)),
+
     // --- HyperLogLog distinct sketch (engine-portable registers): the
     //     100 TB answer to count(distinct) — at most 2^p rows per group
     //     cross the wire. All register math is integer (md5 buckets,
@@ -1555,6 +1576,56 @@ object SparkEntry {
             .join(sk, Seq("lang"))
         }
         .sort(col("lang"))
+        .run(s)),
+
+    // --- HLL corpus-overlap (train/holdout contamination at cardinality
+    //     scale): |A∩B| by inclusion–exclusion over bucket-wise-MAX-merged
+    //     registers — one pass per corpus, 3·2^p register rows total,
+    //     never a distinct shuffle. Exact counts sit alongside; the
+    //     intersect arithmetic is ONE shared SQL string over already-
+    //     rounded estimates, so the doubles are bit-identical. ---
+    "q_hll_overlap" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val a = df.where(F.col("doc_id") % 3 =!= 0)
+          val b = df.where(F.col("doc_id") % 2 === 0)
+          val est = graft.llm.Sketch.hllOverlap(a, b, F.col("text"))
+          val ex = a.select(F.col("text")).intersect(b.select(F.col("text")))
+            .agg(F.count(F.lit(1)).as("n_inter_exact"))
+            .crossJoin(a.agg(F.countDistinct(F.col("text")).as("n_a_exact")))
+            .crossJoin(b.agg(F.countDistinct(F.col("text")).as("n_b_exact")))
+          ex.crossJoin(est)
+            .select(F.col("n_a_exact"), F.col("n_b_exact"),
+              F.col("n_inter_exact"), F.col("est_a"), F.col("est_b"),
+              F.col("est_union"), F.col("est_intersect"))
+        }
+        .run(s)),
+
+    // --- count-min frequency sketch (mergeable d×w counter matrix): term
+    //     frequencies asked against a dictionary too large to count
+    //     exactly — d·w rows cross the wire regardless of corpus size,
+    //     probes join the broadcast matrix. Estimates are one-sided
+    //     (never under the true count); the exact top-20 recount anchors
+    //     the accuracy. All integer → bit-exact DuckDB replay. ---
+    "q_cms_freq" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val toks = df
+            .select(F.explode(graft.llm.TextOps.tokens(F.col("text")))
+              .as("token"))
+            .where(F.col("token") =!= "")
+          val counters = graft.llm.Sketch.cmsCounters(toks, F.col("token"))
+          val top = toks.groupBy(F.col("token"))
+            .agg(F.count(F.lit(1)).as("n_exact"))
+            .orderBy(F.col("n_exact").desc, F.col("token"))
+            .limit(20)
+          graft.llm.Sketch.cmsEstimate(counters, top, "token")
+            .join(top, Seq("token"))
+            .select(F.col("token"), F.col("n_exact"), F.col("cms_estimate"))
+        }
+        .sort(col("token"))
         .run(s)),
 
     // --- deterministic hash sampling (repeatable corpus subsetting) ---
@@ -4937,6 +5008,8 @@ object SparkEntry {
 
     "q_pagerank" -> PageRankSql,
 
+    "q_hits" -> HitsSql,
+
     "q_hll_distinct" ->
       (s"""WITH h AS (
           SELECT lang,
@@ -4962,6 +5035,81 @@ object SparkEntry {
         JOIN (SELECT lang, count(DISTINCT text) AS n_exact
               FROM documents GROUP BY 1) d ON d.lang = f.lang
         ORDER BY f.lang"""),
+
+    // HLL set algebra: per-side registers (same md5/bucket/rank replay as
+    // q_hll_distinct), union = bucket-wise max, inclusion–exclusion over
+    // the shared estimator + intersect formula strings.
+    "q_hll_overlap" ->
+      (s"""WITH ab AS (
+          SELECT 'a' AS side, text FROM documents WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT 'b' AS side, text FROM documents WHERE doc_id % 2 = 0),
+        h AS (SELECT side,
+                CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+              FROM ab),
+        b AS (SELECT side, h % 256 AS bkt, h // 256 AS w FROM h),
+        r AS (SELECT side, bkt,
+                max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS M
+              FROM b GROUP BY 1, 2),
+        ru AS (SELECT side, bkt, M FROM r
+               UNION ALL
+               SELECT 'u' AS side, bkt, max(M) AS M FROM r GROUP BY 2),
+        a2 AS (SELECT side,
+                sum(CAST(1 AS BIGINT) << (53 - M)) AS Sp,
+                count(*) AS nb
+               FROM ru GROUP BY 1),
+        f AS (SELECT side, Sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS S,
+                256 - nb AS V
+              FROM a2),
+        e AS (SELECT side,
+                ${graft.llm.Sketch.hllEstimateSql(8, "f.S", "f.V")} AS est
+              FROM f),
+        p AS (SELECT
+                max(CASE WHEN side = 'a' THEN est END) AS est_a,
+                max(CASE WHEN side = 'b' THEN est END) AS est_b,
+                max(CASE WHEN side = 'u' THEN est END) AS est_union
+              FROM e),
+        ex AS (SELECT count(*) AS n_inter_exact FROM
+                (SELECT text FROM main.documents WHERE doc_id % 3 <> 0
+                 INTERSECT
+                 SELECT text FROM main.documents WHERE doc_id % 2 = 0)),
+        exa AS (SELECT count(DISTINCT text) AS n_a_exact
+                FROM main.documents WHERE doc_id % 3 <> 0),
+        exb AS (SELECT count(DISTINCT text) AS n_b_exact
+                FROM main.documents WHERE doc_id % 2 = 0)
+        SELECT exa.n_a_exact, exb.n_b_exact, ex.n_inter_exact,
+               p.est_a, p.est_b, p.est_union,
+               ${graft.llm.Sketch.HllIntersectSql} AS est_intersect
+        FROM p, ex, exa, exb"""),
+
+    // Count-min: the d=4 × w=512 counter matrix replayed with row-salted
+    // md5 buckets (i || ':' || token), probes = the exact top-20 recount,
+    // estimate = min over the 4 counters.
+    "q_cms_freq" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents WHERE trim(text) <> ''),
+         tk AS (SELECT token FROM toks WHERE token <> ''),
+         counters AS (
+           SELECT t.i,
+                  CAST(concat('0x', substr(md5(concat(t.i, ':', tk.token)),
+                    1, 15)) AS BIGINT) % 512 AS bkt,
+                  count(*) AS cnt
+           FROM tk, LATERAL unnest(range(0, 4)) AS t(i)
+           GROUP BY 1, 2),
+         ex AS (SELECT token, count(*) AS n_exact FROM tk GROUP BY 1
+                ORDER BY n_exact DESC, token LIMIT 20),
+         pr AS (
+           SELECT e.token, e.n_exact, t.i,
+                  CAST(concat('0x', substr(md5(concat(t.i, ':', e.token)),
+                    1, 15)) AS BIGINT) % 512 AS bkt
+           FROM ex e, LATERAL unnest(range(0, 4)) AS t(i))
+         SELECT pr.token, pr.n_exact,
+                min(coalesce(c.cnt, 0)) AS cms_estimate
+         FROM pr LEFT JOIN counters c ON c.i = pr.i AND c.bkt = pr.bkt
+         GROUP BY 1, 2
+         ORDER BY pr.token""",
 
     "q_dedup_clusters" ->
       (MinhashPairsCtes + ClosureCtes +
@@ -7885,6 +8033,19 @@ object SparkEntry {
     * naive inlining re-expands shared CTEs exponentially). Integer
     * fixed-point shares replay Graph.pageRank exactly: `//` is DuckDB's
     * floor division and every operand is positive. */
+  /** The synthetic link-graph fixture shared by q_pagerank and q_hits
+    * (a `def`, so no companion init-order hazard): 0..4 out-links per doc
+    * by doc_id%5, dst wrapping mod n. */
+  private def LinkFixtureCtes: String =
+    """edges AS MATERIALIZED (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 31 + t.j * 17)
+                 % (SELECT count(*) FROM main.documents) AS dst
+        FROM documents d, LATERAL unnest(range(1, 5)) AS t(j)
+        WHERE t.j <= d.doc_id % 5),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
   private lazy val PageRankSql: String = {
     val rounds = (1 to 5).map { i =>
       s"""c$i AS MATERIALIZED (
@@ -7898,18 +8059,48 @@ object SparkEntry {
         SELECT n2.node, 150000 + coalesce(c.c, 0) AS r
         FROM nodes n2 LEFT JOIN c$i c ON c.node = n2.node)"""
     }.mkString(",\n")
-    s"""WITH edges AS MATERIALIZED (
-        SELECT d.doc_id AS src,
-               (d.doc_id * 31 + t.j * 17)
-                 % (SELECT count(*) FROM main.documents) AS dst
-        FROM documents d, LATERAL unnest(range(1, 5)) AS t(j)
-        WHERE t.j <= d.doc_id % 5),
+    s"""WITH $LinkFixtureCtes,
       deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-      nodes AS MATERIALIZED (
-        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
       $rounds
       SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5 ORDER BY node"""
+  }
+
+  /** q_hits oracle: 3 hub/authority rounds unrolled (AS MATERIALIZED —
+    * each raw frame feeds both its max subquery and the scaled select).
+    * `//` floor division on positive operands replays Graph.hits' exact
+    * pmod form; DuckDB sums go through HUGEINT, hence the final BIGINT
+    * casts. */
+  private lazy val HitsSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        SELECT e.dst AS node, sum(h.h) AS ar
+        FROM edges e JOIN h${i - 1} h ON h.node = e.src
+        GROUP BY 1),
+      a$i AS MATERIALIZED (
+        SELECT ar$i.node,
+               (ar$i.ar * 1000000) // (SELECT max(ar) FROM ar$i) AS a
+        FROM ar$i),
+      hr$i AS MATERIALIZED (
+        SELECT e.src AS node, sum(a$i.a) AS hr
+        FROM edges e JOIN a$i ON a$i.node = e.dst
+        GROUP BY 1),
+      h$i AS MATERIALIZED (
+        SELECT n2.node,
+               coalesce((hr$i.hr * 1000000) // (SELECT max(hr) FROM hr$i),
+                 0) AS h
+        FROM nodes n2 LEFT JOIN hr$i ON hr$i.node = n2.node)"""
+    }.mkString(",\n")
+    s"""WITH $LinkFixtureCtes,
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      $rounds
+      SELECT n.node,
+             CAST(coalesce(h3.h, 0) AS BIGINT) AS hub_micro,
+             CAST(coalesce(a3.a, 0) AS BIGINT) AS auth_micro
+      FROM nodes n
+      LEFT JOIN h3 ON h3.node = n.node
+      LEFT JOIN a3 ON a3.node = n.node
+      ORDER BY n.node"""
   }
 
   private val ClosureCtes: String =

@@ -110,4 +110,103 @@ object Graph {
     ed.unpersist(blocking = false)
     out
   }
+
+  /** Deterministic integer fixed-point HITS (Kleinberg 1999) — the
+    * hub/authority decomposition next to [[pageRank]]'s single authority
+    * score: hubs are link-list pages (directories, sitemaps, boilerplate
+    * nav), authorities are linked-to content — a 2-D curation signal a
+    * single PageRank collapses.
+    *
+    * Semantics (all integral — exactly replayable like [[pageRank]]):
+    * {{{
+    *   h_0(u)     = 1_000_000
+    *   aRaw_t(v)  = Σ_{u→v} h_{t-1}(u);  a_t(v) = floor(aRaw·10⁶ / max aRaw)
+    *   hRaw_t(u)  = Σ_{u→v} a_t(v);      h_t(u) = floor(hRaw·10⁶ / max hRaw)
+    * }}}
+    * Max-normalization replaces the usual L2 norm: a max is merge-order
+    * independent and the floor division exact, where a float L2 norm is
+    * neither. Nodes with no in-links have authority 0; no out-links, hub 0.
+    *
+    * Numeric headroom: aRaw ≤ n·10⁶ and the scale product aRaw·10⁶ is
+    * computed in DECIMAL(38,0) (int64 would overflow past n ≈ 9×10⁶).
+    * The max itself stays a lazy 1-row aggregate cross-joined in (a
+    * provably-tiny broadcast side), never a driver collect.
+    *
+    * Scale: per iteration, two equi-joins against the once-persisted edge
+    * list and two map-side-combined sums — 2× [[pageRank]]'s round cost.
+    * Returns (node BIGINT, hub_micro BIGINT, auth_micro BIGINT).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"hits iterations must be in [1, 50], got $iterations")
+    val e = edges.select(col(srcCol).cast("long").as("__src__"),
+        col(dstCol).cast("long").as("__dst__"))
+      .where(col("__src__").isNotNull && col("__dst__").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("__src__").as("__id__"))
+      .union(e.select(col("__dst__").as("__id__")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val dec = DecimalType(38, 0)
+    // raw frames feed BOTH the max subquery and the scaled select; Spark
+    // does not share uncached subplans, so each is persisted and released
+    // only after the final eager checkpoint has materialized the chain
+    val liveRaw = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def rescale(raw0: DataFrame, vCol: String): DataFrame = {
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+      liveRaw += raw
+      val mx = raw.agg(max(col(vCol)).as("__mx__"))
+      raw.crossJoin(mx)
+        .select(col("__id__"),
+          idiv(col(vCol).cast(dec) * lit(1000000L), col("__mx__").cast(dec))
+            .as("__v__"))
+    }
+
+    var hub = nodes.withColumn("__h__", lit(1000000L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      val aRaw = e.join(hub, e("__src__") === hub("__id__"))
+        .groupBy(col("__dst__").as("__id__"))
+        .agg(sum(col("__h__")).as("__ar__"))
+      val aPrev = auth
+      auth = rescale(aRaw, "__ar__").persist(StorageLevel.MEMORY_AND_DISK)
+      if (aPrev ne null) aPrev.unpersist(blocking = false)
+      val hRaw = e.join(auth, e("__dst__") === auth("__id__"))
+        .groupBy(col("__src__").as("__id__"))
+        .agg(sum(col("__v__")).as("__hr__"))
+      val hNext = nodes.join(rescale(hRaw, "__hr__")
+          .withColumnRenamed("__v__", "__hv__"), Seq("__id__"), "left")
+        .select(col("__id__"),
+          coalesce(col("__hv__"), lit(0L)).as("__h__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hPrev = hub
+      hub = if (i < iterations && i % 3 == 0) {
+        val cp = hNext.localCheckpoint(true)
+        hNext.unpersist(blocking = false)
+        cp
+      } else hNext
+      hPrev.unpersist(blocking = false)
+    }
+    val out = nodes
+      .join(hub.withColumnRenamed("__h__", "__hub__"), Seq("__id__"), "left")
+      .join(auth.withColumnRenamed("__v__", "__auth__"), Seq("__id__"), "left")
+      .select(col("__id__").as("node"),
+        coalesce(col("__hub__"), lit(0L)).as("hub_micro"),
+        coalesce(col("__auth__"), lit(0L)).as("auth_micro"))
+      .localCheckpoint(true)
+    hub.unpersist(blocking = false)
+    auth.unpersist(blocking = false)
+    liveRaw.foreach(_.unpersist(blocking = false))
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -62,11 +62,22 @@ object Sketch {
       groupCols: Seq[String],
       value: Column,
       p: Int = 8,
+  ): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p)
+
+  /** The register-build half of [[hllDistinct]]: one map-side-combined
+    * aggregate to (group, bucket, M) — the mergeable sketch state (merge =
+    * max per bucket, the operation [[hllOverlap]] uses for set union).
+    * At most 2^p rows per group regardless of input size. */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      p: Int,
   ): DataFrame = {
     require(p >= 4 && p <= 14, s"hll precision p must be in [4, 14], got $p")
     val m = (1 << p).toLong
-    val wBits = 4 * 15 - p // hash bits left after the bucket index
-    val k = wBits + 1      // max possible rank
+    val k = 4 * 15 - p + 1 // max possible rank
     val gb = groupCols.map(col)
     val h = conv(substring(md5(value.cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
@@ -77,9 +88,17 @@ object Sketch {
           .as("__w__"): _*)
     val rho = when(col("__w__") === 0L, lit(k))
       .otherwise(lit(k) - length(bin(col("__w__"))))
-    val regs = base.withColumn("__rho__", rho)
+    base.withColumn("__rho__", rho)
       .groupBy(gb :+ col("__bkt__"): _*)
       .agg(max(col("__rho__")).cast("int").as("__M__"))
+  }
+
+  /** The estimator half of [[hllDistinct]]: fold (group, __bkt__, __M__)
+    * registers into (group, hll_estimate, hll_buckets_used). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = (1 << p).toLong
+    val k = 4 * 15 - p + 1
+    val gb = groupCols.map(col)
     val term = expr(s"shiftleft(CAST(1 AS BIGINT), $k - __M__)")
     val agg = regs.groupBy(gb: _*)
       .agg(sum(term).as("__Sp__"), count(lit(1)).as("__nb__"))
@@ -89,5 +108,91 @@ object Sketch {
     agg.select(gb :+
       expr(hllEstimateSql(p, "__S__", "__V__")).as("hll_estimate") :+
       col("__nb__").as("hll_buckets_used"): _*)
+  }
+
+  /** The inclusion–exclusion step of [[hllOverlap]] as ONE shared SQL
+    * string (applied to already-6dp-rounded estimate columns: sum and
+    * difference of identical doubles in identical order are bit-identical
+    * across engines; the final round canonicalizes). */
+  val HllIntersectSql: String =
+    "round(((est_a + est_b) - est_union) + CAST(0 AS DOUBLE), 6)"
+
+  /** Corpus-overlap estimation via HLL set algebra — "how much of corpus B
+    * is already in corpus A?" asked at 100 TB without shuffling a single
+    * distinct value: |A∪B| from the bucket-wise MAX of the two register
+    * sets (HLL union is exact — the union sketch IS the sketch of the
+    * union), |A∩B| by inclusion–exclusion. One pass over each input,
+    * 3·2^p register rows total. Returns one row
+    * (est_a, est_b, est_union, est_intersect). */
+  def hllOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      value: Column,
+      p: Int = 8,
+  ): DataFrame = {
+    val tagged = a.select(lit("a").as("__side__"), value.as("__v__"))
+      .unionAll(b.select(lit("b").as("__side__"), value.as("__v__")))
+    val regs = hllRegisters(tagged, Seq("__side__"), col("__v__"), p)
+    val uni = regs.groupBy(col("__bkt__")).agg(max(col("__M__")).as("__M__"))
+      .select(lit("u").as("__side__"), col("__bkt__"), col("__M__"))
+    val est = hllEstimate(regs.unionByName(uni), Seq("__side__"), p)
+    est.agg(
+      max(when(col("__side__") === "a", col("hll_estimate"))).as("est_a"),
+      max(when(col("__side__") === "b", col("hll_estimate"))).as("est_b"),
+      max(when(col("__side__") === "u", col("hll_estimate"))).as("est_union"))
+      .withColumn("est_intersect", expr(HllIntersectSql))
+  }
+
+  /** Count-min sketch counters (Cormode & Muthukrishnan 2005): a d×w
+    * integer counter matrix as (row, bucket, count) rows — the mergeable
+    * frequency sketch (merge = bucket-wise SUM). All-integer and
+    * md5-derived like [[hllRegisters]], so another engine replays it
+    * bit-for-bit. One map-side-combined aggregate: at most d·w rows cross
+    * the wire regardless of input size — the 100 TB answer to "how often
+    * does each of these terms appear" when the term dictionary itself is
+    * too large to count exactly. Returns (__i__, __bkt__, __cnt__). */
+  def cmsCounters(
+      df: DataFrame,
+      value: Column,
+      d: Int = 4,
+      w: Int = 512,
+  ): DataFrame = {
+    require(d >= 1 && d <= 16, s"cms depth d must be in [1, 16], got $d")
+    require(w >= 16, s"cms width w must be >= 16, got $w")
+    df.select(value.cast("string").as("__v__"))
+      .where(col("__v__").isNotNull)
+      .withColumn("__i__", explode(sequence(lit(0), lit(d - 1))))
+      .select(col("__i__"), cmsBucket(col("__i__"), col("__v__"), w).as("__bkt__"))
+      .groupBy(col("__i__"), col("__bkt__"))
+      .agg(count(lit(1)).as("__cnt__"))
+  }
+
+  /** h_i(x): row-salted md5 bucket (the same 60-bit hex-prefix idiom as
+    * [[hllRegisters]], so the DuckDB replay is
+    * `CAST(concat('0x', substr(md5(i || ':' || x), 1, 15)) AS BIGINT) % w`). */
+  private def cmsBucket(row: Column, v: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), v)
+      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+
+  /** Point-estimate the frequency of each probe key: min over the d
+    * counters the key hashes to (one-sided error — never an undercount;
+    * overcount ≤ 2·n/w with probability 1−2^−d). The counter matrix is
+    * tiny (≤ d·w rows) and broadcast; probes never shuffle. Probe keys
+    * absent from the sketch entirely estimate as their bucket counts
+    * (or 0 when a bucket is empty). */
+  def cmsEstimate(
+      counters: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 512,
+  ): DataFrame = {
+    val keyed = probes.select(col(keyCol).cast("string").as("__k__"))
+      .withColumn("__i__", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("__bkt__", cmsBucket(col("__i__"), col("__k__"), w))
+    keyed.join(broadcast(counters), Seq("__i__", "__bkt__"), "left")
+      .groupBy(col("__k__"))
+      .agg(min(coalesce(col("__cnt__"), lit(0L))).as("cms_estimate"))
+      .withColumnRenamed("__k__", keyCol)
   }
 }

@@ -991,6 +991,26 @@ object Streams {
         col("window.start").as("window_start"),
         col(keyCol), col("n"))
 
+  /** Streaming per-group HyperLogLog registers — the streaming face of
+    * [[graft.llm.Sketch.hllDistinct]]: "distinct documents/URLs/users per
+    * group so far" maintained over an unbounded stream in 2^p integers of
+    * state per group. The register build is ONE aggregation whose merge
+    * operation (bucket-wise MAX) is idempotent and commutative, so
+    * streaming's incremental micro-batch merges produce EXACTLY the batch
+    * registers for the same history — run with Update mode (refreshed
+    * groups only) or Complete for a snapshot, then fold the snapshot
+    * through [[graft.llm.Sketch.hllEstimate]] at read time (the estimator
+    * is a second aggregation, which streaming can't chain — and the
+    * production shape doesn't want it to: the state IS the sketch, the
+    * estimate is a query-time formula over ≤2^p rows per group). */
+  def streamingHllRegisters(
+      docs: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      p: Int = 8,
+  ): DataFrame =
+    graft.llm.Sketch.hllRegisters(docs, groupCols, valueCol, p)
+
   /** Streaming per-group Misra-Gries heavy-hitter candidates — the
     * streaming face of [[graft.llm.Search.heavyHittersByGroup]]'s pass 1:
     * a plain streaming aggregation whose buffer IS the mergeable MG

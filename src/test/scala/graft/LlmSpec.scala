@@ -3509,6 +3509,85 @@ class LlmSpec extends GraftSuite {
     assert(math.abs(e2 - 10.0) < 1.0, s"small-set estimate $e2 not ~10")
   }
 
+  test("cms: one-sided error, exact under no-collision, merge = counter sum") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val vals = spark.range(2000)
+      .select(F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(100L))).as("v"))
+    val probes = (0 until 100 by 7).map(i => s"k$i").toDF("v")
+    val est = graft.llm.Sketch
+      .cmsEstimate(graft.llm.Sketch.cmsCounters(vals, F.col("v")), probes, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every key appears exactly 20×; CMS never undercounts
+    assert(est.values.forall(_ >= 20L), s"undercount in $est")
+    // w=512 ≫ 100 distinct keys → overcounts are collision-bounded small
+    assert(est.values.forall(_ <= 60L), s"implausible overcount in $est")
+    // absent key: min over its buckets, still one-sided (>= 0)
+    val miss = graft.llm.Sketch
+      .cmsEstimate(graft.llm.Sketch.cmsCounters(vals, F.col("v")),
+        Seq("nope").toDF("v"), "v")
+      .collect().head.getLong(1)
+    assert(miss >= 0L && miss <= 40L)
+    // mergeability: counters(A ∪ B) == counters(A) + counters(B) per cell
+    val a = vals.where(F.col("v") < "k5")
+    val b = vals.where(F.col("v") >= "k5")
+    def cmap(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      graft.llm.Sketch.cmsCounters(df, F.col("v")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cmap(a).toSeq ++ cmap(b).toSeq)
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    assert(merged === cmap(vals))
+  }
+
+  test("hllOverlap: union sketch = sketch of union; inclusion-exclusion sane") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    // A = 0..2999, B = 2000..4999 → exact |A∩B| = 1000, |A∪B| = 5000
+    val a = spark.range(0, 3000).select(F.concat(F.lit("x"), F.col("id")).as("v"))
+    val b = spark.range(2000, 5000).select(F.concat(F.lit("x"), F.col("id")).as("v"))
+    val row = graft.llm.Sketch.hllOverlap(a, b, F.col("v")).collect().head
+    val (ea, eb, eu, ei) = (row.getAs[Double]("est_a"), row.getAs[Double]("est_b"),
+      row.getAs[Double]("est_union"), row.getAs[Double]("est_intersect"))
+    assert(math.abs(ea - 3000) / 3000.0 < 0.20, s"est_a $ea")
+    assert(math.abs(eb - 3000) / 3000.0 < 0.20, s"est_b $eb")
+    assert(math.abs(eu - 5000) / 5000.0 < 0.20, s"est_union $eu")
+    // intersection inherits both sketches' error — loose bound, sign + scale
+    assert(ei > 0 && ei < 2500, s"est_intersect $ei")
+    // the union sketch IS the sketch of the union (register-exact): the
+    // union estimate equals hllDistinct over the concatenated input
+    val direct = graft.llm.Sketch
+      .hllDistinct(a.unionAll(b).select(F.lit("g").as("g"), F.col("v")),
+        Seq("g"), F.col("v"))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(eu === direct)
+  }
+
+  test("hits: hand-computed max-normalized iteration; no-in-link auth 0") {
+    val s = spark
+    import s.implicits._
+    // 0→2, 1→2, 2→0: node 2 is the authority AND the only hub into 0;
+    // node 1 has no in-links (auth 0)
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r1 = graft.llm.Graph.hits(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // iter 1: aRaw(2)=h(0)+h(1)=2e6, aRaw(0)=h(2)=1e6; max=2e6
+    //   → a(2)=1e6, a(0)=500000
+    // hRaw(0)=a(2)=1e6, hRaw(1)=a(2)=1e6, hRaw(2)=a(0)=500000; max=1e6
+    //   → h(0)=1e6, h(1)=1e6, h(2)=500000
+    assert(r1 === Map(
+      0L -> ((1000000L, 500000L)),
+      1L -> ((1000000L, 0L)),
+      2L -> ((500000L, 1000000L))))
+    // determinism across invocations (integer sums + max normalization)
+    val r3a = graft.llm.Graph.hits(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r3b = graft.llm.Graph.hits(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r3a === r3b)
+  }
+
   test("pageRank: hand-computed integer fixed-point iterations, dangling ok") {
     val s = spark
     import s.implicits._

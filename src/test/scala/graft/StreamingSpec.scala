@@ -995,4 +995,34 @@ class StreamingSpec extends GraftSuite {
       .orderBy(sc("doc_id")).collect().map(_.getLong(0)).toSeq
     assert(out === Seq(1L, 3L))
   }
+
+  test("streaming HLL registers converge to the batch sketch across batches") {
+    val s = spark
+    import s.implicits._
+    val batch1 = (0 until 300).map(i => ("g1", s"v$i"))
+    val batch2 = (200 until 500).map(i => ("g1", s"v$i")) ++
+      (0 until 50).map(i => ("g2", s"w$i"))
+    val ms = MemoryStream[(String, String)](s)
+    val regs = Streams.streamingHllRegisters(
+      ms.toDF.toDF("g", "v"), Seq("g"), sc("v"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*) // overlaps batch1: max-merge must be idempotent
+      q.processAllAvailable()
+      val snapshot = spark.sql("SELECT * FROM hll_regs")
+      val streamedEst = graft.llm.Sketch.hllEstimate(snapshot, Seq("g"), 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // batch twin over the identical history
+      val batchEst = graft.llm.Sketch.hllDistinct(
+        (batch1 ++ batch2).toDF("g", "v"), Seq("g"), sc("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamedEst === batchEst)
+      // and the estimates are in range (500 and 50 true distincts)
+      assert(math.abs(streamedEst("g1") - 500) / 500.0 < 0.25)
+      assert(math.abs(streamedEst("g2") - 50) / 50.0 < 0.35)
+    } finally q.stop()
+  }
 }
