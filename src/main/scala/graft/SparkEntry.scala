@@ -1612,10 +1612,12 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          val toks = df
+          // cached: the token frame feeds BOTH the sketch build and the
+          // exact top-20 anchor (Spark does not share uncached subplans)
+          val toks = graft.llm.CacheScope.global.cache(df
             .select(F.explode(graft.llm.TextOps.tokens(F.col("text")))
               .as("token"))
-            .where(F.col("token") =!= "")
+            .where(F.col("token") =!= ""))
           val counters = graft.llm.Sketch.cmsCounters(toks, F.col("token"))
           val top = toks.groupBy(F.col("token"))
             .agg(F.count(F.lit(1)).as("n_exact"))
@@ -1626,6 +1628,56 @@ object SparkEntry {
             .select(F.col("token"), F.col("n_exact"), F.col("cms_estimate"))
         }
         .sort(col("token"))
+        .run(s)),
+
+    // --- HLL register rollup (the pre-aggregated sketch-cube pattern):
+    //     registers built per (lang, slice) answer the per-lang distinct
+    //     by bucket-wise max — register-EXACT, so the rollup estimate
+    //     equals the direct sketch bit-for-bit (both columns returned;
+    //     the oracle replays both paths and DuckDB must agree) ---
+    "q_hll_rollup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val fine = df.withColumn("slice", F.pmod(F.col("doc_id"), F.lit(4L)))
+          val regs = graft.llm.Sketch.hllRegisters(
+            fine, Seq("lang", "slice"), F.col("text"), 8)
+          val rolled = graft.llm.Sketch.hllRollup(regs, Seq("lang"), 8)
+            .select(F.col("lang"), F.col("hll_estimate").as("est_rollup"))
+          val direct = graft.llm.Sketch.hllDistinct(df, Seq("lang"), F.col("text"))
+            .select(F.col("lang"), F.col("hll_estimate").as("est_direct"))
+          val exact = df.groupBy(F.col("lang"))
+            .agg(F.countDistinct(F.col("text")).as("n_exact"))
+          rolled.join(direct, Seq("lang")).join(exact, Seq("lang"))
+        }
+        .sort(col("lang"))
+        .run(s)),
+
+    // --- sampled quantiles (deterministic hash-cutoff sample + exact
+    //     interpolated percentile over the survivors): the 100 TB
+    //     percentile — a count aggregate sizes the per-group cutoff, the
+    //     kept SET is a pure md5 filter both engines replay bit-for-bit,
+    //     and the sort happens on ~2000 rows per group. Exact percentiles
+    //     alongside anchor the sampling error. ---
+    "q_quantile_sample" -> ((s, dir) =>
+      m(dir, "lineitem")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val sampled = graft.llm.Sketch.sampledQuantiles(
+            df, Seq("l_returnflag"),
+            F.col("l_orderkey") * F.lit(8L) + F.col("l_linenumber"),
+            F.col("l_extendedprice"),
+            Seq("p50_s" -> 0.5, "p90_s" -> 0.9, "p99_s" -> 0.99), 2000L)
+          val exact = df.groupBy(F.col("l_returnflag")).agg(
+            F.round(F.percentile(F.col("l_extendedprice").cast("double"),
+              F.lit(0.5)) + F.lit(0.0), 6).as("p50_x"),
+            F.round(F.percentile(F.col("l_extendedprice").cast("double"),
+              F.lit(0.9)) + F.lit(0.0), 6).as("p90_x"),
+            F.round(F.percentile(F.col("l_extendedprice").cast("double"),
+              F.lit(0.99)) + F.lit(0.0), 6).as("p99_x"))
+          sampled.join(exact, Seq("l_returnflag"))
+        }
+        .sort(col("l_returnflag"))
         .run(s)),
 
     // --- deterministic hash sampling (repeatable corpus subsetting) ---
@@ -5090,26 +5142,104 @@ object SparkEntry {
       """WITH toks AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
            FROM documents WHERE trim(text) <> ''),
-         tk AS (SELECT token FROM toks WHERE token <> ''),
+         tk AS (SELECT token,
+                  CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+                    % 2147483647 AS h
+                FROM toks WHERE token <> ''),
          counters AS (
            SELECT t.i,
-                  CAST(concat('0x', substr(md5(concat(t.i, ':', tk.token)),
-                    1, 15)) AS BIGINT) % 512 AS bkt,
+                  ((2 * t.i + 1) * tk.h + 1000000007 * t.i)
+                    % 2147483647 % 512 AS bkt,
                   count(*) AS cnt
            FROM tk, LATERAL unnest(range(0, 4)) AS t(i)
            GROUP BY 1, 2),
-         ex AS (SELECT token, count(*) AS n_exact FROM tk GROUP BY 1
+         ex AS (SELECT token, min(h) AS h, count(*) AS n_exact
+                FROM tk GROUP BY 1
                 ORDER BY n_exact DESC, token LIMIT 20),
          pr AS (
            SELECT e.token, e.n_exact, t.i,
-                  CAST(concat('0x', substr(md5(concat(t.i, ':', e.token)),
-                    1, 15)) AS BIGINT) % 512 AS bkt
+                  ((2 * t.i + 1) * e.h + 1000000007 * t.i)
+                    % 2147483647 % 512 AS bkt
            FROM ex e, LATERAL unnest(range(0, 4)) AS t(i))
          SELECT pr.token, pr.n_exact,
                 min(coalesce(c.cnt, 0)) AS cms_estimate
          FROM pr LEFT JOIN counters c ON c.i = pr.i AND c.bkt = pr.bkt
          GROUP BY 1, 2
          ORDER BY pr.token""",
+
+    // HLL cube rollup: fine registers per (lang, slice), bucket-wise max
+    // to lang, then the shared estimator — and the direct per-lang sketch
+    // alongside; register-exactness means the two columns must be equal.
+    "q_hll_rollup" ->
+      (s"""WITH h AS (
+          SELECT lang, doc_id % 4 AS slice,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        b AS (SELECT lang, slice, h % 256 AS bkt, h // 256 AS w FROM h),
+        fine AS (SELECT lang, slice, bkt,
+                max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS M
+              FROM b GROUP BY 1, 2, 3),
+        ru AS (SELECT lang, bkt, max(M) AS M FROM fine GROUP BY 1, 2),
+        ra AS (SELECT lang,
+                sum(CAST(1 AS BIGINT) << (53 - M)) AS Sp, count(*) AS nb
+              FROM ru GROUP BY 1),
+        rf AS (SELECT lang, Sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS S,
+                256 - nb AS V FROM ra),
+        rest AS (SELECT lang,
+                ${graft.llm.Sketch.hllEstimateSql(8, "rf.S", "rf.V")}
+                  AS est_rollup
+              FROM rf),
+        dr AS (SELECT lang, h % 256 AS bkt,
+                max(CASE WHEN h // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(h // 256)) END) AS M
+              FROM h GROUP BY 1, 2),
+        da AS (SELECT lang,
+                sum(CAST(1 AS BIGINT) << (53 - M)) AS Sp, count(*) AS nb
+              FROM dr GROUP BY 1),
+        df_ AS (SELECT lang, Sp + (256 - nb) * (CAST(1 AS BIGINT) << 53) AS S,
+                256 - nb AS V FROM da),
+        dest AS (SELECT lang,
+                ${graft.llm.Sketch.hllEstimateSql(8, "df_.S", "df_.V")}
+                  AS est_direct
+              FROM df_)
+        SELECT rest.lang, rest.est_rollup, dest.est_direct, x.n_exact
+        FROM rest
+        JOIN dest ON dest.lang = rest.lang
+        JOIN (SELECT lang, count(DISTINCT text) AS n_exact
+              FROM documents GROUP BY 1) x ON x.lang = rest.lang
+        ORDER BY rest.lang"""),
+
+    // sampled quantiles: the same md5-u32 cutoff filter (kept SETS match
+    // bit-for-bit), quantile_cont over survivors, exact quantiles joined.
+    "q_quantile_sample" ->
+      (s"""WITH b AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS k,
+                 CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL),
+        n AS (SELECT g, count(*) AS n FROM b GROUP BY 1),
+        s AS (SELECT b.g, b.v, n.n FROM b JOIN n ON b.g = n.g
+              WHERE CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT)
+                    < ${graft.llm.Sketch.sampleCutoffSql(2000L, "n")}),
+        sq AS (SELECT g, max(n) AS n, count(*) AS n_sample,
+                round(quantile_cont(v, 0.5) + CAST(0 AS DOUBLE), 6) AS p50_s,
+                round(quantile_cont(v, 0.9) + CAST(0 AS DOUBLE), 6) AS p90_s,
+                round(quantile_cont(v, 0.99) + CAST(0 AS DOUBLE), 6) AS p99_s
+              FROM s GROUP BY 1),
+        xq AS (SELECT l_returnflag AS g,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                  + CAST(0 AS DOUBLE), 6) AS p50_x,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+                  + CAST(0 AS DOUBLE), 6) AS p90_x,
+                round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+                  + CAST(0 AS DOUBLE), 6) AS p99_x
+              FROM lineitem GROUP BY 1)
+        SELECT sq.g AS l_returnflag, sq.n, sq.n_sample,
+               sq.p50_s, sq.p90_s, sq.p99_s, xq.p50_x, xq.p90_x, xq.p99_x
+        FROM sq JOIN xq ON xq.g = sq.g
+        ORDER BY sq.g"""),
 
     "q_dedup_clusters" ->
       (MinhashPairsCtes + ClosureCtes +

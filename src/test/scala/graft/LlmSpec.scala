@@ -3564,6 +3564,54 @@ class LlmSpec extends GraftSuite {
     assert(eu === direct)
   }
 
+  test("hllRollup: cube rollup is register-exact — equals the direct sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val df = spark.range(5000).select(
+      F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(3L))).as("g"),
+      F.pmod(F.col("id"), F.lit(7L)).as("slice"),
+      F.concat(F.lit("v"), F.pmod(F.col("id"), F.lit(1200L))).as("v"))
+    val regs = graft.llm.Sketch.hllRegisters(df, Seq("g", "slice"), F.col("v"), 8)
+    val rolled = graft.llm.Sketch.hllRollup(regs, Seq("g"), 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    val direct = graft.llm.Sketch.hllDistinct(df, Seq("g"), F.col("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    assert(rolled === direct)
+  }
+
+  test("sampledQuantiles: exact identity at target >= n; bounded error sampled") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val df = spark.range(500).select(F.lit("g").as("g"), F.col("id").as("k"),
+      (F.col("id") * F.col("id")).cast("double").as("v"))
+    val q = graft.llm.Sketch.sampledQuantiles(df, Seq("g"), F.col("k"),
+      F.col("v"), Seq("p50" -> 0.5, "p90" -> 0.9), 2000L).collect().head
+    assert(q.getAs[Long]("n") === 500L)
+    // target >= n → the cutoff keeps EVERY row → exact percentiles
+    assert(q.getAs[Long]("n_sample") === 500L)
+    val ex = df.agg(
+      F.round(F.percentile(F.col("v"), F.lit(0.5)) + F.lit(0.0), 6),
+      F.round(F.percentile(F.col("v"), F.lit(0.9)) + F.lit(0.0), 6))
+      .collect().head
+    assert(q.getAs[Double]("p50") === ex.getDouble(0))
+    assert(q.getAs[Double]("p90") === ex.getDouble(1))
+    // genuine sampling: 50k uniform values, ~2000 survive; the median
+    // estimate lands within ~3.6 sd of the true median, deterministically
+    val big = spark.range(50000).select(F.lit("g").as("g"),
+      F.col("id").as("k"), F.col("id").cast("double").as("v"))
+    def run(): org.apache.spark.sql.Row =
+      graft.llm.Sketch.sampledQuantiles(big, Seq("g"), F.col("k"),
+        F.col("v"), Seq("p50" -> 0.5), 2000L).collect().head
+    val r1 = run()
+    assert(r1 === run()) // pure-filter determinism
+    val ns = r1.getAs[Long]("n_sample")
+    assert(ns > 1200L && ns < 3000L, s"sample size $ns far off target 2000")
+    assert(math.abs(r1.getAs[Double]("p50") - 25000.0) < 2000.0,
+      s"sampled median ${r1.getAs[Double]("p50")} too far from 25000")
+  }
+
   test("hits: hand-computed max-normalized iteration; no-in-link auth 0") {
     val s = spark
     import s.implicits._

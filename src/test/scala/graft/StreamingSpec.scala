@@ -1025,4 +1025,33 @@ class StreamingSpec extends GraftSuite {
       assert(math.abs(streamedEst("g2") - 50) / 50.0 < 0.35)
     } finally q.stop()
   }
+
+  test("streaming CMS counter snapshot equals the batch sketch") {
+    val s = spark
+    import s.implicits._
+    val batch1 = (0 until 200).map(i => s"t${i % 40}")
+    val batch2 = (0 until 300).map(i => s"t${i % 60}")
+    val ms = MemoryStream[String](s)
+    val counters = Streams.streamingCmsCounters(ms.toDF.toDF("v"), sc("v"))
+    val q = counters.writeStream.format("memory").queryName("cms_ctr")
+      .outputMode("complete").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      def cmap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val snap = cmap(spark.sql("SELECT * FROM cms_ctr").collect())
+      val batch = cmap(graft.llm.Sketch
+        .cmsCounters((batch1 ++ batch2).toDF("v"), sc("v")).collect())
+      assert(snap === batch)
+      // estimates read straight off the state snapshot stay one-sided
+      val est = graft.llm.Sketch.cmsEstimate(
+        spark.sql("SELECT * FROM cms_ctr"), Seq("t0").toDF("v"), "v")
+        .collect().head.getLong(1)
+      val truth = (batch1 ++ batch2).count(_ == "t0").toLong
+      assert(est >= truth, s"CMS undercount: $est < $truth")
+    } finally q.stop()
+  }
 }
