@@ -776,13 +776,17 @@ object SparkEntry {
       java.nio.file.Files.createDirectories(fixDir)
       val path = fixDir.resolve(
         "docs_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
-      val rows = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "source", "text")
-        .collect().sortBy(_.getLong(0))
-        .map(r => ("response",
-          s"https://${r.getString(1)}.example/d/${r.getLong(0)}",
-          "text/plain", r.getString(2).getBytes("UTF-8"))).toSeq
-      graft.sources.Warc.write(path, rows)
+      // fixture is deterministic per data dir — memoize so the bench
+      // times the READER, not driver-side fixture (re)construction
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val rows = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text")
+          .collect().sortBy(_.getLong(0)) // fixture-only driver collect
+          .map(r => ("response",
+            s"https://${r.getString(1)}.example/d/${r.getLong(0)}",
+            "text/plain", r.getString(2).getBytes("UTF-8"))).toSeq
+        graft.sources.Warc.write(path, rows)
+      }
       Model.warc(path)
         .pick(col("url"), col("content_length"))
         .sort(col("url"))
@@ -798,21 +802,23 @@ object SparkEntry {
       java.nio.file.Files.createDirectories(fixDir)
       val path = fixDir.resolve(
         "pipe_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
-      val rows = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "source", "text")
-        .collect().sortBy(_.getLong(0))
-        .map { r =>
-          val id = r.getLong(0)
-          val html = "<html><head><title>Doc " + id +
-            "</title><style type=\"text/css\">body { color: red; }</style></head>" +
-            "<body><!-- id " + id + " --><h1>Doc&nbsp;" + id +
-            "</h1><p class=\"main\">" + r.getString(2) +
-            " &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>" +
-            "<script>if (1 < 2) { alert(\">\"); }</script></body></html>"
-          ("response", s"https://${r.getString(1)}.example/d/$id",
-            "text/html", html.getBytes("UTF-8"))
-        }.toSeq
-      graft.sources.Warc.write(path, rows)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val rows = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text")
+          .collect().sortBy(_.getLong(0)) // fixture-only driver collect
+          .map { r =>
+            val id = r.getLong(0)
+            val html = "<html><head><title>Doc " + id +
+              "</title><style type=\"text/css\">body { color: red; }</style></head>" +
+              "<body><!-- id " + id + " --><h1>Doc&nbsp;" + id +
+              "</h1><p class=\"main\">" + r.getString(2) +
+              " &amp;lt; tail &lt;escaped&gt; &#39;q&#39;</p>" +
+              "<script>if (1 < 2) { alert(\">\"); }</script></body></html>"
+            ("response", s"https://${r.getString(1)}.example/d/$id",
+              "text/html", html.getBytes("UTF-8"))
+          }.toSeq
+        graft.sources.Warc.write(path, rows)
+      }
       Model.warc(path)
         .native { df =>
           import org.apache.spark.sql.{functions => F}
@@ -1558,6 +1564,56 @@ object SparkEntry {
         }
         .sort(col("node"))
         .run(s)),
+
+    // --- the crawl-to-authority pipeline END TO END: gzipped WARC of
+    //     HTML pages with real <a href> anchors (both quote styles,
+    //     plus relative/javascript noise links) → extractLinks regex
+    //     pass → registrable-domain edges → 3 PageRank rounds over the
+    //     domain graph. Closes the "synthetic edges inside the query"
+    //     gap: the graph ops consume the corpus they're motivated by.
+    //     Oracle replays the deterministic link construction on the
+    //     parquet original (content-identical by construction, the
+    //     q_warc_pipeline pattern) + 3 unrolled integer rounds. ---
+    "q_pagerank_links" -> ((s, dir) => {
+      val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      java.nio.file.Files.createDirectories(fixDir)
+      val path = fixDir.resolve(
+        "links_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source")
+        // fixture-only driver collects: 20 sources, |docs| rows
+        val srcs = docs.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        val nSrc = srcs.length
+        val rows = docs.collect().sortBy(_.getLong(0)).map { r =>
+          val id = r.getLong(0); val src = r.getString(1)
+          val anchors = (1L to (id % 4)).map { j =>
+            val dst = srcs(((id * 7 + j * 13) % nSrc).toInt)
+            if (j % 2 == 1)
+              s"""<a class="l" href="https://$dst.example/p/$j">x</a>"""
+            else s"<a href='https://$dst.example/p/$j'>x</a>"
+          }.mkString
+          val html = "<html><body>" + anchors +
+            "<a href=\"/rel/p\">skip</a><a href='javascript:void(0)'>s</a>" +
+            "</body></html>"
+          ("response", s"https://$src.example/d/$id", "text/html",
+            html.getBytes("UTF-8"))
+        }.toSeq
+        graft.sources.Warc.write(path, rows)
+      }
+      Model.warc(path)
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val pages = df.where(F.col("warc_type") === F.lit("response"))
+            .withColumn("__html__", F.col("payload").cast("string"))
+          val edges = graft.llm.Graph.extractLinks(pages, "url", "__html__")
+          graft.llm.Graph.pageRankDomains(
+            edges, "src_domain", "dst_domain", iterations = 3)
+        }
+        .sort(col("domain"))
+        .run(s)
+    }),
 
     // --- HyperLogLog distinct sketch (engine-portable registers): the
     //     100 TB answer to count(distinct) — at most 2^p rows per group
@@ -5062,6 +5118,8 @@ object SparkEntry {
 
     "q_hits" -> HitsSql,
 
+    "q_pagerank_links" -> PageRankLinksSql,
+
     "q_hll_distinct" ->
       (s"""WITH h AS (
           SELECT lang,
@@ -8175,6 +8233,57 @@ object SparkEntry {
         WHERE t.j <= d.doc_id % 5),
       nodes AS MATERIALIZED (
         SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+  /** q_pagerank_links oracle: replays the deterministic link fixture on
+    * the parquet original (each doc links to srcs[(doc_id·7+j·13) mod 20]
+    * for j ≤ doc_id mod 4; relative/javascript noise anchors never become
+    * edges), reduces to distinct non-self registrable-domain edges, maps
+    * domains to the same 60-bit md5-prefix ids as
+    * [[graft.llm.Graph.pageRankDomains]], and unrolls 3 integer PageRank
+    * rounds (the [[PageRankSql]] round template). */
+  private lazy val PageRankLinksSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS MATERIALIZED (
+        SELECT e.dst AS node,
+               sum((r.r * 850000) // (1000000 * g.d)) AS c
+        FROM edges e
+        JOIN r${i - 1} r ON r.node = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY 1),
+      r$i AS MATERIALIZED (
+        SELECT n2.node, 150000 + coalesce(c.c, 0) AS r
+        FROM nodes n2 LEFT JOIN c$i c ON c.node = n2.node)"""
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (
+        SELECT source, row_number() OVER (ORDER BY source) - 1 AS k
+        FROM (SELECT DISTINCT source FROM documents)),
+      edges_d AS MATERIALIZED (
+        SELECT DISTINCT d.source || '.example' AS src_domain,
+               s2.source || '.example' AS dst_domain
+        FROM documents d,
+             LATERAL unnest(range(1, 4)) AS t(j),
+             srcs s2
+        WHERE t.j <= d.doc_id % 4
+          AND s2.k = (d.doc_id * 7 + t.j * 13)
+                       % (SELECT count(*) FROM srcs)
+          AND d.source <> s2.source),
+      edges AS MATERIALIZED (
+        SELECT CAST(concat('0x', substr(md5(src_domain), 1, 15)) AS BIGINT) AS src,
+               CAST(concat('0x', substr(md5(dst_domain), 1, 15)) AS BIGINT) AS dst
+        FROM edges_d),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $rounds,
+      doms AS (SELECT src_domain AS domain FROM edges_d
+               UNION SELECT dst_domain FROM edges_d)
+      SELECT m.domain, CAST(r.r AS BIGINT) AS rank_micro
+      FROM doms m
+      JOIN r3 r
+        ON r.node = CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
+      ORDER BY m.domain"""
+  }
 
   private lazy val PageRankSql: String = {
     val rounds = (1 to 5).map { i =>

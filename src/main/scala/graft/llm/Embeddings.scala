@@ -297,6 +297,37 @@ object Embeddings {
       assigned, table, s"$dir/postings", "__cell__", buckets)
   }
 
+  /** APPEND maintenance for a persisted [[ivfIndexSave]] artifact — the
+    * ANN twin of [[Dedup.minhashIndexAppend]]: ONLY the new vectors are
+    * assigned (against the STORED centroids read back from `dir`) and
+    * their postings append to the bucketed table — no refit, no rebuild,
+    * no touch of the existing postings. Query-after-append is value-
+    * identical to a full rebuild AGAINST THE SAME CENTROIDS (spec-pinned).
+    *
+    * Centroid-staleness semantics (the documented trade): centroids stay
+    * frozen at fit time, so as the appended distribution drifts the cells
+    * stop being the k-means optimum of the CURRENT corpus — assignment
+    * stays well-defined (deterministic argmax over the frozen centroids,
+    * queries probe the same frozen cells) and recall degrades gracefully
+    * rather than breaking; a periodic [[ivfIndexSave]] refit is the
+    * compaction that restores the optimum. This is the standard
+    * production IVF maintenance contract (FAISS `add` after `train`). */
+  def ivfIndexAppend(
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      table: String,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(newEmb.sparkSession)
+    val centroids = newEmb.sparkSession.read.parquet(s"$dir/centroids")
+    val assigned =
+      withCell(newEmb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("__n__"), col("__cell__"))
+    graft.sources.ParquetIO.appendBucketed(assigned, table, "__cell__", buckets)
+  }
+
   /** IVF top-k served from a PERSISTED [[ivfIndexSave]] artifact: ONLY
     * the (tiny) query frame assigns itself to cells — the corpus side
     * is the stored postings table, scanned as bucketed, never

@@ -111,6 +111,67 @@ object Graph {
     out
   }
 
+  /** Hyperlink extraction: HTML pages → (src_domain, dst_domain)
+    * registrable-domain edges, the input [[pageRank]]/[[hits]] are
+    * motivated by (crawl curation ranks HOSTS — the domain graph is
+    * ~10⁷ nodes where the page graph is ~10¹¹, and a domain-level
+    * authority prior is the standard crawl-sampling signal).
+    *
+    * Extraction is a per-row codegen'd regex pass (no UDF, no shuffle):
+    * `<a … href="…">` and `<a … href='…'>` anchors (both quote styles;
+    * patterns stay inside one tag via `[^>]*`), keeping only ABSOLUTE
+    * http(s) targets — relative paths and javascript:/mailto: pseudo
+    * links drop out. Both endpoints reduce to their registrable domain
+    * ([[TextOps.urlParts]]' public-suffix rules); self-edges (an
+    * intra-site link) are dropped and the edge set deduplicated — one
+    * hash aggregate, map-side combined.
+    *
+    * Returns (src_domain STRING, dst_domain STRING), distinct. */
+  def extractLinks(
+      pages: DataFrame,
+      urlCol: String,
+      htmlCol: String): DataFrame = {
+    val dq = regexp_extract_all(col(htmlCol),
+      lit("<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(col(htmlCol),
+      lit("<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1))
+    pages
+      .select(col(urlCol).as("__u__"),
+        explode(concat(dq, sq)).as("__href__"))
+      .where(col("__href__").rlike("^https?://"))
+      .select(
+        TextOps.urlParts(col("__u__")).getField("domain").as("src_domain"),
+        TextOps.urlParts(col("__href__")).getField("domain").as("dst_domain"))
+      .where(col("src_domain") =!= col("dst_domain"))
+      .distinct()
+  }
+
+  /** [[pageRank]] over STRING-keyed domain edges (the [[extractLinks]]
+    * output shape): domains map to 60-bit md5-prefix ids (collision odds
+    * ~n²/2⁶¹ — negligible below 10⁹ domains, and any engine with md5
+    * replays the mapping bit-for-bit), the integer power iteration runs
+    * on ids, and ranks join back to the |V|-sized domain dictionary.
+    * Returns (domain STRING, rank_micro BIGINT). */
+  def pageRankDomains(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampMicro: Long = 850000L,
+  ): DataFrame = {
+    def did(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(col(srcCol).as("__sd__"), col(dstCol).as("__td__"))
+    val doms = e.select(col("__sd__").as("domain"))
+      .union(e.select(col("__td__").as("domain")))
+      .distinct()
+    val ranked = pageRank(
+      e.select(did(col("__sd__")).as("src"), did(col("__td__")).as("dst")),
+      "src", "dst", iterations, dampMicro)
+    doms.join(ranked, did(col("domain")) === ranked("node"))
+      .select(col("domain"), col("rank_micro"))
+  }
+
   /** Deterministic integer fixed-point HITS (Kleinberg 1999) — the
     * hub/authority decomposition next to [[pageRank]]'s single authority
     * score: hubs are link-list pages (directories, sitemaps, boilerplate
@@ -132,8 +193,13 @@ object Graph {
     * The max itself stays a lazy 1-row aggregate cross-joined in (a
     * provably-tiny broadcast side), never a driver collect.
     *
-    * Scale: per iteration, two equi-joins against the once-persisted edge
-    * list and two map-side-combined sums — 2× [[pageRank]]'s round cost.
+    * Scale: the edge list is persisted TWICE, pre-partitioned by source
+    * and by destination (the [[pageRank]] pattern, doubled because HITS
+    * joins on both ends) — each iteration's two equi-joins then reuse a
+    * stable cached layout and only the |V|-sized hub/auth frames shuffle
+    * to meet it, never the |E|-sized edges. Two map-side-combined sums
+    * complete the round: cost k × (2·|E| scan + 2·|V| shuffle), the
+    * 2-sided twin of pageRank's round.
     * Returns (node BIGINT, hub_micro BIGINT, auth_micro BIGINT).
     */
   def hits(
@@ -147,52 +213,55 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("__src__"),
         col(dstCol).cast("long").as("__dst__"))
       .where(col("__src__").isNotNull && col("__dst__").isNotNull)
+    val eBySrc = e.repartition(col("__src__"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("__src__").as("__id__"))
-      .union(e.select(col("__dst__").as("__id__")))
+    val eByDst = e.repartition(col("__dst__"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eBySrc.select(col("__src__").as("__id__"))
+      .union(eBySrc.select(col("__dst__").as("__id__")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     def idiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
     val dec = DecimalType(38, 0)
-    // raw frames feed BOTH the max subquery and the scaled select; Spark
-    // does not share uncached subplans, so each is persisted and released
-    // only after the final eager checkpoint has materialized the chain
-    val liveRaw = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // The rescale plan embeds its input TWICE (the frame and the 1-row
+    // max over it), and one HITS round rescales twice — left untruncated
+    // the logical plan QUADRUPLES per iteration and Catalyst analysis
+    // time explodes exponentially (22 s for 3 rounds on a 10k-edge
+    // fixture, measured). So every rescaled frame is eagerly
+    // localCheckpoint'ed: the |V|-sized hub/auth frames materialize once
+    // per round anyway, and the checkpoint resets the plan to a leaf.
     def rescale(raw0: DataFrame, vCol: String): DataFrame = {
       val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
-      liveRaw += raw
       val mx = raw.agg(max(col(vCol)).as("__mx__"))
-      raw.crossJoin(mx)
+      val scaled = raw.crossJoin(mx)
         .select(col("__id__"),
           idiv(col(vCol).cast(dec) * lit(1000000L), col("__mx__").cast(dec))
             .as("__v__"))
+        .localCheckpoint(true)
+      raw.unpersist(blocking = false)
+      scaled
     }
 
     var hub = nodes.withColumn("__h__", lit(1000000L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var auth: DataFrame = null
     for (i <- 1 to iterations) {
-      val aRaw = e.join(hub, e("__src__") === hub("__id__"))
+      val aRaw = eBySrc.join(hub, eBySrc("__src__") === hub("__id__"))
         .groupBy(col("__dst__").as("__id__"))
         .agg(sum(col("__h__")).as("__ar__"))
       val aPrev = auth
-      auth = rescale(aRaw, "__ar__").persist(StorageLevel.MEMORY_AND_DISK)
+      auth = rescale(aRaw, "__ar__")
       if (aPrev ne null) aPrev.unpersist(blocking = false)
-      val hRaw = e.join(auth, e("__dst__") === auth("__id__"))
+      val hRaw = eByDst.join(auth, eByDst("__dst__") === auth("__id__"))
         .groupBy(col("__src__").as("__id__"))
         .agg(sum(col("__v__")).as("__hr__"))
-      val hNext = nodes.join(rescale(hRaw, "__hr__")
+      val hPrev = hub
+      hub = nodes.join(rescale(hRaw, "__hr__")
           .withColumnRenamed("__v__", "__hv__"), Seq("__id__"), "left")
         .select(col("__id__"),
           coalesce(col("__hv__"), lit(0L)).as("__h__"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hPrev = hub
-      hub = if (i < iterations && i % 3 == 0) {
-        val cp = hNext.localCheckpoint(true)
-        hNext.unpersist(blocking = false)
-        cp
-      } else hNext
+        .localCheckpoint(true)
       hPrev.unpersist(blocking = false)
     }
     val out = nodes
@@ -204,9 +273,9 @@ object Graph {
       .localCheckpoint(true)
     hub.unpersist(blocking = false)
     auth.unpersist(blocking = false)
-    liveRaw.foreach(_.unpersist(blocking = false))
     nodes.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
     out
   }
 }

@@ -1,10 +1,13 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayOutputStream, InputStream}
 import java.nio.charset.StandardCharsets.US_ASCII
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** WARC/1.0 container codec — the Common Crawl ingestion format (ISO
   * 28500, public spec; reference behavior: hashquery ingests whatever
@@ -20,19 +23,21 @@ import org.apache.spark.sql.types._
   *   \r\n\r\n                          (record boundary)
   * }}}
   *
-  * [[read]] is DISTRIBUTED by file: Spark's `binaryFile` source gives
-  * one task per shard, which is the production parallelism — CC ships
-  * ~1 GB shards by the tens of thousands, so a 100 TB crawl is ~100 k
-  * independent tasks with no shuffle at all. Per task the record walk
-  * is a single pass over the shard bytes. `.gz` shards decompress
-  * through GZIPInputStream (multistream members concatenate — the CC
-  * member-per-record convention reads transparently). binaryFile holds
-  * a whole shard in memory (Spark caps files at 2 GB): exactly the CC
-  * shard-size contract.
+  * [[read]] is DISTRIBUTED by shard: the driver lists the shard paths
+  * (a 100 TB crawl is ~100 k shards — a trivial listing) and each task
+  * opens ONE shard through the Hadoop filesystem and walks it with a
+  * STREAMING record cursor ([[records]]): at no point is more than one
+  * record's payload buffered, so a ~1 GB .gz shard that decompresses to
+  * 3-5 GB reads fine — there is no whole-shard array and no 2 GB
+  * file-size ceiling. `.gz` shards decompress through GZIPInputStream
+  * (multistream members concatenate — the CC member-per-record
+  * convention reads transparently).
   *
   * Malformed bytes fail LOUDLY (IllegalArgumentException with the
   * offset) — a truncated crawl shard is an ingestion incident, not a
-  * row to silently drop. */
+  * row to silently drop. A single record whose Content-Length exceeds
+  * the per-record buffer cap (2 GiB JVM array limit, or a test-injected
+  * smaller cap) also fails loudly instead of wrapping `toInt`. */
 object Warc {
 
   val schema: StructType = StructType(Seq(
@@ -44,7 +49,8 @@ object Warc {
 
   /** Fixture/test encoder: one spec-conformant WARC file from (type,
     * url, contentType, payload) records; gzip when `path` ends `.gz`
-    * (one member per record — the CC convention). */
+    * (one member per record — the CC convention). Each gzip member is
+    * encoded into its own closed stream so no Deflater leaks. */
   def write(
       path: String,
       records: Seq[(String, String, String, Array[Byte])]): Unit = {
@@ -64,86 +70,146 @@ object Warc {
         rec.write(payload)
         rec.write("\r\n\r\n".getBytes(US_ASCII))
         if (path.endsWith(".gz")) {
-          val gz = new java.util.zip.GZIPOutputStream(out)
+          val member = new ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(member)
           gz.write(rec.toByteArray)
-          gz.finish() // member boundary, stream stays open
+          gz.close() // member boundary; releases the native Deflater
+          member.writeTo(out)
         } else out.write(rec.toByteArray)
       }
     } finally out.close()
   }
 
-  /** Parse one shard's bytes into records (single pass). */
-  private[graft] def parse(bytes: Array[Byte]): Seq[Row] = {
-    def fail(i: Int, why: String): Nothing =
-      throw new IllegalArgumentException(s"malformed WARC at byte $i: $why")
-    val out = Seq.newBuilder[Row]
-    var i = 0
-    while (i < bytes.length) {
-      // header block: ASCII lines to the first empty line
-      val headEnd = indexOfCrlfCrlf(bytes, i)
-      if (headEnd < 0) fail(i, "unterminated header block")
-      val head = new String(bytes, i, headEnd - i, US_ASCII)
-      val lines = head.split("\r\n")
-      if (lines.isEmpty || !lines(0).startsWith("WARC/"))
-        fail(i, s"expected WARC/ version line, got '${lines.headOption.getOrElse("")}'")
-      val hs = lines.drop(1).map { l =>
-        val c = l.indexOf(':')
-        if (c < 0) fail(i, s"header line without ':' — '$l'")
-        l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
-      }.toMap
-      val len = hs.getOrElse("content-length",
-        fail(i, "missing Content-Length")).toLong
-      val payloadStart = headEnd + 4
-      if (payloadStart + len > bytes.length) fail(i, "truncated payload")
-      val payload = java.util.Arrays.copyOfRange(
-        bytes, payloadStart, payloadStart + len.toInt)
-      out += Row(hs.getOrElse("warc-type", null),
-        hs.getOrElse("warc-target-uri", null),
-        hs.getOrElse("content-type", null), len, payload)
-      var j = payloadStart + len.toInt
-      // record boundary: exactly one \r\n\r\n
-      if (j + 4 > bytes.length ||
-        bytes(j) != '\r' || bytes(j + 1) != '\n' ||
-        bytes(j + 2) != '\r' || bytes(j + 3) != '\n')
-        fail(j, "missing record boundary")
-      i = j + 4
+  /** STREAMING record cursor over one shard's (already-decompressed)
+    * byte stream. Buffers at most one record's payload at a time — the
+    * decompressed shard is never materialized, so shard size is
+    * unbounded. `maxRecordBytes` caps the single-record buffer (JVM
+    * array ceiling by default; specs inject a small cap to prove the
+    * cursor holds one record, not the shard). Closes `in` on clean
+    * exhaustion. */
+  private[graft] def records(
+      in: InputStream,
+      where: String,
+      maxRecordBytes: Long = Int.MaxValue - 8): Iterator[Row] =
+    new Iterator[Row] {
+      private val input = new java.io.BufferedInputStream(in, 1 << 16)
+      private var offset = 0L
+      private var pending: Row = _
+      private var done = false
+
+      private def fail(why: String): Nothing =
+        throw new IllegalArgumentException(
+          s"malformed WARC in $where at byte $offset: $why")
+
+      private def readByte(): Int = {
+        val b = input.read(); if (b >= 0) offset += 1; b
+      }
+
+      /** One CRLF-terminated ASCII header line (terminator stripped);
+        * null on clean EOF at line start (= end of shard). */
+      private def readLine(): String = {
+        var b = readByte()
+        if (b < 0) return null
+        val sb = new java.lang.StringBuilder(96)
+        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = readByte() }
+        if (b < 0) fail("EOF inside header line")
+        val n = sb.length()
+        if (n == 0 || sb.charAt(n - 1) != '\r')
+          fail("header line not CRLF-terminated")
+        sb.setLength(n - 1)
+        sb.toString
+      }
+
+      private def readFully(buf: Array[Byte]): Unit = {
+        var p = 0
+        while (p < buf.length) {
+          val n = input.read(buf, p, buf.length - p)
+          if (n < 0) fail("truncated payload")
+          p += n; offset += n
+        }
+      }
+
+      private def advance(): Unit = {
+        val first = readLine()
+        if (first == null) { done = true; input.close(); return }
+        if (!first.startsWith("WARC/"))
+          fail(s"expected WARC/ version line, got '$first'")
+        val hs = scala.collection.mutable.Map.empty[String, String]
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          val c = line.indexOf(':')
+          if (c < 0) fail(s"header line without ':' — '$line'")
+          hs(line.substring(0, c).trim.toLowerCase) =
+            line.substring(c + 1).trim
+          line = readLine()
+        }
+        if (line == null) fail("unterminated header block")
+        val len = hs.getOrElse("content-length",
+          fail("missing Content-Length")).toLong
+        if (len < 0) fail(s"negative Content-Length $len")
+        if (len > maxRecordBytes)
+          fail(s"Content-Length $len exceeds the per-record buffer cap " +
+            s"$maxRecordBytes — a single record cannot be buffered")
+        val payload = new Array[Byte](len.toInt)
+        readFully(payload)
+        val bound = new Array[Byte](4)
+        readFully(bound)
+        if (bound(0) != '\r' || bound(1) != '\n' ||
+          bound(2) != '\r' || bound(3) != '\n')
+          fail("missing record boundary")
+        pending = Row(hs.getOrElse("warc-type", null),
+          hs.getOrElse("warc-target-uri", null),
+          hs.getOrElse("content-type", null), len, payload)
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) advance()
+        pending != null
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC shard")
+        val r = pending; pending = null; r
+      }
     }
-    out.result()
+
+  /** Open one shard path through the Hadoop filesystem, decompressing
+    * `.gz` on the fly (bounded inflate buffer — never the whole shard). */
+  private[graft] def openShard(conf: Configuration, path: String): InputStream = {
+    val p = new Path(path)
+    val raw = p.getFileSystem(conf).open(p)
+    if (path.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else raw
   }
 
-  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 3 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
-        b(i + 3) == '\n') return i
-      i += 1
-    }
-    -1
-  }
-
-  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+  /** Driver-side shard listing (glob, file, or directory). ~100 k paths
+    * for a full crawl — trivially driver-sized. */
+  private[graft] def listShards(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }.filter(_.isFile).map(_.getPath.toString).sorted
   }
 
   /** Distributed WARC scan: one row per record across every shard under
-    * `path` (file-level task parallelism; `.gz` shards decompress in
-    * the task). Columns: [[schema]]. */
+    * `path`. One task per shard (the production parallelism: CC ships
+    * ~1 GB shards by the tens of thousands, so a 100 TB crawl is ~100 k
+    * independent tasks with no data shuffle — only the tiny path list
+    * redistributes). Per task the record walk is a single streaming
+    * pass; memory high-water mark is one record, not one shard.
+    * Columns: [[schema]]. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-    files.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val raw = r.getAs[Array[Byte]]("content")
-        val bytes =
-          if (r.getString(0).endsWith(".gz")) gunzipAll(raw) else raw
-        parse(bytes)
-      }
+    val shards = listShards(spark, path)
+    require(shards.nonEmpty, s"no WARC shards match $path")
+    val bconf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val paths = spark.createDataset(shards)(Encoders.STRING)
+      .repartition(shards.size) // one shard per task
+    paths.mapPartitions { it =>
+      it.flatMap { p => records(openShard(bconf.value.value, p), p) }
     }(Encoders.row(schema))
   }
 }

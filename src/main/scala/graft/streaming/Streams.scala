@@ -26,16 +26,21 @@ object Streams {
   /** CONTINUOUS crawl ingestion: watch a directory for arriving WARC
     * shards (the shape a live crawl delivers — Common Crawl publishes
     * new ~1 GB shards continuously) and emit one row per record as each
-    * shard lands, via Spark's file stream source over `binaryFile` +
-    * the same single-pass record walk the batch reader runs
-    * ([[graft.sources.Warc.parse]] — gzip members decompress in the
-    * task). Exactly-once per shard comes free from the file source's
-    * processed-files log; downstream gates/dedup compose as on any
+    * shard lands. The file stream source supplies only PATHS (its
+    * processed-files log gives exactly-once per shard); each task opens
+    * its shard through the Hadoop filesystem and walks it with the same
+    * streaming record cursor the batch reader uses
+    * ([[graft.sources.Warc.records]] — one record buffered at a time,
+    * gzip members decompress in the task, no whole-shard array and no
+    * 2 GB file ceiling). Downstream gates/dedup compose as on any
     * stream. Schema: [[graft.sources.Warc.schema]]. */
   def streamingWarcRecords(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val files = spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType),
@@ -43,13 +48,12 @@ object Streams {
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .load(dir)
-      .select("path", "content")
+      .select("path") // content column pruned — the source never loads it
     files.mapPartitions { rows =>
       rows.flatMap { r =>
-        val raw = r.getAs[Array[Byte]]("content")
-        graft.sources.Warc.parse(
-          if (r.getString(0).endsWith(".gz")) graft.sources.Warc.gunzipAll(raw)
-          else raw)
+        val p = r.getString(0)
+        graft.sources.Warc.records(
+          graft.sources.Warc.openShard(bconf.value.value, p), p)
       }
     }(Encoders.row(graft.sources.Warc.schema))
   }

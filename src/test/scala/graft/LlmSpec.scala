@@ -2708,6 +2708,46 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("ivfIndexAppend: query-after-append equals rebuilt index (frozen centroids)") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.where(sc("vec_id") % 3 === 0) // initial index build
+    val b = emb.where(sc("vec_id") % 3 === 1) // appended slice
+    val q = emb.where(sc("vec_id") % 3 === 2).limit(4) // querying slice
+    // centroids are fit ONCE on the initial slice and FROZEN — append
+    // never refits, so the rebuilt twin must use the same centroids
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      a, "vec_id", "embedding", iters = 2)
+    graft.llm.Embeddings.ivfIndexSave(
+      a, "vec_id", "embedding", cents, "ivf_idx_app",
+      "/tmp/graft_ivf_idx/app", buckets = 4)
+    graft.llm.Embeddings.ivfIndexSave(
+      a.unionByName(b), "vec_id", "embedding", cents, "ivf_idx_full",
+      "/tmp/graft_ivf_idx/full", buckets = 4)
+    def top(tbl: String, dir: String) = graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", dir, s.table(tbl), k = 5)
+      .collect().map(_.mkString(",")).toSet // (query_id,neighbor_id,cosine,rank)
+    try {
+      graft.llm.Embeddings.ivfIndexAppend(
+        b, "vec_id", "embedding", "/tmp/graft_ivf_idx/app", "ivf_idx_app",
+        buckets = 4)
+      val grown = top("ivf_idx_app", "/tmp/graft_ivf_idx/app")
+      val rebuilt = top("ivf_idx_full", "/tmp/graft_ivf_idx/full")
+      assert(grown === rebuilt)
+      assert(grown.nonEmpty, "fixture produced no IVF results")
+      // the grown table keeps its bucket spec (the zero-exchange serve
+      // path survives the append) and holds exactly the rebuilt postings
+      val cat = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ivf_idx_app"))
+      assert(cat.bucketSpec.exists(_.numBuckets == 4))
+      assert(s.table("ivf_idx_app").count() === s.table("ivf_idx_full").count())
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivf_idx_app")
+      s.sql("DROP TABLE IF EXISTS ivf_idx_full")
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("minhashIndexAppend: query-after-append equals query-against-rebuilt-index") {
     val s = spark
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")

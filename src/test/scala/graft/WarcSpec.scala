@@ -58,6 +58,32 @@ class WarcSpec extends GraftSuite {
     })
   }
 
+  test("record cursor streams: shard far larger than the per-record cap reads fine") {
+    // The old reader materialized the WHOLE decompressed shard in one
+    // JVM array (2 GiB ceiling — a real ~1 GB .gz CC shard breaks it).
+    // Prove the cursor buffers one record at a time: inject a 64 KiB
+    // per-record cap, stream a shard whose TOTAL decompressed size is
+    // ~6 MiB (100× the cap). Under the old design this could not read.
+    val p = tmp("big.warc.gz")
+    val payload = Array.fill[Byte](60 * 1024)('x')
+    graft.sources.Warc.write(p, (0 until 100).map(i =>
+      ("response", s"https://big.example/$i", "text/plain", payload)))
+    val it = graft.sources.Warc.records(
+      graft.sources.Warc.openShard(
+        spark.sessionState.newHadoopConf(), p),
+      p, maxRecordBytes = 64 * 1024)
+    var n = 0
+    it.foreach { r => assert(r.getLong(3) === payload.length.toLong); n += 1 }
+    assert(n === 100)
+    // and the cap itself fails LOUDLY when one record exceeds it
+    val tight = graft.sources.Warc.records(
+      graft.sources.Warc.openShard(
+        spark.sessionState.newHadoopConf(), p),
+      p, maxRecordBytes = 1024)
+    val e = intercept[IllegalArgumentException] { tight.next() }
+    assert(e.getMessage.contains("per-record buffer cap"))
+  }
+
   test("Model.warc composes and survives the wire codec") {
     val p = tmp("model.warc.gz")
     graft.sources.Warc.write(p, recs)
