@@ -8680,11 +8680,36 @@ object SparkEntry {
            FROM documents WHERE doc_id < 24""")
 
   /** The GPT-2 pre-tokenizer as a DuckDB list expression over `text` —
-    * the ONE shared pattern ([[graft.llm.TextOps.Gpt2PretokPattern]])
-    * with SQL quote escaping; RE2 and Java regex are both
-    * leftmost-first, so the engines split identically. */
-  private val Gpt2WordsSql: String =
-    s"regexp_extract_all(text, '${graft.llm.TextOps.Gpt2PretokPattern.replace("'", "''")}')"
+    * the RE2-safe MULTISET replay of the exact (lookahead-bearing)
+    * [[graft.llm.TextOps.Gpt2PretokPattern]], which RE2 cannot run
+    * directly. Three independent extractions over the raw text:
+    * (1) ` ?\S+` pieces (each \S run grabs ONE immediately-preceding
+    * literal space — exactly the ` ?` prefix rule) re-tokenized by the
+    * lookahead-free pattern (within a piece the patterns agree);
+    * (2) each interior whitespace run `(\s+)\S`: its n−1-char prefix as
+    * one token (the `\s+(?!\S)` backtrack) and, when the run's last
+    * char is not a literal space, that char alone (the ` ?` branches
+    * only attach 0x20); (3) the trailing `(\s+)$` run whole. Consumed
+    * overlap across the three extractions is harmless — each is
+    * computed on the raw text independently, and downstream consumes
+    * token FREQUENCIES, not order (value-equality to the Java-regex
+    * walk is spec-pinned in LlmSpec over adversarial whitespace). */
+  private val Gpt2WordsSql: String = {
+    val dev = graft.llm.TextOps.Gpt2PretokPatternNoLookahead.replace("'", "''")
+    raw"""list_concat(
+      flatten(list_transform(regexp_extract_all(text, ' ?\S+'),
+        w -> regexp_extract_all(w, '$dev'))),
+      list_concat(
+        flatten(list_transform(regexp_extract_all(text, '(\s+)\S', 1), r ->
+          list_concat(
+            CASE WHEN len(r) >= 2 THEN [substr(r, 1, len(r)-1)]
+                 ELSE CAST([] AS VARCHAR[]) END,
+            CASE WHEN substr(r, len(r), 1) <> ' ' THEN [substr(r, len(r), 1)]
+                 ELSE CAST([] AS VARCHAR[]) END))),
+        CASE WHEN regexp_extract(text, '(\s+)$$', 1) <> ''
+             THEN [regexp_extract(text, '(\s+)$$', 1)]
+             ELSE CAST([] AS VARCHAR[]) END))"""
+  }
 
   /** GENERATED byte-level BPE oracle (the q_bpe_bytes chain
     * parameterized by the tokenizer): `wordListSql` produces each

@@ -196,18 +196,34 @@ object TextOps {
       scope: CacheScope): DataFrame = byteSeedFrame(
     docs.select(explode(split(col(textCol), "\\s+")).as("__w__")), scope)
 
-  /** The RE2-safe GPT-2 pre-tokenizer pattern, ONE constant shared
-    * verbatim by the Spark lowering and the DuckDB oracle: apostrophe
-    * contractions, optionally-space-prefixed letter / digit /
-    * punctuation runs, whitespace runs. DOCUMENTED DEVIATION from
-    * GPT-2's exact pattern: the `\s+(?!\S)` alternative is dropped —
-    * RE2 (the oracle engine) has no lookahead — so a multi-space run
-    * before a visible token is consumed whole instead of donating its
-    * last space to the next token's ` ?` prefix. The alternatives cover
-    * every character class, so matches PARTITION the input (lossless
-    * pre-tokenization — spec-pinned), and Java regex and RE2 are both
-    * leftmost-first, so the two engines split identically. */
+  /** The EXACT GPT-2 pre-tokenizer pattern (the published tiktoken /
+    * openai-gpt2 rule set, lookahead included): apostrophe contractions,
+    * optionally-space-prefixed letter / digit / punctuation runs, then
+    * `\s+(?!\S)` — a whitespace run donates its LAST character to the
+    * following token's ` ?` prefix when that character is a space (the
+    * run's n−1 prefix matches here), else `\s+` takes the rest. Java
+    * regex (the Spark lowering) supports the lookahead directly; the
+    * alternatives cover every character class, so matches PARTITION the
+    * input (lossless pre-tokenization — spec-pinned against hand-derived
+    * tiktoken splits including interior/trailing whitespace runs).
+    *
+    * The DuckDB oracle engine (RE2) has NO lookahead, so oracles replay
+    * the same token MULTISET with an RE2-safe three-part construction
+    * (see SparkEntry.Gpt2WordsSql): ` ?\S+` word pieces re-tokenized by
+    * [[Gpt2PretokPatternNoLookahead]] (within a piece the two patterns
+    * agree — no interior whitespace), plus for each interior whitespace
+    * run `(\s+)\S` its n−1 prefix and, when the last character is not a
+    * literal space, that character alone, plus the trailing `(\s+)$`
+    * run whole. Token ORDER differs from the sequential walk, which is
+    * irrelevant downstream: training and per-doc counts consume
+    * frequencies only. */
   val Gpt2PretokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** [[Gpt2PretokPattern]] minus the lookahead branch — RE2-safe, used
+    * by oracles ONLY on pieces with no interior whitespace (where the
+    * two patterns provably agree). */
+  val Gpt2PretokPatternNoLookahead: String =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   /** [[byteWordFrame]] with GPT-2 pre-tokenization instead of bare

@@ -3262,14 +3262,26 @@ class LlmSpec extends GraftSuite {
     // the alternatives cover every character class → matches partition
     // the string: concat(tokens) == input, for adversarial inputs too
     val inputs = Seq("don't stop, won't  stop!", "I'll pay $12.50 now",
-      "日本語 text🚀", "  leading and trailing  ", "a\t\tb\nc", "")
+      "日本語 text🚀", "  leading and trailing  ", "a\t\tb\nc", "",
+      "a   b", "x \tword", "mix\t \nx y", "tail\n")
     inputs.foreach(t => assert(toks(t).mkString === t, s"lossy on <$t>"))
-    // documented splits: contraction peels, punctuation separates,
-    // numbers separate, tokens keep ONE leading space
+    // hand-derived tiktoken splits (the EXACT GPT-2 pattern, lookahead
+    // included): contraction peels, punctuation separates, numbers
+    // separate, tokens keep ONE leading space — and a multi-space run
+    // before a visible token donates its LAST space to that token
     assert(toks("don't stop, won't  stop!") ===
-      Seq("don", "'t", " stop", ",", " won", "'t", "  ", "stop", "!"))
+      Seq("don", "'t", " stop", ",", " won", "'t", " ", " stop", "!"))
     assert(toks("I'll pay $12.50 now") ===
       Seq("I", "'ll", " pay", " $", "12", ".", "50", " now"))
+    // interior whitespace runs: n−1 chars split off, last space attaches;
+    // a non-space last char (tab) stands alone (` ?` only matches 0x20)
+    assert(toks("a   b") === Seq("a", "  ", " b"))
+    assert(toks("a  b") === Seq("a", " ", " b"))
+    assert(toks("x \tword") === Seq("x", " ", "\t", "word"))
+    assert(toks("a\t\tb") === Seq("a", "\t", "\t", "b"))
+    // trailing whitespace run stays whole (`\s+(?!\S)` at end of input)
+    assert(toks("tail  \n") === Seq("tail", "  \n"))
+    assert(toks("  leading") === Seq(" ", " leading"))
     // the Spark lowering splits identically to the JVM regex (same
     // pattern through regexp_extract_all)
     val sparkToks = Seq("don't stop, won't  stop!").toDF("text")
