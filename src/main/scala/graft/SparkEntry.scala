@@ -4043,6 +4043,31 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- q_wordpiece_oov's BYTE-FALLBACK twin: the tokenizer trains on
+    //     the (ASCII) corpus, then serves a corpus where every 5th doc
+    //     gains an out-of-alphabet CJK word — with byte fallback on, the
+    //     OOV word decomposes to its UTF-8 <0xAB> pieces instead of
+    //     [UNK] (in-alphabet words keep their exact greedy pieces;
+    //     n_unk is structurally 0, the no-UNK property). The oracle
+    //     reuses the training + greedy replay for in-alphabet words and
+    //     octet_length(encode(w)) for the fallback. ---
+    "q_wordpiece_byte_fallback" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          // bounded model parameter: the trained vocab (alphabet + 4 merges)
+          val vocab = graft.llm.Wordpiece.wordpieceVocab(df, "text", merges = 4)
+            .collect().map(_.getString(0)).toSeq
+          val served = df.withColumn("text",
+            F.when(F.pmod(F.col("doc_id"), F.lit(5L)) === 0,
+              F.concat(F.col("text"), F.lit(" 日本語")))
+              .otherwise(F.col("text")))
+          graft.llm.Wordpiece.docStatsWithVocab(
+            served, "doc_id", "text", vocab, byteFallback = true)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- TOKENIZER SELECTION REPORT: the three trained subword families
     //     (BPE merges=4, WordPiece merges=4, unigram-LM V=120) tokenize
     //     the SAME corpus through the shared Unicode norm; one row per
@@ -7955,6 +7980,33 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN acc = '[UNK]' THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 6) AS unk_frac
          FROM dw JOIN enc USING (w) WHERE len(w) >= 1
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // byte-fallback twin: training + greedy replay unchanged (reads the
+    // ASCII corpus); the served word stream adds a CJK word to every 5th
+    // doc — missed enc lookups are exactly the fallback words, counting
+    // octet_length(encode(w)) UTF-8 byte pieces; n_unk is structurally 0
+    "q_wordpiece_byte_fallback" ->
+      s"""WITH ${wpTrainCtes(4)}${wpGreedyCtes(4, 8)},
+         enc AS (SELECT w, acc,
+                        CAST(len(string_split(acc, ' ')) AS BIGINT) AS np
+                 FROM st8),
+         dw AS (
+           SELECT doc_id, unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(nfc_normalize(
+                      CASE WHEN doc_id % 5 = 0
+                           THEN text || ' ' || chr(26085) || chr(26412)
+                                || chr(35486)
+                           ELSE text END)), '[^\\p{L}]+', ' ', 'g')),
+                    '\\s+')) AS w
+           FROM documents)
+         SELECT doc_id,
+                count(*) AS n_words,
+                CAST(sum(coalesce(np, octet_length(encode(dw.w))))
+                  AS BIGINT) AS n_pieces,
+                CAST(0 AS BIGINT) AS n_unk,
+                round(CAST(0 AS DOUBLE) / count(*), 6) AS unk_frac
+         FROM dw LEFT JOIN enc USING (w) WHERE len(dw.w) >= 1
          GROUP BY doc_id ORDER BY doc_id""",
 
     // chunk i covers tokens [i*24, i*24+32); n_chunks = 1 + ceil(max(n-32,0)/24)

@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * model is a length-prefixed string list; `maxBodyLen` (longest piece
   * net of the `##` marker) bounds the match loop per position. */
 object WordpieceModel {
-  def encode(pieces: Seq[String], maxWordLen: Int): Array[Byte] = {
+  def encode(
+      pieces: Seq[String],
+      maxWordLen: Int,
+      byteFallback: Boolean = false): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(pieces.size)
@@ -25,6 +28,7 @@ object WordpieceModel {
       out.write(b)
     }
     out.writeInt(maxWordLen)
+    out.writeBoolean(byteFallback)
     out.flush()
     bos.toByteArray
   }
@@ -32,7 +36,8 @@ object WordpieceModel {
   final class Decoded(
       val vocab: java.util.HashSet[String],
       val maxBodyLen: Int,
-      val maxWordLen: Int)
+      val maxWordLen: Int,
+      val byteFallback: Boolean)
 
   def decode(bytes: Array[Byte]): Decoded = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -50,21 +55,45 @@ object WordpieceModel {
       if (body > maxBody) maxBody = body
       i += 1
     }
-    new Decoded(set, maxBody, in.readInt())
+    new Decoded(set, maxBody, in.readInt(), in.readBoolean())
   }
 
   private val Unk = UTF8String.fromString("[UNK]")
+  private val HexDigits = "0123456789ABCDEF"
+
+  /** The word's UTF-8 bytes as `<0xAB>` pieces (the SentencePiece
+    * byte-fallback rendering, applied word-wise under the BERT
+    * all-or-nothing rule). */
+  private def bytePieces(word: String): UTF8String = {
+    val bs = word.getBytes(StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length * 7)
+    var i = 0
+    while (i < bs.length) {
+      if (i > 0) sb.append(' ')
+      val v = bs(i) & 0xff
+      sb.append("<0x").append(HexDigits.charAt(v >> 4))
+        .append(HexDigits.charAt(v & 0xf)).append('>')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 
   /** Greedy longest-match-first WordPiece inference (the BERT tokenizer's
     * serving rule): at each position take the LONGEST vocabulary piece
     * matching the remaining suffix (continuation positions probe with the
     * `##` prefix); any position with no match — or a word longer than
     * `maxWordLen` — makes the WHOLE word `[UNK]` (the published
-    * all-or-nothing rule). Returns the space-joined piece string.
-    * O(len × maxBodyLen) set probes per word. */
+    * all-or-nothing rule), or, with `byteFallback`, the word's UTF-8
+    * byte pieces `<0xAB>…` (the SentencePiece byte-fallback rule applied
+    * at word granularity: in-alphabet words keep their exact greedy
+    * tokenization, only failing words decompose — and nothing is ever
+    * `[UNK]`, the no-UNK property). Returns the space-joined piece
+    * string. O(len × maxBodyLen) set probes per word. */
   def greedy(word: String, m: Decoded): UTF8String = {
     val len = word.length
-    if (len == 0 || len > m.maxWordLen) return Unk
+    if (len == 0) return Unk
+    if (len > m.maxWordLen)
+      return if (m.byteFallback) bytePieces(word) else Unk
     val sb = new java.lang.StringBuilder(len + 8)
     var pos = 0
     while (pos < len) {
@@ -76,7 +105,8 @@ object WordpieceModel {
           else "##" + word.substring(pos, pos + l)
         if (m.vocab.contains(cand)) found = l else l -= 1
       }
-      if (found < 0) return Unk
+      if (found < 0)
+        return if (m.byteFallback) bytePieces(word) else Unk
       if (pos > 0) sb.append(" ##")
       sb.append(word, pos, pos + found)
       pos += found

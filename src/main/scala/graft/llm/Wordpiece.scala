@@ -296,10 +296,12 @@ object Wordpiece {
       docs: DataFrame,
       textCol: String,
       vocab: Seq[String],
-      maxWordLen: Int = 32): DataFrame = {
+      maxWordLen: Int = 32,
+      byteFallback: Boolean = false): DataFrame = {
     require(vocab.nonEmpty, "need a non-empty vocabulary")
     graft.GraftExtensions.install(docs.sparkSession)
-    val model = graft.expr.WordpieceModel.encode(vocab.sorted, maxWordLen)
+    val model =
+      graft.expr.WordpieceModel.encode(vocab.sorted, maxWordLen, byteFallback)
     docs.select(explode(normWords(textCol)).as("word"))
       .where(length(col("word")) >= 1)
       .distinct()
@@ -320,8 +322,32 @@ object Wordpiece {
       textCol: String,
       merges: Int,
       maxWordLen: Int = 32,
-      scope: CacheScope = CacheScope.global): DataFrame = {
-    val enc = encodeWords(docs, textCol, merges, maxWordLen, scope)
+      scope: CacheScope = CacheScope.global): DataFrame =
+    statsRollup(docs, idCol, textCol,
+      encodeWords(docs, textCol, merges, maxWordLen, scope))
+
+  /** [[docStats]] through an EXPLICIT (typically persisted, possibly
+    * byte-fallback) vocabulary — the serving-time rollup where the
+    * tokenizer was trained on a DIFFERENT corpus than it now reports on
+    * (the production shape: train once, profile every new crawl). With
+    * `byteFallback` the `n_unk` column is structurally zero (the no-UNK
+    * property) and OOV words contribute their UTF-8 byte count to
+    * `n_pieces`. */
+  def docStatsWithVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[String],
+      maxWordLen: Int = 32,
+      byteFallback: Boolean = false): DataFrame =
+    statsRollup(docs, idCol, textCol,
+      encodeWithVocab(docs, textCol, vocab, maxWordLen, byteFallback))
+
+  private def statsRollup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      enc: DataFrame): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
     docs.select(col(idCol), explode(normWords(textCol)).as("word"))
       .where(length(col("word")) >= 1)

@@ -449,6 +449,45 @@ class LlmSpec extends GraftSuite {
     assert(served === fresh && fresh.nonEmpty)
   }
 
+  test("wordpiece byte fallback: no [UNK] on arbitrary unicode, in-alphabet words unchanged") {
+    val s = spark
+    import s.implicits._
+    val train = Seq("ab ab ab ab abc abc bc bc bc").toDF("text")
+    val scope = new graft.llm.CacheScope
+    val vocab = graft.llm.Wordpiece
+      .wordpieceVocab(train, "text", merges = 3, scope)
+      .collect().map(_.getString(0)).toSeq
+    // serving corpus mixes in-alphabet words with OOV across scripts
+    // (CJK, Cyrillic, emoji-adjacent letters, a 40-char overlong word)
+    val longWord = "a" * 40
+    val serve = Seq(
+      s"ab abc bc 日本語 кириллица ñoño $longWord").toDF("text")
+    val noFb = graft.llm.Wordpiece.encodeWithVocab(serve, "text", vocab)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val fb = graft.llm.Wordpiece
+      .encodeWithVocab(serve, "text", vocab, byteFallback = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the no-UNK property: nothing is ever [UNK] with fallback on
+    assert(fb.values.forall(p => !p.contains("[UNK]")))
+    assert(noFb.values.exists(_ == "[UNK]"), "fixture produced no OOV")
+    // in-alphabet words keep their EXACT no-fallback tokenization
+    noFb.filter(_._2 != "[UNK]").foreach { case (w, p) =>
+      assert(fb(w) === p, s"in-alphabet <$w> changed under fallback")
+    }
+    // fallback pieces round-trip: <0xAB> hex pieces decode back to the
+    // word's exact UTF-8 bytes (lossless decomposition)
+    noFb.filter(_._2 == "[UNK]").foreach { case (w, _) =>
+      val bytes = fb(w).split(' ').map { piece =>
+        assert(piece.matches("<0x[0-9A-F]{2}>"), s"bad fallback piece $piece")
+        Integer.parseInt(piece.substring(3, 5), 16).toByte
+      }
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) === w)
+    }
+    // overlong words fall back too (the maxWordLen path)
+    assert(fb(longWord).startsWith("<0x61>"))
+    graft.llm.CacheScope.global.release()
+  }
+
   test("semantic decontamination flags planted eval near-dups with zero joins") {
     val s = spark
     import s.implicits._
