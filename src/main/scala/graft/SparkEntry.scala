@@ -3579,6 +3579,43 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- SPECTRAL audio near-dup pairs (8 odd-band fixed-point DFT over
+    //     64 evenly-subsampled taps × 9 time boxes): the fixture's three
+    //     per-group variants are RE-ENCODES — j=1 is a 2× sample-repeat
+    //     upsample with a +3 DC shift, j=2 a 2× gain with a −5 DC shift —
+    //     that hash IDENTICALLY under the spectral transform (taps are
+    //     exactly repeat-invariant, zero-sum tables cancel DC exactly,
+    //     energies scale by a²) while the raw energy-delta hash diverges
+    //     (spec-pinned). Oracle replays taps, the embedded integer DFT
+    //     tables, energies, bits and the capped band join. ---
+    "q_audio_neardup_spectral" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n0 = (240 + (g % 7) * 40).toInt
+              def f(i: Int): Long = ((7L * g + 13L * i) % 2048L) - 1024L
+              val samples = j match {
+                case 0 => Array.tabulate(n0)(i => f(i).toShort)
+                case 1 => Array.tabulate(2 * n0)(i => (f(i / 2) + 3L).toShort)
+                case _ => Array.tabulate(n0)(i => (2L * f(i) - 5L).toShort)
+              }
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.audioSpectralNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- audio near-dup CLUSTERS: same composition over the
     //     energy-delta pair detector ---
     "q_audio_dedup_clusters" -> ((s, dir) =>
@@ -7384,6 +7421,29 @@ object SparkEntry {
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
+    "q_audio_neardup_spectral" ->
+      (s"""WITH $AudioSpectralCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
     // audio incremental twin: index = ids 8..23 with the build-time cap,
     // new = ids 0..7, same new x index candidate + popcount tail as
     // q_image_neardup_incr over the audio closed-form bytes.
@@ -9093,6 +9153,61 @@ object SparkEntry {
            SELECT id, b // 8 AS byy,
                   CAST(sum(bit * (1 << (b % 8))) AS BIGINT) AS bv
            FROM abits GROUP BY 1, 2)"""
+
+  /** q_audio_neardup_spectral replay: the 24-clip fixture's three
+    * per-group re-encode variants in closed form (j=1 2×-repeat
+    * upsample +3 DC, j=2 2× gain −5 DC), 9 time boxes × 64
+    * evenly-spaced taps computed DIRECTLY from the sample closed form
+    * (no materialized waveform), the integer DFT tables embedded as
+    * VALUES literals RENDERED FROM the Spark side's own
+    * [[graft.llm.Multimodal.SpectralCos]]/[[graft.llm.Multimodal.SpectralSin]]
+    * arrays (single source of truth — no cross-engine cos rounding
+    * anywhere), band energies cs²+sn² in BIGINT, temporal-delta bits,
+    * and the same capped band-join tail as the energy-delta oracle. */
+  private lazy val AudioSpectralCtes: String = {
+    val cosT = graft.llm.Multimodal.SpectralCos
+    val sinT = graft.llm.Multimodal.SpectralSin
+    val values = (for (b <- 0 until 8; p <- 0 until 64)
+      yield s"($b,$p,${cosT(b)(p)},${sinT(b)(p)})").mkString(",")
+    s"""ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  240 + (doc_id % 8 % 7) * 40 AS n0
+           FROM documents WHERE doc_id < 24),
+         cl AS (
+           SELECT id, g, j, n0,
+                  CASE WHEN j = 1 THEN 2 * n0 ELSE n0 END AS nn
+           FROM ii),
+         taps AS (
+           SELECT c.id, c.g, c.j, t.t, p.p,
+                  ((64 * t.t + p.p) * c.nn) // 576 AS si
+           FROM cl c CROSS JOIN range(0, 9) t(t) CROSS JOIN range(0, 64) p(p)),
+         sv AS MATERIALIZED (
+           SELECT id, t, p,
+                  CASE j
+                    WHEN 0 THEN ((7 * g + 13 * si) % 2048) - 1024
+                    WHEN 1 THEN ((7 * g + 13 * (si // 2)) % 2048) - 1024 + 3
+                    ELSE 2 * (((7 * g + 13 * si) % 2048) - 1024) - 5
+                  END AS v
+           FROM taps),
+         tbl AS (SELECT * FROM (VALUES $values) AS t(band, p, ct, st)),
+         eng AS MATERIALIZED (
+           SELECT s.id, s.t, tb.band,
+                  CAST(sum(CAST(s.v AS BIGINT) * tb.ct) AS BIGINT) AS cs,
+                  CAST(sum(CAST(s.v AS BIGINT) * tb.st) AS BIGINT) AS sn
+           FROM sv s JOIN tbl tb ON tb.p = s.p
+           GROUP BY 1, 2, 3),
+         en AS MATERIALIZED (
+           SELECT id, t, band, cs * cs + sn * sn AS e FROM eng),
+         abits AS (
+           SELECT l.id, l.t AS byy, l.band AS bx,
+                  CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+           FROM en l JOIN en r
+             ON r.id = l.id AND r.band = l.band AND r.t = l.t + 1
+           WHERE l.t < 8),
+         bytes AS MATERIALIZED (
+           SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
+           FROM abits GROUP BY 1, 2)"""
+  }
 
   /** [[ImageDhashCtes]] parameterized by the (id, g, j) generator — the
     * corpus-scale query uses the same closed form over ALL doc_ids. */

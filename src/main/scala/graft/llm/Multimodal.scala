@@ -476,6 +476,110 @@ object Multimodal {
     }
   }
 
+  /** The 8 odd DFT bands (k of a 64-point transform) used by
+    * [[audioSpectralHashBytes]]. Odd k only: cos/sin at odd k are
+    * ANTIPERIODIC over half the frame (f(j+32) = −f(j)), so the
+    * fixed-point tables below are built as [first 32 rounded ‖ negated
+    * first 32] and each row sums to zero EXACTLY — a constant (DC)
+    * offset on the samples cancels bit-for-bit, no rounding residue. */
+  private[llm] val SpectralBands: Array[Int] = Array(1, 3, 5, 7, 9, 11, 13, 15)
+
+  private def spectralTable(f: Double => Double): Array[Array[Int]] =
+    SpectralBands.map { k =>
+      val half = Array.tabulate(32)(j =>
+        math.round(f(2.0 * math.Pi * k * j / 64.0) * 128.0).toInt)
+      half ++ half.map(v => -v)
+    }
+
+  /** Fixed-point (scale 128) 64-tap DFT tables, one row per band in
+    * [[SpectralBands]]. These EXACT integers are the single source of
+    * truth: the oracle SQL embeds them as literals rendered from these
+    * arrays, so no cross-engine cos/sin rounding exists anywhere. */
+  private[graft] lazy val SpectralCos: Array[Array[Int]] = spectralTable(math.cos)
+  private[graft] lazy val SpectralSin: Array[Array[Int]] = spectralTable(math.sin)
+
+  /** 64-bit SPECTRAL audio hash — the FFT-band sibling of
+    * [[audioDhashBytes]], robust to the re-encodings the raw
+    * energy-delta hash misses. Channel-0 PCM is sampled on ONE GLOBAL
+    * grid of 576 evenly-spaced taps (tap q = sample ⌊q·n/576⌋, q in
+    * [0, 576); box t = taps [64t, 64t+64)) — global, not per-box,
+    * because only the global grid commutes with integer upsampling:
+    * under k-fold sample repetition ⌊⌊q·kn/576⌋/k⌋ = ⌊q·n/576⌋, so the
+    * taps are EXACTLY invariant and a repeat-upsampled re-encode hashes
+    * identically (per-box floor boundaries would NOT commute). An
+    * integer fixed-point DFT ([[SpectralCos]]/[[SpectralSin]], scale
+    * 128) yields 8 odd-band energies E = C² + S² per box — exact in
+    * int64 (|C| ≤ 2²⁸ at full 16-bit range). Bit (t, b) is set iff band
+    * b's energy in box t beats box t+1's: amplitude scaling multiplies
+    * every E by a² (compares invariant) and a DC level shift cancels
+    * exactly (zero-sum table rows), while genuinely different audio
+    * diverges. Same 8-byte band-blocking contract as [[audioDhashBytes]]
+    * — [[bandedHammingPairs]] and the posting-index machinery transfer
+    * unchanged. Null for non-PCM payloads or clips under 65 samples. */
+  def audioSpectralHashBytes(payload: Array[Byte]): Array[Int] = {
+    val pcm = decodeWavPcm(payload)
+    if (pcm == null) return null
+    val stride = pcm.channels
+    val n = pcm.samples.length / stride
+    if (n < 65) return null
+    val e = Array.ofDim[Long](9, 8)
+    var t = 0
+    while (t < 9) {
+      var b = 0
+      while (b < 8) {
+        val ct = SpectralCos(b); val st = SpectralSin(b)
+        var cs = 0L; var sn = 0L
+        var j = 0
+        while (j < 64) {
+          val q = 64L * t + j // global tap grid — commutes with upsampling
+          val v = pcm.samples((q * n / 576).toInt * stride).toLong
+          cs += v * ct(j); sn += v * st(j)
+          j += 1
+        }
+        e(t)(b) = cs * cs + sn * sn
+        b += 1
+      }
+      t += 1
+    }
+    Array.tabulate(8) { k =>
+      var byte = 0
+      var b = 0
+      while (b < 8) {
+        if (e(k)(b) > e(k + 1)(b)) byte |= 1 << b
+        b += 1
+      }
+      byte
+    }
+  }
+
+  /** Spectral-hash frame (the [[dhash]] shape). */
+  def audioSpectralHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false))))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row(row.get(idIdx),
+          audioSpectralHashBytes(row.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs by SPECTRAL content —
+    * catches level-shifted / gain-scaled / integer-upsampled re-encodes
+    * the energy-delta [[audioNearDupPairs]] misses (spec-pinned); same
+    * exact band-blocked join. */
+  def audioSpectralNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(audioSpectralHash(df, idCol, payloadCol), idCol,
+      maxHamming, scope, maxPerBucketSide)
+
   /** Audio hash frame (the [[dhash]] shape). */
   def audioDhash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)

@@ -1966,6 +1966,46 @@ class LlmSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS vhash_idx_spec")
   }
 
+  test("spectral audio hash: exact under DC shift, gain, integer upsample; energy hash misses them") {
+    import graft.llm.Multimodal.{audioDhashBytes, audioSpectralHashBytes, encodeWav}
+    def f(g: Long)(i: Int): Long = ((7L * g + 13L * i) % 2048L) - 1024L
+    var energyDiverged = false
+    for (g <- 0L until 8L) {
+      val n0 = (240 + (g % 7) * 40).toInt
+      val base = Array.tabulate(n0)(i => f(g)(i).toShort)
+      // re-encodes: 2x sample-repeat upsample + DC, 2x gain + DC
+      val up = Array.tabulate(2 * n0)(i => (f(g)(i / 2) + 3L).toShort)
+      val gain = Array.tabulate(n0)(i => (2L * f(g)(i) - 5L).toShort)
+      val hb = audioSpectralHashBytes(encodeWav(8000, 1, base)).toSeq
+      // EXACT invariance (hamming 0), not just proximity
+      assert(audioSpectralHashBytes(encodeWav(8000, 1, up)).toSeq === hb,
+        s"g=$g upsample re-encode changed the spectral hash")
+      assert(audioSpectralHashBytes(encodeWav(8000, 1, gain)).toSeq === hb,
+        s"g=$g gain re-encode changed the spectral hash")
+      // the energy-delta hash misses at least one of these re-encodes
+      val eb = audioDhashBytes(encodeWav(8000, 1, base)).toSeq
+      if (audioDhashBytes(encodeWav(8000, 1, up)).toSeq != eb ||
+        audioDhashBytes(encodeWav(8000, 1, gain)).toSeq != eb)
+        energyDiverged = true
+    }
+    assert(energyDiverged,
+      "fixture too easy: the energy-delta hash also matched every re-encode")
+    // genuinely different audio diverges (cross-group hashes not all equal)
+    val hashes = (0L until 8L).map { g =>
+      val n0 = (240 + (g % 7) * 40).toInt
+      audioSpectralHashBytes(encodeWav(8000, 1,
+        Array.tabulate(n0)(i => f(g)(i).toShort))).toSeq
+    }
+    assert(hashes.distinct.size > 1, "all groups collided")
+    // zero-sum table rows: the EXACT-DC-cancellation precondition
+    graft.llm.Multimodal.SpectralCos.foreach(r => assert(r.sum === 0))
+    graft.llm.Multimodal.SpectralSin.foreach(r => assert(r.sum === 0))
+    // honest nulls
+    assert(audioSpectralHashBytes(encodeWav(8000, 1,
+      Array.fill[Short](64)(5))) === null)
+    assert(audioSpectralHashBytes(Array[Byte](9, 9)) === null)
+  }
+
   test("audio dHash matches the closed form; near-dups pair, patterns don't") {
     val s = spark
     import s.implicits._
