@@ -379,6 +379,12 @@ object Compiler {
   private val nsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def freshNs(kind: String): String = s"${kind}_${nsCounter.incrementAndGet()}"
 
+  /** Ceiling on how many buckets one rangeJoin interval may explode into
+    * under a CALLER-supplied bucket width (auto width guarantees ≤ 2).
+    * Beyond this the row amplification is a scale defect, not a tuning
+    * choice — the plan raises instead of silently exploding. */
+  private[graft] val MaxBucketsPerInterval: Int = 4096
+
   /** Render an Expr as Spark-SQL text for `{{ name }}` fragment splicing
     * (reference utils/sql.py inlines the compiled SQL of referenced
     * expressions). Covers the scalar expression subset meaningful inside a
@@ -945,22 +951,45 @@ object Compiler {
         // before the shuffle
         .where(col("__k__").isNotNull && col("__lo__").isNotNull &&
           col("__hi__").isNotNull && col("__lo__") < col("__hi__"))
-      val width = if (bucketMicros > 0) bucketMicros else {
-        val row = rightBase
-          .agg(max(col("__hi__") - col("__lo__"))).head()
-        if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
-      }
+      // Auto width is a LAZY 1-row aggregate cross-joined into both sides
+      // (a provably-1-row broadcast — the HLL `tot` pattern), never a
+      // driver-side head(): pure plan construction/inspection (Explain,
+      // wire round-trips) triggers no Spark job. Cost: the widest-interval
+      // agg branch re-scans the (column-pruned) right side once per join
+      // side — the price of keeping the plan fully declarative.
+      val autoWidth = bucketMicros <= 0
+      val widthCol = if (autoWidth) col("__w__") else lit(bucketMicros)
+      val wFrame = rightBase.agg(
+        greatest(coalesce(max(col("__hi__") - col("__lo__")), lit(1L)),
+          lit(1L)).as("__w__"))
       def bucketOf(c: Column): Column =
-        ((c - pmod(c, lit(width))) / lit(width)).cast("long")
-      val rightExp = rightBase.withColumn("__b__",
-        explode(sequence(bucketOf(col("__lo__")),
-          bucketOf(col("__hi__") - lit(1L)))))
-      val leftSide = lf.df
+        ((c - pmod(c, widthCol)) / widthCol).cast("long")
+      // Amplification guard: with auto width every interval explodes into
+      // ≤ 2 buckets, but a CALLER-supplied bucketMicros far below the
+      // widest right interval would explode sequence() unboundedly (the
+      // quadratic-in-disguise shape). Cap buckets per interval and fail
+      // LOUDLY in the plan itself (raise_error costs nothing when healthy).
+      val bLo = bucketOf(col("__lo__"))
+      val bHiRaw = bucketOf(col("__hi__") - lit(1L))
+      val bHi =
+        if (autoWidth) bHiRaw
+        else when(bHiRaw - bLo > lit(MaxBucketsPerInterval.toLong),
+          raise_error(concat(
+            lit(s"rangeJoin bucketMicros=$bucketMicros explodes an interval of "),
+            (col("__hi__") - col("__lo__")).cast("string"),
+            lit(s" micros into > $MaxBucketsPerInterval buckets; raise " +
+              "bucketMicros (>= widest_interval / " +
+              s"$MaxBucketsPerInterval) or use the auto width"))))
+          .otherwise(bHiRaw)
+      val rightExp = (if (autoWidth) rightBase.crossJoin(wFrame) else rightBase)
+        .withColumn("__b__", explode(sequence(bLo, bHi)))
+      val leftBase = lf.df
         .withColumn("__k__",
           leftOn.map(k => compileExpr(k, lf)).getOrElse(lit(0L)))
         .withColumn("__pt__",
           unix_micros(compileExpr(point, lf).cast("timestamp")))
         .where(col("__k__").isNotNull && col("__pt__").isNotNull)
+      val leftSide = (if (autoWidth) leftBase.crossJoin(wFrame) else leftBase)
         .withColumn("__b__", bucketOf(col("__pt__")))
       val joined = leftSide.join(rightExp, Seq("__k__", "__b__"), "inner")
         .where(col("__pt__") >= col("__lo__") && col("__pt__") < col("__hi__"))

@@ -560,6 +560,27 @@ class CoreOpsSpec extends GraftSuite {
       .sort(col("id"))
       .run(s).collect().map(r => (r.getLong(0), r.getAs[String]("win"))).toSeq
     assert(keyless2 === Seq((1L, "w1"), (2L, "w1"), (4L, "w1"))) // no key gate
+    // amplification guard: a caller width exploding one interval into
+    // > 4096 buckets fails LOUDLY at execution (1 µs over a 2 h window
+    // would be 7.2e9 rows per interval — a scale defect, not a tuning)
+    val boom = intercept[Exception] { run(1L) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("buckets")), s"wrong error: $boom")
+    // auto width builds a fully-lazy plan: constructing and explaining it
+    // runs ZERO Spark jobs (the width probe is a cross-joined 1-row agg,
+    // not a driver head())
+    val sc2 = s.sparkContext
+    val before = sc2.statusTracker.getJobIdsForGroup(null).length
+    val planned = Model.fromDF(left)
+      .rangeJoin(Model.fromDF(right),
+        point = col("ts"), between = (col("lo"), col("hi")),
+        pick = Seq(col("w").named("win")), on = (col("k"), col("k")))
+      .run(s) // builds the DataFrame — no action yet
+    planned.queryExecution.executedPlan // force full planning
+    val after = sc2.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "rangeJoin planning triggered a Spark job")
   }
 
   test("percentile measure interpolates like quantile_cont") {
