@@ -3840,6 +3840,33 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- unigram byte-fallback twin (the WordPiece fallback's
+    //     SentencePiece sibling): fit on the ASCII corpus, serve a
+    //     corpus where every 5th doc gains an OOV CJK word — with byte
+    //     fallback the unsegmentable word contributes its UTF-8 byte
+    //     count as pieces at byteCost each, never a flat unk. Oracle
+    //     reuses the training + DP replay for vocabulary words and
+    //     octet_length(encode(w)) for fallback words. ---
+    "q_unigram_byte_fallback" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          // bounded model parameter: <= vocabSize + |alphabet| rows
+          val vocab = graft.llm.Unigram.fitVocab(
+            df, "text", vocabSize = 120, maxPieceLen = 4)
+            .select(F.col("piece"), F.col("cost_microbits"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          val served = df.withColumn("text",
+            F.when(F.pmod(F.col("doc_id"), F.lit(5L)) === 0,
+              F.concat(F.col("text"), F.lit(" 日本語")))
+              .otherwise(F.col("text")))
+          graft.llm.Unigram.segmentCountsWithVocab(
+            served, "doc_id", "text", vocab, maxPieceLen = 4,
+            maxWordLen = 12, byteFallback = true)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- PERSISTED unigram tokenizer serving: the fitted (piece, cost)
     //     inventory saved as plain parquet, segmentation served from
     //     the artifact with no refit — values equal the inline path
@@ -7682,6 +7709,34 @@ object SparkEntry {
                 CAST(sum(CASE WHEN ws.c IS NULL THEN 30000000
                               ELSE ws.c // 64 END) AS BIGINT) AS cost_microbits
          FROM wordsu LEFT JOIN wstatu ws USING (w)
+         GROUP BY 1 ORDER BY 1"""),
+
+    // byte-fallback twin: training + DP replay untouched (they read the
+    // un-injected corpus); the SERVED word stream re-tokenizes the
+    // CASE-injected text, and a wstatu miss (the OOV word — absent from
+    // the training word set by construction) counts UTF-8 bytes at
+    // 5e6 micro-units each
+    "q_unigram_byte_fallback" ->
+      (s"""WITH $UnigramTrainCtes,
+         $UnigramDpCtes,
+         dwi AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(nfc_normalize(
+                 CASE WHEN doc_id % 5 = 0
+                      THEN text || ' ' || chr(26085) || chr(26412)
+                           || chr(35486)
+                      ELSE text END)), '[^\\p{L}]+', ' ', 'g')), '\\s+')) AS w
+             FROM documents)
+           WHERE len(w) >= 1)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN ws.c IS NULL
+                              THEN octet_length(encode(dwi.w))
+                              ELSE ws.c % 64 END) AS BIGINT) AS n_pieces,
+                CAST(sum(CASE WHEN ws.c IS NULL
+                              THEN octet_length(encode(dwi.w)) * 5000000
+                              ELSE ws.c // 64 END) AS BIGINT) AS cost_microbits
+         FROM dwi LEFT JOIN wstatu ws USING (w)
          GROUP BY 1 ORDER BY 1"""),
 
     // Unigram-LM hard-EM round: training + forward DP + 12-stage

@@ -268,23 +268,50 @@ object Unigram {
       maxPieceLen: Int = 4,
       maxWordLen: Int = 12,
       unkCostMicrobits: Long = 30000000L,
+      byteFallback: Boolean = false,
+      byteCostMicrobits: Long = 5000000L,
   ): DataFrame = {
     require(vocabCosts.nonEmpty, "need a non-empty vocabulary")
     graft.GraftExtensions.install(docs.sparkSession)
     val model = graft.expr.UnigramModel.encode(
       vocabCosts.sortBy(_._1), maxPieceLen, maxWordLen, unkCostMicrobits)
-    // segment once per DISTINCT word; broadcast back to documents
+    // segment once per DISTINCT word; broadcast back to documents.
+    // With byteFallback an unsegmentable word (OOV character, or longer
+    // than maxWordLen) contributes its UTF-8 BYTE count as pieces and
+    // byteCostMicrobits per byte — the SentencePiece byte-fallback rule
+    // at word granularity (the WordPiece twin's contract): vocabulary
+    // words keep their exact Viterbi segmentation, nothing is ever a
+    // flat unk, and the columns stay honest sums. Fallback values live
+    // OUTSIDE the packed cost·64+n encoding (a long word's byte count
+    // can exceed the 6-bit piece field).
     val words = docs
       .select(col(idCol), explode(normWords(textCol)).as("__w__"))
       .where(length(col("__w__")) >= 1)
-    val dw = words.select(col("__w__")).distinct()
+    val dwBase = words.select(col("__w__")).distinct()
       .withColumn("__comp__",
         call_function("unigram_viterbi", col("__w__"), lit(model)))
+    val dw =
+      if (!byteFallback)
+        dwBase
+          .withColumn("__np__", expr("__comp__ % 64"))
+          .withColumn("__cost__", expr("__comp__ div 64"))
+      else {
+        val nb = octet_length(col("__w__")).cast("long")
+        val unk = call_function("unigram_viterbi_pieces",
+          col("__w__"), lit(model)) === lit("[UNK]")
+        dwBase
+          .withColumn("__np__",
+            when(unk, nb).otherwise(expr("__comp__ % 64")))
+          .withColumn("__cost__",
+            when(unk, nb * lit(byteCostMicrobits))
+              .otherwise(expr("__comp__ div 64")))
+      }
     words
-      .join(broadcast(dw), Seq("__w__"))
+      .join(broadcast(dw.select(col("__w__"), col("__np__"), col("__cost__"))),
+        Seq("__w__"))
       .groupBy(col(idCol))
       .agg(
-        sum(expr("__comp__ % 64")).as("n_pieces"),
-        sum(expr("__comp__ div 64")).as("cost_microbits"))
+        sum(col("__np__")).as("n_pieces"),
+        sum(col("__cost__")).as("cost_microbits"))
   }
 }

@@ -433,6 +433,36 @@ class LlmSpec extends GraftSuite {
     assert(served === fresh && fresh.size === 2)
   }
 
+  test("unigram byte fallback: OOV and overlong words count UTF-8 bytes, vocabulary words unchanged") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((0L, "aba abab bab"), (1L, "abab abab cc")).toDF("doc_id", "text")
+    val vocab = graft.llm.Unigram.fitVocab(train, "text", vocabSize = 6)
+      .select(sc("piece"), sc("cost_microbits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // serve: doc 0 in-vocab only; doc 1 adds an OOV CJK word (9 bytes)
+    // and a 14-char overlong word (14 bytes)
+    val serve = Seq(
+      (0L, "aba abab"),
+      (1L, "aba 日本語 " + "a" * 14)).toDF("doc_id", "text")
+    def stats(fb: Boolean): Map[Long, (Long, Long)] = graft.llm.Unigram
+      .segmentCountsWithVocab(serve, "doc_id", "text", vocab,
+        maxPieceLen = 4, maxWordLen = 12, byteFallback = fb)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val plain = stats(fb = false)
+    val fb = stats(fb = true)
+    // vocabulary-only doc identical under both modes
+    assert(fb(0L) === plain(0L))
+    // fallback doc: "aba" keeps its Viterbi stats; the CJK word adds 9
+    // byte pieces at 5e6 each, the overlong word 14 at 5e6 each
+    val (npF, cF) = fb(1L)
+    val (npP, cP) = plain(1L)
+    // plain mode scored the two failing words as 1 unk piece / 3e7 each
+    assert(npF === npP - 2 + 9 + 14)
+    assert(cF === cP - 2 * 30000000L + (9 + 14) * 5000000L)
+    graft.llm.CacheScope.global.release()
+  }
+
   test("wordpiece vocab persists as plain parquet: save/load serves identically") {
     val s = spark
     import s.implicits._
