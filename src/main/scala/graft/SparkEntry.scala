@@ -26,6 +26,55 @@ object SparkEntry {
     * every 'e' into e + U+0301 (NFC must re-compose it) and swap 'a' for
     * 'ä' (the `\p{L}` split must keep it). Built with Scala literals —
     * Spark's chr() is ASCII-only; the DuckDB twin is [[UniDocsCte]]. */
+  /** Memoized MULTI-SHARD gzipped-WARC fixture of linked HTML pages,
+    * shared by q_pagerank_links / q_hits_links: each doc links to
+    * srcs[(doc_id·7 + j·13) mod nSrc] for j ≤ doc_id mod 4 (alternating
+    * quote styles) plus relative/javascript noise anchors the extractor
+    * must ignore. Written as 8 shards (docs round-robin by id) read back
+    * through the glob path — the reader's one-task-per-shard parallelism
+    * is exercised, not just its record walk (a single-shard fixture
+    * serializes extraction behind one task). Deterministic per data dir
+    * — built once, on disk. */
+  private def linksWarcFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      .resolve("links_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val glob = s"$fixDir/*.warc.gz"
+    if (!java.nio.file.Files.exists(fixDir)) {
+      val tmp = java.nio.file.Paths.get(fixDir.toString + ".tmp")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      java.nio.file.Files.createDirectories(tmp)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source")
+      // fixture-only driver collects: 20 sources, |docs| rows
+      val srcs = docs.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val nSrc = srcs.length
+      val rows = docs.collect().sortBy(_.getLong(0)).map { r =>
+        val id = r.getLong(0); val src = r.getString(1)
+        val anchors = (1L to (id % 4)).map { j =>
+          val dst = srcs(((id * 7 + j * 13) % nSrc).toInt)
+          if (j % 2 == 1)
+            s"""<a class="l" href="https://$dst.example/p/$j">x</a>"""
+          else s"<a href='https://$dst.example/p/$j'>x</a>"
+        }.mkString
+        val html = "<html><body>" + anchors +
+          "<a href=\"/rel/p\">skip</a><a href='javascript:void(0)'>s</a>" +
+          "</body></html>"
+        (id, ("response", s"https://$src.example/d/$id", "text/html",
+          html.getBytes("UTF-8")))
+      }
+      (0 until 8).foreach { k =>
+        graft.sources.Warc.write(s"$tmp/shard$k.warc.gz",
+          rows.filter(_._1 % 8 == k).map(_._2).toSeq)
+      }
+      // atomic publish: concurrent builders race benignly
+      if (!tmp.toFile.renameTo(fixDir.toFile))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    glob
+  }
+
   private def uniDocs(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -1575,33 +1624,7 @@ object SparkEntry {
     //     parquet original (content-identical by construction, the
     //     q_warc_pipeline pattern) + 3 unrolled integer rounds. ---
     "q_pagerank_links" -> ((s, dir) => {
-      val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
-      java.nio.file.Files.createDirectories(fixDir)
-      val path = fixDir.resolve(
-        "links_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz").toString
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "source")
-        // fixture-only driver collects: 20 sources, |docs| rows
-        val srcs = docs.select("source").distinct()
-          .collect().map(_.getString(0)).sorted
-        val nSrc = srcs.length
-        val rows = docs.collect().sortBy(_.getLong(0)).map { r =>
-          val id = r.getLong(0); val src = r.getString(1)
-          val anchors = (1L to (id % 4)).map { j =>
-            val dst = srcs(((id * 7 + j * 13) % nSrc).toInt)
-            if (j % 2 == 1)
-              s"""<a class="l" href="https://$dst.example/p/$j">x</a>"""
-            else s"<a href='https://$dst.example/p/$j'>x</a>"
-          }.mkString
-          val html = "<html><body>" + anchors +
-            "<a href=\"/rel/p\">skip</a><a href='javascript:void(0)'>s</a>" +
-            "</body></html>"
-          ("response", s"https://$src.example/d/$id", "text/html",
-            html.getBytes("UTF-8"))
-        }.toSeq
-        graft.sources.Warc.write(path, rows)
-      }
+      val path = linksWarcFixture(s, dir)
       Model.warc(path)
         .native { df =>
           import org.apache.spark.sql.{functions => F}
@@ -1609,6 +1632,24 @@ object SparkEntry {
             .withColumn("__html__", F.col("payload").cast("string"))
           val edges = graft.llm.Graph.extractLinks(pages, "url", "__html__")
           graft.llm.Graph.pageRankDomains(
+            edges, "src_domain", "dst_domain", iterations = 3)
+        }
+        .sort(col("domain"))
+        .run(s)
+    }),
+
+    // --- HITS over the same REAL extracted link graph (shares the
+    //     memoized WARC fixture): hub/authority per registrable domain,
+    //     the 2-D twin of q_pagerank_links ---
+    "q_hits_links" -> ((s, dir) => {
+      val path = linksWarcFixture(s, dir)
+      Model.warc(path)
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val pages = df.where(F.col("warc_type") === F.lit("response"))
+            .withColumn("__html__", F.col("payload").cast("string"))
+          val edges = graft.llm.Graph.extractLinks(pages, "url", "__html__")
+          graft.llm.Graph.hitsDomains(
             edges, "src_domain", "dst_domain", iterations = 3)
         }
         .sort(col("domain"))
@@ -5209,6 +5250,8 @@ object SparkEntry {
 
     "q_pagerank_links" -> PageRankLinksSql,
 
+    "q_hits_links" -> HitsLinksSql,
+
     "q_hll_distinct" ->
       (s"""WITH h AS (
           SELECT lang,
@@ -8421,7 +8464,24 @@ object SparkEntry {
         SELECT n2.node, 150000 + coalesce(c.c, 0) AS r
         FROM nodes n2 LEFT JOIN c$i c ON c.node = n2.node)"""
     }.mkString(",\n")
-    s"""WITH srcs AS MATERIALIZED (
+    s"""WITH $LinksEdgeCtes,
+      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $rounds
+      SELECT m.domain, CAST(r.r AS BIGINT) AS rank_micro
+      FROM doms m
+      JOIN r3 r
+        ON r.node = CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
+      ORDER BY m.domain"""
+  }
+
+  /** The deterministic link-fixture edge CTEs shared by
+    * q_pagerank_links / q_hits_links (edges_d = distinct non-self
+    * registrable-domain pairs replaying the href construction;
+    * edges/nodes = the 60-bit md5-prefix id graph; doms = the domain
+    * dictionary for the join back). */
+  private def LinksEdgeCtes: String =
+    """srcs AS MATERIALIZED (
         SELECT source, row_number() OVER (ORDER BY source) - 1 AS k
         FROM (SELECT DISTINCT source FROM documents)),
       edges_d AS MATERIALIZED (
@@ -8440,15 +8500,43 @@ object SparkEntry {
         FROM edges_d),
       nodes AS MATERIALIZED (
         SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-      deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-      $rounds,
       doms AS (SELECT src_domain AS domain FROM edges_d
-               UNION SELECT dst_domain FROM edges_d)
-      SELECT m.domain, CAST(r.r AS BIGINT) AS rank_micro
+               UNION SELECT dst_domain FROM edges_d)"""
+
+  /** q_hits_links oracle: [[HitsSql]]'s 3 unrolled hub/authority rounds
+    * over the extracted-link domain graph ([[LinksEdgeCtes]]), ranks
+    * joined back to the domain dictionary. */
+  private lazy val HitsLinksSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        SELECT e.dst AS node, sum(h.h) AS ar
+        FROM edges e JOIN h${i - 1} h ON h.node = e.src
+        GROUP BY 1),
+      a$i AS MATERIALIZED (
+        SELECT ar$i.node,
+               (ar$i.ar * 1000000) // (SELECT max(ar) FROM ar$i) AS a
+        FROM ar$i),
+      hr$i AS MATERIALIZED (
+        SELECT e.src AS node, sum(a$i.a) AS hr
+        FROM edges e JOIN a$i ON a$i.node = e.dst
+        GROUP BY 1),
+      h$i AS MATERIALIZED (
+        SELECT n2.node,
+               coalesce((hr$i.hr * 1000000) // (SELECT max(hr) FROM hr$i),
+                 0) AS h
+        FROM nodes n2 LEFT JOIN hr$i ON hr$i.node = n2.node)"""
+    }.mkString(",\n")
+    s"""WITH $LinksEdgeCtes,
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      $rounds
+      SELECT m.domain,
+             CAST(coalesce(h3.h, 0) AS BIGINT) AS hub_micro,
+             CAST(coalesce(a3.a, 0) AS BIGINT) AS auth_micro
       FROM doms m
-      JOIN r3 r
-        ON r.node = CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
+      LEFT JOIN h3 ON h3.node =
+        CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
+      LEFT JOIN a3 ON a3.node =
+        CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
       ORDER BY m.domain"""
   }
 

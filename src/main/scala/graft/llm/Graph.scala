@@ -172,6 +172,28 @@ object Graph {
       .select(col("domain"), col("rank_micro"))
   }
 
+  /** [[hits]] over STRING-keyed domain edges — [[pageRankDomains]]'s
+    * hub/authority twin (same 60-bit md5-prefix id mapping, same
+    * dictionary join back). Returns (domain, hub_micro, auth_micro). */
+  def hitsDomains(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+  ): DataFrame = {
+    def did(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(col(srcCol).as("__sd__"), col(dstCol).as("__td__"))
+    val doms = e.select(col("__sd__").as("domain"))
+      .union(e.select(col("__td__").as("domain")))
+      .distinct()
+    val ranked = hits(
+      e.select(did(col("__sd__")).as("src"), did(col("__td__")).as("dst")),
+      "src", "dst", iterations)
+    doms.join(ranked, did(col("domain")) === ranked("node"))
+      .select(col("domain"), col("hub_micro"), col("auth_micro"))
+  }
+
   /** Deterministic integer fixed-point HITS (Kleinberg 1999) — the
     * hub/authority decomposition next to [[pageRank]]'s single authority
     * score: hubs are link-list pages (directories, sitemaps, boilerplate
