@@ -3721,6 +3721,45 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- INCREMENTAL spectral audio near-dup: the re-encode-robust
+    //     index twin — index = spectral postings of ids 8..23 (cap 2),
+    //     new = ids 0..7; a gain/DC/upsample re-encode of an indexed
+    //     clip collides at hamming 0 where the energy index misses ---
+    "q_audio_spectral_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n0 = (240 + (g % 7) * 40).toInt
+              def f(i: Int): Long = ((7L * g + 13L * i) % 2048L) - 1024L
+              val samples = j match {
+                case 0 => Array.tabulate(n0)(i => f(i).toShort)
+                case 1 => Array.tabulate(2 * n0)(i => (f(i / 2) + 3L).toShort)
+                case _ => Array.tabulate(n0)(i => (2L * f(i) - 5L).toShort)
+              }
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "sphash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.audioSpectralIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Multimodal.audioSpectralNearDupJoinIndexed(
+            withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+            df.sparkSession.table(tbl), maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- STREAMING audio near-dup gate backfill: the shared
     //     stream-static band join + keyed dedupe over the energy-delta
     //     hash, one batch against the persisted capped index — values
@@ -7519,6 +7558,31 @@ object SparkEntry {
     // q_image_neardup_incr over the audio closed-form bytes.
     "q_audio_neardup_incr" ->
       (s"""WITH $AudioDhashCtes,
+         idx AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes WHERE id >= 8)
+           WHERE br <= 2),
+         neu AS (SELECT id, byy, bv FROM bytes WHERE id < 8),
+         cand AS (
+           SELECT DISTINCT n.id AS a_id, i.id AS b_id
+           FROM neu n JOIN idx i ON n.byy = i.byy AND n.bv = i.bv),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // spectral incremental twin: same new x capped-index candidate +
+    // popcount tail over the SPECTRAL closed-form bytes
+    "q_audio_spectral_incr" ->
+      (s"""WITH $AudioSpectralCtes,
          idx AS (
            SELECT id, byy, bv
            FROM (SELECT id, byy, bv,

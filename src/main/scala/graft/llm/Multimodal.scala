@@ -406,6 +406,31 @@ object Multimodal {
     hashJoinIndexed(audioDhash(newDocs, idCol, payloadCol), idCol, index,
       maxHamming, scope)
 
+  /** [[dhashIndex]] for the SPECTRAL audio hash — same posting contract,
+    * so the bucketed-table persistence and incremental-join machinery
+    * transfer unchanged. */
+  def audioSpectralIndex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    hashIndexOf(audioSpectralHash(df, idCol, payloadCol), idCol,
+      maxPerBucketSide)
+
+  /** [[imageNearDupJoinIndexed]] for the spectral audio hash (vs an
+    * [[audioSpectralIndex]]): the re-encode-robust incremental gate —
+    * a level-shifted/gain-scaled/upsampled re-encode of an indexed clip
+    * collides at hamming 0 where the energy-delta index misses it. */
+  def audioSpectralNearDupJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    hashJoinIndexed(audioSpectralHash(newDocs, idCol, payloadCol), idCol,
+      index, maxHamming, scope)
+
   private def hashJoinIndexed(
       hashFrame: DataFrame,
       idCol: String,

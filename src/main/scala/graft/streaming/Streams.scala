@@ -435,6 +435,24 @@ object Streams {
         idCol, payloadCol),
       idCol, index, maxHamming)
 
+  /** [[streamingAudioNearDup]] through the SPECTRAL hash against a
+    * persisted [[graft.llm.Multimodal.audioSpectralIndex]] — the
+    * re-encode-robust live gate: a gain-scaled / level-shifted /
+    * integer-upsampled re-encode of an indexed clip collides at
+    * hamming 0 where the energy-delta gate misses it. */
+  def streamingAudioSpectralNearDup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+  ): DataFrame =
+    streamingHashNearDup(
+      graft.llm.Multimodal.audioSpectralHash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol),
+      idCol, index, maxHamming)
+
   /** The shared single-fingerprint streaming gate: band-explode the
     * hashed stream, stream-static join the persisted capped index,
     * verify inline by popcount, and dedupe one item's ≤ 8·cap candidate

@@ -777,4 +777,58 @@ class PropertySpec extends GraftSuite {
       okFull && okCut
     }, cases = 40)
   }
+
+  test("property: spectral audio hash is EXACT under gain, DC shift, and k-fold repeat") {
+    // For ANY PCM clip (not just the oracle fixtures): scaling every
+    // sample by a positive gain, adding a constant DC offset (within
+    // 16-bit headroom), and repeating each sample k times all leave the
+    // spectral hash bit-identical — the zero-sum table rows, the a^2
+    // energy scaling, and the global-tap-grid floor identity are exact
+    // claims, so they must hold on random audio, not fixtures.
+    import graft.llm.Multimodal.{audioSpectralHashBytes, encodeWav}
+    val clipGen = for {
+      n <- Gen.chooseNum(65, 400)
+      seed <- Gen.chooseNum(1, 1 << 20)
+    } yield Array.tabulate(n)(i =>
+      ((seed.toLong * 31 + 13L * i * i + 7L * i) % 4001L - 2000L).toShort)
+    check(Prop.forAll(clipGen, Gen.chooseNum(2, 4), Gen.chooseNum(1, 5),
+      Gen.chooseNum(-40, 40)) { (base, k, gain, dc) =>
+      val h = audioSpectralHashBytes(encodeWav(8000, 1, base)).toSeq
+      val gained = base.map(v => (v.toLong * gain + dc).toShort)
+      val repeated = Array.tabulate(base.length * k)(i => base(i / k))
+      audioSpectralHashBytes(encodeWav(8000, 1, gained)).toSeq == h &&
+        audioSpectralHashBytes(encodeWav(8000, 1, repeated)).toSeq == h &&
+        audioSpectralHashBytes(encodeWav(8000, 1,
+          repeated.map(v => (v.toLong * gain + dc).toShort))).toSeq == h
+    }, cases = 30)
+  }
+
+  test("property: extractLinks equals the href construction it parsed") {
+    // Random anchor soup: generated pages carry known absolute links in
+    // both quote styles plus relative/js/mailto noise and stray text;
+    // extraction must return exactly the distinct non-self domain edges.
+    val s = spark
+    import s.implicits._
+    val domGen = Gen.oneOf("alpha.com", "beta.org", "gamma.net", "delta.io")
+    val pageGen = for {
+      srcDom <- domGen
+      links <- Gen.listOf(Gen.zip(domGen, Gen.oneOf(true, false)))
+      noise <- Gen.oneOf("", "<a href=\"/rel\">r</a>",
+        "<a href='javascript:void(0)'>j</a>", "<a href=\"mailto:x@y.z\">m</a>",
+        "<p>plain &amp; text</p>")
+    } yield {
+      val anchors = links.map { case (d, dq) =>
+        if (dq) s"""<a class="x" href="https://$d/p">l</a>"""
+        else s"<a href='https://$d/p'>l</a>"
+      }.mkString
+      (s"https://$srcDom/page", s"<html><body>$noise$anchors</body></html>",
+        links.map(_._1).filter(_ != srcDom).toSet.map((d: String) => (srcDom, d)))
+    }
+    check(Prop.forAll(Gen.listOfN(6, pageGen)) { pages =>
+      val df = pages.map(p => (p._1, p._2)).toDF("url", "html")
+      val got = graft.llm.Graph.extractLinks(df, "url", "html")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      got == pages.flatMap(_._3).toSet
+    }, cases = 12)
+  }
 }
