@@ -2686,6 +2686,20 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- HARD-NEGATIVE mining (contrastive/dense-retrieval training
+    //     data): per anchor, top-3 same-LSH-bucket vectors with cosine
+    //     in the hard band [0.05, 0.25) — the floor drops easy
+    //     negatives, the ceiling drops near-positives (both edges bite
+    //     on this corpus: in-bucket cosines reach 0.33) ---
+    "q_hard_negatives" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.hardNegatives(df, "vec_id",
+          "embedding",
+          anchorPred = org.apache.spark.sql.functions.col("vec_id") < 5,
+          bits = 4, k = 3, bandLo = 0.05, bandHi = 0.25))
+        .sort(col("anchor_id")).sort(col("rank"))
+        .run(s)),
+
     // --- bucketed ANN with AUTO-SCALED bits (the q_ann_lsh plan, bucket
     //     width from the corpus count via the integer log2 rule) ---
     "q_ann_lsh_auto" -> ((s, dir) =>
@@ -4249,6 +4263,44 @@ object SparkEntry {
                 .as("chars_per_subword"))
         }
         .sort(col("family"))
+        .run(s)),
+
+    // --- per-LANGUAGE tokenizer fertility (the multilingual
+    //     tokenizer-selection metric: subwords per word / chars per
+    //     subword BY LANGUAGE — a tokenizer trained on a mixed corpus
+    //     over-fragments the under-represented languages, and this
+    //     report is how that bias is measured before training commits
+    //     to a vocab): one BPE (merges=4) trained on the whole corpus,
+    //     per-doc subword counts broadcast-joined back, rolled up per
+    //     lang with exact integer word/char/subword sums and one
+    //     correctly-rounded division per ratio ---
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.GraftExtensions.install(df.sparkSession)
+          val perDoc = graft.llm.TextOps
+            .bpeSubwordCounts(df, "doc_id", "text", merges = 4)
+          val stats = df.select(F.col("doc_id"), F.col("lang"),
+              F.explode(graft.llm.TextOps.letterWords("text")).as("w"))
+            .where(F.length(F.col("w")) >= 1)
+            .groupBy(F.col("doc_id"), F.col("lang"))
+            .agg(F.count(F.lit(1)).as("__nw__"),
+              F.sum(F.length(F.col("w")).cast("long")).as("__nc__"))
+          stats.join(perDoc, Seq("doc_id"))
+            .groupBy(F.col("lang"))
+            .agg(
+              F.sum(F.col("__nw__")).as("n_words"),
+              F.sum(F.col("__nc__")).as("n_chars"),
+              F.sum(F.col("n_subwords")).as("n_subwords"))
+            .select(F.col("lang"), F.col("n_words"), F.col("n_chars"),
+              F.col("n_subwords"),
+              F.round(F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"), 6).as("subwords_per_word"),
+              F.round(F.col("n_chars").cast("double")
+                / F.col("n_subwords").cast("double"), 6).as("chars_per_subword"))
+        }
+        .sort(col("lang"))
         .run(s)),
 
     // --- overlapping word-window chunking (size 32, stride 24) ---
@@ -6714,6 +6766,27 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cosine, rank FROM ranked
          WHERE rank <= 3 ORDER BY query_id, rank"""),
 
+    // Hard-negative mining: the LSH bucket join with the hard-band
+    // filter applied BEFORE ranking (floor drops easy negatives,
+    // ceiling drops near-positives), then per-anchor row_number
+    "q_hard_negatives" ->
+      (s"""WITH bkt AS (
+           SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
+         ), scored AS (
+           SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+                  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+           FROM bkt q JOIN bkt c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), banded AS (
+           SELECT * FROM scored WHERE cosine >= 0.05 AND cosine < 0.25
+         ), ranked AS (
+           SELECT anchor_id, negative_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS INT) AS rank
+           FROM banded
+         )
+         SELECT anchor_id, negative_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY anchor_id, rank"""),
+
     // Auto-bits LSH: same plan with the bucket width computed by the
     // integer ceil-div + bit-length rule over count(*) (target 50).
     "q_ann_lsh_auto" ->
@@ -8332,6 +8405,33 @@ object SparkEntry {
       ("q_multimodal_jpeg_prog" -> baseOracleSql("q_multimodal_jpeg")) +
       // tokenizer report: REUSE each family's full per-doc replay as a
       // subquery and aggregate — the single source of truth per family
+      // per-lang fertility: REUSE the full per-doc byte-of-truth replay
+      // (q_bpe_subwords) as a subquery, join per-doc word/char stats,
+      // roll up by lang; integer sums + one correctly-rounded division
+      ("q_tokenizer_fertility" -> {
+        val sub = baseOracleSql("q_bpe_subwords")
+        s"""WITH stats AS MATERIALIZED (
+             SELECT d.doc_id, d.lang, count(*) AS nw,
+                    CAST(sum(len(t.w)) AS BIGINT) AS nc
+             FROM documents d,
+                  LATERAL unnest(regexp_split_to_array(
+                    trim(regexp_replace(lower(nfc_normalize(d.text)),
+                      '[^\\p{L}]+', ' ', 'g')), '\\s+')) AS t(w)
+             WHERE len(t.w) >= 1
+             GROUP BY 1, 2),
+           sub AS MATERIALIZED ($sub)
+           SELECT lang,
+                  CAST(sum(nw) AS BIGINT) AS n_words,
+                  CAST(sum(nc) AS BIGINT) AS n_chars,
+                  CAST(sum(s.n_subwords) AS BIGINT) AS n_subwords,
+                  round(CAST(sum(s.n_subwords) AS DOUBLE)
+                        / CAST(sum(nw) AS DOUBLE), 6) AS subwords_per_word,
+                  round(CAST(sum(nc) AS DOUBLE)
+                        / CAST(sum(s.n_subwords) AS DOUBLE), 6)
+                    AS chars_per_subword
+           FROM stats JOIN sub s USING (doc_id)
+           GROUP BY lang ORDER BY lang"""
+      }) +
       ("q_tokenizer_compare" -> {
         val b = baseOracleSql
         val chars =

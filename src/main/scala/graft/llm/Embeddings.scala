@@ -165,6 +165,56 @@ object Embeddings {
         col("rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive / dense-retrieval training —
+    * the training-data op that turns an embedded corpus into triplet
+    * supervision: for each anchor, the top-k corpus vectors whose cosine
+    * falls in the HARD BAND [bandLo, bandHi) — similar enough to be
+    * informative negatives, strictly below the near-positive ceiling
+    * (mining above it poisons training with unlabeled positives — the
+    * published dense-retrieval mining rule: ANCE/RocketQA both cap the
+    * candidate similarity for exactly this reason; the ceiling is also
+    * where [[semDedup]]'s near-dup threshold lives, so dedup and mining
+    * share one knob).
+    *
+    * Scale shape = [[lshTopK]]'s: sign-LSH bucket equi-join generates
+    * candidates (never all-pairs — at 100 TB the blocking is what makes
+    * mining tractable), the band filters BEFORE the per-anchor
+    * row_number window, and only anchors × k rows survive. Determinism:
+    * 6-dp cosines, (cosine desc, id) tie-break.
+    * Returns (anchor_id, negative_id, cosine, rank ≤ k). */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      anchorPred: Column,
+      bits: Int,
+      k: Int,
+      bandLo: Double,
+      bandHi: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(bandLo < bandHi, s"empty hard band [$bandLo, $bandHi)")
+    graft.GraftExtensions.install(emb.sparkSession)
+    val withBkt = scope.cache(emb
+      .withColumn("__bkt__", signBucket(vecCol, bits))
+      .withColumn("__n__", sqrt(dot(vecCol, vecCol))))
+    val anchors = withBkt.where(anchorPred)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__q__"),
+        col("__bkt__").as("__qbkt__"), col("__n__").as("__qn__"))
+    anchors
+      .join(withBkt,
+        col("__qbkt__") === col("__bkt__") && col(idCol) =!= col("anchor_id"))
+      .withColumn("cosine",
+        round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+      .where(col("cosine") >= bandLo && col("cosine") < bandHi)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol).as("negative_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest "centroid" (highest
     * cosine among the `centroidPred` rows — here fixed sampled vectors, the
     * deterministic stand-in for trained k-means centroids), then answer

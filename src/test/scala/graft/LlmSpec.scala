@@ -518,6 +518,34 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("hardNegatives: ceiling drops planted near-positives, floor drops easy negatives") {
+    val s = spark
+    import s.implicits._
+    // anchor id 0 at e1; planted: a near-POSITIVE (id 1, cos ~0.999 —
+    // must be excluded by the ceiling), two hard negatives (ids 2, 3 —
+    // inside the band), an easy negative (id 4, cos ~0 — below floor),
+    // and an opposite-bucket vector (id 5 — never a candidate)
+    val d = Seq(
+      (0L, Seq(1f, 0.05f, 0.05f, 0.05f)),
+      (1L, Seq(0.99f, 0.06f, 0.05f, 0.05f)), // near-positive
+      (2L, Seq(0.6f, 0.75f, 0.1f, 0.1f)),    // hard negative
+      (3L, Seq(0.55f, 0.1f, 0.8f, 0.1f)),    // hard negative
+      (4L, Seq(0.02f, 0.99f, 0.02f, 0.02f)), // easy-ish: cos < floor
+      (5L, Seq(-1f, -0.1f, -0.1f, -0.1f)),   // other bucket
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.hardNegatives(d, "vec_id", "embedding",
+        anchorPred = sc("vec_id") === 0L, bits = 4, k = 5,
+        bandLo = 0.3, bandHi = 0.95)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._1).toSet === Set(2L, 3L),
+      s"expected exactly the planted hard negatives, got ${out.toSeq}")
+    // ranked by cosine desc within the band, all strictly inside it
+    assert(out.forall(t => t._2 >= 0.3 && t._2 < 0.95))
+    assert(out.sortBy(_._3).map(_._1).toSeq ===
+      out.sortBy(-_._2).map(_._1).toSeq)
+    graft.llm.CacheScope.global.release()
+  }
+
   test("semantic decontamination flags planted eval near-dups with zero joins") {
     val s = spark
     import s.implicits._
