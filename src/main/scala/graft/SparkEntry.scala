@@ -2376,6 +2376,20 @@ object SparkEntry {
         .sort(col("lang"))
         .run(s)),
 
+    // --- cluster-size-aware DIVERSITY sampling (D4-style dedup-then-
+    //     diversify): minhash near-dup clusters, canonical always kept,
+    //     non-canonical members sampled at size^-0.5 via the
+    //     md5-derandomized cutoff rule ---
+    "q_diversity_sample" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          val pairs = graft.llm.Dedup.minhashPairs(df, "doc_id", "text")
+          val clusters = graft.llm.Dedup.clusterPairs(pairs, "doc_a", "doc_b")
+          graft.llm.Dedup.diversitySample(df, "doc_id", clusters, alpha = 0.5)
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     "q_sample_hash" -> ((s, dir) =>
       m(dir, "documents")
         .native { df =>
@@ -5533,6 +5547,28 @@ object SparkEntry {
            SELECT 1 FROM clusters c
            WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
          GROUP BY 1 ORDER BY 1"""),
+
+    // diversity sample: clusters replay + one window (size, canonical) +
+    // the shared pow-6dp / floor-cutoff / md5-u32 keep rule
+    "q_diversity_sample" ->
+      (MinhashPairsCtes + ClosureCtes +
+        """, base AS (
+           SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+         sized AS (
+           SELECT doc_id, cluster_id,
+                  count(*) OVER (PARTITION BY cluster_id) AS m,
+                  min(doc_id) OVER (PARTITION BY cluster_id) AS canon
+           FROM base)
+         SELECT doc_id, cluster_id, CAST(m AS BIGINT) AS cluster_size
+         FROM sized
+         WHERE doc_id = canon
+            OR CAST(concat('0x',
+                 substr(md5('div:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+               < CAST(floor(round(pow(CAST(m AS DOUBLE), -0.5), 6)
+                            * 4294967296.0) AS BIGINT)
+         ORDER BY doc_id"""),
 
     "q_sample_hash" ->
       """SELECT lang, count(*) AS n FROM documents

@@ -586,6 +586,56 @@ object Dedup {
       .drop("__rep__", "__rid__")
   }
 
+  /** Cluster-size-aware DIVERSITY sampling — the dedup-then-diversify
+    * step of a D4/SemDeDup-style pipeline: rather than dropping every
+    * non-canonical near-dup outright (which over-prunes genuinely
+    * informative paraphrase clusters) or keeping all (which over-weights
+    * boilerplate), each cluster keeps its canonical representative
+    * (min id) ALWAYS and samples the remaining members at rate
+    * size^(−alpha) — big clusters (templated/boilerplate families)
+    * thin aggressively, small clusters barely (alpha=0 keeps all,
+    * alpha→∞ → pure dedup-apply; singletons always survive at rate 1).
+    *
+    * Determinism (the hashSample contract): rate = round(pow(m, −α), 6)
+    * with the 6-dp cross-engine pow discipline, cutoff =
+    * floor(rate·2³²), keep iff md5-u32("div:" ‖ id) < cutoff — kept
+    * SETS replay bit-for-bit and are membership-stable as α shrinks.
+    * One window over cluster_id (size + canonical in the same pass),
+    * zero additional shuffles past the cluster join.
+    * Returns (idCol, cluster_id, cluster_size) for kept rows. */
+  def diversitySample(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      alpha: Double,
+      saltPrefix: String = "div",
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 8.0,
+      s"alpha must be in [0, 8], got $alpha")
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      s"clusters must be clusterPairs output with (doc_id, cluster_id) " +
+        s"columns; got [${clusters.columns.mkString(", ")}]")
+    val rep = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val sized = df.select(col(idCol))
+      .join(rep, Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("__canon__", min(col(idCol)).over(w))
+    val rate = round(
+      pow(col("cluster_size").cast("double"), lit(-alpha)) + lit(0.0), 6)
+    val cutoff = floor(rate * lit(4294967296.0)).cast("long")
+    val u32 = conv(substring(md5(
+        concat(lit(saltPrefix + ":"), col(idCol).cast("string"))
+          .cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    sized
+      .where(col(idCol) === col("__canon__") || u32 < cutoff)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Benchmark decontamination: find training documents sharing any word
     * n-gram with an evaluation suite (the standard n-gram-overlap test a
     * training pipeline runs before shipping a corpus — contaminated docs

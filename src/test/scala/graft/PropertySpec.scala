@@ -831,4 +831,40 @@ class PropertySpec extends GraftSuite {
       got == pages.flatMap(_._3).toSet
     }, cases = 12)
   }
+
+  test("property: diversitySample keeps canonicals, and kept sets shrink as alpha grows") {
+    // For any clustering: every cluster's min id always survives; the
+    // kept set at alpha2 >= alpha1 is a SUBSET of the alpha1 set (same
+    // hash, smaller cutoff — membership stability, the domainCap/
+    // hashSample contract); alpha = 0 keeps everything; singletons
+    // always survive.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 400L)
+      cl <- Gen.chooseNum(0L, 5L)
+    } yield (id, cl * 1000L)
+    check(Prop.forAll(Gen.listOfN(40, rowGen),
+      Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) { (rowsRaw, a1i, a2i) =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val docs = rows.map(_._1).toDF("doc_id")
+      // clusterPairs-shaped input: cluster_id = min member id
+      val byCl = rows.groupBy(_._2).values.toSeq
+      val clusters = byCl.flatMap { ms =>
+        val canon = ms.map(_._1).min
+        ms.map(m => (m._1, canon))
+      }.toDF("doc_id", "cluster_id")
+      val (a1, a2) = (math.min(a1i, a2i) * 0.25, math.max(a1i, a2i) * 0.25)
+      def kept(alpha: Double): Set[Long] =
+        graft.llm.Dedup.diversitySample(docs, "doc_id", clusters, alpha)
+          .collect().map(_.getLong(0)).toSet
+      val k0 = kept(0.0)
+      val k1 = kept(a1)
+      val k2 = kept(a2)
+      val canons = byCl.map(_.map(_._1).min).toSet
+      k0 == rows.map(_._1).toSet &&
+        canons.subsetOf(k2) && k2.subsetOf(k1) && k1.subsetOf(k0)
+    }, cases = 8)
+  }
 }
