@@ -2714,6 +2714,19 @@ object SparkEntry {
         .sort(col("anchor_id")).sort(col("rank"))
         .run(s)),
 
+    // --- hard-negative mining with AUTO-SCALED bits: fixed bits grow
+    //     per-anchor candidates linearly with the corpus (quadratic when
+    //     anchors scale too — the bitextMine lesson); the log2 rule
+    //     keeps bucket population flat with no manual knob ---
+    "q_hard_negatives_auto" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native(df => graft.llm.Embeddings.hardNegativesAuto(df, "vec_id",
+          "embedding",
+          anchorPred = org.apache.spark.sql.functions.col("vec_id") < 5,
+          targetBucketSize = 50L, k = 3, bandLo = 0.05, bandHi = 0.25))
+        .sort(col("anchor_id")).sort(col("rank"))
+        .run(s)),
+
     // --- bucketed ANN with AUTO-SCALED bits (the q_ann_lsh plan, bucket
     //     width from the corpus count via the integer log2 rule) ---
     "q_ann_lsh_auto" -> ((s, dir) =>
@@ -6808,6 +6821,27 @@ object SparkEntry {
     "q_hard_negatives" ->
       (s"""WITH bkt AS (
            SELECT vec_id, embedding, $BktSql AS bkt FROM embeddings
+         ), scored AS (
+           SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+                  round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine
+           FROM bkt q JOIN bkt c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 5
+         ), banded AS (
+           SELECT * FROM scored WHERE cosine >= 0.05 AND cosine < 0.25
+         ), ranked AS (
+           SELECT anchor_id, negative_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS INT) AS rank
+           FROM banded
+         )
+         SELECT anchor_id, negative_id, cosine, rank FROM ranked
+         WHERE rank <= 3 ORDER BY anchor_id, rank"""),
+
+    // Auto-bits hard negatives: the same banded plan with the bucket
+    // width from the corpus count via the integer log2 rule
+    "q_hard_negatives_auto" ->
+      (s"""WITH ${nbCte(50, 4, 24)},
+         bkt AS (
+           SELECT vec_id, embedding, $BktAutoSql AS bkt FROM embeddings, nb
          ), scored AS (
            SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
                   round(${cosSql("q.embedding", "c.embedding")}, 6) AS cosine

@@ -108,6 +108,25 @@ object Embeddings {
       autoBits(emb.count(), targetBucketSize), k, minMargin,
       maxPerBucketSide, scope)
 
+  /** [[hardNegatives]] with [[autoBits]]-derived bucket width — the
+    * fixed-bits variant is quadratic in disguise when anchors grow with
+    * the corpus (in-bucket candidates per anchor ∝ n/2^bits — the
+    * bitextMine lesson); bits = ceil(log₂(n/target)) keeps bucket
+    * population flat as corpora grow, with no manual knob to forget. */
+  def hardNegativesAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      anchorPred: Column,
+      targetBucketSize: Long,
+      k: Int,
+      bandLo: Double,
+      bandHi: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame =
+    hardNegatives(emb, idCol, vecCol, anchorPred,
+      autoBits(emb.count(), targetBucketSize), k, bandLo, bandHi, scope)
+
   /** Brute-force cosine top-k neighbors of one query vector. The 1-row
     * query side is broadcast; scores sort on the 6-dp-rounded cosine with
     * id tie-break so the cut is deterministic. */
