@@ -3698,6 +3698,39 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- SPECTRAL audio near-dup CLUSTERS: the closure over the
+    //     re-encode-robust pair detector — each cluster IS a re-encode
+    //     family (base + upsample+DC + gain+DC hash identically) ---
+    "q_audio_spectral_clusters" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val n0 = (240 + (g % 7) * 40).toInt
+              def f(i: Int): Long = ((7L * g + 13L * i) % 2048L) - 1024L
+              val samples = j match {
+                case 0 => Array.tabulate(n0)(i => f(i).toShort)
+                case 1 => Array.tabulate(2 * n0)(i => (f(i / 2) + 3L).toShort)
+                case _ => Array.tabulate(n0)(i => (2L * f(i) - 5L).toShort)
+              }
+              Row(id, graft.llm.Multimodal.encodeWav(8000, 1, samples))
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Dedup.clusterPairs(
+            graft.llm.Multimodal.audioSpectralNearDupPairs(
+              withPayload, "doc_id", "payload", maxHamming = 6,
+              maxPerBucketSide = 2),
+            "a_id", "b_id")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- audio near-dup CLUSTERS: same composition over the
     //     energy-delta pair detector ---
     "q_audio_dedup_clusters" -> ((s, dir) =>
@@ -7721,6 +7754,33 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // spectral clusters: the capped band join + popcount tail over the
+    // SPECTRAL closed-form bytes, closed transitively
+    "q_audio_spectral_clusters" ->
+      (s"""WITH RECURSIVE $AudioSpectralCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id AS doc_a, b_id AS doc_b FROM ham WHERE hamming <= 6)""" +
+        ClosureCtes +
+        """SELECT doc_id, cluster_id FROM clusters ORDER BY 1"""),
 
     // spectral incremental twin: same new x capped-index candidate +
     // popcount tail over the SPECTRAL closed-form bytes
