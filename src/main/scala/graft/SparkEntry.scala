@@ -3661,6 +3661,48 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- SPECTRAL image near-dup pairs: 24 grayscale PNGs in 8 groups
+    //     of 3 — j=1 is a 2× pixel-repeat UPSCALE with +3 brightness,
+    //     j=2 a 2× contrast with −5 brightness — re-encodes that hash
+    //     IDENTICALLY under the global-tap-grid spectral transform
+    //     while the box-mean dHash diverges on the upscale (floor box
+    //     boundaries don't commute; spec-pinned). Oracle replays the
+    //     pixel closed form at the tap coordinates, the embedded
+    //     integer DFT tables, energies, bits, and the capped band
+    //     join. ---
+    "q_image_spectral_neardup" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val w0 = (24 + (g % 5) * 4).toInt
+              val h0 = (18 + (g % 3) * 6).toInt
+              def f(x: Int, y: Int): Int =
+                ((7L * x + 13L * y + 3L * g) % 97L + 20L).toInt
+              val png = j match {
+                case 0 => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => f(x, y))
+                case 1 => graft.llm.Multimodal.encodePng(2 * w0, 2 * h0, 1,
+                  (x, y, _) => f(x / 2, y / 2) + 3)
+                case _ => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => 2 * f(x, y) - 5)
+              }
+              Row(id, png)
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          graft.llm.Multimodal.imageSpectralNearDupPairs(
+            withPayload, "doc_id", "payload", maxHamming = 6,
+            maxPerBucketSide = 2)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- SPECTRAL audio near-dup pairs (8 odd-band fixed-point DFT over
     //     64 evenly-subsampled taps × 9 time boxes): the fixture's three
     //     per-group variants are RE-ENCODES — j=1 is a 2× sample-repeat
@@ -7706,6 +7748,29 @@ object SparkEntry {
          SELECT a_id, b_id, hamming FROM ham
          WHERE hamming <= 6 ORDER BY a_id, b_id"""),
 
+    "q_image_spectral_neardup" ->
+      (s"""WITH $ImageSpectralCtes,
+         capped AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes)
+           WHERE br <= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           FROM capped a JOIN capped b
+             ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
     "q_audio_neardup_spectral" ->
       (s"""WITH $AudioSpectralCtes,
          capped AS (
@@ -9624,6 +9689,63 @@ object SparkEntry {
                     WHEN 0 THEN ((7 * g + 13 * si) % 2048) - 1024
                     WHEN 1 THEN ((7 * g + 13 * (si // 2)) % 2048) - 1024 + 3
                     ELSE 2 * (((7 * g + 13 * si) % 2048) - 1024) - 5
+                  END AS v
+           FROM taps),
+         tbl AS (SELECT * FROM (VALUES $values) AS t(band, p, ct, st)),
+         eng AS MATERIALIZED (
+           SELECT s.id, s.t, tb.band,
+                  CAST(sum(CAST(s.v AS BIGINT) * tb.ct) AS BIGINT) AS cs,
+                  CAST(sum(CAST(s.v AS BIGINT) * tb.st) AS BIGINT) AS sn
+           FROM sv s JOIN tbl tb ON tb.p = s.p
+           GROUP BY 1, 2, 3),
+         en AS MATERIALIZED (
+           SELECT id, t, band, cs * cs + sn * sn AS e FROM eng),
+         abits AS (
+           SELECT l.id, l.t AS byy, l.band AS bx,
+                  CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS bit
+           FROM en l JOIN en r
+             ON r.id = l.id AND r.band = l.band AND r.t = l.t + 1
+           WHERE l.t < 8),
+         bytes AS MATERIALIZED (
+           SELECT id, byy, CAST(sum(bit * (1 << bx)) AS BIGINT) AS bv
+           FROM abits GROUP BY 1, 2)"""
+  }
+
+  /** q_image_spectral_neardup replay: per-variant raster dims and value
+    * transforms in closed form (j=1 2×-repeat upscale +3 brightness,
+    * j=2 2× contrast −5), tap values computed DIRECTLY from the pixel
+    * closed form at the 9×64 global-grid coordinates (upscale taps map
+    * back through x//2, y//2 — the commuting-floor identity the Spark
+    * hash relies on), the same embedded integer DFT tables as
+    * [[AudioSpectralCtes]], band energies, temporal-delta bits, and the
+    * capped band-join tail. */
+  private lazy val ImageSpectralCtes: String = {
+    val cosT = graft.llm.Multimodal.SpectralCos
+    val sinT = graft.llm.Multimodal.SpectralSin
+    val values = (for (b <- 0 until 8; p <- 0 until 64)
+      yield s"($b,$p,${cosT(b)(p)},${sinT(b)(p)})").mkString(",")
+    s"""ii AS (
+           SELECT doc_id AS id, doc_id % 8 AS g, doc_id // 8 AS j,
+                  24 + (doc_id % 8 % 5) * 4 AS w0,
+                  18 + (doc_id % 8 % 3) * 6 AS h0
+           FROM documents WHERE doc_id < 24),
+         cl AS (
+           SELECT id, g, j, w0, h0,
+                  CASE WHEN j = 1 THEN 2 * w0 ELSE w0 END AS ww,
+                  CASE WHEN j = 1 THEN 2 * h0 ELSE h0 END AS hh
+           FROM ii),
+         taps AS (
+           SELECT c.id, c.g, c.j, t.t, p.p,
+                  (p.p * c.ww) // 64 AS x,
+                  (t.t * c.hh) // 9 AS y
+           FROM cl c CROSS JOIN range(0, 9) t(t) CROSS JOIN range(0, 64) p(p)),
+         sv AS MATERIALIZED (
+           SELECT id, t, p,
+                  CASE j
+                    WHEN 0 THEN (7 * x + 13 * y + 3 * g) % 97 + 20
+                    WHEN 1 THEN (7 * (x // 2) + 13 * (y // 2) + 3 * g) % 97
+                                + 20 + 3
+                    ELSE 2 * ((7 * x + 13 * y + 3 * g) % 97 + 20) - 5
                   END AS v
            FROM taps),
          tbl AS (SELECT * FROM (VALUES $values) AS t(band, p, ct, st)),

@@ -577,6 +577,80 @@ object Multimodal {
     }
   }
 
+  /** 64-bit SPECTRAL image hash — [[audioSpectralHashBytes]]' image
+    * sibling over PNG luminance (channel 0), robust to the re-encodes
+    * the box-mean [[dhashBytes]] misses: pixels sample on a GLOBAL
+    * 9×64 tap grid (tap (t, j) reads pixel (⌊j·w/64⌋, ⌊t·h/9⌋) — each
+    * coordinate a SINGLE floor, so under k-fold pixel-repeat upscaling
+    * ⌊⌊j·kw/64⌋/k⌋ = ⌊j·w/64⌋ makes the taps EXACTLY invariant in both
+    * axes, where the dHash box boundaries ⌊b·kw/9⌋ do not commute and
+    * its cross-multiplied sums can flip), then each tap row runs the
+    * SAME 8 odd-band integer DFT as the audio hash ([[SpectralCos]]/
+    * [[SpectralSin]] — zero-sum rows cancel a brightness shift exactly;
+    * a contrast scale multiplies all energies by a²). Bit (t, b):
+    * band b's energy in row t beats row t+1's. Same 8-byte band-blocking
+    * contract. Null for non-PNG payloads or rasters under 8×9. */
+  def imageSpectralHashBytes(payload: Array[Byte]): Array[Int] = {
+    val r = decodePngRaster(payload)
+    if (r == null || r.w < 8 || r.h < 9) return null
+    val e = Array.ofDim[Long](9, 8)
+    var t = 0
+    while (t < 9) {
+      val y = (t.toLong * r.h / 9).toInt
+      var b = 0
+      while (b < 8) {
+        val ct = SpectralCos(b); val st = SpectralSin(b)
+        var cs = 0L; var sn = 0L
+        var j = 0
+        while (j < 64) {
+          val v = r.pixel((j.toLong * r.w / 64).toInt, y, 0).toLong
+          cs += v * ct(j); sn += v * st(j)
+          j += 1
+        }
+        e(t)(b) = cs * cs + sn * sn
+        b += 1
+      }
+      t += 1
+    }
+    Array.tabulate(8) { k =>
+      var byte = 0
+      var b = 0
+      while (b < 8) {
+        if (e(k)(b) > e(k + 1)(b)) byte |= 1 << b
+        b += 1
+      }
+      byte
+    }
+  }
+
+  /** Image spectral-hash frame (the [[dhash]] shape). */
+  def imageSpectralHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("dhash", ArrayType(IntegerType, containsNull = false))))
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row(row.get(idIdx),
+          imageSpectralHashBytes(row.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate IMAGE pairs by SPECTRAL content —
+    * catches brightness-shifted / contrast-scaled / integer-upscaled
+    * re-encodes the box-mean dHash misses (spec-pinned); same exact
+    * band-blocked join. */
+  def imageSpectralNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    bandedHammingPairs(imageSpectralHash(df, idCol, payloadCol), idCol,
+      maxHamming, scope, maxPerBucketSide)
+
   /** Spectral-hash frame (the [[dhash]] shape). */
   def audioSpectralHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)

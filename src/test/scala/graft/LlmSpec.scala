@@ -2064,6 +2064,46 @@ class LlmSpec extends GraftSuite {
     assert(audioSpectralHashBytes(Array[Byte](9, 9)) === null)
   }
 
+  test("spectral image hash: exact under brightness, contrast, pixel-repeat upscale; box dHash misses the upscale") {
+    import graft.llm.Multimodal.{imageSpectralHashBytes, encodePng}
+    def f(g: Long)(x: Int, y: Int): Int =
+      ((7L * x + 13L * y + 3L * g) % 97L + 20L).toInt
+    var dhashDiverged = false
+    for (g <- 0L until 8L) {
+      val w0 = (24 + (g % 5) * 4).toInt
+      val h0 = (18 + (g % 3) * 6).toInt
+      val base = encodePng(w0, h0, 1, (x, y, _) => f(g)(x, y))
+      val up = encodePng(2 * w0, 2 * h0, 1, (x, y, _) => f(g)(x / 2, y / 2) + 3)
+      val contrast = encodePng(w0, h0, 1, (x, y, _) => 2 * f(g)(x, y) - 5)
+      val hb = imageSpectralHashBytes(base).toSeq
+      assert(imageSpectralHashBytes(up).toSeq === hb,
+        s"g=$g upscale re-encode changed the image spectral hash")
+      assert(imageSpectralHashBytes(contrast).toSeq === hb,
+        s"g=$g contrast re-encode changed the image spectral hash")
+      // the box-mean dHash misses the upscale on at least one group
+      // (floor box boundaries don't commute with pixel repetition);
+      // compare the grid computation on the raw gray rasters directly
+      // so no codec difference muddies the claim
+      val gBase = Array.tabulate(h0 * w0)(i => f(g)(i % w0, i / w0))
+      val gUp = Array.tabulate(4 * h0 * w0)(i =>
+        f(g)((i % (2 * w0)) / 2, (i / (2 * w0)) / 2) + 3)
+      if (graft.llm.Multimodal.dhashOfGray(w0, h0, gBase).toSeq !=
+        graft.llm.Multimodal.dhashOfGray(2 * w0, 2 * h0, gUp).toSeq)
+        dhashDiverged = true
+    }
+    assert(dhashDiverged,
+      "fixture too easy: the box dHash also matched every upscale")
+    // distinct content diverges
+    val hashes = (0L until 8L).map { g =>
+      val w0 = (24 + (g % 5) * 4).toInt; val h0 = (18 + (g % 3) * 6).toInt
+      imageSpectralHashBytes(encodePng(w0, h0, 1, (x, y, _) => f(g)(x, y))).toSeq
+    }
+    assert(hashes.distinct.size > 1, "all groups collided")
+    // honest nulls: tiny raster, garbage payload
+    assert(imageSpectralHashBytes(encodePng(7, 8, 1, (_, _, _) => 5)) === null)
+    assert(imageSpectralHashBytes(Array[Byte](1, 2, 3)) === null)
+  }
+
   test("audio dHash matches the closed form; near-dups pair, patterns don't") {
     val s = spark
     import s.implicits._
