@@ -3703,6 +3703,49 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- INCREMENTAL spectral image near-dup: index = spectral postings
+    //     of ids 8..23 (cap 2), new = ids 0..7 — the re-encode-robust
+    //     image index twin ---
+    "q_image_spectral_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val w0 = (24 + (g % 5) * 4).toInt
+              val h0 = (18 + (g % 3) * 6).toInt
+              def f(x: Int, y: Int): Int =
+                ((7L * x + 13L * y + 3L * g) % 97L + 20L).toInt
+              val png = j match {
+                case 0 => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => f(x, y))
+                case 1 => graft.llm.Multimodal.encodePng(2 * w0, 2 * h0, 1,
+                  (x, y, _) => f(x / 2, y / 2) + 3)
+                case _ => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => 2 * f(x, y) - 5)
+              }
+              Row(id, png)
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "isphash_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.imageSpectralIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.llm.Multimodal.imageSpectralNearDupJoinIndexed(
+            withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+            df.sparkSession.table(tbl), maxHamming = 6)
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- SPECTRAL audio near-dup pairs (8 odd-band fixed-point DFT over
     //     64 evenly-subsampled taps × 9 time boxes): the fixture's three
     //     per-group variants are RE-ENCODES — j=1 is a 2× sample-repeat
@@ -7738,6 +7781,31 @@ object SparkEntry {
            SELECT DISTINCT a.id AS a_id, b.id AS b_id
            FROM capped a JOIN capped b
              ON a.byy = b.byy AND a.bv = b.bv AND a.id < b.id),
+         ham AS (
+           SELECT c.a_id, c.b_id,
+                  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+           FROM cand c
+           JOIN bytes x ON x.id = c.a_id
+           JOIN bytes y ON y.id = c.b_id AND y.byy = x.byy
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 6 ORDER BY a_id, b_id"""),
+
+    // image spectral incremental twin: same new x capped-index
+    // candidate + popcount tail over the IMAGE spectral closed-form bytes
+    "q_image_spectral_incr" ->
+      (s"""WITH $ImageSpectralCtes,
+         idx AS (
+           SELECT id, byy, bv
+           FROM (SELECT id, byy, bv,
+                        row_number() OVER (PARTITION BY byy, bv ORDER BY id)
+                          AS br
+                 FROM bytes WHERE id >= 8)
+           WHERE br <= 2),
+         neu AS (SELECT id, byy, bv FROM bytes WHERE id < 8),
+         cand AS (
+           SELECT DISTINCT n.id AS a_id, i.id AS b_id
+           FROM neu n JOIN idx i ON n.byy = i.byy AND n.bv = i.bv),
          ham AS (
            SELECT c.a_id, c.b_id,
                   CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming

@@ -651,6 +651,31 @@ object Multimodal {
     bandedHammingPairs(imageSpectralHash(df, idCol, payloadCol), idCol,
       maxHamming, scope, maxPerBucketSide)
 
+  /** [[dhashIndex]] for the SPECTRAL image hash — same posting
+    * contract; the bucketed-table persistence and incremental-join
+    * machinery transfer unchanged. */
+  def imageSpectralIndex(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxPerBucketSide: Int = Int.MaxValue): DataFrame =
+    hashIndexOf(imageSpectralHash(df, idCol, payloadCol), idCol,
+      maxPerBucketSide)
+
+  /** [[imageNearDupJoinIndexed]] for the spectral image hash (vs an
+    * [[imageSpectralIndex]]): the re-encode-robust incremental gate —
+    * a brightness/contrast/upscale re-encode of an indexed image
+    * collides at hamming 0 where the box-mean dHash index misses it. */
+  def imageSpectralNearDupJoinIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.global): DataFrame =
+    hashJoinIndexed(imageSpectralHash(newDocs, idCol, payloadCol), idCol,
+      index, maxHamming, scope)
+
   /** Spectral-hash frame (the [[dhash]] shape). */
   def audioSpectralHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
