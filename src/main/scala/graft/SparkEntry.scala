@@ -3703,6 +3703,51 @@ object SparkEntry {
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
 
+    // --- STREAMING spectral image gate backfill: the new slice streams
+    //     against the same persisted capped spectral index — values must
+    //     equal the batch indexed join (shared oracle by reference) ---
+    "q_stream_image_spectral" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F, Encoders, Row}
+          val ids = df.where(F.col("doc_id") < 24).select(F.col("doc_id"))
+          val withPayload = ids.mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id % 8
+              val j = (id / 8).toInt
+              val w0 = (24 + (g % 5) * 4).toInt
+              val h0 = (18 + (g % 3) * 6).toInt
+              def f(x: Int, y: Int): Int =
+                ((7L * x + 13L * y + 3L * g) % 97L + 20L).toInt
+              val png = j match {
+                case 0 => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => f(x, y))
+                case 1 => graft.llm.Multimodal.encodePng(2 * w0, 2 * h0, 1,
+                  (x, y, _) => f(x / 2, y / 2) + 3)
+                case _ => graft.llm.Multimodal.encodePng(w0, h0, 1,
+                  (x, y, _) => 2 * f(x, y) - 5)
+              }
+              Row(id, png)
+            }
+          }(Encoders.row(ids.schema.add("payload",
+            org.apache.spark.sql.types.BinaryType)))
+          val tbl = "isphash_idx_s_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+            "_" + runTag
+          graft.sources.ParquetIO.writeBucketed(
+            graft.llm.Multimodal.imageSpectralIndex(
+              withPayload.where(F.col("doc_id") >= 8), "doc_id", "payload",
+              maxPerBucketSide = 2),
+            tbl, s"/tmp/graft_dhash_idx/$tbl", "__bkey__", 8)
+          graft.streaming.Streams.streamingImageSpectralNearDup(
+              withPayload.where(F.col("doc_id") < 8), "doc_id", "payload",
+              df.sparkSession.table(tbl), maxHamming = 6)
+            .select(F.col("doc_id").as("a_id"), F.col("b_id"),
+              F.col("hamming"))
+        }
+        .sort(col("a_id")).sort(col("b_id"))
+        .run(s)),
+
     // --- INCREMENTAL spectral image near-dup: index = spectral postings
     //     of ids 8..23 (cap 2), new = ids 0..7 — the re-encode-robust
     //     image index twin ---
@@ -8661,6 +8706,8 @@ object SparkEntry {
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
       // streaming audio gate backfill ≡ the batch indexed audio join
       ("q_stream_audio_neardup" -> baseOracleSql("q_audio_neardup_incr")) +
+      // streaming spectral image gate backfill ≡ the batch indexed join
+      ("q_stream_image_spectral" -> baseOracleSql("q_image_spectral_incr")) +
       // persisted unigram serving is value-identical to the inline fit
       ("q_unigram_segment_served" -> baseOracleSql("q_unigram_segment")) +
       // persisted-model serving is value-identical to the inline trainer

@@ -435,6 +435,24 @@ object Streams {
         idCol, payloadCol),
       idCol, index, maxHamming)
 
+  /** [[streamingImageNearDup]] through the SPECTRAL image hash against
+    * a persisted [[graft.llm.Multimodal.imageSpectralIndex]] — the
+    * re-encode-robust live gate: a brightness/contrast/pixel-repeat-
+    * upscale re-encode of an indexed image collides at hamming 0 where
+    * the box-mean dHash gate misses it. */
+  def streamingImageSpectralNearDup(
+      docs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 6,
+  ): DataFrame =
+    streamingHashNearDup(
+      graft.llm.Multimodal.imageSpectralHash(
+        docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
+        idCol, payloadCol),
+      idCol, index, maxHamming)
+
   /** [[streamingAudioNearDup]] through the SPECTRAL hash against a
     * persisted [[graft.llm.Multimodal.audioSpectralIndex]] — the
     * re-encode-robust live gate: a gain-scaled / level-shifted /
