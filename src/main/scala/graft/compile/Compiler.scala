@@ -623,6 +623,10 @@ object Compiler {
     case Source.WarcFile(p) =>
       // crawl-container scan: one task per shard, record walk in the task
       new Frame(graft.sources.Warc.read(spark, p))
+    case Source.WetFile(p) =>
+      // extracted-text view of the same container walk: conversion
+      // records only, payload decoded to (url, text)
+      new Frame(graft.sources.Warc.readWet(spark, p))
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)
@@ -973,7 +977,9 @@ object Compiler {
       val bHiRaw = bucketOf(col("__hi__") - lit(1L))
       val bHi =
         if (autoWidth) bHiRaw
-        else when(bHiRaw - bLo > lit(MaxBucketsPerInterval.toLong),
+        // bucket count is span+1, so the ceiling is span >= cap (a span
+        // of cap-1 is exactly cap buckets — the documented maximum)
+        else when(bHiRaw - bLo >= lit(MaxBucketsPerInterval.toLong),
           raise_error(concat(
             lit(s"rangeJoin bucketMicros=$bucketMicros explodes an interval of "),
             (col("__hi__") - col("__lo__")).cast("string"),
@@ -1114,8 +1120,9 @@ object Compiler {
       // The eval sub-model compiles and COLLECTS at plan-build time — a
       // bounded model parameter (benchmark suites are small; the
       // DsirSelect target-slice precedent). Serving is |eval| codegen'd
-      // float_vec_dot folds per row against the frozen literals: zero
-      // joins, zero shuffles.
+      // float_vec_dot folds per row — against frozen literals for small
+      // suites, or a 1-row broadcast of the suite above the operator's
+      // maxEvalVecs plan-size bound (still zero shuffles either way).
       val bf = compileSource(base, spark)
       val ef = compileSource(eval.source, spark)
       ef.pending.keys.toSeq.foreach(ef.attach)

@@ -53,6 +53,12 @@ object Source {
     * in [[graft.sources.Warc]]. */
   final case class WarcFile(path: String) extends Source
 
+  /** WET (extracted-text) crawl scan — Common Crawl's `.warc.wet.gz`
+    * sibling of [[WarcFile]]: same container grammar, one
+    * `WARC-Type: conversion` record per page with extracted plain-text
+    * payload. One row per page: (url, text). */
+  final case class WetFile(path: String) extends Source
+
   /** Pre-built DataFrame (parity with the reference's DuckDB connection
     * registering pandas frames, duckdb_connection.py:96-117). Used by tests
     * for literal fixtures. */

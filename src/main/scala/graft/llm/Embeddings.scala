@@ -1087,31 +1087,78 @@ object Embeddings {
     * broadcast-join shape instead). Each cosine rounds to 6dp BEFORE the
     * max so both engines agree on the winner; `Float.toString` is
     * shortest-round-trip, so the frozen literals are bit-identical to
-    * the source column. Output: (id, max_eval_cos, contaminated). */
+    * the source column. Output: (id, max_eval_cos, contaminated).
+    *
+    * PLAN-SIZE BOUND (`maxEvalVecs`): literal freezing makes the plan
+    * grow linearly with the eval suite — a 1M-vector suite would blow
+    * Catalyst analysis long before data scale matters (the
+    * `maxExactGrams` → Bloom precedent). Above the threshold the suite
+    * ships as DATA instead: an RDD-backed eval frame (never a
+    * LocalRelation — its literals would re-enter the plan) folds into
+    * ONE broadcast row of (index, vector, norm) structs sorted by
+    * index, each corpus row finds its best eval vector with the
+    * codegen'd `vec_argmax_cell` native (argmax by unrounded cosine;
+    * rounding is monotone, so round(cos(argmax)) = max of the rounded
+    * cosines the literal path computes), and the winner's cosine is
+    * recomputed with the IDENTICAL formula — value-parity is
+    * spec-pinned, the plan string is O(1) in eval size, and serving
+    * stays zero-join/zero-shuffle (1-row broadcast, no row
+    * expansion). */
   def semanticDecontaminate(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       evalVecs: Seq[Seq[Float]],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxEvalVecs: Int = 256): DataFrame = {
     require(evalVecs.nonEmpty, "need a non-empty eval suite")
     require(evalVecs.forall(_.forall(f => !f.isNaN && !f.isInfinite)),
       "eval vectors must be finite (literal round-trip)")
     graft.GraftExtensions.install(corpus.sparkSession)
-    def litArr(v: Seq[Float]) =
-      s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(", ")})"
     val withNorm = corpus.withColumn("__nrm__",
       sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")))
-    val cosines = evalVecs.map { v =>
-      val l = litArr(v)
-      round(expr(s"float_vec_dot($vecCol, $l)")
-        / (col("__nrm__") * sqrt(expr(s"float_vec_dot($l, $l)"))), 6)
-    }
-    val mx = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
-    withNorm
-      .withColumn("max_eval_cos", mx)
-      .select(col(idCol), col("max_eval_cos"),
-        (col("max_eval_cos") >= threshold).as("contaminated"))
+    val scored =
+      if (evalVecs.size <= maxEvalVecs) {
+        def litArr(v: Seq[Float]) =
+          s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(", ")})"
+        val cosines = evalVecs.map { v =>
+          val l = litArr(v)
+          round(expr(s"float_vec_dot($vecCol, $l)")
+            / (col("__nrm__") * sqrt(expr(s"float_vec_dot($l, $l)"))), 6)
+        }
+        val mx =
+          if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+        withNorm.withColumn("max_eval_cos", mx)
+      } else {
+        import org.apache.spark.sql.types._
+        val spark = corpus.sparkSession
+        val evalDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            evalVecs.zipWithIndex.map { case (v, i) =>
+              org.apache.spark.sql.Row(i + 1, v)
+            },
+            1 + evalVecs.size / 65536),
+          StructType(Seq(StructField("cid", IntegerType),
+            StructField("cv", ArrayType(FloatType)))))
+        // array_sort on the struct array orders by the leading cid field
+        // (distinct 1..m), so element_at by the argmax's cid is exact —
+        // collect_list order alone is unspecified
+        val centArr = evalDf
+          .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+            sqrt(expr("float_vec_dot(cv, cv)")).as("__cn__"))
+          .agg(array_sort(collect_list(struct(col("__cid__"),
+            col("__cv__"), col("__cn__")))).as("__cents__"))
+        withNorm
+          .crossJoin(broadcast(centArr)) // provably-1-row build side
+          .withColumn("__w__",
+            expr(s"vec_argmax_cell($vecCol, __nrm__, __cents__)"))
+          .withColumn("__we__", expr("element_at(__cents__, __w__)"))
+          .withColumn("max_eval_cos",
+            round(expr(s"float_vec_dot($vecCol, __we__.__cv__)")
+              / (col("__nrm__") * col("__we__.__cn__")), 6))
+      }
+    scored.select(col(idCol), col("max_eval_cos"),
+      (col("max_eval_cos") >= threshold).as("contaminated"))
   }
 
   def semDedup(

@@ -446,6 +446,73 @@ object LangModel {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[knModelProfile]] read from a PERSISTED [[knNgramFit]] artifact —
+    * the serve-side profile: the report a pruning/sizing decision reads
+    * is a property of the STORED model, so production computes it from
+    * the level tables the fit already wrote (vocabulary-bounded scans),
+    * never by re-deriving the tables from the corpus. Output contract
+    * identical to [[knModelProfile]] (LlmSpec pins value-parity). */
+  def knModelProfileFromDir(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      order: Int = 5): DataFrame = {
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    (1 to order).map { k =>
+      spark.read.parquet(s"$dir/level$k").agg(
+        count(lit(1)).as("n_grams"),
+        sum(col(s"cnt$k")).as("total_count"))
+        .select(lit(k.toLong).as("level"), col("n_grams"),
+          col("total_count"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** INCREMENTAL maintenance of a persisted UNPRUNED [[knNgramFit]]
+    * model — the 100 TB production shape: adding a crawl shard must not
+    * refit over yesterday's petabytes. The only corpus pass is over the
+    * DELTA shard (its raw order-N gram counts); the stored level-N
+    * table merges by count addition (raw window counts are exactly
+    * additive across a document-disjoint shard union — grams never
+    * cross document boundaries), and every lower adjusted-count level
+    * re-derives from the merged level-N table by the same Kneser–Ney
+    * rule the full fit uses — a gram-table-sized (Heaps-bounded)
+    * aggregation chain, not a corpus pass. Writes the updated model to
+    * `dstDir` (versioned-artifact update — never in-place, so a crash
+    * mid-write cannot corrupt the serving model and readers of `srcDir`
+    * are undisturbed). The result is bit-identical to a full refit on
+    * the combined corpus (spec-pinned). NOT valid on a count-pruned
+    * model: pruning discards the singleton tail the merge needs. */
+  def knNgramFitDelta(
+      newDocs: DataFrame,
+      textCol: String,
+      srcDir: String,
+      dstDir: String,
+      order: Int = 5): Unit = {
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    require(srcDir != dstDir,
+      "delta fit writes a new model version; srcDir must differ from dstDir")
+    graft.GraftExtensions.install(newDocs.sparkSession)
+    val spark = newDocs.sparkSession
+    val n = order
+    val deltaN = knGramsOf(newDocs, textCol, n)
+      .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n"))
+    val seen = new Array[DataFrame](n + 1)
+    seen(n) = spark.read.parquet(s"$srcDir/level$n")
+      .unionByName(deltaN)
+      .groupBy(col("g")).agg(sum(col(s"cnt$n")).as(s"cnt$n"))
+    seen(n).write.mode("overwrite").parquet(s"$dstDir/level$n")
+    for (k <- (n - 1) to 1 by -1) {
+      // derive from the WRITTEN upper level (read back) so the lineage
+      // per level is one scan + one aggregate, not a re-derivation chain
+      seen(k) = spark.read.parquet(s"$dstDir/level${k + 1}")
+        .groupBy(substring_index(col("g"), " ", -k).as("g"))
+        .agg(count(lit(1)).as(s"cnt$k"))
+      seen(k).write.mode("overwrite").parquet(s"$dstDir/level$k")
+    }
+    spark.read.parquet(s"$dstDir/level1")
+      .agg(sum(col("cnt1")).as("tot1"))
+      .write.mode("overwrite").parquet(s"$dstDir/tot1")
+  }
+
   /** The order-N model's level tables: seen(k) = one row per SEEN k-gram
     * with its level-k count — raw at k = N, adjusted (distinct left
     * extensions among level-(k+1) seen grams) below. Index 1..N. */

@@ -929,6 +929,8 @@ object Model {
   /** WARC crawl shard(s) — one row per record (warc_type, url,
     * content_type, content_length, payload). */
   def warc(path: String): Model = Model(Source.WarcFile(path))
+  /** WET extracted-text crawl shard(s) — one row per page (url, text). */
+  def wet(path: String): Model = Model(Source.WetFile(path))
   /** Convenience: parquet table inside an sf dir. */
   def parquet(dir: String, name: String): Model =
     Model(Source.Table(s"$dir/$name.parquet"))

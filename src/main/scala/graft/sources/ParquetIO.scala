@@ -117,6 +117,40 @@ object ParquetIO {
       .saveAsTable(table)
   }
 
+  /** COMPACT an append-maintained [[writeBucketed]]/[[appendBucketed]]
+    * table: every append adds one more file per bucket, and after many
+    * increments the small-file count degrades scan parallelism (each
+    * file is a separate reader open/footer parse) without changing the
+    * layout's correctness. Compaction rewrites the postings into
+    * `dstTable`/`dstPath` with ONE file per bucket and ZERO shuffle:
+    * forcing the BUCKETED scan (Spark's planner auto-disables it when no
+    * operator exploits it, and it elides an explicit `repartition(
+    * buckets, key)` as redundant over a same-bucketed table — which
+    * would silently fall back to file-split tasks and one file per
+    * input split) makes each task read exactly one whole bucket, so the
+    * bucketed write emits exactly `buckets` files — restoring both the
+    * per-bucket free SORT (lost once buckets spanned multiple files)
+    * and single-file scans, while preserving the hash-on-key clustering
+    * the serve joins ride (zero index-side exchanges before and after).
+    * Never in-place: the compacted artifact is a new versioned table, so
+    * a crash mid-compaction cannot corrupt the serving index and readers
+    * of the old table are undisturbed (drop it once consumers switch). */
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      dstTable: String,
+      dstPath: String,
+      key: String,
+      buckets: Int,
+  ): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(auto)
+    spark.conf.set(auto, "false") // one scan task per whole bucket
+    try writeBucketed(spark.table(table), dstTable, dstPath, key, buckets)
+    finally prev.fold(spark.conf.unset(auto))(spark.conf.set(auto, _))
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

@@ -86,20 +86,29 @@ object Warc {
     * unbounded. `maxRecordBytes` caps the single-record buffer (JVM
     * array ceiling by default; specs inject a small cap to prove the
     * cursor holds one record, not the shard). Closes `in` on clean
-    * exhaustion. */
+    * exhaustion AND on a malformed-shard failure; when running inside a
+    * task, a completion listener also closes it if the iterator is
+    * abandoned part-way (a downstream limit/take) — the long-running
+    * streaming reader must never leak a Hadoop/GZIP handle. */
   private[graft] def records(
       in: InputStream,
       where: String,
       maxRecordBytes: Long = Int.MaxValue - 8): Iterator[Row] =
     new Iterator[Row] {
       private val input = new java.io.BufferedInputStream(in, 1 << 16)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try input.close() catch { case _: java.io.IOException => }
+        })
       private var offset = 0L
       private var pending: Row = _
       private var done = false
 
-      private def fail(why: String): Nothing =
+      private def fail(why: String): Nothing = {
+        try input.close() catch { case _: java.io.IOException => }
         throw new IllegalArgumentException(
           s"malformed WARC in $where at byte $offset: $why")
+      }
 
       private def readByte(): Int = {
         val b = input.read(); if (b >= 0) offset += 1; b
@@ -211,5 +220,21 @@ object Warc {
     paths.mapPartitions { it =>
       it.flatMap { p => records(openShard(bconf.value.value, p), p) }
     }(Encoders.row(schema))
+  }
+
+  /** WET (extracted-text) scan — the sibling format real pipelines
+    * consume NEXT to WARC: Common Crawl publishes a `.warc.wet.gz`
+    * shard per crawl shard with the SAME ISO-28500 container grammar,
+    * one `WARC-Type: conversion` record per page whose payload is the
+    * page's extracted plain text (UTF-8), plus a leading `warcinfo`
+    * header record per shard. The container walk is [[read]]'s streaming
+    * cursor verbatim (one task per shard, one record buffered at a
+    * time); this is the text-typed view on top: conversion records
+    * only, payload decoded to a string. Columns: (url, text). */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path)
+      .where(col("warc_type") === "conversion")
+      .select(col("url"), col("payload").cast("string").as("text"))
   }
 }

@@ -521,6 +521,81 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** STREAMING text MinHash near-dup admission — the single most common
+    * production dedup shape, streamed: each document of a new crawl is
+    * adjudicated against the PERSISTED cleaned-corpus MinHash index
+    * ([[graft.llm.Dedup.minhashIndex]], read back from its bucketed
+    * table) as it arrives. Tokenize + signature + band-explode + the
+    * stream-static band equi-join + the exact n-gram-Jaccard verify all
+    * run in DISTRIBUTED stateless stages (the verify token sets ride on
+    * the posting rows — the index denormalizes them, so no join back to
+    * the corpus); the keyed-state function only de-duplicates one
+    * document's candidate list (the same (new, indexed) pair colliding
+    * in several bands) — bounded at numBands·bucket rows — and marks the
+    * id adjudicated so a re-sent document never re-emits. Emits
+    * (left_id, right_id, jaccard) — [[graft.llm.Dedup
+    * .minhashJoinIndexed]]'s exact contract, so single-batch backfill
+    * parity against the batch op is spec-gated and the driver query
+    * shares its oracle by reference. */
+  def streamingMinhashNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    require(numHashes == rowsPerBand * (numHashes / rowsPerBand),
+      "numHashes must be a multiple of rowsPerBand")
+    graft.GraftExtensions.install(docs.sparkSession)
+    import org.apache.spark.sql.types._
+    val numBands = numHashes / rowsPerBand
+    val cand = docs
+      .select(col(idCol).cast("long").as("__nid__"),
+        col(textCol).as("__text__"))
+      .withColumn("__ntoks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__ntoks__")) >= shingleSize)
+      .withColumn("__sig__",
+        expr(s"minhash_sig_words(__ntoks__, $shingleSize, $numHashes)"))
+      .select(col("__nid__"), col("__ntoks__"),
+        posexplode(TextOps.bandHashes("__sig__", numBands, rowsPerBand))
+          .as(Seq("__band__", "__bh__")))
+      .select(col("__nid__"), col("__ntoks__"),
+        concat(col("__band__"), lit(":"), col("__bh__")).as("__bkey__"))
+      .join(index, Seq("__bkey__"))
+      .withColumn("jaccard",
+        round(expr(s"word_ngram_jaccard(__ntoks__, __toks__, $shingleSize)"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("__nid__"), col("__id__").cast("long").as("__bid__"),
+        col("jaccard"))
+    val outSchema = StructType(Seq(StructField("left_id", LongType),
+      StructField("right_id", LongType), StructField("jaccard", DoubleType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val longEnc = Encoders.scalaLong
+    cand
+      .groupByKey((r: Row) => r.getLong(0))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // document already adjudicated
+          else {
+            state.update(true)
+            // per-pair dedupe across bands (jaccard is a pure function of
+            // the pair, so keeping the first occurrence is exact): bounded
+            // at the candidate fan-out, never the batch
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            val out = Seq.newBuilder[Row]
+            rows.foreach { r =>
+              if (seen.add(r.getLong(1)))
+                out += Row(id, r.getLong(1), r.getDouble(2))
+            }
+            out.result().iterator
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** Streaming perceptual VIDEO near-dup gate — [[streamingImageNearDup]]
     * for clips: each arriving clip decodes + hashes its sampled frames in
     * DISTRIBUTED stateless stages (the per-clip sampled-frame count rides

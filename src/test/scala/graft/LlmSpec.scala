@@ -565,6 +565,40 @@ class LlmSpec extends GraftSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("Join"))
   }
 
+  test("semanticDecontaminate broadcast path above maxEvalVecs: same values, O(1) plan size") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // a real eval suite slice (finite floats, realistic geometry)
+    val ev = emb.where(sc("vec_id") < 32).orderBy(sc("vec_id"))
+      .select(sc("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val corpus = emb.where(sc("vec_id") >= 32)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(sc("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val lit = Embeddings.semanticDecontaminate(
+      corpus, "vec_id", "embedding", ev, 0.2, maxEvalVecs = 1024)
+    val bc = Embeddings.semanticDecontaminate(
+      corpus, "vec_id", "embedding", ev, 0.2, maxEvalVecs = 0)
+    // value parity: rounding is monotone, so the broadcast argmax's
+    // recomputed cosine equals the literal path's max-of-rounded
+    assert(rows(bc) === rows(lit))
+    assert(rows(bc).exists(_._3) && rows(bc).exists(!_._3))
+    // the broadcast plan carries the eval suite as DATA: a 1-row
+    // broadcast build (provably 1-row aggregate), no eval literal in the
+    // plan string, and the plan does not grow with the eval suite
+    val plan32 = bc.queryExecution.executedPlan.toString
+    assert(plan32.contains("Broadcast"), "eval side must broadcast")
+    assert(!plan32.contains(ev.head.head.toString),
+      "eval vectors must not freeze into the plan")
+    val bc8 = Embeddings.semanticDecontaminate(
+      corpus, "vec_id", "embedding", ev.take(8), 0.2, maxEvalVecs = 0)
+    val plan8 = bc8.queryExecution.executedPlan.toString
+    assert(plan32.length < plan8.length * 2,
+      s"plan grows with eval size: ${plan8.length} -> ${plan32.length}")
+  }
+
   test("stripMarkdown reduces markup to text, dropping code fences wholesale") {
     val s = spark
     import s.implicits._
@@ -2962,6 +2996,53 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("compactBucketed: one file per bucket, query-identical, clustering preserved") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def slice(r: Int) = docs.where(sc("doc_id") % 4 === r)
+    val q = slice(3)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def parquetFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_"))
+    }
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(slice(0), "doc_id", "text"),
+      "mh_idx_cmp", "/tmp/graft_minhash_idx/cmp", "__bkey__", 4)
+    try {
+      // three maintenance appends: each adds files per bucket
+      (1 to 2).foreach(r => graft.llm.Dedup.minhashIndexAppend(
+        slice(r), "doc_id", "text", "mh_idx_cmp", buckets = 4))
+      graft.llm.Dedup.minhashIndexAppend(
+        slice(0).limit(50), "doc_id", "text", "mh_idx_cmp", buckets = 4)
+      val before = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_cmp")))
+      val filesBefore = parquetFiles("/tmp/graft_minhash_idx/cmp")
+      assert(filesBefore > 4, s"appends should multiply files, got $filesBefore")
+      graft.sources.ParquetIO.compactBucketed(s, "mh_idx_cmp",
+        "mh_idx_cmp2", "/tmp/graft_minhash_idx/cmp2", "__bkey__", 4)
+      // exactly one file per bucket after compaction
+      assert(parquetFiles("/tmp/graft_minhash_idx/cmp2") === 4)
+      // the serve query is value-identical against the compacted table
+      val after = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_cmp2")))
+      assert(after === before)
+      assert(after.nonEmpty, "fixture found no cross-slice near-dups")
+      assert(s.table("mh_idx_cmp2").count() === s.table("mh_idx_cmp").count())
+      // the compacted table still reports the bucket spec the serve
+      // join's clustering rides
+      val cat = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("mh_idx_cmp2"))
+      assert(cat.bucketSpec.exists(_.numBuckets == 4))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS mh_idx_cmp")
+      s.sql("DROP TABLE IF EXISTS mh_idx_cmp2")
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("autoBits: exact integer ceil-log2 with clamping") {
     import graft.llm.Embeddings.autoBits
     // smallest b with 2^b >= ceil(n / target), clamped to [min, max]
@@ -3585,6 +3666,47 @@ class LlmSpec extends GraftSuite {
     knPruned.filter(_._2 > 0).foreach { case (id, _, bits) =>
       assert(bits > 0.0 && bits <= 30.0, s"pruned doc $id bits=$bits")
     }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("knNgramFitDelta merges a shard bit-identically to a full refit; profile serves from the stored artifact") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.where(sc("doc_id") % 8 === 0)
+    val delta = docs.where(sc("doc_id") % 8 === 4)
+    val full = docs.where(sc("doc_id") % 4 === 0) // = base ∪ delta
+    graft.llm.LangModel.knNgramFit(base, "text", "/tmp/graft_kn5_base",
+      order = 5)
+    graft.llm.LangModel.knNgramFitDelta(delta, "text",
+      "/tmp/graft_kn5_base", "/tmp/graft_kn5_dmerged", order = 5)
+    graft.llm.LangModel.knNgramFit(full, "text", "/tmp/graft_kn5_full",
+      order = 5)
+    // every level table identical: raw level-5 counts are additive across
+    // a document-disjoint union, lower adjusted levels re-derive
+    for (k <- 1 to 5) {
+      val got = s.read.parquet(s"/tmp/graft_kn5_dmerged/level$k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = s.read.parquet(s"/tmp/graft_kn5_full/level$k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === want, s"level $k diverges after delta merge")
+    }
+    assert(s.read.parquet("/tmp/graft_kn5_dmerged/tot1").head.getLong(0) ===
+      s.read.parquet("/tmp/graft_kn5_full/tot1").head.getLong(0))
+    // scoring through the delta-merged model ≡ the inline full trainer
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(graft.llm.LangModel.knNgramScoreWithModel(
+        docs, "doc_id", "text", "/tmp/graft_kn5_dmerged", order = 5)) ===
+      rows(graft.llm.LangModel.knNgramScore(
+        docs, full, "doc_id", "text", order = 5)))
+    // the stored-artifact profile ≡ the corpus-deriving profile
+    def prows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(sc("level")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(prows(graft.llm.LangModel.knModelProfileFromDir(
+        s, "/tmp/graft_kn5_full", order = 5)) ===
+      prows(graft.llm.LangModel.knModelProfile(full, "text", order = 5)))
     graft.llm.CacheScope.global.release()
   }
 

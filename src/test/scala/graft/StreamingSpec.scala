@@ -240,6 +240,55 @@ class StreamingSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS dhash_idx_stream")
   }
 
+  test("streaming text MinHash near-dup: stream-static join vs the persisted index, batch parity") {
+    val s = spark
+    import s.implicits._
+    // word sequences long enough for stable 3-gram shingles; txt(g) is
+    // the indexed corpus pattern, txt(g) + tail is a near-dup of it
+    def txt(g: Int): String =
+      (0 until 40).map(i => s"w${(g * 7 + i * 3) % 97}").mkString(" ")
+    val corpus = (0 until 4).map(g => (100L + g, txt(g)))
+      .toDF("doc_id", "text")
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(corpus, "doc_id", "text"),
+      "minhash_idx_stream", "/tmp/graft_minhash_idx/stream", "__bkey__", 4)
+    try {
+      val idx = s.table("minhash_idx_stream")
+      val ms = MemoryStream[(Long, String)](s)
+      val flagged = Streams.streamingMinhashNearDup(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text", idx)
+      val q = flagged.writeStream.format("memory").queryName("mh_neardup_out")
+        .outputMode("append").start()
+      try {
+        // batch 1: an EXACT copy of pattern 0 (identical token set →
+        // identical signature → collides in every band, jaccard 1.0), a
+        // novel doc (no match), a too-short doc (drops before hashing)
+        ms.addData((1L, txt(0)), (2L, (0 until 40).map(i => s"z$i").mkString(" ")),
+          (3L, "just two"))
+        q.processAllAvailable()
+        // batch 2: a jittered copy of pattern 2 and a RE-SENT id 1
+        // (state suppresses re-emission)
+        ms.addData((4L, txt(2) + " extra tail"), (1L, txt(0)))
+        q.processAllAvailable()
+        val rows = spark.sql(
+            "SELECT left_id, right_id, jaccard FROM mh_neardup_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(rows.map(t => (t._1, t._2)).toSet.contains((1L, 100L)))
+        assert(rows.count(_._1 == 1L) === rows.filter(_._1 == 1L)
+          .map(t => (t._1, t._2)).distinct.size) // no re-emission, no dup pairs
+        // batch parity: the same documents through the batch indexed join
+        val batch = graft.llm.Dedup.minhashJoinIndexed(
+            Seq((1L, txt(0)),
+              (2L, (0 until 40).map(i => s"z$i").mkString(" ")),
+              (3L, "just two"), (4L, txt(2) + " extra tail"))
+              .toDF("doc_id", "text"),
+            "doc_id", "text", idx)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally s.sql("DROP TABLE IF EXISTS minhash_idx_stream")
+  }
+
   test("streaming WARC ingestion: shards arriving across batches emit records exactly once and compose with dedup") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")

@@ -84,6 +84,32 @@ class WarcSpec extends GraftSuite {
     assert(e.getMessage.contains("per-record buffer cap"))
   }
 
+  test("WET view: conversion records only, text decoded, warcinfo skipped; wire round-trip") {
+    val p = tmp("pages.warc.wet.gz")
+    graft.sources.Warc.write(p, Seq(
+      ("warcinfo", "urn:wet:shard", "application/warc-fields",
+        "software: graft\r\n".getBytes("UTF-8")),
+      ("conversion", "https://a.example/1", "text/plain",
+        "extracted text one".getBytes("UTF-8")),
+      ("conversion", "https://b.example/2", "text/plain",
+        "päge twö é".getBytes("UTF-8")))) // UTF-8 survives decode
+    val rows = graft.sources.Warc.readWet(spark, p)
+      .orderBy("url").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(
+      ("https://a.example/1", "extracted text one"),
+      ("https://b.example/2", "päge twö é")))
+    // Model.wet composes through the engine and the wire codec
+    val m = Model.wet(p)
+      .pick(graft.funcs.col("url"), graft.funcs.col("text"))
+      .sort(graft.funcs.col("url"))
+    val direct = m.run(spark).collect().map(r => (r.getString(0), r.getString(1)))
+    val wired = graft.wire.WireFormat
+      .fromJson(graft.wire.WireFormat.toJson(m))
+      .run(spark).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(direct.toSeq === rows.toSeq)
+    assert(wired.toSeq === direct.toSeq)
+  }
+
   test("Model.warc composes and survives the wire codec") {
     val p = tmp("model.warc.gz")
     graft.sources.Warc.write(p, recs)
