@@ -1686,6 +1686,55 @@ object SparkEntry {
         .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
 
+    // --- INDEX TAKEDOWN (opt-out / right-to-be-forgotten): remove the
+    //     odd %3==0 docs from the persisted MinHash index (broadcast
+    //     anti-join riding the zero-shuffle bucketed-compaction path,
+    //     versioned dst), then serve the even slice — values must equal
+    //     a join against an index that never held those docs (the
+    //     oracle's right side simply excludes them) ---
+    "q_dedup_takedown" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val tbl = indexFixture(s,
+            "minhash8x2_odd_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+            "__bkey__", 8) {
+            graft.llm.Dedup.minhashIndex(
+              df.where(F.col("doc_id") % 2 === 1), "doc_id", "text")
+          }
+          val dst = "minhash_takedown_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + runTag
+          graft.sources.ParquetIO.removeFromBucketed(
+            s, tbl, "__id__",
+            df.where(F.col("doc_id") % 2 === 1 && F.col("doc_id") % 3 === 0)
+              .select(F.col("doc_id")),
+            dst, s"/tmp/graft_takedown/$dst", "__bkey__", 8)
+          graft.llm.Dedup.minhashJoinIndexed(
+            df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
+            df.sparkSession.table(dst))
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
+    // --- corpus SNAPSHOT DIFF (the lineage report an incremental
+    //     pipeline publishes per version): old = %7!=0 slice, new =
+    //     %5!=0 slice with %3==0 texts revised — statuses + content
+    //     hashes per id through one full outer join ---
+    "q_corpus_diff" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val old = df.where(F.col("doc_id") % 7 =!= 0)
+          val nw = df.where(F.col("doc_id") % 5 =!= 0)
+            .withColumn("text",
+              F.when(F.col("doc_id") % 3 === 0,
+                F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")))
+          graft.llm.Dedup.corpusDiff(old, nw, "doc_id", "text")
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- PARAGRAPH-level near-dup dedup (the Dolma/CCNet stage below
     //     document granularity): both engines synthesize 3 paragraphs
     //     per doc — a per-source shared banner (exact dups the detector
@@ -5463,6 +5512,44 @@ object SparkEntry {
            FROM cand JOIN shl x ON x.doc_id = left_id
                      JOIN shr y ON y.doc_id = right_id) t
          WHERE jaccard >= 0.8 ORDER BY left_id, right_id"""),
+
+    // takedown ≡ an index that never held the removed docs: the right
+    // side's predicate simply excludes them
+    "q_dedup_takedown" ->
+      (s"""WITH RECURSIVE ${minhashSideCtes("l", "doc_id % 2 = 0")},
+         ${minhashSideCtes("r", "doc_id % 2 = 1 AND doc_id % 3 <> 0")},
+         cand AS (
+           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+           FROM bandl a JOIN bandr b ON a.b = b.b AND a.bh = b.bh
+         )
+         SELECT left_id, right_id, jaccard FROM (
+           SELECT left_id, right_id,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM cand JOIN shl x ON x.doc_id = left_id
+                     JOIN shr y ON y.doc_id = right_id) t
+         WHERE jaccard >= 0.8 ORDER BY left_id, right_id"""),
+
+    // snapshot diff: same slices, same revision rule, same raw-md5
+    // hashes, one full outer join
+    "q_corpus_diff" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS old_md5
+           FROM documents WHERE doc_id % 7 <> 0
+         ), n AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                           ELSE text END) AS new_md5
+           FROM documents WHERE doc_id % 5 <> 0
+         )
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.old_md5 IS NULL THEN 'added'
+                     WHEN n.new_md5 IS NULL THEN 'removed'
+                     WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                o.old_md5 AS old_md5, n.new_md5 AS new_md5
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
 
     "q_dedup_boilerplate_skew" ->
       (minhashPairsCtes(maxBucketSize = 8,

@@ -151,6 +151,41 @@ object ParquetIO {
     finally prev.fold(spark.conf.unset(auto))(spark.conf.set(auto, _))
   }
 
+  /** TAKEDOWN maintenance — remove a document set from a persisted
+    * posting index (opt-out, right-to-be-forgotten, license retraction:
+    * at 100 TB corpus membership is NOT append-only, and a full index
+    * rebuild per takedown batch would dwarf the removal itself). One
+    * broadcast anti-join against the removal-id frame (takedown batches
+    * are small by nature) rides the same forced-bucketed-scan path as
+    * [[compactBucketed]] — one task per whole bucket, the anti-join is
+    * partitioning-preserving, so the rewrite emits one file per bucket
+    * with the hash-on-key clustering intact and ZERO shuffle. Never
+    * in-place (versioned dst table, crash-safe, readers undisturbed).
+    * Queries against the new table behave exactly as if the removed
+    * docs had never been indexed (spec-pinned vs a rebuild without
+    * them). */
+  def removeFromBucketed(
+      spark: SparkSession,
+      table: String,
+      idCol: String,
+      removeIds: DataFrame,
+      dstTable: String,
+      dstPath: String,
+      key: String,
+      buckets: Int,
+  ): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val rm = removeIds.toDF("__rm__")
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(auto)
+    spark.conf.set(auto, "false") // one scan task per whole bucket
+    try writeBucketed(
+      spark.table(table).join(org.apache.spark.sql.functions.broadcast(rm),
+        col(idCol) === col("__rm__"), "left_anti"),
+      dstTable, dstPath, key, buckets)
+    finally prev.fold(spark.conf.unset(auto))(spark.conf.set(auto, _))
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

@@ -521,6 +521,19 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** CONTINUOUS WET ingestion — [[streamingWarcRecords]] through the
+    * extracted-text view ([[graft.sources.Warc.readWet]]'s contract):
+    * watch a directory for arriving `.warc.wet.gz` shards and emit one
+    * (url, text) row per `conversion` record as each shard lands
+    * (warcinfo headers skipped). Composes with every downstream text
+    * gate/dedup exactly like the batch reader. */
+  def streamingWetRecords(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    streamingWarcRecords(spark, dir)
+      .where(col("warc_type") === "conversion")
+      .select(col("url"), col("payload").cast("string").as("text"))
+
   /** STREAMING text MinHash near-dup admission — the single most common
     * production dedup shape, streamed: each document of a new crawl is
     * adjudicated against the PERSISTED cleaned-corpus MinHash index

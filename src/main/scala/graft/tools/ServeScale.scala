@@ -92,6 +92,13 @@ object ServeScale {
           .write.format("noop").mode("overwrite").save()
         scope.release()
       }
+      // the STREAMING admission twin over the same fixed slice (single-
+      // batch backfill mode): band join + keyed first-seen dedupe state
+      time3(s"streaming minhash admit vs ${f}x index") {
+        graft.streaming.Streams.streamingMinhashNearDup(
+            fixed, "doc_id", "text", spark.table(tbl))
+          .write.format("noop").mode("overwrite").save()
+      }
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       w
     }

@@ -3043,6 +3043,58 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("removeFromBucketed: serve after takedown equals an index that never held the docs") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keep = docs.where(sc("doc_id") % 2 === 1 && sc("doc_id") % 3 =!= 0)
+    val q = docs.where(sc("doc_id") % 2 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(
+        docs.where(sc("doc_id") % 2 === 1), "doc_id", "text"),
+      "mh_idx_td", "/tmp/graft_minhash_idx/td", "__bkey__", 4)
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(keep, "doc_id", "text"),
+      "mh_idx_td_truth", "/tmp/graft_minhash_idx/td_truth", "__bkey__", 4)
+    try {
+      graft.sources.ParquetIO.removeFromBucketed(s, "mh_idx_td", "__id__",
+        docs.where(sc("doc_id") % 2 === 1 && sc("doc_id") % 3 === 0)
+          .select(sc("doc_id")),
+        "mh_idx_td2", "/tmp/graft_minhash_idx/td2", "__bkey__", 4)
+      val after = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_td2")))
+      val truth = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_idx_td_truth")))
+      assert(after === truth)
+      assert(after.nonEmpty, "fixture found no surviving near-dups")
+      // the removed docs' postings are gone, not just filtered at read
+      assert(s.table("mh_idx_td2")
+        .where(sc("__id__") % 3 === 0).count() === 0)
+      val cat = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("mh_idx_td2"))
+      assert(cat.bucketSpec.exists(_.numBuckets == 4))
+    } finally Seq("mh_idx_td", "mh_idx_td_truth", "mh_idx_td2")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged statuses by exact content hash") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "GAMMA v2"), (4L, "delta")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).isDefined, Option(r.getString(3)).isDefined))
+    assert(got.toSeq === Seq(
+      (1L, "removed", true, false),
+      (2L, "unchanged", true, true),
+      (3L, "changed", true, true),
+      (4L, "added", false, true)))
+  }
+
   test("autoBits: exact integer ceil-log2 with clamping") {
     import graft.llm.Embeddings.autoBits
     // smallest b with 2^b >= ceil(n / target), clamped to [min, max]

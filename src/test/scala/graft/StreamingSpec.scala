@@ -319,6 +319,35 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming WET ingestion: conversion records stream as (url, text), warcinfo skipped") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream")
+    def shard(name: String, recs: Seq[(String, String, String, Array[Byte])]): Unit =
+      graft.sources.Warc.write(dir.resolve(name).toString, recs)
+    shard("s1.warc.wet.gz", Seq(
+      ("warcinfo", "urn:wet:1", "application/warc-fields",
+        "software: graft\r\n".getBytes("UTF-8")),
+      ("conversion", "https://a.example/1", "text/plain",
+        "first page text".getBytes("UTF-8"))))
+    val records = Streams.streamingWetRecords(s, dir.toString + "/*.warc.wet.gz")
+    val q = records.writeStream.format("memory").queryName("wet_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      shard("s2.warc.wet.gz", Seq(
+        ("warcinfo", "urn:wet:2", "application/warc-fields",
+          "software: graft\r\n".getBytes("UTF-8")),
+        ("conversion", "https://b.example/2", "text/plain",
+          "second päge".getBytes("UTF-8"))))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, text FROM wet_stream_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows === Set(
+        ("https://a.example/1", "first page text"),
+        ("https://b.example/2", "second päge")))
+    } finally q.stop()
+  }
+
   test("streaming AUDIO near-dup gate: energy-delta hash vs the persisted index, batch parity") {
     val s = spark
     import s.implicits._
