@@ -3079,6 +3079,42 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("removeFromBucketed is posting-shape generic: IVF takedown serves as never-indexed") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_td", "/tmp/graft_ivf_idx/td", buckets = 4)
+    // ground truth: the same centroids over the corpus minus the
+    // takedown set (frozen-centroid contract — assignment unchanged)
+    graft.llm.Embeddings.ivfIndexSave(
+      emb.where(sc("vec_id") % 5 =!= 0 || sc("vec_id") < 3),
+      "vec_id", "embedding", cents,
+      "ivf_td_truth", "/tmp/graft_ivf_idx/td_truth", buckets = 4)
+    try {
+      graft.sources.ParquetIO.removeFromBucketed(s, "ivf_td", "vec_id",
+        emb.where(sc("vec_id") % 5 === 0 && sc("vec_id") >= 3)
+          .select(sc("vec_id")),
+        "ivf_td2", "/tmp/graft_ivf_idx/td2", "__cell__", 4)
+      def serve(tbl: String, dir: String) = graft.llm.Embeddings
+        .ivfTopKIndexed(emb.where(sc("vec_id") < 3), "vec_id", "embedding",
+          dir, s.table(tbl), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+      val after = serve("ivf_td2", "/tmp/graft_ivf_idx/td")
+      val truth = serve("ivf_td_truth", "/tmp/graft_ivf_idx/td_truth")
+      assert(after === truth)
+      assert(after.nonEmpty)
+    } finally {
+      Seq("ivf_td", "ivf_td_truth", "ivf_td2")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("corpusDiff: added/removed/changed/unchanged statuses by exact content hash") {
     val s = spark
     import s.implicits._
@@ -3759,6 +3795,22 @@ class LlmSpec extends GraftSuite {
     assert(prows(graft.llm.LangModel.knModelProfileFromDir(
         s, "/tmp/graft_kn5_full", order = 5)) ===
       prows(graft.llm.LangModel.knModelProfile(full, "text", order = 5)))
+    // CHAINED deltas (the versioned-update loop): applying a second
+    // shard to the delta-merged model still equals the full refit
+    val delta2 = docs.where(sc("doc_id") % 8 === 2)
+    graft.llm.LangModel.knNgramFitDelta(delta2, "text",
+      "/tmp/graft_kn5_dmerged", "/tmp/graft_kn5_dmerged2", order = 5)
+    graft.llm.LangModel.knNgramFit(
+      docs.where(sc("doc_id") % 8 === 0 || sc("doc_id") % 8 === 4 ||
+        sc("doc_id") % 8 === 2),
+      "text", "/tmp/graft_kn5_full3", order = 5)
+    for (k <- 1 to 5) {
+      val got = s.read.parquet(s"/tmp/graft_kn5_dmerged2/level$k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = s.read.parquet(s"/tmp/graft_kn5_full3/level$k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === want, s"level $k diverges after the second delta")
+    }
     graft.llm.CacheScope.global.release()
   }
 

@@ -50,6 +50,39 @@ class PropertySpec extends GraftSuite {
     }, cases = 6)
   }
 
+  test("property: streamingMinhashNearDup (backfill) == minhashJoinIndexed pair set") {
+    // Random word-sequence corpora with planted exact duplicates (every
+    // corpus doc re-appears in the new slice under id 50+i, so matches
+    // are guaranteed) plus independent random docs: the streaming
+    // admission over full history must emit EXACTLY the batch indexed
+    // join's (left_id, right_id, jaccard) set — the keyed dedupe state
+    // may never drop a pair (distinct right ids) or duplicate one
+    // (multi-band collisions).
+    val s = spark
+    import s.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(5, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    check(Prop.forAll(corpusGen, corpusGen) { (corpusDocs, freshDocs) =>
+      val corpus = corpusDocs.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val nw = (freshDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        corpusDocs.zipWithIndex.map { case (t, i) => (50L + i, t) })
+        .toDF("doc_id", "text")
+      val idx = graft.llm.Dedup.minhashIndex(corpus, "doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val streamed = rows(graft.streaming.Streams.streamingMinhashNearDup(
+        nw, "doc_id", "text", idx))
+      val batch = rows(graft.llm.Dedup.minhashJoinIndexed(
+        nw, "doc_id", "text", idx))
+      graft.llm.CacheScope.global.release()
+      streamed == batch && batch.nonEmpty
+    }, cases = 5)
+  }
+
   test("property: in_(values) matches the reference NULL semantics") {
     val s = spark
     import s.implicits._
