@@ -122,9 +122,13 @@ object SparkEntry {
     * parquet + `postings/` bucketed on `__cell__`): builds once per data
     * dir, registers the postings as an external bucketed table, returns
     * (index dir, postings table name). */
-  private def ivfIndexFixture(s: SparkSession, dir: String): (String, String) =
+  private def ivfIndexFixture(
+      s: SparkSession, dir: String, attrs: Seq[String] = Seq.empty)
+      : (String, String) =
     synchronized {
-      val name = "ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "ivf" +
+        (if (attrs.isEmpty) "" else attrs.mkString("_", "_", "")) + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = "fix_" + name
       val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
       java.nio.file.Files.createDirectories(root)
@@ -138,7 +142,8 @@ object SparkEntry {
           val cents = graft.llm.Embeddings.kmeansFitSqrtK(
             emb, "vec_id", "embedding", iters = 2)
           graft.llm.Embeddings.ivfIndexSave(
-            emb, "vec_id", "embedding", cents, tmpTbl, tmpPath.toString)
+            emb, "vec_id", "embedding", cents, tmpTbl, tmpPath.toString,
+            attrs = attrs)
           s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
           if (!tmpPath.toFile.renameTo(dataDir.toFile))
             org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
@@ -1735,6 +1740,23 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- corpus DATASHEET report (the per-slice summary a dataset
+    //     release publishes): docs / tokens / chars / distinct texts /
+    //     dup rate by (lang, source); duplicates planted on %10<3 docs
+    //     (per-source banner) so the rate is non-trivial ---
+    "q_corpus_report" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val built = df.withColumn("text",
+            F.when(F.col("doc_id") % 10 < 3,
+              F.concat(F.lit("Standard banner for "), F.col("source")))
+              .otherwise(F.col("text")))
+          graft.llm.TextOps.corpusReport(built, "text", Seq("lang", "source"))
+        }
+        .sort(col("lang")).sort(col("source"))
+        .run(s)),
+
     // --- PARAGRAPH-level near-dup dedup (the Dolma/CCNet stage below
     //     document granularity): both engines synthesize 3 paragraphs
     //     per doc — a per-source shared banner (exact dups the detector
@@ -3052,6 +3074,67 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- FILTERED vector search (the production "top-k among docs that
+    //     pass an attribute predicate" shape — license-clean, my
+    //     language, source tier): the label attribute is denormalized
+    //     onto the postings at ingest, the predicate applies AT THE
+    //     POSTINGS SCAN (parquet pushdown — no corpus-side join), and
+    //     candidates rank after filtering ---
+    "q_ann_ivf_filtered" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir, attrs = Seq("label"))
+          // a RANGE predicate (not arithmetic) so it reaches the parquet
+          // reader as a pushed filter, not just a post-scan filter
+          graft.llm.Embeddings.ivfTopKIndexed(
+            df.where(F.col("vec_id") < 3), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), k = 5,
+            filter = Some(F.col("label") < 5))
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- INCREMENTAL embedding near-dup ADMISSION vs the persisted IVF
+    //     index (semantic-dedup twin of q_dedup_incremental): the new
+    //     slice is 50 exact re-submissions under fresh ids — each must
+    //     flag its original at cosine 1.0 through the honest
+    //     assign-probe-verify path (corpus geometry is near-orthogonal,
+    //     so 0.8 admits nothing else) ---
+    "q_ann_ivf_admit" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir)
+          graft.llm.Embeddings.ivfNearDupJoinIndexed(
+            df.where(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 10000).as("vec_id"),
+                F.col("embedding")),
+            "vec_id", "embedding", idxDir, df.sparkSession.table(tbl),
+            threshold = 0.8)
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
+    // --- STREAMING embedding admission backfill: the stream-static
+    //     assign-probe-verify + re-sent suppression state, run as one
+    //     batch — values must equal the batch indexed admission
+    //     (shared oracle by reference) ---
+    "q_stream_ivf_neardup" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir)
+          graft.streaming.Streams.streamingIvfNearDup(
+            df.where(F.col("vec_id") < 50)
+              .select((F.col("vec_id") + 10000).as("vec_id"),
+                F.col("embedding")),
+            "vec_id", "embedding", idxDir, df.sparkSession.table(tbl),
+            threshold = 0.8)
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
     // --- nprobe=2: each query searches its TWO best cells (the IVF
     //     recall knob; probing expands only the tiny query side) ---
     "q_ann_ivf_probe" -> ((s, dir) =>
@@ -3590,26 +3673,32 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F, Encoders, Row}
-          // repartition the (tiny) id column BEFORE the heavy per-row
-          // encode+hash: the source is one parquet file, and without this
-          // the whole corpus decodes on a single core — an 8-byte-per-row
-          // shuffle buys full-cluster parallelism for the expensive stage
-          val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
-          val withPayload = ids.mapPartitions { rows =>
-            rows.map { r =>
-              val id = r.getLong(0)
-              val gg = ((id / 3) % 97).toInt
-              val j = (id % 3).toInt
-              Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
-                val bx = x / 8; val byy = y / 8
-                (((37 + 11 * gg) * bx + (23 + 7 * gg) * byy + 13 * gg) % 97) +
-                  28 + (if (bx == 0 && byy == 0) j else 0)
-              }))
-            }
-          }(Encoders.row(ids.schema.add("payload",
-            org.apache.spark.sql.types.BinaryType)))
+          // memoized PAYLOAD fixture: a real crawl's image bytes live in
+          // storage — synthesizing (JPEG-encoding) the corpus is fixture
+          // construction, so it is built once per data dir and the timed
+          // body is the op itself (scan + decode + hash + capped join).
+          // The repartition before the encode buys full parallelism for
+          // the one-time build AND a multi-file scan afterwards.
+          val payloadDir = dirFixture(
+            "imgcorpus_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
+            ids.mapPartitions { rows =>
+              rows.map { r =>
+                val id = r.getLong(0)
+                val gg = ((id / 3) % 97).toInt
+                val j = (id % 3).toInt
+                Row(id, graft.llm.Jpeg.encode(72, 64, (x, y) => {
+                  val bx = x / 8; val byy = y / 8
+                  (((37 + 11 * gg) * bx + (23 + 7 * gg) * byy + 13 * gg) % 97) +
+                    28 + (if (bx == 0 && byy == 0) j else 0)
+                }))
+              }
+            }(Encoders.row(ids.schema.add("payload",
+              org.apache.spark.sql.types.BinaryType)))
+              .write.parquet(p)
+          }
           graft.llm.Multimodal.imageNearDupPairs(
-            withPayload, "doc_id", "payload", maxHamming = 6,
+            s.read.parquet(payloadDir), "doc_id", "payload", maxHamming = 6,
             maxPerBucketSide = 2)
         }
         .sort(col("a_id")).sort(col("b_id"))
@@ -3767,28 +3856,33 @@ object SparkEntry {
       m(dir, "documents")
         .native { df =>
           import org.apache.spark.sql.{functions => F, Encoders, Row}
-          // repartition the (tiny) id column BEFORE the heavy per-row
-          // encode: single-file parquet otherwise pins every encode to
-          // one core (the q_image_neardup_corpus lesson)
-          val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
-          val withPayload = ids.mapPartitions { rows =>
-            rows.map { r =>
-              val id = r.getLong(0)
-              val g = ((id / 3) % 97).toInt
-              val j = (id % 3).toInt
-              Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, 4,
-                (f, x, y) => {
-                  val bx = x / 8; val byy = y / 8
-                  (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
-                    13 * g) % 97) +
-                    (if (bx == 0 && byy == 0) j else 0)
-                }))
-            }
-          }(Encoders.row(ids.schema.add("payload",
-            org.apache.spark.sql.types.BinaryType)))
+          // memoized payload fixture (the q_image_neardup_corpus
+          // rationale): GIF-encoding the corpus is one-time fixture
+          // construction; the timed body is scan + frame decode + hash +
+          // the capped per-frame join
+          val payloadDir = dirFixture(
+            "vidcorpus_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            val ids = df.select(F.col("doc_id")).repartition(F.col("doc_id"))
+            ids.mapPartitions { rows =>
+              rows.map { r =>
+                val id = r.getLong(0)
+                val g = ((id / 3) % 97).toInt
+                val j = (id % 3).toInt
+                Row(id, graft.llm.Multimodal.encodeAnimatedGif(72, 64, 4,
+                  (f, x, y) => {
+                    val bx = x / 8; val byy = y / 8
+                    (((37 + 11 * g) * bx + (23 + 7 * g) * byy + 29 * f +
+                      13 * g) % 97) +
+                      (if (bx == 0 && byy == 0) j else 0)
+                  }))
+              }
+            }(Encoders.row(ids.schema.add("payload",
+              org.apache.spark.sql.types.BinaryType)))
+              .write.parquet(p)
+          }
           graft.llm.Multimodal.videoNearDupPairs(
-            withPayload, "doc_id", "payload", every = 2, maxHamming = 6,
-            maxPerBucketSide = 2)
+            s.read.parquet(payloadDir), "doc_id", "payload", every = 2,
+            maxHamming = 6, maxPerBucketSide = 2)
         }
         .sort(col("a_id")).sort(col("b_id"))
         .run(s)),
@@ -5530,6 +5624,26 @@ object SparkEntry {
                      JOIN shr y ON y.doc_id = right_id) t
          WHERE jaccard >= 0.8 ORDER BY left_id, right_id"""),
 
+    // datasheet report: same banner plant, same whitespace-token rule,
+    // exact distinct-by-md5, one correctly-rounded division
+    "q_corpus_report" ->
+      """WITH b AS (
+           SELECT lang, source,
+                  CASE WHEN doc_id % 10 < 3
+                       THEN 'Standard banner for ' || source
+                       ELSE text END AS text
+           FROM documents)
+         SELECT lang, source,
+                count(*) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+                round(CAST(1 AS DOUBLE) -
+                      CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+                  AS dup_rate
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // snapshot diff: same slices, same revision rule, same raw-md5
     // hashes, one full outer join
     "q_corpus_diff" ->
@@ -7262,6 +7376,51 @@ object SparkEntry {
                     n.vec_id) AS rank
            FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
            WHERE q.vec_id < 3) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // embedding admission: assign the re-submitted slice to its frozen
+    // cell (same argmax replay as serving), join the cell's postings,
+    // exact cosine >= threshold
+    "q_ann_ivf_admit" ->
+      (KmeansCtes + s""",
+         nf AS (
+           SELECT vec_id + 10000 AS qid, embedding AS qe, cid AS qcell
+           FROM (
+             SELECT e.vec_id, e.embedding, cc.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      round((${dotSql("e.embedding", "cc.cv")}) /
+                            (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                             sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                        DESC NULLS LAST,
+                      cc.cid) AS rn
+             FROM embeddings e CROSS JOIN c2 cc WHERE e.vec_id < 50) t
+           WHERE rn = 1)
+         SELECT left_id, right_id, cosine FROM (
+           SELECT nf.qid AS left_id, n.vec_id AS right_id,
+                  round((${dotSql("n.embedding", "nf.qe")}) /
+                        (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                         sqrt(${dotSql("nf.qe", "nf.qe")})), 6) AS cosine
+           FROM nf JOIN sf n ON nf.qcell = n.cell) t
+         WHERE cosine >= 0.8 ORDER BY left_id, right_id"""),
+
+    // filtered search: the label predicate applies to the candidate set
+    // BEFORE ranking (WHERE precedes the window), replaying the
+    // postings-scan filter
+    "q_ann_ivf_filtered" ->
+      (KmeansCtes + s"""
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  round((${dotSql("q.embedding", "n.embedding")}) /
+                        (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                         sqrt(${dotSql("q.embedding", "q.embedding")})), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "n.embedding")}) /
+                          (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                           sqrt(${dotSql("q.embedding", "q.embedding")})), 6) DESC,
+                    n.vec_id) AS rank
+           FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+                     JOIN embeddings e ON e.vec_id = n.vec_id
+           WHERE q.vec_id < 3 AND e.label < 5) t
          WHERE rank <= 5 ORDER BY query_id, rank"""),
 
     "q_ann_ivf_probe" ->
@@ -9034,6 +9193,9 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // streaming embedding admission backfill ≡ the batch indexed
+      // admission — same pairs, same oracle
+      ("q_stream_ivf_neardup" -> baseOracleSql("q_ann_ivf_admit")) +
       // streaming audio gate backfill ≡ the batch indexed audio join
       ("q_stream_audio_neardup" -> baseOracleSql("q_audio_neardup_incr")) +
       // streaming spectral image gate backfill ≡ the batch indexed join

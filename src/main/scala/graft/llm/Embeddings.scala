@@ -355,13 +355,19 @@ object Embeddings {
       centroids: DataFrame,
       table: String,
       dir: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8,
+      attrs: Seq[String] = Seq.empty): Unit = {
     graft.GraftExtensions.install(emb.sparkSession)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // `attrs` denormalizes filter attributes (language, license, source
+    // tier…) onto the postings, the production FILTERED-search layout:
+    // a predicate then applies AT THE POSTINGS SCAN (parquet pushdown)
+    // instead of a corpus-side join at query time
     val assigned =
       withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
         vecCol, centroids)
-        .select(col(idCol), col(vecCol), col("__n__"), col("__cell__"))
+        .select((Seq(idCol, vecCol, "__n__", "__cell__") ++ attrs)
+          .map(col): _*)
     graft.sources.ParquetIO.writeBucketed(
       assigned, table, s"$dir/postings", "__cell__", buckets)
   }
@@ -410,7 +416,8 @@ object Embeddings {
       dir: String,
       postings: DataFrame,
       k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      filter: Option[Column] = None): DataFrame = {
     graft.GraftExtensions.install(newQueries.sparkSession)
     require(nprobe >= 1, "nprobe must be at least 1")
     val centroids = newQueries.sparkSession.read.parquet(s"$dir/centroids")
@@ -419,8 +426,50 @@ object Embeddings {
         vecCol, centroids)
         .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
           col("__n__").as("__qn__"), col("__cell__"))
-    ivfScoreTail(ivfQueryCells(qAssigned, centroids, nprobe), postings,
+    // FILTERED search (the production "top-k among license-clean docs in
+    // my language" shape): the predicate applies to the POSTINGS SCAN —
+    // with attributes denormalized at ingest ([[ivfIndexSave]] `attrs`)
+    // it pushes into parquet, never a corpus-side join; candidates rank
+    // AFTER filtering, so every query still returns k survivors when
+    // the probed cell holds that many
+    val cand = filter.fold(postings)(postings.where(_))
+    ivfScoreTail(ivfQueryCells(qAssigned, centroids, nprobe), cand,
       idCol, vecCol, k)
+  }
+
+  /** INCREMENTAL embedding near-dup ADMISSION against a persisted
+    * [[ivfIndexSave]] artifact — the semantic-dedup twin of
+    * [[graft.llm.Dedup.minhashJoinIndexed]]: is this new vector a
+    * semantic duplicate of ANYTHING already in the corpus? Only the new
+    * slice assigns itself (broadcast centroids, codegen'd argmax); the
+    * postings scan as stored (bucketed, zero index-side exchange);
+    * candidates = the probed cell's postings, exact cosine ≥ `threshold`
+    * verifies. `nprobe` widens recall for boundary vectors exactly as
+    * in serving — a neighbor lives in ONE cell, so probing more cells
+    * never duplicates a pair. Emits (left_id, right_id, cosine). */
+  def ivfNearDupJoinIndexed(
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      threshold: Double,
+      nprobe: Int = 1): DataFrame = {
+    graft.GraftExtensions.install(newEmb.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val centroids = newEmb.sparkSession.read.parquet(s"$dir/centroids")
+    val qAssigned =
+      withCell(newEmb.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+          col("__n__").as("__qn__"), col("__cell__"))
+    ivfQueryCells(qAssigned, centroids, nprobe)
+      .join(postings, col("__qcell__") === col("__cell__"))
+      .withColumn("cosine",
+        round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("query_id").as("left_id"), col(idCol).as("right_id"),
+        col("cosine"))
   }
 
   /** Nearest-centroid cell assignment: adds `__cell__` (the argmax-cosine

@@ -711,6 +711,31 @@ object TextOps {
     * association on both engines, and the cutoff is `floor(rate * 2^32)`
     * of the identical rounded double — so the kept SET is bit-identical,
     * not just statistically equal. */
+  /** Corpus DATASHEET report — the per-slice summary a dataset release
+    * publishes (Datasheets for Datasets / Dolma-style): docs, whitespace
+    * tokens, characters, distinct texts by exact content hash, and the
+    * duplicate rate, grouped by the given slice columns (language ×
+    * source, license tier…). ONE aggregate over the corpus; the exact
+    * `count(distinct md5)` is the replayable-oracle choice — at 100 TB
+    * swap it for the HLL sketch ([[Sketch.hllDistinct]]) when ±2% is
+    * acceptable, the shape is otherwise identical. */
+  def corpusReport(
+      docs: DataFrame,
+      textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    docs
+      .withColumn("__h__", md5(col(textCol).cast("binary")))
+      .withColumn("__nt__", size(tokens(col(textCol))).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt__")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col("__h__")).as("n_distinct"),
+        round(lit(1.0) -
+          countDistinct(col("__h__")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate"))
+
   def temperatureMix(
       df: DataFrame,
       groupCol: String,

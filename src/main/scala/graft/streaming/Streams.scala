@@ -609,6 +609,71 @@ object Streams {
       }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** STREAMING embedding near-dup admission — the EMBEDDING modality of
+    * the streaming near-dup matrix (text MinHash / image / audio /
+    * video dHash+spectral are the siblings): each arriving vector is
+    * adjudicated against the PERSISTED IVF index
+    * ([[graft.llm.Embeddings.ivfIndexSave]]) — assign to its nearest
+    * frozen centroid (1-row broadcast of the centroid array, codegen'd
+    * argmax; joined on a literal key, not a cross join — stream-static
+    * cross joins are the unsupported shape), stream-static-join the
+    * probed cell's postings, exact cosine ≥ `threshold` verifies
+    * inline; keyed state only de-duplicates re-sent ids (a neighbor
+    * lives in one cell, so pairs never duplicate). Emits
+    * (left_id, right_id, cosine) — [[graft.llm.Embeddings
+    * .ivfNearDupJoinIndexed]]'s contract, so single-batch backfill
+    * parity is spec-gated and the driver query shares its oracle. */
+  def streamingIvfNearDup(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      threshold: Double,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centArr = centroids
+      .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(expr("float_vec_dot(cv, cv)")).as("__cn__"))
+      .agg(collect_list(struct(col("__cid__"), col("__cv__"),
+        col("__cn__"))).as("__cents__"))
+      .withColumn("__one__", lit(1))
+    val cand = docs
+      .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
+      .withColumn("__qn__",
+        sqrt(expr("float_vec_dot(__q__, __q__)")))
+      .withColumn("__one__", lit(1))
+      .join(centArr, Seq("__one__")) // 1-row static side, equi-keyed
+      .withColumn("__qcell__",
+        expr("vec_argmax_cell(__q__, __qn__, __cents__)"))
+      .drop("__cents__", "__one__")
+      .join(postings, col("__qcell__") === col("__cell__"))
+      .withColumn("cosine",
+        round(expr(s"float_vec_dot($vecCol, __q__)")
+          / (col("__n__") * col("__qn__")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("__nid__"), col(idCol).cast("long").as("__bid__"),
+        col("cosine"))
+    val outSchema = StructType(Seq(StructField("left_id", LongType),
+      StructField("right_id", LongType), StructField("cosine", DoubleType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val longEnc = Encoders.scalaLong
+    cand
+      .groupByKey((r: Row) => r.getLong(0))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // vector already adjudicated
+          else {
+            state.update(true)
+            rows.map(r => Row(id, r.getLong(1), r.getDouble(2)))
+          }
+      }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** Streaming perceptual VIDEO near-dup gate — [[streamingImageNearDup]]
     * for clips: each arriving clip decodes + hashes its sampled frames in
     * DISTRIBUTED stateless stages (the per-clip sampled-frame count rides

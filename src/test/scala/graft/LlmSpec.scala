@@ -3079,6 +3079,55 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("filtered IVF search: rank-after-filter semantics, predicate reaches the postings scan") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_flt", "/tmp/graft_ivf_idx/flt", buckets = 4, attrs = Seq("label"))
+    try {
+      val q = emb.where(sc("vec_id") < 3)
+      val served = graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_ivf_idx/flt",
+        s.table("ivf_flt"), k = 5, filter = Some(sc("label") < 5))
+      val rows = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      // every neighbor passes the predicate (rank-after-filter: filtered
+      // candidates are replaced by the next best, never emitted)
+      val labels = emb.select(sc("vec_id"), sc("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (_, n, _) => labels(n) < 5 },
+        "a filtered-out neighbor leaked into the result")
+      // ranks are dense 1..k per query (no gaps where filtered rows were)
+      rows.groupBy(_._1).foreach { case (qid, rs) =>
+        assert(rs.map(_._3).sorted.toSeq === (1 to rs.size).toSeq,
+          s"query $qid ranks not dense: ${rs.map(_._3).sorted.toSeq}")
+      }
+      // ground truth: an index that only ever held the label<5 corpus
+      // (same frozen centroids) serves the same top-k unfiltered
+      graft.llm.Embeddings.ivfIndexSave(
+        emb.where(sc("label") < 5), "vec_id", "embedding", cents,
+        "ivf_flt_truth", "/tmp/graft_ivf_idx/flt_truth", buckets = 4)
+      val truth = graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_ivf_idx/flt_truth",
+        s.table("ivf_flt_truth"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(rows.toSet === truth)
+      // the predicate reaches the POSTINGS parquet scan as a pushed filter
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("LessThan(label,5)"),
+        "label predicate must push into the postings scan")
+    } finally {
+      Seq("ivf_flt", "ivf_flt_truth")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("removeFromBucketed is posting-shape generic: IVF takedown serves as never-indexed") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

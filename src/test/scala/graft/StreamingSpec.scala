@@ -319,6 +319,54 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding admission: assign-probe-verify vs the persisted IVF index, batch parity") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_stream", "/tmp/graft_ivf_idx/stream", buckets = 4)
+    try {
+      val idx = s.table("ivf_stream")
+      // re-submit four corpus vectors under fresh ids: each must flag
+      // its original at cosine 1.0 through the live gate
+      val vecs = emb.where(sc("vec_id").isin(0L, 7L, 13L, 21L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val ms = MemoryStream[(Long, Seq[Float])](s)
+      val flagged = graft.streaming.Streams.streamingIvfNearDup(
+        ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "/tmp/graft_ivf_idx/stream", idx, threshold = 0.8)
+      val q = flagged.writeStream.format("memory").queryName("ivf_admit_out")
+        .outputMode("append").start()
+      try {
+        ms.addData((100L, vecs(0L)), (107L, vecs(7L)))
+        q.processAllAvailable()
+        // batch 2: two more + a RE-SENT id 100 (state suppresses)
+        ms.addData((113L, vecs(13L)), (121L, vecs(21L)), (100L, vecs(0L)))
+        q.processAllAvailable()
+        val rows = s.sql("SELECT left_id, right_id, cosine FROM ivf_admit_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(rows.map(t => (t._1, t._2)).toSet ===
+          Set((100L, 0L), (107L, 7L), (113L, 13L), (121L, 21L)))
+        assert(rows.forall(_._3 === 1.0))
+        // batch parity: the same vectors through the batch admission
+        val batch = graft.llm.Embeddings.ivfNearDupJoinIndexed(
+            Seq((100L, vecs(0L)), (107L, vecs(7L)), (113L, vecs(13L)),
+              (121L, vecs(21L))).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", "/tmp/graft_ivf_idx/stream", idx,
+            threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivf_stream")
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("streaming WET ingestion: conversion records stream as (url, text), warcinfo skipped") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream")
