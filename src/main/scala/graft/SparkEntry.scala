@@ -1724,38 +1724,36 @@ object SparkEntry {
     // --- corpus SNAPSHOT DIFF (the lineage report an incremental
     //     pipeline publishes per version): old = %7!=0 slice, new =
     //     %5!=0 slice with %3==0 texts revised — statuses + content
-    //     hashes per id through one full outer join ---
-    "q_corpus_diff" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val old = df.where(F.col("doc_id") % 7 =!= 0)
-          val nw = df.where(F.col("doc_id") % 5 =!= 0)
-            .withColumn("text",
-              F.when(F.col("doc_id") % 3 === 0,
-                F.concat(F.col("text"), F.lit(" v2")))
-                .otherwise(F.col("text")))
-          graft.llm.Dedup.corpusDiff(old, nw, "doc_id", "text")
-        }
+    //     hashes per id through one full outer join. First-class IR
+    //     with the new snapshot as a sub-model — the query runs
+    //     THROUGH toJson/fromJson. ---
+    "q_corpus_diff" -> ((s, dir) => {
+      val nw = m(dir, "documents").filter(graft.funcs.sql("doc_id % 5 <> 0"))
+      val model = m(dir, "documents")
+        .filter(graft.funcs.sql("doc_id % 7 <> 0"))
+        .corpusDiff(nw,
+          col("doc_id"), col("text"),
+          col("doc_id"),
+          graft.funcs.sql("CASE WHEN doc_id % 3 = 0 " +
+            "THEN concat(text, ' v2') ELSE text END"))
         .sort(col("doc_id"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- corpus DATASHEET report (the per-slice summary a dataset
     //     release publishes): docs / tokens / chars / distinct texts /
     //     dup rate by (lang, source); duplicates planted on %10<3 docs
-    //     (per-source banner) so the rate is non-trivial ---
-    "q_corpus_report" -> ((s, dir) =>
-      m(dir, "documents")
-        .native { df =>
-          import org.apache.spark.sql.{functions => F}
-          val built = df.withColumn("text",
-            F.when(F.col("doc_id") % 10 < 3,
-              F.concat(F.lit("Standard banner for "), F.col("source")))
-              .otherwise(F.col("text")))
-          graft.llm.TextOps.corpusReport(built, "text", Seq("lang", "source"))
-        }
+    //     (per-source banner) so the rate is non-trivial. First-class
+    //     IR — the query runs THROUGH toJson/fromJson. ---
+    "q_corpus_report" -> ((s, dir) => {
+      val model = m(dir, "documents")
+        .corpusReport(
+          graft.funcs.sql("CASE WHEN doc_id % 10 < 3 THEN " +
+            "concat('Standard banner for ', source) ELSE text END"),
+          col("lang"), col("source"))
         .sort(col("lang")).sort(col("source"))
-        .run(s)),
+      graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
+    }),
 
     // --- PARAGRAPH-level near-dup dedup (the Dolma/CCNet stage below
     //     document granularity): both engines synthesize 3 paragraphs

@@ -1116,6 +1116,35 @@ object Compiler {
       val dfB = of.df.withColumn(tName, compileExpr(otherText, of))
       new Frame(graft.llm.TextOps.unigramKl(dfA, dfB, tName, alpha))
 
+    case Source.CorpusDiff(base, other, id, text, otherId, otherText) =>
+      // Lowers to Dedup.corpusDiff over the two compiled frames with a
+      // shared id/text column naming; the new snapshot is a sub-model
+      // (the CorpusDrift seam), compiled — not collected.
+      val bf = compileSource(base, spark)
+      val of = compileSource(other.source, spark)
+      of.pending.keys.toSeq.foreach(of.attach)
+      val idName = id.identifier
+      val tName = "__cd_text__"
+      val dfO = bf.df
+        .withColumn(idName, compileExpr(id, bf))
+        .withColumn(tName, compileExpr(text, bf))
+      val dfN = of.df
+        .withColumn(idName, compileExpr(otherId, of))
+        .withColumn(tName, compileExpr(otherText, of))
+      new Frame(graft.llm.Dedup.corpusDiff(dfO, dfN, idName, tName))
+
+    case Source.CorpusReport(base, text, groups) =>
+      // Lowers to TextOps.corpusReport: one aggregate, slice columns
+      // named by their expressions' identifiers.
+      val bf = compileSource(base, spark)
+      val tName = "__cr_text__"
+      val gNames = groups.map(_.identifier)
+      val df = groups.zip(gNames).foldLeft(
+        bf.df.withColumn(tName, compileExpr(text, bf))) {
+        case (d, (g, n)) => d.withColumn(n, compileExpr(g, bf))
+      }
+      new Frame(graft.llm.TextOps.corpusReport(df, tName, gNames))
+
     case Source.SemanticDecontam(base, id, vec, eval, evalVec, threshold) =>
       // The eval sub-model compiles and COLLECTS at plan-build time — a
       // bounded model parameter (benchmark suites are small; the

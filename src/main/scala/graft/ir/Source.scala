@@ -371,6 +371,31 @@ object Source {
       threshold: Double,
   ) extends Source
 
+  /** Corpus snapshot diff (beyond-reference, the wire form of
+    * `graft.llm.Dedup.corpusDiff`): per-id added/removed/changed/
+    * unchanged between this (old) snapshot and the `other` (new)
+    * sub-model by EXACT content hash, both hashes carried for audit —
+    * the lineage report an incremental pipeline publishes per corpus
+    * version. Output: (id, status, old_md5, new_md5). */
+  final case class CorpusDiff(
+      base: Source,
+      other: graft.model.Model,
+      id: Expr,
+      text: Expr,
+      otherId: Expr,
+      otherText: Expr,
+  ) extends Source
+
+  /** Corpus datasheet report (beyond-reference, the wire form of
+    * `graft.llm.TextOps.corpusReport`): per-slice docs / whitespace
+    * tokens / chars / distinct texts / duplicate rate grouped by the
+    * named `groups` expressions. */
+  final case class CorpusReport(
+      base: Source,
+      text: Expr,
+      groups: Seq[Expr],
+  ) extends Source
+
   /** Per-domain document cap (beyond-reference, the wire form of
     * `graft.llm.TextOps.domainCap`): keep at most `cap` rows per value of
     * `domain`, chosen in deterministic (md5(id), id) order. Keeps base

@@ -629,6 +629,29 @@ final case class Model(
     Model(Source.CorpusDrift(source, other, text, otherText, alpha))
   }
 
+  /** Corpus snapshot diff (the wire-serializable form of
+    * `graft.llm.Dedup.corpusDiff`): per-id added / removed / changed /
+    * unchanged between THIS (old) snapshot and `other` (new) by exact
+    * content hash — the lineage report an incremental pipeline
+    * publishes per corpus version, with the new snapshot riding the
+    * wire as a sub-model. Output: id, status, old_md5, new_md5. */
+  def corpusDiff(
+      other: Model,
+      id: Expr,
+      text: Expr,
+      otherId: Expr,
+      otherText: Expr): Model =
+    Model(Source.CorpusDiff(source, other, id, text, otherId, otherText))
+
+  /** Corpus datasheet report (the wire-serializable form of
+    * `graft.llm.TextOps.corpusReport`): per-slice docs, whitespace
+    * tokens, chars, distinct texts by exact hash, and duplicate rate,
+    * grouped by the named `groups` expressions. */
+  def corpusReport(text: Expr, groups: Expr*): Model = {
+    require(groups.nonEmpty, "corpusReport needs at least one slice column")
+    Model(Source.CorpusReport(source, text, groups))
+  }
+
   /** Semantic benchmark decontamination (the wire-serializable form of
     * `graft.llm.Embeddings.semanticDecontaminate`): flag rows whose max
     * cosine against `eval`'s vectors (column named like `evalVec`)

@@ -149,6 +149,13 @@ object WireFormat {
     case Source.CorpusDrift(b, other, tx, otx, alpha) =>
       Map("t" -> "corpusDrift", "base" -> sourceW(b), "other" -> modelW(other),
         "text" -> exprW(tx), "otherText" -> exprW(otx), "alpha" -> alpha)
+    case Source.CorpusDiff(b, other, id, tx, oid, otx) =>
+      Map("t" -> "corpusDiff", "base" -> sourceW(b), "other" -> modelW(other),
+        "id" -> exprW(id), "text" -> exprW(tx), "otherId" -> exprW(oid),
+        "otherText" -> exprW(otx))
+    case Source.CorpusReport(b, tx, groups) =>
+      Map("t" -> "corpusReport", "base" -> sourceW(b), "text" -> exprW(tx),
+        "groups" -> groups.map(exprW).toList)
     case Source.SemanticDecontam(b, id, v, eval, ev, th) =>
       Map("t" -> "semanticDecontam", "base" -> sourceW(b), "id" -> exprW(id),
         "vec" -> exprW(v), "eval" -> modelW(eval), "evalVec" -> exprW(ev),
@@ -370,6 +377,13 @@ object WireFormat {
       }
       Source.CorpusDrift(sourceR(obj(s("base"))), modelR(obj(s("other"))),
         exprR(obj(s("text"))), exprR(obj(s("otherText"))), alpha)
+    case "corpusDiff" =>
+      Source.CorpusDiff(sourceR(obj(s("base"))), modelR(obj(s("other"))),
+        exprR(obj(s("id"))), exprR(obj(s("text"))),
+        exprR(obj(s("otherId"))), exprR(obj(s("otherText"))))
+    case "corpusReport" =>
+      Source.CorpusReport(sourceR(obj(s("base"))), exprR(obj(s("text"))),
+        s("groups").asInstanceOf[List[Any]].map(g => exprR(obj(g))))
     case "semanticDecontam" =>
       val th = s("threshold") match {
         case d: Double => d
