@@ -3180,6 +3180,43 @@ class LlmSpec extends GraftSuite {
       (4L, "added", false, true)))
   }
 
+  test("corpusDiff over id-bucketed snapshots plans ZERO shuffles") {
+    // the 100 TB layout contract: snapshots stored bucketed+sorted on id
+    // satisfy the full outer join's distribution AND ordering, so the
+    // per-version diff is two co-located scans — no exchange anywhere
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("doc_id"), sc("text"))
+    graft.sources.ParquetIO.writeBucketed(
+      docs.where(sc("doc_id") % 7 =!= 0), "snap_old",
+      "/tmp/graft_snap/old", "doc_id", 4)
+    graft.sources.ParquetIO.writeBucketed(
+      docs.where(sc("doc_id") % 5 =!= 0), "snap_new",
+      "/tmp/graft_snap/new", "doc_id", 4)
+    try {
+      val diff = graft.llm.Dedup.corpusDiff(
+        s.table("snap_old"), s.table("snap_new"), "doc_id", "text")
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case w: WholeStageCodegenExec => Seq(w.child)
+          case _ => Seq.empty
+        })).flatMap(flatten)
+      val nShuffles = flatten(diff.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(nShuffles === 0,
+        s"bucketed snapshot diff planned $nShuffles exchanges")
+      // and the statuses are still right on the layout
+      val counts = diff.groupBy(sc("status")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.keySet === Set("added", "removed", "unchanged"))
+    } finally Seq("snap_old", "snap_new")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("autoBits: exact integer ceil-log2 with clamping") {
     import graft.llm.Embeddings.autoBits
     // smallest b with 2^b >= ceil(n / target), clamped to [min, max]
