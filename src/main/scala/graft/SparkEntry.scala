@@ -5655,9 +5655,10 @@ object SparkEntry {
            FROM documents WHERE doc_id % 5 <> 0
          )
          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-                CASE WHEN o.old_md5 IS NULL THEN 'added'
-                     WHEN n.new_md5 IS NULL THEN 'removed'
-                     WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.old_md5 IS NOT DISTINCT FROM n.new_md5
+                       THEN 'unchanged'
                      ELSE 'changed' END AS status,
                 o.old_md5 AS old_md5, n.new_md5 AS new_md5
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id

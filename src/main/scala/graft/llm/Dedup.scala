@@ -37,15 +37,20 @@ object Dedup {
       newDocs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // explicit per-side PRESENCE flags: status must come from which side
+    // of the full outer join matched, never from hash nullness — a NULL
+    // text hashes to NULL and would misreport removed/changed as 'added'
     val o = oldDocs.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("old_md5"))
+      md5(col(textCol).cast("binary")).as("old_md5"),
+      lit(true).as("__in_old__"))
     val n = newDocs.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("new_md5"))
+      md5(col(textCol).cast("binary")).as("new_md5"),
+      lit(true).as("__in_new__"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_md5").isNull, "added")
-          .when(col("new_md5").isNull, "removed")
-          .when(col("old_md5") === col("new_md5"), "unchanged")
+        when(col("__in_old__").isNull, "added")
+          .when(col("__in_new__").isNull, "removed")
+          .when(col("old_md5") <=> col("new_md5"), "unchanged")
           .otherwise("changed").as("status"),
         col("old_md5"), col("new_md5"))
   }

@@ -1163,6 +1163,12 @@ object Embeddings {
     require(evalVecs.nonEmpty, "need a non-empty eval suite")
     require(evalVecs.forall(_.forall(f => !f.isNaN && !f.isInfinite)),
       "eval vectors must be finite (literal round-trip)")
+    // zero-norm eval vectors have no cosine: the literal path would NaN
+    // every row (NaN is greatest → everything flags) while the broadcast
+    // argmax pins zero-norm sims to -2 — reject them so the two paths
+    // can never diverge across the maxEvalVecs boundary
+    require(evalVecs.forall(_.exists(_ != 0f)),
+      "eval vectors must have nonzero norm (cosine undefined)")
     graft.GraftExtensions.install(corpus.sparkSession)
     val withNorm = corpus.withColumn("__nrm__",
       sqrt(expr(s"float_vec_dot($vecCol, $vecCol)")))

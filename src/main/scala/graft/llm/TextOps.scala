@@ -686,31 +686,6 @@ object TextOps {
       delim)
   }
 
-  /** Temperature-weighted corpus mixing — the multilingual-pretraining
-    * resampling step (Conneau et al. XLM-R §3.1 / Xue et al. mT5 §3.2):
-    * group g's share of the kept corpus is re-weighted ∝ n_g^alpha, so
-    * alpha < 1 up-samples rare languages/sources and alpha = 1 keeps
-    * natural proportions. `keepFrac` sets the overall kept fraction;
-    * per-group rates cap at 1 (a tiny group can't be over-sampled without
-    * replication, which a filter can't do — callers wanting true
-    * up-sampling union extra hash-slices).
-    *
-    * Scale shape: ONE group-count aggregate (map-side combined) — global
-    * totals come from an unbounded window over that #groups-row frame, so
-    * the corpus is scanned exactly once for statistics — and a broadcast
-    * of the per-group rate table (rows = #groups, tiny by definition)
-    * back onto the corpus; the keep decision
-    * is then a pure per-row hash predicate in the same md5-prefix space
-    * as [[hashSample]] — deterministic across engines, partitionings, and
-    * reruns, and nested across keepFrac values. Nothing in the row path
-    * shuffles.
-    *
-    * Determinism discipline (oracle-replayable): pow results and rates
-    * round to 6 dp, the weight SUM runs in decimal (order-independent),
-    * the double expression `keepFrac * N * w / S / n_g` keeps one fixed
-    * association on both engines, and the cutoff is `floor(rate * 2^32)`
-    * of the identical rounded double — so the kept SET is bit-identical,
-    * not just statistically equal. */
   /** Corpus DATASHEET report — the per-slice summary a dataset release
     * publishes (Datasheets for Datasets / Dolma-style): docs, whitespace
     * tokens, characters, distinct texts by exact content hash, and the
@@ -736,6 +711,31 @@ object TextOps {
           countDistinct(col("__h__")).cast("double") /
             count(lit(1)).cast("double"), 6).as("dup_rate"))
 
+  /** Temperature-weighted corpus mixing — the multilingual-pretraining
+    * resampling step (Conneau et al. XLM-R §3.1 / Xue et al. mT5 §3.2):
+    * group g's share of the kept corpus is re-weighted ∝ n_g^alpha, so
+    * alpha < 1 up-samples rare languages/sources and alpha = 1 keeps
+    * natural proportions. `keepFrac` sets the overall kept fraction;
+    * per-group rates cap at 1 (a tiny group can't be over-sampled without
+    * replication, which a filter can't do — callers wanting true
+    * up-sampling union extra hash-slices).
+    *
+    * Scale shape: ONE group-count aggregate (map-side combined) — global
+    * totals come from an unbounded window over that #groups-row frame, so
+    * the corpus is scanned exactly once for statistics — and a broadcast
+    * of the per-group rate table (rows = #groups, tiny by definition)
+    * back onto the corpus; the keep decision
+    * is then a pure per-row hash predicate in the same md5-prefix space
+    * as [[hashSample]] — deterministic across engines, partitionings, and
+    * reruns, and nested across keepFrac values. Nothing in the row path
+    * shuffles.
+    *
+    * Determinism discipline (oracle-replayable): pow results and rates
+    * round to 6 dp, the weight SUM runs in decimal (order-independent),
+    * the double expression `keepFrac * N * w / S / n_g` keeps one fixed
+    * association on both engines, and the cutoff is `floor(rate * 2^32)`
+    * of the identical rounded double — so the kept SET is bit-identical,
+    * not just statistically equal. */
   def temperatureMix(
       df: DataFrame,
       groupCol: String,

@@ -144,11 +144,14 @@ object ParquetIO {
       buckets: Int,
   ): Unit = {
     require(buckets > 0, "buckets must be positive")
-    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(auto)
-    spark.conf.set(auto, "false") // one scan task per whole bucket
-    try writeBucketed(spark.table(table), dstTable, dstPath, key, buckets)
-    finally prev.fold(spark.conf.unset(auto))(spark.conf.set(auto, _))
+    // a CLONED session (shared SparkContext + catalog, OWN conf) forces
+    // the bucketed scan without touching the caller's session: a global
+    // toggle would race with overlapping compactions/takedowns or any
+    // concurrent query that wants auto-bucketed scanning
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") // one scan task per whole bucket
+    writeBucketed(s2.table(table), dstTable, dstPath, key, buckets)
   }
 
   /** TAKEDOWN maintenance — remove a document set from a persisted
@@ -176,14 +179,15 @@ object ParquetIO {
   ): Unit = {
     require(buckets > 0, "buckets must be positive")
     val rm = removeIds.toDF("__rm__")
-    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(auto)
-    spark.conf.set(auto, "false") // one scan task per whole bucket
-    try writeBucketed(
-      spark.table(table).join(org.apache.spark.sql.functions.broadcast(rm),
+    // cloned session: see [[compactBucketed]] — forces the bucketed scan
+    // without a racy global conf toggle
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") // one scan task per whole bucket
+    writeBucketed(
+      s2.table(table).join(org.apache.spark.sql.functions.broadcast(rm),
         col(idCol) === col("__rm__"), "left_anti"),
       dstTable, dstPath, key, buckets)
-    finally prev.fold(spark.conf.unset(auto))(spark.conf.set(auto, _))
   }
 
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */

@@ -366,7 +366,7 @@ object Streams {
     val hashed = graft.llm.Multimodal.dhash(
         docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
         idCol, payloadCol)
-      .where(col("dhash").isNotNull)
+      .where(col("dhash").isNotNull && col(idCol).isNotNull)
     val outSchema = StructType(Seq(StructField(idCol, LongType),
       StructField("dhash", ArrayType(IntegerType, containsNull = false))))
     implicit val rowEnc = Encoders.row(outSchema)
@@ -484,7 +484,10 @@ object Streams {
     require(maxHamming >= 0 && maxHamming <= 7,
       "byte-band blocking is exact only for hamming <= 7")
     import org.apache.spark.sql.types._
-    val hashed = hashedIn.where(col("dhash").isNotNull)
+    // NULL ids cannot carry adjudication state (and would NPE the keyed
+    // extractor) — dropped like undecodable payloads
+    val hashed = hashedIn.where(col("dhash").isNotNull &&
+      col(idCol).isNotNull)
     val cand = hashed
       .select(col(idCol).as("__nid__"), col("dhash"),
         posexplode(col("dhash")).as(Seq("__band__", "__bv__")))
@@ -568,6 +571,9 @@ object Streams {
     val cand = docs
       .select(col(idCol).cast("long").as("__nid__"),
         col(textCol).as("__text__"))
+      // a NULL id cannot carry adjudication state (and would NPE the
+      // keyed extractor) — dropped honestly, like undecodable payloads
+      .where(col("__nid__").isNotNull)
       .withColumn("__ntoks__", TextOps.tokens(col("__text__")))
       .where(size(col("__ntoks__")) >= shingleSize)
       .withColumn("__sig__",
@@ -643,6 +649,8 @@ object Streams {
       .withColumn("__one__", lit(1))
     val cand = docs
       .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
+      // NULL ids cannot carry adjudication state — dropped honestly
+      .where(col("__nid__").isNotNull)
       .withColumn("__qn__",
         sqrt(expr("float_vec_dot(__q__, __q__)")))
       .withColumn("__one__", lit(1))
@@ -700,7 +708,7 @@ object Streams {
     val hashed = graft.llm.Multimodal.videoDhash(
         docs.select(col(idCol).cast("long").as(idCol), col(payloadCol)),
         idCol, payloadCol, every)
-      .where(col("dhash").isNotNull)
+      .where(col("dhash").isNotNull && col(idCol).isNotNull)
     val cand = hashed
       .select(col(idCol).as("__nid__"), col("n_frames").as("__nfa__"),
         col("frame_ix"), col("dhash"),

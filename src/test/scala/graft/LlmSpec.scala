@@ -3167,8 +3167,13 @@ class LlmSpec extends GraftSuite {
   test("corpusDiff: added/removed/changed/unchanged statuses by exact content hash") {
     val s = spark
     import s.implicits._
-    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
-    val nw = Seq((2L, "beta"), (3L, "GAMMA v2"), (4L, "delta")).toDF("doc_id", "text")
+    // ids 5-7 exercise NULL texts: status must come from join-side
+    // PRESENCE, never hash nullness (md5(NULL) is NULL on both sides)
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (5L, null: String), (6L, null: String), (7L, "eta"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "GAMMA v2"), (4L, "delta"),
+      (5L, "now present"), (7L, null: String)).toDF("doc_id", "text")
     val got = graft.llm.Dedup.corpusDiff(old, nw, "doc_id", "text")
       .orderBy(sc("doc_id")).collect()
       .map(r => (r.getLong(0), r.getString(1),
@@ -3177,7 +3182,10 @@ class LlmSpec extends GraftSuite {
       (1L, "removed", true, false),
       (2L, "unchanged", true, true),
       (3L, "changed", true, true),
-      (4L, "added", false, true)))
+      (4L, "added", false, true),
+      (5L, "changed", false, true),   // null -> text: changed, not added
+      (6L, "removed", false, false),  // null-text row removed, not added
+      (7L, "changed", true, false)))  // text -> null: changed
   }
 
   test("corpusDiff over id-bucketed snapshots plans ZERO shuffles") {
