@@ -101,11 +101,24 @@ object Bench {
       }
     }
 
-    // warm-up, untimed: one relational aggregate + one llm text/hash
-    // pipeline, so JIT/codegen compilation of both expression families is
-    // absorbed before the timed pass
-    exec("q1_agg")
-    exec("q_dedup_minhash")
+    // Warm-up, untimed: one query per codegen'd NATIVE family, so the
+    // heavy tail stops paying JIT compilation inside its timed run. The
+    // r14 driver sweep recorded six 2-6× rows that steady-state
+    // disproved, all in families the old two-query warm-up (relational
+    // agg + minhash) never touched: wordpiece greedy-match, unigram
+    // viterbi, spectral DFT, kmeans/vec-argmax, and the JPEG/GIF codec
+    // loops. Each warm-up below is the CHEAPEST query exercising its
+    // family (~6 s total untimed at sf0.1).
+    Seq(
+      "q1_agg",                // relational agg + shuffle machinery
+      "q_dedup_minhash",       // shingle/minhash/band natives
+      "q_wordpiece_encode",    // wordpiece greedy-match native
+      "q_unigram_segment",     // unigram viterbi native
+      "q_audio_spectral_incr", // spectral DFT + WAV codec natives
+      "q_image_spectral_incr", // image spectral + JPEG decode natives
+      "q_multimodal_gif",      // GIF/LZW codec loop
+      "q_ann_ivf"              // kmeans / vec-argmax natives
+    ).filter(SparkEntry.queries.contains).foreach(exec)
 
     // With args: time only the named queries, three passes each (regression
     // isolation — pass 1 includes per-query codegen, passes 2-3 are steady

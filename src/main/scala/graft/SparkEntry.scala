@@ -20,6 +20,30 @@ object SparkEntry {
     java.lang.Long.toHexString(
       java.util.UUID.randomUUID().getMostSignificantBits & 0xffffffffL)
 
+  /** Fixture FORMAT version, baked into every memoized fixture name:
+    * fixtures are keyed by (data dir, params), so a change to a builder
+    * (minhashIndex, kmeans/ivfIndexSave, knNgramFit, the WARC/WET
+    * writers) would otherwise keep serving the stale on-disk artifact
+    * across sessions until someone deleted target/fixtures by hand.
+    * Bump this token whenever any fixture builder's output changes. */
+  private val FixtureVer = "f2"
+
+  /** Atomic fixture publish: rename the fully-written staging dir into
+    * place. A lost race (a concurrent winner already published) discards
+    * the loser's complete copy benignly; any OTHER rename failure
+    * (crash-truncated tmp, permissions, cross-device move) must fail
+    * loudly here — swallowed, it resurfaces as an unrelated
+    * path-not-found on the first read with no hint of the real cause. */
+  private def publishFixture(
+      tmp: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    if (!tmp.toFile.renameTo(dst.toFile)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      if (!java.nio.file.Files.exists(dst))
+        throw new IllegalStateException(
+          s"fixture publish failed: rename $tmp -> $dst failed and no " +
+            "concurrent winner produced the artifact (disk full? perms?)")
+    }
+
   private def m(dir: String, table: String): Model = Model.parquet(dir, table)
 
   /** Unicode fixture corpus for the tokenizer-path queries: decompose
@@ -36,9 +60,9 @@ object SparkEntry {
     * serializes extraction behind one task). Deterministic per data dir
     * — built once, on disk. */
   private def linksWarcFixture(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
     val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
-      .resolve("links_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .resolve(s"links_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     val glob = s"$fixDir/*.warc.gz"
     if (!java.nio.file.Files.exists(fixDir)) {
       // per-builder tmp dir: two concurrent builders (tests + Verify in
@@ -71,9 +95,7 @@ object SparkEntry {
         graft.sources.Warc.write(s"$tmp/shard$k.warc.gz",
           rows.filter(_._1 % 8 == k).map(_._2).toSeq)
       }
-      // atomic publish: concurrent builders race benignly
-      if (!tmp.toFile.renameTo(fixDir.toFile))
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      publishFixture(tmp, fixDir)
     }
     glob
   }
@@ -93,8 +115,9 @@ object SparkEntry {
     * registration preserves it, so the serve join still plans zero
     * index-side exchanges). Returns the catalog table name. */
   private def indexFixture(
-      s: SparkSession, name: String, key: String, buckets: Int)(
+      s: SparkSession, name0: String, key: String, buckets: Int)(
       build: => org.apache.spark.sql.DataFrame): String = synchronized {
+    val name = s"${FixtureVer}_$name0"
     val tbl = "fix_" + name
     if (!s.catalog.tableExists(tbl)) {
       val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
@@ -107,8 +130,7 @@ object SparkEntry {
         graft.sources.ParquetIO.writeBucketed(
           build, tmpTbl, tmpPath.toString, key, buckets)
         s.sql(s"DROP TABLE IF EXISTS $tmpTbl") // external table: files stay
-        if (!tmpPath.toFile.renameTo(dataDir.toFile))
-          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+        publishFixture(tmpPath, dataDir)
       }
       val ddl = s.read.parquet(dataDir.toString).schema.toDDL
       s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
@@ -126,7 +148,7 @@ object SparkEntry {
       s: SparkSession, dir: String, attrs: Seq[String] = Seq.empty)
       : (String, String) =
     synchronized {
-      val name = "ivf" +
+      val name = s"ivf_$FixtureVer" +
         (if (attrs.isEmpty) "" else attrs.mkString("_", "_", "")) + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = "fix_" + name
@@ -145,8 +167,46 @@ object SparkEntry {
             emb, "vec_id", "embedding", cents, tmpTbl, tmpPath.toString,
             attrs = attrs)
           s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-          if (!tmpPath.toFile.renameTo(dataDir.toFile))
-            org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (__cell__) SORTED BY (__cell__) INTO 8 BUCKETS
+                  LOCATION '$dataDir/postings'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
+  /** [[ivfIndexFixture]] for the PQ-CODED persisted artifact
+    * ([[graft.llm.Embeddings.ivfPqIndexSave]]): coarse sqrt(n) k-means
+    * + m=2 segment codebooks fit once at ingest, postings store only
+    * (cell, id, codes) — the serve queries time the coded-scan + ADC +
+    * rerank read path, never the fit. */
+  private def ivfPqIndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"ivfpq_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+            emb, "vec_id", "embedding", iters = 2)
+          val cb = graft.llm.Embeddings.pqCodebooks(
+            emb, "vec_id", "embedding", dim = 64, m = 2,
+            initPred = org.apache.spark.sql.functions.col("vec_id") < 4,
+            iters = 2)
+          graft.llm.Embeddings.ivfPqIndexSave(
+            emb, "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+            tmpTbl, tmpPath.toString)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
         }
         val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
         s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
@@ -165,9 +225,9 @@ object SparkEntry {
     * gzip task and ScaleCheck would measure the fixture, not the
     * operator. */
   private def wetFixture(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
     val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
-      .resolve("wet_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .resolve(s"wet_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     val glob = s"$fixDir/*.warc.wet.gz"
     if (!java.nio.file.Files.exists(fixDir)) {
       val tmp = java.nio.file.Paths.get(fixDir.toString + ".tmp-" + runTag)
@@ -187,8 +247,57 @@ object SparkEntry {
           }.toSeq
         graft.sources.Warc.write(s"$tmp/shard$k.warc.wet.gz", recs)
       }
-      if (!tmp.toFile.renameTo(fixDir.toFile))
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      publishFixture(tmp, fixDir)
+    }
+    glob
+  }
+
+  /** Memoized MULTI-SHARD WAT fixture — the link-METADATA member of the
+    * crawl trio: 8 `.warc.wat.gz` shards, one `metadata` record per doc
+    * whose JSON envelope lists the SAME anchor targets
+    * [[linksWarcFixture]] encodes as HTML (`srcs[(id·7+j·13) mod n]` for
+    * j ≤ id mod 4), PLUS the relative/javascript noise anchors (present
+    * in the Links array — the GRAPH layer must drop them) and an
+    * `IMG@/src` entry with an absolute URL (the READER must drop it:
+    * only `A@/href` rows are links). Edge set therefore ≡ the HTML
+    * extraction's, so q_pagerank_wat shares q_pagerank_links' oracle. */
+  private def watFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
+    val fixDir = java.nio.file.Paths.get("/root/repo/target/fixtures")
+      .resolve(s"wat_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val glob = s"$fixDir/*.warc.wat.gz"
+    if (!java.nio.file.Files.exists(fixDir)) {
+      val tmp = java.nio.file.Paths.get(fixDir.toString + ".tmp-" + runTag)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      java.nio.file.Files.createDirectories(tmp)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source")
+      // fixture-only driver collects: 20 sources, |docs| rows
+      val srcs = docs.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val nSrc = srcs.length
+      val rows = docs.collect().sortBy(_.getLong(0)).map { r =>
+        val id = r.getLong(0); val src = r.getString(1)
+        val anchors = (1L to (id % 4)).map { j =>
+          val dst = srcs(((id * 7 + j * 13) % nSrc).toInt)
+          s"""{"path":"A@/href","url":"https://$dst.example/p/$j"}"""
+        } ++ Seq(
+          """{"path":"A@/href","url":"/rel/p"}""",
+          """{"path":"A@/href","url":"javascript:void(0)"}""",
+          s"""{"path":"IMG@/src","url":"https://img-$src.example/i.png"}""")
+        val json =
+          s"""{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[${anchors.mkString(",")}]}}}}}"""
+        (id, ("metadata", s"https://$src.example/d/$id", "application/json",
+          json.getBytes("UTF-8")))
+      }
+      (0 until 8).foreach { k =>
+        val recs = ("warcinfo", s"urn:graft:wat-shard-$k",
+          "application/warc-fields",
+          "software: graft-fixture\r\n".getBytes("UTF-8")) +:
+          rows.filter(_._1 % 8 == k).map(_._2).toSeq
+        graft.sources.Warc.write(s"$tmp/shard$k.warc.wat.gz", recs)
+      }
+      publishFixture(tmp, fixDir)
     }
     glob
   }
@@ -199,8 +308,9 @@ object SparkEntry {
     * per-JVM staging dir + atomic rename, returns the artifact dir. The
     * serve-side queries time scoring against a model production fit at
     * ingest, not the fit itself. */
-  private def dirFixture(name: String)(build: String => Unit): String =
+  private def dirFixture(name0: String)(build: String => Unit): String =
     synchronized {
+      val name = s"${FixtureVer}_$name0"
       val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
       java.nio.file.Files.createDirectories(root)
       val dataDir = root.resolve(name)
@@ -208,8 +318,7 @@ object SparkEntry {
         val tmpPath = root.resolve(s"$name.tmp-$runTag")
         org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
         build(tmpPath.toString)
-        if (!tmpPath.toFile.renameTo(dataDir.toFile))
-          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+        publishFixture(tmpPath, dataDir)
       }
       dataDir.toString
     }
@@ -1044,6 +1153,37 @@ object SparkEntry {
         .sort(col("domain"))
         .run(s)),
 
+    // --- WAT (link-metadata) source — the crawl trio's third member:
+    //     anchor links parsed straight from the JSON metadata records
+    //     (codegen'd from_json, no HTML fetch/parse), per-target-host
+    //     in-link stats over the absolute targets ---
+    "q_wat_source" -> ((s, dir) =>
+      Model.wat(watFixture(s, dir))
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          df.where(F.col("dst_url").rlike("^https?://"))
+            .groupBy(F.regexp_extract(F.col("dst_url"), "^https://([^/]+)/", 1)
+              .as("dst_host"))
+            .agg(F.count(F.lit(1)).as("n_in"),
+              F.countDistinct(F.col("src_url")).as("n_src_pages"))
+        }
+        .sort(col("dst_host"))
+        .run(s)),
+
+    // --- PageRank over the WAT link metadata: the extraction-free link
+    //     graph real crawl-curation pipelines run (links come as data,
+    //     never via HTML regex) — same edge set as q_pagerank_links by
+    //     fixture construction, so the oracle is shared by reference ---
+    "q_pagerank_wat" -> ((s, dir) =>
+      Model.wat(watFixture(s, dir))
+        .native { df =>
+          val edges = graft.llm.Graph.linkEdges(df, "src_url", "dst_url")
+          graft.llm.Graph.pageRankDomains(
+            edges, "src_domain", "dst_domain", iterations = 3)
+        }
+        .sort(col("domain"))
+        .run(s)),
+
     // --- ORC file connector (Spark-native columnar reader — pushdown and
     //     pruning like parquet; the fixture write is a distributed Spark
     //     write, not a driver-side encode). Oracle replays on the parquet
@@ -1717,6 +1857,44 @@ object SparkEntry {
           graft.llm.Dedup.minhashJoinIndexed(
             df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
             df.sparkSession.table(dst))
+        }
+        .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
+    // --- the full maintenance loop ENDING IN THE ATOMIC SWAP: takedown
+    //     → zero-shuffle compaction → promoteVersion re-points the
+    //     serving name at the final version (one catalog op; in-flight
+    //     readers keep their version) → the superseded intermediate
+    //     retires → the admission join serves THROUGH the view. Values
+    //     identical to serving the takedown table directly (compaction
+    //     and the view alias are value-neutral) — oracle shared by
+    //     reference with q_dedup_takedown ---
+    "q_dedup_promote" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val tbl = indexFixture(s,
+            "minhash8x2_odd_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+            "__bkey__", 8) {
+            graft.llm.Dedup.minhashIndex(
+              df.where(F.col("doc_id") % 2 === 1), "doc_id", "text")
+          }
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + runTag
+          val td = s"minhash_promo_td_$tag"
+          graft.sources.ParquetIO.removeFromBucketed(
+            s, tbl, "__id__",
+            df.where(F.col("doc_id") % 2 === 1 && F.col("doc_id") % 3 === 0)
+              .select(F.col("doc_id")),
+            td, s"/tmp/graft_promote/$td", "__bkey__", 8)
+          val cp = s"minhash_promo_cp_$tag"
+          graft.sources.ParquetIO.compactBucketed(
+            s, td, cp, s"/tmp/graft_promote/$cp", "__bkey__", 8)
+          val serve = s"minhash_promo_serve_$tag"
+          graft.sources.ParquetIO.promoteVersion(s, serve, cp)
+          graft.sources.ParquetIO.retireVersion(s, td)
+          graft.llm.Dedup.minhashJoinIndexed(
+            df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
+            df.sparkSession.table(serve))
         }
         .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
@@ -3178,6 +3356,25 @@ object SparkEntry {
             dim = 64, m = 2, initPred = F.col("vec_id") < 4, iters = 2)
           graft.llm.Embeddings.ivfPqTopK(df, "vec_id", "embedding",
             coarse, cb, dim = 64, m = 2, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
+    // --- PQ-CODED PERSISTED IVF serving (the 100 TB artifact): postings
+    //     store (cell, id, m codes) only — 16-32× fewer bytes than raw
+    //     vectors — ADC scores the probed cell's codes from broadcast
+    //     lookup maps, then the exact cosine reranks the candFactor·k
+    //     shortlist only (deterministic candidate SET, the
+    //     quantizedRerank discipline) ---
+    "q_ann_ivfpq_indexed" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfPqIndexFixture(s, dir)
+          graft.llm.Embeddings.ivfPqTopKIndexed(
+            df.where(F.col("vec_id") === 0), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, m = 2, k = 10,
+            candFactor = 4, rerank = Some(df))
         }
         .sort(col("rank"))
         .run(s)),
@@ -5299,6 +5496,28 @@ object SparkEntry {
          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 12
          GROUP BY 1 ORDER BY 1""",
 
+    // WAT fixture links replay the deterministic anchor construction on
+    // the parquet original (srcs[(id·7+j·13) mod n] for j ≤ id mod 4);
+    // the relative/javascript noise anchors drop at the query's rlike
+    // and the IMG@/src entry drops at the reader's path filter, so
+    // neither appears here.
+    "q_wat_source" ->
+      """WITH srcs AS MATERIALIZED (
+           SELECT source, row_number() OVER (ORDER BY source) - 1 AS k
+           FROM (SELECT DISTINCT source FROM documents)),
+         lnk AS (
+           SELECT d.doc_id, s2.source AS dst
+           FROM documents d,
+                LATERAL unnest(range(1, 4)) AS t(j),
+                srcs s2
+           WHERE t.j <= d.doc_id % 4
+             AND s2.k = (d.doc_id * 7 + t.j * 13)
+                          % (SELECT count(*) FROM srcs))
+         SELECT dst || '.example' AS dst_host,
+                CAST(count(*) AS BIGINT) AS n_in,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages
+         FROM lnk GROUP BY 1 ORDER BY dst_host""",
+
     // WARC fixture is encoded from the documents table, so the oracle
     // replays url + utf-8 byte length on the parquet original directly.
     "q_warc_source" ->
@@ -7361,6 +7580,51 @@ object SparkEntry {
                 CROSS JOIN q) t
          WHERE rank <= 10 ORDER BY rank"""),
 
+    // persisted IVF-PQ serving: same coarse+codebook chains as
+    // q_ann_ivfpq (the stored codes ARE those deterministic argmax
+    // assignments), ADC-ranked candidate cut at candFactor·k = 40
+    // (score desc, id — a deterministic SET), then the exact-cosine
+    // rerank over the shortlist only picks the final top 10
+    "q_ann_ivfpq_indexed" ->
+      (KmeansCtes + s""",
+         corpus0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+         corpus1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM embeddings),
+         ${kmeansChain("vec_id < 4", "corpus0", "p0", 32)},
+         ${kmeansChain("vec_id < 4", "corpus1", "p1", 32)},
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0),
+         qc AS (SELECT cell AS qcell FROM sf WHERE vec_id = 0),
+         cand AS (
+           SELECT vec_id FROM sf, qc
+           WHERE sf.cell IS NOT DISTINCT FROM qc.qcell AND vec_id <> 0),
+         t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
+         t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p1, q),
+         adc AS (
+           SELECT s0.vec_id,
+                  round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
+                    s0.vec_id) AS crk
+           FROM cand JOIN sfp0 s0 USING (vec_id) JOIN sfp1 s1 USING (vec_id)
+                JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
+                CROSS JOIN q),
+         short AS (SELECT vec_id, score FROM adc WHERE crk <= 40),
+         rr AS (
+           SELECT e.vec_id AS neighbor_id, short.score,
+                  round((${dotSql("e.embedding", "q.qe")}) /
+                        (sqrt(${dotSql("e.embedding", "e.embedding")}) * q.qn), 6) AS cosine
+           FROM short JOIN embeddings e ON e.vec_id = short.vec_id
+                CROSS JOIN q)
+         SELECT CAST(0 AS BIGINT) AS query_id, neighbor_id, score, cosine, rank
+         FROM (
+           SELECT neighbor_id, score, cosine,
+                  row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rr) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
     "q_ann_ivf_trained" ->
       (KmeansCtes + s"""
          SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -9192,6 +9456,13 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // WAT link rows reduce to the SAME distinct non-self domain edge
+      // set the HTML extraction yields (fixture construction), so the
+      // PageRank output is identical — oracle shared by reference
+      ("q_pagerank_wat" -> baseOracleSql("q_pagerank_links")) +
+      // takedown → compact → atomic swap → serve-through-view is
+      // value-identical to serving the takedown table directly
+      ("q_dedup_promote" -> baseOracleSql("q_dedup_takedown")) +
       // streaming embedding admission backfill ≡ the batch indexed
       // admission — same pairs, same oracle
       ("q_stream_ivf_neardup" -> baseOracleSql("q_ann_ivf_admit")) +

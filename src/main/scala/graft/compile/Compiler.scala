@@ -627,6 +627,10 @@ object Compiler {
       // extracted-text view of the same container walk: conversion
       // records only, payload decoded to (url, text)
       new Frame(graft.sources.Warc.readWet(spark, p))
+    case Source.WatFile(p) =>
+      // link-metadata view: metadata records' JSON Links arrays exploded
+      // to (src_url, dst_url) anchor rows — no HTML fetch or parse
+      new Frame(graft.sources.Warc.readWat(spark, p))
 
     case Source.Filter(base, cond) =>
       val f = compileSource(base, spark)

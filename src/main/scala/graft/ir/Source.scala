@@ -59,6 +59,12 @@ object Source {
     * payload. One row per page: (url, text). */
   final case class WetFile(path: String) extends Source
 
+  /** WAT (link-metadata) crawl scan — the trio's third member: same
+    * container, one `WARC-Type: metadata` JSON record per page whose
+    * `HTML-Metadata.Links` array lists the outlinks. One row per anchor
+    * link: (src_url, dst_url) — the extraction-free link-graph input. */
+  final case class WatFile(path: String) extends Source
+
   /** Pre-built DataFrame (parity with the reference's DuckDB connection
     * registering pandas frames, duckdb_connection.py:96-117). Used by tests
     * for literal fixtures. */

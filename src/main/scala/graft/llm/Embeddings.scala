@@ -417,7 +417,8 @@ object Embeddings {
       postings: DataFrame,
       k: Int,
       nprobe: Int = 1,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      pushCells: Boolean = true): DataFrame = {
     graft.GraftExtensions.install(newQueries.sparkSession)
     require(nprobe >= 1, "nprobe must be at least 1")
     val centroids = newQueries.sparkSession.read.parquet(s"$dir/centroids")
@@ -432,9 +433,10 @@ object Embeddings {
     // it pushes into parquet, never a corpus-side join; candidates rank
     // AFTER filtering, so every query still returns k survivors when
     // the probed cell holds that many
-    val cand = filter.fold(postings)(postings.where(_))
-    ivfScoreTail(ivfQueryCells(qAssigned, centroids, nprobe), cand,
-      idCol, vecCol, k)
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    val cand = prunedPostings(
+      filter.fold(postings)(postings.where(_)), probed, pushCells)
+    ivfScoreTail(probed, cand, idCol, vecCol, k)
   }
 
   /** INCREMENTAL embedding near-dup ADMISSION against a persisted
@@ -454,7 +456,8 @@ object Embeddings {
       dir: String,
       postings: DataFrame,
       threshold: Double,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1,
+      pushCells: Boolean = true): DataFrame = {
     graft.GraftExtensions.install(newEmb.sparkSession)
     require(nprobe >= 1, "nprobe must be at least 1")
     val centroids = newEmb.sparkSession.read.parquet(s"$dir/centroids")
@@ -463,13 +466,228 @@ object Embeddings {
         vecCol, centroids)
         .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
           col("__n__").as("__qn__"), col("__cell__"))
-    ivfQueryCells(qAssigned, centroids, nprobe)
-      .join(postings, col("__qcell__") === col("__cell__"))
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    probed
+      .join(prunedPostings(postings, probed, pushCells),
+        col("__qcell__") === col("__cell__"))
       .withColumn("cosine",
         round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
       .where(col("cosine") >= threshold)
       .select(col("query_id").as("left_id"), col(idCol).as("right_id"),
         col("cosine"))
+  }
+
+  /** An IN list longer than this stops being a cheap row-group filter —
+    * past it the serve paths fall back to the plain probe join. */
+  private val MaxPushedCells = 1024
+
+  /** Probed-cell predicate PUSHDOWN (SCALE.md's "ready next lever"): the
+    * probe join only ever keeps the probed cells' postings, but the join
+    * formulation alone still READS every postings file. The probed-cell
+    * set is query-batch-bounded (≤ queries × nprobe — never
+    * corpus-shaped), so collecting it driver-side and applying
+    * `__cell__ IN (...)` AT THE SCAN lets parquet row-group stats (the
+    * postings sort by `__cell__` inside each bucket) skip unprobed
+    * cells' bytes entirely. Value-neutral by construction: the equi-join
+    * still enforces the semantics — the predicate only removes rows the
+    * join would drop anyway (LlmSpec pins parity and the PushedFilters
+    * plan shape). Falls back to the plain join when the batch probes
+    * more than [[MaxPushedCells]] cells (a huge batch amortizes the full
+    * scan anyway) — the collect is bounded by that same cap. */
+  private def prunedPostings(
+      postings: DataFrame, probed: DataFrame, pushCells: Boolean): DataFrame =
+    if (!pushCells) postings
+    else {
+      // bounded driver collect: ≤ MaxPushedCells + 1 cell ids
+      val cells = probed.select(col("__qcell__")).distinct()
+        .limit(MaxPushedCells + 1).collect().map(_.get(0)).filter(_ != null)
+      if (cells.length > MaxPushedCells) postings
+      // a NULL probe cell matches nothing in the equi-join, so dropping
+      // nulls from the IN list (and short-circuiting the all-null case
+      // to an empty scan) preserves the join's semantics exactly
+      else if (cells.isEmpty) postings.where(lit(false))
+      else postings.where(col("__cell__").isInCollection(cells.toSeq))
+    }
+
+  /** The PQ codebooks folded into ONE broadcastable row: a map
+    * segment → array<struct<__cid__,__cv__,__cn__>> — the exact operand
+    * shape `vec_argmax_cell` takes, shared by the ingest-time encoder
+    * ([[ivfPqIndexSave]]) and the inline ADC scorer so train/serve
+    * assignment can never disagree. */
+  private def codebookCentArrays(codebooks: DataFrame): DataFrame =
+    codebooks
+      .select(col("segment").cast("int").as("__s__"),
+        col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(dot("cv", "cv")).as("__cn__"))
+      .groupBy(col("__s__"))
+      .agg(collect_list(struct(col("__cid__"), col("__cv__"), col("__cn__")))
+        .as("__cents__"))
+      .agg(map_from_entries(collect_list(struct(col("__s__"), col("__cents__"))))
+        .as("__cbs__"))
+
+  /** PERSIST the IVF-PQ index — the 100 TB serving artifact (the layout
+    * FAISS ships as IndexIVFPQ; Jégou et al. 2011): `dir/centroids`
+    * (coarse cells), `dir/codebooks` (m per-segment Lloyd's codebooks),
+    * and `dir/postings` — the coded corpus bucketed on `__cell__`
+    * holding ONLY (cell, id, m segment codes). A raw-vector posting
+    * ([[ivfIndexSave]]) carries dim floats + a norm per row; the coded
+    * posting carries m dictionary-encoded code ids, so the per-query
+    * candidate scan reads ~dim·4/m÷(code bytes) ≈ 16–32× fewer bytes —
+    * and at embedding scale the postings scan IS the serving cost.
+    * Codes are the same deterministic rounded-argmax segment assignment
+    * the inline ADC path computes at query time ([[adcTopK]] uses the
+    * identical `vec_argmax_cell` over the identical centroid arrays),
+    * so serving from the stored codes is bit-identical to [[ivfPqTopK]]
+    * with the same coarse/codebook frames (LlmSpec pins parity). */
+  def ivfPqIndexSave(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      table: String,
+      dir: String,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    val segLen = dim / m
+    validateCodebookShape(codebooks, m, segLen)
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val celled = withCell(
+      emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
+    // ONE pass over the corpus: coarse cell + all m segment codes from a
+    // single 1-row broadcast of the codebook arrays — zero row expansion
+    val coded = (0 until m).foldLeft(
+      celled.crossJoin(broadcast(codebookCentArrays(codebooks)))) { (df, s) =>
+      df.withColumn(s"__seg${s}__", slice(col(vecCol), s * segLen + 1, segLen))
+        .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
+        .withColumn(s"__code${s}__",
+          expr(s"vec_argmax_cell(__seg${s}__, __sn${s}__, element_at(__cbs__, $s))"))
+    }
+      .withColumn("__codes__",
+        array((0 until m).map(s => col(s"__code${s}__")): _*))
+      .select(col(idCol), col("__cell__"), col("__codes__"))
+    graft.sources.ParquetIO.writeBucketed(
+      coded, table, s"$dir/postings", "__cell__", buckets)
+  }
+
+  /** IVF-PQ top-k served from a PERSISTED [[ivfPqIndexSave]] artifact —
+    * the production two-stage read path: the query assigns itself to
+    * coarse cells (broadcast centroid argmax), the probed cells' CODED
+    * postings scan feeds ADC scoring (the per-query qd lookup table and
+    * the query-independent ‖c‖² table each fold into one broadcastable
+    * map — candidates never touch the query vector, scoring is m map
+    * lookups per row summed in FIXED segment order, bit-identical to
+    * [[adcTopK]]'s fold), and an optional EXACT-cosine rerank repairs
+    * the ranking over the `candFactor`·k ADC shortlist only (FAISS's
+    * IndexRefineFlat tail — `rerank` is the raw-vector frame, e.g. the
+    * corpus table; the shortlist side broadcasts, so the rerank is one
+    * column-pruned id-join, never a second corpus score). Both cuts
+    * order by (6-dp score desc, id) so the candidate SET — not just the
+    * final ranking — is deterministic and oracle-replayable (the
+    * [[quantizedRerankTopK]] discipline). Without `rerank`, returns the
+    * ADC top-k directly. Plan shape: the bucketed postings scan feeds
+    * the probe join with zero index-side exchanges, and `pushCells`
+    * prunes unprobed cells' row groups at the scan ([[prunedPostings]]).
+    * Emits (query_id, neighbor_id, score[, cosine], rank). */
+  def ivfPqTopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      nprobe: Int = 1,
+      candFactor: Int = 4,
+      rerank: Option[DataFrame] = None,
+      pushCells: Boolean = true): DataFrame = {
+    graft.GraftExtensions.install(queries.sparkSession)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(candFactor >= 1, "candFactor must be at least 1")
+    val spark = queries.sparkSession
+    val segLen = dim / m
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    validateCodebookShape(codebooks, m, segLen)
+    val qAssigned = withCell(
+      queries.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, centroids)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+        col("__n__").as("__qn__"), col("__cell__"))
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    // per-(query, segment) qd lookup tables, computed in ONE projection
+    // per (tiny) query row against the 1-row codebook broadcast — the
+    // same parameter-attach shape withCell uses, so every cross join in
+    // the plan builds a provably-1-row side (global aggregate). The
+    // per-element work is queries × m × k_codebook dot products — model-
+    // parameter-sized, never the corpus.
+    val cb = codebooks.select(col("segment").cast("int").as("__s__"),
+      col("cid").as("__ccid__"), col("cv").as("__ccv__"))
+    val qWithTabs = probed
+      .crossJoin(broadcast(codebookCentArrays(codebooks))) // 1-row build
+      .withColumn("__tabs__", expr(
+        s"""map_from_arrays(sequence(0, ${m - 1}),
+            transform(sequence(0, ${m - 1}), s ->
+              map_from_entries(transform(element_at(__cbs__, s), c ->
+                struct(c.__cid__,
+                  float_vec_dot(slice(__q__, s * $segLen + 1, $segLen),
+                    c.__cv__))))))"""))
+      .drop("__cbs__")
+    // query-independent ‖c‖² lookup: one 1-row broadcast (global agg)
+    val cn2Row = cb
+      .select(col("__s__"), col("__ccid__"), dot("__ccv__", "__ccv__").as("__cn2__"))
+      .groupBy(col("__s__"))
+      .agg(map_from_entries(collect_list(struct(col("__ccid__"), col("__cn2__"))))
+        .as("__t__"))
+      .agg(map_from_entries(collect_list(struct(col("__s__"), col("__t__"))))
+        .as("__cn2s__"))
+    val scored = qWithTabs
+      .join(prunedPostings(postings, probed, pushCells),
+        col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
+      .crossJoin(broadcast(cn2Row))
+    // FIXED segment-order left fold — the same float order as adcTopK's
+    // per-segment sum, so stored-code scores bit-match the inline path
+    val qdotSum = (0 until m)
+      .map(s => expr(
+        s"element_at(element_at(__tabs__, $s), element_at(__codes__, ${s + 1}))"))
+      .reduce(_ + _)
+    val cn2Sum = (0 until m)
+      .map(s => expr(
+        s"element_at(element_at(__cn2s__, $s), element_at(__codes__, ${s + 1}))"))
+      .reduce(_ + _)
+    val adc = scored
+      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
+      .withColumn("__crk__", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+    rerank match {
+      case None =>
+        adc.where(col("__crk__") <= k)
+          .select(col("query_id"), col(idCol).as("neighbor_id"),
+            col("score"), col("__crk__").as("rank"))
+      case Some(raw) =>
+        val shortlist = adc.where(col("__crk__") <= candFactor.toLong * k)
+          .select(col("query_id"), col(idCol).as("neighbor_id"),
+            col("score"), col("__q__"), col("__qn__"))
+        // the shortlist (≤ queries × candFactor·k rows) broadcasts; the
+        // raw-vector side is a column-pruned scan joined on id only
+        broadcast(shortlist)
+          .join(raw.select(col(idCol).as("neighbor_id"),
+            col(vecCol).as("__rv__")), Seq("neighbor_id"))
+          .withColumn("cosine", round(dot("__rv__", "__q__") /
+            (sqrt(dot("__rv__", "__rv__")) * col("__qn__")), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("cosine"), col("rank"))
+    }
   }
 
   /** Nearest-centroid cell assignment: adds `__cell__` (the argmax-cosine
@@ -743,27 +961,7 @@ object Embeddings {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     val segLen = dim / m
     val cbooks = scope.cache(codebooks)
-    // codebooks are model-parameter-sized: validating shape is one tiny
-    // aggregate, and catches training/serving m or dim drift loudly
-    val shape = cbooks
-      .select(col("segment").cast("int").as("__s__"), size(col("cv")).as("__len__"))
-      .where(col("__s__").isNotNull) // a null segment surfaces as "missing"
-      .groupBy(col("__s__"))
-      .agg(countDistinct(col("__len__")).as("__nlen__"),
-        min(col("__len__")).as("__minlen__"))
-      .collect()
-      .map(r => (r.getInt(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) -1 else r.getInt(2)))
-      .sortBy(_._1)
-    require(shape.map(_._1).toSeq == (0 until m),
-      s"codebooks cover segments ${shape.map(_._1).mkString(",")}; expected 0..${m - 1} " +
-        "(was the frame trained with a different m?)")
-    shape.foreach { case (s, nlen, len) =>
-      require(nlen == 1L && len == segLen,
-        s"codebook segment $s has ${len}-dim entries; expected $segLen " +
-          "(was the frame trained with a different dim or m?)")
-    }
+    validateCodebookShape(cbooks, m, segLen)
     // SINGLE-PASS scoring: every per-query quantity folds into ONE 1-row
     // broadcast — per segment s, the centroid array (for the assignment
     // argmax) and a map cell → (qd = q_s·c, cn2 = ‖c‖²) lookup, plus the
@@ -819,6 +1017,33 @@ object Embeddings {
         Window.orderBy(col("score").desc, col("__vid__"))))
       .where(col("rank") <= k)
       .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+  }
+
+  /** Codebooks are model-parameter-sized: validating shape is one tiny
+    * aggregate, and catches training/serving m or dim drift loudly —
+    * a mismatched frame would otherwise score silently wrong, because
+    * the dot's left fold truncates to the shorter array. */
+  private def validateCodebookShape(
+      cbooks: DataFrame, m: Int, segLen: Int): Unit = {
+    val shape = cbooks
+      .select(col("segment").cast("int").as("__s__"), size(col("cv")).as("__len__"))
+      .where(col("__s__").isNotNull) // a null segment surfaces as "missing"
+      .groupBy(col("__s__"))
+      .agg(countDistinct(col("__len__")).as("__nlen__"),
+        min(col("__len__")).as("__minlen__"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .sortBy(_._1)
+    require(shape.map(_._1).toSeq == (0 until m),
+      s"codebooks cover segments ${shape.map(_._1).mkString(",")}; expected 0..${m - 1} " +
+        "(was the frame trained with a different m?)")
+    shape.foreach { case (s, nlen, len) =>
+      require(nlen == 1L && len == segLen,
+        s"codebook segment $s has ${len}-dim entries; expected $segLen " +
+          "(was the frame trained with a different dim or m?)")
+    }
   }
 
   /** The full FAISS-style IVF-PQ serving composition: a coarse k-means

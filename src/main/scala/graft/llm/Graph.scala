@@ -135,16 +135,31 @@ object Graph {
       lit("<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
     val sq = regexp_extract_all(col(htmlCol),
       lit("<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1))
-    pages
-      .select(col(urlCol).as("__u__"),
-        explode(concat(dq, sq)).as("__href__"))
-      .where(col("__href__").rlike("^https?://"))
+    linkEdges(
+      pages.select(col(urlCol).as("__u__"),
+        explode(concat(dq, sq)).as("__href__")),
+      "__u__", "__href__")
+  }
+
+  /** (src_url, dst_url) link rows → distinct non-self registrable-domain
+    * edges — the domain-graph reduction [[extractLinks]] applies after
+    * its HTML regex pass, shared by the WAT link-metadata path
+    * ([[graft.sources.Warc.readWat]] emits the link rows directly, no
+    * HTML fetch or parse): keep ABSOLUTE http(s) targets only (relative
+    * paths and javascript:/mailto: pseudo links drop), reduce both
+    * endpoints to registrable domains, drop self-edges, dedupe — one
+    * hash aggregate, map-side combined. */
+  def linkEdges(
+      links: DataFrame,
+      srcUrlCol: String,
+      dstUrlCol: String): DataFrame =
+    links
+      .where(col(dstUrlCol).rlike("^https?://"))
       .select(
-        TextOps.urlParts(col("__u__")).getField("domain").as("src_domain"),
-        TextOps.urlParts(col("__href__")).getField("domain").as("dst_domain"))
+        TextOps.urlParts(col(srcUrlCol)).getField("domain").as("src_domain"),
+        TextOps.urlParts(col(dstUrlCol)).getField("domain").as("dst_domain"))
       .where(col("src_domain") =!= col("dst_domain"))
       .distinct()
-  }
 
   /** [[pageRank]] over STRING-keyed domain edges (the [[extractLinks]]
     * output shape): domains map to 60-bit md5-prefix ids (collision odds

@@ -492,6 +492,18 @@ object LangModel {
       "delta fit writes a new model version; srcDir must differ from dstDir")
     graft.GraftExtensions.install(newDocs.sparkSession)
     val spark = newDocs.sparkSession
+    readPruneMarker(spark, srcDir) match {
+      case Some("none") => // unpruned: the additive level-N merge is sound
+      case Some(spec) => throw new IllegalArgumentException(
+        s"knNgramFitDelta requires an UNPRUNED source model, but $srcDir " +
+          s"was fit with prune=[$spec]: pruning discards the singleton " +
+          "tail the additive level-N merge needs. Refit unpruned, or " +
+          "apply pruning at score time via knNgramScore(prune=...).")
+      case None => throw new IllegalArgumentException(
+        s"$srcDir carries no _prune_spec marker (predates it, or is not " +
+          "a knNgramFit artifact); refit with knNgramFit to enable delta " +
+          "maintenance.")
+    }
     val n = order
     val deltaN = knGramsOf(newDocs, textCol, n)
       .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n"))
@@ -511,6 +523,8 @@ object LangModel {
     spark.read.parquet(s"$dstDir/level1")
       .agg(sum(col("cnt1")).as("tot1"))
       .write.mode("overwrite").parquet(s"$dstDir/tot1")
+    // the merged model is itself unpruned — mark it so deltas chain
+    writePruneMarker(spark, dstDir, Seq.empty)
   }
 
   /** The order-N model's level tables: seen(k) = one row per SEEN k-gram
@@ -566,6 +580,39 @@ object LangModel {
       seen(k).write.mode("overwrite").parquet(s"$dir/level$k")
     seen(1).agg(sum(col("cnt1")).as("tot1"))
       .write.mode("overwrite").parquet(s"$dir/tot1")
+    writePruneMarker(train.sparkSession, dir, prune)
+  }
+
+  /** Prune-spec marker written next to the level tables: delta
+    * maintenance ([[knNgramFitDelta]]) is only sound on UNPRUNED models
+    * (pruning drops the singleton tail the additive level-N merge
+    * needs), so the artifact records how it was fit and the delta op
+    * refuses anything else — misuse fails loudly instead of silently
+    * producing a corrupted merged model. Hadoop FS API so the marker
+    * travels with the artifact on any storage the model lives on. */
+  private def writePruneMarker(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      prune: Seq[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_prune_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((if (prune.forall(_ <= 0)) "none"
+                   else prune.mkString(",")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPruneMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_prune_spec")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
   }
 
   /** Score through a PERSISTED [[knNgramFit]] model — no retraining,

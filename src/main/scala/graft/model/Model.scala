@@ -954,6 +954,9 @@ object Model {
   def warc(path: String): Model = Model(Source.WarcFile(path))
   /** WET extracted-text crawl shard(s) — one row per page (url, text). */
   def wet(path: String): Model = Model(Source.WetFile(path))
+  /** WAT link-metadata crawl shard(s) — one row per anchor link
+    * (src_url, dst_url). */
+  def wat(path: String): Model = Model(Source.WatFile(path))
   /** Convenience: parquet table inside an sf dir. */
   def parquet(dir: String, name: String): Model =
     Model(Source.Table(s"$dir/$name.parquet"))

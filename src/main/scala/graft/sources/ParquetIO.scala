@@ -190,6 +190,50 @@ object ParquetIO {
       dstTable, dstPath, key, buckets)
   }
 
+  /** ATOMIC index-version SWAP — the missing last step of the versioned
+    * maintenance loop: [[appendBucketed]] / [[compactBucketed]] /
+    * [[removeFromBucketed]] all (correctly) write a NEW versioned table
+    * and leave "readers switch manually". This op is the switch: the
+    * serving NAME becomes (or is re-pointed as) a catalog VIEW over the
+    * new version's table. A view replacement is ONE catalog operation —
+    * any query resolves `serveName` either to the old definition or the
+    * new one in its entirety, never a mix — and queries PLANNED before
+    * the swap keep reading the old version's files undisturbed (their
+    * analyzed plan already bound the old relation), which is exactly
+    * the snapshot semantics a swap must give in-flight readers. The
+    * view is a pure logical alias: the underlying bucketed relation's
+    * hash-on-key layout still plans zero-exchange serve joins through
+    * it (spec-pinned). Returns the previously served table's name (from
+    * the old view definition) so the caller can [[retireVersion]] it
+    * once in-flight consumers drain. */
+  def promoteVersion(
+      spark: SparkSession,
+      serveName: String,
+      newTable: String): Option[String] = {
+    val prev =
+      if (!spark.catalog.tableExists(serveName)) None
+      else Option(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(serveName)))
+        .flatMap(_.viewText)
+        .flatMap(v => "FROM\\s+([A-Za-z0-9_.`]+)\\s*$".r
+          .findFirstMatchIn(v).map(_.group(1)))
+    spark.sql(s"CREATE OR REPLACE VIEW $serveName AS SELECT * FROM $newTable")
+    prev
+  }
+
+  /** RETIRE a superseded index version: drop its (external) catalog
+    * entry and delete its files — the GC half of [[promoteVersion]]'s
+    * contract. Call it only after in-flight consumers of the old
+    * version drain (a query planned pre-swap reads the old files until
+    * it finishes); the swap itself never blocks on this. */
+  def retireVersion(spark: SparkSession, table: String): Unit = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new Path(loc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   /** Top-level TIMESTAMP(NANOS) column names, from the first footer found. */
   private def nanoTimestampCols(spark: SparkSession, path: String): Seq[String] = {
     try {

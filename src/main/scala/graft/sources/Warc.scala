@@ -237,4 +237,42 @@ object Warc {
       .where(col("warc_type") === "conversion")
       .select(col("url"), col("payload").cast("string").as("text"))
   }
+
+  /** WAT (link-metadata) scan — the third member of Common Crawl's
+    * WARC/WAT/WET trio: one `WARC-Type: metadata` record per page on
+    * the same ISO-28500 container, payload a JSON envelope whose
+    * `Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    * .Links` array lists the page's outlinks — `path: "A@/href"` marks
+    * anchor hrefs (vs IMG@/src etc). This is the CHEAP input real
+    * link-graph pipelines consume: the link rows without fetching or
+    * parsing the page HTML. The container walk is [[read]]'s streaming
+    * cursor verbatim; the JSON parse is Spark's codegen'd `from_json`
+    * against the minimal schema (unknown envelope fields skip for
+    * free — no UDF, no driver work). One row per ANCHOR link:
+    * (src_url, dst_url), relative/pseudo targets included as published
+    * (filtering absolute http(s) is the graph layer's policy —
+    * [[graft.llm.Graph.linkEdges]]). */
+  def readWat(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val linksType = ArrayType(StructType(Seq(
+      StructField("path", StringType),
+      StructField("url", StringType))))
+    val watSchema = StructType(Seq(StructField("Envelope", StructType(Seq(
+      StructField("Payload-Metadata", StructType(Seq(
+        StructField("HTTP-Response-Metadata", StructType(Seq(
+          StructField("HTML-Metadata", StructType(Seq(
+            StructField("Links", linksType)))))))))))))))
+    read(spark, path)
+      .where(col("warc_type") === "metadata")
+      .select(col("url").as("src_url"),
+        from_json(col("payload").cast("string"), watSchema).as("__w__"))
+      .select(col("src_url"),
+        explode(col("__w__")
+          .getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+          .getField("Links")).as("__l__"))
+      .where(col("__l__").getField("path") === "A@/href" &&
+        col("__l__").getField("url").isNotNull)
+      .select(col("src_url"), col("__l__").getField("url").as("dst_url"))
+  }
 }

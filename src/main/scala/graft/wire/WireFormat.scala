@@ -59,6 +59,7 @@ object WireFormat {
       Map("t" -> "xlsx", "path" -> p, "sheet" -> sheet.orNull)
     case Source.WarcFile(p) => Map("t" -> "warc", "path" -> p)
     case Source.WetFile(p) => Map("t" -> "wet", "path" -> p)
+    case Source.WatFile(p) => Map("t" -> "wat", "path" -> p)
     case Source.Filter(b, c) => Map("t" -> "filter", "base" -> sourceW(b), "cond" -> exprW(c))
     case Source.Pick(b, cols, star) =>
       Map("t" -> "pick", "base" -> sourceW(b), "cols" -> cols.map(exprW).toList, "star" -> star)
@@ -266,6 +267,7 @@ object WireFormat {
       Option(s.getOrElse("sheet", null)).map(str))
     case "warc"  => Source.WarcFile(str(s("path")))
     case "wet"   => Source.WetFile(str(s("path")))
+    case "wat"   => Source.WatFile(str(s("path")))
     case "filter" => Source.Filter(sourceR(obj(s("base"))), exprR(obj(s("cond"))))
     case "pick" =>
       Source.Pick(sourceR(obj(s("base"))),

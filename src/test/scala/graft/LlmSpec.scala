@@ -2959,6 +2959,156 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("ivfPqTopKIndexed: stored-code ADC parity with inline ivfPqTopK, exact rerank tail, cell pushdown value-neutral and pushed to the scan") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2)
+    val cb = graft.llm.Embeddings.pqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 2,
+      initPred = sc("vec_id") < 4, iters = 2)
+    val inline_ = graft.llm.Embeddings.ivfPqTopK(
+      emb, "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+      queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(inline_.nonEmpty)
+    graft.llm.Embeddings.ivfPqIndexSave(
+      emb, "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+      "ivfpq_idx_spec", "/tmp/graft_ivfpq_idx/spec", buckets = 4)
+    try {
+      val q0 = emb.where(sc("vec_id") === 0)
+      def served(pushCells: Boolean) = graft.llm.Embeddings.ivfPqTopKIndexed(
+        q0, "vec_id", "embedding", "/tmp/graft_ivfpq_idx/spec",
+        s.table("ivfpq_idx_spec"), dim = 64, m = 2, k = 10,
+        pushCells = pushCells)
+      // stored codes replay the inline ADC bit-for-bit
+      def triple(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(triple(served(pushCells = true)) === inline_)
+      // cell pushdown is value-neutral vs the plain probe join...
+      assert(triple(served(pushCells = false)) === inline_)
+      // ...and actually reaches the postings scan as a pushed IN filter
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scanMeta(p: SparkPlan): Seq[String] = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_ivfpq_idx/spec/postings")) =>
+          Seq(f.metadata.getOrElse("PushedFilters", ""))
+        case a: AdaptiveSparkPlanExec => scanMeta(a.executedPlan)
+        case w: WholeStageCodegenExec => scanMeta(w.child)
+        case other => other.children.flatMap(scanMeta)
+      }
+      // one probed cell folds the IN to an EqualTo — accept either form
+      val pushed = scanMeta(served(pushCells = true).queryExecution.executedPlan)
+      assert(pushed.exists(p => p.contains("In(__cell__") ||
+          p.contains("EqualTo(__cell__")),
+        s"probed-cell predicate did not reach the postings scan: $pushed")
+      // exact rerank tail: final ranking = exact cosine over the ADC
+      // candFactor·k shortlist, by (cosine desc, id)
+      val shortIds = graft.llm.Embeddings.ivfPqTopKIndexed(
+        q0, "vec_id", "embedding", "/tmp/graft_ivfpq_idx/spec",
+        s.table("ivfpq_idx_spec"), dim = 64, m = 2, k = 40)
+        .collect().map(_.getLong(1)).toSet
+      val qv = emb.where(sc("vec_id") === 0).collect().head
+        .getSeq[Float](1).toArray
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val want = emb.where(sc("vec_id").isInCollection(shortIds.toSeq))
+        .collect().map { r =>
+          val v = r.getSeq[Float](1).toArray
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i).toDouble * qv(i).toDouble; i += 1 }
+          val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          (r.getLong(0),
+            BigDecimal(d / (n * qn)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }.sortBy { case (id, c) => (-c, id) }.take(10)
+      val got = graft.llm.Embeddings.ivfPqTopKIndexed(
+        q0, "vec_id", "embedding", "/tmp/graft_ivfpq_idx/spec",
+        s.table("ivfpq_idx_spec"), dim = 64, m = 2, k = 10,
+        candFactor = 4, rerank = Some(emb))
+        .orderBy(sc("rank")).collect()
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      assert(got.toSeq === want.toSeq)
+      // plan shape: the coded postings scan feeds the probe join with no
+      // shuffle above it (bucketed layout rides free)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivfpq_idx/spec/postings"))
+        case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+        case w: WholeStageCodegenExec => hasScan(w.child)
+        case other => other.children.exists(hasScan)
+      }
+      def hasJoin(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+        case w: WholeStageCodegenExec => hasJoin(w.child)
+        case other => other.nodeName.contains("Join") ||
+          other.children.exists(hasJoin)
+      }
+      def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+        case sh: ShuffleExchangeExec =>
+          (hasScan(sh.child) && !hasJoin(sh.child)) ||
+            hasShuffleAbove(sh.child)
+        case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+        case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+        case other => other.children.exists(hasShuffleAbove)
+      }
+      val plan = served(pushCells = true).queryExecution.executedPlan
+      assert(hasScan(plan), "expected the coded postings scan")
+      assert(!hasShuffleAbove(plan),
+        s"coded postings re-shuffled — bucketed layout not riding free:\n$plan")
+    } finally s.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("ivfTopKIndexed cell pushdown: value parity with the plain join, predicate reaches PushedFilters") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_idx_push", "/tmp/graft_ivf_idx/push", buckets = 4)
+    try {
+      def quad(pushCells: Boolean, nprobe: Int) = graft.llm.Embeddings
+        .ivfTopKIndexed(emb.where(sc("vec_id") < 3), "vec_id", "embedding",
+          "/tmp/graft_ivf_idx/push", s.table("ivf_idx_push"), k = 5,
+          nprobe = nprobe, pushCells = pushCells)
+      for (np <- Seq(1, 2))
+        assert(quad(true, np).collect().map(_.mkString(",")).toSet ===
+          quad(false, np).collect().map(_.mkString(",")).toSet,
+          s"pushdown changed values at nprobe=$np")
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scanMeta(p: SparkPlan): Seq[String] = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("graft_ivf_idx/push/postings")) =>
+          Seq(f.metadata.getOrElse("PushedFilters", ""))
+        case a: AdaptiveSparkPlanExec => scanMeta(a.executedPlan)
+        case w: WholeStageCodegenExec => scanMeta(w.child)
+        case other => other.children.flatMap(scanMeta)
+      }
+      // one probed cell folds the IN to an EqualTo — accept either form
+      val pushed = scanMeta(quad(true, 1).queryExecution.executedPlan)
+      assert(pushed.exists(p => p.contains("In(__cell__") ||
+          p.contains("EqualTo(__cell__")),
+        s"probed-cell predicate did not reach the postings scan: $pushed")
+      // admission path: same parity
+      val newEmb = emb.where(sc("vec_id") < 20)
+        .select((sc("vec_id") + 10000).as("vec_id"), sc("embedding"))
+      def admit(pushCells: Boolean) = graft.llm.Embeddings
+        .ivfNearDupJoinIndexed(newEmb, "vec_id", "embedding",
+          "/tmp/graft_ivf_idx/push", s.table("ivf_idx_push"),
+          threshold = 0.8, pushCells = pushCells)
+        .collect().map(_.mkString(",")).toSet
+      assert(admit(true) === admit(false))
+      assert(admit(true).nonEmpty, "admission fixture produced no pairs")
+    } finally s.sql("DROP TABLE IF EXISTS ivf_idx_push")
+    graft.llm.CacheScope.global.release()
+  }
+
   test("minhashIndexAppend: query-after-append equals query-against-rebuilt-index") {
     val s = spark
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -3076,6 +3226,85 @@ class LlmSpec extends GraftSuite {
       assert(cat.bucketSpec.exists(_.numBuckets == 4))
     } finally Seq("mh_idx_td", "mh_idx_td_truth", "mh_idx_td2")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("promoteVersion: atomic swap — in-flight readers keep the old version, new readers see the new, bucketed serve rides the view; retirement GCs the old files") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.where(sc("doc_id") % 2 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // v1 = the odd slice's index; v2 = v1 with %3==0 docs taken down
+    graft.sources.ParquetIO.writeBucketed(
+      graft.llm.Dedup.minhashIndex(
+        docs.where(sc("doc_id") % 2 === 1), "doc_id", "text"),
+      "mh_pv1", "/tmp/graft_minhash_idx/pv1", "__bkey__", 4)
+    try {
+      graft.sources.ParquetIO.removeFromBucketed(s, "mh_pv1", "__id__",
+        docs.where(sc("doc_id") % 2 === 1 && sc("doc_id") % 3 === 0)
+          .select(sc("doc_id")),
+        "mh_pv2", "/tmp/graft_minhash_idx/pv2", "__bkey__", 4)
+      val v1 = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_pv1")))
+      val v2 = pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_pv2")))
+      assert(v1 !== v2, "fixture versions must differ for the swap test")
+      // serve name starts at v1
+      assert(graft.sources.ParquetIO.promoteVersion(s, "mh_serve", "mh_pv1")
+        .isEmpty)
+      // an IN-FLIGHT reader: planned against the pre-swap view
+      val inFlight = graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_serve"))
+      inFlight.queryExecution.analyzed // bind the old relation NOW
+      // the swap: one catalog op; returns the superseded version
+      assert(graft.sources.ParquetIO.promoteVersion(s, "mh_serve", "mh_pv2")
+        === Some("mh_pv1"))
+      // new readers see exactly v2; the in-flight plan still reads v1 —
+      // never a mix of the two
+      assert(pairs(graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_serve"))) === v2)
+      assert(pairs(inFlight) === v1)
+      // the bucketed layout plans zero index-side exchanges THROUGH the
+      // view (a view is a logical alias, not a re-shuffle)
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def hasScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_minhash_idx/pv2"))
+        case a: AdaptiveSparkPlanExec => hasScan(a.executedPlan)
+        case w: WholeStageCodegenExec => hasScan(w.child)
+        case other => other.children.exists(hasScan)
+      }
+      def hasJoin(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => hasJoin(a.executedPlan)
+        case w: WholeStageCodegenExec => hasJoin(w.child)
+        case other => other.nodeName.contains("Join") ||
+          other.children.exists(hasJoin)
+      }
+      def hasShuffleAbove(p: SparkPlan): Boolean = p match {
+        case sh: ShuffleExchangeExec =>
+          (hasScan(sh.child) && !hasJoin(sh.child)) ||
+            hasShuffleAbove(sh.child)
+        case a: AdaptiveSparkPlanExec => hasShuffleAbove(a.executedPlan)
+        case w: WholeStageCodegenExec => hasShuffleAbove(w.child)
+        case other => other.children.exists(hasShuffleAbove)
+      }
+      val plan = graft.llm.Dedup.minhashJoinIndexed(
+        q, "doc_id", "text", s.table("mh_serve"))
+        .queryExecution.executedPlan
+      assert(hasScan(plan), "expected the v2 postings scan through the view")
+      assert(!hasShuffleAbove(plan),
+        s"postings re-shuffled through the view:\n$plan")
+      // retirement: the old version's table AND files are gone
+      graft.sources.ParquetIO.retireVersion(s, "mh_pv1")
+      assert(!s.catalog.tableExists("mh_pv1"))
+      assert(!new java.io.File("/tmp/graft_minhash_idx/pv1").exists())
+    } finally {
+      s.sql("DROP VIEW IF EXISTS mh_serve")
+      Seq("mh_pv1", "mh_pv2").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     graft.llm.CacheScope.global.release()
   }
 
@@ -3905,6 +4134,30 @@ class LlmSpec extends GraftSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got === want, s"level $k diverges after the second delta")
     }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("knNgramFitDelta refuses pruned and unmarked source models") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = docs.where(sc("doc_id") % 16 === 0)
+    val delta = docs.where(sc("doc_id") % 16 === 8)
+    // pruned artifact: the additive level-N merge would silently corrupt
+    // it (the singleton tail is gone), so the marker must fail it loudly
+    graft.llm.LangModel.knNgramFit(base, "text", "/tmp/graft_kn5_pruned_src",
+      order = 5, prune = Seq(0L, 1L, 1L, 1L, 1L))
+    val exPruned = intercept[IllegalArgumentException] {
+      graft.llm.LangModel.knNgramFitDelta(delta, "text",
+        "/tmp/graft_kn5_pruned_src", "/tmp/graft_kn5_pruned_dst", order = 5)
+    }
+    assert(exPruned.getMessage.contains("UNPRUNED"))
+    // marker-less dir (pre-marker artifact / not a model): also refused
+    val bare = java.nio.file.Files.createTempDirectory("graft_kn_bare")
+    val exBare = intercept[IllegalArgumentException] {
+      graft.llm.LangModel.knNgramFitDelta(delta, "text",
+        bare.toString, "/tmp/graft_kn5_bare_dst", order = 5)
+    }
+    assert(exBare.getMessage.contains("_prune_spec"))
     graft.llm.CacheScope.global.release()
   }
 

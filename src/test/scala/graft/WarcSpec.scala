@@ -110,6 +110,51 @@ class WarcSpec extends GraftSuite {
     assert(wired.toSeq === direct.toSeq)
   }
 
+  test("WAT view: anchor links parsed from the JSON metadata, non-anchor paths and warcinfo skipped; wire round-trip") {
+    val p = tmp("pages.warc.wat.gz")
+    val json1 =
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[
+        |{"path":"A@/href","url":"https://b.example/x"},
+        |{"path":"A@/href","url":"/relative/only"},
+        |{"path":"IMG@/src","url":"https://img.example/i.png"},
+        |{"path":"A@/href","url":"javascript:void(0)"}
+        |]}}}}}""".stripMargin
+    // a page with NO HTML-Metadata at all (binary response): parses to
+    // a NULL links array and contributes zero rows, never a crash
+    val json2 = """{"Envelope":{"Payload-Metadata":{}}}"""
+    graft.sources.Warc.write(p, Seq(
+      ("warcinfo", "urn:wat:shard", "application/warc-fields",
+        "software: graft\r\n".getBytes("UTF-8")),
+      ("metadata", "https://a.example/1", "application/json",
+        json1.getBytes("UTF-8")),
+      ("metadata", "https://c.example/2", "application/json",
+        json2.getBytes("UTF-8"))))
+    val rows = graft.sources.Warc.readWat(spark, p)
+      .orderBy("src_url", "dst_url").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // IMG@/src dropped by the reader; relative/javascript anchors kept
+    // as published (the GRAPH layer's rlike drops them)
+    assert(rows.toSeq === Seq(
+      ("https://a.example/1", "/relative/only"),
+      ("https://a.example/1", "https://b.example/x"),
+      ("https://a.example/1", "javascript:void(0)")))
+    // linkEdges applies the absolute-http + non-self + domain reduction
+    val edges = graft.llm.Graph.linkEdges(
+      graft.sources.Warc.readWat(spark, p), "src_url", "dst_url")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(edges.toSeq === Seq(("a.example", "b.example")))
+    // Model.wat composes through the engine and the wire codec
+    val m = Model.wat(p)
+      .pick(graft.funcs.col("src_url"), graft.funcs.col("dst_url"))
+      .sort(graft.funcs.col("dst_url"))
+    val direct = m.run(spark).collect().map(r => (r.getString(0), r.getString(1)))
+    val wired = graft.wire.WireFormat
+      .fromJson(graft.wire.WireFormat.toJson(m))
+      .run(spark).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(direct.length === 3)
+    assert(wired.toSeq === direct.toSeq)
+  }
+
   test("Model.warc composes and survives the wire codec") {
     val p = tmp("model.warc.gz")
     graft.sources.Warc.write(p, recs)
