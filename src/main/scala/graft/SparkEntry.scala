@@ -1918,6 +1918,29 @@ object SparkEntry {
       graft.wire.WireFormat.fromJson(graft.wire.WireFormat.toJson(model)).run(s)
     }),
 
+    // --- STREAMING corpus snapshot diff (q_corpus_diff's continuous
+    //     twin, run as single-batch backfill): each arriving new-
+    //     snapshot id verdicts against the old snapshot via one
+    //     stream-static left join — added/changed/unchanged per id;
+    //     'removed' stays with the batch pass (absence needs snapshot
+    //     close). Oracle = the batch diff restricted to the new side ---
+    "q_stream_corpus_diff" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.streaming.Streams.streamingCorpusDiff(
+            df.where(F.col("doc_id") % 5 =!= 0)
+              .select(F.col("doc_id"),
+                F.when(F.col("doc_id") % 3 === 0,
+                  F.concat(F.col("text"), F.lit(" v2")))
+                  .otherwise(F.col("text")).as("text")),
+            "doc_id", "text",
+            df.where(F.col("doc_id") % 7 =!= 0)
+              .select(F.col("doc_id"), F.col("text")))
+        }
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- corpus DATASHEET report (the per-slice summary a dataset
     //     release publishes): docs / tokens / chars / distinct texts /
     //     dup rate by (lang, source); duplicates planted on %10<3 docs
@@ -5881,6 +5904,27 @@ object SparkEntry {
                      ELSE 'changed' END AS status,
                 o.old_md5 AS old_md5, n.new_md5 AS new_md5
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+
+    // the streaming twin sees only the NEW snapshot's side: same CTEs,
+    // left join from n — 'removed' rows are exactly what it cannot emit
+    "q_stream_corpus_diff" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS old_md5
+           FROM documents WHERE doc_id % 7 <> 0
+         ), n AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                           ELSE text END) AS new_md5
+           FROM documents WHERE doc_id % 5 <> 0
+         )
+         SELECT n.doc_id AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN o.old_md5 IS NOT DISTINCT FROM n.new_md5
+                       THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                o.old_md5 AS old_md5, n.new_md5 AS new_md5
+         FROM n LEFT JOIN o ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
 
     "q_dedup_boilerplate_skew" ->

@@ -499,27 +499,51 @@ object Streams {
                   (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)
                 AS BIGINT)""").as("__ham__"))
       .where(col("__ham__") <= maxHamming)
-    val outSchema = StructType(Seq(StructField(idCol, LongType),
-      StructField("b_id", LongType), StructField("hamming", LongType)))
+    adjudicateFirstSeen(cand,
+      StructType(Seq(StructField(idCol, LongType),
+        StructField("b_id", LongType), StructField("hamming", LongType))),
+      dedupePairs = true)
+  }
+
+  /** The shared ADMISSION TAIL of the streaming near-dup matrix (text
+    * MinHash / image / audio / video hash / embedding / snapshot diff):
+    * `cand` is the stateless stream-static candidate frame — FIRST
+    * column the arriving item's non-null LONG id, remaining columns the
+    * verified payload — and this keyed-state pass only (a) marks the id
+    * adjudicated so a re-sent item never re-emits, and (b) when
+    * `dedupePairs`, drops the same (item, indexed) pair colliding in
+    * several bands, keeping the first occurrence (the payload is a pure
+    * function of the pair, so first-wins is exact; the seen-set is
+    * bounded by the candidate fan-out, never the batch). ALL per-row
+    * work (hashing, joins, verify math) stays out of this function —
+    * anything here runs on the per-KEY sequential path (the r11
+    * token-budget lesson). */
+  private def adjudicateFirstSeen(
+      cand: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType,
+      dedupePairs: Boolean): DataFrame = {
     implicit val rowEnc = Encoders.row(outSchema)
     implicit val longEnc = Encoders.scalaLong
+    val width = outSchema.size
     cand
       .groupByKey((r: Row) => r.getLong(0))
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // image already adjudicated
+          if (state.exists) Iterator.empty // item already adjudicated
           else {
             state.update(true)
-            // per-pair dedupe across bands: bounded at the candidate
-            // fan-out (8·cap with a capped index), never the batch
-            val seen = scala.collection.mutable.HashSet.empty[Long]
-            val out = Seq.newBuilder[Row]
-            rows.foreach { r =>
-              if (seen.add(r.getLong(1)))
-                out += Row(id, r.getLong(1), r.getLong(2))
+            if (!dedupePairs)
+              rows.map(r => Row.fromSeq(id +: (1 until width).map(r.get)))
+            else {
+              val seen = scala.collection.mutable.HashSet.empty[Long]
+              val out = Seq.newBuilder[Row]
+              rows.foreach { r =>
+                if (seen.add(r.getLong(1)))
+                  out += Row.fromSeq(id +: (1 until width).map(r.get))
+              }
+              out.result().iterator
             }
-            out.result().iterator
           }
       }(Encoders.scalaBoolean, rowEnc)
   }
@@ -589,30 +613,11 @@ object Streams {
       .where(col("jaccard") >= threshold)
       .select(col("__nid__"), col("__id__").cast("long").as("__bid__"),
         col("jaccard"))
-    val outSchema = StructType(Seq(StructField("left_id", LongType),
-      StructField("right_id", LongType), StructField("jaccard", DoubleType)))
-    implicit val rowEnc = Encoders.row(outSchema)
-    implicit val longEnc = Encoders.scalaLong
-    cand
-      .groupByKey((r: Row) => r.getLong(0))
-      .flatMapGroupsWithState[Boolean, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // document already adjudicated
-          else {
-            state.update(true)
-            // per-pair dedupe across bands (jaccard is a pure function of
-            // the pair, so keeping the first occurrence is exact): bounded
-            // at the candidate fan-out, never the batch
-            val seen = scala.collection.mutable.HashSet.empty[Long]
-            val out = Seq.newBuilder[Row]
-            rows.foreach { r =>
-              if (seen.add(r.getLong(1)))
-                out += Row(id, r.getLong(1), r.getDouble(2))
-            }
-            out.result().iterator
-          }
-      }(Encoders.scalaBoolean, rowEnc)
+    adjudicateFirstSeen(cand,
+      StructType(Seq(StructField("left_id", LongType),
+        StructField("right_id", LongType),
+        StructField("jaccard", DoubleType))),
+      dedupePairs = true)
   }
 
   /** STREAMING embedding near-dup admission — the EMBEDDING modality of
@@ -665,21 +670,59 @@ object Streams {
       .where(col("cosine") >= threshold)
       .select(col("__nid__"), col(idCol).cast("long").as("__bid__"),
         col("cosine"))
-    val outSchema = StructType(Seq(StructField("left_id", LongType),
-      StructField("right_id", LongType), StructField("cosine", DoubleType)))
-    implicit val rowEnc = Encoders.row(outSchema)
-    implicit val longEnc = Encoders.scalaLong
-    cand
-      .groupByKey((r: Row) => r.getLong(0))
-      .flatMapGroupsWithState[Boolean, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty // vector already adjudicated
-          else {
-            state.update(true)
-            rows.map(r => Row(id, r.getLong(1), r.getDouble(2)))
-          }
-      }(Encoders.scalaBoolean, rowEnc)
+    // no per-pair dedupe: a neighbor lives in exactly one cell
+    adjudicateFirstSeen(cand,
+      StructType(Seq(StructField("left_id", LongType),
+        StructField("right_id", LongType),
+        StructField("cosine", DoubleType))),
+      dedupePairs = false)
+  }
+
+  /** STREAMING corpus snapshot diff — [[graft.llm.Dedup.corpusDiff]]'s
+    * continuous twin: as new-snapshot shards stream in, each arriving
+    * id gets its per-id verdict against the PERSISTED old snapshot —
+    * one stream-static LEFT OUTER join on id (zero index-side exchange
+    * when the snapshot is stored id-bucketed, the same layout contract
+    * the batch diff's zero-shuffle plan rides): 'added' (no old row),
+    * 'changed' (hash differs), or 'unchanged'. 'removed' is the one
+    * verdict a stream cannot emit — absence is only decidable when the
+    * new snapshot CLOSES, so the batch [[graft.llm.Dedup.corpusDiff]]
+    * pass owns it (documented, like cross-batch admission). Hashing is
+    * the batch op's raw md5 (a diff reports what changed — no
+    * normalization); keyed state only suppresses re-sent ids. Emits
+    * (idCol, status, old_md5, new_md5) — the batch contract minus
+    * 'removed', so single-batch backfill parity is spec-gated and the
+    * driver query's oracle is the batch diff restricted to the
+    * new-snapshot side. */
+  def streamingCorpusDiff(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      oldSnapshot: DataFrame,
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val o = oldSnapshot.select(col(idCol).cast("long").as("__oid__"),
+      md5(col(textCol).cast("binary")).as("old_md5"),
+      lit(true).as("__in_old__"))
+    val cand = newDocs
+      .select(col(idCol).cast("long").as("__nid__"),
+        md5(col(textCol).cast("binary")).as("new_md5"))
+      // NULL ids cannot carry adjudication state — dropped honestly
+      .where(col("__nid__").isNotNull)
+      .join(o, col("__nid__") === col("__oid__"), "left_outer")
+      .select(col("__nid__"),
+        // presence flag, never hash nullness: a NULL text hashes to
+        // NULL and would misreport changed as added (batch-diff rule)
+        when(col("__in_old__").isNull, "added")
+          .when(col("old_md5") <=> col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+    adjudicateFirstSeen(cand,
+      StructType(Seq(StructField(idCol, LongType),
+        StructField("status", StringType),
+        StructField("old_md5", StringType),
+        StructField("new_md5", StringType))),
+      dedupePairs = false)
   }
 
   /** Streaming perceptual VIDEO near-dup gate — [[streamingImageNearDup]]

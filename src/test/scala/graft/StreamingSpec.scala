@@ -367,6 +367,52 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming corpus diff: per-id verdicts vs the old snapshot across batches, re-sends suppressed, batch parity sans 'removed'") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldSnap = docs.where(sc("doc_id") % 7 =!= 0)
+      .select(sc("doc_id"), sc("text"))
+    // the new snapshot: %5!=0 slice with %3==0 texts revised
+    val newRows = docs.where(sc("doc_id") % 5 =!= 0)
+      .select(sc("doc_id"),
+        org.apache.spark.sql.functions.when(sc("doc_id") % 3 === 0,
+          org.apache.spark.sql.functions.concat(sc("text"),
+            org.apache.spark.sql.functions.lit(" v2")))
+          .otherwise(sc("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = newRows.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String)](s)
+    val diffed = graft.streaming.Streams.streamingCorpusDiff(
+      ms.toDF.toDF("doc_id", "text"), "doc_id", "text", oldSnap)
+    val q = diffed.writeStream.format("memory").queryName("cdiff_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      // batch 2: the odd half + a RE-SENT id from batch 1 (suppressed)
+      ms.addData((b2 :+ b1.head).toSeq: _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, status, old_md5, new_md5 FROM cdiff_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3))))
+      // exactly one verdict per new-snapshot id despite the re-send
+      assert(got.map(_._1).distinct.length === got.length)
+      // parity: the batch diff restricted to the new side
+      val want = graft.llm.Dedup.corpusDiff(
+          oldSnap, newRows.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+        .where(sc("status") =!= "removed")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3))))
+      assert(got.toSet === want.toSet)
+      assert(got.map(_._2).toSet === Set("added", "changed", "unchanged"),
+        "fixture should exercise all three streaming verdicts")
+    } finally q.stop()
+    graft.llm.CacheScope.global.release()
+  }
+
   test("streaming WET ingestion: conversion records stream as (url, text), warcinfo skipped") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream")
