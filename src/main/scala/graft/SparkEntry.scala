@@ -20,6 +20,11 @@ object SparkEntry {
     java.lang.Long.toHexString(
       java.util.UUID.randomUUID().getMostSignificantBits & 0xffffffffL)
 
+  /** Per-JVM version counter for q_dedup_promote's maintenance loop:
+    * each call must publish NEW version names (re-using one would
+    * overwrite files a cached relation still references). */
+  private val promoteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Fixture FORMAT version, baked into every memoized fixture name:
     * fixtures are keyed by (data dir, params), so a change to a builder
     * (minhashIndex, kmeans/ivfIndexSave, knNgramFit, the WARC/WET
@@ -1879,7 +1884,12 @@ object SparkEntry {
             graft.llm.Dedup.minhashIndex(
               df.where(F.col("doc_id") % 2 === 1), "doc_id", "text")
           }
-          val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + runTag
+          // every maintenance pass writes GENUINELY NEW versions (the
+          // per-call counter): re-using a version name would overwrite
+          // files a cached relation may still reference — exactly the
+          // stale-read the versioned-artifact contract exists to prevent
+          val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + runTag +
+            "_v" + promoteSeq.incrementAndGet()
           val td = s"minhash_promo_td_$tag"
           graft.sources.ParquetIO.removeFromBucketed(
             s, tbl, "__id__",
@@ -1889,9 +1899,14 @@ object SparkEntry {
           val cp = s"minhash_promo_cp_$tag"
           graft.sources.ParquetIO.compactBucketed(
             s, td, cp, s"/tmp/graft_promote/$cp", "__bkey__", 8)
-          val serve = s"minhash_promo_serve_$tag"
-          graft.sources.ParquetIO.promoteVersion(s, serve, cp)
+          val serve = "minhash_promo_serve_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + runTag
+          val prev = graft.sources.ParquetIO.promoteVersion(s, serve, cp)
           graft.sources.ParquetIO.retireVersion(s, td)
+          // GC the version this swap superseded (no in-flight readers
+          // here — the serve query below plans against the NEW version)
+          prev.filter(p => p != cp && s.catalog.tableExists(p))
+            .foreach(p => graft.sources.ParquetIO.retireVersion(s, p))
           graft.llm.Dedup.minhashJoinIndexed(
             df.where(F.col("doc_id") % 2 === 0), "doc_id", "text",
             df.sparkSession.table(serve))

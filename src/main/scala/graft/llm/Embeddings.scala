@@ -674,11 +674,28 @@ object Embeddings {
         val shortlist = adc.where(col("__crk__") <= candFactor.toLong * k)
           .select(col("query_id"), col(idCol).as("neighbor_id"),
             col("score"), col("__q__"), col("__qn__"))
+        val rawSel = raw.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("__rv__"))
+        // POINT-LOOKUP pushdown for the rerank fetch (the [[prunedPostings]]
+        // move on ids): the shortlist id set is query-batch-bounded, so
+        // applying it AT the raw-vector scan lets an id-sorted/bucketed
+        // store prune everything else — without it the rerank join scans
+        // the whole raw table and the serve wall grows with the CORPUS,
+        // not the shortlist. Value-neutral: the inner join keeps exactly
+        // these ids anyway. Falls back to the plain join past the cap.
+        val rawPruned =
+          if (!pushCells) rawSel
+          else {
+            val ids = shortlist.select(col("neighbor_id")).distinct()
+              .limit(MaxPushedCells + 1).collect().map(_.get(0))
+              .filter(_ != null)
+            if (ids.isEmpty || ids.length > MaxPushedCells) rawSel
+            else rawSel.where(col("neighbor_id").isInCollection(ids.toSeq))
+          }
         // the shortlist (≤ queries × candFactor·k rows) broadcasts; the
-        // raw-vector side is a column-pruned scan joined on id only
+        // raw-vector side is a column-pruned, id-pruned scan
         broadcast(shortlist)
-          .join(raw.select(col(idCol).as("neighbor_id"),
-            col(vecCol).as("__rv__")), Seq("neighbor_id"))
+          .join(rawPruned, Seq("neighbor_id"))
           .withColumn("cosine", round(dot("__rv__", "__q__") /
             (sqrt(dot("__rv__", "__rv__")) * col("__qn__")), 6))
           .withColumn("rank", row_number().over(

@@ -58,8 +58,9 @@ object ServeScale {
     val (w1, wN) = mode match {
       case "minhash" => minhash(spark, srcDir, factor)
       case "ivf" => ivf(spark, srcDir, factor)
+      case "ivfpq" => ivfpq(spark, srcDir, factor)
       case "spectral" => spectral(spark, factor)
-      case m => sys.error(s"unknown mode $m (minhash | ivf | spectral)")
+      case m => sys.error(s"unknown mode $m (minhash | ivf | ivfpq | spectral)")
     }
     println(f"[serve-scale] $mode ${factor}x-index ratio: ${wN / w1}%.2fx")
     spark.stop()
@@ -105,14 +106,12 @@ object ServeScale {
     (run(1), run(factor))
   }
 
-  /** Fixed 3-query IVF serve against postings grown factor× (√n cells
-    * re-fit per scale — cell count is the operator's own scale knob). */
-  private def ivf(
-      spark: SparkSession, srcDir: String, factor: Int): (Double, Double) = {
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
-    val fixed = emb.where(col("vec_id") < 3)
-    def corpus(f: Int): DataFrame = emb
+  /** factor×-replicated embedding corpus with per-(replica, dim) jitter
+    * (the ScaleCheck rationale: replicas never coincide, geometry stays
+    * the source corpus's). */
+  private def embCorpus(
+      spark: SparkSession, emb: DataFrame, nVec: Long, f: Int): DataFrame =
+    emb
       .crossJoin(spark.range(0, f).select(col("id").cast("int").as("__rep__")))
       .select(
         (col("vec_id") + col("__rep__").cast("long") * nVec).as("vec_id"),
@@ -120,11 +119,22 @@ object ServeScale {
           expr("""transform(embedding, (x, i) ->
                   CAST(x + ((__rep__ * 37 + i * 13) % 11 - 5) * 0.002 AS float))"""))
           .as("embedding"))
+
+  /** Fixed 3-query IVF serve + fixed 50-vector ADMISSION slice against
+    * postings grown factor× (√n cells re-fit per scale — cell count is
+    * the operator's own scale knob). The admission rows (batch +
+    * streaming twin) are the embedding-modality validation the MinHash
+    * mode's 100× decade already has. */
+  private def ivf(
+      spark: SparkSession, srcDir: String, factor: Int): (Double, Double) = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val fixed = emb.where(col("vec_id") < 3)
     def run(f: Int): Double = {
       val tbl = s"serve_ivf_$f"
       val dir = s"/tmp/graft_serve_scale/ivf_$f"
       val scope = new CacheScope
-      val c = corpus(f)
+      val c = embCorpus(spark, emb, nVec, f)
       val cents = graft.llm.Embeddings.kmeansFitSqrtK( // untimed fit
         c, "vec_id", "embedding", iters = 2, scope = scope)
       graft.llm.Embeddings.ivfIndexSave( // untimed: ingest-time build
@@ -135,7 +145,65 @@ object ServeScale {
             fixed, "vec_id", "embedding", dir, spark.table(tbl), k = 5)
           .write.format("noop").mode("overwrite").save()
       }
+      // fixed ADMISSION slice: 50 exact re-submissions under fresh ids
+      // that never collide with any replica id
+      val admit = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + f.toLong * nVec + 1000000L).as("vec_id"),
+          col("embedding"))
+      time3(s"ivf admit vs ${f}x postings") {
+        graft.llm.Embeddings.ivfNearDupJoinIndexed(
+            admit, "vec_id", "embedding", dir, spark.table(tbl),
+            threshold = 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time3(s"streaming ivf admit vs ${f}x postings") {
+        graft.streaming.Streams.streamingIvfNearDup(
+            admit, "vec_id", "embedding", dir, spark.table(tbl),
+            threshold = 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      w
+    }
+    (run(1), run(factor))
+  }
+
+  /** Fixed 3-query IVF-PQ serve against CODED postings grown factor×:
+    * coarse cells + m=2 segment codebooks re-fit per scale (untimed,
+    * ingest-time by contract), the timed body is the production read
+    * path — coded-postings ADC with probed-cell pushdown + exact rerank
+    * over the id-bucketed raw store via pushed point lookups. */
+  private def ivfpq(
+      spark: SparkSession, srcDir: String, factor: Int): (Double, Double) = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val fixed = emb.where(col("vec_id") < 3)
+    def run(f: Int): Double = {
+      val tbl = s"serve_ivfpq_$f"
+      val rawTbl = s"serve_ivfpq_raw_$f"
+      val dir = s"/tmp/graft_serve_scale/ivfpq_$f"
+      val scope = new CacheScope
+      val c = scope.cache(embCorpus(spark, emb, nVec, f))
+      val cents = graft.llm.Embeddings.kmeansFitSqrtK( // untimed fit
+        c, "vec_id", "embedding", iters = 2, scope = scope)
+      val cb = graft.llm.Embeddings.pqCodebooks( // untimed fit
+        c, "vec_id", "embedding", dim = 64, m = 2,
+        initPred = col("vec_id") < 4, iters = 2, scope = scope)
+      graft.llm.Embeddings.ivfPqIndexSave( // untimed: ingest-time build
+        c, "vec_id", "embedding", cents, cb, dim = 64, m = 2, tbl, dir)
+      graft.sources.ParquetIO.writeBucketed( // untimed: the raw id store
+        c.select(col("vec_id"), col("embedding")),
+        rawTbl, s"$dir/raw", "vec_id", 8)
+      scope.release()
+      val w = time3(s"ivfpq serve+rerank vs ${f}x postings") {
+        graft.llm.Embeddings.ivfPqTopKIndexed(
+            fixed, "vec_id", "embedding", dir, spark.table(tbl),
+            dim = 64, m = 2, k = 10, candFactor = 4,
+            rerank = Some(spark.table(rawTbl)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $rawTbl")
       w
     }
     (run(1), run(factor))
