@@ -549,18 +549,67 @@ object Embeddings {
       m: Int,
       table: String,
       dir: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8,
+      attrs: Seq[String] = Seq.empty): Unit = {
     graft.GraftExtensions.install(emb.sparkSession)
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.sources.ParquetIO.writeBucketed(
+      pqEncode(emb, idCol, vecCol, coarse, codebooks, dim, m, attrs),
+      table, s"$dir/postings", "__cell__", buckets)
+  }
+
+  /** APPEND maintenance for a persisted [[ivfPqIndexSave]] artifact —
+    * [[ivfIndexAppend]]'s coded twin (FAISS add-after-train, PQ
+    * edition): ONLY the new vectors assign + encode against the STORED
+    * coarse centroids and codebooks (both frozen at fit time — the
+    * documented staleness trade is [[ivfIndexAppend]]'s verbatim, now
+    * also for the quantizer: drifted data reconstructs with higher
+    * quantization error and recall degrades gracefully; a periodic
+    * refit is the compaction). Coded postings append to the bucketed
+    * table — no refit, no rebuild, existing postings untouched.
+    * Query-after-append ≡ rebuild against the same coarse/codebooks
+    * (spec-pinned). */
+  def ivfPqIndexAppend(
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      table: String,
+      dim: Int,
+      m: Int,
+      buckets: Int = 8,
+      attrs: Seq[String] = Seq.empty): Unit = {
+    graft.GraftExtensions.install(newEmb.sparkSession)
+    val spark = newEmb.sparkSession
+    val coarse = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    graft.sources.ParquetIO.appendBucketed(
+      pqEncode(newEmb, idCol, vecCol, coarse, codebooks, dim, m, attrs),
+      table, "__cell__", buckets)
+  }
+
+  /** ONE pass over a vector frame: coarse cell + all m segment codes
+    * from a single 1-row broadcast of the codebook arrays — zero row
+    * expansion, zero shuffle before the bucketed write. Shared by the
+    * index save and append paths so they cannot encode differently.
+    * `attrs` denormalizes filter attributes onto the coded postings
+    * (the [[ivfIndexSave]] filtered-search layout). */
+  private def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      codebooks: DataFrame,
+      dim: Int,
+      m: Int,
+      attrs: Seq[String]): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     val segLen = dim / m
     validateCodebookShape(codebooks, m, segLen)
-    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
     val celled = withCell(
       emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
-    // ONE pass over the corpus: coarse cell + all m segment codes from a
-    // single 1-row broadcast of the codebook arrays — zero row expansion
-    val coded = (0 until m).foldLeft(
+    (0 until m).foldLeft(
       celled.crossJoin(broadcast(codebookCentArrays(codebooks)))) { (df, s) =>
       df.withColumn(s"__seg${s}__", slice(col(vecCol), s * segLen + 1, segLen))
         .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
@@ -569,9 +618,7 @@ object Embeddings {
     }
       .withColumn("__codes__",
         array((0 until m).map(s => col(s"__code${s}__")): _*))
-      .select(col(idCol), col("__cell__"), col("__codes__"))
-    graft.sources.ParquetIO.writeBucketed(
-      coded, table, s"$dir/postings", "__cell__", buckets)
+      .select((Seq(idCol) ++ Seq("__cell__", "__codes__") ++ attrs).map(col): _*)
   }
 
   /** IVF-PQ top-k served from a PERSISTED [[ivfPqIndexSave]] artifact —
@@ -605,7 +652,8 @@ object Embeddings {
       nprobe: Int = 1,
       candFactor: Int = 4,
       rerank: Option[DataFrame] = None,
-      pushCells: Boolean = true): DataFrame = {
+      pushCells: Boolean = true,
+      filter: Option[Column] = None): DataFrame = {
     graft.GraftExtensions.install(queries.sparkSession)
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     require(nprobe >= 1, "nprobe must be at least 1")
@@ -646,8 +694,13 @@ object Embeddings {
         .as("__t__"))
       .agg(map_from_entries(collect_list(struct(col("__s__"), col("__t__"))))
         .as("__cn2s__"))
+    // FILTERED search over coded postings ([[ivfTopKIndexed]]'s rule):
+    // the attribute predicate applies at the postings scan (attrs
+    // denormalized by [[ivfPqIndexSave]] push into parquet) and
+    // candidates rank AFTER filtering, so ranks stay dense 1..k
     val scored = qWithTabs
-      .join(prunedPostings(postings, probed, pushCells),
+      .join(prunedPostings(filter.fold(postings)(postings.where(_)),
+          probed, pushCells),
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
       .crossJoin(broadcast(cn2Row))
     // FIXED segment-order left fold — the same float order as adcTopK's

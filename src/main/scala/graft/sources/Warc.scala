@@ -252,7 +252,14 @@ object Warc {
     * (src_url, dst_url), relative/pseudo targets included as published
     * (filtering absolute http(s) is the graph layer's policy —
     * [[graft.llm.Graph.linkEdges]]). */
-  def readWat(spark: SparkSession, path: String): DataFrame = {
+  def readWat(spark: SparkSession, path: String): DataFrame =
+    watLinks(read(spark, path))
+
+  /** The WAT link projection over a [[schema]]-shaped record frame —
+    * shared verbatim by the batch reader above and the streaming shard
+    * watcher ([[graft.streaming.Streams.streamingWatRecords]]), so the
+    * two paths cannot disagree on parse or filter rules. */
+  private[graft] def watLinks(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val linksType = ArrayType(StructType(Seq(
       StructField("path", StringType),
@@ -262,7 +269,7 @@ object Warc {
         StructField("HTTP-Response-Metadata", StructType(Seq(
           StructField("HTML-Metadata", StructType(Seq(
             StructField("Links", linksType)))))))))))))))
-    read(spark, path)
+    records
       .where(col("warc_type") === "metadata")
       .select(col("url").as("src_url"),
         from_json(col("payload").cast("string"), watSchema).as("__w__"))

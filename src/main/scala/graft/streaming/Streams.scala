@@ -561,6 +561,17 @@ object Streams {
       .where(col("warc_type") === "conversion")
       .select(col("url"), col("payload").cast("string").as("text"))
 
+  /** CONTINUOUS WAT ingestion — the link-metadata member of the trio,
+    * streamed: (src_url, dst_url) anchor rows as `.warc.wat.gz` shards
+    * land, through the SAME projection the batch reader uses
+    * ([[graft.sources.Warc.watLinks]] — parse and filter rules cannot
+    * diverge). Composes with [[graft.llm.Graph.linkEdges]] for a
+    * continuously-growing domain edge set. */
+  def streamingWatRecords(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.sources.Warc.watLinks(streamingWarcRecords(spark, dir))
+
   /** STREAMING text MinHash near-dup admission — the single most common
     * production dedup shape, streamed: each document of a new crawl is
     * adjudicated against the PERSISTED cleaned-corpus MinHash index

@@ -3063,6 +3063,58 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("ivfPqIndexAppend: query-after-append equals rebuilt coded index (frozen coarse + codebooks); filtered coded search ranks after filter") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.where(sc("vec_id") % 3 === 0) // initial index build
+    val b = emb.where(sc("vec_id") % 3 === 1) // appended slice
+    val q = emb.where(sc("vec_id") % 3 === 2).limit(3)
+    // coarse + codebooks fit ONCE on the initial slice and FROZEN
+    val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+      a, "vec_id", "embedding", iters = 2)
+    val cb = graft.llm.Embeddings.pqCodebooks(
+      a, "vec_id", "embedding", dim = 64, m = 2,
+      initPred = sc("vec_id") < 7, iters = 2)
+    graft.llm.Embeddings.ivfPqIndexSave(
+      a, "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+      "ivfpq_app", "/tmp/graft_ivfpq_idx/app", buckets = 4,
+      attrs = Seq("label"))
+    graft.llm.Embeddings.ivfPqIndexSave(
+      a.unionByName(b), "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+      "ivfpq_full", "/tmp/graft_ivfpq_idx/full", buckets = 4,
+      attrs = Seq("label"))
+    def top(tbl: String, dir: String,
+        filter: Option[org.apache.spark.sql.Column] = None) =
+      graft.llm.Embeddings.ivfPqTopKIndexed(
+          q, "vec_id", "embedding", dir, s.table(tbl), dim = 64, m = 2,
+          k = 5, filter = filter)
+        .collect().map(_.mkString(",")).toSet
+    try {
+      graft.llm.Embeddings.ivfPqIndexAppend(
+        b, "vec_id", "embedding", "/tmp/graft_ivfpq_idx/app", "ivfpq_app",
+        dim = 64, m = 2, buckets = 4, attrs = Seq("label"))
+      val grown = top("ivfpq_app", "/tmp/graft_ivfpq_idx/app")
+      assert(grown === top("ivfpq_full", "/tmp/graft_ivfpq_idx/full"))
+      assert(grown.nonEmpty, "fixture produced no coded results")
+      // bucket spec + posting count survive the append
+      val cat = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ivfpq_app"))
+      assert(cat.bucketSpec.exists(_.numBuckets == 4))
+      assert(s.table("ivfpq_app").count() === s.table("ivfpq_full").count())
+      // filtered coded search ≡ a coded index that only ever held the
+      // passing rows (rank-after-filter, dense ranks)
+      graft.llm.Embeddings.ivfPqIndexSave(
+        a.unionByName(b).where(sc("label") < 5),
+        "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+        "ivfpq_flt", "/tmp/graft_ivfpq_idx/flt", buckets = 4)
+      assert(top("ivfpq_app", "/tmp/graft_ivfpq_idx/app",
+          filter = Some(sc("label") < 5)) ===
+        top("ivfpq_flt", "/tmp/graft_ivfpq_idx/flt"))
+    } finally Seq("ivfpq_app", "ivfpq_full", "ivfpq_flt")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.llm.CacheScope.global.release()
+  }
+
   test("ivfTopKIndexed cell pushdown: value parity with the plain join, predicate reaches PushedFilters") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -413,6 +413,41 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming WAT ingestion: anchor links stream as (src_url, dst_url), batch-reader parity") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_wat_stream")
+    def shard(name: String, url: String, links: String): Unit =
+      graft.sources.Warc.write(dir.resolve(name).toString, Seq(
+        ("warcinfo", "urn:wat:x", "application/warc-fields",
+          "software: graft\r\n".getBytes("UTF-8")),
+        ("metadata", url, "application/json",
+          (s"""{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":""" +
+            s"""{"HTML-Metadata":{"Links":[$links]}}}}}""").getBytes("UTF-8"))))
+    shard("s1.warc.wat.gz", "https://a.example/1",
+      """{"path":"A@/href","url":"https://b.example/x"},
+        |{"path":"IMG@/src","url":"https://img.example/i.png"}""".stripMargin)
+    val records = graft.streaming.Streams.streamingWatRecords(
+      s, dir.toString + "/*.warc.wat.gz")
+    val q = records.writeStream.format("memory").queryName("wat_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a later shard lands
+      shard("s2.warc.wat.gz", "https://c.example/2",
+        """{"path":"A@/href","url":"https://d.example/y"}""")
+      q.processAllAvailable()
+      val got = s.sql("SELECT src_url, dst_url FROM wat_stream_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(
+        ("https://a.example/1", "https://b.example/x"),
+        ("https://c.example/2", "https://d.example/y")))
+      // parity with the batch reader over the same shards
+      val batch = graft.sources.Warc.readWat(s, dir.toString + "/*.warc.wat.gz")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming WET ingestion: conversion records stream as (url, text), warcinfo skipped") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream")
