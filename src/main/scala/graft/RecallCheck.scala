@@ -133,6 +133,13 @@ object RecallCheck {
       dim = 64, m = 2, initPred = col("vec_id") < 4, iters = 2, scope = scope)
     val cbProd = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+    // persisted coded artifact at prod knobs for the INDEXED rows
+    val pqTag = java.lang.Integer.toHexString(title.hashCode)
+    val pqTbl = s"recall_pqidx_$pqTag"
+    val pqDir = s"/tmp/graft_recall/pqidx_$pqTag"
+    spark.sql(s"DROP TABLE IF EXISTS $pqTbl")
+    Embeddings.ivfPqIndexSave(emb, "vec_id", "embedding", cents, cbProd,
+      dim = 64, m = 8, table = pqTbl, dir = pqDir)
 
     val rows = Seq(
       ("lsh (bits=4)", queryIds.length, recallOf(
@@ -166,6 +173,26 @@ object RecallCheck {
       ("quantized rerank (int8, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.quantizedRerankTopK(emb, "vec_id",
           "embedding", queryId = q, candidates = 50, k = k)), perQueryIds)),
+      // the PERSISTED coded path (multi-query serving surface): raw ADC
+      // vs ADC + exact rerank over the candFactor·k shortlist — the
+      // rerank row measures exactly what the tail exists to repair
+      (s"ivfpq INDEXED adc (k=$kCells, m=8, nprobe=1)", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqDir,
+            spark.table(pqTbl), dim = 64, m = 8, k = k)
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivfpq INDEXED adc+rerank x4 (k=$kCells, m=8)", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqDir,
+            spark.table(pqTbl), dim = 64, m = 8, k = k, candFactor = 4,
+            rerank = Some(emb))
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivfpq INDEXED adc+rerank x4 nprobe=4", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqDir,
+            spark.table(pqTbl), dim = 64, m = 8, k = k, nprobe = 4,
+            candFactor = 4, rerank = Some(emb))
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
       ("random projection (dims=16, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.rpTopK(emb, "vec_id", "embedding",
           queryId = q, d = 64, dims = 16, seed = 7, candidates = 50, k = k)),
@@ -180,6 +207,7 @@ object RecallCheck {
     println(s"| op (knobs) | queries | recall@$k |")
     println("|---|---|---|")
     rows.foreach { case (op, nq, r) => println(f"| $op | $nq | $r%.3f |") }
+    spark.sql(s"DROP TABLE IF EXISTS $pqTbl")
     truth.unpersist()
     scope.release()
   }
