@@ -403,6 +403,37 @@ object Embeddings {
     graft.sources.ParquetIO.appendBucketed(assigned, table, "__cell__", buckets)
   }
 
+  /** PERIODIC REFIT — the "compaction" the append maintenance contract
+    * defers to ([[ivfIndexAppend]]'s documented trade: frozen centroids
+    * degrade recall gracefully as appended data drifts; a refit
+    * restores the k-means optimum). Reads the stored raw-vector
+    * postings back (they carry everything a refit needs — ids, vectors,
+    * denormalized attrs), re-fits √n centroids on the CURRENT corpus,
+    * re-assigns, and writes a NEW index version (never in-place —
+    * [[graft.sources.ParquetIO.promoteVersion]] is the atomic
+    * switch-over, retirement after consumers drain). Deterministic:
+    * the fit's init is id-ordered, so refitting from the postings is
+    * bit-identical to [[ivfIndexSave]] over the same (id, vector) set
+    * (spec-pinned). */
+  def ivfIndexRefit(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      idCol: String,
+      vecCol: String,
+      dstTable: String,
+      dstDir: String,
+      buckets: Int = 8,
+      iters: Int = 2,
+      scope: CacheScope = CacheScope.global): Unit = {
+    graft.GraftExtensions.install(spark)
+    val postings = spark.read.parquet(s"$srcDir/postings")
+    val attrs = postings.columns
+      .filterNot(Set(idCol, vecCol, "__n__", "__cell__")).toSeq
+    val emb = scope.cache(postings.drop("__n__", "__cell__"))
+    val cents = kmeansFitSqrtK(emb, idCol, vecCol, iters, scope)
+    ivfIndexSave(emb, idCol, vecCol, cents, dstTable, dstDir, buckets, attrs)
+  }
+
   /** IVF top-k served from a PERSISTED [[ivfIndexSave]] artifact: ONLY
     * the (tiny) query frame assigns itself to cells — the corpus side
     * is the stored postings table, scanned as bucketed, never

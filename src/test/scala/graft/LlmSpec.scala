@@ -3063,6 +3063,63 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("ivfIndexRefit: refit-from-postings equals a fresh fit over the grown corpus; the full append->refit->swap lifecycle composes") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.where(sc("vec_id") % 3 === 0)
+    val b = emb.where(sc("vec_id") % 3 === 1)
+    val q = emb.where(sc("vec_id") % 3 === 2).limit(4)
+    val scope = new graft.llm.CacheScope
+    def quad(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.mkString(",")).toSet
+    // v1 fit on a, then append b (frozen centroids — the drift state)
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      a, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(a, "vec_id", "embedding", cents,
+      "ivf_rf1", "/tmp/graft_ivf_idx/rf1", buckets = 4)
+    try {
+      graft.llm.Embeddings.ivfIndexAppend(
+        b, "vec_id", "embedding", "/tmp/graft_ivf_idx/rf1", "ivf_rf1",
+        buckets = 4)
+      // refit from the stored postings = a fresh save over a ∪ b with
+      // centroids fit on a ∪ b (the restored optimum), bit-identical
+      graft.llm.Embeddings.ivfIndexRefit(s, "/tmp/graft_ivf_idx/rf1",
+        "vec_id", "embedding", "ivf_rf2", "/tmp/graft_ivf_idx/rf2",
+        buckets = 4, scope = scope)
+      val centsFull = graft.llm.Embeddings.kmeansFitSqrtK(
+        a.unionByName(b), "vec_id", "embedding", iters = 2, scope = scope)
+      graft.llm.Embeddings.ivfIndexSave(
+        a.unionByName(b), "vec_id", "embedding", centsFull,
+        "ivf_rf_truth", "/tmp/graft_ivf_idx/rf_truth", buckets = 4)
+      def top(tbl: String, dir: String) = quad(
+        graft.llm.Embeddings.ivfTopKIndexed(
+          q, "vec_id", "embedding", dir, s.table(tbl), k = 5))
+      val refit = top("ivf_rf2", "/tmp/graft_ivf_idx/rf2")
+      assert(refit === top("ivf_rf_truth", "/tmp/graft_ivf_idx/rf_truth"))
+      assert(refit.nonEmpty)
+      // centroid tables identical (the fit init is id-ordered, so the
+      // refit cannot diverge from the direct fit)
+      assert(quad(s.read.parquet("/tmp/graft_ivf_idx/rf2/centroids")) ===
+        quad(s.read.parquet("/tmp/graft_ivf_idx/rf_truth/centroids")))
+      // the lifecycle closes with the atomic swap: serve name moves to
+      // the refit version, the drifted one retires
+      graft.sources.ParquetIO.promoteVersion(s, "ivf_rf_serve", "ivf_rf2")
+      assert(quad(graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_ivf_idx/rf2",
+        s.table("ivf_rf_serve"), k = 5)) === refit)
+      // retirement GCs the TABLE's files (the postings); the centroids
+      // sibling is a dir-level artifact the caller removes with the dir
+      graft.sources.ParquetIO.retireVersion(s, "ivf_rf1")
+      assert(!new java.io.File("/tmp/graft_ivf_idx/rf1/postings").exists())
+    } finally {
+      s.sql("DROP VIEW IF EXISTS ivf_rf_serve")
+      Seq("ivf_rf1", "ivf_rf2", "ivf_rf_truth")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("ivfPqIndexAppend: query-after-append equals rebuilt coded index (frozen coarse + codebooks); filtered coded search ranks after filter") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
