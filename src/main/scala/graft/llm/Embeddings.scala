@@ -527,7 +527,9 @@ object Embeddings {
     * scan anyway) — the collect is bounded by that same cap. */
   private def prunedPostings(
       postings: DataFrame, probed: DataFrame, pushCells: Boolean): DataFrame =
-    if (!pushCells) postings
+    // a streaming query side cannot be collected at plan time — the
+    // pushdown silently degrades to the plain join (value-identical)
+    if (!pushCells || probed.isStreaming) postings
     else {
       // bounded driver collect: ≤ MaxPushedCells + 1 cell ids
       val cells = probed.select(col("__qcell__")).distinct()
@@ -768,7 +770,7 @@ object Embeddings {
         // not the shortlist. Value-neutral: the inner join keeps exactly
         // these ids anyway. Falls back to the plain join past the cap.
         val rawPruned =
-          if (!pushCells) rawSel
+          if (!pushCells || shortlist.isStreaming) rawSel
           else {
             val ids = shortlist.select(col("neighbor_id")).distinct()
               .limit(MaxPushedCells + 1).collect().map(_.get(0))

@@ -212,11 +212,20 @@ object ParquetIO {
       newTable: String): Option[String] = {
     val prev =
       if (!spark.catalog.tableExists(serveName)) None
-      else Option(spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(serveName)))
-        .flatMap(_.viewText)
-        .flatMap(v => "FROM\\s+([A-Za-z0-9_.`]+)\\s*$".r
+      else {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(serveName))
+        // fail BEFORE the DDL with the real cause: CREATE OR REPLACE
+        // VIEW over an existing TABLE would error obscurely, and
+        // silently dropping a data table to make room is never right
+        require(meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+          s"serve name '$serveName' already exists as a " +
+            s"${meta.tableType.name} — the serving pointer must be a " +
+            "view (pick a fresh serve name, or drop the table yourself)")
+        meta.viewText.flatMap(v => "FROM\\s+([A-Za-z0-9_.`]+)\\s*$".r
           .findFirstMatchIn(v).map(_.group(1)))
+      }
     spark.sql(s"CREATE OR REPLACE VIEW $serveName AS SELECT * FROM $newTable")
     prev
   }
@@ -227,8 +236,13 @@ object ParquetIO {
     * version drain (a query planned pre-swap reads the old files until
     * it finishes); the swap itself never blocks on this. */
   def retireVersion(spark: SparkSession, table: String): Unit = {
-    val loc = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.tableType !=
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+      s"'$table' is a view (a serving pointer), not a version table — " +
+        "retire the TABLE a swap superseded, not the name queries read")
+    val loc = meta.location
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val p = new Path(loc)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

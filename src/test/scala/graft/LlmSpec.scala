@@ -3406,6 +3406,14 @@ class LlmSpec extends GraftSuite {
       assert(hasScan(plan), "expected the v2 postings scan through the view")
       assert(!hasShuffleAbove(plan),
         s"postings re-shuffled through the view:\n$plan")
+      // misuse fails loudly: retiring the serving VIEW, or promoting a
+      // serve name that is already a data TABLE
+      assert(intercept[IllegalArgumentException] {
+        graft.sources.ParquetIO.retireVersion(s, "mh_serve")
+      }.getMessage.contains("view"))
+      assert(intercept[IllegalArgumentException] {
+        graft.sources.ParquetIO.promoteVersion(s, "mh_pv2", "mh_pv1")
+      }.getMessage.contains("view"))
       // retirement: the old version's table AND files are gone
       graft.sources.ParquetIO.retireVersion(s, "mh_pv1")
       assert(!s.catalog.tableExists("mh_pv1"))
