@@ -140,6 +140,18 @@ object RecallCheck {
     spark.sql(s"DROP TABLE IF EXISTS $pqTbl")
     Embeddings.ivfPqIndexSave(emb, "vec_id", "embedding", cents, cbProd,
       dim = 64, m = 8, table = pqTbl, dir = pqDir)
+    // RESIDUAL-coded sibling at the same knobs: codebooks fit on
+    // x − c(cell), so the recall delta vs the plain INDEXED rows
+    // measures exactly what by-residual encoding buys at identical
+    // postings bytes (m codes per row either way)
+    val cbRes = Embeddings.pqResidualCodebooks(emb, "vec_id", "embedding",
+      cents, dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2,
+      scope = scope)
+    val pqrTbl = s"recall_pqridx_$pqTag"
+    val pqrDir = s"/tmp/graft_recall/pqridx_$pqTag"
+    spark.sql(s"DROP TABLE IF EXISTS $pqrTbl")
+    Embeddings.ivfPqIndexSave(emb, "vec_id", "embedding", cents, cbRes,
+      dim = 64, m = 8, table = pqrTbl, dir = pqrDir, residual = true)
 
     val rows = Seq(
       ("lsh (bits=4)", queryIds.length, recallOf(
@@ -193,6 +205,23 @@ object RecallCheck {
             spark.table(pqTbl), dim = 64, m = 8, k = k, nprobe = 4,
             candFactor = 4, rerank = Some(emb))
           .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivfpq RESIDUAL adc (k=$kCells, m=8, nprobe=1)", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqrDir,
+            spark.table(pqrTbl), dim = 64, m = 8, k = k)
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivfpq RESIDUAL adc+rerank x4 (k=$kCells, m=8)", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqrDir,
+            spark.table(pqrTbl), dim = 64, m = 8, k = k, candFactor = 4,
+            rerank = Some(emb))
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivfpq RESIDUAL adc+rerank x4 nprobe=4", queryIds.length,
+        recallOf(Embeddings.ivfPqTopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", pqrDir,
+            spark.table(pqrTbl), dim = 64, m = 8, k = k, nprobe = 4,
+            candFactor = 4, rerank = Some(emb))
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
       ("random projection (dims=16, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.rpTopK(emb, "vec_id", "embedding",
           queryId = q, d = 64, dims = 16, seed = 7, candidates = 50, k = k)),
@@ -208,6 +237,7 @@ object RecallCheck {
     println("|---|---|---|")
     rows.foreach { case (op, nq, r) => println(f"| $op | $nq | $r%.3f |") }
     spark.sql(s"DROP TABLE IF EXISTS $pqTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $pqrTbl")
     truth.unpersist()
     scope.release()
   }

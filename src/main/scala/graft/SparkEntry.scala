@@ -221,6 +221,45 @@ object SparkEntry {
       (dataDir.toString, tbl)
     }
 
+  /** [[ivfPqIndexFixture]]'s RESIDUAL-coded twin
+    * ([[graft.llm.Embeddings.ivfPqIndexSave]] with `residual = true`,
+    * codebooks fit on x − c(cell) — FAISS's by-residual IndexIVFPQ):
+    * postings store (cell, id, m codes, ‖ĉ+r̂‖) and the serve query
+    * times the coded-scan + residual-ADC read path. */
+  private def ivfPqResidualIndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"ivfpqr_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+            emb, "vec_id", "embedding", iters = 2)
+          val cb = graft.llm.Embeddings.pqResidualCodebooks(
+            emb, "vec_id", "embedding", coarse, dim = 64, m = 2,
+            initPred = org.apache.spark.sql.functions.col("vec_id") < 4,
+            iters = 2)
+          graft.llm.Embeddings.ivfPqIndexSave(
+            emb, "vec_id", "embedding", coarse, cb, dim = 64, m = 2,
+            tmpTbl, tmpPath.toString, residual = true)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (__cell__) SORTED BY (__cell__) INTO 8 BUCKETS
+                  LOCATION '$dataDir/postings'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
   /** Memoized MULTI-SHARD WET fixture (the extracted-text sibling of
     * [[linksWarcFixture]]): 8 `.warc.wet.gz` shards (docs round-robin by
     * id), each led by the per-shard `warcinfo` record real WET files
@@ -3415,6 +3454,27 @@ object SparkEntry {
             candFactor = 4, rerank = Some(df))
         }
         .sort(col("rank"))
+        .run(s)),
+
+    // --- RESIDUAL-coded persisted IVF-PQ (FAISS's by-residual
+    //     IndexIVFPQ, Jégou et al. 2011 §III): codebooks quantize
+    //     x − c(cell) — far less variance than the raw corpus, so the
+    //     same code budget reconstructs markedly finer. Serving scores
+    //     q·(ĉ+r̂) from the stored codes + the per-posting reconstructed
+    //     norm written at encode: no (cell × code) cross-term tables,
+    //     the broadcast stays query-sized at any coarse-cell count.
+    //     nprobe=2 exercises the per-probed-cell q·c numerator term ---
+    "q_ann_ivfpq_residual" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfPqResidualIndexFixture(s, dir)
+          graft.llm.Embeddings.ivfPqTopKIndexed(
+            df.where(F.col("vec_id") < 2), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, m = 2, k = 10,
+            nprobe = 2)
+        }
+        .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
     // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
@@ -7683,6 +7743,70 @@ object SparkEntry {
                   row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
            FROM rr) t
          WHERE rank <= 10 ORDER BY rank"""),
+
+    // RESIDUAL-coded persisted IVF-PQ: the coarse chain's residuals
+    // (CAST(x[i] AS DOUBLE) - cv[i] — exact on both engines) feed two
+    // 32-dim residual-codebook Lloyd chains; each corpus row
+    // reconstructs as ĉ+r̂ with its norm (the stored __xn__), and the
+    // ADC score folds (qc + qd0) + qd1 over the probed cells' postings
+    // against the query's per-segment lookup — the same association
+    // order the Spark serve path uses.
+    "q_ann_ivfpq_residual" ->
+      (KmeansCtes + s""",
+         res AS MATERIALIZED (
+           SELECT s.vec_id,
+                  list_transform(range(1, 65),
+                    i -> CAST(s.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+           FROM sf s JOIN c2 c ON c.cid = s.cell),
+         resc0 AS (SELECT vec_id, rv[1:32] AS embedding FROM res),
+         resc1 AS (SELECT vec_id, rv[33:64] AS embedding FROM res),
+         ${kmeansChain("vec_id < 4", "resc0", "r0", 32)},
+         ${kmeansChain("vec_id < 4", "resc1", "r1", 32)},
+         rec0 AS (
+           SELECT s.vec_id, s.cell, f0.cell AS code0, f1.cell AS code1,
+                  list_transform(range(1, 33), i -> c.cv[i] + b0.cv[i]) ||
+                  list_transform(range(1, 33), i -> c.cv[i + 32] + b1.cv[i])
+                    AS xh
+           FROM sf s
+           JOIN c2 c ON c.cid = s.cell
+           JOIN sfr0 f0 ON f0.vec_id = s.vec_id
+           JOIN c2r0 b0 ON b0.cid = f0.cell
+           JOIN sfr1 f1 ON f1.vec_id = s.vec_id
+           JOIN c2r1 b1 ON b1.cid = f1.cell),
+         rec AS MATERIALIZED (
+           SELECT vec_id, cell, code0, code1,
+                  sqrt(${dotSql("xh", "xh")}) AS xn
+           FROM rec0),
+         qr AS (SELECT vec_id AS query_id, embedding AS qe,
+                       sqrt(${dotSql("embedding", "embedding")}) AS qn
+                FROM embeddings WHERE vec_id < 2),
+         pc AS (
+           SELECT query_id, qe, qn, cid AS qcell,
+                  ${dotSql("qe", "cv")} AS qc
+           FROM (
+             SELECT q.query_id, q.qe, q.qn, cc.cid, cc.cv,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      round((${dotSql("q.qe", "cc.cv")}) /
+                            (q.qn * sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                        DESC,
+                      cc.cid) AS crk
+             FROM qr q CROSS JOIN c2 cc) t
+           WHERE crk <= 2),
+         adc AS (
+           SELECT pc.query_id, r.vec_id,
+                  round((pc.qc + ${dotSql("pc.qe[1:32]", "b0.cv")}
+                               + ${dotSql("pc.qe[33:64]", "b1.cv")})
+                        / (pc.qn * r.xn), 6) AS score
+           FROM pc
+           JOIN rec r ON r.cell = pc.qcell AND r.vec_id <> pc.query_id
+           JOIN c2r0 b0 ON b0.cid = r.code0
+           JOIN c2r1 b1 ON b1.cid = r.code1)
+         SELECT query_id, neighbor_id, score, rank FROM (
+           SELECT query_id, vec_id AS neighbor_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rank
+           FROM adc) t
+         WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     "q_ann_ivf_trained" ->
       (KmeansCtes + s"""

@@ -542,6 +542,77 @@ object Embeddings {
       else postings.where(col("__cell__").isInCollection(cells.toSeq))
     }
 
+  /** The coarse centroid table folded into ONE broadcastable row as a
+    * map cid → cv: the per-row "my cell's centroid vector" lookup the
+    * RESIDUAL paths need (residual computation at encode, the q·c
+    * numerator term at serve) — a projection against a 1-row broadcast,
+    * never a join of the corpus against the centroid table. */
+  private def coarseCentMap(coarse: DataFrame): DataFrame =
+    coarse.agg(map_from_entries(
+      collect_list(struct(col("cid"), col("cv")))).as("__cmap__"))
+
+  /** Residual frame: `__cell__` (coarse argmax on the RAW vector — the
+    * IVF routing is unchanged by residual coding), `__ccv__` (that
+    * cell's centroid) and `__res__` = x − c as array<double> (exact:
+    * float→double widening is lossless and subtraction is correctly
+    * rounded, so the oracle's `CAST(x[i] AS DOUBLE) - cv[i]` replays it
+    * bit-for-bit). The zip_with runs once per corpus row at INGEST
+    * (encode/fit time), never on a per-query path. */
+  private def withResidual(
+      emb: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame): DataFrame =
+    withCell(emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
+      .crossJoin(broadcast(coarseCentMap(coarse))) // 1-row build side
+      .withColumn("__ccv__", element_at(col("__cmap__"), col("__cell__")))
+      .withColumn("__res__",
+        expr(s"zip_with($vecCol, __ccv__, (a, b) -> CAST(a AS DOUBLE) - b)"))
+      .drop("__cmap__")
+
+  /** PQ codebooks fit on RESIDUALS x − c(cell) instead of raw vectors —
+    * the quantizer layout FAISS ships as IndexIVFPQ with by-residual
+    * encoding (Jégou et al. 2011 §III): residuals concentrate around
+    * the origin with far less variance than the raw corpus, so the same
+    * m×k code budget quantizes markedly finer and ADC recall rises at
+    * identical postings bytes. Same Lloyd machinery as [[pqCodebooks]]
+    * over the residual slices, so assignments stay the deterministic
+    * rounded-argmax rule everywhere. */
+  def pqResidualCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      dim: Int,
+      m: Int,
+      initPred: Column,
+      iters: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    val res = withResidual(emb, idCol, vecCol, coarse)
+      .select(col(idCol), col("__res__"))
+    pqCodebooks(res, idCol, "__res__", dim, m, initPred, iters, scope)
+  }
+
+  /** Marker name for residual-coded [[ivfPqIndexSave]] artifacts: the
+    * artifact self-describes its encoding, so append and serve derive
+    * the mode from the directory and can never disagree with the save
+    * (the `_prune_spec` discipline from [[LangModel.knNgramFit]]). */
+  private val ResidualMarker = "_pq_residual"
+
+  private def writeResidualMarker(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ResidualMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("residual".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def isResidualIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ResidualMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The PQ codebooks folded into ONE broadcastable row: a map
     * segment → array<struct<__cid__,__cv__,__cn__>> — the exact operand
     * shape `vec_argmax_cell` takes, shared by the ingest-time encoder
@@ -583,12 +654,19 @@ object Embeddings {
       table: String,
       dir: String,
       buckets: Int = 8,
-      attrs: Seq[String] = Seq.empty): Unit = {
+      attrs: Seq[String] = Seq.empty,
+      residual: Boolean = false): Unit = {
     graft.GraftExtensions.install(emb.sparkSession)
     coarse.write.mode("overwrite").parquet(s"$dir/centroids")
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // residual artifacts SELF-DESCRIBE via a marker file, so append and
+    // serve derive the encoding from the directory and can never
+    // disagree with the save (codebooks must be residual-trained —
+    // [[pqResidualCodebooks]]; a raw-trained frame would still encode
+    // deterministically but reconstruct poorly)
+    if (residual) writeResidualMarker(emb.sparkSession, dir)
     graft.sources.ParquetIO.writeBucketed(
-      pqEncode(emb, idCol, vecCol, coarse, codebooks, dim, m, attrs),
+      pqEncode(emb, idCol, vecCol, coarse, codebooks, dim, m, attrs, residual),
       table, s"$dir/postings", "__cell__", buckets)
   }
 
@@ -617,17 +695,45 @@ object Embeddings {
     val spark = newEmb.sparkSession
     val coarse = spark.read.parquet(s"$dir/centroids")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
+    // the artifact self-describes its encoding — appended rows encode
+    // exactly as the save did (residual or raw), against the same
+    // frozen coarse centroids and codebooks
     graft.sources.ParquetIO.appendBucketed(
-      pqEncode(newEmb, idCol, vecCol, coarse, codebooks, dim, m, attrs),
+      pqEncode(newEmb, idCol, vecCol, coarse, codebooks, dim, m, attrs,
+        residual = isResidualIndex(spark, dir)),
       table, "__cell__", buckets)
   }
+
+  /** The codebooks as a 1-row broadcast of NESTED MAPS segment →
+    * (cid → cv): the code → entry-vector lookup residual encoding needs
+    * to RECONSTRUCT x̂ = c + r̂ at ingest (struct-array form serves the
+    * argmax; map form serves the point lookup). */
+  private def codebookCvMaps(codebooks: DataFrame): DataFrame =
+    codebooks
+      .select(col("segment").cast("int").as("__s__"),
+        col("cid").as("__cid__"), col("cv").as("__cv__"))
+      .groupBy(col("__s__"))
+      .agg(map_from_entries(collect_list(struct(col("__cid__"), col("__cv__"))))
+        .as("__m__"))
+      .agg(map_from_entries(collect_list(struct(col("__s__"), col("__m__"))))
+        .as("__cvm__"))
 
   /** ONE pass over a vector frame: coarse cell + all m segment codes
     * from a single 1-row broadcast of the codebook arrays — zero row
     * expansion, zero shuffle before the bucketed write. Shared by the
     * index save and append paths so they cannot encode differently.
     * `attrs` denormalizes filter attributes onto the coded postings
-    * (the [[ivfIndexSave]] filtered-search layout). */
+    * (the [[ivfIndexSave]] filtered-search layout).
+    *
+    * `residual = true` encodes r = x − c(cell) instead of x (codebooks
+    * must be residual-trained — [[pqResidualCodebooks]]) and stores one
+    * extra column `__xn__` = ‖ĉ+r̂‖ (the RECONSTRUCTED vector's norm,
+    * computed once at encode): with it the serve-side score is
+    * (q·c + Σ_s q_s·r̂_s) / (‖q‖·__xn__) from per-query broadcast
+    * lookups alone — no (cell × code × segment) cross-term table, which
+    * is the piece of FAISS's precomputed-tables layout that stops
+    * fitting in a broadcast once coarse cells reach 100 TB counts. One
+    * stored double per posting buys that off. */
   private def pqEncode(
       emb: DataFrame,
       idCol: String,
@@ -636,22 +742,42 @@ object Embeddings {
       codebooks: DataFrame,
       dim: Int,
       m: Int,
-      attrs: Seq[String]): DataFrame = {
+      attrs: Seq[String],
+      residual: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     val segLen = dim / m
     validateCodebookShape(codebooks, m, segLen)
-    val celled = withCell(
-      emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
-    (0 until m).foldLeft(
+    val celled =
+      if (residual) withResidual(emb, idCol, vecCol, coarse)
+      else withCell(
+        emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
+    val srcVec = if (residual) "__res__" else vecCol
+    val coded = (0 until m).foldLeft(
       celled.crossJoin(broadcast(codebookCentArrays(codebooks)))) { (df, s) =>
-      df.withColumn(s"__seg${s}__", slice(col(vecCol), s * segLen + 1, segLen))
+      df.withColumn(s"__seg${s}__", slice(col(srcVec), s * segLen + 1, segLen))
         .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
         .withColumn(s"__code${s}__",
           expr(s"vec_argmax_cell(__seg${s}__, __sn${s}__, element_at(__cbs__, $s))"))
     }
       .withColumn("__codes__",
         array((0 until m).map(s => col(s"__code${s}__")): _*))
-      .select((Seq(idCol) ++ Seq("__cell__", "__codes__") ++ attrs).map(col): _*)
+    if (!residual)
+      coded.select(
+        (Seq(idCol) ++ Seq("__cell__", "__codes__") ++ attrs).map(col): _*)
+    else {
+      // reconstruct x̂ = c + r̂ (r̂ = the chosen codebook entries in
+      // segment order) and store its norm — element adds and the
+      // ascending-index dot fold replay exactly in the oracle
+      val rhat = concat((0 until m).map(s =>
+        expr(s"element_at(element_at(__cvm__, $s), __code${s}__)")): _*)
+      coded.crossJoin(broadcast(codebookCvMaps(codebooks)))
+        .withColumn("__rhat__", rhat)
+        .withColumn("__xhat__",
+          expr("zip_with(__ccv__, __rhat__, (a, b) -> a + b)"))
+        .withColumn("__xn__", sqrt(dot("__xhat__", "__xhat__")))
+        .select((Seq(idCol) ++ Seq("__cell__", "__codes__", "__xn__") ++ attrs)
+          .map(col): _*)
+    }
   }
 
   /** IVF-PQ top-k served from a PERSISTED [[ivfPqIndexSave]] artifact —
@@ -696,11 +822,28 @@ object Embeddings {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val codebooks = spark.read.parquet(s"$dir/codebooks")
     validateCodebookShape(codebooks, m, segLen)
+    // the artifact self-describes its encoding (the save's marker):
+    // residual postings score as q·(c + r̂) against the STORED
+    // reconstructed norm, raw postings as q·r̂ against the code-norm map
+    val residual = isResidualIndex(spark, dir)
+    if (residual) require(postings.columns.contains("__xn__"),
+      s"$dir is marked residual-coded but the postings frame has no " +
+        "__xn__ column — was a different table passed than the one " +
+        "ivfPqIndexSave wrote?")
     val qAssigned = withCell(
       queries.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, centroids)
       .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
         col("__n__").as("__qn__"), col("__cell__"))
-    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    val probed0 = ivfQueryCells(qAssigned, centroids, nprobe)
+    // residual numerator term q·c per (query, probed cell): a projection
+    // against the 1-row coarse map — tiny (query×nprobe rows), and the
+    // lookup vector is the PROBED cell's centroid, not the query's own
+    val probed =
+      if (!residual) probed0
+      else probed0.crossJoin(broadcast(coarseCentMap(centroids)))
+        .withColumn("__qc__",
+          dot("__q__", "element_at(__cmap__, __qcell__)"))
+        .drop("__cmap__")
     // per-(query, segment) qd lookup tables, computed in ONE projection
     // per (tiny) query row against the 1-row codebook broadcast — the
     // same parameter-attach shape withCell uses, so every cross join in
@@ -731,11 +874,11 @@ object Embeddings {
     // the attribute predicate applies at the postings scan (attrs
     // denormalized by [[ivfPqIndexSave]] push into parquet) and
     // candidates rank AFTER filtering, so ranks stay dense 1..k
-    val scored = qWithTabs
+    val joined = qWithTabs
       .join(prunedPostings(filter.fold(postings)(postings.where(_)),
           probed, pushCells),
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
-      .crossJoin(broadcast(cn2Row))
+    val scored = if (residual) joined else joined.crossJoin(broadcast(cn2Row))
     // FIXED segment-order left fold — the same float order as adcTopK's
     // per-segment sum, so stored-code scores bit-match the inline path
     val qdotSum = (0 until m)
@@ -746,8 +889,19 @@ object Embeddings {
       .map(s => expr(
         s"element_at(element_at(__cn2s__, $s), element_at(__codes__, ${s + 1}))"))
       .reduce(_ + _)
+    // residual score: cosine of q against the reconstruction ĉ+r̂ —
+    // numerator folds q·c then the m segment partials LEFT-TO-RIGHT
+    // ((qc + qd0) + qd1 — the oracle replays the same association),
+    // denominator is the stored reconstructed norm
+    val score =
+      if (residual)
+        round((0 until m)
+          .map(s => expr(
+            s"element_at(element_at(__tabs__, $s), element_at(__codes__, ${s + 1}))"))
+          .foldLeft(col("__qc__"))(_ + _) / (col("__qn__") * col("__xn__")), 6)
+      else round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6)
     val adc = scored
-      .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
+      .withColumn("score", score)
       .withColumn("__crk__", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col(idCol))))

@@ -3172,6 +3172,89 @@ class LlmSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("residual IVF-PQ: per-vector residual codebooks reconstruct exactly, append derives residual mode from the marker, __xn__ guard fails loudly") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 1)
+    // DEGENERATE GATE (the pqTopK m=1 discipline, residual edition):
+    // per-vector residual codebooks (every id seeds, zero iterations)
+    // hold each residual exactly, so reconstruction ĉ+r̂ returns x up to
+    // one correctly-rounded subtract+add per element and the ADC score
+    // must equal the exact cosine to well inside the 6-dp round.
+    val cbAll = graft.llm.Embeddings.pqResidualCodebooks(
+      emb, "vec_id", "embedding", coarse, dim = 64, m = 2,
+      initPred = org.apache.spark.sql.functions.lit(true), iters = 0)
+    graft.llm.Embeddings.ivfPqIndexSave(
+      emb, "vec_id", "embedding", coarse, cbAll, dim = 64, m = 2,
+      "ivfpqr_exact", "/tmp/graft_ivfpqr/exact", buckets = 4,
+      residual = true)
+    try {
+      val q0 = emb.where(sc("vec_id") === 0)
+      val adc = graft.llm.Embeddings.ivfPqTopKIndexed(
+        q0, "vec_id", "embedding", "/tmp/graft_ivfpqr/exact",
+        s.table("ivfpqr_exact"), dim = 64, m = 2, k = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      assert(adc.nonEmpty, "residual ADC returned no candidates")
+      val qv = q0.collect().head.getSeq[Float](1).toArray
+      val qn = math.sqrt(qv.map(x => x.toDouble * x.toDouble).sum)
+      val exact = emb.where(sc("vec_id").isInCollection(adc.keys.toSeq))
+        .collect().map { r =>
+          val v = r.getSeq[Float](1).toArray
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i).toDouble * qv(i).toDouble; i += 1 }
+          (r.getLong(0),
+            d / (math.sqrt(v.map(x => x.toDouble * x.toDouble).sum) * qn))
+        }.toMap
+      adc.foreach { case (id, got) =>
+        assert(math.abs(got - exact(id)) < 2e-6,
+          s"vec $id: residual ADC $got vs exact cosine ${exact(id)}")
+      }
+      // misuse guard: a residual-marked dir served with a postings frame
+      // missing __xn__ (wrong table) fails loudly, not silently wrong
+      val err = intercept[IllegalArgumentException] {
+        graft.llm.Embeddings.ivfPqTopKIndexed(
+          q0, "vec_id", "embedding", "/tmp/graft_ivfpqr/exact",
+          s.table("ivfpqr_exact").drop("__xn__"), dim = 64, m = 2, k = 10)
+      }
+      assert(err.getMessage.contains("__xn__"))
+    } finally s.sql("DROP TABLE IF EXISTS ivfpqr_exact")
+    // APPEND derives residual mode from the artifact's marker (no flag):
+    // save half residual-coded, append the other half, serve ≡ full save
+    val a = emb.where(sc("vec_id") % 3 === 0)
+    val b = emb.where(sc("vec_id") % 3 === 1)
+    val q = emb.where(sc("vec_id") % 3 === 2).limit(3)
+    val coarseA = graft.llm.Embeddings.kmeansFitSqrtK(
+      a, "vec_id", "embedding", iters = 1)
+    val cbA = graft.llm.Embeddings.pqResidualCodebooks(
+      a, "vec_id", "embedding", coarseA, dim = 64, m = 2,
+      initPred = sc("vec_id") < 7, iters = 1)
+    graft.llm.Embeddings.ivfPqIndexSave(
+      a, "vec_id", "embedding", coarseA, cbA, dim = 64, m = 2,
+      "ivfpqr_app", "/tmp/graft_ivfpqr/app", buckets = 4, residual = true)
+    graft.llm.Embeddings.ivfPqIndexSave(
+      a.unionByName(b), "vec_id", "embedding", coarseA, cbA, dim = 64, m = 2,
+      "ivfpqr_full", "/tmp/graft_ivfpqr/full", buckets = 4, residual = true)
+    try {
+      graft.llm.Embeddings.ivfPqIndexAppend(
+        b, "vec_id", "embedding", "/tmp/graft_ivfpqr/app", "ivfpqr_app",
+        dim = 64, m = 2, buckets = 4)
+      def top(tbl: String, dir: String) = graft.llm.Embeddings
+        .ivfPqTopKIndexed(q, "vec_id", "embedding", dir, s.table(tbl),
+          dim = 64, m = 2, k = 5, nprobe = 2)
+        .collect().map(_.mkString(",")).toSet
+      val grown = top("ivfpqr_app", "/tmp/graft_ivfpqr/app")
+      assert(grown === top("ivfpqr_full", "/tmp/graft_ivfpqr/full"))
+      assert(grown.nonEmpty, "residual append fixture produced no results")
+      // appended rows carry the stored reconstructed norm too
+      assert(s.table("ivfpqr_app").columns.contains("__xn__"))
+      assert(s.table("ivfpqr_app").where(sc("__xn__").isNull).count() === 0L)
+    } finally Seq("ivfpqr_app", "ivfpqr_full")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.llm.CacheScope.global.release()
+  }
+
   test("ivfTopKIndexed cell pushdown: value parity with the plain join, predicate reaches PushedFilters") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
