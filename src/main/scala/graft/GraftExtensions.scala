@@ -192,6 +192,14 @@ object GraftExtensions {
         require(args.length == 3, "vec_argmax_cell takes exactly 3 arguments")
         VecArgmaxCell(args.head, args(1), args(2))
       }),
+    // L2-argmin assignment (residual quantizers): score = vec·cv − cn/2
+    // with ‖cv‖² in the struct's third field; norm operand ignored
+    (FunctionIdentifier("vec_argmax_cell_l2"),
+      new ExpressionInfo(classOf[VecArgmaxCell].getName, "vec_argmax_cell_l2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_argmax_cell_l2 takes exactly 3 arguments")
+        VecArgmaxCell(args.head, args(1), args(2), l2 = true)
+      }),
   )
 
   /** Imperative registration for sessions built without the extensions

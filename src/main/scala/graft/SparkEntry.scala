@@ -229,7 +229,12 @@ object SparkEntry {
   private def ivfPqResidualIndexFixture(
       s: SparkSession, dir: String): (String, String) =
     synchronized {
-      val name = s"ivfpqr_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // "ivfpqr2": the residual builder's output changed when the
+      // quantizer metric moved cosine → L2 (fit + encode) — a fresh
+      // name invalidates any cosine-coded artifact on disk without
+      // forcing a rebuild of every OTHER memoized fixture (the
+      // FixtureVer bump's blast radius)
+      val name = s"ivfpqr2_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val tbl = "fix_" + name
       val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
       java.nio.file.Files.createDirectories(root)
@@ -3346,6 +3351,24 @@ object SparkEntry {
             filter = Some(F.col("label") < 5))
         }
         .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- kNN LABEL PROPAGATION: transfer the labeled corpus's labels
+    //     onto query vectors as the MAJORITY label of the 5 nearest
+    //     neighbors (exact cosine over the probed cells of the persisted
+    //     IVF index; the label is a denormalized postings attribute, so
+    //     it rides the top-k rows — zero label-side joins, and the vote
+    //     aggregates queries × k rows, never the corpus) ---
+    "q_knn_label" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir, attrs = Seq("label"))
+          graft.llm.Embeddings.knnLabelIndexed(
+            df.where(F.col("vec_id") < 20), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), "label", k = 5, nprobe = 2)
+        }
+        .sort(col("query_id"))
         .run(s)),
 
     // --- INCREMENTAL embedding near-dup ADMISSION vs the persisted IVF
@@ -7760,8 +7783,8 @@ object SparkEntry {
            FROM sf s JOIN c2 c ON c.cid = s.cell),
          resc0 AS (SELECT vec_id, rv[1:32] AS embedding FROM res),
          resc1 AS (SELECT vec_id, rv[33:64] AS embedding FROM res),
-         ${kmeansChain("vec_id < 4", "resc0", "r0", 32)},
-         ${kmeansChain("vec_id < 4", "resc1", "r1", 32)},
+         ${kmeansChain("vec_id < 4", "resc0", "r0", 32, l2 = true)},
+         ${kmeansChain("vec_id < 4", "resc1", "r1", 32, l2 = true)},
          rec0 AS (
            SELECT s.vec_id, s.cell, f0.cell AS code0, f1.cell AS code1,
                   list_transform(range(1, 33), i -> c.cv[i] + b0.cv[i]) ||
@@ -7892,6 +7915,38 @@ object SparkEntry {
            FROM qc JOIN sf n ON n.cell = qc.cell AND n.vec_id <> qc.query_id
            WHERE qc.crk <= 2) t
          WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // kNN label propagation: the q_ann_ivf_probe top-k replay (nprobe=2,
+    // k=5, posting-norm-first denominator) joined to the corpus labels,
+    // then the majority vote with the (votes desc, label) tie-break
+    "q_knn_label" ->
+      (KmeansCtes + s""",
+         qc AS (
+           SELECT q.vec_id AS query_id, q.embedding AS qe, cc.cid AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                    cc.cid) AS crk
+           FROM embeddings q CROSS JOIN c2 cc WHERE q.vec_id < 20),
+         topk AS (
+           SELECT query_id, neighbor_id, label FROM (
+             SELECT qc.query_id, n.vec_id AS neighbor_id, e.label,
+                    row_number() OVER (PARTITION BY qc.query_id ORDER BY
+                      round((${dotSql("qc.qe", "n.embedding")}) /
+                            (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                             sqrt(${dotSql("qc.qe", "qc.qe")})), 6) DESC,
+                      n.vec_id) AS rank
+             FROM qc JOIN sf n ON n.cell = qc.cell AND n.vec_id <> qc.query_id
+                  JOIN embeddings e ON e.vec_id = n.vec_id
+             WHERE qc.crk <= 2) t
+           WHERE rank <= 5)
+         SELECT query_id, label, votes FROM (
+           SELECT query_id, label, count(*) AS votes,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY count(*) DESC, label) AS vr
+           FROM topk GROUP BY query_id, label) t
+         WHERE vr = 1 ORDER BY query_id"""),
 
     "q_ann_lsh" ->
       (s"""WITH bkt AS (
@@ -10152,24 +10207,35 @@ object SparkEntry {
     * assignment), CTE names suffixed with `sfx` and reading `corpus`
     * (vec_id, embedding) with `dim` components — so several chains (e.g.
     * one per PQ segment slice) compose in one statement. Yields
-    * `c2$sfx` (cid, cv) and `sf$sfx` (vec_id, embedding, cell). */
+    * `c2$sfx` (cid, cv) and `sf$sfx` (vec_id, embedding, cell).
+    * `l2 = true` replays the residual-quantizer metric
+    * (vec_argmax_cell_l2): score = round(v·cv − (cv·cv)/2, 6) — the
+    * argmin-L2 equivalent — instead of the rounded cosine. */
   private def kmeansChain(initPred: String, corpus: String, sfx: String,
-      dim: Int): String =
+      dim: Int, l2: Boolean = false): String =
     s"""init$sfx AS (
          SELECT vec_id AS cid,
                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
          FROM $corpus WHERE $initPred
-       ), ${kmeansIterSql(s"init$sfx", s"a1$sfx", s"s1$sfx", s"m1$sfx", s"c1$sfx", corpus, dim)},
-       ${kmeansIterSql(s"c1$sfx", s"a2$sfx", s"s2$sfx", s"m2$sfx", s"c2$sfx", corpus, dim)},
+       ), ${kmeansIterSql(s"init$sfx", s"a1$sfx", s"s1$sfx", s"m1$sfx", s"c1$sfx", corpus, dim, l2)},
+       ${kmeansIterSql(s"c1$sfx", s"a2$sfx", s"s2$sfx", s"m2$sfx", s"c2$sfx", corpus, dim, l2)},
        af$sfx AS (
          SELECT e.vec_id, e.embedding, cc.cid,
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                  round((${dotSql("e.embedding", "cc.cv")}) /
-                        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-                         sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
+                  ${argmaxScoreSql("e.embedding", "cc.cv", l2)} DESC NULLS LAST,
                   cc.cid) AS rn
          FROM $corpus e CROSS JOIN c2$sfx cc
        ), sf$sfx AS (SELECT vec_id, embedding, cid AS cell FROM af$sfx WHERE rn = 1)"""
+
+  /** The assignment score one Lloyd's step ranks by: rounded cosine
+    * (vec_argmax_cell) or the L2-argmin equivalent v·cv − ‖cv‖²/2
+    * (vec_argmax_cell_l2 — exact-halving division, subtraction after). */
+  private def argmaxScoreSql(e: String, cv: String, l2: Boolean): String =
+    if (l2)
+      s"""round((${dotSql(e, cv)}) - (${dotSql(cv, cv)}) / 2, 6)"""
+    else
+      s"""round((${dotSql(e, cv)}) /
+              (sqrt(${dotSql(e, e)}) * sqrt(${dotSql(cv, cv)})), 6)"""
 
   private lazy val KmeansCtes: String = kmeansCtes(SemKPredSql)
 
@@ -10185,13 +10251,11 @@ object SparkEntry {
     * 6-dp-rounded members (order-independent on both engines). */
   private def kmeansIterSql(centSrc: String, a: String, s: String,
       mn: String, c: String, corpus: String = "embeddings",
-      dim: Int = EmbDim): String =
+      dim: Int = EmbDim, l2: Boolean = false): String =
     s"""$a AS (
           SELECT e.vec_id, e.embedding, cc.cid,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   round((${dotSql("e.embedding", "cc.cv")}) /
-                         (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-                          sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC NULLS LAST,
+                   ${argmaxScoreSql("e.embedding", "cc.cv", l2)} DESC NULLS LAST,
                    cc.cid) AS rn
           FROM $corpus e CROSS JOIN $centSrc cc
         ), $s AS (SELECT vec_id, embedding, cid AS cell FROM $a WHERE rn = 1

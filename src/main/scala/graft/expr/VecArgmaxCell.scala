@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     finite sim and ties among NaNs break to the minimum cid, matching
   *     the HOF fold bit-for-bit (LlmSpec pins the NaN cases).
   */
-case class VecArgmaxCell(first: Expression, second: Expression, third: Expression)
+case class VecArgmaxCell(first: Expression, second: Expression, third: Expression,
+    l2: Boolean = false)
     extends TernaryExpression {
 
   private def vecElem(t: DataType): Option[DataType] = t match {
@@ -78,12 +79,13 @@ case class VecArgmaxCell(first: Expression, second: Expression, third: Expressio
 
   override def dataType: DataType = centsStruct.get.fields(0).dataType
   override def nullable: Boolean = true
-  override def prettyName: String = "vec_argmax_cell"
+  override def prettyName: String =
+    if (l2) "vec_argmax_cell_l2" else "vec_argmax_cell"
 
   @transient private lazy val helper = new ArgmaxCellHelper(
     vecElem(first.dataType).contains(FloatType),
     vecElem(centsStruct.get.fields(1).dataType).contains(FloatType),
-    dataType)
+    dataType, l2)
 
   override def eval(input: InternalRow): Any =
     helper.best(first.eval(input), second.eval(input), third.eval(input))
@@ -118,8 +120,19 @@ case class VecArgmaxCell(first: Expression, second: Expression, third: Expressio
 
 /** The per-row loop behind [[VecArgmaxCell]] — one instance per expression,
   * referenced from both the interpreted and codegen paths so they cannot
-  * diverge. Type flags are resolved once at analysis time. */
-class ArgmaxCellHelper(vecFloat: Boolean, cvFloat: Boolean, cidType: DataType)
+  * diverge. Type flags are resolved once at analysis time.
+  *
+  * `l2 = true` switches the score to the L2-argmin equivalent
+  * `round(vec·cv − cn/2, 6)` where the BUILDER puts ‖cv‖² in the struct's
+  * third field (argmin ‖vec−cv‖² ≡ argmax (vec·cv − ‖cv‖²/2) after
+  * dropping the constant ‖vec‖² — the magnitude-aware metric residual
+  * quantizers need; cosine would quantize noise-like residuals by
+  * direction only and measurably lose recall). L2 mode never divides, so
+  * a zero-norm vector is legitimately encodable; the degenerate pin is
+  * −∞ (the cosine mode's −2 would beat real L2 scores, which are
+  * unbounded below), and the `norm` operand is ignored. */
+class ArgmaxCellHelper(vecFloat: Boolean, cvFloat: Boolean, cidType: DataType,
+    l2: Boolean = false)
     extends Serializable {
 
   // same ascending left fold from 0.0 as FloatVecDot / the DuckDB oracle
@@ -165,8 +178,9 @@ class ArgmaxCellHelper(vecFloat: Boolean, cvFloat: Boolean, cidType: DataType)
     val vec = if (vecAny == null) null else vecAny.asInstanceOf[ArrayData]
     val normNull = normAny == null
     val norm = if (normNull) 0.0 else normAny.asInstanceOf[java.lang.Double].doubleValue()
-    // init = (sim -2, cid of the first centroid), exactly the HOF's seed
-    var bestSim = -2.0
+    val pin = if (l2) Double.NegativeInfinity else -2.0
+    // init = (pin, cid of the first centroid), exactly the HOF's seed
+    var bestSim = pin
     var bestCid: Any =
       if (cents.isNullAt(0)) null
       else {
@@ -175,12 +189,15 @@ class ArgmaxCellHelper(vecFloat: Boolean, cvFloat: Boolean, cidType: DataType)
       }
     var i = 0
     while (i < k) {
-      // a NULL struct element folds to (sim -2, cid NULL) in the HOF and
+      // a NULL struct element folds to (pin, cid NULL) in the HOF and
       // can never win (NULL cid loses every tie) — skip it
       if (!cents.isNullAt(i)) {
         val row = cents.getStruct(i, 3)
-        var sim = -2.0
-        if (vec != null && !normNull && norm != 0.0 &&
+        var sim = pin
+        if (l2) {
+          if (vec != null && !row.isNullAt(1) && !row.isNullAt(2))
+            sim = round6(dot(vec, row.getArray(1)) - row.getDouble(2) / 2.0)
+        } else if (vec != null && !normNull && norm != 0.0 &&
             !row.isNullAt(1) && !row.isNullAt(2)) {
           val cn = row.getDouble(2)
           if (cn != 0.0) sim = round6(dot(vec, row.getArray(1)) / (norm * cn))

@@ -305,10 +305,24 @@ object Embeddings {
       q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
     if (nprobe == 1) q.withColumnRenamed("__cell__", "__qcell__")
     else {
-      val cents = centroids.select(col("cid").as("__pcid__"),
+      // centroids fold into ONE row (global agg → provably-1-row build
+      // side for the BNLJ lint — a read-back centroid TABLE would not
+      // be) and re-expand per query via posexplode: the q×k expansion
+      // stays on the tiny query side, and the (rounded sim desc, cid)
+      // window is unchanged, so values are identical to the old
+      // table-crossJoin formulation
+      val centArr = centroids.select(col("cid").as("__pcid__"),
         col("cv").as("__pcv__"), sqrt(dot("cv", "cv")).as("__pcn__"))
+        .agg(collect_list(struct(col("__pcid__"), col("__pcv__"),
+          col("__pcn__"))).as("__pcents__"))
       q.drop("__cell__")
-        .crossJoin(broadcast(cents)) // q×k on the query side only
+        .crossJoin(broadcast(centArr)) // 1-row build side
+        .select(col("query_id"), col("__q__"), col("__qn__"),
+          posexplode(col("__pcents__")).as(Seq("__pi__", "__pc__")))
+        .select(col("query_id"), col("__q__"), col("__qn__"),
+          col("__pc__.__pcid__").as("__pcid__"),
+          col("__pc__.__pcv__").as("__pcv__"),
+          col("__pc__.__pcn__").as("__pcn__"))
         .withColumn("__csim__",
           round(dot("__q__", "__pcv__") / (col("__qn__") * col("__pcn__")), 6))
         .withColumn("__crk__",
@@ -321,13 +335,16 @@ object Embeddings {
 
   /** The shared IVF scoring tail: probe-cell equi-join against the
     * assigned corpus (`__cell__`, idCol, vecCol, `__n__`), exact cosine
-    * within the cell, (cosine desc, id) top-k per query. */
+    * within the cell, (cosine desc, id) top-k per query. `extra` carries
+    * additional posting columns (e.g. a denormalized label) through the
+    * cut — zero extra scans or joins, the columns ride the same rows. */
   private def ivfScoreTail(
       queries: DataFrame,
       assigned: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame =
+      k: Int,
+      extra: Seq[String] = Seq.empty): DataFrame =
     queries
       .join(assigned,
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
@@ -337,8 +354,8 @@ object Embeddings {
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col(idCol))))
       .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
-        col("rank"))
+      .select((Seq(col("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank")) ++ extra.map(col)): _*)
 
   /** PERSIST the IVF index — the ANN family's train-once artifact next
     * to the MinHash / dHash / video-hash indexes: the centroid table as
@@ -508,6 +525,52 @@ object Embeddings {
         col("cosine"))
   }
 
+  /** kNN LABEL PROPAGATION against a persisted [[ivfIndexSave]] artifact
+    * — the semi-supervised curation op that transfers a small labeled
+    * set's labels (quality tier, domain, license class) onto unlabeled
+    * vectors at corpus scale: each query takes the MAJORITY label of its
+    * k nearest neighbors (exact cosine within the probed cells, the
+    * serving top-k cut), ties broken by (votes desc, label) so the
+    * verdict is deterministic. The label must be a denormalized postings
+    * attribute (`ivfIndexSave(attrs = Seq(label))`) — it then rides the
+    * SAME posting rows through the top-k, zero extra scans or label-side
+    * joins; the vote itself aggregates queries × k rows, never the
+    * corpus. Emits (query_id, <labelCol>, votes). */
+  def knnLabelIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 1,
+      pushCells: Boolean = true): DataFrame = {
+    graft.GraftExtensions.install(queries.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(postings.columns.contains(labelCol),
+      s"postings carry no '$labelCol' column — save the index with " +
+        s"attrs = Seq(\"$labelCol\") so the label rides the posting rows")
+    val centroids = queries.sparkSession.read.parquet(s"$dir/centroids")
+    val qAssigned =
+      withCell(queries.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+          col("__n__").as("__qn__"), col("__cell__"))
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    val topk = ivfScoreTail(probed,
+      prunedPostings(postings, probed, pushCells),
+      idCol, vecCol, k, extra = Seq(labelCol))
+    topk
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__vr__", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col(labelCol))))
+      .where(col("__vr__") === 1)
+      .select(col("query_id"), col(labelCol), col("votes"))
+  }
+
   /** An IN list longer than this stops being a cheap row-group filter —
     * past it the serve paths fall back to the plain probe join. */
   private val MaxPushedCells = 1024
@@ -572,10 +635,15 @@ object Embeddings {
     * the quantizer layout FAISS ships as IndexIVFPQ with by-residual
     * encoding (Jégou et al. 2011 §III): residuals concentrate around
     * the origin with far less variance than the raw corpus, so the same
-    * m×k code budget quantizes markedly finer and ADC recall rises at
-    * identical postings bytes. Same Lloyd machinery as [[pqCodebooks]]
-    * over the residual slices, so assignments stay the deterministic
-    * rounded-argmax rule everywhere. */
+    * m×k code budget quantizes markedly finer. Fit and assignment run
+    * under L2 (argmin reconstruction distance — FAISS's metric), not
+    * cosine: residuals are noise-like around the origin, so a
+    * direction-only quantizer ignores exactly the magnitude information
+    * that separates same-cell candidates (the cosine first cut measured
+    * LOWER planted-cluster recall than plain coding — RecallCheck caught
+    * it). Same deterministic Lloyd machinery as [[pqCodebooks]]
+    * (6-dp-rounded member means, rounded-argmax assignment, cid
+    * tie-break), just the L2 score formula. */
   def pqResidualCodebooks(
       emb: DataFrame,
       idCol: String,
@@ -590,7 +658,8 @@ object Embeddings {
     graft.GraftExtensions.install(emb.sparkSession)
     val res = withResidual(emb, idCol, vecCol, coarse)
       .select(col(idCol), col("__res__"))
-    pqCodebooks(res, idCol, "__res__", dim, m, initPred, iters, scope)
+    pqCodebooks(res, idCol, "__res__", dim, m, initPred, iters, scope,
+      l2 = true)
   }
 
   /** Marker name for residual-coded [[ivfPqIndexSave]] artifacts: the
@@ -618,11 +687,13 @@ object Embeddings {
     * shape `vec_argmax_cell` takes, shared by the ingest-time encoder
     * ([[ivfPqIndexSave]]) and the inline ADC scorer so train/serve
     * assignment can never disagree. */
-  private def codebookCentArrays(codebooks: DataFrame): DataFrame =
+  private def codebookCentArrays(
+      codebooks: DataFrame, l2: Boolean = false): DataFrame =
     codebooks
       .select(col("segment").cast("int").as("__s__"),
         col("cid").as("__cid__"), col("cv").as("__cv__"),
-        sqrt(dot("cv", "cv")).as("__cn__"))
+        // L2 mode: third field carries ‖cv‖² for vec_argmax_cell_l2
+        (if (l2) dot("cv", "cv") else sqrt(dot("cv", "cv"))).as("__cn__"))
       .groupBy(col("__s__"))
       .agg(collect_list(struct(col("__cid__"), col("__cv__"), col("__cn__")))
         .as("__cents__"))
@@ -752,12 +823,17 @@ object Embeddings {
       else withCell(
         emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
     val srcVec = if (residual) "__res__" else vecCol
+    // residual mode assigns codes under L2 (the metric the residual
+    // codebooks were fit with — fit and encode can never disagree);
+    // raw mode keeps the cosine rule the inline ADC path shares
+    val argmaxFn = if (residual) "vec_argmax_cell_l2" else "vec_argmax_cell"
     val coded = (0 until m).foldLeft(
-      celled.crossJoin(broadcast(codebookCentArrays(codebooks)))) { (df, s) =>
+      celled.crossJoin(broadcast(codebookCentArrays(codebooks, residual)))) {
+      (df, s) =>
       df.withColumn(s"__seg${s}__", slice(col(srcVec), s * segLen + 1, segLen))
         .withColumn(s"__sn${s}__", sqrt(dot(s"__seg${s}__", s"__seg${s}__")))
         .withColumn(s"__code${s}__",
-          expr(s"vec_argmax_cell(__seg${s}__, __sn${s}__, element_at(__cbs__, $s))"))
+          expr(s"$argmaxFn(__seg${s}__, __sn${s}__, element_at(__cbs__, $s))"))
     }
       .withColumn("__codes__",
         array((0 until m).map(s => col(s"__code${s}__")): _*))
@@ -969,14 +1045,20 @@ object Embeddings {
     * in the MINIMUM centroid id's cell — matching the oracle's
     * `ORDER BY sim DESC NULLS LAST, cid` row_number formulation. */
   private[graft] def withCell(
-      df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+      df: DataFrame, vecCol: String, centroids: DataFrame,
+      l2: Boolean = false): DataFrame = {
+    // L2 mode (residual quantizers): the struct's third field carries
+    // ‖cv‖² (not ‖cv‖) and assignment maximizes round(v·cv − ‖cv‖²/2, 6)
+    // — the argmin-distance equivalent after dropping the constant ‖v‖²
+    val third = if (l2) dot("cv", "cv") else sqrt(dot("cv", "cv"))
+    val fn = if (l2) "vec_argmax_cell_l2" else "vec_argmax_cell"
     val centArr = centroids
       .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
-        sqrt(dot("cv", "cv")).as("__cn__"))
+        third.as("__cn__"))
       .agg(collect_list(
         struct(col("__cid__"), col("__cv__"), col("__cn__"))).as("__cents__"))
     df.crossJoin(broadcast(centArr)) // 1-row broadcast, not a row expansion
-      .withColumn("__cell__", expr(s"vec_argmax_cell($vecCol, __n__, __cents__)"))
+      .withColumn("__cell__", expr(s"$fn($vecCol, __n__, __cents__)"))
       .drop("__cents__")
   }
 
@@ -997,6 +1079,23 @@ object Embeddings {
                              CAST(-2 AS double))),
           'cid', c.__cid__)),
         named_struct('sim', CAST(-2 AS double), 'cid', get($centsCol, 0).__cid__),
+        (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
+                       c, acc)).cid""")
+
+  /** The built-ins-only anchor for `vec_argmax_cell_l2` — the
+    * value-identity spec's HOF twin ([[argmaxCellHof]]'s discipline):
+    * score = round(v·cv − cn/2, 6) with ‖cv‖² in `__cn__`, degenerate
+    * pin −∞ (L2 scores are unbounded below, so the cosine mode's −2
+    * would beat real scores), (sim desc, cid asc) fold. */
+  private[graft] def argmaxCellHofL2(
+      vecCol: String, centsCol: String): Column =
+    expr(s"""aggregate(
+        transform($centsCol, c -> named_struct(
+          'sim', coalesce(round(float_vec_dot($vecCol, c.__cv__) - c.__cn__ / 2D, 6),
+                          CAST('-Infinity' AS double)),
+          'cid', c.__cid__)),
+        named_struct('sim', CAST('-Infinity' AS double),
+                     'cid', get($centsCol, 0).__cid__),
         (acc, c) -> IF(c.sim > acc.sim OR (c.sim = acc.sim AND c.cid < acc.cid),
                        c, acc)).cid""")
 
@@ -1023,8 +1122,9 @@ object Embeddings {
       initPred: Column,
       iters: Int,
       scope: CacheScope = CacheScope.global,
+      l2: Boolean = false,
   ): DataFrame =
-    lloyd(cacheBase(emb, idCol, vecCol, scope), initPred, iters)
+    lloyd(cacheBase(emb, idCol, vecCol, scope), initPred, iters, l2)
 
   /** [[kmeansFit]] with k = floor(sqrt(n)) seed cells (the SemDeDup / IVF
     * sizing: cells stay O(sqrt n), so within-cell work is O(n) total and
@@ -1067,7 +1167,8 @@ object Embeddings {
     }
   }
 
-  private def lloyd(base: DataFrame, initPred: Column, iters: Int): DataFrame = {
+  private def lloyd(base: DataFrame, initPred: Column, iters: Int,
+      l2: Boolean = false): DataFrame = {
     graft.GraftExtensions.install(base.sparkSession)
     require(iters >= 0, "iters must be non-negative")
     val spark = base.sparkSession
@@ -1086,7 +1187,7 @@ object Embeddings {
       .select(col("__vid__").as("cid"),
         expr("transform(__v__, v -> CAST(v AS double))").as("cv")))
     for (_ <- 1 to iters) {
-      val assigned = withCell(base, "__v__", cents)
+      val assigned = withCell(base, "__v__", cents, l2)
       cents = pin(
         assigned
         // empty centroid set → every __cell__ is NULL; without this guard
@@ -1149,13 +1250,14 @@ object Embeddings {
       initPred: Column,
       iters: Int,
       scope: CacheScope = CacheScope.global,
+      l2: Boolean = false,
   ): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal segments")
     val segLen = dim / m
     (0 until m).map { s =>
       val sliced = emb.select(col(idCol),
         slice(col(vecCol), s * segLen + 1, segLen).as("__seg__"))
-      kmeansFit(sliced, idCol, "__seg__", initPred, iters, scope)
+      kmeansFit(sliced, idCol, "__seg__", initPred, iters, scope, l2)
         .withColumn("segment", lit(s))
     }.reduce(_ unionByName _)
       .select(col("segment"), col("cid"), col("cv"))

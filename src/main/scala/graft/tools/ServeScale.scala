@@ -59,8 +59,10 @@ object ServeScale {
       case "minhash" => minhash(spark, srcDir, factor)
       case "ivf" => ivf(spark, srcDir, factor)
       case "ivfpq" => ivfpq(spark, srcDir, factor)
+      case "ivfpqr" => ivfpqr(spark, srcDir, factor)
       case "spectral" => spectral(spark, factor)
-      case m => sys.error(s"unknown mode $m (minhash | ivf | ivfpq | spectral)")
+      case m => sys.error(
+        s"unknown mode $m (minhash | ivf | ivfpq | ivfpqr | spectral)")
     }
     println(f"[serve-scale] $mode ${factor}x-index ratio: ${wN / w1}%.2fx")
     spark.stop()
@@ -204,6 +206,43 @@ object ServeScale {
       }
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS $rawTbl")
+      w
+    }
+    (run(1), run(factor))
+  }
+
+  /** [[ivfpq]]'s RESIDUAL-coded twin: the same fixed 3-query serve vs a
+    * by-residual coded index grown factor× — measures that the stored
+    * reconstructed-norm design keeps the residual serve path's wall as
+    * flat as the plain coded path's (no per-candidate cross-term work
+    * appears with corpus growth; the extra q·c numerator term is
+    * query×nprobe-sized). */
+  private def ivfpqr(
+      spark: SparkSession, srcDir: String, factor: Int): (Double, Double) = {
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val fixed = emb.where(col("vec_id") < 3)
+    def run(f: Int): Double = {
+      val tbl = s"serve_ivfpqr_$f"
+      val dir = s"/tmp/graft_serve_scale/ivfpqr_$f"
+      val scope = new CacheScope
+      val c = scope.cache(embCorpus(spark, emb, nVec, f))
+      val cents = graft.llm.Embeddings.kmeansFitSqrtK( // untimed fit
+        c, "vec_id", "embedding", iters = 2, scope = scope)
+      val cb = graft.llm.Embeddings.pqResidualCodebooks( // untimed fit
+        c, "vec_id", "embedding", cents, dim = 64, m = 2,
+        initPred = col("vec_id") < 4, iters = 2, scope = scope)
+      graft.llm.Embeddings.ivfPqIndexSave( // untimed: ingest-time build
+        c, "vec_id", "embedding", cents, cb, dim = 64, m = 2, tbl, dir,
+        residual = true)
+      scope.release()
+      val w = time3(s"ivfpqr residual ADC vs ${f}x postings") {
+        graft.llm.Embeddings.ivfPqTopKIndexed(
+            fixed, "vec_id", "embedding", dir, spark.table(tbl),
+            dim = 64, m = 2, k = 10, nprobe = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
       w
     }
     (run(1), run(factor))

@@ -1308,6 +1308,65 @@ class LlmSpec extends GraftSuite {
     assert(sc0.getString(0) === sc0.getString(1))
   }
 
+  test("native vec_argmax_cell_l2 matches the L2 HOF fold; zero vectors encode legitimately; picks true L2-nearest over cosine-nearest") {
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{broadcast, collect_list, expr, sqrt, struct}
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))) ++
+      Seq((40L, Array.fill(6)(0f)), (41L, null: Array[Float]))
+    val embs = rows.toDF("vec_id", "embedding")
+    val dup = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val cents = (Seq((7L, dup), (3L, dup), (5L, Array.fill(6)(0f)),
+      (9L, null: Array[Float])) ++
+      (10L until 14L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))))
+      .toDF("cid", "cv")
+    // L2 mode: the struct's third field carries ‖cv‖², not ‖cv‖
+    def centArr(c: org.apache.spark.sql.DataFrame) = c
+      .select(sc("cid").as("__cid__"), sc("cv").as("__cv__"),
+        Embeddings.dot("cv", "cv").as("__cn__"))
+      .agg(collect_list(struct(sc("__cid__"), sc("__cv__"), sc("__cn__")))
+        .as("__cents__"))
+    val both = embs
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(cents)))
+      .select(sc("vec_id"),
+        expr("vec_argmax_cell_l2(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHofL2("embedding", "__cents__").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.get(1) === r.get(2), s"vec ${r.getLong(0)}"))
+    // the ZERO vector is legitimately encodable under L2 (no division):
+    // its nearest entry by ‖0−cv‖² is the MIN-NORM centroid — the zero
+    // centroid (cid 5), never a -2-style degenerate pin
+    assert(both.find(_.getLong(0) == 40L).get.getLong(1) === 5L)
+    // NULL vector: every sim pins to −∞ → min cid via the duplicate tie
+    assert(both.find(_.getLong(0) == 41L).get.getLong(1) === 3L)
+    // empty centroid set → NULL from both paths
+    val empty = embs.limit(1)
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(cents.where(sc("cid") < 0L))))
+      .select(
+        expr("vec_argmax_cell_l2(embedding, __n__, __cents__)").as("native"),
+        Embeddings.argmaxCellHofL2("embedding", "__cents__").as("hof"))
+      .collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // metric discrimination: a centroid PARALLEL to the vector but far
+    // away in magnitude (cosine 1) must LOSE under L2 to a nearby
+    // centroid of slightly different direction
+    val v = Array(1f, 0f, 0f, 0f, 0f, 0f)
+    val mcents = Seq(
+      (1L, Array(10.0f, 0f, 0f, 0f, 0f, 0f)),  // cosine 1, L2 dist 9
+      (2L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f))) // cosine <1, L2 dist ~0.14
+      .toDF("cid", "cv")
+    val pick = Seq((0L, v)).toDF("vec_id", "embedding")
+      .withColumn("__n__", sqrt(Embeddings.dot("embedding", "embedding")))
+      .crossJoin(broadcast(centArr(mcents)))
+      .select(expr("vec_argmax_cell_l2(embedding, __n__, __cents__)"))
+      .collect().head.getLong(0)
+    assert(pick === 2L, "L2 mode must be magnitude-aware")
+  }
+
   test("ANN index persistence: fit once, save, load, serve identically") {
     // The serving ops take their model state as plain DataFrames (kmeans
     // centroids, PQ codebooks), so index persistence is parquet
@@ -3252,6 +3311,47 @@ class LlmSpec extends GraftSuite {
       assert(s.table("ivfpqr_app").where(sc("__xn__").isNull).count() === 0L)
     } finally Seq("ivfpqr_app", "ivfpqr_full")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("knnLabelIndexed: majority label of the served top-k with deterministic tie-break; missing-label guard") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "knn_idx", "/tmp/graft_knn/idx", buckets = 4, attrs = Seq("label"))
+    try {
+      val q = emb.where(sc("vec_id") < 5)
+      val got = graft.llm.Embeddings.knnLabelIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_knn/idx", s.table("knn_idx"),
+        "label", k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got.nonEmpty)
+      assert(got.map(_._1) === Set(0L, 1L, 2L, 3L, 4L),
+        "every query gets exactly one verdict")
+      // independent vote over the PUBLIC top-k surface (same index, same
+      // knobs) — the label op must agree with hand-counting its output
+      val lbl = emb.select(sc("vec_id"), sc("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_knn/idx", s.table("knn_idx"),
+        k = 5, nprobe = 2)
+        .collect().groupBy(_.getLong(0)).map { case (qid, rows) =>
+          val votes = rows.groupBy(r => lbl(r.getLong(1)))
+            .map { case (l, rs) => (l, rs.length.toLong) }.toSeq
+          val (l, v) = votes.minBy { case (l2, v2) => (-v2, l2) }
+          (qid, l, v)
+        }.toSet
+      assert(got === want)
+      // a postings frame without the label column fails loudly
+      val err = intercept[IllegalArgumentException] {
+        graft.llm.Embeddings.knnLabelIndexed(
+          q, "vec_id", "embedding", "/tmp/graft_knn/idx",
+          s.table("knn_idx").drop("label"), "label", k = 5)
+      }
+      assert(err.getMessage.contains("label"))
+    } finally s.sql("DROP TABLE IF EXISTS knn_idx")
     graft.llm.CacheScope.global.release()
   }
 
