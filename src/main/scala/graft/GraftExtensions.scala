@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, UnigramViterbi, UnigramViterbiExcl, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
+import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, TopKBy, UnigramViterbi, UnigramViterbiExcl, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -96,6 +96,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "greedy_chain takes exactly 3 arguments")
         GreedyChain(args.head, args(1), intLit(args(2), "greedy_chain"))
+      }),
+    // bounded top-k by (score desc NULLS LAST, id asc) with map-side
+    // combine — the k-bounded-state replacement for a row_number window
+    (FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "topk_by takes exactly 4 arguments")
+        TopKBy(args.head, args(1), args(2), intLit(args(3), "topk_by"))
       }),
     (FunctionIdentifier("char_bigram_counts"),
       new ExpressionInfo(classOf[CharBigramCounts].getName, "char_bigram_counts"),

@@ -337,19 +337,61 @@ object Embeddings {
     * assigned corpus (`__cell__`, idCol, vecCol, `__n__`), exact cosine
     * within the cell, (cosine desc, id) top-k per query. `extra` carries
     * additional posting columns (e.g. a denormalized label) through the
-    * cut — zero extra scans or joins, the columns ride the same rows. */
+    * cut — zero extra scans or joins, the columns ride the same rows.
+    *
+    * The top-k cut runs as the K-BOUNDED `topk_by` hash aggregate, not a
+    * row_number window: the window formulation shuffles AND SORTS every
+    * query's full candidate set (the probed cells' postings — the thing
+    * that grows with the corpus) on the reducer, while the aggregate
+    * combines map-side, so each mapper ships at most k entries per query
+    * and nothing ever sorts more than 2k rows. Value-identity with the
+    * window cut is spec-pinned (including NULL cosines and the k
+    * boundary); non-integral id/extra types fall back to the window
+    * formulation (the tag slot is bigint). */
   private def ivfScoreTail(
       queries: DataFrame,
       assigned: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      extra: Seq[String] = Seq.empty): DataFrame =
-    queries
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val joined = queries
       .join(assigned,
         col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
       .withColumn("cosine",
         round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val idType = assigned.schema(idCol).dataType
+    val extraTypes = extra.map(c => assigned.schema(c).dataType)
+    if (integral.contains(idType) && extra.size <= 1 &&
+        extraTypes.forall(integral.contains)) {
+      val tagExpr = extra.headOption.map(c => s"CAST($c AS BIGINT)")
+        .getOrElse("CAST(NULL AS BIGINT)")
+      joined
+        .groupBy(col("query_id"))
+        .agg(expr(s"topk_by(cosine, CAST($idCol AS BIGINT), $tagExpr, $k)")
+          .as("__tk__"))
+        .select(col("query_id"),
+          posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+        .select((Seq(col("query_id"),
+          col("__e__.id").cast(idType).as("neighbor_id"),
+          col("__e__.score").as("cosine"),
+          (col("__p__") + 1).cast("int").as("rank")) ++
+          extra.zip(extraTypes).map { case (c, t) =>
+            col("__e__.tag").cast(t).as(c) }): _*)
+    } else
+      ivfScoreTailWindow(joined, idCol, k, extra)
+  }
+
+  /** The row_number-window formulation of the top-k cut — the
+    * value-identity ANCHOR [[ivfScoreTail]]'s `topk_by` aggregate is
+    * spec-pinned against, and the fallback for non-integral id types. */
+  private[graft] def ivfScoreTailWindow(
+      joined: DataFrame, idCol: String, k: Int,
+      extra: Seq[String] = Seq.empty): DataFrame =
+    joined
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col(idCol))))
@@ -976,18 +1018,49 @@ object Embeddings {
             s"element_at(element_at(__tabs__, $s), element_at(__codes__, ${s + 1}))"))
           .foldLeft(col("__qc__"))(_ + _) / (col("__qn__") * col("__xn__")), 6)
       else round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6)
-    val adc = scored
-      .withColumn("score", score)
-      .withColumn("__crk__", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col(idCol))))
+    // the ADC cut runs as the k-bounded topk_by hash aggregate (the
+    // [[ivfScoreTail]] move): the candidate set is the probed cells'
+    // CODED postings — corpus-sized growth — and the aggregate combines
+    // map-side where the row_number window would shuffle and sort all of
+    // it per query. __q__/__qn__ ride as grouping keys (constant per
+    // query), so the rerank tail needs no re-join. Non-integral id
+    // types fall back to the window formulation.
+    val cut = {
+      require(candFactor.toLong * k <= 1000000L,
+        s"candFactor*k = ${candFactor.toLong * k} exceeds the topk_by cap")
+      if (rerank.isEmpty) k else candFactor * k
+    }
+    val idType = postings.schema(idCol).dataType
+    val integralId = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType)
+    val adc =
+      if (integralId)
+        scored.withColumn("score", score)
+          .groupBy(col("query_id"), col("__q__"), col("__qn__"))
+          .agg(expr(
+            s"topk_by(score, CAST($idCol AS BIGINT), CAST(NULL AS BIGINT), $cut)")
+            .as("__tk__"))
+          .select(col("query_id"), col("__q__"), col("__qn__"),
+            posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+          .select(col("query_id"), col("__q__"), col("__qn__"),
+            col("__e__.id").cast(idType).as(idCol),
+            col("__e__.score").as("score"),
+            (col("__p__") + 1).cast("int").as("__crk__"))
+      else
+        scored.withColumn("score", score)
+          .withColumn("__crk__", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("score").desc, col(idCol))))
+          .where(col("__crk__") <= cut)
     rerank match {
       case None =>
-        adc.where(col("__crk__") <= k)
+        adc
           .select(col("query_id"), col(idCol).as("neighbor_id"),
             col("score"), col("__crk__").as("rank"))
       case Some(raw) =>
-        val shortlist = adc.where(col("__crk__") <= candFactor.toLong * k)
+        val shortlist = adc
           .select(col("query_id"), col(idCol).as("neighbor_id"),
             col("score"), col("__q__"), col("__qn__"))
         val rawSel = raw.select(col(idCol).as("neighbor_id"),

@@ -103,6 +103,62 @@ class PropertySpec extends GraftSuite {
     })
   }
 
+  test("property: topk_by state merges are order-independent and match a full sort") {
+    // Drives TopKState directly (the ChainState pattern): any random
+    // binary merge tree over any partitioning of the rows — with a
+    // serialize round-trip per partial, like a real exchange — must
+    // produce exactly the first k rows of the full (score desc NULLS
+    // LAST, id asc) sort. Top-k is a semilattice, but only if the
+    // bounded trim never drops a row a later merge could promote; this
+    // is the contract Spark's partial aggregation relies on.
+    import graft.expr.TopKBy
+    val K = 4
+    val agg = TopKBy(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(2,
+        org.apache.spark.sql.types.LongType, nullable = true), K)
+    // few distinct scores force ties at the k boundary; some NULL scores
+    // and NULL tags; unique ids via zipWithIndex
+    val rowsGen = Gen.listOf(Gen.zip(
+      Gen.oneOf(Gen.choose(0, 4).map(d => Some(d / 2.0)), Gen.const(None)),
+      Gen.oneOf(Gen.choose(0L, 9L).map(Some(_)), Gen.const(None))))
+      .map(_.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) })
+    check(Prop.forAll(rowsGen, Gen.long) { (rows, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val chunks =
+        if (rows.isEmpty) Seq(Seq.empty)
+        else rnd.shuffle(rows).grouped(
+          math.max(1, rows.size / (1 + rnd.nextInt(5)))).toSeq
+      val states = chunks.map { chunk =>
+        val st = agg.createAggregationBuffer()
+        chunk.foreach { case (id, s, t) =>
+          agg.update(st, org.apache.spark.sql.catalyst.InternalRow(
+            s.map(Double.box).orNull, id, t.map(Long.box).orNull))
+        }
+        agg.deserialize(agg.serialize(st))
+      }
+      val merged = rnd.shuffle(states).reduce { (a, b) => agg.merge(a, b) }
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (if (row.isNullAt(0)) None else Some(row.getDouble(0)),
+            row.getLong(1),
+            if (row.isNullAt(2)) None else Some(row.getLong(2)))
+        }
+      // reference: full sort, nulls last, score desc, id asc, take k
+      val expected = rows
+        .sortBy { case (id, s, _) =>
+          (s.isEmpty, s.map(-_).getOrElse(0.0), id) }
+        .take(K)
+        .map { case (id, s, t) => (s, id, t) }
+      got == expected
+    })
+  }
+
   test("property: greedy_chain state merges are order-independent and match a sorted scan") {
     // Drives ChainState directly (no Spark): any random binary merge tree
     // over any partitioning of the event list must evaluate to the greedy
