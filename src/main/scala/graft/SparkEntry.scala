@@ -3411,6 +3411,26 @@ object SparkEntry {
         .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
 
+    // --- STREAMING kNN label propagation: arriving vectors take the
+    //     majority label of their 5 nearest in the persisted
+    //     label-attributed IVF index — the top-k cut is the k-bounded
+    //     topk_by aggregate (windows are unsupported on streams), the
+    //     vote a projection over the k-element array ---
+    "q_stream_knn_label" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir, attrs = Seq("label"))
+          graft.streaming.Streams.streamingKnnLabel(
+            df.where(F.col("vec_id") < 20)
+              .select((F.col("vec_id") + 10000).as("vec_id"),
+                F.col("embedding")),
+            "vec_id", "embedding", idxDir, df.sparkSession.table(tbl),
+            "label", k = 5)
+        }
+        .sort(col("vec_id"))
+        .run(s)),
+
     // --- nprobe=2: each query searches its TWO best cells (the IVF
     //     recall knob; probing expands only the tiny query side) ---
     "q_ann_ivf_probe" -> ((s, dir) =>
@@ -7947,6 +7967,42 @@ object SparkEntry {
                                      ORDER BY count(*) DESC, label) AS vr
            FROM topk GROUP BY query_id, label) t
          WHERE vr = 1 ORDER BY query_id"""),
+
+    // streaming kNN labels: assign the re-submitted slice to its frozen
+    // cell (the q_ann_ivf_admit replay), top-5 within the cell (the
+    // window formulation the topk_by aggregate is value-pinned to),
+    // majority vote with the (votes desc, label) tie-break
+    "q_stream_knn_label" ->
+      (KmeansCtes + s""",
+         nf AS (
+           SELECT vec_id + 10000 AS qid, embedding AS qe, cid AS qcell
+           FROM (
+             SELECT e.vec_id, e.embedding, cc.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                      round((${dotSql("e.embedding", "cc.cv")}) /
+                            (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                             sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                        DESC NULLS LAST,
+                      cc.cid) AS rn
+             FROM embeddings e CROSS JOIN c2 cc WHERE e.vec_id < 20) t
+           WHERE rn = 1),
+         stopk AS (
+           SELECT qid, neighbor_id, label FROM (
+             SELECT nf.qid, n.vec_id AS neighbor_id, e.label,
+                    row_number() OVER (PARTITION BY nf.qid ORDER BY
+                      round((${dotSql("nf.qe", "n.embedding")}) /
+                            (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                             sqrt(${dotSql("nf.qe", "nf.qe")})), 6) DESC,
+                      n.vec_id) AS rank
+             FROM nf JOIN sf n ON n.cell = nf.qcell AND n.vec_id <> nf.qid
+                  JOIN embeddings e ON e.vec_id = n.vec_id) t
+           WHERE rank <= 5)
+         SELECT vec_id, label, votes FROM (
+           SELECT qid AS vec_id, label, count(*) AS votes,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY count(*) DESC, label) AS vr
+           FROM stopk GROUP BY qid, label) t
+         WHERE vr = 1 ORDER BY vec_id"""),
 
     "q_ann_lsh" ->
       (s"""WITH bkt AS (

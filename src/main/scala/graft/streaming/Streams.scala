@@ -689,6 +689,79 @@ object Streams {
       dedupePairs = false)
   }
 
+  /** STREAMING kNN LABEL PROPAGATION — [[graft.llm.Embeddings
+    * .knnLabelIndexed]]'s continuous twin: each arriving vector gets the
+    * MAJORITY label of its k nearest neighbors in the PERSISTED
+    * label-attributed IVF index. Assignment is the streaming admission
+    * shape (1-row centroid broadcast joined on a literal key, codegen'd
+    * argmax), candidates are the cell's postings via one stream-static
+    * join, and the top-k cut is the K-BOUNDED `topk_by` aggregate — the
+    * piece that makes a streaming top-k possible at all (row_number
+    * windows are unsupported on streams) and keeps per-key state k-sized
+    * rather than cell-sized. The vote then runs in a PROJECTION over the
+    * k-element array (array_sort by (votes desc, label asc) — a
+    * per-verdict loop over k elements, never per candidate), so no
+    * per-row work ever reaches a keyed sequential path. nprobe is 1 by
+    * construction (probing >1 cells needs a per-query rank — a window —
+    * so wider probes stay a batch capability, documented like
+    * cross-batch 'removed'). Re-sent ids just update their aggregate
+    * and re-emit the same verdict. Emits (idCol, <labelCol>, votes) —
+    * the batch contract, so single-batch backfill parity is spec-gated.
+    * The candidate with id equal to the arriving id is excluded (the
+    * batch self-exclusion), compared as long. */
+  def streamingKnnLabel(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      labelCol: String,
+      k: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    require(k >= 1, "k must be at least 1")
+    require(postings.columns.contains(labelCol),
+      s"postings carry no '$labelCol' column — save the index with " +
+        s"attrs = Seq(\"$labelCol\")")
+    val spark = docs.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centArr = centroids
+      .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(expr("float_vec_dot(cv, cv)")).as("__cn__"))
+      .agg(collect_list(struct(col("__cid__"), col("__cv__"),
+        col("__cn__"))).as("__cents__"))
+      .withColumn("__one__", lit(1))
+    docs
+      .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
+      .where(col("__nid__").isNotNull)
+      .withColumn("__qn__", sqrt(expr("float_vec_dot(__q__, __q__)")))
+      .withColumn("__one__", lit(1))
+      .join(centArr, Seq("__one__")) // 1-row static side, equi-keyed
+      .withColumn("__qcell__",
+        expr("vec_argmax_cell(__q__, __qn__, __cents__)"))
+      .drop("__cents__", "__one__")
+      .join(postings, col("__qcell__") === col("__cell__") &&
+        col(idCol).cast("long") =!= col("__nid__"))
+      .withColumn("__cos__",
+        round(expr(s"float_vec_dot($vecCol, __q__)")
+          / (col("__n__") * col("__qn__")), 6))
+      .groupBy(col("__nid__"))
+      .agg(expr(s"topk_by(__cos__, CAST($idCol AS BIGINT), " +
+        s"CAST($labelCol AS BIGINT), $k)").as("__tk__"))
+      // majority vote over the k-element array: candidates per distinct
+      // label counted null-safely, sorted by (votes desc, label asc) via
+      // the negated-count struct order — deterministic, window-free
+      .withColumn("__win__", expr(
+        """element_at(array_sort(transform(
+             array_distinct(transform(__tk__, e -> e.tag)),
+             l -> named_struct(
+               'nv', -size(filter(__tk__, e -> e.tag <=> l)),
+               'l', l))), 1)"""))
+      .where(col("__win__").isNotNull)
+      .select(col("__nid__").as(idCol), col("__win__.l").as(labelCol),
+        (-col("__win__.nv")).cast("long").as("votes"))
+  }
+
   /** STREAMING corpus snapshot diff — [[graft.llm.Dedup.corpusDiff]]'s
     * continuous twin: as new-snapshot shards stream in, each arriving
     * id gets its per-id verdict against the PERSISTED old snapshot —

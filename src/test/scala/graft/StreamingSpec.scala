@@ -367,6 +367,57 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming kNN labels: majority label vs the persisted IVF index across batches, re-sends re-verdict identically, batch parity") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "knn_stream", "/tmp/graft_knn/stream", buckets = 4,
+      attrs = Seq("label"))
+    try {
+      val idx = s.table("knn_stream")
+      val vecs = emb.where(sc("vec_id").isin(0L, 7L, 13L, 21L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val ms = MemoryStream[(Long, Seq[Float])](s)
+      val labeled = graft.streaming.Streams.streamingKnnLabel(
+        ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "/tmp/graft_knn/stream", idx, "label", k = 5)
+      // complete mode: the memory sink holds exactly the latest verdict
+      // per arriving id (streaming aggregation, no watermark)
+      val q = labeled.writeStream.format("memory").queryName("knn_label_out")
+        .outputMode("complete").start()
+      try {
+        ms.addData((100L, vecs(0L)), (107L, vecs(7L)))
+        q.processAllAvailable()
+        // batch 2: two more + a RE-SENT id 100 — its aggregate updates
+        // with the same candidates (duplicates collapse) so the verdict
+        // is unchanged
+        ms.addData((113L, vecs(13L)), (121L, vecs(21L)), (100L, vecs(0L)))
+        q.processAllAvailable()
+        val rows = s.sql("SELECT vec_id, label, votes FROM knn_label_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.map(_._1).toSet === Set(100L, 107L, 113L, 121L))
+        assert(rows.length === 4, "one verdict per id in complete mode")
+        // batch parity: the same vectors through the batch op (nprobe=1)
+        val batch = graft.llm.Embeddings.knnLabelIndexed(
+            Seq((100L, vecs(0L)), (107L, vecs(7L)), (113L, vecs(13L)),
+              (121L, vecs(21L))).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", "/tmp/graft_knn/stream", idx,
+            "label", k = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS knn_stream")
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("streaming corpus diff: per-id verdicts vs the old snapshot across batches, re-sends suppressed, batch parity sans 'removed'") {
     val s = spark
     import s.implicits._
