@@ -176,12 +176,41 @@ object Embeddings {
         col("__qbkt__") === col("__bkt__") && col(idCol) =!= col("query_id"))
       .withColumn("cosine",
         round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col(idCol))))
-    scored.where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cosine"),
-        col("rank"))
+    // k-bounded cut (the ivfScoreTail move): per-query bucket populations
+    // grow with the corpus; the aggregate combines map-side where the
+    // window would shuffle + sort all of them
+    topKCut(scored, "query_id", idCol, k, emb.schema(idCol).dataType)
+  }
+
+  /** The shared k-bounded (cosine desc, id asc) cut over a scored
+    * candidate frame carrying `groupCol` + idCol + `cosine`: the
+    * `topk_by` hash aggregate for integral id types (map-side combine —
+    * each mapper ships ≤k entries per group), the row_number window
+    * otherwise. Emits (groupCol, neighbor_id, cosine, rank). */
+  private def topKCut(
+      joined: DataFrame, groupCol: String, idCol: String, k: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    if (integral.contains(idType))
+      joined
+        .groupBy(col(groupCol))
+        .agg(expr(
+          s"topk_by(cosine, CAST($idCol AS BIGINT), CAST(NULL AS BIGINT), $k)")
+          .as("__tk__"))
+        .select(col(groupCol), posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+        .select(col(groupCol), col("__e__.id").cast(idType).as("neighbor_id"),
+          col("__e__.score").as("cosine"),
+          (col("__p__") + 1).cast("int").as("rank"))
+    else
+      joined
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(col(groupCol))
+            .orderBy(col("cosine").desc, col(idCol))))
+        .where(col("rank") <= k)
+        .select(col(groupCol), col(idCol).as("neighbor_id"), col("cosine"),
+          col("rank"))
   }
 
   /** HARD-NEGATIVE mining for contrastive / dense-retrieval training —
@@ -220,18 +249,14 @@ object Embeddings {
     val anchors = withBkt.where(anchorPred)
       .select(col(idCol).as("anchor_id"), col(vecCol).as("__q__"),
         col("__bkt__").as("__qbkt__"), col("__n__").as("__qn__"))
-    anchors
+    val banded = anchors
       .join(withBkt,
         col("__qbkt__") === col("__bkt__") && col(idCol) =!= col("anchor_id"))
       .withColumn("cosine",
         round(dot(vecCol, "__q__") / (col("__n__") * col("__qn__")), 6))
       .where(col("cosine") >= bandLo && col("cosine") < bandHi)
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("anchor_id"))
-          .orderBy(col("cosine").desc, col(idCol))))
-      .where(col("rank") <= k)
-      .select(col("anchor_id"), col(idCol).as("negative_id"), col("cosine"),
-        col("rank"))
+    topKCut(banded, "anchor_id", idCol, k, emb.schema(idCol).dataType)
+      .withColumnRenamed("neighbor_id", "negative_id")
   }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (highest
@@ -1443,12 +1468,32 @@ object Embeddings {
     val cn2Sum = (0 until m)
       .map(s => expr(s"element_at(element_at(__tabs__, $s), __cell${s}__).cn2"))
       .reduce(_ + _)
-    withSegs
+    val scoredAll = withSegs
       .withColumn("score", round(qdotSum / (col("__qn__") * sqrt(cn2Sum)), 6))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("__vid__"))))
-      .where(col("rank") <= k)
-      .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+    // k-bounded GLOBAL cut: the old no-partition row_number window pulled
+    // every scored candidate into ONE partition and sorted it — at corpus
+    // scale that single reducer IS the wall; the global topk_by aggregate
+    // combines map-side (each partition ships ≤k entries)
+    val vidType = cands.schema("__vid__").dataType
+    val integralVid = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(vidType)
+    if (integralVid)
+      scoredAll
+        .agg(expr(
+          s"topk_by(score, CAST(__vid__ AS BIGINT), CAST(NULL AS BIGINT), $k)")
+          .as("__tk__"))
+        .select(posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+        .select(col("__e__.id").cast(vidType).as("vec_id"),
+          col("__e__.score").as("score"),
+          (col("__p__") + 1).cast("int").as("rank"))
+    else
+      scoredAll
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("__vid__"))))
+        .where(col("rank") <= k)
+        .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
   }
 
   /** Codebooks are model-parameter-sized: validating shape is one tiny
