@@ -3520,6 +3520,23 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- residual serve END-TO-END: residual ADC shortlist (candFactor·k,
+    //     deterministic SET) repaired by the exact-cosine rerank over the
+    //     shortlist only — the full production read path on the
+    //     residual-coded artifact ---
+    "q_ann_ivfpq_residual_rerank" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfPqResidualIndexFixture(s, dir)
+          graft.llm.Embeddings.ivfPqTopKIndexed(
+            df.where(F.col("vec_id") < 2), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, m = 2, k = 10,
+            nprobe = 2, candFactor = 4, rerank = Some(df))
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
     // --- IVF-style ANN: nearest fixed centroid cell + per-query top-k ---
     "q_ann_ivf" -> ((s, dir) =>
       m(dir, "embeddings")
@@ -7795,60 +7812,40 @@ object SparkEntry {
     // against the query's per-segment lookup — the same association
     // order the Spark serve path uses.
     "q_ann_ivfpq_residual" ->
-      (KmeansCtes + s""",
-         res AS MATERIALIZED (
-           SELECT s.vec_id,
-                  list_transform(range(1, 65),
-                    i -> CAST(s.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
-           FROM sf s JOIN c2 c ON c.cid = s.cell),
-         resc0 AS (SELECT vec_id, rv[1:32] AS embedding FROM res),
-         resc1 AS (SELECT vec_id, rv[33:64] AS embedding FROM res),
-         ${kmeansChain("vec_id < 4", "resc0", "r0", 32, l2 = true)},
-         ${kmeansChain("vec_id < 4", "resc1", "r1", 32, l2 = true)},
-         rec0 AS (
-           SELECT s.vec_id, s.cell, f0.cell AS code0, f1.cell AS code1,
-                  list_transform(range(1, 33), i -> c.cv[i] + b0.cv[i]) ||
-                  list_transform(range(1, 33), i -> c.cv[i + 32] + b1.cv[i])
-                    AS xh
-           FROM sf s
-           JOIN c2 c ON c.cid = s.cell
-           JOIN sfr0 f0 ON f0.vec_id = s.vec_id
-           JOIN c2r0 b0 ON b0.cid = f0.cell
-           JOIN sfr1 f1 ON f1.vec_id = s.vec_id
-           JOIN c2r1 b1 ON b1.cid = f1.cell),
-         rec AS MATERIALIZED (
-           SELECT vec_id, cell, code0, code1,
-                  sqrt(${dotSql("xh", "xh")}) AS xn
-           FROM rec0),
-         qr AS (SELECT vec_id AS query_id, embedding AS qe,
-                       sqrt(${dotSql("embedding", "embedding")}) AS qn
-                FROM embeddings WHERE vec_id < 2),
-         pc AS (
-           SELECT query_id, qe, qn, cid AS qcell,
-                  ${dotSql("qe", "cv")} AS qc
-           FROM (
-             SELECT q.query_id, q.qe, q.qn, cc.cid, cc.cv,
-                    row_number() OVER (PARTITION BY q.query_id ORDER BY
-                      round((${dotSql("q.qe", "cc.cv")}) /
-                            (q.qn * sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
-                        DESC,
-                      cc.cid) AS crk
-             FROM qr q CROSS JOIN c2 cc) t
-           WHERE crk <= 2),
-         adc AS (
-           SELECT pc.query_id, r.vec_id,
-                  round((pc.qc + ${dotSql("pc.qe[1:32]", "b0.cv")}
-                               + ${dotSql("pc.qe[33:64]", "b1.cv")})
-                        / (pc.qn * r.xn), 6) AS score
-           FROM pc
-           JOIN rec r ON r.cell = pc.qcell AND r.vec_id <> pc.query_id
-           JOIN c2r0 b0 ON b0.cid = r.code0
-           JOIN c2r1 b1 ON b1.cid = r.code1)
+      (ResidualAdcCtes + s"""
          SELECT query_id, neighbor_id, score, rank FROM (
            SELECT query_id, vec_id AS neighbor_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, vec_id) AS rank
            FROM adc) t
+         WHERE rank <= 10 ORDER BY query_id, rank"""),
+
+    // residual serve END-TO-END (the production read path): ADC-ranked
+    // candidate cut at candFactor·k = 40 per query (score desc, id — a
+    // deterministic SET), then the exact-cosine rerank over the
+    // shortlist only picks the final top 10 — q_ann_ivfpq_indexed's
+    // tail over the residual chain
+    "q_ann_ivfpq_residual_rerank" ->
+      (ResidualAdcCtes + s""",
+         radc AS (
+           SELECT query_id, vec_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS crk
+           FROM adc),
+         rshort AS (SELECT query_id, vec_id, score FROM radc WHERE crk <= 40),
+         rrr AS (
+           SELECT rshort.query_id, e.vec_id AS neighbor_id, rshort.score,
+                  round((${dotSql("e.embedding", "qr.qe")}) /
+                        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                         qr.qn), 6) AS cosine
+           FROM rshort
+           JOIN embeddings e ON e.vec_id = rshort.vec_id
+           JOIN qr ON qr.query_id = rshort.query_id)
+         SELECT query_id, neighbor_id, score, cosine, rank FROM (
+           SELECT query_id, neighbor_id, score, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rrr) t
          WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     "q_ann_ivf_trained" ->
@@ -10294,6 +10291,63 @@ object SparkEntry {
               (sqrt(${dotSql(e, e)}) * sqrt(${dotSql(cv, cv)})), 6)"""
 
   private lazy val KmeansCtes: String = kmeansCtes(SemKPredSql)
+
+  /** Shared residual-IVF-PQ replay chain (q_ann_ivfpq_residual and its
+    * rerank twin): coarse chain → exact residuals → two L2
+    * residual-codebook Lloyd chains → per-row reconstruction ĉ+r̂ with
+    * its norm (the stored __xn__) → nprobe=2 probe cells with the q·c
+    * term → `adc(query_id, vec_id, score)`. */
+  private lazy val ResidualAdcCtes: String =
+    KmeansCtes + s""",
+         res AS MATERIALIZED (
+           SELECT s.vec_id,
+                  list_transform(range(1, 65),
+                    i -> CAST(s.embedding[i] AS DOUBLE) - c.cv[i]) AS rv
+           FROM sf s JOIN c2 c ON c.cid = s.cell),
+         resc0 AS (SELECT vec_id, rv[1:32] AS embedding FROM res),
+         resc1 AS (SELECT vec_id, rv[33:64] AS embedding FROM res),
+         ${kmeansChain("vec_id < 4", "resc0", "r0", 32, l2 = true)},
+         ${kmeansChain("vec_id < 4", "resc1", "r1", 32, l2 = true)},
+         rec0 AS (
+           SELECT s.vec_id, s.cell, f0.cell AS code0, f1.cell AS code1,
+                  list_transform(range(1, 33), i -> c.cv[i] + b0.cv[i]) ||
+                  list_transform(range(1, 33), i -> c.cv[i + 32] + b1.cv[i])
+                    AS xh
+           FROM sf s
+           JOIN c2 c ON c.cid = s.cell
+           JOIN sfr0 f0 ON f0.vec_id = s.vec_id
+           JOIN c2r0 b0 ON b0.cid = f0.cell
+           JOIN sfr1 f1 ON f1.vec_id = s.vec_id
+           JOIN c2r1 b1 ON b1.cid = f1.cell),
+         rec AS MATERIALIZED (
+           SELECT vec_id, cell, code0, code1,
+                  sqrt(${dotSql("xh", "xh")}) AS xn
+           FROM rec0),
+         qr AS MATERIALIZED (
+           SELECT vec_id AS query_id, embedding AS qe,
+                  sqrt(${dotSql("embedding", "embedding")}) AS qn
+           FROM embeddings WHERE vec_id < 2),
+         pc AS (
+           SELECT query_id, qe, qn, cid AS qcell,
+                  ${dotSql("qe", "cv")} AS qc
+           FROM (
+             SELECT q.query_id, q.qe, q.qn, cc.cid, cc.cv,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY
+                      round((${dotSql("q.qe", "cc.cv")}) /
+                            (q.qn * sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                        DESC,
+                      cc.cid) AS crk
+             FROM qr q CROSS JOIN c2 cc) t
+           WHERE crk <= 2),
+         adc AS MATERIALIZED (
+           SELECT pc.query_id, r.vec_id,
+                  round((pc.qc + ${dotSql("pc.qe[1:32]", "b0.cv")}
+                               + ${dotSql("pc.qe[33:64]", "b1.cv")})
+                        / (pc.qn * r.xn), 6) AS score
+           FROM pc
+           JOIN rec r ON r.cell = pc.qcell AND r.vec_id <> pc.query_id
+           JOIN c2r0 b0 ON b0.cid = r.code0
+           JOIN c2r1 b1 ON b1.cid = r.code1)"""
 
   /** Embedding dimensionality of the shipped testdata (TESTDATA.md).
     * DuckDB's range() cannot take lateral column refs, so the per-dim
