@@ -117,7 +117,10 @@ object Bench {
       "q_audio_spectral_incr", // spectral DFT + WAV codec natives
       "q_image_spectral_incr", // image spectral + JPEG decode natives
       "q_multimodal_gif",      // GIF/LZW codec loop
-      "q_ann_ivf"              // kmeans / vec-argmax natives
+      "q_ann_ivf",             // kmeans / vec-argmax natives
+      "q_classifier_auc"       // classifier GD/scoring path (r15 sweep
+                               // recorded a 3.6x churn row steady-state
+                               // disproved at 1.3x — same JIT gap)
     ).filter(SparkEntry.queries.contains).foreach(exec)
 
     // With args: time only the named queries, three passes each (regression
