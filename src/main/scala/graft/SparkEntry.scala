@@ -3371,6 +3371,22 @@ object SparkEntry {
         .sort(col("query_id"))
         .run(s)),
 
+    // --- kNN SCORE REGRESSION: the label op's numeric twin — each query
+    //     predicts the cosine-weighted mean of its 5 nearest neighbors'
+    //     values (exact decimal sums of 6-dp-rounded terms on both
+    //     engines, zero-weight-sum guarded to NULL on both) ---
+    "q_knn_score" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir, attrs = Seq("label"))
+          graft.llm.Embeddings.knnScoreIndexed(
+            df.where(F.col("vec_id") < 20), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), "label", k = 5, nprobe = 2)
+        }
+        .sort(col("query_id"))
+        .run(s)),
+
     // --- INCREMENTAL embedding near-dup ADMISSION vs the persisted IVF
     //     index (semantic-dedup twin of q_dedup_incremental): the new
     //     slice is 50 exact re-submissions under fresh ids — each must
@@ -7964,6 +7980,46 @@ object SparkEntry {
                                      ORDER BY count(*) DESC, label) AS vr
            FROM topk GROUP BY query_id, label) t
          WHERE vr = 1 ORDER BY query_id"""),
+
+    // kNN score regression: the label-propagation top-5 replay carrying
+    // the cosine, then the weighted mean as exact decimal sums of
+    // 6-dp-rounded terms (order-independent) with the zero-denominator
+    // guard mirrored
+    "q_knn_score" ->
+      (KmeansCtes + s""",
+         qc AS (
+           SELECT q.vec_id AS query_id, q.embedding AS qe, cc.cid AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6) DESC,
+                    cc.cid) AS crk
+           FROM embeddings q CROSS JOIN c2 cc WHERE q.vec_id < 20),
+         ktop AS (
+           SELECT query_id, label, cosine FROM (
+             SELECT qc.query_id, e.label,
+                    round((${dotSql("qc.qe", "n.embedding")}) /
+                          (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                           sqrt(${dotSql("qc.qe", "qc.qe")})), 6) AS cosine,
+                    row_number() OVER (PARTITION BY qc.query_id ORDER BY
+                      round((${dotSql("qc.qe", "n.embedding")}) /
+                            (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                             sqrt(${dotSql("qc.qe", "qc.qe")})), 6) DESC,
+                      n.vec_id) AS rank
+             FROM qc JOIN sf n ON n.cell = qc.cell AND n.vec_id <> qc.query_id
+                  JOIN embeddings e ON e.vec_id = n.vec_id
+             WHERE qc.crk <= 2) t
+           WHERE rank <= 5)
+         SELECT query_id,
+                CASE WHEN CAST(sum(CAST(cosine AS DECIMAL(27,8))) AS DOUBLE) = 0
+                     THEN NULL
+                     ELSE round(
+                       CAST(sum(CAST(round(cosine * CAST(label AS DOUBLE), 6)
+                           AS DECIMAL(27,8))) AS DOUBLE) /
+                       CAST(sum(CAST(cosine AS DECIMAL(27,8))) AS DOUBLE), 6)
+                END AS pred,
+                count(*) AS k_used
+         FROM ktop GROUP BY query_id ORDER BY query_id"""),
 
     // streaming kNN labels: assign the re-submitted slice to its frozen
     // cell (the q_ann_ivf_admit replay), top-5 within the cell (the

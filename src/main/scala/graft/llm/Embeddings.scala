@@ -638,6 +638,55 @@ object Embeddings {
       .select(col("query_id"), col(labelCol), col("votes"))
   }
 
+  /** kNN SCORE REGRESSION against a persisted label/score-attributed
+    * [[ivfIndexSave]] artifact — [[knnLabelIndexed]]'s numeric twin
+    * (transfer a quality score, a toxicity probability, a rating):
+    * each query's prediction is the COSINE-WEIGHTED mean of its k
+    * nearest neighbors' values,
+    *   pred = Σ round(cosᵢ·yᵢ, 6) / Σ cosᵢ
+    * with both sums taken as EXACT DECIMAL sums of 6-dp-rounded terms
+    * (the [[kmeansFit]] mean discipline) so the result is independent
+    * of summation order and bit-identical across engines; an
+    * exactly-zero weight sum yields NULL on both (guarded division —
+    * engines disagree on double/0). Same serving shape as the label
+    * op: value rides the posting rows, the aggregate sees queries × k
+    * rows. Emits (query_id, pred, k_used). */
+  def knnScoreIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      valueCol: String,
+      k: Int,
+      nprobe: Int = 1,
+      pushCells: Boolean = true): DataFrame = {
+    graft.GraftExtensions.install(queries.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(postings.columns.contains(valueCol),
+      s"postings carry no '$valueCol' column — save the index with " +
+        s"attrs = Seq(\"$valueCol\") so the value rides the posting rows")
+    val centroids = queries.sparkSession.read.parquet(s"$dir/centroids")
+    val qAssigned =
+      withCell(queries.withColumn("__n__", sqrt(dot(vecCol, vecCol))),
+        vecCol, centroids)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+          col("__n__").as("__qn__"), col("__cell__"))
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    val topk = ivfScoreTail(probed,
+      prunedPostings(postings, probed, pushCells),
+      idCol, vecCol, k, extra = Seq(valueCol))
+    val num = sum(round(col("cosine") * col(valueCol).cast("double"), 6)
+      .cast("decimal(27,8)")).cast("double")
+    val den = sum(col("cosine").cast("decimal(27,8)")).cast("double")
+    topk
+      .groupBy(col("query_id"))
+      .agg(
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("pred"),
+        count(lit(1)).as("k_used"))
+  }
+
   /** An IN list longer than this stops being a cheap row-group filter —
     * past it the serve paths fall back to the plain probe join. */
   private val MaxPushedCells = 1024

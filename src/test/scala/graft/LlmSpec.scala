@@ -3351,6 +3351,30 @@ class LlmSpec extends GraftSuite {
           s.table("knn_idx").drop("label"), "label", k = 5)
       }
       assert(err.getMessage.contains("label"))
+      // the numeric twin: the cosine-weighted mean must agree with
+      // hand-computing it from the public top-k surface using the same
+      // decimal-sum-of-rounded-terms fold
+      val gotScore = graft.llm.Embeddings.knnScoreIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_knn/idx", s.table("knn_idx"),
+        "label", k = 5, nprobe = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            r.getLong(2)))).toMap
+      val wantScore = graft.llm.Embeddings.ivfTopKIndexed(
+        q, "vec_id", "embedding", "/tmp/graft_knn/idx", s.table("knn_idx"),
+        k = 5, nprobe = 2)
+        .collect().groupBy(_.getLong(0)).map { case (qid, rows) =>
+          def r6(x: Double) = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val num = rows.map(r => BigDecimal(r6(
+              r.getDouble(2) * lbl(r.getLong(1)).toDouble)).setScale(8))
+            .sum.toDouble
+          val den = rows.map(r => BigDecimal(r.getDouble(2)).setScale(8))
+            .sum.toDouble
+          qid -> ((if (den == 0.0) None else Some(r6(num / den))),
+            rows.length.toLong)
+        }
+      assert(gotScore === wantScore)
     } finally s.sql("DROP TABLE IF EXISTS knn_idx")
     graft.llm.CacheScope.global.release()
   }
