@@ -135,7 +135,48 @@ object Bench {
       return
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> measure(n))
+    // CANARY drift normalization (r15 verdict #1): the driver sweep can
+    // ride a sustained host-stall window that survives the inline
+    // median-of-3 (r15 recorded 26×/22× rows that 3-pass steady-state
+    // disproved). A fixed trivial query — code-stable across rounds, one
+    // scan + filter — is re-measured every ~20 queries; its median ratio
+    // vs its OWN recorded baseline estimates how slow the HOST was during
+    // this sweep (the canary's code didn't change — the host did). Ratios
+    // are reported raw AND drift-normalized, and any row whose NORMALIZED
+    // ratio still exceeds 1.5× is escalated to a fresh min-of-3 remeasure
+    // at sweep end (min, not median: this path exists to discount stall
+    // inflation, never to amplify it).
+    val canary = "q_contains_any"
+    val canaryWalls = scala.collection.mutable.ArrayBuffer[Double]()
+    val results0 = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (n, i) =>
+        if (i % 20 == 0 && n != canary && SparkEntry.queries.contains(canary)) {
+          val w = exec(canary)._1
+          if (w >= 0) canaryWalls += w
+        }
+        n -> measure(n)
+    }
+    // clamped at 1.0: a healthy (or faster-than-baseline) host must never
+    // normalize a real regression away
+    val drift = baseline.get(canary).filter(_ => canaryWalls.nonEmpty)
+      .map { b =>
+        val s = canaryWalls.sorted
+        math.max(1.0, s((s.size - 1) / 2) / b)
+      }.getOrElse(1.0)
+    val results = results0.map { case (n, (w, c, r)) =>
+      val suspectNorm =
+        w >= 0 && baseline.get(n).exists(b => w / b / drift > 1.5 && w > 0.5)
+      if (!suspectNorm) n -> (w, c, r)
+      else {
+        val runs = Seq.fill(3)(exec(n)).filter(_._1 >= 0)
+        if (runs.isEmpty) n -> (w, c, r)
+        else {
+          val best = runs.minBy(_._1)(Ordering.Double.TotalOrdering)
+          if (best._1 < w) n -> (best._1, best._2, r + runs.size)
+          else n -> (w, c, r + runs.size)
+        }
+      }
+    }
     val headline = Seq(
       "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
       "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
@@ -154,7 +195,7 @@ object Bench {
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
     val nRerun = results.count(_._2._3 > 1)
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_s":$totalCpu%.3f,"n_reruns":$nRerun,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_s":$totalCpu%.3f,"n_reruns":$nRerun,"n_queries":${results.size},"host_drift":$drift%.2f,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE, not the console: the driver
     // captures only the last ~2k chars of combined output, and sbt's
     // stderr relay lags stdout, so detail lines printed to stderr BEFORE
@@ -176,9 +217,19 @@ object Bench {
       case (k, v) if v._1 >= 0 && baseline.contains(k) =>
         f""""$k":${v._1 / baseline(k)}%.2f"""
     }.mkString("{", ",", "}")
+    // drift-normalized ratios are the adjudication surface: raw ratio /
+    // host_drift. A normalized ratio > 1.5 SURVIVED both the inline
+    // median-of-3 and the sweep-end min-of-3 — that is a real regression
+    // (or a baseline to row-level re-record), not host churn.
+    val normRatios = results.collect {
+      case (k, v) if v._1 >= 0 && baseline.contains(k) =>
+        f""""$k":${v._1 / baseline(k) / drift}%.2f"""
+    }.mkString("{", ",", "}")
+    val canaryJson = canaryWalls
+      .map(w => f"$w%.3f").mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"compact":$compact,"detail":$detail,"cpu":$cpuDetail,"reruns":$reruns,"baseline_ratio":$ratios}"""
+      s"""{"compact":$compact,"detail":$detail,"cpu":$cpuDetail,"reruns":$reruns,"baseline_ratio":$ratios,"norm_ratio":$normRatios,"host_drift":$drift,"canary":{"name":"$canary","walls":$canaryJson}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // seed/refresh the ratchet: record this sweep's stall-protected walls
     // as the new baseline when none is checked in, and APPEND rows for
@@ -189,8 +240,12 @@ object Bench {
     if (sfDir.endsWith("sf0.1") &&
         (baseline.isEmpty || results.exists { case (k, v) =>
           v._1 >= 0 && !baseline.contains(k) })) {
+      // new rows are recorded drift-DIVIDED: the canary measured how slow
+      // the host ran during this sweep, so wall/drift is the steady-state
+      // estimate — recording the raw wall would bake this sweep's host
+      // churn into the ratchet a healthy future sweep then "beats"
       val merged = baseline ++ results.collect {
-        case (k, v) if v._1 >= 0 && !baseline.contains(k) => k -> v._1
+        case (k, v) if v._1 >= 0 && !baseline.contains(k) => k -> v._1 / drift
       }
       java.nio.file.Files.write(baselinePath,
         merged.toSeq.sortBy(_._1)

@@ -128,6 +128,11 @@ object RecallCheck {
 
     val cents = Embeddings.kmeansFitSqrtK(emb, "vec_id", "embedding", iters = 2)
     val kCells = cents.count()
+    // sample-trained coarse quantizer (the FAISS train/add split): same
+    // k, Lloyd passes see only the 25% hashSample kept set; the recall
+    // delta vs the full fit is what sampling costs at this geometry
+    val centsSampled = Embeddings.kmeansFitSampled(emb, "vec_id",
+      "embedding", k = kCells.toInt, iters = 2, samplePct = 25.0)
     // oracle-exactness PQ knobs (the driver query's) and production knobs
     val cbTiny = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 2, initPred = col("vec_id") < 4, iters = 2, scope = scope)
@@ -163,6 +168,12 @@ object RecallCheck {
       (s"ivf trained (k=$kCells, nprobe=1)", queryIds.length, recallOf(
         Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
           queryPred, k = k, scope = scope), queryIds)),
+      (s"ivf SAMPLED-fit 25% (k=$kCells, nprobe=1)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", centsSampled,
+          queryPred, k = k, scope = scope), queryIds)),
+      (s"ivf SAMPLED-fit 25% (k=$kCells, nprobe=2)", queryIds.length, recallOf(
+        Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", centsSampled,
+          queryPred, k = k, nprobe = 2, scope = scope), queryIds)),
       (s"ivf trained (k=$kCells, nprobe=2)", queryIds.length, recallOf(
         Embeddings.ivfTopKTrained(emb, "vec_id", "embedding", cents,
           queryPred, k = k, nprobe = 2, scope = scope), queryIds)),

@@ -372,6 +372,26 @@ object SparkEntry {
       dataDir.toString
     }
 
+  /** Memoized persisted PageRank artifact over the BASE synthetic edge
+    * family (j ∈ 1..2 of q_pagerank's j ≤ doc_id%5 fixture), ranks
+    * converged 5 rounds — so q_pagerank_incr's timed body is the
+    * incremental read path only: append-shaped delta + 2 warm rounds. */
+  private def pageRankIndexFixture(
+      s: SparkSession, dir: String): String =
+    dirFixture("pridx_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      val df = s.read.parquet(s"$dir/documents.parquet")
+      val n = df.count()
+      val base = df.select(F.col("doc_id"))
+        .withColumn("j", F.explode(F.sequence(F.lit(1L), F.lit(2L))))
+        .where(F.col("j") <= F.pmod(F.col("doc_id"), F.lit(5L)))
+        .select(F.col("doc_id").as("src"),
+          F.pmod(F.col("doc_id") * F.lit(31L) + F.col("j") * F.lit(17L),
+            F.lit(n)).as("dst"))
+      graft.llm.Graph.pageRankIndexSave(base, "src", "dst",
+        iterations = 5, tmp)
+    }
+
   private def uniDocs(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -1664,6 +1684,18 @@ object SparkEntry {
         .sort(col("doc_id"))
         .run(s)),
 
+    // --- MAXIMAL duplicated substrings (the suffix-array semantics
+    //     substringSpans approximates): true pairwise maximal matches
+    //     ≥ 8 words via the diagonal-run identity, hot grams capped at
+    //     64 copies; per-doc merged coverage + the honest longest
+    //     single match ---
+    "q_substr_maximal" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.substringMaximalSpans(
+          df, "doc_id", "text", minMatchWords = 8, maxGramCopies = 64))
+        .sort(col("doc_id"))
+        .run(s)),
+
     // --- apply substring dedup: strip every covered word, hash the
     //     reassembled survivors ---
     // Through the model-level Source.SubstringClean (wire-serializable
@@ -2094,6 +2126,30 @@ object SparkEntry {
               F.pmod(F.col("doc_id") * F.lit(31L) + F.col("j") * F.lit(17L),
                 F.lit(n)).as("dst"))
           graft.llm.Graph.pageRank(edges, "src", "dst", iterations = 5)
+        }
+        .sort(col("node"))
+        .run(s)),
+
+    // --- INCREMENTAL link-graph maintenance: the persisted artifact
+    //     (base edges j∈1..2, ranks converged 5 rounds — memoized
+    //     fixture) takes an edge DELTA (j∈3..4) and WARM-STARTS 2
+    //     integer rounds from the stored ranks; new nodes seed cold.
+    //     The timed body is the incremental path only — no cold refit,
+    //     flat vs the full fit as the graph grows ---
+    "q_pagerank_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val idxDir = pageRankIndexFixture(s, dir)
+          val n = df.count() // bounded model parameter (node-space modulus)
+          val delta = df.select(F.col("doc_id"))
+            .withColumn("j", F.explode(F.sequence(F.lit(3L), F.lit(4L))))
+            .where(F.col("j") <= F.pmod(F.col("doc_id"), F.lit(5L)))
+            .select(F.col("doc_id").as("src"),
+              F.pmod(F.col("doc_id") * F.lit(31L) + F.col("j") * F.lit(17L),
+                F.lit(n)).as("dst"))
+          graft.llm.Graph.pageRankWarmRanks(s, idxDir, iterations = 2,
+            extraEdges = Some(delta))
         }
         .sort(col("node"))
         .run(s)),
@@ -3314,6 +3370,23 @@ object SparkEntry {
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
+    // --- SAMPLE-TRAINED IVF (the FAISS train/add split): the quantizer
+    //     fits on the deterministic 25% hashSample kept set (seeds = the
+    //     8 smallest kept ids), then the FULL corpus assigns and serves —
+    //     at 100 TB the fit is the last linear-in-corpus ANN cost, and
+    //     k-means needs only a bounded sample to estimate k means ---
+    "q_ann_ivf_sampled_fit" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val cents = graft.llm.Embeddings.kmeansFitSampled(
+            df, "vec_id", "embedding", k = 8, iters = 2, samplePct = 25.0)
+          graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding",
+            cents, queryPred = F.col("vec_id") < 3, k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
     // --- PERSISTED IVF index serving: same fit, corpus assignment paid
     //     once at ingest (bucketed postings on __cell__), queries assign
     //     only themselves — values identical to the inline trained path
@@ -3457,6 +3530,35 @@ object SparkEntry {
             df, "vec_id", "embedding", iters = 2)
           graft.llm.Embeddings.ivfTopKTrained(df, "vec_id", "embedding", cents,
             queryPred = F.col("vec_id") < 3, k = 5, nprobe = 2)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- IVF maintenance dashboard: per-cell posting population +
+    //     exact-integer load share over the persisted index — the
+    //     hot-cell detector feeding ivfHotCellSplit. Zero-shuffle
+    //     aggregate on the __cell__-bucketed postings ---
+    "q_ivf_cell_profile" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          val (_, tbl) = ivfIndexFixture(s, dir)
+          graft.llm.Embeddings.ivfCellProfile(df.sparkSession.table(tbl))
+        }
+        .sort(col("cell"))
+        .run(s)),
+
+    // --- STREAMING nprobe=2 serving, single-batch backfill: the
+    //     window-free probe rank + topk_by + posexplode-after-aggregate
+    //     pipeline over the persisted index — value-identical to the
+    //     batch q_ann_ivf_probe (shared oracle by reference) ---
+    "q_stream_ann_probe" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfIndexFixture(s, dir)
+          graft.streaming.Streams.streamingIvfTopK(
+            df.where(F.col("vec_id") < 3), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), k = 5, nprobe = 2)
         }
         .sort(col("query_id")).sort(col("rank"))
         .run(s)),
@@ -6297,6 +6399,69 @@ object SparkEntry {
                 CAST(max(e - s + 1) AS BIGINT) AS max_span_words
          FROM spans GROUP BY 1 ORDER BY 1""",
 
+    // maximal matches: gram co-occurrence pairs grouped by (docA, docB,
+    // diagonal), consecutive-position runs = pairwise maximal matches,
+    // per-doc interval union-merge + the longest single match
+    "q_substr_maximal" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8)
+         ), shared AS (
+           SELECT gh FROM pos GROUP BY gh
+           HAVING count(*) >= 2 AND count(*) <= 64),
+         occ AS MATERIALIZED (
+           SELECT p.doc_id, p.pos, p.gh FROM pos p JOIN shared USING (gh)),
+         pairs AS MATERIALIZED (
+           SELECT a.doc_id AS aid, a.pos AS apos, b.doc_id AS bid,
+                  a.pos - b.pos AS diag
+           FROM occ a JOIN occ b ON a.gh = b.gh
+           WHERE NOT (a.doc_id = b.doc_id AND a.pos = b.pos)),
+         segd AS (
+           SELECT aid, apos, bid, diag,
+                  CASE WHEN apos > coalesce(lag(apos) OVER
+                    (PARTITION BY aid, bid, diag ORDER BY apos) + 1, -1)
+                  THEN 1 ELSE 0 END AS nw
+           FROM pairs),
+         segs AS (
+           SELECT aid, apos, bid, diag,
+                  sum(nw) OVER (PARTITION BY aid, bid, diag ORDER BY apos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM segd),
+         mtch AS MATERIALIZED (
+           SELECT aid, bid, diag, seg, min(apos) AS s, max(apos) + 7 AS e
+           FROM segs GROUP BY 1, 2, 3, 4),
+         iv AS (SELECT DISTINCT aid, s, e FROM mtch),
+         mrg0 AS (
+           SELECT aid, s, e,
+                  CASE WHEN s > coalesce(max(e) OVER
+                    (PARTITION BY aid ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+                    -1)
+                  THEN 1 ELSE 0 END AS nw
+           FROM iv),
+         mrg AS (
+           SELECT aid, s, e,
+                  sum(nw) OVER (PARTITION BY aid ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM mrg0),
+         spans AS (
+           SELECT aid, seg, min(s) AS cs, max(e) AS ce FROM mrg GROUP BY 1, 2),
+         mm AS (
+           SELECT aid, CAST(max(e - s + 1) AS BIGINT) AS max_match_words
+           FROM mtch GROUP BY 1)
+         SELECT sp.aid AS doc_id,
+                count(*) AS n_spans,
+                CAST(sum(ce - cs + 1) AS BIGINT) AS dup_words,
+                CAST(max(ce - cs + 1) AS BIGINT) AS max_span_words,
+                CAST(max(mm.max_match_words) AS BIGINT) AS max_match_words
+         FROM spans sp JOIN mm ON mm.aid = sp.aid
+         GROUP BY 1 ORDER BY 1""",
+
     // Apply substring dedup: covered word positions = union of [pos, pos+7]
     // intervals; survivors reassembled in word order and md5'd (string md5
     // only — DuckDB md5 is VARCHAR-only).
@@ -6379,6 +6544,7 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "q_pagerank" -> PageRankSql,
+    "q_pagerank_incr" -> PageRankIncrSql,
 
     "q_hits" -> HitsSql,
 
@@ -7877,6 +8043,53 @@ object SparkEntry {
                            sqrt(${dotSql("q.embedding", "q.embedding")})), 6) DESC,
                     n.vec_id) AS rank
            FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+           WHERE q.vec_id < 3) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
+    // cell profile: replay the fixture's fit + full assignment, count
+    // per cell, integer load share from the aggregated counts
+    "q_ivf_cell_profile" ->
+      (KmeansCtes + s""",
+         prof AS MATERIALIZED (
+           SELECT cell, count(*) AS n_postings FROM sf GROUP BY 1)
+         SELECT cell, n_postings,
+                CAST((n_postings * 1000000)
+                     // (SELECT sum(n_postings) FROM prof) AS BIGINT)
+                  AS load_ppm
+         FROM prof ORDER BY cell"""),
+
+    // sampled fit: the 25% md5-cutoff kept set trains the chain (seeds =
+    // the 8 smallest kept ids), the FULL corpus assigns against c2 and
+    // serves — same tail as q_ann_ivf_trained
+    "q_ann_ivf_sampled_fit" ->
+      (s"""WITH samp AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < 1073741824
+         ), ${kmeansChain(
+             "vec_id <= (SELECT max(vec_id) FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 8) s)",
+             "samp", "", EmbDim)},
+         af2 AS (
+           SELECT e.vec_id, e.embedding, cc.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    round((${dotSql("e.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                      DESC NULLS LAST,
+                    cc.cid) AS rn
+           FROM embeddings e CROSS JOIN c2 cc
+         ), sf2 AS (SELECT vec_id, embedding, cid AS cell FROM af2 WHERE rn = 1)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  round((${dotSql("q.embedding", "n.embedding")}) /
+                        (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                         sqrt(${dotSql("q.embedding", "q.embedding")})), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("q.embedding", "n.embedding")}) /
+                          (sqrt(${dotSql("n.embedding", "n.embedding")}) *
+                           sqrt(${dotSql("q.embedding", "q.embedding")})), 6) DESC,
+                    n.vec_id) AS rank
+           FROM sf2 q JOIN sf2 n ON q.cell = n.cell AND n.vec_id <> q.vec_id
            WHERE q.vec_id < 3) t
          WHERE rank <= 5 ORDER BY query_id, rank"""),
 
@@ -9803,6 +10016,11 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // streaming nprobe=2 serving backfill ≡ the batch probe query:
+      // same fit (the persisted fixture replays kmeansFitSqrtK iters=2),
+      // same probe ORDER (the window-free array_sort rank is spec-pinned
+      // value-identical to the window), same topk_by tail
+      ("q_stream_ann_probe" -> baseOracleSql("q_ann_ivf_probe")) +
       // WAT link rows reduce to the SAME distinct non-self domain edge
       // set the HTML extraction yields (fixture construction), so the
       // PageRank output is identical — oracle shared by reference
@@ -10125,6 +10343,55 @@ object SparkEntry {
       LEFT JOIN a3 ON a3.node =
         CAST(concat('0x', substr(md5(m.domain), 1, 15)) AS BIGINT)
       ORDER BY m.domain"""
+  }
+
+  /** q_pagerank_incr oracle: the base chain (edges j∈1..2, 5 cold
+    * rounds — replaying the persisted fixture's stored ranks) feeds w0
+    * over the MERGED node set (new nodes coalesce to the cold
+    * 1 000 000), then 2 warm rounds on the merged edges — exactly
+    * [[graft.llm.Graph.pageRankWarmRanks]]'s computation. */
+  private lazy val PageRankIncrSql: String = {
+    def rounds(eTbl: String, degTbl: String, nodesTbl: String,
+        r0: String, pfx: String, cnt: Int): String =
+      (1 to cnt).map { i =>
+        val p = if (i == 1) r0 else s"$pfx${i - 1}"
+        s"""c$pfx$i AS MATERIALIZED (
+          SELECT e.dst AS node,
+                 sum((r.r * 850000) // (1000000 * g.d)) AS c
+          FROM $eTbl e
+          JOIN $p r ON r.node = e.src
+          JOIN $degTbl g ON g.src = e.src
+          GROUP BY 1),
+        $pfx$i AS MATERIALIZED (
+          SELECT n2.node, 150000 + coalesce(c.c, 0) AS r
+          FROM $nodesTbl n2 LEFT JOIN c$pfx$i c ON c.node = n2.node)"""
+      }.mkString(",\n")
+    s"""WITH eb AS MATERIALIZED (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 31 + t.j * 17)
+                 % (SELECT count(*) FROM main.documents) AS dst
+        FROM documents d, LATERAL unnest(range(1, 3)) AS t(j)
+        WHERE t.j <= d.doc_id % 5),
+      ed AS MATERIALIZED (
+        SELECT d.doc_id AS src,
+               (d.doc_id * 31 + t.j * 17)
+                 % (SELECT count(*) FROM main.documents) AS dst
+        FROM documents d, LATERAL unnest(range(3, 5)) AS t(j)
+        WHERE t.j <= d.doc_id % 5),
+      em AS MATERIALIZED (SELECT * FROM eb UNION ALL SELECT * FROM ed),
+      nodesb AS MATERIALIZED (
+        SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+      degb AS MATERIALIZED (SELECT src, count(*) AS d FROM eb GROUP BY 1),
+      rb0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodesb),
+      ${rounds("eb", "degb", "nodesb", "rb0", "rb", 5)},
+      nodesm AS MATERIALIZED (
+        SELECT src AS node FROM em UNION SELECT dst FROM em),
+      degm AS MATERIALIZED (SELECT src, count(*) AS d FROM em GROUP BY 1),
+      w0 AS MATERIALIZED (
+        SELECT n2.node, CAST(coalesce(r.r, 1000000) AS BIGINT) AS r
+        FROM nodesm n2 LEFT JOIN rb5 r ON r.node = n2.node),
+      ${rounds("em", "degm", "nodesm", "w0", "w", 2)}
+      SELECT node, CAST(r AS BIGINT) AS rank_micro FROM w2 ORDER BY node"""
   }
 
   private lazy val PageRankSql: String = {

@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * `java.lang.Double.compare` (Spark's total order: NaN greatest, so a
   * NaN score ranks FIRST under desc — identical to the window sort).
   * Ids must be unique within a group (the serving tails guarantee it: a
-  * posting appears in exactly one cell); an exact duplicate (score, id)
-  * insert collapses.
+  * posting appears in exactly one cell); a duplicate (score, id) insert
+  * collapses, keeping the deterministic tag winner (non-null, then
+  * larger) so a broken-invariant caller still gets merge-order-stable
+  * output.
   *
   * Top-k is a semilattice: merging two k-bounded states loses nothing
   * (any row outside a partial's top-k is outside the union's), so ANY
@@ -49,7 +51,17 @@ private[graft] final class TopKState(val k: Int) {
   val set = new java.util.TreeSet[TopKEntry](TopKEntry.ord)
 
   def add(e: TopKEntry): Unit = {
-    set.add(e)
+    if (!set.add(e)) {
+      // (score, id) collision: callers guarantee ids unique per group, so
+      // this should only be an exact re-insert — but if that invariant is
+      // ever broken with DIFFERING tags, pick the winner deterministically
+      // (non-null beats null, then larger tag) instead of letting merge
+      // order decide which tag survives across retries/partitionings
+      val ex = set.floor(e)
+      val replace = (ex.tagNull && !e.tagNull) ||
+        (!ex.tagNull && !e.tagNull && e.tag > ex.tag)
+      if (replace) { set.remove(ex); set.add(e) }
+    }
     if (set.size > k) set.pollLast()
   }
 

@@ -950,6 +950,113 @@ object Dedup {
         max(col("__e__") - col("__s__") + 1).cast("long").as("max_span_words"))
   }
 
+  /** MAXIMAL duplicated-substring spans — the suffix-array semantics of
+    * Lee et al. 2022 (exact substrings of ANY length ≥ `minMatchWords`
+    * occurring ≥ 2 times), where [[substringSpans]] is the fixed-k
+    * run-merge approximation. The difference that matters: the run-merge
+    * CHAINS overlapping k-grams duplicated against DIFFERENT partners
+    * into one long "span" no single copy of which exists anywhere; this
+    * op recovers each true pairwise maximal match exactly.
+    *
+    * Method (the diagonal-run identity, same output as per-partition
+    * suffix arrays without materializing them): a common substring of m
+    * ≥ k words between two occurrences shares all m−k+1 of its k-grams
+    * at a CONSTANT position offset, so grouping k-gram co-occurrences by
+    * (docA, docB, posA−posB) and merging consecutive posA runs yields
+    * precisely the maximal pairwise matches ≥ k. Gram co-occurrence is
+    * an equi-join on the gram hash ANCHORED like the LSH families —
+    * grams with more than `maxGramCopies` occurrences are dropped (the
+    * hot-bucket cap; pair fan-out is bounded by cap·positions, never
+    * quadratic in the corpus). Within-doc self-repeats match through
+    * diag ≠ 0; the trivial self-alignment (same doc, same position) is
+    * excluded.
+    *
+    * Per doc emits merged-coverage stats in [[substringSpans]]' shape —
+    * n_spans, dup_words, max_span_words (adjacent/overlapping matches
+    * union-merged) — plus `max_match_words`, the longest SINGLE maximal
+    * match: on the chained fixture above the run-merge claims one
+    * 9-word span while max_match_words honestly reports 8 (spec-pinned).
+    * All windows are per-(docA, docB, diag) or per-doc — state bounded
+    * by one document pair's positions, never corpus-scale. */
+  def substringMaximalSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minMatchWords: Int = 8,
+      maxGramCopies: Int = 64,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(minMatchWords >= 2, "minMatchWords must be >= 2")
+    require(maxGramCopies >= 2, "maxGramCopies must be >= 2")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val k = minMatchWords
+    val W = org.apache.spark.sql.expressions.Window
+    val pos = scope.cacheKeyed(("graft.llm.maxsubstrpos",
+      docs.queryExecution.analyzed.canonicalized, idCol, textCol, k)) {
+      docs
+        .select(col(idCol).as("__did__"),
+          TextOps.tokens(col(textCol)).as("__toks__"))
+        .where(size(col("__toks__")) >= k)
+        .select(col("__did__"),
+          posexplode(expr(s"word_kgram_md5s(__toks__, $k)"))
+            .as(Seq("__p0__", "__gh__")))
+        .select(col("__did__"), (col("__p0__") + 1).cast("long").as("__pos__"),
+          col("__gh__"))
+    }
+    val shared = pos
+      .groupBy(col("__gh__"))
+      .agg(count(lit(1)).as("__f__"))
+      .where(col("__f__") >= 2 && col("__f__") <= maxGramCopies)
+      .select(col("__gh__"))
+    val occ = pos.join(shared, "__gh__")
+    val pairs = occ
+      .select(col("__gh__"), col("__did__").as("__aid__"),
+        col("__pos__").as("__apos__"))
+      .join(occ.select(col("__gh__"), col("__did__").as("__bid__"),
+        col("__pos__").as("__bpos__")), Seq("__gh__"))
+      .where(!(col("__aid__") === col("__bid__") &&
+        col("__apos__") === col("__bpos__")))
+      .select(col("__aid__"), col("__apos__"), col("__bid__"),
+        (col("__apos__") - col("__bpos__")).as("__diag__"))
+    val wd = W.partitionBy(col("__aid__"), col("__bid__"), col("__diag__"))
+      .orderBy(col("__apos__"))
+    val matches = pairs
+      .withColumn("__new__",
+        when(col("__apos__") >
+          coalesce(lag(col("__apos__"), 1).over(wd) + 1L, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__seg__", sum(col("__new__")).over(
+        wd.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("__aid__"), col("__bid__"), col("__diag__"), col("__seg__"))
+      .agg(min(col("__apos__")).as("__s__"),
+        (max(col("__apos__")) + (k - 1)).as("__e__"))
+    val iv = matches.select(col("__aid__"), col("__s__"), col("__e__"))
+      .distinct()
+    val wm = W.partitionBy(col("__aid__")).orderBy(col("__s__"), col("__e__"))
+    val merged = iv
+      .withColumn("__new__",
+        when(col("__s__") > coalesce(
+          max(col("__e__")).over(wm.rowsBetween(W.unboundedPreceding, -1))
+            + 1L, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__seg__", sum(col("__new__")).over(
+        wm.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("__aid__"), col("__seg__"))
+      .agg(min(col("__s__")).as("__cs__"), max(col("__e__")).as("__ce__"))
+    val matchMax = matches.groupBy(col("__aid__"))
+      .agg(max(col("__e__") - col("__s__") + 1).cast("long")
+        .as("max_match_words"))
+    merged
+      .groupBy(col("__aid__"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__ce__") - col("__cs__") + 1).as("dup_words"),
+        max(col("__ce__") - col("__cs__") + 1).cast("long")
+          .as("max_span_words"))
+      .join(matchMax, "__aid__")
+      .select(col("__aid__").as(idCol), col("n_spans"), col("dup_words"),
+        col("max_span_words"), col("max_match_words"))
+  }
+
   /** Apply [[substringSpans]]: strip every covered word, reassemble the
     * survivors in order. Covered positions come from exploding each
     * flagged start into its k-word interval (<= k rows per flagged

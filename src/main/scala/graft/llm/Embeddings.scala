@@ -508,14 +508,181 @@ object Embeddings {
       dstDir: String,
       buckets: Int = 8,
       iters: Int = 2,
-      scope: CacheScope = CacheScope.global): Unit = {
+      scope: CacheScope = CacheScope.global,
+      sampleCap: Option[Long] = None): Unit = {
     graft.GraftExtensions.install(spark)
     val postings = spark.read.parquet(s"$srcDir/postings")
     val attrs = postings.columns
       .filterNot(Set(idCol, vecCol, "__n__", "__cell__")).toSeq
     val emb = scope.cache(postings.drop("__n__", "__cell__"))
-    val cents = kmeansFitSqrtK(emb, idCol, vecCol, iters, scope)
+    // sampleCap bounds the TRAINING set (FAISS practice: ~max(100k,
+    // 256·k) rows suffice to fit the quantizer) while k and the
+    // re-assignment still cover the full corpus — without it the refit's
+    // Lloyd passes re-scan every posting, the last linear-in-corpus cost
+    // in the lifecycle. pct derives from the same cached count that
+    // sizes k, so no extra corpus scan; the kept set replays via the
+    // hashSample cutoff.
+    val cents = sampleCap match {
+      case None => kmeansFitSqrtK(emb, idCol, vecCol, iters, scope)
+      case Some(cap) =>
+        require(cap >= 1, "sampleCap must be at least 1")
+        val n = math.max(1L, emb.count())
+        val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+        val pct = math.min(100.0, cap.toDouble * 100.0 / n)
+        kmeansFitSampled(emb, idCol, vecCol,
+          math.min(k, Int.MaxValue.toLong).toInt, iters, pct, scope)
+    }
     ivfIndexSave(emb, idCol, vecCol, cents, dstTable, dstDir, buckets, attrs)
+  }
+
+  /** Cell-population PROFILE of an IVF postings frame — the maintenance
+    * dashboard behind hot-cell detection: (cell, n_postings, load_ppm)
+    * where load_ppm = floor(n·10⁶ / total) in exact integer arithmetic.
+    * One hash aggregate (zero-shuffle on a `__cell__`-bucketed postings
+    * table); the total derives from the already-aggregated tiny frame
+    * via an unbounded window, never a second corpus scan. A cell whose
+    * load_ppm ≫ 10⁶/k is the IVF family's hot LSH bucket: every probe
+    * landing on it scans unboundedly many postings — feed it to
+    * [[ivfHotCellSplit]]. */
+  def ivfCellProfile(postings: DataFrame): DataFrame = {
+    val agg = postings
+      .groupBy(col("__cell__").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_postings"))
+    agg
+      .withColumn("__tot__",
+        sum(col("n_postings")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("cell"), col("n_postings"),
+        expr("(n_postings * 1000000) DIV __tot__").as("load_ppm"))
+  }
+
+  /** HOT-CELL SPLIT maintenance — the IVF equivalent of the LSH
+    * family's bucket caps (the quadratic-in-disguise lesson): a skewed
+    * cell makes every probe landing on it scan unboundedly many
+    * postings, so cells whose population exceeds `maxCell` are re-fit
+    * k=2 INSIDE the cell (seeds = the cell's two smallest member ids,
+    * exact-decimal Lloyd's — set-wise across all hot cells at once,
+    * never a per-cell driver loop) and ONLY their postings reassign;
+    * everything else copies through. Child cell ids are
+    * `seed_id + max(id)+1` — collision-free vs every surviving cid
+    * (original cids are seed vector ids ≤ max(id)) and deterministic.
+    * Writes a NEW index version (centroids = survivors ∪ children,
+    * postings re-bucketed) to `dstDir`; the caller promotes/retires
+    * like any other version swap. Queries then assign over the new
+    * centroid table — a probe that previously hit the hot cell lands
+    * on the child covering its region and scans roughly half the
+    * postings per split level. */
+  def ivfHotCellSplit(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      idCol: String,
+      vecCol: String,
+      dstTable: String,
+      dstDir: String,
+      maxCell: Long,
+      buckets: Int = 8,
+      iters: Int = 2): Unit = {
+    graft.GraftExtensions.install(spark)
+    require(maxCell >= 2, "maxCell must be at least 2")
+    val postings = spark.read.parquet(s"$srcDir/postings")
+    val centroids = spark.read.parquet(s"$srcDir/centroids")
+    locally {
+      import org.apache.spark.sql.types._
+      val idType = postings.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+        s"ivfHotCellSplit needs an integral '$idCol' (got $idType)")
+    }
+    val attrs = postings.columns
+      .filterNot(Set(idCol, vecCol, "__n__", "__cell__")).toSeq
+    // hot set + id offset: two bounded collects (cells are
+    // model-parameter-sized; the max id is one scalar)
+    val hot = postings
+      .groupBy(col("__cell__").cast("long").as("__c__"))
+      .agg(count(lit(1)).as("__n__"))
+      .where(col("__n__") > maxCell)
+      .collect().map(_.getLong(0)).toSet
+    if (hot.isEmpty) {
+      centroids.write.mode("overwrite").parquet(s"$dstDir/centroids")
+      graft.sources.ParquetIO.writeBucketed(
+        postings, dstTable, s"$dstDir/postings", "__cell__", buckets)
+      return
+    }
+    val hotSeq = hot.toSeq
+    val off = postings.agg(max(col(idCol).cast("long")))
+      .collect()(0).getLong(0) + 1L
+    val members = postings
+      .where(col("__cell__").cast("long").isInCollection(hotSeq))
+    // per-parent sub-assignment against that parent's two child
+    // centroids: the tiny (parent → 2-element centroid array) frame
+    // broadcasts and the argmax runs as the same native the global
+    // assignment uses — order-independent fold, array sorted by cid
+    def assignSub(c: DataFrame): DataFrame = {
+      val arr = c
+        .select(col("__pc__"),
+          struct(col("__ccid__").as("__cid__"), col("__ccv__").as("__cv__"),
+            sqrt(expr("float_vec_dot(__ccv__, __ccv__)")).as("__cn__"))
+            .as("__s__"))
+        .groupBy(col("__pc__"))
+        .agg(sort_array(collect_list(col("__s__"))).as("__subcents__"))
+      members
+        .join(broadcast(arr), col("__cell__").cast("long") === col("__pc__"))
+        .withColumn("__subc__",
+          expr(s"vec_argmax_cell($vecCol, __n__, __subcents__)"))
+        .drop("__subcents__", "__pc__")
+    }
+    def pin(k: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(k.collect().toSeq.asJava, k.schema)
+    }
+    // seeds: the two smallest member ids per hot cell via the k-bounded
+    // topk_by aggregate (map-side combined — never a per-cell sort of
+    // the skewed cell's full population), vectors joined back by id
+    val seedIds = members
+      .groupBy(col("__cell__").cast("long").as("__pc__"))
+      .agg(expr(s"topk_by(CAST(-$idCol AS DOUBLE), CAST($idCol AS BIGINT), " +
+        "CAST(NULL AS BIGINT), 2)").as("__tk__"))
+      .select(col("__pc__"), explode(expr("transform(__tk__, e -> e.id)"))
+        .as("__sid__"))
+    var cents = pin(members
+      .join(broadcast(seedIds),
+        col("__cell__").cast("long") === col("__pc__") &&
+          col(idCol).cast("long") === col("__sid__"))
+      .select(col("__pc__"), (col("__sid__") + lit(off)).as("__ccid__"),
+        expr(s"transform($vecCol, v -> CAST(v AS double))").as("__ccv__")))
+    for (_ <- 1 to iters) {
+      cents = pin(assignSub(cents)
+        .where(col("__subc__").isNotNull)
+        .select(col("__cell__").cast("long").as("__pc__"), col("__subc__"),
+          posexplode(col(vecCol)).as(Seq("__d__", "__x__")))
+        .groupBy(col("__pc__"), col("__subc__"), col("__d__"))
+        .agg(round(
+          sum(round(col("__x__").cast("double"), 6).cast("decimal(27,8)"))
+            .cast("double") / count(lit(1)), 6).as("__m__"))
+        .groupBy(col("__pc__"), col("__subc__"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__d__, __m__))), s -> s.__m__)")
+          .as("__ccv__"))
+        .select(col("__pc__"), col("__subc__").as("__ccid__"), col("__ccv__")))
+    }
+    val reassigned = assignSub(cents)
+      .select((Seq(col(idCol), col(vecCol), col("__n__")) ++
+        attrs.map(col) :+ col("__subc__").as("__cell__")): _*)
+    val keep = postings
+      .where(!col("__cell__").cast("long").isInCollection(hotSeq))
+      .select((Seq(col(idCol), col(vecCol), col("__n__")) ++
+        attrs.map(col) :+ col("__cell__")): _*)
+    centroids
+      .where(!col("cid").cast("long").isInCollection(hotSeq))
+      .select(col("cid").cast("long").as("cid"),
+        expr("transform(cv, v -> CAST(v AS double))").as("cv"))
+      .unionByName(cents.select(col("__ccid__").as("cid"),
+        col("__ccv__").as("cv")))
+      .write.mode("overwrite").parquet(s"$dstDir/centroids")
+    graft.sources.ParquetIO.writeBucketed(
+      keep.unionByName(reassigned), dstTable, s"$dstDir/postings",
+      "__cell__", buckets)
   }
 
   /** IVF top-k served from a PERSISTED [[ivfIndexSave]] artifact: ONLY
@@ -631,9 +798,13 @@ object Embeddings {
     topk
       .groupBy(col("query_id"), col(labelCol))
       .agg(count(lit(1)).as("votes"))
+      // asc_nulls_last, not the Spark asc default (NULLS FIRST): the
+      // DuckDB oracle's `ORDER BY count(*) DESC, label` defaults NULLS
+      // LAST, so a NULL label tying at the top votes must lose the
+      // tie-break on both engines
       .withColumn("__vr__", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("votes").desc, col(labelCol))))
+          .orderBy(col("votes").desc, col(labelCol).asc_nulls_last)))
       .where(col("__vr__") === 1)
       .select(col("query_id"), col(labelCol), col("votes"))
   }
@@ -1099,11 +1270,12 @@ object Embeddings {
     // it per query. __q__/__qn__ ride as grouping keys (constant per
     // query), so the rerank tail needs no re-join. Non-integral id
     // types fall back to the window formulation.
-    val cut = {
-      require(candFactor.toLong * k <= 1000000L,
-        s"candFactor*k = ${candFactor.toLong * k} exceeds the topk_by cap")
-      if (rerank.isEmpty) k else candFactor * k
-    }
+    // the cap guards the actual topk_by cut, which is candFactor*k only
+    // when a rerank shortlist is requested — rerank=None cuts at k, so a
+    // large candFactor must not spuriously throw there
+    val cut = if (rerank.isEmpty) k else candFactor * k
+    require(cut.toLong <= 1000000L,
+      s"topk_by cut = $cut exceeds the 1e6 cap (candFactor*k too large)")
     val idType = postings.schema(idCol).dataType
     val integralId = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
@@ -1291,6 +1463,74 @@ object Embeddings {
     val base = cacheBase(emb, idCol, vecCol, scope)
     val k = math.floor(math.sqrt(base.count().toDouble)).toLong
     lloyd(base, col("__vid__") < k, iters)
+  }
+
+  /** SAMPLE-trained Lloyd's — the FAISS train/add split: the quantizer
+    * fits on a bounded deterministic sample, the full corpus only ever
+    * pays assignment. At 100 TB the fit (every Lloyd pass re-scans its
+    * training set) is the last linear-in-corpus cost in the ANN
+    * lifecycle; k-means needs only enough points to estimate k cell
+    * means (FAISS trains on ~max(100k, 256·k) regardless of corpus
+    * size), so training on everything buys nothing but wall.
+    *
+    * Determinism (the [[graft.llm.TextOps.hashSample]] cutoff
+    * discipline): the kept set is `md5_u32(CAST(id AS STRING)) <
+    * floor(pct/100·2³²)` — bit-replayable in the oracle — and the seeds
+    * are the k SMALLEST ids inside the kept set (one bounded collect of
+    * a single threshold id: a model parameter, not data). Everything
+    * downstream of the seeds is [[kmeansFit]]'s exact-decimal Lloyd's,
+    * so the fitted centroids replay bit-for-bit. */
+  def kmeansFitSampled(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      samplePct: Double,
+      scope: CacheScope = CacheScope.global,
+      l2: Boolean = false,
+  ): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    graft.GraftExtensions.install(emb.sparkSession)
+    // cache ONLY the kept set — never the corpus projection [[cacheBase]]
+    // holds for full fits: the whole point of the sampled fit is that no
+    // corpus-sized structure exists anywhere in the training path (the
+    // sample filter rides the scan; every Lloyd pass re-reads ~cap rows)
+    val sample = scope.cacheKeyed(
+      ("graft.llm.kmsample", emb.queryExecution.analyzed.canonicalized,
+        idCol, vecCol, samplePct)) {
+      emb
+        .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+        .where(
+          TextOps.hashSample(col("__vid__").cast("string"), samplePct))
+        .withColumn("__n__", sqrt(dot("__v__", "__v__")))
+    }
+    val thrRow = sample.select(col("__vid__").cast("long").as("__t__"))
+      .orderBy(col("__t__")).limit(k).agg(max(col("__t__"))).collect()(0)
+    require(!thrRow.isNullAt(0),
+      s"hashSample($samplePct%) kept zero rows — raise samplePct")
+    lloyd(sample, col("__vid__").cast("long") <= thrRow.getLong(0), iters, l2)
+  }
+
+  /** [[kmeansFitSqrtK]] with sample-based training: k = floor(sqrt(n))
+    * still sizes cells to the FULL corpus (per-probe serving cost is a
+    * corpus property, not a sample property), but each Lloyd pass scans
+    * only the hashSample kept set. The count action doubles as cache
+    * materialization exactly as in the full fit. */
+  def kmeansFitSqrtKSampled(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int,
+      samplePct: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    // a bare count, NOT the cached base projection: sizing k must not
+    // materialize a corpus-sized cache the sampled fit exists to avoid
+    // (Catalyst prunes the count scan to row-group metadata)
+    val k = math.max(1L, math.floor(math.sqrt(emb.count().toDouble)).toLong)
+    kmeansFitSampled(emb, idCol, vecCol,
+      math.min(k, Int.MaxValue.toLong).toInt, iters, samplePct, scope)
   }
 
   /** The cached (__vid__, __v__, __n__) projection every Lloyd's pass

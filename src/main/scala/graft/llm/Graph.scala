@@ -56,6 +56,26 @@ object Graph {
       dstCol: String,
       iterations: Int,
       dampMicro: Long = 850000L,
+  ): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, None, iterations, dampMicro)
+
+  /** [[pageRank]] with a WARM START: `init` (node, rank_micro) seeds the
+    * iteration for nodes it covers; nodes absent from it (new pages in
+    * an appended crawl) seed the cold 1 000 000. The map is identical to
+    * [[pageRank]]'s, so iterating far enough reaches the same integer
+    * fixed point — but starting near it (yesterday's ranks on today's
+    * slightly-grown graph) gets there in FEWER rounds, which is the
+    * whole economics of incremental link-graph maintenance: the per-
+    * round cost is |E|-linear, so rounds saved are corpus-scans saved.
+    * Spec-pinned: warm convergence equals the full recompute's fixed
+    * point on a settled graph. */
+  def pageRankFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      init: Option[DataFrame],
+      iterations: Int,
+      dampMicro: Long = 850000L,
   ): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank iterations must be in [1, 50], got $iterations")
@@ -80,8 +100,16 @@ object Graph {
       ((a - pmod(a, b)) / b).cast("long")
     val dec = DecimalType(38, 0)
 
-    var rank = nodes.withColumn("__r__", lit(1000000L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = init match {
+      case None => nodes.withColumn("__r__", lit(1000000L))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      case Some(prev) => nodes
+        .join(prev.select(col("node").cast("long").as("__id__"),
+          col("rank_micro").cast("long").as("__pr__")), Seq("__id__"), "left")
+        .select(col("__id__"),
+          coalesce(col("__pr__"), lit(1000000L)).as("__r__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     for (i <- 1 to iterations) {
       val share = idiv(
         col("__r__").cast(dec) * lit(dampMicro),
@@ -109,6 +137,90 @@ object Graph {
     nodes.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     out
+  }
+
+  /** PERSIST the link-graph rank artifact — the graph family's
+    * train-once index next to the IVF/MinHash/dHash ones: the edge set
+    * (`dir/edges`, (src, dst) BIGINT parquet) and its converged ranks
+    * (`dir/ranks`, [[pageRank]]'s (node, rank_micro)). A crawl refresh
+    * then APPENDS edge deltas ([[pageRankIndexAppend]]) and WARM-STARTS
+    * from the stored ranks ([[pageRankWarmRanks]]) instead of refitting
+    * the whole graph from the cold 1 000 000 seed — the KN-model delta
+    * discipline applied to the link graph. Version churn follows the
+    * dedup-index contract: write each refresh to a FRESH dir and swap
+    * via [[graft.sources.ParquetIO.promoteVersion]]/retire when the
+    * artifact is served through a catalog name. */
+  def pageRankIndexSave(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dir: String,
+      dampMicro: Long = 850000L): Unit = {
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    // rank from the WRITTEN edges so the artifact is self-consistent
+    // (and the fit never re-derives the input frame's lineage)
+    val stored = edges.sparkSession.read.parquet(s"$dir/edges")
+    pageRank(stored, "src", "dst", iterations, dampMicro)
+      .write.mode("overwrite").parquet(s"$dir/ranks")
+  }
+
+  /** APPEND an edge delta to a persisted [[pageRankIndexSave]] artifact
+    * — new crawl segments' links land next to the stored edge set (a
+    * parquet append, no rewrite, no touch of existing files); the
+    * stored RANKS intentionally stay stale until the next
+    * [[pageRankWarmRanks]]/[[pageRankIndexRefresh]], exactly like the
+    * IVF index's frozen-centroid append contract. */
+  def pageRankIndexAppend(
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      dir: String): Unit =
+    newEdges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .write.mode("append").parquet(s"$dir/edges")
+
+  /** WARM-REFRESHED ranks over a persisted artifact: the stored edges
+    * (plus an optional not-yet-appended `extraEdges` delta) iterate
+    * `iterations` rounds FROM the stored ranks — new nodes seed cold,
+    * everything else starts where the last fit converged. Pure read
+    * path (no writes): the serve-shaped op behind the driver's
+    * incremental bench row. */
+  def pageRankWarmRanks(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      iterations: Int,
+      dampMicro: Long = 850000L,
+      extraEdges: Option[DataFrame] = None,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/edges")
+    val all = extraEdges.fold(stored)(d => stored.unionByName(
+      d.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)))
+    val prev = spark.read.parquet(s"$dir/ranks")
+    pageRankFrom(all, "src", "dst", Some(prev), iterations, dampMicro)
+  }
+
+  /** Full refresh of a versioned rank artifact: copy the (appended)
+    * edge set to `dstDir` and write its warm-started ranks — never
+    * in-place, so in-flight readers of `srcDir` keep their snapshot and
+    * the caller promotes/retires like any other index version. */
+  def pageRankIndexRefresh(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      dstDir: String,
+      iterations: Int,
+      dampMicro: Long = 850000L): Unit = {
+    spark.read.parquet(s"$srcDir/edges")
+      .write.mode("overwrite").parquet(s"$dstDir/edges")
+    pageRankWarmRanks(spark, srcDir, iterations, dampMicro)
+      .write.mode("overwrite").parquet(s"$dstDir/ranks")
   }
 
   /** Hyperlink extraction: HTML pages → (src_domain, dst_domain)

@@ -223,8 +223,20 @@ object ParquetIO {
           s"serve name '$serveName' already exists as a " +
             s"${meta.tableType.name} — the serving pointer must be a " +
             "view (pick a fresh serve name, or drop the table yourself)")
-        meta.viewText.flatMap(v => "FROM\\s+([A-Za-z0-9_.`]+)\\s*$".r
-          .findFirstMatchIn(v).map(_.group(1)))
+        // resolve the served table from the ANALYZED view plan, not a
+        // regex over the view's SQL text (which silently returned None —
+        // no retirement — on any qualified or reformatted view): the
+        // analyzer binds the view body to its underlying relations, so
+        // collecting catalog identifiers is format-proof
+        val deps = spark.table(serveName).queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.catalogTable.map(_.identifier.table)
+          case hr: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+            Some(hr.tableMeta.identifier.table)
+        }.flatten.distinct.filterNot(_ == serveName)
+        // a serving pointer generated here reads exactly one table; a
+        // hand-written multi-table view has no single "previous version"
+        if (deps.size == 1) deps.headOption else None
       }
     spark.sql(s"CREATE OR REPLACE VIEW $serveName AS SELECT * FROM $newTable")
     prev

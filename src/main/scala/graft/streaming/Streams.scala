@@ -645,6 +645,38 @@ object Streams {
     * (left_id, right_id, cosine) — [[graft.llm.Embeddings
     * .ivfNearDupJoinIndexed]]'s contract, so single-batch backfill
     * parity is spec-gated and the driver query shares its oracle. */
+  /** Per-query probe cells as a PROJECTION over the folded centroid
+    * array — the window-free formulation that makes streaming nprobe>1
+    * possible (the batch [[graft.llm.Embeddings]] rank is a per-query
+    * row_number window, unsupported on streams): sort the per-centroid
+    * (rounded cosine, cid) structs by the batch window's exact order —
+    * NULL sims last, NaN sims first (Spark's desc total order), then
+    * sim desc via negation, then cid asc — slice the first `nprobe`,
+    * explode. Each posting lives in exactly one cell, so probing P
+    * cells never duplicates a candidate. Input must carry `__q__`,
+    * `__qn__`, `__cents__`; output replaces them with one `__qcell__`
+    * row per probed cell. nprobe=1 keeps the codegen'd argmax native
+    * (the HOF sort is CodegenFallback — fine on the tiny query side,
+    * not the hot single-probe path). */
+  private def withProbeCells(df: DataFrame, nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      df.withColumn("__qcell__",
+          expr("vec_argmax_cell(__q__, __qn__, __cents__)"))
+        .drop("__cents__", "__one__")
+    else
+      df.withColumn("__qcell__", explode(expr(
+          s"""transform(slice(array_sort(transform(
+                transform(__cents__, c -> named_struct(
+                  's', round(float_vec_dot(__q__, c.__cv__)
+                             / (__qn__ * c.__cn__), 6),
+                  'cid', c.__cid__)),
+                p -> named_struct(
+                  'sn', p.s IS NULL,
+                  'nf', coalesce(NOT isnan(p.s), true),
+                  'ns', -p.s,
+                  'cid', p.cid))), 1, $nprobe), s -> s.cid)""")))
+        .drop("__cents__", "__one__")
+
   def streamingIvfNearDup(
       docs: DataFrame,
       idCol: String,
@@ -652,6 +684,7 @@ object Streams {
       dir: String,
       postings: DataFrame,
       threshold: Double,
+      nprobe: Int = 1,
   ): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
     import org.apache.spark.sql.types._
@@ -663,17 +696,16 @@ object Streams {
       .agg(collect_list(struct(col("__cid__"), col("__cv__"),
         col("__cn__"))).as("__cents__"))
       .withColumn("__one__", lit(1))
-    val cand = docs
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val cand = withProbeCells(docs
       .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
       // NULL ids cannot carry adjudication state — dropped honestly
       .where(col("__nid__").isNotNull)
       .withColumn("__qn__",
         sqrt(expr("float_vec_dot(__q__, __q__)")))
       .withColumn("__one__", lit(1))
-      .join(centArr, Seq("__one__")) // 1-row static side, equi-keyed
-      .withColumn("__qcell__",
-        expr("vec_argmax_cell(__q__, __qn__, __cents__)"))
-      .drop("__cents__", "__one__")
+      .join(centArr, Seq("__one__")), // 1-row static side, equi-keyed
+      nprobe)
       .join(postings, col("__qcell__") === col("__cell__"))
       .withColumn("cosine",
         round(expr(s"float_vec_dot($vecCol, __q__)")
@@ -701,10 +733,10 @@ object Streams {
     * rather than cell-sized. The vote then runs in a PROJECTION over the
     * k-element array (array_sort by (votes desc, label asc) — a
     * per-verdict loop over k elements, never per candidate), so no
-    * per-row work ever reaches a keyed sequential path. nprobe is 1 by
-    * construction (probing >1 cells needs a per-query rank — a window —
-    * so wider probes stay a batch capability, documented like
-    * cross-batch 'removed'). Re-sent ids just update their aggregate
+    * per-row work ever reaches a keyed sequential path. nprobe>1 probes
+    * each query's best-P cells via [[withProbeCells]] — the window-free
+    * per-row centroid rank that removed the old "wider probes are
+    * batch-only" constraint. Re-sent ids just update their aggregate
     * and re-emit the same verdict. Emits (idCol, <labelCol>, votes) —
     * the batch contract, so single-batch backfill parity is spec-gated.
     * The candidate with id equal to the arriving id is excluded (the
@@ -717,12 +749,27 @@ object Streams {
       postings: DataFrame,
       labelCol: String,
       k: Int,
+      nprobe: Int = 1,
   ): DataFrame = {
     graft.GraftExtensions.install(docs.sparkSession)
     require(k >= 1, "k must be at least 1")
+    require(nprobe >= 1, "nprobe must be at least 1")
     require(postings.columns.contains(labelCol),
       s"postings carry no '$labelCol' column — save the index with " +
         s"attrs = Seq(\"$labelCol\")")
+    // same type gate as the batch twin: the label rides topk_by's BIGINT
+    // tag slot, and a non-integral label would otherwise pass the
+    // existence check only to fail at runtime under ANSI (or silently
+    // null every tag). The batch path falls back to a window for
+    // non-integral types; a stream has no such fallback, so refuse loudly.
+    locally {
+      import org.apache.spark.sql.types._
+      val lt = postings.schema(labelCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(lt),
+        s"streamingKnnLabel needs an integral '$labelCol' (got $lt) — " +
+          "labels ride topk_by's BIGINT tag; encode string labels first")
+    }
     val spark = docs.sparkSession
     val centroids = spark.read.parquet(s"$dir/centroids")
     val centArr = centroids
@@ -731,15 +778,13 @@ object Streams {
       .agg(collect_list(struct(col("__cid__"), col("__cv__"),
         col("__cn__"))).as("__cents__"))
       .withColumn("__one__", lit(1))
-    docs
+    withProbeCells(docs
       .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
       .where(col("__nid__").isNotNull)
       .withColumn("__qn__", sqrt(expr("float_vec_dot(__q__, __q__)")))
       .withColumn("__one__", lit(1))
-      .join(centArr, Seq("__one__")) // 1-row static side, equi-keyed
-      .withColumn("__qcell__",
-        expr("vec_argmax_cell(__q__, __qn__, __cents__)"))
-      .drop("__cents__", "__one__")
+      .join(centArr, Seq("__one__")), // 1-row static side, equi-keyed
+      nprobe)
       .join(postings, col("__qcell__") === col("__cell__") &&
         col(idCol).cast("long") =!= col("__nid__"))
       .withColumn("__cos__",
@@ -749,17 +794,87 @@ object Streams {
       .agg(expr(s"topk_by(__cos__, CAST($idCol AS BIGINT), " +
         s"CAST($labelCol AS BIGINT), $k)").as("__tk__"))
       // majority vote over the k-element array: candidates per distinct
-      // label counted null-safely, sorted by (votes desc, label asc) via
-      // the negated-count struct order — deterministic, window-free
+      // label counted null-safely, sorted by (votes desc, label asc
+      // NULLS LAST) via the negated-count struct order — deterministic,
+      // window-free. The explicit `ln` null flag mirrors the batch
+      // twin's asc_nulls_last (struct comparison alone would sort a
+      // NULL label field FIRST, flipping the tie-break vs the oracle).
       .withColumn("__win__", expr(
         """element_at(array_sort(transform(
              array_distinct(transform(__tk__, e -> e.tag)),
              l -> named_struct(
                'nv', -size(filter(__tk__, e -> e.tag <=> l)),
+               'ln', l IS NULL,
                'l', l))), 1)"""))
       .where(col("__win__").isNotNull)
       .select(col("__nid__").as(idCol), col("__win__.l").as(labelCol),
         (-col("__win__.nv")).cast("long").as("votes"))
+  }
+
+  /** STREAMING IVF top-k serving — [[graft.llm.Embeddings
+    * .ivfTopKIndexed]]'s continuous twin: each arriving query vector
+    * gets its ranked top-k neighbors from the PERSISTED index. The
+    * probe set comes from [[withProbeCells]] (nprobe ≥ 1, window-free),
+    * candidates from one stream-static join on the probed cells, and
+    * the cut is the k-bounded `topk_by` aggregate whose output array is
+    * already IN RANK ORDER — so rank/cosine/neighbor emit from a plain
+    * posexplode PROJECTION after the aggregate, never a window. State
+    * per query id is k-sized. Update/complete mode; a re-sent query
+    * re-emits its (identical) rows. Emits (query_id, neighbor_id,
+    * cosine, rank) — [[graft.llm.Embeddings.ivfTopKTrained]]'s exact
+    * contract over the same centroids, so single-batch backfill parity
+    * shares `q_ann_ivf_probe`'s oracle. Self-matches are excluded by id
+    * (compared as long), mirroring the batch serve. */
+  def streamingIvfTopK(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    require(k >= 1, "k must be at least 1")
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val spark = docs.sparkSession
+    val idType = postings.schema(idCol).dataType
+    // ids ride topk_by's BIGINT slots — same gate as streamingKnnLabel
+    // (the batch twin's window fallback has no streaming equivalent)
+    locally {
+      import org.apache.spark.sql.types._
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+        s"streamingIvfTopK needs an integral '$idCol' (got $idType)")
+    }
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centArr = centroids
+      .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(expr("float_vec_dot(cv, cv)")).as("__cn__"))
+      .agg(collect_list(struct(col("__cid__"), col("__cv__"),
+        col("__cn__"))).as("__cents__"))
+      .withColumn("__one__", lit(1))
+    withProbeCells(docs
+      .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
+      .where(col("__nid__").isNotNull)
+      .withColumn("__qn__", sqrt(expr("float_vec_dot(__q__, __q__)")))
+      .withColumn("__one__", lit(1))
+      .join(centArr, Seq("__one__")), // 1-row static side, equi-keyed
+      nprobe)
+      .join(postings, col("__qcell__") === col("__cell__") &&
+        col(idCol).cast("long") =!= col("__nid__"))
+      .withColumn("__cos__",
+        round(expr(s"float_vec_dot($vecCol, __q__)")
+          / (col("__n__") * col("__qn__")), 6))
+      .groupBy(col("__nid__"))
+      .agg(expr(s"topk_by(__cos__, CAST($idCol AS BIGINT), " +
+        s"CAST(NULL AS BIGINT), $k)").as("__tk__"))
+      .select(col("__nid__").cast(idType).as("query_id"),
+        posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+      .select(col("query_id"),
+        col("__e__.id").cast(idType).as("neighbor_id"),
+        col("__e__.score").as("cosine"),
+        (col("__p__") + 1).cast("int").as("rank"))
   }
 
   /** STREAMING corpus snapshot diff — [[graft.llm.Dedup.corpusDiff]]'s

@@ -683,6 +683,87 @@ class LlmSpec extends GraftSuite {
     assert(probed.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L, 2L, 3L))
   }
 
+  test("kmeansFitSampled at 100% equals the full sqrt-k fit on dense ids") {
+    // exactness anchor: at samplePct=100 the kept set is the whole corpus
+    // and the seeds (k smallest kept ids) coincide with kmeansFitSqrtK's
+    // `vid < k` on dense 0-based ids — so the two fits must be
+    // bit-identical (everything past the seeds is the same Lloyd's)
+    val emb = spark.range(60).selectExpr("id AS vec_id",
+      """transform(sequence(0, 7), i -> CAST(
+         sin(CAST(id % 5 AS double) * 31.0 + i * 7.0)
+         + 0.2 * sin(id * 13.0 + i) AS float)) AS embedding""")
+    val full = Embeddings.kmeansFitSqrtK(emb, "vec_id", "embedding", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val k = full.size
+    val sampled = Embeddings.kmeansFitSampled(emb, "vec_id", "embedding",
+      k = k, iters = 2, samplePct = 100.0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(sampled === full)
+    // a real sample trains on a strict subset yet still yields k cells
+    // with seed-id cell labels drawn from the kept set
+    val part = Embeddings.kmeansFitSampled(emb, "vec_id", "embedding",
+      k = 3, iters = 1, samplePct = 40.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(part.size <= 3 && part.nonEmpty)
+  }
+
+  test("ivfHotCellSplit: the hot cell splits into its planted clusters, profile flags it, serving is unchanged") {
+    val s = spark
+    import s.implicits._
+    // three planted clusters; the initial 2-cell quantizer deliberately
+    // merges clusters 1+2 into one OVERSIZED cell (the skew shape a
+    // drifting append produces); ids 0 (cluster 1) and 1 (cluster 2) are
+    // the hot cell's two smallest members, so the split seeds start one
+    // per cluster and Lloyd separates them exactly
+    def vec(c: Int, i: Int): Seq[Float] = c match {
+      case 1 => Seq(1f, 0.01f * i, 0f, 0f)
+      case 2 => Seq(0f, 0f, 1f, 0.01f * i)
+      case _ => Seq(0f, 1f, 0f, 0.01f * i)
+    }
+    val rows = (Seq(0L -> 1, 1L -> 2) ++ (2L to 10L).map(_ -> 1) ++
+      (11L to 19L).map(_ -> 2) ++ (20L to 29L).map(_ -> 3))
+      .map { case (id, c) => (id, vec(c, id.toInt)) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cv")
+    val pre = "/tmp/graft_split/pre"
+    val post = "/tmp/graft_split/post"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_split"))
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "split_pre", pre, buckets = 2)
+    try {
+      // profile flags the 20-member cell (load 2/3) next to the 10-member
+      val prof = graft.llm.Embeddings.ivfCellProfile(s.table("split_pre"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(prof === Set((100L, 20L, 666666L), (101L, 10L, 333333L)))
+      graft.llm.Embeddings.ivfHotCellSplit(s, pre, "vec_id", "embedding",
+        "split_post", post, maxCell = 12, buckets = 2)
+      // child cids = seed id + max(id)+1 = 30, 31; survivor 101 intact;
+      // every cell now under the cap and no posting lost
+      val counts = s.table("split_post")
+        .groupBy(sc("__cell__")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(counts === Map(30L -> 10L, 31L -> 10L, 101L -> 10L))
+      assert(s.table("split_post").select(sc("vec_id")).collect()
+        .map(_.getLong(0)).toSet === rows.map(_._1).toSet)
+      // serving parity: cluster-1 and cluster-2 queries (true top-k is
+      // within-cluster — cross-cluster cosines are 0) serve IDENTICAL
+      // ranked neighbors through the split index
+      val queries = emb.where(sc("vec_id").isin(2L, 11L))
+      def serve(dir: String, tbl: String) =
+        graft.llm.Embeddings.ivfTopKIndexed(queries, "vec_id", "embedding",
+          dir, s.table(tbl), k = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      assert(serve(pre, "split_pre") === serve(post, "split_post"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS split_pre")
+      s.sql("DROP TABLE IF EXISTS split_post")
+    }
+  }
+
   test("semDedup keeps one representative per within-cell duplicate group") {
     // cells from seeds {0, 3}: vectors 0,1,2 land in cell 0, vector 3 in
     // cell 3. At threshold 0.99 only (0,1) are duplicates (cos .9939) —
@@ -940,6 +1021,52 @@ class LlmSpec extends GraftSuite {
     assert(clean(12L) === ((9L, 0L, md5hex(
       "unique words only here nothing repeated at all whatsoever"))))
     assert(clean(13L) === ((16L, 16L, md5hex("")))) // fully stripped
+  }
+
+  test("substringMaximalSpans: true pairwise maximal matches vs the run-merge chain, within-doc repeats honest") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq(
+      // X shares words 1-8 with Y and words 2-9 with Z — two DIFFERENT
+      // partners. The fixed-k run-merge chains the overlapping grams
+      // into one "9-word span" no single copy of which exists; the
+      // maximal op's coverage agrees (9 words) but max_match_words
+      // honestly reports 8
+      (0L, "p q r s t u v w x"),
+      (1L, "p q r s t u v w yy zz"),
+      (2L, "zq q r s t u v w x"),
+      // true 8-word repeat WITHIN one doc at periods 1 and 10 — two
+      // DISJOINT spans (the period-8 fixture in the run-merge spec
+      // merges; here a one-word separator keeps them apart)
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 sep m1 m2 m3 m4 m5 m6 m7 m8"),
+      (4L, "clean words only here nothing repeated at all whatsoever"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringMaximalSpans(fix, "doc_id", "text",
+      minMatchWords = 8, maxGramCopies = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L) === ((1L, 9L, 9L, 8L))) // coverage 9, honest match 8
+    assert(got(1L) === ((1L, 8L, 8L, 8L)))
+    assert(got(2L) === ((1L, 8L, 8L, 8L)))
+    assert(got(3L) === ((2L, 16L, 8L, 8L))) // disjoint self-repeat
+    // the run-merge on the chained doc claims a 9-word max span — the
+    // overestimate this op exists to correct
+    val runMerge = Dedup.substringSpans(fix, "doc_id", "text",
+      minSpanWords = 8, minCopies = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(runMerge(0L) === 9L)
+    // a gram above the hot cap generates no pairs: with cap 2 the
+    // X-side grams (2 copies each) survive, so results are unchanged,
+    // and cap 2 on a 3-copy gram drops it entirely
+    val capped = Dedup.substringMaximalSpans(
+      fix.unionByName(Seq((5L, "p q r s t u v w qq"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", minMatchWords = 8, maxGramCopies = 2)
+      .collect().map(_.getLong(0)).toSet
+    // "p q r s t u v w" now has 3 copies > cap 2 → docs 0/1/5 lose that
+    // anchor; doc 0 still matches doc 2 via words 2-9
+    assert(capped === Set(0L, 2L, 3L))
   }
 
   test("scrubPii redacts emails, phones, and IPv4 addresses") {
@@ -4779,5 +4906,64 @@ class LlmSpec extends GraftSuite {
     // a 5-round run is deterministic across invocations (integer sums
     // are merge-order independent)
     assert(ranks(5) === ranks(5))
+  }
+
+  test("pageRank warm start reaches the appended graph's fixed point in fewer rounds than the cold refit") {
+    val s = spark
+    import s.implicits._
+    // chain DAG 0→1→2→3→4: influence of the seed values dies after the
+    // longest path, so pageRank converges EXACTLY in 5 cold rounds
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    def rk(df: org.apache.spark.sql.DataFrame, it: Int,
+        init: Option[org.apache.spark.sql.DataFrame] = None): Map[Long, Long] =
+      graft.llm.Graph.pageRankFrom(df, "src", "dst", init, iterations = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedBase = rk(base, 6)
+    assert(fixedBase === rk(base, 7), "base graph settled")
+    val prev = fixedBase.toSeq.toDF("node", "rank_micro")
+    // warm start AT the fixed point of the unchanged graph: one round is
+    // a no-op (f(r*) = r*)
+    assert(rk(base, 1, Some(prev)) === fixedBase)
+    // append a leaf edge 2→5: node 2's out-shares halve, so ranks of 3,
+    // 4 shift and new node 5 appears — the delta's influence is 2 hops
+    val merged = base.unionByName(Seq((2L, 5L)).toDF("src", "dst"))
+    val fixedMerged = rk(merged, 7)
+    assert(fixedMerged === rk(merged, 8), "merged graph settled")
+    // warm start from yesterday's ranks: 3 rounds reach the NEW fixed
+    // point (new node 5 seeded cold), where the cold refit at 3 rounds
+    // is still wrong — the rounds saved are the whole economics
+    assert(rk(merged, 3, Some(prev)) === fixedMerged)
+    assert(rk(merged, 3) !== fixedMerged)
+  }
+
+  test("pageRank index save/append/warm-refresh round-trips the versioned artifact") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_pr_idx/v1"
+    val dst = "/tmp/graft_pr_idx/v2"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_pr_idx"))
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    graft.llm.Graph.pageRankIndexSave(base, "src", "dst",
+      iterations = 6, dir)
+    val stored = s.read.parquet(s"$dir/ranks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === graft.llm.Graph.pageRank(base, "src", "dst", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // append a delta, warm-refresh: equals the full recompute on the
+    // merged edge set (both settled)
+    graft.llm.Graph.pageRankIndexAppend(
+      Seq((2L, 5L)).toDF("src", "dst"), "src", "dst", dir)
+    val warm = graft.llm.Graph.pageRankWarmRanks(s, dir, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = base.unionByName(Seq((2L, 5L)).toDF("src", "dst"))
+    assert(warm === graft.llm.Graph.pageRank(merged, "src", "dst", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // version refresh writes a self-consistent new artifact
+    graft.llm.Graph.pageRankIndexRefresh(s, dir, dst, iterations = 3)
+    val v2 = s.read.parquet(s"$dst/ranks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2 === warm)
+    assert(s.read.parquet(s"$dst/edges").count() === 5L)
   }
 }

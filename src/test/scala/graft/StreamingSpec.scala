@@ -418,6 +418,99 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming IVF top-k: ranked neighbors at nprobe=2 across batches, parity with the batch probe serve") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivftopk_stream", "/tmp/graft_knn/topk", buckets = 4)
+    try {
+      val idx = s.table("ivftopk_stream")
+      val vecs = emb.where(sc("vec_id").isin(0L, 7L, 13L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val ms = MemoryStream[(Long, Seq[Float])](s)
+      val served = graft.streaming.Streams.streamingIvfTopK(
+        ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "/tmp/graft_knn/topk", idx, k = 4, nprobe = 2)
+      val q = served.writeStream.format("memory").queryName("ivf_topk_out")
+        .outputMode("complete").start()
+      try {
+        ms.addData((0L, vecs(0L)))
+        q.processAllAvailable()
+        // batch 2: two more queries + a RE-SENT id 0 (identical rows)
+        ms.addData((7L, vecs(7L)), (13L, vecs(13L)), (0L, vecs(0L)))
+        q.processAllAvailable()
+        val rows = s.sql(
+          "SELECT query_id, neighbor_id, cosine, rank FROM ivf_topk_out")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        assert(rows.map(_._1).toSet === Set(0L, 7L, 13L))
+        // batch parity: the SAME queries through ivfTopKTrained nprobe=2
+        // (same centroids — the window probe rank vs the stream's
+        // array_sort rank, the window top-k anchor vs topk_by)
+        val want = graft.llm.Embeddings.ivfTopKTrained(
+            emb, "vec_id", "embedding", cents,
+            queryPred = sc("vec_id").isin(0L, 7L, 13L), k = 4, nprobe = 2,
+            scope = scope)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        assert(rows.toSet === want.toSet)
+        assert(rows.length === want.length)
+      } finally q.stop()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivftopk_stream")
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("streaming kNN label at nprobe=2 matches the batch vote over the widened candidate set") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "knn_stream_p2", "/tmp/graft_knn/streamp2", buckets = 4,
+      attrs = Seq("label"))
+    try {
+      val idx = s.table("knn_stream_p2")
+      val vecs = emb.where(sc("vec_id").isin(0L, 7L, 13L, 21L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val ms = MemoryStream[(Long, Seq[Float])](s)
+      val labeled = graft.streaming.Streams.streamingKnnLabel(
+        ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "/tmp/graft_knn/streamp2", idx, "label", k = 5, nprobe = 2)
+      val q = labeled.writeStream.format("memory")
+        .queryName("knn_label_p2_out").outputMode("complete").start()
+      try {
+        ms.addData((100L, vecs(0L)), (107L, vecs(7L)))
+        q.processAllAvailable()
+        ms.addData((113L, vecs(13L)), (121L, vecs(21L)))
+        q.processAllAvailable()
+        val rows = s.sql("SELECT vec_id, label, votes FROM knn_label_p2_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.map(_._1).toSet === Set(100L, 107L, 113L, 121L))
+        val batch = graft.llm.Embeddings.knnLabelIndexed(
+            Seq((100L, vecs(0L)), (107L, vecs(7L)), (113L, vecs(13L)),
+              (121L, vecs(21L))).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", "/tmp/graft_knn/streamp2", idx,
+            "label", k = 5, nprobe = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+        assert(rows.toSet === batch)
+      } finally q.stop()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS knn_stream_p2")
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("streaming corpus diff: per-id verdicts vs the old snapshot across batches, re-sends suppressed, batch parity sans 'removed'") {
     val s = spark
     import s.implicits._
