@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.llm.Embeddings
+
 /** Empirical scale validation (SCALE.md's measured column): replicate the
   * sf0.1 tables `factor`× with id offsets and content perturbation, then
   * time the headline query families at both scales and report the
@@ -77,12 +79,124 @@ object ScaleCheck {
       .getOrElse(Queries)
     println(f"| query | sf0.1 wall (s) | x$factor wall (s) | ratio | x$factor cpu (s) |")
     println("|---|---|---|---|---|")
-    selected.foreach { q =>
+    val specials = Set("fit_sampled", "ivf_skew")
+    selected.filterNot(specials).foreach { q =>
       val (w1, _) = time(srcDir, q)
       val (wN, cN) = time(scaledDir, q)
       println(f"| $q | $w1%.2f | $wN%.2f | ${wN / w1}%.2fx | $cN%.1f |")
     }
+    if (selected.contains("fit_sampled"))
+      fitSampledCheck(spark, srcDir, scaledDir, factor)
+    if (selected.contains("ivf_skew"))
+      ivfSkewCheck(spark, srcDir, s"$workDir/skew", factor)
     spark.stop()
+  }
+
+  private def minOf3(body: () => Unit): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Sampled-quantizer-fit decade: the FULL sqrt-k fit re-scans the
+    * corpus every Lloyd pass (the linear baseline this feature removes);
+    * the SAMPLED fit holds the training set ~constant via the cap
+    * discipline (pct ∝ 1/factor) — flat at fixed k, and sub-linear even
+    * when k itself grows as sqrt(n). */
+  private def fitSampledCheck(
+      spark: SparkSession, srcDir: String, scaledDir: String,
+      factor: Int): Unit = {
+    def emb(dir: String) =
+      sources.ParquetIO.read(spark, s"$dir/embeddings.parquet")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+    def fitFull(dir: String): Double = minOf3 { () =>
+      val sc = new llm.CacheScope
+      Embeddings.kmeansFitSqrtK(emb(dir), "vec_id", "embedding",
+        iters = 2, scope = sc).count()
+      sc.release()
+    }
+    def fitSampled(dir: String, pct: Double, k: Int): Double = minOf3 { () =>
+      val sc = new llm.CacheScope
+      Embeddings.kmeansFitSampled(emb(dir), "vec_id", "embedding",
+        k = k, iters = 2, samplePct = pct, scope = sc).count()
+      sc.release()
+    }
+    val full1 = fitFull(srcDir)
+    val fullN = fitFull(scaledDir)
+    // fixed k, sample held ~constant: the flat configuration
+    val s1 = fitSampled(srcDir, 25.0, 64)
+    val sN = fitSampled(scaledDir, 25.0 / factor, 64)
+    // k = sqrt(n) growing with the corpus, sample still capped:
+    // sub-linear (argmax cost per sampled row grows with k)
+    val q1 = minOf3 { () =>
+      val sc = new llm.CacheScope
+      Embeddings.kmeansFitSqrtKSampled(emb(srcDir), "vec_id", "embedding",
+        iters = 2, samplePct = 25.0, scope = sc).count()
+      sc.release()
+    }
+    val qN = minOf3 { () =>
+      val sc = new llm.CacheScope
+      Embeddings.kmeansFitSqrtKSampled(emb(scaledDir), "vec_id", "embedding",
+        iters = 2, samplePct = 25.0 / factor, scope = sc).count()
+      sc.release()
+    }
+    println(s"\n| quantizer fit | sf0.1 wall (s) | x$factor wall (s) | ratio |")
+    println("|---|---|---|---|")
+    println(f"| full sqrt-k fit | $full1%.2f | $fullN%.2f | ${fullN / full1}%.2fx |")
+    println(f"| sampled fit (k=64, cap'd sample) | $s1%.2f | $sN%.2f | ${sN / s1}%.2fx |")
+    println(f"| sampled fit (k=sqrt n, cap'd sample) | $q1%.2f | $qN%.2f | ${qN / q1}%.2fx |")
+  }
+
+  /** Planted-skew decade for the hot-cell split: frozen-centroid appends
+    * pile a hot direction into ONE cell (the realistic drift shape), a
+    * hot-direction query's serve wall then grows with the cell — until
+    * [[llm.Embeddings.ivfHotCellSplitToCap]] restores the cap. */
+  private def ivfSkewCheck(
+      spark: SparkSession, srcDir: String, workDir: String,
+      factor: Int): Unit = {
+
+    val emb = sources.ParquetIO.read(spark, s"$srcDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    def hotVecs(m: Int, idOff: Long) = spark.range(m).select(
+      (col("id") + idOff).as("vec_id"),
+      expr("""transform(sequence(0, 63), i -> CAST(
+          CASE WHEN i = 0 THEN 1.0
+               ELSE 0.05 * ((id * 7 + i) % 13) / 13.0 END AS float))""")
+        .as("embedding"))
+    val queries = hotVecs(8, 9000000L)
+    val m1 = 20000
+    def buildAndMeasure(m: Int, tag: String): (Double, Double) = {
+      val pre = s"$workDir/${tag}_pre"
+      val sc = new llm.CacheScope
+      val cents = Embeddings.kmeansFitSqrtK(emb, "vec_id", "embedding",
+        iters = 2, scope = sc)
+      spark.sql(s"DROP TABLE IF EXISTS skew_${tag}_pre")
+      Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+        s"skew_${tag}_pre", pre)
+      sc.release()
+      Embeddings.ivfIndexAppend(hotVecs(m, 1000000L), "vec_id",
+        "embedding", pre, s"skew_${tag}_pre")
+      val preWall = minOf3(() =>
+        Embeddings.ivfTopKIndexed(queries, "vec_id", "embedding", pre,
+          spark.table(s"skew_${tag}_pre"), k = 10).count())
+      val post = Embeddings.ivfHotCellSplitToCap(spark, pre, "vec_id",
+        "embedding", s"skew_${tag}_post", s"$workDir/${tag}_post",
+        maxCell = 4000)
+      // the final version dir's postings serve as plain parquet (the
+      // wall compares candidate bytes, not bucketing)
+      val postPostings = spark.read.parquet(s"$post/postings")
+      val postWall = minOf3(() =>
+        Embeddings.ivfTopKIndexed(queries, "vec_id", "embedding", post,
+          postPostings, k = 10, pushCells = false).count())
+      (preWall, postWall)
+    }
+    val (pre1, post1) = buildAndMeasure(m1, "m1")
+    val (preN, postN) = buildAndMeasure(m1 * factor, "mN")
+    println(s"\n| planted skew (hot cell m → ${factor}m) | m=$m1 | m=${m1 * factor} | ratio |")
+    println("|---|---|---|---|")
+    println(f"| serve, skewed index | $pre1%.2f | $preN%.2f | ${preN / pre1}%.2fx |")
+    println(f"| serve, split-to-cap index | $post1%.2f | $postN%.2f | ${postN / post1}%.2fx |")
   }
 
   /** Write the `factor`×-scaled copies of the four scale-bearing tables

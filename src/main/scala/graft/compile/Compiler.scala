@@ -485,6 +485,130 @@ object Compiler {
     go(e)
   }
 
+  /** Compile-only parity with reference `model.sql()` (model.py:1036-1059
+    * returns the compiled query text without executing): render a model's
+    * RELATIONAL subset — table/file scans, raw SQL, filter, pick,
+    * aggregate (plain GROUP BY), sort, limit/offset, union, join-one
+    * chains — as ONE executable Spark-SQL string built from nested
+    * SELECTs and [[renderSql]] expression fragments. Join-one renders its
+    * joined model's columns under the same `__ns_…` names the DataFrame
+    * lowering uses, so namespaced references resolve identically; joins
+    * are emitted eagerly (the lowering's lazy emission is a pure
+    * optimization for many-to-one LEFT joins — values agree whenever the
+    * join is referenced, the normal case). The run()-side output
+    * post-process (dunder strip, dup rename) applies after the rendered
+    * layer — terminate the model with an explicit pick/aggregate for
+    * exact column parity, which ModelSqlSpec pins by executing the
+    * rendering via `spark.sql` against `run()`. Nodes outside the subset
+    * (native llm ops, funnels, windows…) throw: their semantics live in
+    * DataFrame lowerings no SQL string reproduces, and a wrong rendering
+    * would be worse than an honest refusal. */
+  def renderQuery(m: Model, spark: SparkSession): String = {
+    def bt(n: String): String = "`" + n.replace("`", "``") + "`"
+    def stripDistinctKeep(e: Expr): (Expr, Boolean) = e match {
+      case Call("distinct", Seq(inner), _) => (inner, true)
+      case Named(b, n) =>
+        val (i, d) = stripDistinctKeep(b); (Named(i, n), d)
+      case other => (other, false)
+    }
+    def render(s: Source): String = s match {
+      case Source.Table(name) =>
+        val ref =
+          if (name.endsWith(".csv"))
+            throw new UnsupportedOperationException(
+              "model.sql(): csv scans need header/inference options SQL " +
+                "text cannot carry — register the csv as a view first")
+          else if (name.endsWith(".json")) s"json.${bt(name)}"
+          else if (name.endsWith(".orc")) s"orc.${bt(name)}"
+          else if (name.contains("/") || name.endsWith(".parquet"))
+            s"parquet.${bt(name)}"
+          else bt(name)
+        s"SELECT * FROM $ref"
+      case Source.SqlQuery(q)  => q
+      case Source.JsonFile(p)  => s"SELECT * FROM json.${bt(p)}"
+      case Source.OrcFile(p)   => s"SELECT * FROM orc.${bt(p)}"
+      case Source.Filter(b, cond) =>
+        s"SELECT * FROM (${render(b)}) WHERE ${renderSql(cond)}"
+      case Source.Pick(b, cols, star) =>
+        if (star) s"SELECT * FROM (${render(b)})"
+        else {
+          val st = cols.map(stripDistinctKeep)
+          val distinct = if (st.exists(_._2)) "DISTINCT " else ""
+          val items = st.map { case (c, _) =>
+            s"${renderSql(c)} AS ${bt(c.identifier)}" }
+          s"SELECT $distinct${items.mkString(", ")} FROM (${render(b)})"
+        }
+      case Source.Aggregate(b, groups, measures, "group") =>
+        val g = groups.map { x =>
+          s"${renderSql(stripDistinctKeep(x)._1)} AS ${bt(x.identifier)}" }
+        val ms = measures.map(x => s"${renderSql(x)} AS ${bt(x.identifier)}")
+        if (measures.isEmpty)
+          s"SELECT DISTINCT ${g.mkString(", ")} FROM (${render(b)})"
+        else if (groups.isEmpty)
+          s"SELECT ${ms.mkString(", ")} FROM (${render(b)})"
+        else
+          s"SELECT ${(g ++ ms).mkString(", ")} FROM (${render(b)}) " +
+            s"GROUP BY ${groups.indices.map(i => (i + 1).toString).mkString(", ")}"
+      case Source.Sort(b, keys) =>
+        val ks = keys.map { k =>
+          val dir = if (k.asc) "ASC" else "DESC"
+          val nl = k.nulls match {
+            case "auto"  => ""
+            case "first" => " NULLS FIRST"
+            case "last"  => " NULLS LAST"
+            case other =>
+              throw new IllegalArgumentException(s"bad nulls: $other")
+          }
+          s"${renderSql(k.e)} $dir$nl"
+        }
+        s"SELECT * FROM (${render(b)}) ORDER BY ${ks.mkString(", ")}"
+      case Source.Limit(b, n, off) =>
+        // appended to the base's own SELECT so a preceding ORDER BY stays
+        // attached to its LIMIT (a subquery wrap would not guarantee it)
+        if (off > 0) s"${render(b)} LIMIT $n OFFSET $off"
+        else s"${render(b)} LIMIT $n"
+      case Source.Union(a, b2) =>
+        s"(${render(a)}) UNION ALL (${render(b2)})"
+      case j: Source.JoinOne =>
+        val jm = j.joined
+        // the joined side's column NAMES come from compiling its source —
+        // schema-only, nothing executes — renamed through the namespace
+        // exactly like the lowering's build()
+        val cols = compileSource(jm.source, spark).df.columns.toSeq
+        val renamed = cols.map { c =>
+          val target =
+            if (c.startsWith("__ns_")) s"__ns_${j.name}:" + c.stripPrefix("__ns_")
+            else nsCol(j.name, c)
+          s"${bt(c)} AS ${bt(target)}"
+        }
+        val pkName = nsCol(j.name, "__pk__")
+        val pk = jm.primaryKey
+          .map(p => s", ${renderSql(p)} AS ${bt(pkName)}").getOrElse("")
+        val right =
+          s"SELECT ${renamed.mkString(", ")}$pk FROM (${render(jm.source)})"
+        val fkCond = j.foreignKey.map { fk =>
+          require(jm.primaryKey.isDefined,
+            s"relation '${j.name}': foreignKey requires a primary key")
+          s"(${renderSql(fk)}) = ${bt(pkName)}"
+        }
+        val exCond = j.condition.map(renderSql(_))
+        val cond = (fkCond, exCond) match {
+          case (Some(a), Some(b2)) => s"($a) AND ($b2)"
+          case (Some(a), None)     => a
+          case (None, Some(b2))    => b2
+          case (None, None) =>
+            throw new IllegalArgumentException("join without predicate")
+        }
+        val jt = if (j.dropUnmatched) "JOIN" else "LEFT JOIN"
+        s"SELECT * FROM (${render(j.base)}) $jt ($right) ON $cond"
+      case other =>
+        throw new UnsupportedOperationException(
+          s"model.sql() renders the relational subset; " +
+            s"${other.getClass.getSimpleName} requires run()")
+    }
+    render(m.source)
+  }
+
   /** Python-strftime → Spark date_format pattern pieces, covering the
     * reference's FULL token whitelist (format_timestamp.py:81-111) with the
     * Databricks/Joda translations (:540-583) adapted to Spark's own pattern

@@ -685,6 +685,42 @@ object Embeddings {
       "__cell__", buckets)
   }
 
+  /** [[ivfHotCellSplit]] applied to a FIXED POINT: split rounds repeat
+    * (each writing a fresh version dir `dstDir/r<i>`) until no cell
+    * exceeds `maxCell` or `maxRounds` versions exist — a 2-way split
+    * halves a hot cell per round, so rounds are logarithmic in the
+    * worst cell's population. Returns the final version's dir. The
+    * driver-side loop only sequences version dirs; every round's work
+    * is the set-wise distributed split. */
+  def ivfHotCellSplitToCap(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      idCol: String,
+      vecCol: String,
+      tablePrefix: String,
+      dstDir: String,
+      maxCell: Long,
+      buckets: Int = 8,
+      iters: Int = 2,
+      maxRounds: Int = 12): String = {
+    var cur = srcDir
+    var round = 0
+    while (round < maxRounds && {
+      val worst = spark.read.parquet(s"$cur/postings")
+        .groupBy(col("__cell__")).agg(count(lit(1)).as("__n__"))
+        .agg(max(col("__n__"))).collect()(0).getLong(0)
+      worst > maxCell
+    }) {
+      round += 1
+      val next = s"$dstDir/r$round"
+      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_r$round")
+      ivfHotCellSplit(spark, cur, idCol, vecCol, s"${tablePrefix}_r$round",
+        next, maxCell, buckets, iters)
+      cur = next
+    }
+    cur
+  }
+
   /** IVF top-k served from a PERSISTED [[ivfIndexSave]] artifact: ONLY
     * the (tiny) query frame assigns itself to cells — the corpus side
     * is the stored postings table, scanned as bucketed, never

@@ -876,6 +876,13 @@ final case class Model(
     * the optimized logical plan rendered as text. */
   def explain(spark: SparkSession): String =
     run(spark).queryExecution.optimizedPlan.toString
+
+  /** The compiled query as EXECUTABLE Spark-SQL text — the reference's
+    * `model.sql()` (model.py:1036-1059 returns the warehouse SQL without
+    * running it). Covers the relational subset; see
+    * [[graft.compile.Compiler.renderQuery]] for scope and the spec-pinned
+    * `spark.sql(model.sql(spark))` ≡ `model.run(spark)` contract. */
+  def sql(spark: SparkSession): String = Compiler.renderQuery(this, spark)
 }
 
 object Model {

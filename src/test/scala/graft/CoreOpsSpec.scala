@@ -708,4 +708,38 @@ class CoreOpsSpec extends GraftSuite {
       s.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("model.sql() renders an executable join-chain query that matches run()") {
+    val s = spark
+    import s.implicits._
+    Seq(("p1", 10.0), ("p2", 20.0)).toDF("id", "price")
+      .createOrReplaceTempView("msql_products")
+    Seq(("s1", "p1", 2L), ("s2", "p2", 1L), ("s3", "zz", 5L), ("s4", "p1", 3L))
+      .toDF("sale", "product_id", "qty")
+      .createOrReplaceTempView("msql_sales")
+    val products = Model.table("msql_products").withPrimaryKey(col("id"))
+    val base = Model.table("msql_sales")
+      .withJoinOne(products, named = "product", foreignKey = col("product_id"))
+    val model = base
+      .filter(col("qty") > lit(0L))
+      .aggregate(
+        groups = Seq(base.rel("product").attr("price").named("price")),
+        measures = Seq(sum(col("qty")).named("total_qty")))
+      .sort(col("price"), nulls = "last")
+      .limit(2)
+    // stable: rendering is a pure function of the IR
+    val text = model.sql(s)
+    assert(text === model.sql(s))
+    // executable, and value-identical to the DataFrame lowering
+    val viaSql = s.sql(text)
+    val viaRun = model.run(s)
+    assert(viaSql.columns.toSeq === viaRun.columns.toSeq)
+    assert(viaSql.collect().map(r => (r.get(0), r.get(1))).toSeq ===
+      viaRun.collect().map(r => (r.get(0), r.get(1))).toSeq)
+    // nodes outside the relational subset refuse honestly instead of
+    // rendering something wrong
+    intercept[UnsupportedOperationException] {
+      Model.table("msql_sales").native(df => df).sql(s)
+    }
+  }
 }
