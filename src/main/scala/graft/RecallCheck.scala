@@ -138,6 +138,29 @@ object RecallCheck {
       dim = 64, m = 2, initPred = col("vec_id") < 4, iters = 2, scope = scope)
     val cbProd = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+    // sample-trained codebooks at the same prod knobs (one kept set
+    // shared across segments — the FAISS training discipline). This
+    // harness corpus is TINY (2000 rows), so a 25% cap leaves ~8 rows
+    // per k=64 centroid — far below FAISS's ~30-256·k training guidance
+    // that a production cap (≥ max(100k, 256·k)) satisfies by
+    // construction; the rows below form a measured LADDER (pct 25 → 50,
+    // iters 2 → 8) showing codebook quality approach the full fit as
+    // the sample approaches the guidance. iters=8 because a sampled fit
+    // trades corpus scans for Lloyd rounds on the cap-bounded sample
+    // (FAISS trains sub-quantizers ~25 rounds on the sample) — extra
+    // rounds are nearly free at corpus scale.
+    val cbProdSampled = Embeddings.pqCodebooksSampled(emb, "vec_id",
+      "embedding", dim = 64, m = 8, k = 64, iters = 8, samplePct = 25.0,
+      scope = scope)
+    val cbProdSampled50 = Embeddings.pqCodebooksSampled(emb, "vec_id",
+      "embedding", dim = 64, m = 8, k = 64, iters = 8, samplePct = 50.0,
+      scope = scope)
+    val cb16 = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, initPred = col("vec_id") < 16, iters = 2,
+      scope = scope)
+    val cb16Sampled = Embeddings.pqCodebooksSampled(emb, "vec_id",
+      "embedding", dim = 64, m = 8, k = 16, iters = 8, samplePct = 25.0,
+      scope = scope)
     // persisted coded artifact at prod knobs for the INDEXED rows
     val pqTag = java.lang.Integer.toHexString(title.hashCode)
     val pqTbl = s"recall_pqidx_$pqTag"
@@ -193,6 +216,30 @@ object RecallCheck {
         perQuery(q => Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
           cents, cbProd, dim = 64, m = 8, queryId = q, k = k, scope = scope)),
         perQueryIds)),
+      ("pq prod SAMPLED-fit 25% (m=8, 64 cents, iters=8)",
+        perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding",
+          cbProdSampled, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
+      ("pq prod SAMPLED-fit 50% (m=8, 64 cents, iters=8)",
+        perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding",
+          cbProdSampled50, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
+      ("pq full (m=8, 16 cents)", perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding",
+          cb16, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
+      ("pq SAMPLED-fit 25% (m=8, 16 cents, iters=8)",
+        perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding",
+          cb16Sampled, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
+      (s"ivfpq SAMPLED-fit 25% end-to-end (k=$kCells, m=8)",
+        perQueryIds.length, recallOf(
+        perQuery(q => Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+          centsSampled, cbProdSampled, dim = 64, m = 8, queryId = q,
+          k = k, scope = scope)), perQueryIds)),
       ("quantized rerank (int8, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.quantizedRerankTopK(emb, "vec_id",
           "embedding", queryId = q, candidates = 50, k = k)), perQueryIds)),

@@ -1064,6 +1064,59 @@ object Embeddings {
       table, s"$dir/postings", "__cell__", buckets)
   }
 
+  /** PERIODIC REFIT for the coded serving artifact — the compaction
+    * [[ivfPqIndexAppend]]'s staleness trade defers to. Coded postings
+    * are LOSSY (codes, not vectors), so the refit reads the RAW-vector
+    * artifact (`rawSrcDir`, an [[ivfIndexSave]] layout — the standard
+    * raw-store + coded-serving split) and re-trains coarse + codebooks
+    * on the current corpus, then re-encodes everything into a fresh
+    * version. `sampleCap` bounds BOTH trainings via the hashSample
+    * discipline ([[kmeansFitSampled]] / [[pqCodebooksSampled]] /
+    * [[pqResidualCodebooksSampled]]) — without it a refit at 100 TB
+    * pays iters full-corpus scans per quantizer; with it training cost
+    * is cap-bounded and the corpus pays exactly one encode pass. */
+  def ivfPqIndexRefit(
+      spark: org.apache.spark.sql.SparkSession,
+      rawSrcDir: String,
+      idCol: String,
+      vecCol: String,
+      dstTable: String,
+      dstDir: String,
+      dim: Int,
+      m: Int,
+      kCodebook: Int = 64,
+      buckets: Int = 8,
+      iters: Int = 2,
+      sampleCap: Option[Long] = None,
+      residual: Boolean = false,
+      scope: CacheScope = CacheScope.global): Unit = {
+    graft.GraftExtensions.install(spark)
+    val postings = spark.read.parquet(s"$rawSrcDir/postings")
+    val attrs = postings.columns
+      .filterNot(Set(idCol, vecCol, "__n__", "__cell__")).toSeq
+    val emb = postings.drop("__n__", "__cell__")
+    val pct = sampleCap.map { cap =>
+      require(cap >= 1, "sampleCap must be at least 1")
+      math.min(100.0, cap.toDouble * 100.0 / math.max(1L, emb.count()))
+    }
+    val coarse = pct match {
+      case None    => kmeansFitSqrtK(emb, idCol, vecCol, iters, scope)
+      case Some(p) => kmeansFitSqrtKSampled(emb, idCol, vecCol, iters, p, scope)
+    }
+    val cbs = (pct, residual) match {
+      case (None, false) => pqCodebooks(emb, idCol, vecCol, dim, m,
+        col(idCol) < kCodebook, iters, scope)
+      case (None, true) => pqResidualCodebooks(emb, idCol, vecCol, coarse,
+        dim, m, col(idCol) < kCodebook, iters, scope)
+      case (Some(p), false) => pqCodebooksSampled(emb, idCol, vecCol,
+        dim, m, kCodebook, iters, p, scope)
+      case (Some(p), true) => pqResidualCodebooksSampled(emb, idCol,
+        vecCol, coarse, dim, m, kCodebook, iters, p, scope)
+    }
+    ivfPqIndexSave(emb, idCol, vecCol, coarse, cbs, dim, m, dstTable,
+      dstDir, buckets, attrs, residual)
+  }
+
   /** APPEND maintenance for a persisted [[ivfPqIndexSave]] artifact —
     * [[ivfIndexAppend]]'s coded twin (FAISS add-after-train, PQ
     * edition): ONLY the new vectors assign + encode against the STORED
@@ -1684,6 +1737,76 @@ object Embeddings {
         .withColumn("segment", lit(s))
     }.reduce(_ unionByName _)
       .select(col("segment"), col("cid"), col("cv"))
+  }
+
+  /** [[pqCodebooks]] with sample-based training — the PQ half of the
+    * FAISS train/add split ([[kmeansFitSampled]] is the coarse half):
+    * ONE deterministic hashSample kept set is drawn on the ids and
+    * every segment's codebook trains on that same sample (FAISS trains
+    * all sub-quantizers on one training set); seeds are the k smallest
+    * kept ids per segment (via [[kmeansFitSampled]] at pct=100 over the
+    * pre-sampled slice — the kept set is already bounded, so no second
+    * cut). The full corpus only ever pays encoding.
+    *
+    * Size the sample to FAISS's training floor: ≥ ~30·k rows per
+    * codebook (undertrained codebooks cost recall — RecallCheck carries
+    * a deliberate below-floor row next to a floor-satisfying pair to
+    * show exactly that). At production corpus sizes a cap of
+    * max(100k, 256·k) satisfies the floor by construction. */
+  def pqCodebooksSampled(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      samplePct: Double,
+      scope: CacheScope = CacheScope.global,
+      l2: Boolean = false,
+  ): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split into m=$m equal segments")
+    val kept =
+      if (samplePct >= 100.0) emb
+      else emb.where(
+        TextOps.hashSample(col(idCol).cast("string"), samplePct))
+    val segLen = dim / m
+    (0 until m).map { s =>
+      val sliced = kept.select(col(idCol),
+        slice(col(vecCol), s * segLen + 1, segLen).as("__seg__"))
+      kmeansFitSampled(sliced, idCol, "__seg__", k, iters,
+        samplePct = 100.0, scope, l2)
+        .withColumn("segment", lit(s))
+    }.reduce(_ unionByName _)
+      .select(col("segment"), col("cid"), col("cv"))
+  }
+
+  /** [[pqResidualCodebooks]] with sample-based training: the sample cut
+    * applies BEFORE residual computation, so only kept rows ever pay
+    * the coarse join + subtraction — at 100 TB the residual transform
+    * itself is a corpus scan the sampled fit must not trigger. */
+  def pqResidualCodebooksSampled(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      samplePct: Double,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    val kept =
+      if (samplePct >= 100.0) emb
+      else emb.where(
+        TextOps.hashSample(col(idCol).cast("string"), samplePct))
+    val res = withResidual(kept, idCol, vecCol, coarse)
+      .select(col(idCol), col("__res__"))
+    pqCodebooksSampled(res, idCol, "__res__", dim, m, k, iters,
+      samplePct = 100.0, scope, l2 = true)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: encode every corpus

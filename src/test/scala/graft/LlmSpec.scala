@@ -705,6 +705,18 @@ class LlmSpec extends GraftSuite {
       k = 3, iters = 1, samplePct = 40.0)
       .collect().map(_.getLong(0)).toSet
     assert(part.size <= 3 && part.nonEmpty)
+    // the PQ twin: at pct=100 the per-segment sampled codebooks equal
+    // the unsampled fit with the same k smallest-id seeds
+    val cbFull = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 8, m = 2, initPred = sc("vec_id") < 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSet
+    val cbSampled = Embeddings.pqCodebooksSampled(emb, "vec_id",
+      "embedding", dim = 8, m = 2, k = 4, iters = 2, samplePct = 100.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSet
+    assert(cbSampled === cbFull)
+    graft.llm.CacheScope.global.release()
   }
 
   test("ivfHotCellSplit: the hot cell splits into its planted clusters, profile flags it, serving is unchanged") {
@@ -3301,6 +3313,90 @@ class LlmSpec extends GraftSuite {
       s.sql("DROP VIEW IF EXISTS ivf_rf_serve")
       Seq("ivf_rf1", "ivf_rf2", "ivf_rf_truth")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("ivfIndexRefit(sampleCap): cap-bounded training replays the sampled fit exactly") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(sc("vec_id") < 120)
+    val scope = new graft.llm.CacheScope
+    def quad(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.mkString(",")).toSet
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "ivf_sc1", "/tmp/graft_ivf_sc/v1", buckets = 4)
+    try {
+      // refit with a training cap: centroids must equal kmeansFitSampled
+      // at the derived pct (k = floor(sqrt(n)), pct = cap/n) — the
+      // deterministic replay the oracle discipline depends on
+      graft.llm.Embeddings.ivfIndexRefit(s, "/tmp/graft_ivf_sc/v1",
+        "vec_id", "embedding", "ivf_sc2", "/tmp/graft_ivf_sc/v2",
+        buckets = 4, scope = scope, sampleCap = Some(60L))
+      val n = emb.count()
+      val k = math.floor(math.sqrt(n.toDouble)).toInt
+      val want = graft.llm.Embeddings.kmeansFitSampled(
+        emb, "vec_id", "embedding", k = k, iters = 2,
+        samplePct = 60.0 * 100.0 / n, scope = scope)
+      assert(quad(s.read.parquet("/tmp/graft_ivf_sc/v2/centroids")) ===
+        quad(want))
+      // and the refit index still serves (assignment covered the FULL
+      // corpus even though training saw only the sample)
+      assert(s.read.parquet("/tmp/graft_ivf_sc/v2/postings").count() === n)
+    } finally {
+      Seq("ivf_sc1", "ivf_sc2").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("ivfPqIndexRefit: coded refit from the raw store equals a direct sampled-fit save; residual marker rides") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(sc("vec_id") < 120)
+    val scope = new graft.llm.CacheScope
+    def quad(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.mkString(",")).toSet
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    graft.llm.Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents,
+      "pq_rf_raw", "/tmp/graft_pq_rf/raw", buckets = 4)
+    try {
+      // sampleCap >= n → pct = 100: the refit must replay the direct
+      // sampled-fit save bit-for-bit (coarse, codebooks, coded postings)
+      graft.llm.Embeddings.ivfPqIndexRefit(s, "/tmp/graft_pq_rf/raw",
+        "vec_id", "embedding", "pq_rf_v2", "/tmp/graft_pq_rf/v2",
+        dim = 64, m = 2, kCodebook = 4, buckets = 4,
+        sampleCap = Some(1000L), residual = true, scope = scope)
+      val coarse = graft.llm.Embeddings.kmeansFitSqrtKSampled(
+        emb, "vec_id", "embedding", iters = 2, samplePct = 100.0,
+        scope = scope)
+      val cbs = graft.llm.Embeddings.pqResidualCodebooksSampled(
+        emb, "vec_id", "embedding", coarse, dim = 64, m = 2, k = 4,
+        iters = 2, samplePct = 100.0, scope = scope)
+      graft.llm.Embeddings.ivfPqIndexSave(emb, "vec_id", "embedding",
+        coarse, cbs, dim = 64, m = 2, table = "pq_rf_truth",
+        dir = "/tmp/graft_pq_rf/truth", buckets = 4, residual = true)
+      assert(quad(s.read.parquet("/tmp/graft_pq_rf/v2/centroids")) ===
+        quad(s.read.parquet("/tmp/graft_pq_rf/truth/centroids")))
+      assert(quad(s.read.parquet("/tmp/graft_pq_rf/v2/codebooks")) ===
+        quad(s.read.parquet("/tmp/graft_pq_rf/truth/codebooks")))
+      assert(quad(s.read.parquet("/tmp/graft_pq_rf/v2/postings")) ===
+        quad(s.read.parquet("/tmp/graft_pq_rf/truth/postings")))
+      // the refit artifact self-describes as residual and serves
+      assert(new java.io.File("/tmp/graft_pq_rf/v2/_pq_residual").exists())
+      val served = graft.llm.Embeddings.ivfPqTopKIndexed(
+        emb.where(sc("vec_id") < 2), "vec_id", "embedding",
+        "/tmp/graft_pq_rf/v2", s.table("pq_rf_v2"), dim = 64, m = 2,
+        k = 5)
+      assert(served.count() > 0)
+    } finally {
+      Seq("pq_rf_raw", "pq_rf_v2", "pq_rf_truth").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
       scope.release()
     }
     graft.llm.CacheScope.global.release()
