@@ -3580,6 +3580,22 @@ object SparkEntry {
         .sort(col("rank"))
         .run(s)),
 
+    // --- SAMPLE-TRAINED PQ (the codebook half of the train/add split):
+    //     both segment codebooks fit on the same 25% hashSample kept set
+    //     (seeds = the 4 smallest kept ids), the FULL corpus encodes and
+    //     serves — q_ann_ivf_sampled_fit's discipline applied to PQ ---
+    "q_ann_pq_sampled" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          val cb = graft.llm.Embeddings.pqCodebooksSampled(df, "vec_id",
+            "embedding", dim = 64, m = 2, k = 4, iters = 2,
+            samplePct = 25.0)
+          graft.llm.Embeddings.pqTopK(df, "vec_id", "embedding", cb,
+            dim = 64, m = 2, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
     // --- the full IVF-PQ serving composition: sqrt(n) coarse cells
     //     restrict candidates to the query's cell, ADC over m=2 segment
     //     codebooks scores only those — per-query cost O(n/k) code
@@ -7904,6 +7920,63 @@ object SparkEntry {
                     round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
                     s0.vec_id) AS rank
            FROM sfp0 s0 JOIN sfp1 s1 ON s0.vec_id = s1.vec_id
+                JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
+                CROSS JOIN q
+           WHERE s0.vec_id <> 0) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
+    // sampled PQ: segment chains train on the 25% kept set's slices
+    // (seeds = 4 smallest kept ids, shared by both segments), the FULL
+    // corpus re-assigns per segment against the fitted codebooks (the
+    // af2 replay), then the q_ann_pq scoring tail
+    "q_ann_pq_sampled" ->
+      (s"""WITH samp AS MATERIALIZED (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < 1073741824
+         ),
+         samp0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM samp),
+         samp1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM samp),
+         corpus0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+         corpus1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM embeddings),
+         ${kmeansChain(
+             "vec_id <= (SELECT max(vec_id) FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 4) s)",
+             "samp0", "p0", 32)},
+         ${kmeansChain(
+             "vec_id <= (SELECT max(vec_id) FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 4) s)",
+             "samp1", "p1", 32)},
+         a0 AS (
+           SELECT e.vec_id, cc.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    round((${dotSql("e.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                      DESC NULLS LAST, cc.cid) AS rn
+           FROM corpus0 e CROSS JOIN c2p0 cc),
+         f0 AS (SELECT vec_id, cid AS cell FROM a0 WHERE rn = 1),
+         a1 AS (
+           SELECT e.vec_id, cc.cid,
+                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                    round((${dotSql("e.embedding", "cc.cv")}) /
+                          (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                           sqrt(${dotSql("cc.cv", "cc.cv")})), 6)
+                      DESC NULLS LAST, cc.cid) AS rn
+           FROM corpus1 e CROSS JOIN c2p1 cc),
+         f1 AS (SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1),
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0),
+         t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
+         t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p1, q)
+         SELECT vec_id, score, rank FROM (
+           SELECT s0.vec_id,
+                  round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
+                    s0.vec_id) AS rank
+           FROM f0 s0 JOIN f1 s1 ON s0.vec_id = s1.vec_id
                 JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
                 CROSS JOIN q
            WHERE s0.vec_id <> 0) t
