@@ -372,6 +372,38 @@ object SparkEntry {
       dataDir.toString
     }
 
+  /** Memoized persisted substring gram-posting index over the documents
+    * table (minMatchWords = 8): the admission queries' stream-static
+    * corpus side. Bucketed on __gh__; catalog entries are per-JVM, the
+    * on-disk layout is not — same re-registration as ivfIndexFixture. */
+  private def substrIndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"substr_${FixtureVer}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          graft.llm.Dedup.substringIndexSave(docs, "doc_id", "text",
+            minMatchWords = 8, tmpTbl, tmpPath.toString)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(dataDir.toString).schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (__gh__) SORTED BY (__gh__) INTO 8 BUCKETS
+                  LOCATION '$dataDir'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
   /** Memoized persisted PageRank artifact over the BASE synthetic edge
     * family (j ∈ 1..2 of q_pagerank's j ≤ doc_id%5 fixture), ranks
     * converged 5 rounds — so q_pagerank_incr's timed body is the
@@ -1682,6 +1714,44 @@ object SparkEntry {
         .native(df => graft.llm.Dedup.substringSpans(
           df, "doc_id", "text", minSpanWords = 8, minCopies = 2))
         .sort(col("doc_id"))
+        .run(s)),
+
+    // --- INCREMENTAL substring admission (batch): re-submitted docs
+    //     (doc_id%9==3, ids +10000) match the persisted gram-posting
+    //     index; every pairwise maximal match >= 8 words emits, hot
+    //     grams cut by the pushed __gf__ cap at the postings scan ---
+    "q_substr_admit" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (_, tbl) = substrIndexFixture(s, dir)
+          val news = df
+            .where(F.pmod(F.col("doc_id"), F.lit(9L)) === 3L)
+            .select((F.col("doc_id") + 10000L).as("doc_id"), F.col("text"))
+          graft.llm.Dedup.substringMatchesIndexed(news, "doc_id", "text",
+            df.sparkSession.table(tbl), minMatchWords = 8,
+            maxGramCopies = 64)
+        }
+        .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
+        .run(s)),
+
+    // --- STREAMING substring admission, single-batch backfill: the
+    //     HOF diagonal-run fold over per-pair position sets — value-
+    //     identical to the batch window formulation (spec-pinned),
+    //     shared oracle by reference ---
+    "q_stream_substr_admit" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (_, tbl) = substrIndexFixture(s, dir)
+          val news = df
+            .where(F.pmod(F.col("doc_id"), F.lit(9L)) === 3L)
+            .select((F.col("doc_id") + 10000L).as("doc_id"), F.col("text"))
+          graft.streaming.Streams.streamingSubstringAdmission(news,
+            "doc_id", "text", df.sparkSession.table(tbl),
+            minMatchWords = 8, maxGramCopies = 64)
+        }
+        .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
         .run(s)),
 
     // --- MAXIMAL duplicated substrings (the suffix-array semantics
@@ -6415,6 +6485,47 @@ object SparkEntry {
                 CAST(max(e - s + 1) AS BIGINT) AS max_span_words
          FROM spans GROUP BY 1 ORDER BY 1""",
 
+    // incremental admission: the re-submitted slice's grams join the
+    // corpus gram index (freq-capped), diagonal runs per (new doc,
+    // indexed doc, offset) = every pairwise maximal match
+    "q_substr_admit" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8)
+         ), gf AS (SELECT gh, count(*) AS f FROM pos GROUP BY 1),
+         idx AS MATERIALIZED (
+           SELECT p.gh, p.doc_id AS bid, p.pos AS bpos
+           FROM pos p JOIN gf USING (gh) WHERE gf.f <= 64),
+         npos AS (
+           SELECT doc_id + 10000 AS nid, CAST(i AS BIGINT) AS np,
+                  md5(array_to_string(w[i:i+7], ' ')) AS gh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                 FROM toks WHERE len(w) >= 8 AND doc_id % 9 = 3)
+         ), hits AS MATERIALIZED (
+           SELECT n.nid, n.np, i.bid, n.np - i.bpos AS diag
+           FROM npos n JOIN idx i USING (gh)),
+         segd AS (
+           SELECT nid, np, bid, diag,
+                  CASE WHEN np > coalesce(lag(np) OVER
+                    (PARTITION BY nid, bid, diag ORDER BY np) + 1, -1)
+                  THEN 1 ELSE 0 END AS nw
+           FROM hits),
+         segs AS (
+           SELECT nid, np, bid, diag,
+                  sum(nw) OVER (PARTITION BY nid, bid, diag ORDER BY np
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM segd)
+         SELECT nid AS left_id, bid AS right_id,
+                CAST(min(np) AS BIGINT) AS match_start,
+                CAST(max(np) + 7 - min(np) + 1 AS BIGINT) AS match_words
+         FROM segs GROUP BY nid, bid, diag, seg
+         ORDER BY left_id, right_id, match_start""",
+
     // maximal matches: gram co-occurrence pairs grouped by (docA, docB,
     // diagonal), consecutive-position runs = pairwise maximal matches,
     // per-doc interval union-merge + the longest single match
@@ -10089,6 +10200,10 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // streaming substring admission backfill ≡ the batch indexed
+      // matches: the HOF run fold over per-pair position sets is
+      // spec-pinned value-identical to the window formulation
+      ("q_stream_substr_admit" -> baseOracleSql("q_substr_admit")) +
       // streaming nprobe=2 serving backfill ≡ the batch probe query:
       // same fit (the persisted fixture replays kmeansFitSqrtK iters=2),
       // same probe ORDER (the window-free array_sort rank is spec-pinned

@@ -1057,6 +1057,108 @@ object Dedup {
         col("max_span_words"), col("max_match_words"))
   }
 
+  /** PERSIST the corpus GRAM-POSTING index for incremental substring
+    * admission — the exact-span family's train-once artifact next to
+    * the MinHash band postings: one row per k-gram occurrence
+    * (`__id__`, `__pos__`, `__gh__`) with the gram's corpus frequency
+    * `__gf__` DENORMALIZED on every row (the filtered-search layout:
+    * the hot-gram cap then applies AT THE POSTINGS SCAN as a pushed
+    * predicate, never a frequency join at query time), bucketed on
+    * `__gh__` so the admission join reads stored buckets with zero
+    * index-side exchange. */
+  def substringIndexSave(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minMatchWords: Int,
+      table: String,
+      dir: String,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    val k = minMatchWords
+    val pos = docs
+      .select(col(idCol).cast("long").as("__id__"),
+        TextOps.tokens(col(textCol)).as("__toks__"))
+      .where(col("__id__").isNotNull && size(col("__toks__")) >= k)
+      .select(col("__id__"),
+        posexplode(expr(s"word_kgram_md5s(__toks__, $k)"))
+          .as(Seq("__p0__", "__gh__")))
+      .select(col("__id__"), (col("__p0__") + 1).cast("long").as("__pos__"),
+        col("__gh__"))
+    val freq = pos.groupBy(col("__gh__")).agg(count(lit(1)).as("__gf__"))
+    graft.sources.ParquetIO.writeBucketed(
+      pos.join(freq, "__gh__")
+        .select(col("__gh__"), col("__id__"), col("__pos__"), col("__gf__")),
+      table, dir, "__gh__", buckets)
+  }
+
+  /** INCREMENTAL maximal-substring admission against a persisted
+    * [[substringIndexSave]] artifact — [[substringMaximalSpans]]'
+    * new-data half (does this arriving document share any exact
+    * ≥ k-word span with the indexed corpus? — the Lee et al. dedup
+    * question asked at ingest, and the exact-overlap decontamination
+    * gate): the new docs' grams equi-join the stored postings (hot
+    * grams dropped by the PUSHED `__gf__` ≤ cap predicate — bounded
+    * fan-out, the cap rides the index rows), diagonal runs reconstruct
+    * each pairwise maximal match. Emits one row per maximal match —
+    * (left_id, right_id, match_start, match_words): left = arriving
+    * doc, start 1-based on its word grid. Windows are per
+    * (pair, diagonal) — state bounded by one document pair. */
+  def substringMatchesIndexed(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      postings: DataFrame,
+      minMatchWords: Int,
+      maxGramCopies: Int = 64,
+  ): DataFrame = {
+    require(minMatchWords >= 2, "minMatchWords must be >= 2")
+    require(maxGramCopies >= 1, "maxGramCopies must be >= 1")
+    graft.GraftExtensions.install(newDocs.sparkSession)
+    val k = minMatchWords
+    val W = org.apache.spark.sql.expressions.Window
+    val wd = W.partitionBy(col("__nid__"), col("__id__"), col("__diag__"))
+      .orderBy(col("__npos__"))
+    substringAdmissionJoin(newDocs, idCol, textCol, postings, k,
+      maxGramCopies)
+      .withColumn("__new__",
+        when(col("__npos__") >
+          coalesce(lag(col("__npos__"), 1).over(wd) + 1L, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__seg__", sum(col("__new__")).over(
+        wd.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("__nid__"), col("__id__"), col("__diag__"), col("__seg__"))
+      .agg(min(col("__npos__")).as("__s__"),
+        (max(col("__npos__")) + (k - 1) - min(col("__npos__")) + 1)
+          .as("__l__"))
+      .select(col("__nid__").as("left_id"), col("__id__").as("right_id"),
+        col("__s__").as("match_start"), col("__l__").as("match_words"))
+  }
+
+  /** The shared gram join behind batch and streaming substring
+    * admission: new docs' k-gram positions against the stored postings,
+    * hot grams cut by the pushed `__gf__` cap. Yields one row per gram
+    * co-occurrence: (__nid__, __npos__, __id__, __diag__). */
+  private[graft] def substringAdmissionJoin(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      postings: DataFrame,
+      k: Int,
+      maxGramCopies: Int): DataFrame =
+    newDocs
+      .select(col(idCol).cast("long").as("__nid__"),
+        TextOps.tokens(col(textCol)).as("__ntoks__"))
+      .where(col("__nid__").isNotNull && size(col("__ntoks__")) >= k)
+      .select(col("__nid__"),
+        posexplode(expr(s"word_kgram_md5s(__ntoks__, $k)"))
+          .as(Seq("__np0__", "__gh__")))
+      .select(col("__nid__"), (col("__np0__") + 1).cast("long").as("__npos__"),
+        col("__gh__"))
+      .join(postings.where(col("__gf__") <= maxGramCopies), Seq("__gh__"))
+      .select(col("__nid__"), col("__npos__"), col("__id__"),
+        (col("__npos__") - col("__pos__")).as("__diag__"))
+
   /** Apply [[substringSpans]]: strip every covered word, reassemble the
     * survivors in order. Covered positions come from exploding each
     * flagged start into its k-word interval (<= k rows per flagged

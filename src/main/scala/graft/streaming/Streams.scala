@@ -877,6 +877,66 @@ object Streams {
         (col("__p__") + 1).cast("int").as("rank"))
   }
 
+  /** STREAMING maximal-substring admission — the exact-span TEXT
+    * modality of the streaming admission matrix ([[graft.llm.Dedup
+    * .substringMatchesIndexed]]'s continuous twin, and the
+    * exact-overlap decontamination gate run at ingest): each arriving
+    * document's k-grams stream-static-join the persisted
+    * [[graft.llm.Dedup.substringIndexSave]] postings (hot grams cut by
+    * the PUSHED `__gf__` cap riding the index rows), and each
+    * (arrival, indexed doc, diagonal) key's matched positions aggregate
+    * into one sorted set — state bounded by ONE document's positions,
+    * never the corpus. The diagonal runs (= the pairwise maximal
+    * matches) then compute in a PROJECTION over that array (one
+    * linear HOF fold — per pair, never per candidate row) and explode
+    * to the batch op's exact row contract (left_id, right_id,
+    * match_start, match_words); value identity with the batch window
+    * formulation is spec-pinned, so the driver backfill shares the
+    * batch oracle. Update/complete mode; re-sent docs re-join the same
+    * grams, the set collapses duplicates, verdicts re-emit identically. */
+  def streamingSubstringAdmission(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      postings: DataFrame,
+      minMatchWords: Int,
+      maxGramCopies: Int = 64,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    require(minMatchWords >= 2, "minMatchWords must be >= 2")
+    require(maxGramCopies >= 1, "maxGramCopies must be >= 1")
+    val k = minMatchWords
+    graft.llm.Dedup.substringAdmissionJoin(docs, idCol, textCol, postings,
+      k, maxGramCopies)
+      .groupBy(col("__nid__"), col("__id__"), col("__diag__"))
+      .agg(sort_array(collect_set(col("__npos__"))).as("__ps__"))
+      // consecutive-position runs over the sorted distinct positions:
+      // one left fold, emitting (start, len) per run — `prev` starts at
+      // -2 so position 1 can never chain onto the seed
+      .withColumn("__runs__", expr(
+        """aggregate(__ps__,
+             named_struct('prev', CAST(-2 AS BIGINT),
+                          'st', CAST(NULL AS BIGINT),
+                          'ln', CAST(0 AS BIGINT),
+                          'out', array_repeat(named_struct(
+                            's', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT)), 0)),
+             (acc, p) -> IF(p = acc.prev + 1,
+               named_struct('prev', p, 'st', acc.st, 'ln', acc.ln + 1,
+                            'out', acc.out),
+               named_struct('prev', p, 'st', p, 'ln', CAST(1 AS BIGINT),
+                            'out', IF(acc.st IS NULL, acc.out,
+                              array_append(acc.out,
+                                named_struct('s', acc.st, 'l', acc.ln))))),
+             acc -> IF(acc.st IS NULL, acc.out,
+               array_append(acc.out,
+                 named_struct('s', acc.st, 'l', acc.ln))))"""))
+      .select(col("__nid__").as("left_id"), col("__id__").as("right_id"),
+        explode(col("__runs__")).as("__r__"))
+      .select(col("left_id"), col("right_id"),
+        col("__r__.s").as("match_start"),
+        (col("__r__.l") + lit(k - 1)).cast("long").as("match_words"))
+  }
+
   /** STREAMING corpus snapshot diff — [[graft.llm.Dedup.corpusDiff]]'s
     * continuous twin: as new-snapshot shards stream in, each arriving
     * id gets its per-id verdict against the PERSISTED old snapshot —

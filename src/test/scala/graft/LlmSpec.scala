@@ -1081,6 +1081,48 @@ class LlmSpec extends GraftSuite {
     assert(capped === Set(0L, 2L, 3L))
   }
 
+  test("substring admission: persisted gram index + indexed matches find exact cross/within spans, hot-gram cap pushes") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u v w x"),          // 9 words
+      (2L, "a b c d e f g h i j"),
+      (3L, "zz q r s t u v w x"),         // shares words 2-9 of doc 1
+    ).toDF("doc_id", "text")
+    s.sql("DROP TABLE IF EXISTS substr_adm_idx")
+    graft.llm.Dedup.substringIndexSave(corpus, "doc_id", "text",
+      minMatchWords = 8, "substr_adm_idx", "/tmp/graft_substr_idx",
+      buckets = 2)
+    try {
+      val idx = s.table("substr_adm_idx")
+      // arrival 100 = doc 1's text verbatim: full 9-word match vs doc 1
+      // (diag run of 2 grams), an 8-word match vs doc 3 (words 2-9);
+      // arrival 101 matches nothing
+      val news = Seq(
+        (100L, "p q r s t u v w x"),
+        (101L, "totally different words that match nothing here at all"),
+      ).toDF("doc_id", "text")
+      val got = graft.llm.Dedup.substringMatchesIndexed(news, "doc_id",
+        "text", idx, minMatchWords = 8, maxGramCopies = 64)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === Set(
+        (100L, 1L, 1L, 9L),   // the whole doc duplicates doc 1
+        (100L, 3L, 2L, 8L))) // words 2-9 duplicate doc 3's tail
+      // cap 1 drops every shared gram (each occurs 2x in the corpus
+      // index... within the index doc1/doc3 share "q r s t u v w x")
+      val capped = graft.llm.Dedup.substringMatchesIndexed(news, "doc_id",
+        "text", idx, minMatchWords = 8, maxGramCopies = 1)
+        .collect()
+      // "p q r s t u v w" occurs once in the index (doc 1 only) →
+      // survives cap 1; the shared "q r s t u v w x" gram (docs 1 and
+      // 3, f=2) is cut, so only the 8-word prefix match remains
+      assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet === Set((100L, 1L, 1L, 8L)))
+    } finally s.sql("DROP TABLE IF EXISTS substr_adm_idx")
+  }
+
   test("scrubPii redacts emails, phones, and IPv4 addresses") {
     val s = spark
     import s.implicits._

@@ -511,6 +511,53 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming substring admission: maximal matches vs the persisted gram index across batches, re-sends re-verdict, batch parity") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(sc("doc_id"), sc("text"))
+    s.sql("DROP TABLE IF EXISTS substr_stream_idx")
+    graft.llm.Dedup.substringIndexSave(docs, "doc_id", "text",
+      minMatchWords = 8, "substr_stream_idx", "/tmp/graft_substr_stream",
+      buckets = 2)
+    try {
+      val idx = s.table("substr_stream_idx")
+      // arrivals: a corpus slice re-submitted under fresh ids — each
+      // matches at least its own original full-length
+      val news = docs.where(sc("doc_id") % 11 === 2)
+        .collect().map(r => (r.getLong(0) + 50000L, r.getString(1)))
+      val (b1, b2) = news.partition(_._1 % 2 == 0)
+      val ms = MemoryStream[(Long, String)](s)
+      val admitted = graft.streaming.Streams.streamingSubstringAdmission(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text", idx,
+        minMatchWords = 8, maxGramCopies = 64)
+      val q = admitted.writeStream.format("memory")
+        .queryName("substr_adm_out").outputMode("complete").start()
+      try {
+        ms.addData(b1.toSeq: _*)
+        q.processAllAvailable()
+        ms.addData((b2 :+ b1.head).toSeq: _*) // re-send suppressed by set
+        q.processAllAvailable()
+        val got = s.sql(
+          "SELECT left_id, right_id, match_start, match_words FROM substr_adm_out")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(got.toSet.map((t: (Long, Long, Long, Long)) => t._1)
+          .intersect(news.map(_._1).toSet).nonEmpty)
+        // exactly one verdict row per (pair, match) despite the re-send
+        assert(got.length === got.distinct.length)
+        // parity with the batch window formulation over the same arrivals
+        val want = graft.llm.Dedup.substringMatchesIndexed(
+            news.toSeq.toDF("doc_id", "text"), "doc_id", "text", idx,
+            minMatchWords = 8, maxGramCopies = 64)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(got.toSet === want.toSet)
+        assert(want.nonEmpty, "fixture must produce at least one match")
+      } finally q.stop()
+    } finally s.sql("DROP TABLE IF EXISTS substr_stream_idx")
+  }
+
   test("streaming corpus diff: per-id verdicts vs the old snapshot across batches, re-sends suppressed, batch parity sans 'removed'") {
     val s = spark
     import s.implicits._
