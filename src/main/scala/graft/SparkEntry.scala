@@ -1732,7 +1732,11 @@ object SparkEntry {
             df.sparkSession.table(tbl), minMatchWords = 8,
             maxGramCopies = 64)
         }
+        // match_words as the 4th key: two maximal matches on different
+        // diagonals can share (left, right, start) with different lengths
+        // — the 4-key sort is unique, so Spark and DuckDB row order agree
         .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
+        .sort(col("match_words"))
         .run(s)),
 
     // --- STREAMING substring admission, single-batch backfill: the
@@ -1752,6 +1756,7 @@ object SparkEntry {
             minMatchWords = 8, maxGramCopies = 64)
         }
         .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
+        .sort(col("match_words"))
         .run(s)),
 
     // --- MAXIMAL duplicated substrings (the suffix-array semantics
@@ -6524,7 +6529,7 @@ object SparkEntry {
                 CAST(min(np) AS BIGINT) AS match_start,
                 CAST(max(np) + 7 - min(np) + 1 AS BIGINT) AS match_words
          FROM segs GROUP BY nid, bid, diag, seg
-         ORDER BY left_id, right_id, match_start""",
+         ORDER BY left_id, right_id, match_start, match_words""",
 
     // maximal matches: gram co-occurrence pairs grouped by (docA, docB,
     // diagonal), consecutive-position runs = pairwise maximal matches,

@@ -669,8 +669,12 @@ object Embeddings {
     val reassigned = assignSub(cents)
       .select((Seq(col(idCol), col(vecCol), col("__n__")) ++
         attrs.map(col) :+ col("__subc__").as("__cell__")): _*)
+    // null-safe: a NULL-cell posting (zero-norm vector the cosine argmax
+    // could not assign) must COPY THROUGH unchanged — `!isInCollection`
+    // alone is NULL for NULL cells and would silently shrink the index
     val keep = postings
-      .where(!col("__cell__").cast("long").isInCollection(hotSeq))
+      .where(col("__cell__").isNull ||
+        !col("__cell__").cast("long").isInCollection(hotSeq))
       .select((Seq(col(idCol), col(vecCol), col("__n__")) ++
         attrs.map(col) :+ col("__cell__")): _*)
     centroids
@@ -706,9 +710,12 @@ object Embeddings {
     var cur = srcDir
     var round = 0
     while (round < maxRounds && {
-      val worst = spark.read.parquet(s"$cur/postings")
+      // empty postings aggregate max() to NULL — treat as worst = 0 so
+      // the loop exits immediately instead of NPE-ing on getLong
+      val row = spark.read.parquet(s"$cur/postings")
         .groupBy(col("__cell__")).agg(count(lit(1)).as("__n__"))
-        .agg(max(col("__n__"))).collect()(0).getLong(0)
+        .agg(max(col("__n__"))).collect()(0)
+      val worst = if (row.isNullAt(0)) 0L else row.getLong(0)
       worst > maxCell
     }) {
       round += 1
@@ -2385,13 +2392,25 @@ object Embeddings {
       withCell(cacheBase(emb, idCol, vecCol, scope), "__v__", centroids)
         .select(col("__vid__").as("__id__"), col("__v__"),
           col("__n__"), col("__cell__"))
+    // Cell cap as an AGGREGATE count + broadcast semi-join, not a window
+    // partitioned by __cell__: the window funneled the hot cell — the
+    // exact cell the cap exists to neutralize — through ONE task before
+    // dropping it (single-task straggler at 100×). The aggregate count
+    // map-side-combines (√n cells → tiny), broadcasts, and the kept SET
+    // is identical (a cell's window count equals its group count).
+    // Null-safe equality so NULL-cell rows (zero-norm vectors) keep the
+    // window formulation's behavior of counting as their own group.
     val assigned = scope.cache(
       if (maxCellSize <= 0) assignedAll
-      else assignedAll
-        .withColumn("__cn__", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__cell__"))))
-        .where(col("__cn__") <= maxCellSize)
-        .drop("__cn__"))
+      else {
+        val okCells = assignedAll
+          .groupBy(col("__cell__"))
+          .agg(count(lit(1)).as("__cn__"))
+          .where(col("__cn__") <= maxCellSize)
+          .select(col("__cell__").as("__okc__"))
+        assignedAll.join(broadcast(okCells),
+          col("__cell__") <=> col("__okc__"), "left_semi")
+      })
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.__cell__") === col("b.__cell__") &&

@@ -205,6 +205,36 @@ class EntrySpec extends GraftSuite {
     }
   }
 
+  test("plan lint: semDedup's cell cap never windows over the skewed cell key") {
+    // The cap exists to neutralize a HOT cell; a `count(*) OVER
+    // (PARTITION BY __cell__)` funnels that exact cell through one task
+    // before dropping it — a single-task straggler at 100×. The cap must
+    // stay an aggregate count + broadcast semi-join (map-side combine,
+    // √n-cell tiny build side), so no WindowExec in q_semdedup's plan may
+    // partition by __cell__.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case w: WholeStageCodegenExec => Seq(w.child)
+        case _ => Seq.empty
+      })).flatMap(flatten)
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_semdedup")(spark, dir)
+      .queryExecution.executedPlan
+    llm.CacheScope.global.release()
+    val offenders = flatten(plan).collect {
+      case w: WindowExec
+          if w.partitionSpec.exists(_.references.exists(
+            _.name.contains("__cell__"))) =>
+        w.simpleStringWithNodeId()
+    }
+    assert(offenders.isEmpty,
+      s"q_semdedup windows over __cell__: ${offenders.mkString("; ")}")
+  }
+
   test("plan lint: ADC scoring never shuffle-joins the candidate set") {
     // The single-pass ADC design (Embeddings.adcTopK) scores candidates in
     // one projection against a 1-row broadcast — the old formulation's

@@ -789,6 +789,16 @@ class LlmSpec extends GraftSuite {
     val all = Embeddings.semDedup(vectors, "vec_id", "embedding", cents,
       threshold = 0.9999).count()
     assert(all === 4L)
+    // cell cap (aggregate-count + broadcast semi-join since r17 — value-
+    // identical to the old per-cell window count): cell 0 holds 3 rows,
+    // so cap 2 excludes the whole cell from the pair stage (nothing
+    // dropped) while cap 3 keeps it (duplicate 1 dropped as before)
+    val capped2 = Embeddings.semDedup(vectors, "vec_id", "embedding", cents,
+      threshold = 0.99, maxCellSize = 2).collect().map(_.getLong(0)).toSet
+    assert(capped2 === Set(0L, 1L, 2L, 3L))
+    val capped3 = Embeddings.semDedup(vectors, "vec_id", "embedding", cents,
+      threshold = 0.99, maxCellSize = 3).collect().map(_.getLong(0)).toSet
+    assert(capped3 === Set(0L, 2L, 3L))
   }
 
   test("ivfTopK keeps the id's type and returns empty for no centroids") {
