@@ -499,10 +499,13 @@ object Compiler {
     * post-process (dunder strip, dup rename) applies after the rendered
     * layer — terminate the model with an explicit pick/aggregate for
     * exact column parity, which ModelSqlSpec pins by executing the
-    * rendering via `spark.sql` against `run()`. Nodes outside the subset
-    * (native llm ops, funnels, windows…) throw: their semantics live in
-    * DataFrame lowerings no SQL string reproduces, and a wrong rendering
-    * would be worse than an honest refusal. */
+    * rendering via `spark.sql` against `run()`. The SQL-expressible
+    * composites render too: fold (UNPIVOT INCLUDE NULLS), topK
+    * (row_number OVER + filter), withWindow (one layer per column,
+    * explicit ROWS frames). Nodes outside the subset (native llm ops,
+    * funnels/match_steps…) throw: their semantics live in DataFrame
+    * lowerings no SQL string reproduces, and a wrong rendering would be
+    * worse than an honest refusal. */
   def renderQuery(m: Model, spark: SparkSession): String = {
     def bt(n: String): String = "`" + n.replace("`", "``") + "`"
     def stripDistinctKeep(e: Expr): (Expr, Boolean) = e match {
@@ -522,7 +525,11 @@ object Compiler {
           else if (name.endsWith(".orc")) s"orc.${bt(name)}"
           else if (name.contains("/") || name.endsWith(".parquet"))
             s"parquet.${bt(name)}"
-          else bt(name)
+          // bare names: backtick each dot-separated PART — run() resolves
+          // `db.table` as a qualified name via spark.table, so rendering
+          // it as one backticked identifier would break the
+          // spark.sql(model.sql()) == model.run() contract
+          else name.split('.').map(bt).mkString(".")
         s"SELECT * FROM $ref"
       case Source.SqlQuery(q)  => q
       case Source.JsonFile(p)  => s"SELECT * FROM json.${bt(p)}"
@@ -562,11 +569,36 @@ object Compiler {
           s"${renderSql(k.e)} $dir$nl"
         }
         s"SELECT * FROM (${render(b)}) ORDER BY ${ks.mkString(", ")}"
-      case Source.Limit(b, n, off) =>
-        // appended to the base's own SELECT so a preceding ORDER BY stays
-        // attached to its LIMIT (a subquery wrap would not guarantee it)
-        if (off > 0) s"${render(b)} LIMIT $n OFFSET $off"
-        else s"${render(b)} LIMIT $n"
+      case Source.Limit(b0, n0, off0) =>
+        // Fold stacked Limit nodes first (model.limit(5).limit(3) nests
+        // two nodes and run() applies offset-then-limit per node, so the
+        // composition is offset o_inner + o_outer, count
+        // max(0, min(n_inner − o_outer, n_outer))) — a naive append would
+        // render the unparseable "LIMIT 5 LIMIT 3".
+        var base = b0; var n = n0; var off = off0
+        var folding = true
+        while (folding) base match {
+          case Source.Limit(b1, n1, o1) =>
+            n = math.max(0L, math.min(n1 - off, n)); off += o1; base = b1
+          case _ => folding = false
+        }
+        val rendered = render(base)
+        // a RAW SqlQuery already ending in its own LIMIT clause gets a
+        // subselect wrap (appending would not parse); any ORDER BY inside
+        // the raw text stays attached to ITS limit — the outer limit's
+        // row choice among survivors is as unspecified as run()'s
+        val needsWrap = base match {
+          case Source.SqlQuery(_) =>
+            "(?is).*\\blimit\\s+\\d+(\\s+offset\\s+\\d+)?\\s*;?\\s*$"
+              .r.matches(rendered)
+          case _ => false
+        }
+        val body = if (needsWrap) s"SELECT * FROM ($rendered)" else rendered
+        // otherwise appended to the base's own SELECT so a preceding
+        // ORDER BY stays attached to its LIMIT (a subquery wrap would not
+        // guarantee it)
+        if (off > 0) s"$body LIMIT $n OFFSET $off"
+        else s"$body LIMIT $n"
       case Source.Union(a, b2) =>
         s"(${render(a)}) UNION ALL (${render(b2)})"
       case j: Source.JoinOne =>
@@ -601,12 +633,86 @@ object Compiler {
         }
         val jt = if (j.dropUnmatched) "JOIN" else "LEFT JOIN"
         s"SELECT * FROM (${render(j.base)}) $jt ($right) ON $cond"
+      case Source.Fold(b, ids, values, keyName, valueName) =>
+        // same logical node as the lowering's Dataset.unpivot: the id/value
+        // projection first (UNPIVOT treats every remaining column as an
+        // id), INCLUDE NULLS because the API form retains null values
+        val idsS = ids.map(c => s"${renderSql(c)} AS ${bt(c.identifier)}")
+        val valsS = values.map(c => s"${renderSql(c)} AS ${bt(c.identifier)}")
+        val prep =
+          s"SELECT ${(idsS ++ valsS).mkString(", ")} FROM (${render(b)})"
+        val inList = values.map(c => bt(c.identifier)).mkString(", ")
+        s"SELECT * FROM ($prep) UNPIVOT INCLUDE NULLS " +
+          s"(${bt(valueName)} FOR ${bt(keyName)} IN ($inList))"
+      case Source.RankLimit(b, partitionBy, orderKeys, k, rankName) =>
+        val p =
+          if (partitionBy.isEmpty) ""
+          else s"PARTITION BY ${partitionBy.map(renderSql(_)).mkString(", ")} "
+        val o = orderKeys.map(renderSortKey).mkString(", ")
+        s"SELECT * FROM (SELECT *, row_number() OVER (${p}ORDER BY $o) " +
+          s"AS ${bt(rankName)} FROM (${render(b)})) " +
+          s"WHERE ${bt(rankName)} <= $k"
+      case Source.WindowCalc(b, partitionBy, orderKeys, wcols) =>
+        // one SELECT layer per window column so a later column may
+        // reference an earlier one, exactly like the lowering's chained
+        // withColumn; Catalyst's CollapseProject/CollapseWindow fuse the
+        // layers back into the lowering's single-exchange shape. Frames
+        // are spelled out (ROWS, not the ORDER BY default RANGE — RANGE
+        // reads peer rows on ties, the lowering's rowsBetween does not).
+        val p =
+          if (partitionBy.isEmpty) ""
+          else s"PARTITION BY ${partitionBy.map(renderSql(_)).mkString(", ")} "
+        val o = s"ORDER BY ${orderKeys.map(renderSortKey).mkString(", ")}"
+        val running = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        def over(frame: String) = s"OVER ($p$o$frame)"
+        wcols.foldLeft(render(b)) { (acc, wc) =>
+          def t: String = renderSql(wc.target.getOrElse(
+            throw new IllegalArgumentException(
+              s"window column '${wc.name}' (${wc.kind}) needs a target")))
+          val moving =
+            s" ROWS BETWEEN ${wc.frame - 1} PRECEDING AND CURRENT ROW"
+          val fn = wc.kind match {
+            case "row_number"   => s"row_number() ${over("")}"
+            case "rank"         => s"rank() ${over("")}"
+            case "dense_rank"   => s"dense_rank() ${over("")}"
+            case "percent_rank" => s"percent_rank() ${over("")}"
+            case "cume_dist"    => s"cume_dist() ${over("")}"
+            case "ntile"        => s"ntile(${wc.frame}) ${over("")}"
+            case "lag"          => s"lag($t, ${wc.offset}) ${over("")}"
+            case "lead"         => s"lead($t, ${wc.offset}) ${over("")}"
+            case "first_value"  => s"first_value($t) ${over(running)}"
+            case "last_value"   => s"last_value($t, true) ${over(running)}"
+            case "running_sum"  => s"sum($t) ${over(running)}"
+            case "running_min"  => s"min($t) ${over(running)}"
+            case "running_max"  => s"max($t) ${over(running)}"
+            case "moving_sum"   => s"sum($t) ${over(moving)}"
+            case "moving_avg"   => s"avg($t) ${over(moving)}"
+            case other =>
+              throw new IllegalArgumentException(
+                s"unknown window kind '$other'")
+          }
+          s"SELECT *, $fn AS ${bt(wc.name)} FROM ($acc)"
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"model.sql() renders the relational subset; " +
             s"${other.getClass.getSimpleName} requires run()")
     }
     render(m.source)
+  }
+
+  /** ORDER BY item with the lowering's EXPLICIT null placement
+    * ([[sortKeyCols]]: auto = Spark's asc→nulls-first / desc→nulls-last). */
+  private def renderSortKey(k: graft.ir.SortKey): String = {
+    val dir = (k.asc, k.nulls) match {
+      case (true, "auto") | (true, "first")  => "ASC NULLS FIRST"
+      case (true, "last")                    => "ASC NULLS LAST"
+      case (false, "auto") | (false, "last") => "DESC NULLS LAST"
+      case (false, "first")                  => "DESC NULLS FIRST"
+      case (_, other) =>
+        throw new IllegalArgumentException(s"bad nulls: $other")
+    }
+    s"${renderSql(k.e)} $dir"
   }
 
   /** Python-strftime → Spark date_format pattern pieces, covering the

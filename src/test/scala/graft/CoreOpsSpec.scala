@@ -742,4 +742,85 @@ class CoreOpsSpec extends GraftSuite {
       Model.table("msql_sales").native(df => df).sql(s)
     }
   }
+
+  test("model.sql() handles qualified names, stacked limits and raw-SQL limits") {
+    val s = spark
+    import s.implicits._
+    // qualified table name: run() resolves `global_temp.v` via
+    // spark.table; the rendering must backtick each PART, not the whole
+    // dotted name as one identifier
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "tag").createOrReplaceGlobalTempView("msql_q")
+    def eval(m: Model): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val text = m.sql(s)
+      (s.sql(text).collect().toSeq, m.run(s).collect().toSeq)
+    }
+    val qualified = Model.table("global_temp.msql_q").sort(col("id"))
+    val (viaSql, viaRun) = eval(qualified)
+    assert(viaSql === viaRun && viaRun.size === 5)
+    // stacked limits fold: sort.limit(4, offset 1).limit(2, offset 1) =
+    // rows with id 3, 4 under both engines (offsets sum, counts clamp)
+    val stacked = qualified.limit(4, 1).limit(2, 1)
+    val (sq, sr) = eval(stacked)
+    assert(sq === sr && sr.map(_.getLong(0)) === Seq(3L, 4L))
+    // limit OVER a raw SQL query already ending in LIMIT: subselect wrap
+    // (a bare append would render the unparseable "LIMIT 3 LIMIT 2")
+    val raw = Model.sqlQuery(
+      "SELECT * FROM global_temp.msql_q ORDER BY id LIMIT 3").limit(2)
+    val (rq, rr) = eval(raw)
+    assert(rq.size === 2 && rr.size === 2)
+    // ...while a raw query WITHOUT a limit still gets the plain append
+    // (ORDER BY stays attached to the new LIMIT)
+    val rawSorted = Model.sqlQuery(
+      "SELECT * FROM global_temp.msql_q ORDER BY id DESC").limit(2)
+    val (oq, or0) = eval(rawSorted)
+    assert(oq === or0 && oq.map(_.getLong(0)) === Seq(5L, 4L))
+  }
+
+  test("model.sql() renders fold, topK and withWindow byte-identically to run()") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "x", 10.0, 1.0), (2L, "x", 30.0, 2.0),
+        (3L, "y", 20.0, 3.0), (4L, "y", 40.0, 4.0),
+        (5L, "x", 25.0, 5.0))
+      .toDF("id", "grp", "amt", "seq").createOrReplaceTempView("msql_w")
+    def check(m: Model): Unit = {
+      val text = m.sql(s)
+      val viaSql = s.sql(text)
+      val viaRun = m.run(s)
+      assert(viaSql.columns.toSeq === viaRun.columns.toSeq, text)
+      assert(viaSql.collect().toSeq === viaRun.collect().toSeq, text)
+    }
+    val base = Model.table("msql_w")
+    // fold: unpivot two value columns, NULLs retained, then sort for a
+    // deterministic compare
+    check(base
+      .fold(ids = Seq(col("id")), values = Seq(col("amt"), col("seq")))
+      .sort(col("id")).sort(col("key")))
+    // topK: per-group top-2 by amt desc with the rank exposed
+    check(base
+      .topK(partitionBy = Seq(col("grp")),
+        orderBy = Seq(graft.ir.SortKey(col("amt"), asc = false),
+          graft.ir.SortKey(col("id"))),
+        k = 2, rankName = "rk")
+      .sort(col("grp")).sort(col("rk")))
+    // withWindow: one of each frame family — rank, lag, running sum,
+    // moving avg, last_value — over a shared (grp, seq) spec
+    check(base
+      .withWindow(
+        partitionBy = Seq(col("grp")),
+        orderBy = Seq(graft.ir.SortKey(col("seq"))),
+        cols = Seq(
+          graft.ir.Source.WinCol("rn", "row_number", None),
+          graft.ir.Source.WinCol("prev_amt", "lag", Some(col("amt"))),
+          graft.ir.Source.WinCol("run_sum", "running_sum", Some(col("amt"))),
+          graft.ir.Source.WinCol("mov2", "moving_avg", Some(col("amt")),
+            frame = 2L),
+          graft.ir.Source.WinCol("latest", "last_value", Some(col("amt")))))
+      .sort(col("id")))
+    // match_steps-backed composites still refuse honestly
+    intercept[UnsupportedOperationException] {
+      Model.table("msql_w").native(df => df).sql(s)
+    }
+  }
 }
