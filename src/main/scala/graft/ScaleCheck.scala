@@ -79,7 +79,7 @@ object ScaleCheck {
       .getOrElse(Queries)
     println(f"| query | sf0.1 wall (s) | x$factor wall (s) | ratio | x$factor cpu (s) |")
     println("|---|---|---|---|---|")
-    val specials = Set("fit_sampled", "ivf_skew")
+    val specials = Set("fit_sampled", "ivf_skew", "substr_append")
     selected.filterNot(specials).foreach { q =>
       val (w1, _) = time(srcDir, q)
       val (wN, cN) = time(scaledDir, q)
@@ -89,7 +89,47 @@ object ScaleCheck {
       fitSampledCheck(spark, srcDir, scaledDir, factor)
     if (selected.contains("ivf_skew"))
       ivfSkewCheck(spark, srcDir, s"$workDir/skew", factor)
+    if (selected.contains("substr_append"))
+      substrAppendCheck(spark, srcDir, scaledDir, s"$workDir/substr", factor)
     spark.stop()
+  }
+
+  /** Append-maintenance decade for the substring gram index: the SAME
+    * fixed slice appended into a 1× and a `factor`× index. The append
+    * never touches stored postings — its only index-size-dependent cost
+    * is the column-pruned `freq/seg-` gram-dictionary scan — so its wall
+    * must grow far slower than the index (the rebuild rows show what a
+    * per-version rebuild would pay instead). Each timing pass appends a
+    * fresh segment (appends mutate), identically at both scales, so the
+    * min-of-3 stays comparable. */
+  private def substrAppendCheck(
+      spark: SparkSession, srcDir: String, scaledDir: String,
+      workDir: String, factor: Int): Unit = {
+    def docs(dir: String) =
+      sources.ParquetIO.read(spark, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+    val slice = docs(srcDir).where(pmod(col("doc_id"), lit(17L)) === 5L)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    def build(dir: String, tag: String): Double = {
+      spark.sql(s"DROP TABLE IF EXISTS substr_sc_$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$workDir/$tag"))
+      val t0 = System.nanoTime()
+      llm.Dedup.substringIndexSave(docs(dir), "doc_id", "text",
+        minMatchWords = 8, s"substr_sc_$tag", s"$workDir/$tag")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val b1 = build(srcDir, "s1")
+    val bN = build(scaledDir, "sN")
+    def appendWall(tag: String): Double = minOf3(() =>
+      llm.Dedup.substringIndexAppend(slice, "doc_id", "text",
+        s"substr_sc_$tag", s"$workDir/$tag"))
+    val a1 = appendWall("s1")
+    val aN = appendWall("sN")
+    println(s"\n| substring index | sf0.1 wall (s) | x$factor wall (s) | ratio |")
+    println("|---|---|---|---|")
+    println(f"| full rebuild (save) | $b1%.2f | $bN%.2f | ${bN / b1}%.2fx |")
+    println(f"| append fixed slice | $a1%.2f | $aN%.2f | ${aN / a1}%.2fx |")
   }
 
   private def minOf3(body: () => Unit): Double =

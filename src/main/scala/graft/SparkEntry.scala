@@ -31,7 +31,8 @@ object SparkEntry {
     * writers) would otherwise keep serving the stale on-disk artifact
     * across sessions until someone deleted target/fixtures by hand.
     * Bump this token whenever any fixture builder's output changes. */
-  private val FixtureVer = "f2"
+  private val FixtureVer = "f3" // f3: substring index gained the
+                                // postings/ + freq/ + hot/ subdir layout
 
   /** Atomic fixture publish: rename the fully-written staging dir into
     * place. A lost race (a concurrent winner already published) discards
@@ -396,10 +397,52 @@ object SparkEntry {
           s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
           publishFixture(tmpPath, dataDir)
         }
-        val ddl = s.read.parquet(dataDir.toString).schema.toDDL
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
         s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
                   CLUSTERED BY (__gh__) SORTED BY (__gh__) INTO 8 BUCKETS
-                  LOCATION '$dataDir'""")
+                  LOCATION '$dataDir/postings'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
+  /** Memoized APPEND-MAINTAINED substring index: the corpus' even-id half
+    * saved, the odd half appended via [[graft.llm.Dedup
+    * .substringIndexAppend]] — so the final artifact covers the full
+    * documents table and q_substr_admit_incr's served matches are value-
+    * identical to q_substr_admit's rebuilt-index ones (the parity the
+    * oracle-by-reference rides). The timed body is the SERVE only. */
+  private def substrIncrIndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"substri_${FixtureVer}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+          graft.llm.Dedup.substringIndexSave(
+            docs.where(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.lit(2L)) === 0L),
+            "doc_id", "text", minMatchWords = 8, tmpTbl, tmpPath.toString)
+          graft.llm.Dedup.substringIndexAppend(
+            docs.where(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.lit(2L)) === 1L),
+            "doc_id", "text", tmpTbl, tmpPath.toString)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (__gh__) SORTED BY (__gh__) INTO 8 BUCKETS
+                  LOCATION '$dataDir/postings'""")
       }
       (dataDir.toString, tbl)
     }
@@ -1735,6 +1778,28 @@ object SparkEntry {
         // match_words as the 4th key: two maximal matches on different
         // diagonals can share (left, right, start) with different lengths
         // — the 4-key sort is unique, so Spark and DuckDB row order agree
+        .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
+        .sort(col("match_words"))
+        .run(s)),
+
+    // --- INCREMENTAL substring admission against an APPEND-MAINTAINED
+    //     index (even half saved, odd half appended — delta postings +
+    //     cumulative __gf__ + crossed-gram hot set, no rebuild): the
+    //     appended artifact serves value-identically to q_substr_admit's
+    //     rebuilt one, so the oracle is shared by reference ---
+    "q_substr_admit_incr" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = substrIncrIndexFixture(s, dir)
+          val news = df
+            .where(F.pmod(F.col("doc_id"), F.lit(9L)) === 3L)
+            .select((F.col("doc_id") + 10000L).as("doc_id"), F.col("text"))
+          graft.llm.Dedup.substringMatchesIndexed(news, "doc_id", "text",
+            graft.llm.Dedup.substringIndexPostings(s, tbl, idxDir,
+              maxGramCopies = 64),
+            minMatchWords = 8, maxGramCopies = 64)
+        }
         .sort(col("left_id")).sort(col("right_id")).sort(col("match_start"))
         .sort(col("match_words"))
         .run(s)),
@@ -10209,6 +10274,10 @@ object SparkEntry {
       // matches: the HOF run fold over per-pair position sets is
       // spec-pinned value-identical to the window formulation
       ("q_stream_substr_admit" -> baseOracleSql("q_substr_admit")) +
+      // append-maintained index serves value-identically to the rebuilt
+      // one (cumulative __gf__ + crossed-gram hot set = the rebuild's
+      // pushed-cap row set, parity spec-pinned in LlmSpec)
+      ("q_substr_admit_incr" -> baseOracleSql("q_substr_admit")) +
       // streaming nprobe=2 serving backfill ≡ the batch probe query:
       // same fit (the persisted fixture replays kmeansFitSqrtK iters=2),
       // same probe ORDER (the window-free array_sort rank is spec-pinned

@@ -1073,10 +1073,39 @@ object Dedup {
       minMatchWords: Int,
       table: String,
       dir: String,
-      buckets: Int = 8): Unit = {
-    graft.GraftExtensions.install(docs.sparkSession)
+      buckets: Int = 8,
+      maxGramCopies: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    graft.GraftExtensions.install(spark)
     val k = minMatchWords
-    val pos = docs
+    val pos = substringGramPositions(docs, idCol, textCol, k)
+    val freq = pos.groupBy(col("__gh__")).agg(count(lit(1)).as("__gf__"))
+      .persist()
+    graft.sources.ParquetIO.writeBucketed(
+      pos.join(freq, "__gh__")
+        .select(col("__gh__"), col("__id__"), col("__pos__"), col("__gf__")),
+      table, s"$dir/postings", "__gh__", buckets)
+    // segment-0 freq sidecar: cumulative corpus frequency per gram AS OF
+    // this segment — appends read `freq/seg-` (never the postings) to learn
+    // a touched gram's prior total
+    freq.write.mode("overwrite").parquet(s"$dir/freq/seg0")
+    freq.unpersist()
+    // crossed-gram set starts empty (schema-bearing file so reads never
+    // fail); appends add grams whose stale old-segment rows would leak
+    // past the pushed cap
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__gh__",
+          org.apache.spark.sql.types.StringType))))
+      .write.mode("overwrite").parquet(s"$dir/hot")
+    writeSubstrMeta(dir, k, maxGramCopies, buckets, segments = 1)
+  }
+
+  /** The shared (id, pos, gram-hash) explode behind save and append. */
+  private def substringGramPositions(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
       .select(col(idCol).cast("long").as("__id__"),
         TextOps.tokens(col(textCol)).as("__toks__"))
       .where(col("__id__").isNotNull && size(col("__toks__")) >= k)
@@ -1085,11 +1114,107 @@ object Dedup {
           .as(Seq("__p0__", "__gh__")))
       .select(col("__id__"), (col("__p0__") + 1).cast("long").as("__pos__"),
         col("__gh__"))
-    val freq = pos.groupBy(col("__gh__")).agg(count(lit(1)).as("__gf__"))
-    graft.sources.ParquetIO.writeBucketed(
-      pos.join(freq, "__gh__")
+
+  private def writeSubstrMeta(dir: String, k: Int, cap: Int, buckets: Int,
+      segments: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_substr_meta.json"),
+      s"""{"k":$k,"cap":$cap,"buckets":$buckets,"segments":$segments}"""
+        .getBytes("UTF-8"))
+
+  private[graft] def readSubstrMeta(
+      dir: String): Option[(Int, Int, Int, Int)] = {
+    val p = java.nio.file.Paths.get(dir, "_substr_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def f(n: String) =
+        s""""$n":\\s*(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+      Some((f("k"), f("cap"), f("buckets"), f("segments")))
+    }
+  }
+
+  /** APPEND maintenance for a persisted [[substringIndexSave]] artifact —
+    * the delta loop MinHash and IVF indexes already have, closing the
+    * last rebuild-per-corpus-version gap: new docs' gram postings join
+    * the index WITHOUT re-tokenizing or re-shuffling the stored corpus.
+    *
+    * The denormalized `__gf__` (the pushed cap predicate's column) is
+    * kept correct under appends by the CUMULATIVE-frequency discipline:
+    * new rows carry `old_total + new_count`; old rows of a touched gram
+    * keep their stale smaller value — which still filters IDENTICALLY to
+    * a rebuild (freq only grows, so stale ≤ current: a gram under the
+    * cap passes on every row; a gram already over it was written over it)
+    * — EXCEPT grams that CROSS the cap on this append (old ≤ cap <
+    * new total): their old rows would leak past the pushed predicate, so
+    * they are recorded in the tiny `hot/` set, which
+    * [[substringIndexPostings]] anti-joins (broadcast) at serve. Append
+    * cost: one scan of the new slice + one column-pruned scan of the
+    * `freq/seg-` sidecars (the gram dictionary, never the postings) — no
+    * corpus re-hash, no index rewrite, no shuffle of stored rows. */
+  def substringIndexAppend(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    graft.GraftExtensions.install(spark)
+    val (k, cap, buckets, segments) = readSubstrMeta(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no _substr_meta.json — not a substringIndexSave " +
+          "artifact (legacy root-layout indexes must be re-saved before " +
+          "appending)"))
+    val pos = substringGramPositions(newDocs, idCol, textCol, k).persist()
+    val newFreq = pos.groupBy(col("__gh__")).agg(count(lit(1)).as("__nf__"))
+    val oldFreq = spark.read.parquet(s"$dir/freq/*")
+      .groupBy(col("__gh__")).agg(max(col("__gf__")).as("__of__"))
+    val touched = newFreq
+      .join(oldFreq, Seq("__gh__"), "left")
+      .select(col("__gh__"), coalesce(col("__of__"), lit(0L)).as("__of__"),
+        (coalesce(col("__of__"), lit(0L)) + col("__nf__")).as("__gf__"))
+      .persist()
+    touched.select(col("__gh__"), col("__gf__"))
+      .write.mode("overwrite").parquet(s"$dir/freq/seg$segments")
+    // grams crossing the cap ON THIS APPEND: old rows exist (of ≥ 1) and
+    // were written under the cap, but the new total is over it
+    touched
+      .where(col("__of__") >= 1L && col("__of__") <= cap &&
+        col("__gf__") > cap)
+      .select(col("__gh__"))
+      .write.mode("append").parquet(s"$dir/hot")
+    graft.sources.ParquetIO.appendBucketed(
+      pos.join(touched.select(col("__gh__"), col("__gf__")), "__gh__")
         .select(col("__gh__"), col("__id__"), col("__pos__"), col("__gf__")),
-      table, dir, "__gh__", buckets)
+      table, "__gh__", buckets)
+    pos.unpersist(); touched.unpersist()
+    writeSubstrMeta(dir, k, cap, buckets, segments + 1)
+  }
+
+  /** Serving frame for a (possibly appended) [[substringIndexSave]]
+    * artifact: the bucketed postings table with the crossed-gram `hot/`
+    * set anti-joined (broadcast — the set is bounded by grams that
+    * crossed the cap, a vanishing fraction). Value-identical to a
+    * fresh rebuild's postings under the recorded cap, which the caller's
+    * `maxGramCopies` must match (the hot set was computed FOR that cap —
+    * serving a different cap against an appended index would silently
+    * diverge, so it refuses loudly). */
+  def substringIndexPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      dir: String,
+      maxGramCopies: Int = 64): DataFrame = {
+    val postings = spark.table(table)
+    readSubstrMeta(dir) match {
+      case None => postings // legacy root-layout index: never appended
+      case Some((_, cap, _, _)) =>
+        require(cap == maxGramCopies,
+          s"index at $dir was saved with cap $cap; serving with " +
+            s"maxGramCopies=$maxGramCopies would diverge from a rebuild")
+        val hot = spark.read.parquet(s"$dir/hot")
+        if (hot.isEmpty) postings
+        else postings.join(broadcast(hot), Seq("__gh__"), "left_anti")
+    }
   }
 
   /** INCREMENTAL maximal-substring admission against a persisted

@@ -1133,6 +1133,62 @@ class LlmSpec extends GraftSuite {
     } finally s.sql("DROP TABLE IF EXISTS substr_adm_idx")
   }
 
+  test("substring index append: appended artifact serves identically to a rebuild, cap crossings included") {
+    val s = spark
+    import s.implicits._
+    val partA = Seq(
+      (1L, "p q r s t u v w"),  // gram G, copy 1
+      (2L, "p q r s t u v w"),  // gram G, copy 2 (= cap)
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val partB = Seq(
+      (4L, "p q r s t u v w"),    // G crosses the cap on append (3 > 2)
+      (5L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val news = Seq(
+      (100L, "p q r s t u v w"),  // only matches via the now-hot gram G
+      (101L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val root = "/tmp/graft_substr_app"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Seq("substr_app_idx", "substr_app_full").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.llm.Dedup.substringIndexSave(partA, "doc_id", "text",
+        minMatchWords = 8, "substr_app_idx", s"$root/incr", buckets = 2,
+        maxGramCopies = 2)
+      graft.llm.Dedup.substringIndexAppend(partB, "doc_id", "text",
+        "substr_app_idx", s"$root/incr")
+      graft.llm.Dedup.substringIndexSave(partA.unionByName(partB), "doc_id",
+        "text", minMatchWords = 8, "substr_app_full", s"$root/full",
+        buckets = 2, maxGramCopies = 2)
+      def serve(postings: org.apache.spark.sql.DataFrame) =
+        graft.llm.Dedup.substringMatchesIndexed(news, "doc_id", "text",
+          postings, minMatchWords = 8, maxGramCopies = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val incr = serve(graft.llm.Dedup.substringIndexPostings(
+        s, "substr_app_idx", s"$root/incr", maxGramCopies = 2))
+      val full = serve(s.table("substr_app_full"))
+      assert(incr === full)
+      // the crossing really happened: news 100's only gram went hot (no
+      // match), while 101 still matches docs 3 and 5 through grams that
+      // stayed under the cap
+      assert(!incr.exists(_._1 == 100L))
+      assert(incr === Set((101L, 3L, 1L, 8L), (101L, 5L, 1L, 9L)))
+      // WITHOUT the hot anti-join, the stale old-segment rows of G would
+      // leak past the pushed cap — the exact divergence hot/ exists for
+      val leaked = serve(s.table("substr_app_idx"))
+      assert(leaked.exists(_._1 == 100L))
+      // serving an appended index under a different cap refuses loudly
+      intercept[IllegalArgumentException] {
+        graft.llm.Dedup.substringIndexPostings(
+          s, "substr_app_idx", s"$root/incr", maxGramCopies = 64)
+      }
+    } finally {
+      Seq("substr_app_idx", "substr_app_full").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("scrubPii redacts emails, phones, and IPv4 addresses") {
     val s = spark
     import s.implicits._
