@@ -68,7 +68,76 @@ object RecallCheck {
       .select(col("vec_id"), col("embedding"))
     measure(spark, real, s"real $srcDir (isotropic/unstructured geometry)", k)
     measure(spark, planted(spark), "planted clusters (40 centers x 50, intra-cos ~0.9)", k)
+    correlatedCompare(spark, k)
     spark.stop()
+  }
+
+  /** PQ vs OPQ head-to-head on CORRELATED geometry — the data shape the
+    * pair rotation exists for: the second half of every vector is a
+    * scaled copy of the first plus deterministic noise, so each (t, t+32)
+    * pair carries a strong cross-segment second moment that plain PQ's
+    * product assumption ignores and the Jacobi rotation zeroes. */
+  private def correlatedCompare(spark: SparkSession, k: Int): Unit = {
+    val scope = new CacheScope
+    val emb = scope.cache(spark.range(2000).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), i -> CAST(
+          CASE WHEN i < 32 THEN
+            sin(CAST(id DIV 50 AS double) * 131.0 + i * 17.0)
+            + 0.35 * sin(id * 37.0 + i * 13.0)
+          ELSE
+            0.8 * (sin(CAST(id DIV 50 AS double) * 131.0 + (i - 32) * 17.0)
+                   + 0.35 * sin(id * 37.0 + (i - 32) * 13.0))
+            + 0.25 * sin(id * 41.0 + i * 7.0)
+          END AS float))""").as("embedding")))
+    val n = emb.count()
+    val step = math.max(1L, n / 50L)
+    val queryPred = col("vec_id") % step === 0L && col("vec_id") < step * 50L
+    val perQueryIds = emb.where(queryPred).select(col("vec_id"))
+      .orderBy(col("vec_id")).collect().map(_.getLong(0)).toSeq.take(12)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Embeddings.dot("embedding", "embedding")).as("__n__"))
+    val queries = base.where(col("vec_id").isin(perQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("__q__"),
+        col("__n__").as("__qn__"))
+    val truth = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(Embeddings.dot("embedding", "__q__") / (col("__n__") * col("__qn__")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .cache()
+    truth.count()
+    def recallOf(cands: DataFrame): Double =
+      truth.join(cands.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+        .toDouble / (perQueryIds.length.toLong * k)
+    def perQuery(run: Long => DataFrame): DataFrame =
+      perQueryIds.map { q =>
+        run(q).select(lit(q).as("query_id"), col("vec_id").as("neighbor_id"))
+      }.reduce(_ unionAll _)
+    val cbPq = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+    val rotFit = Embeddings.opqPairRotationFit(emb, "vec_id", "embedding",
+      dim = 64, scope = scope)
+    val rotated = scope.cache(Embeddings.opqRotateFrame(emb, "vec_id",
+      "embedding", rotFit, dim = 64))
+    val cbOpq = Embeddings.pqCodebooks(rotated, "vec_id", "embedding",
+      dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+    val rows = Seq(
+      ("pq prod knobs (m=8, 64 cents)", recallOf(
+        perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding", cbPq,
+          dim = 64, m = 8, queryId = q, k = k, scope = scope)))),
+      ("OPQ pair-rot + pq (m=8, 64 cents)", recallOf(
+        perQuery(q => Embeddings.pqTopK(rotated, "vec_id", "embedding",
+          cbOpq, dim = 64, m = 8, queryId = q, k = k, scope = scope)))))
+    println(s"\nrecall@$k over planted CORRELATED halves (y ≈ 0.8x + noise, $n vectors, ${perQueryIds.length} queries)\n")
+    println(s"| op (knobs) | recall@$k |")
+    println("|---|---|")
+    rows.foreach { case (op, r) => println(f"| $op | $r%.3f |") }
+    truth.unpersist()
+    scope.release()
   }
 
   /** Deterministic planted-cluster embeddings: 40 centers on the unit
@@ -138,6 +207,29 @@ object RecallCheck {
       dim = 64, m = 2, initPred = col("vec_id") < 4, iters = 2, scope = scope)
     val cbProd = Embeddings.pqCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2, scope = scope)
+    // OPQ pair rotation at the same prod knobs: rotation fit once, the
+    // rotated corpus cached once, codebooks fit in the rotated space.
+    // With the default 0.85 redundancy gate the rotation is the IDENTITY
+    // on this corpus' geometry (real: all-pair |ρ| ≈ 0.02; planted
+    // clusters: ≈ 0.75 — moderate correlation that is cluster SIGNAL),
+    // so the gated row ties plain PQ by construction; the UNGATED row
+    // documents the measured loss that motivated the gate, and the
+    // correlated table below shows the near-duplicate geometry where the
+    // rotation wins outright.
+    val opqRot = Embeddings.opqPairRotationFit(emb, "vec_id", "embedding",
+      dim = 64, scope = scope)
+    val opqRotated = scope.cache(Embeddings.opqRotateFrame(emb, "vec_id",
+      "embedding", opqRot, dim = 64))
+    val cbOpqProd = Embeddings.pqCodebooks(opqRotated, "vec_id", "embedding",
+      dim = 64, m = 8, initPred = col("vec_id") < 64, iters = 2,
+      scope = scope)
+    val opqRotU = Embeddings.opqPairRotationFit(emb, "vec_id", "embedding",
+      dim = 64, minAbsRho = 0.0, scope = scope)
+    val opqRotatedU = scope.cache(Embeddings.opqRotateFrame(emb, "vec_id",
+      "embedding", opqRotU, dim = 64))
+    val cbOpqProdU = Embeddings.pqCodebooks(opqRotatedU, "vec_id",
+      "embedding", dim = 64, m = 8, initPred = col("vec_id") < 64,
+      iters = 2, scope = scope)
     // sample-trained codebooks at the same prod knobs (one kept set
     // shared across segments — the FAISS training discipline). This
     // harness corpus is TINY (2000 rows), so a 25% cap leaves ~8 rows
@@ -212,6 +304,15 @@ object RecallCheck {
       ("pq prod knobs (m=8, 64 cents)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.pqTopK(emb, "vec_id", "embedding", cbProd,
           dim = 64, m = 8, queryId = q, k = k, scope = scope)), perQueryIds)),
+      ("OPQ pair-rot gated 0.85 + pq prod knobs (m=8, 64 cents)",
+        perQueryIds.length,
+        recallOf(perQuery(q => Embeddings.pqTopK(opqRotated, "vec_id",
+          "embedding", cbOpqProd, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
+      ("OPQ pair-rot UNGATED (minRho=0) + pq prod knobs", perQueryIds.length,
+        recallOf(perQuery(q => Embeddings.pqTopK(opqRotatedU, "vec_id",
+          "embedding", cbOpqProdU, dim = 64, m = 8, queryId = q, k = k,
+          scope = scope)), perQueryIds)),
       (s"ivfpq prod (k=$kCells, m=8, nprobe=1)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
           cents, cbProd, dim = 64, m = 8, queryId = q, k = k, scope = scope)),
@@ -288,8 +389,52 @@ object RecallCheck {
         perQuery(q => Embeddings.rpTopK(emb, "vec_id", "embedding",
           queryId = q, d = 64, dims = 32, seed = 7, candidates = 100, k = k)),
         perQueryIds)),
-    )
-
+    ) ++ {
+      // STREAMING serving ladder (round 17): the SAME 50 queries arrive
+      // as a MemoryStream and streamingIvfTopK serves them against a
+      // persisted plain-IVF index at nprobe 1/2/4, next to the batch
+      // ivfTopKIndexed rows on the same artifact. The projection-ranked
+      // probes and topk_by tail are spec-pinned value-identical to the
+      // batch path; these rows MEASURE that the streaming surface's
+      // recall lands on the batch ladder instead of asserting it.
+      val ivfTbl = s"recall_ivfidx_$pqTag"
+      val ivfDir = s"/tmp/graft_recall/ivfidx_$pqTag"
+      spark.sql(s"DROP TABLE IF EXISTS $ivfTbl")
+      Embeddings.ivfIndexSave(emb, "vec_id", "embedding", cents, ivfTbl,
+        ivfDir)
+      val queryRows = emb.where(queryPred)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      def batchRecall(nprobe: Int): Double = recallOf(
+        Embeddings.ivfTopKIndexed(emb.where(queryPred), "vec_id",
+          "embedding", ivfDir, spark.table(ivfTbl), k = k, nprobe = nprobe),
+        queryIds)
+      def streamRecall(nprobe: Int): Double = {
+        import spark.implicits._
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])](spark)
+        val out = graft.streaming.Streams.streamingIvfTopK(
+          ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          ivfDir, spark.table(ivfTbl), k = k, nprobe = nprobe)
+        val qn = s"recall_stream_np${nprobe}_$pqTag"
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try {
+          ms.addData(queryRows: _*)
+          q.processAllAvailable()
+          recallOf(spark.table(qn), queryIds)
+        } finally q.stop()
+      }
+      val ladder = Seq(1, 2, 4).flatMap { np =>
+        Seq(
+          (s"ivf INDEXED batch (k=$kCells, nprobe=$np)", queryIds.length,
+            batchRecall(np)),
+          (s"ivf INDEXED STREAMING (k=$kCells, nprobe=$np)",
+            queryIds.length, streamRecall(np)))
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $ivfTbl")
+      ladder
+    }
     println(s"\nrecall@$k over $title ($n vectors)\n")
     println(s"| op (knobs) | queries | recall@$k |")
     println("|---|---|---|")

@@ -3736,6 +3736,26 @@ object SparkEntry {
         .sort(col("rank"))
         .run(s)),
 
+    // --- OPQ (Ge et al. 2013): pair-block Jacobi rotation fit to zero
+    //     each (t, t+32) cross-segment second moment, corpus + query
+    //     rotated in one projection, PQ codebooks fit and ADC served in
+    //     the rotated space. The rotation fit itself replays in the
+    //     oracle (decimal moment sums + sqrt/division closed form — all
+    //     correctly-rounded ops, one shared formula string). minAbsRho=0
+    //     here so every pair rotates and the full formula chain is
+    //     oracle-exercised; production serving keeps the 0.85 redundancy
+    //     gate (RecallCheck documents why) ---
+    "q_ann_opq" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.llm.Embeddings.opqTopK(df, "vec_id", "embedding",
+            dim = 64, m = 2, queryId = 0L, k = 10,
+            initPred = F.col("vec_id") < 4, iters = 2, minAbsRho = 0.0)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
     // --- the full IVF-PQ serving composition: sqrt(n) coarse cells
     //     restrict candidates to the query's cell, ADC over m=2 segment
     //     codebooks scores only those — per-query cost O(n/k) code
@@ -8090,6 +8110,71 @@ object SparkEntry {
          q AS (SELECT embedding AS qe,
                       sqrt(${dotSql("embedding", "embedding")}) AS qn
                FROM embeddings WHERE vec_id = 0),
+         t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
+         t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,
+                       ${dotSql("cv", "cv")} AS cn2 FROM c2p1, q)
+         SELECT vec_id, score, rank FROM (
+           SELECT s0.vec_id,
+                  round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((t0.qd + t1.qd) / (q.qn * sqrt(t0.cn2 + t1.cn2)), 6) DESC,
+                    s0.vec_id) AS rank
+           FROM sfp0 s0 JOIN sfp1 s1 ON s0.vec_id = s1.vec_id
+                JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
+                CROSS JOIN q
+           WHERE s0.vec_id <> 0) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
+    // OPQ: the pair-rotation FIT replays first (per-pair decimal moment
+    // sums → the shared Jacobi ζ/t/(c,s) formula layers — verbatim the
+    // strings the Spark lowering evaluates, so the fitted rotation is
+    // bit-identical), the corpus rotates through the same 6-dp float
+    // grid, then q_ann_pq's two kmeans chains + ADC tail run in the
+    // rotated space
+    "q_ann_opq" ->
+      (s"""WITH RECURSIVE
+         prs AS (
+           SELECT u.t,
+                  CAST(e.embedding[u.t + 1] AS DOUBLE) AS __x__,
+                  CAST(e.embedding[u.t + 33] AS DOUBLE) AS __y__
+           FROM embeddings e, LATERAL unnest(range(0, 32)) u(t)),
+         mom AS (
+           SELECT t,
+                  ${graft.llm.Embeddings.opqMomentSql("__x__ * __x__")} AS __sxx__,
+                  ${graft.llm.Embeddings.opqMomentSql("__y__ * __y__")} AS __syy__,
+                  ${graft.llm.Embeddings.opqMomentSql("__x__ * __y__")} AS __sxy__
+           FROM prs GROUP BY t),
+         zl AS (SELECT t, __sxx__, __syy__, __sxy__,
+                       ${graft.llm.Embeddings.opqGateSql(0.0)} AS __rot__,
+                       ${graft.llm.Embeddings.OpqZetaSql} AS __zeta__
+                FROM mom),
+         tl AS (SELECT t, __rot__,
+                       ${graft.llm.Embeddings.OpqTtSql} AS __tt__
+                FROM zl),
+         csf AS (SELECT t, ${graft.llm.Embeddings.OpqCSql} AS c,
+                        ${graft.llm.Embeddings.OpqSSql} AS s
+                 FROM tl),
+         rote AS (
+           SELECT e.vec_id, u.d,
+                  CAST(round(CASE WHEN u.d < 32
+                    THEN f.c * CAST(e.embedding[u.d + 1] AS DOUBLE)
+                         - f.s * CAST(e.embedding[u.d + 33] AS DOUBLE)
+                    ELSE f.s * CAST(e.embedding[u.d - 31] AS DOUBLE)
+                         + f.c * CAST(e.embedding[u.d + 1] AS DOUBLE)
+                  END, 6) AS REAL) AS xv
+           FROM embeddings e, LATERAL unnest(range(0, 64)) u(d), csf f
+           WHERE f.t = u.d % 32),
+         rotv AS MATERIALIZED (
+           SELECT vec_id, list(xv ORDER BY d) AS embedding
+           FROM rote GROUP BY vec_id),
+         corpus0 AS (SELECT vec_id, embedding[1:32] AS embedding FROM rotv),
+         corpus1 AS (SELECT vec_id, embedding[33:64] AS embedding FROM rotv),
+         ${kmeansChain("vec_id < 4", "corpus0", "p0", 32)},
+         ${kmeansChain("vec_id < 4", "corpus1", "p1", 32)},
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM rotv WHERE vec_id = 0),
          t0 AS (SELECT cid, ${dotSql("qe[1:32]", "cv")} AS qd,
                        ${dotSql("cv", "cv")} AS cn2 FROM c2p0, q),
          t1 AS (SELECT cid, ${dotSql("qe[33:64]", "cv")} AS qd,

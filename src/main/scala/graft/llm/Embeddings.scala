@@ -1816,6 +1816,185 @@ object Embeddings {
       samplePct = 100.0, scope, l2 = true)
   }
 
+  // ---------------------------------------------------------------- OPQ
+
+  /** Shared Spark-SQL ∩ DuckDB formula fragments for the OPQ pair
+    * rotation fit — ONE textual formula used verbatim by the lowering
+    * and the oracle (the KN discipline): every op in the chain (decimal
+    * moment sums, subtraction, division, sqrt) is correctly rounded in
+    * both engines, so identical text ⇒ bit-identical fitted rotations.
+    * `opqMomentSql` is the exact-decimal sum of 6-dp-rounded products;
+    * the ζ → t → (c, s) layers are the textbook Jacobi closed form
+    * (cot 2θ = ζ, t the smaller root of t² + 2ζt − 1 = 0), with the
+    * __sxy__ = 0 already-decorrelated case pinned to the identity and
+    * guarded BEFORE ζ so neither engine ever divides by zero. */
+  private[graft] def opqMomentSql(prod: String): String =
+    s"CAST(sum(CAST(round($prod, 6) AS DECIMAL(27,8))) AS DOUBLE)"
+  private[graft] val OpqZetaSql: String =
+    "CASE WHEN __sxy__ = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE (__syy__ - __sxx__) / (2 * __sxy__) END"
+  private[graft] val OpqTtSql: String =
+    "CASE WHEN __zeta__ >= 0 " +
+      "THEN 1 / (__zeta__ + sqrt(1 + __zeta__ * __zeta__)) " +
+      "ELSE 1 / (__zeta__ - sqrt(1 + __zeta__ * __zeta__)) END"
+  // The REDUNDANCY GATE: rotate a pair only when |ρ| (uncentered
+  // correlation) exceeds `minAbsRho` — i.e. the paired coordinates are
+  // near-duplicates, so one sub-quantizer is demonstrably spending its
+  // bits on signal the other already encodes, and concentrating it via
+  // the rotation is a pure win. MODERATELY correlated pairs keep the
+  // identity on purpose: PQ's rate is fixed per segment, so first-order
+  // distortion is rotation-invariant (eigenvalues just move between
+  // coordinates), while cluster-structured moderate correlation is
+  // SIGNAL the rotation unbalances — measured on the planted-cluster
+  // RecallCheck set (all-pair |ρ| ≈ 0.75): ungated rotation cost
+  // recall 0.825 → 0.742, and a parity-allocation swap repaired only
+  // part of it while damaging the near-duplicate geometry it exists
+  // for. Compared as sxy² > ρ²·sxx·syy — products only, no sqrt, no
+  // division, bit-identical across engines.
+  private[graft] def opqGateSql(minAbsRho: Double): String =
+    s"__sxy__ * __sxy__ > CAST(${minAbsRho * minAbsRho} AS DOUBLE) " +
+      "* __sxx__ * __syy__"
+  private[graft] val OpqCSql: String =
+    "CASE WHEN __rot__ THEN round(1 / sqrt(1 + __tt__ * __tt__), 6) " +
+      "ELSE CAST(1 AS DOUBLE) END"
+  private[graft] val OpqSSql: String =
+    "CASE WHEN __rot__ THEN round(__tt__ / sqrt(1 + __tt__ * __tt__), 6) " +
+      "ELSE CAST(0 AS DOUBLE) END"
+
+  /** OPQ-style structured rotation fit (Ge et al. 2013 CVPR, "Optimized
+    * Product Quantization"; the FAISS OPQ practice of rotating before
+    * segmenting): the full OPQ learns a dense d×d rotation by
+    * alternating Procrustes SVD — driver-side linear algebra no SQL
+    * oracle replays — so graft fits the OPQ objective restricted to the
+    * PAIR-BLOCK-DIAGONAL orthogonal group: one exact Jacobi (Givens)
+    * rotation per coordinate pair (t, t + dim/2), chosen in closed form
+    * to ZERO the pair's uncentered second cross-moment over the training
+    * set. The stride dim/2 pairs coordinates PQ forces into DIFFERENT
+    * sub-quantizers (any even m), so exactly the cross-segment
+    * correlations the product assumption ignores are rotated away.
+    * Rotation applies per pair only past the `minAbsRho` REDUNDANCY
+    * GATE (see [[opqGateSql]]): near-duplicate pairs concentrate their
+    * shared signal (recall-per-byte up, measured), everything else —
+    * isotropic and moderately-correlated cluster geometry included —
+    * keeps the identity, so the op never measures below plain PQ.
+    *
+    * Scale: the fit is two corpus passes over the (optionally
+    * hashSample-cut) training set — one moment aggregate (map-side
+    * combined, dim/2 keys) and nothing else; the rotation itself is
+    * 2·(dim/2) doubles, pinned driver-side as model parameters exactly
+    * like [[kmeansFit]] centroids. Applying it is a per-row projection.
+    *
+    * Returns ONE pinned row: (`__rc__`, `__rs__`) — c and s arrays
+    * indexed by pair position t ∈ [0, dim/2). */
+  def opqPairRotationFit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      samplePct: Double = 100.0,
+      minAbsRho: Double = 0.85,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(dim % 2 == 0, s"dim $dim must be even for the pair rotation")
+    val spark = emb.sparkSession
+    graft.GraftExtensions.install(spark)
+    val segLen = dim / 2
+    val kept =
+      if (samplePct >= 100.0) emb
+      else emb.where(
+        TextOps.hashSample(col(idCol).cast("string"), samplePct))
+    val agg = kept
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${segLen - 1}), t -> struct(
+              CAST(element_at($vecCol, t + 1) AS DOUBLE) AS x,
+              CAST(element_at($vecCol, t + 1 + $segLen) AS DOUBLE) AS y))"""))
+        .as(Seq("__t__", "__p__")))
+      .select(col("__t__"), col("__p__.x").as("__x__"),
+        col("__p__.y").as("__y__"))
+      .groupBy(col("__t__"))
+      .agg(
+        expr(opqMomentSql("__x__ * __x__")).as("__sxx__"),
+        expr(opqMomentSql("__y__ * __y__")).as("__syy__"),
+        expr(opqMomentSql("__x__ * __y__")).as("__sxy__"))
+      .withColumn("__rot__", expr(opqGateSql(minAbsRho)))
+      .withColumn("__zeta__", expr(OpqZetaSql))
+      .withColumn("__tt__", expr(OpqTtSql))
+      .withColumn("__c__", expr(OpqCSql))
+      .withColumn("__s__", expr(OpqSSql))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(__t__, __c__))), p -> p.__c__)")
+          .as("__rc__"),
+        expr("transform(array_sort(collect_list(struct(__t__, __s__))), p -> p.__s__)")
+          .as("__rs__"))
+    // model parameters (dim doubles), pinned like kmeans centroids so
+    // consumers never re-run the moment aggregate and the broadcast side
+    // is a LocalRelation
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+  }
+
+  /** Apply a [[opqPairRotationFit]] rotation: same frame with `vecCol`
+    * replaced by the rotated vector — per pair t, x' = c·x − s·y and
+    * y' = s·x + c·y, each element rounded 6 dp and stored as FLOAT (the
+    * engine-portable literal grid). A pure projection over a 1-row
+    * broadcast: no shuffle, no per-row UDF, codegen-friendly. */
+  def opqRotateFrame(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rotation: DataFrame,
+      dim: Int,
+  ): DataFrame = {
+    val segLen = dim / 2
+    emb
+      .crossJoin(broadcast(rotation)) // pinned 1-row LocalRelation
+      .select(col(idCol),
+        expr(
+          s"""transform(sequence(0, ${dim - 1}), d -> CAST(round(
+                CASE WHEN d < $segLen THEN
+                  element_at(__rc__, d + 1) *
+                    CAST(element_at($vecCol, d + 1) AS DOUBLE)
+                  - element_at(__rs__, d + 1) *
+                    CAST(element_at($vecCol, d + 1 + $segLen) AS DOUBLE)
+                ELSE
+                  element_at(__rs__, d - $segLen + 1) *
+                    CAST(element_at($vecCol, d - $segLen + 1) AS DOUBLE)
+                  + element_at(__rc__, d - $segLen + 1) *
+                    CAST(element_at($vecCol, d + 1) AS DOUBLE)
+                END, 6) AS FLOAT))""").as(vecCol))
+  }
+
+  /** OPQ top-k: fit the pair rotation, rotate corpus AND query (one
+    * shared projection — the query row is just a corpus row), fit PQ
+    * codebooks in the rotated space, serve with the standard single-pass
+    * ADC. Rotations preserve dot products and norms, so rotated-space
+    * cosine IS the original-space cosine up to the 6-dp grid — scores
+    * stay comparable with [[pqTopK]] and recall is measured against the
+    * same brute-force truth. */
+  def opqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      queryId: Long,
+      k: Int,
+      initPred: Column,
+      iters: Int,
+      samplePct: Double = 100.0,
+      minAbsRho: Double = 0.85,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(m >= 2 && m % 2 == 0 && dim % m == 0,
+      s"OPQ pair rotation needs an even m dividing dim (got m=$m, dim=$dim)")
+    val rot = opqPairRotationFit(emb, idCol, vecCol, dim, samplePct,
+      minAbsRho, scope)
+    val rotated = opqRotateFrame(emb, idCol, vecCol, rot, dim)
+    val cb = pqCodebooks(rotated, idCol, vecCol, dim, m, initPred, iters,
+      scope)
+    pqTopK(rotated, idCol, vecCol, cb, dim, m, queryId, k, scope)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: encode every corpus
     * vector as its per-segment nearest codebook entry, precompute the
     * query's dot product against every codebook entry (m × k values — a

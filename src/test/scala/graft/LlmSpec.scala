@@ -599,6 +599,87 @@ class LlmSpec extends GraftSuite {
       s"plan grows with eval size: ${plan8.length} -> ${plan32.length}")
   }
 
+  test("OPQ pair rotation: orthogonal, decorrelating, identity on decorrelated pairs, ADC-equal when degenerate") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.install(s)
+    // pair 0: near-duplicate halves (uncentered ρ ≈ 0.98 — past the 0.85
+    // redundancy gate); pair 1: moderately correlated (ρ ≈ 0.58 — the
+    // geometry the gate deliberately leaves alone); all on the 6-dp grid
+    val corr = (0L until 40L).map { i =>
+      val x0 = (i % 7).toFloat * 0.125f + 0.25f
+      val x1 = (i % 5).toFloat * 0.25f - 0.5f
+      (i, Array(x0, x1, x0 * 0.75f + 0.125f * (i % 3), x1 * 0.5f - 0.25f))
+    }.toDF("vec_id", "embedding")
+    val rot = Embeddings.opqPairRotationFit(corr, "vec_id", "embedding",
+      dim = 4)
+    val row = rot.collect()(0)
+    val cs = row.getSeq[Double](0)
+    val ss = row.getSeq[Double](1)
+    assert(cs.length === 2 && ss.length === 2)
+    // orthogonality within the 6-dp rounding of c and s
+    cs.zip(ss).foreach { case (c, sv) =>
+      assert(math.abs(c * c + sv * sv - 1.0) < 3e-6, s"($c, $sv) not unit") }
+    // gate semantics: the near-duplicate pair rotates, the moderate one
+    // keeps the identity
+    assert(math.abs(ss.head) > 0.01, s"pair 0 should rotate, got $ss")
+    assert(cs(1) === 1.0 && ss(1) === 0.0, s"pair 1 should stay identity")
+    // ungated fit (minAbsRho = 0) rotates BOTH pairs and zeroes both
+    // cross-moments (tolerance = the 6-dp grids, times 40 rows)
+    val rotAll = Embeddings.opqPairRotationFit(corr, "vec_id", "embedding",
+      dim = 4, minAbsRho = 0.0)
+    val rotated = Embeddings.opqRotateFrame(corr, "vec_id", "embedding",
+      rotAll, dim = 4)
+    val moms = rotated.select(
+      org.apache.spark.sql.functions.expr(
+        "sum(CAST(embedding[0] AS DOUBLE) * CAST(embedding[2] AS DOUBLE))"),
+      org.apache.spark.sql.functions.expr(
+        "sum(CAST(embedding[1] AS DOUBLE) * CAST(embedding[3] AS DOUBLE))"))
+      .collect()(0)
+    val raw = corr.select(
+      org.apache.spark.sql.functions.expr(
+        "sum(CAST(embedding[0] AS DOUBLE) * CAST(embedding[2] AS DOUBLE))"),
+      org.apache.spark.sql.functions.expr(
+        "sum(CAST(embedding[1] AS DOUBLE) * CAST(embedding[3] AS DOUBLE))"))
+      .collect()(0)
+    (0 to 1).foreach { i =>
+      assert(math.abs(moms.getDouble(i)) < 1e-3,
+        s"pair $i cross-moment ${moms.getDouble(i)} not zeroed")
+      assert(math.abs(raw.getDouble(i)) > 0.5,
+        s"fixture pair $i was not correlated to begin with")
+    }
+    // cosine preservation: rotated-space cosine ≈ original cosine
+    def cos(df: org.apache.spark.sql.DataFrame, a: Long, b: Long): Double = {
+      val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val (va, vb) = (m(a).map(_.toDouble), m(b).map(_.toDouble))
+      val d = va.zip(vb).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    assert(math.abs(cos(rotated, 1L, 2L) - cos(corr, 1L, 2L)) < 1e-4)
+    // already-decorrelated pairs: identity rotation, and opqTopK
+    // degenerates to pqTopK exactly (grid-aligned inputs)
+    val decor = (0L until 12L).map { i =>
+      // x strictly positive so no candidate codes to an all-zero
+      // reconstruction (ANSI would throw on the 0-norm score division)
+      (i, Array((i % 5).toFloat * 0.25f + 0.25f, 0f, 0f,
+        (i % 3).toFloat * 0.5f - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val rotD = Embeddings.opqPairRotationFit(decor, "vec_id", "embedding",
+      dim = 4)
+    val rowD = rotD.collect()(0)
+    assert(rowD.getSeq[Double](0) === Seq(1.0, 1.0))
+    assert(rowD.getSeq[Double](1) === Seq(0.0, 0.0))
+    val viaOpq = Embeddings.opqTopK(decor, "vec_id", "embedding", dim = 4,
+      m = 2, queryId = 1L, k = 5, initPred = sc("vec_id") < 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val cb = Embeddings.pqCodebooks(decor, "vec_id", "embedding", dim = 4,
+      m = 2, initPred = sc("vec_id") < 2, iters = 1)
+    val viaPq = Embeddings.pqTopK(decor, "vec_id", "embedding", cb, dim = 4,
+      m = 2, queryId = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(viaOpq === viaPq)
+  }
+
   test("stripMarkdown reduces markup to text, dropping code fences wholesale") {
     val s = spark
     import s.implicits._
