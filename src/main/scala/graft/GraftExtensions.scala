@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, TopKBy, UnigramViterbi, UnigramViterbiExcl, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
+import graft.expr.{AcCount, BloomAnyContain, BoilerplateStripExpr, CdcStarts, CharBigramCounts, CharEntropy, CharNgramBottomK, CharNgramJaccard, CharNgramMin, DeflateLen, FloatVecDot, GreedyChain, LmBits, MgSummary, MinHashSig, MinHashSigWords, NfcNormalize, SimhashBigrams, Sq8Code, Sq8Dot, Sq8Norm2, TopKBy, UnigramViterbi, UnigramViterbiExcl, UnigramViterbiPieces, VecArgmaxCell, WordKgramMd5s, WordNgramJaccard, WordNgrams, WordpieceEncode}
 
 /** Session extension registering graft's native Catalyst expressions:
   * `float_vec_dot` (codegen'd array<float> dot product), `char_ngram_min`
@@ -199,6 +199,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "vec_argmax_cell takes exactly 3 arguments")
         VecArgmaxCell(args.head, args(1), args(2))
+      }),
+    // SQ8 scalar quantization (per-dim 8-bit affine codes): encode +
+    // codegen'd dequantized dot/norm — the serving hot loop
+    (FunctionIdentifier("vec_sq8_code"),
+      new ExpressionInfo(classOf[Sq8Code].getName, "vec_sq8_code"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_sq8_code takes exactly 3 arguments")
+        Sq8Code(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("vec_sq8_dot"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "vec_sq8_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "vec_sq8_dot takes exactly 4 arguments")
+        Sq8Dot(args.head, args(1), args(2), args(3))
+      }),
+    (FunctionIdentifier("vec_sq8_norm2"),
+      new ExpressionInfo(classOf[Sq8Norm2].getName, "vec_sq8_norm2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_sq8_norm2 takes exactly 3 arguments")
+        Sq8Norm2(args.head, args(1), args(2))
       }),
     // L2-argmin assignment (residual quantizers): score = vec·cv − cn/2
     // with ‖cv‖² in the struct's third field; norm operand ignored

@@ -344,6 +344,14 @@ object RecallCheck {
       ("quantized rerank (int8, cand=50)", perQueryIds.length, recallOf(
         perQuery(q => Embeddings.quantizedRerankTopK(emb, "vec_id",
           "embedding", queryId = q, candidates = 50, k = k)), perQueryIds)),
+      // SQ8 full-scan serving: 4× compression with per-dim 8-bit affine
+      // codes — the recall ceiling of the quantized family (no space
+      // partitioning, no segment structure), expected ≈ brute on any
+      // geometry; the row documents the compression/recall trade next
+      // to PQ's 32× rows
+      ("sq8 scalar-quantized (8 bit/dim, full scan)", perQueryIds.length,
+        recallOf(perQuery(q => Embeddings.sq8TopK(emb, "vec_id",
+          "embedding", dim = 64, queryId = q, k = k)), perQueryIds)),
       // the PERSISTED coded path (multi-query serving surface): raw ADC
       // vs ADC + exact rerank over the candFactor·k shortlist — the
       // rerank row measures exactly what the tail exists to repair

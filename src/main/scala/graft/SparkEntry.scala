@@ -467,6 +467,16 @@ object SparkEntry {
         iterations = 5, tmp)
     }
 
+  /** Memoized z-ordered rewrite of the events table on (user_id, value)
+    * ([[graft.sources.Layout.writeZOrdered]], 16 files): q_zorder_skip's
+    * timed body is the pruned 2-D box scan only — the layout job runs
+    * once per data dir, the `OPTIMIZE ZORDER` amortization shape. */
+  private def zorderFixture(s: SparkSession, dir: String): String =
+    dirFixture("zord_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      graft.sources.Layout.writeZOrdered(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "value", tmp, 16)
+    }
+
   private def uniDocs(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -3754,6 +3764,56 @@ object SparkEntry {
             initPred = F.col("vec_id") < 4, iters = 2, minAbsRho = 0.0)
         }
         .sort(col("rank"))
+        .run(s)),
+
+    // --- SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit): one
+    //     corpus pass fits per-dim min/max, candidates quantize to 8-bit
+    //     codes (4× compression) and the RAW query scores against the
+    //     dequantized reconstruction — near-brute recall, the middle
+    //     rung between float32 and PQ. Quantize/dot/norm are codegen'd
+    //     natives; the oracle replays the shared quantization formula ---
+    "q_ann_sq8" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          graft.llm.Embeddings.sq8TopK(df, "vec_id", "embedding",
+            dim = 64, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
+    // --- Z-ORDER LAYOUT (Morton interleave of 16-bit equal-width
+    //     buckets — Delta/Iceberg OPTIMIZE ZORDER practice):
+    //     q_zorder_key pins the shared key formula bit-for-bit (integer
+    //     + correctly-rounded double ops, replayed verbatim by DuckDB);
+    //     q_zorder_skip serves a 2-D box predicate from the memoized
+    //     z-ordered rewrite — value-identical to the raw table (layout
+    //     changes bytes on disk, never results) while parquet min/max
+    //     footer stats prune files on BOTH dimensions ---
+    "q_zorder_key" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.sources.Layout.withZKey(df, "user_id", "value", "zkey")
+            .where(F.col("event_id") % 97L === 0L)
+            .select(F.col("event_id"), F.col("zkey"))
+        }
+        .sort(col("event_id"))
+        .run(s)),
+
+    "q_zorder_skip" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val zdir = zorderFixture(s, dir)
+          df.sparkSession.read.parquet(zdir)
+            .where(F.col("user_id").between(100L, 300L) &&
+              F.col("value").between(10.0, 60.0))
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .as("value_cents"),
+              F.min(F.col("event_id")).as("min_event"),
+              F.max(F.col("event_id")).as("max_event"))
+        }
         .run(s)),
 
     // --- the full IVF-PQ serving composition: sqrt(n) coarse cells
@@ -8246,6 +8306,83 @@ object SparkEntry {
                 JOIN t0 ON t0.cid = s0.cell JOIN t1 ON t1.cid = s1.cell
                 CROSS JOIN q
            WHERE s0.vec_id <> 0) t
+         WHERE rank <= 10 ORDER BY rank"""),
+
+    // Z-order: the SHARED key formula (Layout.bucket16Sql/zorder2Sql —
+    // exact integer interleave + one correctly-rounded double bucket
+    // expression) replayed verbatim; buckets layered as subselect columns
+    // so the 16-fold spread references stay cheap column reads.
+    "q_zorder_key" ->
+      (s"""WITH mm AS (
+           SELECT min(CAST(user_id AS DOUBLE)) AS xmn,
+                  max(CAST(user_id AS DOUBLE)) AS xmx,
+                  min(CAST(value AS DOUBLE)) AS ymn,
+                  max(CAST(value AS DOUBLE)) AS ymx
+           FROM events),
+         b AS (
+           SELECT e.event_id,
+                  ${graft.sources.Layout.bucket16Sql(
+                    "e.user_id", "m.xmn", "m.xmx")} AS bx,
+                  ${graft.sources.Layout.bucket16Sql(
+                    "e.value", "m.ymn", "m.ymx")} AS zy
+           FROM events e, mm m
+           WHERE e.event_id % 97 = 0)
+         SELECT event_id, ${graft.sources.Layout.zorder2Sql("bx", "zy")} AS zkey
+         FROM b ORDER BY event_id"""),
+
+    // Z-order skip: the box predicate's VALUES are layout-independent —
+    // the oracle reads the raw table; the Spark side reads the z-ordered
+    // rewrite (file/row-group pruning on both dims is the point, results
+    // must be identical).
+    "q_zorder_skip" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                min(event_id) AS min_event, max(event_id) AS max_event
+         FROM events
+         WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60""",
+
+    // SQ8: per-dim min/max fit (exact aggregates), the SHARED quantization
+    // formula string (Embeddings.sq8CodeSql/sq8DqSql — identical
+    // correctly-rounded double ops on both engines), dequantized-cosine
+    // scoring with the same 6-dp round + id tie-break as every ANN oracle.
+    "q_ann_sq8" ->
+      (s"""WITH mm AS (
+           SELECT u.i,
+                  min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+                  max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+           FROM embeddings e, LATERAL unnest(range(1, 65)) u(i)
+           GROUP BY u.i),
+         prm AS MATERIALIZED (
+           SELECT list(mn ORDER BY i) AS mns,
+                  list((mx - mn) / CAST(255.0 AS DOUBLE) ORDER BY i) AS scs
+           FROM mm),
+         cod AS (
+           SELECT e.vec_id,
+                  list(${graft.llm.Embeddings.sq8CodeSql(
+                    "e.embedding[u.i]", "p.mns[u.i]", "p.scs[u.i]")}
+                    ORDER BY u.i) AS code
+           FROM embeddings e, LATERAL unnest(range(1, 65)) u(i), prm p
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id),
+         dq AS (
+           SELECT c.vec_id,
+                  list_transform(range(1, 65), i ->
+                    ${graft.llm.Embeddings.sq8DqSql(
+                      "c.code[i]", "p.mns[i]", "p.scs[i]")}) AS dqv
+           FROM cod c, prm p),
+         q AS (SELECT embedding AS qe,
+                      sqrt(${dotSql("embedding", "embedding")}) AS qn
+               FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, score, rank FROM (
+           SELECT d.vec_id,
+                  round((${dotSql("d.dqv", "q.qe")}) /
+                        (q.qn * sqrt(${dotSql("d.dqv", "d.dqv")})), 6) AS score,
+                  row_number() OVER (ORDER BY
+                    round((${dotSql("d.dqv", "q.qe")}) /
+                          (q.qn * sqrt(${dotSql("d.dqv", "d.dqv")})), 6) DESC,
+                    d.vec_id) AS rank
+           FROM dq d, q) t
          WHERE rank <= 10 ORDER BY rank"""),
 
     // IVF-PQ: the coarse sqrt(n) chain (default suffix — same CTEs as the

@@ -1995,6 +1995,122 @@ object Embeddings {
     pqTopK(rotated, idCol, vecCol, cb, dim, m, queryId, k, scope)
   }
 
+  // --------------------------------------------------------------------
+  // SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit practice):
+  // per-dimension min/max affine 8-bit codes. 4× compression at
+  // near-brute recall — the standard middle rung between raw float32
+  // and PQ's 32×-compression/lower-recall regime. Reference has no ANN
+  // surface at all (hashquery is relational); this is part of graft's
+  // beyond-reference LLM-pipeline layer.
+  // --------------------------------------------------------------------
+
+  /** The shared SQ8 quantization formula as a SQL string — parsed
+    * verbatim by BOTH Spark SQL (the HOF value-identity anchor LlmSpec
+    * pins against the native) and DuckDB (the oracle replay), so the
+    * engines agree bit-for-bit: all ops are correctly-rounded double
+    * arithmetic. `sc <= 0` marks a constant dimension (code 0 → dq = mn
+    * exactly). */
+  def sq8CodeSql(x: String, mn: String, sc: String): String =
+    // explicit NULL guard first: Spark's least/greatest SKIP nulls (a
+    // NULL element would silently code as the clamp bound instead of
+    // propagating), and engines differ on NULL-vs-skip — the guard makes
+    // NULL-in → NULL-code the pinned semantics everywhere
+    s"(CASE WHEN ($x) IS NULL OR ($mn) IS NULL OR ($sc) IS NULL THEN NULL " +
+      s"WHEN $sc <= CAST(0.0 AS DOUBLE) THEN 0 " +
+      // NaN anywhere (a NaN value, or a NaN max poisoning the scale)
+      // clamps to the TOP bound — pinned explicitly because least/
+      // greatest NaN handling differs across engines
+      s"WHEN isnan(CAST($x AS DOUBLE)) OR isnan($mn) OR isnan($sc) THEN 255 " +
+      s"ELSE CAST(least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
+      s"floor((CAST($x AS DOUBLE) - $mn) / $sc + CAST(0.5 AS DOUBLE)))) AS INT) END)"
+
+  /** Dequantization: dq_i = mn_i + code_i * sc_i (shared formula, same
+    * contract as [[sq8CodeSql]]). */
+  def sq8DqSql(code: String, mn: String, sc: String): String =
+    s"($mn + CAST($code AS DOUBLE) * $sc)"
+
+  /** One-pass SQ8 fit: per-dimension min/max over the corpus folded into
+    * a PROVABLY 1-row frame (`__mins__`, `__scales__` array<double>,
+    * sc_d = (max_d − min_d)/255). A global aggregate with map-side
+    * partials — one corpus scan regardless of dim, and the result is a
+    * legitimate broadcast build side for the BNLJ lint. */
+  def sq8Params(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    emb
+      .agg(
+        array((0 until dim).map(d =>
+          min(element_at(col(vecCol), d + 1).cast("double"))): _*).as("__mins__"),
+        array((0 until dim).map(d =>
+          max(element_at(col(vecCol), d + 1).cast("double"))): _*).as("__maxs__"))
+      .select(col("__mins__"),
+        expr("zip_with(__maxs__, __mins__, (a, b) -> (a - b) / CAST(255.0 AS DOUBLE))")
+          .as("__scales__"))
+  }
+
+  /** Encode a corpus frame against fitted params: adds `__code__`
+    * (array<int>, values 0..255 — the 4×-compressed representation a
+    * production pipeline persists via the bucketed parquet sink). The
+    * params frame must be [[sq8Params]]-shaped (1 row). */
+  def sq8Encode(emb: DataFrame, vecCol: String, params: DataFrame): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    emb.crossJoin(broadcast(params))
+      .withColumn("__code__", expr(s"vec_sq8_code($vecCol, __mins__, __scales__)"))
+      .drop("__mins__", "__scales__")
+  }
+
+  /** SQ8 asymmetric top-k: fit (one corpus pass), quantize candidates,
+    * and score the RAW query vector against each candidate's dequantized
+    * reconstruction — cosine = q·dq / (‖q‖·‖dq‖), 6-dp rounded with id
+    * tie-break, k-bounded `topk_by` cut (map-side combine, no
+    * single-reducer window). The candidate pass is scan-shaped: one
+    * 1-row broadcast (params × query row), zero candidate-set shuffles
+    * before the top-k — the same plan discipline as [[pqTopK]]'s ADC.
+    * Quantize/dot/norm run as codegen'd natives ([[graft.expr.Sq8Code]]
+    * family); LlmSpec pins their value identity against the shared-SQL
+    * HOF formulation, and the DuckDB oracle replays that formula. */
+  def sq8TopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      queryId: Long,
+      k: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    val params = sq8Params(emb, vecCol, dim)
+    val qrow = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    val one = broadcast(params.crossJoin(qrow))
+    val scoredAll = emb.where(col(idCol) =!= queryId)
+      .select(col(idCol).as("__vid__"), col(vecCol).as("__v__"))
+      .crossJoin(one)
+      .withColumn("__code__", expr("vec_sq8_code(__v__, __mins__, __scales__)"))
+      .withColumn("score", round(
+        expr("vec_sq8_dot(__code__, __mins__, __scales__, __q__)") /
+          (col("__qn__") *
+            sqrt(expr("vec_sq8_norm2(__code__, __mins__, __scales__)"))), 6))
+    val vidType = emb.schema(idCol).dataType
+    val integralVid = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(vidType)
+    if (integralVid)
+      scoredAll
+        .agg(expr(
+          s"topk_by(score, CAST(__vid__ AS BIGINT), CAST(NULL AS BIGINT), $k)")
+          .as("__tk__"))
+        .select(posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+        .select(col("__e__.id").cast(vidType).as("vec_id"),
+          col("__e__.score").as("score"),
+          (col("__p__") + 1).cast("int").as("rank"))
+    else
+      scoredAll
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("__vid__"))))
+        .where(col("rank") <= k)
+        .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: encode every corpus
     * vector as its per-segment nearest codebook entry, precompute the
     * query's dot product against every codebook entry (m × k values — a

@@ -1348,6 +1348,109 @@ class LlmSpec extends GraftSuite {
     assert(adc.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
   }
 
+  test("SQ8 natives match the shared-formula HOF bit-for-bit on every edge") {
+    // vec_sq8_code / vec_sq8_dot / vec_sq8_norm2 replace the
+    // CodegenFallback transform/aggregate formulation of the SHARED
+    // quantization formula (Embeddings.sq8CodeSql/sq8DqSql — the string
+    // the DuckDB oracle replays verbatim). The fixture forces every
+    // branch: random values, clamps on both ends (params deliberately
+    // narrower than the data), a constant dimension (scale 0), a NaN
+    // element (clamps to 255 via NaN-is-greatest), and a NULL element
+    // (NULL code; poisons dot/norm folds to NULL).
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{expr, when}
+    val rnd = new scala.util.Random(23)
+    val base = ((0L until 30L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 4 - 2))) ++ Seq(
+      (30L, Array(Float.NaN, 0f, 0f, 0f, 0f, 0.7f)),
+      (31L, Array(9f, -9f, 0f, 0f, 0f, 0.7f)))).toDF("vec_id", "embedding")
+    val d = base
+      .withColumn("embedding", when(sc("vec_id") === 29L,
+        expr("transform(embedding, (x, i) -> " +
+          "CASE WHEN i = 2 THEN CAST(NULL AS FLOAT) ELSE x END)"))
+        .otherwise(sc("embedding")))
+      // 5 live dims narrower than the data (forces clamps) + 1 constant dim
+      .withColumn("__mins__", expr(
+        "array(CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), " +
+          "CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(0.7 AS DOUBLE))"))
+      .withColumn("__scales__", expr(
+        "array(2.0 / CAST(255.0 AS DOUBLE), 2.0 / CAST(255.0 AS DOUBLE), " +
+          "2.0 / CAST(255.0 AS DOUBLE), 2.0 / CAST(255.0 AS DOUBLE), " +
+          "2.0 / CAST(255.0 AS DOUBLE), CAST(0.0 AS DOUBLE))"))
+    val codeHof = "transform(embedding, (x, i) -> " +
+      Embeddings.sq8CodeSql("x", "element_at(__mins__, i + 1)",
+        "element_at(__scales__, i + 1)") + ")"
+    val d2 = d
+      .withColumn("cn", expr("vec_sq8_code(embedding, __mins__, __scales__)"))
+      .withColumn("ch", expr(codeHof))
+    val dqHof = "transform(ch, (c, i) -> " +
+      Embeddings.sq8DqSql("c", "element_at(__mins__, i + 1)",
+        "element_at(__scales__, i + 1)") + ")"
+    val out = d2
+      .withColumn("dqh", expr(dqHof))
+      .select(sc("vec_id"), sc("cn"), sc("ch"),
+        expr("vec_sq8_dot(cn, __mins__, __scales__, embedding)").as("dotN"),
+        Embeddings.dotFold("dqh", "embedding").as("dotH"),
+        expr("vec_sq8_norm2(cn, __mins__, __scales__)").as("n2N"),
+        Embeddings.dotFold("dqh", "dqh").as("n2H"))
+      .collect()
+    assert(out.length === 32)
+    out.foreach { r =>
+      assert(r.getSeq[Any](r.fieldIndex("cn")) ===
+        r.getSeq[Any](r.fieldIndex("ch")), s"codes diverge for ${r.getLong(0)}")
+      def bits(f: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(f))) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(r.fieldIndex(f))))
+      assert(bits("dotN") === bits("dotH"), s"dot diverges for ${r.getLong(0)}")
+      assert(bits("n2N") === bits("n2H"), s"norm2 diverges for ${r.getLong(0)}")
+    }
+    // the NULL-element row poisons its folds to NULL on both paths
+    val nullRow = out.find(_.getLong(0) == 29L).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("dotN")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("n2N")))
+    // the clamp row actually clamped: codes 255 and 0 on dims 0 and 1
+    val clamp = out.find(_.getLong(0) == 31L).get
+    val codes = clamp.getSeq[Int](clamp.fieldIndex("cn"))
+    assert(codes(0) === 255 && codes(1) === 0)
+    // constant dim always codes 0
+    out.foreach(r => assert(r.getSeq[Any](r.fieldIndex("cn"))(5) === 0))
+  }
+
+  test("SQ8 on ≤256-level integer dims is lossless: sq8TopK equals brute") {
+    // integer dims 0..255 with min 0 / max 255 present per dim give
+    // scale exactly 1.0 and dq_i = code_i = x_i bit-for-bit, so the
+    // quantized search must return the brute-force top-k EXACTLY — any
+    // error in the fit aggregates, the quantize/dequantize formula, the
+    // score composition, or the topk_by cut breaks the equality.
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // rows 40/41 pin min 0 / max 255 in EVERY dim without a zero-norm
+    // vector (ANSI mode raises on the 0/0 cosine a zero norm produces —
+    // the same exposure every cosine op in the family has)
+    val embs = ((0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextInt(256).toFloat))) ++ Seq(
+      (40L, Array.tabulate(8)(d => if (d % 2 == 0) 0f else 255f)),
+      (41L, Array.tabulate(8)(d => if (d % 2 == 0) 255f else 0f)))).toDF("vec_id", "embedding")
+    // bit-pattern score compare (immune to -0.0/NaN equality pitfalls)
+    val sq = Embeddings.sq8TopK(embs, "vec_id", "embedding",
+      dim = 8, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+    val brute = Embeddings.bruteTopK(embs, "vec_id", "embedding",
+      queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(
+        r.getDouble(r.fieldIndex("cosine"))))).toSeq
+    assert(sq === brute)
+    // rank column is 1..k in score order
+    val ranks = Embeddings.sq8TopK(embs, "vec_id", "embedding",
+      dim = 8, queryId = 0L, k = 5).collect().map(_.getInt(2)).toSeq
+    assert(ranks === (1 to 5))
+  }
+
   test("cacheKeyed shares one persisted frame across fit and consumer") {
     // kmeansFitSqrtK and semDedup/ivfPqTopK all derive the same
     // (id, vec, norm) projection; the scope memo must hand back the SAME
