@@ -222,6 +222,37 @@ object SparkEntry {
       (dataDir.toString, tbl)
     }
 
+  /** Memoized persisted SQ8 artifact over the full embeddings table
+    * ([[graft.llm.Embeddings.sq8IndexSave]]): params sidecar + bucketed
+    * coded postings (4× smaller than raw vectors). q_ann_sq8_indexed
+    * times the coded-scan serve path only. */
+  private def sq8IndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"sq8_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          graft.llm.Embeddings.sq8IndexSave(
+            emb, "vec_id", "embedding", dim = 64, tmpTbl, tmpPath.toString)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO 8 BUCKETS
+                  LOCATION '$dataDir/postings'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
   /** [[ivfPqIndexFixture]]'s RESIDUAL-coded twin
     * ([[graft.llm.Embeddings.ivfPqIndexSave]] with `residual = true`,
     * codebooks fit on x − c(cell) — FAISS's by-residual IndexIVFPQ):
@@ -3777,6 +3808,26 @@ object SparkEntry {
         .native { df =>
           graft.llm.Embeddings.sq8TopK(df, "vec_id", "embedding",
             dim = 64, queryId = 0L, k = 10)
+        }
+        .sort(col("rank"))
+        .run(s)),
+
+    // --- SQ8 PERSISTED serving (the raw-store/coded-serving split, SQ
+    //     edition): params sidecar + bucketed coded postings — the timed
+    //     body scans CODES only (4× fewer bytes than raw vectors), one
+    //     small broadcast, per-query topk_by cut. Values ≡ q_ann_sq8
+    //     (same params — fitted on the same full corpus — same codes,
+    //     same fold), so the oracle is shared by reference ---
+    "q_ann_sq8_indexed" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = sq8IndexFixture(s, dir)
+          graft.llm.Embeddings.sq8TopKIndexed(
+            df.where(F.col("vec_id") === 0), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, k = 10)
+            .select(F.col("neighbor_id").as("vec_id"),
+              F.col("cosine").as("score"), F.col("rank"))
         }
         .sort(col("rank"))
         .run(s)),
@@ -10492,6 +10543,10 @@ object SparkEntry {
       // persisted-IVF serving is value-identical to the inline trained
       // path (same centroids, same deterministic assignment, shared tail)
       ("q_ann_ivf_indexed" -> baseOracleSql("q_ann_ivf_trained")) +
+      // persisted SQ8 serving ≡ the fit+serve query: the stored params
+      // ARE sq8Params(full corpus) (fixture saves over the same table),
+      // codes/fold/tie-break identical, only the storage differs
+      ("q_ann_sq8_indexed" -> baseOracleSql("q_ann_sq8")) +
       // streaming substring admission backfill ≡ the batch indexed
       // matches: the HOF run fold over per-pair position sets is
       // spec-pinned value-identical to the window formulation

@@ -2111,6 +2111,105 @@ object Embeddings {
         .select(col("__vid__").as("vec_id"), col("score"), col("rank"))
   }
 
+  /** Persisted SQ8 serving artifact — encode once, store the codes, serve
+    * forever from the 4×-smaller representation (the raw-store/coded-
+    * serving split, SQ edition). Layout: `dir/params` (one row:
+    * `__mins__`/`__scales__`), `dir/postings` (bucketed on idCol:
+    * id, `__code__` array<int>, attrs — NO raw vectors; shedding them is
+    * the point). */
+  def sq8IndexSave(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      table: String,
+      dir: String,
+      buckets: Int = 8,
+      attrs: Seq[String] = Seq.empty): Unit = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    val params = sq8Params(emb, vecCol, dim)
+    params.write.mode("overwrite").parquet(s"$dir/params")
+    val coded = sq8Encode(
+      emb.select((Seq(idCol, vecCol) ++ attrs).map(col): _*), vecCol, params)
+      .drop(vecCol)
+    graft.sources.ParquetIO.writeBucketed(
+      coded, table, s"$dir/postings", idCol, buckets)
+  }
+
+  /** The stored params read back as a PROVABLY 1-row frame: a persisted
+    * 1-row parquet is not provably 1-row to the plan lints — re-aggregate
+    * on read (max over one row is the identity). */
+  private def sq8StoredParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String, dim: Int): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params")
+      .agg(max(col("__mins__")).as("__mins__"),
+        max(col("__scales__")).as("__scales__"))
+    // model-parameter-sized shape check: a dim drift between save and
+    // serve would silently truncate the scoring fold
+    val row = p.collect().head
+    val nm = row.getSeq[Double](0).length
+    val ns = row.getSeq[Double](1).length
+    require(nm == dim && ns == dim,
+      s"stored SQ8 params cover $nm/$ns dims; caller expects $dim " +
+        "(was the index saved with a different dim?)")
+    p
+  }
+
+  /** APPEND maintenance for a persisted [[sq8IndexSave]] artifact: ONLY
+    * the new vectors encode, against the STORED params (frozen at fit —
+    * the FAISS add-after-train discipline; values outside the fitted
+    * [min, max] clamp to the bounds, the documented staleness trade whose
+    * compaction is a periodic re-save). Coded postings append to the
+    * bucketed table; existing postings untouched. Append-then-serve ≡
+    * rebuild against the same params (spec-pinned). */
+  def sq8IndexAppend(
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      table: String,
+      dim: Int,
+      buckets: Int = 8,
+      attrs: Seq[String] = Seq.empty): Unit = {
+    graft.GraftExtensions.install(newEmb.sparkSession)
+    val params = sq8StoredParams(newEmb.sparkSession, dir, dim)
+    val coded = sq8Encode(
+      newEmb.select((Seq(idCol, vecCol) ++ attrs).map(col): _*), vecCol, params)
+      .drop(vecCol)
+    graft.sources.ParquetIO.appendBucketed(coded, table, idCol, buckets)
+  }
+
+  /** Multi-query serving over a persisted [[sq8IndexSave]] artifact: one
+    * coded-postings scan per query BATCH (not per query) — every
+    * per-query quantity rides one small broadcast (stored params × query
+    * rows), scoring is the same codegen'd dequantized-cosine projection
+    * as [[sq8TopK]], and the cut is the per-query k-bounded `topk_by`
+    * aggregate. Raw vectors never load. Returns (query_id, neighbor_id,
+    * cosine, rank). */
+  def sq8TopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      dim: Int,
+      k: Int,
+  ): DataFrame = {
+    graft.GraftExtensions.install(queries.sparkSession)
+    val params = sq8StoredParams(queries.sparkSession, dir, dim)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__q__"), sqrt(dot(vecCol, vecCol)).as("__qn__"))
+    val one = broadcast(params.crossJoin(q))
+    val scored = postings
+      .crossJoin(one)
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_sq8_dot(__code__, __mins__, __scales__, __q__)") /
+          (col("__qn__") *
+            sqrt(expr("vec_sq8_norm2(__code__, __mins__, __scales__)"))), 6))
+    topKCut(scored, "query_id", idCol, k, postings.schema(idCol).dataType)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: encode every corpus
     * vector as its per-segment nearest codebook entry, precompute the
     * query's dot product against every codebook entry (m × k values — a

@@ -1451,6 +1451,49 @@ class LlmSpec extends GraftSuite {
     assert(ranks === (1 to 5))
   }
 
+  test("SQ8 persisted index: serve parity and frozen-params append ≡ rebuild") {
+    // save(half1) must serve exactly sq8TopK(half1); appending half2
+    // (constructed INSIDE half1's per-dim [min,max], so the frozen
+    // stored params equal a full-corpus refit's) must serve exactly
+    // sq8TopK(half1 ∪ half2) — any drift in the params sidecar, the
+    // encode-at-append, the bucketed append, or the indexed scorer
+    // breaks one of the equalities.
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val all = ((0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextInt(256).toFloat))) ++ Seq(
+      (40L, Array.tabulate(8)(d => if (d % 2 == 0) 0f else 255f)),
+      (41L, Array.tabulate(8)(d => if (d % 2 == 0) 255f else 0f))))
+      .toDF("vec_id", "embedding")
+    val half1 = all.where(sc("vec_id") < 15L || sc("vec_id") >= 40L)
+    val half2 = all.where(sc("vec_id") >= 15L && sc("vec_id") < 40L)
+    val root = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    val tbl = "sq8spec_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Embeddings.sq8IndexSave(half1, "vec_id", "embedding", dim = 8,
+      tbl, s"$root/v1")
+    def served(): Seq[(Long, Long)] = Embeddings.sq8TopKIndexed(
+        all.where(sc("vec_id") === 0L), "vec_id", "embedding", s"$root/v1",
+        spark.table(tbl), dim = 8, k = 5)
+      .orderBy(sc("rank")).collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        java.lang.Double.doubleToLongBits(
+          r.getDouble(r.fieldIndex("cosine"))))).toSeq
+    def direct(corpus: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Embeddings.sq8TopK(corpus, "vec_id", "embedding", dim = 8,
+        queryId = 0L, k = 5)
+        .orderBy(sc("rank")).collect()
+        .map(r => (r.getLong(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+    assert(served() === direct(half1))
+    Embeddings.sq8IndexAppend(half2, "vec_id", "embedding", s"$root/v1",
+      tbl, dim = 8)
+    assert(served() === direct(all))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("cacheKeyed shares one persisted frame across fit and consumer") {
     // kmeansFitSqrtK and semDedup/ivfPqTopK all derive the same
     // (id, vec, norm) projection; the scope memo must hand back the SAME
