@@ -253,6 +253,40 @@ object SparkEntry {
       (dataDir.toString, tbl)
     }
 
+  /** Memoized persisted IVF-SQ8 artifact (coarse sqrt(n) cells + GLOBAL
+    * per-dim SQ8 params — [[graft.llm.Embeddings.ivfSq8IndexSave]]):
+    * cell-gated quantized serving at 4× fewer posting bytes with
+    * near-exact within-cell ranking. */
+  private def ivfSq8IndexFixture(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val name = s"ivfsq8_${FixtureVer}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "fix_" + name
+      val root = java.nio.file.Paths.get("/root/repo/target/fixtures/idx")
+      java.nio.file.Files.createDirectories(root)
+      val dataDir = root.resolve(name)
+      if (!s.catalog.tableExists(tbl)) {
+        if (!java.nio.file.Files.exists(dataDir)) {
+          val tmpTbl = s"${tbl}_tmp_$runTag"
+          val tmpPath = root.resolve(s"$name.tmp-$runTag")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpPath.toFile)
+          val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          val coarse = graft.llm.Embeddings.kmeansFitSqrtK(
+            emb, "vec_id", "embedding", iters = 2)
+          graft.llm.Embeddings.ivfSq8IndexSave(
+            emb, "vec_id", "embedding", coarse, dim = 64,
+            tmpTbl, tmpPath.toString)
+          s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+          publishFixture(tmpPath, dataDir)
+        }
+        val ddl = s.read.parquet(s"$dataDir/postings").schema.toDDL
+        s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+                  CLUSTERED BY (__cell__) SORTED BY (__cell__) INTO 8 BUCKETS
+                  LOCATION '$dataDir/postings'""")
+      }
+      (dataDir.toString, tbl)
+    }
+
   /** [[ivfPqIndexFixture]]'s RESIDUAL-coded twin
     * ([[graft.llm.Embeddings.ivfPqIndexSave]] with `residual = true`,
     * codebooks fit on x − c(cell) — FAISS's by-residual IndexIVFPQ):
@@ -3810,6 +3844,38 @@ object SparkEntry {
             dim = 64, queryId = 0L, k = 10)
         }
         .sort(col("rank"))
+        .run(s)),
+
+    // --- IVF-SQ8 (FAISS IndexIVFScalarQuantizer): coarse sqrt(n) cells
+    //     gate candidates, SQ8 codes score them — cell-pruned quantized
+    //     serving at 4× fewer posting bytes with near-exact within-cell
+    //     ranking (the middle rung between raw IVF and IVF-PQ) ---
+    "q_ann_ivfsq8" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfSq8IndexFixture(s, dir)
+          graft.llm.Embeddings.ivfSq8TopKIndexed(
+            df.where(F.col("vec_id") < 3), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
+        .run(s)),
+
+    // --- STREAMING IVF-SQ8 (batch backfill through the streaming
+    //     lowering — probe + scoring as projections, topk_by cut):
+    //     values ≡ q_ann_ivfsq8 (same persisted artifact, same fold,
+    //     same tie-break), oracle shared by reference ---
+    "q_stream_ann_sq8" -> ((s, dir) =>
+      m(dir, "embeddings")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val (idxDir, tbl) = ivfSq8IndexFixture(s, dir)
+          graft.streaming.Streams.streamingIvfSq8TopK(
+            df.where(F.col("vec_id") < 3), "vec_id", "embedding",
+            idxDir, df.sparkSession.table(tbl), dim = 64, k = 5)
+        }
+        .sort(col("query_id")).sort(col("rank"))
         .run(s)),
 
     // --- SQ8 PERSISTED serving (the raw-store/coded-serving split, SQ
@@ -8359,6 +8425,51 @@ object SparkEntry {
            WHERE s0.vec_id <> 0) t
          WHERE rank <= 10 ORDER BY rank"""),
 
+    // IVF-SQ8: the default coarse chain (KmeansCtes — cells per vec via
+    // the sqrt(n) Lloyd replay) gates candidates to the query's cell,
+    // the SQ8 CTEs (global per-dim min/max params, shared quantization
+    // formula) reconstruct candidates, and the q_ann_ivf_trained scoring
+    // tail ranks the dequantized cosine per query.
+    "q_ann_ivfsq8" ->
+      (KmeansCtes + s""",
+         mm AS (
+           SELECT u.i,
+                  min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+                  max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+           FROM embeddings e, LATERAL unnest(range(1, 65)) u(i)
+           GROUP BY u.i),
+         prm AS MATERIALIZED (
+           SELECT list(mn ORDER BY i) AS mns,
+                  list((mx - mn) / CAST(255.0 AS DOUBLE) ORDER BY i) AS scs
+           FROM mm),
+         cod AS (
+           SELECT e.vec_id,
+                  list(${graft.llm.Embeddings.sq8CodeSql(
+                    "e.embedding[u.i]", "p.mns[u.i]", "p.scs[u.i]")}
+                    ORDER BY u.i) AS code
+           FROM embeddings e, LATERAL unnest(range(1, 65)) u(i), prm p
+           GROUP BY e.vec_id),
+         dqv AS MATERIALIZED (
+           SELECT c.vec_id,
+                  list_transform(range(1, 65), i ->
+                    ${graft.llm.Embeddings.sq8DqSql(
+                      "c.code[i]", "p.mns[i]", "p.scs[i]")}) AS dq
+           FROM cod c, prm p)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  round((${dotSql("d.dq", "q.embedding")}) /
+                        (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                         sqrt(${dotSql("d.dq", "d.dq")})), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    round((${dotSql("d.dq", "q.embedding")}) /
+                          (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                           sqrt(${dotSql("d.dq", "d.dq")})), 6) DESC,
+                    n.vec_id) AS rank
+           FROM sf q JOIN sf n ON q.cell = n.cell AND n.vec_id <> q.vec_id
+                JOIN dqv d ON d.vec_id = n.vec_id
+           WHERE q.vec_id < 3) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+
     // Z-order: the SHARED key formula (Layout.bucket16Sql/zorder2Sql —
     // exact integer interleave + one correctly-rounded double bucket
     // expression) replayed verbatim; buckets layered as subselect columns
@@ -10547,6 +10658,10 @@ object SparkEntry {
       // ARE sq8Params(full corpus) (fixture saves over the same table),
       // codes/fold/tie-break identical, only the storage differs
       ("q_ann_sq8_indexed" -> baseOracleSql("q_ann_sq8")) +
+      // streaming IVF-SQ8 backfill ≡ the batch indexed serve: same
+      // persisted artifact, same projection-ranked probes, same
+      // dequantized fold and topk_by tail
+      ("q_stream_ann_sq8" -> baseOracleSql("q_ann_ivfsq8")) +
       // streaming substring admission backfill ≡ the batch indexed
       // matches: the HOF run fold over per-pair position sets is
       // spec-pinned value-identical to the window formulation

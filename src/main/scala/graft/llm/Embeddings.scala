@@ -2139,7 +2139,7 @@ object Embeddings {
   /** The stored params read back as a PROVABLY 1-row frame: a persisted
     * 1-row parquet is not provably 1-row to the plan lints — re-aggregate
     * on read (max over one row is the identity). */
-  private def sq8StoredParams(
+  private[graft] def sq8StoredParams(
       spark: org.apache.spark.sql.SparkSession, dir: String, dim: Int): DataFrame = {
     val p = spark.read.parquet(s"$dir/params")
       .agg(max(col("__mins__")).as("__mins__"),
@@ -2203,6 +2203,74 @@ object Embeddings {
     val scored = postings
       .crossJoin(one)
       .where(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_sq8_dot(__code__, __mins__, __scales__, __q__)") /
+          (col("__qn__") *
+            sqrt(expr("vec_sq8_norm2(__code__, __mins__, __scales__)"))), 6))
+    topKCut(scored, "query_id", idCol, k, postings.schema(idCol).dataType)
+  }
+
+  /** IVF-SQ8 (the FAISS IndexIVFScalarQuantizer composition): coarse
+    * k-means cells gate the candidates, SQ8 codes score them — per-query
+    * cost O(n/k_coarse) code scans, postings store (cell, id, codes) at
+    * 4× fewer bytes than a raw IVF index, and within-cell ranking is
+    * near-exact (the SQ recall ceiling) where IVF-PQ trades recall for
+    * its 32×. Params are GLOBAL per-dim min/max (one fit pass, the
+    * QT_8bit default); routing is the standard raw-vector coarse argmax,
+    * so the cell structure is identical to [[ivfIndexSave]]'s. */
+  def ivfSq8IndexSave(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: DataFrame,
+      dim: Int,
+      table: String,
+      dir: String,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(emb.sparkSession)
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    val params = sq8Params(emb, vecCol, dim)
+    params.write.mode("overwrite").parquet(s"$dir/params")
+    val assigned = withCell(
+      emb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, coarse)
+      .select(col(idCol), col("__cell__"), col(vecCol))
+    val coded = sq8Encode(assigned, vecCol, params).drop(vecCol)
+    graft.sources.ParquetIO.writeBucketed(
+      coded, table, s"$dir/postings", "__cell__", buckets)
+  }
+
+  /** Multi-query serving over a persisted [[ivfSq8IndexSave]] artifact:
+    * queries assign themselves (probe cells rank on the 1-row folded
+    * centroid array for nprobe > 1), the probed cells' CODED postings
+    * equi-join (cell ids pushed to the postings scan), the dequantized
+    * cosine scores in one codegen'd projection, and the per-query
+    * k-bounded `topk_by` cut emits (query_id, neighbor_id, cosine,
+    * rank). */
+  def ivfSq8TopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      dim: Int,
+      k: Int,
+      nprobe: Int = 1,
+      pushCells: Boolean = true,
+  ): DataFrame = {
+    graft.GraftExtensions.install(queries.sparkSession)
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val params = sq8StoredParams(spark, dir, dim)
+    val qAssigned = withCell(
+      queries.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, centroids)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q__"),
+        col("__n__").as("__qn__"), col("__cell__"))
+    val probed = ivfQueryCells(qAssigned, centroids, nprobe)
+    val scored = probed
+      .crossJoin(broadcast(params)) // provably 1-row build (global agg)
+      .join(prunedPostings(postings, probed, pushCells),
+        col("__qcell__") === col("__cell__") && col(idCol) =!= col("query_id"))
       .withColumn("cosine", round(
         expr("vec_sq8_dot(__code__, __mins__, __scales__, __q__)") /
           (col("__qn__") *

@@ -877,6 +877,71 @@ object Streams {
         (col("__p__") + 1).cast("int").as("rank"))
   }
 
+  /** STREAMING IVF-SQ8 serving — [[streamingIvfTopK]]'s quantized twin
+    * over a persisted [[graft.llm.Embeddings.ivfSq8IndexSave]] artifact:
+    * the coarse assignment and (for nprobe > 1) the probe ranking run as
+    * PROJECTIONS against 1-row static joins (windows are unsupported on
+    * streams — the array_sort rank is the spec-pinned equivalent), the
+    * stream-static equi-join pulls only the probed cells' CODED
+    * postings, the dequantized cosine scores in one codegen'd
+    * projection, and the per-query k cut is the `topk_by` aggregate in
+    * update mode. Raw vectors never load — the static side the stream
+    * scans is the 4×-smaller coded representation. */
+  def streamingIvfSq8TopK(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      postings: DataFrame,
+      dim: Int,
+      k: Int,
+      nprobe: Int = 1,
+  ): DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    require(k >= 1, "k must be at least 1")
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val spark = docs.sparkSession
+    val idType = postings.schema(idCol).dataType
+    locally {
+      import org.apache.spark.sql.types._
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+        s"streamingIvfSq8TopK needs an integral '$idCol' (got $idType)")
+    }
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centArr = centroids
+      .select(col("cid").as("__cid__"), col("cv").as("__cv__"),
+        sqrt(expr("float_vec_dot(cv, cv)")).as("__cn__"))
+      .agg(collect_list(struct(col("__cid__"), col("__cv__"),
+        col("__cn__"))).as("__cents__"))
+      .withColumn("__one__", lit(1))
+    val params = graft.llm.Embeddings.sq8StoredParams(spark, dir, dim)
+      .withColumn("__onep__", lit(1))
+    withProbeCells(docs
+      .select(col(idCol).cast("long").as("__nid__"), col(vecCol).as("__q__"))
+      .where(col("__nid__").isNotNull)
+      .withColumn("__qn__", sqrt(expr("float_vec_dot(__q__, __q__)")))
+      .withColumn("__one__", lit(1))
+      .join(centArr, Seq("__one__")), nprobe)
+      .withColumn("__onep__", lit(1))
+      .join(params, Seq("__onep__")) // 1-row static side, equi-keyed
+      .join(postings, col("__qcell__") === col("__cell__") &&
+        col(idCol).cast("long") =!= col("__nid__"))
+      .withColumn("__cos__", round(
+        expr("vec_sq8_dot(__code__, __mins__, __scales__, __q__)") /
+          (col("__qn__") *
+            sqrt(expr("vec_sq8_norm2(__code__, __mins__, __scales__)"))), 6))
+      .groupBy(col("__nid__"))
+      .agg(expr(s"topk_by(__cos__, CAST($idCol AS BIGINT), " +
+        s"CAST(NULL AS BIGINT), $k)").as("__tk__"))
+      .select(col("__nid__").cast(idType).as("query_id"),
+        posexplode(col("__tk__")).as(Seq("__p__", "__e__")))
+      .select(col("query_id"),
+        col("__e__.id").cast(idType).as("neighbor_id"),
+        col("__e__.score").as("cosine"),
+        (col("__p__") + 1).cast("int").as("rank"))
+  }
+
   /** STREAMING maximal-substring admission — the exact-span TEXT
     * modality of the streaming admission matrix ([[graft.llm.Dedup
     * .substringMatchesIndexed]]'s continuous twin, and the

@@ -467,6 +467,58 @@ class StreamingSpec extends GraftSuite {
     graft.llm.CacheScope.global.release()
   }
 
+  test("streaming IVF-SQ8 serves a MemoryStream identically to the batch indexed path") {
+    // same persisted coded artifact, arrivals across two micro-batches,
+    // nprobe=2 (the projection-ranked probe path); parity target is
+    // ivfSq8TopKIndexed over the same queries — probe order, dequantized
+    // fold, and topk_by tail must all agree bit-for-bit
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scope = new graft.llm.CacheScope
+    val cents = graft.llm.Embeddings.kmeansFitSqrtK(
+      emb, "vec_id", "embedding", iters = 2, scope = scope)
+    s.sql("DROP TABLE IF EXISTS sq8ivf_stream")
+    graft.llm.Embeddings.ivfSq8IndexSave(emb, "vec_id", "embedding", cents,
+      dim = 64, "sq8ivf_stream", "/tmp/graft_knn/ivfsq8", buckets = 4)
+    try {
+      val idx = s.table("sq8ivf_stream")
+      val vecs = emb.where(sc("vec_id").isin(0L, 7L, 13L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      val ms = MemoryStream[(Long, Seq[Float])](s)
+      val served = graft.streaming.Streams.streamingIvfSq8TopK(
+        ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "/tmp/graft_knn/ivfsq8", idx, dim = 64, k = 4, nprobe = 2)
+      val q = served.writeStream.format("memory").queryName("ivfsq8_out")
+        .outputMode("complete").start()
+      try {
+        ms.addData((0L, vecs(0L)))
+        q.processAllAvailable()
+        ms.addData((7L, vecs(7L)), (13L, vecs(13L)))
+        q.processAllAvailable()
+        def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+        val rows = s.sql(
+          "SELECT query_id, neighbor_id, cosine, rank FROM ivfsq8_out")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2)),
+            r.getInt(3)))
+        assert(rows.map(_._1).toSet === Set(0L, 7L, 13L))
+        val want = graft.llm.Embeddings.ivfSq8TopKIndexed(
+            emb.where(sc("vec_id").isin(0L, 7L, 13L)), "vec_id", "embedding",
+            "/tmp/graft_knn/ivfsq8", idx, dim = 64, k = 4, nprobe = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), bits(r.getDouble(2)),
+            r.getInt(3)))
+        assert(rows.toSet === want.toSet)
+        assert(rows.length === want.length)
+      } finally q.stop()
+    } finally {
+      s.sql("DROP TABLE IF EXISTS sq8ivf_stream")
+      scope.release()
+    }
+    graft.llm.CacheScope.global.release()
+  }
+
   test("streaming kNN label at nprobe=2 matches the batch vote over the widened candidate set") {
     val s = spark
     import s.implicits._
