@@ -3917,6 +3917,25 @@ object SparkEntry {
         .sort(col("event_id"))
         .run(s)),
 
+    // --- 3-column z-key (10-bit buckets, stride-3 interleave): the
+    //     layout key for triple-predicate workloads; same shared-formula
+    //     discipline, timestamp dimension via exact epoch micros ---
+    "q_zorder3_key" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          graft.sources.Layout.withZKey3(
+            // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the
+            // cast's wall-clock micros equal DuckDB's epoch_us(ts)
+            df.withColumn("ts_us",
+              F.unix_micros(F.col("ts").cast("timestamp"))),
+            "user_id", "value", "ts_us", "zkey")
+            .where(F.col("event_id") % 89L === 0L)
+            .select(F.col("event_id"), F.col("zkey"))
+        }
+        .sort(col("event_id"))
+        .run(s)),
+
     "q_zorder_skip" -> ((s, dir) =>
       m(dir, "events")
         .native { df =>
@@ -8490,6 +8509,32 @@ object SparkEntry {
            FROM events e, mm m
            WHERE e.event_id % 97 = 0)
          SELECT event_id, ${graft.sources.Layout.zorder2Sql("bx", "zy")} AS zkey
+         FROM b ORDER BY event_id"""),
+
+    // 3-D z-key: same shared-formula replay, third dimension = exact
+    // epoch microseconds (micros < 2^53 so the DOUBLE cast is lossless
+    // on both engines).
+    "q_zorder3_key" ->
+      (s"""WITH mm AS (
+           SELECT min(CAST(user_id AS DOUBLE)) AS xmn,
+                  max(CAST(user_id AS DOUBLE)) AS xmx,
+                  min(CAST(value AS DOUBLE)) AS ymn,
+                  max(CAST(value AS DOUBLE)) AS ymx,
+                  min(CAST(epoch_us(ts) AS DOUBLE)) AS zmn,
+                  max(CAST(epoch_us(ts) AS DOUBLE)) AS zmx
+           FROM events),
+         b AS (
+           SELECT e.event_id,
+                  ${graft.sources.Layout.bucket10Sql(
+                    "e.user_id", "m.xmn", "m.xmx")} AS bx,
+                  ${graft.sources.Layout.bucket10Sql(
+                    "e.value", "m.ymn", "m.ymx")} AS zy,
+                  ${graft.sources.Layout.bucket10Sql(
+                    "epoch_us(e.ts)", "m.zmn", "m.zmx")} AS zz
+           FROM events e, mm m
+           WHERE e.event_id % 89 = 0)
+         SELECT event_id,
+                ${graft.sources.Layout.zorder3Sql("bx", "zy", "zz")} AS zkey
          FROM b ORDER BY event_id"""),
 
     // Z-order skip: the box predicate's VALUES are layout-independent —

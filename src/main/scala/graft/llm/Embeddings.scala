@@ -2239,6 +2239,34 @@ object Embeddings {
       coded, table, s"$dir/postings", "__cell__", buckets)
   }
 
+  /** APPEND maintenance for a persisted [[ivfSq8IndexSave]] artifact:
+    * new vectors assign against the STORED coarse centroids and encode
+    * against the STORED params (both frozen at fit — the FAISS
+    * add-after-train discipline twice over: drifted data routes to the
+    * nearest stale cell and clamps to the fitted value range, recall
+    * degrades gracefully, a periodic re-save is the compaction).
+    * Bucket-aligned append; existing postings untouched.
+    * Append-then-serve ≡ rebuild against the same centroids + params
+    * (spec-pinned). */
+  def ivfSq8IndexAppend(
+      newEmb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      table: String,
+      dim: Int,
+      buckets: Int = 8): Unit = {
+    graft.GraftExtensions.install(newEmb.sparkSession)
+    val spark = newEmb.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val params = sq8StoredParams(spark, dir, dim)
+    val assigned = withCell(
+      newEmb.withColumn("__n__", sqrt(dot(vecCol, vecCol))), vecCol, centroids)
+      .select(col(idCol), col("__cell__"), col(vecCol))
+    val coded = sq8Encode(assigned, vecCol, params).drop(vecCol)
+    graft.sources.ParquetIO.appendBucketed(coded, table, "__cell__", buckets)
+  }
+
   /** Multi-query serving over a persisted [[ivfSq8IndexSave]] artifact:
     * queries assign themselves (probe cells rank on the 1-row folded
     * centroid array for nprobe > 1), the probed cells' CODED postings

@@ -45,6 +45,21 @@ object Layout {
     step(s3, 286331153L, 572662306L, 2L) // bits → even positions
   }
 
+  /** Spread the low 10 bits of `x` to every THIRD bit position
+    * 0,3,…,27 (Morton part1by2 — the 3-column interleave's per-column
+    * half). Same pre-masked `+ * &` discipline as [[spread16Sql]];
+    * ZOrderSpec pins it against the classic shift/or sequence
+    * (masks 0x30000ff / 0x300f00f / 0x30c30c3 / 0x9249249). */
+  def spread10x3Sql(x: String): String = {
+    def step(e: String, keep: Long, move: Long, mul: Long): String =
+      s"((($e) & $keep) + ((($e) & $move) * $mul))"
+    val s0 = s"(($x) & 1023)"
+    val s1 = step(s0, 255L, 768L, 65536L) // bits 8-9 → 24-25
+    val s2 = step(s1, 50331663L, 240L, 256L) // nibble 4-7 → 12-15
+    val s3 = step(s2, 50343939L, 49164L, 16L) // pairs → stride-6 slots
+    step(s3, 17043521L, 34087042L, 4L) // bits → every 3rd position
+  }
+
   /** Equal-width 16-bit bucket of `x` within [mn, mx]: 0 on a degenerate
     * (mx <= mn) range, clamped at both ends, NaN clamps to 65535 via the
     * engines' shared NaN-is-greatest comparison semantics; NULL
@@ -63,6 +78,55 @@ object Layout {
     * the same with a subselect). */
   def zorder2Sql(bx: String, by: String): String =
     s"((${spread16Sql(bx)}) + (${spread16Sql(by)}) * 2)"
+
+  /** Equal-width 10-bit bucket (the 3-column key's per-column half —
+    * 1024 levels per dimension; same clamp/NULL/NaN semantics as
+    * [[bucket16Sql]]). */
+  def bucket10Sql(x: String, mn: String, mx: String): String =
+    s"(CASE WHEN ($mx) <= ($mn) THEN 0 ELSE " +
+      s"CAST(least(CAST(1023.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), " +
+      s"floor((CAST($x AS DOUBLE) - ($mn)) / (($mx) - ($mn)) * " +
+      s"CAST(1023.0 AS DOUBLE)))) AS BIGINT) END)"
+
+  /** 3-D Morton key from three 10-bit buckets: `bx` on bits 0,3,…,
+    * `by` on 1,4,…, `bz` on 2,5,… — 30 significant bits. Operands
+    * should be plain column references (see [[zorder2Sql]]). */
+  def zorder3Sql(bx: String, by: String, bz: String): String =
+    s"((${spread10x3Sql(bx)}) + (${spread10x3Sql(by)}) * 2 + " +
+      s"(${spread10x3Sql(bz)}) * 4)"
+
+  /** Adds the 3-D z-key column (the [[withZKey]] shape, one more
+    * dimension at 10 bits each). */
+  def withZKey3(
+      df: DataFrame, x: String, y: String, z: String,
+      out: String = "__z__"): DataFrame = {
+    val mm = df.agg(
+      min(col(x).cast("double")).as("__xmn__"),
+      max(col(x).cast("double")).as("__xmx__"),
+      min(col(y).cast("double")).as("__ymn__"),
+      max(col(y).cast("double")).as("__ymx__"),
+      min(col(z).cast("double")).as("__zmn__"),
+      max(col(z).cast("double")).as("__zmx__"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__bx__", expr(bucket10Sql(x, "__xmn__", "__xmx__")))
+      .withColumn("__by__", expr(bucket10Sql(y, "__ymn__", "__ymx__")))
+      .withColumn("__bz__", expr(bucket10Sql(z, "__zmn__", "__zmx__")))
+      .withColumn(out, expr(zorder3Sql("__bx__", "__by__", "__bz__")))
+      .drop("__xmn__", "__xmx__", "__ymn__", "__ymx__", "__zmn__", "__zmx__",
+        "__bx__", "__by__", "__bz__")
+  }
+
+  /** 3-column [[writeZOrdered]]. */
+  def writeZOrdered3(
+      df: DataFrame, x: String, y: String, z: String, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    withZKey3(df, x, y, z)
+      .repartitionByRange(numFiles, col("__z__"))
+      .sortWithinPartitions("__z__")
+      .drop("__z__")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Adds the 2-D z-key column: one global min/max aggregate (provably
     * 1-row broadcast — one corpus pass with map-side partials), bucket

@@ -1494,6 +1494,47 @@ class LlmSpec extends GraftSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("IVF-SQ8 append: frozen centroids + params serve ≡ rebuild") {
+    // the new-vector delta path must be indistinguishable from a full
+    // re-save against the SAME coarse centroids and params: half2 is
+    // constructed inside half1's per-dim extremes so the frozen stored
+    // params equal a full refit's, and both saves share one fitted
+    // coarse frame (the FAISS add-after-train contract, both knobs)
+    graft.GraftExtensions.install(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val all = ((0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextInt(256).toFloat))) ++ Seq(
+      (40L, Array.tabulate(8)(d => if (d % 2 == 0) 0f else 255f)),
+      (41L, Array.tabulate(8)(d => if (d % 2 == 0) 255f else 0f))))
+      .toDF("vec_id", "embedding")
+    val half1 = all.where(sc("vec_id") < 15L || sc("vec_id") >= 40L)
+    val half2 = all.where(sc("vec_id") >= 15L && sc("vec_id") < 40L)
+    val cents = Embeddings.kmeansFitSqrtK(half1, "vec_id", "embedding",
+      iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivfsq8idx").toString
+    Seq("ivfsq8spec_a", "ivfsq8spec_b").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Embeddings.ivfSq8IndexSave(half1, "vec_id", "embedding", cents,
+      dim = 8, "ivfsq8spec_a", s"$root/a")
+    Embeddings.ivfSq8IndexAppend(half2, "vec_id", "embedding", s"$root/a",
+      "ivfsq8spec_a", dim = 8)
+    Embeddings.ivfSq8IndexSave(all, "vec_id", "embedding", cents,
+      dim = 8, "ivfsq8spec_b", s"$root/b")
+    def serve(dir: String, tbl: String): Seq[(Long, Long, Int)] =
+      Embeddings.ivfSq8TopKIndexed(
+          all.where(sc("vec_id") === 0L), "vec_id", "embedding", dir,
+          spark.table(tbl), dim = 8, k = 5, nprobe = 2)
+        .orderBy(sc("rank")).collect()
+        .map(r => (r.getLong(1), java.lang.Double.doubleToLongBits(
+          r.getDouble(2)), r.getInt(3))).toSeq
+    assert(serve(s"$root/a", "ivfsq8spec_a") ===
+      serve(s"$root/b", "ivfsq8spec_b"))
+    Seq("ivfsq8spec_a", "ivfsq8spec_b").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("cacheKeyed shares one persisted frame across fit and consumer") {
     // kmeansFitSqrtK and semDedup/ivfPqTopK all derive the same
     // (id, vec, norm) projection; the scope memo must hand back the SAME

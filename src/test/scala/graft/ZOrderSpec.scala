@@ -43,6 +43,45 @@ class ZOrderSpec extends GraftSuite {
       .foreach(r => assert(r.getLong(2) === zRef(r.getLong(0), r.getLong(1))))
   }
 
+  test("spread10x3/zorder3 match the literal shift/or Morton reference") {
+    def spreadRef3(v: Long): Long = {
+      var x = v & 0x3FFL
+      x = (x | x << 16) & 0x30000FFL
+      x = (x | x << 8) & 0x300F00FL
+      x = (x | x << 4) & 0x30C30C3L
+      x = (x | x << 2) & 0x9249249L
+      x
+    }
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vals = Seq(0L, 1L, 32L, 512L, 1023L, 4096L) ++
+      Seq.fill(200)(rnd.nextLong().abs % (1L << 20))
+    vals.toDF("v")
+      .selectExpr("v", s"${Layout.spread10x3Sql("v")} AS sp")
+      .collect()
+      .foreach(r => assert(r.getLong(1) === spreadRef3(r.getLong(0))))
+    def zRef(a: Long, b: Long, c: Long): Long =
+      spreadRef3(a) | (spreadRef3(b) << 1) | (spreadRef3(c) << 2)
+    val triples = for {
+      a <- Seq(0L, 1L, 1023L, 513L); b <- Seq(0L, 700L, 1023L)
+      c <- Seq(0L, 341L, 1023L)
+    } yield (a, b, c)
+    triples.toDF("a", "b", "c")
+      .selectExpr("a", "b", "c", s"${Layout.zorder3Sql("a", "b", "c")} AS z")
+      .collect()
+      .foreach(r => assert(r.getLong(3) ===
+        zRef(r.getLong(0), r.getLong(1), r.getLong(2))))
+    // writeZOrdered3 round-trip: layout never changes values
+    val pts = (0L until 512L).map(i => (i, i % 8, (i / 8) % 8, i / 64))
+      .toDF("id", "x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("z3spec").toString + "/z3"
+    Layout.writeZOrdered3(pts, "x", "y", "z", dir, 4)
+    assert(s.read.parquet(dir).count() === 512L)
+    assert(s.read.parquet(dir).agg(sum("id")).collect().head.getLong(0) ===
+      (0L until 512L).sum)
+  }
+
   test("bucket16 clamps, degenerates, and scales per the shared semantics") {
     val s = spark
     import s.implicits._
