@@ -273,6 +273,15 @@ object RecallCheck {
     Embeddings.ivfPqIndexSave(emb, "vec_id", "embedding", cents, cbRes,
       dim = 64, m = 8, table = pqrTbl, dir = pqrDir, residual = true)
 
+    // IVF-SQ8 persisted artifact (same coarse cells as the ivf rows, SQ8
+    // codes in the postings): its recall = the IVF cell bound × SQ8's
+    // ≈1.0 within-cell ranking, measured to confirm nothing else leaks
+    val sq8Tbl = s"recall_sq8idx_$pqTag"
+    val sq8Dir = s"/tmp/graft_recall/sq8idx_$pqTag"
+    spark.sql(s"DROP TABLE IF EXISTS $sq8Tbl")
+    Embeddings.ivfSq8IndexSave(emb, "vec_id", "embedding", cents,
+      dim = 64, sq8Tbl, sq8Dir)
+
     val rows = Seq(
       ("lsh (bits=4)", queryIds.length, recallOf(
         Embeddings.lshTopK(emb, "vec_id", "embedding", queryPred,
@@ -352,6 +361,16 @@ object RecallCheck {
       ("sq8 scalar-quantized (8 bit/dim, full scan)", perQueryIds.length,
         recallOf(perQuery(q => Embeddings.sq8TopK(emb, "vec_id",
           "embedding", dim = 64, queryId = q, k = k)), perQueryIds)),
+      (s"ivf-sq8 INDEXED (k=$kCells, nprobe=1)", queryIds.length,
+        recallOf(Embeddings.ivfSq8TopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", sq8Dir,
+            spark.table(sq8Tbl), dim = 64, k = k)
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
+      (s"ivf-sq8 INDEXED (k=$kCells, nprobe=4)", queryIds.length,
+        recallOf(Embeddings.ivfSq8TopKIndexed(
+            emb.where(queryPred), "vec_id", "embedding", sq8Dir,
+            spark.table(sq8Tbl), dim = 64, k = k, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id")), queryIds)),
       // the PERSISTED coded path (multi-query serving surface): raw ADC
       // vs ADC + exact rerank over the candFactor·k shortlist — the
       // rerank row measures exactly what the tail exists to repair
