@@ -542,6 +542,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"), "user_id", "value", tmp, 16)
     }
 
+  /** 3-column twin: events z-ordered on (user_id, value, epoch micros)
+    * — the triple-predicate layout q_zorder3_skip serves from. */
+  private def zorder3Fixture(s: SparkSession, dir: String): String =
+    dirFixture("zord3_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      graft.sources.Layout.writeZOrdered3(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))),
+        "user_id", "value", "ts_us", tmp, 16)
+    }
+
   private def uniDocs(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -3944,6 +3955,27 @@ object SparkEntry {
           df.sparkSession.read.parquet(zdir)
             .where(F.col("user_id").between(100L, 300L) &&
               F.col("value").between(10.0, 60.0))
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .as("value_cents"),
+              F.min(F.col("event_id")).as("min_event"),
+              F.max(F.col("event_id")).as("max_event"))
+        }
+        .run(s)),
+
+    // --- 3-D box over the 3-column z-ordered rewrite: all three range
+    //     predicates (tenant-ish id, metric, time) prune at the scan;
+    //     values ≡ the raw table (layout-independent) ---
+    "q_zorder3_skip" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val zdir = zorder3Fixture(s, dir)
+          df.sparkSession.read.parquet(zdir)
+            .where(F.col("user_id").between(100L, 300L) &&
+              F.col("value").between(10.0, 60.0) &&
+              F.col("ts_us") >= 1704672000000000L &&
+              F.col("ts_us") < 1705363200000000L)
             .agg(F.count(F.lit(1)).as("n_rows"),
               F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
                 .as("value_cents"),
@@ -8548,6 +8580,18 @@ object SparkEntry {
                 min(event_id) AS min_event, max(event_id) AS max_event
          FROM events
          WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60""",
+
+    // 3-D z-order skip: layout-independent values, raw-table replay; the
+    // time bound compares exact epoch micros on both engines.
+    "q_zorder3_skip" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                min(event_id) AS min_event, max(event_id) AS max_event
+         FROM events
+         WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60
+           AND epoch_us(ts) >= 1704672000000000
+           AND epoch_us(ts) < 1705363200000000""",
 
     // SQ8: per-dim min/max fit (exact aggregates), the SHARED quantization
     // formula string (Embeddings.sq8CodeSql/sq8DqSql — identical
