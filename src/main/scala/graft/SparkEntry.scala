@@ -553,6 +553,60 @@ object SparkEntry {
         "user_id", "value", "ts_us", tmp, 16)
     }
 
+  /** Metric rollup cache over events at (user, type, day) grain —
+    * base slice SAVED, post-cutoff slice APPENDED, so every serve off
+    * this fixture exercises the delta-maintenance merge path. */
+  private def metricCacheFixture(s: SparkSession, dir: String): String =
+    dirFixture("mcache_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      val mc = graft.sources.MetricCache
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val cut = F.lit("2024-01-20").cast("timestamp")
+      val dims = Seq("user_id", "event_type")
+      mc.save(ev.where(F.col("ts") < cut), dims, "ts",
+        mc.standardPartials("value"), tmp)
+      mc.append(ev.where(F.col("ts") >= cut), dims, "ts",
+        mc.standardPartials("value"), tmp)
+    }
+
+  /** [[metricCacheFixture]]'s STREAMING-INGEST twin: the same events fed
+    * through a real MemoryStream in three micro-batches, the cache
+    * maintained by [[graft.sources.MetricCache.streamAppend]]'s
+    * per-batch partial appends. Serving it must be value-identical to
+    * the raw-fact aggregate — q_stream_metric_cache shares
+    * q_metric_cache's oracle by reference on exactly that claim.
+    * (MemoryStream is driver-fed by definition; this is fixture
+    * plumbing, untimed, same as the RecallCheck streaming ladders.) */
+  private def streamMetricCacheFixture(s: SparkSession, dir: String): String =
+    dirFixture("mcache_stream_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      val mc = graft.sources.MetricCache
+      // ts rides as epoch micros (timestamp Row accessors differ with
+      // spark.sql.datetime.java8API between sessions; longs don't)
+      val rows = s.read.parquet(s"$dir/events.parquet")
+        .select(F.col("event_id"),
+          F.unix_micros(F.col("ts").cast("timestamp")).as("ts_us"),
+          F.col("user_id"), F.col("event_type"), F.col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSeq
+      import s.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Double)](s)
+      val ckpt = java.nio.file.Files.createTempDirectory("mcache_ckpt").toString
+      val q = mc.streamAppend(
+        ms.toDF.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+          .withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+        Seq("user_id", "event_type"), "ts",
+        mc.standardPartials("value"), tmp, ckpt)
+      try {
+        rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+          ms.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
   private def uniDocs(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}
@@ -2044,6 +2098,16 @@ object SparkEntry {
       m(dir, "documents")
         .native(df => graft.llm.Dedup.minhashPairs(df, "doc_id", "text"))
         .sort(col("doc_a")).sort(col("doc_b"))
+        .run(s)),
+
+    // --- EXACT Jaccard-threshold join (AllPairs/PPJoin prefix filter):
+    //     zero false negatives — its oracle is the DEFINITION (all-pairs
+    //     in DuckDB), so a hash match proves candidate completeness, a
+    //     claim no minhash oracle can make ---
+    "q_dedup_jaccard_exact" -> ((s, dir) =>
+      m(dir, "documents")
+        .native(df => graft.llm.Dedup.jaccardJoinExact(df, "doc_id", "text"))
+        .sort(col("left_id")).sort(col("right_id"))
         .run(s)),
 
     // --- MinHash with the hot-bucket cap engaged (the LSH skew guard):
@@ -3981,6 +4045,59 @@ object SparkEntry {
                 .as("value_cents"),
               F.min(F.col("event_id")).as("min_event"),
               F.max(F.col("event_id")).as("max_event"))
+        }
+        .run(s)),
+
+    // --- persisted metric rollup cache (MetricCache): facts aggregated
+    //     ONCE to (user, type, day) additive partials, base SAVED +
+    //     post-cutoff slice APPENDED; this serve re-merges partials
+    //     under a day-range partition filter SPANNING the cutoff, so a
+    //     hash match proves save+append ≡ the raw-fact aggregate ---
+    "q_metric_cache" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val cdir = metricCacheFixture(s, dir)
+          mc.read(df.sparkSession, cdir)
+            .where(F.col(mc.DayCol) >= F.lit("2024-01-15").cast("date") &&
+              F.col(mc.DayCol) < F.lit("2024-01-25").cast("date") &&
+              F.col("user_id").between(50L, 100L))
+            .groupBy(F.col("event_type"), F.col(mc.DayCol).as("day"))
+            .agg(mc.standardMerge.head, mc.standardMerge.tail: _*)
+        }
+        .run(s)),
+
+    // --- the STREAM-MAINTAINED cache (three MemoryStream micro-batch
+    //     appends) serving the exact q_metric_cache slice: values must
+    //     equal the raw-fact aggregate — oracle shared by reference ---
+    "q_stream_metric_cache" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val cdir = streamMetricCacheFixture(s, dir)
+          mc.read(df.sparkSession, cdir)
+            .where(F.col(mc.DayCol) >= F.lit("2024-01-15").cast("date") &&
+              F.col(mc.DayCol) < F.lit("2024-01-25").cast("date") &&
+              F.col("user_id").between(50L, 100L))
+            .groupBy(F.col("event_type"), F.col(mc.DayCol).as("day"))
+            .agg(mc.standardMerge.head, mc.standardMerge.tail: _*)
+        }
+        .run(s)),
+
+    // --- coarser serve off the SAME cache: per-type totals across the
+    //     full time range (every base AND appended partial merges) ---
+    "q_metric_cache_rollup" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val cdir = metricCacheFixture(s, dir)
+          mc.read(df.sparkSession, cdir)
+            .where(F.col("user_id") <= 74L)
+            .groupBy(F.col("event_type"))
+            .agg(mc.standardMerge.head, mc.standardMerge.tail: _*)
         }
         .run(s)),
 
@@ -6469,6 +6586,25 @@ object SparkEntry {
       (MinhashPairsCtes +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
+    // EXACT jaccard join: the oracle is the DEFINITION — all pairs, no
+    // blocking — so a hash match certifies the prefix filter's
+    // no-false-negative guarantee, not just its verification math.
+    "q_dedup_jaccard_exact" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+           FROM toks WHERE len(w) >= 3
+         )
+         SELECT left_id, right_id, jaccard FROM (
+           SELECT x.doc_id AS left_id, y.doc_id AS right_id,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           FROM sh x JOIN sh y ON x.doc_id < y.doc_id) t
+         WHERE jaccard >= 0.8 ORDER BY left_id, right_id""",
+
     // paragraph dedup: the SAME minhash replay over a synthesized
     // paragraph corpus (per-source banner + two content slices).
     "q_dedup_paragraph" ->
@@ -8592,6 +8728,30 @@ object SparkEntry {
          WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60
            AND epoch_us(ts) >= 1704672000000000
            AND epoch_us(ts) < 1705363200000000""",
+
+    // Metric cache serves replay as DIRECT raw-fact aggregates: the cache
+    // is additive partials (count / integer-cents sum / min / max) at
+    // (user, type, day) grain, so any coarser merge must hash-match the
+    // fact table exactly — including across the save/append cutoff.
+    "q_metric_cache" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                min(value) AS value_min, max(value) AS value_max
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-25'
+           AND user_id BETWEEN 50 AND 100
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_metric_cache_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                min(value) AS value_min, max(value) AS value_max
+         FROM events
+         WHERE user_id <= 74
+         GROUP BY 1 ORDER BY 1""",
 
     // SQ8: per-dim min/max fit (exact aggregates), the SHARED quantization
     // formula string (Embeddings.sq8CodeSql/sq8DqSql — identical
@@ -10747,6 +10907,10 @@ object SparkEntry {
       // ARE sq8Params(full corpus) (fixture saves over the same table),
       // codes/fold/tie-break identical, only the storage differs
       ("q_ann_sq8_indexed" -> baseOracleSql("q_ann_sq8")) +
+      // stream-maintained metric cache serves the same additive-partial
+      // merge as the batch save+append cache: both must equal the direct
+      // raw-fact aggregate, so the direct oracle transfers verbatim
+      ("q_stream_metric_cache" -> baseOracleSql("q_metric_cache")) +
       // streaming IVF-SQ8 backfill ≡ the batch indexed serve: same
       // persisted artifact, same projection-ranked probes, same
       // dequantized fold and topk_by tail

@@ -408,6 +408,84 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (public
+    * AllPairs / PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * every pair of documents whose word-`shingleSize`-gram sets have
+    * Jaccard ≥ `threshold`, with NO false negatives — the exact
+    * complement of [[minhashJoin]], whose banding is probabilistic and
+    * misses borderline pairs. Candidate generation never goes all-pairs:
+    * under a global canonical gram order (corpus frequency ascending,
+    * gram ascending — rarest first), two sets with J ≥ τ must share a
+    * gram within their (|G| − ceil(τ·|G|) + 1)-prefix [the
+    * prefix-filtering principle], so only prefix postings self-join —
+    * per doc ≈(1−τ)·|G|+1 of its RAREST grams, and rare grams have small
+    * postings lists. A length filter (τ·max(|Ga|,|Gb|) ≤ min) prunes
+    * before the exact verification native scores each candidate pair.
+    * Output: (left_id, right_id, jaccard[6dp]), left < right.
+    *
+    * Scale: two linear shuffles (gram-frequency join, per-doc regroup)
+    * plus the prefix-posting self-join whose fan-out is bounded by
+    * prefix rarity, not corpus size. On a corpus whose duplicate OUTPUT
+    * is itself quadratic (everything ≈ everything) no exact join can be
+    * sub-quadratic — that regime is what [[minhashJoin]]'s caps are for.
+    */
+  def jaccardJoinExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__toks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__toks__")) >= shingleSize)
+      .withColumn("__grams__",
+        array_distinct(expr(s"word_ngrams(__toks__, $shingleSize)")))
+      .withColumn("__sz__", size(col("__grams__")))
+      .select("__id__", "__toks__", "__grams__", "__sz__")
+    val gramsC = scope.cache(grams)
+    val freq = gramsC
+      .select(explode(col("__grams__")).as("__gram__"))
+      .groupBy("__gram__").agg(count(lit(1)).as("__gf__"))
+    // rarest-first prefix, p = |G| − ceil(τ·|G|) + 1; the ceil is biased
+    // DOWN a hair: an over-long prefix only adds candidates, a short one
+    // would break the no-false-negative guarantee
+    val posting = gramsC
+      .select(col("__id__"), col("__sz__"),
+        explode(col("__grams__")).as("__gram__"))
+      .join(freq, Seq("__gram__"))
+      .groupBy("__id__")
+      .agg(any_value(col("__sz__")).as("__sz__"),
+        collect_list(struct(col("__gf__"), col("__gram__"))).as("__gl__"))
+      .withColumn("__pref__",
+        expr(s"""transform(
+            slice(array_sort(__gl__), 1,
+              __sz__ - CAST(ceil($threshold * __sz__ - 1e-9) AS INT) + 1),
+            x -> x.__gram__)"""))
+      .join(gramsC.select(col("__id__"), col("__toks__")), Seq("__id__"))
+      .select(col("__id__"), col("__toks__"), col("__sz__"),
+        explode(col("__pref__")).as("__gram__"))
+    val postingC = scope.cache(posting)
+    val left = postingC.select(col("__gram__"), col("__id__").as("__lid__"),
+      col("__toks__").as("__ltoks__"), col("__sz__").as("__lsz__"))
+    val right = postingC.select(col("__gram__"), col("__id__").as("__rid__"),
+      col("__toks__").as("__rtoks__"), col("__sz__").as("__rsz__"))
+    left.join(right, Seq("__gram__"))
+      .where(col("__lid__") < col("__rid__") &&
+        least(col("__lsz__"), col("__rsz__")).cast("double") >=
+          lit(threshold) * greatest(col("__lsz__"), col("__rsz__")) - lit(1e-9))
+      .withColumn("jaccard",
+        round(expr(s"word_ngram_jaccard(__ltoks__, __rtoks__, $shingleSize)"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("__lid__").as("left_id"), col("__rid__").as("right_id"),
+        col("jaccard"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate pairs.
     *
     * 32-bit SimHash over distinct word BIGRAMS (bigrams, not unigrams:

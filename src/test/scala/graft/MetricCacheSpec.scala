@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MetricCache
+
+/** Persisted metric rollup cache: save+append partials merge to exactly
+  * the direct fact-table aggregate, and serves prune/push at the scan. */
+class MetricCacheSpec extends GraftSuite {
+
+  private def facts = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val types = Array("view", "click", "buy")
+    (1 to 600).map { i =>
+      val day = 1 + rnd.nextInt(20) // Jan 1..20
+      (i.toLong,
+        Timestamp.valueOf(f"2024-01-$day%02d ${rnd.nextInt(24)}%02d:03:00"),
+        (rnd.nextInt(7)).toLong,
+        types(rnd.nextInt(3)),
+        math.floor(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("append ≡ rebuild: merged partials equal the direct aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("mcache").toString
+    val all = facts
+    val cut = lit("2024-01-14").cast("timestamp")
+    val dims = Seq("user_id", "event_type")
+    MetricCache.save(all.where(col("ts") < cut), dims, "ts",
+      MetricCache.standardPartials("value"), dir)
+    MetricCache.append(all.where(col("ts") >= cut), dims, "ts",
+      MetricCache.standardPartials("value"), dir)
+
+    // duplicate (dims, day) keys exist only if both slices hit a key —
+    // the cut splits by ts, so per-day keys land in exactly one slice;
+    // force the duplicate-key path too with a second overlapping append
+    MetricCache.append(all.where(col("ts") < cut && col("user_id") === 3L),
+      dims, "ts", MetricCache.standardPartials("value"), dir)
+    val direct = all
+      .union(all.where(col("user_id") === 3L && col("ts") < cut))
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+
+    val served = MetricCache.read(spark, dir)
+      .groupBy(col("event_type"), col(MetricCache.DayCol).as("day"))
+      .agg(MetricCache.standardMerge.head, MetricCache.standardMerge.tail: _*)
+    assert(served.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("streaming ingest ≡ batch rebuild at every micro-batch boundary") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mcache_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mcache_ck").toString
+    val all = facts.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](s)
+    val dims = Seq("user_id", "event_type")
+    val q = MetricCache.streamAppend(
+      ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      dims, "ts", MetricCache.standardPartials("value"), dir, ckpt)
+    try {
+      val (b1, rest) = all.splitAt(200)
+      val (b2, b3) = rest.splitAt(200)
+      var seen = 0
+      for (b <- Seq(b1, b2, b3)) {
+        ms.addData(b: _*)
+        q.processAllAvailable()
+        seen += b.size
+        val served = MetricCache.read(s, dir)
+          .groupBy(col("event_type"), col(MetricCache.DayCol).as("day"))
+          .agg(MetricCache.standardMerge.head,
+            MetricCache.standardMerge.tail: _*)
+        // direct aggregate over exactly the facts ingested so far
+        val want = all.take(seen)
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+            min(col("value")).as("value_min"),
+            max(col("value")).as("value_max"))
+        assert(served.collect().map(_.toSeq).toSet ===
+          want.collect().map(_.toSeq).toSet, s"diverged after $seen facts")
+      }
+    } finally q.stop()
+  }
+
+  test("serve plan: day range is a partition filter, dim filter is pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("mcache2").toString
+    MetricCache.save(facts, Seq("user_id", "event_type"), "ts",
+      MetricCache.standardPartials("value"), dir)
+    // hive-style day partitions on disk
+    val subdirs = new java.io.File(dir).listFiles().map(_.getName)
+    assert(subdirs.count(_.startsWith("__day__=")) > 5)
+
+    val q = MetricCache.read(spark, dir)
+      .where(col(MetricCache.DayCol).between("2024-01-05", "2024-01-10") &&
+        col("user_id") <= 3L)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__day__"),
+      s"day range did not prune partitions:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*user_id".r.findFirstIn(plan).isDefined,
+      s"user_id predicate did not push to the parquet scan:\n$plan")
+    assert(q.collect().nonEmpty)
+  }
+}
