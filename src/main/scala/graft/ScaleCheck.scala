@@ -79,7 +79,8 @@ object ScaleCheck {
       .getOrElse(Queries)
     println(f"| query | sf0.1 wall (s) | x$factor wall (s) | ratio | x$factor cpu (s) |")
     println("|---|---|---|---|---|")
-    val specials = Set("fit_sampled", "ivf_skew", "substr_append")
+    val specials = Set("fit_sampled", "ivf_skew", "substr_append",
+      "containment")
     selected.filterNot(specials).foreach { q =>
       val (w1, _) = time(srcDir, q)
       val (wN, cN) = time(scaledDir, q)
@@ -91,6 +92,8 @@ object ScaleCheck {
       ivfSkewCheck(spark, srcDir, s"$workDir/skew", factor)
     if (selected.contains("substr_append"))
       substrAppendCheck(spark, srcDir, scaledDir, s"$workDir/substr", factor)
+    if (selected.contains("containment"))
+      containmentCheck(spark, srcDir, scaledDir, factor)
     spark.stop()
   }
 
@@ -130,6 +133,25 @@ object ScaleCheck {
     println("|---|---|---|---|")
     println(f"| full rebuild (save) | $b1%.2f | $bN%.2f | ${bN / b1}%.2fx |")
     println(f"| append fixed slice | $a1%.2f | $aN%.2f | ${aN / a1}%.2fx |")
+  }
+
+  /** Full-corpus decade for the exact containment join (the driver's
+    * q_dedup_containment synthesizes a FIXED-size truncation corpus, so
+    * its ScaleCheck row would measure nothing — this times the operator
+    * over the whole documents table at both scales). */
+  private def containmentCheck(
+      spark: SparkSession, srcDir: String, scaledDir: String, factor: Int,
+  ): Unit = {
+    def docs(dir: String) =
+      sources.ParquetIO.read(spark, s"$dir/documents.parquet")
+    def wall(dir: String): Double = minOf3 { () =>
+      llm.Dedup.containmentJoinExact(docs(dir), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      llm.CacheScope.global.release()
+    }
+    val w1 = wall(srcDir)
+    val wN = wall(scaledDir)
+    println(f"| containment (FULL corpus) | $w1%.2f | $wN%.2f | ${wN / w1}%.2fx | n/a |")
   }
 
   private def minOf3(body: () => Unit): Double =

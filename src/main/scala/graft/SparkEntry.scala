@@ -569,6 +569,21 @@ object SparkEntry {
         mc.standardPartials("value"), tmp)
     }
 
+  /** Occupied-bucket distinct sketch (linear counting) over events at
+    * (event_type, day) grain, user_id keys, m=4096 — base saved,
+    * post-cutoff slice appended, like [[metricCacheFixture]]. */
+  private def distinctSketchFixture(s: SparkSession, dir: String): String =
+    dirFixture("mcsketch_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      val mc = graft.sources.MetricCache
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val cut = F.lit("2024-01-20").cast("timestamp")
+      mc.distinctSketchSave(ev.where(F.col("ts") < cut),
+        Seq("event_type"), "ts", "user_id", 4096, tmp)
+      mc.distinctSketchAppend(ev.where(F.col("ts") >= cut),
+        Seq("event_type"), "ts", "user_id", 4096, tmp)
+    }
+
   /** [[metricCacheFixture]]'s STREAMING-INGEST twin: the same events fed
     * through a real MemoryStream in three micro-batches, the cache
     * maintained by [[graft.sources.MetricCache.streamAppend]]'s
@@ -2108,6 +2123,24 @@ object SparkEntry {
       m(dir, "documents")
         .native(df => graft.llm.Dedup.jaccardJoinExact(df, "doc_id", "text"))
         .sort(col("left_id")).sort(col("right_id"))
+        .run(s)),
+
+    // --- EXACT containment join (asymmetric prefix filter): truncated
+    //     scrapes planted as substr(text, 1, 200) twins — Jaccard-blind
+    //     pairs (short ⊂ long) that containment must catch; definition-
+    //     level all-pairs oracle certifies completeness ---
+    "q_dedup_containment" -> ((s, dir) =>
+      m(dir, "documents")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val base = df.where(F.col("doc_id") < 150)
+          val corpus = base
+            .select((F.col("doc_id") * 2).as("doc_id"), F.col("text"))
+            .unionAll(base.select((F.col("doc_id") * 2 + 1).as("doc_id"),
+              F.substring(F.col("text"), 1, 200).as("text")))
+          graft.llm.Dedup.containmentJoinExact(corpus, "doc_id", "text")
+        }
+        .sort(col("contained_id")).sort(col("container_id"))
         .run(s)),
 
     // --- MinHash with the hot-bucket cap engaged (the LSH skew guard):
@@ -4098,6 +4131,24 @@ object SparkEntry {
             .where(F.col("user_id") <= 74L)
             .groupBy(F.col("event_type"))
             .agg(mc.standardMerge.head, mc.standardMerge.tail: _*)
+        }
+        .run(s)),
+
+    // --- approx COUNT(DISTINCT user) from the day-partitioned
+    //     occupied-bucket sketch (linear counting over md5 buckets):
+    //     distinct is NOT additive across days, so the sketch is what a
+    //     rollup cache must carry — the whole estimate (hash, union,
+    //     −m·ln(empty/m)) replays in DuckDB, including the merge of
+    //     base + appended slices ---
+    "q_metric_cache_distinct" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val sdir = distinctSketchFixture(s, dir)
+          mc.distinctEstimate(df.sparkSession, sdir, Seq("event_type"), 4096)
+            .select(F.col("event_type"), F.col("occupied"),
+              F.col("est_distinct").as("est_users"))
         }
         .run(s)),
 
@@ -6621,6 +6672,30 @@ object SparkEntry {
            FROM documents WHERE doc_id < 100""") +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
 
+    // Containment join: all-pairs definition over the same synthesized
+    // truncation corpus (C = |∩| / |contained|, both orientations).
+    "q_dedup_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id * 2 AS doc_id, text
+           FROM documents WHERE doc_id < 150
+           UNION ALL
+           SELECT doc_id * 2 + 1, substr(text, 1, 200)
+           FROM documents WHERE doc_id < 150
+         ), toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM corpus
+         ), sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh
+           FROM toks WHERE len(w) >= 3
+         )
+         SELECT contained_id, container_id, containment FROM (
+           SELECT x.doc_id AS contained_id, y.doc_id AS container_id,
+                  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                        len(x.sh), 6) AS containment
+           FROM sh x JOIN sh y ON x.doc_id <> y.doc_id) t
+         WHERE containment >= 0.9 ORDER BY contained_id, container_id""",
+
     "q_dedup_minhash_skew" ->
       (minhashPairsCtes(maxBucketSize = 2) +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"),
@@ -8743,6 +8818,22 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-25'
            AND user_id BETWEEN 50 AND 100
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Linear-counting sketch: the DuckDB side rebuilds the occupied-
+    // bucket set from raw facts with the value-identical md5 bucket hash
+    // (day merges away under DISTINCT — exactly the cache's serve merge)
+    // and applies the SHARED estimator formula string.
+    "q_metric_cache_distinct" ->
+      s"""WITH b AS (
+           SELECT event_type,
+                  ${graft.sources.MetricCache.bucketDuckSql("user_id", 4096)}
+                    AS bucket
+           FROM events GROUP BY 1, 2
+         )
+         SELECT event_type, CAST(count(*) AS BIGINT) AS occupied,
+                ${graft.sources.MetricCache.linearCountSql("count(*)", 4096)}
+                  AS est_users
+         FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_metric_cache_rollup" ->
       """SELECT event_type, count(*) AS n_events,

@@ -486,6 +486,72 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT containment-threshold join — [[jaccardJoinExact]]'s
+    * asymmetric sibling: pairs where C(L→R) = |G_L ∩ G_R| / |G_L| ≥ τ,
+    * i.e. L's gram set is (near-)contained in R's. Jaccard misses these
+    * by construction (a 200-word doc fully quoted inside a 2000-word doc
+    * has J ≈ 0.1 but C = 1.0); containment is the right test for
+    * truncated scrapes, wrapper pages, and quote-heavy near-dups.
+    * Candidate rule: |G_L ∩ G_R| ≥ ceil(τ·|G_L|) forces a gram of L's
+    * (|G_L| − ceil(τ·|G_L|) + 1)-prefix (global rarest-first order) to
+    * appear ANYWHERE in R, so L-prefix postings join R's FULL postings —
+    * still never all-pairs, and the R side is a plain linear posting
+    * list. Verification is exact set intersection over the cached gram
+    * arrays. Output: (contained_id, container_id, containment[6dp]),
+    * both orientations of an identical pair. */
+  def containmentJoinExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    graft.GraftExtensions.install(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("__id__"), col(textCol).as("__text__"))
+      .withColumn("__toks__", TextOps.tokens(col("__text__")))
+      .where(size(col("__toks__")) >= shingleSize)
+      .withColumn("__grams__",
+        array_distinct(expr(s"word_ngrams(__toks__, $shingleSize)")))
+      .withColumn("__sz__", size(col("__grams__")))
+      .select("__id__", "__grams__", "__sz__")
+    val gramsC = scope.cache(grams)
+    val freq = gramsC
+      .select(explode(col("__grams__")).as("__gram__"))
+      .groupBy("__gram__").agg(count(lit(1)).as("__gf__"))
+    val full = gramsC
+      .select(explode(col("__grams__")).as("__gram__"),
+        col("__id__").as("__rid__"))
+    val prefix = gramsC
+      .select(col("__id__"), col("__sz__"),
+        explode(col("__grams__")).as("__gram__"))
+      .join(freq, Seq("__gram__"))
+      .groupBy("__id__")
+      .agg(any_value(col("__sz__")).as("__sz__"),
+        collect_list(struct(col("__gf__"), col("__gram__"))).as("__gl__"))
+      .select(col("__id__").as("__lid__"),
+        explode(expr(s"""transform(
+            slice(array_sort(__gl__), 1,
+              __sz__ - CAST(ceil($threshold * __sz__ - 1e-9) AS INT) + 1),
+            x -> x.__gram__)""")).as("__gram__"))
+    prefix.join(full, Seq("__gram__"))
+      .where(col("__lid__") =!= col("__rid__"))
+      .select("__lid__", "__rid__").distinct()
+      .join(gramsC.select(col("__id__").as("__lid__"),
+        col("__grams__").as("__lg__"), col("__sz__").as("__lsz__")),
+        Seq("__lid__"))
+      .join(gramsC.select(col("__id__").as("__rid__"),
+        col("__grams__").as("__rg__")), Seq("__rid__"))
+      .withColumn("containment",
+        round(size(array_intersect(col("__lg__"), col("__rg__")))
+          .cast("double") / col("__lsz__"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("__lid__").as("contained_id"),
+        col("__rid__").as("container_id"), col("containment"))
+  }
+
   /** SimHash near-duplicate pairs.
     *
     * 32-bit SimHash over distinct word BIGRAMS (bigrams, not unigrams:

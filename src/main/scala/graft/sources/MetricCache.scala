@@ -131,4 +131,99 @@ object MetricCache {
     * and dim predicates push to the parquet scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  // --- approximate-distinct partials (linear counting, Whang et al.
+  //     TODS'90) --------------------------------------------------------
+  //
+  // COUNT(DISTINCT key) is the one dashboard measure the additive
+  // partials above cannot carry (distinct is not additive across days).
+  // The mergeable form: hash each key into one of `m` md5 buckets and
+  // cache the OCCUPIED-BUCKET SET per (dims…, day) — set union is the
+  // merge (a distinct, order- and duplicate-insensitive), and the linear
+  // counting estimator n̂ = −m·ln(empty/m) needs only the merged occupied
+  // count. Unlike HLL's register folds, the estimate is ONE closed-form
+  // expression over ONE integer, so the whole sketch replays exactly in
+  // DuckDB (md5 is the engine-portable hash; ln is the only 1-ulp op and
+  // rides the repo's 6-dp log-family rounding). Sketch size is bounded
+  // by m rows per (dims…, day) group no matter how many facts hashed in
+  // — the 100 TB property. Accuracy: for n ≪ m the relative error is
+  // ≈sqrt(m)·(e^{n/m}−n/m−1)^{1/2}/n — under 2% at n ≤ m/2; size m to
+  // the largest per-group cardinality you care to resolve.
+
+  /** Spark rendering of the bucket hash: first 8 md5 hex digits as an
+    * integer, mod `m`. Value-identical to [[bucketDuckSql]] (texts
+    * differ because Spark parses hex via `conv`, DuckDB via `0x`). */
+  def bucketSparkSql(keyCol: String, m: Int): String =
+    s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) " +
+      s"AS BIGINT) % $m"
+
+  /** DuckDB rendering of the same bucket hash. */
+  def bucketDuckSql(keyCol: String, m: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST($keyCol AS STRING)), 1, 8)) " +
+      s"AS BIGINT) % $m"
+
+  /** Linear-counting estimate from a merged occupied-bucket count —
+    * the SAME formula string evaluates in Spark SQL and DuckDB (`- / *`
+    * correctly rounded; `ln` is log-family → 6-dp round; saturated
+    * sketches estimate NULL rather than −∞). */
+  def linearCountSql(occupiedCol: String, m: Int): String =
+    s"CASE WHEN $occupiedCol >= $m THEN NULL " +
+      s"ELSE round(-$m.0 * ln(($m.0 - $occupiedCol) / $m.0), 6) END"
+
+  /** Build the distinct sketch: one row per (dims…, day, bucket) that
+    * saw at least one key — the occupied-bucket set, day-partitioned
+    * like the metric cache. */
+  def distinctSketchSave(
+      facts: DataFrame,
+      dims: Seq[String],
+      timeCol: String,
+      keyCol: String,
+      m: Int,
+      dir: String,
+  ): Unit =
+    sketchFrame(facts, dims, timeCol, keyCol, m)
+      .write.mode("overwrite").partitionBy(DayCol).parquet(dir)
+
+  /** Delta maintenance: append the new slice's occupied buckets. Rows
+    * duplicated across appends are harmless — serve merges by DISTINCT,
+    * and set union is idempotent (the reason a sketch needs no
+    * read-modify-write either). */
+  def distinctSketchAppend(
+      newFacts: DataFrame,
+      dims: Seq[String],
+      timeCol: String,
+      keyCol: String,
+      m: Int,
+      dir: String,
+  ): Unit =
+    sketchFrame(newFacts, dims, timeCol, keyCol, m)
+      .write.mode("append").partitionBy(DayCol).parquet(dir)
+
+  private def sketchFrame(
+      facts: DataFrame,
+      dims: Seq[String],
+      timeCol: String,
+      keyCol: String,
+      m: Int,
+  ): DataFrame = {
+    require(m > 0, "bucket count must be positive")
+    facts
+      .withColumn(DayCol, date_trunc("day", col(timeCol)).cast("date"))
+      .withColumn("__bucket__", expr(bucketSparkSql(keyCol, m)))
+      .select((dims :+ DayCol :+ "__bucket__").map(col): _*)
+      .distinct()
+  }
+
+  /** Serve an approximate COUNT(DISTINCT key) per `groupDims` from a
+    * sketch dir: union the occupied sets (distinct), count, estimate. */
+  def distinctEstimate(
+      spark: SparkSession,
+      dir: String,
+      groupDims: Seq[String],
+      m: Int,
+  ): DataFrame =
+    read(spark, dir)
+      .groupBy(groupDims.map(col): _*)
+      .agg(count_distinct(col("__bucket__")).as("occupied"))
+      .withColumn("est_distinct", expr(linearCountSql("occupied", m)))
 }

@@ -64,6 +64,44 @@ class JaccardJoinSpec extends GraftSuite {
     }
   }
 
+  test("containment join: parity with the all-pairs definition") {
+    val s = spark
+    import s.implicits._
+    def gramSet(t: String): Set[String] = {
+      val w = t.trim.split("\\s+")
+      if (w.length < Shingle) Set.empty
+      else w.sliding(Shingle).map(_.mkString(" ")).toSet
+    }
+    // planted truncations: short docs fully inside long ones — Jaccard
+    // would score these ~len_short/len_long, containment ≈ 1
+    val docs = corpus ++ corpus.take(10).map { case (id, t) =>
+      (500L + id, t.split(" ").take(8).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (tau <- Seq(0.7, 0.9)) {
+      val got = Dedup.containmentJoinExact(df, "doc_id", "text", Shingle, tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val gs = docs.map { case (id, t) => (id, gramSet(t)) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, ga) <- gs; (b, gb) <- gs if a != b
+        c = BigDecimal(ga.intersect(gb).size.toDouble / ga.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if c >= tau
+      } yield (a, b, c)).toSet
+      assert(got === want, s"tau=$tau: got ${got.size}, want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      if (tau == 0.9) {
+        assert(want.nonEmpty)
+        // the Jaccard-blind case is really present: some containment pair
+        // is NOT a Jaccard-0.9 pair
+        val jac = brute(docs, 0.9).map(p => (p._1, p._2)).toSet
+        assert(want.exists(p => !jac.contains((p._1 min p._2, p._1 max p._2))))
+      }
+    }
+  }
+
   test("token order does not matter: equal gram sets are found at tau=1") {
     val s = spark
     import s.implicits._

@@ -96,6 +96,35 @@ class MetricCacheSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("distinct sketch: accuracy across cardinalities, append idempotence") {
+    val s = spark
+    import s.implicits._
+    val m = 4096
+    for (n <- Seq(100, 1000, 3000)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"sketch$n").toString
+      val keys = (1 to n).map(k =>
+        (k.toLong, Timestamp.valueOf(f"2024-01-${1 + k % 20}%02d 10:00:00"), "t"))
+        .toDF("uid", "ts", "kind")
+      // base = first 60%, append = last 60% — overlapping slices, so the
+      // estimate is only right if duplicated buckets union, not add
+      MetricCache.distinctSketchSave(keys.where(col("uid") <= n * 6 / 10),
+        Seq("kind"), "ts", "uid", m, dir)
+      MetricCache.distinctSketchAppend(keys.where(col("uid") > n * 4 / 10),
+        Seq("kind"), "ts", "uid", m, dir)
+      val est = MetricCache.distinctEstimate(s, dir, Seq("kind"), m)
+        .collect().head.getDouble(2)
+      assert(math.abs(est - n) / n < 0.05, s"n=$n est=$est")
+
+      // rebuilt-from-scratch sketch estimates identically (set-union
+      // idempotence — the no-read-modify-write claim)
+      val dir2 = java.nio.file.Files.createTempDirectory(s"sketchF$n").toString
+      MetricCache.distinctSketchSave(keys, Seq("kind"), "ts", "uid", m, dir2)
+      val est2 = MetricCache.distinctEstimate(s, dir2, Seq("kind"), m)
+        .collect().head.getDouble(2)
+      assert(est === est2)
+    }
+  }
+
   test("serve plan: day range is a partition filter, dim filter is pushed") {
     val dir = java.nio.file.Files.createTempDirectory("mcache2").toString
     MetricCache.save(facts, Seq("user_id", "event_type"), "ts",
