@@ -569,6 +569,15 @@ object SparkEntry {
         mc.standardPartials("value"), tmp)
     }
 
+  /** File-stats manifest over [[zorderFixture]]'s 16 z-ordered files,
+    * indexed on (user_id, value) — q_manifest_skip plans its box from
+    * this instead of parquet footers. */
+  private def manifestFixture(s: SparkSession, dir: String): String =
+    dirFixture("zmanifest_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      graft.sources.StatsManifest.save(
+        s, zorderFixture(s, dir), Seq("user_id", "value"), tmp)
+    }
+
   /** Occupied-bucket distinct sketch (linear counting) over events at
     * (event_type, day) grain, user_id keys, m=4096 — base saved,
     * post-cutoff slice appended, like [[metricCacheFixture]]. */
@@ -4052,6 +4061,27 @@ object SparkEntry {
           df.sparkSession.read.parquet(zdir)
             .where(F.col("user_id").between(100L, 300L) &&
               F.col("value").between(10.0, 60.0))
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .as("value_cents"),
+              F.min(F.col("event_id")).as("min_event"),
+              F.max(F.col("event_id")).as("max_event"))
+        }
+        .run(s)),
+
+    // --- manifest-planned serve of the SAME 2-D box as q_zorder_skip
+    //     (oracle shared by reference): file pruning decided by the
+    //     stats MANIFEST (one tiny parquet, zero footer reads), the scan
+    //     lists only surviving files — the Delta/Iceberg planning shape
+    //     that matters at millions of files ---
+    "q_manifest_skip" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val zdir = zorderFixture(s, dir)
+          val mdir = manifestFixture(s, dir)
+          graft.sources.StatsManifest.prunedRead(df.sparkSession, zdir, mdir,
+              Seq(("user_id", 100L, 300L), ("value", 10.0, 60.0)))
             .agg(F.count(F.lit(1)).as("n_rows"),
               F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
                 .as("value_cents"),
@@ -11002,6 +11032,9 @@ object SparkEntry {
       // merge as the batch save+append cache: both must equal the direct
       // raw-fact aggregate, so the direct oracle transfers verbatim
       ("q_stream_metric_cache" -> baseOracleSql("q_metric_cache")) +
+      // manifest-planned serve of the zorder box: file skipping never
+      // changes values, so the raw-table replay transfers verbatim
+      ("q_manifest_skip" -> baseOracleSql("q_zorder_skip")) +
       // streaming IVF-SQ8 backfill ≡ the batch indexed serve: same
       // persisted artifact, same projection-ranked probes, same
       // dequantized fold and topk_by tail
