@@ -4182,6 +4182,19 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- distinct-user OVERLAP between two event types by inclusion–
+    //     exclusion over the SAME sketch rows (one m-bounded scan; the
+    //     exact answer would need a key-level self-join of the facts) ---
+    "q_metric_cache_overlap" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          val mc = graft.sources.MetricCache
+          val sdir = distinctSketchFixture(s, dir)
+          mc.distinctOverlapEstimate(df.sparkSession, sdir, "event_type",
+            "click", "purchase", 4096)
+        }
+        .run(s)),
+
     // --- the full IVF-PQ serving composition: sqrt(n) coarse cells
     //     restrict candidates to the query's cell, ADC over m=2 segment
     //     codebooks scores only those — per-query cost O(n/k) code
@@ -8864,6 +8877,37 @@ object SparkEntry {
                 ${graft.sources.MetricCache.linearCountSql("count(*)", 4096)}
                   AS est_users
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    // Overlap by inclusion–exclusion: three shared-formula estimates and
+    // the canonicalized sum replay bit-for-bit.
+    "q_metric_cache_overlap" ->
+      s"""WITH b AS (
+           SELECT event_type,
+                  ${graft.sources.MetricCache.bucketDuckSql("user_id", 4096)}
+                    AS bucket
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2
+         ), o AS (
+           SELECT
+             CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                      THEN bucket END) AS BIGINT) AS occ_a,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN bucket END) AS BIGINT) AS occ_b,
+             CAST(count(DISTINCT bucket) AS BIGINT) AS occ_union
+           FROM b
+         ), e AS (
+           SELECT occ_a, occ_b, occ_union,
+                  ${graft.sources.MetricCache.linearCountSql("occ_a", 4096)}
+                    AS ea,
+                  ${graft.sources.MetricCache.linearCountSql("occ_b", 4096)}
+                    AS eb,
+                  ${graft.sources.MetricCache.linearCountSql("occ_union", 4096)}
+                    AS eu
+           FROM o
+         )
+         SELECT occ_a, occ_b, occ_union,
+                round(ea + eb - eu + 0.0, 6) AS est_overlap
+         FROM e""",
 
     "q_metric_cache_rollup" ->
       """SELECT event_type, count(*) AS n_events,

@@ -214,6 +214,39 @@ object MetricCache {
       .distinct()
   }
 
+  /** Approximate DISTINCT-KEY OVERLAP between two slices of `dimCol`
+    * (e.g. users who both clicked AND purchased) by inclusion–exclusion
+    * over the SAME sketch rows: |A∩B| ≈ n̂(A) + n̂(B) − n̂(A∪B), where
+    * n̂(A∪B) comes from the union of the two occupied sets — a count
+    * distinct, no extra sketch. Exact distinct-intersections at 100 TB
+    * need a full key-level join; this is one scan of the m-bounded
+    * sketch. All three estimates and the final sum use the shared
+    * 6-dp-rounded formula (`+ 0.0` canonicalizes −0.0), so the whole
+    * serve replays in DuckDB. Error compounds ≈3× a single estimate —
+    * size m accordingly. */
+  def distinctOverlapEstimate(
+      spark: SparkSession,
+      dir: String,
+      dimCol: String,
+      valueA: String,
+      valueB: String,
+      m: Int,
+  ): DataFrame =
+    read(spark, dir)
+      .where(col(dimCol).isin(valueA, valueB))
+      .agg(
+        count_distinct(when(col(dimCol) === valueA, col("__bucket__")))
+          .as("occ_a"),
+        count_distinct(when(col(dimCol) === valueB, col("__bucket__")))
+          .as("occ_b"),
+        count_distinct(col("__bucket__")).as("occ_union"))
+      .withColumn("__ea__", expr(linearCountSql("occ_a", m)))
+      .withColumn("__eb__", expr(linearCountSql("occ_b", m)))
+      .withColumn("__eu__", expr(linearCountSql("occ_union", m)))
+      .withColumn("est_overlap",
+        expr("round(__ea__ + __eb__ - __eu__ + 0.0, 6)"))
+      .select("occ_a", "occ_b", "occ_union", "est_overlap")
+
   /** Serve an approximate COUNT(DISTINCT key) per `groupDims` from a
     * sketch dir: union the occupied sets (distinct), count, estimate. */
   def distinctEstimate(

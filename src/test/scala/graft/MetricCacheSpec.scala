@@ -125,6 +125,25 @@ class MetricCacheSpec extends GraftSuite {
     }
   }
 
+  test("distinct sketch overlap: inclusion–exclusion accuracy") {
+    val s = spark
+    import s.implicits._
+    val m = 4096
+    val dir = java.nio.file.Files.createTempDirectory("sketchOv").toString
+    // |A| = 1000, |B| = 1000, true overlap = 300 (keys 701..1000)
+    val rows =
+      (1 to 1000).map(k => (k.toLong, "a")) ++
+        (701 to 1700).map(k => (k.toLong, "b"))
+    val df = rows.map { case (k, kind) =>
+      (k, Timestamp.valueOf(f"2024-01-${1 + k % 20}%02d 09:00:00"), kind)
+    }.toDF("uid", "ts", "kind")
+    MetricCache.distinctSketchSave(df, Seq("kind"), "ts", "uid", m, dir)
+    val r = MetricCache.distinctOverlapEstimate(s, dir, "kind", "a", "b", m)
+      .collect().head
+    val est = r.getDouble(3)
+    assert(math.abs(est - 300.0) < 45.0, s"overlap est=$est want≈300")
+  }
+
   test("serve plan: day range is a partition filter, dim filter is pushed") {
     val dir = java.nio.file.Files.createTempDirectory("mcache2").toString
     MetricCache.save(facts, Seq("user_id", "event_type"), "ts",
