@@ -578,6 +578,14 @@ object SparkEntry {
         s, zorderFixture(s, dir), Seq("user_id", "value"), tmp)
     }
 
+  /** Per-file Bloom index over [[zorderFixture]]'s files on event_id
+    * (bits=8192, k=2) — the point-lookup planner q_manifest_point uses. */
+  private def bloomFixture(s: SparkSession, dir: String): String =
+    dirFixture("zbloom_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      graft.sources.StatsManifest.bloomSave(
+        s, zorderFixture(s, dir), "event_id", 8192, 2, tmp)
+    }
+
   /** Occupied-bucket distinct sketch (linear counting) over events at
     * (event_type, day) grain, user_id keys, m=4096 — base saved,
     * post-cutoff slice appended, like [[metricCacheFixture]]. */
@@ -4087,6 +4095,25 @@ object SparkEntry {
                 .as("value_cents"),
               F.min(F.col("event_id")).as("min_event"),
               F.max(F.col("event_id")).as("max_event"))
+        }
+        .run(s)),
+
+    // --- needle-in-the-corpus point lookup planned by the per-file
+    //     Bloom index: min/max intervals are useless for equality on a
+    //     high-cardinality key (every file's range contains any id); the
+    //     bloom probe keeps ~1 of 16 files, values ≡ the raw table ---
+    "q_manifest_point" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val zdir = zorderFixture(s, dir)
+          val bdir = bloomFixture(s, dir)
+          graft.sources.StatsManifest.prunedReadEq(df.sparkSession, zdir,
+              bdir, "event_id", 842L, 8192, 2)
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                .as("value_cents"),
+              F.max(F.col("user_id")).as("user"))
         }
         .run(s)),
 
@@ -8834,6 +8861,14 @@ object SparkEntry {
                 min(event_id) AS min_event, max(event_id) AS max_event
          FROM events
          WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10 AND 60""",
+
+    // Bloom point lookup: layout- and index-independent values.
+    "q_manifest_point" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                max(user_id) AS user
+         FROM events WHERE event_id = 842""",
 
     // 3-D z-order skip: layout-independent values, raw-table replay; the
     // time bound compares exact epoch micros on both engines.

@@ -88,6 +88,117 @@ object StatsManifest {
       .select("__file__").collect().map(_.getString(0)).toSeq
   }
 
+  // --- per-file Bloom index for EQUALITY skipping -----------------------
+  //
+  // Min/max intervals prune RANGE predicates; a point lookup on a
+  // high-cardinality key (event_id, doc_id) intersects almost every
+  // file's range. The public move (Databricks bloom filter index,
+  // parquet's own column bloom — which Spark's planner never uses for
+  // FILE pruning) is a per-file Bloom bitset in the manifest: k
+  // xxhash64-derived bits per key, per-file bit-OR, and an equality
+  // probe keeps only files with all k bits set. False positives cost a
+  // wasted file read; false negatives are impossible (the file holding
+  // the key always set its bits), so skipping stays sound. Size `bits`
+  // to rows-per-file (1% fp ≈ 10 bits/key at k=7; even bits/key ≈ 4,
+  // k=2 cuts a needle lookup to a handful of files).
+
+  private def bloomPosSql(keySql: String, bits: Int, k: Int): String = {
+    def p(i: Int) =
+      s"pmod(xxhash64(concat('$i:', CAST($keySql AS STRING))), $bits)"
+    (0 until k).map(i =>
+      s"named_struct('w', CAST(${p(i)} div 64 AS INT), " +
+        s"'m', shiftleft(CAST(1 AS BIGINT), CAST(${p(i)} % 64 AS INT)))")
+      .mkString("array(", ", ", ")")
+  }
+
+  private def bloomFor(
+      spark: SparkSession, files: Seq[String], keyCol: String,
+      bits: Int, k: Int,
+  ): DataFrame = {
+    require(bits % 64 == 0 && bits > 0 && k > 0,
+      "bits must be a positive multiple of 64")
+    val words = bits / 64
+    spark.read.parquet(files: _*)
+      .where(col(keyCol).isNotNull)
+      .withColumn("__file__", input_file_name())
+      .select(col("__file__"),
+        explode(expr(bloomPosSql(keyCol, bits, k))).as("__p__"))
+      .groupBy(col("__file__"), col("__p__.w").as("__w__"))
+      .agg(expr("bit_or(__p__.m)").as("__m__"))
+      .groupBy("__file__")
+      .agg(map_from_entries(collect_list(struct(col("__w__"), col("__m__"))))
+        .as("__wm__"))
+      .select(col("__file__"),
+        expr(s"transform(sequence(0, ${words - 1}), " +
+          "wi -> coalesce(try_element_at(__wm__, wi), CAST(0 AS BIGINT)))")
+          .as("bloom"))
+  }
+
+  /** Build the Bloom index for every parquet file in `dataDir`. The
+    * caller owns (keyCol, bits, k) consistency across save/append/probe
+    * — same contract as [[MetricCache]]'s partial algebra. */
+  def bloomSave(
+      spark: SparkSession, dataDir: String, keyCol: String,
+      bits: Int, k: Int, bloomDir: String,
+  ): Unit =
+    bloomFor(spark, fileList(spark, dataDir), keyCol, bits, k)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomDir)
+
+  /** Incremental maintenance: index ONLY files not yet present. */
+  def bloomAppend(
+      spark: SparkSession, dataDir: String, keyCol: String,
+      bits: Int, k: Int, bloomDir: String,
+  ): Int = {
+    val known = spark.read.parquet(bloomDir)
+      .select("__file__").collect().map(_.getString(0)).toSet
+    val fresh = fileList(spark, dataDir).filterNot(known)
+    if (fresh.nonEmpty)
+      bloomFor(spark, fresh, keyCol, bits, k)
+        .coalesce(1)
+        .write.mode("append").parquet(bloomDir)
+    fresh.size
+  }
+
+  /** Files that may contain `keyCol = value`: all k probe bits set (or
+    * a NULL bitset — unknown survives). Probe positions come from the
+    * SAME expression evaluated over a one-row frame, so the probe can
+    * never drift from the build. */
+  def bloomPruneFiles(
+      spark: SparkSession, bloomDir: String, value: Any, bits: Int, k: Int,
+  ): Seq[String] = {
+    val lit = value match {
+      case s: String => s"'${s.replace("'", "''")}'"
+      case other => other.toString
+    }
+    val probe = spark.range(1)
+      .select(explode(expr(bloomPosSql(lit, bits, k))).as("p"))
+      .select(col("p.w"), col("p.m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val keep = probe
+      .map { case (w, m) =>
+        (expr(s"try_element_at(bloom, ${w + 1})")
+          .bitwiseAND(lit2(m)) === lit2(m)) }
+      .reduce(_ && _) || col("bloom").isNull
+    spark.read.parquet(bloomDir).where(keep)
+      .select("__file__").collect().map(_.getString(0)).toSeq
+  }
+
+  private def lit2(v: Long) = org.apache.spark.sql.functions.lit(v)
+
+  /** Point-lookup read: only Bloom-surviving files, then the row-level
+    * equality filter. */
+  def prunedReadEq(
+      spark: SparkSession, dataDir: String, bloomDir: String,
+      keyCol: String, value: Any, bits: Int, k: Int,
+  ): DataFrame = {
+    val files = bloomPruneFiles(spark, bloomDir, value, bits, k)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(keyCol) === value)
+  }
+
   /** Read only the manifest-surviving files and re-apply the row-level
     * predicate (file stats prune files; the scan still filters rows).
     * Degenerate case: zero surviving files → empty frame with the

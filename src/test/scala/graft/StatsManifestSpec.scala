@@ -35,6 +35,42 @@ class StatsManifestSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("bloom index: sound on every present key, selective, appendable") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomd").toString
+    val bdir = java.nio.file.Files.createTempDirectory("bloomi").toString
+    // 16 files of 250 ids each — a point lookup should touch ~1 file
+    (0 until 16).foreach { f =>
+      (f * 250 until (f + 1) * 250).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "payload").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val (bits, k) = (4096, 2)
+    StatsManifest.bloomSave(s, dir, "id", bits, k, bdir)
+    val total = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    // soundness: a sample of present keys is ALWAYS found
+    for (key <- Seq(0L, 1L, 249L, 250L, 1999L, 3999L)) {
+      val rows = StatsManifest.prunedReadEq(s, dir, bdir, "id", key, bits, k)
+        .collect()
+      assert(rows.length === 1 && rows.head.getLong(0) === key)
+    }
+    // selectivity: far fewer than all files survive a probe
+    val kept = StatsManifest.bloomPruneFiles(s, bdir, 1234L, bits, k)
+    assert(kept.size < total / 2, s"kept ${kept.size}/$total")
+    // absent key: no rows (possibly zero files)
+    assert(StatsManifest.prunedReadEq(s, dir, bdir, "id", 999999L, bits, k)
+      .count() === 0L)
+
+    // append: only the new file is indexed; its keys become findable
+    (9000 until 9100).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(StatsManifest.bloomAppend(s, dir, "id", bits, k, bdir) === 1)
+    assert(StatsManifest.prunedReadEq(s, dir, bdir, "id", 9042L, bits, k)
+      .count() === 1L)
+  }
+
   test("append indexes only new files; NULL stats are never pruned") {
     val s = spark
     import s.implicits._
