@@ -4176,6 +4176,21 @@ object SparkEntry {
         }
         .run(s)),
 
+    // --- DENSE daily serve (dashboard gap-fill): one sparse user's
+    //     series spine-completed over Jan 5-28 — counts/cents zero-fill,
+    //     value_max forward-fills (LOCF), NULL before first sighting ---
+    "q_metric_cache_dense" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val cdir = metricCacheFixture(s, dir)
+          mc.serveDenseDaily(
+            mc.read(df.sparkSession, cdir).where(F.col("user_id") === 7L),
+            Seq("event_type"), "2024-01-05", "2024-01-28")
+        }
+        .run(s)),
+
     // --- coarser serve off the SAME cache: per-type totals across the
     //     full time range (every base AND appended partial merges) ---
     "q_metric_cache_rollup" -> ((s, dir) =>
@@ -8912,6 +8927,38 @@ object SparkEntry {
                 ${graft.sources.MetricCache.linearCountSql("count(*)", 4096)}
                   AS est_users
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    // Dense daily serve: spine × observed dims, zero-filled additive
+    // measures, IGNORE-NULLS LOCF — identical window frame semantics
+    // (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) on both engines.
+    "q_metric_cache_dense" ->
+      """WITH agg AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents,
+                  max(value) AS vmax
+           FROM events
+           WHERE user_id = 7
+             AND ts >= TIMESTAMP '2024-01-05'
+             AND ts < TIMESTAMP '2024-01-29'
+           GROUP BY 1, 2
+         ), dims AS (
+           SELECT DISTINCT event_type FROM agg
+         ), spine AS (
+           SELECT d.event_type, CAST(g.g AS DATE) AS day
+           FROM dims d, (SELECT unnest(generate_series(DATE '2024-01-05',
+                  DATE '2024-01-28', INTERVAL 1 DAY)) AS g) g
+         )
+         SELECT s.event_type, s.day,
+                coalesce(a.n_events, 0) AS n_events,
+                coalesce(a.value_cents, 0) AS value_cents,
+                last_value(a.vmax IGNORE NULLS)
+                  OVER (PARTITION BY s.event_type ORDER BY s.day)
+                  AS last_max
+         FROM spine s LEFT JOIN agg a
+           ON a.event_type = s.event_type AND a.day = s.day
+         ORDER BY 1, 2""",
 
     // Overlap by inclusion–exclusion: three shared-formula estimates and
     // the canonicalized sum replay bit-for-bit.

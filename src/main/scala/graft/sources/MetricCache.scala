@@ -132,6 +132,43 @@ object MetricCache {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** DENSE daily serve — the dashboard gap-fill: merge the (filtered)
+    * cache slice to (dims…, day), then left-join it onto the full
+    * per-dim day SPINE over [fromDay, toDay] so every (dims, day) cell
+    * exists. Additive measures zero-fill (a day with no facts has 0
+    * events, 0 cents); `value_max` forward-fills (last observation
+    * carried forward — the gauge convention), NULL before the first
+    * observation. The spine is a generator over the dims OBSERVED in
+    * the slice (dims-cardinality × days rows — metric-sized, never
+    * fact-sized), and the LOCF window partitions per dim, so nothing
+    * here scales with the fact table. Expects [[standardPartials]]
+    * rows. */
+  def serveDenseDaily(
+      cacheSlice: DataFrame,
+      dims: Seq[String],
+      fromDay: String,
+      toDay: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = cacheSlice
+      .where(col(DayCol) >= lit(fromDay).cast("date") &&
+        col(DayCol) <= lit(toDay).cast("date"))
+      .groupBy((dims :+ DayCol).map(col): _*)
+      .agg(standardMerge.head, standardMerge.tail: _*)
+    val spine = merged.select(dims.map(col): _*).distinct()
+      .select(col("*"),
+        explode(expr(s"sequence(to_date('$fromDay'), to_date('$toDay'), " +
+          "interval 1 day)")).as(DayCol))
+    spine.join(merged, dims :+ DayCol, "left")
+      .select(dims.map(col) ++ Seq(
+        col(DayCol).as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+        last(col("value_max"), ignoreNulls = true)
+          .over(Window.partitionBy(dims.map(col): _*).orderBy(col(DayCol)))
+          .as("last_max")): _*)
+  }
+
   // --- approximate-distinct partials (linear counting, Whang et al.
   //     TODS'90) --------------------------------------------------------
   //

@@ -96,6 +96,30 @@ class MetricCacheSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("dense daily serve: spine completion, zero-fill, LOCF semantics") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mcdense").toString
+    // one dim, observations on Jan 3 (max 5.0) and Jan 6 (max 2.0) only
+    val sparse = Seq(
+      (1L, Timestamp.valueOf("2024-01-03 10:00:00"), 0L, "g", 5.0),
+      (2L, Timestamp.valueOf("2024-01-06 12:00:00"), 0L, "g", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    MetricCache.save(sparse, Seq("user_id", "event_type"), "ts",
+      MetricCache.standardPartials("value"), dir)
+    val rows = MetricCache.serveDenseDaily(
+      MetricCache.read(s, dir), Seq("event_type"), "2024-01-01", "2024-01-08")
+      .orderBy("day").collect()
+    assert(rows.length === 8) // every day exists
+    val byDay = rows.map(r => r.getDate(1).toString ->
+      (r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(byDay("2024-01-02") === ((0L, None)))        // before first obs
+    assert(byDay("2024-01-03") === ((1L, Some(5.0))))   // observation day
+    assert(byDay("2024-01-05") === ((0L, Some(5.0))))   // gap: carried fwd
+    assert(byDay("2024-01-06") === ((1L, Some(2.0))))   // new observation
+    assert(byDay("2024-01-08") === ((0L, Some(2.0))))   // trailing carry
+  }
+
   test("distinct sketch: accuracy across cardinalities, append idempotence") {
     val s = spark
     import s.implicits._
