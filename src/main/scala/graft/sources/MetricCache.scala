@@ -126,6 +126,28 @@ object MetricCache {
       }
       .start()
 
+  /** Streaming maintenance for the distinct sketch — one
+    * [[distinctSketchAppend]] per micro-batch. Duplicate occupied-bucket
+    * rows across batches are harmless (serve merges by DISTINCT; set
+    * union is idempotent), so the stream-maintained sketch estimates
+    * exactly like a batch rebuild at every boundary. */
+  def distinctSketchStreamAppend(
+      stream: DataFrame,
+      dims: Seq[String],
+      timeCol: String,
+      keyCol: String,
+      m: Int,
+      dir: String,
+      checkpointDir: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          distinctSketchAppend(batch.toDF(), dims, timeCol, keyCol, m, dir)
+      }
+      .start()
+
   /** Read the cache back; `__day__` returns as a DATE partition column,
     * so time-range predicates are partition filters (pruned before IO)
     * and dim predicates push to the parquet scan. */

@@ -199,6 +199,50 @@ object StatsManifest {
     base.where(col(keyCol) === value)
   }
 
+  /** Streaming INGEST-AND-INDEX: per micro-batch, append the batch's
+    * rows as parquet into `dataDir`, then index exactly the files that
+    * appeared ([[append]] + optional [[bloomAppend]] — both diff the
+    * manifest against the dir listing, so each batch indexes only its
+    * own new files). The manifest is consistent at every batch boundary:
+    * a point lookup or range serve planned right after a commit sees the
+    * batch's rows. This closes the loop for a landing-zone pipeline —
+    * files, stats, and blooms all maintained by the same stream with no
+    * rebuild anywhere. */
+  def streamIngest(
+      stream: DataFrame,
+      dataDir: String,
+      cols: Seq[String],
+      manifestDir: String,
+      checkpointDir: String,
+      bloomKeyCol: String = null,
+      bloomBits: Int = 8192,
+      bloomK: Int = 2,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.toDF().write.mode("append").parquet(dataDir)
+          if (!new org.apache.hadoop.fs.Path(manifestDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(new org.apache.hadoop.fs.Path(manifestDir)))
+            save(spark, dataDir, cols, manifestDir)
+          else append(spark, dataDir, cols, manifestDir)
+          if (bloomKeyCol != null) {
+            val bdir = s"$manifestDir-bloom"
+            if (!new org.apache.hadoop.fs.Path(bdir)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(new org.apache.hadoop.fs.Path(bdir)))
+              bloomSave(spark, dataDir, bloomKeyCol, bloomBits, bloomK, bdir)
+            else bloomAppend(spark, dataDir, bloomKeyCol, bloomBits, bloomK,
+              bdir)
+          }
+          () // append/bloomAppend return counts; foreachBatch wants Unit
+        }
+      }
+      .start()
+
   /** Read only the manifest-surviving files and re-apply the row-level
     * predicate (file stats prune files; the scan still filters rows).
     * Degenerate case: zero surviving files → empty frame with the

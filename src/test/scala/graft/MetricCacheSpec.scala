@@ -168,6 +168,38 @@ class MetricCacheSpec extends GraftSuite {
     assert(math.abs(est - 300.0) < 45.0, s"overlap est=$est want≈300")
   }
 
+  test("streaming distinct sketch ≡ batch sketch at every batch boundary") {
+    val s = spark
+    import s.implicits._
+    val m = 4096
+    val dir = java.nio.file.Files.createTempDirectory("sksd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sksc").toString
+    val all = (1 to 900).map(k =>
+      (k.toLong, java.sql.Timestamp.valueOf(f"2024-01-${1 + k % 9}%02d 08:00:00"), "t"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](s)
+    val q = MetricCache.distinctSketchStreamAppend(
+      ms.toDF.toDF("uid", "ts", "kind"), Seq("kind"), "ts", "uid", m, dir, ckpt)
+    try {
+      var seen = 0
+      // overlapping batches: idempotent union is what keeps this exact
+      for (b <- Seq(all.take(400), all.slice(300, 700), all.drop(600))) {
+        ms.addData(b: _*)
+        q.processAllAvailable()
+        seen = math.max(seen, all.indexOf(b.last) + 1)
+        val est = MetricCache.distinctEstimate(s, dir, Seq("kind"), m)
+          .collect().head.getDouble(2)
+        val dir2 = java.nio.file.Files.createTempDirectory("sksd2").toString
+        MetricCache.distinctSketchSave(
+          all.take(seen).toDF("uid", "ts", "kind"),
+          Seq("kind"), "ts", "uid", m, dir2)
+        val est2 = MetricCache.distinctEstimate(s, dir2, Seq("kind"), m)
+          .collect().head.getDouble(2)
+        assert(est === est2, s"diverged after $seen keys")
+      }
+    } finally q.stop()
+  }
+
   test("serve plan: day range is a partition filter, dim filter is pushed") {
     val dir = java.nio.file.Files.createTempDirectory("mcache2").toString
     MetricCache.save(facts, Seq("user_id", "event_type"), "ts",

@@ -71,6 +71,37 @@ class StatsManifestSpec extends GraftSuite {
       .count() === 1L)
   }
 
+  test("streaming ingest keeps files, stats, and blooms consistent per batch") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sing").toString + "/data"
+    val mdir = java.nio.file.Files.createTempDirectory("singm").toString + "/man"
+    val ckpt = java.nio.file.Files.createTempDirectory("singc").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](s)
+    val q = StatsManifest.streamIngest(ms.toDF.toDF("id", "x"), dir,
+      Seq("x"), mdir, ckpt, bloomKeyCol = "id", bloomBits = 4096, bloomK = 2)
+    try {
+      var total = 0L
+      for (b <- Seq(0 until 300, 300 until 600, 600 until 900)) {
+        ms.addData(b.map(i => (i.toLong, (i * 7 % 1000).toLong)): _*)
+        q.processAllAvailable()
+        total += b.size
+        // manifest covers every file on disk, counts match ingested rows
+        val man = s.read.parquet(mdir)
+        val onDisk = new java.io.File(dir).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(man.count() === onDisk.toLong)
+        assert(man.agg(sum("n_rows")).collect().head.getLong(0) === total)
+        // a point lookup through the bloom finds a row from THIS batch
+        val probe = b.head.toLong
+        val hit = StatsManifest.prunedReadEq(s, dir, s"$mdir-bloom", "id",
+          probe, 4096, 2).collect()
+        assert(hit.length === 1 && hit.head.getLong(0) === probe)
+      }
+    } finally q.stop()
+  }
+
   test("append indexes only new files; NULL stats are never pruned") {
     val s = spark
     import s.implicits._
