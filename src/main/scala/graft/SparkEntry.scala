@@ -601,6 +601,16 @@ object SparkEntry {
         Seq("event_type"), "ts", "user_id", 4096, tmp)
     }
 
+  /** [[metricCacheFixture]] with user 7 taken down (fresh versioned
+    * rewrite — the right-to-be-forgotten path q_metric_cache_takedown
+    * serves from). */
+  private def metricCacheTakedownFixture(s: SparkSession, dir: String): String =
+    dirFixture("mcachetd_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { tmp =>
+      import org.apache.spark.sql.{functions => F}
+      graft.sources.MetricCache.takedown(
+        s, metricCacheFixture(s, dir), F.col("user_id") === 7L, tmp)
+    }
+
   /** [[metricCacheFixture]]'s STREAMING-INGEST twin: the same events fed
     * through a real MemoryStream in three micro-batches, the cache
     * maintained by [[graft.sources.MetricCache.streamAppend]]'s
@@ -4188,6 +4198,22 @@ object SparkEntry {
           mc.serveDenseDaily(
             mc.read(df.sparkSession, cdir).where(F.col("user_id") === 7L),
             Seq("event_type"), "2024-01-05", "2024-01-28")
+        }
+        .run(s)),
+
+    // --- serve AFTER user-7 takedown: the cache version without the
+    //     user's partials must equal a direct aggregate that never saw
+    //     them — provable because user_id stays in the partial grain ---
+    "q_metric_cache_takedown" -> ((s, dir) =>
+      m(dir, "events")
+        .native { df =>
+          import org.apache.spark.sql.{functions => F}
+          val mc = graft.sources.MetricCache
+          val cdir = metricCacheTakedownFixture(s, dir)
+          mc.read(df.sparkSession, cdir)
+            .where(F.col("user_id") <= 74L)
+            .groupBy(F.col("event_type"))
+            .agg(mc.standardMerge.head, mc.standardMerge.tail: _*)
         }
         .run(s)),
 
@@ -8990,6 +9016,17 @@ object SparkEntry {
          SELECT occ_a, occ_b, occ_union,
                 round(ea + eb - eu + 0.0, 6) AS est_overlap
          FROM e""",
+
+    // Takedown ≡ a cache that never held the user: direct aggregate with
+    // the exclusion predicate.
+    "q_metric_cache_takedown" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents,
+                min(value) AS value_min, max(value) AS value_max
+         FROM events
+         WHERE user_id <= 74 AND user_id <> 7
+         GROUP BY 1 ORDER BY 1""",
 
     "q_metric_cache_rollup" ->
       """SELECT event_type, count(*) AS n_events,

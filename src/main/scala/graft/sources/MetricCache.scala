@@ -126,6 +126,23 @@ object MetricCache {
       }
       .start()
 
+  /** TAKEDOWN (right-to-be-forgotten): rewrite the cache WITHOUT the
+    * rows matching `dropPred` into a fresh `dstDir` — possible precisely
+    * because the partials keep the protected dim in the grain (a cache
+    * aggregated past user_id could only be rebuilt from facts). Writes
+    * to a NEW dir, never in place: cached relations over the old version
+    * keep reading it until the caller re-points and retires (the same
+    * versioned-artifact discipline as ParquetIO.promoteVersion). One
+    * scan of the metric-sized cache; the fact table is never touched. */
+  def takedown(
+      spark: SparkSession,
+      srcDir: String,
+      dropPred: Column,
+      dstDir: String,
+  ): Unit =
+    read(spark, srcDir).where(!coalesce(dropPred, lit(false)))
+      .write.mode("error").partitionBy(DayCol).parquet(dstDir)
+
   /** Streaming maintenance for the distinct sketch — one
     * [[distinctSketchAppend]] per micro-batch. Duplicate occupied-bucket
     * rows across batches are harmless (serve merges by DISTINCT; set

@@ -200,6 +200,34 @@ class MetricCacheSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("takedown: serve equals a cache that never held the dropped dim") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mctd").toString
+    val dst = java.nio.file.Files.createTempDirectory("mctd2").toString + "/v1"
+    val all = facts
+    val dims = Seq("user_id", "event_type")
+    MetricCache.save(all, dims, "ts",
+      MetricCache.standardPartials("value"), dir)
+    MetricCache.takedown(s, dir, col("user_id") === 3L, dst)
+    assert(MetricCache.read(s, dst)
+      .where(col("user_id") === 3L).count() === 0L)
+    val served = MetricCache.read(s, dst)
+      .groupBy(col("event_type"))
+      .agg(MetricCache.standardMerge.head, MetricCache.standardMerge.tail: _*)
+    val direct = all.where(col("user_id") =!= 3L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+    assert(served.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+    // the old version is untouched (readers keep their snapshot)
+    assert(MetricCache.read(s, dir)
+      .where(col("user_id") === 3L).count() > 0L)
+  }
+
   test("serve plan: day range is a partition filter, dim filter is pushed") {
     val dir = java.nio.file.Files.createTempDirectory("mcache2").toString
     MetricCache.save(facts, Seq("user_id", "event_type"), "ts",
