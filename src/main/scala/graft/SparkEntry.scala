@@ -5960,17 +5960,29 @@ object SparkEntry {
           def fam(name: String, agg: org.apache.spark.sql.DataFrame) =
             agg.select(F.lit(name).as("family"),
               F.col("n_subwords").cast("long").as("n_subwords"))
-          fam("bpe", graft.llm.TextOps
-              .bpeSubwordCounts(df, "doc_id", "text", merges = 4)
-              .agg(F.sum(F.col("n_subwords")).as("n_subwords")))
-            .unionByName(fam("unigram", graft.llm.Unigram
-              .segmentCounts(df, "doc_id", "text", vocabSize = 120,
-                maxPieceLen = 4, maxWordLen = 12,
-                unkCostMicrobits = 30000000L)
-              .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
-            .unionByName(fam("wordpiece", graft.llm.Wordpiece
-              .docStats(df, "doc_id", "text", merges = 4)
-              .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
+          // The three trainings are independent eager driver-side loops
+          // (sequential 1-row argmax round-trips); overlap them so each
+          // family's jobs back-fill the others' stage tails (guide §2.6
+          // "overlap independent jobs"). Results are deterministic — only
+          // the scheduling interleaves. Await each before the lazy union
+          // below assembles.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fBpe = Future(graft.llm.TextOps
+            .bpeSubwordCounts(df, "doc_id", "text", merges = 4)
+            .agg(F.sum(F.col("n_subwords")).as("n_subwords")))
+          val fUni = Future(graft.llm.Unigram
+            .segmentCounts(df, "doc_id", "text", vocabSize = 120,
+              maxPieceLen = 4, maxWordLen = 12,
+              unkCostMicrobits = 30000000L)
+            .agg(F.sum(F.col("n_pieces")).as("n_subwords")))
+          val fWp = Future(graft.llm.Wordpiece
+            .docStats(df, "doc_id", "text", merges = 4)
+            .agg(F.sum(F.col("n_pieces")).as("n_subwords")))
+          fam("bpe", Await.result(fBpe, Duration.Inf))
+            .unionByName(fam("unigram", Await.result(fUni, Duration.Inf)))
+            .unionByName(fam("wordpiece", Await.result(fWp, Duration.Inf)))
             .crossJoin(F.broadcast(chars)) // 1-row corpus-chars attach
             .select(F.col("family"), F.col("n_subwords"), F.col("n_chars"),
               F.round(F.col("n_chars").cast("double")

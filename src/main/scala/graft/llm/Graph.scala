@@ -392,13 +392,27 @@ object Graph {
       scaled
     }
 
-    var hub = nodes.withColumn("__h__", lit(1000000L))
-      .localCheckpoint(true)
+    // The hub frame stays SPARSE over {u : outdeg(u) > 0} through the
+    // iterations (guide §2.4 — remove shuffles outright): aRaw only reads
+    // hub rows that match an edge's source, and hRaw — a group-by over
+    // eByDst's sources — covers every out-edge node each round (each
+    // edge's dst always has an auth row), so the per-round |V|-sized
+    // nodes join + coalesce the dense formulation paid added nothing but
+    // a shuffle. Out-edge-less nodes take hub 0 at the final assembly
+    // exactly as before. Round 1 folds h₀ = 1e6 into the aggregate
+    // (Σ_{u→v} 1e6, an identical integer sum) instead of joining a
+    // constant frame.
+    var hub: DataFrame = null
     var auth: DataFrame = null
     for (i <- 1 to iterations) {
-      val aRaw = eBySrc.join(hub, eBySrc("__src__") === hub("__id__"))
-        .groupBy(col("__dst__").as("__id__"))
-        .agg(sum(col("__h__")).as("__ar__"))
+      val aRaw =
+        if (i == 1)
+          eBySrc.groupBy(col("__dst__").as("__id__"))
+            .agg(sum(lit(1000000L)).as("__ar__"))
+        else
+          eBySrc.join(hub, eBySrc("__src__") === hub("__id__"))
+            .groupBy(col("__dst__").as("__id__"))
+            .agg(sum(col("__h__")).as("__ar__"))
       val aPrev = auth
       auth = rescale(aRaw, "__ar__")
       if (aPrev ne null) aPrev.unpersist(blocking = false)
@@ -406,12 +420,8 @@ object Graph {
         .groupBy(col("__src__").as("__id__"))
         .agg(sum(col("__v__")).as("__hr__"))
       val hPrev = hub
-      hub = nodes.join(rescale(hRaw, "__hr__")
-          .withColumnRenamed("__v__", "__hv__"), Seq("__id__"), "left")
-        .select(col("__id__"),
-          coalesce(col("__hv__"), lit(0L)).as("__h__"))
-        .localCheckpoint(true)
-      hPrev.unpersist(blocking = false)
+      hub = rescale(hRaw, "__hr__").withColumnRenamed("__v__", "__h__")
+      if (hPrev ne null) hPrev.unpersist(blocking = false)
     }
     val out = nodes
       .join(hub.withColumnRenamed("__h__", "__hub__"), Seq("__id__"), "left")
