@@ -420,9 +420,19 @@ object LangModel {
       seen(k) = scope.cache(seen(k + 1)
         .groupBy(substring_index(col("g"), " ", -k).as("g"))
         .agg(sum(col(s"cnt${k + 1}")).as(s"cnt$k")))
-    def ctx(k: Int): DataFrame = knCtxTable(seen(k), k)
+    // SB's formula reads tot_k only on gram-HIT rows, so each level's
+    // context total pre-merges onto the gram rows at the model layer
+    // (vocabulary-bounded join; every gram's context exists by
+    // construction) and scoring probes N tables instead of 2N−1 —
+    // identical values, half the broadcast builds per scored corpus.
+    def seenTot(k: Int): DataFrame =
+      if (k == 1) seen(1)
+      else seen(k)
+        .join(knCtxTable(seen(k), k),
+          substring_index(col("g"), " ", k - 1) === col(s"c$k"))
+        .select(col("g"), col(s"cnt$k"), col(s"tot$k"))
     val tot1 = seen(1).agg(sum(col("cnt1")).as("tot1"))
-    knScoreFromTables(docs, idCol, textCol, n, seen(_), ctx, tot1,
+    knScoreFromTables(docs, idCol, textCol, n, seenTot, null, tot1,
       sbLevelPSql)
   }
 
@@ -642,6 +652,12 @@ object LangModel {
   /** The shared scoring half: explode doc N-grams, LEFT-join the level
     * and context tables, fold the generated per-level probability
     * chain. */
+  /** `ctx = null` means the level tables already CARRY their context
+    * aggregates (the Stupid-Backoff merge: its formula reads tot_k only
+    * when cnt_k hit, so seen⋈ctx pre-merges at the vocabulary-bounded
+    * model layer and scoring probes N tables instead of 2N−1 — half the
+    * broadcast builds shipped to every executor. KN cannot merge: its
+    * backoff branch reads tot_k/nfw_k on gram-MISS rows). */
   private def knScoreFromTables(
       docs: DataFrame,
       idCol: String,
@@ -658,7 +674,7 @@ object LangModel {
         .join(seen(k).withColumnRenamed("g", s"__g$k"),
           gk === col(s"__g$k"), "left")
         .drop(s"__g$k")
-      if (k >= 2)
+      if (k >= 2 && ctx != null)
         scored = scored
           .join(ctx(k), substring_index(gk, " ", k - 1) === col(s"c$k"),
             "left")
