@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " logger prefix):
+// the driver greps its one-line JSON contract out of the combined sbt
+// capture, and every BENCH_r*.json to date came back `parsed: null`
+// with the line prefixed "[info] {" — a per-line json.loads can never
+// accept that. StdoutOutput routes the child's stdout/stderr straight
+// through, unprefixed.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

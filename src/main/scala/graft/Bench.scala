@@ -24,6 +24,47 @@ object Bench {
     .getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+  /** The driver-contract line: ONE flat JSON object, `queries` mapping
+    * name → wall seconds (plain numbers — the r12-r17 nested
+    * {wall,cpu,norm} values are what the driver's parser rejected),
+    * numeric `sf`. Pure so BenchContractSpec can round-trip it through a
+    * real JSON parser and bound its length against the driver's ~2k-char
+    * tail capture. */
+  /** Headline set on the compact contract line: the original 21 plus the
+    * expensive families under active optimization (r18) — entries only
+    * ever ADDED, never removed or renamed. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
+    "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
+    "q_dedup_clusters", "q_ann_lsh", "q_ann_ivf", "q_bm25_search",
+    "q_pipeline_clean", "q_text_quality", "q_pack_sequences",
+    "q_semdedup", "q_ann_pq", "q_ann_ivfpq", "q_substr_spans",
+    "q_line_dedup_corpus",
+    // r18 additions: the top-cost rows being optimized this round
+    "q_lm_kn5", "q_lm_kn5_persisted", "q_lm_kn_gate", "q_lm_kn5_pruned",
+    "q_lm_kn5_delta", "q_lm_sb5", "q_pagerank", "q_pagerank_wat",
+    "q_pagerank_links", "q_hits", "q_hits_links", "q_ann_opq",
+    "q_quantile_sample", "q_dedup_jaccard_exact", "q_tokenizer_compare")
+
+  def renderCompact(
+      total: Double,
+      totalCpu: Double,
+      nRerun: Int,
+      nQueries: Int,
+      drift: Double,
+      headlineWalls: Seq[(String, Double)],
+      sfDir: String,
+  ): String = {
+    val qs = headlineWalls
+      .map { case (k, w) => f""""$k":$w%.3f""" }
+      .mkString("{", ",", "}")
+    // numeric scale factor parsed from the dir name (the driver's own
+    // artifacts carry "sf": 0.1 as a number)
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_s":$totalCpu%.3f,"n_reruns":$nRerun,"n_queries":$nQueries,"host_drift":$drift%.2f,"queries":$qs,"sf":$sfNum}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -186,41 +227,13 @@ object Bench {
         }
       }
     }
-    val headline = Seq(
-      "q1_agg", "q_join_chain", "q_match_steps", "q_funnel", "q_retention",
-      "q_sessionize", "q_window_calc", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_clusters", "q_ann_lsh", "q_ann_ivf", "q_bm25_search",
-      "q_pipeline_clean", "q_text_quality", "q_pack_sequences",
-      "q_semdedup", "q_ann_pq", "q_ann_ivfpq", "q_substr_spans",
-      "q_line_dedup_corpus")
     val byName = results.toMap
-    // each headline entry carries its PAIRED process-CPU and its
-    // drift-NORMALIZED baseline ratio so the driver artifact is
-    // self-adjudicating in place: wall >> cpu on an entry = the host
-    // stalled under the JVM during that measurement; norm ≤ 1.5 = the
-    // published wall is already adjudicated against the ratchet; a
-    // `wall_raw` field = the sweep-end min-of-3 REPLACED a churned
-    // first measurement (the raw evidence stays visible)
-    def normOf(k: String, w: Double): Option[Double] =
-      if (w >= 0) baseline.get(k).map(b => w / b / drift) else None
-    val qs = headline.filter(byName.contains)
-      .map { k =>
-        val (w, c, _, raw) = byName(k)
-        val norm = normOf(k, w).map(n => f""","norm":$n%.2f""").getOrElse("")
-        val rawS = raw.map(r => f""","wall_raw":$r%.3f""").getOrElse("")
-        f""""$k":{"wall":$w%.3f,"cpu":$c%.3f$norm$rawS}"""
-      }
-      .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
     val nRerun = results.count(_._2._3 > 1)
-    val worstNorm = results
-      .flatMap { case (k, (w, _, _, _)) => normOf(k, w).map(k -> _) }
-      .sortBy(-_._2).headOption
-      .map { case (k, n) => f""","worst_norm":{"query":"$k","ratio":$n%.2f}""" }
-      .getOrElse("")
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_s":$totalCpu%.3f,"n_reruns":$nRerun,"n_queries":${results.size},"host_drift":$drift%.2f$worstNorm,"queries":$qs,"sf":"$sfDir"}"""
+    val compact = renderCompact(
+      total, totalCpu, nRerun, results.size, drift,
+      headline.filter(byName.contains).map(k => k -> byName(k)._1), sfDir)
     // Full per-query detail goes to a FILE, not the console: the driver
     // captures only the last ~2k chars of combined output, and sbt's
     // stderr relay lags stdout, so detail lines printed to stderr BEFORE

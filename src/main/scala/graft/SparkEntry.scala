@@ -4247,6 +4247,7 @@ object SparkEntry {
           mc.distinctEstimate(df.sparkSession, sdir, Seq("event_type"), 4096)
             .select(F.col("event_type"), F.col("occupied"),
               F.col("est_distinct").as("est_users"))
+            .sort(F.col("event_type"))
         }
         .run(s)),
 

@@ -241,10 +241,14 @@ object MetricCache {
   /** Linear-counting estimate from a merged occupied-bucket count —
     * the SAME formula string evaluates in Spark SQL and DuckDB (`- / *`
     * correctly rounded; `ln` is log-family → 6-dp round; saturated
-    * sketches estimate NULL rather than −∞). */
+    * sketches estimate NULL rather than −∞). Every operand is cast to
+    * DOUBLE explicitly: a `4096.0` literal types as DECIMAL(5,1) in
+    * Spark (division then rounds to scale 7 BEFORE ln — r17's oracle
+    * divergence) but as DOUBLE in DuckDB. */
   def linearCountSql(occupiedCol: String, m: Int): String =
     s"CASE WHEN $occupiedCol >= $m THEN NULL " +
-      s"ELSE round(-$m.0 * ln(($m.0 - $occupiedCol) / $m.0), 6) END"
+      s"ELSE round(CAST(-$m AS DOUBLE) * " +
+      s"ln(CAST($m - ($occupiedCol) AS DOUBLE) / CAST($m AS DOUBLE)), 6) END"
 
   /** Build the distinct sketch: one row per (dims…, day, bucket) that
     * saw at least one key — the occupied-bucket set, day-partitioned

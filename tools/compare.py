@@ -20,10 +20,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Shortest-round-trip repr: full fidelity, matching the driver's
+    # bit-exact hash. The old f"{v:.6g}" (6 SIGNIFICANT digits) silently
+    # passed cross-engine drift below 6 sig-figs (r17's linear-counting
+    # divergence: 150.739981 vs 150.740034 both printed "150.74").
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(float(v))
     return str(v)
 
 
