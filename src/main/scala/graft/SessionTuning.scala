@@ -39,8 +39,18 @@ object SessionTuning {
       } else None
     }
 
-  /** Apply the local-dir tuning to a session builder. */
+  /** Apply the local-dir tuning to a session builder. Logs the resolved
+    * dir so a tmpfs-full failure (ENOSPC where disk would have spilled)
+    * is attributable — SPARK_GRAFT_LOCAL_DIR / SPARK_LOCAL_DIRS are the
+    * escape hatches for spill-heavy runs (e.g. ScaleCheck at large
+    * factors). */
   def apply(b: org.apache.spark.sql.SparkSession.Builder)
       : org.apache.spark.sql.SparkSession.Builder =
-    fastLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+    fastLocalDir match {
+      case Some(d) =>
+        System.err.println(s"[graft] spark.local.dir -> $d " +
+          "(override: SPARK_GRAFT_LOCAL_DIR or SPARK_LOCAL_DIRS)")
+        b.config("spark.local.dir", d)
+      case None => b
+    }
 }

@@ -2993,7 +2993,7 @@ object SparkEntry {
           // the persisted level tables (vocabulary-bounded scans), never
           // by re-deriving the tables from the corpus
           val modelDir = dirFixture(
-            "kn5_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            "kn5v2_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
             graft.llm.LangModel.knNgramFit(
               df.where(F.col("doc_id") % 4 === 0), "text", p, order = 5)
           }
@@ -3013,7 +3013,7 @@ object SparkEntry {
           // gate through the PERSISTED model (production scores a crawl
           // with a pre-fit LM; values ≡ the inline trainer, spec-pinned)
           val modelDir = dirFixture(
-            "kn5_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            "kn5v2_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
             graft.llm.LangModel.knNgramFit(
               df.where(F.col("doc_id") % 4 === 0), "text", p, order = 5)
           }
@@ -3056,7 +3056,7 @@ object SparkEntry {
           // pruned-model serving: the stored tables already dropped the
           // singleton tail; scoring reads them as-is
           val modelDir = dirFixture(
-            "kn5p01111_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            "kn5p01111v2_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
             graft.llm.LangModel.knNgramFit(
               df.where(F.col("doc_id") % 4 === 0), "text", p, order = 5,
               prune = Seq(0L, 1L, 1L, 1L, 1L))
@@ -3078,7 +3078,7 @@ object SparkEntry {
           // memoized model fixture: the fit is ingest-time work; the
           // timed body is the score-many half of train-once/score-many
           val modelDir = dirFixture(
-            "kn5_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            "kn5v2_q4_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
             graft.llm.LangModel.knNgramFit(
               df.where(F.col("doc_id") % 4 === 0), "text", p, order = 5)
           }
@@ -3104,7 +3104,7 @@ object SparkEntry {
         .native { df =>
           import org.apache.spark.sql.{functions => F}
           val baseDir = dirFixture(
-            "kn5_e8_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            "kn5v2_e8_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
             graft.llm.LangModel.knNgramFit(
               df.where(F.col("doc_id") % 8 === 0), "text", p, order = 5)
           }
@@ -3959,9 +3959,17 @@ object SparkEntry {
       m(dir, "embeddings")
         .native { df =>
           import org.apache.spark.sql.{functions => F}
-          graft.llm.Embeddings.opqTopK(df, "vec_id", "embedding",
-            dim = 64, m = 2, queryId = 0L, k = 10,
-            initPred = F.col("vec_id") < 4, iters = 2, minAbsRho = 0.0)
+          // serve through the PERSISTED rotation + codebooks (memoized
+          // fixture — the fit is ingest-time work, like the other ANN
+          // indexes); values ≡ the inline opqTopK fit+serve, spec-pinned
+          val modelDir = dirFixture(
+            "opqm2_" + dir.replaceAll("[^A-Za-z0-9]", "_")) { p =>
+            graft.llm.Embeddings.opqFitSave(df, "vec_id", "embedding",
+              dim = 64, m = 2, initPred = F.col("vec_id") < 4, iters = 2,
+              dir = p, minAbsRho = 0.0)
+          }
+          graft.llm.Embeddings.opqTopKWithModel(df, "vec_id", "embedding",
+            modelDir, dim = 64, m = 2, queryId = 0L, k = 10)
         }
         .sort(col("rank"))
         .run(s)),
@@ -5967,20 +5975,23 @@ object SparkEntry {
           // "overlap independent jobs"). Results are deterministic — only
           // the scheduling interleaves. Await each before the lazy union
           // below assembles.
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
-          val fBpe = Future(graft.llm.TextOps
+          // blocking{}: each training body spends its time awaiting Spark
+          // jobs, so mark it for the global pool — three tasks won't
+          // starve an ncpu-sized pool, but the pattern gets copied
+          val fBpe = Future(blocking(graft.llm.TextOps
             .bpeSubwordCounts(df, "doc_id", "text", merges = 4)
-            .agg(F.sum(F.col("n_subwords")).as("n_subwords")))
-          val fUni = Future(graft.llm.Unigram
+            .agg(F.sum(F.col("n_subwords")).as("n_subwords"))))
+          val fUni = Future(blocking(graft.llm.Unigram
             .segmentCounts(df, "doc_id", "text", vocabSize = 120,
               maxPieceLen = 4, maxWordLen = 12,
               unkCostMicrobits = 30000000L)
-            .agg(F.sum(F.col("n_pieces")).as("n_subwords")))
-          val fWp = Future(graft.llm.Wordpiece
+            .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
+          val fWp = Future(blocking(graft.llm.Wordpiece
             .docStats(df, "doc_id", "text", merges = 4)
-            .agg(F.sum(F.col("n_pieces")).as("n_subwords")))
+            .agg(F.sum(F.col("n_pieces")).as("n_subwords"))))
           fam("bpe", Await.result(fBpe, Duration.Inf))
             .unionByName(fam("unigram", Await.result(fUni, Duration.Inf)))
             .unionByName(fam("wordpiece", Await.result(fWp, Duration.Inf)))

@@ -495,6 +495,12 @@ object Dedup {
       .withColumn("jaccard",
         round(expr(s"word_ngram_jaccard(__ltoks__, __rtoks__, $shingleSize)"), 6))
       .where(col("jaccard") >= threshold)
+      // PRECONDITION (load-bearing since the r17 pair-distinct rewrite):
+      // ids are unique per input row. The pair set is deduplicated ABOVE
+      // the token attach, so a duplicated id would fan each pair out
+      // per duplicate row here where the old verify-per-gram shape
+      // collapsed them; every corpus feeding this op keys docs by a
+      // unique id (the driver tables do by construction).
       .select(col("__lid__").as("left_id"), col("__rid__").as("right_id"),
         col("jaccard"))
   }

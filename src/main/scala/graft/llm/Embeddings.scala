@@ -1995,6 +1995,63 @@ object Embeddings {
     pqTopK(rotated, idCol, vecCol, cb, dim, m, queryId, k, scope)
   }
 
+  /** PERSIST the OPQ model — rotation (1 row) + PQ codebooks fit in the
+    * rotated space — as plain parquet under `dir` (`rot/`, `cb/`): the
+    * train-once / serve-many split the other ANN indexes already have
+    * (FAISS trains OPQ once and stores the rotation with the index).
+    * The fit is ingest-time work; [[opqTopKWithModel]] serves without
+    * re-running either fit. */
+  def opqFitSave(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      initPred: Column,
+      iters: Int,
+      dir: String,
+      samplePct: Double = 100.0,
+      minAbsRho: Double = 0.85,
+      scope: CacheScope = CacheScope.global,
+  ): Unit = {
+    require(m >= 2 && m % 2 == 0 && dim % m == 0,
+      s"OPQ pair rotation needs an even m dividing dim (got m=$m, dim=$dim)")
+    val rot = opqPairRotationFit(emb, idCol, vecCol, dim, samplePct,
+      minAbsRho, scope)
+    rot.write.mode("overwrite").parquet(s"$dir/rot")
+    val rotated = opqRotateFrame(emb, idCol, vecCol, rot, dim)
+    pqCodebooks(rotated, idCol, vecCol, dim, m, initPred, iters, scope)
+      .write.mode("overwrite").parquet(s"$dir/cb")
+  }
+
+  /** Serve OPQ top-k through a persisted [[opqFitSave]] model: read the
+    * rotation and codebooks, rotate the corpus (a per-row projection),
+    * and run the standard single-pass ADC — no fit stage in the serve.
+    * The 1-row rotation is RE-AGGREGATED on read so the broadcast build
+    * side is provably single-row in the plan (a bare file scan is not —
+    * the whole-suite BNLJ lint rejects it); max over one row IS the
+    * row. Values are identical to [[opqTopK]] (the fit is the same
+    * computation, run once at save time). */
+  def opqTopKWithModel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      dim: Int,
+      m: Int,
+      queryId: Long,
+      k: Int,
+      scope: CacheScope = CacheScope.global,
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    graft.GraftExtensions.install(spark)
+    val rot = spark.read.parquet(s"$dir/rot")
+      .agg(max(col("__rc__")).as("__rc__"), max(col("__rs__")).as("__rs__"))
+    val rotated = opqRotateFrame(emb, idCol, vecCol, rot, dim)
+    val cb = spark.read.parquet(s"$dir/cb")
+    pqTopK(rotated, idCol, vecCol, cb, dim, m, queryId, k, scope)
+  }
+
   // --------------------------------------------------------------------
   // SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit practice):
   // per-dimension min/max affine 8-bit codes. 4× compression at

@@ -99,41 +99,55 @@ object Graph {
     def idiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
     val dec = DecimalType(38, 0)
+    def shareOf(r: Column): Column = idiv(
+      r.cast(dec) * lit(dampMicro),
+      (lit(1000000L) * col("__d__")).cast(dec))
 
-    var rank = init match {
-      case None => nodes.withColumn("__r__", lit(1000000L))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      case Some(prev) => nodes
-        .join(prev.select(col("node").cast("long").as("__id__"),
-          col("rank_micro").cast("long").as("__pr__")), Seq("__id__"), "left")
-        .select(col("__id__"),
-          coalesce(col("__pr__"), lit(1000000L)).as("__r__"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    // SPARSE iteration (the HITS discipline, guide §2.4 — remove the
+    // shuffle outright): rank_t(v) = base + coalesce(contrib_t(v), 0)
+    // for every t ≥ 1, so the dense per-round `nodes ⋈ contrib` assembly
+    // added nothing — the NEXT round's share can read the identity
+    // through a LEFT join of the edge table against the contrib frame
+    // (sources absent from contrib take share(base), exactly as their
+    // dense rank row base+0 did). The |V|-sized rank frame, its persist,
+    // and its join disappear from every round; each round is one
+    // edges ⋈ contrib equi-join (contrib's groupBy hash layout meets
+    // ed's __src__ layout) + one map-side-combined sum. Dense assembly
+    // happens ONCE at the end. Integer math unchanged — bit-identical
+    // to the dense formulation (oracle + warm-start spec pin it).
+    var contrib: DataFrame = null
     for (i <- 1 to iterations) {
-      val share = idiv(
-        col("__r__").cast(dec) * lit(dampMicro),
-        (lit(1000000L) * col("__d__")).cast(dec))
-      val contrib = ed.join(rank, ed("__src__") === rank("__id__"))
-        .select(col("__dst__").as("__id__"), share.as("__s__"))
-        .groupBy(col("__id__"))
+      val withRank: DataFrame =
+        if (i == 1) init match {
+          case None => ed.withColumn("__r__", lit(1000000L))
+          case Some(prev) => ed
+            .join(prev.select(col("node").cast("long").as("__pid__"),
+              col("rank_micro").cast("long").as("__pr__")),
+              ed("__src__") === col("__pid__"), "left")
+            .withColumn("__r__", coalesce(col("__pr__"), lit(1000000L)))
+        }
+        else ed
+          .join(contrib, ed("__src__") === contrib("__cid__"), "left")
+          .withColumn("__r__", lit(base) + coalesce(col("__c__"), lit(0L)))
+      val next = withRank
+        .select(col("__dst__").as("__cid__"), shareOf(col("__r__")).as("__s__"))
+        .groupBy(col("__cid__"))
         .agg(sum(col("__s__")).as("__c__"))
-      val next = nodes.join(contrib, Seq("__id__"), "left")
-        .select(col("__id__"),
-          (lit(base) + coalesce(col("__c__"), lit(0L))).as("__r__"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = rank
-      rank = if (i < iterations && i % 3 == 0) {
+      val prev = contrib
+      contrib = if (i < iterations && i % 3 == 0) {
         val cp = next.localCheckpoint(true)
         next.unpersist(blocking = false)
         cp
       } else next
-      prev.unpersist(blocking = false)
+      if (prev ne null) prev.unpersist(blocking = false)
     }
-    val out = rank
-      .select(col("__id__").as("node"), col("__r__").as("rank_micro"))
+    val out = nodes
+      .join(contrib, nodes("__id__") === contrib("__cid__"), "left")
+      .select(col("__id__").as("node"),
+        (lit(base) + coalesce(col("__c__"), lit(0L))).as("rank_micro"))
       .localCheckpoint(true)
-    rank.unpersist(blocking = false)
+    contrib.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     out

@@ -352,9 +352,14 @@ object LangModel {
       prune: Seq[Long] = Seq.empty): DataFrame = {
     val n = order
     val seen = knPruned(knLevelTables(train, textCol, order, scope), prune)
+    // per-level ctx aggregates over the cached level tables, as in r17:
+    // a fused all-levels ctx aggregate (union + one groupBy + cache) was
+    // built and MEASURED this round — the extra InMemoryRelation encode
+    // of the model-sized union cost more than the removed stages
+    // (q_lm_kn5 4.3 → 5.3 s steady) and was reverted per guide §1.1
     def ctx(k: Int): DataFrame = knCtxTable(seen(k), k)
     val tot1 = seen(1).agg(sum(col("cnt1")).as("tot1"))
-    knScoreFromTables(docs, idCol, textCol, n, seen(_), ctx, tot1)
+    knScoreFromTables(docs, idCol, textCol, n, seen(_), Some(ctx), tot1)
   }
 
   /** KenLM-style count PRUNING (`--prune` thresholds, one per level
@@ -413,9 +418,27 @@ object LangModel {
     require(order >= 2 && order <= 8, "order must be in [2, 8]")
     graft.GraftExtensions.install(train.sparkSession)
     val n = order
+    val topGrams = scope.cache(knGramsOf(train, textCol, n)
+      .groupBy(col("tg").as("g")).agg(count(lit(1)).as("cnt")))
+    // ALL lower suffix-sum levels from ONE fused aggregate (guide §2.3 —
+    // the old derivation was N−1 SEQUENTIAL cached shuffles): suffix
+    // sums TELESCOPE — cnt_k(u) = Σ_{(k+1)-grams v: suffix_k(v)=u}
+    // cnt_{k+1}(v) = Σ_{N-grams g: suffix_k(g)=u} cnt_N(g) — so every
+    // level k < N is one explode of the N-gram table into its
+    // 1..(N−1)-word suffixes weighted by cnt_N and one grouped sum (a
+    // key's word count is its level; levels cannot collide).
+    // Sequential suffix-sum chain + per-level ctx pre-merge joins, the
+    // r17 shape, deliberately: both fused alternatives were built and
+    // MEASURED this round and regressed at sf0.1 — (a) telescoping the
+    // suffix sums into one explode+aggregate shuffles the 4×-exploded
+    // suffix set where the chain shuffles each shrinking level once, and
+    // (b) collapsing the per-level seen⋈ctx joins into one window over
+    // the fused level union pays a model-sized extra InMemoryRelation
+    // encode (q_lm_sb5 3.7 → 3.95 s steady, cpu 28 → 37 s). Reverted per
+    // guide §1.1; the family is model-table-volume bound at this scale,
+    // not stage-count bound.
     val seen = new Array[DataFrame](n + 1)
-    seen(n) = scope.cache(knGramsOf(train, textCol, n)
-      .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n")))
+    seen(n) = topGrams.withColumnRenamed("cnt", s"cnt$n")
     for (k <- (n - 1) to 1 by -1)
       seen(k) = scope.cache(seen(k + 1)
         .groupBy(substring_index(col("g"), " ", -k).as("g"))
@@ -432,7 +455,7 @@ object LangModel {
           substring_index(col("g"), " ", k - 1) === col(s"c$k"))
         .select(col("g"), col(s"cnt$k"), col(s"tot$k"))
     val tot1 = seen(1).agg(sum(col("cnt1")).as("tot1"))
-    knScoreFromTables(docs, idCol, textCol, n, seenTot, null, tot1,
+    knScoreFromTables(docs, idCol, textCol, n, seenTot, None, tot1,
       sbLevelPSql)
   }
 
@@ -533,6 +556,11 @@ object LangModel {
     spark.read.parquet(s"$dstDir/level1")
       .agg(sum(col("cnt1")).as("tot1"))
       .write.mode("overwrite").parquet(s"$dstDir/tot1")
+    // ctx tables are deliberately NOT materialized here: the serve path
+    // derives them on the fly when absent (value-identical), and
+    // measurement showed the 4 extra aggregate+write jobs cost the
+    // maintenance op ~1.3 s at sf0.1 — serve-side amortization belongs
+    // to the fit/promote step, not the delta critical path.
     // the merged model is itself unpruned — mark it so deltas chain
     writePruneMarker(spark, dstDir, Seq.empty)
   }
@@ -549,6 +577,15 @@ object LangModel {
     graft.GraftExtensions.install(train.sparkSession)
     val n = order
     val seen = new Array[DataFrame](n + 1)
+    // Sequential suffix-count chain, deliberately: a fused
+    // one-aggregate derivation (explode every N-gram into its 2..N-word
+    // suffixes + distinct + grouped count) was built and MEASURED this
+    // round — it halves the stage count but shuffles the 4×-exploded
+    // suffix set TWICE (distinct, then count) where the chain shuffles
+    // each shrinking level once; q_lm_kn5 regressed 4.3 → 5.8 s wall /
+    // 28 → 42 s cpu at sf0.1 and the rewrite was reverted per guide
+    // §1.1. (The fused CONTEXT aggregate below survived measurement —
+    // it shuffles each level exactly once.)
     seen(n) = scope.cache(knGramsOf(train, textCol, n)
       .groupBy(col("tg").as("g")).agg(count(lit(1)).as(s"cnt$n")))
     for (k <- (n - 1) to 1 by -1)
@@ -564,6 +601,13 @@ object LangModel {
     .groupBy(substring_index(col("g"), " ", k - 1).as(s"c$k"))
     .agg(sum(col(s"cnt$k")).as(s"tot$k"), count(lit(1)).as(s"nfw$k"))
 
+  /** ALL levels' context aggregates (k = 2..N) in ONE fused aggregate —
+    * [[knCtxTable]] per level was N−1 separate shuffles re-run inside
+    * every serve. A context key's word count is k−1, so levels cannot
+    * collide and one groupBy over the tagged level union computes every
+    * table; [[knCtxOfAll]] filters the cached result per level. Runs on
+    * the (possibly pruned) seen tables, exactly like the per-level
+    * formulation. */
   private def knGramsOf(
       df: DataFrame, textCol: String, n: Int, cols: Column*): DataFrame = df
     .withColumn("__toks__", TextOps.letterWords(textCol))
@@ -590,6 +634,10 @@ object LangModel {
       seen(k).write.mode("overwrite").parquet(s"$dir/level$k")
     seen(1).agg(sum(col("cnt1")).as("tot1"))
       .write.mode("overwrite").parquet(s"$dir/tot1")
+    // persist the context aggregates (post-prune, exactly what scoring
+    // probes) so serves are pure scans — the KenLM stored-backoff shape
+    for (k <- 2 to order)
+      knCtxTable(seen(k), k).write.mode("overwrite").parquet(s"$dir/ctx$k")
     writePruneMarker(train.sparkSession, dir, prune)
   }
 
@@ -639,55 +687,116 @@ object LangModel {
     graft.GraftExtensions.install(docs.sparkSession)
     val spark = docs.sparkSession
     def seen(k: Int): DataFrame = spark.read.parquet(s"$dir/level$k")
-    def ctx(k: Int): DataFrame = knCtxTable(seen(k), k)
+    // the fit persists the context aggregates next to the level tables
+    // (KenLM stores its backoff tables the same way) so every serve is
+    // pure scans — re-aggregating them per serve was N−1 shuffles per
+    // score run. Older artifacts without ctx dirs derive on the fly.
+    val ctxPersisted = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/ctx2")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def ctx(k: Int): DataFrame =
+      if (ctxPersisted) spark.read.parquet(s"$dir/ctx$k")
+      else knCtxTable(seen(k), k)
     // re-aggregate the 1-row artifact so the cross join's build side is
     // PROVABLY single-row in the plan (a bare file scan is not — the
     // whole-suite BNLJ lint rejects it), at the cost of nothing: the
     // file holds exactly one row, max = the value
     val tot1 = spark.read.parquet(s"$dir/tot1")
       .agg(max(col("tot1")).as("tot1"))
-    knScoreFromTables(docs, idCol, textCol, order, seen, ctx, tot1)
+    knScoreFromTables(docs, idCol, textCol, order, seen, Some(ctx), tot1)
   }
 
   /** The shared scoring half: explode doc N-grams, LEFT-join the level
     * and context tables, fold the generated per-level probability
-    * chain. */
-  /** `ctx = null` means the level tables already CARRY their context
+    * chain.
+    *
+    * `ctx = None` means the level tables already CARRY their context
     * aggregates (the Stupid-Backoff merge: its formula reads tot_k only
     * when cnt_k hit, so seen⋈ctx pre-merges at the vocabulary-bounded
     * model layer and scoring probes N tables instead of 2N−1 — half the
     * broadcast builds shipped to every executor. KN cannot merge: its
-    * backoff branch reads tot_k/nfw_k on gram-MISS rows). */
+    * backoff branch reads tot_k/nfw_k on gram-MISS rows).
+    *
+    * DISTINCT-GRAM gate (guide §2.3 "aggregate before you shuffle", the
+    * 100 TB variant recorded in round 17): when the level-N model table
+    * is estimated to EXCEED the session's broadcast threshold, the model
+    * joins will shuffle the doc-gram frame 2N−1 times — so instead each
+    * distinct gram text scores ONCE through the chain and per-doc
+    * occurrence counts re-attach after (integer micro-bits make
+    * Σ_occ mb ≡ Σ_distinct occ·mb bit-identical). Below the threshold
+    * the chain is all broadcast probes and the two occurrence-scale
+    * shuffles the rewrite adds are a measured local REGRESSION (r17) —
+    * so the gate follows the join strategy the planner will pick.
+    * `spark.graft.lm.scoreDistinctGrams` ∈ {auto, always, never}
+    * overrides (the value-parity spec pins `always` ≡ `never`). */
   private def knScoreFromTables(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       seen: Int => DataFrame,
-      ctx: Int => DataFrame,
+      ctx: Option[Int => DataFrame],
       tot1: DataFrame,
       pSql: Int => String = knLevelPSql): DataFrame = {
-    var scored = knGramsOf(docs, textCol, n, col(idCol))
-    for (k <- n to 1 by -1) {
-      val gk = if (k == n) col("tg") else substring_index(col("tg"), " ", -k)
-      scored = scored
-        .join(seen(k).withColumnRenamed("g", s"__g$k"),
-          gk === col(s"__g$k"), "left")
-        .drop(s"__g$k")
-      if (k >= 2 && ctx != null)
+    // attach the model to a frame carrying gram texts in `tg` and fold
+    // the probability chain into integer micro-bits (`__mb__`)
+    def attachModel(grams: DataFrame): DataFrame = {
+      var scored = grams
+      for (k <- n to 1 by -1) {
+        val gk = if (k == n) col("tg") else substring_index(col("tg"), " ", -k)
         scored = scored
-          .join(ctx(k), substring_index(gk, " ", k - 1) === col(s"c$k"),
-            "left")
-          .drop(s"c$k")
+          .join(seen(k).withColumnRenamed("g", s"__g$k"),
+            gk === col(s"__g$k"), "left")
+          .drop(s"__g$k")
+        ctx match {
+          case Some(c) if k >= 2 =>
+            scored = scored
+              .join(c(k), substring_index(gk, " ", k - 1) === col(s"c$k"),
+                "left")
+              .drop(s"c$k")
+          case _ =>
+        }
+      }
+      scored = scored.crossJoin(broadcast(tot1)) // 1-row model attach
+      for (k <- 1 to n)
+        scored = scored.withColumn(s"p$k", expr(pSql(k)))
+      scored
+        .withColumn("p", col(s"p$n"))
+        .withColumn("__mb__", expr(KnTermSql))
     }
-    scored = scored.crossJoin(broadcast(tot1)) // 1-row model attach
-    for (k <- 1 to n)
-      scored = scored.withColumn(s"p$k", expr(pSql(k)))
-    val agg = scored
-      .withColumn("p", col(s"p$n"))
-      .withColumn("__mb__", expr(KnTermSql))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"), sum(col("__mb__")).as("__s__"))
+    val spark = docs.sparkSession
+    val mode = spark.conf.get("spark.graft.lm.scoreDistinctGrams", "auto")
+    val distinctGrams = mode match {
+      case "always" => true
+      case "never"  => false
+      case _ =>
+        val thresh =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+          catch { case _: Throwable => 10L << 20 }
+        // threshold < 0 disables auto-broadcast: the model joins shuffle
+        // either way, so the distinct-gram probe-side cut always pays
+        thresh < 0 ||
+          seen(n).queryExecution.optimizedPlan.stats.sizeInBytes
+            .toDouble > thresh.toDouble
+    }
+    val agg0 =
+      if (!distinctGrams)
+        attachModel(knGramsOf(docs, textCol, n, col(idCol)))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_ngrams"), sum(col("__mb__")).as("__s__"))
+      else {
+        val perDoc = knGramsOf(docs, textCol, n, col(idCol))
+          .groupBy(col(idCol), col("tg")).agg(count(lit(1)).as("__occ__"))
+        val gramBits = attachModel(perDoc.select(col("tg")).distinct())
+          .select(col("tg").as("__tg__"), col("__mb__"))
+        perDoc.join(gramBits, col("tg") === col("__tg__"))
+          .groupBy(col(idCol))
+          .agg(sum(col("__occ__")).as("n_ngrams"),
+            sum(col("__occ__") * col("__mb__")).as("__s__"))
+      }
+    val agg = agg0
       .select(col(idCol), col("n_ngrams"),
         round(col("__s__").cast("double") / col("n_ngrams").cast("double")
           / lit(1000000.0), 6).as("bits_per_ngram"))

@@ -678,6 +678,20 @@ class LlmSpec extends GraftSuite {
       m = 2, queryId = 1L, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(viaOpq === viaPq)
+    // persisted-model serving: fit once to parquet (rotation + codebooks),
+    // serve through the artifact with NO fit stage — values identical to
+    // the inline fit+serve on the rotating fixture
+    val viaInline = Embeddings.opqTopK(corr, "vec_id", "embedding", dim = 4,
+      m = 2, queryId = 1L, k = 5, initPred = sc("vec_id") < 2, iters = 1,
+      minAbsRho = 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    Embeddings.opqFitSave(corr, "vec_id", "embedding", dim = 4, m = 2,
+      initPred = sc("vec_id") < 2, iters = 1, dir = "/tmp/graft_opq_model",
+      minAbsRho = 0.0)
+    val viaModel = Embeddings.opqTopKWithModel(corr, "vec_id", "embedding",
+      "/tmp/graft_opq_model", dim = 4, m = 2, queryId = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(viaModel === viaInline)
   }
 
   test("stripMarkdown reduces markup to text, dropping code fences wholesale") {
@@ -5000,6 +5014,50 @@ class LlmSpec extends GraftSuite {
     knPruned.filter(_._2 > 0).foreach { case (id, _, bits) =>
       assert(bits > 0.0 && bits <= 30.0, s"pruned doc $id bits=$bits")
     }
+    graft.llm.CacheScope.global.release()
+  }
+
+  test("distinct-gram scoring gate: always ≡ never bit-for-bit (KN and SB); fit persists ctx tables") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where(sc("doc_id") % 4 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(sc("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def withMode[T](m: String)(f: => T): T = {
+      s.conf.set("spark.graft.lm.scoreDistinctGrams", m)
+      try f
+      finally {
+        s.conf.unset("spark.graft.lm.scoreDistinctGrams")
+        graft.llm.CacheScope.global.release()
+      }
+    }
+    // the 100 TB rewrite (score each distinct gram once, re-attach
+    // per-doc occurrence counts) must be BIT-identical to the
+    // occurrence-chain: integer micro-bits make Σ_occ mb ≡ Σ_dist occ·mb
+    val knNever = withMode("never")(rows(graft.llm.LangModel.knNgramScore(
+      docs, train, "doc_id", "text", order = 4)))
+    val knAlways = withMode("always")(rows(graft.llm.LangModel.knNgramScore(
+      docs, train, "doc_id", "text", order = 4)))
+    assert(knAlways === knNever)
+    val sbNever = withMode("never")(rows(graft.llm.LangModel.sbNgramScore(
+      docs, train, "doc_id", "text", order = 4)))
+    val sbAlways = withMode("always")(rows(graft.llm.LangModel.sbNgramScore(
+      docs, train, "doc_id", "text", order = 4)))
+    assert(sbAlways === sbNever)
+    // the fit writes the per-level context aggregates next to the level
+    // tables (pure-scan serving); scoring through the artifact stays
+    // value-identical (the order-5 parity test covers values — here we
+    // pin that the ctx dirs actually exist so serves don't silently
+    // fall back to re-aggregation)
+    graft.llm.LangModel.knNgramFit(train, "text", "/tmp/graft_kn4_ctx",
+      order = 4)
+    for (k <- 2 to 4)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"/tmp/graft_kn4_ctx/ctx$k")),
+        s"fit did not persist ctx$k")
+    assert(rows(graft.llm.LangModel.knNgramScoreWithModel(
+      docs, "doc_id", "text", "/tmp/graft_kn4_ctx", order = 4)) === knNever)
     graft.llm.CacheScope.global.release()
   }
 
